@@ -1,13 +1,1044 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.DruidFunctions
+import graft.operators.{Joins, NativeQueries => NQ}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingIngest
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle) per implemented
+  * operator from SURVEY.md §2. Every query is a pure DataFrame plan built
+  * from the graft operator library; oracles are ANSI SQL for DuckDB over the
+  * same parquet tables.
+  *
+  * Determinism conventions (so the driver's hash compare is stable):
+  *  - every result has a total ordering (unique tie-break keys);
+  *  - `events.ts` is nanosecond parquet which Spark truncates to micros —
+  *    time outputs are truncated to >= 1 second in BOTH engines;
+  *  - floating-point aggregates prefer integer-valued doubles (exact under
+  *    any summation order) or are rounded identically on both sides.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_groupby_q1")(spark, "/root/testdata/sf0.001")
+
+  // =========================================================================
+  // Query inventory
+  // =========================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------- scan (§2.1/§2.7)
+    "q_scan" -> ((s, dir) => {
+      NQ.scan(t(s, dir)("lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"),
+        filter = Some(col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp")),
+        orderBy = Seq(col("l_orderkey"), col("l_linenumber")),
+        limit = Some(500))
+    }),
+
+    "q_scan_offset" -> ((s, dir) => {
+      NQ.scan(t(s, dir)("orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+        filter = Some(col("o_orderstatus") === "F"),
+        orderBy = Seq(col("o_orderkey")),
+        limit = Some(100), offset = 50)
+    }),
+
+    // ------------------------------------------- timeBoundary / dsMeta (§2.11)
+    "q_time_boundary" -> ((s, dir) => {
+      t(s, dir)("events").agg(
+        date_trunc("second", min(col("ts"))).as("min_time"),
+        date_trunc("second", max(col("ts"))).as("max_time"))
+    }),
+
+    "q_datasource_metadata" -> ((s, dir) => {
+      t(s, dir)("events").agg(
+        count(lit(1)).as("num_rows"),
+        date_trunc("second", max(col("ts"))).as("max_ingested_time"))
+    }),
+
+    // ------------------------------------------------------ timeseries (§2.11)
+    "q_timeseries_hour" -> ((s, dir) => {
+      NQ.timeseries(t(s, dir)("events"), "ts", "PT1H",
+        Seq(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value")))
+    }),
+
+    "q_timeseries_zerofill" -> ((s, dir) => {
+      NQ.timeseries(t(s, dir)("events"), "ts", "P1D",
+        Seq(count(lit(1)).as("n")),
+        filter = Some(col("event_type") === "signup" &&
+          col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-01-09").cast("timestamp")),
+        zeroFill = Some(("2024-01-01", "2024-01-08")))
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // ------------------------------------------------------------ topN (§2.7)
+    "q_topn" -> ((s, dir) => {
+      NQ.topN(t(s, dir)("events"), col("user_id"),
+        Seq(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value")),
+        metric = "n", k = 20, tiebreak = Seq(col("user_id").asc))
+    }),
+
+    // --------------------------------------------------------- groupBy (§2.5)
+    "q_groupby_q1" -> ((s, dir) => {
+      // TPC-H Q1 shape: the reference's groupBy query with multiple agg types
+      t(s, dir)("lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_groupby_having" -> ((s, dir) => {
+      NQ.groupBy(t(s, dir)("part"),
+        dims = Seq(col("p_brand")),
+        aggs = Seq(count(lit(1)).as("cnt"), max(col("p_size")).as("max_size")),
+        having = Some(col("cnt") >= 10),
+        orderBy = Seq(col("p_brand")))
+    }),
+
+    "q_groupby_limit_offset" -> ((s, dir) => {
+      NQ.groupBy(t(s, dir)("orders"),
+        dims = Seq(col("o_custkey")),
+        aggs = Seq(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")),
+        orderBy = Seq(col("n").desc, col("o_custkey").asc),
+        limit = Some(50), offset = 10)
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir)("lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---------------------------------------------------------- filters (§2.2)
+    "q_filter_in_like" -> ((s, dir) => {
+      t(s, dir)("part")
+        .filter(col("p_type").like("%AR%") &&
+          col("p_size").isin(5, 10, 15, 20, 25) &&
+          !col("p_brand").isin("Brand#11"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_filter_regex" -> ((s, dir) => {
+      t(s, dir)("documents")
+        .filter(col("text").rlike("spark (join|merge)"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
+    "q_filter_range_bound" -> ((s, dir) => {
+      t(s, dir)("customer")
+        .filter(col("c_acctbal").between(1000.0, 5000.0) &&
+          col("c_mktsegment") =!= "AUTOMOBILE")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------ joins (§2.4)
+    "q_join_broadcast" -> ((s, dir) => {
+      val li = t(s, dir)("lineitem")
+      Joins.broadcastJoin(li, t(s, dir)("part"),
+        col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_join_5way" -> ((s, dir) => {
+      // star-schema chain: fact joined through 4 pruned dims (TPC-H Q5 shape)
+      val li = t(s, dir)("lineitem")
+      val o = t(s, dir)("orders")
+      val c = t(s, dir)("customer")
+      val n = t(s, dir)("nation")
+      val r = t(s, dir)("region").filter(col("r_regionkey") < 2)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir)("customer")
+      val bigOrders = t(s, dir)("orders").filter(col("o_totalprice") > 200000)
+      Joins.semiJoin(c, bigOrders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      // customers with no high-value order
+      val c = t(s, dir)("customer")
+      val big = t(s, dir)("orders").filter(col("o_totalprice") > 250000)
+      Joins.antiJoin(c, big, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "q_lookup" -> ((s, dir) => {
+      Joins.lookupJoin(t(s, dir)("supplier"), t(s, dir)("nation"),
+        col("s_nationkey"), col("n_nationkey"), col("n_name"), "nation_name")
+        .select(col("s_suppkey"), col("s_name"), col("nation_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---------------------------------------------------------- set ops (§2.8)
+    "q_union" -> ((s, dir) => {
+      val o = t(s, dir)("orders")
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .unionAll(o.filter(col("o_totalprice") > 250000))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_intersect_except" -> ((s, dir) => {
+      val li = t(s, dir)("lineitem")
+      val a = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      val b = li.filter(col("l_quantity") > 40).select(col("l_orderkey"))
+      a.intersect(b).unionAll(a.except(b).limit(0)) // intersect result
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // --------------------------------------------- unnest + MVD (§2.1/§1.2)
+    "q_unnest_words" -> ((s, dir) => {
+      NQ.unnest(t(s, dir)("documents"), split(col("text"), " "), "word")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(50)
+    }),
+
+    "q_mv_ops" -> ((s, dir) => {
+      // documents.text as a multi-value dimension: length / contains / filtered
+      val toks = split(col("text"), " ")
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        DruidFunctions.mvLength(toks).cast("long").as("n_tokens"),
+        DruidFunctions.mvContains(toks, "spark").as("has_spark"),
+        size(DruidFunctions.mvFilterPrefix(toks, "s")).cast("long").as("n_s_tokens"),
+        DruidFunctions.mvToString(slice(sort_array(array_distinct(toks)), 1, 3), ",")
+          .as("first_vals"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------- windows (§2.6)
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir)("orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    "q_window_offset" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir)("events").filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q_window_frame" -> ((s, dir) => {
+      // frames over integer-valued doubles → exact under any association
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      t(s, dir)("lineitem").filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_qty"),
+          sum(col("l_quantity"))
+            .over(w.rowsBetween(-3, 0)).as("moving_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_window_cume" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir)("customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(percent_rank().over(w), 6).as("pr"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    // ----------------------------------------------------- aggregators (§2.5)
+    "q_agg_firstlast" -> ((s, dir) => {
+      // EARLIEST/LATEST: value at min/max __time (unique micro-timestamps)
+      t(s, dir)("events")
+        .groupBy(col("event_type"))
+        .agg(
+          min_by(col("value"), col("ts")).as("earliest_value"),
+          max_by(col("value"), col("ts")).as("latest_value"),
+          min_by(col("user_id"), col("event_id")).as("first_user"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(col("l_partkey")).as("n_part"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      // HLL cardinality (reference hyperUnique/cardinality aggregator):
+      // approximate by design → rows-only check, no oracle.
+      t(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_agg_filtered" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          round(sum(when(col("o_totalprice") > 150000, col("o_totalprice"))), 2)
+            .as("big_total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_agg_collect" -> ((s, dir) => {
+      t(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+          .as("statuses"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_agg_bitwise" -> ((s, dir) => {
+      t(s, dir)("events")
+        .groupBy(col("event_type"))
+        .agg(bit_and(col("user_id")).as("b_and"),
+          bit_or(col("user_id")).as("b_or"),
+          bit_xor(col("user_id")).as("b_xor"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_agg_stats" -> ((s, dir) => {
+      t(s, dir)("lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_pop(col("l_quantity")), 6).as("var_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // ------------------------------------------------- scalar functions (§2.9)
+    "q_expr_time" -> ((s, dir) => {
+      val ts = col("ts")
+      t(s, dir)("events").filter(col("event_id") < 200)
+        .select(col("event_id"),
+          year(ts).cast("long").as("y"),
+          month(ts).cast("long").as("mo"),
+          dayofmonth(ts).cast("long").as("d"),
+          hour(ts).cast("long").as("h"),
+          DruidFunctions.timeFormat(ts, "yyyy-MM-dd HH").as("fmt"),
+          date_trunc("second", DruidFunctions.timeShift(ts, "PT1H", 2)).as("shifted"),
+          DruidFunctions.timeFloor(ts, "PT15M").as("floor15m"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_expr_string" -> ((s, dir) => {
+      t(s, dir)("customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("u"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          length(col("c_name")).cast("long").as("len"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          instr(col("c_name"), "1").cast("long").as("pos1"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("joined"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_expr_math" -> ((s, dir) => {
+      t(s, dir)("lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("a"),
+          ceil(col("l_discount") * 10).cast("long").as("c"),
+          floor(col("l_tax") * 10).cast("long").as("f"),
+          round(sqrt(col("l_extendedprice")), 4).as("sq"),
+          pmod(col("l_partkey"), lit(7)).cast("long").as("m"),
+          DruidFunctions.safeDivide(col("l_quantity"), col("l_discount"))
+            .as("safe_div"),
+          greatest(col("l_quantity"), col("l_tax") * 100).as("g"),
+          least(col("l_discount"), col("l_tax")).as("l"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_expr_case" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .select(
+          when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("partial").as("status_word"),
+          coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")), lit("MED"))
+            .as("prio"),
+          when(col("o_totalprice") > 100000, "big").otherwise("small").as("sz"))
+        .groupBy(col("status_word"), col("prio"), col("sz"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status_word"), col("prio"), col("sz"))
+    }),
+
+    "q_expr_json" -> ((s, dir) => {
+      // nested/JSON access (reference json_value / NestedFieldVirtualColumn)
+      t(s, dir)("events")
+        .select(DruidFunctions.jsonValue(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    "q_expr_ip" -> ((s, dir) => {
+      // IPV4 functions over synthesized dotted quads (deterministic from keys)
+      t(s, dir)("customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          concat_ws(".", lit(10), pmod(col("c_custkey"), lit(256)),
+            pmod(col("c_custkey") * 7, lit(256)), lit(1)).as("ip"))
+        .select(col("c_custkey"), col("ip"),
+          DruidFunctions.ipv4Parse(col("ip")).as("ip_long"),
+          DruidFunctions.ipv4Match(col("ip"), "10.0.0.0/8").as("in_10"),
+          DruidFunctions.ipv4Match(col("ip"), "10.64.0.0/10").as("in_10_64"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ----------------------------------------------------------- search (§2.11)
+    "q_search" -> ((s, dir) => {
+      NQ.search(t(s, dir)("part"), Seq("p_brand", "p_type"), "bra")
+    }),
+
+    "q_segment_metadata" -> ((s, dir) => {
+      NQ.segmentMetadata(t(s, dir)("lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_partkey"))
+        .withColumnRenamed("column", "col_name")
+    }),
+
+    // ----------------------------------------------- SQL façade (§3.1, §2.9)
+    "q_sql_surface" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               SAFE_DIVIDE(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE),
+                           CAST(count(*) AS DOUBLE)) AS f_ratio,
+               TIME_FORMAT(min(o_orderdate), 'yyyy-MM') AS first_month
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
+    // ------------------------------------------------------ streaming (§2.10)
+    "q_stream_rollup" -> ((s, dir) => {
+      // same ns-parquet handling as Tables.load, in streaming form; the file
+      // stream source needs a glob (directory-style) path, not a bare file
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = StreamingIngest.source(s, s"$dir/events*.parquet", schema)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      StreamingIngest.runBounded(s, stream, "ts", "1 hour",
+        Seq("event_type"), queryName = "stream_rollup_out")
+        .select(col("bucket"), col("event_type"), col("n"),
+          round(col("sum_value"), 3).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    // ------------------------------------------- dedup (training pipeline)
+    "q_dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir)("documents"), col("text"), col("doc_id"))
+        .orderBy(col("keep_id"))
+    }),
+
+    "q_dedup_exact_rows" -> ((s, dir) => {
+      Dedup.exact(t(s, dir)("documents"), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      // approximate (hash-dependent) → rows-only check, no oracle
+      Dedup.minHashLsh(t(s, dir)("documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, numBands = 16, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      // 64-bit simhash per doc + near-dup pairs within hamming<=12 over
+      // same-source blocks; hash-dependent → rows-only check
+      val par = s.sparkContext.defaultParallelism
+      val d = Dedup.simHashTable(t(s, dir)("documents"), "doc_id", "text",
+        carry = Seq("source"))
+      val l = d.select(col("source"), col("id").as("id_a"), col("simhash").as("sh_a"))
+        .repartition(par)
+      val r = d.select(col("source"), col("id").as("id_b"), col("simhash").as("sh_b"))
+      l.join(broadcast(r), Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+        .filter(col("hamming") <= 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      // block on (source, length-bucket): high-Jaccard pairs have similar
+      // lengths, so this prunes the pair space without losing true matches
+      Dedup.ngramJaccardPairs(t(s, dir)("documents"), "doc_id", "text",
+        blockKey = concat_ws("#", col("source"),
+          floor(col("n_chars") / 50).cast("long")),
+        shingleSize = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ------------------------------------- text analysis (training pipeline)
+    "q_text_profile" -> ((s, dir) => {
+      TextAnalysis.profile(t(s, dir)("documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("n_stopwords"), round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("quality"), 6).as("quality"), col("pred_lang"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_tokens" -> ((s, dir) => {
+      t(s, dir)("documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(TextAnalysis.roughTokens(col("text"))).cast("long").as("n_rough"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
+            .as("n_unique"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir)("documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.fingerprintPrefix(col("text"), 8).as("fp8"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------- similarity (training pipeline)
+    "q_embed_knn" -> ((s, dir) => {
+      val emb = t(s, dir)("embeddings")
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("n_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("n_id"))
+    }),
+
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (hash-dependent buckets) → rows-only check
+      val emb = t(s, dir)("embeddings")
+      Similarity.annLsh(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 5, numBits = 4)
+        .select(col("q_id"), col("n_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("n_id"))
+    }),
+
+    "q_embed_stats" -> ((s, dir) => {
+      t(s, dir)("embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_id"),
+          size(first(col("embedding"))).cast("long").as("dim"))
+        .orderBy(col("label"))
+    }),
+
+    // ------------------------------------------ multimodal (training pipeline)
+    "q_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(t(s, dir)("documents"), "doc_id", "text", "text/plain")
+      Multimodal.extractFeatures(assets, dim = 8)
+        .select(col("asset_id"), col("media_type"), col("n_bytes").cast("long").as("n_bytes"),
+          col("checksum"), size(col("features")).cast("long").as("feat_dim"))
+        .orderBy(col("asset_id"))
+    })
+  )
+
+  // =========================================================================
+  // DuckDB oracles (ANSI SQL over the same parquet tables)
+  // =========================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+         ORDER BY l_orderkey, l_linenumber LIMIT 500""",
+
+    "q_scan_offset" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F'
+         ORDER BY o_orderkey LIMIT 100 OFFSET 50""",
+
+    "q_time_boundary" ->
+      """SELECT date_trunc('second', min(ts)) AS min_time,
+                date_trunc('second', max(ts)) AS max_time FROM events""",
+
+    "q_datasource_metadata" ->
+      """SELECT count(*) AS num_rows,
+                date_trunc('second', max(ts)) AS max_ingested_time FROM events""",
+
+    "q_timeseries_hour" ->
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+                round(sum(value), 3) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_timeseries_zerofill" ->
+      """WITH buckets AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                         TIMESTAMP '2024-01-08',
+                                         INTERVAL 1 DAY)) AS bucket),
+         agg AS (
+           SELECT date_trunc('day', ts) AS bucket, count(*) AS n
+           FROM events
+           WHERE event_type = 'signup' AND ts >= TIMESTAMP '2024-01-01'
+             AND ts < TIMESTAMP '2024-01-09'
+           GROUP BY 1)
+         SELECT b.bucket, coalesce(a.n, 0) AS n
+         FROM buckets b LEFT JOIN agg a ON a.bucket = b.bucket
+         ORDER BY b.bucket""",
+
+    "q_topn" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY user_id
+         ORDER BY n DESC, user_id LIMIT 20""",
+
+    "q_groupby_q1" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                avg(l_quantity) AS avg_qty, count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_groupby_having" ->
+      """SELECT p_brand, count(*) AS cnt, max(p_size) AS max_size
+         FROM part GROUP BY p_brand HAVING count(*) >= 10 ORDER BY p_brand""",
+
+    "q_groupby_limit_offset" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_custkey
+         ORDER BY n DESC, o_custkey LIMIT 50 OFFSET 10""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_filter_in_like" ->
+      """SELECT p_brand, count(*) AS n FROM part
+         WHERE p_type LIKE '%AR%' AND p_size IN (5, 10, 15, 20, 25)
+           AND p_brand NOT IN ('Brand#11')
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_filter_regex" ->
+      """SELECT source, count(*) AS n FROM documents
+         WHERE regexp_matches(text, 'spark (join|merge)')
+         GROUP BY source ORDER BY source""",
+
+    "q_filter_range_bound" ->
+      """SELECT c_mktsegment, count(*) AS n, min(c_acctbal) AS min_bal,
+                max(c_acctbal) AS max_bal
+         FROM customer
+         WHERE c_acctbal BETWEEN 1000.0 AND 5000.0
+           AND c_mktsegment <> 'AUTOMOBILE'
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_join_5way" ->
+      """SELECT n_name, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_regionkey < 2
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_join_anti" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_lookup" ->
+      """SELECT s_suppkey, s_name, n_name AS nation_name
+         FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_suppkey""",
+
+    "q_union" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+           SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT * FROM orders WHERE o_totalprice > 250000)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_intersect_except" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         INTERSECT
+         SELECT l_orderkey FROM lineitem WHERE l_quantity > 40
+         ORDER BY l_orderkey""",
+
+    "q_unnest_words" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q_mv_ops" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                list_contains(string_split(text, ' '), 'spark') AS has_spark,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     t -> t LIKE 's%')) AS BIGINT) AS n_s_tokens,
+                array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3],
+                                ',') AS first_vals
+         FROM documents ORDER BY doc_id""",
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER w AS rn, rank() OVER w AS rk,
+                  dense_rank() OVER w AS drk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey ASC))
+         WHERE rn <= 5 ORDER BY o_orderpriority, rn""",
+
+    "q_window_offset" ->
+      """SELECT user_id, event_id, value,
+                lag(value, 1) OVER w AS prev_value,
+                lead(value, 1) OVER w AS next_value
+         FROM events WHERE user_id < 10
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY user_id, event_id""",
+
+    "q_window_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+                sum(l_quantity) OVER (PARTITION BY l_suppkey
+                  ORDER BY l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+                sum(l_quantity) OVER (PARTITION BY l_suppkey
+                  ORDER BY l_orderkey, l_linenumber
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_qty
+         FROM lineitem WHERE l_suppkey <= 5
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q_window_cume" ->
+      """SELECT c_mktsegment, c_custkey,
+                round(cume_dist() OVER w, 6) AS cd,
+                round(percent_rank() OVER w, 6) AS pr,
+                ntile(4) OVER w AS quartile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
+
+    "q_agg_firstlast" ->
+      """SELECT event_type,
+                min_by(value, ts) AS earliest_value,
+                max_by(value, ts) AS latest_value,
+                min_by(user_id, event_id) AS first_user
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT l_partkey) AS n_part
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_filtered" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2)
+                  AS big_total,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_agg_collect" ->
+      """SELECT l_returnflag,
+                string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                  AS statuses
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_bitwise" ->
+      """SELECT event_type, bit_and(user_id) AS b_and, bit_or(user_id) AS b_or,
+                bit_xor(user_id) AS b_xor
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_agg_stats" ->
+      """SELECT l_linestatus, round(stddev_samp(l_quantity), 6) AS sd_qty,
+                round(var_pop(l_quantity), 6) AS var_qty,
+                round(avg(l_quantity), 6) AS avg_qty
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_expr_time" ->
+      """SELECT event_id, CAST(year(ts) AS BIGINT) AS y,
+                CAST(month(ts) AS BIGINT) AS mo,
+                CAST(day(ts) AS BIGINT) AS d,
+                CAST(hour(ts) AS BIGINT) AS h,
+                strftime(ts, '%Y-%m-%d %H') AS fmt,
+                date_trunc('second', ts + INTERVAL 2 HOUR) AS shifted,
+                date_trunc('minute', ts) -
+                  (CAST(minute(ts) AS INT) % 15) * INTERVAL 1 MINUTE AS floor15m
+         FROM events WHERE event_id < 200 ORDER BY event_id""",
+
+    "q_expr_string" ->
+      """SELECT c_custkey, upper(c_name) AS u, substring(c_name, 1, 8) AS sub,
+                CAST(length(c_name) AS BIGINT) AS len,
+                regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+                lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+                CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+                concat(c_mktsegment, ':', c_name) AS joined
+         FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+
+    "q_expr_math" ->
+      """SELECT l_orderkey, l_linenumber, abs(l_quantity - 25) AS a,
+                CAST(ceil(l_discount * 10) AS BIGINT) AS c,
+                CAST(floor(l_tax * 10) AS BIGINT) AS f,
+                round(sqrt(l_extendedprice), 4) AS sq,
+                CAST(l_partkey % 7 AS BIGINT) AS m,
+                CASE WHEN l_discount = 0 THEN NULL
+                     ELSE l_quantity / l_discount END AS safe_div,
+                greatest(l_quantity, l_tax * 100) AS g,
+                least(l_discount, l_tax) AS l
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_expr_case" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                     WHEN o_orderstatus = 'O' THEN 'open'
+                     ELSE 'partial' END AS status_word,
+                coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'MED') AS prio,
+                CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q_expr_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                count(*) AS n
+         FROM events GROUP BY k ORDER BY k""",
+
+    "q_expr_ip" ->
+      """WITH ips AS (
+           SELECT c_custkey,
+                  concat('10.', CAST(c_custkey % 256 AS VARCHAR), '.',
+                         CAST((c_custkey * 7) % 256 AS VARCHAR), '.1') AS ip
+           FROM customer WHERE c_custkey <= 100)
+         SELECT c_custkey, ip,
+                10 * 16777216 + (c_custkey % 256) * 65536 +
+                  ((c_custkey * 7) % 256) * 256 + 1 AS ip_long,
+                TRUE AS in_10,
+                ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
+         FROM ips ORDER BY c_custkey""",
+
+    "q_search" ->
+      """SELECT dimension, value, cnt FROM (
+           SELECT 'p_brand' AS dimension, p_brand AS value, count(*) AS cnt
+           FROM part WHERE contains(lower(p_brand), 'bra') GROUP BY p_brand
+           UNION ALL
+           SELECT 'p_type' AS dimension, p_type AS value, count(*) AS cnt
+           FROM part WHERE contains(lower(p_type), 'bra') GROUP BY p_type)
+         ORDER BY dimension, value""",
+
+    "q_segment_metadata" ->
+      """SELECT col_name, non_null, cardinality FROM (
+           SELECT 'l_returnflag' AS col_name, count(l_returnflag) AS non_null,
+                  count(DISTINCT l_returnflag) AS cardinality FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', count(l_linestatus),
+                  count(DISTINCT l_linestatus) FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', count(l_partkey),
+                  count(DISTINCT l_partkey) FROM lineitem)
+         ORDER BY col_name""",
+
+    "q_sql_surface" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS f_ratio,
+                strftime(min(o_orderdate), '%Y-%m') AS first_month
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+                round(sum(value), 3) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_dedup_exact_groups" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q_dedup_exact_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH grams AS (
+           SELECT doc_id,
+                  concat(source, '#', CAST(CAST(floor(n_chars / 50) AS BIGINT)
+                    AS VARCHAR)) AS block,
+                  list_distinct(list_transform(
+                    range(1, len(string_split(norm, ' ')) - 1),
+                    i -> array_to_string(string_split(norm, ' ')[i:i+2], ' ')))
+                    AS g
+           FROM (SELECT doc_id, source, n_chars,
+                        trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE),
+                      6) AS jaccard
+         FROM grams a JOIN grams b
+           ON a.block = b.block AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.2
+         ORDER BY id_a, id_b""",
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+                  AS BIGINT) AS n_rough,
+                CAST(len(list_distinct(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       t -> len(t) > 0))) AS BIGINT) AS n_unique
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+                substring(md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 8) AS fp8
+         FROM documents ORDER BY doc_id""",
+
+    "q_embed_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         sims AS (
+           SELECT q_id, n_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))))
+               AS sim
+           FROM c, q WHERE q_id <> n_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, n_id) AS rk
+           FROM sims)
+         SELECT q_id, n_id, round(sim, 4) AS sim FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, n_id""",
+
+    "q_embed_stats" ->
+      """SELECT label, count(*) AS n, min(vec_id) AS min_id,
+                CAST(len(first(embedding ORDER BY vec_id)) AS BIGINT) AS dim
+         FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS checksum,
+                CAST(8 AS BIGINT) AS feat_dim
+         FROM documents ORDER BY asset_id""",
+
+    "q_text_profile" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> len(t) > 0) AS toks,
+                  CAST(length(text) AS DOUBLE) AS nc
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, nc,
+                  CAST(len(toks) AS DOUBLE) AS nt,
+                  CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','of','and','to','in','is'], t)))
+                    AS DOUBLE) AS ns,
+                  nc - CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS DOUBLE) AS np
+           FROM base),
+         sc AS (
+           SELECT doc_id, text, nc, nt, ns,
+                  CASE WHEN nt = 0 THEN 0.0 ELSE (nc - (nt - 1)) / nt END AS mtl,
+                  CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END AS stop_ratio,
+                  CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END AS punct_ratio,
+                  len(list_filter(list_filter(regexp_split_to_array(lower(text),
+                    '\s+'), t -> len(t) > 0), t -> list_contains(
+                    ['the','and','is','of'], t))) AS sc_en,
+                  len(list_filter(list_filter(regexp_split_to_array(lower(text),
+                    '\s+'), t -> len(t) > 0), t -> list_contains(
+                    ['le','la','et','les'], t))) AS sc_fr,
+                  len(list_filter(list_filter(regexp_split_to_array(lower(text),
+                    '\s+'), t -> len(t) > 0), t -> list_contains(
+                    ['el','los','las','una'], t))) AS sc_es,
+                  len(list_filter(list_filter(regexp_split_to_array(lower(text),
+                    '\s+'), t -> len(t) > 0), t -> list_contains(
+                    ['der','die','und','das'], t))) AS sc_de
+           FROM m)
+         SELECT doc_id,
+                CAST(nc AS BIGINT) AS n_chars,
+                CAST(nt AS BIGINT) AS n_tokens,
+                CAST(ns AS BIGINT) AS n_stopwords,
+                round(mtl, 6) AS mean_token_len,
+                round(least(nt / 50.0, 1.0) *
+                      (0.5 + least(stop_ratio * 10.0, 1.0) * 0.5) *
+                      greatest(0.0, 1.0 - punct_ratio * 4.0), 6) AS quality,
+                CASE WHEN sc_en > 0 AND sc_en = greatest(sc_en, sc_fr, sc_es, sc_de)
+                       THEN 'en'
+                     WHEN sc_fr > 0 AND sc_fr = greatest(sc_en, sc_fr, sc_es, sc_de)
+                       THEN 'fr'
+                     WHEN sc_es > 0 AND sc_es = greatest(sc_en, sc_fr, sc_es, sc_de)
+                       THEN 'es'
+                     WHEN sc_de > 0 AND sc_de = greatest(sc_en, sc_fr, sc_es, sc_de)
+                       THEN 'de'
+                     ELSE 'und' END AS pred_lang,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         FROM sc ORDER BY doc_id"""
+  )
 }

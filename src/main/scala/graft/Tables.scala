@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table layer: named parquet tables under a scale-factor directory.
+  *
+  * Mirrors the reference's datasource catalog (a Druid "datasource" is a named,
+  * time-partitioned table — reference: `processing/.../query/TableDataSource.java:37`).
+  * In this engine a datasource is simply a DataFrame read from columnar storage;
+  * at cluster scale these would be Delta/Parquet tables partitioned by
+  * `date_trunc('day', __time)` so that interval filters prune partitions
+  * (reference behavior: `MoveTimeFiltersToIntervals.java`, mapped to Spark
+  * partition pruning — see SURVEY.md §4.1).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The reference's mandatory time column name (ColumnHolder.java:32). */
+  val TimeColumn = "__time"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+      // rejects outright; read the nanos as long (legacy conf) and convert to
+      // a TimestampType truncated to micros (exact integer DIV — a double
+      // division would lose precision on 1.7e18-scale epoch-nanos).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` works against the set. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Expose a table Druid-style: its event-time column renamed to `__time`.
+    * Only `events` (ts) and the date-bearing TPC-H tables have event time.
+    */
+  def asDruid(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val timeCol = name match {
+      case "events"   => Some("ts")
+      case "orders"   => Some("o_orderdate")
+      case "lineitem" => Some("l_shipdate")
+      case _          => None
+    }
+    timeCol.fold(df)(c => df.withColumnRenamed(c, TimeColumn))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-named scalar functions re-expressed over Spark built-ins.
+  *
+  * The reference exposes ~100 expression-language functions
+  * (`math/expr/Function.java`) plus SQL operator conversions
+  * (`sql/.../expression/builtin/`). Nearly all map 1:1 onto
+  * `org.apache.spark.sql.functions` (codegen'd, vectorized); we only add thin
+  * wrappers so user code can keep the reference names, and keep everything
+  * inside whole-stage codegen (no UDFs anywhere in this file).
+  */
+object DruidFunctions {
+
+  // ---------------------------------------------------------------- time ----
+  // Reference: TIME_FLOOR / TIME_CEIL / TIME_SHIFT / TIME_EXTRACT / TIME_FORMAT
+  // (query/expression/TimestampFloorExprMacro.java etc.) with ISO-8601 periods
+  // (PeriodGranularity.java). Calendar periods map to date_trunc; fixed-length
+  // periods are computed with exact integer arithmetic on epoch micros so the
+  // semantics (floor relative to origin) hold for any PT…/P…D period.
+
+  private val CalendarPeriods: Map[String, String] = Map(
+    "P1Y" -> "year", "P3M" -> "quarter", "P1M" -> "month", "P1W" -> "week",
+    "P1D" -> "day", "PT1H" -> "hour", "PT1M" -> "minute", "PT1S" -> "second")
+
+  /** Fixed-length ISO period → microseconds (days/hours/minutes/seconds only;
+    * calendar periods are handled by date_trunc above).
+    */
+  private[graft] def periodMicros(period: String): Long = {
+    val Re = """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?""".r
+    period match {
+      case Re(d, h, m, s) =>
+        def v(x: String) = Option(x).map(_.toLong).getOrElse(0L)
+        ((v(d) * 24 + v(h)) * 60 + v(m)) * 60_000_000L + v(s) * 1_000_000L
+      case _ => throw new IllegalArgumentException(s"unsupported period: $period")
+    }
+  }
+
+  /** TIME_FLOOR(ts, period[, origin]): floor `ts` to an ISO-8601 period bucket.
+    * Matches PeriodGranularity semantics: bucket boundaries are origin + k*period.
+    */
+  def timeFloor(ts: Column, period: String, originEpochMicros: Long = 0L): Column =
+    CalendarPeriods.get(period) match {
+      case Some(unit) if originEpochMicros == 0L => date_trunc(unit, ts)
+      case _ =>
+        val p = periodMicros(period)
+        require(p > 0, s"period must be positive: $period")
+        val rel = unix_micros(ts) - lit(originEpochMicros)
+        // floorDiv semantics for pre-origin timestamps
+        val bucket = floor(rel.cast("double") / lit(p.toDouble)).cast("long")
+        timestamp_micros(bucket * lit(p) + lit(originEpochMicros))
+    }
+
+  /** TIME_CEIL — smallest bucket boundary >= ts. */
+  def timeCeil(ts: Column, period: String): Column = {
+    val floored = timeFloor(ts, period)
+    when(floored === ts, ts).otherwise(timeShift(floored, period, 1))
+  }
+
+  /** TIME_SHIFT(ts, period, n) — shift by n periods. */
+  def timeShift(ts: Column, period: String, n: Int): Column =
+    CalendarPeriods.get(period) match {
+      case Some("year")    => add_months(ts.cast("date"), 12 * n).cast("timestamp")
+      case Some("quarter") => add_months(ts.cast("date"), 3 * n).cast("timestamp")
+      case Some("month")   => add_months(ts.cast("date"), n).cast("timestamp")
+      case _ => timestamp_micros(unix_micros(ts) + lit(periodMicros(period) * n))
+    }
+
+  /** TIME_EXTRACT(ts, unit) — reference units map onto Spark built-ins. */
+  def timeExtract(ts: Column, unit: String): Column = unit.toUpperCase match {
+    case "EPOCH"   => unix_timestamp(ts)
+    case "MILLIS"  => (unix_micros(ts) / 1000L).cast("long")
+    case "SECOND"  => second(ts)
+    case "MINUTE"  => minute(ts)
+    case "HOUR"    => hour(ts)
+    case "DAY"     => dayofmonth(ts)
+    case "DOW"     => dayofweek(ts)
+    case "DOY"     => dayofyear(ts)
+    case "WEEK"    => weekofyear(ts)
+    case "MONTH"   => month(ts)
+    case "QUARTER" => quarter(ts)
+    case "YEAR"    => year(ts)
+    case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+  }
+
+  /** TIME_FORMAT(ts, javaPattern). */
+  def timeFormat(ts: Column, pattern: String): Column = date_format(ts, pattern)
+
+  /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS. */
+  def millisToTimestamp(c: Column): Column = timestamp_millis(c)
+  def timestampToMillis(c: Column): Column = (unix_micros(c) / 1000L).cast("long")
+
+  // --------------------------------------------------------------- number ----
+  /** SAFE_DIVIDE — null (not error / Inf) on zero denominator
+    * (reference `Function.java:1220`).
+    */
+  def safeDivide(x: Column, y: Column): Column =
+    when(y === 0 || y.isNull, lit(null)).otherwise(x / y)
+
+  // ------------------------------------------------------- multi-value str ----
+  // Reference MVDs (multi-value string dimensions) are modelled as
+  // ArrayType(StringType) (SURVEY.md §1.2). The mv_* surface maps to array fns.
+  def mvToArray(c: Column): Column = c
+  def mvLength(c: Column): Column = size(c)
+  def mvContains(c: Column, v: String): Column = array_contains(c, v)
+  def mvOverlap(a: Column, b: Column): Column = arrays_overlap(a, b)
+  def mvFilterPrefix(c: Column, prefix: String): Column =
+    filter(c, x => x.startsWith(prefix))
+  def mvFilterRegex(c: Column, pattern: String): Column =
+    filter(c, x => x.rlike(pattern))
+  def mvToString(c: Column, sep: String): Column = array_join(c, sep)
+  def stringToMv(c: Column, sepRegex: String): Column = split(c, sepRegex)
+
+  // ------------------------------------------------------------------ json ----
+  /** JSON_VALUE(col, '$.path') — string-typed extraction like the reference. */
+  def jsonValue(c: Column, path: String): Column = get_json_object(c, path)
+
+  // ---------------------------------------------------------------- lookup ----
+  /** LOOKUP(expr, map[, replaceMissingWith]) — the reference's LookupDataSource
+    * /LookupExprMacro is a bounded key→value map broadcast to every node; a
+    * Catalyst map literal gives exactly that (serialized once into the plan,
+    * shipped with the broadcasted task binary — no shuffle, no join).
+    */
+  def lookup(c: Column, mapping: Map[String, String],
+             replaceMissing: Option[String] = None): Column = {
+    val m = typedlit(mapping)
+    val hit = element_at(m, c)
+    replaceMissing.fold(hit)(d => coalesce(hit, lit(d)))
+  }
+
+  // ------------------------------------------------------------------- ip ----
+  /** IPV4_PARSE — dotted quad → long (pure expression composition, codegen'd). */
+  def ipv4Parse(c: Column): Column = {
+    val p = split(c, "\\.")
+    (element_at(p, 1).cast("long") * 16777216L +
+      element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L +
+      element_at(p, 4).cast("long"))
+  }
+
+  /** IPV4_STRINGIFY — long → dotted quad. */
+  def ipv4Stringify(c: Column): Column =
+    concat_ws(".",
+      (c / 16777216L).cast("long") % 256L,
+      (c / 65536L).cast("long") % 256L,
+      (c / 256L).cast("long") % 256L,
+      c.cast("long") % 256L)
+
+  /** IPV4_MATCH(ip, 'a.b.c.d/n') — subnet containment via bit math. */
+  def ipv4Match(ip: Column, subnet: String): Column = {
+    val Array(base, bits) = subnet.split("/")
+    val baseLong = base.split("\\.").map(_.toLong)
+      .reduceLeft((acc, o) => acc * 256 + o)
+    val mask = if (bits.toInt == 0) 0L else (0xFFFFFFFFL << (32 - bits.toInt)) & 0xFFFFFFFFL
+    ((ipv4Parse(ip).bitwiseAND(lit(mask))) === lit(baseLong & mask))
+  }
+
+  // -------------------------------------------------------------- register ----
+  /** Register reference-named functions for `spark.sql` text queries. SQL
+    * temporary macros expand inline at parse time, so they stay fully inside
+    * Catalyst optimization + whole-stage codegen (no UDF boundary).
+    */
+  def register(spark: SparkSession): Unit = {
+    val fns = Seq(
+      "SAFE_DIVIDE(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN " +
+        "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE x / y END",
+      "TIMESTAMP_TO_MILLIS(t TIMESTAMP) RETURNS BIGINT RETURN " +
+        "CAST(unix_micros(t) / 1000 AS BIGINT)",
+      "MILLIS_TO_TIMESTAMP(m BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(m)",
+      "TIME_FORMAT(t TIMESTAMP, p STRING) RETURNS STRING RETURN date_format(t, p)",
+      "TIME_PARSE(s STRING, p STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, p)",
+      "MV_LENGTH(a ARRAY<STRING>) RETURNS INT RETURN size(a)",
+      "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
+      "MV_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
+      "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
+      "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)")
+    fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
+  }
+}

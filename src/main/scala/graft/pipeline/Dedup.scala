@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are pure DataFrame plans (no driver-side loops, no UDFs):
+  * shingling/hashing stay inside whole-stage codegen via higher-order
+  * functions and xxhash64; candidate generation is a self-join on LSH band
+  * buckets, which at 100 TB shuffles only (docId, bandHash) pairs — never the
+  * documents themselves.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical-row-per-key via hash aggregation. `keep` rows with
+    * the minimum id per identical `key` (e.g. raw text or a normalized
+    * fingerprint). One shuffle on the key hash; with Bloom-filter dynamic
+    * pruning the second pass is map-side only.
+    */
+  def exact(df: DataFrame, key: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups: fingerprint → keeper id + duplicate count. */
+  def exactGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(key).as("fp"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Normalization used before fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Word k-shingles of a document as a distinct array (codegen'd:
+    * split → sliding window via transform over index sequence).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(normalize(text), " ")
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the shingle set. Expressed with higher-order
+    * `transform`/`aggregate` so the whole signature is computed in one
+    * projection over the scan — no explode, no shuffle.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * signature → `numBands` bands of `rowsPerBand` hashes → band bucket id →
+    * self-join on (band, bucket). Only ids and band hashes shuffle; the
+    * estimated Jaccard (fraction of matching minhashes) filters candidates.
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, numHashes: Int = 64,
+                 numBands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    // signature via explode + numHashes min-aggregates: stays inside
+    // whole-stage codegen (the nested-lambda expression form would re-derive
+    // the shingle array once per hash seed in interpreted mode) and
+    // parallelizes the hashing across the cluster with one small shuffle of
+    // (id, shingle) pairs.
+    val exploded = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sigs = exploded.groupBy(col("id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit): per-token hash bits weighted ±1, summed, sign-packed.
+    * Pure expression composition (aggregate over token array × bit positions
+    * folded into a BIGINT), so it runs inside codegen per row.
+    */
+  def simHash(text: Column): Column = {
+    val toks = split(normalize(text), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // For each bit position, majority vote over token hash bits.
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, bit) => {
+        val votes = aggregate(hashes, lit(0),
+          (v, h) => v + when(call_function("shiftright", h, bit)
+            .bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        acc + when(votes > 0, call_function("shiftleft", lit(1L), bit))
+          .otherwise(0L)
+      })
+  }
+
+  /** Table-form SimHash: one (id, simhash) row per input row, computed as
+    * explode → per-token hash → 64 signed bit-vote aggregates → bit-pack.
+    * Unlike the expression form above this stays entirely inside whole-stage
+    * codegen (hash aggregation with map-side combine), which is the shape
+    * you want when simhashing billions of documents.
+    */
+  def simHashTable(df: DataFrame, idCol: String, textCol: String,
+                   carry: Seq[String] = Nil): DataFrame = {
+    val toks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select((col(idCol).as("id") +: carry.map(col) :+
+        explode(split(normalize(col(textCol)), " ")).as("tok")): _*)
+      .select((col("id") +: carry.map(col) :+ xxhash64(col("tok")).as("h")): _*)
+    val voteAggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"v$i"))
+    toks.groupBy(col("id") +: carry.map(col): _*)
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select((col("id") +: carry.map(col) :+
+        (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash")): _*)
+  }
+
+  /** Hamming distance between two 64-bit simhashes (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs produced by a blocking key.
+    * Verifying only within blocks keeps the pair space linear-ish instead of
+    * O(n²); at 100 TB the block key comes from LSH buckets (`minHashLsh`) or,
+    * as here, a (category, length-bucket) composite — a Jaccard >= t pair
+    * must have similar set sizes, so length-bucketing is a principled filter,
+    * not just a shortcut.
+    *
+    * The probe side is explicitly repartitioned: blocking keys are low-
+    * cardinality, so a plain key-partitioned join would collapse to a handful
+    * of tasks (the classic skew trap); spreading rows round-robin and
+    * broadcasting the build side keeps every core busy.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockKey: Column, shingleSize: Int = 3,
+                        threshold: Double = 0.1): DataFrame = {
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val g = df.select(col(idCol).as("id"), blockKey.as("block"),
+      shingles(col(textCol), shingleSize).as("grams"))
+    val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
+      .repartition(parallelism)
+    val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    l.join(broadcast(r), Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

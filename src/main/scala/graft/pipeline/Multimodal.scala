@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata. The actual media codecs are NOT available in this
+  * environment, so the decode step is a clearly-marked deterministic stub —
+  * but the Spark-side contract (schema, batch shape, partition-parallel
+  * execution, metadata columns) is real and tested.
+  *
+  * At 100 TB the pattern is: binary payloads stay in parquet (or are
+  * path-references into object storage), decode/feature-extract runs
+  * partition-parallel right after the pruned scan, and only the (small)
+  * feature vectors shuffle.
+  */
+object Multimodal {
+
+  /** Schema of a multimodal asset row. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Build an asset table from any source df (here: text payloads stand in
+    * for media bytes — the container has no codecs).
+    */
+  def toAssets(df: DataFrame, idCol: String, payloadCol: String,
+               mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(mediaType).as("media_type"),
+      encode(col(payloadCol), "UTF-8").as("payload"),
+      map(lit("orig_len"), length(col(payloadCol)).cast("string")).as("meta"))
+
+  /** STUB decode: a real deployment would decode image/audio bytes here
+    * (per-partition, vectorized batches). This deterministic fake derives a
+    * fixed-size "feature vector" from payload bytes so the downstream
+    * plumbing (schema, partitioning, joins on features) is fully exercised.
+    * Replace the body with a real codec UDF/mapInArrow at deployment.
+    */
+  def stubDecodeFeatures(payload: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(payload, i), lit(1000L)).cast("double") / lit(1000.0)))
+
+  /** Feature-extraction pass: payload metadata + stubbed feature vector.
+    * Everything except the stub is the real production shape.
+    */
+  def extractFeatures(assets: DataFrame, dim: Int = 8): DataFrame =
+    assets.select(
+      col("asset_id"),
+      col("media_type"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      stubDecodeFeatures(col("payload"), dim).as("features"))
+
+  /** "Frame sampling" stub for video-like payloads: slice the payload into
+    * fixed-size chunks and keep every `stride`-th — the partition-parallel
+    * slicing/fanout shape of real frame extraction.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    assets.select(col("asset_id"),
+      posexplode(
+        filter(
+          transform(sequence(lit(0), (length(col("payload")) / frameBytes).cast("int")),
+            i => when(pmod(i, lit(stride)) === 0,
+              substring(base64(col("payload")), 1, 8)).otherwise(null)),
+          f => f.isNotNull))
+        .as(Seq("frame_no", "frame_sig")))
+}

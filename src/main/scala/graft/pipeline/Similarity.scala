@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, and an LSH(random-hyperplane)-bucketed variant as the scale
+  * path (bucket first → compare only within buckets).
+  *
+  * Vector math uses higher-order functions (`zip_with` + `aggregate`) over
+  * `array<float>` cast to double — sequential left-to-right accumulation,
+  * fully codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two array columns (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    *
+    * The query set is small by construction (it's the thing you're probing
+    * with), so it broadcasts; the corpus streams through once. Per-query
+    * top-k via window row_number — at scale this is the partial-topK pattern
+    * (rank within partition, then global) and never materializes the full
+    * similarity matrix.
+    *
+    * @return (q_id, n_id, sim) — k rows per query, excluding self-matches
+    */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+      .orderBy(col("q_id"), col("n_id"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `numBits` deterministic pseudo-random
+    * hyperplanes; bit b = sign of dot(vec, plane_b). Planes are derived from
+    * xxhash64(dimension, bit) so every executor computes identical planes
+    * with zero driver coordination or data movement.
+    */
+  def lshBucket(vec: Column, numBits: Int): Column =
+    aggregate(sequence(lit(0), lit(numBits - 1)), lit(0L), (acc, bit) => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          v.cast("double") *
+            ((pmod(xxhash64(i, bit), lit(1000L)).cast("double") / 500.0) - 1.0)),
+        lit(0.0), (a, v) => a + v)
+      acc + when(proj > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)
+    })
+
+  /** Approximate NN: bucket corpus and queries with `lshBucket`, compare only
+    * within buckets, top-k per query. Misses are possible (that's the trade);
+    * multi-probe = union over several bit widths if recall matters.
+    */
+  def annLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, numBits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), numBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), numBits).as("bucket"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+      .orderBy(col("q_id"), col("n_id"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language-ID heuristics, fingerprinting. All pure
+  * column expressions — they run inside whole-stage codegen over the scan,
+  * no shuffle, which is exactly what a 100 TB filter pass needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (regex-based, handles runs of whitespace). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword proxy: alphanumeric runs and individual punctuation
+    * marks as separate tokens (RE2-compatible pattern — no lookaround).
+    */
+  def roughTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  /** Quality metrics à la C4/Gopher rules: length, mean token length,
+    * stopword ratio, punctuation ratio, non-alnum ratio.
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    val nPunct = nChar - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    Seq(
+      "n_chars" -> nChar.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "n_stopwords" -> nStop.cast("long"),
+      "mean_token_len" -> when(nTok === 0, 0.0)
+        .otherwise((nChar - (nTok - 1)) / nTok),
+      "stopword_ratio" -> when(nTok === 0, 0.0).otherwise(nStop / nTok),
+      "punct_ratio" -> when(nChar === 0, 0.0).otherwise(nPunct / nChar))
+  }
+
+  /** Composite quality score in [0,1]: documents that are too short, too
+    * punctuation-heavy, or stopword-free score low (deterministic integer/
+    * single-division math → reproducible across engines).
+    */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val lenScore = least(m("n_tokens").cast("double") / 50.0, lit(1.0))
+    val stopScore = least(m("stopword_ratio") * 10.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - m("punct_ratio") * 4.0)
+    lenScore * (lit(0.5) + stopScore * 0.5) * punctPenalty
+  }
+
+  /** Language-ID heuristic: score candidate languages by marker-token hits
+    * (an n-gram/stopword heuristic; a real model would be a per-partition
+    * scoring pass). Deterministic and expression-only.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "is", "of"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "es" -> Seq("el", "los", "las", "una"),
+      "de" -> Seq("der", "die", "und", "das"))
+    val toks = tokens(lower(text))
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms.map(lit): _*)))
+    }
+    // argmax with deterministic tie-break on language order; no hits → "und"
+    val best = scores.reduceLeft[(String, Column)] { case ((l1, s1), (l2, s2)) =>
+      // keep l1 on ties (earlier language wins)
+      (l1, when(s2 > s1, s2).otherwise(s1))
+    }
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best._2, lang).otherwise(acc)
+    }
+  }
+
+  /** Content-defined fingerprint: md5 of normalized text (stable across
+    * engines/partitions — used as the exact-dedup key).
+    */
+  def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
+
+  /** Rolling-hash document sketch: first 8 hex chars of the fingerprint,
+    * useful as a cheap shard/bucket key.
+    */
+  def fingerprintPrefix(text: Column, n: Int = 8): Column =
+    substring(fingerprint(text), 1, n)
+
+  /** Full document-profile projection used by q_text_* queries. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val metricCols = qualityMetrics(t).map { case (n, c) => c.as(n) }
+    df.select(
+      (col(idCol) +: metricCols :+
+        qualityScore(t).as("quality") :+
+        langIdHeuristic(t).as("pred_lang") :+
+        fingerprint(t).as("fp")): _*)
+  }
+}

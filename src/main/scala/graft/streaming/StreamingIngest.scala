@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Streaming ingest (reference: Kafka/Kinesis supervisors →
+  * `SeekableStreamIndexTaskRunner.java:150` → realtime incremental index →
+  * segment handoff).
+  *
+  * Spark mapping (SURVEY.md §2.10): Structured Streaming source → optional
+  * rollup aggregation at a query granularity (the reference's only stateful
+  * op) → sink. Exactly-once comes from checkpointed offsets + idempotent
+  * sink (foreachBatch txn on Delta in production; parquet-append here).
+  * Late data lands in old time buckets naturally — the same semantics as the
+  * reference's lateMessageRejectionPeriod-less default.
+  */
+object StreamingIngest {
+
+  /** File-based streaming source over a parquet path (stands in for Kafka in
+    * this container; swap `readStream.format("kafka")` in production).
+    */
+  def source(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Rollup at ingest (reference `OnheapIncrementalIndex.java:84`): truncate
+    * event time to the query granularity, pre-aggregate dims. Tumbling window
+    * == reference granularity buckets; watermark bounds state.
+    */
+  def rollup(stream: DataFrame, timeCol: String, granularity: String,
+             dims: Seq[String], watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(timeCol, watermark)
+      .groupBy((window(col(timeCol), granularity).getField("start").as("bucket")
+        +: dims.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Run a bounded micro-batch pass to completion over a prepared streaming
+    * DataFrame and return the rolled-up result as a batch DataFrame (memory
+    * sink — used by tests and the correctness gate; production writes Delta).
+    */
+  def runBounded(spark: SparkSession, stream: DataFrame,
+                 timeCol: String, granularity: String, dims: Seq[String],
+                 queryName: String): DataFrame = {
+    val agg = rollup(stream, timeCol, granularity, dims)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

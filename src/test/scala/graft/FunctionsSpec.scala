@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.DruidFunctions
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Unit tests for the function layer on tiny literal data. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("timeFloor PT15M aligns to quarter hours") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = Seq("2024-03-05 10:37:45").toDF("s")
+      .select(DruidFunctions.timeFloor(col("s").cast("timestamp"), "PT15M").as("f"))
+    assert(df.head().getTimestamp(0).toString == "2024-03-05 10:30:00.0")
+  }
+
+  test("timeFloor calendar periods use date_trunc") {
+    val df = Seq("2024-03-05 10:37:45").toDF("s")
+      .select(
+        DruidFunctions.timeFloor(col("s").cast("timestamp"), "P1M").as("m"),
+        DruidFunctions.timeFloor(col("s").cast("timestamp"), "P1W").as("w"))
+    val r = df.head()
+    assert(r.getTimestamp(0).toString == "2024-03-01 00:00:00.0")
+    assert(r.getTimestamp(1).toString == "2024-03-04 00:00:00.0") // Monday
+  }
+
+  test("timeShift PT1H by -2") {
+    val df = Seq("2024-01-01 05:00:00").toDF("s")
+      .select(DruidFunctions.timeShift(col("s").cast("timestamp"), "PT1H", -2).as("t"))
+    assert(df.head().getTimestamp(0).toString == "2024-01-01 03:00:00.0")
+  }
+
+  test("periodMicros parses compound periods") {
+    assert(DruidFunctions.periodMicros("PT1H30M") == 5400L * 1000000)
+    assert(DruidFunctions.periodMicros("P1DT12H") == 36L * 3600 * 1000000)
+  }
+
+  test("safeDivide returns null on zero") {
+    val r = Seq((1.0, 0.0), (6.0, 2.0)).toDF("x", "y")
+      .select(DruidFunctions.safeDivide(col("x"), col("y")).as("d"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(1).getDouble(0) == 3.0)
+  }
+
+  test("ipv4 parse/stringify roundtrip and subnet match") {
+    val df = Seq("10.64.3.1").toDF("ip").select(
+      DruidFunctions.ipv4Parse(col("ip")).as("l"),
+      DruidFunctions.ipv4Stringify(DruidFunctions.ipv4Parse(col("ip"))).as("s"),
+      DruidFunctions.ipv4Match(col("ip"), "10.64.0.0/10").as("m1"),
+      DruidFunctions.ipv4Match(col("ip"), "192.168.0.0/16").as("m2"))
+    val r = df.head()
+    assert(r.getLong(0) == (10L << 24) + (64L << 16) + (3L << 8) + 1)
+    assert(r.getString(1) == "10.64.3.1")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+  }
+
+  test("mv functions behave like Druid MVDs") {
+    val df = Seq("a,b,ab").toDF("s")
+      .select(split(col("s"), ",").as("mv"))
+      .select(
+        DruidFunctions.mvLength(col("mv")).as("n"),
+        DruidFunctions.mvContains(col("mv"), "b").as("c"),
+        size(DruidFunctions.mvFilterPrefix(col("mv"), "a")).as("np"))
+    val r = df.head()
+    assert(r.getInt(0) == 3 && r.getBoolean(1) && r.getInt(2) == 2)
+  }
+
+  test("shingles produce k-grams") {
+    val r = Seq("the quick brown fox").toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("g")).head().getSeq[String](0)
+    assert(r == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("jaccard of identical sets is 1") {
+    val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("x", "y")
+      .select(Dedup.jaccard(Dedup.shingles(col("x"), 1),
+        Dedup.shingles(col("y"), 1)).as("j"))
+    val r = df.collect()
+    assert(r(0).getDouble(0) == 1.0 && r(1).getDouble(0) == 0.0)
+  }
+
+  test("simhash identical texts collide, different texts differ") {
+    val df = Seq(("hello world foo bar", "hello world foo bar", "totally different text here"))
+      .toDF("a", "b", "c")
+      .select(Dedup.simHash(col("a")).as("ha"), Dedup.simHash(col("b")).as("hb"),
+        Dedup.simHash(col("c")).as("hc"))
+    val r = df.head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("cosine similarity of a vector with itself is 1") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("token count and quality") {
+    val df = Seq("the quick brown fox jumps").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.qualityScore(col("t")).as("q"))
+    val r = df.head()
+    assert(r.getInt(0) == 5)
+    assert(r.getDouble(1) > 0 && r.getDouble(1) <= 1.0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs every SparkEntry query against sf0.001 and sanity-checks shape.
+  * (Value-level correctness is gated by the DuckDB oracle compare —
+  * tools/check.py at sf0.01; this spec catches runtime regressions fast.)
+  */
+class QuerySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  // every query must run and (except pair-mining queries that may
+  // legitimately be empty at tiny scale) return rows
+  private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_ngram_jaccard", "q_embed_ann_lsh")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      spark.sparkContext.setLogLevel("ERROR")
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
