@@ -572,6 +572,95 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // --------------------------------- histogram / percentiles (§2.5 ext)
+    "q_agg_histogram" -> ((s, dir) => {
+      // fixed-bucket histogram (reference HistogramAggregatorFactory):
+      // width_bucket over [0, 200) in 10 buckets on events.value
+      t(s, dir)("events")
+        .groupBy(width_bucket(col("value"), lit(0.0), lit(200.0), lit(10))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q_agg_percentile" -> ((s, dir) => {
+      // exact interpolated percentiles (reference approximate-histogram /
+      // quantiles sketch surface; exact is an accepted superset)
+      t(s, dir)("orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ------------------------- extraction-fn dimension specs (§2.3/§2.2)
+    "q_extraction_groupby" -> ((s, dir) => {
+      // group by extraction functions of columns (reference ExtractionFn/
+      // ExtractionDimensionSpec): substring + time-format dimensions
+      t(s, dir)("orders")
+        .groupBy(
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prio_code"), col("month"))
+    }),
+
+    "q_lookup_map" -> ((s, dir) => {
+      // literal-map lookup (reference LookupExprMacro / map-based lookup):
+      // a bounded key→value map inlined into the plan, no join at all
+      val m = Map("purchase" -> "revenue", "refund" -> "revenue",
+        "signup" -> "growth", "login" -> "engagement")
+      t(s, dir)("events")
+        .select(DruidFunctions.lookup(col("event_type"), m, Some("other"))
+          .as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as("n"))
+        .orderBy(col("category"))
+    }),
+
+    // ------------------------------------------- RANGE window frame (§2.6)
+    "q_window_range" -> ((s, dir) => {
+      // value-based RANGE frame (reference WindowFrame RANGE/GROUPS)
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rangeBetween(-5, 0)
+      t(s, dir)("lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          count(lit(1)).over(w).cast("long").as("n_within_5"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ------------------------------------------------ null handling (§7.4)
+    "q_null_handling" -> ((s, dir) => {
+      // three-valued logic + null grouping: synthesize nulls with nullif
+      t(s, dir)("orders")
+        .select(nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+          col("o_totalprice"))
+        .groupBy(col("status_or_null"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("status_or_null")).as("n_nonnull"),
+          round(sum(when(col("status_or_null").isNull, col("o_totalprice"))), 2)
+            .as("null_total"))
+        .orderBy(col("status_or_null").asc_nulls_first)
+    }),
+
+    // ---------------------------- ingestion: partitioned segment sink (§2.1)
+    "q_ingest_roundtrip" -> ((s, dir) => {
+      // the reference's batch ingest contract: write time-partitioned
+      // columnar "segments" (parquet partitioned by day bucket), read back
+      // with partition pruning, aggregate. Mirrors INSERT … PARTITIONED BY.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = t(s, dir)("events")
+        .withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .filter(col("day") >= lit("2024-01-02") && col("day") <= lit("2024-01-03"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // ------------------------------------------ multimodal (training pipeline)
     "q_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.toAssets(t(s, dir)("documents"), "doc_id", "text", "text/plain")
@@ -978,6 +1067,58 @@ object SparkEntry {
       """SELECT label, count(*) AS n, min(vec_id) AS min_id,
                 CAST(len(first(embedding ORDER BY vec_id)) AS BIGINT) AS dim
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q_agg_histogram" ->
+      """SELECT CASE WHEN value < 0 THEN 0
+                     WHEN value >= 200 THEN 11
+                     ELSE CAST(floor(value / 20) + 1 AS BIGINT) END AS bucket,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_agg_percentile" ->
+      """SELECT o_orderpriority,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_extraction_groupby" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS prio_code,
+                strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_lookup_map" ->
+      """SELECT CASE event_type
+                  WHEN 'purchase' THEN 'revenue'
+                  WHEN 'refund' THEN 'revenue'
+                  WHEN 'signup' THEN 'growth'
+                  WHEN 'login' THEN 'engagement'
+                  ELSE 'other' END AS category,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_window_range" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within_5
+         FROM lineitem WHERE l_orderkey < 200
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_null_handling" ->
+      """SELECT nullif(o_orderstatus, 'P') AS status_or_null,
+                count(*) AS n_rows,
+                count(nullif(o_orderstatus, 'P')) AS n_nonnull,
+                round(sum(o_totalprice)
+                  FILTER (WHERE nullif(o_orderstatus, 'P') IS NULL), 2)
+                  AS null_total
+         FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    "q_ingest_roundtrip" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+                round(sum(value), 3) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-02'
+           AND CAST(ts AS DATE) <= DATE '2024-01-03'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_multimodal_features" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
