@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.sketches.{HllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg}
+
+/** Engine-level Catalyst extensions (registered with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
+  * `spark.sql.extensions` conf):
+  *
+  *  - sketch functions (HLL / KMV theta-style) exposed to SQL text;
+  *  - [[ApproxCountDistinctRewrite]], the reference's SQL-layer default of
+  *    answering COUNT(DISTINCT x) with an HLL estimate
+  *    (`useApproximateCountDistinct`, see
+  *    `sql/.../BuiltinApproxCountDistinctSqlAggregator.java:62`), as an
+  *    opt-in optimizer rule gated on a runtime conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+    e.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", name)
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("hll_estimate_agg", info("hll_estimate_agg", "HLL distinct estimate"),
+      (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()),
+    ("hll_sketch_agg", info("hll_sketch_agg", "HLL binary sketch"),
+      (args: Seq[Expression]) =>
+        HllSketchAgg(args.head, emitSketch = true).toAggregateExpression()),
+    ("hll_merge_agg", info("hll_merge_agg", "fold stored HLL sketches"),
+      (args: Seq[Expression]) =>
+        HllSketchAgg(args.head, mergeSketches = true).toAggregateExpression()),
+    ("kmv_sketch_agg", info("kmv_sketch_agg", "KMV distinct sketch"),
+      (args: Seq[Expression]) => KmvSketchAgg(args.head).toAggregateExpression()),
+    ("kmv_estimate", info("kmv_estimate", "estimate of a KMV sketch"),
+      (args: Seq[Expression]) => KmvEstimate(args.head)),
+    ("kmv_intersect_estimate", info("kmv_intersect_estimate", "theta intersect"),
+      (args: Seq[Expression]) => KmvSetEstimate(args(0), args(1), "intersect")),
+    ("kmv_union_estimate", info("kmv_union_estimate", "theta union"),
+      (args: Seq[Expression]) => KmvSetEstimate(args(0), args(1), "union")))
+
+  /** Register the same functions on a plain session (no extensions needed) —
+    * used by tests and by sessions the driver constructs for us.
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Rewrites exact `COUNT(DISTINCT x)` into the HLL estimate when
+  * `spark.graft.useApproximateCountDistinct=true` — the reference engine's
+  * default SQL behavior (countDistinct compiles to an HLL aggregation unless
+  * the user opts out). Exact mode stays the Spark default here because the
+  * correctness oracle demands exact answers.
+  */
+object ApproxCountDistinctRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.useApproximateCountDistinct", "false")
+        .toBoolean) {
+      plan
+    } else {
+      plan.transform {
+        case agg: Aggregate =>
+          agg.transformExpressions {
+            case ae @ AggregateExpression(Count(Seq(child)), Complete, true, _, _) =>
+              HllSketchAgg(child).toAggregateExpression()
+          }
+      }
+    }
+  }
+}

@@ -609,8 +609,8 @@ object SparkEntry {
     "q_lookup_map" -> ((s, dir) => {
       // literal-map lookup (reference LookupExprMacro / map-based lookup):
       // a bounded key→value map inlined into the plan, no join at all
-      val m = Map("purchase" -> "revenue", "refund" -> "revenue",
-        "signup" -> "growth", "login" -> "engagement")
+      val m = Map("purchase" -> "revenue", "click" -> "engagement",
+        "view" -> "engagement", "signup" -> "growth")
       t(s, dir)("events")
         .select(DruidFunctions.lookup(col("event_type"), m, Some("other"))
           .as("category"))
@@ -659,6 +659,37 @@ object SparkEntry {
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
         .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ------------------------------------- sketch aggregators (§2.5 ext)
+    "q_sketch_hll" -> ((s, dir) => {
+      // custom TypedImperativeAggregate HLL (reference hyperUnique, 2048
+      // registers); approximate by design → rows-only check. Accuracy is
+      // asserted in SketchSpec (estimate within ~3% of exact).
+      import graft.functions.sketches.HllSketchAgg.hllEstimate
+      t(s, dir)("events")
+        .groupBy(col("event_type"))
+        .agg(hllEstimate(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_sketch_theta_setops" -> ((s, dir) => {
+      // KMV/theta-style sketch algebra (reference datasketches theta):
+      // distinct users per event type, then intersection/union estimates
+      // across two types via post-aggregation set ops.
+      import graft.functions.sketches.KmvSketchAgg._
+      val ev = t(s, dir)("events")
+      val sk = ev.filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("event_type"))
+        .agg(kmvSketch(col("user_id")).as("sk"))
+      val p = sk.filter(col("event_type") === "purchase").select(col("sk").as("sk_p"))
+      val l = sk.filter(col("event_type") === "click").select(col("sk").as("sk_l"))
+      p.crossJoin(l).select(
+        round(kmvEstimate(col("sk_p")), 1).as("purchase_users"),
+        round(kmvEstimate(col("sk_l")), 1).as("click_users"),
+        round(kmvIntersect(col("sk_p"), col("sk_l")), 1).as("both_users"),
+        round(kmvUnion(col("sk_p"), col("sk_l")), 1).as("either_users"))
     }),
 
     // ------------------------------------------ multimodal (training pipeline)
@@ -1089,9 +1120,9 @@ object SparkEntry {
     "q_lookup_map" ->
       """SELECT CASE event_type
                   WHEN 'purchase' THEN 'revenue'
-                  WHEN 'refund' THEN 'revenue'
+                  WHEN 'click' THEN 'engagement'
+                  WHEN 'view' THEN 'engagement'
                   WHEN 'signup' THEN 'growth'
-                  WHEN 'login' THEN 'engagement'
                   ELSE 'other' END AS category,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",

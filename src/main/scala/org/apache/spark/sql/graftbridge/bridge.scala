@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made `Column.expr` private to the
+  * `org.apache.spark.sql` namespace (Connect-compatible Column nodes); an
+  * extension library that defines custom Catalyst expressions needs this
+  * two-way conversion, so we expose it from a subpackage — the same approach
+  * other open-source Spark extension libraries take.
+  */
+object Bridge {
+  def toCol(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.sketches.{HllSketchAgg, KmvSketchAgg}
+
+/** Accuracy + mergeability tests for the custom sketch aggregates. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("HLL estimate within 3% of exact on 50k distinct") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.range(50000).select((col("id") % 37213).as("v"))
+    val est = df.agg(HllSketchAgg.hllEstimate(col("v"))).head().getLong(0)
+    val exact = 37213.0
+    assert(math.abs(est - exact) / exact < 0.03, s"estimate $est vs $exact")
+  }
+
+  test("HLL is insensitive to partitioning (mergeable partials)") {
+    val a = spark.range(10000).repartition(16)
+      .agg(HllSketchAgg.hllEstimate(col("id"))).head().getLong(0)
+    val b = spark.range(10000).coalesce(1)
+      .agg(HllSketchAgg.hllEstimate(col("id"))).head().getLong(0)
+    assert(a == b, s"partitioned $a != single $b")
+  }
+
+  test("HLL stored-sketch refold equals direct aggregation") {
+    // build per-group sketches, store them, then fold the stored column —
+    // the reference's sketch-column workflow
+    val df = spark.range(20000)
+      .select((col("id") % 4).as("g"), (col("id") % 9991).as("v"))
+    val direct = df.agg(HllSketchAgg.hllEstimate(col("v"))).head().getLong(0)
+    val stored = df.groupBy(col("g")).agg(HllSketchAgg.hllSketch(col("v")).as("sk"))
+    val refold = stored.agg(HllSketchAgg.hllMergeEstimate(col("sk"))).head().getLong(0)
+    assert(refold == direct, s"refold $refold != direct $direct")
+  }
+
+  test("KMV estimate within 5% and set ops are sane") {
+    val a = spark.range(30000).select(col("id").as("v"))   // 0..29999
+    val b = spark.range(20000, 40000).select(col("id").as("v")) // 20000..39999
+    val skA = a.agg(KmvSketchAgg.kmvSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val skB = b.agg(KmvSketchAgg.kmvSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val est = spark.range(1).select(
+      KmvSketchAgg.kmvEstimate(lit(skA)).as("ea"),
+      KmvSketchAgg.kmvIntersect(lit(skA), lit(skB)).as("ei"),
+      KmvSketchAgg.kmvUnion(lit(skA), lit(skB)).as("eu")).head()
+    assert(math.abs(est.getDouble(0) - 30000) / 30000 < 0.05, s"|A| ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(1) - 10000) / 10000 < 0.15, s"|A∩B| ${est.getDouble(1)}")
+    assert(math.abs(est.getDouble(2) - 40000) / 40000 < 0.05, s"|A∪B| ${est.getDouble(2)}")
+  }
+
+  test("SQL registration exposes sketch functions") {
+    GraftExtensions.register(spark)
+    spark.range(1000).select((col("id") % 321).as("v"))
+      .createOrReplaceTempView("sketch_in")
+    val est = spark.sql("SELECT hll_estimate_agg(v) FROM sketch_in").head().getLong(0)
+    assert(math.abs(est - 321) / 321.0 < 0.05, s"sql estimate $est")
+  }
+
+  test("approx-count-distinct rewrite rule fires when enabled") {
+    // force a fresh session so withExtensions actually applies
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      ext.conf.set("spark.graft.useApproximateCountDistinct", "true")
+      val df = ext.range(10000).selectExpr("id % 777 AS v")
+        .agg(count_distinct(col("v")))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("hll_estimate_agg"), s"rule did not fire:\n$plan")
+      assert(math.abs(df.head().getLong(0) - 777) / 777.0 < 0.05)
+      ext.conf.set("spark.graft.useApproximateCountDistinct", "false")
+      val exact = ext.range(10000).selectExpr("id % 777 AS v")
+        .agg(count_distinct(col("v"))).head().getLong(0)
+      assert(exact == 777)
+    } finally {
+      ext.conf.set("spark.graft.useApproximateCountDistinct", "false")
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
