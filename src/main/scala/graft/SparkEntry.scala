@@ -661,6 +661,97 @@ object SparkEntry {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // ----------------------- period granularity with origin (§2.9/§7.3)
+    "q_timeseries_origin" -> ((s, dir) => {
+      // PT6H buckets anchored at 03:00 — PeriodGranularity-with-origin
+      // semantics that date_trunc cannot express
+      val origin = 3L * 3600 * 1000000 // 1970-01-01T03:00Z in epoch micros
+      t(s, dir)("events")
+        .groupBy(DruidFunctions.timeFloor(col("ts"), "PT6H", origin).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------- input formats (§2.1)
+    "q_source_csv" -> ((s, dir) => {
+      // CSV input format: write a CSV copy, read it back with schema, agg —
+      // equivalence with the parquet-side oracle proves the format adapter
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = t(s, dir)("events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").schema(ev.schema).csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_source_json" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = t(s, dir)("events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").json(out)
+      s.read.schema(ev.schema).json(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------- MVD any-match filter (§1.2/§2.2)
+    "q_mvd_filter" -> ((s, dir) => {
+      // Druid MVD filter semantics: a filter on a multi-value dimension
+      // matches if ANY value matches (array_contains rewrite)
+      val toks = split(col("text"), " ")
+      t(s, dir)("documents")
+        .filter(array_contains(toks, "spark") && !array_contains(toks, "slow"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // ------------------------- schema-merging append (§2.12 TABLE(APPEND))
+    "q_union_by_name" -> ((s, dir) => {
+      val c = t(s, dir)("customer").select(col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      val su = t(s, dir)("supplier").select(col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"))
+      c.unionByName(su, allowMissingColumns = true)
+        .groupBy(coalesce(col("segment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("acctbal")), 2).as("total_bal"))
+        .orderBy(col("segment"))
+    }),
+
+    // ------------------------------------ string first/last (§2.5)
+    "q_agg_firstlast_str" -> ((s, dir) => {
+      t(s, dir)("events").filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), col("ts")).as("first_type"),
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ------------------------------------------ system tables (§2.11)
+    "q_sys_segments" -> ((s, dir) => {
+      graft.operators.Metadata.segments(s, dir)
+        .groupBy(col("datasource"))
+        .agg(sum(col("num_rows")).as("num_rows"))
+        .orderBy(col("datasource"))
+    }),
+
+    // --------------------------------------- registered lookup (§2.9)
+    "q_lookup_registered" -> ((s, dir) => {
+      // named lookup resolved through the registry by the SQL LOOKUP fn
+      graft.functions.LookupRegistry.register("status_names", Map(
+        "F" -> "finished", "O" -> "open", "P" -> "partial"))
+      graft.functions.LookupRegistry.registerSql(s)
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT lookup(o_orderstatus, 'status_names', 'unknown') AS status,
+                      count(*) AS n
+               FROM orders GROUP BY 1 ORDER BY 1""")
+    }),
+
     // ------------------------------------- sketch aggregators (§2.5 ext)
     "q_sketch_hll" -> ((s, dir) => {
       // custom TypedImperativeAggregate HLL (reference hyperUnique, 2048
@@ -1098,6 +1189,62 @@ object SparkEntry {
       """SELECT label, count(*) AS n, min(vec_id) AS min_id,
                 CAST(len(first(embedding ORDER BY vec_id)) AS BIGINT) AS dim
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q_timeseries_origin" ->
+      """SELECT make_timestamp(epoch_us(ts) -
+                  ((epoch_us(ts) - 10800000000) % 21600000000)) AS bucket,
+                count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_source_csv" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_source_json" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_mvd_filter" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE list_contains(string_split(text, ' '), 'spark')
+           AND NOT list_contains(string_split(text, ' '), 'slow')
+         GROUP BY lang ORDER BY lang""",
+
+    "q_union_by_name" ->
+      """SELECT coalesce(segment, '(none)') AS segment, count(*) AS n,
+                round(sum(acctbal), 2) AS total_bal
+         FROM (
+           SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+           FROM customer
+           UNION ALL BY NAME
+           SELECT s_name AS name, s_acctbal AS acctbal FROM supplier)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_agg_firstlast_str" ->
+      """SELECT user_id, min_by(event_type, ts) AS first_type,
+                max_by(event_type, ts) AS last_type, count(*) AS n
+         FROM events WHERE user_id < 50
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q_sys_segments" ->
+      """SELECT datasource, CAST(num_rows AS BIGINT) AS num_rows FROM (
+           SELECT 'region' AS datasource, count(*) AS num_rows FROM region
+           UNION ALL SELECT 'nation', count(*) FROM nation
+           UNION ALL SELECT 'customer', count(*) FROM customer
+           UNION ALL SELECT 'supplier', count(*) FROM supplier
+           UNION ALL SELECT 'part', count(*) FROM part
+           UNION ALL SELECT 'orders', count(*) FROM orders
+           UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+           UNION ALL SELECT 'events', count(*) FROM events
+           UNION ALL SELECT 'documents', count(*) FROM documents
+           UNION ALL SELECT 'embeddings', count(*) FROM embeddings)
+         ORDER BY datasource""",
+
+    "q_lookup_registered" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+                  WHEN 'O' THEN 'open' WHEN 'P' THEN 'partial'
+                  ELSE 'unknown' END AS status, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_agg_histogram" ->
       """SELECT CASE WHEN value < 0 THEN 0

@@ -47,10 +47,11 @@ object DruidFunctions {
       case _ =>
         val p = periodMicros(period)
         require(p > 0, s"period must be positive: $period")
+        // exact integer floor via pmod (a double division would lose
+        // precision on 1.7e18-scale epoch-micros and misplace bucket edges);
+        // pmod is non-negative, so this floors correctly pre-origin too
         val rel = unix_micros(ts) - lit(originEpochMicros)
-        // floorDiv semantics for pre-origin timestamps
-        val bucket = floor(rel.cast("double") / lit(p.toDouble)).cast("long")
-        timestamp_micros(bucket * lit(p) + lit(originEpochMicros))
+        timestamp_micros(rel - pmod(rel, lit(p)) + lit(originEpochMicros))
     }
 
   /** TIME_CEIL — smallest bucket boundary >= ts. */

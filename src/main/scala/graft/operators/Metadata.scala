@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** System-table surface (reference `sql/.../schema/SystemSchema.java:105-111`
+  * — sys.segments / sys.servers / INFORMATION_SCHEMA).
+  *
+  * `sys.segments` maps to one row per (datasource, file): at cluster scale a
+  * segment is a parquet file/partition, and the listing comes from the
+  * catalog; here it is derived from the scale-factor directory.
+  */
+object Metadata {
+
+  /** One row per table: name + row count (+ per-file granularity via
+    * input_file_name when multi-file).
+    */
+  def segments(spark: SparkSession, dir: String): DataFrame =
+    Tables.all.map { name =>
+      Tables.load(spark, dir, name)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("num_rows"))
+        .select(lit(name).as("datasource"), col("num_rows"))
+    }.reduce(_ unionAll _)
+
+  /** Register sys_* temp views on the session. */
+  def registerSystemViews(spark: SparkSession, dir: String): Unit = {
+    segments(spark, dir).createOrReplaceTempView("sys_segments")
+  }
+}

@@ -36,14 +36,40 @@ object Dedup {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Word k-shingles of a document as a distinct array (codegen'd:
-    * split → sliding window via transform over index sequence).
+  /** Word k-shingles of a document as a distinct array.
+    *
+    * NOTE: fine for small/per-row use, but Spark evaluates higher-order
+    * functions interpreted (no codegen) and the slice-per-index construction
+    * is O(tokens²) per document — at corpus scale use [[shingleRows]], which
+    * builds the same shingles relationally through codegen'd operators.
     */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(normalize(text), " ")
     array_distinct(
       transform(sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** Distinct word k-shingles as ROWS (id, carry…, sh): posexplode the
+    * token stream, assemble each shingle with window `lead`s, drop the
+    * ragged tail, distinct. Every operator here is whole-stage-codegen'd,
+    * the cost is O(tokens) per document, and the (id, pos) shuffle is the
+    * only data movement — this is the shape that survives a 100 TB corpus.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int,
+                  carry: Seq[String] = Nil): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = spread.select(
+      (col(idCol).as("id") +: carry.map(col) :+
+        posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "tok"))): _*)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until k).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    toks
+      .select((col("id") +: carry.map(col) :+
+        concat_ws(" ", parts: _*).as("sh") :+ parts.last.as("__tail")): _*)
+      .filter(col("__tail").isNotNull).drop("__tail")
+      .distinct()
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
@@ -75,10 +101,7 @@ object Dedup {
     // by xor-rotation (h_i = h1 XOR rotl(h2, i)) so each shingle is hashed
     // twice, not numHashes times — and the mixing is pure bit ops, safe
     // under ANSI arithmetic (no overflow).
-    val exploded = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val exploded = shingleRows(df, idCol, textCol, shingleSize)
       .select(col("id"), xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
     def rotl(c: Column, i: Int): Column =
       if (i == 0) c
@@ -178,13 +201,14 @@ object Dedup {
                         threshold: Double = 0.1): DataFrame = {
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
-    // shingles are hashed to longs before the pairwise intersections:
-    // set-intersection on fixed-width longs is several times cheaper than on
-    // strings, and (collisions being ~(n²/2^64)-improbable) the resulting
-    // Jaccard counts are identical to the string-set computation.
-    val g = df.select(col(idCol).as("id"), blockKey.as("block"),
-      array_distinct(transform(shingles(col(textCol), shingleSize),
-        s => xxhash64(s))).as("grams"))
+    // shingle rows (codegen'd, see shingleRows) hashed to longs, then packed
+    // to one array per doc: set-intersection on fixed-width longs is several
+    // times cheaper than on strings, and (collisions being ~(n²/2^64)-
+    // improbable) the Jaccard counts are identical to the string-set math.
+    val g = shingleRows(df.withColumn("__block", blockKey), idCol, textCol,
+      shingleSize, carry = Seq("__block"))
+      .groupBy(col("id"), col("__block").as("block"))
+      .agg(collect_set(xxhash64(col("sh"))).as("grams"))
     val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
       .repartition(parallelism)
     val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
