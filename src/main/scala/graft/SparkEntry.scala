@@ -752,6 +752,63 @@ object SparkEntry {
                FROM orders GROUP BY 1 ORDER BY 1""")
     }),
 
+    // ----------------------------- native JSON query façade (§3.2)
+    // The reference's primary programmatic API: JSON query objects. These
+    // run through graft.api.NativeJsonQuery → the same operator builders.
+    "q_json_timeseries" -> ((s, dir) => {
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "hour",
+         "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+         "filter": {"type": "in", "dimension": "event_type",
+                    "values": ["purchase", "click"]},
+         "aggregations": [
+           {"type": "count", "name": "n"},
+           {"type": "doubleSum", "name": "rev", "fieldName": "value"},
+           {"type": "filtered", "name": "big_n",
+            "filter": {"type": "bound", "dimension": "value", "lower": 100},
+            "aggregator": {"type": "count", "name": "big_n"}}]}
+        """).withColumn("rev", round(col("rev"), 3))
+    }),
+
+    "q_json_topn" -> ((s, dir) => {
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "topN", "dataSource": "events",
+         "dimension": "user_id", "metric": "n", "threshold": 15,
+         "aggregations": [{"type": "count", "name": "n"},
+                          {"type": "doubleMax", "name": "max_v", "fieldName": "value"}]}
+        """)
+    }),
+
+    "q_json_groupby" -> ((s, dir) => {
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "orders",
+         "dimensions": ["o_orderstatus", "o_orderpriority"],
+         "filter": {"type": "bound", "dimension": "o_totalprice", "lower": 50000},
+         "aggregations": [{"type": "count", "name": "n"},
+                          {"type": "doubleSum", "name": "total", "fieldName": "o_totalprice"}],
+         "postAggregations": [
+           {"type": "arithmetic", "name": "avg_price", "fn": "/",
+            "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                       {"type": "fieldAccess", "fieldName": "n"}]}],
+         "having": {"type": "greaterThan", "aggregation": "n", "value": 10},
+         "limitSpec": {"type": "default",
+           "columns": [{"dimension": "o_orderstatus"},
+                       {"dimension": "o_orderpriority"}]}}
+        """).withColumn("total", round(col("total"), 2))
+        .withColumn("avg_price", round(col("avg_price"), 4))
+    }),
+
+    "q_json_scan" -> ((s, dir) => {
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "scan", "dataSource": "lineitem",
+         "columns": ["l_orderkey", "l_linenumber", "l_quantity"],
+         "filter": {"type": "and", "fields": [
+            {"type": "bound", "dimension": "l_quantity", "lower": 48},
+            {"type": "selector", "dimension": "l_returnflag", "value": "R"}]}}
+        """).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ------------------------------------- sketch aggregators (§2.5 ext)
     "q_sketch_hll" -> ((s, dir) => {
       // custom TypedImperativeAggregate HLL (reference hyperUnique, 2048
@@ -1189,6 +1246,31 @@ object SparkEntry {
       """SELECT label, count(*) AS n, min(vec_id) AS min_id,
                 CAST(len(first(embedding ORDER BY vec_id)) AS BIGINT) AS dim
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q_json_timeseries" ->
+      """SELECT date_trunc('hour', ts) AS timestamp, count(*) AS n,
+                round(sum(value), 3) AS rev,
+                count(*) FILTER (WHERE value >= 100) AS big_n
+         FROM events
+         WHERE event_type IN ('purchase', 'click')
+           AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_json_topn" ->
+      """SELECT user_id, count(*) AS n, max(value) AS max_v
+         FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 15""",
+
+    "q_json_groupby" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total,
+                round(sum(o_totalprice) / count(*), 4) AS avg_price
+         FROM orders WHERE o_totalprice >= 50000
+         GROUP BY 1, 2 HAVING count(*) > 10 ORDER BY 1, 2""",
+
+    "q_json_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 48 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q_timeseries_origin" ->
       """SELECT make_timestamp(epoch_us(ts) -

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.NativeJsonQuery
+
+/** JSON query façade shapes not covered by the oracle-gated entries. */
+class NativeJsonQuerySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("timeBoundary") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = NativeJsonQuery.run(spark, dir,
+      """{"queryType": "timeBoundary", "dataSource": "events"}""").head()
+    assert(r.getTimestamp(0).before(r.getTimestamp(1)))
+  }
+
+  test("dataSourceMetadata") {
+    val r = NativeJsonQuery.run(spark, dir,
+      """{"queryType": "dataSourceMetadata", "dataSource": "events"}""").head()
+    assert(r.getLong(0) == 1000L)
+  }
+
+  test("search across dimensions") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "search", "dataSource": "part",
+       "searchDimensions": ["p_brand", "p_type"],
+       "query": {"type": "contains", "value": "and"}}""")
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("dimension", "value", "cnt"))
+  }
+
+  test("granularity all timeseries") {
+    val r = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "all",
+       "aggregations": [{"type": "count", "name": "n"},
+                        {"type": "doubleMean", "name": "avg_v", "fieldName": "value"}]}""")
+      .head()
+    assert(r.getAs[Long]("n") == 1000L)
+  }
+
+  test("period granularity with origin") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": {"type": "period", "period": "PT6H",
+                       "origin": "1970-01-01T03:00:00Z"},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val buckets = df.collect().map(_.getTimestamp(0).toString)
+    // buckets anchored at 03:00/09:00/15:00/21:00
+    assert(buckets.forall(b => Set("03", "09", "15", "21")(b.substring(11, 13))))
+  }
+
+  test("hyperUnique aggregator maps to HLL") {
+    val r = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "all",
+       "aggregations": [{"type": "hyperUnique", "name": "u", "fieldName": "user_id"}]}""")
+      .head()
+    val exact = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(math.abs(r.getAs[Long]("u") - exact).toDouble / exact < 0.05)
+  }
+
+  test("first/last aggregators use __time") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "events",
+       "dimensions": ["event_type"],
+       "aggregations": [{"type": "doubleFirst", "name": "fv", "fieldName": "value"},
+                        {"type": "doubleLast", "name": "lv", "fieldName": "value"}]}""")
+    assert(df.count() == 5)
+  }
+
+  test("scan with time ordering, limit and offset") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "scan", "dataSource": "events",
+       "columns": ["event_id", "event_type"],
+       "order": "descending", "limit": 10, "offset": 5}""")
+    assert(df.count() == 10)
+  }
+
+  test("unsupported queryType raises") {
+    intercept[IllegalArgumentException] {
+      NativeJsonQuery.run(spark, dir,
+        """{"queryType": "mystery", "dataSource": "events"}""")
+    }
+  }
+}
