@@ -752,6 +752,81 @@ object SparkEntry {
                FROM orders GROUP BY 1 ORDER BY 1""")
     }),
 
+    // ------------------------------- joins: sort-merge + outer (§2.4)
+    "q_join_sortmerge" -> ((s, dir) => {
+      // big-big equi-join forced to shuffle sort-merge (the reference's MSQ
+      // sortMerge algorithm for joins too large to broadcast)
+      Joins.sortMergeJoin(t(s, dir)("lineitem"), t(s, dir)("orders"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_join_outer" -> ((s, dir) => {
+      // FULL OUTER across part/lineitem subsets: null sides must survive
+      val li = t(s, dir)("lineitem").filter(col("l_quantity") >= 49)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_li"))
+      val p = t(s, dir)("part").filter(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_brand"))
+      p.join(li, col("p_partkey") === col("l_partkey"), "full_outer")
+        .select(
+          coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+          col("p_brand"), coalesce(col("n_li"), lit(0L)).as("n_li"))
+        .orderBy(col("partkey"))
+    }),
+
+    // --------------------------------- column comparison filter (§2.2)
+    "q_filter_colcompare" -> ((s, dir) => {
+      t(s, dir)("lineitem")
+        .filter(col("l_discount") > col("l_tax"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ------------------------------- window first/last value (§2.6)
+    "q_window_firstval" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir)("orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ----------------------------------- grouping_id on rollup (§2.5)
+    "q_grouping_id" -> ((s, dir) => {
+      t(s, dir)("lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // --------------------------------------- ORC input format (§2.1)
+    "q_source_orc" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val n = t(s, dir)("nation")
+      n.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // ------------------------- typed UDAF extension surface (§2.13)
+    "q_agg_geomean" -> ((s, dir) => {
+      graft.functions.TypedAggregators.register(s)
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag,
+                      round(geometric_mean(l_quantity), 6) AS geo_qty,
+                      count(*) AS n
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // ----------------------------- native JSON query façade (§3.2)
     // The reference's primary programmatic API: JSON query objects. These
     // run through graft.api.NativeJsonQuery → the same operator builders.
@@ -1246,6 +1321,49 @@ object SparkEntry {
       """SELECT label, count(*) AS n, min(vec_id) AS min_id,
                 CAST(len(first(embedding ORDER BY vec_id)) AS BIGINT) AS dim
          FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_join_outer" ->
+      """SELECT coalesce(p_partkey, l_partkey) AS partkey, p_brand,
+                coalesce(n_li, 0) AS n_li
+         FROM (SELECT p_partkey, p_brand FROM part WHERE p_size <= 5) p
+         FULL OUTER JOIN (SELECT l_partkey, count(*) AS n_li FROM lineitem
+                          WHERE l_quantity >= 49 GROUP BY 1) li
+           ON p_partkey = l_partkey
+         ORDER BY partkey""",
+
+    "q_filter_colcompare" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE l_discount > l_tax GROUP BY 1 ORDER BY 1""",
+
+    "q_window_firstval" ->
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_totalprice) OVER w AS first_price,
+                last_value(o_totalprice) OVER w AS last_price
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_source_orc" ->
+      """SELECT n_regionkey, count(*) AS n FROM nation
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_agg_geomean" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_json_timeseries" ->
       """SELECT date_trunc('hour', ts) AS timestamp, count(*) AS n,

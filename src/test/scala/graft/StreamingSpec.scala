@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+
+case class StreamE(user_id: Long, tsMillis: Long)
+case class StreamSession(user_id: Long, n: Int, startMillis: Long, endMillis: Long)
+
+/** Structured Streaming coverage (SURVEY.md §2.10): granularity rollup
+  * equals the batch result, sliding windows work, and stateful
+  * sessionization via flatMapGroupsWithState (a Spark extra beyond the
+  * reference's ingest-rollup-only model).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def eventsStream = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    StreamingIngest.source(spark, s"$dir/events*.parquet", schema)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  test("streaming rollup equals batch rollup") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val streamed = StreamingIngest.runBounded(spark, eventsStream,
+      "ts", "1 hour", Seq("event_type"), "stream_spec_rollup")
+      .select("bucket", "event_type", "n")
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sliding window aggregation (Spark extra beyond tumbling rollup)") {
+    val agg = eventsStream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_spec_sliding").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("stream_spec_sliding")
+    // each event lands in exactly 2 sliding windows
+    val total = rows.agg(sum("n")).head().getLong(0)
+    assert(total == 2000L, s"total $total")
+  }
+
+  test("stateful sessionization via flatMapGroupsWithState") {
+    import spark.implicits._
+    val ds: Dataset[StreamE] = eventsStream
+      .select(col("user_id"), (unix_micros(col("ts")).cast("long") / lit(1000L)).cast("long").as("tsMillis"))
+      .as[StreamE]
+
+    def fn(user: Long, events: Iterator[StreamE],
+           state: GroupState[List[Long]]): Iterator[StreamSession] = {
+      val all = (state.getOption.getOrElse(Nil) ++ events.map(_.tsMillis)).sorted
+      // 30-minute gap closes a session
+      val sessions = all.foldLeft(List.empty[List[Long]]) {
+        case (acc, t) if acc.nonEmpty && t - acc.head.head <= 30 * 60 * 1000 =>
+          (t :: acc.head) :: acc.tail
+        case (acc, t) => List(t) :: acc
+      }
+      state.update(Nil)
+      sessions.reverseIterator.map(s =>
+        StreamSession(user, s.size, s.min, s.max))
+    }
+
+    val q = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_spec_sessions").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("stream_spec_sessions")
+    assert(sessions.count() > 0)
+    // sessions must cover every event exactly once
+    assert(sessions.agg(sum("n")).head().getLong(0) == 1000L)
+  }
+}
