@@ -563,6 +563,14 @@ object SparkEntry {
         .orderBy(col("q_id"), col("n_id"))
     }),
 
+    "q_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-duplicate detection (dedup by embedding)
+      Similarity.cosineNearDupPairs(t(s, dir)("embeddings"), "vec_id",
+        "embedding", threshold = 0.42)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_embed_stats" -> ((s, dir) => {
       t(s, dir)("embeddings")
         .groupBy(col("label"))
@@ -1316,6 +1324,21 @@ object SparkEntry {
            FROM sims)
          SELECT q_id, n_id, round(sim, 4) AS sim FROM ranked
          WHERE rk <= 10 ORDER BY q_id, n_id""",
+
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         sims AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+               AS sim
+           FROM v a, v b WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(sim, 4) AS sim FROM sims
+         WHERE sim >= 0.42 ORDER BY id_a, id_b""",
 
     "q_embed_stats" ->
       """SELECT label, count(*) AS n, min(vec_id) AS min_id,

@@ -60,12 +60,15 @@ object DruidFunctions {
     when(floored === ts, ts).otherwise(timeShift(floored, period, 1))
   }
 
-  /** TIME_SHIFT(ts, period, n) — shift by n periods. */
+  /** TIME_SHIFT(ts, period, n) — shift by n periods. Calendar shifts use
+    * year-month intervals so the time-of-day is preserved (add_months would
+    * truncate to midnight, which the reference does not do).
+    */
   def timeShift(ts: Column, period: String, n: Int): Column =
     CalendarPeriods.get(period) match {
-      case Some("year")    => add_months(ts.cast("date"), 12 * n).cast("timestamp")
-      case Some("quarter") => add_months(ts.cast("date"), 3 * n).cast("timestamp")
-      case Some("month")   => add_months(ts.cast("date"), n).cast("timestamp")
+      case Some("year")    => ts + make_ym_interval(lit(n), lit(0))
+      case Some("quarter") => ts + make_ym_interval(lit(0), lit(3 * n))
+      case Some("month")   => ts + make_ym_interval(lit(0), lit(n))
       case _ => timestamp_micros(unix_micros(ts) + lit(periodMicros(period) * n))
     }
 
@@ -176,7 +179,35 @@ object DruidFunctions {
       "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
       "MV_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
       "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
-      "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)")
+      "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      // TIME_FLOOR for calendar + common fixed ISO periods (the Scala API's
+      // timeFloor handles arbitrary periods/origins; SQL covers the usual set)
+      """TIME_FLOOR(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN
+         CASE p
+           WHEN 'P1Y' THEN date_trunc('year', t)
+           WHEN 'P3M' THEN date_trunc('quarter', t)
+           WHEN 'P1M' THEN date_trunc('month', t)
+           WHEN 'P1W' THEN date_trunc('week', t)
+           WHEN 'P1D' THEN date_trunc('day', t)
+           WHEN 'PT1H' THEN date_trunc('hour', t)
+           WHEN 'PT1M' THEN date_trunc('minute', t)
+           WHEN 'PT1S' THEN date_trunc('second', t)
+           ELSE timestamp_micros(unix_micros(t) - pmod(unix_micros(t),
+             CASE p WHEN 'PT5M' THEN 300000000 WHEN 'PT15M' THEN 900000000
+                    WHEN 'PT30M' THEN 1800000000 WHEN 'PT6H' THEN 21600000000
+                    WHEN 'PT12H' THEN 43200000000 END))
+         END""",
+      """TIME_SHIFT(t TIMESTAMP, p STRING, n INT) RETURNS TIMESTAMP RETURN
+         CASE p
+           WHEN 'P1Y' THEN t + make_ym_interval(n, 0)
+           WHEN 'P3M' THEN t + make_ym_interval(0, 3 * n)
+           WHEN 'P1M' THEN t + make_ym_interval(0, n)
+           ELSE timestamp_micros(unix_micros(t) + CAST(n AS BIGINT) *
+             CASE p WHEN 'P1W' THEN 604800000000 WHEN 'P1D' THEN 86400000000
+                    WHEN 'PT6H' THEN 21600000000 WHEN 'PT1H' THEN 3600000000
+                    WHEN 'PT15M' THEN 900000000 WHEN 'PT1M' THEN 60000000
+                    WHEN 'PT1S' THEN 1000000 END)
+         END""")
     fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
   }
 }

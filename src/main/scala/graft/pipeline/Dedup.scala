@@ -57,7 +57,7 @@ object Dedup {
     * only data movement — this is the shape that survives a 100 TB corpus.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int,
-                  carry: Seq[String] = Nil): DataFrame = {
+                  carry: Seq[String] = Nil, distinctRows: Boolean = true): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val toks = spread.select(
       (col(idCol).as("id") +: carry.map(col) :+
@@ -65,11 +65,11 @@ object Dedup {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val parts = (0 until k).map(i =>
       if (i == 0) col("tok") else lead(col("tok"), i).over(w))
-    toks
+    val rows = toks
       .select((col("id") +: carry.map(col) :+
         concat_ws(" ", parts: _*).as("sh") :+ parts.last.as("__tail")): _*)
       .filter(col("__tail").isNotNull).drop("__tail")
-      .distinct()
+    if (distinctRows) rows.distinct() else rows
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
@@ -101,7 +101,9 @@ object Dedup {
     // by xor-rotation (h_i = h1 XOR rotl(h2, i)) so each shingle is hashed
     // twice, not numHashes times — and the mixing is pure bit ops, safe
     // under ANSI arithmetic (no overflow).
-    val exploded = shingleRows(df, idCol, textCol, shingleSize)
+    // no distinct: min() is idempotent over duplicate shingles, so skipping
+    // the dedup shuffle is free
+    val exploded = shingleRows(df, idCol, textCol, shingleSize, distinctRows = false)
       .select(col("id"), xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
     def rotl(c: Column, i: Int): Column =
       if (i == 0) c

@@ -53,6 +53,23 @@ object Similarity {
       .orderBy(col("q_id"), col("n_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= the
+    * threshold. The corpus is compared against a broadcast copy of itself;
+    * at 100 TB scale the broadcast side becomes LSH buckets (`annLsh`) or a
+    * centroid-blocked subset — the pair predicate and the per-pair math stay
+    * identical.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")).repartition(par)
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Random-hyperplane LSH bucket id: `numBits` deterministic pseudo-random
     * hyperplanes; bit b = sign of dot(vec, plane_b). Planes are derived from
     * xxhash64(dimension, bit) so every executor computes identical planes

@@ -105,6 +105,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("SQL TIME_FLOOR / TIME_SHIFT registered functions") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'PT15M'),
+                TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'P1M'),
+                TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'PT1H', -2),
+                TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'P1M', 1)""").head()
+    assert(r.getTimestamp(0).toString == "2024-03-05 10:30:00.0")
+    assert(r.getTimestamp(1).toString == "2024-03-01 00:00:00.0")
+    assert(r.getTimestamp(2).toString == "2024-03-05 08:37:45.0")
+    assert(r.getTimestamp(3).toString == "2024-04-05 10:37:45.0")
+  }
+
+  test("cosine near-dup pairs are symmetric-deduped") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val pairs = graft.pipeline.Similarity
+      .cosineNearDupPairs(df, "id", "v", 0.99).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
   test("token count and quality") {
     val df = Seq("the quick brown fox jumps").toDF("t")
       .select(TextAnalysis.tokenCount(col("t")).as("n"),
