@@ -825,6 +825,24 @@ object SparkEntry {
         .orderBy(col("n_regionkey"))
     }),
 
+    // ------------------- aggregate-projection rerouting (§4.2 / §1.3)
+    "q_projection_reroute" -> ((s, dir) => {
+      // register an hourly rollup projection, then answer a daily query
+      // from it — the reference's AggregateProjectionMetadata behavior
+      import graft.operators.{Ingest, ProjectionCatalog}
+      val events = t(s, dir)("events")
+      val proj = Ingest.rollup(events, "ts", "PT1H", Seq("event_type"),
+        Seq("n" -> count(lit(1)), "sum_value" -> sum(col("value"))))
+      ProjectionCatalog.register(s"events_hourly_$dir",
+        ProjectionCatalog.Projection("events", "PT1H", Set("event_type"),
+          Set("n", "sum_value"), proj))
+      ProjectionCatalog.timeseries(events, "events", "ts", "P1D",
+        Seq("event_type"), Seq("n" -> "n", "sum_value" -> "value"))
+        .select(col("bucket"), col("event_type"), col("n"),
+          round(col("sum_value"), 3).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
     // ------------------------- typed UDAF extension surface (§2.13)
     "q_agg_geomean" -> ((s, dir) => {
       graft.functions.TypedAggregators.register(s)
@@ -1382,6 +1400,11 @@ object SparkEntry {
     "q_source_orc" ->
       """SELECT n_regionkey, count(*) AS n FROM nation
          GROUP BY 1 ORDER BY 1""",
+
+    "q_projection_reroute" ->
+      """SELECT date_trunc('day', ts) AS bucket, event_type,
+                count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_agg_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DruidFunctions
+
+/** Batch ingestion + segment management (reference: `IndexMergerV9.java:75`
+  * segment writes, SQL `INSERT … PARTITIONED BY … CLUSTERED BY`
+  * (`DruidSqlInsert.java:39`), rollup at ingest
+  * (`OnheapIncrementalIndex.java:84`), auto-compaction
+  * (`coordinator/duty/CompactSegments.java`), and per-segment aggregate
+  * projections (`AggregateProjectionMetadata.java`)).
+  */
+object Ingest {
+
+  /** INSERT … PARTITIONED BY <day> CLUSTERED BY <cols>: day-partitioned
+    * parquet with rows sorted within partitions on the cluster key, so
+    * min/max column stats make later filters on those keys prune row groups.
+    */
+  def writeSegments(df: DataFrame, path: String, timeCol: String,
+                    clusterBy: Seq[String]): Unit = {
+    val withDay = df.withColumn("__day", to_date(col(timeCol)))
+    withDay
+      .repartition(col("__day"))
+      .sortWithinPartitions(("__day" +: clusterBy).map(col): _*)
+      .write.mode("overwrite").partitionBy("__day").parquet(path)
+  }
+
+  /** Rollup at ingest (the reference's pre-aggregation of rows with equal
+    * (truncated time, dims)): one groupBy on write. `metrics` are
+    * (outputName, aggColumn) pairs, which must be re-aggregatable
+    * (sum/count/min/max) for queries over the rollup to compose.
+    */
+  def rollup(df: DataFrame, timeCol: String, period: String,
+             dims: Seq[String], metrics: Seq[(String, Column)]): DataFrame =
+    df.groupBy((DruidFunctions.timeFloor(col(timeCol), period).as("__bucket")
+      +: dims.map(col)): _*)
+      .agg(metrics.head._2.as(metrics.head._1),
+        metrics.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** Auto-compaction: rewrite a (possibly many-small-files) table into
+    * ~targetRowsPerFile files per partition — the reference coordinator's
+    * CompactSegments duty as a batch job.
+    */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val n = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (real deployments use a transactional table format)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+}
+
+/** Aggregate-projection catalog (reference `AggregateProjectionMetadata`):
+  * pre-rolled-up tables registered against their base table; queries built
+  * through [[ProjectionCatalog.timeseries]] are transparently rerouted to
+  * the narrowest registered projection that can answer them — the reference
+  * picks projections per-segment at cursor time, we pick per-query at plan
+  * time. Reroute correctness requires the projection's metrics to be
+  * re-aggregatable partials (sums/counts/min/max).
+  */
+object ProjectionCatalog {
+  case class Projection(baseTable: String, period: String, dims: Set[String],
+                        metrics: Set[String], df: DataFrame)
+
+  private val projections =
+    scala.collection.concurrent.TrieMap[String, Projection]()
+
+  def register(name: String, p: Projection): Unit = projections.put(name, p)
+  def clear(): Unit = projections.clear()
+
+  /** Can `p` answer a query at `period` grouping by `dims` over `metrics`?
+    * Needs: same-or-finer granularity that nests evenly, and a superset of
+    * dims+metrics.
+    */
+  private[graft] def covers(p: Projection, baseTable: String, period: String,
+                                dims: Seq[String], metrics: Seq[String]): Boolean =
+    p.baseTable == baseTable &&
+      dims.toSet.subsetOf(p.dims) && metrics.toSet.subsetOf(p.metrics) &&
+      nests(p.period, period)
+
+  private def nests(finer: String, coarser: String): Boolean =
+    (finer == coarser) || {
+      val calendarOrder = Seq("PT1S", "PT1M", "PT1H", "P1D", "P1M", "P3M", "P1Y")
+      val fi = calendarOrder.indexOf(finer)
+      val ci = calendarOrder.indexOf(coarser)
+      if (fi >= 0 && ci >= 0) fi <= ci
+      else try {
+        DruidFunctions.periodMicros(coarser) % DruidFunctions.periodMicros(finer) == 0
+      } catch { case _: IllegalArgumentException => false }
+    }
+
+  /** Timeseries over `base`, rerouted to a registered projection when one
+    * covers the ask. `metrics` are (outName, baseColumn) pairs where outName
+    * is the projection's partial-sum column (COUNT re-aggregates as the SUM
+    * of the rollup's count column).
+    */
+  def timeseries(base: DataFrame, baseTable: String, timeCol: String,
+                 period: String, dims: Seq[String],
+                 metrics: Seq[(String, String)]): DataFrame = {
+    val outNames = metrics.map(_._1)
+    val hit = projections.values.find(
+      covers(_, baseTable, period, dims, outNames))
+    hit match {
+      case Some(p) =>
+        // re-aggregate the stored partials at the coarser bucket
+        p.df.groupBy((DruidFunctions.timeFloor(col("__bucket"), period)
+          .as("bucket") +: dims.map(col)): _*)
+          .agg(sum(col(outNames.head)).as(outNames.head),
+            outNames.tail.map(m => sum(col(m)).as(m)): _*)
+      case None =>
+        base.groupBy((DruidFunctions.timeFloor(col(timeCol), period)
+          .as("bucket") +: dims.map(col)): _*)
+          .agg(sum(col(metrics.head._2)).as(metrics.head._1),
+            metrics.tail.map { case (o, b) => sum(col(b)).as(o) }: _*)
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ingest, ProjectionCatalog}
+
+/** Segment writes (partitioned + clustered), compaction, rollup at ingest,
+  * and aggregate-projection rerouting.
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("writeSegments partitions by day and prunes on read") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = Files.createTempDirectory("graft_seg").toString
+    Ingest.writeSegments(Tables.load(spark, dir, "events"), out, "ts",
+      clusterBy = Seq("user_id"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    val pruned = back.filter(col("__day") === "2024-01-01")
+    // partition pruning: only the matching day's directory is scanned
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(!scanned.contains("PartitionFilters: []"))
+  }
+
+  test("compact rewrites to the target file count") {
+    val out = Files.createTempDirectory("graft_cmp").toString
+    Tables.load(spark, dir, "orders").repartition(16)
+      .write.mode("overwrite").parquet(out)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) == 16)
+    Ingest.compact(spark, out, targetRowsPerFile = 1000)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 2, s"expected 2 files (1500 rows / 1000), got $files")
+    assert(spark.read.parquet(out).count() == 1500)
+  }
+
+  test("rollup pre-aggregates and projection reroute matches base query") {
+    val events = Tables.load(spark, dir, "events")
+    // hourly rollup projection with count + sum partials
+    val proj = Ingest.rollup(events, "ts", "PT1H", Seq("event_type"),
+      Seq("n" -> count(lit(1)), "sum_value" -> sum(col("value"))))
+    ProjectionCatalog.clear()
+    ProjectionCatalog.register("events_hourly", ProjectionCatalog.Projection(
+      "events", "PT1H", Set("event_type"), Set("n", "sum_value"), proj))
+
+    // P1D query groups the PT1H partials — must equal direct aggregation
+    // round the double sums: partials re-aggregate in a different addition
+    // order, so bit-exact equality is not expected
+    val rerouted = ProjectionCatalog.timeseries(events, "events", "ts", "P1D",
+      Seq("event_type"), Seq("n" -> "n", "sum_value" -> "value"))
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    val direct = events
+      .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    assert(rerouted.exceptAll(direct).isEmpty && direct.exceptAll(rerouted).isEmpty)
+
+    // narrower granularity than the projection → falls back to base
+    // (sum metrics only: a COUNT partial has no base column to sum)
+    val fallback = ProjectionCatalog.timeseries(events, "events", "ts", "PT1M",
+      Seq("event_type"), Seq("sum_value" -> "value"))
+    assert(fallback.columns.toSeq == Seq("bucket", "event_type", "sum_value"))
+    assert(fallback.count() > 900) // minute buckets ≈ one per event at sf0.001
+  }
+
+  test("projection coverage logic") {
+    import graft.operators.ProjectionCatalog.{covers, Projection}
+    val p = Projection("events", "PT1H", Set("a", "b"), Set("n"), null)
+    assert(covers(p, "events", "P1D", Seq("a"), Seq("n")))
+    assert(covers(p, "events", "PT6H", Seq("a", "b"), Seq("n")))
+    assert(!covers(p, "events", "PT1M", Seq("a"), Seq("n")))    // finer ask
+    assert(!covers(p, "events", "P1D", Seq("c"), Seq("n")))     // missing dim
+    assert(!covers(p, "other", "P1D", Seq("a"), Seq("n")))      // wrong table
+    assert(!covers(p, "events", "PT90M", Seq("a"), Seq("n")))   // non-nesting
+  }
+}
