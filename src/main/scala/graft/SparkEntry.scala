@@ -825,6 +825,31 @@ object SparkEntry {
         .orderBy(col("n_regionkey"))
     }),
 
+    // --------------------------- GROUPS window frame (§2.6 / §7.4.7)
+    "q_window_groups" -> ((s, dir) => {
+      // the reference's RANGE frames group PEERS (SQL GROUPS semantics);
+      // emulated via dense_rank + value-RANGE (see operators.Windows)
+      graft.operators.Windows.withGroupsFrame(
+        t(s, dir)("lineitem").filter(col("l_suppkey") <= 3),
+        partitionBy = Seq(col("l_returnflag")),
+        orderBy = col("l_quantity"),
+        agg = sum, valueCol = col("l_quantity"),
+        lo = -1, hi = 0, as = "grp_sum")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("grp_sum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ----------------- timezone-anchored granularity (§2.9 / §7.4.4)
+    "q_timeseries_tz" -> ((s, dir) => {
+      // daily buckets in a +05:30 zone: bucket edges at 18:30 UTC
+      t(s, dir)("events")
+        .groupBy(graft.operators.Windows
+          .timeFloorTz(col("ts"), "P1D", "+05:30").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // ------------------- aggregate-projection rerouting (§4.2 / §1.3)
     "q_projection_reroute" -> ((s, dir) => {
       // register an hourly rollup projection, then answer a daily query
@@ -1400,6 +1425,22 @@ object SparkEntry {
     "q_source_orc" ->
       """SELECT n_regionkey, count(*) AS n FROM nation
          GROUP BY 1 ORDER BY 1""",
+
+    "q_window_groups" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                sum(l_quantity) OVER (PARTITION BY l_returnflag
+                  ORDER BY dr RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+                  AS grp_sum
+         FROM (SELECT *, dense_rank() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity) AS dr
+               FROM lineitem WHERE l_suppkey <= 3)
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_timeseries_tz" ->
+      """SELECT date_trunc('day', ts + INTERVAL 330 MINUTE)
+                  - INTERVAL 330 MINUTE AS bucket,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_projection_reroute" ->
       """SELECT date_trunc('day', ts) AS bucket, event_type,
