@@ -56,11 +56,44 @@ object NativeJsonQuery {
     }
     val agged = base.groupBy(bucket).agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("__bucket", "timestamp")
-    val out = postAggregations(agged, q \ "postAggregations")
+    // reference default: skipEmptyBuckets=false → zero-fill empty buckets
+    // inside the query intervals (fixed-length periods; count-like aggs
+    // fill with 0, others with null)
+    val skipEmpty = bool(q \ "context" \ "skipEmptyBuckets").getOrElse(false)
+    val filled = (period, intervalBounds(q \ "intervals")) match {
+      case (Some(p), Some((start, end))) if !skipEmpty && origin == 0L &&
+          !Set("P1M", "P3M", "P1Y").contains(p) =>
+        val spark = df.sparkSession
+        val micros = DruidFunctions.periodMicros(if (p == "P1W") "P7D" else p)
+        val floorStart = start - Math.floorMod(start, micros)
+        val numBuckets = (end - 1 - floorStart) / micros + 1
+        val buckets = spark.range(1).select(explode(sequence(
+          lit(0L), lit(numBuckets - 1))).as("__i"))
+          .select(timestamp_micros(col("__i") * micros + lit(floorStart))
+            .as("timestamp"))
+        val countCols = arr(q \ "aggregations")
+          .filter(a => str(a \ "type").contains("count"))
+          .flatMap(a => str(a \ "name"))
+        val joined = buckets.join(broadcast(agged), Seq("timestamp"), "left")
+        countCols.foldLeft(joined)((acc, c) =>
+          acc.withColumn(c, coalesce(col(c), lit(0L))))
+      case _ => agged
+    }
+    val out = postAggregations(filled, q \ "postAggregations")
     val descending = bool(q \ "descending").getOrElse(false)
     if (period.isEmpty) out.drop("timestamp")
     else out.orderBy(if (descending) col("timestamp").desc else col("timestamp").asc)
   }
+
+  /** (startMicros, endMicros) of the first interval, if present. */
+  private def intervalBounds(j: JValue): Option[(Long, Long)] =
+    arr(j).collectFirst { case JString(s) =>
+      val Array(a, b) = s.split("/")
+      def us(x: String) = {
+        val i = Instant.parse(x); i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      (us(a), us(b))
+    }
 
   private def topN(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
     val dim = str(q \ "dimension").orElse(str(q \ "dimension" \ "dimension"))

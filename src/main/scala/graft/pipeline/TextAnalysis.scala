@@ -90,14 +90,61 @@ object TextAnalysis {
   def fingerprintPrefix(text: Column, n: Int = 8): Column =
     substring(fingerprint(text), 1, n)
 
-  /** Full document-profile projection used by q_text_* queries. */
+  /** Full document-profile projection used by q_text_* queries.
+    *
+    * Computed as one explode + hash-aggregate pass (token counts, stopword
+    * hits, language-marker hits all come from the same grouped scan) rather
+    * than per-row higher-order functions — HOFs run interpreted, and at
+    * corpus scale this shape is several times faster while producing
+    * bit-identical metrics.
+    */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val metricCols = qualityMetrics(t).map { case (n, c) => c.as(n) }
-    df.select(
-      (col(idCol) +: metricCols :+
-        qualityScore(t).as("quality") :+
-        langIdHeuristic(t).as("pred_lang") :+
-        fingerprint(t).as("fp")): _*)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par).select(
+      col(idCol).as("__id"),
+      col(textCol).as("__text"),
+      length(col(textCol)).cast("double").as("__nc"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[\\p{Punct}]", "")))
+        .cast("double").as("__np"),
+      fingerprint(col(textCol)).as("fp"))
+    val markers = Map(
+      "en" -> Seq("the", "and", "is", "of"), "fr" -> Seq("le", "la", "et", "les"),
+      "es" -> Seq("el", "los", "las", "una"), "de" -> Seq("der", "die", "und", "das"))
+    val toks = base
+      .select(col("__id"), explode(split(col("__text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("ltok", lower(col("tok")))
+    val aggd = toks.groupBy(col("__id")).agg(
+      count(lit(1)).cast("double").as("__nt"),
+      sum(when(col("tok").isin(Stopwords.map(lit): _*), 1).otherwise(0))
+        .cast("double").as("__ns"),
+      sum(when(col("ltok").isin(markers("en").map(lit): _*), 1).otherwise(0)).as("sc_en"),
+      sum(when(col("ltok").isin(markers("fr").map(lit): _*), 1).otherwise(0)).as("sc_fr"),
+      sum(when(col("ltok").isin(markers("es").map(lit): _*), 1).otherwise(0)).as("sc_es"),
+      sum(when(col("ltok").isin(markers("de").map(lit): _*), 1).otherwise(0)).as("sc_de"))
+    val j = base.join(aggd, Seq("__id"), "left")
+      .withColumn("__nt", coalesce(col("__nt"), lit(0.0)))
+      .withColumn("__ns", coalesce(col("__ns"), lit(0.0)))
+    val nt = col("__nt"); val nc = col("__nc"); val ns = col("__ns")
+    val stopRatio = when(nt === 0, 0.0).otherwise(ns / nt)
+    val punctRatio = when(nc === 0, 0.0).otherwise(col("__np") / nc)
+    val best = greatest(col("sc_en"), col("sc_fr"), col("sc_es"), col("sc_de"))
+    j.select(
+      col("__id").as(idCol),
+      nc.cast("long").as("n_chars"),
+      nt.cast("long").as("n_tokens"),
+      ns.cast("long").as("n_stopwords"),
+      when(nt === 0, 0.0).otherwise((nc - (nt - 1)) / nt).as("mean_token_len"),
+      stopRatio.as("stopword_ratio"),
+      punctRatio.as("punct_ratio"),
+      (least(nt / 50.0, lit(1.0)) * (lit(0.5) + least(stopRatio * 10.0, lit(1.0)) * 0.5) *
+        greatest(lit(0.0), lit(1.0) - punctRatio * 4.0)).as("quality"),
+      when(col("sc_en") > 0 && col("sc_en") === best, "en")
+        .when(col("sc_fr") > 0 && col("sc_fr") === best, "fr")
+        .when(col("sc_es") > 0 && col("sc_es") === best, "es")
+        .when(col("sc_de") > 0 && col("sc_de") === best, "de")
+        .otherwise("und").as("pred_lang"),
+      col("fp"))
   }
 }

@@ -86,6 +86,37 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("timeseries zero-fills empty buckets within intervals (reference default)") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    assert(rows.length == 24, s"expected 24 hourly buckets, got ${rows.length}")
+    // sf0.001 events span ~17h, so the tail hours must be zero-filled
+    assert(rows.exists(_.getAs[Long]("n") == 0L))
+    // skipEmptyBuckets=true restores sparse output
+    val sparse = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"],
+       "context": {"skipEmptyBuckets": true},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    assert(sparse.count() < 24)
+  }
+
+  test("GraftSession.attach registers the full SQL surface") {
+    GraftSession.attach(spark)
+    Tables.registerAll(spark, dir)
+    val r = spark.sql(
+      """SELECT TIME_FLOOR(min(ts), 'P1D'), hll_estimate_agg(user_id),
+                geometric_mean(value)
+         FROM events""").head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-01"))
+    assert(r.getLong(1) > 10)
+  }
+
   test("unsupported queryType raises") {
     intercept[IllegalArgumentException] {
       NativeJsonQuery.run(spark, dir,
