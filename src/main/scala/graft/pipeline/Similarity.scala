@@ -14,7 +14,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two array columns (double accumulation). */
+  /** Dot product of two array columns (double accumulation). Higher-order
+    * form — works for any dimension but runs interpreted.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -25,6 +27,16 @@ object Similarity {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Cosine from a precomputed-norm pair: same expression tree as
+    * [[cosine]] (dot / (na*nb)) so results are bit-identical, but each
+    * side's norm is computed once per ROW instead of once per PAIR — at
+    * n×m pair counts that is 3× fewer vector traversals.
+    */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
@@ -40,12 +52,15 @@ object Similarity {
     */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"))
     val sims = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("sim"))
+        cosineWithNorms(col("q_vec"), col("n_vec"),
+          col("q_norm"), col("n_norm")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     sims.withColumn("__rk", row_number().over(w))
@@ -62,11 +77,14 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")).repartition(par)
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      norm(col(vecCol)).as("n_a")).repartition(par)
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      norm(col(vecCol)).as("n_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -92,13 +110,16 @@ object Similarity {
   def annLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, numBits: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"),
       lshBucket(col(vecCol), numBits).as("bucket"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"),
       lshBucket(col(vecCol), numBits).as("bucket"))
     val sims = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("sim"))
+        cosineWithNorms(col("q_vec"), col("n_vec"),
+          col("q_norm"), col("n_norm")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     sims.withColumn("__rk", row_number().over(w))
