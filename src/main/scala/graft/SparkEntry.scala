@@ -963,7 +963,54 @@ object SparkEntry {
         round(kmvEstimate(col("sk_p")), 1).as("purchase_users"),
         round(kmvEstimate(col("sk_l")), 1).as("click_users"),
         round(kmvIntersect(col("sk_p"), col("sk_l")), 1).as("both_users"),
-        round(kmvUnion(col("sk_p"), col("sk_l")), 1).as("either_users"))
+        round(kmvUnion(col("sk_p"), col("sk_l")), 1).as("either_users"),
+        round(kmvNot(col("sk_p"), col("sk_l")), 1).as("purchase_only_users"))
+    }),
+
+    "q_sketch_bloom" -> ((s, dir) => {
+      // bloom-filter agg + membership filter (reference bloom extension):
+      // build a filter of high-balance custkeys, probe customers through it.
+      // False positives possible → rows-only check; FP rate asserted in
+      // SketchSpec.
+      import graft.functions.sketches.BloomFilterAgg._
+      val c = t(s, dir)("customer")
+      val bytes = c.filter(col("c_acctbal") > 5000)
+        .agg(bloomBuild(col("c_custkey"), numBits = 1 << 16)).head()
+        .getAs[Array[Byte]](0)
+      c.filter(bloomMightContain(lit(bytes), col("c_custkey")))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "q_agg_quantile_approx" -> ((s, dir) => {
+      // approximate quantiles (reference quantiles/KLL sketch surface) —
+      // approximate by design → rows-only check; exact percentiles are
+      // oracle-gated in q_agg_percentile
+      t(s, dir)("orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ----------------------------------------- spatial filters (§2.2)
+    "q_spatial" -> ((s, dir) => {
+      // deterministic synthetic coordinates from keys; rect / radius /
+      // polygon membership counts (reference SpatialDimFilter bound types)
+      import graft.functions.SpatialFilters
+      val pts = t(s, dir)("customer").select(col("c_mktsegment"),
+        ((col("c_custkey") * 73 % 3600) / 10.0 - 180.0).as("x"),
+        ((col("c_custkey") * 37 % 1800) / 10.0 - 90.0).as("y"))
+      pts.groupBy(col("c_mktsegment"))
+        .agg(
+          count(when(SpatialFilters.rectangular(col("x"), col("y"),
+            -90, -45, 90, 45), 1)).as("n_rect"),
+          count(when(SpatialFilters.radius(col("x"), col("y"),
+            0, 0, 60), 1)).as("n_radius"),
+          count(when(SpatialFilters.polygon(col("x"), col("y"),
+            Seq((-50.0, -50.0), (50.0, -50.0), (0.0, 60.0))), 1)).as("n_poly"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
     }),
 
     // ------------------------------------------ multimodal (training pipeline)
@@ -1476,6 +1523,29 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity >= 48 AND l_returnflag = 'R'
          ORDER BY l_orderkey, l_linenumber""",
+
+    "q_spatial" ->
+      """WITH pts AS (
+           SELECT c_mktsegment,
+                  (c_custkey * 73 % 3600) / 10.0 - 180.0 AS x,
+                  (c_custkey * 37 % 1800) / 10.0 - 90.0 AS y
+           FROM customer)
+         SELECT c_mktsegment,
+           count(*) FILTER (WHERE x >= -90 AND x <= 90
+                              AND y >= -45 AND y <= 45) AS n_rect,
+           count(*) FILTER (WHERE x*x + y*y <= 60*60) AS n_radius,
+           count(*) FILTER (WHERE (
+             (CASE WHEN ((-50 > y) <> (-50 > y))
+                     AND (-50) + (y - (-50)) / (0.0) * (100.0) > x
+                   THEN 1 ELSE 0 END) +
+             (CASE WHEN ((-50 > y) <> (60 > y))
+                     AND (50) + (y - (-50)) / (110.0) * (-50.0) > x
+                   THEN 1 ELSE 0 END) +
+             (CASE WHEN ((60 > y) <> (-50 > y))
+                     AND (0) + (y - (60)) / (-110.0) * (-50.0) > x
+                   THEN 1 ELSE 0 END)) % 2 = 1) AS n_poly,
+           count(*) AS n
+         FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_timeseries_origin" ->
       """SELECT make_timestamp(epoch_us(ts) -

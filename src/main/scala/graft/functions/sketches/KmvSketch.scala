@@ -93,6 +93,19 @@ object Kmv {
     buf.mergeFrom(deserialize(b))
     estimateFrom(values(serialize(buf)))
   }
+
+  /** A-NOT-B estimate (reference theta sketch set difference): hashes of A
+    * below the common theta that are absent from B.
+    */
+  def notEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val va = values(a); val vb = values(b)
+    val thetaA = if (va.length < K) 1.0 else toDoubleUnit(va.last)
+    val thetaB = if (vb.length < K) 1.0 else toDoubleUnit(vb.last)
+    val theta = math.min(thetaA, thetaB)
+    val setB = vb.toSet
+    val only = va.count(h => toDoubleUnit(h) < theta && !setB.contains(h))
+    only / theta
+  }
 }
 
 /** KMV distinct-sketch aggregate (binary sketch out; estimate via the
@@ -156,6 +169,7 @@ case class KmvSetEstimate(left: Expression, right: Expression, op: String)
       op match {
         case "intersect" => Kmv.intersectEstimate(ab, bb)
         case "union"     => Kmv.unionEstimate(ab, bb)
+        case "not"       => Kmv.notEstimate(ab, bb)
         case o => throw new IllegalArgumentException(s"unknown set op: $o")
       }
     }
@@ -172,4 +186,6 @@ object KmvSketchAgg {
     toCol(KmvSetEstimate(toExpr(a), toExpr(b), "intersect"))
   def kmvUnion(a: Column, b: Column): Column =
     toCol(KmvSetEstimate(toExpr(a), toExpr(b), "union"))
+  def kmvNot(a: Column, b: Column): Column =
+    toCol(KmvSetEstimate(toExpr(a), toExpr(b), "not"))
 }

@@ -128,6 +128,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
+  test("spatial filters: rect, radius, polygon membership") {
+    import graft.functions.SpatialFilters._
+    val pts = Seq((0.0, 0.0), (80.0, 0.0), (0.0, 55.0), (-200.0, 0.0))
+      .toDF("x", "y")
+    val r = pts.select(
+      rectangular(col("x"), col("y"), -90, -45, 90, 45).as("rect"),
+      radius(col("x"), col("y"), 0, 0, 60).as("rad"),
+      polygon(col("x"), col("y"),
+        Seq((-50.0, -50.0), (50.0, -50.0), (0.0, 60.0))).as("poly"))
+      .collect()
+    assert(r(0).getBoolean(0) && r(0).getBoolean(1) && r(0).getBoolean(2)) // origin
+    assert(r(1).getBoolean(0) && !r(1).getBoolean(1) && !r(1).getBoolean(2)) // far east
+    assert(!r(2).getBoolean(0) && r(2).getBoolean(1) && r(2).getBoolean(2)) // high y in triangle
+    assert(!r(3).getBoolean(0) && !r(3).getBoolean(1) && !r(3).getBoolean(2)) // outside all
+  }
+
   test("token count and quality") {
     val df = Seq("the quick brown fox jumps").toDF("t")
       .select(TextAnalysis.tokenCount(col("t")).as("n"),

@@ -55,6 +55,32 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est.getDouble(2) - 40000) / 40000 < 0.05, s"|A∪B| ${est.getDouble(2)}")
   }
 
+  test("KMV A-NOT-B estimate") {
+    val a = spark.range(30000).select(col("id").as("v"))
+    val b = spark.range(20000, 40000).select(col("id").as("v"))
+    val skA = a.agg(KmvSketchAgg.kmvSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val skB = b.agg(KmvSketchAgg.kmvSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val est = spark.range(1)
+      .select(KmvSketchAgg.kmvNot(lit(skA), lit(skB)).as("e")).head().getDouble(0)
+    // |A \ B| = 20000
+    assert(math.abs(est - 20000) / 20000 < 0.15, s"|A\\B| $est")
+  }
+
+  test("bloom filter: no false negatives, low false positives") {
+    import graft.functions.sketches.BloomFilterAgg._
+    val inserted = spark.range(10000)
+    val bytes = inserted.agg(bloomBuild(col("id"), numBits = 1 << 17))
+      .head().getAs[Array[Byte]](0)
+    // every inserted key must test positive
+    val negatives = inserted
+      .filter(!bloomMightContain(lit(bytes), col("id"))).count()
+    assert(negatives == 0, s"$negatives false negatives")
+    // disjoint probe set: FP rate should be small
+    val fps = spark.range(1000000, 1010000)
+      .filter(bloomMightContain(lit(bytes), col("id"))).count()
+    assert(fps < 500, s"$fps false positives out of 10000")
+  }
+
   test("SQL registration exposes sketch functions") {
     GraftExtensions.register(spark)
     spark.range(1000).select((col("id") % 321).as("v"))
