@@ -36,6 +36,23 @@ object StreamingIngest {
         +: dims.map(col)): _*)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Checkpointed parquet sink: source offsets are committed in the
+    * checkpoint atomically with batch completion, so a restarted query
+    * resumes after the last durable batch instead of re-ingesting —
+    * the engine's analog of the reference committing Kafka offsets with the
+    * segment publish (`SequenceMetadata.java`). Production targets a
+    * transactional table format; the contract (checkpoint + idempotent
+    * append) is the same.
+    */
+  def startSink(stream: DataFrame, outPath: String,
+                checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run a bounded micro-batch pass to completion over a prepared streaming
     * DataFrame and return the rolled-up result as a batch DataFrame (memory
     * sink — used by tests and the correctness gate; production writes Delta).

@@ -57,6 +57,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 2000L, s"total $total")
   }
 
+  test("checkpointed sink is exactly-once across restarts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q1 = StreamingIngest.startSink(eventsStream, out, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000)
+    // "restart": same source + same checkpoint → offsets already committed,
+    // nothing is re-ingested
+    val q2 = StreamingIngest.startSink(eventsStream, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     val ds: Dataset[StreamE] = eventsStream
