@@ -825,6 +825,44 @@ object SparkEntry {
         .orderBy(col("n_regionkey"))
     }),
 
+    // --------------------- subquery datasources (§1.1 QueryDataSource)
+    "q_window_over_agg" -> ((s, dir) => {
+      // the reference's windowOperator runs OVER an inner groupBy query
+      // (QueryDataSource nesting): aggregate first, then rank the groups
+      val byCust = t(s, dir)("orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      val w = Window.orderBy(col("n").desc, col("o_custkey").asc)
+      byCust.select(col("o_custkey"), col("n"), col("total"),
+        row_number().over(w).as("rk"))
+        .filter(col("rk") <= 25)
+        .orderBy(col("rk"))
+    }),
+
+    "q_scalar_subquery" -> ((s, dir) => {
+      // scalar subquery (reference singleValue aggregator enforcement)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    "q_correlated_subquery" -> ((s, dir) => {
+      // correlated subquery → decorrelated join (Catalyst does this free;
+      // the reference needs DruidCorrelateUnnestRule/join rewrites)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_orderkey, count(*) AS n_above_avg
+        FROM lineitem l1
+        WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey)
+        GROUP BY l_orderkey
+        HAVING count(*) >= 3
+        ORDER BY l_orderkey""")
+    }),
+
     // --------------------------- GROUPS window frame (§2.6 / §7.4.7)
     "q_window_groups" -> ((s, dir) => {
       // the reference's RANGE frames group PEERS (SQL GROUPS semantics);
@@ -1472,6 +1510,30 @@ object SparkEntry {
     "q_source_orc" ->
       """SELECT n_regionkey, count(*) AS n FROM nation
          GROUP BY 1 ORDER BY 1""",
+
+    "q_window_over_agg" ->
+      """SELECT o_custkey, n, total, rk FROM (
+           SELECT o_custkey, n, total,
+                  row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rk
+           FROM (SELECT o_custkey, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM orders GROUP BY o_custkey))
+         WHERE rk <= 25 ORDER BY rk""",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_correlated_subquery" ->
+      """SELECT l_orderkey, count(*) AS n_above_avg
+         FROM lineitem l1
+         WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem l2
+                             WHERE l2.l_orderkey = l1.l_orderkey)
+         GROUP BY l_orderkey
+         HAVING count(*) >= 3
+         ORDER BY l_orderkey""",
 
     "q_window_groups" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
