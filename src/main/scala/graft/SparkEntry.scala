@@ -563,6 +563,20 @@ object SparkEntry {
         .orderBy(col("q_id"), col("n_id"))
     }),
 
+    "q_expr_array" -> ((s, dir) => {
+      // SQL ARRAY surface (§1.2 ARRAY type / §2.9 array fns): indexing,
+      // slicing, length, aggregates over the array
+      t(s, dir)("embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).as("first_el"),
+          element_at(col("embedding"), -1).as("last_el"),
+          array_max(col("embedding")).as("max_el"),
+          array_min(col("embedding")).as("min_el"),
+          slice(col("embedding"), 1, 3).as("head3"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-duplicate detection (dedup by embedding)
       Similarity.cosineNearDupPairs(t(s, dir)("embeddings"), "vec_id",
@@ -1452,6 +1466,13 @@ object SparkEntry {
            FROM sims)
          SELECT q_id, n_id, round(sim, 4) AS sim FROM ranked
          WHERE rk <= 10 ORDER BY q_id, n_id""",
+
+    "q_expr_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                embedding[1] AS first_el, embedding[-1] AS last_el,
+                list_max(embedding) AS max_el, list_min(embedding) AS min_el,
+                embedding[1:3] AS head3
+         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
 
     "q_embed_neardup" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),

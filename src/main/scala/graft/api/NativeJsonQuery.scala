@@ -27,9 +27,12 @@ object NativeJsonQuery {
 
   def run(spark: SparkSession, dir: String, json: String): DataFrame = {
     val q = JsonMethods.parse(json)
-    val table = str(q \ "dataSource").orElse(str(q \ "dataSource" \ "name"))
-      .getOrElse(throw new IllegalArgumentException("dataSource required"))
-    val df = Tables.asDruid(spark, dir, table)
+    val df0 = dataSource(spark, dir, q \ "dataSource")
+    // virtual columns (reference ExpressionVirtualColumn): computed before
+    // filters/dims so both can reference them. Expressions are Spark SQL.
+    val df = arr(q \ "virtualColumns").foldLeft(df0) { (acc, vc) =>
+      acc.withColumn(str(vc \ "name").get, expr(str(vc \ "expression").get))
+    }
     val flt = combineFilters(df, q)
     str(q \ "queryType").getOrElse("") match {
       case "timeseries"         => timeseries(df, q, flt)
@@ -42,6 +45,23 @@ object NativeJsonQuery {
       case other => throw new IllegalArgumentException(s"unsupported queryType: $other")
     }
   }
+
+  /** Resolve a dataSource spec: a plain table name, {type: table, name},
+    * or {type: union, dataSources: [...]} (reference UnionDataSource —
+    * schema-merging append across tables).
+    */
+  private def dataSource(spark: SparkSession, dir: String, j: JValue): DataFrame =
+    j match {
+      case JString(name) => Tables.asDruid(spark, dir, name)
+      case spec if str(spec \ "type").contains("union") =>
+        arr(spec \ "dataSources")
+          .map(d => dataSource(spark, dir, d))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case spec => str(spec \ "name") match {
+        case Some(name) => Tables.asDruid(spark, dir, name)
+        case None => throw new IllegalArgumentException(s"bad dataSource: $spec")
+      }
+    }
 
   // ------------------------------------------------------------- queries ----
 
@@ -110,7 +130,26 @@ object NativeJsonQuery {
       case JString(d) => col(d)
       case spec =>
         val d = str(spec \ "dimension").get
-        str(spec \ "outputName").fold(col(d))(o => col(d).as(o))
+        // extraction dimension spec (reference ExtractionDimensionSpec):
+        // substring / timeFormat extraction functions on the dimension
+        val base = spec \ "extractionFn" match {
+          case JNothing | JNull => col(d)
+          case fn => str(fn \ "type").getOrElse("") match {
+            case "substring" =>
+              val idx = int(fn \ "index").getOrElse(0)
+              int(fn \ "length") match {
+                case Some(len) => substring(col(d), idx + 1, len)
+                case None      => col(d).substr(lit(idx + 1), length(col(d)))
+              }
+            case "timeFormat" =>
+              date_format(col(d), str(fn \ "format").getOrElse("yyyy-MM-dd"))
+            case "upper" => upper(col(d))
+            case "lower" => lower(col(d))
+            case "strlen" => length(col(d)).cast("string")
+            case o => throw new IllegalArgumentException(s"unsupported extractionFn: $o")
+          }
+        }
+        str(spec \ "outputName").fold(base)(o => base.as(o))
     }
     val aggs = aggregations(q \ "aggregations")
     val having = q \ "having" match {

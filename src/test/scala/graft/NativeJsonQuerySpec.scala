@@ -117,6 +117,38 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(r.getLong(1) > 10)
   }
 
+  test("union datasource appends tables by name") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy",
+       "dataSource": {"type": "union",
+                      "dataSources": ["customer", "supplier"]},
+       "dimensions": [],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    assert(df.head().getAs[Long]("n") == 160L) // 150 customers + 10 suppliers
+  }
+
+  test("virtual columns are usable in dims and filters") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "orders",
+       "virtualColumns": [{"type": "expression", "name": "price_band",
+                           "expression": "CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END"}],
+       "dimensions": ["price_band"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val m = df.collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(m.keySet == Set("hi", "lo") && m.values.sum == 1500L)
+  }
+
+  test("extraction dimension spec (substring)") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "orders",
+       "dimensions": [{"type": "extraction", "dimension": "o_orderpriority",
+                       "outputName": "prio_code",
+                       "extractionFn": {"type": "substring", "index": 0, "length": 1}}],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val codes = df.collect().map(_.getString(0)).toSet
+    assert(codes.subsetOf(Set("1", "2", "3", "4", "5")))
+  }
+
   test("unsupported queryType raises") {
     intercept[IllegalArgumentException] {
       NativeJsonQuery.run(spark, dir,
