@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.sketches.{HllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg}
+import graft.functions.JaroWinklerSimilarity
+import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg}
 
 /** Engine-level Catalyst extensions (registered with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
@@ -51,7 +52,15 @@ object GraftExtensions {
     ("kmv_intersect_estimate", info("kmv_intersect_estimate", "theta intersect"),
       (args: Seq[Expression]) => KmvSetEstimate(args(0), args(1), "intersect")),
     ("kmv_union_estimate", info("kmv_union_estimate", "theta union"),
-      (args: Seq[Expression]) => KmvSetEstimate(args(0), args(1), "union")))
+      (args: Seq[Expression]) => KmvSetEstimate(args(0), args(1), "union")),
+    ("kmv_not_estimate", info("kmv_not_estimate", "theta A-NOT-B"),
+      (args: Seq[Expression]) => KmvSetEstimate(args(0), args(1), "not")),
+    ("bloom_build_agg", info("bloom_build_agg", "bloom filter of a column"),
+      (args: Seq[Expression]) => BloomFilterAgg(args.head).toAggregateExpression()),
+    ("bloom_might_contain", info("bloom_might_contain", "bloom membership"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
+    ("jaro_winkler_similarity", info("jaro_winkler_similarity", "fuzzy match"),
+      (args: Seq[Expression]) => JaroWinklerSimilarity(args(0), args(1))))
 
   /** Register the same functions on a plain session (no extensions needed) —
     * used by tests and by sessions the driver constructs for us.

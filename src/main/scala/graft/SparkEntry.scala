@@ -537,6 +537,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_fuzzy" -> ((s, dir) => {
+      // native codegen'd Jaro-Winkler expression (fuzzy dedup primitive)
+      import graft.functions.JaroWinklerImpl.jaroWinkler
+      t(s, dir)("customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          round(jaroWinkler(col("c_name"), lit("Customer#000000042")), 6)
+            .as("jw_to_42"),
+          round(jaroWinkler(col("c_mktsegment"), lit("AUTOMOBILE")), 6)
+            .as("jw_seg"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir)("documents")
         .select(col("doc_id"),
@@ -1436,6 +1448,14 @@ object SparkEntry {
                        regexp_split_to_array(text, '\s+'),
                        t -> len(t) > 0))) AS BIGINT) AS n_unique
          FROM documents ORDER BY doc_id""",
+
+    "q_text_fuzzy" ->
+      """SELECT c_custkey,
+                round(jaro_winkler_similarity(c_name, 'Customer#000000042'), 6)
+                  AS jw_to_42,
+                round(jaro_winkler_similarity(c_mktsegment, 'AUTOMOBILE'), 6)
+                  AS jw_seg
+         FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -144,6 +144,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!r(3).getBoolean(0) && !r(3).getBoolean(1) && !r(3).getBoolean(2)) // outside all
   }
 
+  test("jaro-winkler matches known values and runs through codegen") {
+    import graft.functions.JaroWinklerImpl
+    assert(math.abs(JaroWinklerImpl.similarity("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(JaroWinklerImpl.similarity("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(JaroWinklerImpl.similarity("", "") == 0.0)
+    assert(JaroWinklerImpl.similarity("same", "same") == 1.0)
+    // through the expression (codegen path)
+    val r = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(JaroWinklerImpl.jaroWinkler(col("a"), col("b")).as("jw")).head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+  }
+
   test("token count and quality") {
     val df = Seq("the quick brown fox jumps").toDF("t")
       .select(TextAnalysis.tokenCount(col("t")).as("n"),
