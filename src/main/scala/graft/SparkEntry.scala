@@ -518,6 +518,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_fuzzy" -> ((s, dir) => {
+      // Jaro-Winkler fuzzy dedup within p_brand blocks
+      Dedup.fuzzyPairs(t(s, dir)("part"), "p_partkey", "p_name",
+        blockKey = col("p_brand"), threshold = 0.92)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ------------------------------------- text analysis (training pipeline)
     "q_text_profile" -> ((s, dir) => {
       TextAnalysis.profile(t(s, dir)("documents"), "doc_id", "text")
@@ -1448,6 +1456,14 @@ object SparkEntry {
                        regexp_split_to_array(text, '\s+'),
                        t -> len(t) > 0))) AS BIGINT) AS n_unique
          FROM documents ORDER BY doc_id""",
+
+    "q_dedup_fuzzy" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
+         ORDER BY id_a, id_b""",
 
     "q_text_fuzzy" ->
       """SELECT c_custkey,

@@ -176,6 +176,28 @@ object Dedup {
           .reduce(_ + _).as("simhash")): _*)
   }
 
+  /** Fuzzy near-duplicate pairs by Jaro-Winkler similarity within blocks —
+    * the string-distance variant of the dedup family, powered by the native
+    * codegen'd [[graft.functions.JaroWinklerSimilarity]] expression. Same
+    * skew discipline as the other pairwise ops: round-robin the probe side,
+    * broadcast the build side.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 blockKey: Column, threshold: Double): DataFrame = {
+    import graft.functions.JaroWinklerImpl.jaroWinkler
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val g = df.select(col(idCol).as("id"), blockKey.as("block"),
+      col(textCol).as("s"))
+    val l = g.select(col("block"), col("id").as("id_a"), col("s").as("s_a"))
+      .repartition(par)
+    val r = g.select(col("block"), col("id").as("id_b"), col("s").as("s_b"))
+    l.join(broadcast(r), Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaroWinkler(col("s_a"), col("s_b")).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
+
   /** Hamming distance between two 64-bit simhashes (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
