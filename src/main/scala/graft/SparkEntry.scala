@@ -204,6 +204,35 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "q_join_asof" -> ((s, dir) => {
+      // as-of join: each click enriched with the user's most recent
+      // prior-or-same purchase value (custom operator — neither the
+      // reference nor Spark SQL has it natively)
+      val ev = t(s, dir)("events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      Joins.asOfJoin(clicks, purchases, "user_id", "ts", "ts",
+        rightCols = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_join_range" -> ((s, dir) => {
+      // range join: classify prices into broadcastable bands
+      import s.implicits._
+      val bands = Seq(
+        ("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0),
+        ("high", 1500.0, 2000.0), ("lux", 2000.0, 999999.0))
+        .toDF("band", "lo", "hi")
+      Joins.rangeJoin(t(s, dir)("part"), bands,
+        col("p_retailprice"), col("lo"), col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), min(col("p_retailprice")).as("min_p"),
+          max(col("p_retailprice")).as("max_p"))
+        .orderBy(col("band"))
+    }),
+
     // ---------------------------------------------------------- set ops (§2.8)
     "q_union" -> ((s, dir) => {
       val o = t(s, dir)("orders")
@@ -1217,6 +1246,23 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, n_name AS nation_name
          FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
          ORDER BY s_suppkey""",
+
+    "q_join_asof" ->
+      """SELECT l.event_id, l.user_id, l.value, r.value AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+
+    "q_join_range" ->
+      """SELECT band, count(*) AS n, min(p_retailprice) AS min_p,
+                max(p_retailprice) AS max_p
+         FROM part JOIN (VALUES ('budget', 0.0, 1000.0),
+                                ('mid', 1000.0, 1500.0),
+                                ('high', 1500.0, 2000.0),
+                                ('lux', 2000.0, 999999.0)) AS r(band, lo, hi)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band ORDER BY band""",
 
     "q_union" ->
       """SELECT o_orderstatus, count(*) AS n FROM (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join surface (reference: `segment/join/HashJoinEngine.java:35`,
@@ -37,6 +38,52 @@ object Joins {
     left.join(right, cond, "left_semi")
   def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_anti")
+
+  /** As-of join: for every left row, the latest right row with
+    * rightTime <= leftTime in the same key group — the canonical
+    * point-in-time enrichment operator, which neither the reference nor
+    * Spark SQL has natively.
+    *
+    * Implemented as tagged union + one window pass (`last(..., ignoreNulls)`
+    * over rows-preceding): a single shuffle on (key), sorted once — no
+    * per-row probing, no broadcast requirement, so it scales to big×big.
+    * Right rows sort before left rows at equal timestamps, giving inclusive
+    * (<=) semantics.
+    *
+    * @param rightCols right-side columns to carry (prefixed output names)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val l = left.withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1)).withColumn("__payload",
+        lit(null).cast(right.select(payload).schema.head.dataType))
+    val r = right.select((col(keyCol) +: col(rightTime).as("__t") +:
+      lit(0).as("__is_left") +: Seq(payload.as("__payload"))): _*)
+    val unioned = l.select((left.columns.map(col) :+ col("__t") :+
+      col("__is_left") :+ col("__payload")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned.withColumn("__match",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    val out = carried.filter(col("__is_left") === 1)
+    rightCols.zipWithIndex.foldLeft(out) { case (acc, (c, _)) =>
+      acc.withColumn(prefix + c, col("__match").getField(c))
+    }.drop("__t", "__is_left", "__payload", "__match")
+  }
+
+  /** Range join: match rows to the (broadcastable) interval table containing
+    * their point — band/bucket classification. Plans as a broadcast
+    * nested-loop with the range predicate, which is the right physical shape
+    * when the interval side is small; a big-big range join would pre-bucket
+    * both sides on interval grid cells first.
+    */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, point: Column,
+                lo: Column, hi: Column, joinType: String = "inner"): DataFrame =
+    points.join(broadcast(ranges), point >= lo && point < hi, joinType)
 
   /** Lookup join (reference `query/LookupDataSource.java:38`): a bounded
     * key→value table used as a map. Implemented as a broadcast join rather

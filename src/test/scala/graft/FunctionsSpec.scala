@@ -156,6 +156,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
   }
 
+  test("asOfJoin picks latest prior-or-equal right row per key") {
+    import graft.operators.Joins
+    val l = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "name")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (1L, 30L, 300.0),
+      (3L, 1L, 999.0)).toDF("k", "t", "v")
+    val byName = Joins.asOfJoin(l, r, "k", "t", "t", Seq("v"))
+      .select(col("name"), col("asof_v")).collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(byName("l1").contains(100.0)) // equal timestamp included
+    assert(byName("l2").contains(150.0)) // latest prior, not the future 300
+    assert(byName("l3").isEmpty)         // no right rows for key 2
+  }
+
   test("token count and quality") {
     val df = Seq("the quick brown fox jumps").toDF("t")
       .select(TextAnalysis.tokenCount(col("t")).as("n"),
