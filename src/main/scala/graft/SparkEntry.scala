@@ -90,6 +90,49 @@ object SparkEntry {
         metric = "n", k = 20, tiebreak = Seq(col("user_id").asc))
     }),
 
+    "q_topn_inverted" -> ((s, dir) => {
+      // inverted topN metric spec (reference InvertedTopNMetricSpec):
+      // bottom-K by the metric
+      t(s, dir)("events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").asc, col("user_id").asc)
+        .limit(15)
+    }),
+
+    "q_topn_dim_order" -> ((s, dir) => {
+      // dimension-ordered topN (reference DimensionTopNMetricSpec,
+      // lexicographic): first K dimension values with their aggregates
+      t(s, dir)("part")
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size")).as("sum_size"))
+        .orderBy(col("p_type").asc)
+        .limit(4)
+    }),
+
+    "q_sql_insert" -> ((s, dir) => {
+      // SQL-driven batch ingestion (reference INSERT ... PARTITIONED BY via
+      // MSQ): CREATE TABLE + INSERT OVERWRITE ... SELECT, then query the
+      // ingested table
+      Tables.registerAll(s, dir)
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft_sqlins_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql("DROP TABLE IF EXISTS graft_daily_rollup")
+      // CTAS refuses a non-empty location: clear leftovers from prior runs
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+      s.sql(s"""CREATE TABLE graft_daily_rollup
+                USING parquet LOCATION '$loc'
+                PARTITIONED BY (day)
+                AS SELECT event_type, count(*) AS n,
+                          round(sum(value), 3) AS sum_value,
+                          to_date(ts) AS day
+                   FROM events GROUP BY to_date(ts), event_type""")
+      s.sql("""SELECT day, event_type, n, sum_value FROM graft_daily_rollup
+               WHERE day BETWEEN DATE '2024-01-01' AND DATE '2024-01-05'
+               ORDER BY day, event_type""")
+    }),
+
     // --------------------------------------------------------- groupBy (§2.5)
     "q_groupby_q1" -> ((s, dir) => {
       // TPC-H Q1 shape: the reference's groupBy query with multiple agg types
@@ -1172,6 +1215,21 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n, round(sum(value), 3) AS sum_value
          FROM events GROUP BY user_id
          ORDER BY n DESC, user_id LIMIT 20""",
+
+    "q_topn_inverted" ->
+      """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+         ORDER BY n ASC, user_id ASC LIMIT 15""",
+
+    "q_topn_dim_order" ->
+      """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
+         FROM part GROUP BY p_type ORDER BY p_type ASC LIMIT 4""",
+
+    "q_sql_insert" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+                round(sum(value), 3) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-05'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_groupby_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

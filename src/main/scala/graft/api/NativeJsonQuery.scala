@@ -63,6 +63,13 @@ object NativeJsonQuery {
       }
     }
 
+  /** EXPLAIN PLAN FOR analog (reference `query/explain/ExplainPlan.java`):
+    * the formatted physical plan of a JSON query.
+    */
+  def explain(spark: SparkSession, dir: String, json: String): String =
+    run(spark, dir, json).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
   // ------------------------------------------------------------- queries ----
 
   private def timeseries(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {

@@ -149,6 +149,15 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(codes.subsetOf(Set("1", "2", "3", "4", "5")))
   }
 
+  test("explain returns the physical plan with pushed filters") {
+    val plan = NativeJsonQuery.explain(spark, dir, """
+      {"queryType": "scan", "dataSource": "lineitem",
+       "columns": ["l_orderkey", "l_quantity"],
+       "filter": {"type": "bound", "dimension": "l_quantity", "lower": 45}}""")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45"))
+  }
+
   test("unsupported queryType raises") {
     intercept[IllegalArgumentException] {
       NativeJsonQuery.run(spark, dir,
