@@ -416,6 +416,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_agg_lambda" -> ((s, dir) => {
+      // expression-lambda aggregator (reference
+      // ExpressionLambdaAggregatorFactory: user fold/combine expressions):
+      // fold = acc + x*x over the collected group (order-insensitive exact
+      // math on integer-valued doubles)
+      t(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(aggregate(collect_list(col("l_quantity")), lit(0.0),
+          (acc, x) => acc + x * x).as("sum_sq"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_agg_stats" -> ((s, dir) => {
       t(s, dir)("lineitem")
         .groupBy(col("l_linestatus"))
@@ -1418,6 +1431,12 @@ object SparkEntry {
       """SELECT event_type, bit_and(user_id) AS b_and, bit_or(user_id) AS b_or,
                 bit_xor(user_id) AS b_xor
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_agg_lambda" ->
+      """SELECT l_returnflag,
+                list_sum(list_transform(list(l_quantity), x -> x * x)) AS sum_sq,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_stats" ->
       """SELECT l_linestatus, round(stddev_samp(l_quantity), 6) AS sd_qty,
