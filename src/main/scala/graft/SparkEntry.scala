@@ -826,6 +826,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_source_regex" -> ((s, dir) => {
+      // regex input format (reference RegexInputFormat + lines format):
+      // write pipe-delimited text lines, read as raw text, parse columns
+      // with regexp_extract
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_regex_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir)("events")
+        .select(concat_ws("|", col("event_id"), col("event_type"), col("value"))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val pattern = "^([0-9]+)\\|([a-z]+)\\|(.*)$"
+      s.read.text(out)
+        .select(
+          regexp_extract(col("value"), pattern, 1).cast("long").as("event_id"),
+          regexp_extract(col("value"), pattern, 2).as("event_type"),
+          regexp_extract(col("value"), pattern, 3).cast("double").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 3).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_expr_timeceil" -> ((s, dir) => {
+      // TIME_CEIL to 15-minute buckets
+      t(s, dir)("events").filter(col("event_id") < 200)
+        .select(col("event_id"),
+          DruidFunctions.timeCeil(col("ts"), "PT15M").as("ceil15m"))
+        .orderBy(col("event_id"))
+    }),
+
     // ------------------------------- MVD any-match filter (§1.2/§2.2)
     "q_mvd_filter" -> ((s, dir) => {
       // Druid MVD filter semantics: a filter on a multi-value dimension
@@ -1802,6 +1831,17 @@ object SparkEntry {
     "q_source_json" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_source_regex" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_expr_timeceil" ->
+      """SELECT event_id,
+                make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000) +
+                  CASE WHEN epoch_us(ts) % 900000000 = 0 THEN 0
+                       ELSE 900000000 END) AS ceil15m
+         FROM events WHERE event_id < 200 ORDER BY event_id""",
 
     "q_mvd_filter" ->
       """SELECT lang, count(*) AS n FROM documents
