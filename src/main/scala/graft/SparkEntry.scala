@@ -447,6 +447,7 @@ object SparkEntry {
           month(ts).cast("long").as("mo"),
           dayofmonth(ts).cast("long").as("d"),
           hour(ts).cast("long").as("h"),
+          DruidFunctions.timeExtract(ts, "DOW").cast("long").as("dow"),
           DruidFunctions.timeFormat(ts, "yyyy-MM-dd HH").as("fmt"),
           date_trunc("second", DruidFunctions.timeShift(ts, "PT1H", 2)).as("shifted"),
           DruidFunctions.timeFloor(ts, "PT15M").as("floor15m"))
@@ -678,7 +679,10 @@ object SparkEntry {
           element_at(col("embedding"), -1).as("last_el"),
           array_max(col("embedding")).as("max_el"),
           array_min(col("embedding")).as("min_el"),
-          slice(col("embedding"), 1, 3).as("head3"))
+          // scalar over the slice: the driver's comparator can't sort raw
+          // array columns, so reduce head-3 to a rounded sum
+          round(aggregate(slice(col("embedding"), 1, 3), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 5).as("head3_sum"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1478,6 +1482,7 @@ object SparkEntry {
                 CAST(month(ts) AS BIGINT) AS mo,
                 CAST(day(ts) AS BIGINT) AS d,
                 CAST(hour(ts) AS BIGINT) AS h,
+                CAST(isodow(ts) AS BIGINT) AS dow,
                 strftime(ts, '%Y-%m-%d %H') AS fmt,
                 date_trunc('second', ts + INTERVAL 2 HOUR) AS shifted,
                 date_trunc('minute', ts) -
@@ -1659,7 +1664,8 @@ object SparkEntry {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
                 embedding[1] AS first_el, embedding[-1] AS last_el,
                 list_max(embedding) AS max_el, list_min(embedding) AS min_el,
-                embedding[1:3] AS head3
+                round(list_sum(list_transform(embedding[1:3],
+                  x -> CAST(x AS DOUBLE))), 5) AS head3_sum
          FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
 
     "q_embed_neardup" ->

@@ -87,17 +87,25 @@ object NativeJsonQuery {
     // inside the query intervals (fixed-length periods; count-like aggs
     // fill with 0, others with null)
     val skipEmpty = bool(q \ "context" \ "skipEmptyBuckets").getOrElse(false)
-    val filled = (period, intervalBounds(q \ "intervals")) match {
-      case (Some(p), Some((start, end))) if !skipEmpty && origin == 0L &&
+    val allIntervals = intervalBounds(q \ "intervals")
+    val filled = period match {
+      case Some(p) if !skipEmpty && origin == 0L && allIntervals.nonEmpty &&
           !Set("P1M", "P3M", "P1Y").contains(p) =>
         val spark = df.sparkSession
         val micros = DruidFunctions.periodMicros(if (p == "P1W") "P7D" else p)
-        val floorStart = start - Math.floorMod(start, micros)
-        val numBuckets = (end - 1 - floorStart) / micros + 1
-        val buckets = spark.range(1).select(explode(sequence(
-          lit(0L), lit(numBuckets - 1))).as("__i"))
-          .select(timestamp_micros(col("__i") * micros + lit(floorStart))
-            .as("timestamp"))
+        // timeFloor(P1W) = date_trunc('week') which is Monday-aligned; the
+        // Monday grid origin is 1969-12-29T00:00Z (epoch - 3 days), not the
+        // (Thursday) epoch itself. All other fixed periods are epoch-aligned.
+        val gridOrigin = if (p == "P1W") -259200000000L else 0L
+        // one bucket grid per query interval (rows in any interval must
+        // survive the left join; a single-interval grid would drop the rest)
+        val buckets = allIntervals.map { case (start, end) =>
+          val floorStart = start - Math.floorMod(start - gridOrigin, micros)
+          val numBuckets = (end - 1 - floorStart) / micros + 1
+          spark.range(numBuckets)
+            .select(timestamp_micros(col("id") * micros + lit(floorStart))
+              .as("timestamp"))
+        }.reduce(_.union(_)).distinct()
         val countCols = arr(q \ "aggregations")
           .filter(a => str(a \ "type").contains("count"))
           .flatMap(a => str(a \ "name"))
@@ -112,9 +120,9 @@ object NativeJsonQuery {
     else out.orderBy(if (descending) col("timestamp").desc else col("timestamp").asc)
   }
 
-  /** (startMicros, endMicros) of the first interval, if present. */
-  private def intervalBounds(j: JValue): Option[(Long, Long)] =
-    arr(j).collectFirst { case JString(s) =>
+  /** (startMicros, endMicros) of every query interval. */
+  private def intervalBounds(j: JValue): List[(Long, Long)] =
+    arr(j).collect { case JString(s) =>
       val Array(a, b) = s.split("/")
       def us(x: String) = {
         val i = Instant.parse(x); i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -125,11 +133,25 @@ object NativeJsonQuery {
   private def topN(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
     val dim = str(q \ "dimension").orElse(str(q \ "dimension" \ "dimension"))
       .getOrElse(throw new IllegalArgumentException("dimension required"))
-    val metric = str(q \ "metric").orElse(str(q \ "metric" \ "metric"))
-      .getOrElse(throw new IllegalArgumentException("metric required"))
     val k = int(q \ "threshold").getOrElse(10)
-    NQ.topN(df, col(dim), aggregations(q \ "aggregations"), metric, k,
-      filter = flt, tiebreak = Seq(col(dim).asc))
+    val aggs = aggregations(q \ "aggregations")
+    // metric spec (reference TopNMetricSpec hierarchy): a plain string or
+    // {type: numeric|dimension}, optionally wrapped in {type: inverted,
+    // metric: <delegate>} which flips the ordering (bottom-K)
+    val metricSpec0 = q \ "metric"
+    val inverted = str(metricSpec0 \ "type").contains("inverted")
+    val metricSpec = if (inverted) metricSpec0 \ "metric" else metricSpec0
+    if (str(metricSpec \ "type").contains("dimension")) {
+      // DimensionTopNMetricSpec: lexicographic by dimension value
+      val base = flt.fold(df)(df.filter)
+      val order = if (inverted) col(dim).desc else col(dim).asc
+      base.groupBy(col(dim)).agg(aggs.head, aggs.tail: _*).orderBy(order).limit(k)
+    } else {
+      val metric = str(metricSpec).orElse(str(metricSpec \ "metric"))
+        .getOrElse(throw new IllegalArgumentException("metric required"))
+      NQ.topN(df, col(dim), aggs, metric, k,
+        filter = flt, tiebreak = Seq(col(dim).asc), ascending = inverted)
+    }
   }
 
   private def groupBy(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {

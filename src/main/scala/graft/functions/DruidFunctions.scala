@@ -80,7 +80,9 @@ object DruidFunctions {
     case "MINUTE"  => minute(ts)
     case "HOUR"    => hour(ts)
     case "DAY"     => dayofmonth(ts)
-    case "DOW"     => dayofweek(ts)
+    // reference TimestampExtractExprMacro uses Joda ISO day-of-week
+    // (Monday=1..Sunday=7); Spark dayofweek is Sunday=1..Saturday=7
+    case "DOW" | "ISODOW" => ((dayofweek(ts) + lit(5)) % 7) + 1
     case "DOY"     => dayofyear(ts)
     case "WEEK"    => weekofyear(ts)
     case "MONTH"   => month(ts)
@@ -195,7 +197,9 @@ object DruidFunctions {
            ELSE timestamp_micros(unix_micros(t) - pmod(unix_micros(t),
              CASE p WHEN 'PT5M' THEN 300000000 WHEN 'PT15M' THEN 900000000
                     WHEN 'PT30M' THEN 1800000000 WHEN 'PT6H' THEN 21600000000
-                    WHEN 'PT12H' THEN 43200000000 END))
+                    WHEN 'PT12H' THEN 43200000000
+                    ELSE CAST(raise_error(concat('unsupported period: ', p)) AS BIGINT)
+             END))
          END""",
       """TIME_SHIFT(t TIMESTAMP, p STRING, n INT) RETURNS TIMESTAMP RETURN
          CASE p
@@ -206,7 +210,9 @@ object DruidFunctions {
              CASE p WHEN 'P1W' THEN 604800000000 WHEN 'P1D' THEN 86400000000
                     WHEN 'PT6H' THEN 21600000000 WHEN 'PT1H' THEN 3600000000
                     WHEN 'PT15M' THEN 900000000 WHEN 'PT1M' THEN 60000000
-                    WHEN 'PT1S' THEN 1000000 END)
+                    WHEN 'PT1S' THEN 1000000
+                    ELSE CAST(raise_error(concat('unsupported period: ', p)) AS BIGINT)
+             END)
          END""")
     fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
   }

@@ -84,10 +84,11 @@ object NativeQueries {
     */
   def topN(df: DataFrame, dimension: Column, aggs: Seq[Column],
            metric: String, k: Int, filter: Option[Column] = None,
-           tiebreak: Seq[Column] = Nil): DataFrame = {
+           tiebreak: Seq[Column] = Nil, ascending: Boolean = false): DataFrame = {
     val base = filter.fold(df)(df.filter)
+    val metricOrder = if (ascending) col(metric).asc else col(metric).desc
     base.groupBy(dimension).agg(aggs.head, aggs.tail: _*)
-      .orderBy(col(metric).desc +: tiebreak: _*)
+      .orderBy(metricOrder +: tiebreak: _*)
       .limit(k)
   }
 

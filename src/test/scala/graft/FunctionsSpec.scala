@@ -118,6 +118,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getTimestamp(3).toString == "2024-04-05 10:37:45.0")
   }
 
+  test("timeExtract DOW is ISO (Monday=1..Sunday=7)") {
+    // 2024-01-01 was a Monday, 2024-01-07 a Sunday
+    val df = Seq("2024-01-01", "2024-01-04", "2024-01-07").toDF("s")
+      .select(DruidFunctions.timeExtract(col("s").cast("timestamp"), "DOW").as("d"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 4, 7))
+  }
+
+  test("SQL TIME_FLOOR / TIME_SHIFT raise on unsupported periods") {
+    DruidFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'PT10M')").head()
+    }
+    assert(e1.getMessage.contains("unsupported period"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'PT10M', 1)").head()
+    }
+    assert(e2.getMessage.contains("unsupported period"))
+  }
+
   test("cosine near-dup pairs are symmetric-deduped") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f)))

@@ -106,6 +106,57 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(sparse.count() < 24)
   }
 
+  test("weekly zero-fill aligns buckets to the Monday date_trunc grid") {
+    // 2024-01-01 is a Monday; sf0.001 events put 248 rows in that week and
+    // 246 in the next. An epoch-aligned (Thursday) grid would match nothing
+    // and zero out the real aggregate rows.
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "week",
+       "intervals": ["2023-12-25T00:00:00Z/2024-01-15T00:00:00Z"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    assert(rows.length == 3, s"expected 3 weekly buckets, got ${rows.length}")
+    val byTs = rows.map(r => r.getTimestamp(0).toString.take(10) -> r.getAs[Long]("n")).toMap
+    assert(byTs == Map("2023-12-25" -> 0L, "2024-01-01" -> 248L, "2024-01-08" -> 246L))
+  }
+
+  test("zero-fill generates bucket grids for every interval, not just the first") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "day",
+       "intervals": ["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z",
+                     "2024-01-05T00:00:00Z/2024-01-06T00:00:00Z"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    assert(rows.length == 2, s"expected 2 daily buckets, got ${rows.length}")
+    // the old single-interval grid dropped the 2024-01-05 aggregate (35 rows)
+    assert(rows.forall(_.getAs[Long]("n") > 0L))
+  }
+
+  test("inverted topN metric spec returns bottom-K ascending") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "topN", "dataSource": "events",
+       "dimension": "event_type", "threshold": 3,
+       "metric": {"type": "inverted", "metric": "n"},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val ns = df.collect().map(_.getAs[Long]("n"))
+    assert(ns.length == 3 && ns.sameElements(ns.sorted))
+    val all = Tables.load(spark, dir, "events")
+      .groupBy("event_type").count().collect().map(_.getAs[Long]("count")).sorted
+    assert(ns.head == all.head)
+  }
+
+  test("dimension topN metric spec orders lexicographically") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "topN", "dataSource": "events",
+       "dimension": "event_type", "threshold": 2,
+       "metric": {"type": "dimension"},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val dims = df.collect().map(_.getString(0))
+    assert(dims.sameElements(dims.sorted) && dims.length == 2)
+  }
+
   test("GraftSession.attach registers the full SQL surface") {
     GraftSession.attach(spark)
     Tables.registerAll(spark, dir)
