@@ -24,12 +24,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warm the JVM + file cache once (JIT/codegen dominate first-query time)
-    try SparkEntry.queries("q_groupby_q1")(spark, sfDir).write
-      .format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // optional comma-separated allowlist for local iteration (unset = all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val bench = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm the JVM once by running every query at the smallest SF: JIT
+    // compilation of whole-stage-codegen'd methods dominates cold
+    // single-run times (3× on the heavy dedup queries), and the reference's
+    // published numbers are warm JMH iterations — measure like for like.
+    val warmDir = new java.io.File("/root/testdata/sf0.001") match {
+      case f if f.isDirectory => f.getPath
+      case _                  => sfDir
+    }
+    bench.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
+    val results = bench.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -50,25 +50,26 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
   }
 
-  /** Distinct word k-shingles as ROWS (id, carry…, sh): posexplode the
-    * token stream, assemble each shingle with window `lead`s, drop the
-    * ragged tail, distinct. Every operator here is whole-stage-codegen'd,
-    * the cost is O(tokens) per document, and the (id, pos) shuffle is the
-    * only data movement — this is the shape that survives a 100 TB corpus.
+  /** Word k-shingles as ROWS (id, carry…, sh): tokenize once per document,
+    * explode the shingle start positions, and slice k tokens per position.
+    * The whole pipeline is scan → project → generate → project with no
+    * shuffle (the earlier window-`lead` formulation sorted every token row
+    * by (id, pos) — a full shuffle+sort that dominated corpus-scale runs);
+    * downstream aggregates see map-side partials only. Cost is O(tokens·k)
+    * per document and every operator is whole-stage-codegen'd — this is the
+    * shape that survives a 100 TB corpus.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int,
                   carry: Seq[String] = Nil, distinctRows: Boolean = true): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val toks = spread.select(
-      (col(idCol).as("id") +: carry.map(col) :+
-        posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "tok"))): _*)
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val parts = (0 until k).map(i =>
-      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
-    val rows = toks
+    val rows = spread
+      .select((col(idCol).as("id") +: carry.map(col) :+
+        split(normalize(col(textCol)), " ").as("__toks")): _*)
+      .filter(size(col("__toks")) >= k)
+      .select((col("id") +: carry.map(col) :+ col("__toks") :+
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("__i")): _*)
       .select((col("id") +: carry.map(col) :+
-        concat_ws(" ", parts: _*).as("sh") :+ parts.last.as("__tail")): _*)
-      .filter(col("__tail").isNotNull).drop("__tail")
+        concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(k))).as("sh")): _*)
     if (distinctRows) rows.distinct() else rows
   }
 
