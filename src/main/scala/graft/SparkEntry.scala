@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.DruidFunctions
-import graft.operators.{Joins, NativeQueries => NQ}
+import graft.operators.{Joins, NativeQueries => NQ, PostProcessing}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingIngest
 
@@ -71,6 +71,19 @@ object SparkEntry {
     "q_timeseries_hour" -> ((s, dir) => {
       NQ.timeseries(t(s, dir)("events"), "ts", "PT1H",
         Seq(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value")))
+    }),
+
+    "q_timewarp" -> ((s, dir) => {
+      // timewarp post-processing (reference TimewarpOperator): answer a
+      // "this week" query from last week's complete data — query the
+      // interval shifted back one week, then shift result buckets forward
+      val base = t(s, dir)("events")
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-01-08").cast("timestamp"))
+      val daily = base
+        .groupBy(DruidFunctions.timeFloor(col("ts"), "P1D").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      PostProcessing.timewarp(daily, "bucket", "P7D", 1).orderBy(col("bucket"))
     }),
 
     "q_timeseries_zerofill" -> ((s, dir) => {
@@ -198,6 +211,15 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------ joins (§2.4)
+    "q_join_cross" -> ((s, dir) => {
+      // cross join of broadcastable dims (reference allows it for inline/
+      // lookup datasources via an always-true join condition,
+      // JoinConditionAnalysis.java:89) — both sides tiny, broadcast NL join
+      t(s, dir)("region").select(col("r_name"))
+        .crossJoin(broadcast(t(s, dir)("nation").select(col("n_name"))))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     "q_join_broadcast" -> ((s, dir) => {
       val li = t(s, dir)("lineitem")
       Joins.broadcastJoin(li, t(s, dir)("part"),
@@ -405,6 +427,18 @@ object SparkEntry {
         .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
           .as("statuses"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    "q_agg_arrayconcat" -> ((s, dir) => {
+      // ARRAY_CONCAT_AGG (reference ArrayConcatSqlAggregator): concatenate
+      // per-row arrays, here the tokenized p_type; sorted+distinct+joined so
+      // the result is deterministic and scalar for the oracle compare
+      t(s, dir)("part")
+        .groupBy(col("p_brand"))
+        .agg(array_join(array_sort(array_distinct(
+          flatten(collect_list(split(col("p_type"), " "))))), ",").as("words"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
     }),
 
     "q_agg_bitwise" -> ((s, dir) => {
@@ -682,7 +716,17 @@ object SparkEntry {
           // scalar over the slice: the driver's comparator can't sort raw
           // array columns, so reduce head-3 to a rounded sum
           round(aggregate(slice(col("embedding"), 1, 3), lit(0.0),
-            (acc, x) => acc + x.cast("double")), 5).as("head3_sum"))
+            (acc, x) => acc + x.cast("double")), 5).as("head3_sum"),
+          // scalar_in_array / array_offset_of analog
+          array_position(col("embedding"), element_at(col("embedding"), 5))
+            .cast("long").as("pos5"),
+          // array_set_add: distinct size after appending an element
+          size(array_union(slice(col("embedding"), 1, 8),
+            array(element_at(col("embedding"), 1)))).cast("long").as("set_add_n"),
+          // array_quantile(0.5): median via sort + middle elements
+          round((element_at(array_sort(col("embedding")), 32).cast("double") +
+            element_at(array_sort(col("embedding")), 33).cast("double")) / 2.0, 5)
+            .as("median"))
         .orderBy(col("vec_id"))
     }),
 
@@ -813,6 +857,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       ev.write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true").schema(ev.schema).csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_source_tsv" -> ((s, dir) => {
+      // delimited (TSV) input format (reference DelimitedInputFormat): same
+      // adapter as CSV with a tab separator
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tsv_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = t(s, dir)("events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").option("header", "true").option("sep", "\t").csv(out)
+      s.read.option("header", "true").option("sep", "\t").schema(ev.schema).csv(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
         .orderBy(col("event_type"))
@@ -1266,6 +1324,31 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
          ORDER BY n ASC, user_id ASC LIMIT 15""",
 
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "q_source_tsv" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_agg_arrayconcat" ->
+      """WITH toks AS (SELECT p_brand, unnest(string_split(p_type, ' ')) AS w
+                       FROM part),
+              agg AS (SELECT p_brand,
+                             string_agg(DISTINCT w, ',' ORDER BY w) AS words
+                      FROM toks GROUP BY p_brand),
+              cnt AS (SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand)
+         SELECT cnt.p_brand, words, n FROM cnt JOIN agg USING (p_brand)
+         ORDER BY p_brand""",
+
+    "q_timewarp" ->
+      """SELECT date_trunc('day', ts) + INTERVAL 7 DAY AS bucket,
+                count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+         GROUP BY 1 ORDER BY 1""",
+
     "q_topn_dim_order" ->
       """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_type ORDER BY p_type ASC LIMIT 4""",
@@ -1665,7 +1748,12 @@ object SparkEntry {
                 embedding[1] AS first_el, embedding[-1] AS last_el,
                 list_max(embedding) AS max_el, list_min(embedding) AS min_el,
                 round(list_sum(list_transform(embedding[1:3],
-                  x -> CAST(x AS DOUBLE))), 5) AS head3_sum
+                  x -> CAST(x AS DOUBLE))), 5) AS head3_sum,
+                CAST(list_position(embedding, embedding[5]) AS BIGINT) AS pos5,
+                CAST(len(list_distinct(list_concat(embedding[1:8],
+                  [embedding[1]]))) AS BIGINT) AS set_add_n,
+                round((CAST(list_sort(embedding)[32] AS DOUBLE) +
+                       CAST(list_sort(embedding)[33] AS DOUBLE)) / 2, 5) AS median
          FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
 
     "q_embed_neardup" ->
