@@ -1196,6 +1196,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_sketch_tuple" -> ((s, dir) => {
+      // tuple (arrayOfDoubles) sketch (reference datasketches tuple ext):
+      // per distinct user, sum an array of double metrics; estimates are
+      // exact below the nominal entry count, so this IS oracle-checkable
+      // at sf0.01 (150 users/type << 4096 nominal entries)
+      import graft.functions.sketches.TupleSketchAgg._
+      t(s, dir)("events")
+        .groupBy(col("event_type"))
+        .agg(tupleSketch(col("user_id"),
+          array(col("value").cast("double"), lit(1.0))).as("sk"))
+        .select(col("event_type"),
+          tupleEstimate(col("sk")).cast("long").as("n_users"),
+          round(tupleMetricSum(col("sk"), 0), 3).as("sum_value"),
+          tupleMetricSum(col("sk"), 1).cast("long").as("n_rows"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_sketch_theta_setops" -> ((s, dir) => {
       // KMV/theta-style sketch algebra (reference datasketches theta):
       // distinct users per event type, then intersection/union estimates
@@ -1327,6 +1344,11 @@ object SparkEntry {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
+
+    "q_sketch_tuple" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                round(sum(value), 3) AS sum_value, count(*) AS n_rows
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_source_tsv" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value

@@ -196,8 +196,22 @@ object NativeJsonQuery {
         }
         (cols, int(ls \ "limit"))
     }
-    val out = NQ.groupBy(df, dims, aggs, filter = flt, having = having,
-      orderBy = orderCols, limit = limit)
+    // subtotalsSpec (reference GroupByQuery.java:124): compute only the
+    // listed dimension subsets; dims absent from a subset come back null.
+    // Direct map onto GROUPING SETS — one shuffle, expand-based, no
+    // re-aggregation per subset.
+    val subtotals = arr(q \ "subtotalsSpec")
+      .map(s => arr(s).collect { case JString(d) => d })
+    val out =
+      if (subtotals.nonEmpty) {
+        val base = flt.fold(df)(df.filter)
+        var g = base.groupingSets(subtotals.map(_.map(col)), dims: _*)
+          .agg(aggs.head, aggs.tail: _*)
+        g = having.fold(g)(g.filter)
+        if (orderCols.nonEmpty) g = g.orderBy(orderCols: _*)
+        limit.fold(g)(g.limit)
+      } else NQ.groupBy(df, dims, aggs, filter = flt, having = having,
+        orderBy = orderCols, limit = limit)
     postAggregations(out, q \ "postAggregations")
   }
 

@@ -63,6 +63,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getBoolean(2) && !r.getBoolean(3))
   }
 
+  test("ipv6 subnet match handles ::, prefix masks, malformed input") {
+    import graft.functions.Ipv6Match.ipv6Match
+    val df = Seq(
+      "2001:db8::1", "2001:db8:0:0:0:0:0:1", "2001:db9::1",
+      "fe80::aaaa", "not-an-ip", "1.2.3.4").toDF("ip")
+      .select(col("ip"),
+        ipv6Match(col("ip"), "2001:db8::/32").as("m32"),
+        ipv6Match(col("ip"), "2001:db8::/127").as("m127"),
+        ipv6Match(col("ip"), "::/0").as("m0"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(rows("2001:db8::1") == ((true, true, true)))
+    assert(rows("2001:db8:0:0:0:0:0:1") == ((true, true, true)))  // same addr
+    assert(rows("2001:db9::1") == ((false, false, true)))
+    assert(rows("fe80::aaaa") == ((false, false, true)))
+    assert(rows("not-an-ip") == ((false, false, false)))
+    assert(rows("1.2.3.4") == ((false, false, false)))
+    assert(graft.functions.Ipv6.parse("1::2::3") == null)
+    assert(graft.functions.Ipv6.parse("12345::") == null)
+  }
+
   test("mv functions behave like Druid MVDs") {
     val df = Seq("a,b,ab").toDF("s")
       .select(split(col("s"), ",").as("mv"))

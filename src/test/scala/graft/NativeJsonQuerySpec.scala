@@ -178,6 +178,19 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(df.head().getAs[Long]("n") == 160L) // 150 customers + 10 suppliers
   }
 
+  test("subtotalsSpec maps onto grouping sets") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "events",
+       "dimensions": ["event_type"],
+       "subtotalsSpec": [["event_type"], []],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    // 5 event types + 1 grand-total row (event_type null)
+    assert(rows.length == 6)
+    val total = rows.filter(_.isNullAt(0)).map(_.getAs[Long]("n"))
+    assert(total.toSeq == Seq(1000L))
+  }
+
   test("virtual columns are usable in dims and filters") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "orders",

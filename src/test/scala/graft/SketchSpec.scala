@@ -66,6 +66,40 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 20000) / 20000 < 0.15, s"|A\\B| $est")
   }
 
+  test("tuple sketch: exact below nominal entries, estimates above") {
+    import graft.functions.sketches.TupleSketchAgg._
+    // 2000 distinct keys < K=4096 → exact distinct count and metric sums
+    val small = spark.range(10000).select((col("id") % 2000).as("k"),
+      lit(2.5).as("v"))
+      .agg(tupleSketch(col("k"), array(col("v"))).as("sk"))
+      .select(tupleEstimate(col("sk")).as("nk"),
+        tupleMetricSum(col("sk"), 0).as("sv"))
+      .head()
+    assert(small.getDouble(0) == 2000.0)
+    assert(math.abs(small.getDouble(1) - 25000.0) < 1e-9)
+    // 50k distinct keys > K → approximate within 5%
+    val big = spark.range(200000).repartition(8)
+      .select((col("id") % 50000).as("k"), lit(1.0).as("v"))
+      .agg(tupleSketch(col("k"), array(col("v"))).as("sk"))
+      .select(tupleEstimate(col("sk")).as("nk"),
+        tupleMetricSum(col("sk"), 0).as("sv"))
+      .head()
+    assert(math.abs(big.getDouble(0) - 50000.0) / 50000.0 < 0.05,
+      s"distinct est ${big.getDouble(0)}")
+    assert(math.abs(big.getDouble(1) - 200000.0) / 200000.0 < 0.05,
+      s"metric est ${big.getDouble(1)}")
+  }
+
+  test("tuple sketch is insensitive to partitioning (mergeable partials)") {
+    import graft.functions.sketches.TupleSketchAgg._
+    def run(parts: Int) = spark.range(30000).repartition(parts)
+      .select((col("id") % 3000).as("k"), (col("id") % 7).cast("double").as("v"))
+      .agg(tupleSketch(col("k"), array(col("v"))).as("sk"))
+      .select(tupleEstimate(col("sk")), round(tupleMetricSum(col("sk"), 0), 6))
+      .head()
+    assert(run(16) == run(1))
+  }
+
   test("bloom filter: no false negatives, low false positives") {
     import graft.functions.sketches.BloomFilterAgg._
     val inserted = spark.range(10000)
