@@ -17,16 +17,24 @@ import graft.operators.{NativeQueries => NQ}
   * (`POST /druid/v2`, Jackson-deserialized `query/Query.java:74`). Accepts
   * the reference's JSON query shapes and compiles them to DataFrame plans,
   * so a caller migrating from the reference can submit the same query
-  * objects. Supported queryTypes: timeseries, topN, groupBy, scan,
-  * timeBoundary, search, dataSourceMetadata.
+  * objects. Supports all ten native query types enumerated at
+  * `query/Query.java:76-86`: timeseries, topN, groupBy, scan, timeBoundary,
+  * search, dataSourceMetadata, segmentMetadata, windowOperator, union.
   *
   * The translation is intentionally thin: JSON → the same `NativeQueries`
   * builders the Scala API uses → Catalyst. No new execution machinery.
   */
 object NativeJsonQuery {
 
-  def run(spark: SparkSession, dir: String, json: String): DataFrame = {
-    val q = JsonMethods.parse(json)
+  def run(spark: SparkSession, dir: String, json: String): DataFrame =
+    runParsed(spark, dir, JsonMethods.parse(json))
+
+  private def runParsed(spark: SparkSession, dir: String, q: JValue): DataFrame = {
+    // top-level union query (reference query/union/UnionQuery.java:52):
+    // concatenate sub-query results by name
+    if (str(q \ "queryType").contains("union"))
+      return arr(q \ "queries").map(runParsed(spark, dir, _))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     val df0 = dataSource(spark, dir, q \ "dataSource")
     // virtual columns (reference ExpressionVirtualColumn): computed before
     // filters/dims so both can reference them. Expressions are Spark SQL.
@@ -42,6 +50,12 @@ object NativeJsonQuery {
       case "timeBoundary"       => NQ.timeBoundary(flt.fold(df)(df.filter), Tables.TimeColumn)
       case "dataSourceMetadata" => NQ.dataSourceMetadata(df, Tables.TimeColumn)
       case "search"             => search(df, q, flt)
+      case "segmentMetadata" =>
+        // reference SegmentMetadataQuery toInclude list (ListColumnIncluderator)
+        val cols = arr(q \ "toInclude" \ "columns").collect { case JString(c) => c }
+        NQ.segmentMetadata(flt.fold(df)(df.filter),
+          if (cols.nonEmpty) cols else df.columns.toSeq)
+      case "windowOperator"     => windowOperator(df, q, flt)
       case other => throw new IllegalArgumentException(s"unsupported queryType: $other")
     }
   }
@@ -227,6 +241,50 @@ object NativeJsonQuery {
     }
     NQ.scan(df, cols, filter = flt, orderBy = order,
       limit = int(q \ "limit"), offset = int(q \ "offset").getOrElse(0))
+  }
+
+  /** windowOperator query (reference `query/operator/WindowOperatorQuery
+    * .java:56`): an operatorDefinition pipeline of naivePartition /
+    * naiveSort / window-processor stages compiled onto one Spark window
+    * spec — partitioning and ordering become the window frame, each
+    * processor a window function column.
+    */
+  private def windowOperator(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = flt.fold(df)(df.filter)
+    val ops = arr(q \ "operatorDefinition")
+    val partCols = ops.find(o => str(o \ "type").contains("naivePartition"))
+      .map(o => arr(o \ "partitionColumns").collect { case JString(c) => col(c) })
+      .getOrElse(Nil)
+    val sortCols = ops.find(o => str(o \ "type").contains("naiveSort"))
+      .map(o => arr(o \ "columns").map {
+        case JString(c) => col(c).asc
+        case spec =>
+          val c = col(str(spec \ "column").get)
+          if (str(spec \ "direction").exists(_.toUpperCase.startsWith("DESC")))
+            c.desc else c.asc
+      }).getOrElse(Nil)
+    val w0 = Window.partitionBy(partCols: _*)
+    val w = if (sortCols.nonEmpty) w0.orderBy(sortCols: _*) else w0
+    val procs = ops.filter(o => str(o \ "type").contains("window"))
+      .flatMap(o => arr(o \ "processors"))
+    procs.foldLeft(base) { (acc, p) =>
+      val out = str(p \ "outputColumn").getOrElse("w")
+      def in = col(str(p \ "inputColumn").get)
+      val fn = str(p \ "type").getOrElse("") match {
+        case "rowNumber"   => row_number()
+        case "rank"        => rank()
+        case "denseRank"   => dense_rank()
+        case "cumeDist"    => cume_dist()
+        case "percentRank" => percent_rank()
+        case "lag"         => lag(in, int(p \ "offset").getOrElse(1))
+        case "lead"        => lead(in, int(p \ "offset").getOrElse(1))
+        case "first"       => first(in)
+        case "last"        => last(in)
+        case other => throw new IllegalArgumentException(s"unsupported processor: $other")
+      }
+      acc.withColumn(out, fn.over(w))
+    }
   }
 
   private def search(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.NativeJsonQuery
 
@@ -176,6 +177,43 @@ class NativeJsonQuerySpec extends AnyFunSuite {
        "dimensions": [],
        "aggregations": [{"type": "count", "name": "n"}]}""")
     assert(df.head().getAs[Long]("n") == 160L) // 150 customers + 10 suppliers
+  }
+
+  test("segmentMetadata query type reports per-column analysis") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "segmentMetadata", "dataSource": "events",
+       "toInclude": {"type": "list", "columns": ["event_type", "user_id"]}}""")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("event_type", "user_id"))
+    assert(rows.forall(_.getAs[Long]("non_null") == 1000L))
+  }
+
+  test("union query type concatenates sub-query results") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "union", "queries": [
+        {"queryType": "groupBy", "dataSource": "events",
+         "dimensions": ["event_type"],
+         "aggregations": [{"type": "count", "name": "n"}]},
+        {"queryType": "groupBy", "dataSource": "events",
+         "dimensions": ["event_type"],
+         "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+         "aggregations": [{"type": "count", "name": "n"}]}]}""")
+    assert(df.count() == 6) // 5 types + 1 filtered row
+  }
+
+  test("windowOperator query type runs the processor pipeline") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "windowOperator", "dataSource": "events",
+       "operatorDefinition": [
+         {"type": "naivePartition", "partitionColumns": ["event_type"]},
+         {"type": "naiveSort", "columns": [{"column": "value", "direction": "DESC"}]},
+         {"type": "window", "processors": [
+           {"type": "rowNumber", "outputColumn": "rn"},
+           {"type": "lag", "inputColumn": "value", "offset": 1, "outputColumn": "prev_v"}]}]}""")
+    val top = df.filter(col("rn") === 1)
+    val rows = top.collect()
+    assert(rows.length == 5) // one top row per event_type
+    assert(rows.forall(_.getAs[Any]("prev_v") == null))
   }
 
   test("subtotalsSpec maps onto grouping sets") {
