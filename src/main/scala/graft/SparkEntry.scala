@@ -703,6 +703,17 @@ object SparkEntry {
         .orderBy(col("q_id"), col("n_id"))
     }),
 
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      // IVF-partitioned ANN (k-means coarse quantizer + nprobe search) —
+      // the scale path; approximate → rows-only check, recall asserted in
+      // FunctionsSpec against brute force
+      val emb = t(s, dir)("embeddings")
+      Similarity.annIvf(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .select(col("q_id"), col("n_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("q_id"), col("n_id"))
+    }),
+
     "q_expr_array" -> ((s, dir) => {
       // SQL ARRAY surface (§1.2 ARRAY type / §2.9 array fns): indexing,
       // slicing, length, aggregates over the array

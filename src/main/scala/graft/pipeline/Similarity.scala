@@ -126,4 +126,83 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
       .orderBy(col("q_id"), col("n_id"))
   }
+
+  /** IVF coarse quantizer: nlist centroids trained with `iters` relational
+    * Lloyd iterations. Seeds are the lowest-id vectors (deterministic);
+    * each iteration assigns every vector to its nearest centroid (stream ×
+    * broadcast centroids) and recomputes elementwise means via
+    * posexplode + groupBy — all distributed, no driver-side vectors.
+    *
+    * @return (centroid_id, centroid ARRAY<DOUBLE>)
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 2): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("__vid"),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    var centroids = vecs.orderBy(col("__vid")).limit(nlist)
+      .select(row_number().over(Window.orderBy(col("__vid"))).as("centroid_id"),
+        col("__v").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy(col("__vid"))
+        .orderBy(col("__sim").desc, col("centroid_id").asc)
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .select(col("__vid"), col("__v"), col("centroid_id"),
+          cosine(col("__v"), col("centroid")).as("__sim"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** Nearest `nprobe` centroid ids per row (rank by cosine to centroid). */
+  private def probeAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
+                          idCols: Seq[String], nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(col("__csim").desc, col("centroid_id").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= nprobe)
+      .drop("centroid", "__csim", "__crk")
+  }
+
+  /** IVF approximate NN (the scale path for similarity search): corpus
+    * vectors live in their single nearest inverted list; each query probes
+    * its `nprobe` nearest lists and scans only those candidates — at 1B+
+    * vectors the scan cost drops by ~nlist/nprobe versus brute force while
+    * the per-pair math stays identical to [[bruteForceKnn]].
+    */
+  def annIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+             iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val c = probeAssign(
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_norm")),
+      centroids, "n_vec", Seq("n_id"), nprobe = 1)
+    val q = probeAssign(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm")),
+      centroids, "q_vec", Seq("q_id"), nprobe)
+    val sims = c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineWithNorms(col("q_vec"), col("n_vec"),
+          col("q_norm"), col("n_norm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    sims.dropDuplicates("q_id", "n_id")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+      .orderBy(col("q_id"), col("n_id"))
+  }
 }

@@ -53,6 +53,19 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: drop events whose key was already seen, with
+    * the dedup state bounded by the watermark (keys older than the
+    * watermark are evicted — without it state grows forever at corpus
+    * scale). The streaming analog of `pipeline/Dedup.exact`, and the
+    * standard guard against at-least-once upstream delivery (e.g. Kafka
+    * producer retries).
+    */
+  def dedup(stream: DataFrame, timeCol: String, keyCols: Seq[String],
+            watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run a bounded micro-batch pass to completion over a prepared streaming
     * DataFrame and return the rolled-up result as a batch DataFrame (memory
     * sink — used by tests and the correctness gate; production writes Delta).

@@ -158,6 +158,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported period"))
   }
 
+  test("IVF ANN returns k valid neighbors with useful recall") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvf(queries, emb, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 5 per query; sims are real cosines so any hit is a true neighbor of
+    // its candidate set
+    assert(approx.size == 50)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("cosine near-dup pairs are symmetric-deduped") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f)))

@@ -43,6 +43,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    // events replayed twice (same files via a 2-path glob is not possible
+    // here, so duplicate by unioning the stream with itself per batch is
+    // not either) — instead dedup the raw stream on event_id: already
+    // unique, so row count must equal the batch count; then dedup on
+    // user_id, which must collapse to the distinct user count
+    val byEvent = StreamingIngest.dedup(eventsStream, "ts", Seq("event_id"))
+    val q1 = byEvent.writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q1.stop()
+    val byUser = StreamingIngest.dedup(eventsStream, "ts", Seq("user_id"),
+      watermark = "30 days")
+    val q2 = byUser.writeStream.format("memory").queryName("dedup_user")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val batch = Tables.load(spark, dir, "events")
+    assert(spark.table("dedup_ev").count() == batch.count())
+    assert(spark.table("dedup_user").count() ==
+      batch.select("user_id").distinct().count())
+  }
+
   test("sliding window aggregation (Spark extra beyond tumbling rollup)") {
     val agg = eventsStream
       .withWatermark("ts", "1 hour")
