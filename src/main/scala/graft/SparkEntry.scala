@@ -615,8 +615,10 @@ object SparkEntry {
       // 64-bit simhash per doc + near-dup pairs within hamming<=12 over
       // same-source blocks; hash-dependent → rows-only check
       val par = s.sparkContext.defaultParallelism
+      // persist: the simhash table feeds both self-join sides (probe +
+      // broadcast build) and would otherwise be computed twice
       val d = Dedup.simHashTable(t(s, dir)("documents"), "doc_id", "text",
-        carry = Seq("source"))
+        carry = Seq("source")).persist()
       val l = d.select(col("source"), col("id").as("id_a"), col("simhash").as("sh_a"))
         .repartition(par)
       val r = d.select(col("source"), col("id").as("id_b"), col("simhash").as("sh_b"))
@@ -839,7 +841,12 @@ object SparkEntry {
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       val ev = t(s, dir)("events")
         .withColumn("day", to_date(col("ts")))
-      ev.write.mode("overwrite").partitionBy("day").parquet(out)
+      // repartition by the partition key first: otherwise every one of the
+      // 32 write tasks emits a file into every day directory (~960 small
+      // files); keyed, each day is written by one task — the segment-sized
+      // file discipline the reference enforces (5-10M rows/segment)
+      ev.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
       s.read.parquet(out)
         .filter(col("day") >= lit("2024-01-02") && col("day") <= lit("2024-01-03"))
         .groupBy(col("day"), col("event_type"))

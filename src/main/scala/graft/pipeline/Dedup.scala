@@ -111,10 +111,16 @@ object Dedup {
       else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
     val minAggs = (0 until numHashes).map(i =>
       min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"h$i"))
+    // persist: the signature table feeds BOTH sides of the band self-join,
+    // and Spark will not reuse the exchange between a repartitioned probe
+    // and a broadcast build — without this the whole shingle+min-agg
+    // pipeline runs twice. One row of K longs per doc: tiny relative to
+    // the corpus, safe to cache at any scale.
     val sigs = exploded.groupBy(col("id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .persist()
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -230,10 +236,12 @@ object Dedup {
     // to one array per doc: set-intersection on fixed-width longs is several
     // times cheaper than on strings, and (collisions being ~(n²/2^64)-
     // improbable) the Jaccard counts are identical to the string-set math.
+    // persist: both join sides read the gram table (see minHashLsh note)
     val g = shingleRows(df.withColumn("__block", blockKey), idCol, textCol,
       shingleSize, carry = Seq("__block"))
       .groupBy(col("id"), col("__block").as("block"))
       .agg(collect_set(xxhash64(col("sh"))).as("grams"))
+      .persist()
     val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
       .repartition(parallelism)
     val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))

@@ -74,12 +74,20 @@ object StreamingIngest {
                  timeCol: String, granularity: String, dims: Seq[String],
                  queryName: String): DataFrame = {
     val agg = rollup(stream, timeCol, granularity, dims)
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // stateful streaming opens one state store per shuffle partition per
+    // micro-batch; for a bounded single-batch pass 32 store inits are pure
+    // overhead — run the stateful stage narrow, restore the session conf
+    // after (a long-lived production query sizes this to key cardinality)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
