@@ -531,11 +531,25 @@ object SparkEntry {
     }),
 
     "q_expr_json" -> ((s, dir) => {
-      // nested/JSON access (reference json_value / NestedFieldVirtualColumn)
+      // nested/JSON surface (reference json_value / json_keys /
+      // json_query_array / NestedFieldVirtualColumn): scalar extraction on
+      // the stored props column, plus keys/array-path ops on a synthesized
+      // richer document
+      val j = concat(lit("{\"id\": "), col("event_id"),
+        lit(", \"type\": \""), col("event_type"),
+        lit("\", \"vals\": ["), col("user_id"),
+        lit(","), pmod(col("event_id"), lit(10)), lit("]}"))
       t(s, dir)("events")
-        .select(DruidFunctions.jsonValue(col("props"), "$.k").cast("long").as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
-        .orderBy(col("k"))
+        .select(col("event_id"),
+          DruidFunctions.jsonValue(col("props"), "$.k").cast("long").as("k"),
+          get_json_object(j, "$.type").as("jtype"),
+          get_json_object(j, "$.vals[1]").cast("long").as("second_val"),
+          concat_ws(",", json_object_keys(j)).as("jkeys"),
+          json_array_length(get_json_object(j, "$.vals")).cast("long").as("nvals"))
+        .groupBy(col("k"), col("jtype"))
+        .agg(count(lit(1)).as("n"), sum(col("second_val")).as("sum_sv"),
+          max(col("jkeys")).as("keys"), max(col("nvals")).as("nvals"))
+        .orderBy(col("k"), col("jtype"))
     }),
 
     "q_expr_ip" -> ((s, dir) => {
@@ -1644,9 +1658,20 @@ object SparkEntry {
          FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "q_expr_json" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-                count(*) AS n
-         FROM events GROUP BY k ORDER BY k""",
+      """WITH docs AS (
+           SELECT event_id,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                  '{"id": ' || event_id || ', "type": "' || event_type ||
+                    '", "vals": [' || user_id || ',' || (event_id % 10) ||
+                    ']}' AS j
+           FROM events)
+         SELECT k, json_extract_string(j, '$.type') AS jtype,
+                count(*) AS n,
+                CAST(sum(CAST(json_extract(j, '$.vals[1]') AS BIGINT))
+                  AS BIGINT) AS sum_sv,
+                max(array_to_string(json_keys(j), ',')) AS keys,
+                CAST(max(json_array_length(j, '$.vals')) AS BIGINT) AS nvals
+         FROM docs GROUP BY k, jtype ORDER BY k, jtype""",
 
     "q_expr_ip" ->
       """WITH ips AS (
