@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.JaroWinklerSimilarity
-import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg}
+import graft.functions.{Ipv6Match, JaroWinklerSimilarity}
+import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg, TupleEstimate, TupleMetricSum, TupleSketchAgg}
 
 /** Engine-level Catalyst extensions (registered with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
@@ -60,7 +60,20 @@ object GraftExtensions {
     ("bloom_might_contain", info("bloom_might_contain", "bloom membership"),
       (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
     ("jaro_winkler_similarity", info("jaro_winkler_similarity", "fuzzy match"),
-      (args: Seq[Expression]) => JaroWinklerSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => JaroWinklerSimilarity(args(0), args(1))),
+    ("tuple_sketch_agg", info("tuple_sketch_agg",
+      "tuple (arrayOfDoubles) sketch of (key, ARRAY<DOUBLE>)"),
+      (args: Seq[Expression]) =>
+        TupleSketchAgg(args(0), args(1)).toAggregateExpression()),
+    ("tuple_estimate", info("tuple_estimate", "tuple sketch distinct keys"),
+      (args: Seq[Expression]) => TupleEstimate(args.head)),
+    ("tuple_metric_sum", info("tuple_metric_sum",
+      "tuple sketch metric-column sum (sketch, idx)"),
+      (args: Seq[Expression]) =>
+        TupleMetricSum(args(0), args(1).eval().toString.toInt)),
+    ("ipv6_match", info("ipv6_match", "IPv6 subnet containment (ip, 'net/bits')"),
+      (args: Seq[Expression]) =>
+        Ipv6Match(args(0), args(1).eval().toString)))
 
   /** Register the same functions on a plain session (no extensions needed) —
     * used by tests and by sessions the driver constructs for us.

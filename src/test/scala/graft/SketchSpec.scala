@@ -121,6 +121,15 @@ class SketchSpec extends AnyFunSuite {
       .createOrReplaceTempView("sketch_in")
     val est = spark.sql("SELECT hll_estimate_agg(v) FROM sketch_in").head().getLong(0)
     assert(math.abs(est - 321) / 321.0 < 0.05, s"sql estimate $est")
+    val tup = spark.sql(
+      """SELECT tuple_estimate(sk), tuple_metric_sum(sk, 0)
+         FROM (SELECT tuple_sketch_agg(v, array(CAST(2.0 AS DOUBLE))) AS sk
+               FROM sketch_in)""").head()
+    assert(tup.getDouble(0) == 321.0)
+    assert(math.abs(tup.getDouble(1) - 2000.0) < 1e-9)
+    val ip6 = spark.sql(
+      "SELECT ipv6_match('2001:db8::5', '2001:db8::/32')").head().getBoolean(0)
+    assert(ip6)
   }
 
   test("approx-count-distinct rewrite rule fires when enabled") {
