@@ -972,6 +972,22 @@ object SparkEntry {
         .orderBy(col("segment"))
     }),
 
+    "q_agg_firstlast_refold" -> ((s, dir) => {
+      // stored first/last PAIR intermediates (reference SerializablePair
+      // columns in rollup tables): a daily rollup stores struct(__time,
+      // value) min/max pairs, a later query re-folds the stored pairs —
+      // the result must equal direct first/last over the raw rows
+      val ev = t(s, dir)("events")
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(min(struct(col("ts"), col("value"))).as("fp"),
+          max(struct(col("ts"), col("value"))).as("lp"))
+      daily.groupBy(col("event_type"))
+        .agg(round(min(col("fp")).getField("value"), 3).as("first_value"),
+          round(max(col("lp")).getField("value"), 3).as("last_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ------------------------------------ string first/last (§2.5)
     "q_agg_firstlast_str" -> ((s, dir) => {
       t(s, dir)("events").filter(col("user_id") < 50)
@@ -1376,6 +1392,11 @@ object SparkEntry {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
+
+    "q_agg_firstlast_refold" ->
+      """SELECT event_type, round(arg_min(value, ts), 3) AS first_value,
+                round(arg_max(value, ts), 3) AS last_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_sketch_tuple" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

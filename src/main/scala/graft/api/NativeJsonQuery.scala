@@ -382,9 +382,16 @@ object NativeJsonQuery {
       case "doubleLast" | "stringLast"           => max_by(f, col(Tables.TimeColumn))
       case "longAny" | "doubleAny" | "stringAny" => any_value(f)
       case "hyperUnique" | "cardinality" =>
-        // our HLL TypedImperativeAggregate (reference hyperUnique)
-        val in = field.orElse(
-          arr(j \ "fields").collectFirst { case JString(d) => col(d) }).getOrElse(f)
+        // our HLL TypedImperativeAggregate (reference hyperUnique /
+        // CardinalityAggregatorFactory). Multiple fields = distinct TUPLES
+        // (byRow semantics): hash the delimiter-joined tuple, like the
+        // reference's row-wise CardinalityAggregator
+        val fields = arr(j \ "fields").collect { case JString(d) => col(d) }
+        val in = field.getOrElse(fields match {
+          case Nil      => f
+          case Seq(one) => one
+          case many     => concat_ws("\u0001", many.map(_.cast("string")): _*)
+        })
         HllSketchAgg.hllEstimate(in)
       case "filtered" =>
         // FILTER(WHERE …) via when(): null rows are ignored by the agg

@@ -70,6 +70,17 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Long]("u") - exact).toDouble / exact < 0.05)
   }
 
+  test("cardinality aggregator over multiple fields counts tuples") {
+    val r = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "all",
+       "aggregations": [{"type": "cardinality", "name": "u",
+                         "fields": ["user_id", "event_type"]}]}""").head()
+    val exact = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(math.abs(r.getAs[Long]("u") - exact).toDouble / exact < 0.05)
+  }
+
   test("first/last aggregators use __time") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "events",
