@@ -539,13 +539,18 @@ object SparkEntry {
         lit(", \"type\": \""), col("event_type"),
         lit("\", \"vals\": ["), col("user_id"),
         lit(","), pmod(col("event_id"), lit(10)), lit("]}"))
+      // parse once into a struct (reference parse_json), then field-access;
+      // repeated get_json_object path extraction re-parses the document per
+      // call — 3 parses per row became 1
+      val parsed = from_json(j, org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, type STRING, vals ARRAY<BIGINT>"))
       t(s, dir)("events")
         .select(col("event_id"),
           DruidFunctions.jsonValue(col("props"), "$.k").cast("long").as("k"),
-          get_json_object(j, "$.type").as("jtype"),
-          get_json_object(j, "$.vals[1]").cast("long").as("second_val"),
+          parsed.getField("type").as("jtype"),
+          element_at(parsed.getField("vals"), 2).as("second_val"),
           concat_ws(",", json_object_keys(j)).as("jkeys"),
-          json_array_length(get_json_object(j, "$.vals")).cast("long").as("nvals"))
+          size(parsed.getField("vals")).cast("long").as("nvals"))
         .groupBy(col("k"), col("jtype"))
         .agg(count(lit(1)).as("n"), sum(col("second_val")).as("sum_sv"),
           max(col("jkeys")).as("keys"), max(col("nvals")).as("nvals"))

@@ -182,6 +182,33 @@ object DruidFunctions {
       "MV_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
       "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
       "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      "CONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN contains(s, n)",
+      "ICONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN " +
+        "contains(lower(s), lower(n))",
+      // reference parse_long(str[, radix]) → null on garbage (try_cast)
+      "PARSE_LONG(s STRING) RETURNS BIGINT RETURN try_cast(s AS BIGINT)",
+      "SUBTRACT_MONTHS(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN " +
+        "t - make_ym_interval(0, n)",
+      // integer division like the reference's div (floor semantics)
+      "SAFE_DIV(x BIGINT, y BIGINT) RETURNS BIGINT RETURN " +
+        "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE CAST(floor(x / y) AS BIGINT) END",
+      // HUMAN_READABLE_BINARY_BYTE_FORMAT (reference Function.java byte fmts)
+      """HUMAN_READABLE_BINARY_BYTE_FORMAT(b BIGINT) RETURNS STRING RETURN
+         CASE WHEN abs(b) < 1024 THEN concat(CAST(b AS STRING), ' B')
+              WHEN abs(b) < 1048576 THEN
+                concat(format_number(b / 1024.0, 2), ' KiB')
+              WHEN abs(b) < 1073741824 THEN
+                concat(format_number(b / 1048576.0, 2), ' MiB')
+              ELSE concat(format_number(b / 1073741824.0, 2), ' GiB')
+         END""",
+      """HUMAN_READABLE_DECIMAL_BYTE_FORMAT(b BIGINT) RETURNS STRING RETURN
+         CASE WHEN abs(b) < 1000 THEN concat(CAST(b AS STRING), ' B')
+              WHEN abs(b) < 1000000 THEN
+                concat(format_number(b / 1000.0, 2), ' KB')
+              WHEN abs(b) < 1000000000 THEN
+                concat(format_number(b / 1000000.0, 2), ' MB')
+              ELSE concat(format_number(b / 1000000000.0, 2), ' GB')
+         END""",
       // TIME_FLOOR for calendar + common fixed ISO periods (the Scala API's
       // timeFloor handles arbitrary periods/origins; SQL covers the usual set)
       """TIME_FLOOR(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN

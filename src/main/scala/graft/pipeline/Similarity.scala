@@ -137,8 +137,14 @@ object Similarity {
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 2): DataFrame = {
+    // spherical k-means: unit-normalize each vector ONCE, rank by plain
+    // dot product — cosine() per (vector, centroid) pair would recompute
+    // both norms nlist× per vector (interpreted HOFs, the hot cost here)
     val vecs = corpus.select(col(idCol).as("__vid"),
-      transform(col(vecCol), _.cast("double")).as("__v"))
+      transform(col(vecCol), _.cast("double")).as("__v0"))
+      .withColumn("__n", norm(col("__v0")))
+      .select(col("__vid"), when(col("__n") === 0, col("__v0"))
+        .otherwise(transform(col("__v0"), x => x / col("__n"))).as("__v"))
     var centroids = vecs.orderBy(col("__vid")).limit(nlist)
       .select(row_number().over(Window.orderBy(col("__vid"))).as("centroid_id"),
         col("__v").as("centroid"))
@@ -148,7 +154,7 @@ object Similarity {
         .orderBy(col("__sim").desc, col("centroid_id").asc)
       val assigned = vecs.crossJoin(broadcast(centroids))
         .select(col("__vid"), col("__v"), col("centroid_id"),
-          cosine(col("__v"), col("centroid")).as("__sim"))
+          dot(col("__v"), col("centroid")).as("__sim"))
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
       centroids = assigned
@@ -157,19 +163,29 @@ object Similarity {
         .agg(avg(col("x")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+          s => s.getField("m")).as("__c0"))
+        // re-normalize the mean (spherical k-means) so dot == cosine
+        .withColumn("__cn", norm(col("__c0")))
+        .select(col("centroid_id"), when(col("__cn") === 0, col("__c0"))
+          .otherwise(transform(col("__c0"), x => x / col("__cn"))).as("centroid"))
       i += 1
     }
-    centroids
+    // persist: the trained centroid table (nlist rows) is probed by both
+    // the corpus and the query side — without the cache the whole Lloyd
+    // training re-runs per consumer
+    centroids.persist()
   }
 
-  /** Nearest `nprobe` centroid ids per row (rank by cosine to centroid). */
+  /** Nearest `nprobe` centroid ids per row. Centroids are unit vectors, so
+    * ranking by dot(v, ĉ) equals ranking by cosine for a fixed row — no
+    * per-pair norm work.
+    */
   private def probeAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
                           idCols: Seq[String], nprobe: Int): DataFrame = {
     val w = Window.partitionBy(idCols.map(col): _*)
       .orderBy(col("__csim").desc, col("centroid_id").asc)
     df.crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("__csim", dot(col(vecCol), col("centroid")))
       .withColumn("__crk", row_number().over(w))
       .filter(col("__crk") <= nprobe)
       .drop("centroid", "__csim", "__crk")

@@ -146,6 +146,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 4, 7))
   }
 
+  test("misc SQL macros: contains/parse_long/subtract_months/byte formats") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT CONTAINS_STRING('Apache Spark', 'Spark'),
+                ICONTAINS_STRING('Apache Spark', 'spark'),
+                PARSE_LONG('42'), PARSE_LONG('xyz'),
+                SUBTRACT_MONTHS(TIMESTAMP '2024-03-15 10:00:00', 2),
+                SAFE_DIV(7, 2), SAFE_DIV(7, 0),
+                HUMAN_READABLE_BINARY_BYTE_FORMAT(1536),
+                HUMAN_READABLE_DECIMAL_BYTE_FORMAT(1500000)""").head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getLong(2) == 42L && r.isNullAt(3))
+    assert(r.getTimestamp(4).toString.startsWith("2024-01-15 10:00:00"))
+    assert(r.getLong(5) == 3L && r.isNullAt(6))
+    assert(r.getString(7) == "1.50 KiB")
+    assert(r.getString(8) == "1.50 MB")
+  }
+
   test("SQL TIME_FLOOR / TIME_SHIFT raise on unsupported periods") {
     DruidFunctions.register(spark)
     val e1 = intercept[Exception] {
