@@ -123,7 +123,10 @@ object TextAnalysis {
       sum(when(col("ltok").isin(markers("fr").map(lit): _*), 1).otherwise(0)).as("sc_fr"),
       sum(when(col("ltok").isin(markers("es").map(lit): _*), 1).otherwise(0)).as("sc_es"),
       sum(when(col("ltok").isin(markers("de").map(lit): _*), 1).otherwise(0)).as("sc_de"))
-    val j = base.join(aggd, Seq("__id"), "left")
+    // drop the raw text before the join: the shuffle must carry only
+    // per-doc scalars, not document bodies (column pruning recomputes the
+    // cheap token explode from the scan on the other side)
+    val j = base.drop("__text").join(aggd, Seq("__id"), "left")
       .withColumn("__nt", coalesce(col("__nt"), lit(0.0)))
       .withColumn("__ns", coalesce(col("__ns"), lit(0.0)))
     val nt = col("__nt"); val nc = col("__nc"); val ns = col("__ns")
