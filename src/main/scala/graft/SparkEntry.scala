@@ -676,6 +676,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_redact" -> ((s, dir) => {
+      // PII-style scrubbing pass (training-data hygiene): mask digit runs
+      // and email-shaped tokens, report how much changed
+      val masked = regexp_replace(
+        regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{3,}", "<NUM>")
+      t(s, dir)("documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(masked).cast("long").as("len_masked"),
+          (length(masked) =!= length(col("text"))).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample_hash" -> ((s, dir) => {
+      // deterministic hash sampling (training pipelines need reproducible
+      // splits): multiplicative-hash the key, keep ~10%; same arithmetic
+      // is expressible in any engine, unlike rand()
+      t(s, dir)("orders")
+        .filter(pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+          < lit(429496730L))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_dedup_families" -> ((s, dir) => {
+      // end-to-end corpus dedup: pair exact duplicates, cluster pairs into
+      // families (connected components), keep the min-id representative of
+      // each family plus all unpaired docs
+      val docs = t(s, dir)("documents")
+      val d = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val a = d.select(col("h"), col("doc_id").as("id_a"))
+      val b = d.select(col("h"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      Dedup.dropDuplicateFamilies(docs, pairs, "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_text_tokens" -> ((s, dir) => {
       t(s, dir)("documents")
         .select(col("doc_id"),
@@ -1397,6 +1437,29 @@ object SparkEntry {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
+
+    "q_dedup_families" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m
+           FROM documents)
+         WHERE doc_id = m ORDER BY doc_id""",
+
+    "q_text_redact" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+                CAST(length(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                  '[0-9]{3,}', '<NUM>', 'g')) AS BIGINT) AS len_masked,
+                length(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                  '[0-9]{3,}', '<NUM>', 'g')) <> length(text) AS changed
+         FROM documents ORDER BY doc_id""",
+
+    "q_sample_hash" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+         FROM orders
+         WHERE (o_orderkey * 2654435761) % 4294967296 < 429496730
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_agg_firstlast_refold" ->
       """SELECT event_type, round(arg_min(value, ts), 3) AS first_value,

@@ -250,4 +250,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation (each node takes the smallest id reachable in i hops;
+    * converges in graph-diameter rounds — near-dup families are shallow,
+    * so `maxIters` ~10 is generous). Each round localCheckpoints: without
+    * lineage truncation the plan doubles per iteration and the driver, not
+    * the data, becomes the scale limit. Convergence is detected by label
+    * stability, so typical inputs stop early.
+    *
+    * @param pairs (aCol, bCol) undirected dup edges
+    * @return (id, comp) — comp = min id of the member's component
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Canonical-representative dedup: from near-dup `pairs` over `df`, keep
+    * one row (the min-id member) per duplicate family plus every row that
+    * was never paired. The standard corpus-dedup final step.
+    */
+  def dropDuplicateFamilies(df: DataFrame, pairs: DataFrame, idCol: String,
+                            aCol: String = "id_a", bCol: String = "id_b")
+      : DataFrame = {
+    val comps = components(pairs, aCol, bCol)
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
 }

@@ -191,6 +191,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("connected components cluster transitive dup chains") {
+    // chain 1-2, 2-3 plus island 7-8: components {1,2,3} and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val df = Seq(1L, 2L, 3L, 5L, 7L, 8L).toDF("id")
+    val kept = Dedup.dropDuplicateFamilies(df, pairs, "id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 5L, 7L)) // reps 1 and 7, unpaired 5
+  }
+
   test("cosine near-dup pairs are symmetric-deduped") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f)))
