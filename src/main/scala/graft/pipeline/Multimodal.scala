@@ -69,4 +69,43 @@ object Multimodal {
               substring(base64(col("payload")), 1, 8)).otherwise(null)),
           f => f.isNotNull))
         .as(Seq("frame_no", "frame_sig")))
+
+  /** Batched decode via `mapPartitions` — the Scala analog of the
+    * mapInPandas/mapInArrow batch contract: the decoder receives an
+    * ITERATOR of rows per partition, so codec/model initialization happens
+    * once per partition and payloads stream through without materializing
+    * the partition. The "decode" body is a deterministic stub (no codecs in
+    * this container — replace with the real library call at deployment);
+    * the signature, schema and batch shape are the production ones.
+    *
+    * @return (asset_id, features ARRAY<DOUBLE>, resized BINARY) where
+    *         resized keeps every `resizeStride`-th payload byte (the
+    *         downsample/resize stand-in)
+    */
+  def decodePartitionBatched(assets: DataFrame, dim: Int = 8,
+                             resizeStride: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType), nullable = false),
+      StructField("resized", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select(col("asset_id"), col("payload")).mapPartitions { rows =>
+      // per-partition one-time init (a real decoder loads its codec here)
+      val seed = 0x9E3779B97F4A7C15L
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val feats = Array.tabulate(dim) { i =>
+          var h = seed ^ i
+          var j = 0
+          while (j < payload.length) { h = h * 31 + payload(j); j += 1 }
+          math.floorMod(h, 1000L).toDouble / 1000.0
+        }
+        val resized = Array.tabulate(
+          (payload.length + resizeStride - 1) / resizeStride)(i =>
+          payload(i * resizeStride))
+        org.apache.spark.sql.Row(id, feats, resized)
+      }
+    }(enc)
+  }
 }

@@ -53,4 +53,23 @@ class MultimodalSpec extends AnyFunSuite {
     val all = Multimodal.sampleFrames(assets.limit(10), frameBytes = 50, stride = 1)
     assert(frames.count() <= all.count())
   }
+
+  test("partition-batched decode is deterministic and partition-insensitive") {
+    val a = Multimodal.decodePartitionBatched(assets.repartition(7))
+      .orderBy("asset_id").collect()
+    val b = Multimodal.decodePartitionBatched(assets.coalesce(1))
+      .orderBy("asset_id").collect()
+    assert(a.length == b.length && a.length == assets.count())
+    // same rows regardless of partitioning (per-partition init must not
+    // leak into per-row results)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getSeq[Double](1) == y.getSeq[Double](1))
+      assert(x.getAs[Array[Byte]](2).sameElements(y.getAs[Array[Byte]](2)))
+    }
+    // resize stride 4 keeps ~1/4 of the bytes
+    val orig = assets.orderBy("asset_id").head.getAs[Array[Byte]]("payload").length
+    val resized = a.head.getAs[Array[Byte]](2).length
+    assert(math.abs(resized - orig / 4.0) <= 1)
+  }
 }
