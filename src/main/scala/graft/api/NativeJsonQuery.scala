@@ -396,6 +396,19 @@ object NativeJsonQuery {
       case "filtered" =>
         // FILTER(WHERE …) via when(): null rows are ignored by the agg
         aggregationFiltered(j \ "aggregator", filterExpr(j \ "filter"))
+      case "thetaSketch" =>
+        // datasketches theta agg → KMV sketch estimate (set ops via the
+        // kmv_* post-aggregation expressions)
+        graft.functions.sketches.KmvSketchAgg.kmvEstimate(
+          graft.functions.sketches.KmvSketchAgg.kmvSketch(f))
+      case "quantilesDoublesSketch" =>
+        // datasketches quantiles agg: the JSON contract returns a sketch
+        // finalized by ...ToQuantile post-aggs; the common single-quantile
+        // use maps to percentile_approx at the agg itself
+        percentile_approx(f.cast("double"),
+          lit(double(j \ "quantile").getOrElse(0.5)), lit(10000))
+      case "bloom" =>
+        graft.functions.sketches.BloomFilterAgg.bloomBuild(f)
       case other => throw new IllegalArgumentException(s"unsupported aggregator: $other")
     }
     c.as(name)

@@ -70,6 +70,20 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Long]("u") - exact).toDouble / exact < 0.05)
   }
 
+  test("datasketches-style aggregator types map onto the sketch layer") {
+    val r = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "all",
+       "aggregations": [
+         {"type": "thetaSketch", "name": "theta_users", "fieldName": "user_id"},
+         {"type": "quantilesDoublesSketch", "name": "p95_value",
+          "fieldName": "value", "quantile": 0.95}]}""").head()
+    val exact = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(math.abs(r.getAs[Double]("theta_users") - exact) / exact < 0.05)
+    assert(r.getAs[Double]("p95_value") > 0)
+  }
+
   test("cardinality aggregator over multiple fields counts tuples") {
     val r = NativeJsonQuery.run(spark, dir, """
       {"queryType": "timeseries", "dataSource": "events",
