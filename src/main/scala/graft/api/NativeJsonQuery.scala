@@ -30,6 +30,12 @@ object NativeJsonQuery {
     runParsed(spark, dir, JsonMethods.parse(json))
 
   private def runParsed(spark: SparkSession, dir: String, q: JValue): DataFrame = {
+    // context.queryId → Spark job group, so the reference's
+    // DELETE /druid/v2/{id} cancellation maps to cancelJobGroup (see
+    // [[cancel]]); interruptOnCancel stops running tasks, not just queued
+    str(q \ "context" \ "queryId").foreach(id =>
+      spark.sparkContext.setJobGroup(id, s"graft query $id",
+        interruptOnCancel = true))
     // top-level union query (reference query/union/UnionQuery.java:52):
     // concatenate sub-query results by name
     if (str(q \ "queryType").contains("union"))
@@ -76,6 +82,12 @@ object NativeJsonQuery {
         case None => throw new IllegalArgumentException(s"bad dataSource: $spec")
       }
     }
+
+  /** Cancel a running query by its context.queryId (reference
+    * `DELETE /druid/v2/{id}`, QueryResource.java:130).
+    */
+  def cancel(spark: SparkSession, queryId: String): Unit =
+    spark.sparkContext.cancelJobGroup(queryId)
 
   /** EXPLAIN PLAN FOR analog (reference `query/explain/ExplainPlan.java`):
     * the formatted physical plan of a JSON query.

@@ -25,8 +25,33 @@ object Metadata {
         .select(lit(name).as("datasource"), col("num_rows"))
     }.reduce(_ unionAll _)
 
+  /** sys.servers analog: the execution topology. Locally that is the
+    * driver + executor block managers; on a cluster, one row per executor
+    * (the reference lists historical/broker/middle-manager processes).
+    */
+  def servers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.statusTracker.getExecutorInfos.toSeq
+      .map(e => (e.host, e.numRunningTasks, sc.defaultParallelism))
+      .toDF("host", "running_tasks", "slots")
+  }
+
+  /** sys.tasks analog: Spark job/stage activity (the reference lists ingest
+    * and compaction tasks; here every query IS a set of jobs).
+    */
+  def tasks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val t = spark.sparkContext.statusTracker
+    t.getJobIdsForGroup(null).toSeq
+      .flatMap(id => t.getJobInfo(id).map(j => (id, j.status.toString)))
+      .toDF("job_id", "status")
+  }
+
   /** Register sys_* temp views on the session. */
   def registerSystemViews(spark: SparkSession, dir: String): Unit = {
     segments(spark, dir).createOrReplaceTempView("sys_segments")
+    servers(spark).createOrReplaceTempView("sys_servers")
+    tasks(spark).createOrReplaceTempView("sys_tasks")
   }
 }

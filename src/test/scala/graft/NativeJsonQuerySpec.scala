@@ -285,6 +285,25 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(l_quantity,45"))
   }
 
+  test("context.queryId tags jobs for cancellation") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "events",
+       "dimensions": ["event_type"],
+       "context": {"queryId": "cancel-me-123"},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    df.collect()
+    spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("cancel-me-123")
+    assert(jobs.nonEmpty)
+    NativeJsonQuery.cancel(spark, "cancel-me-123") // no-op when finished
+  }
+
+  test("sys_servers and sys_tasks system views register") {
+    graft.operators.Metadata.registerSystemViews(spark, dir)
+    assert(spark.table("sys_servers").count() >= 1)
+    assert(spark.table("sys_tasks").columns.toSeq == Seq("job_id", "status"))
+  }
+
   test("unsupported queryType raises") {
     intercept[IllegalArgumentException] {
       NativeJsonQuery.run(spark, dir,
