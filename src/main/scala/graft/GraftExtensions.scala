@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.ApproxTopNStrategy)
   }
 }
 

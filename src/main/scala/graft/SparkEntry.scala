@@ -103,6 +103,16 @@ object SparkEntry {
         metric = "n", k = 20, tiebreak = Seq(col("user_id").asc))
     }),
 
+    "q_topn_approx" -> ((s, dir) => {
+      // the reference's APPROXIMATE topN algorithm as a custom SparkPlan
+      // (plans/ApproxTopN): per-partition top-1000 partials, merge. Exact
+      // whenever per-partition cardinality <= 1000 — true at the oracle SF,
+      // so this hash-matches the exact query
+      graft.plans.ApproxTopN.approxTopN(t(s, dir)("events"), "user_id",
+        valueCol = None, k = 20)
+        .select(col("user_id"), col("metric").cast("long").as("n"))
+    }),
+
     "q_topn_inverted" -> ((s, dir) => {
       // inverted topN metric spec (reference InvertedTopNMetricSpec):
       // bottom-K by the metric
@@ -1433,6 +1443,10 @@ object SparkEntry {
     "q_topn_inverted" ->
       """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
          ORDER BY n ASC, user_id ASC LIMIT 15""",
+
+    "q_topn_approx" ->
+      """SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+         ORDER BY n DESC, user_id ASC LIMIT 20""",
 
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions for the scale-critical properties: predicate
@@ -67,6 +68,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p.take(400))
     // the filter+project over the scan must be inside a codegen stage
     assert("\\*\\(\\d+\\) (Project|Filter)".r.findFirstIn(p).isDefined)
+  }
+
+  test("approximate topN plans through the custom exec and matches exact") {
+    val events = Tables.load(spark, dir, "events")
+    val approx = graft.plans.ApproxTopN
+      .approxTopN(events.repartition(5), "user_id", None, k = 10)
+    // physical nodes print with the Exec suffix stripped
+    assert(approx.queryExecution.executedPlan.toString
+      .contains("LocalApproxTopN"))
+    val a = approx.collect().map(r => (r.getLong(0), r.getDouble(1).toLong))
+    val e = events.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // per-partition cardinality << 1000 at sf0.001 → exact
+    assert(a.sameElements(e), s"approx ${a.toSeq} vs exact ${e.toSeq}")
+    // sum-metric variant
+    val s = graft.plans.ApproxTopN
+      .approxTopN(events, "event_type", Some("value"), k = 3)
+      .collect().map(_.getString(0))
+    assert(s.length == 3)
   }
 
   test("shingle pipeline has no shuffle before the partial min-aggregates") {
