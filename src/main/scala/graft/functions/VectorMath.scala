@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays with real `doGenCode`: the
+  * generated code is a tight loop over the array buffers — no higher-order
+  * function interpretation, no boxing, and (unlike a statically-unrolled
+  * expression tree, which blows past JIT method limits at 64 terms) a shape
+  * HotSpot vectorizes. Accumulation is left-to-right double addition,
+  * bit-identical to `aggregate(zip_with(a, b, _*_), 0d, _+_)`, so swapping
+  * it under cosine/kNN/neardup changes nothing in query results.
+  *
+  * Null ARRAYS propagate null; null ELEMENTS are not expected (embedding
+  * vectors are dense) and read as 0 via the primitive accessors.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs numeric arrays, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType   => a.getFloat(i).toDouble
+    case DoubleType  => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case _ => throw new IllegalStateException(s"unsupported element type $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(a, ta, i) * get(b, tb, i); i += 1 }
+    s
+  }
+
+  private def accessor(t: DataType): String = t match {
+    case FloatType   => "getFloat"
+    case DoubleType  => "getDouble"
+    case IntegerType => "getInt"
+    case LongType    => "getLong"
+    case _ => throw new IllegalStateException(s"unsupported element type $t")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ga = accessor(elemType(left))
+      val gb = accessor(elemType(right))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += (double) $a.$ga($i) * (double) $b.$gb($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProduct = copy(left = l, right = r)
+
+  override def prettyName: String = "dot_product"
+}
+
+object VectorMath {
+  def dotProduct(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+}

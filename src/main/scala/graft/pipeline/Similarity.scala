@@ -14,12 +14,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two array columns (double accumulation). Higher-order
-    * form — works for any dimension but runs interpreted.
+  /** Dot product of two array columns: native codegen'd loop expression
+    * ([[graft.functions.DotProduct]]) — bit-identical left-to-right double
+    * accumulation to the higher-order `aggregate(zip_with(...))` form it
+    * replaced, but evaluated in generated code instead of the interpreted
+    * lambda interpreter (the hot cost of every pairwise similarity op).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorMath.dotProduct(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
