@@ -74,7 +74,10 @@ object GraftExtensions {
         TupleMetricSum(args(0), args(1).eval().toString.toInt)),
     ("ipv6_match", info("ipv6_match", "IPv6 subnet containment (ip, 'net/bits')"),
       (args: Seq[Expression]) =>
-        Ipv6Match(args(0), args(1).eval().toString)))
+        Ipv6Match(args(0), args(1).eval().toString)),
+    ("dot_product", info("dot_product", "codegen'd numeric-array dot product"),
+      (args: Seq[Expression]) =>
+        graft.functions.DotProduct(args(0), args(1))))
 
   /** Register the same functions on a plain session (no extensions needed) —
     * used by tests and by sessions the driver constructs for us.

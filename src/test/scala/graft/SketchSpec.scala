@@ -130,6 +130,10 @@ class SketchSpec extends AnyFunSuite {
     val ip6 = spark.sql(
       "SELECT ipv6_match('2001:db8::5', '2001:db8::/32')").head().getBoolean(0)
     assert(ip6)
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .head().getDouble(0)
+    assert(dp == 32.0)
   }
 
   test("approx-count-distinct rewrite rule fires when enabled") {
