@@ -236,18 +236,25 @@ object Dedup {
     // to one array per doc: set-intersection on fixed-width longs is several
     // times cheaper than on strings, and (collisions being ~(n²/2^64)-
     // improbable) the Jaccard counts are identical to the string-set math.
-    // persist: both join sides read the gram table (see minHashLsh note)
+    // persist: both join sides read the gram table (see minHashLsh note).
+    // grams are SORTED once per doc so the per-pair intersection is a
+    // codegen'd two-pointer merge (SortedIntersectCount), not a hash set
+    // build per candidate pair.
     val g = shingleRows(df.withColumn("__block", blockKey), idCol, textCol,
       shingleSize, carry = Seq("__block"))
       .groupBy(col("id"), col("__block").as("block"))
-      .agg(collect_set(xxhash64(col("sh"))).as("grams"))
+      .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams"))
       .persist()
     val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
       .repartition(parallelism)
     val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    val inter = graft.functions.VectorMath
+      .sortedIntersectCount(col("g_a"), col("g_b")).cast("double")
+    val union = size(col("g_a")) + size(col("g_b")) - inter
     l.join(broadcast(r), Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        when(union === 0, lit(0.0)).otherwise(inter / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
