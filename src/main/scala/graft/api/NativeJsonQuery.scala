@@ -99,7 +99,20 @@ object NativeJsonQuery {
   // ------------------------------------------------------------- queries ----
 
   private def timeseries(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
-    val period = granularityPeriod(q \ "granularity")
+    // {type: duration, duration: <millis>} (reference DurationGranularity):
+    // fixed-width epoch-aligned buckets, expressed as an exact-seconds
+    // ISO period so the period machinery (incl. zero-fill) applies
+    val duration = q \ "granularity" \ "duration" match {
+      case JInt(ms)  => Some(ms.toLong)
+      case JLong(ms) => Some(ms)
+      case _         => None
+    }
+    val period = duration match {
+      case Some(ms) if ms % 1000 == 0 => Some(s"PT${ms / 1000}S")
+      case Some(ms) => throw new IllegalArgumentException(
+        s"sub-second duration granularity unsupported: ${ms}ms")
+      case None => granularityPeriod(q \ "granularity")
+    }
     val origin = granularityOrigin(q \ "granularity")
     val aggs = aggregations(q \ "aggregations")
     val base = flt.fold(df)(df.filter)

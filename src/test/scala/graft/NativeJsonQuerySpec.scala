@@ -48,6 +48,18 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") == 1000L)
   }
 
+  test("duration granularity buckets at fixed millis") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": {"type": "duration", "duration": 7200000},
+       "intervals": ["2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    assert(rows.length == 12, s"expected 12 two-hour buckets, got ${rows.length}")
+    assert(rows.map(_.getTimestamp(0).toString.substring(11, 13)).toSeq ==
+      Seq("00", "02", "04", "06", "08", "10", "12", "14", "16", "18", "20", "22"))
+  }
+
   test("period granularity with origin") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "timeseries", "dataSource": "events",
