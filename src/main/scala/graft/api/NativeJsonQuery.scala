@@ -36,6 +36,11 @@ object NativeJsonQuery {
     str(q \ "context" \ "queryId").foreach(id =>
       spark.sparkContext.setJobGroup(id, s"graft query $id",
         interruptOnCancel = true))
+    // context.lane (reference query laning / priority,
+    // QueryContexts.java:174) → fair-scheduler pool: jobs of a lane share
+    // that pool's slot allocation when spark.scheduler.mode=FAIR
+    str(q \ "context" \ "lane").foreach(lane =>
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", lane))
     // top-level union query (reference query/union/UnionQuery.java:52):
     // concatenate sub-query results by name
     if (str(q \ "queryType").contains("union"))

@@ -313,6 +313,14 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(l_quantity,45"))
   }
 
+  test("context.lane maps onto a scheduler pool") {
+    NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeBoundary", "dataSource": "events",
+       "context": {"lane": "low"}}""").collect()
+    assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == "low")
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
+
   test("context.queryId tags jobs for cancellation") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "events",
