@@ -73,6 +73,28 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value")))
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // batch sessionization (the streaming form lives in
+      // StreamingIngest/StreamingSpec): a session breaks after a 30-minute
+      // gap; session id = running count of breaks per user — one window
+      // pass for the lag, one for the running sum, then a groupBy
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val ev = t(s, dir)("events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk", when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+        .withColumn("session_no", sum(col("brk")).over(byUser))
+      ev.groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("longest_session"))
+        .filter(col("n_sessions") >= 3)
+        .orderBy(col("user_id"))
+    }),
+
     "q_timewarp" -> ((s, dir) => {
       // timewarp post-processing (reference TimewarpOperator): answer a
       // "this week" query from last week's complete data — query the
@@ -1498,6 +1520,25 @@ object SparkEntry {
               cnt AS (SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand)
          SELECT cnt.p_brand, words, n FROM cnt JOIN agg USING (p_brand)
          ORDER BY p_brand""",
+
+    "q_sessionize" ->
+      """WITH gaps AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_no
+           FROM gaps),
+         per_session AS (
+           SELECT user_id, session_no, count(*) AS n_events
+           FROM sess GROUP BY user_id, session_no)
+         SELECT user_id, count(*) AS n_sessions,
+                max(n_events) AS longest_session
+         FROM per_session GROUP BY user_id
+         HAVING count(*) >= 3 ORDER BY user_id""",
 
     "q_timewarp" ->
       """SELECT date_trunc('day', ts) + INTERVAL 7 DAY AS bucket,

@@ -320,19 +320,35 @@ object NativeJsonQuery {
     procs.foldLeft(base) { (acc, p) =>
       val out = str(p \ "outputColumn").getOrElse("w")
       def in = col(str(p \ "inputColumn").get)
-      val fn = str(p \ "type").getOrElse("") match {
-        case "rowNumber"   => row_number()
-        case "rank"        => rank()
-        case "denseRank"   => dense_rank()
-        case "cumeDist"    => cume_dist()
-        case "percentRank" => percent_rank()
-        case "lag"         => lag(in, int(p \ "offset").getOrElse(1))
-        case "lead"        => lead(in, int(p \ "offset").getOrElse(1))
-        case "first"       => first(in)
-        case "last"        => last(in)
-        case other => throw new IllegalArgumentException(s"unsupported processor: $other")
+      str(p \ "type").getOrElse("") match {
+        // framed aggregate (reference WindowFramedAggregateProcessor):
+        // any aggregator over a ROWS frame; {"frame": {"lower": -2,
+        // "upper": 0}} with missing bounds = unbounded
+        case "framedAgg" =>
+          val lower = int(p \ "frame" \ "lower")
+            .map(_.toLong).getOrElse(Window.unboundedPreceding)
+          val upper = int(p \ "frame" \ "upper")
+            .map(_.toLong).getOrElse(Window.unboundedFollowing)
+          val framed = w.rowsBetween(lower, upper)
+          arr(p \ "aggregations").foldLeft(acc) { (a, aggJson) =>
+            val (name, agg) = aggregationNamed(aggJson)
+            a.withColumn(name, agg.over(framed))
+          }
+        case t =>
+          val fn = t match {
+            case "rowNumber"   => row_number()
+            case "rank"        => rank()
+            case "denseRank"   => dense_rank()
+            case "cumeDist"    => cume_dist()
+            case "percentRank" => percent_rank()
+            case "lag"         => lag(in, int(p \ "offset").getOrElse(1))
+            case "lead"        => lead(in, int(p \ "offset").getOrElse(1))
+            case "first"       => first(in)
+            case "last"        => last(in)
+            case other => throw new IllegalArgumentException(s"unsupported processor: $other")
+          }
+          acc.withColumn(out, fn.over(w))
       }
-      acc.withColumn(out, fn.over(w))
     }
   }
 
@@ -413,6 +429,14 @@ object NativeJsonQuery {
   }
 
   private[api] def aggregation(j: JValue): Column = {
+    val (name, c) = aggregationNamed(j)
+    c.as(name)
+  }
+
+  /** (outputName, UNALIASED aggregate column) — window paths need the raw
+    * aggregate (an Alias cannot be `.over()`d).
+    */
+  private[api] def aggregationNamed(j: JValue): (String, Column) = {
     val name = str(j \ "name").getOrElse("agg")
     val field = str(j \ "fieldName").map(col)
     def f = field.getOrElse(throw new IllegalArgumentException(s"fieldName required for $name"))
@@ -460,7 +484,7 @@ object NativeJsonQuery {
         graft.functions.sketches.BloomFilterAgg.bloomBuild(f)
       case other => throw new IllegalArgumentException(s"unsupported aggregator: $other")
     }
-    c.as(name)
+    (name, c)
   }
 
   private def aggregationFiltered(j: JValue, cond: Column): Column = {

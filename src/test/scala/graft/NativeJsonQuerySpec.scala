@@ -269,6 +269,23 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Any]("prev_v") == null))
   }
 
+  test("windowOperator framedAgg aggregates over a ROWS frame") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "windowOperator", "dataSource": "events",
+       "operatorDefinition": [
+         {"type": "naivePartition", "partitionColumns": ["user_id"]},
+         {"type": "naiveSort", "columns": ["__time"]},
+         {"type": "window", "processors": [
+           {"type": "rowNumber", "outputColumn": "rn"},
+           {"type": "framedAgg", "frame": {"lower": -1, "upper": 0},
+            "aggregations": [{"type": "count", "name": "cnt2"}]}]}]}""")
+    val rows = df.select(col("rn"), col("cnt2")).collect()
+    // frame [-1, 0]: first row of each partition sees 1 row, the rest 2
+    assert(rows.forall(r =>
+      if (r.getInt(0) == 1) r.getAs[Long]("cnt2") == 1L
+      else r.getAs[Long]("cnt2") == 2L))
+  }
+
   test("subtotalsSpec maps onto grouping sets") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "events",
