@@ -73,6 +73,25 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value")))
     }),
 
+    "q_funnel" -> ((s, dir) => {
+      // funnel conversion: users whose first 'view' is followed by a
+      // 'purchase' within 1 hour — a first-event aggregate joined against
+      // the purchase stream (broadcastable: one row per user)
+      val ev = t(s, dir)("events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val converted = firstView.join(purchases, Seq("user_id"))
+        .filter(col("p_ts") >= col("first_view") &&
+          col("p_ts") <= col("first_view") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id")).distinct()
+      firstView.agg(count(lit(1)).as("n_viewers"))
+        .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+        .select(col("n_viewers"), col("n_converted"),
+          round(col("n_converted") / col("n_viewers"), 4).as("conv_rate"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       // batch sessionization (the streaming form lives in
       // StreamingIngest/StreamingSpec): a session breaks after a 30-minute
@@ -1520,6 +1539,19 @@ object SparkEntry {
               cnt AS (SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand)
          SELECT cnt.p_brand, words, n FROM cnt JOIN agg USING (p_brand)
          ORDER BY p_brand""",
+
+    "q_funnel" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+              conv AS (SELECT DISTINCT fv.user_id
+                       FROM fv JOIN events p USING (user_id)
+                       WHERE p.event_type = 'purchase'
+                         AND p.ts >= fv.first_view
+                         AND p.ts <= fv.first_view + INTERVAL 1 HOUR)
+         SELECT (SELECT count(*) FROM fv) AS n_viewers,
+                (SELECT count(*) FROM conv) AS n_converted,
+                round((SELECT count(*) FROM conv) * 1.0 /
+                      (SELECT count(*) FROM fv), 4) AS conv_rate""",
 
     "q_sessionize" ->
       """WITH gaps AS (
