@@ -73,6 +73,26 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value")))
     }),
 
+    "q_retention" -> ((s, dir) => {
+      // day-N retention cohorts: for each signup-day cohort (first-seen
+      // day), the share still active 7 days later — two tiny per-user
+      // aggregates, the day-7 check as a semi join
+      val ev = t(s, dir)("events")
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val activeDays = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val retained = firstDay.join(activeDays, Seq("user_id"))
+        .filter(col("day") === date_add(col("cohort_day"), 7))
+        .select(col("user_id"), col("cohort_day"))
+      firstDay.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+        .join(retained.groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("n_retained")), Seq("cohort_day"), "left")
+        .select(col("cohort_day"), col("cohort_size"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+        .orderBy(col("cohort_day"))
+    }),
+
     "q_funnel" -> ((s, dir) => {
       // funnel conversion: users whose first 'view' is followed by a
       // 'purchase' within 1 hour — a first-event aggregate joined against
@@ -1539,6 +1559,20 @@ object SparkEntry {
               cnt AS (SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand)
          SELECT cnt.p_brand, words, n FROM cnt JOIN agg USING (p_brand)
          ORDER BY p_brand""",
+
+    "q_retention" ->
+      """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                     FROM events GROUP BY user_id),
+              ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+              ret AS (SELECT fd.user_id, fd.cohort_day
+                      FROM fd JOIN ad USING (user_id)
+                      WHERE ad.day = fd.cohort_day + 7)
+         SELECT fd.cohort_day, count(*) AS cohort_size,
+                CAST(coalesce((SELECT count(*) FROM ret
+                               WHERE ret.cohort_day = fd.cohort_day), 0)
+                  AS BIGINT) AS n_retained
+         FROM fd GROUP BY fd.cohort_day ORDER BY fd.cohort_day""",
 
     "q_funnel" ->
       """WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events
