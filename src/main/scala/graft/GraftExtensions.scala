@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
+    e.injectOptimizerRule(_ => graft.plans.ReverseLookupRule)
     e.injectPlannerStrategy(_ => graft.plans.ApproxTopNStrategy)
   }
 }
@@ -82,11 +83,16 @@ object GraftExtensions {
   /** Register the same functions on a plain session (no extensions needed) —
     * used by tests and by sessions the driver constructs for us.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ReverseLookupRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ReverseLookupRule
+    graft.plans.ApproxTopN.ensureStrategy(spark)
+  }
 }
 
 /** Rewrites exact `COUNT(DISTINCT x)` into the HLL estimate when

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{ElementAt, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.types.MapType
+
+/** The reference's ReverseLookupRule (`sql/.../rule/ReverseLookupRule.java`):
+  * a filter on the OUTPUT of a lookup, `LOOKUP(x) = 'v'`, is rewritten to a
+  * filter on the INPUT, `x IN (preimage of 'v')`. Semantically identical for
+  * any map (unmapped keys yield null, never equal to a non-null literal) —
+  * and decisive at scale: the IN filter on a raw column pushes down to the
+  * parquet scan, while an equality on a map-extraction expression cannot.
+  */
+object ReverseLookupRule extends Rule[LogicalPlan] {
+
+  private def preimage(m: MapData, mt: MapType, v: Any): Seq[Literal] = {
+    val keys = m.keyArray()
+    val values = m.valueArray()
+    (0 until m.numElements()).collect {
+      case i if !values.isNullAt(i) && values.get(i, mt.valueType) == v =>
+        Literal(keys.get(i, mt.keyType), mt.keyType)
+    }
+  }
+
+  private def invert(cond: Expression): Expression = cond.transformUp {
+    case eq @ EqualTo(ElementAt(Literal(m: MapData, mt: MapType), key, _, _),
+        Literal(v, _)) if v != null =>
+      preimage(m, mt, v) match {
+        case Seq()    => Literal.FalseLiteral
+        case Seq(one) => EqualTo(key, one)
+        case many     => In(key, many)
+      }
+    case eq @ EqualTo(Literal(v, _),
+        ElementAt(Literal(m: MapData, mt: MapType), key, _, _)) if v != null =>
+      preimage(m, mt, v) match {
+        case Seq()    => Literal.FalseLiteral
+        case Seq(one) => EqualTo(key, one)
+        case many     => In(key, many)
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val inverted = invert(cond)
+      if (inverted fastEquals cond) f else f.copy(condition = inverted)
+  }
+}

@@ -90,6 +90,23 @@ class PlanSpec extends AnyFunSuite {
     assert(s.length == 3)
   }
 
+  test("reverse-lookup rule inverts lookup filters into pushable IN filters") {
+    GraftExtensions.register(spark)
+    val lkp = Map("1-URGENT" -> "hot", "2-HIGH" -> "hot", "3-MEDIUM" -> "warm")
+    val df = Tables.load(spark, dir, "orders")
+      .filter(graft.functions.DruidFunctions
+        .lookup(col("o_orderpriority"), lkp) === "hot")
+    val plan = df.queryExecution.executedPlan.toString
+    // the map-extraction equality must be gone, replaced by a raw-column IN
+    // that reaches the parquet reader
+    assert(!plan.contains("element_at"), plan.take(600))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority), " +
+      "In(o_orderpriority"), plan.take(600))
+    val expected = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+    assert(df.count() == expected)
+  }
+
   test("shingle pipeline has no shuffle before the partial min-aggregates") {
     // scan -> project -> generate -> partial agg; the only Exchange must be
     // AFTER the first HashAggregate (the partial)
