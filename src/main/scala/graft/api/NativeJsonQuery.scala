@@ -94,6 +94,39 @@ object NativeJsonQuery {
   def cancel(spark: SparkSession, queryId: String): Unit =
     spark.sparkContext.cancelJobGroup(queryId)
 
+  /** Execute with the reference's `context.timeout` (millis,
+    * QueryContexts.java:47) ENFORCED: the query's job group is cancelled
+    * when the deadline passes, failing the collect — the engine-side
+    * analog of the reference's QueryTimeoutException.
+    */
+  def execute(spark: SparkSession, dir: String, json: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val parsed = JsonMethods.parse(json)
+    val qid = str(parsed \ "context" \ "queryId")
+      .getOrElse("graft-" + java.util.UUID.randomUUID())
+    val timeoutMs = parsed \ "context" \ "timeout" match {
+      case JInt(ms)  => Some(ms.toLong)
+      case JLong(ms) => Some(ms)
+      case _         => None
+    }
+    val df = runParsed(spark, dir, parsed)
+    spark.sparkContext.setJobGroup(qid, s"graft query $qid",
+      interruptOnCancel = true)
+    try timeoutMs match {
+      case Some(ms) =>
+        val timer = new java.util.Timer("graft-query-timeout", true)
+        timer.schedule(new java.util.TimerTask {
+          // AndFutureJobs: the deadline may pass while the query is still
+          // planning, before any job is submitted — a plain cancelJobGroup
+          // would no-op and the query would run to completion
+          override def run(): Unit =
+            spark.sparkContext.cancelJobGroupAndFutureJobs(qid)
+        }, ms)
+        try df.collect() finally timer.cancel()
+      case None => df.collect()
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
   /** EXPLAIN PLAN FOR analog (reference `query/explain/ExplainPlan.java`):
     * the formatted physical plan of a JSON query.
     */

@@ -55,6 +55,24 @@ object Ingest {
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
+
+  /** EXPORT (reference MSQ `EXPORT ... INTO extern(...)`,
+    * `sql/.../parser/DruidSqlInsert.java` export path): write a query
+    * result to external files in the requested format. Coalesced to
+    * `numFiles` so the export lands as a few well-sized files rather than
+    * one per shuffle partition.
+    */
+  def export(df: DataFrame, path: String, format: String = "csv",
+             numFiles: Int = 1): Unit = {
+    val w = df.coalesce(numFiles).write.mode("overwrite")
+    format match {
+      case "csv"     => w.option("header", "true").csv(path)
+      case "json"    => w.json(path)
+      case "parquet" => w.parquet(path)
+      case "orc"     => w.orc(path)
+      case other => throw new IllegalArgumentException(s"unsupported export format: $other")
+    }
+  }
 }
 
 /** Aggregate-projection catalog (reference `AggregateProjectionMetadata`):

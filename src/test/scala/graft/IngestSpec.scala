@@ -74,6 +74,21 @@ class IngestSpec extends AnyFunSuite {
     assert(fallback.count() > 900) // minute buckets ≈ one per event at sf0.001
   }
 
+  test("export writes a query result to external files and reads back") {
+    val out = Files.createTempDirectory("graft_export").toString
+    val result = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    Ingest.export(result, s"$out/csv", "csv")
+    Ingest.export(result, s"$out/parquet", "parquet")
+    val back = spark.read.option("header", "true").csv(s"$out/csv")
+    assert(back.count() == result.count())
+    // coalesced to one data file
+    assert(new java.io.File(s"$out/csv").listFiles()
+      .count(_.getName.endsWith(".csv")) == 1)
+    assert(spark.read.parquet(s"$out/parquet").count() == result.count())
+    intercept[IllegalArgumentException](Ingest.export(result, out, "avro"))
+  }
+
   test("projection coverage logic") {
     import graft.operators.ProjectionCatalog.{covers, Projection}
     val p = Projection("events", "PT1H", Set("a", "b"), Set("n"), null)

@@ -338,6 +338,25 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
   }
 
+  test("context.timeout cancels an overrunning query, passes a quick one") {
+    // ~1e6 interpreted ops per row via nested HOFs: whole query takes
+    // several seconds, reliably slower than the 300ms deadline (but
+    // orphaned tasks drain quickly after cancellation)
+    val slow = """
+      {"queryType": "groupBy", "dataSource": "events",
+       "virtualColumns": [{"type": "expression", "name": "burn",
+         "expression": "aggregate(transform(sequence(1, 1000), i -> aggregate(sequence(1, 1000), 0L, (a, x) -> a + x)), 0L, (a, x) -> a + x)"}],
+       "dimensions": ["burn"],
+       "context": {"timeout": 300},
+       "aggregations": [{"type": "count", "name": "n"}]}"""
+    val e = intercept[Exception](NativeJsonQuery.execute(spark, dir, slow))
+    assert(e.getMessage.toLowerCase.contains("cancel"))
+    val quick = NativeJsonQuery.execute(spark, dir, """
+      {"queryType": "timeBoundary", "dataSource": "events",
+       "context": {"timeout": 60000}}""")
+    assert(quick.length == 1)
+  }
+
   test("context.queryId tags jobs for cancellation") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "events",
