@@ -568,7 +568,11 @@ object SparkEntry {
           regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
           lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
           instr(col("c_name"), "1").cast("long").as("pos1"),
-          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("joined"))
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("joined"),
+          expr("left(c_name, 4)").as("l4"),
+          expr("right(c_name, 3)").as("r3"),
+          reverse(col("c_mktsegment")).as("rev"),
+          repeat(lit("ab"), 3).as("rep"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -1842,7 +1846,9 @@ object SparkEntry {
                 regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
                 lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
                 CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
-                concat(c_mktsegment, ':', c_name) AS joined
+                concat(c_mktsegment, ':', c_name) AS joined,
+                left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+                reverse(c_mktsegment) AS rev, repeat('ab', 3) AS rep
          FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
 
     "q_expr_math" ->

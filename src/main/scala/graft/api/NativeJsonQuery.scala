@@ -417,8 +417,30 @@ object NativeJsonQuery {
     }.reduce(_ || _))
   }
 
+  /** Apply an extraction fn (reference ExtractionDimFilter: the filter
+    * compares the EXTRACTED value) to the dimension column, if present.
+    */
+  private def dimWithExtraction(j: JValue): Column = {
+    val base = col(str(j \ "dimension").get)
+    j \ "extractionFn" match {
+      case JNothing | JNull => base
+      case fn => str(fn \ "type").getOrElse("") match {
+        case "substring" =>
+          val idx = int(fn \ "index").getOrElse(0)
+          int(fn \ "length") match {
+            case Some(len) => substring(base, idx + 1, len)
+            case None      => base.substr(lit(idx + 1), length(base))
+          }
+        case "upper"  => upper(base)
+        case "lower"  => lower(base)
+        case "strlen" => length(base).cast("string")
+        case o => throw new IllegalArgumentException(s"unsupported extractionFn: $o")
+      }
+    }
+  }
+
   private[api] def filterExpr(j: JValue): Column = str(j \ "type").getOrElse("") match {
-    case "selector" => col(str(j \ "dimension").get) === literal(j \ "value")
+    case "selector" => dimWithExtraction(j) === literal(j \ "value")
     case "equals"   => col(str(j \ "column").get) === literal(j \ "matchValue")
     case "in" =>
       val values = arr(j \ "values").map(jvalue)

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Reference-named scalar functions re-expressed over Spark built-ins.
   *
@@ -118,6 +119,13 @@ object DruidFunctions {
     filter(c, x => x.rlike(pattern))
   def mvToString(c: Column, sep: String): Column = array_join(c, sep)
   def stringToMv(c: Column, sepRegex: String): Column = split(c, sepRegex)
+  /** ARRAY_TO_MV is an identity under the array representation. */
+  def arrayToMv(c: Column): Column = c
+  /** MV_HARMONIZE_NULLS (reference MultiValueStringOperatorConversions):
+    * null MVD → empty array, so downstream mv_* fns see a uniform shape.
+    */
+  def mvHarmonizeNulls(c: Column): Column =
+    coalesce(c, array().cast(ArrayType(StringType)))
 
   // ------------------------------------------------------------------ json ----
   /** JSON_VALUE(col, '$.path') — string-typed extraction like the reference. */

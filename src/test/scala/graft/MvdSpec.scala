@@ -79,4 +79,11 @@ class MvdSpec extends AnyFunSuite {
     val ordered = foo.select("dim1").orderBy("dim1").as[String].collect()
     assert(ordered.toSeq == Seq("", "1", "10.1", "2", "abc", "def"))
   }
+
+  test("mv_harmonize_nulls turns null MVDs into empty arrays") {
+    val df = Seq(Some(Seq("a", "b")), None).toDF("mv")
+      .select(DruidFunctions.mvHarmonizeNulls(col("mv")).as("h"))
+      .select(size(col("h")).as("n"))
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 2))
+  }
 }

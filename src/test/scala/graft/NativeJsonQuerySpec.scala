@@ -310,6 +310,18 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(m.keySet == Set("hi", "lo") && m.values.sum == 1500L)
   }
 
+  test("extraction fn in a selector filter compares extracted values") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "events",
+       "dimensions": ["event_type"],
+       "filter": {"type": "selector", "dimension": "event_type",
+                  "extractionFn": {"type": "substring", "index": 0, "length": 1},
+                  "value": "c"},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val types = df.collect().map(_.getString(0))
+    assert(types.toSet == Set("click")) // only type starting with 'c'
+  }
+
   test("extraction dimension spec (substring)") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "orders",
