@@ -95,4 +95,24 @@ object Joins {
                  as: String): DataFrame =
     fact.join(broadcast(lookup.select(lookupKey.as("__lk"), lookupValue.as(as))),
       factKey === col("__lk"), "left").drop("__lk")
+
+  /** Salted equi-join for skewed keys: the skewed (left) side gets a
+    * deterministic salt derived from a high-cardinality column, the right
+    * side is replicated once per salt, and the join key becomes
+    * (key, salt) — a hot key's rows now spread over `salts` reducers
+    * instead of melting one. This is the manual form of what AQE's
+    * skew-join split does at runtime; use it when the skew is KNOWN (a
+    * hot tenant, a null-heavy key) and you want the plan fixed up front.
+    * Inner/left joins only (each left row keeps exactly one salt).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBy: Column, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

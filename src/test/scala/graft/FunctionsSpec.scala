@@ -241,6 +241,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
   }
 
+  test("saltedJoin equals the plain join (skew spreading changes nothing)") {
+    import graft.operators.Joins
+    // skewed left: 90% of rows share key 7
+    val left = spark.range(1000)
+      .select((when(col("id") % 10 === 0, col("id") % 5).otherwise(7L)).as("k"),
+        col("id").as("rowid"))
+    val right = spark.range(10).select(col("id").as("k"),
+      (col("id") * 100).as("v"))
+    val salted = Joins.saltedJoin(left, right, "k", col("rowid"), salts = 8)
+      .orderBy(col("rowid"))
+    val plain = left.join(right, Seq("k")).orderBy(col("rowid"))
+    assert(salted.collect().map(_.toSeq).sameElements(
+      plain.collect().map(_.toSeq)))
+    val leftOuter = Joins.saltedJoin(left, right.filter(col("k") < 3), "k",
+      col("rowid"), salts = 4, joinType = "left")
+    assert(leftOuter.count() == 1000) // left rows all survive
+  }
+
   test("asOfJoin picks latest prior-or-equal right row per key") {
     import graft.operators.Joins
     val l = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
