@@ -88,11 +88,20 @@ object NativeJsonQuery {
       }
     }
 
+  /** queryId → the unique job-group id of its latest [[execute]] run.
+    * Execution uses a fresh group per run because a timed-out group is
+    * cancelled with AndFutureJobs, which would poison RETRIES submitted
+    * under the same queryId (the normal reference retry pattern).
+    */
+  private val activeGroups =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Cancel a running query by its context.queryId (reference
     * `DELETE /druid/v2/{id}`, QueryResource.java:130).
     */
   def cancel(spark: SparkSession, queryId: String): Unit =
-    spark.sparkContext.cancelJobGroup(queryId)
+    spark.sparkContext.cancelJobGroup(
+      Option(activeGroups.get(queryId)).getOrElse(queryId))
 
   /** Execute with the reference's `context.timeout` (millis,
     * QueryContexts.java:47) ENFORCED: the query's job group is cancelled
@@ -102,15 +111,18 @@ object NativeJsonQuery {
   def execute(spark: SparkSession, dir: String, json: String)
       : Array[org.apache.spark.sql.Row] = {
     val parsed = JsonMethods.parse(json)
-    val qid = str(parsed \ "context" \ "queryId")
-      .getOrElse("graft-" + java.util.UUID.randomUUID())
+    val queryId = str(parsed \ "context" \ "queryId")
+    // fresh group per run: a timed-out group stays cancelled (AndFutureJobs)
+    // and must not poison a retry that reuses the same queryId
+    val group = queryId.getOrElse("graft") + "#" + java.util.UUID.randomUUID()
+    queryId.foreach(activeGroups.put(_, group))
     val timeoutMs = parsed \ "context" \ "timeout" match {
       case JInt(ms)  => Some(ms.toLong)
       case JLong(ms) => Some(ms)
       case _         => None
     }
     val df = runParsed(spark, dir, parsed)
-    spark.sparkContext.setJobGroup(qid, s"graft query $qid",
+    spark.sparkContext.setJobGroup(group, s"graft query $group",
       interruptOnCancel = true)
     try timeoutMs match {
       case Some(ms) =>
@@ -120,11 +132,14 @@ object NativeJsonQuery {
           // planning, before any job is submitted — a plain cancelJobGroup
           // would no-op and the query would run to completion
           override def run(): Unit =
-            spark.sparkContext.cancelJobGroupAndFutureJobs(qid)
+            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
         }, ms)
         try df.collect() finally timer.cancel()
       case None => df.collect()
-    } finally spark.sparkContext.clearJobGroup()
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      queryId.foreach(activeGroups.remove(_, group))
+    }
   }
 
   /** EXPLAIN PLAN FOR analog (reference `query/explain/ExplainPlan.java`):
@@ -222,9 +237,14 @@ object NativeJsonQuery {
     // custom per-partition approximate operator (the reference's default
     // topN behavior; exact remains OUR default because the oracle is exact)
     val useApprox = bool(q \ "context" \ "useApproximateTopN").getOrElse(false)
+    // only when ordering by THE aggregate itself: a dimension-ordered
+    // metric spec, or a metric name that is not the single aggregator,
+    // must fall through to the exact paths
     val approxable = arr(q \ "aggregations") match {
       case List(a) => str(a \ "type").exists(
-        t => t == "count" || t == "longSum" || t == "doubleSum")
+        t => t == "count" || t == "longSum" || t == "doubleSum") &&
+        !str(metricSpec \ "type").contains("dimension") &&
+        str(metricSpec).orElse(str(metricSpec \ "metric")) == str(a \ "name")
       case _ => false
     }
     if (useApprox && approxable && !inverted) {
@@ -251,8 +271,10 @@ object NativeJsonQuery {
   }
 
   private def groupBy(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
-    val dims = arr(q \ "dimensions").map {
-      case JString(d) => col(d)
+    // (outputName, dim column) — subtotalsSpec subsets are defined over
+    // dimension OUTPUT names, which may alias derived expressions
+    val namedDims: List[(String, Column)] = arr(q \ "dimensions").map {
+      case JString(d) => d -> col(d)
       case spec =>
         val d = str(spec \ "dimension").get
         // extraction dimension spec (reference ExtractionDimensionSpec):
@@ -274,8 +296,12 @@ object NativeJsonQuery {
             case o => throw new IllegalArgumentException(s"unsupported extractionFn: $o")
           }
         }
-        str(spec \ "outputName").fold(base)(o => base.as(o))
+        str(spec \ "outputName") match {
+          case Some(o) => o -> base.as(o)
+          case None    => d -> base
+        }
     }
+    val dims = namedDims.map(_._2)
     val aggs = aggregations(q \ "aggregations")
     val having = q \ "having" match {
       case JNothing | JNull => None
@@ -300,8 +326,11 @@ object NativeJsonQuery {
       .map(s => arr(s).collect { case JString(d) => d })
     val out =
       if (subtotals.nonEmpty) {
+        val byName = namedDims.toMap
+        val subsets = subtotals.map(_.map(n => byName.getOrElse(n,
+          throw new IllegalArgumentException(s"subtotal dim not in dimensions: $n"))))
         val base = flt.fold(df)(df.filter)
-        var g = base.groupingSets(subtotals.map(_.map(col)), dims: _*)
+        var g = base.groupingSets(subsets, dims: _*)
           .agg(aggs.head, aggs.tail: _*)
         g = having.fold(g)(g.filter)
         if (orderCols.nonEmpty) g = g.orderBy(orderCols: _*)
@@ -367,6 +396,15 @@ object NativeJsonQuery {
             val (name, agg) = aggregationNamed(aggJson)
             a.withColumn(name, agg.over(framed))
           }
+        // reference WindowFirstProcessor/WindowLastProcessor return the
+        // PARTITION first/last; with an ordered window Spark's default
+        // frame ends at the current row, so first/last need the full frame
+        case "first" =>
+          acc.withColumn(out, first(in).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        case "last" =>
+          acc.withColumn(out, last(in).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         case t =>
           val fn = t match {
             case "rowNumber"   => row_number()
@@ -376,8 +414,6 @@ object NativeJsonQuery {
             case "percentRank" => percent_rank()
             case "lag"         => lag(in, int(p \ "offset").getOrElse(1))
             case "lead"        => lead(in, int(p \ "offset").getOrElse(1))
-            case "first"       => first(in)
-            case "last"        => last(in)
             case other => throw new IllegalArgumentException(s"unsupported processor: $other")
           }
           acc.withColumn(out, fn.over(w))
@@ -518,7 +554,11 @@ object NativeJsonQuery {
         val in = field.getOrElse(fields match {
           case Nil      => f
           case Seq(one) => one
-          case many     => concat_ws("\u0001", many.map(_.cast("string")): _*)
+          case many     =>
+            // concat_ws SKIPS nulls, which would collide (a, null) with
+            // (null, a) — null-sentinel each field first
+            concat_ws("\u0001",
+              many.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
         })
         HllSketchAgg.hllEstimate(in)
       case "filtered" =>

@@ -197,9 +197,12 @@ object DruidFunctions {
       "PARSE_LONG(s STRING) RETURNS BIGINT RETURN try_cast(s AS BIGINT)",
       "SUBTRACT_MONTHS(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN " +
         "t - make_ym_interval(0, n)",
-      // integer division like the reference's div (floor semantics)
+      // integer division like the reference's div: Java long division
+      // (truncate toward zero). x DIV y is Spark's integral divide — a
+      // double-division floor() would lose precision past 2^53 and round
+      // negatives the wrong way
       "SAFE_DIV(x BIGINT, y BIGINT) RETURNS BIGINT RETURN " +
-        "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE CAST(floor(x / y) AS BIGINT) END",
+        "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE x DIV y END",
       // HUMAN_READABLE_BINARY_BYTE_FORMAT (reference Function.java byte fmts)
       """HUMAN_READABLE_BINARY_BYTE_FORMAT(b BIGINT) RETURNS STRING RETURN
          CASE WHEN abs(b) < 1024 THEN concat(CAST(b AS STRING), ' B')

@@ -37,15 +37,16 @@ object Metadata {
       .toDF("host", "running_tasks", "slots")
   }
 
-  /** sys.tasks analog: Spark job/stage activity (the reference lists ingest
-    * and compaction tasks; here every query IS a set of jobs).
+  /** sys.tasks analog: Spark job activity (the reference lists ingest and
+    * compaction tasks; here every query IS a set of jobs). Reads the app
+    * status store so jobs submitted under job groups (every facade query
+    * with a queryId) are included. NOTE: like sys_segments, the registered
+    * view is a snapshot — call [[registerSystemViews]] again to refresh.
     */
   def tasks(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val t = spark.sparkContext.statusTracker
-    t.getJobIdsForGroup(null).toSeq
-      .flatMap(id => t.getJobInfo(id).map(j => (id, j.status.toString)))
-      .toDF("job_id", "status")
+    org.apache.spark.graftbridge.CoreBridge.jobs(spark.sparkContext)
+      .toDF("job_id", "status", "job_group")
   }
 
   /** Register sys_* temp views on the session. */

@@ -80,7 +80,10 @@ case class LocalApproxTopNExec(
         val v = valBound match {
           case Some(e) => e.eval(row) match {
             case null => 0.0
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
             case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"non-numeric metric value: $other")
           }
           case None => 1.0
         }

@@ -24,16 +24,24 @@ object ReverseLookupRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Value types whose Catalyst runtime representation compares correctly
+    * with `==` (binary values are Array[Byte] — reference equality — and
+    * must not be inverted).
+    */
+  private def comparable(mt: MapType): Boolean =
+    !mt.valueType.isInstanceOf[org.apache.spark.sql.types.BinaryType]
+
   private def invert(cond: Expression): Expression = cond.transformUp {
     case eq @ EqualTo(ElementAt(Literal(m: MapData, mt: MapType), key, _, _),
-        Literal(v, _)) if v != null =>
+        Literal(v, _)) if v != null && comparable(mt) =>
       preimage(m, mt, v) match {
         case Seq()    => Literal.FalseLiteral
         case Seq(one) => EqualTo(key, one)
         case many     => In(key, many)
       }
     case eq @ EqualTo(Literal(v, _),
-        ElementAt(Literal(m: MapData, mt: MapType), key, _, _)) if v != null =>
+        ElementAt(Literal(m: MapData, mt: MapType), key, _, _))
+        if v != null && comparable(mt) =>
       preimage(m, mt, v) match {
         case Seq()    => Literal.FalseLiteral
         case Seq(one) => EqualTo(key, one)

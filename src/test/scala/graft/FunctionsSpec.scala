@@ -160,6 +160,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 42L && r.isNullAt(3))
     assert(r.getTimestamp(4).toString.startsWith("2024-01-15 10:00:00"))
     assert(r.getLong(5) == 3L && r.isNullAt(6))
+    // Java long-division semantics: truncate toward zero, not floor
+    val neg = spark.sql("SELECT SAFE_DIV(-7, 2)").head()
+    assert(neg.getLong(0) == -3L)
     assert(r.getString(7) == "1.50 KiB")
     assert(r.getString(8) == "1.50 MB")
   }

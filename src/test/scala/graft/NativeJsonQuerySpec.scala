@@ -286,6 +286,19 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       else r.getAs[Long]("cnt2") == 2L))
   }
 
+  test("subtotalsSpec resolves dimension OUTPUT names (aliased extraction)") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "events",
+       "dimensions": [{"dimension": "event_type", "outputName": "et_u",
+                       "extractionFn": {"type": "upper"}}],
+       "subtotalsSpec": [["et_u"], []],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    assert(rows.length == 6) // 5 uppercased types + grand total
+    assert(rows.filter(!_.isNullAt(0)).forall(r =>
+      r.getString(0) == r.getString(0).toUpperCase))
+  }
+
   test("subtotalsSpec maps onto grouping sets") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "events",
@@ -385,7 +398,8 @@ class NativeJsonQuerySpec extends AnyFunSuite {
   test("sys_servers and sys_tasks system views register") {
     graft.operators.Metadata.registerSystemViews(spark, dir)
     assert(spark.table("sys_servers").count() >= 1)
-    assert(spark.table("sys_tasks").columns.toSeq == Seq("job_id", "status"))
+    assert(spark.table("sys_tasks").columns.toSeq ==
+      Seq("job_id", "status", "job_group"))
   }
 
   test("unsupported queryType raises") {
