@@ -119,6 +119,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(0) != r.getLong(2))
   }
 
+  test("dot_product handles mixed float/double arrays and length mismatch") {
+    import graft.functions.VectorMath.dotProduct
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 3.0)))
+      .toDF("f", "d")
+      .select(dotProduct(col("f"), col("d")).as("x"),   // min length = 2
+        dotProduct(col("f"), col("f")).as("y"))
+    val r = df.head()
+    assert(r.getDouble(0) == 1.0 * 2.0 + 2.0 * 3.0)
+    assert(r.getDouble(1) == 14.0)
+    // null array propagates null
+    val n = Seq((Array(1.0), Option.empty[Array[Double]])).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
       .toDF("a", "b")

@@ -90,6 +90,22 @@ class SketchSpec extends AnyFunSuite {
       s"metric est ${big.getDouble(1)}")
   }
 
+  test("tuple sketch handles empty and null-key input") {
+    import graft.functions.sketches.TupleSketchAgg._
+    val r = spark.range(10)
+      .select(when(col("id") < 5, col("id")).as("k"), lit(1.0).as("v"))
+      .filter(col("id") < 0) // empty input
+      .agg(tupleSketch(col("k"), array(col("v"))).as("sk"))
+      .select(tupleEstimate(col("sk")), tupleMetricSum(col("sk"), 0)).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    // null keys are skipped like the reference's null-filtering aggs
+    val withNulls = spark.range(10)
+      .select(when(col("id") < 5, col("id")).as("k"), lit(2.0).as("v"))
+      .agg(tupleSketch(col("k"), array(col("v"))).as("sk"))
+      .select(tupleEstimate(col("sk")), tupleMetricSum(col("sk"), 0)).head()
+    assert(withNulls.getDouble(0) == 5.0 && withNulls.getDouble(1) == 10.0)
+  }
+
   test("tuple sketch is insensitive to partitioning (mergeable partials)") {
     import graft.functions.sketches.TupleSketchAgg._
     def run(parts: Int) = spark.range(30000).repartition(parts)
