@@ -708,15 +708,15 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       // 64-bit simhash per doc + near-dup pairs within hamming<=12 over
       // same-source blocks; hash-dependent → rows-only check
-      val par = s.sparkContext.defaultParallelism
-      // persist: the simhash table feeds both self-join sides (probe +
-      // broadcast build) and would otherwise be computed twice
+      // persist: the simhash table feeds both self-join sides and would
+      // otherwise be computed twice; the pair join is size-gated (broadcast
+      // below threshold, salted shuffle above — see Joins.boundedBlockJoin)
       val d = Dedup.simHashTable(t(s, dir)("documents"), "doc_id", "text",
         carry = Seq("source")).persist()
       val l = d.select(col("source"), col("id").as("id_a"), col("simhash").as("sh_a"))
-        .repartition(par)
       val r = d.select(col("source"), col("id").as("id_b"), col("simhash").as("sh_b"))
-      l.join(broadcast(r), Seq("source")).filter(col("id_a") < col("id_b"))
+      graft.operators.Joins.boundedBlockJoin(l, r, Seq("source"),
+        saltBy = col("id_a")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           Dedup.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
         .filter(col("hamming") <= 12)

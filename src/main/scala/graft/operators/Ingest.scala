@@ -45,9 +45,13 @@ object Ingest {
     */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
     val df = spark.read.parquet(path)
-    val n = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
     val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    // single pass: REBALANCE lets AQE coalesce/split the shuffle into
+    // advisory-sized partitions and maxRecordsPerFile caps rows per file —
+    // no exact pre-count (which would read the whole input twice at scale)
+    df.hint("rebalance")
+      .write.option("maxRecordsPerFile", targetRowsPerFile)
+      .mode("overwrite").parquet(tmp)
     // atomic-ish swap (real deployments use a transactional table format)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

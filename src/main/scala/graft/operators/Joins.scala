@@ -96,6 +96,62 @@ object Joins {
     fact.join(broadcast(lookup.select(lookupKey.as("__lk"), lookupValue.as(as))),
       factKey === col("__lk"), "left").drop("__lk")
 
+  /** Pairwise-candidate join with a BOUNDED build side — the join shape
+    * behind every blocked dedup/similarity verify step (probe × build on a
+    * low-cardinality block key).
+    *
+    * Broadcasting the build side is the fast plan while it fits in memory,
+    * but in a corpus-scale self-join the build side IS the corpus and an
+    * unconditional broadcast OOMs (executors hold the whole table). So the
+    * broadcast is size-gated on Catalyst's estimate of the build plan
+    * against the session broadcast threshold — the same statistic Spark's
+    * own join planning uses. Over the threshold, both sides shuffle on
+    * (keys, salt): the probe salted by a high-cardinality column, the build
+    * replicated `salts` ways, so a handful of hot block keys still spread
+    * over the cluster instead of melting one reducer (the manual form of
+    * AQE's skew split, fixed in the plan up front). With `keys` empty this
+    * degrades to a salt-partitioned block-nested-loop cross product — the
+    * shuffle-safe shape of an exact all-pairs comparison.
+    *
+    * Reference analog: the native engine broadcast-hash-joins bounded
+    * `Joinable`s only; big-big joins route through MSQ's shuffle sort-merge
+    * (`multi-stage-query/.../SortMergeJoinFrameProcessor.java:105`).
+    *
+    * @param mode "auto" (size-gate, default), "broadcast", "shuffle"
+    */
+  def boundedBlockJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                       saltBy: Column, salts: Int = 0,
+                       mode: String = "auto"): DataFrame = {
+    val spark = probe.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val broadcastOk = mode match {
+      case "broadcast" => true
+      case "shuffle"   => false
+      case "auto" =>
+        val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        val threshold =
+          if (raw.matches("-?[0-9]+")) raw.toLong
+          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        threshold > 0 &&
+          build.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+      case other => throw new IllegalArgumentException(s"bad join mode: $other")
+    }
+    if (broadcastOk)
+      // round-robin the probe: block keys are low-cardinality, so without
+      // the spread a key-partitioned probe collapses to a few tasks
+      probe.repartition(par).join(broadcast(build), keys)
+    else {
+      val n = if (salts > 0) salts else par
+      val l = probe.withColumn("__salt", pmod(xxhash64(saltBy), lit(n.toLong)))
+      val r = build.withColumn("__salt",
+        explode(sequence(lit(0L), lit(n.toLong - 1))))
+      // merge hint: without it Catalyst's own stats would flip the salted
+      // join right back to a broadcast when the build side LOOKS small —
+      // shuffle mode exists precisely for when that estimate can't be trusted
+      l.hint("merge").join(r.hint("merge"), keys :+ "__salt").drop("__salt")
+    }
+  }
+
   /** Salted equi-join for skewed keys: the skewed (left) side gets a
     * deterministic salt derived from a high-cardinality column, the right
     * side is replicated once per salt, and the join key becomes

@@ -185,20 +185,22 @@ object Dedup {
 
   /** Fuzzy near-duplicate pairs by Jaro-Winkler similarity within blocks —
     * the string-distance variant of the dedup family, powered by the native
-    * codegen'd [[graft.functions.JaroWinklerSimilarity]] expression. Same
-    * skew discipline as the other pairwise ops: round-robin the probe side,
-    * broadcast the build side.
+    * codegen'd [[graft.functions.JaroWinklerSimilarity]] expression. The
+    * pair join is size-gated ([[graft.operators.Joins.boundedBlockJoin]]):
+    * broadcast while the block table fits the broadcast threshold, salted
+    * shuffle on the block key beyond it — the corpus-side table must never
+    * be an unconditional broadcast.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
-                 blockKey: Column, threshold: Double): DataFrame = {
+                 blockKey: Column, threshold: Double,
+                 mode: String = "auto"): DataFrame = {
     import graft.functions.JaroWinklerImpl.jaroWinkler
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val g = df.select(col(idCol).as("id"), blockKey.as("block"),
       col(textCol).as("s"))
     val l = g.select(col("block"), col("id").as("id_a"), col("s").as("s_a"))
-      .repartition(par)
     val r = g.select(col("block"), col("id").as("id_b"), col("s").as("s_b"))
-    l.join(broadcast(r), Seq("block"))
+    graft.operators.Joins.boundedBlockJoin(l, r, Seq("block"),
+      saltBy = col("id_a"), mode = mode)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaroWinkler(col("s_a"), col("s_b")).as("jw"))
@@ -222,16 +224,16 @@ object Dedup {
     * must have similar set sizes, so length-bucketing is a principled filter,
     * not just a shortcut.
     *
-    * The probe side is explicitly repartitioned: blocking keys are low-
-    * cardinality, so a plain key-partitioned join would collapse to a handful
-    * of tasks (the classic skew trap); spreading rows round-robin and
-    * broadcasting the build side keeps every core busy.
+    * The pair join is size-gated ([[graft.operators.Joins.boundedBlockJoin]]):
+    * blocking keys are low-cardinality, so while the gram table fits the
+    * broadcast threshold the probe spreads round-robin against a broadcast
+    * build; past it both sides shuffle on a salted block key — never an
+    * unconditional corpus broadcast.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockKey: Column, shingleSize: Int = 3,
-                        threshold: Double = 0.1): DataFrame = {
-    val spark = df.sparkSession
-    val parallelism = spark.sparkContext.defaultParallelism
+                        threshold: Double = 0.1,
+                        mode: String = "auto"): DataFrame = {
     // shingle rows (codegen'd, see shingleRows) hashed to longs, then packed
     // to one array per doc: set-intersection on fixed-width longs is several
     // times cheaper than on strings, and (collisions being ~(n²/2^64)-
@@ -246,12 +248,12 @@ object Dedup {
       .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams"))
       .persist()
     val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
-      .repartition(parallelism)
     val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
     val inter = graft.functions.VectorMath
       .sortedIntersectCount(col("g_a"), col("g_b")).cast("double")
     val union = size(col("g_a")) + size(col("g_b")) - inter
-    l.join(broadcast(r), Seq("block"))
+    graft.operators.Joins.boundedBlockJoin(l, r, Seq("block"),
+      saltBy = col("id_a"), mode = mode)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(union === 0, lit(0.0)).otherwise(inter / union).as("jaccard"))

@@ -71,19 +71,22 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= the
-    * threshold. The corpus is compared against a broadcast copy of itself;
-    * at 100 TB scale the broadcast side becomes LSH buckets (`annLsh`) or a
-    * centroid-blocked subset — the pair predicate and the per-pair math stay
-    * identical.
+    * threshold. Exact all-pairs is inherently quadratic — the scale path is
+    * [[annLsh]]/[[annIvf]], which bucket first; this exact variant keeps its
+    * memory bounded with [[graft.operators.Joins.boundedBlockJoin]]: the
+    * corpus broadcasts only below the broadcast threshold, and beyond it the
+    * comparison becomes a salt-partitioned block-nested-loop (each task sees
+    * a probe slice × replicated build), so no executor ever has to hold the
+    * whole table.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+                         threshold: Double, mode: String = "auto"): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      norm(col(vecCol)).as("n_a")).repartition(par)
+      norm(col(vecCol)).as("n_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       norm(col(vecCol)).as("n_b"))
-    a.crossJoin(broadcast(b))
+    graft.operators.Joins.boundedBlockJoin(a, b, Nil,
+      saltBy = col("id_a"), mode = mode)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("sim"))

@@ -107,6 +107,39 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("bounded pair joins never broadcast the corpus side in shuffle mode") {
+    import graft.pipeline.{Dedup, Similarity}
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    // shuffle mode: the plan must contain no BroadcastExchange at all (the
+    // corpus-sized build side is the only table in these self-joins)
+    val fuzzyShuffle = Dedup.fuzzyPairs(
+      Tables.load(spark, dir, "part"), "p_partkey", "p_name",
+      blockKey = col("p_brand"), threshold = 0.92, mode = "shuffle")
+    assert(!fuzzyShuffle.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    val jacShuffle = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockKey = col("source"), shingleSize = 3, threshold = 0.2,
+      mode = "shuffle")
+    assert(!jacShuffle.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    val cosShuffle = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.8, mode = "shuffle")
+    assert(!cosShuffle.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    // both modes produce the identical pair set (bit-identical per-pair math)
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fuzzyBcast = Dedup.fuzzyPairs(
+      Tables.load(spark, dir, "part"), "p_partkey", "p_name",
+      blockKey = col("p_brand"), threshold = 0.92, mode = "broadcast")
+    assert(key(fuzzyShuffle) == key(fuzzyBcast))
+    val cosBcast = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.8, mode = "broadcast")
+    assert(key(cosShuffle) == key(cosBcast))
+  }
+
   test("shingle pipeline has no shuffle before the partial min-aggregates") {
     // scan -> project -> generate -> partial agg; the only Exchange must be
     // AFTER the first HashAggregate (the partial)
