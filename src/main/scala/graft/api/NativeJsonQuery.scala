@@ -103,10 +103,27 @@ object NativeJsonQuery {
     spark.sparkContext.cancelJobGroup(
       Option(activeGroups.get(queryId)).getOrElse(queryId))
 
+  /** Default [[execute]] result-row cap, the reference's
+    * `QueryContexts.DEFAULT_MAX_SUBQUERY_ROWS` (QueryContexts.java:174).
+    */
+  val DefaultMaxResultRows = 100000
+
+  /** Thrown when an [[execute]] result exceeds `context.maxSubqueryRows` —
+    * the analog of the reference's ResourceLimitExceededException
+    * (query/ResourceLimitExceededException.java). The plan-returning [[run]]
+    * has no cap: only materializing to the driver is bounded.
+    */
+  final class ResourceLimitExceeded(msg: String)
+    extends RuntimeException(msg)
+
   /** Execute with the reference's `context.timeout` (millis,
     * QueryContexts.java:47) ENFORCED: the query's job group is cancelled
     * when the deadline passes, failing the collect — the engine-side
-    * analog of the reference's QueryTimeoutException.
+    * analog of the reference's QueryTimeoutException. Result size is
+    * bounded by `context.maxSubqueryRows` (default
+    * [[DefaultMaxResultRows]]): the collect fetches at most cap+1 rows —
+    * never the unbounded result — and overflow raises
+    * [[ResourceLimitExceeded]] instead of OOMing the driver.
     */
   def execute(spark: SparkSession, dir: String, json: String)
       : Array[org.apache.spark.sql.Row] = {
@@ -121,7 +138,23 @@ object NativeJsonQuery {
       case JLong(ms) => Some(ms)
       case _         => None
     }
-    val df = runParsed(spark, dir, parsed)
+    val maxRows = (parsed \ "context" \ "maxSubqueryRows" match {
+      case JInt(n)  => Some(n.toInt)
+      case JLong(n) => Some(n.toInt)
+      case _        => None
+    }).getOrElse(DefaultMaxResultRows)
+    val df0 = runParsed(spark, dir, parsed)
+    // fetch cap+1, never the unbounded result; cap+1 rows back = overflow.
+    // limit-after-sort preserves ordered prefixes, so an in-cap result is
+    // identical to the uncapped collect
+    val df = df0.limit(maxRows + 1)
+    def guarded(rows: Array[org.apache.spark.sql.Row]) =
+      if (rows.length > maxRows)
+        throw new ResourceLimitExceeded(
+          s"query result exceeds maxSubqueryRows=$maxRows " +
+            "(reference ResourceLimitExceededException); raise " +
+            "context.maxSubqueryRows or add a limit/aggregation")
+      else rows
     spark.sparkContext.setJobGroup(group, s"graft query $group",
       interruptOnCancel = true)
     try timeoutMs match {
@@ -134,8 +167,8 @@ object NativeJsonQuery {
           override def run(): Unit =
             spark.sparkContext.cancelJobGroupAndFutureJobs(group)
         }, ms)
-        try df.collect() finally timer.cancel()
-      case None => df.collect()
+        try guarded(df.collect()) finally timer.cancel()
+      case None => guarded(df.collect())
     } finally {
       spark.sparkContext.clearJobGroup()
       queryId.foreach(activeGroups.remove(_, group))
@@ -509,6 +542,68 @@ object NativeJsonQuery {
     case "or"    => arr(j \ "fields").map(filterExpr).reduce(_ || _)
     case "true"  => lit(true)
     case "false" => lit(false)
+    // IsBooleanDimFilter (reference query/filter/IsBooleanDimFilter.java):
+    // null-safe three-valued wrap — isFalse matches only definite false,
+    // never null, hence <=> not ===
+    case "istrue"  => filterExpr(j \ "field") <=> lit(true)
+    case "isfalse" => filterExpr(j \ "field") <=> lit(false)
+    // ColumnComparisonDimFilter: rows where all listed dimensions carry the
+    // same value, compared as strings (the reference compares dimension
+    // values, which are strings); null == null matches
+    case "columnComparison" =>
+      val dims = arr(j \ "dimensions").map {
+        case JString(d) => col(d).cast("string")
+        case spec       => dimWithExtraction(spec).cast("string")
+      }
+      dims.zip(dims.tail).map { case (a, b) => a <=> b }.reduce(_ && _)
+    // ArrayContainsElementFilter (reference query/filter/
+    // ArrayContainsElementFilter.java)
+    case "arrayContainsElement" =>
+      array_contains(col(str(j \ "column").get), literal(j \ "elementMatchValue"))
+    // SearchQueryDimFilter: the search *query* spec reused as a filter;
+    // contains is case-INsensitive unless caseSensitive (Jackson primitive
+    // default false), fragment requires every fragment
+    // (reference query/search/*SearchQuerySpec.java)
+    case "search" =>
+      val c = dimWithExtraction(j)
+      val q = j \ "query"
+      def containsCi(needle: String) = lower(c).contains(needle.toLowerCase)
+      str(q \ "type").getOrElse("") match {
+        case "contains" =>
+          val v = str(q \ "value").get
+          if (bool(q \ "caseSensitive").getOrElse(false)) c.contains(v)
+          else containsCi(v)
+        case "insensitive_contains" => containsCi(str(q \ "value").get)
+        case "fragment" =>
+          val cs = bool(q \ "caseSensitive").getOrElse(false)
+          arr(q \ "values").flatMap(str)
+            .map(v => if (cs) c.contains(v) else containsCi(v))
+            .reduce(_ && _)
+        case o => throw new IllegalArgumentException(s"unsupported search query: $o")
+      }
+    // SpatialDimFilter over a comma-joined "x,y" spatial dimension (the
+    // reference's storage convention for spatial dims); bound types
+    // rectangular/radius/polygon from query/filter/SpatialDimFilter.java
+    case "spatial" =>
+      val d = split(col(str(j \ "dimension").get), ",")
+      val x = element_at(d, 1).cast("double")
+      val y = element_at(d, 2).cast("double")
+      def nums(v: JValue) = arr(v).flatMap(double)
+      val b = j \ "bound"
+      str(b \ "type").getOrElse("") match {
+        case "rectangular" =>
+          val mins = nums(b \ "minCoords"); val maxs = nums(b \ "maxCoords")
+          graft.functions.SpatialFilters.rectangular(
+            x, y, mins(0), mins(1), maxs(0), maxs(1))
+        case "radius" =>
+          val cs = nums(b \ "coords")
+          graft.functions.SpatialFilters.radius(
+            x, y, cs(0), cs(1), double(b \ "radius").get)
+        case "polygon" =>
+          graft.functions.SpatialFilters.polygon(
+            x, y, nums(b \ "abscissa").zip(nums(b \ "ordinate")))
+        case o => throw new IllegalArgumentException(s"unsupported spatial bound: $o")
+      }
     case other   => throw new IllegalArgumentException(s"unsupported filter: $other")
   }
 

@@ -402,6 +402,94 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("job_id", "status", "job_group"))
   }
 
+  test("istrue / isfalse filters wrap a base filter null-safely") {
+    def cnt(flt: String) = NativeJsonQuery.run(spark, dir, s"""
+      {"queryType": "scan", "dataSource": "events",
+       "columns": ["event_type"], "filter": $flt}""").count()
+    val base = """{"type": "equals", "column": "event_type", "matchValue": "click"}"""
+    val t = cnt(s"""{"type": "istrue", "field": $base}""")
+    val f = cnt(s"""{"type": "isfalse", "field": $base}""")
+    assert(t == cnt(base))
+    assert(t > 0 && f > 0 && t + f == 1000L) // no nulls: complementary
+  }
+
+  test("columnComparison filter matches rows with equal dimension values") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "scan", "dataSource": "lineitem",
+       "columns": ["l_orderkey"],
+       "filter": {"type": "columnComparison",
+                  "dimensions": ["l_linenumber", "l_suppkey"]}}""")
+    val expected = Tables.asDruid(spark, dir, "lineitem")
+      .filter(col("l_linenumber").cast("string") === col("l_suppkey").cast("string"))
+      .count()
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("arrayContainsElement filter over a virtual array column") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "scan", "dataSource": "part",
+       "virtualColumns": [{"type": "expression", "name": "words",
+                           "expression": "split(p_name, ' ')"}],
+       "columns": ["p_partkey"],
+       "filter": {"type": "arrayContainsElement", "column": "words",
+                  "elementMatchValueType": "STRING",
+                  "elementMatchValue": "widget"}}""")
+    val expected = Tables.asDruid(spark, dir, "part")
+      .filter(col("p_name").contains("widget")).count()
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("search filter: contains folds case by default, fragment needs all") {
+    def cnt(flt: String) = NativeJsonQuery.run(spark, dir, s"""
+      {"queryType": "scan", "dataSource": "part",
+       "columns": ["p_partkey"], "filter": $flt}""").count()
+    val ci = cnt("""{"type": "search", "dimension": "p_name",
+      "query": {"type": "contains", "value": "WIDGET"}}""")
+    val cs = cnt("""{"type": "search", "dimension": "p_name",
+      "query": {"type": "contains", "value": "WIDGET", "caseSensitive": true}}""")
+    val expected = Tables.asDruid(spark, dir, "part")
+      .filter(col("p_name").contains("widget")).count()
+    assert(ci == expected && expected > 0 && cs == 0)
+    val frag = cnt("""{"type": "search", "dimension": "p_name",
+      "query": {"type": "fragment", "values": ["COLD", "widget"]}}""")
+    val fragExpected = Tables.asDruid(spark, dir, "part")
+      .filter(col("p_name").contains("cold") && col("p_name").contains("widget"))
+      .count()
+    assert(frag == fragExpected && frag > 0 && frag < expected)
+  }
+
+  test("spatial filter bounds over a comma-joined point dimension") {
+    def cnt(bound: String) = NativeJsonQuery.run(spark, dir, s"""
+      {"queryType": "scan", "dataSource": "customer",
+       "virtualColumns": [{"type": "expression", "name": "pt",
+         "expression": "concat(cast(c_custkey % 100 - 50 as string), ',', cast(c_custkey % 60 - 30 as string))"}],
+       "columns": ["c_custkey"],
+       "filter": {"type": "spatial", "dimension": "pt", "bound": $bound}}""").count()
+    val rect = cnt("""{"type": "rectangular", "minCoords": [-10, -10], "maxCoords": [10, 10]}""")
+    val rad = cnt("""{"type": "radius", "coords": [0, 0], "radius": 10}""")
+    val poly = cnt("""{"type": "polygon", "abscissa": [-10, 10, 0], "ordinate": [-10, -10, 10]}""")
+    assert(rect > 0 && rad > 0 && poly > 0)
+    assert(rad <= rect && poly <= rect) // circle and triangle inscribe the box
+  }
+
+  test("maxSubqueryRows caps execute() results like the reference broker") {
+    // scan over the cap errors with the resource-limit message...
+    val over = intercept[NativeJsonQuery.ResourceLimitExceeded] {
+      NativeJsonQuery.execute(spark, dir, """
+        {"queryType": "scan", "dataSource": "events",
+         "columns": ["event_type"],
+         "context": {"maxSubqueryRows": 10}}""")
+    }
+    assert(over.getMessage.contains("maxSubqueryRows=10"))
+    // ...an aggregation under the same cap still returns in full
+    val under = NativeJsonQuery.execute(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "events",
+       "dimensions": ["event_type"],
+       "context": {"maxSubqueryRows": 10},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    assert(under.length == 5)
+  }
+
   test("unsupported queryType raises") {
     intercept[IllegalArgumentException] {
       NativeJsonQuery.run(spark, dir,
