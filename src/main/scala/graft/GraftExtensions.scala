@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.{Ipv6Match, JaroWinklerSimilarity}
-import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg, TupleEstimate, TupleMetricSum, TupleSketchAgg}
+import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KllQuery, KllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg, TupleEstimate, TupleMetricSum, TupleSketchAgg}
 
 /** Engine-level Catalyst extensions (registered with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
@@ -76,6 +76,16 @@ object GraftExtensions {
     ("ipv6_match", info("ipv6_match", "IPv6 subnet containment (ip, 'net/bits')"),
       (args: Seq[Expression]) =>
         Ipv6Match(args(0), args(1).eval().toString)),
+    ("kll_sketch_agg", info("kll_sketch_agg", "KLL quantiles binary sketch"),
+      (args: Seq[Expression]) =>
+        KllSketchAgg(args.head).toAggregateExpression()),
+    ("kll_merge_agg", info("kll_merge_agg", "fold stored KLL sketches"),
+      (args: Seq[Expression]) =>
+        KllSketchAgg(args.head, mergeSketches = true).toAggregateExpression()),
+    ("kll_quantile", info("kll_quantile", "quantile of a KLL sketch (sketch, q)"),
+      (args: Seq[Expression]) => KllQuery(args(0), args(1), "quantile")),
+    ("kll_rank", info("kll_rank", "rank of a value in a KLL sketch (sketch, v)"),
+      (args: Seq[Expression]) => KllQuery(args(0), args(1), "rank")),
     ("dot_product", info("dot_product", "codegen'd numeric-array dot product"),
       (args: Seq[Expression]) =>
         graft.functions.DotProduct(args(0), args(1))))

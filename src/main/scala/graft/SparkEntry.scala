@@ -1126,6 +1126,16 @@ object SparkEntry {
         .orderBy(col("datasource"))
     }),
 
+    // --------------------------------- INFORMATION_SCHEMA (§2.11)
+    "q_info_schema" -> ((s, dir) => {
+      // COLUMNS view vs DuckDB's native information_schema over the same
+      // registered tables — name/ordinal parity is the whole check
+      graft.operators.Metadata.informationSchemaColumns(s, dir)
+        .select(col("table_name"), col("column_name"),
+          col("ordinal_position"))
+        .orderBy(col("table_name"), col("ordinal_position"))
+    }),
+
     // --------------------------------------- registered lookup (§2.9)
     "q_lookup_registered" -> ((s, dir) => {
       // named lookup resolved through the registry by the SQL LOOKUP fn
@@ -1362,6 +1372,23 @@ object SparkEntry {
         .agg(hllEstimate(col("user_id")).as("approx_users"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    "q_sketch_kll" -> ((s, dir) => {
+      // KLL quantiles sketch (reference datasketches KLL ext): mergeable
+      // binary sketch per group, quantile/rank via post-agg; randomized
+      // compaction → rows-only check, accuracy bounds in SketchSpec
+      import graft.functions.sketches.KllSketchAgg._
+      t(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(kllSketch(col("l_extendedprice")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(kllQuantile(col("sk"), lit(0.5)), 0).as("p50_approx"),
+          round(kllQuantile(col("sk"), lit(0.95)), 0).as("p95_approx"),
+          round(kllRank(col("sk"), lit(30000.0)), 3).as("rank_30k"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
     }),
 
     "q_sketch_tuple" -> ((s, dir) => {
@@ -2253,6 +2280,15 @@ object SparkEntry {
            UNION ALL SELECT 'documents', count(*) FROM documents
            UNION ALL SELECT 'embeddings', count(*) FROM embeddings)
          ORDER BY datasource""",
+
+    "q_info_schema" ->
+      """SELECT table_name, column_name,
+                CAST(ordinal_position AS BIGINT) AS ordinal_position
+         FROM information_schema.columns
+         WHERE table_name IN ('region','nation','customer','supplier','part',
+                              'orders','lineitem','events','documents',
+                              'embeddings')
+         ORDER BY table_name, ordinal_position""",
 
     "q_lookup_registered" ->
       """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'

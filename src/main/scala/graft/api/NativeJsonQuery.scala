@@ -670,6 +670,18 @@ object NativeJsonQuery {
         // use maps to percentile_approx at the agg itself
         percentile_approx(f.cast("double"),
           lit(double(j \ "quantile").getOrElse(0.5)), lit(10000))
+      case "KllDoublesSketch" =>
+        // real mergeable KLL sketch (binary column; finalize with the
+        // kll_quantile post-agg or a quantile in the JSON for convenience)
+        double(j \ "quantile") match {
+          case Some(q) => graft.functions.sketches.KllSketchAgg.kllQuantile(
+            graft.functions.sketches.KllSketchAgg.kllSketch(f.cast("double"),
+              int(j \ "k").getOrElse(graft.functions.sketches.Kll.DefaultK)),
+            lit(q))
+          case None => graft.functions.sketches.KllSketchAgg.kllSketch(
+            f.cast("double"),
+            int(j \ "k").getOrElse(graft.functions.sketches.Kll.DefaultK))
+        }
       case "bloom" =>
         graft.functions.sketches.BloomFilterAgg.bloomBuild(f)
       case other => throw new IllegalArgumentException(s"unsupported aggregator: $other")

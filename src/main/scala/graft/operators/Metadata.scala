@@ -55,4 +55,62 @@ object Metadata {
     servers(spark).createOrReplaceTempView("sys_servers")
     tasks(spark).createOrReplaceTempView("sys_tasks")
   }
+
+  // ------------------------------------------------- INFORMATION_SCHEMA ----
+  // Reference `sql/.../schema/InformationSchema.java`: SCHEMATA / TABLES /
+  // COLUMNS virtual tables. Metadata-only — built from catalog schemas on
+  // the driver, never from a data scan, which is what keeps them O(tables)
+  // at any data scale.
+
+  private val Catalog = "druid"
+
+  /** Calcite-style SQL type name the reference reports (VARCHAR, BIGINT,
+    * DOUBLE, TIMESTAMP, FLOAT ARRAY, …).
+    */
+  private def sqlTypeName(dt: org.apache.spark.sql.types.DataType): String =
+    dt.sql.replace("STRING", "VARCHAR")
+
+  /** INFORMATION_SCHEMA.SCHEMATA: the reference exposes druid, sys,
+    * INFORMATION_SCHEMA (and lookup when loaded).
+    */
+  def informationSchemaSchemata(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("druid", "sys", "INFORMATION_SCHEMA")
+      .map(s => (Catalog, s, ""))
+      .toDF("catalog_name", "schema_name", "schema_owner")
+  }
+
+  /** INFORMATION_SCHEMA.TABLES: one row per datasource. */
+  def informationSchemaTables(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.all.map(t => (Catalog, "druid", t, "TABLE"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+  }
+
+  /** INFORMATION_SCHEMA.COLUMNS: one row per (datasource, column) with its
+    * 1-based ordinal, nullability, and Calcite-style type name.
+    */
+  def informationSchemaColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.all.flatMap { t =>
+      Tables.load(spark, dir, t).schema.fields.zipWithIndex.map {
+        case (f, i) =>
+          (Catalog, "druid", t, f.name, i + 1L,
+            if (f.nullable) "YES" else "NO", sqlTypeName(f.dataType))
+      }
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+      "ordinal_position", "is_nullable", "data_type")
+  }
+
+  /** Register the INFORMATION_SCHEMA views (underscore spelling: Spark temp
+    * view names cannot contain dots).
+    */
+  def registerInformationSchema(spark: SparkSession, dir: String): Unit = {
+    informationSchemaSchemata(spark)
+      .createOrReplaceTempView("information_schema_schemata")
+    informationSchemaTables(spark, dir)
+      .createOrReplaceTempView("information_schema_tables")
+    informationSchemaColumns(spark, dir)
+      .createOrReplaceTempView("information_schema_columns")
+  }
 }

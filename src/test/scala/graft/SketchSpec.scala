@@ -41,6 +41,39 @@ class SketchSpec extends AnyFunSuite {
     assert(refold == direct, s"refold $refold != direct $direct")
   }
 
+  test("KLL quantile estimates within rank-error bounds") {
+    import graft.functions.sketches.KllSketchAgg._
+    // uniform 0..99999: true quantile(q) = q * 100000
+    val df = spark.range(100000).select(col("id").cast("double").as("v"))
+      .repartition(8)
+    val sk = df.agg(kllSketch(col("v")).as("s"))
+    val row = sk.select(
+      kllQuantile(col("s"), lit(0.5)).as("p50"),
+      kllQuantile(col("s"), lit(0.95)).as("p95"),
+      kllQuantile(col("s"), lit(0.0)).as("p0"),
+      kllQuantile(col("s"), lit(1.0)).as("p100"),
+      kllRank(col("s"), lit(25000.0)).as("r25")).head()
+    // k=200 → ~1.65% rank error; allow 3% of the value range
+    assert(math.abs(row.getDouble(0) - 50000) < 3000, s"p50=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 95000) < 3000, s"p95=${row.getDouble(1)}")
+    assert(row.getDouble(2) == 0.0 && row.getDouble(3) == 99999.0)
+    assert(math.abs(row.getDouble(4) - 0.25) < 0.03, s"rank=${row.getDouble(4)}")
+  }
+
+  test("KLL stored-sketch refold matches direct aggregation accuracy") {
+    import graft.functions.sketches.KllSketchAgg._
+    val df = spark.range(80000)
+      .select((col("id") % 8).as("g"), col("id").cast("double").as("v"))
+    // per-group sketches stored as binary, folded back into one — the
+    // reference's KLL sketch-column workflow (binary merge, no raw data)
+    val stored = df.groupBy(col("g")).agg(kllSketch(col("v")).as("sk"))
+    assert(stored.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val refolded = stored.agg(kllMerge(col("sk")).as("s"))
+      .select(kllQuantile(col("s"), lit(0.5))).head().getDouble(0)
+    assert(math.abs(refolded - 40000) < 3200, s"refolded p50=$refolded")
+  }
+
   test("KMV estimate within 5% and set ops are sane") {
     val a = spark.range(30000).select(col("id").as("v"))   // 0..29999
     val b = spark.range(20000, 40000).select(col("id").as("v")) // 20000..39999
