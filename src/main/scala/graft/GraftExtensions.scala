@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.ReverseLookupRule)
+    e.injectOptimizerRule(_ => graft.plans.AggregatePullUpLookupRule)
     e.injectPlannerStrategy(_ => graft.plans.ApproxTopNStrategy)
   }
 }
@@ -101,6 +102,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ReverseLookupRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ReverseLookupRule
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.AggregatePullUpLookupRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.AggregatePullUpLookupRule
     graft.plans.ApproxTopN.ensureStrategy(spark)
   }
 }

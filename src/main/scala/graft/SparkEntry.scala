@@ -1148,6 +1148,27 @@ object SparkEntry {
                FROM orders GROUP BY 1 ORDER BY 1""")
     }),
 
+    "q_lookup_pullup" -> ((s, dir) => {
+      // AggregatePullUpLookupRule: declared-injective lookup grouping is
+      // pulled above the agg (probe runs per GROUP, not per row); the map
+      // covers every o_orderstatus value, so results are exact either way —
+      // optimization is forced while the declaration is on (optimizedPlan
+      // is a cached lazy val), then the flag is dropped so non-covering
+      // lookups elsewhere never see it
+      graft.GraftExtensions.register(s) // idempotent: injects the rule
+      s.conf.set("spark.graft.assumeInjectiveLookups", "true")
+      try {
+        val df = t(s, dir)("orders")
+          .groupBy(graft.functions.DruidFunctions.lookup(col("o_orderstatus"),
+            Map("F" -> "finished", "O" -> "open", "P" -> "partial")).as("status"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("status"))
+        df.queryExecution.optimizedPlan
+        df
+      } finally s.conf.set("spark.graft.assumeInjectiveLookups", "false")
+    }),
+
     // ------------------------------- joins: sort-merge + outer (§2.4)
     "q_join_sortmerge" -> ((s, dir) => {
       // big-big equi-join forced to shuffle sort-merge (the reference's MSQ
@@ -2289,6 +2310,13 @@ object SparkEntry {
                               'orders','lineitem','events','documents',
                               'embeddings')
          ORDER BY table_name, ordinal_position""",
+
+    "q_lookup_pullup" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+                  WHEN 'O' THEN 'open' WHEN 'P' THEN 'partial' END AS status,
+                CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_lookup_registered" ->
       """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'

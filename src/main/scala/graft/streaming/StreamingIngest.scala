@@ -66,6 +66,83 @@ object StreamingIngest {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Queryable-in-flight ingestion — the reference's StreamAppenderator
+    * (`server/.../realtime/appenderator/StreamAppenderator.java:119`), where
+    * a query scatters over BOTH realtime (ingested, not yet handed off) and
+    * historical (published) segments.
+    *
+    * Two storage tiers: every micro-batch lands in `stagingPath` inside
+    * foreachBatch — queryable the moment the batch completes, before any
+    * handoff — and [[publish]] later moves staged files into the committed
+    * table (the handoff/publish step). [[view]] unions the tiers, so a
+    * reader sees each row exactly once at every point in the lifecycle.
+    * Both tiers are distributed parquet: no driver-side buffering, so the
+    * in-flight tier scales with the cluster exactly like the committed one
+    * (the reference holds realtime rows in node-local incremental indexes —
+    * same shape, executor-written files instead of heap).
+    */
+  object Appenderator {
+
+    /** Start ingesting a stream into the staging tier. Batch replays after
+      * restart overwrite their own `batch=<id>` directory, keeping the
+      * staging tier idempotent (exactly-once on top of checkpointed
+      * offsets, like the reference committing offsets with the segment).
+      */
+    def start(stream: DataFrame, stagingPath: String, checkpointPath: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$stagingPath/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", checkpointPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+    private def readIfExists(spark: SparkSession, path: String,
+                             schema: StructType): DataFrame = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.schema(schema).parquet(s"$path/*")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+    /** The realtime+historical scatter: committed ∪ staged, each row seen
+      * exactly once whichever side of the handoff it is on.
+      */
+    def view(spark: SparkSession, committedPath: String, stagingPath: String,
+             schema: StructType): DataFrame =
+      readIfExists(spark, committedPath, schema)
+        .unionByName(readIfExists(spark, stagingPath, schema))
+
+    /** Segment handoff: move every staged batch into the committed table
+      * and clear staging — a metadata/file operation, no data rewrite
+      * (the reference's handoff also just republishes the built segment).
+      */
+    def publish(spark: SparkSession, stagingPath: String,
+                committedPath: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      val staging = new org.apache.hadoop.fs.Path(stagingPath)
+      val committed = new org.apache.hadoop.fs.Path(committedPath)
+      if (!fs.exists(committed)) { fs.mkdirs(committed); () }
+      if (fs.exists(staging)) {
+        fs.listStatus(staging).foreach { batchDir =>
+          fs.listStatus(batchDir.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              fs.rename(f.getPath, new org.apache.hadoop.fs.Path(committed,
+                s"${batchDir.getPath.getName}-${f.getPath.getName}"))
+            }
+        }
+        fs.delete(staging, true)
+        ()
+      }
+    }
+  }
+
   /** Run a bounded micro-batch pass to completion over a prepared streaming
     * DataFrame and return the rolled-up result as a batch DataFrame (memory
     * sink — used by tests and the correctness gate; production writes Delta).

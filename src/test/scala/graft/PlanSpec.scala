@@ -107,6 +107,47 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("aggregate pull-up-lookup rule lifts injective lookups above the agg") {
+    GraftExtensions.register(spark)
+    val lkp = Map("F" -> "finished", "O" -> "open", "P" -> "partial")
+    def query = Tables.load(spark, dir, "orders")
+      .groupBy(graft.functions.DruidFunctions
+        .lookup(col("o_orderstatus"), lkp).as("status"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    import org.apache.spark.sql.catalyst.expressions.ElementAt
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // "the probe is below the agg" = some Aggregate node's CHILD subtree
+    // still computes element_at (per input row)
+    def probeBelowAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case a: Aggregate => a }
+        .exists(_.child.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[ElementAt]))))
+    // without the injectivity declaration the rule must NOT fire: the
+    // lookup is evaluated below the aggregate (Spark's own
+    // PullOutGroupingExpressions pre-projection)
+    assert(probeBelowAgg(query.queryExecution.optimizedPlan))
+    spark.conf.set("spark.graft.assumeInjectiveLookups", "true")
+    try {
+      val on = query
+      val optimized = on.queryExecution.optimizedPlan
+      // declared injective: the agg groups by the RAW column; the lookup
+      // probe sits ONLY above the aggregate (evaluated per group)
+      assert(!probeBelowAgg(optimized), optimized.toString.take(800))
+      assert(optimized.expressions.exists(
+        _.exists(_.isInstanceOf[ElementAt])) || optimized.exists {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.exists(_.exists(_.isInstanceOf[ElementAt]))
+        case _ => false
+      }, optimized.toString.take(800))
+      // identical results either way (map covers every o_orderstatus value)
+      val got = on.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      spark.conf.set("spark.graft.assumeInjectiveLookups", "false")
+      val want = query.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want)
+    } finally spark.conf.set("spark.graft.assumeInjectiveLookups", "false")
+  }
+
   test("bounded pair joins never broadcast the corpus side in shuffle mode") {
     import graft.pipeline.{Dedup, Similarity}
     import org.apache.spark.sql.functions._

@@ -91,6 +91,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("appenderator: in-flight rows are queryable before handoff") {
+    import StreamingIngest.Appenderator
+    val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString + "/s"
+    val committed = java.nio.file.Files.createTempDirectory("graft_commit").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_app_ckpt").toString
+    val schema = Tables.load(spark, dir, "events").schema
+
+    // ingest: rows land in staging — no publish/handoff has happened
+    val q = Appenderator.start(eventsStream, staging, ckpt)
+    q.awaitTermination()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(committed)))
+    // the realtime+historical scatter view sees the in-flight rows NOW
+    val mid = Appenderator.view(spark, committed, staging, schema)
+    assert(mid.count() == 1000)
+
+    // handoff: staged batches move to the committed table; the view is
+    // unchanged (each row exactly once, now from the historical side)
+    Appenderator.publish(spark, staging, committed)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    val after = Appenderator.view(spark, committed, staging, schema)
+    assert(after.count() == 1000)
+    assert(spark.read.parquet(committed).count() == 1000)
+
+    // restart replay with the same checkpoint re-ingests nothing
+    val q2 = Appenderator.start(eventsStream, staging, ckpt)
+    q2.awaitTermination()
+    assert(Appenderator.view(spark, committed, staging, schema).count() == 1000)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     val ds: Dataset[StreamE] = eventsStream
