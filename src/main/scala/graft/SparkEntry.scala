@@ -73,6 +73,23 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value")))
     }),
 
+    "q_timeseries_subsecond" -> ((s, dir) => {
+      // sub-second DurationGranularity (reference DurationGranularity.java
+      // takes arbitrary millis): 500 ms buckets through the JSON facade,
+      // floored in exact integer micros. Bucket emitted as epoch-millis
+      // BIGINT — at 500 ms edges the ns→us truncation cannot move a row
+      // across a boundary, so the oracle is exact
+      val df = graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": {"type": "duration", "duration": 500},
+         "aggregations": [{"type": "count", "name": "n"}],
+         "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         "context": {"skipEmptyBuckets": true}}""")
+      df.select((unix_micros(col("timestamp")) / 1000).cast("long")
+          .as("bucket_ms"), col("n"))
+        .orderBy(col("bucket_ms"))
+    }),
+
     "q_retention" -> ((s, dir) => {
       // day-N retention cohorts: for each signup-day cohort (first-seen
       // day), the share still active 7 days later — two tiny per-user
@@ -1532,6 +1549,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
                 round(sum(value), 3) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_timeseries_subsecond" ->
+      """SELECT (epoch_ns(ts) // 500000000) * 500 AS bucket_ms,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+         GROUP BY 1 ORDER BY 1""",
 
     "q_timeseries_zerofill" ->
       """WITH buckets AS (

@@ -195,8 +195,9 @@ object NativeJsonQuery {
     }
     val period = duration match {
       case Some(ms) if ms % 1000 == 0 => Some(s"PT${ms / 1000}S")
-      case Some(ms) => throw new IllegalArgumentException(
-        s"sub-second duration granularity unsupported: ${ms}ms")
+      // sub-second durations (reference DurationGranularity takes arbitrary
+      // millis): ISO decimal-fraction seconds, floored in exact micros
+      case Some(ms) => Some(s"PT${BigDecimal(ms) / 1000}S")
       case None => granularityPeriod(q \ "granularity")
     }
     val origin = granularityOrigin(q \ "granularity")

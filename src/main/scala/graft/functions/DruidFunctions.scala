@@ -30,11 +30,16 @@ object DruidFunctions {
     * calendar periods are handled by date_trunc above).
     */
   private[graft] def periodMicros(period: String): Long = {
-    val Re = """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?""".r
+    // fractional seconds allowed (ISO-8601 decimal fraction on the smallest
+    // unit): PT0.5S etc. — the facade's arbitrary-millis DurationGranularity
+    // (reference java/util/common/granularity/DurationGranularity.java)
+    val Re = """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
     period match {
       case Re(d, h, m, s) =>
         def v(x: String) = Option(x).map(_.toLong).getOrElse(0L)
-        ((v(d) * 24 + v(h)) * 60 + v(m)) * 60_000_000L + v(s) * 1_000_000L
+        val secMicros = Option(s)
+          .map(x => (BigDecimal(x) * 1_000_000).toLongExact).getOrElse(0L)
+        ((v(d) * 24 + v(h)) * 60 + v(m)) * 60_000_000L + secMicros
       case _ => throw new IllegalArgumentException(s"unsupported period: $period")
     }
   }

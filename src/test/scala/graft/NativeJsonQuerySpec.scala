@@ -60,6 +60,27 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("00", "02", "04", "06", "08", "10", "12", "14", "16", "18", "20", "22"))
   }
 
+  test("sub-second duration granularity floors at exact 500ms edges") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": {"type": "duration", "duration": 500},
+       "intervals": ["2024-01-01T00:00:00Z/2024-01-01T01:00:00Z"],
+       "aggregations": [{"type": "count", "name": "n"}],
+       "context": {"skipEmptyBuckets": true}}""")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every bucket boundary is a 500ms multiple and counts add up to the
+    // number of events in the hour
+    assert(rows.forall(r =>
+      java.time.Instant.ofEpochMilli(r.getTimestamp(0).getTime)
+        .toEpochMilli % 500 == 0))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val expected = Tables.asDruid(spark, dir, "events")
+      .filter(col("__time") >= "2024-01-01 00:00:00" &&
+        col("__time") < "2024-01-01 01:00:00").count()
+    assert(total == expected && expected > 0)
+  }
+
   test("period granularity with origin") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "timeseries", "dataSource": "events",
