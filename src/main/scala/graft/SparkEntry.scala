@@ -1251,6 +1251,43 @@ object SparkEntry {
         .orderBy(col("n_regionkey"))
     }),
 
+    "q_source_jdbc" -> ((s, dir) => {
+      // SQL/JDBC input source (reference SqlInputSource): round-trip a
+      // table through embedded Derby and read it back as a PARTITIONED
+      // jdbc scan (4 key-range slices — the shape that keeps a 100-TB
+      // ingest from serializing through one connection)
+      val db = s"${System.getProperty("java.io.tmpdir")}/graft_derby_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val url = s"jdbc:derby:$db;create=true"
+      t(s, dir)("supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .write.mode("overwrite").jdbc(url, "supplier_src",
+          new java.util.Properties)
+      graft.sources.Sources.jdbc(s, url, "supplier_src",
+        bounds = Some(("s_suppkey", 0L, 10000L, 4)))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "q_source_avro" -> ((s, dir) => {
+      // Avro object-container input format (reference avro-extensions
+      // AvroOCFInputFormat), built on the public Avro core + mapred APIs
+      // (no spark-avro jar in this image): schema from the OCF header,
+      // block-splittable parallel record reads
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Sources.writeAvro(
+        t(s, dir)("customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal")), out)
+      graft.sources.Sources.avro(s, out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // --------------------- subquery datasources (§1.1 QueryDataSource)
     "q_window_over_agg" -> ((s, dir) => {
       // the reference's windowOperator runs OVER an inner groupBy query
@@ -2166,6 +2203,16 @@ object SparkEntry {
     "q_source_orc" ->
       """SELECT n_regionkey, count(*) AS n FROM nation
          GROUP BY 1 ORDER BY 1""",
+
+    "q_source_jdbc" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS bal
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+
+    "q_source_avro" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal
+         FROM customer GROUP BY 1 ORDER BY 1""",
 
     "q_window_over_agg" ->
       """SELECT o_custkey, n, total, rk FROM (
