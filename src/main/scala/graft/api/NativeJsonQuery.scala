@@ -384,8 +384,18 @@ object NativeJsonQuery {
       case Some("ascending")  => Seq(col(Tables.TimeColumn).asc)
       case _                  => Nil
     }
-    NQ.scan(df, cols, filter = flt, orderBy = order,
+    val projected = NQ.scan(df, cols, filter = flt, orderBy = order,
       limit = int(q \ "limit"), offset = int(q \ "offset").getOrElse(0))
+    // resultFormat (reference query/scan/ScanQuery.java:65-67): "list"
+    // (default) = named columns per row; "compactedList" = each row as a
+    // positional value array in declared column order (the reference's
+    // compact wire shape)
+    str(q \ "resultFormat") match {
+      case Some("compactedList") =>
+        projected.select(array(
+          cols.map(c => col(c).cast("string")): _*).as("events"))
+      case _ => projected
+    }
   }
 
   /** windowOperator query (reference `query/operator/WindowOperatorQuery

@@ -14,16 +14,32 @@ import graft.Tables
   */
 object Metadata {
 
-  /** One row per table: name + row count (+ per-file granularity via
-    * input_file_name when multi-file).
+  /** One row per (datasource, file) with its row count and size, read from
+    * parquet FOOTERS — metadata only, like the reference's segment table
+    * coming from the coordinator's metadata store rather than a data scan.
+    * A footer read is a few KB per file regardless of file size, so this
+    * stays O(files) at any data scale (and the counts are exact: parquet
+    * footers carry the authoritative record count).
     */
-  def segments(spark: SparkSession, dir: String): DataFrame =
-    Tables.all.map { name =>
-      Tables.load(spark, dir, name)
-        .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("num_rows"))
-        .select(lit(name).as("datasource"), col("num_rows"))
-    }.reduce(_ unionAll _)
+  def segments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    Tables.all.flatMap { name =>
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(root))
+      files.map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        val numRows = try reader.getRecordCount finally reader.close()
+        (name, st.getPath.toString, numRows, st.getLen)
+      }
+    }.toDF("datasource", "file", "num_rows", "size_bytes")
+  }
 
   /** sys.servers analog: the execution topology. Locally that is the
     * driver + executor block managers; on a cluster, one row per executor

@@ -493,6 +493,18 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(rad <= rect && poly <= rect) // circle and triangle inscribe the box
   }
 
+  test("scan resultFormat compactedList returns positional value arrays") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "scan", "dataSource": "nation",
+       "columns": ["n_nationkey", "n_name"],
+       "resultFormat": "compactedList", "limit": 3}""")
+    assert(df.columns.toSeq == Seq("events"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows.length == 3 && rows.forall(_.length == 2))
+    // positional order matches the declared columns
+    assert(rows.forall(r => r.head.forall(_.isDigit)))
+  }
+
   test("maxSubqueryRows caps execute() results like the reference broker") {
     // scan over the cap errors with the resource-limit message...
     val over = intercept[NativeJsonQuery.ResourceLimitExceeded] {
