@@ -1288,6 +1288,31 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_source_protobuf" -> ((s, dir) => {
+      // protobuf input format (reference protobuf-extensions): messages
+      // encoded to the public wire format (fixture side), stored as a
+      // binary column, flattened back to typed columns with the
+      // descriptor-less ProtoField expressions (product side)
+      import graft.functions.ProtobufWire._
+      val enc = udf((k: Long, seg: String, bal: Double) =>
+        graft.functions.ProtobufWire.encode(
+          Seq(1 -> k, 2 -> seg, 3 -> bal)))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_proto_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir)("customer")
+        .select(enc(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .as("msg"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(protoVarint(col("msg"), 1).as("c_custkey"),
+          protoString(col("msg"), 2).as("c_mktsegment"),
+          protoDouble(col("msg"), 3).as("c_acctbal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // --------------------- subquery datasources (§1.1 QueryDataSource)
     "q_window_over_agg" -> ((s, dir) => {
       // the reference's windowOperator runs OVER an inner groupBy query
@@ -2212,6 +2237,12 @@ object SparkEntry {
     "q_source_avro" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal
+         FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q_source_protobuf" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
+                CAST(max(c_custkey) AS BIGINT) AS max_key
          FROM customer GROUP BY 1 ORDER BY 1""",
 
     "q_window_over_agg" ->

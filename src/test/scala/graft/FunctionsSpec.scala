@@ -299,4 +299,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 5)
     assert(r.getDouble(1) > 0 && r.getDouble(1) <= 1.0)
   }
+
+  test("protobuf wire format matches the spec's known vectors") {
+    import graft.functions.ProtobufWire
+    // protobuf encoding guide examples: field 1 varint 150 = 08 96 01;
+    // field 2 string "testing" = 12 07 74 65 73 74 69 6e 67
+    assert(ProtobufWire.encode(Seq(1 -> 150L)).toSeq ==
+      Seq(0x08, 0x96.toByte, 0x01).map(_.toByte))
+    assert(ProtobufWire.encode(Seq(2 -> "testing")).toSeq ==
+      (Seq(0x12, 0x07).map(_.toByte) ++ "testing".getBytes("UTF-8").toSeq))
+    // decode the spec bytes back
+    val msg = Array[Byte](0x08, 0x96.toByte, 0x01)
+    assert(ProtobufWire.findField(msg, 1).contains((0, 150L)))
+  }
+
+  test("protobuf field expressions decode an encoded message column") {
+    import graft.functions.ProtobufWire._
+    val enc = udf((k: Long, name: String, d: Double) =>
+      graft.functions.ProtobufWire.encode(Seq(1 -> k, 2 -> name, 3 -> d)))
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (7L, "", 0.0))
+      .toDF("k", "name", "d")
+      .select(col("k"), col("name"), col("d"),
+        enc(col("k"), col("name"), col("d")).as("msg"))
+    val back = df.select(
+      protoVarint(col("msg"), 1).as("k2"),
+      protoString(col("msg"), 2).as("name2"),
+      protoDouble(col("msg"), 3).as("d2"),
+      protoVarint(col("msg"), 9).as("absent"))
+    val rows = back.collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (7L, "", 0.0)))
+    assert(rows.forall(_.isNullAt(3)))
+  }
 }
