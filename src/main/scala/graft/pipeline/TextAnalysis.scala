@@ -111,23 +111,28 @@ object TextAnalysis {
     val markers = Map(
       "en" -> Seq("the", "and", "is", "of"), "fr" -> Seq("le", "la", "et", "les"),
       "es" -> Seq("el", "los", "las", "una"), "de" -> Seq("der", "die", "und", "das"))
+    // outer-explode so zero-token docs keep their row (tok = null), then a
+    // single groupBy: the per-doc scalars ride along under first() and the
+    // map-side partial aggregate collapses each doc's tokens before the
+    // shuffle, so the exchange carries one small row per document — one
+    // shuffle total, no re-scan, no join (previous shape: explode-agg +
+    // join back to a second scan of the table)
     val toks = base
-      .select(col("__id"), explode(split(col("__text"), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
+      .select(col("__id"), col("__nc"), col("__np"), col("fp"),
+        explode_outer(filter(split(col("__text"), "\\s+"),
+          t => length(t) > 0)).as("tok"))
       .withColumn("ltok", lower(col("tok")))
-    val aggd = toks.groupBy(col("__id")).agg(
-      count(lit(1)).cast("double").as("__nt"),
+    val j = toks.groupBy(col("__id")).agg(
+      first(col("__nc")).as("__nc"),
+      first(col("__np")).as("__np"),
+      first(col("fp")).as("fp"),
+      count(col("tok")).cast("double").as("__nt"),
       sum(when(col("tok").isin(Stopwords.map(lit): _*), 1).otherwise(0))
         .cast("double").as("__ns"),
       sum(when(col("ltok").isin(markers("en").map(lit): _*), 1).otherwise(0)).as("sc_en"),
       sum(when(col("ltok").isin(markers("fr").map(lit): _*), 1).otherwise(0)).as("sc_fr"),
       sum(when(col("ltok").isin(markers("es").map(lit): _*), 1).otherwise(0)).as("sc_es"),
       sum(when(col("ltok").isin(markers("de").map(lit): _*), 1).otherwise(0)).as("sc_de"))
-    // drop the raw text before the join: the shuffle must carry only
-    // per-doc scalars, not document bodies (column pruning recomputes the
-    // cheap token explode from the scan on the other side)
-    val j = base.drop("__text").join(aggd, Seq("__id"), "left")
-      .withColumn("__nt", coalesce(col("__nt"), lit(0.0)))
       .withColumn("__ns", coalesce(col("__ns"), lit(0.0)))
     val nt = col("__nt"); val nc = col("__nc"); val ns = col("__ns")
     val stopRatio = when(nt === 0, 0.0).otherwise(ns / nt)
