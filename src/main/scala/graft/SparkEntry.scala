@@ -688,6 +688,47 @@ object SparkEntry {
         ORDER BY o_orderpriority""")
     }),
 
+    "q_sql_mv_funcs" -> ((s, dir) => {
+      // MV_* / ARRAY_* SQL surface (reference
+      // MultiValueStringOperatorConversions.java): offsets 0-based,
+      // ordinals 1-based, set-add sorted-distinct
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT p_partkey,
+               CAST(MV_LENGTH(w) AS BIGINT) AS n_words,
+               MV_ORDINAL(w, 1) AS w1,
+               MV_OFFSET(w, 1) AS w2,
+               CAST(MV_OFFSET_OF(w, 'green') AS BIGINT) AS green_off,
+               MV_TO_STRING(MV_SLICE(w, 0, 2), '-') AS first2,
+               MV_TO_STRING(MV_FILTER_ONLY(w, array('green','blue','red')), ',') AS colors,
+               SCALAR_IN_ARRAY('green', w) AS has_green,
+               MV_TO_STRING(ARRAY_SET_ADD(MV_SLICE(w, 0, 2), 'zzz'), ',') AS setadd
+        FROM (SELECT p_partkey, STRING_TO_MV(p_name, ' ') AS w FROM part)
+        ORDER BY p_partkey""")
+    }),
+
+    "q_sql_scalar_funcs" -> ((s, dir) => {
+      // scalar SQL surface: TEXTCAT/STRPOS/TRUNCATE, BITWISE_*, TIME_CEIL,
+      // TIME_IN_INTERVAL, IPV4_* (reference Function.java + builtin
+      // operator conversions)
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT o_orderkey,
+               TEXTCAT(o_orderstatus, o_orderpriority) AS cat,
+               CAST(STRPOS(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+               TRUNCATE(o_totalprice / 1000, 2) AS price_k,
+               BITWISE_AND(o_orderkey, 255) AS lo_byte,
+               BITWISE_XOR(o_orderkey, o_custkey) AS xorv,
+               BITWISE_SHIFT_LEFT(o_custkey, 3) AS shl,
+               TIME_CEIL(CAST(o_orderdate AS TIMESTAMP), 'P1M') AS month_ceil,
+               TIME_IN_INTERVAL(CAST(o_orderdate AS TIMESTAMP),
+                                '1995-01-01/1996-01-01') AS in_1995,
+               IPV4_STRINGIFY(BITWISE_AND(o_orderkey * 2654435761, 4294967295)) AS fake_ip
+        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
+    }),
+
     // ------------------------------------------------------ streaming (§2.10)
     "q_stream_rollup" -> ((s, dir) => {
       // same ns-parquet handling as Tables.load, in streaming form; the file
@@ -2063,6 +2104,39 @@ object SparkEntry {
                   / CAST(count(*) AS DOUBLE) AS f_ratio,
                 strftime(min(o_orderdate), '%Y-%m') AS first_month
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sql_mv_funcs" ->
+      """SELECT p_partkey,
+                CAST(len(w) AS BIGINT) AS n_words,
+                w[1] AS w1,
+                w[2] AS w2,
+                CAST(nullif(list_position(w, 'green'), 0) - 1 AS BIGINT) AS green_off,
+                array_to_string(list_slice(w, 1, 2), '-') AS first2,
+                coalesce(array_to_string(list_filter(w,
+                  x -> list_contains(['green','blue','red'], x)), ','), '') AS colors,
+                list_contains(w, 'green') AS has_green,
+                array_to_string(list_sort(list_distinct(
+                  list_append(list_slice(w, 1, 2), 'zzz'))), ',') AS setadd
+         FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+         ORDER BY p_partkey""",
+
+    "q_sql_scalar_funcs" ->
+      """SELECT o_orderkey,
+                concat(o_orderstatus, o_orderpriority) AS cat,
+                CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+                sign(o_totalprice / 1000) * floor(abs(o_totalprice / 1000) * 100) / 100 AS price_k,
+                o_orderkey & 255 AS lo_byte,
+                xor(o_orderkey, o_custkey) AS xorv,
+                o_custkey << 3 AS shl,
+                date_trunc('month', CAST(o_orderdate AS TIMESTAMP)
+                  - INTERVAL 1 microsecond) + INTERVAL 1 month AS month_ceil,
+                CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01'
+                  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-01-01' AS in_1995,
+                concat_ws('.', ((o_orderkey * 2654435761) & 4294967295) // 16777216 % 256,
+                               ((o_orderkey * 2654435761) & 4294967295) // 65536 % 256,
+                               ((o_orderkey * 2654435761) & 4294967295) // 256 % 256,
+                               ((o_orderkey * 2654435761) & 4294967295) % 256) AS fake_ip
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
 
     "q_stream_rollup" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,

@@ -256,7 +256,120 @@ object DruidFunctions {
                     WHEN 'PT1S' THEN 1000000
                     ELSE CAST(raise_error(concat('unsupported period: ', p)) AS BIGINT)
              END)
-         END""")
+         END""",
+      // TIME_CEIL via floor(t - 1µs) + one period: aligned inputs stay put,
+      // unaligned ones round up — no double evaluation of the floor branch
+      """TIME_CEIL(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN
+         CASE p
+           WHEN 'P1Y' THEN date_trunc('year', t - INTERVAL 1 MICROSECOND)
+                           + make_ym_interval(1, 0)
+           WHEN 'P3M' THEN date_trunc('quarter', t - INTERVAL 1 MICROSECOND)
+                           + make_ym_interval(0, 3)
+           WHEN 'P1M' THEN date_trunc('month', t - INTERVAL 1 MICROSECOND)
+                           + make_ym_interval(0, 1)
+           ELSE timestamp_micros(
+             (unix_micros(t) - 1) - pmod(unix_micros(t) - 1,
+               CASE p WHEN 'P1W' THEN 604800000000 WHEN 'P1D' THEN 86400000000
+                      WHEN 'PT12H' THEN 43200000000 WHEN 'PT6H' THEN 21600000000
+                      WHEN 'PT1H' THEN 3600000000 WHEN 'PT30M' THEN 1800000000
+                      WHEN 'PT15M' THEN 900000000 WHEN 'PT5M' THEN 300000000
+                      WHEN 'PT1M' THEN 60000000 WHEN 'PT1S' THEN 1000000
+                      ELSE CAST(raise_error(concat('unsupported period: ', p)) AS BIGINT)
+               END)
+             + CASE p WHEN 'P1W' THEN 604800000000 WHEN 'P1D' THEN 86400000000
+                      WHEN 'PT12H' THEN 43200000000 WHEN 'PT6H' THEN 21600000000
+                      WHEN 'PT1H' THEN 3600000000 WHEN 'PT30M' THEN 1800000000
+                      WHEN 'PT15M' THEN 900000000 WHEN 'PT5M' THEN 300000000
+                      WHEN 'PT1M' THEN 60000000 ELSE 1000000 END)
+         END""",
+      // TIME_IN_INTERVAL with the reference's 'start/end' ISO form ([start, end))
+      """TIME_IN_INTERVAL(t TIMESTAMP, i STRING) RETURNS BOOLEAN RETURN
+         t >= to_timestamp(split_part(i, '/', 1))
+         AND t < to_timestamp(split_part(i, '/', 2))""",
+      // ------------------------------------------------------------ string ----
+      "TEXTCAT(x STRING, y STRING) RETURNS STRING RETURN concat(x, y)",
+      "STRPOS(h STRING, n STRING) RETURNS INT RETURN instr(h, n)",
+      "DECODE_BASE64_UTF8(s STRING) RETURNS STRING RETURN decode(unbase64(s), 'UTF-8')",
+      // numeric TRUNCATE toward zero at d digits (reference Function.java truncate)
+      """TRUNCATE(x DOUBLE, d INT) RETURNS DOUBLE RETURN
+         sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)""",
+      // --------------------------------------------------------- bitwise ----
+      "BITWISE_AND(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x & y",
+      "BITWISE_OR(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x | y",
+      "BITWISE_XOR(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x ^ y",
+      "BITWISE_COMPLEMENT(x BIGINT) RETURNS BIGINT RETURN ~x",
+      "BITWISE_SHIFT_LEFT(x BIGINT, n INT) RETURNS BIGINT RETURN shiftleft(x, n)",
+      "BITWISE_SHIFT_RIGHT(x BIGINT, n INT) RETURNS BIGINT RETURN shiftright(x, n)",
+      // ------------------------------------------------------------- MV ----
+      // multi-value string fns (MultiValueStringOperatorConversions.java);
+      // offsets are 0-based, ordinals 1-based, both null out of bounds
+      "MV_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN arrays_overlap(a, b)",
+      "MV_OFFSET(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i)",
+      "MV_ORDINAL(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i - 1)",
+      """MV_OFFSET_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
+         CAST(nullif(array_position(a, v), 0) - 1 AS INT)""",
+      """MV_ORDINAL_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
+         CAST(nullif(array_position(a, v), 0) AS INT)""",
+      "MV_APPEND(a ARRAY<STRING>, v STRING) RETURNS ARRAY<STRING> RETURN array_append(a, v)",
+      "MV_PREPEND(v STRING, a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN array_prepend(a, v)",
+      "MV_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(a, b)",
+      // reference slice is 0-based [start, end)
+      """MV_SLICE(a ARRAY<STRING>, s INT, e INT) RETURNS ARRAY<STRING> RETURN
+         slice(a, s + 1, e - s)""",
+      """MV_FILTER_ONLY(a ARRAY<STRING>, allow ARRAY<STRING>) RETURNS ARRAY<STRING>
+         RETURN filter(a, x -> array_contains(allow, x))""",
+      """MV_FILTER_NONE(a ARRAY<STRING>, deny ARRAY<STRING>) RETURNS ARRAY<STRING>
+         RETURN filter(a, x -> NOT coalesce(array_contains(deny, x), false))""",
+      // ---------------------------------------------------------- arrays ----
+      "ARRAY_LENGTH(a ARRAY<STRING>) RETURNS INT RETURN size(a)",
+      "ARRAY_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN arrays_overlap(a, b)",
+      "SCALAR_IN_ARRAY(v STRING, a ARRAY<STRING>) RETURNS BOOLEAN RETURN array_contains(a, v)",
+      "ARRAY_OFFSET(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i)",
+      "ARRAY_ORDINAL(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i - 1)",
+      """ARRAY_OFFSET_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
+         CAST(nullif(array_position(a, v), 0) - 1 AS INT)""",
+      """ARRAY_ORDINAL_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
+         CAST(nullif(array_position(a, v), 0) AS INT)""",
+      "ARRAY_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(a, b)",
+      """ARRAY_SLICE(a ARRAY<STRING>, s INT, e INT) RETURNS ARRAY<STRING> RETURN
+         slice(a, s + 1, e - s)""",
+      "ARRAY_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
+      "STRING_TO_ARRAY(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
+      // set-semantics add: sorted distinct result (reference ArraySetAddFunction)
+      """ARRAY_SET_ADD(a ARRAY<STRING>, v STRING) RETURNS ARRAY<STRING> RETURN
+         array_sort(array_distinct(array_append(a, v)))""",
+      """ARRAY_SET_ADD_ALL(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING>
+         RETURN array_sort(array_union(a, b))""",
+      // linear-interpolation quantile over a double array (array_quantile)
+      """ARRAY_QUANTILE(arr ARRAY<DOUBLE>, q DOUBLE) RETURNS DOUBLE RETURN
+         CASE WHEN size(filter(arr, x -> x IS NOT NULL)) = 0 THEN NULL
+         ELSE element_at(array_sort(filter(arr, x -> x IS NOT NULL)),
+                CAST(floor(q * (size(filter(arr, x -> x IS NOT NULL)) - 1)) AS INT) + 1)
+              * (1.0 - (q * (size(filter(arr, x -> x IS NOT NULL)) - 1)
+                        - floor(q * (size(filter(arr, x -> x IS NOT NULL)) - 1))))
+            + element_at(array_sort(filter(arr, x -> x IS NOT NULL)),
+                CAST(least(floor(q * (size(filter(arr, x -> x IS NOT NULL)) - 1)) + 1,
+                           CAST(size(filter(arr, x -> x IS NOT NULL)) - 1 AS DOUBLE)) AS INT) + 1)
+              * (q * (size(filter(arr, x -> x IS NOT NULL)) - 1)
+                 - floor(q * (size(filter(arr, x -> x IS NOT NULL)) - 1)))
+         END""",
+      // ------------------------------------------------------------ JSON ----
+      "JSON_QUERY(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      """JSON_KEYS(j STRING, p STRING) RETURNS ARRAY<STRING> RETURN
+         json_object_keys(get_json_object(j, p))""",
+      """JSON_PATHS(j STRING) RETURNS ARRAY<STRING> RETURN
+         transform(json_object_keys(j), k -> concat('$.', k))""",
+      // -------------------------------------------------------------- IP ----
+      """IPV4_PARSE(s STRING) RETURNS BIGINT RETURN
+         CAST(split_part(s, '.', 1) AS BIGINT) * 16777216
+         + CAST(split_part(s, '.', 2) AS BIGINT) * 65536
+         + CAST(split_part(s, '.', 3) AS BIGINT) * 256
+         + CAST(split_part(s, '.', 4) AS BIGINT)""",
+      """IPV4_STRINGIFY(x BIGINT) RETURNS STRING RETURN
+         concat_ws('.', CAST(x DIV 16777216 % 256 AS STRING),
+                        CAST(x DIV 65536 % 256 AS STRING),
+                        CAST(x DIV 256 % 256 AS STRING),
+                        CAST(x % 256 AS STRING))""")
     fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
   }
 }

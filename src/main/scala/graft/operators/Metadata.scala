@@ -25,20 +25,29 @@ object Metadata {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-    Tables.all.flatMap { name =>
+    // driver does only the listing (cheap); the footer opens — one RPC +
+    // a few KB each, but latency-bound — fan out to executors, one task
+    // per file, so a million-segment table is a million-row metadata job,
+    // not a serial driver loop
+    val listed: Seq[(String, String, Long)] = Tables.all.flatMap { name =>
       val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       val files =
         if (fs.getFileStatus(root).isDirectory)
           fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
         else Array(fs.getFileStatus(root))
-      files.map { st =>
+      files.map(st => (name, st.getPath.toString, st.getLen)).toSeq
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    spark.sparkContext
+      .parallelize(listed, math.min(listed.size, 32).max(1))
+      .map { case (name, path, len) =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(st.getPath, conf))
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path), serConf.value))
         val numRows = try reader.getRecordCount finally reader.close()
-        (name, st.getPath.toString, numRows, st.getLen)
+        (name, path, numRows, len)
       }
-    }.toDF("datasource", "file", "num_rows", "size_bytes")
+      .toDF("datasource", "file", "num_rows", "size_bytes")
   }
 
   /** sys.servers analog: the execution topology. Locally that is the

@@ -331,4 +331,68 @@ class FunctionsSpec extends AnyFunSuite {
       Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (7L, "", 0.0)))
     assert(rows.forall(_.isNullAt(3)))
   }
+
+  test("SQL TIME_CEIL: aligned stays, unaligned rounds up, calendar periods") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT TIME_CEIL(TIMESTAMP '2024-03-05 10:37:45', 'PT15M') AS a,
+                TIME_CEIL(TIMESTAMP '2024-03-05 10:45:00', 'PT15M') AS b,
+                TIME_CEIL(TIMESTAMP '2024-03-05 10:37:45', 'P1M') AS c,
+                TIME_CEIL(TIMESTAMP '2024-03-01 00:00:00', 'P1M') AS d""").head()
+    assert(r.getTimestamp(0).toString == "2024-03-05 10:45:00.0")
+    assert(r.getTimestamp(1).toString == "2024-03-05 10:45:00.0") // aligned
+    assert(r.getTimestamp(2).toString == "2024-04-01 00:00:00.0")
+    assert(r.getTimestamp(3).toString == "2024-03-01 00:00:00.0") // aligned
+  }
+
+  test("SQL MV offset/ordinal are 0/1-based and null out of bounds") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT MV_OFFSET(array('a','b','c'), 1) AS off1,
+                MV_ORDINAL(array('a','b','c'), 1) AS ord1,
+                MV_OFFSET(array('a','b','c'), 9) AS oob,
+                MV_OFFSET_OF(array('a','b','c'), 'c') AS offof,
+                MV_ORDINAL_OF(array('a','b','c'), 'c') AS ordof,
+                MV_OFFSET_OF(array('a','b','c'), 'z') AS missing""").head()
+    assert(r.getString(0) == "b" && r.getString(1) == "a")
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) == 2 && r.getInt(4) == 3)
+    assert(r.isNullAt(5))
+  }
+
+  test("SQL ARRAY_QUANTILE interpolates like the reference") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT ARRAY_QUANTILE(array(1D, 3D, 2D, 4D), 0.5) AS med,
+                ARRAY_QUANTILE(array(1D, 3D, 2D, 4D), 0.25) AS q1,
+                ARRAY_QUANTILE(array(1D, 2D, 3D), 0.5) AS exact,
+                ARRAY_QUANTILE(array(CAST(NULL AS DOUBLE)), 0.5) AS allnull""").head()
+    assert(r.getDouble(0) == 2.5 && r.getDouble(1) == 1.75 && r.getDouble(2) == 2.0)
+    assert(r.isNullAt(3))
+  }
+
+  test("SQL TIME_IN_INTERVAL is [start, end)") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT TIME_IN_INTERVAL(TIMESTAMP '1995-06-01', '1995-01-01/1996-01-01') AS yes,
+                TIME_IN_INTERVAL(TIMESTAMP '1996-01-01', '1995-01-01/1996-01-01') AS excl""").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("SQL bitwise, TRUNCATE, TEXTCAT, STRPOS, base64, IPV4 round-trip") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT BITWISE_AND(12, 10) AS band, BITWISE_XOR(5, 3) AS bxor,
+                BITWISE_COMPLEMENT(5) AS bnot, BITWISE_SHIFT_LEFT(3, 2) AS shl,
+                TRUNCATE(3.14159, 2) AS t2, TRUNCATE(-3.14159, 2) AS tneg,
+                TEXTCAT('a', 'b') AS cat, STRPOS('2-HIGH', '-') AS pos,
+                DECODE_BASE64_UTF8(base64(CAST('hi' AS BINARY))) AS b64,
+                IPV4_STRINGIFY(IPV4_PARSE('192.168.1.200')) AS ip""").head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 6L && r.getLong(2) == -6L)
+    assert(r.getLong(3) == 12L)
+    assert(r.getDouble(4) == 3.14 && r.getDouble(5) == -3.14)
+    assert(r.getString(6) == "ab" && r.getInt(7) == 2)
+    assert(r.getString(8) == "hi")
+    assert(r.getString(9) == "192.168.1.200")
+  }
 }
