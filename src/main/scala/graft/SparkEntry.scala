@@ -744,6 +744,44 @@ object SparkEntry {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    "q_json_shred" -> ((s, dir) => {
+      // nested-column shredding at ingest: infer the props schema from a
+      // sample, from_json into a typed struct, and aggregate on the typed
+      // leaf — the shredded field behaves as a real numeric column
+      val shredded = graft.operators.Ingest.shredJson(
+        t(s, dir)("events"), "props", "props_t")
+      shredded
+        .groupBy(col("event_type"))
+        .agg(count(col("props_t.k")).as("n_k"),
+          sum(col("props_t.k")).as("sum_k"),
+          max(col("props_t.k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_inflight_union" -> ((s, dir) => {
+      // queryable-in-flight data (reference StreamAppenderator.java:119):
+      // ingest the whole events stream into the STAGING tier, then query
+      // the realtime ∪ historical view while nothing has been published —
+      // the aggregate must match the batch table exactly, proving the
+      // in-flight tier serves complete data before handoff
+      import graft.streaming.StreamingIngest
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_inflight_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val stream = StreamingIngest.source(s, s"$dir/events*.parquet", schema)
+      val q = StreamingIngest.Appenderator.start(stream, s"$base/staging", s"$base/ckpt")
+      q.awaitTermination()
+      StreamingIngest.Appenderator
+        .view(s, s"$base/committed", s"$base/staging", schema)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ------------------------------------------- dedup (training pipeline)
     "q_dedup_exact_groups" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir)("documents"), col("text"), col("doc_id"))
@@ -2142,6 +2180,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
                 round(sum(value), 3) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_inflight_union" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_json_shred" ->
+      """SELECT event_type,
+                count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+                CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_dedup_exact_groups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -77,6 +77,33 @@ object Ingest {
       case other => throw new IllegalArgumentException(s"unsupported export format: $other")
     }
   }
+
+  /** Nested-column shredding at ingest (reference COMPLEX&lt;json&gt; columns:
+    * `processing/.../nested/NestedDataColumnSerializer.java` discovers each
+    * nested field and stores it as a real column with its own dictionary and
+    * indexes). Spark mapping: infer a union schema for the JSON string
+    * column from a bounded sample (`spark.read.json` merges object shapes
+    * across rows), then `from_json` into a typed struct — written to
+    * parquet, every nested field becomes a true leaf column with min/max
+    * stats, predicate pushdown, and column pruning, which is exactly the
+    * capability the reference's nested columns buy at scale.
+    *
+    * The sample is bounded (driver holds `sampleRows` JSON strings, not the
+    * table); production pipelines with contracted schemas pass `schema`
+    * explicitly and skip inference entirely.
+    */
+  def shredJson(df: DataFrame, jsonCol: String, shreddedCol: String,
+                sampleRows: Int = 1000,
+                schema: Option[org.apache.spark.sql.types.DataType] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inferred = schema.getOrElse {
+      val sample = df.select(col(jsonCol)).na.drop()
+        .limit(sampleRows).as[String].collect()
+      spark.read.json(sample.toSeq.toDS()).schema
+    }
+    df.withColumn(shreddedCol, from_json(col(jsonCol), inferred))
+  }
 }
 
 /** Aggregate-projection catalog (reference `AggregateProjectionMetadata`):

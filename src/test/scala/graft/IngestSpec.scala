@@ -99,4 +99,19 @@ class IngestSpec extends AnyFunSuite {
     assert(!covers(p, "other", "P1D", Seq("a"), Seq("n")))      // wrong table
     assert(!covers(p, "events", "PT90M", Seq("a"), Seq("n")))   // non-nesting
   }
+
+  test("shredJson infers a union schema and types nested leaves") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"a": 1, "b": "x"}"""),
+      (2L, """{"a": 2, "c": {"d": 3.5}}"""),
+      (3L, null.asInstanceOf[String])).toDF("id", "js")
+    val out = graft.operators.Ingest.shredJson(df, "js", "j")
+    val t = out.schema("j").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(t.fieldNames.toSet == Set("a", "b", "c"))
+    val rows = out.select("id", "j.a", "j.c.d").orderBy("id").collect()
+    assert(rows(0).getLong(1) == 1L && rows(0).isNullAt(2))
+    assert(rows(1).getLong(1) == 2L && rows(1).getDouble(2) == 3.5)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
 }
