@@ -89,7 +89,28 @@ object GraftExtensions {
       (args: Seq[Expression]) => KllQuery(args(0), args(1), "rank")),
     ("dot_product", info("dot_product", "codegen'd numeric-array dot product"),
       (args: Seq[Expression]) =>
-        graft.functions.DotProduct(args(0), args(1))))
+        graft.functions.DotProduct(args(0), args(1))),
+    // SQL EARLIEST/LATEST (reference EarliestLatestAnySqlAggregator.java):
+    // value of `expr` at min/max of the time argument — the reference's
+    // 1-arg form implies __time; SQL callers here pass the time column
+    // explicitly (the EARLIEST_BY/LATEST_BY form, which the reference
+    // also exposes for arbitrary numeric orderings)
+    ("earliest", info("earliest", "value at the earliest time (expr, timeExpr)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))
+          .toAggregateExpression()),
+    ("latest", info("latest", "value at the latest time (expr, timeExpr)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(args(0), args(1))
+          .toAggregateExpression()),
+    ("earliest_by", info("earliest_by", "value at min of ordering (expr, orderExpr)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))
+          .toAggregateExpression()),
+    ("latest_by", info("latest_by", "value at max of ordering (expr, orderExpr)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(args(0), args(1))
+          .toAggregateExpression()))
 
   /** Register the same functions on a plain session (no extensions needed) —
     * used by tests and by sessions the driver constructs for us.

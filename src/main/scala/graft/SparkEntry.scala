@@ -688,6 +688,20 @@ object SparkEntry {
         ORDER BY o_orderpriority""")
     }),
 
+    "q_sql_earliest" -> ((s, dir) => {
+      // SQL EARLIEST/LATEST/EARLIEST_BY/LATEST_BY aggregates (reference
+      // EarliestLatestAnySqlAggregator) — injected MinBy/MaxBy, keyed on a
+      // unique ordering column for cross-engine determinism
+      Tables.registerAll(s, dir)
+      graft.GraftExtensions.register(s)
+      s.sql("""SELECT o_orderpriority,
+                      earliest(o_totalprice, o_orderkey) AS first_price,
+                      latest(o_orderstatus, o_orderkey) AS last_status,
+                      earliest_by(o_orderstatus, o_orderkey) AS first_status,
+                      latest_by(o_totalprice, o_orderkey) AS last_price
+               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     "q_sql_mv_funcs" -> ((s, dir) => {
       // MV_* / ARRAY_* SQL surface (reference
       // MultiValueStringOperatorConversions.java): offsets 0-based,
@@ -1242,6 +1256,20 @@ object SparkEntry {
       s.sql("""SELECT lookup(o_orderstatus, 'status_names', 'unknown') AS status,
                       count(*) AS n
                FROM orders GROUP BY 1 ORDER BY 1""")
+    }),
+
+    "q_lookup_schema" -> ((s, dir) => {
+      // lookup introspection schema (reference LookupSchema.java): the
+      // registered lookup queried AS A TABLE and joined against a fact —
+      // broadcast join, since a lookup is bounded by contract
+      graft.functions.LookupRegistry.register("status_names", Map(
+        "F" -> "finished", "O" -> "open", "P" -> "partial"))
+      val lk = graft.operators.Metadata.lookupSchema(s)
+        .filter(col("lookup_name") === "status_names")
+      t(s, dir)("orders")
+        .join(broadcast(lk), col("o_orderstatus") === col("k"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .orderBy(col("v"))
     }),
 
     "q_lookup_pullup" -> ((s, dir) => {
@@ -2143,6 +2171,14 @@ object SparkEntry {
                 strftime(min(o_orderdate), '%Y-%m') AS first_month
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "q_sql_earliest" ->
+      """SELECT o_orderpriority,
+                min_by(o_totalprice, o_orderkey) AS first_price,
+                max_by(o_orderstatus, o_orderkey) AS last_status,
+                min_by(o_orderstatus, o_orderkey) AS first_status,
+                max_by(o_totalprice, o_orderkey) AS last_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q_sql_mv_funcs" ->
       """SELECT p_partkey,
                 CAST(len(w) AS BIGINT) AS n_words,
@@ -2548,6 +2584,13 @@ object SparkEntry {
                   WHEN 'O' THEN 'open' WHEN 'P' THEN 'partial'
                   ELSE 'unknown' END AS status, count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_lookup_schema" ->
+      """SELECT v, count(*) AS n
+         FROM orders JOIN (VALUES ('F', 'finished'), ('O', 'open'),
+                                  ('P', 'partial')) AS l(k, v)
+           ON o_orderstatus = k
+         GROUP BY v ORDER BY v""",
 
     "q_agg_histogram" ->
       """SELECT CASE WHEN value < 0 THEN 0

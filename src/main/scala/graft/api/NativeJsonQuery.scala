@@ -108,6 +108,51 @@ object NativeJsonQuery {
     */
   val DefaultMaxResultRows = 100000
 
+  // ------------------------------------------------------- result cache ----
+  // Reference CachingQueryRunner (`query/.../CachingQueryRunner.java`):
+  // per-segment results are cached keyed on (segment id, query cache key)
+  // and reused under context.useCache / populated under
+  // context.populateCache. Here a "segment set" is the immutable parquet
+  // directory, so the cache key is (dir, canonical query minus
+  // non-semantic context fields). Participation is OPT-IN via the context
+  // flags (the reference defaults them true against versioned segments;
+  // file paths carry no version, so opting in is the caller asserting
+  // immutability). Bounded LRU; oversize results are never cached.
+
+  private val MaxCacheEntries = 128
+
+  private val resultCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[org.apache.spark.sql.Row]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[org.apache.spark.sql.Row]]): Boolean =
+        size() > MaxCacheEntries
+    })
+
+  private val cacheHitCount = new java.util.concurrent.atomic.AtomicLong
+  private val cacheMissCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses) since start/clear — the reference's cache metrics
+    * (`query/cache/CacheMonitor` surface).
+    */
+  def cacheStats: (Long, Long) = (cacheHitCount.get, cacheMissCount.get)
+
+  def clearCache(): Unit = {
+    resultCache.clear(); cacheHitCount.set(0); cacheMissCount.set(0)
+  }
+
+  /** Canonical cache key: the query with non-semantic context stripped;
+    * result-affecting context flags are folded back in explicitly.
+    */
+  private def cacheKey(dir: String, parsed: JValue): String = {
+    val cleaned = parsed.removeField { case (n, _) => n == "context" }
+    val flags = Seq("skipEmptyBuckets", "useApproximateTopN")
+      .map(f => f + "=" + JsonMethods.compact(JsonMethods.render(
+        parsed \ "context" \ f)))
+    dir + "|" + JsonMethods.compact(JsonMethods.render(cleaned)) +
+      "|" + flags.mkString(",")
+  }
+
   /** Thrown when an [[execute]] result exceeds `context.maxSubqueryRows` —
     * the analog of the reference's ResourceLimitExceededException
     * (query/ResourceLimitExceededException.java). The plan-returning [[run]]
@@ -143,6 +188,16 @@ object NativeJsonQuery {
       case JLong(n) => Some(n.toInt)
       case _        => None
     }).getOrElse(DefaultMaxResultRows)
+    val useCache = bool(parsed \ "context" \ "useCache").getOrElse(false)
+    val populateCache = bool(parsed \ "context" \ "populateCache").getOrElse(false)
+    val key = if (useCache || populateCache) Some(cacheKey(dir, parsed)) else None
+    if (useCache) {
+      val hit = key.flatMap(k => Option(resultCache.get(k)))
+      hit match {
+        case Some(rows) => cacheHitCount.incrementAndGet(); return rows
+        case None       => cacheMissCount.incrementAndGet()
+      }
+    }
     val df0 = runParsed(spark, dir, parsed)
     // fetch cap+1, never the unbounded result; cap+1 rows back = overflow.
     // limit-after-sort preserves ordered prefixes, so an in-cap result is
@@ -154,7 +209,10 @@ object NativeJsonQuery {
           s"query result exceeds maxSubqueryRows=$maxRows " +
             "(reference ResourceLimitExceededException); raise " +
             "context.maxSubqueryRows or add a limit/aggregation")
-      else rows
+      else {
+        if (populateCache) key.foreach(resultCache.put(_, rows))
+        rows
+      }
     spark.sparkContext.setJobGroup(group, s"graft query $group",
       interruptOnCancel = true)
     try timeoutMs match {

@@ -81,6 +81,20 @@ object Metadata {
     tasks(spark).createOrReplaceTempView("sys_tasks")
   }
 
+  /** The lookup schema (reference `sql/.../schema/LookupSchema.java`): every
+    * registered lookup introspected as rows of (lookup_name, k, v) — the
+    * reference exposes each lookup as a queryable two-column table; the
+    * single view with a name column is the union of those, filterable to
+    * any one lookup. Driver-side rows: lookups are bounded by contract.
+    */
+  def lookupSchema(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.functions.LookupRegistry.names.flatMap { n =>
+      graft.functions.LookupRegistry.get(n).get.toSeq.sortBy(_._1)
+        .map { case (k, v) => (n, k, v) }
+    }.toDF("lookup_name", "k", "v")
+  }
+
   // ------------------------------------------------- INFORMATION_SCHEMA ----
   // Reference `sql/.../schema/InformationSchema.java`: SCHEMATA / TABLES /
   // COLUMNS virtual tables. Metadata-only — built from catalog schemas on

@@ -529,4 +529,31 @@ class NativeJsonQuerySpec extends AnyFunSuite {
         """{"queryType": "mystery", "dataSource": "events"}""")
     }
   }
+
+  test("result cache: populate + use hit, key discriminates, clear resets") {
+    NativeJsonQuery.clearCache()
+    def q(dim: String, id: String = "cache-test") = s"""
+      {"queryType": "groupBy", "dataSource": "events",
+       "dimensions": ["$dim"],
+       "aggregations": [{"type": "count", "name": "n"}],
+       "context": {"useCache": true, "populateCache": true,
+                   "queryId": "$id", "timeout": 60000}}"""
+    val first = NativeJsonQuery.execute(spark, dir, q("event_type"))
+    val (h0, m0) = NativeJsonQuery.cacheStats
+    assert(h0 == 0 && m0 == 1)
+    val second = NativeJsonQuery.execute(spark, dir,
+      q("event_type", id = "other-query-id"))
+    val (h1, m1) = NativeJsonQuery.cacheStats
+    assert(h1 == 1 && m1 == 1, "identical query (modulo queryId) must hit")
+    assert(second.map(_.toString).sorted.sameElements(first.map(_.toString).sorted))
+    NativeJsonQuery.execute(spark, dir, q("user_id"))
+    val (h2, m2) = NativeJsonQuery.cacheStats
+    assert(h2 == 1 && m2 == 2, "different dimensions must be a different key")
+    // an uncached query leaves the counters alone
+    NativeJsonQuery.execute(spark, dir, """
+      {"queryType": "timeBoundary", "dataSource": "events"}""")
+    assert(NativeJsonQuery.cacheStats == ((1L, 2L)))
+    NativeJsonQuery.clearCache()
+    assert(NativeJsonQuery.cacheStats == ((0L, 0L)))
+  }
 }
