@@ -103,6 +103,33 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(args(0), args(1))
           .toAggregateExpression()),
+    // Druid SQL sketch names (BuiltinApproxCountDistinctSqlAggregator.java,
+    // datasketches SQL operator conversions) aliased onto the same sketch
+    // layer, so reference SQL text runs unchanged
+    ("approx_count_distinct_ds_hll",
+      info("approx_count_distinct_ds_hll", "HLL estimate (ignores lgK arg)"),
+      (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()),
+    ("approx_count_distinct_ds_theta",
+      info("approx_count_distinct_ds_theta", "theta-sketch estimate"),
+      (args: Seq[Expression]) =>
+        KmvEstimate(KmvSketchAgg(args.head).toAggregateExpression())),
+    ("ds_hll", info("ds_hll", "HLL binary sketch aggregate"),
+      (args: Seq[Expression]) =>
+        HllSketchAgg(args.head, emitSketch = true).toAggregateExpression()),
+    ("ds_theta", info("ds_theta", "theta (KMV) binary sketch aggregate"),
+      (args: Seq[Expression]) => KmvSketchAgg(args.head).toAggregateExpression()),
+    ("hll_sketch_estimate", info("hll_sketch_estimate", "estimate of a stored HLL"),
+      (args: Seq[Expression]) => graft.functions.sketches.HllEstimate(args.head)),
+    ("theta_sketch_estimate", info("theta_sketch_estimate", "estimate of a theta sketch"),
+      (args: Seq[Expression]) => KmvEstimate(args.head)),
+    ("approx_quantile_ds", info("approx_quantile_ds",
+      "KLL-backed quantile aggregate (expr, q[, k ignored])"),
+      (args: Seq[Expression]) =>
+        KllQuery(KllSketchAgg(args(0)).toAggregateExpression(), args(1), "quantile")),
+    ("bloom_filter", info("bloom_filter", "bloom filter aggregate (expr[, entries])"),
+      (args: Seq[Expression]) => BloomFilterAgg(args.head).toAggregateExpression()),
+    ("bloom_filter_test", info("bloom_filter_test", "membership (expr, filter)"),
+      (args: Seq[Expression]) => BloomMightContain(args(1), args(0))),
     ("earliest_by", info("earliest_by", "value at min of ordering (expr, orderExpr)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))

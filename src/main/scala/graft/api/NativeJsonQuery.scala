@@ -71,9 +71,25 @@ object NativeJsonQuery {
     }
   }
 
-  /** Resolve a dataSource spec: a plain table name, {type: table, name},
-    * or {type: union, dataSources: [...]} (reference UnionDataSource —
-    * schema-merging append across tables).
+  /** Resolve a dataSource spec — all the reference's composable datasource
+    * types (`query/DataSource.java` hierarchy):
+    *
+    *  - a plain table name, or {type: table, name} (TableDataSource)
+    *  - {type: union, dataSources: [...]} (UnionDataSource — schema-merging
+    *    append across tables)
+    *  - {type: inline, columnNames: [...], rows: [[...]]}
+    *    (InlineDataSource — literal rows shipped with the query)
+    *  - {type: query, query: {...}} (QueryDataSource — a nested native
+    *    query as the input relation)
+    *  - {type: lookup, lookup: name} (LookupDataSource — the registered
+    *    lookup as a two-column (k, v) relation)
+    *  - {type: join, left, right, rightPrefix, condition, joinType}
+    *    (JoinDataSource — equi-join; the right side is broadcast when it is
+    *    a lookup/inline source, matching the reference's broadcast-only
+    *    native join). Condition syntax is the reference's
+    *    `leftCol == "prefix.rightCol"`.
+    *  - {type: unnest, base, virtualColumn|column, outputName}
+    *    (UnnestDataSource — correlated explode of an array/MV column)
     */
   private def dataSource(spark: SparkSession, dir: String, j: JValue): DataFrame =
     j match {
@@ -82,6 +98,74 @@ object NativeJsonQuery {
         arr(spec \ "dataSources")
           .map(d => dataSource(spark, dir, d))
           .reduce(_.unionByName(_, allowMissingColumns = true))
+      case spec if str(spec \ "type").contains("inline") =>
+        val names = arr(spec \ "columnNames").collect { case JString(c) => c }
+        val rows = arr(spec \ "rows").map { r =>
+          org.apache.spark.sql.Row(arr(r).map {
+            case JString(s)  => s
+            case JInt(n)     => n.toLong
+            case JLong(n)    => n
+            case JDouble(d)  => d
+            case JBool(b)    => b
+            case JNull       => null
+            case other       => other.toString
+          }: _*)
+        }
+        val sample = rows.headOption.getOrElse(
+          throw new IllegalArgumentException("inline dataSource needs rows"))
+        val fields = names.zipWithIndex.map { case (n, i) =>
+          val dt = sample.get(i) match {
+            case _: java.lang.Long    => org.apache.spark.sql.types.LongType
+            case _: java.lang.Double  => org.apache.spark.sql.types.DoubleType
+            case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
+            case _                    => org.apache.spark.sql.types.StringType
+          }
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+        }
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(fields))
+      case spec if str(spec \ "type").contains("query") =>
+        runParsed(spark, dir, spec \ "query")
+      case spec if str(spec \ "type").contains("lookup") =>
+        val name = str(spec \ "lookup").getOrElse(
+          throw new IllegalArgumentException("lookup dataSource needs a name"))
+        val mapping = graft.functions.LookupRegistry.get(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown lookup: $name"))
+        import spark.implicits._
+        mapping.toSeq.sortBy(_._1).toDF("k", "v")
+      case spec if str(spec \ "type").contains("join") =>
+        val left = dataSource(spark, dir, spec \ "left")
+        val rightSpec = spec \ "right"
+        val right0 = dataSource(spark, dir, rightSpec)
+        val prefix = str(spec \ "rightPrefix").getOrElse("j0.")
+        val right1 = right0.columns.foldLeft(right0)((df, c) =>
+          df.withColumnRenamed(c, prefix + c))
+        // the reference's native join broadcasts the right side (hash-join
+        // containers built from lookup/inline/broadcast segments)
+        val broadcastable = Set("lookup", "inline")
+          .exists(str(rightSpec \ "type").contains(_))
+        val right = if (broadcastable) broadcast(right1) else right1
+        val cond = str(spec \ "condition").getOrElse(
+          throw new IllegalArgumentException("join dataSource needs condition"))
+        // reference JoinConditionAnalysis equi-condition:  lhs == "prefix.rhs"
+        val Array(lhs, rhsQuoted) = cond.split("==").map(_.trim)
+        val rhs = rhsQuoted.stripPrefix("\"").stripSuffix("\"")
+        val joinType = str(spec \ "joinType").getOrElse("INNER").toLowerCase
+        // prefixed right columns contain a dot — backtick both sides
+        left.join(right, col(s"`$lhs`") === col(s"`$rhs`"), joinType)
+      case spec if str(spec \ "type").contains("unnest") =>
+        val base = dataSource(spark, dir, spec \ "base")
+        val outName = str(spec \ "outputName")
+          .orElse(str(spec \ "virtualColumn" \ "outputName"))
+          .getOrElse("unnested")
+        val colExpr = str(spec \ "virtualColumn" \ "expression")
+          .map(expr)
+          .orElse(str(spec \ "column").map(col))
+          .getOrElse(throw new IllegalArgumentException(
+            "unnest dataSource needs column or virtualColumn"))
+        base.withColumn(outName, explode(colExpr))
       case spec => str(spec \ "name") match {
         case Some(name) => Tables.asDruid(spark, dir, name)
         case None => throw new IllegalArgumentException(s"bad dataSource: $spec")
@@ -362,11 +446,20 @@ object NativeJsonQuery {
     }
   }
 
+  /** A dimension reference that tolerates literal dots in column names
+    * (join-datasource outputs are prefixed `j0.col`): when the frame has a
+    * column whose NAME is the dotted string, reference it backticked;
+    * otherwise keep dot-path semantics (nested struct fields).
+    */
+  private def dimRef(df: DataFrame, name: String): Column =
+    if (name.contains(".") && df.columns.contains(name)) col(s"`$name`")
+    else col(name)
+
   private def groupBy(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
     // (outputName, dim column) — subtotalsSpec subsets are defined over
     // dimension OUTPUT names, which may alias derived expressions
     val namedDims: List[(String, Column)] = arr(q \ "dimensions").map {
-      case JString(d) => d -> col(d)
+      case JString(d) => d -> dimRef(df, d)
       case spec =>
         val d = str(spec \ "dimension").get
         // extraction dimension spec (reference ExtractionDimensionSpec):

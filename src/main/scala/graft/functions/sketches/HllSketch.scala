@@ -105,6 +105,23 @@ case class HllSketchAgg(
     copy(child = c)
 }
 
+/** Scalar estimate of ONE stored HLL register array — the reference's
+  * HLL_SKETCH_ESTIMATE post-aggregation (`HllSketchToEstimate`), applied to
+  * a sketch column without folding.
+  */
+case class HllEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else Hll.estimate(v.asInstanceOf[Array[Byte]])
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object HllSketchAgg {
   /** HLL estimate of distinct `col` (reference: hyperUnique / SQL
     * APPROX_COUNT_DISTINCT_BUILTIN).

@@ -229,7 +229,11 @@ case class KllQuery(left: Expression, right: Expression, op: String)
     if (s == null || q == null) null
     else {
       val buf = Kll.deserialize(s.asInstanceOf[Array[Byte]])
-      val x = q.asInstanceOf[Double]
+      // SQL numeric literals may arrive as Decimal/Int — accept any numeric
+      val x = q match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: java.lang.Number                   => n.doubleValue()
+      }
       op match {
         case "quantile" => buf.quantile(x)
         case "rank"     => buf.rank(x)

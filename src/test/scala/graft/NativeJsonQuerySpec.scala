@@ -530,6 +530,59 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("inline, query, lookup, join and unnest dataSources resolve") {
+    // inline rows + groupBy over them
+    val inline = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource":
+        {"type": "inline",
+         "columnNames": ["cat", "x"],
+         "rows": [["a", 1], ["a", 2], ["b", 5]]},
+       "dimensions": ["cat"],
+       "aggregations": [{"type": "longSum", "name": "sx", "fieldName": "x"}]}""")
+      .orderBy("cat").collect()
+    assert(inline.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 5L)))
+    // query (subquery) datasource: aggregate of an inner scan
+    val sub = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy",
+       "dataSource": {"type": "query", "query":
+         {"queryType": "scan", "dataSource": "events",
+          "columns": ["event_type", "value"]}},
+       "dimensions": ["event_type"],
+       "aggregations": [{"type": "count", "name": "n"}]}""").collect()
+    assert(sub.length == 5)
+    // join against a lookup datasource (broadcast right), reference
+    // condition syntax, then group on the joined value
+    graft.functions.LookupRegistry.register("etype_names", Map(
+      "click" -> "Click", "view" -> "View", "purchase" -> "Buy",
+      "signup" -> "Signup", "error" -> "Error"))
+    val joined = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy",
+       "dataSource": {"type": "join",
+         "left": "events",
+         "right": {"type": "lookup", "lookup": "etype_names"},
+         "rightPrefix": "j0.",
+         "condition": "event_type == \"j0.k\"",
+         "joinType": "INNER"},
+       "dimensions": ["j0.v"],
+       "aggregations": [{"type": "count", "name": "n"}]}""").collect()
+    assert(joined.length == 5)
+    assert(joined.map(_.getAs[String]("j0.v")).toSet ==
+      Set("Click", "View", "Buy", "Signup", "Error"))
+    // unnest datasource over a virtual MV column
+    val un = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy",
+       "dataSource": {"type": "unnest",
+         "base": {"type": "inline", "columnNames": ["s"],
+                  "rows": [["a b"], ["b c"]]},
+         "virtualColumn": {"outputName": "w", "expression": "split(s, ' ')"}},
+       "dimensions": ["w"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+      .orderBy("w").collect()
+    assert(un.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+  }
+
   test("result cache: populate + use hit, key discriminates, clear resets") {
     NativeJsonQuery.clearCache()
     def q(dim: String, id: String = "cache-test") = s"""

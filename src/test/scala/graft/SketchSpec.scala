@@ -185,6 +185,32 @@ class SketchSpec extends AnyFunSuite {
     assert(dp == 32.0)
   }
 
+  test("Druid SQL sketch names run reference SQL text unchanged") {
+    GraftExtensions.register(spark)
+    spark.range(5000).select((col("id") % 321).as("v"), (col("id") % 2).as("g"))
+      .createOrReplaceTempView("dsql_in")
+    val r = spark.sql(
+      """SELECT APPROX_COUNT_DISTINCT_DS_HLL(v) AS hll,
+                APPROX_COUNT_DISTINCT_DS_THETA(v) AS theta,
+                APPROX_QUANTILE_DS(CAST(v AS DOUBLE), 0.5) AS med
+         FROM dsql_in""").head()
+    assert(math.abs(r.getLong(0) - 321) / 321.0 < 0.05, s"hll ${r.getLong(0)}")
+    assert(math.abs(r.getDouble(1) - 321) / 321.0 < 0.05, s"theta ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 160.0) <= 4.0, s"median ${r.getDouble(2)}")
+    // stored-sketch estimate forms + bloom test
+    val s2 = spark.sql(
+      """SELECT HLL_SKETCH_ESTIMATE(sk) AS est,
+                THETA_SKETCH_ESTIMATE(tk) AS test2
+         FROM (SELECT DS_HLL(v) AS sk, DS_THETA(v) AS tk FROM dsql_in)""").head()
+    assert(math.abs(s2.getLong(0) - 321) / 321.0 < 0.05)
+    assert(math.abs(s2.getDouble(1) - 321) / 321.0 < 0.05)
+    val bl = spark.sql(
+      """SELECT BLOOM_FILTER_TEST(CAST(7 AS BIGINT), bf) AS hit,
+                BLOOM_FILTER_TEST(CAST(99999 AS BIGINT), bf) AS miss
+         FROM (SELECT BLOOM_FILTER(v) AS bf FROM dsql_in)""").head()
+    assert(bl.getBoolean(0) && !bl.getBoolean(1))
+  }
+
   test("approx-count-distinct rewrite rule fires when enabled") {
     // force a fresh session so withExtensions actually applies
     val prevActive = SparkSession.getActiveSession
