@@ -463,23 +463,10 @@ object NativeJsonQuery {
       case spec =>
         val d = str(spec \ "dimension").get
         // extraction dimension spec (reference ExtractionDimensionSpec):
-        // substring / timeFormat extraction functions on the dimension
+        // the full ExtractionFn family applies to the dimension
         val base = spec \ "extractionFn" match {
           case JNothing | JNull => col(d)
-          case fn => str(fn \ "type").getOrElse("") match {
-            case "substring" =>
-              val idx = int(fn \ "index").getOrElse(0)
-              int(fn \ "length") match {
-                case Some(len) => substring(col(d), idx + 1, len)
-                case None      => col(d).substr(lit(idx + 1), length(col(d)))
-              }
-            case "timeFormat" =>
-              date_format(col(d), str(fn \ "format").getOrElse("yyyy-MM-dd"))
-            case "upper" => upper(col(d))
-            case "lower" => lower(col(d))
-            case "strlen" => length(col(d)).cast("string")
-            case o => throw new IllegalArgumentException(s"unsupported extractionFn: $o")
-          }
+          case fn               => extractionColumn(fn, col(d))
         }
         str(spec \ "outputName") match {
           case Some(o) => o -> base.as(o)
@@ -616,11 +603,19 @@ object NativeJsonQuery {
     }
   }
 
+  /** Search query (`query/search/SearchQuery.java`): per-dimension value
+    * counts of values matched by any SearchQuerySpec type, with an optional
+    * result limit.
+    */
   private def search(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
     val dims = arr(q \ "searchDimensions").collect { case JString(d) => d }
-    val needle = str(q \ "query" \ "value").getOrElse("")
-    val caseSensitive = bool(q \ "query" \ "caseSensitive").getOrElse(false)
-    NQ.search(flt.fold(df)(df.filter), dims, needle, caseSensitive)
+    val base = flt.fold(df)(df.filter)
+    val out = dims.map { d =>
+      base.filter(searchPredicate(q \ "query", col(d)))
+        .groupBy(lit(d).as("dimension"), col(d).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+    }.reduce(_ unionAll _).orderBy(col("dimension"), col("value"))
+    int(q \ "limit").fold(out)(out.limit)
   }
 
   // ------------------------------------------------------------- filters ----
@@ -655,18 +650,139 @@ object NativeJsonQuery {
     val base = col(str(j \ "dimension").get)
     j \ "extractionFn" match {
       case JNothing | JNull => base
-      case fn => str(fn \ "type").getOrElse("") match {
-        case "substring" =>
-          val idx = int(fn \ "index").getOrElse(0)
-          int(fn \ "length") match {
-            case Some(len) => substring(base, idx + 1, len)
-            case None      => base.substr(lit(idx + 1), length(base))
-          }
-        case "upper"  => upper(base)
-        case "lower"  => lower(base)
-        case "strlen" => length(base).cast("string")
-        case o => throw new IllegalArgumentException(s"unsupported extractionFn: $o")
-      }
+      case fn               => extractionColumn(fn, base)
+    }
+  }
+
+  /** The reference's ExtractionFn family
+    * (`query/extraction/ExtractionFn.java` hierarchy), as a pure Column
+    * transform — every member stays inside whole-stage codegen (string /
+    * regex / map expressions; no UDFs):
+    *
+    *  - substring / upper / lower / strlen / identity
+    *  - timeFormat {format, timeZone} (TimeFormatExtractionFn — formats a
+    *    timestamp column, optionally in a zone)
+    *  - time {timeFormat, resultFormat} (TimeDimExtractionFn — reparses a
+    *    STRING dim with one format, emits another)
+    *  - regex {expr, index, replaceMissingValue, replaceMissingValueWith}
+    *    (RegexDimExtractionFn — group extract; on no-match retains the
+    *    input unless replaceMissingValue)
+    *  - partial {expr} (MatchingDimExtractionFn — value if it matches,
+    *    else null)
+    *  - searchQuery {query} (SearchQuerySpecDimExtractionFn)
+    *  - stringFormat {format, nullHandling nullString|emptyString|returnNull}
+    *  - bucket {size, offset} (BucketExtractionFn — numeric bucket floor)
+    *  - cascade {extractionFns: [...]} (left-to-right composition)
+    *  - lookup {lookup: {map}} / registeredLookup {lookup: name} with
+    *    retainMissingValue / replaceMissingValueWith / injective knobs
+    *    (LookupExtractionFn / RegisteredLookupExtractionFn)
+    */
+  private def extractionColumn(fn: JValue, base: Column): Column =
+    str(fn \ "type").getOrElse("") match {
+      case "identity" => base
+      case "substring" =>
+        val idx = int(fn \ "index").getOrElse(0)
+        int(fn \ "length") match {
+          case Some(len) => substring(base, idx + 1, len)
+          case None      => base.substr(lit(idx + 1), length(base))
+        }
+      case "upper"  => upper(base)
+      case "lower"  => lower(base)
+      case "strlen" => length(base).cast("string")
+      case "timeFormat" =>
+        val f = str(fn \ "format").getOrElse("yyyy-MM-dd")
+        val t = str(fn \ "timeZone").map(z => from_utc_timestamp(base, z))
+          .getOrElse(base)
+        date_format(t, f)
+      case "time" =>
+        date_format(
+          to_timestamp(base, str(fn \ "timeFormat").get),
+          str(fn \ "resultFormat").get)
+      case "regex" =>
+        val pat = str(fn \ "expr").get
+        val idx = int(fn \ "index").getOrElse(1)
+        val s = base.cast("string")
+        val onMiss =
+          if (bool(fn \ "replaceMissingValue").getOrElse(false))
+            str(fn \ "replaceMissingValueWith").map(lit)
+              .getOrElse(lit(null).cast("string"))
+          else s
+        when(s.rlike(pat), regexp_extract(s, pat, idx)).otherwise(onMiss)
+      case "partial" =>
+        val s = base.cast("string")
+        when(s.rlike(str(fn \ "expr").get), s).otherwise(lit(null).cast("string"))
+      case "searchQuery" =>
+        val s = base.cast("string")
+        when(searchPredicate(fn \ "query", s), s)
+          .otherwise(lit(null).cast("string"))
+      case "stringFormat" =>
+        val f = str(fn \ "format").get
+        str(fn \ "nullHandling").getOrElse("nullString") match {
+          case "returnNull" =>
+            when(base.isNull, lit(null).cast("string"))
+              .otherwise(format_string(f, base))
+          case "emptyString" =>
+            format_string(f, coalesce(base.cast("string"), lit("")))
+          case _ => // nullString: java String.format prints null as "null"
+            format_string(f, coalesce(base.cast("string"), lit("null")))
+        }
+      case "bucket" =>
+        val size = double(fn \ "size").getOrElse(1.0)
+        val off  = double(fn \ "offset").getOrElse(0.0)
+        floor((base.cast("double") - off) / size) * size + off
+      case "cascade" =>
+        arr(fn \ "extractionFns").foldLeft(base)((c, f) => extractionColumn(f, c))
+      case "lookup" =>
+        val m = fn \ "lookup" \ "map" match {
+          case JObject(fields) => fields.map { case (k, v) =>
+            k -> (v match { case JString(s) => s; case o => o.values.toString })
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        lookupExtract(base, m, fn)
+      case "registeredLookup" =>
+        val name = str(fn \ "lookup").getOrElse(
+          throw new IllegalArgumentException("registeredLookup needs a name"))
+        val m = graft.functions.LookupRegistry.get(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown lookup: $name"))
+        lookupExtract(base, m, fn)
+      case o => throw new IllegalArgumentException(s"unsupported extractionFn: $o")
+    }
+
+  /** Shared LookupExtractionFn semantics: a broadcast map literal probe
+    * (element_at of a map literal — stays in codegen), then the reference's
+    * missing-value policy.
+    */
+  private def lookupExtract(base: Column, m: Map[String, String], fn: JValue): Column = {
+    val probed =
+      if (m.isEmpty) lit(null).cast("string")
+      else element_at(typedLit(m), base.cast("string"))
+    if (bool(fn \ "retainMissingValue").getOrElse(false))
+      coalesce(probed, base.cast("string"))
+    else str(fn \ "replaceMissingValueWith") match {
+      case Some(r) => coalesce(probed, lit(r))
+      case None    => probed
+    }
+  }
+
+  /** SearchQuerySpec match predicate (`query/search/SearchQuerySpec.java`
+    * hierarchy: Contains / InsensitiveContains / Fragment / Regex), shared
+    * by the search query, search-as-filter, and searchQuery extraction fn.
+    */
+  private def searchPredicate(q: JValue, c: Column): Column = {
+    def ci(needle: String) = lower(c).contains(needle.toLowerCase)
+    str(q \ "type").getOrElse("contains") match {
+      case "contains" =>
+        val v = str(q \ "value").get
+        if (bool(q \ "caseSensitive").getOrElse(false)) c.contains(v) else ci(v)
+      case "insensitive_contains" => ci(str(q \ "value").get)
+      case "fragment" =>
+        val cs = bool(q \ "caseSensitive").getOrElse(false)
+        arr(q \ "values").flatMap(str)
+          .map(v => if (cs) c.contains(v) else ci(v))
+          .reduce(_ && _)
+      case "regex" => c.rlike(str(q \ "pattern").get)
+      case o => throw new IllegalArgumentException(s"unsupported search query: $o")
     }
   }
 
@@ -722,27 +838,9 @@ object NativeJsonQuery {
     // ArrayContainsElementFilter.java)
     case "arrayContainsElement" =>
       array_contains(col(str(j \ "column").get), literal(j \ "elementMatchValue"))
-    // SearchQueryDimFilter: the search *query* spec reused as a filter;
-    // contains is case-INsensitive unless caseSensitive (Jackson primitive
-    // default false), fragment requires every fragment
+    // SearchQueryDimFilter: the search *query* spec reused as a filter
     // (reference query/search/*SearchQuerySpec.java)
-    case "search" =>
-      val c = dimWithExtraction(j)
-      val q = j \ "query"
-      def containsCi(needle: String) = lower(c).contains(needle.toLowerCase)
-      str(q \ "type").getOrElse("") match {
-        case "contains" =>
-          val v = str(q \ "value").get
-          if (bool(q \ "caseSensitive").getOrElse(false)) c.contains(v)
-          else containsCi(v)
-        case "insensitive_contains" => containsCi(str(q \ "value").get)
-        case "fragment" =>
-          val cs = bool(q \ "caseSensitive").getOrElse(false)
-          arr(q \ "values").flatMap(str)
-            .map(v => if (cs) c.contains(v) else containsCi(v))
-            .reduce(_ && _)
-        case o => throw new IllegalArgumentException(s"unsupported search query: $o")
-      }
+    case "search" => searchPredicate(j \ "query", dimWithExtraction(j))
     // SpatialDimFilter over a comma-joined "x,y" spatial dimension (the
     // reference's storage convention for spatial dims); bound types
     // rectangular/radius/polygon from query/filter/SpatialDimFilter.java
@@ -901,6 +999,9 @@ object NativeJsonQuery {
     case "or"          => arr(j \ "havingSpecs").map(havingFilter).reduce(_ || _)
     case "not"         => !havingFilter(j \ "havingSpec")
     case "filter"      => filterExpr(j \ "filter")
+    // DimensionSelectorHavingSpec: post-agg filter on a grouped dimension
+    case "dimSelector" =>
+      col(str(j \ "dimension").get).cast("string") <=> literal(j \ "value")
     case other => throw new IllegalArgumentException(s"unsupported having: $other")
   }
 
