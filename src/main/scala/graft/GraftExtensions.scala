@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.{Ipv6Match, JaroWinklerSimilarity}
-import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KllQuery, KllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg, TupleEstimate, TupleMetricSum, TupleSketchAgg}
+import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KllDistQuery, KllQuery, KllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg, TDigestQuery, TDigestSketchAgg, TupleEstimate, TupleMetricSum, TupleSketchAgg}
 
 /** Engine-level Catalyst extensions (registered with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
@@ -130,6 +130,40 @@ object GraftExtensions {
       (args: Seq[Expression]) => BloomFilterAgg(args.head).toAggregateExpression()),
     ("bloom_filter_test", info("bloom_filter_test", "membership (expr, filter)"),
       (args: Seq[Expression]) => BloomMightContain(args(1), args(0))),
+    // KLL distribution post-aggs (KllDoublesSketchToCDFPostAggregator /
+    // ToHistogramPostAggregator; DS_CDF / DS_HISTOGRAM / DS_GET_QUANTILES
+    // SQL operators take the split points / ranks as an array here)
+    ("ds_cdf", info("ds_cdf", "CDF of a KLL sketch at split points (sketch, array)"),
+      (args: Seq[Expression]) => KllDistQuery(args(0), args(1), "cdf")),
+    ("ds_histogram", info("ds_histogram",
+      "estimated bin counts of a KLL sketch (sketch, splitArray)"),
+      (args: Seq[Expression]) => KllDistQuery(args(0), args(1), "pmf")),
+    ("ds_get_quantiles", info("ds_get_quantiles",
+      "quantiles of a KLL sketch (sketch, rankArray)"),
+      (args: Seq[Expression]) => KllDistQuery(args(0), args(1), "quantiles")),
+    ("ds_get_quantile", info("ds_get_quantile",
+      "quantile of a KLL sketch (sketch, rank)"),
+      (args: Seq[Expression]) => KllQuery(args(0), args(1), "quantile")),
+    ("ds_rank", info("ds_rank", "rank of a value in a KLL sketch (sketch, v)"),
+      (args: Seq[Expression]) => KllQuery(args(0), args(1), "rank")),
+    ("ds_kll", info("ds_kll", "KLL quantiles binary sketch aggregate"),
+      (args: Seq[Expression]) => KllSketchAgg(args.head).toAggregateExpression()),
+    // t-digest (extensions-contrib/tdigestsketch SQL operators)
+    ("tdigest_generate_sketch", info("tdigest_generate_sketch",
+      "t-digest binary sketch aggregate (expr[, compression])"),
+      (args: Seq[Expression]) => TDigestSketchAgg(args.head,
+        if (args.length > 1) args(1).eval().toString.toDouble
+        else graft.functions.sketches.TDigest.DefaultCompression)
+        .toAggregateExpression()),
+    ("tdigest_merge_agg", info("tdigest_merge_agg", "fold stored t-digests"),
+      (args: Seq[Expression]) =>
+        TDigestSketchAgg(args.head, mergeSketches = true).toAggregateExpression()),
+    ("tdigest_quantile", info("tdigest_quantile",
+      "quantile from a t-digest sketch column (sketch, q)"),
+      (args: Seq[Expression]) => TDigestQuery(args(0), args(1), "quantile")),
+    ("tdigest_cdf", info("tdigest_cdf",
+      "rank in [0,1] of a value in a t-digest (sketch, v)"),
+      (args: Seq[Expression]) => TDigestQuery(args(0), args(1), "cdf")),
     ("earliest_by", info("earliest_by", "value at min of ordering (expr, orderExpr)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))

@@ -1558,6 +1558,27 @@ object SparkEntry {
         .withColumn("avg_price", round(col("avg_price"), 4))
     }),
 
+    "q_moving_avg" -> ((s, dir) => {
+      // movingAverage query type (reference extensions-contrib/movingAverage
+      // MovingAverageQuery.java): daily buckets per event_type, then a
+      // 3-bucket sliding mean/max per type. Mean = frame sum / buckets
+      // (reference Mean averager); exact oracle via DuckDB window frame.
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "movingAverage", "dataSource": "events",
+         "granularity": "day",
+         "dimensions": ["event_type"],
+         "aggregations": [
+           {"type": "count", "name": "n"},
+           {"type": "doubleSum", "name": "daily_value", "fieldName": "value"}],
+         "averagers": [
+           {"type": "doubleMean", "name": "ma3", "fieldName": "daily_value", "buckets": 3},
+           {"type": "doubleMax", "name": "mx3", "fieldName": "daily_value", "buckets": 3}]}
+        """)
+        .withColumn("daily_value", round(col("daily_value"), 3))
+        .withColumn("ma3", round(col("ma3"), 3))
+        .withColumn("mx3", round(col("mx3"), 3))
+    }),
+
     "q_json_scan" -> ((s, dir) => {
       graft.api.NativeJsonQuery.run(s, dir, """
         {"queryType": "scan", "dataSource": "lineitem",
@@ -1594,6 +1615,44 @@ object SparkEntry {
           round(kllQuantile(col("sk"), lit(0.5)), 0).as("p50_approx"),
           round(kllQuantile(col("sk"), lit(0.95)), 0).as("p95_approx"),
           round(kllRank(col("sk"), lit(30000.0)), 3).as("rank_30k"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_sketch_tdigest" -> ((s, dir) => {
+      // merging t-digest (reference extensions-contrib/tdigestsketch):
+      // mergeable binary digest per group, quantile + cdf post-aggs;
+      // approximate by design → rows-only check, tail-accuracy bounds in
+      // SketchSpec (Dunning & Ertl k1 scale function)
+      import graft.functions.sketches.TDigestSketchAgg._
+      t(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(tdigestSketch(col("l_extendedprice")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(tdigestQuantile(col("sk"), lit(0.5)), 0).as("p50_approx"),
+          round(tdigestQuantile(col("sk"), lit(0.99)), 0).as("p99_approx"),
+          round(tdigestCdf(col("sk"), lit(30000.0)), 3).as("cdf_30k"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_sketch_kll_dist" -> ((s, dir) => {
+      // KLL distribution post-aggs (reference KllDoublesSketchToCDF/
+      // ToHistogram post-aggregators): split-point CDF fractions and
+      // estimated bin counts from one stored sketch per group
+      import graft.functions.sketches.KllSketchAgg._
+      t(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(kllSketch(col("l_extendedprice")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(kllCdf(col("sk"),
+            array(lit(20000.0), lit(50000.0))), 1), 3).as("cdf_20k"),
+          round(element_at(kllHistogram(col("sk"),
+            array(lit(20000.0), lit(50000.0))), 2), 0).as("bin_mid"),
+          round(element_at(kllQuantiles(col("sk"),
+            array(lit(0.25), lit(0.75))), 2), 0).as("p75_approx"),
           col("n"))
         .orderBy(col("l_returnflag"))
     }),
@@ -2478,6 +2537,19 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity >= 48 AND l_returnflag = 'R'
          ORDER BY l_orderkey, l_linenumber""",
+
+    "q_moving_avg" ->
+      """WITH b AS (
+           SELECT date_trunc('day', ts) AS timestamp, event_type,
+                  CAST(count(*) AS BIGINT) AS n, sum(value) AS dv
+           FROM events GROUP BY 1, 2)
+         SELECT timestamp, event_type, n, round(dv, 3) AS daily_value,
+                round(sum(dv) OVER w / 3, 3) AS ma3,
+                round(max(dv) OVER w, 3) AS mx3
+         FROM b
+         WINDOW w AS (PARTITION BY event_type ORDER BY timestamp
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY timestamp, event_type""",
 
     "q_spatial" ->
       """WITH pts AS (

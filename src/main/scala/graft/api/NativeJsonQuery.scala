@@ -67,6 +67,7 @@ object NativeJsonQuery {
         NQ.segmentMetadata(flt.fold(df)(df.filter),
           if (cols.nonEmpty) cols else df.columns.toSeq)
       case "windowOperator"     => windowOperator(df, q, flt)
+      case "movingAverage"      => movingAverage(df, q, flt)
       case other => throw new IllegalArgumentException(s"unsupported queryType: $other")
     }
   }
@@ -386,6 +387,51 @@ object NativeJsonQuery {
     val descending = bool(q \ "descending").getOrElse(false)
     if (period.isEmpty) out.drop("timestamp")
     else out.orderBy(if (descending) col("timestamp").desc else col("timestamp").asc)
+  }
+
+  /** movingAverage query (reference extensions-contrib/movingAverage:
+    * `MovingAverageQuery.java` + `averagers/*Averager.java`): bucket by
+    * granularity (+ optional dimensions), aggregate per bucket, then slide
+    * an n-bucket window per dimension combination. Averager types:
+    * long/doubleMean (sum over the frame ÷ bucket count — absent buckets
+    * count as zero, the reference's Mean semantics over a zero-filled
+    * timeseries), long/doubleMeanNoNulls (avg of present values),
+    * long/doubleMax, long/doubleMin, long/doubleSum.
+    *
+    * Scale shape: one hash aggregation to buckets, then a window shuffle
+    * keyed on the dimensions — the window state is n buckets per key, never
+    * raw rows, so the second exchange moves only the bucketed aggregate.
+    */
+  private def movingAverage(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val period = granularityPeriod(q \ "granularity").getOrElse("P1D")
+    val dims = arr(q \ "dimensions").collect { case JString(d) => d }
+    val aggs = aggregations(q \ "aggregations")
+    val base = flt.fold(df)(df.filter)
+    val bucket = DruidFunctions.timeFloor(col(Tables.TimeColumn), period)
+      .as("timestamp")
+    val grouped = base
+      .groupBy((bucket +: dims.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val averaged = arr(q \ "averagers").foldLeft(grouped) { (acc, av) =>
+      val n = int(av \ "buckets").getOrElse(
+        throw new IllegalArgumentException("averager needs buckets"))
+      val name = str(av \ "name").get
+      val field = col(str(av \ "fieldName").get)
+      val w = Window.partitionBy(dims.map(col): _*)
+        .orderBy(col("timestamp")).rowsBetween(-(n - 1), 0)
+      val out = str(av \ "type").getOrElse("") match {
+        case "doubleMean" | "longMean"               => sum(field).over(w) / n
+        case "doubleMeanNoNulls" | "longMeanNoNulls" => avg(field).over(w)
+        case "doubleMax" | "longMax"                 => max(field).over(w)
+        case "doubleMin" | "longMin"                 => min(field).over(w)
+        case "doubleSum" | "longSum"                 => sum(field).over(w)
+        case o => throw new IllegalArgumentException(s"unsupported averager: $o")
+      }
+      acc.withColumn(name, out)
+    }
+    val withPost = postAggregations(averaged, q \ "postAveragers")
+    withPost.orderBy((col("timestamp") +: dims.map(col)): _*)
   }
 
   /** (startMicros, endMicros) of every query interval. */

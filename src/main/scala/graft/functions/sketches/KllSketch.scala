@@ -245,6 +245,63 @@ case class KllQuery(left: Expression, right: Expression, op: String)
     copy(left = l, right = r)
 }
 
+/** Distribution post-aggregations over a serialized KLL sketch — the
+  * reference's KllDoublesSketchToCDFPostAggregator / ToHistogramPostAggregator
+  * / getQuantiles surface (DataSketches getPMF/getCDF semantics):
+  *
+  *  - `cdf(splits)`: m split points → m+1 cumulative rank fractions, the
+  *    last always 1.0;
+  *  - `pmf(splits)`: m split points → m+1 bin mass *counts* (fraction × n,
+  *    the reference's DS_HISTOGRAM convention);
+  *  - `quantiles(qs)`: quantile estimate per requested rank.
+  */
+case class KllDistQuery(left: Expression, right: Expression, op: String)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val s = left.eval(input); val a = right.eval(input)
+    if (s == null || a == null) null
+    else {
+      val buf = Kll.deserialize(s.asInstanceOf[Array[Byte]])
+      // SQL array literals may carry DECIMAL/INT elements — convert per the
+      // declared element type rather than assuming DOUBLE storage
+      val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val et = right.dataType.asInstanceOf[ArrayType].elementType
+      val arr = Array.tabulate(ad.numElements()) { i =>
+        et match {
+          case DoubleType      => ad.getDouble(i)
+          case FloatType       => ad.getFloat(i).toDouble
+          case LongType        => ad.getLong(i).toDouble
+          case IntegerType     => ad.getInt(i).toDouble
+          case ShortType       => ad.getShort(i).toDouble
+          case ByteType        => ad.getByte(i).toDouble
+          case d: DecimalType  => ad.getDecimal(i, d.precision, d.scale).toDouble
+          case o => throw new IllegalArgumentException(
+            s"non-numeric split/rank array element type: $o")
+        }
+      }
+      val out: Array[Double] = op match {
+        case "cdf" => arr.map(buf.rank) :+ 1.0
+        case "pmf" =>
+          val cdf = arr.map(buf.rank) :+ 1.0
+          val masses = new Array[Double](cdf.length)
+          var i = 0
+          var prev = 0.0
+          while (i < cdf.length) {
+            masses(i) = (cdf(i) - prev) * buf.n; prev = cdf(i); i += 1
+          }
+          masses
+        case "quantiles" => arr.map(buf.quantile)
+        case o => throw new IllegalArgumentException(s"unknown kll dist op: $o")
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object KllSketchAgg {
   /** Build a mergeable binary KLL sketch of a numeric column. */
   def kllSketch(c: Column, k: Int = Kll.DefaultK): Column =
@@ -261,4 +318,16 @@ object KllSketchAgg {
   /** Rank estimate (fraction of mass strictly below v). */
   def kllRank(sketch: Column, v: Column): Column =
     toCol(KllQuery(toExpr(sketch), toExpr(v), "rank"))
+
+  /** CDF: split points → m+1 cumulative rank fractions (last = 1.0). */
+  def kllCdf(sketch: Column, splits: Column): Column =
+    toCol(KllDistQuery(toExpr(sketch), toExpr(splits), "cdf"))
+
+  /** Histogram: split points → m+1 estimated bin counts. */
+  def kllHistogram(sketch: Column, splits: Column): Column =
+    toCol(KllDistQuery(toExpr(sketch), toExpr(splits), "pmf"))
+
+  /** Quantile estimates for an array of ranks. */
+  def kllQuantiles(sketch: Column, qs: Column): Column =
+    toCol(KllDistQuery(toExpr(sketch), toExpr(qs), "quantiles"))
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.sketches.{HllSketchAgg, KmvSketchAgg}
+import graft.functions.sketches.{HllSketchAgg, KmvSketchAgg, TDigestSketchAgg}
 
 /** Accuracy + mergeability tests for the custom sketch aggregates. */
 class SketchSpec extends AnyFunSuite {
@@ -72,6 +72,75 @@ class SketchSpec extends AnyFunSuite {
     val refolded = stored.agg(kllMerge(col("sk")).as("s"))
       .select(kllQuantile(col("s"), lit(0.5))).head().getDouble(0)
     assert(math.abs(refolded - 40000) < 3200, s"refolded p50=$refolded")
+  }
+
+  test("t-digest quantiles accurate, tails tighter than mid (uniform 100k)") {
+    import TDigestSketchAgg._
+    val df = spark.range(100000).select(col("id").cast("double").as("v"))
+    val sk = df.repartition(8).agg(tdigestSketch(col("v")).as("s"))
+    val row = sk.select(
+      tdigestQuantile(col("s"), lit(0.5)).as("p50"),
+      tdigestQuantile(col("s"), lit(0.999)).as("p999"),
+      tdigestQuantile(col("s"), lit(0.0)).as("p0"),
+      tdigestQuantile(col("s"), lit(1.0)).as("p100"),
+      tdigestCdf(col("s"), lit(25000.0)).as("r25")).head()
+    assert(math.abs(row.getDouble(0) - 50000) < 1500, s"p50=${row.getDouble(0)}")
+    // tail accuracy is the t-digest's selling point: p99.9 of uniform
+    // 0..99999 is 99900; demand much tighter relative error than mid-range
+    assert(math.abs(row.getDouble(1) - 99900) < 150, s"p999=${row.getDouble(1)}")
+    assert(row.getDouble(2) == 0.0 && row.getDouble(3) == 99999.0)
+    assert(math.abs(row.getDouble(4) - 0.25) < 0.02, s"cdf=${row.getDouble(4)}")
+  }
+
+  test("t-digest stored-sketch refold matches direct aggregation") {
+    import TDigestSketchAgg._
+    val df = spark.range(80000)
+      .select((col("id") % 8).as("g"), col("id").cast("double").as("v"))
+    val direct = df.agg(tdigestSketch(col("v")).as("s"))
+      .select(tdigestQuantile(col("s"), lit(0.5))).head().getDouble(0)
+    val stored = df.groupBy(col("g")).agg(tdigestSketch(col("v")).as("sk"))
+    val refold = stored.agg(tdigestMerge(col("sk")).as("s"))
+      .select(tdigestQuantile(col("s"), lit(0.5))).head().getDouble(0)
+    assert(math.abs(direct - 40000) < 1500, s"direct p50=$direct")
+    assert(math.abs(refold - 40000) < 1500, s"refold p50=$refold")
+  }
+
+  test("KLL cdf/histogram/quantiles-array post-aggs") {
+    import graft.functions.sketches.KllSketchAgg._
+    val df = spark.range(100000).select(col("id").cast("double").as("v"))
+    val sk = df.agg(kllSketch(col("v")).as("s"))
+    val row = sk.select(
+      kllCdf(col("s"), array(lit(25000.0), lit(50000.0))).as("cdf"),
+      kllHistogram(col("s"), array(lit(25000.0), lit(50000.0))).as("hist"),
+      kllQuantiles(col("s"), array(lit(0.25), lit(0.75))).as("qs")).head()
+    val cdf = row.getSeq[Double](0)
+    val hist = row.getSeq[Double](1)
+    val qs = row.getSeq[Double](2)
+    assert(cdf.length == 3 && hist.length == 3 && qs.length == 2)
+    assert(math.abs(cdf(0) - 0.25) < 0.03 && math.abs(cdf(1) - 0.5) < 0.03)
+    assert(cdf(2) == 1.0)
+    // bin counts sum to n and split roughly 25/25/50
+    assert(math.abs(hist.sum - 100000.0) < 1e-6, s"hist mass=${hist.sum}")
+    assert(math.abs(hist(0) - 25000) < 3000 && math.abs(hist(2) - 50000) < 4000)
+    assert(math.abs(qs(0) - 25000) < 3000 && math.abs(qs(1) - 75000) < 3000)
+  }
+
+  test("SQL names: tdigest_generate_sketch/quantile, ds_histogram/ds_get_quantiles") {
+    GraftExtensions.register(spark)
+    spark.range(50000).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("tdg")
+    val r = spark.sql(
+      """SELECT tdigest_quantile(s, 0.9) AS p90,
+                tdigest_cdf(s, 10000.0) AS c,
+                ds_get_quantiles(k, array(0.1, 0.9)) AS qs,
+                ds_histogram(k, array(25000.0)) AS h
+         FROM (SELECT tdigest_generate_sketch(v, 200.0) AS s,
+                      ds_kll(v) AS k FROM tdg)""").head()
+    assert(math.abs(r.getDouble(0) - 45000) < 1200, s"p90=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 0.2) < 0.02)
+    val qs = r.getSeq[Double](2)
+    assert(math.abs(qs(0) - 5000) < 1500 && math.abs(qs(1) - 45000) < 1500)
+    assert(math.abs(r.getSeq[Double](3).sum - 50000.0) < 1e-6)
   }
 
   test("KMV estimate within 5% and set ops are sane") {
