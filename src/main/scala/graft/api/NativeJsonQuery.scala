@@ -390,7 +390,7 @@ object NativeJsonQuery {
   }
 
   /** movingAverage query (reference extensions-contrib/movingAverage:
-    * `MovingAverageQuery.java` + `averagers/*Averager.java`): bucket by
+    * `MovingAverageQuery.java` + the averagers/ *Averager.java family): bucket by
     * granularity (+ optional dimensions), aggregate per bucket, then slide
     * an n-bucket window per dimension combination. Averager types:
     * long/doubleMean (sum over the frame ÷ bucket count — absent buckets
