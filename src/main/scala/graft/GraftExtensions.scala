@@ -39,6 +39,28 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", name)
 
+  /** Resolve EARLIEST/LATEST arguments per the reference
+    * (`sql/.../aggregation/builtin/EarliestLatestAnySqlAggregator.java`):
+    * (value, ordering). A numeric-literal second argument is
+    * maxBytesPerString — UTF-8 truncation of the value, ordering still the
+    * implicit __time — never an ordering column.
+    */
+  private def earliestLatestArgs(fn: String, args: Seq[Expression])
+      : (Expression, Expression) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def time = UnresolvedAttribute(Tables.TimeColumn)
+    args match {
+      case Seq(v) => (v, time)
+      case Seq(v, second) if second.foldable &&
+          Seq(ByteType, ShortType, IntegerType, LongType).contains(second.dataType) =>
+        (graft.functions.ChopUtf8(v, second.eval().toString.toInt), time)
+      case Seq(v, order) => (v, order)
+      case _ => throw new IllegalArgumentException(
+        s"$fn takes 1 or 2 arguments, got ${args.size}")
+    }
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("hll_estimate_agg", info("hll_estimate_agg", "HLL distinct estimate"),
       (args: Seq[Expression]) => HllSketchAgg(args.head).toAggregateExpression()),
@@ -91,18 +113,26 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         graft.functions.DotProduct(args(0), args(1))),
     // SQL EARLIEST/LATEST (reference EarliestLatestAnySqlAggregator.java):
-    // value of `expr` at min/max of the time argument — the reference's
-    // 1-arg form implies __time; SQL callers here pass the time column
-    // explicitly (the EARLIEST_BY/LATEST_BY form, which the reference
-    // also exposes for arbitrary numeric orderings)
-    ("earliest", info("earliest", "value at the earliest time (expr, timeExpr)"),
-      (args: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))
-          .toAggregateExpression()),
-    ("latest", info("latest", "value at the latest time (expr, timeExpr)"),
-      (args: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(args(0), args(1))
-          .toAggregateExpression()),
+    // value of `expr` at min/max of __time. Argument forms, matching the
+    // reference: 1-arg = implicit __time ordering; 2-arg with a NUMERIC
+    // LITERAL second argument = maxBytesPerString (UTF-8-safe truncation,
+    // still ordered by __time — the reference never reads arg 2 as a time
+    // column); 2-arg with an expression = the EARLIEST_BY/LATEST_BY
+    // explicit-ordering form
+    ("earliest", info("earliest",
+      "value at the earliest time (expr[, maxBytes | timeExpr])"),
+      (args: Seq[Expression]) => {
+        val (v, order) = earliestLatestArgs("earliest", args)
+        org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(v, order)
+          .toAggregateExpression()
+      }),
+    ("latest", info("latest",
+      "value at the latest time (expr[, maxBytes | timeExpr])"),
+      (args: Seq[Expression]) => {
+        val (v, order) = earliestLatestArgs("latest", args)
+        org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(v, order)
+          .toAggregateExpression()
+      }),
     // Druid SQL sketch names (BuiltinApproxCountDistinctSqlAggregator.java,
     // datasketches SQL operator conversions) aliased onto the same sketch
     // layer, so reference SQL text runs unchanged

@@ -112,20 +112,54 @@ object NativeJsonQuery {
             case other       => other.toString
           }: _*)
         }
-        val sample = rows.headOption.getOrElse(
-          throw new IllegalArgumentException("inline dataSource needs rows"))
-        val fields = names.zipWithIndex.map { case (n, i) =>
-          val dt = sample.get(i) match {
-            case _: java.lang.Long    => org.apache.spark.sql.types.LongType
-            case _: java.lang.Double  => org.apache.spark.sql.types.DoubleType
-            case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
-            case _                    => org.apache.spark.sql.types.StringType
-          }
-          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+        if (rows.isEmpty)
+          throw new IllegalArgumentException("inline dataSource needs rows")
+        // optional explicit columnTypes (reference InlineDataSource carries a
+        // typed RowSignature, query/InlineDataSource.java:49); else infer each
+        // column from its first NON-NULL cell — a null first cell must not
+        // mistype the column into a runtime ClassCastException
+        val declared = arr(spec \ "columnTypes").collect { case JString(c) => c }
+        if (declared.nonEmpty && declared.size != names.size)
+          throw new IllegalArgumentException(
+            s"inline columnTypes has ${declared.size} entries for ${names.size} columns")
+        def declaredType(t: String) = t.toUpperCase match {
+          case "STRING"           => org.apache.spark.sql.types.StringType
+          case "LONG"             => org.apache.spark.sql.types.LongType
+          case "DOUBLE"           => org.apache.spark.sql.types.DoubleType
+          case "FLOAT"            => org.apache.spark.sql.types.FloatType
+          case "BOOLEAN"          => org.apache.spark.sql.types.BooleanType
+          case o => throw new IllegalArgumentException(s"unsupported inline columnType: $o")
         }
+        val fields = names.zipWithIndex.map { case (n, i) =>
+          import org.apache.spark.sql.types._
+          val dt =
+            if (declared.nonEmpty) declaredType(declared(i))
+            else {
+              val vs = rows.iterator.map(_.get(i)).filter(_ != null).toList
+              if (vs.isEmpty || vs.exists(_.isInstanceOf[String])) StringType
+              else if (vs.exists(_.isInstanceOf[java.lang.Double])) DoubleType
+              else if (vs.forall(_.isInstanceOf[java.lang.Boolean])) BooleanType
+              else LongType
+            }
+          StructField(n, dt, nullable = true)
+        }
+        // coerce cells to the resolved column type (mixed int/double JSON
+        // literals, or declared types wider than the literals)
+        val data = rows.map(r =>
+          org.apache.spark.sql.Row(fields.zipWithIndex.map { case (f, i) =>
+            import org.apache.spark.sql.types._
+            (r.get(i), f.dataType) match {
+              case (null, _)                         => null
+              case (v: java.lang.Number, DoubleType) => v.doubleValue()
+              case (v: java.lang.Number, FloatType)  => v.floatValue()
+              case (v: java.lang.Number, LongType)   => v.longValue()
+              case (v, StringType)                   => v.toString
+              case (v, _)                            => v
+            }
+          }: _*))
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
           org.apache.spark.sql.types.StructType(fields))
       case spec if str(spec \ "type").contains("query") =>
         runParsed(spark, dir, spec \ "query")
@@ -226,12 +260,19 @@ object NativeJsonQuery {
     resultCache.clear(); cacheHitCount.set(0); cacheMissCount.set(0)
   }
 
-  /** Canonical cache key: the query with non-semantic context stripped;
-    * result-affecting context flags are folded back in explicitly.
+  /** Canonical cache key: the query with ONLY the top-level context
+    * stripped (a nested query-datasource's context stays in the key — its
+    * flags are semantic for that subquery), and every result-affecting
+    * top-level context flag folded back in explicitly, including the
+    * effective maxSubqueryRows so a cached small-cap result can never
+    * satisfy a stricter cap.
     */
   private def cacheKey(dir: String, parsed: JValue): String = {
-    val cleaned = parsed.removeField { case (n, _) => n == "context" }
-    val flags = Seq("skipEmptyBuckets", "useApproximateTopN")
+    val cleaned = parsed match {
+      case JObject(fs) => JObject(fs.filterNot(_._1 == "context"))
+      case x           => x
+    }
+    val flags = Seq("skipEmptyBuckets", "useApproximateTopN", "maxSubqueryRows")
       .map(f => f + "=" + JsonMethods.compact(JsonMethods.render(
         parsed \ "context" \ f)))
     dir + "|" + JsonMethods.compact(JsonMethods.render(cleaned)) +
@@ -398,22 +439,71 @@ object NativeJsonQuery {
     * timeseries), long/doubleMeanNoNulls (avg of present values),
     * long/doubleMax, long/doubleMin, long/doubleSum.
     *
+    * The window slides over a DENSE zero-filled bucket grid per dimension
+    * combination (reference MovingAverageIterable walks every granularity
+    * bucket, absent ones as empty rows) — over present-only buckets the
+    * frame offsets are wrong on sparse series. The scanned interval is
+    * extended (maxBuckets-1) periods backwards so the first output bucket
+    * has a full window, and the output is trimmed back to the query
+    * intervals (reference MovingAverageQueryRunner).
+    *
     * Scale shape: one hash aggregation to buckets, then a window shuffle
     * keyed on the dimensions — the window state is n buckets per key, never
     * raw rows, so the second exchange moves only the bucketed aggregate.
+    * The grid is buckets × dimension combos, both derived from the already
+    * aggregated (small) relation.
     */
   private def movingAverage(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val period = granularityPeriod(q \ "granularity").getOrElse("P1D")
     val dims = arr(q \ "dimensions").collect { case JString(d) => d }
     val aggs = aggregations(q \ "aggregations")
-    val base = flt.fold(df)(df.filter)
-    val bucket = DruidFunctions.timeFloor(col(Tables.TimeColumn), period)
-      .as("timestamp")
+    val averagers = arr(q \ "averagers")
+    val maxN = averagers.flatMap(av => int(av \ "buckets")).foldLeft(1)(math.max)
+    val t = col(Tables.TimeColumn)
+    // `flt` folds the UN-extended intervals in; rebuild the filter with the
+    // warm-up extension instead
+    val ivs = intervalBounds(q \ "intervals")
+    val justFilter = q \ "filter" match {
+      case JNothing | JNull => None
+      case j => Some(filterExpr(j))
+    }
+    val extFilter =
+      if (ivs.isEmpty) None
+      else Some(ivs.map { case (s, e) =>
+        t >= (timestamp_micros(lit(s)) - periodInterval(period, maxN - 1)) &&
+          t < timestamp_micros(lit(e))
+      }.reduce(_ || _))
+    val base = List(justFilter, extFilter).flatten.foldLeft(df)(_ filter _)
+    val bucket = DruidFunctions.timeFloor(t, period).as("timestamp")
     val grouped = base
       .groupBy((bucket +: dims.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val averaged = arr(q \ "averagers").foldLeft(grouped) { (acc, av) =>
+    // dense bucket grid: from the (extended) intervals when given, else the
+    // data's own bucket span
+    val step = periodInterval(period)
+    val gridBounds =
+      if (ivs.isEmpty)
+        grouped.agg(min(col("timestamp")).as("lo"), max(col("timestamp")).as("hi"))
+      else ivs.map { case (s, e) =>
+        spark.range(1).select(
+          DruidFunctions.timeFloor(
+            timestamp_micros(lit(s)) - periodInterval(period, maxN - 1), period).as("lo"),
+          DruidFunctions.timeFloor(timestamp_micros(lit(e - 1)), period).as("hi"))
+      }.reduce(_ union _)
+    val grid = gridBounds
+      .select(explode(sequence(col("lo"), col("hi"), step)).as("timestamp"))
+      .distinct()
+    val frame =
+      if (dims.isEmpty) grid
+      else grid.crossJoin(grouped.select(dims.map(col): _*).distinct())
+    val countCols = arr(q \ "aggregations")
+      .filter(a => str(a \ "type").contains("count")).flatMap(a => str(a \ "name"))
+    val joined = frame.join(grouped, Seq("timestamp") ++ dims, "left")
+    val dense = countCols.foldLeft(joined)((acc, c) =>
+      acc.withColumn(c, coalesce(col(c), lit(0L))))
+    val averaged = averagers.foldLeft(dense) { (acc, av) =>
       val n = int(av \ "buckets").getOrElse(
         throw new IllegalArgumentException("averager needs buckets"))
       val name = str(av \ "name").get
@@ -421,6 +511,8 @@ object NativeJsonQuery {
       val w = Window.partitionBy(dims.map(col): _*)
         .orderBy(col("timestamp")).rowsBetween(-(n - 1), 0)
       val out = str(av \ "type").getOrElse("") match {
+        // Mean: frame sum ÷ n, absent buckets counting as zero (sum skips
+        // the nulls the left join introduced; the divisor stays n)
         case "doubleMean" | "longMean"               => sum(field).over(w) / n
         case "doubleMeanNoNulls" | "longMeanNoNulls" => avg(field).over(w)
         case "doubleMax" | "longMax"                 => max(field).over(w)
@@ -430,8 +522,28 @@ object NativeJsonQuery {
       }
       acc.withColumn(name, out)
     }
-    val withPost = postAggregations(averaged, q \ "postAveragers")
+    // trim the warm-up buckets back out
+    val trimmed =
+      if (ivs.isEmpty) averaged
+      else averaged.filter(ivs.map { case (s, e) =>
+        col("timestamp") >= DruidFunctions.timeFloor(timestamp_micros(lit(s)), period) &&
+          col("timestamp") < timestamp_micros(lit(e))
+      }.reduce(_ || _))
+    val withPost = postAggregations(trimmed, q \ "postAveragers")
     withPost.orderBy((col("timestamp") +: dims.map(col)): _*)
+  }
+
+  /** An ISO period × n as a Spark interval column (calendar periods as
+    * year-month intervals, fixed-length ones as day-time intervals).
+    */
+  private def periodInterval(period: String, n: Int = 1): Column = period match {
+    case "P1Y" => make_ym_interval(lit(n), lit(0))
+    case "P3M" => make_ym_interval(lit(0), lit(3 * n))
+    case "P1M" => make_ym_interval(lit(0), lit(n))
+    case p =>
+      val us = DruidFunctions.periodMicros(if (p == "P1W") "P7D" else p) * n
+      make_dt_interval(lit(0), lit(0), lit(0),
+        lit(new java.math.BigDecimal(us).movePointLeft(6)))
   }
 
   /** (startMicros, endMicros) of every query interval. */

@@ -37,7 +37,9 @@ object Hll {
     a
   }
 
-  def estimate(regs: Array[Byte]): Long = {
+  def estimate(regs: Array[Byte]): Long = math.round(estimateDouble(regs))
+
+  def estimateDouble(regs: Array[Byte]): Double = {
     val alpha = 0.7213 / (1.0 + 1.079 / M)
     var sum = 0.0
     var zeros = 0
@@ -48,10 +50,8 @@ object Hll {
       i += 1
     }
     val raw = alpha * M * M / sum
-    val e =
-      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
-      else raw
-    math.round(e)
+    if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+    else raw
   }
 }
 
@@ -107,17 +107,19 @@ case class HllSketchAgg(
 
 /** Scalar estimate of ONE stored HLL register array — the reference's
   * HLL_SKETCH_ESTIMATE post-aggregation (`HllSketchToEstimate`), applied to
-  * a sketch column without folding.
+  * a sketch column without folding. Returns DOUBLE like the reference
+  * (rounding to long happens only in the APPROX_COUNT_DISTINCT-style
+  * aggregators).
   */
 case class HllEstimate(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: org.apache.spark.sql.types.DataType =
-    org.apache.spark.sql.types.LongType
+    org.apache.spark.sql.types.DoubleType
   override def nullable: Boolean = true
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) null else Hll.estimate(v.asInstanceOf[Array[Byte]])
+    if (v == null) null else Hll.estimateDouble(v.asInstanceOf[Array[Byte]])
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

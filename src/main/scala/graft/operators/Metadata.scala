@@ -74,11 +74,30 @@ object Metadata {
       .toDF("job_id", "status", "job_group")
   }
 
+  /** sys.supervisors analog (reference `SystemSchema.java:105-111` lists it
+    * alongside segments/servers/tasks; a supervisor is a long-running ingest
+    * coordinator). Here each active Structured Streaming query IS a
+    * supervisor: one row per query from the session's streams registry, with
+    * the reference's (id, state, healthy, suspended) shape.
+    */
+  def supervisors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.streams.active.toSeq.map { q =>
+      val source = Option(q.lastProgress)
+        .flatMap(_.sources.headOption).map(_.description).getOrElse("")
+      (Option(q.name).getOrElse(q.id.toString), q.runId.toString,
+        if (q.isActive) "RUNNING" else "STOPPED",
+        q.status.message, q.exception.isEmpty, "stream", source, !q.isActive)
+    }.toDF("supervisor_id", "run_id", "state", "detailed_state", "healthy",
+      "type", "source", "suspended")
+  }
+
   /** Register sys_* temp views on the session. */
   def registerSystemViews(spark: SparkSession, dir: String): Unit = {
     segments(spark, dir).createOrReplaceTempView("sys_segments")
     servers(spark).createOrReplaceTempView("sys_servers")
     tasks(spark).createOrReplaceTempView("sys_tasks")
+    supervisors(spark).createOrReplaceTempView("sys_supervisors")
   }
 
   /** The lookup schema (reference `sql/.../schema/LookupSchema.java`): every

@@ -423,6 +423,31 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("job_id", "status", "job_group"))
   }
 
+  test("sys_supervisors lists active streaming queries") {
+    graft.operators.Metadata.registerSystemViews(spark, dir)
+    assert(spark.table("sys_supervisors").columns.toSeq ==
+      Seq("supervisor_id", "run_id", "state", "detailed_state", "healthy",
+        "type", "source", "suspended"))
+    assert(spark.table("sys_supervisors").count() == 0, "no streams running")
+    // start a stream; a re-registered snapshot must carry one RUNNING row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Int]
+    in.addData(1, 2, 3)
+    val q = in.toDF().writeStream.format("noop")
+      .queryName("supervisor-spec").start()
+    try {
+      q.processAllAvailable()
+      val rows = graft.operators.Metadata.supervisors(spark)
+        .where(col("supervisor_id") === "supervisor-spec").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[String]("state") == "RUNNING")
+      assert(r.getAs[Boolean]("healthy") && !r.getAs[Boolean]("suspended"))
+    } finally q.stop()
+  }
+
   test("istrue / isfalse filters wrap a base filter null-safely") {
     def cnt(flt: String) = NativeJsonQuery.run(spark, dir, s"""
       {"queryType": "scan", "dataSource": "events",
@@ -608,5 +633,104 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(NativeJsonQuery.cacheStats == ((1L, 2L)))
     NativeJsonQuery.clearCache()
     assert(NativeJsonQuery.cacheStats == ((0L, 0L)))
+  }
+
+  test("result cache: nested query-datasource context discriminates the key") {
+    NativeJsonQuery.clearCache()
+    // identical outer queries over a nested timeseries differing ONLY in the
+    // nested context's skipEmptyBuckets — semantic for the subquery, so it
+    // must be a different cache key (no false hit)
+    def q(skip: Boolean) = s"""
+      {"queryType": "groupBy", "dataSource": {"type": "query", "query":
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         "aggregations": [{"type": "count", "name": "n"}],
+         "context": {"skipEmptyBuckets": $skip}}},
+       "dimensions": [],
+       "aggregations": [{"type": "longSum", "name": "total", "fieldName": "n"},
+                        {"type": "count", "name": "buckets"}],
+       "context": {"useCache": true, "populateCache": true}}"""
+    NativeJsonQuery.execute(spark, dir, q(skip = false))
+    val second = NativeJsonQuery.execute(spark, dir, q(skip = true))
+    val (h, m) = NativeJsonQuery.cacheStats
+    assert(h == 0 && m == 2, s"nested context must split the key (h=$h m=$m)")
+    NativeJsonQuery.clearCache()
+    val _ = second
+  }
+
+  test("movingAverage densifies the bucket grid on sparse series") {
+    // days 1, 2, 4 present — day 3 missing. The reference
+    // (extensions-contrib/movingAverage MovingAverageIterable) slides over
+    // the zero-filled grid: Mean divides by n with the absent bucket
+    // counting as zero, and the empty bucket itself is emitted.
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "movingAverage",
+       "dataSource": {"type": "inline", "columnNames": ["t", "value"],
+         "rows": [["2024-01-01T06:00:00Z", 3.0],
+                  ["2024-01-02T06:00:00Z", 6.0],
+                  ["2024-01-04T06:00:00Z", 12.0]]},
+       "virtualColumns": [{"name": "__time", "expression": "CAST(t AS TIMESTAMP)"}],
+       "granularity": "day",
+       "aggregations": [{"type": "count", "name": "n"},
+                        {"type": "doubleSum", "name": "v", "fieldName": "value"}],
+       "averagers": [
+         {"type": "doubleMean", "name": "ma2", "fieldName": "v", "buckets": 2},
+         {"type": "doubleMeanNoNulls", "name": "mnn2", "fieldName": "v", "buckets": 2}]}""")
+    val rows = df.select("timestamp", "n", "ma2", "mnn2").collect()
+    assert(rows.map(_.getTimestamp(0).toString.substring(0, 10)).toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"),
+      "the missing day-3 bucket must be emitted")
+    assert(rows.map(r => r.getLong(1)).toSeq == Seq(1L, 1L, 0L, 1L))
+    // Mean over the dense grid: gap counts as 0 in the numerator, n stays 2
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, 4.5, 3.0, 6.0))
+    // MeanNoNulls skips the absent bucket instead
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(3.0, 4.5, 6.0, 12.0))
+  }
+
+  test("movingAverage warm-up extends the scan, output trims to intervals") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "movingAverage",
+       "dataSource": {"type": "inline", "columnNames": ["t", "value"],
+         "rows": [["2024-01-01T06:00:00Z", 3.0],
+                  ["2024-01-02T06:00:00Z", 6.0],
+                  ["2024-01-04T06:00:00Z", 12.0]]},
+       "virtualColumns": [{"name": "__time", "expression": "CAST(t AS TIMESTAMP)"}],
+       "granularity": "day",
+       "intervals": ["2024-01-03T00:00:00Z/2024-01-05T00:00:00Z"],
+       "aggregations": [{"type": "doubleSum", "name": "v", "fieldName": "value"}],
+       "averagers": [
+         {"type": "doubleMean", "name": "ma2", "fieldName": "v", "buckets": 2}]}""")
+    val rows = df.select("timestamp", "ma2").collect()
+    // only the interval's buckets come back, but day 3's window saw day 2
+    // from the warm-up extension (reference MovingAverageQueryRunner)
+    assert(rows.map(_.getTimestamp(0).toString.substring(0, 10)).toSeq ==
+      Seq("2024-01-03", "2024-01-04"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(3.0, 6.0))
+  }
+
+  test("inline datasource: explicit columnTypes and null-first-cell inference") {
+    // null first cell: inferred from the first NON-null value (reference
+    // InlineDataSource carries a typed RowSignature, InlineDataSource.java:49)
+    val inferred = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "scan",
+       "dataSource": {"type": "inline", "columnNames": ["k", "x"],
+         "rows": [["a", null], ["b", 2.5], ["c", 4]]},
+       "columns": ["k", "x"]}""")
+    assert(inferred.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(inferred.orderBy("k").collect().map(r =>
+      Option(r.get(1))).toSeq == Seq(None, Some(2.5), Some(4.0)))
+    // declared columnTypes win over inference, coercing integer literals
+    val declared = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "scan",
+       "dataSource": {"type": "inline", "columnNames": ["k", "x"],
+         "columnTypes": ["STRING", "DOUBLE"],
+         "rows": [["a", 1], ["b", 2]]},
+       "columns": ["k", "x"]}""")
+    assert(declared.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(declared.orderBy("k").collect().map(_.getDouble(1)).toSeq ==
+      Seq(1.0, 2.0))
   }
 }

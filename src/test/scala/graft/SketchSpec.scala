@@ -254,6 +254,43 @@ class SketchSpec extends AnyFunSuite {
     assert(dp == 32.0)
   }
 
+  test("hll_sketch_estimate returns DOUBLE (reference HllSketchToEstimate)") {
+    GraftExtensions.register(spark)
+    spark.range(1000).select((col("id") % 321).as("v"))
+      .createOrReplaceTempView("hll_est_in")
+    val df = spark.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(v)) FROM hll_est_in")
+    assert(df.schema.head.dataType == org.apache.spark.sql.types.DoubleType)
+    val est = df.head().getDouble(0)
+    assert(math.abs(est - 321.0) / 321.0 < 0.05, s"estimate $est")
+  }
+
+  test("EARLIEST/LATEST numeric-literal 2nd arg is maxBytesPerString") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("2024-01-01T00:00:00", "aé-first"), ("2024-01-03T00:00:00", "zz-last"))
+      .toDF("ts", "name")
+      .select(col("ts").cast("timestamp").as("__time"), col("name"))
+      .createOrReplaceTempView("el_in")
+    val r = spark.sql(
+      // 'aé' is 3 UTF-8 bytes: a 3-byte budget keeps 'é' whole, a 2-byte
+      // budget would split it and must back off to 'a'
+      """SELECT earliest(name, 3), latest(name, 1024), earliest(name),
+                latest(name, 4), earliest(name, 2) FROM el_in""")
+      .head()
+    assert(r.getString(0) == "aé", "UTF-8-safe chop at the byte budget")
+    assert(r.getString(1) == "zz-last", "budget larger than the value is a no-op")
+    assert(r.getString(2) == "aé-first", "1-arg form orders by __time")
+    assert(r.getString(3) == "zz-l")
+    assert(r.getString(4) == "a", "never split a code point")
+    // non-string input with a byte budget is rejected at analysis, like the
+    // reference's string-only maxBytesPerString
+    val err = intercept[Exception] {
+      spark.sql("SELECT earliest(CAST(1.5 AS DOUBLE), 3) FROM el_in").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
   test("Druid SQL sketch names run reference SQL text unchanged") {
     GraftExtensions.register(spark)
     spark.range(5000).select((col("id") % 321).as("v"), (col("id") % 2).as("g"))
@@ -271,7 +308,7 @@ class SketchSpec extends AnyFunSuite {
       """SELECT HLL_SKETCH_ESTIMATE(sk) AS est,
                 THETA_SKETCH_ESTIMATE(tk) AS test2
          FROM (SELECT DS_HLL(v) AS sk, DS_THETA(v) AS tk FROM dsql_in)""").head()
-    assert(math.abs(s2.getLong(0) - 321) / 321.0 < 0.05)
+    assert(math.abs(s2.getDouble(0) - 321) / 321.0 < 0.05)
     assert(math.abs(s2.getDouble(1) - 321) / 321.0 < 0.05)
     val bl = spark.sql(
       """SELECT BLOOM_FILTER_TEST(CAST(7 AS BIGINT), bf) AS hit,
