@@ -90,6 +90,62 @@ object SparkEntry {
         .orderBy(col("bucket_ms"))
     }),
 
+    "q_timeseries_gaps" -> ((s, dir) => {
+      // zero-fill across INTERIOR gaps (not just dense series): purchase ∧
+      // value ≥ 300 leaves rows on ~5 of 30 days at sf0.01, and every empty
+      // day must still come back — count 0, sum null (reference timeseries
+      // zero-fill, TimeseriesQueryEngine skipEmptyBuckets=false default)
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-01-31T00:00:00Z"],
+         "filter": {"type": "and", "fields": [
+            {"type": "selector", "dimension": "event_type", "value": "purchase"},
+            {"type": "bound", "dimension": "value", "lower": 300}]},
+         "aggregations": [{"type": "count", "name": "n"},
+                          {"type": "doubleSum", "name": "sv", "fieldName": "value"}]}""")
+        .withColumn("sv", round(col("sv"), 3))
+    }),
+
+    "q_moving_avg_gaps" -> ((s, dir) => {
+      // movingAverage across interior gaps: the 7-bucket Mean divides by 7
+      // with absent buckets counting as ZERO (dense-grid semantics,
+      // reference MovingAverageIterable), and the gap days are emitted
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "movingAverage", "dataSource": "events",
+         "granularity": "day",
+         "intervals": ["2024-01-01T00:00:00Z/2024-01-31T00:00:00Z"],
+         "filter": {"type": "and", "fields": [
+            {"type": "selector", "dimension": "event_type", "value": "purchase"},
+            {"type": "bound", "dimension": "value", "lower": 300}]},
+         "aggregations": [{"type": "doubleSum", "name": "dv", "fieldName": "value"}],
+         "averagers": [
+           {"type": "doubleMean", "name": "ma7", "fieldName": "dv", "buckets": 7},
+           {"type": "doubleMax", "name": "mx7", "fieldName": "dv", "buckets": 7}]}""")
+        .withColumn("dv", round(col("dv"), 3))
+        .withColumn("ma7", round(col("ma7"), 3))
+        .withColumn("mx7", round(col("mx7"), 3))
+    }),
+
+    "q_window_sparse_range" -> ((s, dir) => {
+      // RANGE frame over a gappy per-type daily series: value > 250 leaves
+      // each event_type with rows on only 7-14 of 30 days, so a 3-day RANGE
+      // window covers FEWER rows than a 3-row ROWS frame — the frame must
+      // be value-based, not row-position-based
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir)("events").filter(col("value") > 250)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("dv"))
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+        .rangeBetween(-2, 0)
+      daily.select(col("event_type"), col("day"),
+          round(col("dv"), 3).as("dv"),
+          round(sum(col("dv")).over(w), 3).as("s3"),
+          count(lit(1)).over(w).as("rows3"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q_retention" -> ((s, dir) => {
       // day-N retention cohorts: for each signup-day cohort (first-seen
       // day), the share still active 7 days later — two tiny per-user
@@ -1784,6 +1840,53 @@ object SparkEntry {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
          GROUP BY 1 ORDER BY 1""",
+
+    "q_timeseries_gaps" ->
+      """WITH g AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                         TIMESTAMP '2024-01-30',
+                                         INTERVAL 1 DAY)) AS timestamp),
+         b AS (
+           SELECT date_trunc('day', ts) AS timestamp,
+                  CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sv
+           FROM events WHERE event_type = 'purchase' AND value >= 300
+           GROUP BY 1)
+         SELECT g.timestamp, coalesce(b.n, 0) AS n, b.sv AS sv
+         FROM g LEFT JOIN b ON b.timestamp = g.timestamp
+         ORDER BY g.timestamp""",
+
+    "q_moving_avg_gaps" ->
+      """WITH g AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                         TIMESTAMP '2024-01-30',
+                                         INTERVAL 1 DAY)) AS timestamp),
+         b AS (
+           SELECT date_trunc('day', ts) AS timestamp, sum(value) AS dv
+           FROM events WHERE event_type = 'purchase' AND value >= 300
+           GROUP BY 1),
+         d AS (SELECT g.timestamp, b.dv
+               FROM g LEFT JOIN b ON b.timestamp = g.timestamp)
+         SELECT timestamp, round(dv, 3) AS dv,
+                round(sum(dv) OVER w / 7, 3) AS ma7,
+                round(max(dv) OVER w, 3) AS mx7
+         FROM d
+         WINDOW w AS (ORDER BY timestamp ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY timestamp""",
+
+    "q_window_sparse_range" ->
+      """WITH b AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  sum(value) AS dv
+           FROM events WHERE value > 250 GROUP BY 1, 2),
+         d AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_num
+               FROM b)
+         SELECT event_type, day, round(dv, 3) AS dv,
+                round(sum(dv) OVER w, 3) AS s3,
+                CAST(count(*) OVER w AS BIGINT) AS rows3
+         FROM d
+         WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
 
     "q_timeseries_zerofill" ->
       """WITH buckets AS (
