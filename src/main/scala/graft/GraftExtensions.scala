@@ -194,6 +194,12 @@ object GraftExtensions {
     ("tdigest_cdf", info("tdigest_cdf",
       "rank in [0,1] of a value in a t-digest (sketch, v)"),
       (args: Seq[Expression]) => TDigestQuery(args(0), args(1), "cdf")),
+    // variadic/overloaded scalar fns shared with DruidFunctions.register
+    // (STRING_FORMAT pattern+args, PARSE_LONG optional radix)
+    ("string_format", info("string_format", "printf-style format (pattern, args…)"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("string_format")),
+    ("parse_long", info("parse_long", "string → long, null on garbage (s[, radix])"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("parse_long")),
     ("earliest_by", info("earliest_by", "value at min of ordering (expr, orderExpr)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))

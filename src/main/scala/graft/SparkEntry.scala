@@ -799,6 +799,28 @@ object SparkEntry {
         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
     }),
 
+    "q_sql_format_funcs" -> ((s, dir) => {
+      // round-5 SQL-surface widening: STRING_FORMAT (variadic, printf),
+      // PARSE_LONG with radix, TIME_EXTRACT units, and the DECIMAL unit
+      // system of the human-readable family (reference Function.java
+      // SizeFormatFunc + TimestampExtractExprMacro). The PARSE_LONG hex
+      // round-trip proves radix parsing without a DuckDB base-conv oracle;
+      // the three hr_* columns pin each CASE branch with tie-free decimals.
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT o_orderkey,
+               STRING_FORMAT('%s #%05d', o_orderpriority, o_orderkey) AS tag,
+               PARSE_LONG(STRING_FORMAT('%x', o_orderkey), 16) AS hex_roundtrip,
+               PARSE_LONG(o_orderpriority) AS not_a_number,
+               TIME_EXTRACT(CAST(o_orderdate AS TIMESTAMP), 'DOW') AS dow,
+               TIME_EXTRACT(CAST(o_orderdate AS TIMESTAMP), 'DOY') AS doy,
+               HUMAN_READABLE_DECIMAL_FORMAT(o_orderkey) AS hr_small,
+               HUMAN_READABLE_DECIMAL_FORMAT(o_orderkey * 1000) AS hr_k,
+               HUMAN_READABLE_DECIMAL_FORMAT(o_orderkey * 1000000) AS hr_m
+        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
+    }),
+
     // ------------------------------------------------------ streaming (§2.10)
     "q_stream_rollup" -> ((s, dir) => {
       // same ns-parquet handling as Tables.load, in streaming form; the file
@@ -1536,6 +1558,21 @@ object SparkEntry {
         .groupBy(graft.operators.Windows
           .timeFloorTz(col("ts"), "P1D", "+05:30").as("bucket"))
         .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q_timeseries_dst" -> ((s, dir) => {
+      // daily buckets in a REGION zone across years of DST transitions
+      // (orders span 1995-2001): spring-forward days are 23h, fall-back
+      // days 25h, and every UTC-midnight order date lands on the PREVIOUS
+      // New-York day whose offset (EST -5 / EDT -4) depends on the season.
+      // A fixed-offset implementation gets hundreds of buckets wrong here.
+      t(s, dir)("orders")
+        .groupBy(graft.operators.Windows
+          .timeFloorZone(col("o_orderdate").cast("timestamp"), "P1D",
+            "America/New_York").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("bucket"))
     }),
 
@@ -2374,6 +2411,20 @@ object SparkEntry {
                                ((o_orderkey * 2654435761) & 4294967295) % 256) AS fake_ip
          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
 
+    "q_sql_format_funcs" ->
+      """SELECT o_orderkey,
+                printf('%s #%05d', o_orderpriority, o_orderkey) AS tag,
+                CAST(o_orderkey AS BIGINT) AS hex_roundtrip,
+                try_cast(o_orderpriority AS BIGINT) AS not_a_number,
+                CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+                CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+                CAST(o_orderkey AS VARCHAR) AS hr_small,
+                CASE WHEN o_orderkey = 0 THEN '0'
+                     ELSE printf('%.2f K', CAST(o_orderkey AS DOUBLE)) END AS hr_k,
+                CASE WHEN o_orderkey = 0 THEN '0'
+                     ELSE printf('%.2f M', CAST(o_orderkey AS DOUBLE)) END AS hr_m
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+
     "q_stream_rollup" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
                 round(sum(value), 3) AS sum_value
@@ -2605,6 +2656,14 @@ object SparkEntry {
                   - INTERVAL 330 MINUTE AS bucket,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_timeseries_dst" ->
+      """SELECT ((date_trunc('day', (CAST(o_orderdate AS TIMESTAMP)
+                    AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'))
+                  AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS bucket,
+                count(*) AS n,
+                round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_projection_reroute" ->
       """SELECT date_trunc('day', ts) AS bucket, event_type,

@@ -177,11 +177,49 @@ object DruidFunctions {
   }
 
   // -------------------------------------------------------------- register ----
+  /** Functions whose reference forms are variadic or arity-overloaded — a SQL
+    * macro has fixed arity, so these go straight into the Catalyst function
+    * registry as expression builders (still pure built-in expressions, fully
+    * codegen'd):
+    *  - STRING_FORMAT(pattern, args…) — reference `Function.java` string
+    *    format, printf-style;
+    *  - PARSE_LONG(s[, radix]) — null (not error) on garbage; radix form via
+    *    base conversion.
+    */
+  val catalystBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, EvalMode, Expression, FormatString, Literal}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    // Java's Formatter can't print Spark Decimal through %f — SQL fractional
+    // literals parse as Decimal, so coerce them (reference expr args are
+    // double-typed already)
+    def fmtArg(e: Expression): Expression = e match {
+      case _ if e.resolved && e.dataType.isInstanceOf[DecimalType] =>
+        Cast(e, DoubleType)
+      case _ => e
+    }
+    Seq(
+      "string_format" -> ((args: Seq[Expression]) =>
+        FormatString(args.head +: args.tail.map(fmtArg): _*)),
+      "parse_long" -> ((args: Seq[Expression]) => args match {
+        case Seq(s) => Cast(s, LongType, None, EvalMode.TRY)
+        case Seq(s, radix) =>
+          Cast(Conv(s, radix, Literal(10)), LongType, None, EvalMode.TRY)
+        case other => throw new IllegalArgumentException(
+          s"parse_long takes 1 or 2 arguments, got ${other.size}")
+      }))
+  }
+
   /** Register reference-named functions for `spark.sql` text queries. SQL
     * temporary macros expand inline at parse time, so they stay fully inside
     * Catalyst optimization + whole-stage codegen (no UDF boundary).
     */
   def register(spark: SparkSession): Unit = {
+    catalystBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
     val fns = Seq(
       "SAFE_DIVIDE(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN " +
         "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE x / y END",
@@ -198,8 +236,7 @@ object DruidFunctions {
       "CONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN contains(s, n)",
       "ICONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN " +
         "contains(lower(s), lower(n))",
-      // reference parse_long(str[, radix]) → null on garbage (try_cast)
-      "PARSE_LONG(s STRING) RETURNS BIGINT RETURN try_cast(s AS BIGINT)",
+      // (PARSE_LONG lives in catalystBuilders above: optional-radix arity)
       "SUBTRACT_MONTHS(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN " +
         "t - make_ym_interval(0, n)",
       // integer division like the reference's div: Java long division
@@ -208,22 +245,37 @@ object DruidFunctions {
       // negatives the wrong way
       "SAFE_DIV(x BIGINT, y BIGINT) RETURNS BIGINT RETURN " +
         "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE x DIV y END",
-      // HUMAN_READABLE_BINARY_BYTE_FORMAT (reference Function.java byte fmts)
+      // HUMAN_READABLE_* (reference Function.java SizeFormatFunc →
+      // HumanReadableBytes.format, default precision 2, pattern "%.2f %s%s"
+      // — printf rounding, NO thousands grouping)
       """HUMAN_READABLE_BINARY_BYTE_FORMAT(b BIGINT) RETURNS STRING RETURN
          CASE WHEN abs(b) < 1024 THEN concat(CAST(b AS STRING), ' B')
               WHEN abs(b) < 1048576 THEN
-                concat(format_number(b / 1024.0, 2), ' KiB')
+                concat(format_string('%.2f', CAST(b / 1024.0 AS DOUBLE)), ' KiB')
               WHEN abs(b) < 1073741824 THEN
-                concat(format_number(b / 1048576.0, 2), ' MiB')
-              ELSE concat(format_number(b / 1073741824.0, 2), ' GiB')
+                concat(format_string('%.2f', CAST(b / 1048576.0 AS DOUBLE)), ' MiB')
+              ELSE concat(format_string('%.2f', CAST(b / 1073741824.0 AS DOUBLE)), ' GiB')
          END""",
       """HUMAN_READABLE_DECIMAL_BYTE_FORMAT(b BIGINT) RETURNS STRING RETURN
          CASE WHEN abs(b) < 1000 THEN concat(CAST(b AS STRING), ' B')
               WHEN abs(b) < 1000000 THEN
-                concat(format_number(b / 1000.0, 2), ' KB')
+                concat(format_string('%.2f', CAST(b / 1000.0 AS DOUBLE)), ' KB')
               WHEN abs(b) < 1000000000 THEN
-                concat(format_number(b / 1000000.0, 2), ' MB')
-              ELSE concat(format_number(b / 1000000000.0, 2), ' GB')
+                concat(format_string('%.2f', CAST(b / 1000000.0 AS DOUBLE)), ' MB')
+              ELSE concat(format_string('%.2f', CAST(b / 1000000000.0 AS DOUBLE)), ' GB')
+         END""",
+      // DECIMAL unit system: bare K/M/G suffixes, plain number below 1000;
+      // the reference's loop divides by 1000 with INTEGER truncation at each
+      // step before the final /1000.0, reproduced with DIV here
+      """HUMAN_READABLE_DECIMAL_FORMAT(b BIGINT) RETURNS STRING RETURN
+         CASE WHEN abs(b) < 1000 THEN CAST(b AS STRING)
+              WHEN abs(b) < 1000000 THEN
+                concat(format_string('%.2f', CAST(b / 1000.0 AS DOUBLE)), ' K')
+              WHEN abs(b) < 1000000000 THEN
+                concat(format_string('%.2f', CAST((b DIV 1000) / 1000.0 AS DOUBLE)), ' M')
+              WHEN abs(b) < 1000000000000 THEN
+                concat(format_string('%.2f', CAST((b DIV 1000000) / 1000.0 AS DOUBLE)), ' G')
+              ELSE concat(format_string('%.2f', CAST((b DIV 1000000000) / 1000.0 AS DOUBLE)), ' T')
          END""",
       // TIME_FLOOR for calendar + common fixed ISO periods (the Scala API's
       // timeFloor handles arbitrary periods/origins; SQL covers the usual set)
@@ -286,6 +338,25 @@ object DruidFunctions {
       """TIME_IN_INTERVAL(t TIMESTAMP, i STRING) RETURNS BOOLEAN RETURN
          t >= to_timestamp(split_part(i, '/', 1))
          AND t < to_timestamp(split_part(i, '/', 2))""",
+      // TIME_EXTRACT(t, unit) (reference TimestampExtractExprMacro): DOW is
+      // Joda ISO Monday=1..Sunday=7, Spark's dayofweek is Sunday=1 — shifted
+      """TIME_EXTRACT(t TIMESTAMP, u STRING) RETURNS BIGINT RETURN
+         CASE upper(u)
+           WHEN 'EPOCH' THEN unix_timestamp(t)
+           WHEN 'MILLIS' THEN CAST(unix_micros(t) / 1000 AS BIGINT)
+           WHEN 'SECOND' THEN second(t)
+           WHEN 'MINUTE' THEN minute(t)
+           WHEN 'HOUR' THEN hour(t)
+           WHEN 'DAY' THEN day(t)
+           WHEN 'DOW' THEN ((dayofweek(t) + 5) % 7) + 1
+           WHEN 'ISODOW' THEN ((dayofweek(t) + 5) % 7) + 1
+           WHEN 'DOY' THEN dayofyear(t)
+           WHEN 'WEEK' THEN weekofyear(t)
+           WHEN 'MONTH' THEN month(t)
+           WHEN 'QUARTER' THEN quarter(t)
+           WHEN 'YEAR' THEN year(t)
+           ELSE CAST(raise_error(concat('unsupported unit: ', u)) AS BIGINT)
+         END""",
       // ------------------------------------------------------------ string ----
       "TEXTCAT(x STRING, y STRING) RETURNS STRING RETURN concat(x, y)",
       "STRPOS(h STRING, n STRING) RETURNS INT RETURN instr(h, n)",
@@ -304,6 +375,10 @@ object DruidFunctions {
       // multi-value string fns (MultiValueStringOperatorConversions.java);
       // offsets are 0-based, ordinals 1-based, both null out of bounds
       "MV_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN arrays_overlap(a, b)",
+      // MV_TO_ARRAY / ARRAY_TO_MV: identities under the ArrayType(StringType)
+      // MVD representation (SURVEY.md §1.2) — kept so reference SQL text runs
+      "MV_TO_ARRAY(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN a",
+      "ARRAY_TO_MV(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN a",
       "MV_OFFSET(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i)",
       "MV_ORDINAL(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i - 1)",
       """MV_OFFSET_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
@@ -359,6 +434,20 @@ object DruidFunctions {
          json_object_keys(get_json_object(j, p))""",
       """JSON_PATHS(j STRING) RETURNS ARRAY<STRING> RETURN
          transform(json_object_keys(j), k -> concat('$.', k))""",
+      // JSON_OBJECT(k, v) (reference NestedDataExpressions json_object;
+      // Calcite's KEY k VALUE v syntax isn't reachable from a macro, the
+      // positional pair form is)
+      "JSON_OBJECT(k STRING, v STRING) RETURNS STRING RETURN to_json(map(k, v))",
+      // JSON_QUERY_ARRAY: array-of-scalars extraction (element JSON text for
+      // nested elements, like the reference's ExprEval array coercion)
+      """JSON_QUERY_ARRAY(j STRING, p STRING) RETURNS ARRAY<STRING> RETURN
+         from_json(get_json_object(j, p), 'array<string>')""",
+      // TO_JSON_STRING: canonical re-serialization (parse_json → variant →
+      // to_json), so semantically-equal JSON prints identically.
+      // PARSE_JSON / TRY_PARSE_JSON themselves are Spark built-ins with the
+      // reference's exact names and semantics (variant result; TRY_ → null
+      // on malformed input) — nothing to register.
+      "TO_JSON_STRING(j STRING) RETURNS STRING RETURN to_json(parse_json(j))",
       // -------------------------------------------------------------- IP ----
       """IPV4_PARSE(s STRING) RETURNS BIGINT RETURN
          CAST(split_part(s, '.', 1) AS BIGINT) * 16777216

@@ -92,12 +92,24 @@ object Metadata {
       "type", "source", "suspended")
   }
 
+  /** sys.server_segments (reference `SystemSchema.java:105-111`): the
+    * (server, segment) assignment map. The reference's historicals each
+    * serve an assigned subset of segments; on shared storage every executor
+    * can serve every segment, so the assignment is the cross of the two
+    * metadata tables — O(servers × files) metadata rows, never a data scan.
+    */
+  def serverSegments(spark: SparkSession, dir: String): DataFrame =
+    servers(spark).select(col("host").as("server"))
+      .crossJoin(segments(spark, dir)
+        .select(col("file").as("segment_id"), col("datasource")))
+
   /** Register sys_* temp views on the session. */
   def registerSystemViews(spark: SparkSession, dir: String): Unit = {
     segments(spark, dir).createOrReplaceTempView("sys_segments")
     servers(spark).createOrReplaceTempView("sys_servers")
     tasks(spark).createOrReplaceTempView("sys_tasks")
     supervisors(spark).createOrReplaceTempView("sys_supervisors")
+    serverSegments(spark, dir).createOrReplaceTempView("sys_server_segments")
   }
 
   /** The lookup schema (reference `sql/.../schema/LookupSchema.java`): every

@@ -44,4 +44,16 @@ object Windows {
     timestamp_micros(
       unix_micros(DruidFunctions.timeFloor(shifted, period)) - lit(micros))
   }
+
+  /** Named-zone time floor, DST-correct (reference `PeriodGranularity` with
+    * a region timeZone like America/New_York): floor in the zone's WALL
+    * CLOCK, then map the local bucket start back to an instant.
+    * from/to_utc_timestamp apply the zone's rules per instant, so buckets
+    * spanning a DST transition come out 23h/25h long with shifting UTC
+    * edges — exactly the reference's Joda bucketing, where a fixed offset
+    * would misassign every row between the old and new offsets.
+    */
+  def timeFloorZone(ts: Column, period: String, zone: String): Column =
+    to_utc_timestamp(
+      DruidFunctions.timeFloor(from_utc_timestamp(ts, zone), period), zone)
 }

@@ -182,6 +182,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(8) == "1.50 MB")
   }
 
+  test("STRING_FORMAT varargs / PARSE_LONG radix / TIME_EXTRACT / decimal format") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT STRING_FORMAT('%s=%d', 'k', 7),
+                STRING_FORMAT('%03d-%s-%.1f', 5, 'x', 2.25),
+                PARSE_LONG('ff', 16), PARSE_LONG('-42'),
+                TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45', 'DOW'),
+                TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45', 'DOY'),
+                TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45', 'HOUR'),
+                TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45', 'EPOCH'),
+                HUMAN_READABLE_DECIMAL_FORMAT(999),
+                HUMAN_READABLE_DECIMAL_FORMAT(1234567),
+                HUMAN_READABLE_DECIMAL_FORMAT(-1234567890)""").head()
+    assert(r.getString(0) == "k=7")
+    // Java Formatter (same as the reference's StringUtils.format) rounds
+    // %.1f HALF_UP: 2.25 → "2.3"
+    assert(r.getString(1) == "005-x-2.3")
+    assert(r.getLong(2) == 255L && r.getLong(3) == -42L)
+    assert(r.getLong(4) == 7L, "2024-01-07 is a Sunday → ISO 7")
+    assert(r.getLong(5) == 7L && r.getLong(6) == 10L)
+    assert(r.getLong(7) == 1704623865L)
+    assert(r.getString(8) == "999")
+    assert(r.getString(9) == "1.23 M")
+    assert(r.getString(10) == "-1.23 G")
+  }
+
+  test("JSON SQL surface: JSON_OBJECT / JSON_QUERY_ARRAY / TO_JSON_STRING / MV_TO_ARRAY") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT JSON_OBJECT('a', 'b'),
+                JSON_QUERY_ARRAY('{"xs": ["p", "q"]}', '$.xs'),
+                TO_JSON_STRING('{"a":  1}'),
+                to_json(TRY_PARSE_JSON('not json')),
+                MV_TO_ARRAY(array('x', 'y')), ARRAY_TO_MV(array('x'))""").head()
+    assert(r.getString(0) == """{"a":"b"}""")
+    assert(r.getSeq[String](1) == Seq("p", "q"))
+    assert(r.getString(2) == """{"a":1}""", "canonical re-serialization")
+    assert(r.isNullAt(3), "TRY_PARSE_JSON (Spark built-in) → null on garbage")
+    assert(r.getSeq[String](4) == Seq("x", "y"))
+  }
+
   test("SQL TIME_FLOOR / TIME_SHIFT raise on unsupported periods") {
     DruidFunctions.register(spark)
     val e1 = intercept[Exception] {

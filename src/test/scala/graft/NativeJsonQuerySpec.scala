@@ -423,6 +423,17 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("job_id", "status", "job_group"))
   }
 
+  test("sys_server_segments maps every segment onto each server") {
+    graft.operators.Metadata.registerSystemViews(spark, dir)
+    val ss = spark.table("sys_server_segments")
+    assert(ss.columns.toSeq == Seq("server", "segment_id", "datasource"))
+    val nSegments = spark.table("sys_segments").count()
+    val nServers = spark.table("sys_servers").count()
+    assert(ss.count() == nSegments * nServers,
+      "shared storage: assignment is the full cross of servers × segments")
+    assert(ss.where(col("datasource") === "lineitem").count() >= 1)
+  }
+
   test("sys_supervisors lists active streaming queries") {
     graft.operators.Metadata.registerSystemViews(spark, dir)
     assert(spark.table("sys_supervisors").columns.toSeq ==
