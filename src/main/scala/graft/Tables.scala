@@ -35,9 +35,21 @@ object Tables {
     }
   }
 
+  /** Latest-registered sf dir per session: registerAll is called defensively
+    * before every SQL-text query, and each call re-reads ten parquet footers
+    * on the driver — skip when the session's views already point at `dir`.
+    * (Weak keys: sessions must stay collectable.)
+    */
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every table as a temp view so `spark.sql` works against the set. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.get(spark) != dir) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
+    }
 
   /** Expose a table Druid-style: its event-time column renamed to `__time`.
     * Only `events` (ts) and the date-bearing TPC-H tables have event time.

@@ -385,11 +385,23 @@ object NativeJsonQuery {
       case None => granularityPeriod(q \ "granularity")
     }
     val origin = granularityOrigin(q \ "granularity")
+    // PeriodGranularity.timeZone (region ids like America/New_York or fixed
+    // offsets): bucket in the zone's WALL CLOCK — floor the local time (with
+    // the origin re-anchored to its local wall time), then map the local
+    // bucket start back to an instant, so DST-transition days come out
+    // 23h/25h with shifting UTC edges like the reference's Joda bucketing
+    val tz = str(q \ "granularity" \ "timeZone")
     val aggs = aggregations(q \ "aggregations")
     val base = flt.fold(df)(df.filter)
-    val bucket = period match {
-      case Some(p) => DruidFunctions.timeFloor(col(Tables.TimeColumn), p, origin).as("__bucket")
-      case None    => lit("all").as("__bucket") // granularity "all"
+    val bucket = (period, tz) match {
+      case (Some(p), Some(z)) =>
+        val localOrigin = if (origin == 0L) 0L else localWallMicros(origin, z)
+        to_utc_timestamp(DruidFunctions.timeFloor(
+          from_utc_timestamp(col(Tables.TimeColumn), z), p, localOrigin), z)
+          .as("__bucket")
+      case (Some(p), None) =>
+        DruidFunctions.timeFloor(col(Tables.TimeColumn), p, origin).as("__bucket")
+      case (None, _) => lit("all").as("__bucket") // granularity "all"
     }
     val agged = base.groupBy(bucket).agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("__bucket", "timestamp")
@@ -408,12 +420,18 @@ object NativeJsonQuery {
         // (Thursday) epoch itself. All other fixed periods are epoch-aligned.
         val gridOrigin = if (p == "P1W") -259200000000L else 0L
         // one bucket grid per query interval (rows in any interval must
-        // survive the left join; a single-interval grid would drop the rest)
-        val buckets = allIntervals.map { case (start, end) =>
+        // survive the left join; a single-interval grid would drop the rest).
+        // With a granularity timeZone the grid is generated in LOCAL wall
+        // micros (fixed wall-clock steps: local midnights are 24h apart in
+        // wall time even across DST) and each edge mapped back to an instant.
+        val buckets = allIntervals.map { case (start0, end0) =>
+          val (start, end) = tz.fold((start0, end0))(z =>
+            (localWallMicros(start0, z), localWallMicros(end0, z)))
           val floorStart = start - Math.floorMod(start - gridOrigin, micros)
           val numBuckets = (end - 1 - floorStart) / micros + 1
+          val localTs = timestamp_micros(col("id") * micros + lit(floorStart))
           spark.range(numBuckets)
-            .select(timestamp_micros(col("id") * micros + lit(floorStart))
+            .select(tz.fold(localTs)(z => to_utc_timestamp(localTs, z))
               .as("timestamp"))
         }.reduce(_.union(_)).distinct()
         val countCols = arr(q \ "aggregations")
@@ -1189,6 +1207,18 @@ object NativeJsonQuery {
       val inst = Instant.parse(o)
       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
     }).getOrElse(0L)
+
+  /** Epoch-micros of the WALL-CLOCK time the instant reads as in `zone`
+    * (LocalDateTime reinterpreted as UTC) — the coordinate system the
+    * granularity-timeZone bucketing floors in.
+    */
+  private def localWallMicros(instantMicros: Long, zone: String): Long = {
+    val ldt = java.time.Instant
+      .ofEpochSecond(Math.floorDiv(instantMicros, 1000000L),
+        Math.floorMod(instantMicros, 1000000L) * 1000L)
+      .atZone(java.time.ZoneId.of(zone)).toLocalDateTime
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
 
   // ------------------------------------------------------------ json utils ----
 

@@ -214,8 +214,15 @@ object DruidFunctions {
   /** Register reference-named functions for `spark.sql` text queries. SQL
     * temporary macros expand inline at parse time, so they stay fully inside
     * Catalyst optimization + whole-stage codegen (no UDF boundary).
+    *
+    * Idempotent and re-entry-cheap: each CREATE FUNCTION is a driver-side
+    * parse+analyze round, and queries call register() defensively — a
+    * per-session guard keeps the repeat cost at one conf read instead of
+    * ~75 SQL commands.
     */
   def register(spark: SparkSession): Unit = {
+    val Flag = "spark.graft.internal.fnsRegistered"
+    if (spark.conf.getOption(Flag).contains("true")) return
     catalystBuilders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
@@ -460,5 +467,6 @@ object DruidFunctions {
                         CAST(x DIV 256 % 256 AS STRING),
                         CAST(x % 256 AS STRING))""")
     fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
+    spark.conf.set(Flag, "true")
   }
 }

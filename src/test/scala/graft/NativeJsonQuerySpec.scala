@@ -92,6 +92,50 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(buckets.forall(b => Set("03", "09", "15", "21")(b.substring(11, 13))))
   }
 
+  test("period granularity with a region timeZone buckets in wall clock") {
+    // events are Jan 2024: America/New_York is EST (UTC-5) throughout, so
+    // every local day bucket must start at 05:00 UTC and zero-fill must
+    // produce one bucket per local day
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": {"type": "period", "period": "P1D",
+                       "timeZone": "America/New_York"},
+       "intervals": ["2024-01-02T05:00:00Z/2024-01-05T05:00:00Z"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    assert(rows.length == 3, s"3 NY days, got ${rows.length}")
+    assert(rows.forall(_.getTimestamp(0).toString.endsWith("05:00:00.0")),
+      "local midnight = 05:00Z under EST")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val expected = Tables.asDruid(spark, dir, "events")
+      .filter(col("__time") >= "2024-01-02 05:00:00" &&
+        col("__time") < "2024-01-05 05:00:00").count()
+    assert(total == expected && expected > 0)
+  }
+
+  test("timeZone bucketing is DST-correct across a spring-forward day") {
+    import spark.implicits._
+    // 2024-03-10 02:00 NY: EST→EDT. Build a tiny parquet datasource with one
+    // row either side of the transition plus one the day before.
+    val rows = Seq("2024-03-09 12:00:00", "2024-03-10 06:00:00",
+      "2024-03-10 12:00:00")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dst").toString
+    rows.toDF("s").select(col("s").cast("timestamp").as("__time"))
+      .write.mode("overwrite").parquet(s"$tmp/dst_rows.parquet")
+    val df = NativeJsonQuery.run(spark, tmp, """
+      {"queryType": "timeseries", "dataSource": "dst_rows",
+       "granularity": {"type": "period", "period": "P1D",
+                       "timeZone": "America/New_York"},
+       "aggregations": [{"type": "count", "name": "n"}],
+       "context": {"skipEmptyBuckets": true}}""")
+    val got = df.collect().map(r => r.getTimestamp(0).toString -> r.getAs[Long]("n"))
+    // Mar 9 bucket starts 05:00Z (EST); Mar 10 bucket also starts 05:00Z
+    // (midnight was still EST) and CONTAINS both 06:00Z (01:00 EST) and
+    // 12:00Z (08:00 EDT) rows; the bucket is 23h long
+    assert(got.toSeq == Seq("2024-03-09 05:00:00.0" -> 1L,
+      "2024-03-10 05:00:00.0" -> 2L))
+  }
+
   test("hyperUnique aggregator maps to HLL") {
     val r = NativeJsonQuery.run(spark, dir, """
       {"queryType": "timeseries", "dataSource": "events",
