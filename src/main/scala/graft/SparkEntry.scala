@@ -758,6 +758,26 @@ object SparkEntry {
                FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    "q_sql_api_params" -> ((s, dir) => {
+      // SQL-over-HTTP payload (reference POST /druid/v2/sql, SqlQuery.java):
+      // typed positional ? parameters bound JDBC-style outside quoted regions
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS rev FROM orders WHERE o_orderstatus = ? AND o_totalprice > ? GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "parameters": [{"type": "VARCHAR", "value": "F"},
+                       {"type": "DOUBLE", "value": 50000.0}],
+        "context": {"sqlQueryId": "gate-params"}
+      }""")
+    }),
+
+    "q_sql_api_unnest" -> ((s, dir) => {
+      // the reference's correlated-unnest SQL surface (CROSS JOIN UNNEST,
+      // DruidCorrelateUnnestRel) through the SQL API's dialect translation
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS t (w) WHERE lang = ? AND w <> '' GROUP BY w HAVING count(*) > 3 ORDER BY n DESC, word LIMIT 20",
+        "parameters": [{"type": "VARCHAR", "value": "en"}]
+      }""")
+    }),
+
     "q_sql_mv_funcs" -> ((s, dir) => {
       // MV_* / ARRAY_* SQL surface (reference
       // MultiValueStringOperatorConversions.java): offsets 0-based,
@@ -2377,6 +2397,18 @@ object SparkEntry {
                 min_by(o_orderstatus, o_orderkey) AS first_status,
                 max_by(o_totalprice, o_orderkey) AS last_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sql_api_params" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(o_totalprice) AS DOUBLE) AS rev
+         FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sql_api_unnest" ->
+      """SELECT w AS word, count(*) AS n
+         FROM documents, unnest(string_split(text, ' ')) AS t(w)
+         WHERE lang = 'en' AND w <> ''
+         GROUP BY w HAVING count(*) > 3 ORDER BY n DESC, word LIMIT 20""",
 
     "q_sql_mv_funcs" ->
       """SELECT p_partkey,

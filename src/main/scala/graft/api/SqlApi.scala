@@ -1,0 +1,509 @@
+package graft.api
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.DruidFunctions
+
+/** SQL-over-HTTP facade — the reference's primary user-facing API
+  * (`POST /druid/v2/sql`; payload shape `sql/src/main/java/org/apache/druid/
+  * sql/http/SqlQuery.java`, resource `SqlResource.java:74-75`). Accepts the
+  * same JSON payload a reference client sends:
+  *
+  * {{{
+  * {"query":        "SELECT ... WHERE x = ? AND t > ?",
+  *  "parameters":   [{"type": "VARCHAR", "value": "a"},
+  *                   {"type": "TIMESTAMP", "value": "2001-01-01 00:00:00"}],
+  *  "context":      {"sqlQueryId": "id", "timeout": 5000},
+  *  "resultFormat": "object" | "array" | "objectLines" | "arrayLines" | "csv",
+  *  "header":       true, "typesHeader": true, "sqlTypesHeader": true}
+  * }}}
+  *
+  * Positional `?` parameters are bound with typed SQL literals (reference
+  * `SqlParameter.java` / Calcite dynamic params), `EXPLAIN PLAN FOR` returns
+  * the (PLAN, RESOURCES, ATTRIBUTES) row of the reference's explain handler
+  * (`sql/.../planner/QueryHandler.java` planExplanation), and the reference's
+  * `CROSS JOIN UNNEST(expr) AS alias (col)` SQL surface
+  * (`sql/.../rel/DruidCorrelateUnnestRel.java`) is translated to Spark's
+  * LATERAL VIEW explode. Everything else is plain Spark SQL — the engine's
+  * SQL dialect is a superset, so reference queries run unchanged.
+  */
+object SqlApi {
+
+  /** Compile the payload's SQL (parameters bound, UNNEST translated) to a
+    * DataFrame. EXPLAIN PLAN FOR payloads produce the one-row explain result.
+    */
+  def run(spark: SparkSession, dir: String, payload: String): DataFrame = {
+    val j = JsonMethods.parse(payload)
+    Tables.registerAll(spark, dir)
+    DruidFunctions.register(spark)
+    val sqlText = sql(j)
+    explainTarget(sqlText) match {
+      case Some(inner) => explainPlan(spark, inner)
+      case None        => spark.sql(sqlText)
+    }
+  }
+
+  /** Run the payload and render the HTTP response body per `resultFormat` +
+    * header flags, honoring context.timeout and context.sqlQueryId
+    * cancellation (reference `SqlResource` + `SqlLifecycle`).
+    */
+  def execute(spark: SparkSession, dir: String, payload: String): String = {
+    val j = JsonMethods.parse(payload)
+    val df = run(spark, dir, payload)
+    val queryId = str(j \ "context" \ "sqlQueryId")
+    val group = queryId.getOrElse("graft-sql") + "#" + java.util.UUID.randomUUID()
+    queryId.foreach(activeGroups.put(_, group))
+    val timeoutMs = j \ "context" \ "timeout" match {
+      case JInt(ms)  => Some(ms.toLong)
+      case JLong(ms) => Some(ms)
+      case _         => None
+    }
+    spark.sparkContext.setJobGroup(group, s"graft sql $group",
+      interruptOnCancel = true)
+    val rows =
+      try timeoutMs match {
+        case Some(ms) =>
+          val timer = new java.util.Timer("graft-sql-timeout", true)
+          timer.schedule(new java.util.TimerTask {
+            override def run(): Unit =
+              spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+          }, ms)
+          try df.collect() finally timer.cancel()
+        case None => df.collect()
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        queryId.foreach(activeGroups.remove(_, group))
+      }
+    format(rows, df.schema, j)
+  }
+
+  /** DELETE /druid/v2/sql/{sqlQueryId} analog. */
+  def cancel(spark: SparkSession, sqlQueryId: String): Unit =
+    Option(activeGroups.get(sqlQueryId))
+      .foreach(spark.sparkContext.cancelJobGroupAndFutureJobs)
+
+  private val activeGroups =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bound + UNNEST-translated SQL text of a payload. */
+  private[graft] def sql(j: JValue): String = {
+    val raw = str(j \ "query").getOrElse(
+      throw new IllegalArgumentException("payload requires a query field"))
+    val params = j \ "parameters" match {
+      case JArray(xs) => xs; case _ => Nil
+    }
+    rewriteUnnest(bind(raw, params))
+  }
+
+  // ---------------------------------------------------------------- binding
+
+  /** Substitute positional `?` placeholders with typed SQL literals.
+    * Placeholders inside 'string literals', "quoted identifiers" and
+    * -- line comments are left alone, matching JDBC semantics.
+    */
+  private[graft] def bind(sqlText: String, params: List[JValue]): String = {
+    if (params.isEmpty && !sqlText.contains("?")) return sqlText
+    // java.lang.StringBuilder: the scala one lacks append(CharSequence,int,int)
+    // and would silently auto-tuple the 3-arg calls below
+    val out = new java.lang.StringBuilder(sqlText.length + 64)
+    var i = 0
+    var p = 0
+    val n = sqlText.length
+    while (i < n) {
+      sqlText.charAt(i) match {
+        case '\'' =>
+          val end = copyQuoted(sqlText, i, '\'', out); i = end
+        case '"' =>
+          val end = copyQuoted(sqlText, i, '"', out); i = end
+        case '-' if i + 1 < n && sqlText.charAt(i + 1) == '-' =>
+          val nl = sqlText.indexOf('\n', i)
+          val end = if (nl < 0) n else nl + 1
+          out.append(sqlText, i, end); i = end
+        case '?' =>
+          if (p >= params.length)
+            throw new IllegalArgumentException(
+              s"SQL has more ? placeholders than parameters (${params.length})")
+          out.append(literal(params(p))); p += 1; i += 1
+        case c =>
+          out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Copy a quoted region (with doubled-quote escapes) verbatim; returns the
+    * index just past the closing quote.
+    */
+  private def copyQuoted(s: String, start: Int, q: Char,
+                         out: java.lang.StringBuilder): Int = {
+    var i = start + 1
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) == q) {
+        if (i + 1 < n && s.charAt(i + 1) == q) i += 2 // escaped quote
+        else { i += 1; out.append(s, start, i); return i }
+      } else i += 1
+    }
+    out.append(s, start, n)
+    n
+  }
+
+  /** Typed SQL literal for one reference `SqlParameter` ({"type","value"}). */
+  private def literal(p: JValue): String = {
+    val v = p \ "value"
+    if (v == JNull || v == JNothing) return "NULL"
+    val t = str(p \ "type").getOrElse("OTHER").toUpperCase
+    t match {
+      case "VARCHAR" | "CHAR" => quote(asString(v))
+      case "BIGINT" | "INTEGER" | "SMALLINT" | "TINYINT" =>
+        v match {
+          case JInt(x) => x.toString; case JLong(x) => x.toString
+          case JDouble(x) => x.toLong.toString
+          case JDecimal(x) => x.toLong.toString
+          case JString(s) => s.trim.toLong.toString
+          case _ => err(t, v)
+        }
+      case "DOUBLE" | "FLOAT" | "REAL" | "DECIMAL" =>
+        val d = v match {
+          case JInt(x) => BigDecimal(x); case JLong(x) => BigDecimal(x)
+          case JDouble(x) => BigDecimal(x); case JDecimal(x) => x
+          case JString(s) => BigDecimal(s.trim)
+          case _ => err(t, v)
+        }
+        s"CAST($d AS DOUBLE)"
+      case "BOOLEAN" =>
+        v match {
+          case JBool(b) => if (b) "TRUE" else "FALSE"
+          case JString(s) => if (s.trim.toBoolean) "TRUE" else "FALSE"
+          case _ => err(t, v)
+        }
+      case "TIMESTAMP" =>
+        v match {
+          // reference accepts epoch millis or a date-time string
+          case JInt(ms)  => s"timestamp_millis($ms)"
+          case JLong(ms) => s"timestamp_millis($ms)"
+          case JString(s) =>
+            val norm = s.trim.replace("T", " ").stripSuffix("Z")
+            s"CAST(${quote(norm)} AS TIMESTAMP)"
+          case _ => err(t, v)
+        }
+      case "DATE" =>
+        v match {
+          case JString(s) => s"DATE ${quote(s.trim)}"
+          case JInt(d)    => s"date_from_unix_date($d)" // days since epoch
+          case JLong(d)   => s"date_from_unix_date($d)"
+          case _          => err(t, v)
+        }
+      case "ARRAY" =>
+        v match {
+          case JArray(xs) =>
+            xs.map {
+              case JString(s) => quote(s)
+              case JInt(x) => x.toString; case JLong(x) => x.toString
+              case JDouble(x) => x.toString; case JDecimal(x) => x.toString
+              case JBool(b) => if (b) "TRUE" else "FALSE"
+              case JNull => "NULL"
+              case other => err(t, other)
+            }.mkString("array(", ", ", ")")
+          case _ => err(t, v)
+        }
+      case _ => // OTHER: infer from the JSON value
+        v match {
+          case JString(s) => quote(s)
+          case JInt(x) => x.toString; case JLong(x) => x.toString
+          case JDouble(x) => x.toString; case JDecimal(x) => x.toString
+          case JBool(b) => if (b) "TRUE" else "FALSE"
+          case other => err(t, other)
+        }
+    }
+  }
+
+  private def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def asString(v: JValue): String = v match {
+    case JString(s) => s; case JInt(x) => x.toString; case JLong(x) => x.toString
+    case JDouble(x) => x.toString; case JDecimal(x) => x.toString
+    case JBool(b) => b.toString; case _ => err("VARCHAR", v)
+  }
+  private def err(t: String, v: JValue): Nothing =
+    throw new IllegalArgumentException(
+      s"cannot bind ${JsonMethods.compact(JsonMethods.render(v))} as $t")
+
+  // ----------------------------------------------------------------- unnest
+
+  /** Translate the reference's correlated-unnest SQL surface
+    * `[CROSS JOIN | ,] UNNEST(expr) AS alias (col)` into Spark's
+    * `LATERAL VIEW explode(expr) alias AS col`. Quoted regions are skipped;
+    * the expression keeps balanced parentheses.
+    */
+  private[graft] def rewriteUnnest(sqlText: String): String = {
+    val upper = sqlText.toUpperCase
+    val idx = findUnnest(sqlText, upper)
+    if (idx < 0) return sqlText
+    val (start, exprStart) = {
+      // start of the region to replace (either the CROSS of CROSS JOIN
+      // UNNEST, the comma of ", UNNEST", or UNNEST itself)
+      val u = idx
+      val before = sqlText.substring(0, u)
+      val trimmed = before.reverse.dropWhile(_.isWhitespace).reverse
+      if (trimmed.toUpperCase.endsWith("CROSS JOIN"))
+        (trimmed.length - "CROSS JOIN".length, u)
+      else if (trimmed.endsWith(","))
+        (trimmed.length - 1, u)
+      else (u, u)
+    }
+    val open = sqlText.indexOf('(', exprStart)
+    require(open > 0, "UNNEST must be followed by (expr)")
+    val close = matchParen(sqlText, open)
+    val expr = sqlText.substring(open + 1, close)
+    // optional: AS alias (col)  /  AS alias(col)  /  alias (col)
+    val AliasRe =
+      """(?is)^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    val rest = sqlText.substring(close + 1)
+    val (alias, colName, restAfter) = AliasRe.findFirstMatchIn(rest) match {
+      case Some(m) => (m.group(1), m.group(2), rest.substring(m.end))
+      case None    => ("unnested", "col", rest)
+    }
+    val replaced = sqlText.substring(0, start) +
+      s" LATERAL VIEW explode($expr) $alias AS $colName" + restAfter
+    rewriteUnnest(replaced) // handle multiple UNNESTs
+  }
+
+  /** Index of the next top-level UNNEST keyword outside quotes, -1 if none. */
+  private def findUnnest(s: String, upper: String): Int = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' => i = skipQuoted(s, i, '\'')
+        case '"'  => i = skipQuoted(s, i, '"')
+        case 'u' | 'U'
+            if upper.startsWith("UNNEST", i) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + 6 >= n || !Character.isLetterOrDigit(s.charAt(i + 6))) =>
+          return i
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  private def skipQuoted(s: String, start: Int, q: Char): Int = {
+    var i = start + 1
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) == q) {
+        if (i + 1 < n && s.charAt(i + 1) == q) i += 2 else return i + 1
+      } else i += 1
+    }
+    n
+  }
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' => i = skipQuoted(s, i, '\'') - 1
+        case '"'  => i = skipQuoted(s, i, '"') - 1
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth == 0) return i
+        case _    =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses after UNNEST")
+  }
+
+  // ---------------------------------------------------------------- explain
+
+  private def explainTarget(sqlText: String): Option[String] = {
+    val Re = """(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)$""".r
+    sqlText match { case Re(inner) => Some(inner); case _ => None }
+  }
+
+  /** The reference's EXPLAIN PLAN FOR result row: (PLAN, RESOURCES,
+    * ATTRIBUTES) — `sql/.../planner/QueryHandler.java` planExplanation /
+    * `processing/.../query/explain/ExplainPlan.java`. PLAN carries the
+    * engine's plan as JSON (here: the optimized Catalyst plan plus the
+    * result signature), RESOURCES the datasources read, ATTRIBUTES the
+    * statement type.
+    */
+  private def explainPlan(spark: SparkSession, innerSql: String): DataFrame = {
+    val df = spark.sql(innerSql)
+    val signature = JArray(df.schema.fields.map(f =>
+      JObject("name" -> JString(f.name),
+        "type" -> JString(druidType(f.dataType)))).toList)
+    val plan = JArray(List(JObject(
+      "query" -> JObject(
+        "queryType" -> JString("sparkPlan"),
+        "plan" -> JString(df.queryExecution.optimizedPlan.toString)),
+      "signature" -> signature)))
+    // datasources from the *parsed* plan: analyzed plans inline temp views,
+    // losing the original relation names
+    val parsed = spark.sessionState.sqlParser.parsePlan(innerSql)
+    val tables = parsed.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    }.distinct.sorted
+    val resources = JArray(tables.map(t =>
+      JObject("name" -> JString(t), "type" -> JString("DATASOURCE"))).toList)
+    val attributes = JObject("statementType" -> JString("SELECT"))
+    import spark.implicits._
+    Seq((compact(plan), compact(resources), compact(attributes)))
+      .toDF("PLAN", "RESOURCES", "ATTRIBUTES")
+  }
+
+  // --------------------------------------------------------------- results
+
+  private val TsFmt = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
+
+  /** Render collected rows per resultFormat/header flags (reference
+    * `sql/http/ResultFormat.java`: object, array, objectLines, arrayLines,
+    * csv; header/typesHeader/sqlTypesHeader rows).
+    */
+  private[graft] def format(rows: Array[Row], schema: StructType,
+                          j: JValue): String = {
+    val fmt = str(j \ "resultFormat").getOrElse("object")
+    val header = bool(j \ "header").getOrElse(false)
+    val typesHeader = bool(j \ "typesHeader").getOrElse(false)
+    val sqlTypesHeader = bool(j \ "sqlTypesHeader").getOrElse(false)
+    val names = schema.fields.map(_.name)
+    val dTypes = schema.fields.map(f => druidType(f.dataType))
+    val sTypes = schema.fields.map(f => sqlTypeName(f.dataType))
+
+    def cell(v: Any): JValue = v match {
+      case null => JNull
+      case t: java.sql.Timestamp =>
+        JString(TsFmt.format(Instant.ofEpochMilli(t.getTime)))
+      case t: java.time.Instant => JString(TsFmt.format(t))
+      case d: java.sql.Date => JString(d.toString)
+      case d: java.time.LocalDate => JString(d.toString)
+      case s: String => JString(s)
+      case b: Boolean => JBool(b)
+      case x: Long => JLong(x)
+      case x: Int => JLong(x.toLong)
+      case x: Short => JLong(x.toLong)
+      case x: Byte => JLong(x.toLong)
+      case x: Double => if (x.isNaN || x.isInfinite) JString(x.toString) else JDouble(x)
+      case x: Float =>
+        val d = x.toDouble
+        if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
+      case x: java.math.BigDecimal => JDecimal(BigDecimal(x))
+      case xs: scala.collection.Seq[_] => JArray(xs.map(cell).toList)
+      case r: Row => JArray(r.toSeq.map(cell).toList)
+      case m: scala.collection.Map[_, _] =>
+        JObject(m.map { case (k, v2) => String.valueOf(k) -> cell(v2) }.toList)
+      case bytes: Array[Byte] =>
+        JString(java.util.Base64.getEncoder.encodeToString(bytes))
+      case other => JString(other.toString)
+    }
+
+    def objRow(r: Row): JValue =
+      JObject(names.zipWithIndex.map { case (nm, i) => nm -> cell(r.get(i)) }.toList)
+    def arrRow(r: Row): JValue = JArray(r.toSeq.map(cell).toList)
+
+    // header rows for array-shaped formats (reference emits the column-name
+    // row, then optional type rows)
+    val arrHeaders: List[JValue] = {
+      var hs = List.empty[JValue]
+      if (header) {
+        hs :+= JArray(names.map(JString(_)).toList)
+        if (typesHeader) hs :+= JArray(dTypes.map(JString(_)).toList)
+        if (sqlTypesHeader) hs :+= JArray(sTypes.map(JString(_)).toList)
+      }
+      hs
+    }
+    // object-shaped formats get one header object: name -> {type/sqlType}
+    // (reference ObjectWriter writes nulls when no type headers requested)
+    val objHeader: List[JValue] =
+      if (!header) Nil
+      else List(JObject(names.zipWithIndex.map { case (nm, i) =>
+        nm -> (if (!typesHeader && !sqlTypesHeader) JNull
+               else JObject(
+                 (if (typesHeader) List("type" -> JString(dTypes(i))) else Nil) ++
+                 (if (sqlTypesHeader) List("sqlType" -> JString(sTypes(i))) else Nil)))
+      }.toList))
+
+    fmt match {
+      case "object" =>
+        compact(JArray(objHeader ++ rows.map(objRow).toList))
+      case "array" =>
+        compact(JArray(arrHeaders ++ rows.map(arrRow).toList))
+      case "objectLines" =>
+        (objHeader ++ rows.map(objRow).toList).map(compact).mkString("", "\n", "\n")
+      case "arrayLines" =>
+        (arrHeaders ++ rows.map(arrRow).toList).map(compact).mkString("", "\n", "\n")
+      case "csv" =>
+        def csvCell(v: JValue): String = v match {
+          case JNull => ""
+          case JString(s) =>
+            if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+              "\"" + s.replace("\"", "\"\"") + "\""
+            else s
+          case other => compact(other)
+        }
+        def csvRow(vs: List[JValue]): String = vs.map(csvCell).mkString(",")
+        val headerLines =
+          if (!header) Nil
+          else List(csvRow(names.map(JString(_)).toList)) ++
+            (if (typesHeader) List(csvRow(dTypes.map(JString(_)).toList)) else Nil) ++
+            (if (sqlTypesHeader) List(csvRow(sTypes.map(JString(_)).toList)) else Nil)
+        (headerLines ++ rows.map(r => csvRow(r.toSeq.map(cell).toList)).toList)
+          .mkString("", "\n", "\n")
+      case other =>
+        throw new IllegalArgumentException(s"unknown resultFormat $other")
+    }
+  }
+
+  private def compact(j: JValue): String = JsonMethods.compact(JsonMethods.render(j))
+
+  /** Spark type → reference column type name (`segment/column/ColumnType.
+    * java:49-110`).
+    */
+  private def druidType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType |
+        TimestampType | DateType => "LONG"
+    case DoubleType | _: DecimalType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case StringType => "STRING"
+    case ArrayType(e, _) => s"ARRAY<${druidType(e)}>"
+    case BinaryType => "COMPLEX"
+    case _: StructType | _: MapType | VariantType => "COMPLEX<json>"
+    case _ => "COMPLEX"
+  }
+
+  /** Spark type → SQL type name (reference sqlTypesHeader row). */
+  private def sqlTypeName(dt: DataType): String = dt match {
+    // all integral widths surface as BIGINT — the reference's only integer
+    // SQL type (its LONG column type)
+    case LongType | IntegerType | ShortType | ByteType => "BIGINT"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case DoubleType => "DOUBLE"
+    case _: DecimalType => "DECIMAL"
+    case FloatType => "FLOAT"
+    case StringType => "VARCHAR"
+    case ArrayType(_, _) => "ARRAY"
+    case BinaryType => "VARBINARY"
+    case _ => "OTHER"
+  }
+
+  private def str(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s); case _ => None
+  }
+  private def bool(j: JValue): Option[Boolean] = j match {
+    case JBool(b) => Some(b); case _ => None
+  }
+}

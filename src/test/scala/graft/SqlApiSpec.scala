@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SqlApi
+
+/** SQL-over-HTTP facade (reference POST /druid/v2/sql payload shape):
+  * parameter binding, UNNEST translation, result formats, EXPLAIN PLAN FOR.
+  */
+class SqlApiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def bind(sql: String, params: String): String =
+    SqlApi.bind(sql, JsonMethods.parse(params).asInstanceOf[JArray].arr)
+
+  test("typed parameter binding") {
+    val s = bind(
+      "SELECT * FROM t WHERE a = ? AND b > ? AND c = ? AND d >= ? AND e = ?",
+      """[{"type": "VARCHAR", "value": "x'y"},
+         {"type": "DOUBLE", "value": 1.5},
+         {"type": "BIGINT", "value": 42},
+         {"type": "TIMESTAMP", "value": "2001-01-01T00:00:00Z"},
+         {"type": "BOOLEAN", "value": true}]""")
+    assert(s.contains("a = 'x''y'"))
+    assert(s.contains("b > CAST(1.5 AS DOUBLE)"))
+    assert(s.contains("c = 42"))
+    assert(s.contains("d >= CAST('2001-01-01 00:00:00' AS TIMESTAMP)"))
+    assert(s.contains("e = TRUE"))
+  }
+
+  test("placeholders inside literals, identifiers and comments survive") {
+    val s = bind(
+      "SELECT '?' AS q, \"a?b\" FROM t -- is this ? ignored\nWHERE x = ?",
+      """[{"type": "BIGINT", "value": 7}]""")
+    assert(s.contains("'?' AS q"))
+    assert(s.contains("\"a?b\""))
+    assert(s.contains("-- is this ? ignored"))
+    assert(s.contains("x = 7"))
+  }
+
+  test("null parameter binds as NULL; millis timestamp; array parameter") {
+    val s = bind("a = ? AND t = ? AND arr = ?",
+      """[{"type": "VARCHAR", "value": null},
+         {"type": "TIMESTAMP", "value": 978307200000},
+         {"type": "ARRAY", "value": ["a", "b"]}]""")
+    assert(s.contains("a = NULL"))
+    assert(s.contains("t = timestamp_millis(978307200000)"))
+    assert(s.contains("arr = array('a', 'b')"))
+  }
+
+  test("too few parameters fails loudly") {
+    intercept[IllegalArgumentException] {
+      bind("x = ? AND y = ?", """[{"type": "BIGINT", "value": 1}]""")
+    }
+  }
+
+  test("UNNEST rewrite: CROSS JOIN form") {
+    val s = SqlApi.rewriteUnnest(
+      "SELECT w FROM nation CROSS JOIN UNNEST(split(n_comment, ' ')) AS t (w)")
+    assert(s.contains("LATERAL VIEW explode(split(n_comment, ' ')) t AS w"))
+    assert(!s.toUpperCase.contains("UNNEST"))
+  }
+
+  test("UNNEST rewrite: comma form and nested parens") {
+    val s = SqlApi.rewriteUnnest(
+      "SELECT x FROM t, UNNEST(filter(a, v -> v > (1+2))) AS u(x) WHERE x > 0")
+    assert(s.contains("LATERAL VIEW explode(filter(a, v -> v > (1+2))) u AS x"))
+  }
+
+  test("UNNEST inside a string literal is untouched") {
+    val s = SqlApi.rewriteUnnest("SELECT 'UNNEST(x)' FROM t")
+    assert(s == "SELECT 'UNNEST(x)' FROM t")
+  }
+
+  test("end-to-end: parameters + UNNEST against testdata") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val payload = """{
+      "query": "SELECT w, count(*) AS n FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS t (w) WHERE lang = ? AND w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 5",
+      "parameters": [{"type": "VARCHAR", "value": "en"}]
+    }"""
+    val rows = SqlApi.run(spark, dir, payload).collect()
+    assert(rows.length == 5)
+    assert(rows.head.getLong(1) >= rows.last.getLong(1))
+  }
+
+  test("result formats: csv with headers") {
+    val payload = """{
+      "query": "SELECT n_name, n_nationkey FROM nation WHERE n_nationkey < 2 ORDER BY n_nationkey",
+      "resultFormat": "csv", "header": true, "typesHeader": true, "sqlTypesHeader": true
+    }"""
+    val out = SqlApi.execute(spark, dir, payload)
+    val lines = out.split("\n")
+    assert(lines(0) == "n_name,n_nationkey")
+    assert(lines(1) == "STRING,LONG")
+    assert(lines(2) == "VARCHAR,BIGINT")
+    assert(lines.length == 5) // 3 headers + 2 rows
+  }
+
+  test("result formats: object and objectLines round-trip JSON") {
+    val payload = """{
+      "query": "SELECT n_name AS name, n_nationkey AS k FROM nation WHERE n_nationkey = 0"
+    }"""
+    val obj = SqlApi.execute(spark, dir, payload)
+    val parsed = JsonMethods.parse(obj)
+    assert((parsed(0) \ "k") == JLong(0) || (parsed(0) \ "k") == JInt(0))
+
+    val lines = SqlApi.execute(spark, dir,
+      payload.replace("\"query\"", "\"resultFormat\": \"objectLines\", \"query\""))
+    assert(lines.endsWith("\n"))
+    assert((JsonMethods.parse(lines.trim) \ "name") != JNothing)
+  }
+
+  test("array format with header row") {
+    val payload = """{
+      "query": "SELECT n_nationkey FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey",
+      "resultFormat": "array", "header": true
+    }"""
+    val parsed = JsonMethods.parse(SqlApi.execute(spark, dir, payload))
+    val JArray(rows) = parsed
+    assert(rows.head == JArray(List(JString("n_nationkey"))))
+    assert(rows.length == 4)
+  }
+
+  test("timestamps serialize ISO-8601 with millis like the reference") {
+    val payload = """{
+      "query": "SELECT TIMESTAMP '2001-02-03 04:05:06' AS t",
+      "resultFormat": "array"
+    }"""
+    val out = SqlApi.execute(spark, dir, payload)
+    assert(out.contains("2001-02-03T04:05:06.000Z"))
+  }
+
+  test("EXPLAIN PLAN FOR returns PLAN/RESOURCES/ATTRIBUTES") {
+    val payload = """{
+      "query": "EXPLAIN PLAN FOR SELECT o_orderpriority, count(*) FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY o_orderpriority"
+    }"""
+    val df = SqlApi.run(spark, dir, payload)
+    assert(df.columns.toSeq == Seq("PLAN", "RESOURCES", "ATTRIBUTES"))
+    val r = df.head()
+    val resources = JsonMethods.parse(r.getString(1))
+    val names = (resources \\ "name").children.collect { case JString(s) => s }
+    assert(names.toSet == Set("customer", "orders"))
+    assert(r.getString(2).contains("SELECT"))
+    val plan = JsonMethods.parse(r.getString(0))
+    assert((plan(0) \ "signature")(0) \ "name" == JString("o_orderpriority"))
+  }
+
+  test("context timeout cancels a long-running query") {
+    val payload = """{
+      "query": "SELECT count(*) FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c",
+      "context": {"timeout": 400, "sqlQueryId": "slow-sql"}
+    }"""
+    val ex = intercept[Exception] { SqlApi.execute(spark, dir, payload) }
+    val msg = String.valueOf(ex.getMessage) + String.valueOf(ex.getCause)
+    assert(msg.toLowerCase.contains("cancel") || ex.isInstanceOf[org.apache.spark.SparkException])
+  }
+}
