@@ -1175,6 +1175,26 @@ object SparkEntry {
     }),
 
     // ---------------------------- ingestion: partitioned segment sink (§2.1)
+    "q_sql_replace" -> ((s, dir) => {
+      // REPLACE INTO … OVERWRITE WHERE (reference DruidSqlReplace + MSQ
+      // replace-time-chunks): ingest events, replace days [01-02, 01-04)
+      // with doubled values, read back — interval days swapped atomically,
+      // outside days untouched
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_replace_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = t(s, dir)("events")
+      graft.operators.Ingest.writeSegments(ev, out, "ts", clusterBy = Seq("user_id"))
+      val repl = ev
+        .filter(to_date(col("ts")) >= "2024-01-02" && to_date(col("ts")) < "2024-01-04")
+        .withColumn("value", col("value") * 2)
+      graft.operators.Ingest.replaceWhere(repl, out, "ts", "2024-01-02", "2024-01-04")
+      s.read.parquet(out)
+        .filter(col("__day") >= lit("2024-01-01") && col("__day") <= lit("2024-01-05"))
+        .groupBy(col("__day").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     "q_ingest_roundtrip" -> ((s, dir) => {
       // the reference's batch ingest contract: write time-partitioned
       // columnar "segments" (parquet partitioned by day bucket), read back
@@ -2901,6 +2921,15 @@ object SparkEntry {
                   FILTER (WHERE nullif(o_orderstatus, 'P') IS NULL), 2)
                   AS null_total
          FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    "q_sql_replace" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+                round(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-02'
+                                AND CAST(ts AS DATE) < DATE '2024-01-04'
+                               THEN value * 2 ELSE value END), 3) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-05'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_ingest_roundtrip" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,

@@ -39,6 +39,76 @@ object Ingest {
       .agg(metrics.head._2.as(metrics.head._1),
         metrics.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** REPLACE INTO … OVERWRITE ALL (reference SQL REPLACE,
+    * `sql/.../parser/DruidSqlReplace.java`): the whole datasource is
+    * atomically superseded by the query result.
+    */
+  def replaceAll(df: DataFrame, path: String, timeCol: String,
+                 clusterBy: Seq[String] = Nil): Unit =
+    writeSegments(df, path, timeCol, clusterBy)
+
+  /** REPLACE INTO … OVERWRITE WHERE &lt;time interval&gt; (reference MSQ
+    * REPLACE into time chunks, `DruidSqlReplace.java` +
+    * `multi-stage-query/.../indexing/destination/DataSourceMSQDestination`
+    * replaceTimeChunks): existing day segments inside [start, end) are
+    * dropped and replaced by the query result; data outside the interval is
+    * untouched. Matching the reference's contract:
+    *   - the interval must align to the PARTITIONED BY granularity (day
+    *     here) — misaligned bounds are rejected up front;
+    *   - result rows outside the interval abort the ingest (the reference's
+    *     InsertTimeOutOfBoundsFault), enforced per-row in-flight via
+    *     assert_true — no extra validation pass over the data;
+    *   - interval days that receive no new rows end up empty (dropped), not
+    *     left with stale data — dynamic partition overwrite only rewrites
+    *     days present in the result, so stale uncovered days are removed by
+    *     comparing the bounded per-day file listing before and after.
+    */
+  def replaceWhere(df: DataFrame, path: String, timeCol: String,
+                   startDay: String, endDay: String,
+                   clusterBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val start = java.time.LocalDate.parse(startDay)
+    val end = java.time.LocalDate.parse(endDay)
+    require(start.isBefore(end), s"empty interval [$startDay, $endDay)")
+    val days = start.toEpochDay.until(end.toEpochDay)
+      .map(java.time.LocalDate.ofEpochDay).map(_.toString)
+    require(days.size <= 100000, "interval too wide for per-day replace")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dayDir(d: String) = new org.apache.hadoop.fs.Path(path, s"__day=$d")
+    def files(d: String): Set[String] = {
+      val p = dayDir(d)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    val before = days.map(d => d -> files(d)).toMap
+
+    // reference InsertTimeOutOfBoundsFault: rows outside the OVERWRITE
+    // WHERE interval abort the write. The assert is folded into the kept
+    // partition column (assert_true yields NULL on success) so column
+    // pruning cannot drop the per-row check
+    val day = to_date(col(timeCol))
+    val inBounds =
+      day >= lit(startDay).cast("date") && day < lit(endDay).cast("date")
+    val bounded = df.withColumn("__day",
+      when(assert_true(inBounds, lit(
+        s"REPLACE row outside OVERWRITE WHERE interval [$startDay, $endDay)"))
+        .isNull, day))
+    bounded.repartition(col("__day"))
+      .sortWithinPartitions(("__day" +: clusterBy).map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__day").parquet(path)
+
+    // drop interval days the result did not cover (dynamic overwrite leaves
+    // them untouched; the reference drops the whole replaced time chunk)
+    days.foreach { d =>
+      val now = files(d)
+      if (now.nonEmpty && now == before(d)) fs.delete(dayDir(d), true)
+    }
+  }
+
   /** Auto-compaction: rewrite a (possibly many-small-files) table into
     * ~targetRowsPerFile files per partition — the reference coordinator's
     * CompactSegments duty as a batch job.

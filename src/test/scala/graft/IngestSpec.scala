@@ -114,4 +114,40 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(1).getLong(1) == 2L && rows(1).getDouble(2) == 3.5)
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
+
+  test("replaceWhere swaps interval days, drops uncovered days, keeps the rest") {
+    val out = Files.createTempDirectory("graft_repl").toString
+    val ev = Tables.load(spark, dir, "events")
+    Ingest.writeSegments(ev, out, "ts", clusterBy = Seq("user_id"))
+    val beforeOutside = spark.read.parquet(out)
+      .filter(col("__day") === "2024-01-10").count()
+
+    // replacement covers only 01-05; 01-06 is inside the interval but gets
+    // no rows → its old data must be dropped, not left stale
+    val repl = ev.filter(to_date(col("ts")) === "2024-01-05")
+      .withColumn("value", col("value") * 2)
+    Ingest.replaceWhere(repl, out, "ts", "2024-01-05", "2024-01-07")
+
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("__day") === "2024-01-06").count() == 0)
+    assert(back.filter(col("__day") === "2024-01-10").count() == beforeOutside)
+    val origSum = ev.filter(to_date(col("ts")) === "2024-01-05")
+      .agg(sum("value")).head.getDouble(0)
+    val newSum = back.filter(col("__day") === "2024-01-05")
+      .agg(sum("value")).head.getDouble(0)
+    assert(math.abs(newSum - 2 * origSum) < 1e-6)
+  }
+
+  test("replaceWhere rejects rows outside the OVERWRITE WHERE interval") {
+    val out = Files.createTempDirectory("graft_repl_oob").toString
+    val ev = Tables.load(spark, dir, "events")
+    Ingest.writeSegments(ev.filter(to_date(col("ts")) < "2024-01-08"), out, "ts", Nil)
+    val oob = ev.filter(to_date(col("ts")) === "2024-01-10")
+    val ex = intercept[Exception] {
+      Ingest.replaceWhere(oob, out, "ts", "2024-01-05", "2024-01-07")
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + chain(t.getCause)
+    assert(chain(ex).contains("outside OVERWRITE WHERE"))
+  }
 }
