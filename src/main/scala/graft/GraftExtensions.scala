@@ -200,6 +200,13 @@ object GraftExtensions {
       graft.functions.DruidFunctions.catalystBuilders.toMap.apply("string_format")),
     ("parse_long", info("parse_long", "string → long, null on garbage (s[, radix])"),
       graft.functions.DruidFunctions.catalystBuilders.toMap.apply("parse_long")),
+    ("regexp_extract", info("regexp_extract",
+      "reference semantics: group 0 default, NULL on no match (s, p[, idx])"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("regexp_extract")),
+    ("div", info("div", "integer division truncating toward zero (x, y)"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("div")),
+    ("ipv6_match", info("ipv6_match", "CIDR containment (ip, 'subnet/prefix')"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("ipv6_match")),
     ("earliest_by", info("earliest_by", "value at min of ordering (expr, orderExpr)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))

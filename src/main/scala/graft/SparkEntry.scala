@@ -758,6 +758,21 @@ object SparkEntry {
                FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    "q_sql_ref_compat" -> ((s, dir) => {
+      // round-5 reference-SQL compat additions: REGEXP_EXTRACT with group-0
+      // default + NULL on no match, DIV integer division, IPV4_MATCH CIDR
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT o_orderkey,
+               regexp_extract(o_orderpriority, '[0-9]+') AS prio_num,
+               regexp_extract(o_orderstatus, '[0-9]+') AS no_match,
+               DIV(o_orderkey, 7) AS sevenths,
+               IPV4_MATCH(concat('10.', CAST(o_orderkey % 64 AS STRING), '.0.1'),
+                          '10.32.0.0/11') AS in_subnet
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")
+    }),
+
     "q_sql_api_params" -> ((s, dir) => {
       // SQL-over-HTTP payload (reference POST /druid/v2/sql, SqlQuery.java):
       // typed positional ? parameters bound JDBC-style outside quoted regions
@@ -2417,6 +2432,16 @@ object SparkEntry {
                 min_by(o_orderstatus, o_orderkey) AS first_status,
                 max_by(o_totalprice, o_orderkey) AS last_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sql_ref_compat" ->
+      """SELECT o_orderkey,
+                CASE WHEN regexp_matches(o_orderpriority, '[0-9]+')
+                     THEN regexp_extract(o_orderpriority, '[0-9]+') END AS prio_num,
+                CASE WHEN regexp_matches(o_orderstatus, '[0-9]+')
+                     THEN regexp_extract(o_orderstatus, '[0-9]+') END AS no_match,
+                o_orderkey // 7 AS sevenths,
+                (o_orderkey % 64) >= 32 AS in_subnet
+         FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
 
     "q_sql_api_params" ->
       """SELECT o_orderpriority, count(*) AS n,

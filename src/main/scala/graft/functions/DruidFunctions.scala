@@ -208,6 +208,33 @@ object DruidFunctions {
           Cast(Conv(s, radix, Literal(10)), LongType, None, EvalMode.TRY)
         case other => throw new IllegalArgumentException(
           s"parse_long takes 1 or 2 arguments, got ${other.size}")
+      }),
+      // reference RegexpExtractOperatorConversion: group index defaults to 0
+      // (the whole match) and a non-matching pattern yields NULL — Spark's
+      // built-in returns '' and requires care with the index, so shadow it
+      // with the reference's semantics
+      "regexp_extract" -> ((args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{If, RLike, RegExpExtract}
+        import org.apache.spark.sql.types.StringType
+        require(args.size == 2 || args.size == 3,
+          s"regexp_extract takes 2 or 3 arguments, got ${args.size}")
+        val idx = if (args.size > 2) args(2) else Literal(0)
+        If(RLike(args(0), args(1)),
+          RegExpExtract(args(0), args(1), idx),
+          Literal.create(null, StringType))
+      }),
+      // reference DivOperatorConversion: integer division, truncate toward 0
+      "div" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"div takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          Cast(args(0), LongType), Cast(args(1), LongType))
+      }),
+      // reference IPv6AddressMatchExprMacro — subnet must be a CIDR literal
+      "ipv6_match" -> ((args: Seq[Expression]) => args match {
+        case Seq(ip, Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          graft.functions.Ipv6Match(ip, s.toString)
+        case _ => throw new IllegalArgumentException(
+          "IPV6_MATCH(ip, 'subnet/prefix') needs a literal subnet")
       }))
   }
 
@@ -465,7 +492,19 @@ object DruidFunctions {
          concat_ws('.', CAST(x DIV 16777216 % 256 AS STRING),
                         CAST(x DIV 65536 % 256 AS STRING),
                         CAST(x DIV 256 % 256 AS STRING),
-                        CAST(x % 256 AS STRING))""")
+                        CAST(x % 256 AS STRING))""",
+      // IPV4_MATCH(ip, 'a.b.c.d/n') — reference IPv4AddressMatchExprMacro.
+      // A bare address (no /n) matches as /32; the macro body reuses the
+      // IPV4_PARSE macro created just above (order matters at CREATE time)
+      """IPV4_MATCH(ip STRING, subnet STRING) RETURNS BOOLEAN RETURN
+         (IPV4_PARSE(ip) & (4294967295 ^
+            (CAST(pow(2, 32 - coalesce(try_cast(split_part(subnet, '/', 2) AS BIGINT), 32)) AS BIGINT) - 1)))
+         = (IPV4_PARSE(split_part(subnet, '/', 1)) & (4294967295 ^
+            (CAST(pow(2, 32 - coalesce(try_cast(split_part(subnet, '/', 2) AS BIGINT), 32)) AS BIGINT) - 1)))""",
+      // reference ComplexDecodeBase64OperatorConversion: decode a base64
+      // complex (sketch) column value; our sketch aggregators refold raw
+      // binary, so the type tag only documents intent
+      "COMPLEX_DECODE_BASE64(t STRING, s STRING) RETURNS BINARY RETURN unbase64(s)")
     fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
     spark.conf.set(Flag, "true")
   }

@@ -39,6 +39,26 @@ object Ingest {
       .agg(metrics.head._2.as(metrics.head._1),
         metrics.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** Bucketed segment write (reference CLUSTERED BY hash shard specs —
+    * `timeline/partition/HashBasedNumberedShardSpec.java` — which co-locate
+    * rows with equal keys in the same segment so joins/groupBys on the key
+    * avoid data movement). Spark mapping: a bucketed table. Two tables
+    * bucketed on their join key into the same bucket count join with NO
+    * shuffle on either side — at 100 TB this turns every repeated fact-fact
+    * join on the key into a local merge per bucket. `path` keeps the data
+    * external (no warehouse copy); the catalog entry carries the bucket
+    * metadata reads need.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    numBuckets: Int, bucketCol: String,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   /** REPLACE INTO … OVERWRITE ALL (reference SQL REPLACE,
     * `sql/.../parser/DruidSqlReplace.java`): the whole datasource is
     * atomically superseded by the query result.

@@ -436,4 +436,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(8) == "hi")
     assert(r.getString(9) == "192.168.1.200")
   }
+
+  test("SQL REGEXP_EXTRACT: reference semantics — group 0 default, NULL on no match") {
+    DruidFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT regexp_extract('foo123bar', '[0-9]+') AS whole,
+             regexp_extract('foo123bar', '([a-z]+)([0-9]+)', 2) AS grp,
+             regexp_extract('foobar', '[0-9]+') AS miss
+    """).head()
+    assert(r.getString(0) == "123")
+    assert(r.getString(1) == "123")
+    assert(r.isNullAt(2))
+  }
+
+  test("SQL DIV, IPV4_MATCH, IPV6_MATCH, COMPLEX_DECODE_BASE64") {
+    DruidFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT DIV(17, 5) AS d1, DIV(-17, 5) AS d2,
+             IPV4_MATCH('10.64.1.2', '10.64.0.0/10') AS m1,
+             IPV4_MATCH('192.169.0.1', '192.168.0.0/16') AS m2,
+             IPV4_MATCH('10.1.2.3', '10.1.2.3') AS m3,
+             IPV6_MATCH('2001:db8::1', '2001:db8::/32') AS v6a,
+             IPV6_MATCH('2001:db9::1', '2001:db8::/32') AS v6b,
+             CAST(COMPLEX_DECODE_BASE64('json', base64('hi')) AS STRING) AS dec
+    """).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == -3L)
+    assert(r.getBoolean(2) && !r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getString(7) == "hi")
+  }
 }

@@ -194,4 +194,32 @@ class PlanSpec extends AnyFunSuite {
     // window exec anywhere (the old formulation sorted every token row)
     assert(p.contains("Generate") && !p.contains("Window"))
   }
+
+  test("bucketed tables join with no shuffle on either side") {
+    // reference CLUSTERED BY hash shards co-locate equal keys per segment;
+    // our analog: bucketed tables. Both sides bucketed on the join key into
+    // the same bucket count -> sort-merge join with ZERO Exchange operators.
+    // At 100 TB this is the difference between shuffling two fact tables
+    // per query and a per-bucket local merge.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    graft.operators.Ingest.writeBucketed(li, "bkt_lineitem", s"$tmp/li", 4,
+      "l_orderkey", sortCols = Seq("l_orderkey"))
+    graft.operators.Ingest.writeBucketed(ord, "bkt_orders", s"$tmp/ord", 4,
+      "o_orderkey", sortCols = Seq("o_orderkey"))
+    val joined = spark.table("bkt_lineitem")
+      .join(spark.table("bkt_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    // and it still computes the right thing
+    assert(joined.count() ==
+      li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+  }
 }
