@@ -502,6 +502,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    "q_window_ignore_nulls" -> ((s, dir) => {
+      // IGNORE NULLS forms of lead/lag/first_value/last_value (reference
+      // window value processors; Drill window corpus coverage): every third
+      // event's metric is nulled, offsets must skip over the gaps
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir)("events").filter(col("user_id") < 20)
+        .withColumn("v", when(pmod(col("event_id"), lit(3)) =!= 0, col("value")))
+        .select(col("user_id"), col("event_id"), col("v"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_nn"),
+          first(col("v"), ignoreNulls = true).over(wf).as("first_nn"),
+          last(col("v"), ignoreNulls = true).over(wf).as("last_nn"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q_window_frame" -> ((s, dir) => {
       // frames over integer-valued doubles → exact under any association
       val w = Window.partitionBy(col("l_suppkey"))
@@ -614,6 +630,21 @@ object SparkEntry {
           round(var_pop(col("l_quantity")), 6).as("var_qty"),
           round(avg(col("l_quantity")), 6).as("avg_qty"))
         .orderBy(col("l_linestatus"))
+    }),
+
+    "q_agg_empty" -> ((s, dir) => {
+      // aggregation over zero input rows: global agg yields one row
+      // (count 0, null sums); grouped agg yields zero rows — classic
+      // engine edge case the dense oracle corpus never hits
+      val none = t(s, dir)("lineitem").filter(col("l_quantity") < -1)
+      val global = none.agg(
+        count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        max(col("l_shipdate")).as("last_ship"))
+      val grouped = none.groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          max(col("l_shipdate")).as("last_ship"))
+        .drop("l_linestatus")
+      global.unionByName(grouped)
     }),
 
     // ------------------------------------------------- scalar functions (§2.9)
@@ -1269,6 +1300,26 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    "q_source_mvd" -> ((s, dir) => {
+      // delimited input with listDelimiter (reference DelimitedInputFormat):
+      // a '|'-separated cell parses as a multi-value dimension, grouping on
+      // it explodes per element
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_mvd_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir)("part")
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), " ", "|").as("words"))
+        .write.mode("overwrite").option("header", "true").option("sep", "\t")
+        .csv(out)
+      graft.sources.Sources.delimited(s, out, sep = "\t",
+          listDelimiter = "|", mvColumns = Seq("words"))
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          explode(col("words")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"))
+        .orderBy(col("w"))
     }),
 
     "q_source_json" -> ((s, dir) => {
@@ -2045,6 +2096,11 @@ object SparkEntry {
                 round(sum(value), 3) AS sum_value, count(*) AS n_rows
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q_source_mvd" ->
+      """SELECT w, count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS key_sum
+         FROM part, unnest(string_split(p_name, ' ')) AS t(w)
+         GROUP BY w ORDER BY w""",
+
     "q_source_tsv" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -2260,6 +2316,23 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
          ORDER BY user_id, event_id""",
 
+    "q_window_ignore_nulls" ->
+      """SELECT user_id, event_id, v,
+                lag(v, 1 IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_nn,
+                lead(v, 1 IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY event_id) AS next_nn,
+                first_value(v IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn,
+                last_value(v IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn
+         FROM (SELECT user_id, event_id,
+                      CASE WHEN event_id % 3 <> 0 THEN value END AS v
+               FROM events WHERE user_id < 20)
+         ORDER BY user_id, event_id""",
+
     "q_window_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
                 sum(l_quantity) OVER (PARTITION BY l_suppkey
@@ -2322,6 +2395,15 @@ object SparkEntry {
                 round(var_pop(l_quantity), 6) AS var_qty,
                 round(avg(l_quantity), 6) AS avg_qty
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_agg_empty" ->
+      """SELECT count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                max(l_shipdate) AS last_ship
+         FROM lineitem WHERE l_quantity < -1
+         UNION ALL
+         SELECT count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                max(l_shipdate) AS last_ship
+         FROM lineitem WHERE l_quantity < -1 GROUP BY l_linestatus""",
 
     "q_expr_time" ->
       """SELECT event_id, CAST(year(ts) AS BIGINT) AS y,

@@ -13,6 +13,27 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
+  /** Delimited text input with multi-value cells (reference
+    * `data/input/impl/DelimitedInputFormat.java` — `listDelimiter` splits a
+    * cell like `a^Ab^Ac` (ctrl-A separated) into a multi-value dimension). Columns
+    * named in `mvColumns` become `ARRAY&lt;STRING&gt;`, the engine's MVD
+    * convention, so filters match any element and group-bys explode.
+    */
+  def delimited(spark: SparkSession, path: String,
+                sep: String = "\t", listDelimiter: String = "\u0001",
+                mvColumns: Seq[String] = Nil, header: Boolean = true,
+                schema: Option[StructType] = None): DataFrame = {
+    val reader = spark.read
+      .option("header", header.toString).option("sep", sep)
+    val base = schema.fold(reader.option("inferSchema", "true"))(reader.schema)
+      .csv(path)
+    mvColumns.foldLeft(base) { (df, c) =>
+      df.withColumn(c, org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col(c),
+        java.util.regex.Pattern.quote(listDelimiter)))
+    }
+  }
+
   /** SQL/JDBC input source (reference
     * `server/.../metadata/input/SqlInputSource.java`: ingest the result of
     * a SQL query against an external RDBMS). Spark's JDBC reader already
