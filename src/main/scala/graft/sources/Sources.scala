@@ -34,6 +34,40 @@ object Sources {
     }
   }
 
+  /** HTTP(S) input source (reference
+    * `data/input/impl/HttpInputSource.java`: a list of URIs fetched and
+    * parsed as one dataset, with optional basic auth). The fetch fans out
+    * across executors — one URI per task — so a thousand-file ingest pulls
+    * in parallel instead of streaming through the driver; the returned
+    * line dataset feeds any text input format
+    * (`spark.read.json(ds)` / `.csv(ds)`).
+    */
+  def httpLines(spark: SparkSession, uris: Seq[String],
+                basicAuth: Option[(String, String)] = None,
+                headers: Map[String, String] = Map.empty,
+                timeoutMs: Int = 30000)
+      : org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val auth = basicAuth.map { case (u, p) =>
+      "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes("UTF-8"))
+    }
+    spark.sparkContext
+      .parallelize(uris, math.max(1, uris.size))
+      .flatMap { u =>
+        val conn = java.net.URI.create(u).toURL.openConnection()
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        auth.foreach(conn.setRequestProperty("Authorization", _))
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val in = conn.getInputStream
+        // materialize the split eagerly so the stream can close with the task
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      }
+      .toDS()
+  }
+
   /** SQL/JDBC input source (reference
     * `server/.../metadata/input/SqlInputSource.java`: ingest the result of
     * a SQL query against an external RDBMS). Spark's JDBC reader already

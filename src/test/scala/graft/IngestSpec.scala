@@ -138,6 +138,41 @@ class IngestSpec extends AnyFunSuite {
     assert(math.abs(newSum - 2 * origSum) < 1e-6)
   }
 
+  test("httpLines fetches URIs in parallel on executors, with basic auth") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: String, needAuth: Boolean): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val ok = !needAuth || Option(
+            ex.getRequestHeaders.getFirst("Authorization"))
+            .exists(_.startsWith("Basic "))
+          val bytes = (if (ok) body else "denied").getBytes("UTF-8")
+          ex.sendResponseHeaders(if (ok) 200 else 401, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    serve("/a.csv", "k,v\n1,x\n2,y", needAuth = false)
+    serve("/b.csv", "k,v\n3,z", needAuth = false)
+    serve("/auth.csv", "k,v\n9,s", needAuth = true)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val lines = graft.sources.Sources.httpLines(spark,
+        Seq(s"http://127.0.0.1:$port/a.csv", s"http://127.0.0.1:$port/b.csv"))
+      val df = spark.read.option("header", "true").csv(lines)
+      assert(df.count() == 3)
+      assert(df.columns.toSeq == Seq("k", "v"))
+      val authed = graft.sources.Sources.httpLines(spark,
+        Seq(s"http://127.0.0.1:$port/auth.csv"),
+        basicAuth = Some(("user", "pass")))
+      assert(spark.read.option("header", "true").csv(authed)
+        .head().getString(1) == "s")
+    } finally server.stop(0)
+  }
+
   test("replaceWhere rejects rows outside the OVERWRITE WHERE interval") {
     val out = Files.createTempDirectory("graft_repl_oob").toString
     val ev = Tables.load(spark, dir, "events")
