@@ -815,6 +815,45 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_api_insert" -> ((s, dir) => {
+      // SQL ingestion through the API (reference DruidSqlInsert/MSQ):
+      // INSERT INTO … PARTITIONED BY DAY CLUSTERED BY, read back via SQL.
+      // Fresh warehouse target per run so the append-mode INSERT stays
+      // deterministic
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$wh/api_ins"))
+      s.conf.set("spark.graft.warehouse", wh)
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "INSERT INTO api_ins SELECT ts AS __time, event_type, user_id, value FROM events PARTITIONED BY DAY CLUSTERED BY event_type"
+      }""")
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sum_value FROM api_ins GROUP BY event_type ORDER BY event_type"
+      }""")
+    }),
+
+    "q_sql_api_extern" -> ((s, dir) => {
+      // MSQ EXTERN table function: read external csv with a typed signature
+      // (reference msq/sql ExternalOperatorConversion)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_extern_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir)("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      graft.api.SqlApi.run(s, dir, s"""{
+        "query": "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS rev FROM TABLE(EXTERN('{\\"type\\":\\"local\\",\\"baseDir\\":\\"$out\\",\\"filter\\":\\"*.csv\\"}', '{\\"type\\":\\"csv\\",\\"findColumnsFromHeader\\":true}', '[{\\"name\\":\\"o_orderkey\\",\\"type\\":\\"LONG\\"},{\\"name\\":\\"o_orderpriority\\",\\"type\\":\\"STRING\\"},{\\"name\\":\\"o_totalprice\\",\\"type\\":\\"DOUBLE\\"}]')) GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      }""")
+    }),
+
+    "q_sql_api_append" -> ((s, dir) => {
+      // TABLE(APPEND(...)) through the SQL API: schema-merging union
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(n_name) AS BIGINT) AS nations, CAST(count(r_name) AS BIGINT) AS regions FROM TABLE(APPEND('nation','region'))"
+      }""")
+    }),
+
     "q_sql_api_unnest" -> ((s, dir) => {
       // the reference's correlated-unnest SQL surface (CROSS JOIN UNNEST,
       // DruidCorrelateUnnestRel) through the SQL API's dialect translation
@@ -2530,6 +2569,22 @@ object SparkEntry {
                 CAST(sum(o_totalprice) AS DOUBLE) AS rev
          FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sql_api_insert" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_sql_api_extern" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(o_totalprice) AS DOUBLE) AS rev
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sql_api_append" ->
+      """SELECT count(*) AS n, count(n_name) AS nations,
+                count(r_name) AS regions
+         FROM (SELECT n_name, NULL AS r_name FROM nation
+               UNION ALL
+               SELECT NULL AS n_name, r_name FROM region)""",
 
     "q_sql_api_unnest" ->
       """SELECT w AS word, count(*) AS n

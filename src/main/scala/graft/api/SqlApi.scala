@@ -46,10 +46,15 @@ object SqlApi {
     val j = JsonMethods.parse(payload)
     Tables.registerAll(spark, dir)
     DruidFunctions.register(spark)
-    val sqlText = sql(j)
+    registerWarehouse(spark)
+    val sqlText = rewriteTableFunctions(spark, dir, sql(j))
     explainTarget(sqlText) match {
       case Some(inner) => explainPlan(spark, inner)
-      case None        => spark.sql(sqlText)
+      case None =>
+        ingestTarget(sqlText) match {
+          case Some(ing) => runIngest(spark, ing)
+          case None      => spark.sql(sqlText)
+        }
     }
   }
 
@@ -323,6 +328,259 @@ object SqlApi {
       i += 1
     }
     throw new IllegalArgumentException("unbalanced parentheses after UNNEST")
+  }
+
+  // ----------------------------------------------------------- ingest SQL
+
+  /** Engine-managed datasource directory for SQL INSERT/REPLACE targets
+    * (the reference's deep storage). One day-partitioned parquet dir per
+    * datasource; override with spark conf `spark.graft.warehouse`.
+    */
+  def warehouseDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+
+  /** Register every warehouse datasource as a temp view so SQL can read
+    * back what INSERT/REPLACE wrote.
+    */
+  private def registerWarehouse(spark: SparkSession): Unit = {
+    val root = new java.io.File(warehouseDir(spark))
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    dirs.foreach { d =>
+      try spark.read.parquet(d.getAbsolutePath)
+        .createOrReplaceTempView(d.getName)
+      catch { case _: Exception => () } // mid-write/empty dir: skip
+    }
+  }
+
+  private[graft] case class IngestStatement(
+      replace: Boolean, table: String,
+      overwriteWhere: Option[(String, String)],
+      innerSql: String, clusterBy: Seq[String])
+
+  /** Parse the reference's ingest statements (`DruidSqlInsert.java:39`,
+    * `DruidSqlReplace.java`):
+    * {{{
+    * INSERT INTO t <query> PARTITIONED BY DAY [CLUSTERED BY c1, c2]
+    * REPLACE INTO t OVERWRITE ALL <query> PARTITIONED BY DAY
+    * REPLACE INTO t OVERWRITE WHERE __time >= TIMESTAMP 'a' AND __time <
+    *   TIMESTAMP 'b' <query> PARTITIONED BY DAY
+    * }}}
+    * Segment granularity: PARTITIONED BY DAY (and coarser) lands as
+    * day-partitioned parquet — the same physical layout the reference's
+    * day-granularity segments use.
+    */
+  private[graft] def ingestTarget(sqlText: String): Option[IngestStatement] = {
+    val Head =
+      """(?is)^\s*(INSERT|REPLACE)\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+    sqlText match {
+      case Head(verb, table, rest0) =>
+        val replace = verb.equalsIgnoreCase("REPLACE")
+        var rest = rest0
+        var where: Option[(String, String)] = None
+        if (replace) {
+          val All = """(?is)^OVERWRITE\s+ALL\s+(.*)$""".r
+          val Where =
+            ("""(?is)^OVERWRITE\s+WHERE\s+__time\s*>=\s*TIMESTAMP\s*'([^']+)'""" +
+              """\s+AND\s+__time\s*<\s*TIMESTAMP\s*'([^']+)'\s+(.*)$""").r
+          rest match {
+            case All(r) => rest = r
+            case Where(lo, hi, r) => where = Some((lo, hi)); rest = r
+            case _ => throw new IllegalArgumentException(
+              "REPLACE requires OVERWRITE ALL or OVERWRITE WHERE __time >= " +
+                "TIMESTAMP '…' AND __time < TIMESTAMP '…' (reference " +
+                "DruidSqlReplace)")
+          }
+        }
+        val Part =
+          """(?is)^(.*)\bPARTITIONED\s+BY\s+(ALL\s+TIME|HOUR|DAY|WEEK|MONTH|YEAR|ALL)\b\s*(.*)$""".r
+        val (inner, tail) = rest match {
+          case Part(q, gran, t2) =>
+            val g = gran.trim.toUpperCase.replaceAll("\\s+", " ")
+            require(Seq("DAY", "MONTH", "YEAR", "ALL", "ALL TIME").contains(g),
+              s"unsupported PARTITIONED BY $gran (DAY-or-coarser supported)")
+            (q.trim, t2.trim)
+          case _ => throw new IllegalArgumentException(
+            "ingest SQL requires PARTITIONED BY (reference DruidSqlInsert)")
+        }
+        val cluster =
+          if (tail.isEmpty) Nil
+          else {
+            val Cl = """(?is)^CLUSTERED\s+BY\s+(.*)$""".r
+            tail match {
+              case Cl(cols) => cols.split(",").map(_.trim).toSeq
+              case other => throw new IllegalArgumentException(
+                s"unexpected trailing ingest clause: $other")
+            }
+          }
+        Some(IngestStatement(replace, table, where, inner, cluster))
+      case _ => None
+    }
+  }
+
+  private def runIngest(spark: SparkSession,
+                        ing: IngestStatement): DataFrame = {
+    val result = spark.sql(ing.innerSql)
+    require(result.columns.contains(Tables.TimeColumn),
+      s"ingest query must produce a ${Tables.TimeColumn} column")
+    val path = warehouseDir(spark) + "/" + ing.table
+    ing.overwriteWhere match {
+      case Some((lo, hi)) =>
+        // interval bounds must align to the day PARTITIONED BY granularity
+        def dayOf(ts: String): String = {
+          require(ts.matches("""\d{4}-\d{2}-\d{2}([T ]00:00:00(\.0+)?)?Z?"""),
+            s"OVERWRITE WHERE bound $ts must align to PARTITIONED BY DAY")
+          ts.take(10)
+        }
+        graft.operators.Ingest.replaceWhere(result, path, Tables.TimeColumn,
+          dayOf(lo), dayOf(hi), ing.clusterBy)
+      case None if ing.replace =>
+        graft.operators.Ingest.replaceAll(result, path, Tables.TimeColumn,
+          ing.clusterBy)
+      case None =>
+        // INSERT: append new day segments alongside existing ones
+        val withDay = result.withColumn("__day",
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col(Tables.TimeColumn)))
+        withDay.repartition(org.apache.spark.sql.functions.col("__day"))
+          .sortWithinPartitions(("__day" +: ing.clusterBy).map(
+            org.apache.spark.sql.functions.col): _*)
+          .write.mode("append").partitionBy("__day").parquet(path)
+    }
+    spark.read.parquet(path).createOrReplaceTempView(ing.table)
+    import spark.implicits._
+    Seq((ing.table, path)).toDF("dataSource", "location")
+  }
+
+  // ------------------------------------------------- table functions
+
+  /** Expand the reference's table functions into temp views:
+    * `TABLE(APPEND('t1','t2',…))` — schema-merging union
+    * (`sql/.../table/AppendCatalogMacro`), and
+    * `TABLE(EXTERN('<inputSource>','<inputFormat>','<signature>'))` — MSQ
+    * external input (`msq/sql/.../ExternalOperatorConversion`): inline /
+    * local / http input sources with csv, tsv or json input formats.
+    */
+  private[graft] def rewriteTableFunctions(spark: SparkSession, dir: String,
+                                           sqlText: String): String = {
+    val TableRe = """(?is)TABLE\s*\(\s*(APPEND|EXTERN)\s*\(""".r
+    TableRe.findFirstMatchIn(sqlText) match {
+      case None => sqlText
+      case Some(m) =>
+        val argsStart = m.end - 1 // points at the inner '('
+        val argsEnd = matchParen(sqlText, argsStart)
+        val outerEnd = matchParen(sqlText, sqlText.indexOf('(', m.start))
+        val argsRegion = sqlText.substring(argsStart + 1, argsEnd)
+        val args = splitArgs(argsRegion)
+        val view = "__" + m.group(1).toLowerCase + "_" +
+          Integer.toHexString(argsRegion.hashCode).replace('-', 'n')
+        val df = m.group(1).toUpperCase match {
+          case "APPEND" =>
+            val names = args.map(unquoteSql)
+            names.map(Tables.load(spark, dir, _)).reduce(
+              _.unionByName(_, allowMissingColumns = true))
+          case "EXTERN" => externDataFrame(spark, args.map(unquoteSql))
+        }
+        df.createOrReplaceTempView(view)
+        rewriteTableFunctions(spark, dir,
+          sqlText.substring(0, m.start) + view +
+            sqlText.substring(outerEnd + 1))
+    }
+  }
+
+  /** Split a SQL argument list on top-level commas (quote-aware). */
+  private def splitArgs(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = skipQuoted(s, i, '\'') - 1
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).toList
+  }
+
+  private def unquoteSql(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  /** Build the DataFrame for TABLE(EXTERN(inputSource, inputFormat,
+    * signature)) — JSON specs exactly as the reference accepts them.
+    */
+  private def externDataFrame(spark: SparkSession,
+                              args: List[String]): DataFrame = {
+    require(args.size == 3,
+      "EXTERN needs (inputSource, inputFormat, signature) JSON args")
+    val source = JsonMethods.parse(args(0))
+    val format = JsonMethods.parse(args(1))
+    val signature = JsonMethods.parse(args(2))
+    val schema = StructType(signature match {
+      case JArray(cols) => cols.map { c =>
+        val name = str(c \ "name").getOrElse(
+          throw new IllegalArgumentException("signature column needs name"))
+        val t = str(c \ "type").getOrElse("string").toUpperCase match {
+          case "LONG" | "BIGINT" => LongType
+          case "DOUBLE" => DoubleType
+          case "FLOAT" => FloatType
+          case _ => StringType
+        }
+        StructField(name, t)
+      }
+      case _ => throw new IllegalArgumentException("signature must be a JSON array")
+    })
+    // line dataset from the input source
+    import spark.implicits._
+    val lines: org.apache.spark.sql.Dataset[String] =
+      str(source \ "type").getOrElse("") match {
+        case "inline" =>
+          str(source \ "data").getOrElse("").split("\n").toSeq.toDS()
+        case "local" =>
+          val files = source \ "files" match {
+            case JArray(fs) => fs.flatMap(str(_))
+            case _ =>
+              val base = str(source \ "baseDir").getOrElse(
+                throw new IllegalArgumentException("local source needs files or baseDir"))
+              val filter = str(source \ "filter").getOrElse("*")
+              val rx = java.util.regex.Pattern.quote(filter)
+                .replace("*", """\E.*\Q""").replace("?", """\E.\Q""")
+              Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+                .filter(f => f.isFile && f.getName.matches(rx))
+                .map(_.getAbsolutePath).sorted.toList
+          }
+          spark.read.textFile(files: _*)
+        case "http" =>
+          val uris = source \ "uris" match {
+            case JArray(us) => us.flatMap(str(_))
+            case _ => throw new IllegalArgumentException("http source needs uris")
+          }
+          graft.sources.Sources.httpLines(spark, uris)
+        case other => throw new IllegalArgumentException(
+          s"unsupported EXTERN input source type: $other")
+      }
+    str(format \ "type").getOrElse("") match {
+      case "csv" | "tsv" =>
+        val sep = if (str(format \ "type").contains("tsv")) "\t" else ","
+        val header = format \ "findColumnsFromHeader" match {
+          case JBool(b) => b; case _ => false
+        }
+        spark.read.schema(schema)
+          .option("header", header.toString).option("sep", sep).csv(lines)
+      case "json" => spark.read.schema(schema).json(lines)
+      case other => throw new IllegalArgumentException(
+        s"unsupported EXTERN input format: $other")
+    }
   }
 
   // ---------------------------------------------------------------- explain

@@ -155,6 +155,68 @@ class SqlApiSpec extends AnyFunSuite {
     assert((plan(0) \ "signature")(0) \ "name" == JString("o_orderpriority"))
   }
 
+  test("ingest statement parsing") {
+    val ins = SqlApi.ingestTarget(
+      "INSERT INTO tgt SELECT * FROM src PARTITIONED BY DAY CLUSTERED BY a, b")
+    assert(ins.exists(i => !i.replace && i.table == "tgt" &&
+      i.clusterBy == Seq("a", "b") && i.innerSql == "SELECT * FROM src"))
+    val rep = SqlApi.ingestTarget(
+      "REPLACE INTO t OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02' AND " +
+        "__time < TIMESTAMP '2024-01-04' SELECT * FROM src PARTITIONED BY DAY")
+    assert(rep.exists(i => i.replace &&
+      i.overwriteWhere.contains(("2024-01-02", "2024-01-04"))))
+    assert(SqlApi.ingestTarget("SELECT 1").isEmpty)
+    intercept[IllegalArgumentException] {
+      SqlApi.ingestTarget("INSERT INTO t SELECT * FROM src")
+    }
+  }
+
+  test("SQL INSERT / REPLACE round-trip through the warehouse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      SqlApi.run(spark, dir, """{
+        "query": "INSERT INTO api_events SELECT ts AS __time, event_type, value FROM events PARTITIONED BY DAY CLUSTERED BY event_type"
+      }""")
+      val n = SqlApi.run(spark, dir,
+        """{"query": "SELECT count(*) AS n FROM api_events"}""").head.getLong(0)
+      assert(n == 1000L)
+      // REPLACE one day with doubled values
+      SqlApi.run(spark, dir, """{
+        "query": "REPLACE INTO api_events OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02' AND __time < TIMESTAMP '2024-01-03' SELECT ts AS __time, event_type, value * 2 AS value FROM events WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03' PARTITIONED BY DAY"
+      }""")
+      val after = SqlApi.run(spark, dir,
+        """{"query": "SELECT count(*) AS n FROM api_events"}""").head.getLong(0)
+      assert(after == n)
+      val doubled = SqlApi.run(spark, dir, """{
+        "query": "SELECT round(sum(value), 3) AS s FROM api_events WHERE __time >= TIMESTAMP '2024-01-02' AND __time < TIMESTAMP '2024-01-03'"
+      }""").head.getDouble(0)
+      val orig = spark.sql(
+        """SELECT round(sum(value) * 2, 3) FROM events
+           WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'""")
+        .head.getDouble(0)
+      assert(math.abs(doubled - orig) < 1e-6)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("TABLE(APPEND(...)) merges schemas across tables") {
+    val df = SqlApi.run(spark, dir, """{
+      "query": "SELECT count(*) AS n, count(n_name) AS nn, count(r_name) AS rn FROM TABLE(APPEND('nation','region'))"
+    }""")
+    val r = df.head()
+    assert(r.getLong(0) == 30L) // 25 nations + 5 regions
+    assert(r.getLong(1) == 25L && r.getLong(2) == 5L)
+  }
+
+  test("TABLE(EXTERN(...)) reads inline csv with a typed signature") {
+    val df = SqlApi.run(spark, dir, """{
+      "query": "SELECT k, sum(v) AS s FROM TABLE(EXTERN('{\"type\":\"inline\",\"data\":\"a,1\\nb,2\\na,3\"}', '{\"type\":\"csv\"}', '[{\"name\":\"k\",\"type\":\"STRING\"},{\"name\":\"v\",\"type\":\"LONG\"}]')) GROUP BY k ORDER BY k"
+    }""")
+    val rows = df.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 4L), ("b", 2L)))
+  }
+
   test("context timeout cancels a long-running query") {
     val payload = """{
       "query": "SELECT count(*) FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c",
