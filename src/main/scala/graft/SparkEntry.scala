@@ -632,6 +632,18 @@ object SparkEntry {
         .orderBy(col("l_linestatus"))
     }),
 
+    "q_groupby_array" -> ((s, dir) => {
+      // ARRAY-typed grouping key (reference arrays grouping,
+      // CalciteArraysQueryTest): group on the array value itself, emit a
+      // scalar rendering for the oracle compare
+      t(s, dir)("part")
+        .select(split(col("p_type"), " ").as("tw"), col("p_retailprice"))
+        .groupBy(col("tw"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 3).as("rev"))
+        .select(array_join(col("tw"), ",").as("key"), col("n"), col("rev"))
+        .orderBy(col("key"))
+    }),
+
     "q_agg_empty" -> ((s, dir) => {
       // aggregation over zero input rows: global agg yields one row
       // (count 0, null sums); grouped agg yields zero rows — classic
@@ -2434,6 +2446,12 @@ object SparkEntry {
                 round(var_pop(l_quantity), 6) AS var_qty,
                 round(avg(l_quantity), 6) AS avg_qty
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_groupby_array" ->
+      """SELECT array_to_string(tw, ',') AS key, count(*) AS n,
+                round(sum(p_retailprice), 3) AS rev
+         FROM (SELECT string_split(p_type, ' ') AS tw, p_retailprice FROM part)
+         GROUP BY tw ORDER BY key""",
 
     "q_agg_empty" ->
       """SELECT count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,

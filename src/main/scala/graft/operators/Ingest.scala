@@ -129,6 +129,27 @@ object Ingest {
     }
   }
 
+  /** Kill task (reference `indexing-service/.../task/KillUnusedSegmentsTask`
+    * / `DELETE /druid/coordinator/v1/datasources/{ds}/intervals/{interval}`):
+    * drop the day segments inside [startDay, endDay). Directory-level
+    * deletes — cost proportional to the interval, the data never scans.
+    */
+  def dropSegments(spark: SparkSession, path: String,
+                   startDay: String, endDay: String): Int = {
+    val start = java.time.LocalDate.parse(startDay)
+    val end = java.time.LocalDate.parse(endDay)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    var dropped = 0
+    var d = start
+    while (d.isBefore(end)) {
+      val p = new org.apache.hadoop.fs.Path(path, s"__day=$d")
+      if (fs.exists(p)) { fs.delete(p, true); dropped += 1 }
+      d = d.plusDays(1)
+    }
+    dropped
+  }
+
   /** Auto-compaction: rewrite a (possibly many-small-files) table into
     * ~targetRowsPerFile files per partition — the reference coordinator's
     * CompactSegments duty as a batch job.

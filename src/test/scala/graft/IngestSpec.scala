@@ -138,6 +138,19 @@ class IngestSpec extends AnyFunSuite {
     assert(math.abs(newSum - 2 * origSum) < 1e-6)
   }
 
+  test("dropSegments deletes exactly the interval's day directories") {
+    val out = Files.createTempDirectory("graft_kill").toString
+    val ev = Tables.load(spark, dir, "events")
+    Ingest.writeSegments(ev, out, "ts", Nil)
+    val before = spark.read.parquet(out).count()
+    val inRange = spark.read.parquet(out)
+      .filter(col("__day") >= "2024-01-03" && col("__day") < "2024-01-06")
+      .count()
+    val dropped = Ingest.dropSegments(spark, out, "2024-01-03", "2024-01-06")
+    assert(dropped == 3)
+    assert(spark.read.parquet(out).count() == before - inRange)
+  }
+
   test("httpLines fetches URIs in parallel on executors, with basic auth") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
