@@ -1070,6 +1070,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sample_stratified" -> ((s, dir) => {
+      // stratified deterministic sampling (dataset mixing: per-language keep
+      // rates, reproducible across engines/runs — Sampling.stratified)
+      graft.pipeline.Sampling.stratified(t(s, dir)("documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.02)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_text_chunk" -> ((s, dir) => {
+      // sliding-window token chunking to a model context length
+      // (TextAnalysis.chunk): 50-token windows, 10-token overlap
+      graft.pipeline.TextAnalysis.chunk(
+          t(s, dir)("documents").filter(col("doc_id") < 2000),
+          "doc_id", "text", chunkTokens = 50, overlap = 10)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_sample_hash" -> ((s, dir) => {
       // deterministic hash sampling (training pipelines need reproducible
       // splits): multiplicative-hash the key, keep ~10%; same arithmetic
@@ -2129,6 +2150,23 @@ object SparkEntry {
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
                   '[0-9]{3,}', '<NUM>', 'g')) <> length(text) AS changed
          FROM documents ORDER BY doc_id""",
+
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 <
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.1 ELSE 0.02 END
+         GROUP BY lang ORDER BY lang""",
+
+    "q_text_chunk" ->
+      """SELECT doc_id, i AS chunk_idx,
+                array_to_string(list_slice(toks, i*40+1, i*40+50), ' ') AS chunk_text,
+                len(list_slice(toks, i*40+1, i*40+50)) AS n_tokens
+         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+               FROM documents WHERE doc_id < 2000),
+              unnest(generate_series(0,
+                greatest(1, CAST(ceil((len(toks) - 10) / 40.0) AS INT)) - 1)) AS t(i)
+         ORDER BY doc_id, chunk_idx""",
 
     "q_sample_hash" ->
       """SELECT o_orderpriority, count(*) AS n,

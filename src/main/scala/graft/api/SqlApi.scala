@@ -53,7 +53,15 @@ object SqlApi {
       case None =>
         ingestTarget(sqlText) match {
           case Some(ing) => runIngest(spark, ing)
-          case None      => spark.sql(sqlText)
+          case None =>
+            val df = spark.sql(sqlText)
+            // context.sqlOuterLimit (reference QueryContexts): a hard outer
+            // row cap applied over whatever the query returns
+            j \ "context" \ "sqlOuterLimit" match {
+              case JInt(n)  => df.limit(n.toInt)
+              case JLong(n) => df.limit(n.toInt)
+              case _        => df
+            }
         }
     }
   }

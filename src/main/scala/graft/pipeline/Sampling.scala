@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (beyond the reference,
+  * alongside dedup/similarity/text analysis): reproducible keep/split
+  * decisions from a multiplicative hash of a key column — the same rows come
+  * out on every engine, every run, every cluster size, unlike `rand()`.
+  * Numeric keys use Knuth's multiplicative hash over 2^32; string keys go
+  * through xxhash64 first.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) hash of a key column. */
+  def unitHash(key: Column): Column = {
+    val asLong = key.cast("long")
+    pmod(asLong * lit(2654435761L), lit(4294967296L)) / lit(4294967296.0)
+  }
+
+  /** Uniform [0, 1) hash for arbitrary (incl. string) keys via xxhash64. */
+  def unitHashAny(key: Column): Column =
+    pmod(xxhash64(key), lit(4294967296L)) / lit(4294967296.0)
+
+  /** Keep ~`rate` of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(unitHash(col(keyCol)) < lit(rate))
+
+  /** Stratified sampling: per-stratum keep rates (dataset mixing — e.g.
+    * downsample web crawl to 10%, keep all code). Strata absent from
+    * `rates` fall back to `defaultRate`.
+    */
+  def stratified(df: DataFrame, keyCol: String, strataCol: String,
+                 rates: Map[String, Double],
+                 defaultRate: Double = 0.0): DataFrame = {
+    val rate = coalesce(
+      typedlit(rates).getItem(col(strataCol)), lit(defaultRate))
+    df.filter(unitHash(col(keyCol)) < rate)
+  }
+
+  /** Assign each row to a named split by cumulative weight — train/val/test
+    * partitioning that is stable under re-runs and data growth (a row's
+    * split never changes when other rows are added).
+    */
+  def split(df: DataFrame, keyCol: String,
+            weights: Seq[(String, Double)],
+            splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val h = unitHash(col(keyCol))
+    val cumulative = weights.scanLeft(0.0)(_ + _._2).tail
+    // nested CASE from the highest bound down: h < c1 -> w1, else h < c2 -> w2…
+    val assigned = weights.zip(cumulative).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
+        when(h < lit(hi), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+}

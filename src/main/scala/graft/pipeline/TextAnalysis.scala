@@ -90,6 +90,30 @@ object TextAnalysis {
   def fingerprintPrefix(text: Column, n: Int = 8): Column =
     substring(fingerprint(text), 1, n)
 
+  /** Sliding-window token chunking — split documents into ~`chunkTokens`-
+    * token windows advancing by `chunkTokens - overlap` (training pipelines
+    * chunk long documents to the model context length; overlap preserves
+    * cross-boundary context). One explode per chunk, no shuffle: each
+    * document expands to ceil((tokens - overlap) / step) rows in place.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    val toks = split(col(textCol), "\\s+")
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)) / lit(step.toDouble)).cast("int"))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__n"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          col("chunk_idx") * step + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        size(slice(col("__toks"),
+          col("chunk_idx") * step + 1, lit(chunkTokens))).as("n_tokens"))
+  }
+
   /** Full document-profile projection used by q_text_* queries.
     *
     * Computed as one explode + hash-aggregate pass (token counts, stopword

@@ -437,6 +437,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(9) == "192.168.1.200")
   }
 
+  test("Sampling.split: deterministic, exhaustive, weight-proportional") {
+    import graft.pipeline.Sampling
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.split(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000)
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 600 && counts("test") > 600)
+    // stable: same assignment on re-run
+    val s2 = Sampling.split(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s1.exceptAll(s2).isEmpty)
+    // a row's split never changes when more rows arrive
+    val bigger = Sampling.split(spark.range(20000).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("id") < 10000)
+    assert(s1.exceptAll(bigger).isEmpty)
+  }
+
   test("SQL REGEXP_EXTRACT: reference semantics — group 0 default, NULL on no match") {
     DruidFunctions.register(spark)
     val r = spark.sql("""

@@ -217,6 +217,14 @@ class SqlApiSpec extends AnyFunSuite {
       Seq(("a", 4L), ("b", 2L)))
   }
 
+  test("context.sqlOuterLimit caps the result") {
+    val df = SqlApi.run(spark, dir, """{
+      "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
+      "context": {"sqlOuterLimit": 3}
+    }""")
+    assert(df.count() == 3)
+  }
+
   test("context timeout cancels a long-running query") {
     val payload = """{
       "query": "SELECT count(*) FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c",
