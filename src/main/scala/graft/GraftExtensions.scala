@@ -207,6 +207,12 @@ object GraftExtensions {
       graft.functions.DruidFunctions.catalystBuilders.toMap.apply("div")),
     ("ipv6_match", info("ipv6_match", "CIDR containment (ip, 'subnet/prefix')"),
       graft.functions.DruidFunctions.catalystBuilders.toMap.apply("ipv6_match")),
+    ("case_searched", info("case_searched", "native-expr CASE WHEN (cond, v, …[, else])"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("case_searched")),
+    ("case_simple", info("case_simple", "native-expr simple CASE (expr, m, v, …[, else])"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("case_simple")),
+    ("notnull", info("notnull", "native-expr IS NOT NULL (expr)"),
+      graft.functions.DruidFunctions.catalystBuilders.toMap.apply("notnull")),
     ("earliest_by", info("earliest_by", "value at min of ordering (expr, orderExpr)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(args(0), args(1))

@@ -229,6 +229,32 @@ object DruidFunctions {
         org.apache.spark.sql.catalyst.expressions.IntegralDivide(
           Cast(args(0), LongType), Cast(args(1), LongType))
       }),
+      // reference native-expression case forms (math/expr/Function.java
+      // CaseSearchedFunc / CaseSimpleFunc): variadic, so Catalyst builders
+      "case_searched" -> ((args: Seq[Expression]) => {
+        require(args.size >= 2, "case_searched(cond, v[, cond2, v2…][, else])")
+        val (pairs, other) =
+          if (args.size % 2 == 0) (args, None)
+          else (args.init, Some(args.last))
+        org.apache.spark.sql.catalyst.expressions.CaseWhen(
+          pairs.grouped(2).map { case Seq(c, v) => (c, v) }.toSeq, other)
+      }),
+      "case_simple" -> ((args: Seq[Expression]) => {
+        require(args.size >= 3, "case_simple(expr, match, v[, …][, else])")
+        val scrut = args.head
+        val rest = args.tail
+        val (pairs, other) =
+          if (rest.size % 2 == 0) (rest, None)
+          else (rest.init, Some(rest.last))
+        org.apache.spark.sql.catalyst.expressions.CaseWhen(
+          pairs.grouped(2).map { case Seq(m, v) =>
+            (org.apache.spark.sql.catalyst.expressions.EqualTo(scrut, m), v)
+          }.toSeq, other)
+      }),
+      "notnull" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, "notnull(expr)")
+        org.apache.spark.sql.catalyst.expressions.IsNotNull(args.head)
+      }),
       // reference IPv6AddressMatchExprMacro — subnet must be a CIDR literal
       "ipv6_match" -> ((args: Seq[Expression]) => args match {
         case Seq(ip, Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
@@ -482,6 +508,17 @@ object DruidFunctions {
       // reference's exact names and semantics (variant result; TRY_ → null
       // on malformed input) — nothing to register.
       "TO_JSON_STRING(j STRING) RETURNS STRING RETURN to_json(parse_json(j))",
+      // ------------------------------------- native expression language ----
+      // the reference's native expression language (math/expr/Function.java,
+      // query/expression/Timestamp*ExprMacro.java) names time functions
+      // timestamp_* where SQL says TIME_* — alias so JSON-facade expression
+      // virtual columns / filters run verbatim
+      "TIMESTAMP_FLOOR(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN TIME_FLOOR(t, p)",
+      "TIMESTAMP_CEIL(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN TIME_CEIL(t, p)",
+      "TIMESTAMP_SHIFT(t TIMESTAMP, p STRING, n INT) RETURNS TIMESTAMP RETURN TIME_SHIFT(t, p, n)",
+      "TIMESTAMP_EXTRACT(t TIMESTAMP, u STRING) RETURNS BIGINT RETURN TIME_EXTRACT(t, u)",
+      "TIMESTAMP_FORMAT(t TIMESTAMP, p STRING) RETURNS STRING RETURN date_format(t, p)",
+      "TIMESTAMP_PARSE(s STRING, p STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, p)",
       // -------------------------------------------------------------- IP ----
       """IPV4_PARSE(s STRING) RETURNS BIGINT RETURN
          CAST(split_part(s, '.', 1) AS BIGINT) * 16777216

@@ -470,6 +470,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("native expression language: timestamp_* aliases, case_searched/simple, notnull") {
+    DruidFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT timestamp_floor(TIMESTAMP '2024-03-15 13:47:11', 'PT1H') AS fl,
+             timestamp_shift(TIMESTAMP '2024-01-31 00:00:00', 'P1M', 1) AS sh,
+             timestamp_extract(TIMESTAMP '2024-03-15 13:47:11', 'HOUR') AS h,
+             case_searched(1 > 2, 'a', 3 > 2, 'b', 'z') AS cs,
+             case_simple('F', 'F', 'final', 'O', 'open', 'other') AS cm,
+             notnull('x') AS nn, notnull(NULL) AS nnn
+    """).head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-15 13:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-02-29"))
+    assert(r.getLong(2) == 13L)
+    assert(r.getString(3) == "b" && r.getString(4) == "final")
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+  }
+
   test("SQL DIV, IPV4_MATCH, IPV6_MATCH, COMPLEX_DECODE_BASE64") {
     DruidFunctions.register(spark)
     val r = spark.sql("""
