@@ -610,10 +610,20 @@ object NativeJsonQuery {
         out.withColumnRenamed("metric", name)
       else out.select(col(dim), col("metric").cast("long").as(name))
     } else if (str(metricSpec \ "type").contains("dimension")) {
-      // DimensionTopNMetricSpec: lexicographic by dimension value
-      val base = flt.fold(df)(df.filter)
-      val order = if (inverted) col(dim).desc else col(dim).asc
-      base.groupBy(col(dim)).agg(aggs.head, aggs.tail: _*).orderBy(order).limit(k)
+      // DimensionTopNMetricSpec (reference DimensionTopNMetricSpec.java):
+      // ordered by the dimension value under a named comparator
+      // (StringComparators: lexicographic / alphanumeric / numeric /
+      // strlen / version), with previousStop pagination
+      val ordering = str(metricSpec \ "ordering").getOrElse("lexicographic")
+      val key = dimensionOrderKey(col(dim), ordering)
+      val base0 = flt.fold(df)(df.filter)
+      val base = str(metricSpec \ "previousStop").fold(base0)(v =>
+        base0.filter(if (inverted) col(dim) < lit(v) else col(dim) > lit(v)))
+      val order =
+        if (inverted) Seq(key.desc, col(dim).desc)
+        else Seq(key.asc, col(dim).asc)
+      base.groupBy(col(dim)).agg(aggs.head, aggs.tail: _*)
+        .orderBy(order: _*).limit(k)
     } else {
       val metric = str(metricSpec).orElse(str(metricSpec \ "metric"))
         .getOrElse(throw new IllegalArgumentException("metric required"))
@@ -621,6 +631,25 @@ object NativeJsonQuery {
         filter = flt, tiebreak = Seq(col(dim).asc), ascending = inverted)
     }
   }
+
+  /** Sort key for a named dimension comparator (reference
+    * `query/ordering/StringComparators.java`). Alphanumeric/version compare
+    * digit runs numerically inside otherwise-lexicographic strings — here
+    * each digit run is zero-padded to 20 places so a plain string sort
+    * agrees with the reference up to 20-digit numbers.
+    */
+  private def dimensionOrderKey(c: Column, ordering: String): Column =
+    ordering match {
+      case "lexicographic" => c
+      case "numeric" => c.cast("double")
+      case "strlen" => length(c)
+      case "alphanumeric" | "version" =>
+        array_join(transform(
+          regexp_extract_all(c, lit("[0-9]+|[^0-9]+"), lit(0)),
+          t => when(t.rlike("^[0-9]+$"), lpad(t, 20, "0")).otherwise(t)), "")
+      case o => throw new IllegalArgumentException(
+        s"unsupported dimension ordering: $o")
+    }
 
   /** A dimension reference that tolerates literal dots in column names
     * (join-datasource outputs are prefixed `j0.col`): when the frame has a
@@ -661,7 +690,11 @@ object NativeJsonQuery {
         val cols = arr(ls \ "columns").map {
           case JString(c) => col(c).asc
           case spec =>
-            val c = col(str(spec \ "dimension").get)
+            // OrderByColumnSpec.dimensionOrder: named comparator applied to
+            // the ordering key (same StringComparators family as topN)
+            val c0 = col(str(spec \ "dimension").get)
+            val c = str(spec \ "dimensionOrder")
+              .fold(c0)(dimensionOrderKey(c0, _))
             if (str(spec \ "direction").contains("descending")) c.desc else c.asc
         }
         (cols, int(ls \ "limit"))

@@ -29,6 +29,32 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(r.getLong(0) == 1000L)
   }
 
+  test("topN dimension metric spec: alphanumeric / numeric / strlen orderings + previousStop") {
+    val inline =
+      """{"type": "inline",
+          "columnNames": ["name", "v"],
+          "columnTypes": ["STRING", "LONG"],
+          "rows": [["item2", 1], ["item10", 2], ["item1", 3], ["b", 4], ["9", 5], ["70", 6]]}"""
+    def names(metric: String): Seq[String] = NativeJsonQuery.run(spark, dir,
+      s"""{"queryType": "topN", "dataSource": $inline, "dimension": "name",
+           "threshold": 10, "metric": $metric,
+           "aggregations": [{"type": "count", "name": "n"}]}""")
+      .collect().map(_.getString(0)).toSeq
+    // alphanumeric: digit runs compare numerically (9 < 70, item2 < item10)
+    assert(names("""{"type": "dimension", "ordering": "alphanumeric"}""") ==
+      Seq("9", "70", "b", "item1", "item2", "item10"))
+    // lexicographic default: "70" < "9", item10 < item2
+    assert(names("""{"type": "dimension"}""") ==
+      Seq("70", "9", "b", "item1", "item10", "item2"))
+    // strlen: shorter first, lexicographic tiebreak
+    assert(names("""{"type": "dimension", "ordering": "strlen"}""").take(3) ==
+      Seq("9", "b", "70"))
+    // previousStop pagination skips past the stop value
+    assert(names(
+      """{"type": "dimension", "ordering": "lexicographic", "previousStop": "b"}""") ==
+      Seq("item1", "item10", "item2"))
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
