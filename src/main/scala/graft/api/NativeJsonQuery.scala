@@ -1183,6 +1183,15 @@ object NativeJsonQuery {
   private def postAggExpr(j: JValue): Column = str(j \ "type").getOrElse("") match {
     case "fieldAccess" | "finalizingFieldAccess" => col(str(j \ "fieldName").get)
     case "constant" => lit(double(j \ "value").get)
+    case "doubleGreatest" | "longGreatest" =>
+      greatest(arr(j \ "fields").map(postAggExpr): _*)
+    case "doubleLeast" | "longLeast" =>
+      least(arr(j \ "fields").map(postAggExpr): _*)
+    // our hyperUnique aggregator finalizes to the estimate, so cardinality
+    // access is field access; DOUBLE like the reference's
+    // HyperUniqueFinalizingPostAggregator
+    case "hyperUniqueCardinality" =>
+      col(str(j \ "fieldName").get).cast("double")
     case "arithmetic" =>
       val fields = arr(j \ "fields").map(postAggExpr)
       str(j \ "fn").getOrElse("+") match {

@@ -55,6 +55,29 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("item1", "item10", "item2"))
   }
 
+  test("greatest/least/hyperUniqueCardinality post-aggregators") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "orders",
+       "dimensions": ["o_orderpriority"],
+       "aggregations": [
+         {"type": "doubleMax", "name": "mx", "fieldName": "o_totalprice"},
+         {"type": "doubleMin", "name": "mn", "fieldName": "o_totalprice"},
+         {"type": "hyperUnique", "name": "uc", "fieldName": "o_custkey"}],
+       "postAggregations": [
+         {"type": "doubleGreatest", "name": "g", "fields": [
+            {"type": "fieldAccess", "fieldName": "mx"},
+            {"type": "constant", "value": 100000.0}]},
+         {"type": "doubleLeast", "name": "l", "fields": [
+            {"type": "fieldAccess", "fieldName": "mn"},
+            {"type": "constant", "value": 1000.0}]},
+         {"type": "hyperUniqueCardinality", "name": "users", "fieldName": "uc"}]}""")
+    val r = df.head()
+    val mx = r.getDouble(df.columns.indexOf("mx"))
+    assert(r.getDouble(df.columns.indexOf("g")) == math.max(mx, 100000.0))
+    assert(r.getDouble(df.columns.indexOf("l")) <= 1000.0)
+    assert(r.getDouble(df.columns.indexOf("users")) > 0)
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
