@@ -1829,6 +1829,20 @@ object SparkEntry {
         .withColumn("avg_price", round(col("avg_price"), 4))
     }),
 
+    "q_json_mvd_groupby" -> ((s, dir) => {
+      // MVD grouping through the JSON facade: grouping on an array-typed
+      // (multi-value) dimension explodes per value — the reference's most
+      // distinctive semantic (MultiValuedDimensionTest)
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "part",
+         "virtualColumns": [{"name": "w", "expression": "split(p_name, ' ')"}],
+         "dimensions": ["w"],
+         "aggregations": [{"type": "count", "name": "n"},
+                          {"type": "longSum", "name": "ksum", "fieldName": "p_partkey"}],
+         "limitSpec": {"type": "default", "columns": [{"dimension": "w"}]}}
+        """)
+    }),
+
     "q_moving_avg" -> ((s, dir) => {
       // movingAverage query type (reference extensions-contrib/movingAverage
       // MovingAverageQuery.java): daily buckets per event_type, then a
@@ -2957,6 +2971,11 @@ object SparkEntry {
     "q_json_topn" ->
       """SELECT user_id, count(*) AS n, max(value) AS max_v
          FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 15""",
+
+    "q_json_mvd_groupby" ->
+      """SELECT w, count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS ksum
+         FROM part, unnest(string_split(p_name, ' ')) AS t(w)
+         GROUP BY w ORDER BY w""",
 
     "q_json_groupby" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -574,9 +574,11 @@ object NativeJsonQuery {
       (us(a), us(b))
     }
 
-  private def topN(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
+  private def topN(df0: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
     val dim = str(q \ "dimension").orElse(str(q \ "dimension" \ "dimension"))
       .getOrElse(throw new IllegalArgumentException("dimension required"))
+    // MVD dimension: one entry per value (reference topN over multi-value)
+    val df = explodeMvdDims(df0, Seq(dim))
     val k = int(q \ "threshold").getOrElse(10)
     val aggs = aggregations(q \ "aggregations")
     // metric spec (reference TopNMetricSpec hierarchy): a plain string or
@@ -660,7 +662,27 @@ object NativeJsonQuery {
     if (name.contains(".") && df.columns.contains(name)) col(s"`$name`")
     else col(name)
 
-  private def groupBy(df: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
+  /** Multi-value dimension grouping semantics (reference
+    * `MultiValuedDimensionTest` / `DimensionSelector`): grouping on an MVD
+    * column produces one output row PER VALUE — rows explode along each
+    * array-typed dimension before the aggregate (empty/null arrays
+    * contribute a null group, like the reference's null row). Scalar dims
+    * pass through untouched.
+    */
+  private def explodeMvdDims(df0: DataFrame, dimNames: Seq[String]): DataFrame =
+    dimNames.foldLeft(df0) { (acc, d) =>
+      acc.schema.fields.find(_.name == d) match {
+        case Some(f) if f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType] =>
+          acc.withColumn(d, explode_outer(col(s"`$d`")))
+        case _ => acc
+      }
+    }
+
+  private def groupBy(df0: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
+    val df = explodeMvdDims(df0,
+      arr(q \ "dimensions").collect { case JString(d) => d } ++
+        arr(q \ "dimensions").flatMap(spec => str(spec \ "dimension")))
     // (outputName, dim column) — subtotalsSpec subsets are defined over
     // dimension OUTPUT names, which may alias derived expressions
     val namedDims: List[(String, Column)] = arr(q \ "dimensions").map {

@@ -78,6 +78,28 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(r.getDouble(df.columns.indexOf("users")) > 0)
   }
 
+  test("groupBy/topN on a multi-value dimension explodes per value") {
+    val inline =
+      """{"type": "inline",
+          "columnNames": ["s", "v"], "columnTypes": ["STRING", "LONG"],
+          "rows": [["a b", 1], ["b c", 2], ["c", 4]]}"""
+    val g = NativeJsonQuery.run(spark, dir,
+      s"""{"queryType": "groupBy", "dataSource": $inline,
+           "virtualColumns": [{"name": "tags", "expression": "split(s, ' ')"}],
+           "dimensions": ["tags"],
+           "aggregations": [{"type": "longSum", "name": "sv", "fieldName": "v"}],
+           "limitSpec": {"columns": ["tags"]}}""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(g == Seq("a" -> 1L, "b" -> 3L, "c" -> 6L))
+    val t = NativeJsonQuery.run(spark, dir,
+      s"""{"queryType": "topN", "dataSource": $inline,
+           "virtualColumns": [{"name": "tags", "expression": "split(s, ' ')"}],
+           "dimension": "tags", "threshold": 2, "metric": "sv",
+           "aggregations": [{"type": "longSum", "name": "sv", "fieldName": "v"}]}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(t == Seq("c", "b"))
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
