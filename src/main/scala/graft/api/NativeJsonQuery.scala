@@ -851,10 +851,16 @@ object NativeJsonQuery {
 
   // ------------------------------------------------------------- filters ----
 
+  /** Array-typed (multi-value) column test against a frame's schema. */
+  private def mvLookup(df: DataFrame): String => Boolean = { name =>
+    df.schema.fields.exists(fld => fld.name == name &&
+      fld.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  }
+
   private def combineFilters(df: DataFrame, q: JValue): Option[Column] = {
     val f = q \ "filter" match {
       case JNothing | JNull => None
-      case j => Some(filterExpr(j))
+      case j => Some(filterExpr(j, mvLookup(df)))
     }
     val iv = intervalsFilter(q \ "intervals")
     (f, iv) match {
@@ -1017,45 +1023,67 @@ object NativeJsonQuery {
     }
   }
 
-  private[api] def filterExpr(j: JValue): Column = str(j \ "type").getOrElse("") match {
-    case "selector" => dimWithExtraction(j) === literal(j \ "value")
-    case "equals"   => col(str(j \ "column").get) === literal(j \ "matchValue")
+  /** Filter tree → predicate. `isMv` marks multi-value (array-typed)
+    * dimensions: the reference's value matchers run per element, so a
+    * filter on an MVD matches rows where ANY value satisfies it
+    * (`MultiValuedDimensionTest` filter semantics), and the null filter
+    * matches null/empty arrays.
+    */
+  private[api] def filterExpr(j: JValue,
+                              isMv: String => Boolean = _ => false): Column = {
+    // pred over the dimension: per-element under exists() when MVD
+    def mvAware(dim: String, pred: Column => Column): Column =
+      if (isMv(dim)) exists(col(dim), pred) else pred(col(dim))
+    def f(x: JValue): Column = filterExpr(x, isMv)
+    str(j \ "type").getOrElse("") match {
+    case "selector" =>
+      val dim = str(j \ "dimension").getOrElse("")
+      val hasFn = (j \ "extractionFn") != JNothing && (j \ "extractionFn") != JNull
+      if (hasFn || !isMv(dim)) dimWithExtraction(j) === literal(j \ "value")
+      else j \ "value" match {
+        case JNothing | JNull => col(dim).isNull || size(col(dim)) === 0
+        case v => mvAware(dim, _ === literal(v))
+      }
+    case "equals" =>
+      mvAware(str(j \ "column").get, _ === literal(j \ "matchValue"))
     case "in" =>
       val values = arr(j \ "values").map(jvalue)
-      col(str(j \ "dimension").get).isin(values: _*)
+      mvAware(str(j \ "dimension").get, _.isin(values: _*))
     case "bound" =>
-      val c = col(str(j \ "dimension").get)
       val lower = j \ "lower" match { case JNothing | JNull => None; case v => Some(v) }
       val upper = j \ "upper" match { case JNothing | JNull => None; case v => Some(v) }
       val ls = bool(j \ "lowerStrict").getOrElse(false)
       val us = bool(j \ "upperStrict").getOrElse(false)
-      val conds =
-        lower.map(v => if (ls) c > literal(v) else c >= literal(v)).toSeq ++
-          upper.map(v => if (us) c < literal(v) else c <= literal(v)).toSeq
-      conds.reduce(_ && _)
+      mvAware(str(j \ "dimension").get, c =>
+        (lower.map(v => if (ls) c > literal(v) else c >= literal(v)).toSeq ++
+          upper.map(v => if (us) c < literal(v) else c <= literal(v)).toSeq)
+          .reduce(_ && _))
     case "range" =>
-      val c = col(str(j \ "column").get)
       val lower = j \ "lower" match { case JNothing | JNull => None; case v => Some(v) }
       val upper = j \ "upper" match { case JNothing | JNull => None; case v => Some(v) }
       val lo = bool(j \ "lowerOpen").getOrElse(false)
       val uo = bool(j \ "upperOpen").getOrElse(false)
-      val conds =
-        lower.map(v => if (lo) c > literal(v) else c >= literal(v)).toSeq ++
-          upper.map(v => if (uo) c < literal(v) else c <= literal(v)).toSeq
-      conds.reduce(_ && _)
-    case "like"  => col(str(j \ "dimension").get).like(str(j \ "pattern").get)
-    case "regex" => col(str(j \ "dimension").get).rlike(str(j \ "pattern").get)
-    case "null"  => col(str(j \ "column").get).isNull
-    case "not"   => !filterExpr(j \ "field")
-    case "and"   => arr(j \ "fields").map(filterExpr).reduce(_ && _)
-    case "or"    => arr(j \ "fields").map(filterExpr).reduce(_ || _)
+      mvAware(str(j \ "column").get, c =>
+        (lower.map(v => if (lo) c > literal(v) else c >= literal(v)).toSeq ++
+          upper.map(v => if (uo) c < literal(v) else c <= literal(v)).toSeq)
+          .reduce(_ && _))
+    case "like" =>
+      mvAware(str(j \ "dimension").get, _.like(str(j \ "pattern").get))
+    case "regex" =>
+      mvAware(str(j \ "dimension").get, _.rlike(str(j \ "pattern").get))
+    case "null" =>
+      val d = str(j \ "column").get
+      if (isMv(d)) col(d).isNull || size(col(d)) === 0 else col(d).isNull
+    case "not"   => !f(j \ "field")
+    case "and"   => arr(j \ "fields").map(f).reduce(_ && _)
+    case "or"    => arr(j \ "fields").map(f).reduce(_ || _)
     case "true"  => lit(true)
     case "false" => lit(false)
     // IsBooleanDimFilter (reference query/filter/IsBooleanDimFilter.java):
     // null-safe three-valued wrap — isFalse matches only definite false,
     // never null, hence <=> not ===
-    case "istrue"  => filterExpr(j \ "field") <=> lit(true)
-    case "isfalse" => filterExpr(j \ "field") <=> lit(false)
+    case "istrue"  => f(j \ "field") <=> lit(true)
+    case "isfalse" => f(j \ "field") <=> lit(false)
     // ColumnComparisonDimFilter: rows where all listed dimensions carry the
     // same value, compared as strings (the reference compares dimension
     // values, which are strings); null == null matches
@@ -1071,7 +1099,12 @@ object NativeJsonQuery {
       array_contains(col(str(j \ "column").get), literal(j \ "elementMatchValue"))
     // SearchQueryDimFilter: the search *query* spec reused as a filter
     // (reference query/search/*SearchQuerySpec.java)
-    case "search" => searchPredicate(j \ "query", dimWithExtraction(j))
+    case "search" =>
+      val dim = str(j \ "dimension").getOrElse("")
+      val hasFn = (j \ "extractionFn") != JNothing && (j \ "extractionFn") != JNull
+      if (!hasFn && isMv(dim))
+        exists(col(dim), x => searchPredicate(j \ "query", x))
+      else searchPredicate(j \ "query", dimWithExtraction(j))
     // SpatialDimFilter over a comma-joined "x,y" spatial dimension (the
     // reference's storage convention for spatial dims); bound types
     // rectangular/radius/polygon from query/filter/SpatialDimFilter.java
@@ -1096,6 +1129,7 @@ object NativeJsonQuery {
         case o => throw new IllegalArgumentException(s"unsupported spatial bound: $o")
       }
     case other   => throw new IllegalArgumentException(s"unsupported filter: $other")
+    }
   }
 
   // -------------------------------------------------------- aggregations ----

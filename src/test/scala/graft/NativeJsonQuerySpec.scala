@@ -100,6 +100,31 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(t == Seq("c", "b"))
   }
 
+  test("filters on multi-value dimensions match ANY element") {
+    val inline =
+      """{"type": "inline",
+          "columnNames": ["s", "v"], "columnTypes": ["STRING", "LONG"],
+          "rows": [["a b", 1], ["b c", 2], ["c", 4], ["", 8]]}"""
+    def total(filter: String): Long = NativeJsonQuery.run(spark, dir,
+      s"""{"queryType": "timeseries", "dataSource": $inline,
+           "virtualColumns": [
+             {"name": "tags", "expression": "split(s, ' ')"},
+             {"name": "__time", "expression": "timestamp'2024-01-01'"}],
+           "granularity": "all", "filter": $filter,
+           "aggregations": [{"type": "longSum", "name": "sv", "fieldName": "v"}]}""")
+      .collect().headOption.map(r =>
+        if (r.isNullAt(r.length - 1)) 0L else r.getLong(r.length - 1)).getOrElse(0L)
+    // selector matches rows where ANY value equals
+    assert(total("""{"type": "selector", "dimension": "tags", "value": "b"}""") == 3L)
+    // in: any element in the set
+    assert(total("""{"type": "in", "dimension": "tags", "values": ["a", "c"]}""") == 7L)
+    // regex per element
+    assert(total("""{"type": "regex", "dimension": "tags", "pattern": "^c$"}""") == 6L)
+    // bound per element: tags >= 'b' matches a b / b c / c
+    assert(total(
+      """{"type": "bound", "dimension": "tags", "lower": "b"}""") == 7L)
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
