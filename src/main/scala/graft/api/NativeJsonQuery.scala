@@ -679,13 +679,56 @@ object NativeJsonQuery {
       }
     }
 
+  /** Value-filtering dimension specs over MVD cells (reference
+    * ListFilteredDimensionSpec / PrefixFilteredDimensionSpec /
+    * RegexFilteredDimensionSpec): keep only matching values WITHIN each
+    * multi-value cell; the delegate may be a plain name or a nested spec.
+    */
+  private def filteredDimColumn(spec: JValue): Option[Column] = {
+    def delegateCol: Column = spec \ "delegate" match {
+      case JString(d) => col(d)
+      case del => filteredDimColumn(del).getOrElse(
+        col(str(del \ "dimension").getOrElse(
+          throw new IllegalArgumentException("filtered spec needs a delegate"))))
+    }
+    str(spec \ "type") match {
+      case Some("listFiltered") =>
+        val values = arr(spec \ "values").flatMap(str(_))
+        val white = bool(spec \ "isWhitelist").getOrElse(true)
+        Some(filter(delegateCol, x =>
+          if (white) x.isin(values: _*) else !x.isin(values: _*)))
+      case Some("prefixFiltered") =>
+        Some(filter(delegateCol, _.startsWith(str(spec \ "prefix").getOrElse(""))))
+      case Some("regexFiltered") =>
+        Some(filter(delegateCol, _.rlike(str(spec \ "pattern").getOrElse(".*"))))
+      case _ => None
+    }
+  }
+
   private def groupBy(df0: DataFrame, q: JValue, flt: Option[Column]): DataFrame = {
-    val df = explodeMvdDims(df0,
-      arr(q \ "dimensions").collect { case JString(d) => d } ++
-        arr(q \ "dimensions").flatMap(spec => str(spec \ "dimension")))
+    // materialize value-filtering dimension specs as real columns first so
+    // the MVD explode below sees them (filter-within-cell, THEN one row per
+    // surviving value — reference ListFilteredDimensionSpec order)
+    var base = df0
+    val dimSpecs = arr(q \ "dimensions").map { spec =>
+      filteredDimColumn(spec) match {
+        case Some(c) =>
+          val out = str(spec \ "outputName")
+            .orElse(str(spec \ "delegate"))
+            .orElse(str(spec \ "delegate" \ "dimension"))
+            .getOrElse("dim")
+          val tmp = s"__dim_$out"
+          base = base.withColumn(tmp, c)
+          JObject("dimension" -> JString(tmp), "outputName" -> JString(out))
+        case None => spec
+      }
+    }
+    val df = explodeMvdDims(base,
+      dimSpecs.collect { case JString(d) => d } ++
+        dimSpecs.flatMap(spec => str(spec \ "dimension")))
     // (outputName, dim column) — subtotalsSpec subsets are defined over
     // dimension OUTPUT names, which may alias derived expressions
-    val namedDims: List[(String, Column)] = arr(q \ "dimensions").map {
+    val namedDims: List[(String, Column)] = dimSpecs.map {
       case JString(d) => d -> dimRef(df, d)
       case spec =>
         val d = str(spec \ "dimension").get

@@ -125,6 +125,31 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       """{"type": "bound", "dimension": "tags", "lower": "b"}""") == 7L)
   }
 
+  test("list/prefix/regex-filtered dimension specs filter within MVD cells") {
+    val inline =
+      """{"type": "inline",
+          "columnNames": ["s", "v"], "columnTypes": ["STRING", "LONG"],
+          "rows": [["apple banana", 1], ["banana cherry", 2], ["cherry", 4]]}"""
+    def run(dimSpec: String): Seq[(String, Long)] = NativeJsonQuery.run(spark, dir,
+      s"""{"queryType": "groupBy", "dataSource": $inline,
+           "virtualColumns": [{"name": "tags", "expression": "split(s, ' ')"}],
+           "dimensions": [$dimSpec],
+           "aggregations": [{"type": "longSum", "name": "sv", "fieldName": "v"}],
+           "limitSpec": {"columns": ["t"]}}""")
+      .collect().map(r => Option(r.getString(0)).getOrElse("-") -> r.getLong(1)).toSeq
+    // whitelist: only banana/cherry values group; the apple-only part of
+    // row 1 contributes nothing extra, cells with no survivors group as null
+    assert(run("""{"type": "listFiltered", "delegate": "tags",
+                   "values": ["banana", "cherry"], "outputName": "t"}""") ==
+      Seq("banana" -> 3L, "cherry" -> 6L))
+    assert(run("""{"type": "prefixFiltered", "delegate": "tags",
+                   "prefix": "ch", "outputName": "t"}""") ==
+      Seq("-" -> 1L, "cherry" -> 6L))
+    assert(run("""{"type": "regexFiltered", "delegate": "tags",
+                   "pattern": "^b.*", "outputName": "t"}""") ==
+      Seq("-" -> 4L, "banana" -> 3L))
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
