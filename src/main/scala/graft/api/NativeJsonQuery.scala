@@ -730,6 +730,22 @@ object NativeJsonQuery {
     // dimension OUTPUT names, which may alias derived expressions
     val namedDims: List[(String, Column)] = dimSpecs.map {
       case JString(d) => d -> dimRef(df, d)
+      // LookupDimensionSpec (reference LookupDimensionSpec.java): the
+      // dimension mapped through an inline map or a registered lookup,
+      // with the shared missing-value policy
+      case spec if str(spec \ "type").contains("lookup") =>
+        val d = str(spec \ "dimension").get
+        val m: Map[String, String] = spec \ "lookup" \ "map" match {
+          case JObject(fields) => fields.map { case (k, v) =>
+            k -> (v match { case JString(s) => s; case o => o.values.toString })
+          }.toMap
+          case _ => str(spec \ "name")
+            .flatMap(graft.functions.LookupRegistry.get).getOrElse(
+              throw new IllegalArgumentException(
+                "lookup dimension spec needs lookup.map or a registered name"))
+        }
+        val out = str(spec \ "outputName").getOrElse(d)
+        out -> lookupExtract(col(d), m, spec).as(out)
       case spec =>
         val d = str(spec \ "dimension").get
         // extraction dimension spec (reference ExtractionDimensionSpec):

@@ -150,6 +150,31 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("-" -> 4L, "banana" -> 3L))
   }
 
+  test("lookup dimension spec: inline map + registered name + missing policy") {
+    graft.functions.LookupRegistry.register("status_names",
+      Map("F" -> "final", "O" -> "open"))
+    val rows = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "orders",
+       "dimensions": [
+         {"type": "lookup", "dimension": "o_orderstatus",
+          "outputName": "status", "name": "status_names",
+          "replaceMissingValueWith": "other"}],
+       "aggregations": [{"type": "count", "name": "n"}],
+       "limitSpec": {"columns": ["status"]}}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("final", "open", "other"))
+    val inline = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "orders",
+       "dimensions": [
+         {"type": "lookup", "dimension": "o_orderstatus", "outputName": "s2",
+          "lookup": {"type": "map", "map": {"F": "done"}},
+          "retainMissingValue": true}],
+       "aggregations": [{"type": "count", "name": "n"}],
+       "limitSpec": {"columns": ["s2"]}}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(inline == Seq("O", "P", "done"))
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
