@@ -1080,6 +1080,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_text_unicode" -> ((s, dir) => {
+      // unicode string-function robustness: multi-byte, combining-accent,
+      // CJK and surrogate-pair (emoji) inputs through length/upper/reverse/
+      // substring — code-point semantics on both engines
+      import s.implicits._
+      Seq("héllo wörld", "中文字符串", "emoji 👍🎉 test",
+          "Ñandú crème brûlée", "русский текст")
+        .toDF("t")
+        .select(col("t"), length(col("t")).cast("long").as("n_chars"),
+          upper(col("t")).as("up"), reverse(col("t")).as("rev"),
+          substring(col("t"), 2, 3).as("sub"))
+        .orderBy(col("t"))
+    }),
+
     "q_text_chunk" -> ((s, dir) => {
       // sliding-window token chunking to a model context length
       // (TextAnalysis.chunk): 50-token windows, 10-token overlap
@@ -2171,6 +2185,13 @@ object SparkEntry {
          WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 <
                CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.1 ELSE 0.02 END
          GROUP BY lang ORDER BY lang""",
+
+    "q_text_unicode" ->
+      """SELECT t, length(t) AS n_chars, upper(t) AS up, reverse(t) AS rev,
+                substring(t, 2, 3) AS sub
+         FROM (VALUES ('héllo wörld'), ('中文字符串'), ('emoji 👍🎉 test'),
+                      ('Ñandú crème brûlée'), ('русский текст')) v(t)
+         ORDER BY t""",
 
     "q_text_chunk" ->
       """SELECT doc_id, i AS chunk_idx,
