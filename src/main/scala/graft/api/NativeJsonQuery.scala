@@ -47,10 +47,25 @@ object NativeJsonQuery {
       return arr(q \ "queries").map(runParsed(spark, dir, _))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     val df0 = dataSource(spark, dir, q \ "dataSource")
-    // virtual columns (reference ExpressionVirtualColumn): computed before
-    // filters/dims so both can reference them. Expressions are Spark SQL.
+    // virtual columns: ExpressionVirtualColumn (Spark SQL expressions) and
+    // NestedFieldVirtualColumn (typed JSON-path access — struct field for
+    // shredded nested columns, get_json_object for raw JSON strings)
     val df = arr(q \ "virtualColumns").foldLeft(df0) { (acc, vc) =>
-      acc.withColumn(str(vc \ "name").get, expr(str(vc \ "expression").get))
+      val name = str(vc \ "name").orElse(str(vc \ "outputName")).get
+      str(vc \ "type") match {
+        case Some("nested-field") =>
+          val src = str(vc \ "columnName").get
+          val path = str(vc \ "path").getOrElse("$")
+          val isString = acc.schema.fields.exists(f => f.name == src &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+          val c =
+            if (isString) get_json_object(col(src), path)
+            else if (path == "$") col(src)
+            else expr(s"`$src`.${path.stripPrefix("$.")}")
+          acc.withColumn(name, c)
+        case _ =>
+          acc.withColumn(name, expr(str(vc \ "expression").get))
+      }
     }
     val flt = combineFilters(df, q)
     str(q \ "queryType").getOrElse("") match {
@@ -444,8 +459,21 @@ object NativeJsonQuery {
     }
     val out = postAggregations(filled, q \ "postAggregations")
     val descending = bool(q \ "descending").getOrElse(false)
-    if (period.isEmpty) out.drop("timestamp")
-    else out.orderBy(if (descending) col("timestamp").desc else col("timestamp").asc)
+    // context.grandTotal (reference TimeseriesQueryQueryToolChest): one
+    // extra all-buckets total row, emitted last with a null timestamp
+    val withTotal =
+      if (!bool(q \ "context" \ "grandTotal").getOrElse(false)) out
+      else {
+        val total = postAggregations(
+          base.agg(aggs.head, aggs.tail: _*)
+            .withColumn("timestamp", lit(null).cast("timestamp")),
+          q \ "postAggregations")
+        out.unionByName(total.select(out.columns.map(c => col(s"`$c`")): _*))
+      }
+    if (period.isEmpty) withTotal.drop("timestamp")
+    else withTotal.orderBy(
+      if (descending) col("timestamp").desc_nulls_last
+      else col("timestamp").asc_nulls_last)
   }
 
   /** movingAverage query (reference extensions-contrib/movingAverage:

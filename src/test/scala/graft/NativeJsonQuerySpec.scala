@@ -175,6 +175,28 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(inline == Seq("O", "P", "done"))
   }
 
+  test("timeseries grandTotal appends an all-buckets total row; nested-field virtual column") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "day",
+       "intervals": ["2024-01-01T00:00:00Z/2024-01-04T00:00:00Z"],
+       "context": {"grandTotal": true},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val rows = df.collect()
+    assert(rows.last.isNullAt(0)) // total row last, null timestamp
+    assert(rows.last.getLong(1) == rows.init.map(_.getLong(1)).sum)
+
+    val nested = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "groupBy", "dataSource": "events",
+       "virtualColumns": [
+         {"type": "nested-field", "name": "k", "columnName": "props", "path": "$.k"}],
+       "dimensions": ["k"],
+       "aggregations": [{"type": "count", "name": "n"}],
+       "limitSpec": {"columns": ["k"]}}""")
+    assert(nested.count() > 0)
+    assert(nested.columns.toSeq == Seq("k", "n"))
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
