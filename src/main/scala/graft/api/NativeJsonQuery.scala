@@ -205,6 +205,19 @@ object NativeJsonQuery {
         val joinType = str(spec \ "joinType").getOrElse("INNER").toLowerCase
         // prefixed right columns contain a dot — backtick both sides
         left.join(right, col(s"`$lhs`") === col(s"`$rhs`"), joinType)
+      // FilteredDataSource / RestrictedDataSource (reference
+      // query/FilteredDataSource.java, RestrictedDataSource.java): a base
+      // datasource decorated with a row-level filter / policy
+      case spec if str(spec \ "type").exists(t => t == "filter" || t == "restrict") =>
+        val base = dataSource(spark, dir, spec \ "base")
+        val cond = spec \ "filter" match {
+          case JNothing | JNull => spec \ "policy" \ "rowFilter" match {
+            case JNothing | JNull => None
+            case p => Some(filterExpr(p, mvLookup(base)))
+          }
+          case fj => Some(filterExpr(fj, mvLookup(base)))
+        }
+        cond.fold(base)(base.filter)
       case spec if str(spec \ "type").contains("unnest") =>
         val base = dataSource(spark, dir, spec \ "base")
         val outName = str(spec \ "outputName")
@@ -657,8 +670,21 @@ object NativeJsonQuery {
     } else {
       val metric = str(metricSpec).orElse(str(metricSpec \ "metric"))
         .getOrElse(throw new IllegalArgumentException("metric required"))
-      NQ.topN(df, col(dim), aggs, metric, k,
-        filter = flt, tiebreak = Seq(col(dim).asc), ascending = inverted)
+      val postAggNames = arr(q \ "postAggregations").flatMap(p => str(p \ "name"))
+      if (postAggNames.contains(metric)) {
+        // NumericTopNMetricSpec naming a post-aggregator: compute post-aggs
+        // before the ordering/limit (reference orders on finalized values)
+        val base = flt.fold(df)(df.filter)
+        val withPost = postAggregations(
+          base.groupBy(col(dim)).agg(aggs.head, aggs.tail: _*),
+          q \ "postAggregations")
+        withPost.orderBy(
+          (if (inverted) col(metric).asc else col(metric).desc), col(dim).asc)
+          .limit(k)
+      } else postAggregations(
+        NQ.topN(df, col(dim), aggs, metric, k,
+          filter = flt, tiebreak = Seq(col(dim).asc), ascending = inverted),
+        q \ "postAggregations")
     }
   }
 

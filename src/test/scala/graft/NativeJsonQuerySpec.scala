@@ -197,6 +197,36 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(nested.columns.toSeq == Seq("k", "n"))
   }
 
+  test("filtered datasource decorator; topN ordered by a post-aggregator") {
+    val filtered = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource":
+         {"type": "filter", "base": "orders",
+          "filter": {"type": "selector", "dimension": "o_orderstatus", "value": "F"}},
+       "granularity": "all",
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    val direct = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "orders", "granularity": "all",
+       "filter": {"type": "selector", "dimension": "o_orderstatus", "value": "F"},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+    assert(filtered.head.getLong(0) == direct.head.getLong(0))
+
+    val byPost = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "topN", "dataSource": "orders",
+       "dimension": "o_orderpriority", "threshold": 3, "metric": "avg_price",
+       "aggregations": [
+         {"type": "count", "name": "n"},
+         {"type": "doubleSum", "name": "total", "fieldName": "o_totalprice"}],
+       "postAggregations": [
+         {"type": "arithmetic", "name": "avg_price", "fn": "/",
+          "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                     {"type": "fieldAccess", "fieldName": "n"}]}]}""")
+      .collect()
+    assert(byPost.length == 3)
+    val idx = 3 // columns: dim, n, total, avg_price
+    assert(byPost(0).getDouble(idx) >= byPost(1).getDouble(idx))
+    assert(byPost(1).getDouble(idx) >= byPost(2).getDouble(idx))
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
