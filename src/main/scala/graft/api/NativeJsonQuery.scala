@@ -1275,9 +1275,26 @@ object NativeJsonQuery {
       case "doubleMean"                          => avg(f)
       case "longFirst"                           => min_by(f, col(Tables.TimeColumn)).cast("long")
       case "longLast"                            => max_by(f, col(Tables.TimeColumn)).cast("long")
-      case "doubleFirst" | "stringFirst"         => min_by(f, col(Tables.TimeColumn))
-      case "doubleLast" | "stringLast"           => max_by(f, col(Tables.TimeColumn))
-      case "longAny" | "doubleAny" | "stringAny" => any_value(f)
+      case "doubleFirst" | "floatFirst" | "stringFirst" =>
+        min_by(f, col(Tables.TimeColumn))
+      case "doubleLast" | "floatLast" | "stringLast" =>
+        max_by(f, col(Tables.TimeColumn))
+      case "longAny" | "doubleAny" | "floatAny" | "stringAny" => any_value(f)
+      // SingleValueAggregatorFactory (scalar-subquery enforcement): exactly
+      // one input value, else the reference errors
+      case "singleValue" =>
+        when(count(lit(1)) === 1, any_value(f)).otherwise(
+          raise_error(lit("singleValue aggregator saw more than one row")))
+      // stats extension: variance/stddev with estimator population|sample
+      case "variance" =>
+        if (str(j \ "estimator").contains("population")) var_pop(f.cast("double"))
+        else var_samp(f.cast("double"))
+      case "stddev" =>
+        if (str(j \ "estimator").contains("population")) stddev_pop(f.cast("double"))
+        else stddev_samp(f.cast("double"))
+      // GroupingAggregatorFactory → grouping_id over the listed groupings
+      case "grouping" =>
+        grouping_id(arr(j \ "groupings").collect { case JString(d) => col(d) }: _*)
       case "hyperUnique" | "cardinality" =>
         // our HLL TypedImperativeAggregate (reference hyperUnique /
         // CardinalityAggregatorFactory). Multiple fields = distinct TUPLES

@@ -227,6 +227,34 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(byPost(1).getDouble(idx) >= byPost(2).getDouble(idx))
   }
 
+  test("variance/stddev/singleValue aggregators") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "lineitem",
+       "granularity": "all",
+       "aggregations": [
+         {"type": "variance", "name": "v", "fieldName": "l_quantity"},
+         {"type": "variance", "name": "vp", "fieldName": "l_quantity",
+          "estimator": "population"},
+         {"type": "stddev", "name": "sd", "fieldName": "l_quantity"}]}""")
+    val r = df.head()
+    assert(r.getDouble(df.columns.indexOf("v")) > r.getDouble(df.columns.indexOf("vp")))
+    assert(math.abs(math.sqrt(r.getDouble(df.columns.indexOf("v"))) -
+      r.getDouble(df.columns.indexOf("sd"))) < 1e-9)
+    val sv = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource":
+         {"type": "filter", "base": "nation",
+          "filter": {"type": "selector", "dimension": "n_nationkey", "value": 7}},
+       "granularity": "all",
+       "aggregations": [{"type": "singleValue", "name": "nm", "fieldName": "n_name"}]}""")
+    assert(sv.head.getString(0).nonEmpty)
+    intercept[Exception] {
+      NativeJsonQuery.run(spark, dir, """
+        {"queryType": "timeseries", "dataSource": "nation", "granularity": "all",
+         "aggregations": [{"type": "singleValue", "name": "nm", "fieldName": "n_name"}]}""")
+        .collect()
+    }
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
