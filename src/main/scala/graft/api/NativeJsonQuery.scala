@@ -1295,6 +1295,20 @@ object NativeJsonQuery {
       // GroupingAggregatorFactory → grouping_id over the listed groupings
       case "grouping" =>
         grouping_id(arr(j \ "groupings").collect { case JString(d) => col(d) }: _*)
+      // HistogramAggregatorFactory: explicit breaks → (breaks, counts)
+      // struct; values outside the break range fall into the open-ended
+      // end buckets like the reference's Histogram.offer
+      case "histogram" =>
+        val breaks = arr(j \ "breaks").flatMap(double(_))
+        require(breaks.size >= 2, "histogram needs >= 2 breaks")
+        val inner = breaks.sliding(2).toSeq.map { case Seq(lo, hi) =>
+          sum(when(f >= lo && f < hi, 1L).otherwise(0L))
+        }
+        val under = sum(when(f < breaks.head, 1L).otherwise(0L))
+        val over = sum(when(f >= breaks.last, 1L).otherwise(0L))
+        struct(
+          array(breaks.map(lit): _*).as("breaks"),
+          array((under +: inner :+ over): _*).as("counts"))
       case "hyperUnique" | "cardinality" =>
         // our HLL TypedImperativeAggregate (reference hyperUnique /
         // CardinalityAggregatorFactory). Multiple fields = distinct TUPLES

@@ -255,6 +255,21 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("histogram aggregator: breaks + counts with open-ended end buckets") {
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "timeseries", "dataSource": "lineitem",
+       "granularity": "all",
+       "aggregations": [
+         {"type": "histogram", "name": "h", "fieldName": "l_quantity",
+          "breaks": [10.0, 20.0, 30.0]},
+         {"type": "count", "name": "n"}]}""")
+    val r = df.head()
+    val h = r.getStruct(df.columns.indexOf("h"))
+    val counts = h.getSeq[Long](1)
+    assert(counts.length == 4) // under, [10,20), [20,30), over
+    assert(counts.sum == r.getLong(df.columns.indexOf("n")))
+  }
+
   test("search across dimensions") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "search", "dataSource": "part",
