@@ -1070,6 +1070,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_contamination" -> ((s, dir) => {
+      // benchmark decontamination: probe docs whose 8-grams collide with
+      // the corpus (the synthetic corpus contains near-duplicates, so the
+      // overlap is non-trivial)
+      val docs = t(s, dir)("documents")
+      graft.pipeline.Dedup.ngramContamination(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+          docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_stratified" -> ((s, dir) => {
       // stratified deterministic sampling (dataset mixing: per-language keep
       // rates, reproducible across engines/runs — Sampling.stratified)
@@ -2178,6 +2190,24 @@ object SparkEntry {
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
                   '[0-9]{3,}', '<NUM>', 'g')) <> length(text) AS changed
          FROM documents ORDER BY doc_id""",
+
+    "q_dedup_contamination" ->
+      """WITH cg AS (
+           SELECT DISTINCT array_to_string(list_slice(toks, i+1, i+8), ' ') AS g
+           FROM (SELECT string_split_regex(text, '\s+') AS toks
+                 FROM documents WHERE doc_id % 10 < 8),
+                unnest(generate_series(0, len(toks) - 8)) AS t(i)
+           WHERE len(toks) >= 8),
+         pg AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i+1, i+8), ' ') AS g
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                 FROM documents WHERE doc_id % 10 >= 8),
+                unnest(generate_series(0, len(toks) - 8)) AS t(i)
+           WHERE len(toks) >= 8)
+         SELECT pg.doc_id, count(*) AS matched
+         FROM pg JOIN cg USING (g)
+         GROUP BY pg.doc_id ORDER BY pg.doc_id""",
 
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars

@@ -73,6 +73,38 @@ object Dedup {
     if (distinctRows) rows.distinct() else rows
   }
 
+  /** Benchmark decontamination (training pipelines check eval-set n-gram
+    * overlap against the corpus before training — the standard 8-13-gram
+    * collision test). Returns one row per CONTAMINATED probe document:
+    * (probe id, matched = distinct corpus-colliding n-grams).
+    *
+    * Scale shape: both sides reduce to distinct (id, gram) /(gram) rows with
+    * map-side combine, then one shuffle keyed on the gram for a semi-shaped
+    * inner join — documents never move, and the corpus side carries one row
+    * per DISTINCT gram regardless of corpus duplication.
+    */
+  def ngramContamination(corpus: DataFrame, probe: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, withId: Boolean): DataFrame = {
+      val toks = split(col(textCol), "\\s+")
+      val firstId = if (withId) Seq(col(idCol).as("__pid")) else Nil
+      val keepId = if (withId) Seq(col("__pid")) else Nil
+      df.select(firstId :+ toks.as("__toks"): _*)
+        .filter(size(col("__toks")) >= n)
+        .select(keepId :+
+          explode(sequence(lit(0), size(col("__toks")) - n)).as("__i") :+
+          col("__toks"): _*)
+        .select(keepId :+
+          concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(n))).as("__g"): _*)
+        .distinct()
+    }
+    grams(probe, withId = true)
+      .join(grams(corpus, withId = false), Seq("__g"))
+      .groupBy(col("__pid").as(idCol))
+      .agg(count(lit(1)).as("matched"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum xxhash64 over the shingle set. Expressed with higher-order
     * `transform`/`aggregate` so the whole signature is computed in one
