@@ -73,7 +73,14 @@ object NativeJsonQuery {
       case "topN"               => topN(df, q, flt)
       case "groupBy"            => groupBy(df, q, flt)
       case "scan"               => scan(df, q, flt)
-      case "timeBoundary"       => NQ.timeBoundary(flt.fold(df)(df.filter), Tables.TimeColumn)
+      case "timeBoundary" =>
+        // TimeBoundaryQuery.bound: maxTime/minTime restrict to one column
+        val tb = NQ.timeBoundary(flt.fold(df)(df.filter), Tables.TimeColumn)
+        str(q \ "bound") match {
+          case Some("minTime") => tb.select("min_time")
+          case Some("maxTime") => tb.select("max_time")
+          case _               => tb
+        }
       case "dataSourceMetadata" => NQ.dataSourceMetadata(df, Tables.TimeColumn)
       case "search"             => search(df, q, flt)
       case "segmentMetadata" =>

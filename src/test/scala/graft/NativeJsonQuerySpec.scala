@@ -23,6 +23,13 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(r.getTimestamp(0).before(r.getTimestamp(1)))
   }
 
+  test("timeBoundary bound=maxTime returns a single column") {
+    val df = NativeJsonQuery.run(spark, dir,
+      """{"queryType": "timeBoundary", "dataSource": "events", "bound": "maxTime"}""")
+    assert(df.columns.toSeq == Seq("max_time"))
+    assert(df.head.getTimestamp(0) != null)
+  }
+
   test("dataSourceMetadata") {
     val r = NativeJsonQuery.run(spark, dir,
       """{"queryType": "dataSourceMetadata", "dataSource": "events"}""").head()
