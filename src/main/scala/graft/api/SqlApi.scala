@@ -57,7 +57,7 @@ object SqlApi {
             val df = spark.sql(sqlText)
             // context.sqlOuterLimit (reference QueryContexts): a hard outer
             // row cap applied over whatever the query returns
-            j \ "context" \ "sqlOuterLimit" match {
+            ctxValue(j, "sqlOuterLimit") match {
               case JInt(n)  => df.limit(n.toInt)
               case JLong(n) => df.limit(n.toInt)
               case _        => df
@@ -73,10 +73,10 @@ object SqlApi {
   def execute(spark: SparkSession, dir: String, payload: String): String = {
     val j = JsonMethods.parse(payload)
     val df = run(spark, dir, payload)
-    val queryId = str(j \ "context" \ "sqlQueryId")
+    val queryId = str(ctxValue(j, "sqlQueryId"))
     val group = queryId.getOrElse("graft-sql") + "#" + java.util.UUID.randomUUID()
     queryId.foreach(activeGroups.put(_, group))
-    val timeoutMs = j \ "context" \ "timeout" match {
+    val timeoutMs = ctxValue(j, "timeout") match {
       case JInt(ms)  => Some(ms.toLong)
       case JLong(ms) => Some(ms)
       case _         => None
@@ -108,14 +108,47 @@ object SqlApi {
   private val activeGroups =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Bound + UNNEST-translated SQL text of a payload. */
+  /** Context value for `key`: a leading SET statement wins over the
+    * payload's context object (reference DruidSqlSet precedence).
+    */
+  private def ctxValue(j: JValue, key: String): JValue = {
+    val sets = str(j \ "query").map(setStatements(_)._1).getOrElse(Map.empty)
+    sets.getOrElse(key, j \ "context" \ key)
+  }
+
+  /** Bound + UNNEST-translated SQL text of a payload (SET statements
+    * stripped — fold them into the context via [[setStatements]]).
+    */
   private[graft] def sql(j: JValue): String = {
     val raw = str(j \ "query").getOrElse(
       throw new IllegalArgumentException("payload requires a query field"))
     val params = j \ "parameters" match {
       case JArray(xs) => xs; case _ => Nil
     }
-    rewriteUnnest(bind(raw, params))
+    rewriteUnnest(bind(setStatements(raw)._2, params))
+  }
+
+  /** Leading `SET key = value;` statements (reference `DruidSqlSet` — SQL
+    * context parameters set in the query text). Returns (context entries,
+    * remaining SQL). String values quoted, numbers/booleans bare.
+    */
+  private[graft] def setStatements(raw: String): (Map[String, JValue], String) = {
+    val SetRe =
+      """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*('(?:[^']|'')*'|[^;]+?)\s*;\s*(.*)$""".r
+    raw match {
+      case SetRe(k, v, rest) =>
+        val value: JValue =
+          if (v.startsWith("'"))
+            JString(v.substring(1, v.length - 1).replace("''", "'"))
+          else if (v.equalsIgnoreCase("true")) JBool(true)
+          else if (v.equalsIgnoreCase("false")) JBool(false)
+          else scala.util.Try(JLong(v.trim.toLong))
+            .orElse(scala.util.Try(JDouble(v.trim.toDouble)))
+            .getOrElse(JString(v.trim))
+        val (more, sqlText) = setStatements(rest)
+        (more + (k -> value), sqlText)
+      case _ => (Map.empty, raw)
+    }
   }
 
   // ---------------------------------------------------------------- binding

@@ -217,6 +217,18 @@ class SqlApiSpec extends AnyFunSuite {
       Seq(("a", 4L), ("b", 2L)))
   }
 
+  test("SET statements fold into the context and strip from the SQL") {
+    val (ctx, rest) = SqlApi.setStatements(
+      "SET sqlOuterLimit = 2; SET tag = 'a''b'; SELECT 1")
+    assert(ctx("sqlOuterLimit") == JLong(2))
+    assert(ctx("tag") == JString("a'b"))
+    assert(rest == "SELECT 1")
+    val df = SqlApi.run(spark, dir, """{
+      "query": "SET sqlOuterLimit = 2; SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+    }""")
+    assert(df.count() == 2)
+  }
+
   test("context.sqlOuterLimit caps the result") {
     val df = SqlApi.run(spark, dir, """{
       "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
