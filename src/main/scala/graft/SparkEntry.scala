@@ -518,6 +518,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    "q_window_null_order" -> ((s, dir) => {
+      // explicit NULLS FIRST/LAST in window and output ordering — engines
+      // disagree on defaults (Spark asc=nulls-first, DuckDB asc=nulls-last),
+      // so reference queries must pin it; this gate proves both directions
+      val v = when(pmod(col("event_id"), lit(4)) =!= 0, col("value"))
+      val wLast = Window.partitionBy(col("user_id"))
+        .orderBy(v.asc_nulls_last, col("event_id"))
+      val wFirst = Window.partitionBy(col("user_id"))
+        .orderBy(v.desc_nulls_first, col("event_id"))
+      t(s, dir)("events").filter(col("user_id") < 15)
+        .select(col("user_id"), col("event_id"), v.as("v"),
+          row_number().over(wLast).as("rn_last"),
+          row_number().over(wFirst).as("rn_first"))
+        .orderBy(col("user_id"), col("v").asc_nulls_last, col("event_id"))
+    }),
+
     "q_window_frame" -> ((s, dir) => {
       // frames over integer-valued doubles → exact under any association
       val w = Window.partitionBy(col("l_suppkey"))
@@ -2469,6 +2485,17 @@ object SparkEntry {
          FROM events WHERE user_id < 10
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
          ORDER BY user_id, event_id""",
+
+    "q_window_null_order" ->
+      """SELECT user_id, event_id, v,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY v ASC NULLS LAST, event_id) AS rn_last,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY v DESC NULLS FIRST, event_id) AS rn_first
+         FROM (SELECT user_id, event_id,
+                      CASE WHEN event_id % 4 <> 0 THEN value END AS v
+               FROM events WHERE user_id < 15)
+         ORDER BY user_id, v ASC NULLS LAST, event_id""",
 
     "q_window_ignore_nulls" ->
       """SELECT user_id, event_id, v,
