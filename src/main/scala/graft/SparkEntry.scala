@@ -46,6 +46,17 @@ object SparkEntry {
         limit = Some(500))
     }),
 
+    "q_scan_desc" -> ((s, dir) => {
+      // scan with descending __time ordering (reference ScanQuery order
+      // "descending" — the only native scan ordering besides ascending);
+      // event_id tiebreak for cross-engine determinism
+      NQ.scan(t(s, dir)("events"),
+        Seq("event_id", "event_type", "value"),
+        filter = Some(col("event_type") === "click"),
+        orderBy = Seq(col("event_id").desc),
+        limit = Some(200))
+    }),
+
     "q_scan_offset" -> ((s, dir) => {
       NQ.scan(t(s, dir)("orders"),
         Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
@@ -2086,6 +2097,11 @@ object SparkEntry {
          WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1994-01-01'
            AND l_shipdate < TIMESTAMP '1996-01-01'
          ORDER BY l_orderkey, l_linenumber LIMIT 500""",
+
+    "q_scan_desc" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type = 'click'
+         ORDER BY event_id DESC LIMIT 200""",
 
     "q_scan_offset" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
