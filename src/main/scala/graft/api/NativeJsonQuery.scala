@@ -339,11 +339,13 @@ object NativeJsonQuery {
     // and must not poison a retry that reuses the same queryId
     val group = queryId.getOrElse("graft") + "#" + java.util.UUID.randomUUID()
     queryId.foreach(activeGroups.put(_, group))
-    val timeoutMs = parsed \ "context" \ "timeout" match {
+    // timeout <= 0 means NO timeout (reference QueryContexts.NO_TIMEOUT) —
+    // scheduling a 0ms timer would cancel the job group immediately
+    val timeoutMs = (parsed \ "context" \ "timeout" match {
       case JInt(ms)  => Some(ms.toLong)
       case JLong(ms) => Some(ms)
       case _         => None
-    }
+    }).filter(_ > 0)
     val maxRows = (parsed \ "context" \ "maxSubqueryRows" match {
       case JInt(n)  => Some(n.toInt)
       case JLong(n) => Some(n.toInt)

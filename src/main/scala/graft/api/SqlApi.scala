@@ -68,36 +68,83 @@ object SqlApi {
 
   /** Run the payload and render the HTTP response body per `resultFormat` +
     * header flags, honoring context.timeout and context.sqlQueryId
-    * cancellation (reference `SqlResource` + `SqlLifecycle`).
+    * cancellation (reference `SqlResource` + `SqlLifecycle`). The result is
+    * bounded by `context.maxSubqueryRows` (default
+    * [[NativeJsonQuery.DefaultMaxResultRows]]): rows are fetched through
+    * `toLocalIterator` — never an unbounded `collect` — and overflow raises
+    * [[NativeJsonQuery.ResourceLimitExceeded]] instead of OOMing the driver.
+    * For unbounded streaming of line-shaped formats use [[executeStream]].
     */
   def execute(spark: SparkSession, dir: String, payload: String): String = {
+    val out = new java.io.StringWriter()
+    executeTo(spark, dir, payload, out, capped = true)
+    out.toString
+  }
+
+  /** Streaming variant of [[execute]]: renders the response body
+    * incrementally to `out` via `toLocalIterator`, so driver memory stays
+    * bounded by one partition regardless of result size — the analog of the
+    * reference `SqlResource` streaming the HTTP chunked response. No row cap
+    * is applied (the caller owns the sink); object/array formats stream
+    * element-by-element, line formats line-by-line.
+    */
+  def executeStream(spark: SparkSession, dir: String, payload: String,
+                    out: java.io.Writer): Unit =
+    executeTo(spark, dir, payload, out, capped = false)
+
+  private def executeTo(spark: SparkSession, dir: String, payload: String,
+                        out: java.io.Writer, capped: Boolean): Unit = {
     val j = JsonMethods.parse(payload)
     val df = run(spark, dir, payload)
     val queryId = str(ctxValue(j, "sqlQueryId"))
     val group = queryId.getOrElse("graft-sql") + "#" + java.util.UUID.randomUUID()
     queryId.foreach(activeGroups.put(_, group))
-    val timeoutMs = ctxValue(j, "timeout") match {
+    // timeout <= 0 means NO timeout (reference QueryContexts.NO_TIMEOUT) —
+    // scheduling a 0ms timer would cancel the job group immediately
+    val timeoutMs = (ctxValue(j, "timeout") match {
       case JInt(ms)  => Some(ms.toLong)
       case JLong(ms) => Some(ms)
       case _         => None
-    }
+    }).filter(_ > 0)
+    val maxRows = (ctxValue(j, "maxSubqueryRows") match {
+      case JInt(n)  => Some(n.toInt)
+      case JLong(n) => Some(n.toInt)
+      case _        => None
+    }).getOrElse(NativeJsonQuery.DefaultMaxResultRows)
     spark.sparkContext.setJobGroup(group, s"graft sql $group",
       interruptOnCancel = true)
-    val rows =
-      try timeoutMs match {
-        case Some(ms) =>
-          val timer = new java.util.Timer("graft-sql-timeout", true)
-          timer.schedule(new java.util.TimerTask {
-            override def run(): Unit =
-              spark.sparkContext.cancelJobGroupAndFutureJobs(group)
-          }, ms)
-          try df.collect() finally timer.cancel()
-        case None => df.collect()
-      } finally {
-        spark.sparkContext.clearJobGroup()
-        queryId.foreach(activeGroups.remove(_, group))
+    def body(): Unit = {
+      // fetch cap+1 at most: cap+1 rows back = overflow, never the full result
+      val limited = if (capped) df.limit(maxRows + 1) else df
+      val it = limited.toLocalIterator()
+      val rows = new Iterator[Row] {
+        private var n = 0
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          n += 1
+          if (capped && n > maxRows)
+            throw new NativeJsonQuery.ResourceLimitExceeded(
+              s"query result exceeds maxSubqueryRows=$maxRows " +
+                "(reference ResourceLimitExceededException); raise " +
+                "context.maxSubqueryRows or add a limit/aggregation")
+          it.next()
+        }
       }
-    format(rows, df.schema, j)
+      render(rows, df.schema, j, out)
+    }
+    try timeoutMs match {
+      case Some(ms) =>
+        val timer = new java.util.Timer("graft-sql-timeout", true)
+        timer.schedule(new java.util.TimerTask {
+          override def run(): Unit =
+            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+        }, ms)
+        try body() finally timer.cancel()
+      case None => body()
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      queryId.foreach(activeGroups.remove(_, group))
+    }
   }
 
   /** DELETE /druid/v2/sql/{sqlQueryId} analog. */
@@ -174,6 +221,10 @@ object SqlApi {
         case '-' if i + 1 < n && sqlText.charAt(i + 1) == '-' =>
           val nl = sqlText.indexOf('\n', i)
           val end = if (nl < 0) n else nl + 1
+          out.append(sqlText, i, end); i = end
+        case '/' if i + 1 < n && sqlText.charAt(i + 1) == '*' =>
+          val star = sqlText.indexOf("*/", i + 2)
+          val end = if (star < 0) n else star + 2
           out.append(sqlText, i, end); i = end
         case '?' =>
           if (p >= params.length)
@@ -301,11 +352,13 @@ object SqlApi {
       val u = idx
       val before = sqlText.substring(0, u)
       val trimmed = before.reverse.dropWhile(_.isWhitespace).reverse
-      if (trimmed.toUpperCase.endsWith("CROSS JOIN"))
-        (trimmed.length - "CROSS JOIN".length, u)
-      else if (trimmed.endsWith(","))
-        (trimmed.length - 1, u)
-      else (u, u)
+      // whitespace-tolerant: CROSS \s+ JOIN (any amount/kind of whitespace)
+      val CrossJoin = """(?is)^(.*?)\bCROSS\s+JOIN\s*$""".r
+      trimmed match {
+        case CrossJoin(prefix) => (prefix.length, u)
+        case _ if trimmed.endsWith(",") => (trimmed.length - 1, u)
+        case _ => (u, u)
+      }
     }
     val open = sqlText.indexOf('(', exprStart)
     require(open > 0, "UNNEST must be followed by (expr)")
@@ -324,6 +377,10 @@ object SqlApi {
     rewriteUnnest(replaced) // handle multiple UNNESTs
   }
 
+  // '_' is part of a SQL identifier: my_unnest(...) is NOT the keyword
+  private def isWordChar(c: Char): Boolean =
+    c == '_' || Character.isLetterOrDigit(c)
+
   /** Index of the next top-level UNNEST keyword outside quotes, -1 if none. */
   private def findUnnest(s: String, upper: String): Int = {
     var i = 0
@@ -334,8 +391,8 @@ object SqlApi {
         case '"'  => i = skipQuoted(s, i, '"')
         case 'u' | 'U'
             if upper.startsWith("UNNEST", i) &&
-              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-              (i + 6 >= n || !Character.isLetterOrDigit(s.charAt(i + 6))) =>
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + 6 >= n || !isWordChar(s.charAt(i + 6))) =>
           return i
         case _ => i += 1
       }
@@ -667,12 +724,24 @@ object SqlApi {
   private val TsFmt = DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
 
-  /** Render collected rows per resultFormat/header flags (reference
+  /** Render rows per resultFormat/header flags (reference
     * `sql/http/ResultFormat.java`: object, array, objectLines, arrayLines,
     * csv; header/typesHeader/sqlTypesHeader rows).
     */
   private[graft] def format(rows: Array[Row], schema: StructType,
-                          j: JValue): String = {
+                            j: JValue): String = {
+    val out = new java.io.StringWriter()
+    render(rows.iterator, schema, j, out)
+    out.toString
+  }
+
+  /** Streaming renderer behind [[format]]/[[executeStream]]: consumes the
+    * row iterator once, writing each rendered row to `out` as it arrives —
+    * nothing is accumulated, so memory is O(one row) regardless of result
+    * size (the reference's ResultFormat writers stream the same way).
+    */
+  private def render(rows: Iterator[Row], schema: StructType,
+                     j: JValue, out: java.io.Writer): Unit = {
     val fmt = str(j \ "resultFormat").getOrElse("object")
     val header = bool(j \ "header").getOrElse(false)
     val typesHeader = bool(j \ "typesHeader").getOrElse(false)
@@ -734,15 +803,28 @@ object SqlApi {
                  (if (sqlTypesHeader) List("sqlType" -> JString(sTypes(i))) else Nil)))
       }.toList))
 
+    // one JSON value (or line) at a time — never a materialized list of rows
+    def writeJsonArray(headers: List[JValue], body: Iterator[JValue]): Unit = {
+      out.write("[")
+      var first = true
+      (headers.iterator ++ body).foreach { v =>
+        if (!first) out.write(",")
+        out.write(compact(v)); first = false
+      }
+      out.write("]")
+    }
+    def writeLines(headers: List[JValue], body: Iterator[JValue]): Unit =
+      (headers.iterator ++ body).foreach { v => out.write(compact(v)); out.write("\n") }
+
     fmt match {
       case "object" =>
-        compact(JArray(objHeader ++ rows.map(objRow).toList))
+        writeJsonArray(objHeader, rows.map(objRow))
       case "array" =>
-        compact(JArray(arrHeaders ++ rows.map(arrRow).toList))
+        writeJsonArray(arrHeaders, rows.map(arrRow))
       case "objectLines" =>
-        (objHeader ++ rows.map(objRow).toList).map(compact).mkString("", "\n", "\n")
+        writeLines(objHeader, rows.map(objRow))
       case "arrayLines" =>
-        (arrHeaders ++ rows.map(arrRow).toList).map(compact).mkString("", "\n", "\n")
+        writeLines(arrHeaders, rows.map(arrRow))
       case "csv" =>
         def csvCell(v: JValue): String = v match {
           case JNull => ""
@@ -758,8 +840,8 @@ object SqlApi {
           else List(csvRow(names.map(JString(_)).toList)) ++
             (if (typesHeader) List(csvRow(dTypes.map(JString(_)).toList)) else Nil) ++
             (if (sqlTypesHeader) List(csvRow(sTypes.map(JString(_)).toList)) else Nil)
-        (headerLines ++ rows.map(r => csvRow(r.toSeq.map(cell).toList)).toList)
-          .mkString("", "\n", "\n")
+        (headerLines.iterator ++ rows.map(r => csvRow(r.toSeq.map(cell).toList)))
+          .foreach { line => out.write(line); out.write("\n") }
       case other =>
         throw new IllegalArgumentException(s"unknown resultFormat $other")
     }

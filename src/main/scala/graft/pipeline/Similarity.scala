@@ -111,16 +111,24 @@ object Similarity {
   /** Approximate NN: bucket corpus and queries with `lshBucket`, compare only
     * within buckets, top-k per query. Misses are possible (that's the trade);
     * multi-probe = union over several bit widths if recall matters.
+    *
+    * The query side broadcasts only while Catalyst's size estimate stays
+    * under the session broadcast threshold ([[graft.operators.Joins
+    * .boundedBlockJoin]]); an over-threshold query set — e.g. a
+    * corpus-vs-corpus self-search — falls back to a salted shuffle join on
+    * the bucket key instead of broadcasting terabytes.
     */
   def annLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
-             vecCol: String, k: Int, numBits: Int = 8): DataFrame = {
+             vecCol: String, k: Int, numBits: Int = 8,
+             mode: String = "auto"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
       lshBucket(col(vecCol), numBits).as("bucket"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_norm"),
       lshBucket(col(vecCol), numBits).as("bucket"))
-    val sims = c.join(broadcast(q), Seq("bucket"))
+    val sims = graft.operators.Joins.boundedBlockJoin(c, q, Seq("bucket"),
+      saltBy = col("n_id"), mode = mode)
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosineWithNorms(col("q_vec"), col("n_vec"),
@@ -204,7 +212,7 @@ object Similarity {
     */
   def annIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-             iters: Int = 2): DataFrame = {
+             iters: Int = 2, mode: String = "auto"): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
     val c = probeAssign(
       corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
@@ -214,7 +222,10 @@ object Similarity {
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_norm")),
       centroids, "q_vec", Seq("q_id"), nprobe)
-    val sims = c.join(broadcast(q), Seq("centroid_id"))
+    // query side broadcasts only under the size gate (see annLsh) — a
+    // corpus-scale query set shuffles on the inverted-list id instead
+    val sims = graft.operators.Joins.boundedBlockJoin(c, q, Seq("centroid_id"),
+      saltBy = col("n_id"), mode = mode)
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosineWithNorms(col("q_vec"), col("n_vec"),

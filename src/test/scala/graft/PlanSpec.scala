@@ -181,6 +181,34 @@ class PlanSpec extends AnyFunSuite {
     assert(key(cosShuffle) == key(cosBcast))
   }
 
+  test("ann never broadcasts an over-threshold query side") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, dir, "embeddings")
+    // corpus-vs-corpus self-search: in shuffle mode (what auto picks once
+    // the query side exceeds the broadcast threshold) neither side may be
+    // broadcast — the plan must be a salted shuffle join on the bucket key
+    val lsh = Similarity.annLsh(emb, emb, "vec_id", "embedding", k = 3,
+      numBits = 4, mode = "shuffle")
+    assert(!lsh.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    val ivf = Similarity.annIvf(emb, emb, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 2, iters = 1, mode = "shuffle")
+    // centroid probe-assign broadcasts the nlist-row centroid table (fine);
+    // the bucket join itself must be shuffle-shaped: assert it by checking
+    // the SortMergeJoin on centroid_id is present
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("SortMergeJoin"))
+    // both modes agree on results (same per-pair math, same top-k ties)
+    val qs = emb.filter(col("vec_id") < 10)
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(Similarity.annLsh(qs, emb, "vec_id", "embedding", 3, 4,
+      mode = "shuffle")) ==
+      key(Similarity.annLsh(qs, emb, "vec_id", "embedding", 3, 4,
+        mode = "broadcast")))
+  }
+
   test("shingle pipeline has no shuffle before the partial min-aggregates") {
     // scan -> project -> generate -> partial agg; the only Exchange must be
     // AFTER the first HashAggregate (the partial)

@@ -237,6 +237,64 @@ class SqlApiSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("placeholders inside block comments survive") {
+    val s = bind("SELECT /* not a param ? */ x FROM t WHERE x = ?",
+      """[{"type": "BIGINT", "value": 9}]""")
+    assert(s.contains("/* not a param ? */"))
+    assert(s.contains("x = 9"))
+  }
+
+  test("identifier ending in unnest is not the UNNEST keyword") {
+    val s = SqlApi.rewriteUnnest("SELECT my_unnest(a) FROM t")
+    assert(s == "SELECT my_unnest(a) FROM t")
+  }
+
+  test("CROSS JOIN with extra whitespace before UNNEST rewrites cleanly") {
+    val s = SqlApi.rewriteUnnest(
+      "SELECT w FROM nation CROSS  JOIN\nUNNEST(split(c, ' ')) AS t (w)")
+    assert(s.contains("LATERAL VIEW explode(split(c, ' ')) t AS w"))
+    assert(!s.toUpperCase.contains("CROSS"))
+  }
+
+  test("maxSubqueryRows caps execute; in-cap queries succeed") {
+    val big = """{
+      "query": "SELECT * FROM lineitem",
+      "context": {"maxSubqueryRows": 100}
+    }"""
+    val ex = intercept[graft.api.NativeJsonQuery.ResourceLimitExceeded] {
+      SqlApi.execute(spark, dir, big)
+    }
+    assert(ex.getMessage.contains("maxSubqueryRows=100"))
+    val small = """{
+      "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5",
+      "context": {"maxSubqueryRows": 100}
+    }"""
+    assert(JsonMethods.parse(SqlApi.execute(spark, dir, small))
+      .asInstanceOf[JArray].arr.length == 5)
+  }
+
+  test("timeout 0 means no timeout (reference NO_TIMEOUT), not instant kill") {
+    val payload = """{
+      "query": "SELECT count(*) AS n FROM nation",
+      "context": {"timeout": 0}
+    }"""
+    val out = SqlApi.execute(spark, dir, payload)
+    val first = JsonMethods.parse(out).asInstanceOf[JArray].arr.head
+    assert((first \ "n") == JLong(25) || (first \ "n") == JInt(25))
+  }
+
+  test("executeStream renders line formats incrementally without a cap") {
+    val sw = new java.io.StringWriter()
+    SqlApi.executeStream(spark, dir, """{
+      "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
+      "resultFormat": "arrayLines",
+      "context": {"maxSubqueryRows": 3}
+    }""", sw)
+    val lines = sw.toString.trim.split("\n")
+    assert(lines.length == 25) // stream path ignores the cap: caller owns sink
+    assert(lines.head == "[0]")
+  }
+
   test("context timeout cancels a long-running query") {
     val payload = """{
       "query": "SELECT count(*) FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c",
