@@ -589,11 +589,18 @@ object SparkEntry {
     }),
 
     "q_agg_approx_distinct" -> ((s, dir) => {
-      // HLL cardinality (reference hyperUnique/cardinality aggregator):
-      // approximate by design → rows-only check, no oracle.
+      // HLL cardinality (reference hyperUnique/cardinality aggregator).
+      // Self-asserting error bound: estimate AND exact computed in one
+      // aggregation; the gate emits the exact value plus a boolean the
+      // DuckDB oracle reproduces from exact SQL (reference DataSketches
+      // tests assert the same within-epsilon shape).
       t(s, dir)("lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("est"),
+          count_distinct(col("l_partkey")).as("n_part_exact"))
+        .select(col("l_returnflag"), col("n_part_exact"),
+          (abs(col("est").cast("double") /
+            col("n_part_exact").cast("double") - 1.0) <= 0.1).as("approx_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1031,27 +1038,83 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      // approximate (hash-dependent) → rows-only check, no oracle
-      Dedup.minHashLsh(t(s, dir)("documents"), "doc_id", "text",
+      // MinHash-LSH candidates are hash-dependent, but their QUALITY is
+      // oracle-checkable: the truth set (exact 3-shingle jaccard >= 0.5 via
+      // shared-gram counting, no blocking — a verification artifact, not
+      // the scale path) is deterministic SQL both engines run. Output = one
+      // row per TRUE pair with its exact jaccard, `detected` (LSH found
+      // it) and a global `fp_ok` (no found pair has exact jaccard < 0.3);
+      // the oracle emits the same rows with TRUE booleans → full hash
+      // verification of recall AND precision bounds.
+      val docs = t(s, dir)("documents")
+      val grams = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val inter = grams.select(col("id").as("id_a"), col("sh"))
+        .join(grams.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+      val jac = inter
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .select(col("id_a"), col("id_b"), (col("i").cast("double") /
+          (col("sz_a") + col("sz_b") - col("i"))).as("j"))
+      val truth = jac.filter(col("j") >= 0.5)
+      val found = Dedup.minHashLsh(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 64, numBands = 16, threshold = 0.4)
+      val fpOk = found.join(jac, Seq("id_a", "id_b"), "left")
+        .agg((count(when(coalesce(col("j"), lit(0.0)) < 0.3, 1)) === 0)
+          .as("fp_ok"))
+      truth.join(found.select(col("id_a"), col("id_b"),
+          lit(true).as("detected")), Seq("id_a", "id_b"), "left")
+        .crossJoin(broadcast(fpOk))
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
+          coalesce(col("detected"), lit(false)).as("detected"), col("fp_ok"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
       // 64-bit simhash per doc + near-dup pairs within hamming<=12 over
-      // same-source blocks; hash-dependent → rows-only check
+      // same-source blocks. Hash-dependent pairs, oracle-checked like
+      // q_dedup_minhash: truth = same-source pairs with exact 3-shingle
+      // jaccard >= 0.5 (near-identical docs flip only a few token hashes,
+      // so hamming <= 12 must catch them); fp bound = no found pair below
+      // exact jaccard 0.3.
       // persist: the simhash table feeds both self-join sides and would
       // otherwise be computed twice; the pair join is size-gated (broadcast
       // below threshold, salted shuffle above — see Joins.boundedBlockJoin)
-      val d = Dedup.simHashTable(t(s, dir)("documents"), "doc_id", "text",
+      val docs = t(s, dir)("documents")
+      val d = Dedup.simHashTable(docs, "doc_id", "text",
         carry = Seq("source")).persist()
       val l = d.select(col("source"), col("id").as("id_a"), col("simhash").as("sh_a"))
       val r = d.select(col("source"), col("id").as("id_b"), col("simhash").as("sh_b"))
-      graft.operators.Joins.boundedBlockJoin(l, r, Seq("source"),
+      val found = graft.operators.Joins.boundedBlockJoin(l, r, Seq("source"),
         saltBy = col("id_a")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           Dedup.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
         .filter(col("hamming") <= 12)
+      val grams = Dedup.shingleRows(docs, "doc_id", "text", 3,
+        carry = Seq("source"))
+      val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val inter = grams.select(col("id").as("id_a"), col("source").as("src_a"),
+          col("sh"))
+        .join(grams.select(col("id").as("id_b"), col("source").as("src_b"),
+          col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b") && col("src_a") === col("src_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+      val jac = inter
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .select(col("id_a"), col("id_b"), (col("i").cast("double") /
+          (col("sz_a") + col("sz_b") - col("i"))).as("j"))
+      val truth = jac.filter(col("j") >= 0.5)
+      val fpOk = found.join(jac, Seq("id_a", "id_b"), "left")
+        .agg((count(when(coalesce(col("j"), lit(0.0)) < 0.3, 1)) === 0)
+          .as("fp_ok"))
+      truth.join(found.select(col("id_a"), col("id_b"),
+          lit(true).as("detected")), Seq("id_a", "id_b"), "left")
+        .crossJoin(broadcast(fpOk))
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
+          coalesce(col("detected"), lit(false)).as("detected"), col("fp_ok"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1210,23 +1273,41 @@ object SparkEntry {
     }),
 
     "q_embed_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (hash-dependent buckets) → rows-only check
+      // LSH-bucketed ANN: buckets are hash-dependent, so the gate anchors
+      // on the exact brute-force top-5 (deterministic, DuckDB-reproducible)
+      // and asserts the ANN pass's recall against it as a boolean the
+      // oracle reproduces as TRUE.
       val emb = t(s, dir)("embeddings")
-      Similarity.annLsh(emb.filter(col("vec_id") < 50), emb,
-        "vec_id", "embedding", k = 5, numBits = 4)
-        .select(col("q_id"), col("n_id"), round(col("sim"), 4).as("sim"))
-        .orderBy(col("q_id"), col("n_id"))
+      val qs = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceKnn(qs, emb, "vec_id", "embedding",
+        k = 5)
+      val ann = Similarity.annLsh(qs, emb, "vec_id", "embedding",
+        k = 5, numBits = 4)
+      exact.join(ann.select(col("q_id"), col("n_id"), lit(1).as("__hit")),
+          Seq("q_id", "n_id"), "left")
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          round(avg(round(col("sim"), 4)), 4).as("exact_mean_topk_sim"),
+          ((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))) >= 0.25).as("recall_ok"))
     }),
 
     "q_embed_ann_ivf" -> ((s, dir) => {
       // IVF-partitioned ANN (k-means coarse quantizer + nprobe search) —
-      // the scale path; approximate → rows-only check, recall asserted in
-      // FunctionsSpec against brute force
+      // the scale path. Same oracle anchoring as q_embed_ann_lsh: exact
+      // top-5 rows + an asserted recall bound (nprobe=4 of nlist=16 lists
+      // probed → recall well above the floor; FunctionsSpec measures it).
       val emb = t(s, dir)("embeddings")
-      Similarity.annIvf(emb.filter(col("vec_id") < 20), emb,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-        .select(col("q_id"), col("n_id"), round(col("sim"), 4).as("sim"))
-        .orderBy(col("q_id"), col("n_id"))
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceKnn(qs, emb, "vec_id", "embedding",
+        k = 5)
+      val ann = Similarity.annIvf(qs, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      exact.join(ann.select(col("q_id"), col("n_id"), lit(1).as("__hit")),
+          Seq("q_id", "n_id"), "left")
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          round(avg(round(col("sim"), 4)), 4).as("exact_mean_topk_sim"),
+          ((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))) >= 0.25).as("recall_ok"))
     }),
 
     "q_expr_array" -> ((s, dir) => {
@@ -1930,68 +2011,117 @@ object SparkEntry {
     // ------------------------------------- sketch aggregators (§2.5 ext)
     "q_sketch_hll" -> ((s, dir) => {
       // custom TypedImperativeAggregate HLL (reference hyperUnique, 2048
-      // registers); approximate by design → rows-only check. Accuracy is
-      // asserted in SketchSpec (estimate within ~3% of exact).
+      // registers). Self-asserting error bound (reference
+      // HllSketchAggregatorTest asserts within-epsilon): exact distinct is
+      // computed alongside; the boolean hash-matches the oracle's TRUE.
       import graft.functions.sketches.HllSketchAgg.hllEstimate
       t(s, dir)("events")
         .groupBy(col("event_type"))
-        .agg(hllEstimate(col("user_id")).as("approx_users"),
+        .agg(hllEstimate(col("user_id")).as("est"),
+          count_distinct(col("user_id")).as("n_users_exact"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("n_users_exact"), col("n"),
+          (abs(col("est") / col("n_users_exact").cast("double") - 1.0) <= 0.05)
+            .as("hll_ok"))
         .orderBy(col("event_type"))
     }),
 
     "q_sketch_kll" -> ((s, dir) => {
       // KLL quantiles sketch (reference datasketches KLL ext): mergeable
-      // binary sketch per group, quantile/rank via post-agg; randomized
-      // compaction → rows-only check, accuracy bounds in SketchSpec
+      // binary sketch per group, quantile/rank via post-agg. Self-asserting
+      // rank-error bounds: the estimated quantiles are joined back against
+      // the data to measure their TRUE rank, which must sit within the
+      // sketch's epsilon of the requested rank — booleans hash-match the
+      // oracle's TRUE (reference KLL tests assert the same bound).
       import graft.functions.sketches.KllSketchAgg._
-      t(s, dir)("lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(kllSketch(col("l_extendedprice")).as("sk"),
-          count(lit(1)).as("n"))
+      val li = t(s, dir)("lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(kllSketch(col("l_extendedprice")).as("sk"))
         .select(col("l_returnflag"),
-          round(kllQuantile(col("sk"), lit(0.5)), 0).as("p50_approx"),
-          round(kllQuantile(col("sk"), lit(0.95)), 0).as("p95_approx"),
-          round(kllRank(col("sk"), lit(30000.0)), 3).as("rank_30k"),
-          col("n"))
+          kllQuantile(col("sk"), lit(0.5)).as("p50_est"),
+          kllQuantile(col("sk"), lit(0.95)).as("p95_est"),
+          kllRank(col("sk"), lit(30000.0)).as("rank30_est"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          avg(when(col("l_extendedprice") <= col("p50_est"), 1.0)
+            .otherwise(0.0)).as("r50"),
+          avg(when(col("l_extendedprice") <= col("p95_est"), 1.0)
+            .otherwise(0.0)).as("r95"),
+          avg(when(col("l_extendedprice") <= 30000.0, 1.0)
+            .otherwise(0.0)).as("r30"),
+          first(col("rank30_est")).as("rank30_est"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("r50") - 0.5) <= 0.03).as("p50_ok"),
+          (abs(col("r95") - 0.95) <= 0.03).as("p95_ok"),
+          (abs(col("rank30_est") - col("r30")) <= 0.03).as("rank30_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
     "q_sketch_tdigest" -> ((s, dir) => {
       // merging t-digest (reference extensions-contrib/tdigestsketch):
-      // mergeable binary digest per group, quantile + cdf post-aggs;
-      // approximate by design → rows-only check, tail-accuracy bounds in
-      // SketchSpec (Dunning & Ertl k1 scale function)
+      // mergeable binary digest per group, quantile + cdf post-aggs.
+      // Self-asserting rank-error bounds via join-back (see q_sketch_kll);
+      // t-digest's k1 scale function is tail-accurate, so p99 gets the
+      // tighter epsilon (SketchSpec measures both).
       import graft.functions.sketches.TDigestSketchAgg._
-      t(s, dir)("lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(tdigestSketch(col("l_extendedprice")).as("sk"),
-          count(lit(1)).as("n"))
+      val li = t(s, dir)("lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(tdigestSketch(col("l_extendedprice")).as("sk"))
         .select(col("l_returnflag"),
-          round(tdigestQuantile(col("sk"), lit(0.5)), 0).as("p50_approx"),
-          round(tdigestQuantile(col("sk"), lit(0.99)), 0).as("p99_approx"),
-          round(tdigestCdf(col("sk"), lit(30000.0)), 3).as("cdf_30k"),
-          col("n"))
+          tdigestQuantile(col("sk"), lit(0.5)).as("p50_est"),
+          tdigestQuantile(col("sk"), lit(0.99)).as("p99_est"),
+          tdigestCdf(col("sk"), lit(30000.0)).as("cdf30_est"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          avg(when(col("l_extendedprice") <= col("p50_est"), 1.0)
+            .otherwise(0.0)).as("r50"),
+          avg(when(col("l_extendedprice") <= col("p99_est"), 1.0)
+            .otherwise(0.0)).as("r99"),
+          avg(when(col("l_extendedprice") <= 30000.0, 1.0)
+            .otherwise(0.0)).as("r30"),
+          first(col("cdf30_est")).as("cdf30_est"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("r50") - 0.5) <= 0.02).as("p50_ok"),
+          (abs(col("r99") - 0.99) <= 0.01).as("p99_ok"),
+          (abs(col("cdf30_est") - col("r30")) <= 0.02).as("cdf30_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
     "q_sketch_kll_dist" -> ((s, dir) => {
       // KLL distribution post-aggs (reference KllDoublesSketchToCDF/
       // ToHistogram post-aggregators): split-point CDF fractions and
-      // estimated bin counts from one stored sketch per group
+      // estimated bin counts from one stored sketch per group.
+      // Self-asserting: every estimate is checked against the exact
+      // fraction/count computed in the same plan (see q_sketch_kll).
       import graft.functions.sketches.KllSketchAgg._
-      t(s, dir)("lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(kllSketch(col("l_extendedprice")).as("sk"),
-          count(lit(1)).as("n"))
+      val li = t(s, dir)("lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(kllSketch(col("l_extendedprice")).as("sk"))
         .select(col("l_returnflag"),
-          round(element_at(kllCdf(col("sk"),
-            array(lit(20000.0), lit(50000.0))), 1), 3).as("cdf_20k"),
-          round(element_at(kllHistogram(col("sk"),
-            array(lit(20000.0), lit(50000.0))), 2), 0).as("bin_mid"),
-          round(element_at(kllQuantiles(col("sk"),
-            array(lit(0.25), lit(0.75))), 2), 0).as("p75_approx"),
-          col("n"))
+          element_at(kllCdf(col("sk"),
+            array(lit(20000.0), lit(50000.0))), 1).as("cdf20_est"),
+          element_at(kllHistogram(col("sk"),
+            array(lit(20000.0), lit(50000.0))), 2).as("bin_mid_est"),
+          element_at(kllQuantiles(col("sk"),
+            array(lit(0.25), lit(0.75))), 2).as("p75_est"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          avg(when(col("l_extendedprice") < 20000.0, 1.0)
+            .otherwise(0.0)).as("r20"),
+          avg(when(col("l_extendedprice") >= 20000.0 &&
+            col("l_extendedprice") < 50000.0, 1.0).otherwise(0.0)).as("rmid"),
+          avg(when(col("l_extendedprice") <= col("p75_est"), 1.0)
+            .otherwise(0.0)).as("r75"),
+          first(col("cdf20_est")).as("cdf20_est"),
+          first(col("bin_mid_est")).as("bin_mid_est"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("cdf20_est") - col("r20")) <= 0.03).as("cdf20_ok"),
+          (abs(col("bin_mid_est") / col("n").cast("double") - col("rmid"))
+            <= 0.06).as("bin_mid_ok"),
+          (abs(col("r75") - 0.75) <= 0.03).as("p75_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -2015,45 +2145,87 @@ object SparkEntry {
     "q_sketch_theta_setops" -> ((s, dir) => {
       // KMV/theta-style sketch algebra (reference datasketches theta):
       // distinct users per event type, then intersection/union estimates
-      // across two types via post-aggregation set ops.
+      // across two types via post-aggregation set ops. Self-asserting: the
+      // exact set sizes come from one distinct-user pass; every estimate
+      // must land within KMV's epsilon (intersection/difference are noisier
+      // — same bounds SketchSpec measures).
       import graft.functions.sketches.KmvSketchAgg._
-      val ev = t(s, dir)("events")
-      val sk = ev.filter(col("event_type").isin("purchase", "click"))
-        .groupBy(col("event_type"))
+      val ev = t(s, dir)("events").filter(col("event_type").isin("purchase", "click"))
+      val sk = ev.groupBy(col("event_type"))
         .agg(kmvSketch(col("user_id")).as("sk"))
       val p = sk.filter(col("event_type") === "purchase").select(col("sk").as("sk_p"))
       val l = sk.filter(col("event_type") === "click").select(col("sk").as("sk_l"))
-      p.crossJoin(l).select(
-        round(kmvEstimate(col("sk_p")), 1).as("purchase_users"),
-        round(kmvEstimate(col("sk_l")), 1).as("click_users"),
-        round(kmvIntersect(col("sk_p"), col("sk_l")), 1).as("both_users"),
-        round(kmvUnion(col("sk_p"), col("sk_l")), 1).as("either_users"),
-        round(kmvNot(col("sk_p"), col("sk_l")), 1).as("purchase_only_users"))
+      val est = p.crossJoin(l).select(
+        kmvEstimate(col("sk_p")).as("e_p"),
+        kmvEstimate(col("sk_l")).as("e_l"),
+        kmvIntersect(col("sk_p"), col("sk_l")).as("e_both"),
+        kmvUnion(col("sk_p"), col("sk_l")).as("e_either"),
+        kmvNot(col("sk_p"), col("sk_l")).as("e_only"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("isp"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("isc"))
+        .agg(sum(col("isp")).cast("long").as("purchase_users"),
+          sum(col("isc")).cast("long").as("click_users"),
+          sum(when(col("isp") === 1 && col("isc") === 1, 1).otherwise(0))
+            .cast("long").as("both_users"),
+          count(lit(1)).as("either_users"),
+          sum(when(col("isp") === 1 && col("isc") === 0, 1).otherwise(0))
+            .cast("long").as("purchase_only_users"))
+      exact.crossJoin(est).select(
+        col("purchase_users"), col("click_users"), col("both_users"),
+        col("either_users"), col("purchase_only_users"),
+        // set-op estimates carry union-scaled error (theta-sketch error
+        // model), so intersection/difference bounds normalize by |A∪B| —
+        // also keeps the bound defined when the exact difference is 0
+        (abs(col("e_p") / col("purchase_users") - 1.0) <= 0.05).as("p_ok"),
+        (abs(col("e_l") / col("click_users") - 1.0) <= 0.05).as("l_ok"),
+        (abs(col("e_both") - col("both_users")) <=
+          col("either_users") * 0.15).as("both_ok"),
+        (abs(col("e_either") / col("either_users") - 1.0) <= 0.05).as("union_ok"),
+        (abs(col("e_only") - col("purchase_only_users")) <=
+          col("either_users") * 0.15).as("not_ok"))
     }),
 
     "q_sketch_bloom" -> ((s, dir) => {
       // bloom-filter agg + membership filter (reference bloom extension):
       // build a filter of high-balance custkeys, probe customers through it.
-      // False positives possible → rows-only check; FP rate asserted in
-      // SketchSpec.
+      // Self-asserting: bloom filters have NO false negatives (every member
+      // passes) and the FP rate at 2^16 bits / ~this many keys is far under
+      // 5% of the non-member population — both booleans hash-match TRUE.
       import graft.functions.sketches.BloomFilterAgg._
       val c = t(s, dir)("customer")
       val bytes = c.filter(col("c_acctbal") > 5000)
         .agg(bloomBuild(col("c_custkey"), numBits = 1 << 16)).head()
         .getAs[Array[Byte]](0)
-      c.filter(bloomMightContain(lit(bytes), col("c_custkey")))
-        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      c.groupBy(col("c_nationkey"))
+        .agg(count(when(col("c_acctbal") > 5000, 1)).as("n_high"),
+          count(when(bloomMightContain(lit(bytes), col("c_custkey")), 1))
+            .as("n_pass"),
+          count(lit(1)).as("n_total"))
+        .select(col("c_nationkey"), col("n_high"),
+          (col("n_pass") >= col("n_high")).as("no_false_neg"),
+          ((col("n_pass") - col("n_high")).cast("double") <=
+            greatest(lit(2.0),
+              (col("n_total") - col("n_high")).cast("double") * 0.05))
+            .as("fp_ok"))
         .orderBy(col("c_nationkey"))
     }),
 
     "q_agg_quantile_approx" -> ((s, dir) => {
-      // approximate quantiles (reference quantiles/KLL sketch surface) —
-      // approximate by design → rows-only check; exact percentiles are
-      // oracle-gated in q_agg_percentile
+      // approximate quantiles (reference quantiles/KLL sketch surface).
+      // Self-asserting rank bound: approx_percentile(…, 1000) guarantees
+      // rank error <= 1/1000, so the estimate must sit inside the exact
+      // [p48, p52] envelope computed in the same aggregation; exact
+      // percentiles are oracle-gated in q_agg_percentile.
       t(s, dir)("orders")
         .groupBy(col("o_orderpriority"))
-        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_est"),
+          expr("percentile(o_totalprice, 0.48)").as("lo"),
+          expr("percentile(o_totalprice, 0.52)").as("hi"),
           count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("p50_est") >= col("lo") && col("p50_est") <= col("hi"))
+            .as("p50_ok"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -2281,6 +2453,158 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                 round(sum(value), 3) AS sum_value, count(*) AS n_rows
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // ---- self-asserting estimate gates: the engine emits exact values +
+    // ---- error-bound booleans; the oracle reproduces the exact values and
+    // ---- emits TRUE for each bound (reference sketch tests assert the
+    // ---- same within-epsilon shape)
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part_exact,
+                TRUE AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_quantile_approx" ->
+      """SELECT o_orderpriority, count(*) AS n, TRUE AS p50_ok
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sketch_hll" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                count(*) AS n, TRUE AS hll_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_sketch_kll" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok,
+                TRUE AS rank30_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_sketch_tdigest" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p99_ok,
+                TRUE AS cdf30_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_sketch_kll_dist" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS cdf20_ok,
+                TRUE AS bin_mid_ok, TRUE AS p75_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_sketch_theta_setops" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS isp,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS isc
+           FROM events WHERE event_type IN ('purchase', 'click')
+           GROUP BY user_id)
+         SELECT CAST(sum(isp) AS BIGINT) AS purchase_users,
+                CAST(sum(isc) AS BIGINT) AS click_users,
+                CAST(sum(CASE WHEN isp = 1 AND isc = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_users,
+                count(*) AS either_users,
+                CAST(sum(CASE WHEN isp = 1 AND isc = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchase_only_users,
+                TRUE AS p_ok, TRUE AS l_ok, TRUE AS both_ok,
+                TRUE AS union_ok, TRUE AS not_ok
+         FROM u""",
+
+    "q_sketch_bloom" ->
+      """SELECT c_nationkey,
+                count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_high,
+                TRUE AS no_false_neg, TRUE AS fp_ok
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_dedup_minhash" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(string_split(norm, ' ')) - 1),
+             i -> array_to_string(string_split(norm, ' ')[i:i+2], ' ')))) AS g
+           FROM (SELECT doc_id,
+                        trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard,
+                TRUE AS detected, TRUE AS fp_ok
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "q_dedup_simhash" ->
+      """WITH grams AS (
+           SELECT doc_id, source, unnest(list_distinct(list_transform(
+             range(1, len(string_split(norm, ' ')) - 1),
+             i -> array_to_string(string_split(norm, ' ')[i:i+2], ' ')))) AS g
+           FROM (SELECT doc_id, source,
+                        trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM grams a JOIN grams b
+             ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard,
+                TRUE AS detected, TRUE AS fp_ok
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "q_embed_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                    FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         sims AS (
+           SELECT q_id, n_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))))
+               AS sim
+           FROM c, q WHERE q_id <> n_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, n_id) AS rk
+           FROM sims),
+         topk AS (SELECT q_id, round(sim, 4) AS sim FROM ranked WHERE rk <= 5)
+         SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                round(avg(sim), 4) AS exact_mean_topk_sim, TRUE AS recall_ok
+         FROM topk""",
+
+    "q_embed_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         sims AS (
+           SELECT q_id, n_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))))
+               AS sim
+           FROM c, q WHERE q_id <> n_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, n_id) AS rk
+           FROM sims),
+         topk AS (SELECT q_id, round(sim, 4) AS sim FROM ranked WHERE rk <= 5)
+         SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                round(avg(sim), 4) AS exact_mean_topk_sim, TRUE AS recall_ok
+         FROM topk""",
 
     "q_source_mvd" ->
       """SELECT w, count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS key_sum
