@@ -37,9 +37,10 @@ object Bench {
       case f if f.isDirectory => f.getPath
       case _                  => sfDir
     }
-    bench.foreach { case (_, fn) =>
+    bench.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
 
     val results = bench.map { case (name, fn) =>

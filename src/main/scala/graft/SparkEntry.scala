@@ -1064,34 +1064,37 @@ object SparkEntry {
       val fpOk = found.join(jac, Seq("id_a", "id_b"), "left")
         .agg((count(when(coalesce(col("j"), lit(0.0)) < 0.3, 1)) === 0)
           .as("fp_ok"))
-      truth.join(found.select(col("id_a"), col("id_b"),
+      // Per-pair detection is asserted only for CLEAR-MARGIN pairs
+      // (j >= 0.6, where 16 bands × 4 rows detects with p > 0.9);
+      // near-threshold pairs (0.5 <= j < 0.6, per-pair p ≈ 0.64) are
+      // covered by an aggregate recall floor instead — asserting each
+      // would redden on any data/seed change with no code bug.
+      val hits = truth.join(found.select(col("id_a"), col("id_b"),
           lit(true).as("detected")), Seq("id_a", "id_b"), "left")
-        .crossJoin(broadcast(fpOk))
+      val recallOk = hits.agg(
+        (count(when(col("detected"), 1)).cast("double") / count(lit(1)) >= 0.6)
+          .as("recall_ok"))
+      hits.crossJoin(broadcast(fpOk)).crossJoin(broadcast(recallOk))
         .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
-          coalesce(col("detected"), lit(false)).as("detected"), col("fp_ok"))
+          (coalesce(col("detected"), lit(false)) || col("j") < 0.6)
+            .as("detected_ok"),
+          col("recall_ok"), col("fp_ok"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
-      // 64-bit simhash per doc + near-dup pairs within hamming<=12 over
-      // same-source blocks. Hash-dependent pairs, oracle-checked like
-      // q_dedup_minhash: truth = same-source pairs with exact 3-shingle
-      // jaccard >= 0.5 (near-identical docs flip only a few token hashes,
-      // so hamming <= 12 must catch them); fp bound = no found pair below
-      // exact jaccard 0.3.
-      // persist: the simhash table feeds both self-join sides and would
-      // otherwise be computed twice; the pair join is size-gated (broadcast
-      // below threshold, salted shuffle above — see Joins.boundedBlockJoin)
+      // 64-bit simhash near-dup pairs over same-source blocks, TWO-STAGE
+      // (Dedup.simHashPairs): hamming<=12 prefilter, then exact 3-shingle
+      // Jaccard >= 0.3 verification of the survivors — the permissive
+      // hamming radius keeps recall (near-identical docs flip only a few
+      // token hashes) while the verify stage structurally removes its false
+      // positives. Oracle-checked like q_dedup_minhash: truth = same-source
+      // pairs with exact jaccard >= 0.5, each must be detected; fp bound =
+      // no found pair below exact jaccard 0.3 (now enforced by
+      // construction, still asserted so a verify-stage regression reddens).
       val docs = t(s, dir)("documents")
-      val d = Dedup.simHashTable(docs, "doc_id", "text",
-        carry = Seq("source")).persist()
-      val l = d.select(col("source"), col("id").as("id_a"), col("simhash").as("sh_a"))
-      val r = d.select(col("source"), col("id").as("id_b"), col("simhash").as("sh_b"))
-      val found = graft.operators.Joins.boundedBlockJoin(l, r, Seq("source"),
-        saltBy = col("id_a")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
-        .filter(col("hamming") <= 12)
+      val found = Dedup.simHashPairs(docs, "doc_id", "text",
+        blockKey = col("source"), maxHamming = 12, minJaccard = 0.3)
       val grams = Dedup.shingleRows(docs, "doc_id", "text", 3,
         carry = Seq("source"))
       val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -1273,14 +1276,16 @@ object SparkEntry {
     }),
 
     "q_embed_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN: buckets are hash-dependent, so the gate anchors
-      // on the exact brute-force top-5 (deterministic, DuckDB-reproducible)
-      // and asserts the ANN pass's recall against it as a boolean the
-      // oracle reproduces as TRUE.
+      // LSH-bucketed ANN (multi-probe: own bucket + all Hamming-1 buckets):
+      // buckets are hash-dependent, so the gate anchors on the exact
+      // brute-force top-5 (deterministic, DuckDB-reproducible) and asserts
+      // the ANN pass's recall against it as a boolean the oracle reproduces
+      // as TRUE. Exact ranking rounds sims to 4dp BEFORE ranking (both
+      // engines) so last-ulp float drift can't flip top-5 membership.
       val emb = t(s, dir)("embeddings")
       val qs = emb.filter(col("vec_id") < 50)
       val exact = Similarity.bruteForceKnn(qs, emb, "vec_id", "embedding",
-        k = 5)
+        k = 5, rankRoundDigits = 4)
       val ann = Similarity.annLsh(qs, emb, "vec_id", "embedding",
         k = 5, numBits = 4)
       exact.join(ann.select(col("q_id"), col("n_id"), lit(1).as("__hit")),
@@ -1299,7 +1304,7 @@ object SparkEntry {
       val emb = t(s, dir)("embeddings")
       val qs = emb.filter(col("vec_id") < 20)
       val exact = Similarity.bruteForceKnn(qs, emb, "vec_id", "embedding",
-        k = 5)
+        k = 5, rankRoundDigits = 4)
       val ann = Similarity.annIvf(qs, emb, "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
       exact.join(ann.select(col("q_id"), col("n_id"), lit(1).as("__hit")),
@@ -2529,7 +2534,7 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT id_a, id_b,
                 round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard,
-                TRUE AS detected, TRUE AS fp_ok
+                TRUE AS detected_ok, TRUE AS recall_ok, TRUE AS fp_ok
          FROM inter JOIN sizes sa ON sa.doc_id = id_a
                     JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
@@ -2575,7 +2580,7 @@ object SparkEntry {
          ranked AS (
            SELECT q_id, n_id, sim,
                   row_number() OVER (PARTITION BY q_id
-                                     ORDER BY sim DESC, n_id) AS rk
+                                     ORDER BY round(sim, 4) DESC, n_id) AS rk
            FROM sims),
          topk AS (SELECT q_id, round(sim, 4) AS sim FROM ranked WHERE rk <= 5)
          SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
@@ -2599,7 +2604,7 @@ object SparkEntry {
          ranked AS (
            SELECT q_id, n_id, sim,
                   row_number() OVER (PARTITION BY q_id
-                                     ORDER BY sim DESC, n_id) AS rk
+                                     ORDER BY round(sim, 4) DESC, n_id) AS rk
            FROM sims),
          topk AS (SELECT q_id, round(sim, 4) AS sim FROM ranked WHERE rk <= 5)
          SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,

@@ -339,13 +339,17 @@ object NativeJsonQuery {
     // and must not poison a retry that reuses the same queryId
     val group = queryId.getOrElse("graft") + "#" + java.util.UUID.randomUUID()
     queryId.foreach(activeGroups.put(_, group))
-    // timeout <= 0 means NO timeout (reference QueryContexts.NO_TIMEOUT) —
-    // scheduling a 0ms timer would cancel the job group immediately
+    // timeout: 0 means NO timeout (reference QueryContexts.NO_TIMEOUT — a
+    // 0ms timer would cancel the job group immediately); NEGATIVE timeouts
+    // are a bad query context, rejected like the reference's QueryContexts
     val timeoutMs = (parsed \ "context" \ "timeout" match {
       case JInt(ms)  => Some(ms.toLong)
       case JLong(ms) => Some(ms)
       case _         => None
-    }).filter(_ > 0)
+    }).map { ms =>
+      require(ms >= 0, s"query context timeout must be >= 0, got $ms")
+      ms
+    }.filter(_ > 0)
     val maxRows = (parsed \ "context" \ "maxSubqueryRows" match {
       case JInt(n)  => Some(n.toInt)
       case JLong(n) => Some(n.toInt)
@@ -669,8 +673,18 @@ object NativeJsonQuery {
       val ordering = str(metricSpec \ "ordering").getOrElse("lexicographic")
       val key = dimensionOrderKey(col(dim), ordering)
       val base0 = flt.fold(df)(df.filter)
-      val base = str(metricSpec \ "previousStop").fold(base0)(v =>
-        base0.filter(if (inverted) col(dim) < lit(v) else col(dim) > lit(v)))
+      // previousStop pagination in COMPARATOR space: pages sort by the
+      // comparator key, so the resume bound must too — a raw-string bound
+      // under a non-lexicographic comparator (numeric, alphanumeric, …)
+      // would skip/repeat values whose string and comparator orders differ.
+      // Ties in the key (e.g. strlen) break on the raw dimension, matching
+      // the page ordering's (key, dim) tiebreak exactly.
+      val base = str(metricSpec \ "previousStop").fold(base0) { v =>
+        val stopKey = dimensionOrderKey(lit(v), ordering)
+        base0.filter(
+          if (inverted) key < stopKey || (key === stopKey && col(dim) < lit(v))
+          else key > stopKey || (key === stopKey && col(dim) > lit(v)))
+      }
       val order =
         if (inverted) Seq(key.desc, col(dim).desc)
         else Seq(key.asc, col(dim).asc)

@@ -85,7 +85,8 @@ object SqlApi {
     * incrementally to `out` via `toLocalIterator`, so driver memory stays
     * bounded by one partition regardless of result size — the analog of the
     * reference `SqlResource` streaming the HTTP chunked response. No row cap
-    * is applied (the caller owns the sink); object/array formats stream
+    * by default (the caller owns the sink), but an explicitly supplied
+    * `context.maxSubqueryRows` is honored; object/array formats stream
     * element-by-element, line formats line-by-line.
     */
   def executeStream(spark: SparkSession, dir: String, payload: String,
@@ -99,34 +100,53 @@ object SqlApi {
     val queryId = str(ctxValue(j, "sqlQueryId"))
     val group = queryId.getOrElse("graft-sql") + "#" + java.util.UUID.randomUUID()
     queryId.foreach(activeGroups.put(_, group))
-    // timeout <= 0 means NO timeout (reference QueryContexts.NO_TIMEOUT) —
-    // scheduling a 0ms timer would cancel the job group immediately
+    // timeout: 0 means NO timeout (reference QueryContexts.NO_TIMEOUT — a
+    // 0ms timer would cancel the job group immediately); NEGATIVE timeouts
+    // are a bad query context, rejected like the reference's QueryContexts
     val timeoutMs = (ctxValue(j, "timeout") match {
       case JInt(ms)  => Some(ms.toLong)
       case JLong(ms) => Some(ms)
       case _         => None
-    }).filter(_ > 0)
-    val maxRows = (ctxValue(j, "maxSubqueryRows") match {
+    }).map { ms =>
+      require(ms >= 0, s"query context timeout must be >= 0, got $ms")
+      ms
+    }.filter(_ > 0)
+    val explicitMaxRows = ctxValue(j, "maxSubqueryRows") match {
       case JInt(n)  => Some(n.toInt)
       case JLong(n) => Some(n.toInt)
       case _        => None
-    }).getOrElse(NativeJsonQuery.DefaultMaxResultRows)
+    }
+    // capped (buffered) path: caller's cap or the default. Stream path:
+    // unbounded by default (the caller owns the sink), but an EXPLICITLY
+    // supplied maxSubqueryRows is honored — silently ignoring a requested
+    // cap would be surprising for API parity.
+    val maxRowsOpt =
+      if (capped)
+        Some(explicitMaxRows.getOrElse(NativeJsonQuery.DefaultMaxResultRows))
+      else explicitMaxRows
     spark.sparkContext.setJobGroup(group, s"graft sql $group",
       interruptOnCancel = true)
     def body(): Unit = {
-      // fetch cap+1 at most: cap+1 rows back = overflow, never the full result
-      val limited = if (capped) df.limit(maxRows + 1) else df
+      // fetch cap+1 at most: cap+1 rows back = overflow, never the full
+      // result. Clamped: at cap = Int.MaxValue the +1 would overflow
+      // limit() to a negative value — treat it as effectively uncapped.
+      val limited = maxRowsOpt match {
+        case Some(m) if m < Int.MaxValue => df.limit(m + 1)
+        case _ => df
+      }
       val it = limited.toLocalIterator()
       val rows = new Iterator[Row] {
         private var n = 0
         def hasNext: Boolean = it.hasNext
         def next(): Row = {
           n += 1
-          if (capped && n > maxRows)
-            throw new NativeJsonQuery.ResourceLimitExceeded(
-              s"query result exceeds maxSubqueryRows=$maxRows " +
-                "(reference ResourceLimitExceededException); raise " +
-                "context.maxSubqueryRows or add a limit/aggregation")
+          maxRowsOpt.foreach { m =>
+            if (n > m)
+              throw new NativeJsonQuery.ResourceLimitExceeded(
+                s"query result exceeds maxSubqueryRows=$m " +
+                  "(reference ResourceLimitExceededException); raise " +
+                  "context.maxSubqueryRows or add a limit/aggregation")
+          }
           it.next()
         }
       }

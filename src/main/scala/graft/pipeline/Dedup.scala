@@ -215,6 +215,57 @@ object Dedup {
           .reduce(_ + _).as("simhash")): _*)
   }
 
+  /** SimHash near-duplicate pairs, two-stage: a cheap hamming-distance
+    * prefilter over block-keyed simhash pairs, then EXACT shingle-Jaccard
+    * verification of the survivors (the verify step of Manku et al.'s
+    * web-dedup design — "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07). The hamming radius can stay permissive (so borderline true
+    * dups aren't lost) because verification removes its false positives;
+    * verification cost is bounded because only prefilter survivors — a
+    * vanishing fraction of the pair space — ever reach the exact-Jaccard
+    * join. Same two-stage pattern as [[fuzzyPairs]].
+    *
+    * Scale shape: stage 1 shuffles only (block, id, 64-bit simhash) rows
+    * through the size-gated [[graft.operators.Joins.boundedBlockJoin]];
+    * stage 2 joins the surviving id pairs against per-doc sorted gram-hash
+    * arrays (codegen'd two-pointer intersection, see [[ngramJaccardPairs]]).
+    *
+    * @return (id_a, id_b, hamming, jaccard) with id_a < id_b and
+    *         jaccard >= minJaccard
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockKey: Column, maxHamming: Int = 12,
+                   minJaccard: Double = 0.3, shingleSize: Int = 3,
+                   mode: String = "auto"): DataFrame = {
+    val d = simHashTable(df.withColumn("__block", blockKey), idCol, textCol,
+      carry = Seq("__block")).persist()
+    val l = d.select(col("__block").as("block"), col("id").as("id_a"),
+      col("simhash").as("sh_a"))
+    val r = d.select(col("__block").as("block"), col("id").as("id_b"),
+      col("simhash").as("sh_b"))
+    val cand = graft.operators.Joins.boundedBlockJoin(l, r, Seq("block"),
+      saltBy = col("id_a"), mode = mode)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    // stage 2: exact verify. Sorted gram-hash array per doc → two-pointer
+    // intersection per surviving pair. Inner joins: a doc too short to have
+    // any shingle cannot exact-verify, so its candidate pairs drop.
+    val g = shingleRows(df, idCol, textCol, shingleSize)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams"))
+    val inter = graft.functions.VectorMath
+      .sortedIntersectCount(col("g_a"), col("g_b")).cast("double")
+    val union = size(col("g_a")) + size(col("g_b")) - inter
+    cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        when(union === 0, lit(0.0)).otherwise(inter / union).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Fuzzy near-duplicate pairs by Jaro-Winkler similarity within blocks —
     * the string-distance variant of the dedup family, powered by the native
     * codegen'd [[graft.functions.JaroWinklerSimilarity]] expression. The

@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 1) hash of a key column. */
+  /** Uniform [0, 1) hash of a NUMERIC key column (Knuth multiplicative hash
+    * over 2^32). Callers with a string/arbitrary key must use
+    * [[unitHashAny]] — `cast("long")` on a non-numeric key yields null (or
+    * an ANSI error), which would silently empty the sample. The
+    * DataFrame-level entry points below dispatch on the key's resolved type
+    * so either key kind just works.
+    */
   def unitHash(key: Column): Column = {
     val asLong = key.cast("long")
     pmod(asLong * lit(2654435761L), lit(4294967296L)) / lit(4294967296.0)
@@ -22,9 +28,20 @@ object Sampling {
   def unitHashAny(key: Column): Column =
     pmod(xxhash64(key), lit(4294967296L)) / lit(4294967296.0)
 
+  /** Type-dispatched unit hash: numeric keys take the multiplicative path
+    * (cross-engine reproducible arithmetic), everything else hashes the raw
+    * value with xxhash64. Resolves the key against `df`'s schema — the only
+    * place the input type is actually known.
+    */
+  private def unitHashFor(df: DataFrame, keyCol: String): Column =
+    df.select(col(keyCol)).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => unitHash(col(keyCol))
+      case _ => unitHashAny(col(keyCol))
+    }
+
   /** Keep ~`rate` of rows, deterministically by key. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
-    df.filter(unitHash(col(keyCol)) < lit(rate))
+    df.filter(unitHashFor(df, keyCol) < lit(rate))
 
   /** Stratified sampling: per-stratum keep rates (dataset mixing — e.g.
     * downsample web crawl to 10%, keep all code). Strata absent from
@@ -35,7 +52,7 @@ object Sampling {
                  defaultRate: Double = 0.0): DataFrame = {
     val rate = coalesce(
       typedlit(rates).getItem(col(strataCol)), lit(defaultRate))
-    df.filter(unitHash(col(keyCol)) < rate)
+    df.filter(unitHashFor(df, keyCol) < rate)
   }
 
   /** Assign each row to a named split by cumulative weight — train/val/test
@@ -47,7 +64,7 @@ object Sampling {
             splitCol: String = "split"): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val h = unitHash(col(keyCol))
+    val h = unitHashFor(df, keyCol)
     val cumulative = weights.scanLeft(0.0)(_ + _._2).tail
     // nested CASE from the highest bound down: h < c1 -> w1, else h < c2 -> w2…
     val assigned = weights.zip(cumulative).reverse

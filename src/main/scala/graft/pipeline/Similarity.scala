@@ -50,10 +50,16 @@ object Similarity {
     * (rank within partition, then global) and never materializes the full
     * similarity matrix.
     *
+    * `rankRoundDigits >= 0` ranks on `round(sim, d)` instead of the raw
+    * double — use it when the top-k MEMBERSHIP must be reproducible across
+    * engines whose float accumulation differs in the last ulp (ties break on
+    * `n_id`, so rounded ranking is fully deterministic).
+    *
     * @return (q_id, n_id, sim) — k rows per query, excluding self-matches
     */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
-                    vecCol: String, k: Int): DataFrame = {
+                    vecCol: String, k: Int,
+                    rankRoundDigits: Int = -1): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
@@ -63,8 +69,11 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosineWithNorms(col("q_vec"), col("n_vec"),
           col("q_norm"), col("n_norm")).as("sim"))
+    val rankCol =
+      if (rankRoundDigits >= 0) round(col("sim"), rankRoundDigits)
+      else col("sim")
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
+      .orderBy(rankCol.desc, col("n_id").asc)
     sims.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k).drop("__rk")
       .orderBy(col("q_id"), col("n_id"))
@@ -95,22 +104,40 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: `numBits` deterministic pseudo-random
     * hyperplanes; bit b = sign of dot(vec, plane_b). Planes are derived from
-    * xxhash64(dimension, bit) so every executor computes identical planes
-    * with zero driver coordination or data movement.
+    * xxhash64(dimension, planeOffset + bit) so every executor computes
+    * identical planes with zero driver coordination or data movement;
+    * distinct `planeOffset`s give INDEPENDENT hash tables (the OR-
+    * amplification axis of LSH theory — see [[annLsh]]'s numTables).
     */
-  def lshBucket(vec: Column, numBits: Int): Column =
+  def lshBucket(vec: Column, numBits: Int, planeOffset: Int = 0): Column =
     aggregate(sequence(lit(0), lit(numBits - 1)), lit(0L), (acc, bit) => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
           v.cast("double") *
-            ((pmod(xxhash64(i, bit), lit(1000L)).cast("double") / 500.0) - 1.0)),
+            ((pmod(xxhash64(i, bit + lit(planeOffset)), lit(1000L))
+              .cast("double") / 500.0) - 1.0)),
         lit(0.0), (a, v) => a + v)
       acc + when(proj > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)
     })
 
   /** Approximate NN: bucket corpus and queries with `lshBucket`, compare only
-    * within buckets, top-k per query. Misses are possible (that's the trade);
-    * multi-probe = union over several bit widths if recall matters.
+    * within buckets, top-k per query. Recall comes from BOTH standard LSH
+    * amplification axes:
+    *
+    *  - '''multi-probe''' (`probeRadius = 1`, default): each query probes its
+    *    own bucket PLUS every bucket at Hamming distance 1 (one hyperplane
+    *    sign flipped) — the fix for vectors that land near a hyperplane,
+    *    where single-probe loses their true neighbors to the adjacent
+    *    bucket. Candidate work grows ~(1+numBits)× on the query side only.
+    *  - '''multiple tables''' (`numTables`, OR-amplification): independent
+    *    hyperplane sets; a true neighbor is found if ANY table buckets it
+    *    with the query, so the miss probability decays exponentially in the
+    *    table count. Corpus-side rows replicate numTables× (still linear —
+    *    never pairwise).
+    *
+    * The join stays bucket-equi on (table, bucket); a (query, neighbor) pair
+    * can match in several tables, so candidates dedup before the top-k
+    * window.
     *
     * The query side broadcasts only while Catalyst's size estimate stays
     * under the session broadcast threshold ([[graft.operators.Joins
@@ -120,14 +147,35 @@ object Similarity {
     */
   def annLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, numBits: Int = 8,
+             probeRadius: Int = 1, numTables: Int = 2,
              mode: String = "auto"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"probeRadius must be 0 (single-probe) or 1 (flip-one), got $probeRadius")
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    def tb(t: Int, bucket: Column) =
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    // per-table probe set for one query row: own bucket (+ Hamming-1 flips)
+    def probesFor(t: Int, vec: Column): Seq[Column] = {
+      val b = lshBucket(vec, numBits, planeOffset = t * numBits)
+      val own = Seq(tb(t, b))
+      if (probeRadius == 0) own
+      else own ++ (0 until numBits).map(i =>
+        tb(t, b.bitwiseXOR(lit(1L << i))))
+    }
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
-      lshBucket(col(vecCol), numBits).as("bucket"))
+      explode(array((0 until numTables).flatMap(t =>
+        probesFor(t, col(vecCol))): _*)).as("__tb"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_norm"),
-      lshBucket(col(vecCol), numBits).as("bucket"))
-    val sims = graft.operators.Joins.boundedBlockJoin(c, q, Seq("bucket"),
+      explode(array((0 until numTables).map(t =>
+        tb(t, lshBucket(col(vecCol), numBits, planeOffset = t * numBits))): _*))
+        .as("__tb"))
+      .select(col("n_id"), col("n_vec"), col("n_norm"),
+        col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+    val sims = graft.operators.Joins.boundedBlockJoin(c, q, Seq("tbl", "bucket"),
       saltBy = col("n_id"), mode = mode)
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -135,7 +183,8 @@ object Similarity {
           col("q_norm"), col("n_norm")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    sims.withColumn("__rk", row_number().over(w))
+    sims.dropDuplicates("q_id", "n_id")
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k).drop("__rk")
       .orderBy(col("q_id"), col("n_id"))
   }

@@ -458,6 +458,80 @@ class FunctionsSpec extends AnyFunSuite {
     assert(s1.exceptAll(bigger).isEmpty)
   }
 
+  test("Sampling dispatches string keys through xxhash64 (no silent empty sample)") {
+    import graft.pipeline.Sampling
+    val df = (0 until 2000).map(i => (s"doc-$i", if (i % 2 == 0) "en" else "de"))
+      .toDF("key", "lang")
+    // pre-fix, cast('long') on the string key nulled (or ANSI-errored) the
+    // hash and hashSample silently returned ZERO rows — a data-loss bug
+    val n1 = Sampling.hashSample(df, "key", 0.5).count()
+    assert(n1 > 700 && n1 < 1300, s"string-key sample was $n1 of 2000")
+    // deterministic: identical rows on re-run
+    assert(Sampling.hashSample(df, "key", 0.5)
+      .exceptAll(Sampling.hashSample(df, "key", 0.5)).isEmpty)
+    val strat = Sampling.stratified(df, "key", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) > 300 && byLang.getOrElse("de", 0L) > 20)
+    val splits = Sampling.split(df, "key", Seq("train" -> 0.9, "test" -> 0.1))
+    assert(splits.count() == 2000)
+    assert(splits.filter(col("split") === "test").count() > 50)
+    // numeric keys still take the multiplicative path (cross-engine arith):
+    // same rows as the hand-inlined q_sample_hash gate arithmetic
+    val ids = spark.range(1000).toDF("id")
+    val lib = Sampling.hashSample(ids, "id", 0.1)
+    val inlined = ids.filter(
+      pmod(col("id") * lit(2654435761L), lit(4294967296L))
+        < lit(4294967296L * 0.1))
+    assert(lib.exceptAll(inlined).isEmpty && inlined.exceptAll(lib).isEmpty)
+  }
+
+  test("simHashPairs two-stage: hamming prefilter + exact-Jaccard verify") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river shore", "a"),
+      (3L, "completely different text about cooking pasta with tomato sauce today", "a"),
+      (4L, "another unrelated document discussing quarterly financial results report", "a"))
+      .toDF("doc_id", "text", "src")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text",
+      blockKey = col("src"), maxHamming = 12, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // the near-identical pair survives both stages
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing from $pairs")
+    assert(pairs((1L, 2L)) > 0.5)
+    // the verify stage structurally removes below-threshold pairs: nothing
+    // under jaccard 0.3 can appear no matter how loose the hamming radius
+    val loose = Dedup.simHashPairs(docs, "doc_id", "text",
+      blockKey = col("src"), maxHamming = 64, minJaccard = 0.3)
+    assert(loose.filter(col("jaccard") < 0.3).isEmpty)
+    // unrelated docs are not paired even at maximal hamming radius
+    assert(!loose.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((3L, 4L)))
+  }
+
+  test("annLsh multi-probe recall clears the gate floor with >=2x margin") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceKnn(qs, emb, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("n_id"))
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hits = exact.join(ann.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi").count()
+      hits.toDouble / exact.count()
+    }
+    val multi = recall(Similarity.annLsh(qs, emb, "vec_id", "embedding",
+      k = 5, numBits = 4))
+    val single = recall(Similarity.annLsh(qs, emb, "vec_id", "embedding",
+      k = 5, numBits = 4, probeRadius = 0))
+    // gate floor is 0.25 — multi-probe must clear it with >= 2x margin so
+    // the CORRECTNESS gate never flakes on data/hash perturbations
+    assert(multi >= 0.5, s"multi-probe recall $multi below 2x-margin floor")
+    // and probing Hamming-1 buckets can only ADD candidates
+    assert(multi >= single,
+      s"multi-probe recall $multi below single-probe $single")
+  }
+
   test("SQL REGEXP_EXTRACT: reference semantics — group 0 default, NULL on no match") {
     DruidFunctions.register(spark)
     val r = spark.sql("""

@@ -283,16 +283,51 @@ class SqlApiSpec extends AnyFunSuite {
     assert((first \ "n") == JLong(25) || (first \ "n") == JInt(25))
   }
 
-  test("executeStream renders line formats incrementally without a cap") {
+  test("executeStream: uncapped by default, honors an EXPLICIT row cap") {
+    // no cap supplied → unbounded stream (the caller owns the sink)
     val sw = new java.io.StringWriter()
     SqlApi.executeStream(spark, dir, """{
       "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
-      "resultFormat": "arrayLines",
-      "context": {"maxSubqueryRows": 3}
+      "resultFormat": "arrayLines"
     }""", sw)
     val lines = sw.toString.trim.split("\n")
-    assert(lines.length == 25) // stream path ignores the cap: caller owns sink
+    assert(lines.length == 25)
     assert(lines.head == "[0]")
+    // an explicitly supplied maxSubqueryRows is honored even when streaming
+    // (silently ignoring a caller-requested cap would break API parity)
+    val capped = new java.io.StringWriter()
+    val ex = intercept[graft.api.NativeJsonQuery.ResourceLimitExceeded] {
+      SqlApi.executeStream(spark, dir, """{
+        "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
+        "resultFormat": "arrayLines",
+        "context": {"maxSubqueryRows": 3}
+      }""", capped)
+    }
+    assert(ex.getMessage.contains("maxSubqueryRows=3"))
+  }
+
+  test("negative context timeout is rejected as a bad query context") {
+    val ex = intercept[IllegalArgumentException] {
+      SqlApi.execute(spark, dir, """{
+        "query": "SELECT 1 AS x",
+        "context": {"timeout": -5}
+      }""")
+    }
+    assert(ex.getMessage.contains("timeout"))
+    // timeout 0 still means NO timeout (reference NO_TIMEOUT), not a reject
+    val ok = SqlApi.execute(spark, dir, """{
+      "query": "SELECT 1 AS x", "context": {"timeout": 0}
+    }""")
+    assert(ok.contains("1"))
+  }
+
+  test("maxSubqueryRows = Int.MaxValue effectively uncaps (no limit overflow)") {
+    val out = SqlApi.execute(spark, dir, s"""{
+      "query": "SELECT n_nationkey FROM nation ORDER BY n_nationkey",
+      "resultFormat": "arrayLines",
+      "context": {"maxSubqueryRows": ${Int.MaxValue}}
+    }""")
+    assert(out.trim.split("\n").length == 25)
   }
 
   test("context timeout cancels a long-running query") {
