@@ -900,6 +900,22 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_statements" -> ((s, dir) => {
+      // async SQL statements lifecycle (reference SqlStatementResource):
+      // submit → poll to completion → read the durable result. The result
+      // parquet is read back as a DataFrame — the distributed consumption
+      // path — rather than paging rendered strings through the driver.
+      import graft.api.SqlStatements
+      val id = SqlStatements.submit(s, dir, """{
+        "query": "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderpriority",
+        "context": {"sqlQueryId": "q_sql_statements"}
+      }""")
+      val fin = SqlStatements.awaitCompletion(id)
+      require(fin == SqlStatements.Success,
+        s"statement $fin: ${SqlStatements.status(id)}")
+      SqlStatements.resultDataFrame(s, id).orderBy(col("o_orderpriority"))
+    }),
+
     "q_sql_api_unnest" -> ((s, dir) => {
       // the reference's correlated-unnest SQL surface (CROSS JOIN UNNEST,
       // DruidCorrelateUnnestRel) through the SQL API's dialect translation
@@ -3078,6 +3094,11 @@ object SparkEntry {
          FROM (SELECT n_name, NULL AS r_name FROM nation
                UNION ALL
                SELECT NULL AS n_name, r_name FROM region)""",
+
+    "q_sql_statements" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_sql_api_unnest" ->
       """SELECT w AS word, count(*) AS n

@@ -872,7 +872,7 @@ object SqlApi {
   /** Spark type → reference column type name (`segment/column/ColumnType.
     * java:49-110`).
     */
-  private def druidType(dt: DataType): String = dt match {
+  private[api] def druidType(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType | BooleanType |
         TimestampType | DateType => "LONG"
     case DoubleType | _: DecimalType => "DOUBLE"
@@ -885,7 +885,7 @@ object SqlApi {
   }
 
   /** Spark type → SQL type name (reference sqlTypesHeader row). */
-  private def sqlTypeName(dt: DataType): String = dt match {
+  private[api] def sqlTypeName(dt: DataType): String = dt match {
     // all integral widths surface as BIGINT — the reference's only integer
     // SQL type (its LONG column type)
     case LongType | IntegerType | ShortType | ByteType => "BIGINT"

@@ -62,6 +62,59 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("item1", "item10", "item2"))
   }
 
+  test("topN previousStop pages partition the value set under non-lexicographic comparators") {
+    // the resume bound must apply in COMPARATOR space: under numeric or
+    // alphanumeric ordering a raw-string bound would drop values whose
+    // string order disagrees with the comparator order (e.g. "70" < "9"
+    // as strings but 9 < 70 numerically)
+    def run(rows: String, ordering: String, stop: Option[String],
+            k: Int): Seq[String] = {
+      val metric = stop match {
+        case Some(v) =>
+          s"""{"type": "dimension", "ordering": "$ordering", "previousStop": "$v"}"""
+        case None => s"""{"type": "dimension", "ordering": "$ordering"}"""
+      }
+      NativeJsonQuery.run(spark, dir,
+        s"""{"queryType": "topN",
+             "dataSource": {"type": "inline", "columnNames": ["name", "v"],
+               "columnTypes": ["STRING", "LONG"], "rows": $rows},
+             "dimension": "name", "threshold": $k, "metric": $metric,
+             "aggregations": [{"type": "count", "name": "n"}]}""")
+        .collect().map(_.getString(0)).toSeq
+    }
+    val numRows = """[["9",1],["70",2],["100",3],["5",4],["23",5],["8",6]]"""
+    // numeric pages: 5,8,9 | 23,70,100 — a raw-string bound after "9" would
+    // exclude "23"/"70"/"100" (all < "9" lexicographically) entirely
+    assert(run(numRows, "numeric", None, 3) == Seq("5", "8", "9"))
+    assert(run(numRows, "numeric", Some("9"), 3) == Seq("23", "70", "100"))
+    // alphanumeric pages of 2 partition the set: no skip, no repeat
+    val alRows = """[["item2",1],["item10",2],["item1",3],["b",4],["9",5],["item21",6]]"""
+    val pages = Seq(
+      run(alRows, "alphanumeric", None, 2),
+      run(alRows, "alphanumeric", Some("b"), 2),
+      run(alRows, "alphanumeric", Some("item2"), 2))
+    assert(pages == Seq(Seq("9", "b"), Seq("item1", "item2"),
+      Seq("item10", "item21")))
+    // inverted (descending) pagination also bounds in comparator space
+    def runInv(stop: Option[String]): Seq[String] = {
+      val m = stop match {
+        case Some(v) => s"""{"type": "inverted", "metric": {"type": "dimension",
+          "ordering": "numeric", "previousStop": "$v"}}"""
+        case None => """{"type": "inverted", "metric": {"type": "dimension",
+          "ordering": "numeric"}}"""
+      }
+      NativeJsonQuery.run(spark, dir,
+        s"""{"queryType": "topN",
+             "dataSource": {"type": "inline", "columnNames": ["name", "v"],
+               "columnTypes": ["STRING", "LONG"], "rows": $numRows},
+             "dimension": "name", "threshold": 3, "metric": $m,
+             "aggregations": [{"type": "count", "name": "n"}]}""")
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(runInv(None) == Seq("100", "70", "23"))
+    assert(runInv(Some("23")) == Seq("9", "8", "5"))
+  }
+
   test("greatest/least/hyperUniqueCardinality post-aggregators") {
     val df = NativeJsonQuery.run(spark, dir, """
       {"queryType": "groupBy", "dataSource": "orders",

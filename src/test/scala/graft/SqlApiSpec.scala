@@ -330,6 +330,66 @@ class SqlApiSpec extends AnyFunSuite {
     assert(out.trim.split("\n").length == 25)
   }
 
+  test("async statements: submit -> poll -> result pages -> cancel lifecycle") {
+    import graft.api.SqlStatements
+    // submit returns immediately with the caller's sqlQueryId
+    val id = SqlStatements.submit(spark, dir, """{
+      "query": "SELECT /*+ REPARTITION(3) */ n_nationkey, n_name FROM nation",
+      "resultFormat": "objectLines",
+      "context": {"sqlQueryId": "stmt-lifecycle"}
+    }""")
+    assert(id == "stmt-lifecycle")
+    assert(SqlStatements.awaitCompletion(id) == SqlStatements.Success)
+    // status carries the SqlStatementResult shape: schema + page inventory
+    val st = JsonMethods.parse(SqlStatements.status(id))
+    assert((st \ "state") == JString("SUCCESS"))
+    assert((st \ "schema")(0) \ "name" == JString("n_nationkey"))
+    assert((st \ "schema")(0) \ "type" == JString("BIGINT"))
+    val pages = (st \ "result" \ "pages").asInstanceOf[JArray].arr
+    assert(pages.size == 3) // one page per REPARTITION(3) part file
+    val totalRows = (st \ "result" \ "numTotalRows") match {
+      case JLong(n) => n; case JInt(n) => n.toLong; case _ => -1L
+    }
+    assert(totalRows == 25)
+    // each page renders independently; rows across pages = the full result
+    val all = (0 until 3).flatMap(p =>
+      SqlStatements.results(spark, id, page = p).trim.split("\n"))
+    assert(all.length == 25)
+    assert(all.forall(_.contains("n_nationkey")))
+    // per-request resultFormat override (reference query param)
+    val csv = SqlStatements.results(spark, id, page = 0,
+      resultFormat = Some("csv"))
+    assert(!csv.contains("{"))
+    // out-of-range page rejected like the reference's INVALID_INPUT
+    intercept[IllegalArgumentException] {
+      SqlStatements.results(spark, id, page = 7)
+    }
+    // DELETE removes the statement and its results
+    assert(SqlStatements.cancel(spark, id))
+    intercept[NoSuchElementException] { SqlStatements.status(id) }
+    assert(!SqlStatements.cancel(spark, id))
+  }
+
+  test("async statements: failures surface as FAILED with errorDetails") {
+    import graft.api.SqlStatements
+    val id = SqlStatements.submit(spark, dir, """{
+      "query": "SELECT no_such_column FROM nation",
+      "context": {"sqlQueryId": "stmt-fail"}
+    }""")
+    assert(SqlStatements.awaitCompletion(id) == SqlStatements.Failed)
+    val st = JsonMethods.parse(SqlStatements.status(id))
+    assert((st \ "state") == JString("FAILED"))
+    assert((st \ "errorDetails" \ "errorMessage") match {
+      case JString(m) => m.toLowerCase.contains("no_such_column")
+      case _ => false
+    })
+    // results on a FAILED statement are rejected
+    intercept[IllegalArgumentException] {
+      SqlStatements.results(spark, id)
+    }
+    SqlStatements.cancel(spark, id)
+  }
+
   test("context timeout cancels a long-running query") {
     val payload = """{
       "query": "SELECT count(*) FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c",
