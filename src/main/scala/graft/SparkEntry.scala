@@ -33,6 +33,154 @@ object SparkEntry {
   // =========================================================================
   // Query inventory
   // =========================================================================
+  /** Drill-window-corpus SQL shared VERBATIM by the Spark gate and the
+    * DuckDB oracle — these shapes are engine-portable ANSI window SQL by
+    * design (the reference runs the same corpus through its own SQL layer,
+    * `sql/src/test/resources/drill/window/queries/`). Sharing one text
+    * guarantees the gate exercises identical semantics on both engines.
+    */
+  private[graft] def drillSql(name: String): String = drillWindowSql(name)
+
+  private val drillWindowSql: Map[String, String] = Map(
+    // frameclause/RBUPACR/RBUPACR_int_1.q: explicit cumulative ROWS frame
+    "rbupacr" ->
+      """SELECT o_orderkey, o_orderpriority,
+                round(MAX(o_totalprice) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_max,
+                CAST(COUNT(*) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_n
+         FROM orders WHERE o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // frameclause/RBCRACR/RBCRACR_int_1.q: frame = exactly the current peers
+    "rbcracr" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                l_returnflag,
+                CAST(SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_linenumber
+                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS peer_qty
+         FROM lineitem WHERE l_orderkey < 1000
+         ORDER BY l_orderkey, l_linenumber, l_returnflag""",
+
+    // frameclause/RBUPAUF (e.g. RBUPAUF_int_5.q): whole-partition ROWS frame
+    "rbupauf" ->
+      """SELECT o_orderkey, o_orderpriority,
+                FIRST_VALUE(o_orderkey) OVER w AS first_key,
+                LAST_VALUE(o_orderkey) OVER w AS last_key,
+                round(AVG(o_totalprice) OVER w, 2) AS part_avg
+         FROM orders WHERE o_orderkey < 5000
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+
+    // frameclause/defaultFrame: no frame + duplicate order keys — the
+    // implicit RANGE frame includes the whole tie class
+    "default_frame" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                CAST(SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_orderkey) AS BIGINT) AS run_qty
+         FROM lineitem WHERE l_orderkey < 2000
+         ORDER BY l_orderkey, l_linenumber""",
+
+    // frameclause/multipl_wnwds/mulwind_01.q: four named windows, mixed
+    // frame semantics, interleaved consumers
+    "multi" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                round(AVG(l_extendedprice) OVER W, 2) AS w_avg_price,
+                CAST(SUM(l_quantity) OVER W2 AS BIGINT) AS w2_run_qty,
+                CAST(SUM(l_quantity) OVER W3 AS BIGINT) AS w3_peer_qty,
+                CAST(COUNT(*) OVER W_DFLT_FRM AS BIGINT) AS wdfrm_n
+         FROM lineitem WHERE l_orderkey < 800
+         WINDOW W AS (PARTITION BY l_returnflag ORDER BY l_orderkey
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                W2 AS (PARTITION BY l_returnflag
+                  ORDER BY l_orderkey, l_linenumber, l_quantity
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                W3 AS (PARTITION BY l_returnflag ORDER BY l_orderkey
+                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW),
+                W_DFLT_FRM AS (PARTITION BY l_returnflag ORDER BY l_orderkey)
+         ORDER BY l_orderkey, l_linenumber""",
+
+    // nestedAggs/woutPrtnBy_45.q: windows OVER GROUP BY aggregates
+    "nested_aggs" ->
+      """SELECT l_returnflag,
+                CAST(COUNT(l_suppkey) AS BIGINT) AS n,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd,
+                CAST(MIN(COUNT(DISTINCT l_suppkey)) OVER () AS BIGINT) AS min_nd,
+                CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // ntile_func/ntileFn_33.q: NTILE bucketing consumed by an outer GROUP BY
+    "ntile" ->
+      """SELECT nt, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_custkey) AS BIGINT) AS nt
+               FROM customer) sub
+         GROUP BY nt ORDER BY nt""",
+
+    // lag_func/lead_func (e.g. lead.fewRowsAllData.q with nulls FIRST):
+    // explicit null ordering + defaults + offset-2
+    "lag_lead" ->
+      """SELECT p_partkey,
+                LAG(p_size_n) OVER w AS lag_sz,
+                LEAD(p_size_n, 2) OVER w AS lead2_sz,
+                LAG(p_size_n, 1, CAST(-1 AS BIGINT)) OVER w AS lag_dflt
+         FROM (SELECT p_partkey, p_brand,
+                 CAST(NULLIF(p_size, 1) AS BIGINT) AS p_size_n FROM part) t
+         WINDOW w AS (PARTITION BY p_brand
+           ORDER BY p_size_n ASC NULLS FIRST, p_partkey)
+         ORDER BY p_partkey""",
+
+    // first_val/firstValFn_*.q + last_val/lastValFn_*.q: LAST_VALUE under
+    // the DEFAULT frame ends at the current row (the classic gotcha) vs the
+    // explicit unbounded-following frame
+    "first_last" ->
+      """SELECT c_custkey,
+                FIRST_VALUE(c_custkey) OVER w1 AS first_k,
+                LAST_VALUE(c_custkey) OVER w1 AS last_k_running,
+                LAST_VALUE(c_custkey) OVER w2 AS last_k_full
+         FROM customer WHERE c_custkey < 500
+         WINDOW w1 AS (PARTITION BY c_mktsegment ORDER BY c_custkey),
+                w2 AS (PARTITION BY c_mktsegment ORDER BY c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_custkey""",
+
+    // empty_over_clause/avg_01.sql: OVER () — one global frame
+    "empty_over" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                CAST(COUNT(*) OVER () AS BIGINT) AS n_all,
+                round(MIN(o_totalprice) OVER (), 2) AS min_all,
+                round(MAX(o_totalprice) OVER (), 2) AS max_all
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
+
+    // frameclause/subQueries/frmInSubQry_25.q: outer WHERE over a window
+    // computed in a subquery
+    "subquery" ->
+      """SELECT l_returnflag, CAST(w_sum AS BIGINT) AS w_sum
+         FROM (SELECT l_returnflag,
+                      SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_orderkey, l_linenumber, l_quantity
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_sum
+               FROM lineitem WHERE l_orderkey < 500) sub
+         WHERE w_sum > 100
+         ORDER BY l_returnflag, w_sum""",
+
+    // aggregates/winFnQry_*.q (MAX over FIRST_VALUE subquery): scalar
+    // aggregate over per-row window results
+    "agg_outer" ->
+      """SELECT l_returnflag, CAST(MAX(fv) AS BIGINT) AS max_fv,
+                CAST(MIN(lv) AS BIGINT) AS min_lv
+         FROM (SELECT l_returnflag,
+                 FIRST_VALUE(l_suppkey) OVER (PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_orderkey, l_linenumber, l_suppkey) AS fv,
+                 LAST_VALUE(l_suppkey) OVER (PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_orderkey, l_linenumber, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+               FROM lineitem) sub
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----------------------------------------------------- scan (§2.1/§2.7)
@@ -543,6 +691,102 @@ object SparkEntry {
           row_number().over(wLast).as("rn_last"),
           row_number().over(wFirst).as("rn_first"))
         .orderBy(col("user_id"), col("v").asc_nulls_last, col("event_id"))
+    }),
+
+    // --------------------------------------------- drill window corpus slice
+    // Representative frame/peer/null/nesting shapes ported from the
+    // reference's adopted Drill window-function corpus
+    // (sql/src/test/resources/drill/window/queries/ — 1,035 .q files it runs
+    // via DruidAvaticaTestDriver), re-targeted at the testdata tables. Each
+    // gate cites the .q family it ports; the SQL is shared verbatim with the
+    // DuckDB oracle (both engines run the same text).
+
+    "q_drill_window_rbupacr" -> ((s, dir) => {
+      // frameclause/RBUPACR (ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      // ROW), e.g. RBUPACR_int_1.q: running MAX/COUNT under an explicit
+      // cumulative ROWS frame
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("rbupacr"))
+    }),
+
+    "q_drill_window_rbcracr" -> ((s, dir) => {
+      // frameclause/RBCRACR (RANGE BETWEEN CURRENT ROW AND CURRENT ROW),
+      // e.g. RBCRACR_int_1.q: the frame is exactly the CURRENT PEER GROUP —
+      // every row with a tied order key aggregates its whole tie class
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("rbcracr"))
+    }),
+
+    "q_drill_window_rbupauf" -> ((s, dir) => {
+      // frameclause/RBUPAUF (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+      // FOLLOWING) + a named WINDOW clause (frameclause/multipl_wnwds style)
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("rbupauf"))
+    }),
+
+    "q_drill_window_default_frame" -> ((s, dir) => {
+      // frameclause/defaultFrame: ORDER BY with duplicates and NO explicit
+      // frame — the implicit RANGE UNBOUNDED PRECEDING..CURRENT ROW frame
+      // includes the WHOLE peer group, so the running sum jumps by ties
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("default_frame"))
+    }),
+
+    "q_drill_window_multi" -> ((s, dir) => {
+      // frameclause/multipl_wnwds/mulwind_01.q: four named windows with
+      // different frame semantics consumed by interleaved projections
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("multi"))
+    }),
+
+    "q_drill_window_nested_aggs" -> ((s, dir) => {
+      // nestedAggs (e.g. woutPrtnBy_45.q): window functions OVER the result
+      // of GROUP BY aggregates — COUNT(DISTINCT) feeding MIN() OVER()
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("nested_aggs"))
+    }),
+
+    "q_drill_window_ntile" -> ((s, dir) => {
+      // ntile_func/ntileFn_33.q: NTILE in a subquery, outer GROUP BY over
+      // the bucket assignment
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ntile"))
+    }),
+
+    "q_drill_window_lag_lead" -> ((s, dir) => {
+      // lag_func/lead_func with explicit NULLS FIRST ordering (engines
+      // disagree on the default) + non-null lag default and offset-2 lead
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("lag_lead"))
+    }),
+
+    "q_drill_window_first_last" -> ((s, dir) => {
+      // first_val/last_val: LAST_VALUE under the DEFAULT frame returns the
+      // current row (the classic drill gotcha — frame ends at current row),
+      // unlike the explicit unbounded-following frame
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("first_last"))
+    }),
+
+    "q_drill_window_empty_over" -> ((s, dir) => {
+      // empty_over_clause/avg_01.sql: OVER () — one global frame, no
+      // partition, no order
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("empty_over"))
+    }),
+
+    "q_drill_window_subquery" -> ((s, dir) => {
+      // frameclause/subQueries/frmInSubQry_25.q: window computed in a
+      // subquery, outer WHERE filters on the window result
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("subquery"))
+    }),
+
+    "q_drill_window_agg_outer" -> ((s, dir) => {
+      // aggregates (e.g. winFnQry_* MAX-over-FIRST_VALUE): scalar aggregate
+      // OVER the per-row window results of a subquery
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("agg_outer"))
     }),
 
     "q_window_frame" -> ((s, dir) => {
@@ -2284,6 +2528,20 @@ object SparkEntry {
   // DuckDB oracles (ANSI SQL over the same parquet tables)
   // =========================================================================
   def oracleSql: Map[String, String] = Map(
+    // drill window corpus gates: oracle = the IDENTICAL SQL text the Spark
+    // gate runs (engine-portable ANSI window SQL)
+    "q_drill_window_rbupacr" -> drillSql("rbupacr"),
+    "q_drill_window_rbcracr" -> drillSql("rbcracr"),
+    "q_drill_window_rbupauf" -> drillSql("rbupauf"),
+    "q_drill_window_default_frame" -> drillSql("default_frame"),
+    "q_drill_window_multi" -> drillSql("multi"),
+    "q_drill_window_nested_aggs" -> drillSql("nested_aggs"),
+    "q_drill_window_ntile" -> drillSql("ntile"),
+    "q_drill_window_lag_lead" -> drillSql("lag_lead"),
+    "q_drill_window_first_last" -> drillSql("first_last"),
+    "q_drill_window_empty_over" -> drillSql("empty_over"),
+    "q_drill_window_subquery" -> drillSql("subquery"),
+    "q_drill_window_agg_outer" -> drillSql("agg_outer"),
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
          FROM lineitem
