@@ -243,16 +243,26 @@ object Dedup {
       col("simhash").as("sh_a"))
     val r = d.select(col("__block").as("block"), col("id").as("id_b"),
       col("simhash").as("sh_b"))
+    // persist: the candidate set feeds the id prefilter AND the verify join
     val cand = graft.operators.Joins.boundedBlockJoin(l, r, Seq("block"),
       saltBy = col("id_a"), mode = mode)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    // stage 2: exact verify. Sorted gram-hash array per doc → two-pointer
-    // intersection per surviving pair. Inner joins: a doc too short to have
-    // any shingle cannot exact-verify, so its candidate pairs drop.
-    val g = shingleRows(df, idCol, textCol, shingleSize)
+      .persist()
+    // stage 2: exact verify. Grams are computed ONLY for docs that appear
+    // in some candidate pair (left-semi prefilter) — at corpus scale the
+    // survivors are a vanishing fraction, and rescanning/shingling the
+    // whole corpus for them would dwarf the prefilter's savings. Sorted
+    // gram-hash array per doc → codegen'd two-pointer intersection per
+    // pair. Inner joins: a doc too short to have any shingle cannot
+    // exact-verify, so its candidate pairs drop.
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val g = shingleRows(
+      df.join(candIds, col(idCol) === col("__cid"), "left_semi"),
+      idCol, textCol, shingleSize)
       .groupBy(col("id"))
       .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams"))
     val inter = graft.functions.VectorMath
