@@ -144,9 +144,126 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Process-wide cache of random-hyperplane weight matrices for [[LshBucket]]
+  * — planes depend only on (numBits, planeOffset, dim), so each executor
+  * materializes them once and every row after that is pure multiply-adds
+  * (the interpreted HOF form re-derived every weight from two xxhash64
+  * calls per element per row). Weights are BIT-IDENTICAL to the expression
+  * form: pmod(xxhash64(i, bit + planeOffset), 1000) / 500.0 - 1.0 with
+  * Spark's default xxhash64 seed (42) and (i, bit) argument order.
+  */
+object LshBucketPlanes {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+  def get(numBits: Int, planeOffset: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((numBits, planeOffset, dim), _ =>
+      Array.tabulate(numBits) { b =>
+        Array.tabulate(dim) { i =>
+          val h = XXH64.hashInt(b + planeOffset, XXH64.hashInt(i, 42L))
+          (java.lang.Math.floorMod(h, 1000L).toDouble / 500.0) - 1.0
+        }
+      })
+}
+
+/** Native random-hyperplane LSH bucket id with real `doGenCode`: bit b of
+  * the result is the sign of dot(vec, plane_b), planes drawn from the
+  * process-wide [[LshBucketPlanes]] cache. Left-to-right double
+  * accumulation per projection — bit-identical buckets to the nested
+  * `aggregate`/`zip_with` expression it replaces (FunctionsSpec pins the
+  * equivalence), at a fraction of the cost: the HOF form interprets two
+  * lambda levels and re-hashes every (element, bit) pair on every row.
+  */
+case class LshBucket(child: Expression, numBits: Int, planeOffset: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bucket needs a numeric array, got $t")
+    }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val planes = LshBucketPlanes.get(numBits, planeOffset, n)
+    val t = elemType
+    var acc = 0L
+    var b = 0
+    while (b < numBits) {
+      val w = planes(b)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = t match {
+          case FloatType   => a.getFloat(i).toDouble
+          case DoubleType  => a.getDouble(i)
+          case IntegerType => a.getInt(i).toDouble
+          case LongType    => a.getLong(i).toDouble
+          case _ => throw new IllegalStateException(s"unsupported $t")
+        }
+        proj += x * w(i)
+        i += 1
+      }
+      if (proj > 0) acc |= 1L << b
+      b += 1
+    }
+    acc
+  }
+
+  private def accessor(t: DataType): String = t match {
+    case FloatType   => "getFloat"
+    case DoubleType  => "getDouble"
+    case IntegerType => "getInt"
+    case LongType    => "getLong"
+    case _ => throw new IllegalStateException(s"unsupported element type $t")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val planes = ctx.freshName("planes")
+      val w = ctx.freshName("w")
+      val proj = ctx.freshName("proj")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val ga = accessor(elemType)
+      s"""
+         |int $n = $a.numElements();
+         |double[][] $planes =
+         |  graft.functions.LshBucketPlanes.get($numBits, $planeOffset, $n);
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < $numBits; $b++) {
+         |  double[] $w = $planes[$b];
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $proj += (double) $a.$ga($i) * $w[$i];
+         |  }
+         |  if ($proj > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
+
+  override def prettyName: String = "lsh_bucket"
+}
+
 object VectorMath {
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def lshBucket(vec: Column, numBits: Int, planeOffset: Int = 0): Column =
+    toCol(LshBucket(toExpr(vec), numBits, planeOffset))
 }

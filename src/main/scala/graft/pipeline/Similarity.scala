@@ -108,8 +108,18 @@ object Similarity {
     * identical planes with zero driver coordination or data movement;
     * distinct `planeOffset`s give INDEPENDENT hash tables (the OR-
     * amplification axis of LSH theory — see [[annLsh]]'s numTables).
+    *
+    * Evaluates through the native codegen'd [[graft.functions.LshBucket]]
+    * expression (cached plane matrices + tight projection loops);
+    * [[lshBucketHof]] keeps the original higher-order-function form, and
+    * FunctionsSpec pins their bit-identity.
     */
   def lshBucket(vec: Column, numBits: Int, planeOffset: Int = 0): Column =
+    graft.functions.VectorMath.lshBucket(vec, numBits, planeOffset)
+
+  /** Reference HOF formulation of [[lshBucket]] (interpreted; spec-only). */
+  private[graft] def lshBucketHof(vec: Column, numBits: Int,
+                                  planeOffset: Int = 0): Column =
     aggregate(sequence(lit(0), lit(numBits - 1)), lit(0L), (acc, bit) => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>

@@ -510,6 +510,23 @@ class FunctionsSpec extends AnyFunSuite {
       .contains((3L, 4L)))
   }
 
+  test("native lsh_bucket is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((bits, off) <- Seq((4, 0), (4, 4), (8, 0), (6, 12))) {
+      val diff = emb.select(
+        Similarity.lshBucket(col("embedding"), bits, off).as("native"),
+        Similarity.lshBucketHof(col("embedding"), bits, off).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"bucket mismatch at numBits=$bits offset=$off")
+    }
+    // and the native form really is codegen'd: the projection sits inside a
+    // whole-stage-codegen span (the `*(n)` prefix in the executed plan)
+    val plan = emb.select(
+      Similarity.lshBucket(col("embedding"), 4).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("lsh_bucket"))
+  }
+
   test("annLsh multi-probe recall clears the gate floor with >=2x margin") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 50)
