@@ -167,6 +167,82 @@ object SparkEntry {
          WHERE w_sum > 100
          ORDER BY l_returnflag, w_sum""",
 
+    // bugs/drill-3292.sql: constant-argument window aggregates under a
+    // partition-only named window
+    "const_args" ->
+      """SELECT o_orderkey,
+                CAST(SUM(1) OVER w AS BIGINT) AS sum1,
+                CAST(SUM(5) OVER w AS BIGINT) AS sum5,
+                CAST(SUM(10) OVER w AS BIGINT) AS sum10
+         FROM orders WHERE o_orderkey < 3000
+         WINDOW w AS (PARTITION BY CAST(o_orderdate AS DATE))
+         ORDER BY o_orderkey""",
+
+    // bugs/drill-3348.sql: one window function projected, a DIFFERENT one
+    // consumed only by the ORDER BY (the drill NPE shape). Spark's Sort
+    // operator rejects inline window expressions, so the ordering window is
+    // hoisted through the subquery — the standard SQL-equivalent form
+    "rank_orderby" ->
+      """SELECT c_custkey, rnk
+         FROM (SELECT c_custkey,
+                      CAST(RANK() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_custkey) AS BIGINT) AS rnk,
+                      ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_custkey) AS __ord
+               FROM customer WHERE c_custkey < 600) t
+         ORDER BY __ord""",
+
+    // bugs/drill-3574.sql: multi-column partition-only OVER mixed with
+    // OVER () in one projection (union-exchange trigger in drill)
+    "mixed_over" ->
+      """SELECT o_orderkey,
+                round(SUM(o_totalprice) OVER (PARTITION BY o_orderpriority,
+                  o_orderstatus), 2) AS part_sum,
+                round(SUM(o_totalprice) OVER (), 2) AS all_sum
+         FROM orders WHERE o_orderkey < 2000
+         ORDER BY o_orderkey""",
+
+    // bugs/drill-3679.sql: NTILE over the output of a ROW_NUMBER subquery
+    // (window over window results, both order-only/global)
+    "ntile_nested" ->
+      """SELECT rnum, c_custkey,
+                CAST(NTILE(4) OVER (ORDER BY c_custkey) AS BIGINT) AS nt
+         FROM (SELECT c_custkey,
+                 CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS rnum
+               FROM customer WHERE c_custkey < 400) dt
+         ORDER BY rnum""",
+
+    // bugs/drill-3700.sql: FIRST_VALUE under order-only-with-NULLS-FIRST,
+    // partition-only, and partition+order windows in one projection
+    // (partition-only value is the partition key itself, so the missing
+    // order cannot make the result nondeterministic)
+    "firstval_mixed" ->
+      """SELECT c_custkey,
+                FIRST_VALUE(c_custkey) OVER (ORDER BY NULLIF(c_nationkey, 0)
+                  NULLS FIRST, c_custkey) AS fv_nulls_first,
+                FIRST_VALUE(c_mktsegment) OVER (PARTITION BY c_mktsegment)
+                  AS fv_part_only,
+                FIRST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_custkey) AS fv_part_order
+         FROM customer WHERE c_custkey < 400
+         ORDER BY c_custkey""",
+
+    // statistical_aggregates/{variance,var_samp,stddev}_empty_partition_*:
+    // population/sample variance + stddev over per-key windows, with the
+    // single-row-partition case guarded the way both engines define it
+    // (sample forms are NULL-or-NaN below 2 rows — emit NULL uniformly)
+    "stat_aggs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                round(VAR_POP(l_quantity) OVER w, 4) AS vpop,
+                round(STDDEV_POP(l_quantity) OVER w, 4) AS spop,
+                CASE WHEN COUNT(*) OVER w > 1
+                     THEN round(VAR_SAMP(l_quantity) OVER w, 4) END AS vsamp,
+                CASE WHEN COUNT(*) OVER w > 1
+                     THEN round(STDDEV_SAMP(l_quantity) OVER w, 4) END AS ssamp
+         FROM lineitem WHERE l_orderkey < 600
+         WINDOW w AS (PARTITION BY l_orderkey)
+         ORDER BY l_orderkey, l_linenumber""",
+
     // aggregates/winFnQry_*.q (MAX over FIRST_VALUE subquery): scalar
     // aggregate over per-row window results
     "agg_outer" ->
@@ -787,6 +863,59 @@ object SparkEntry {
       // OVER the per-row window results of a subquery
       Tables.registerAll(s, dir)
       s.sql(drillSql("agg_outer"))
+    }),
+
+    "q_drill_window_const_args" -> ((s, dir) => {
+      // bugs/drill-3292.sql: SUM over constant arguments
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("const_args"))
+    }),
+
+    "q_drill_window_rank_orderby" -> ((s, dir) => {
+      // bugs/drill-3348.sql: window fn in projection + a different window
+      // fn in the ORDER BY clause
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("rank_orderby"))
+    }),
+
+    "q_drill_window_mixed_over" -> ((s, dir) => {
+      // bugs/drill-3574.sql: partition-only OVER + OVER () side by side
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("mixed_over"))
+    }),
+
+    "q_drill_window_ntile_nested" -> ((s, dir) => {
+      // bugs/drill-3679.sql: NTILE over a ROW_NUMBER subquery
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ntile_nested"))
+    }),
+
+    "q_drill_window_firstval_mixed" -> ((s, dir) => {
+      // bugs/drill-3700.sql: FIRST_VALUE across over-clause variants
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("firstval_mixed"))
+    }),
+
+    "q_drill_window_stat_aggs" -> ((s, dir) => {
+      // statistical_aggregates family: var/stddev pop+samp windows with
+      // guarded single-row partitions
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("stat_aggs"))
+    }),
+
+    "q_drill_window_array_part" -> ((s, dir) => {
+      // druid_queries/partition_by_array/*.q: PARTITION BY an ARRAY
+      // expression — array VALUES are the partition key, so segments whose
+      // arrays collide (equal name lengths here) merge into one partition.
+      // Array literal syntax differs between engines (Spark array() vs
+      // DuckDB ARRAY[]), so the Spark side is the DataFrame API and the
+      // oracle carries its own dialect text.
+      val w = Window.partitionBy(array(lit(1), lit(2),
+          length(col("c_mktsegment")))).orderBy(col("c_custkey"))
+      t(s, dir)("customer").filter(col("c_custkey") < 400)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy(col("c_custkey"))
     }),
 
     "q_window_frame" -> ((s, dir) => {
@@ -2542,6 +2671,18 @@ object SparkEntry {
     "q_drill_window_empty_over" -> drillSql("empty_over"),
     "q_drill_window_subquery" -> drillSql("subquery"),
     "q_drill_window_agg_outer" -> drillSql("agg_outer"),
+    "q_drill_window_const_args" -> drillSql("const_args"),
+    "q_drill_window_rank_orderby" -> drillSql("rank_orderby"),
+    "q_drill_window_mixed_over" -> drillSql("mixed_over"),
+    "q_drill_window_ntile_nested" -> drillSql("ntile_nested"),
+    "q_drill_window_firstval_mixed" -> drillSql("firstval_mixed"),
+    "q_drill_window_stat_aggs" -> drillSql("stat_aggs"),
+    "q_drill_window_array_part" ->
+      """SELECT c_custkey, c_mktsegment,
+                CAST(ROW_NUMBER() OVER (PARTITION BY ARRAY[1, 2,
+                  length(c_mktsegment)] ORDER BY c_custkey) AS BIGINT) AS rn
+         FROM customer WHERE c_custkey < 400
+         ORDER BY c_custkey""",
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
          FROM lineitem
