@@ -257,6 +257,122 @@ object SparkEntry {
                FROM lineitem) sub
          GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  /** TPC-H queries from the reference's quidem suite
+    * (`quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest/qaTpch/
+    * broadcast.msq.iq` — it runs Q01/02/04/06/11/14/15/17/19/20/22 through
+    * its MSQ engine in broadcast and sortMerge modes). Ported here where the
+    * reduced testdata schema allows (no partsupp, no comment/phone/container
+    * columns — Q02/04/11/20 skipped, Q17/19/22 use equivalent predicates
+    * over the available columns). One shared ANSI text per query, run
+    * verbatim by Spark and the DuckDB oracle.
+    */
+  private[graft] def tpchSql(name: String): String = tpchQuerySql(name)
+
+  private val tpchQuerySql: Map[String, String] = Map(
+    // TEST_ID Q01: pricing summary report
+    "q01" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(FLOOR(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                CAST(FLOOR(sum(l_extendedprice)) AS BIGINT) AS sum_base_price,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS sum_disc_price,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)))
+                  AS BIGINT) AS sum_charge,
+                CAST(FLOOR(avg(l_quantity)) AS BIGINT) AS avg_qty,
+                CAST(FLOOR(avg(l_extendedprice)) AS BIGINT) AS avg_price,
+                CAST(FLOOR(avg(l_discount)) AS BIGINT) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= DATE '2001-12-01' - INTERVAL '90' DAY
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    // TEST_ID Q06: forecasting revenue change
+    "q06" ->
+      """SELECT CAST(FLOOR(sum(l_extendedprice * l_discount)) AS BIGINT) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1996-01-01' + INTERVAL '1' YEAR
+           AND l_discount BETWEEN 0.03 - 0.01 AND 0.03 + 0.01
+           AND l_quantity < 24""",
+
+    // TEST_ID Q14: promotion effect (p_type LIKE 'PROMO%')
+    "q14" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+                sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= DATE '1996-09-01'
+           AND l_shipdate < DATE '1996-09-01' + INTERVAL '1' MONTH""",
+
+    // TEST_ID Q15: top supplier (revenue view + scalar max subquery);
+    // revenues rounded to whole units before the equality so a last-ulp
+    // difference between the two aggregations cannot drop the argmax row
+    "q15" ->
+      """SELECT s_suppkey, s_name,
+                CAST(FLOOR(total_revenue) AS BIGINT) AS total_revenue
+         FROM supplier,
+           (SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0)
+                     AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-02-01'
+              AND l_shipdate < DATE '1996-02-01' + INTERVAL '3' MONTH
+            GROUP BY l_suppkey) rev
+         WHERE s_suppkey = supplier_no
+           AND total_revenue =
+             (SELECT max(round(sum_rev, 0)) FROM
+                (SELECT sum(l_extendedprice * (1 - l_discount)) AS sum_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= DATE '1996-02-01'
+                   AND l_shipdate < DATE '1996-02-01' + INTERVAL '3' MONTH
+                 GROUP BY l_suppkey) mx)
+         ORDER BY s_suppkey""",
+
+    // TEST_ID Q17: small-quantity-order revenue (container predicate
+    // replaced by brand-only — no p_container column in testdata)
+    "q17" ->
+      """SELECT CAST(FLOOR(sum(l_extendedprice) / 7.0) AS BIGINT) AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand = 'Brand#23'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem WHERE l_partkey = p_partkey)""",
+
+    // TEST_ID Q19: discounted revenue, disjunction of brand/size/quantity
+    // range conjunctions (shipmode/container terms replaced by p_size — not
+    // in testdata)
+    "q19" ->
+      """SELECT CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS revenue
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30))""",
+
+    // TEST_ID Q22: global sales opportunity — phone-prefix country codes
+    // become nation keys and "no orders" becomes "no urgent orders" (every
+    // synthetic customer has at least one order)
+    "q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+                CAST(FLOOR(sum(c_acctbal)) AS BIGINT) AS totacctbal
+         FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal,
+                      c_custkey
+               FROM customer
+               WHERE c_nationkey IN (1, 2, 3, 7, 8, 9, 10)
+                 AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                  WHERE c_acctbal > 0.00
+                                    AND c_nationkey IN (1, 2, 3, 7, 8, 9, 10))) cust
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderpriority = '1-URGENT'
+                             AND o_custkey = c_custkey)
+         GROUP BY cntrycode ORDER BY cntrycode""")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----------------------------------------------------- scan (§2.1/§2.7)
@@ -863,6 +979,29 @@ object SparkEntry {
       // OVER the per-row window results of a subquery
       Tables.registerAll(s, dir)
       s.sql(drillSql("agg_outer"))
+    }),
+
+    // ------------------------------------ TPC-H quidem suite (see tpchSql)
+    "q_tpch_q01" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q01"))
+    }),
+    "q_tpch_q06" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q06"))
+    }),
+    "q_tpch_q14" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q14"))
+    }),
+    "q_tpch_q15" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q15"))
+    }),
+    "q_tpch_q17" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q17"))
+    }),
+    "q_tpch_q19" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q19"))
+    }),
+    "q_tpch_q22" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q22"))
     }),
 
     "q_drill_window_const_args" -> ((s, dir) => {
@@ -2671,6 +2810,13 @@ object SparkEntry {
     "q_drill_window_empty_over" -> drillSql("empty_over"),
     "q_drill_window_subquery" -> drillSql("subquery"),
     "q_drill_window_agg_outer" -> drillSql("agg_outer"),
+    "q_tpch_q01" -> tpchSql("q01"),
+    "q_tpch_q06" -> tpchSql("q06"),
+    "q_tpch_q14" -> tpchSql("q14"),
+    "q_tpch_q15" -> tpchSql("q15"),
+    "q_tpch_q17" -> tpchSql("q17"),
+    "q_tpch_q19" -> tpchSql("q19"),
+    "q_tpch_q22" -> tpchSql("q22"),
     "q_drill_window_const_args" -> drillSql("const_args"),
     "q_drill_window_rank_orderby" -> drillSql("rank_orderby"),
     "q_drill_window_mixed_over" -> drillSql("mixed_over"),
