@@ -250,4 +250,29 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
   }
+
+  test("tpch suite plans: decorrelation, pushdown, no cartesian products") {
+    Tables.registerAll(spark, dir)
+    def plan(q: String): String =
+      spark.sql(SparkEntry.tpchSql(q)).queryExecution.executedPlan.toString
+    // Q17: the correlated avg subquery decorrelates to an aggregate join —
+    // never a per-row re-execution or a cartesian product
+    val q17 = plan("q17")
+    assert(!q17.contains("CartesianProduct"))
+    assert(q17.contains("BroadcastHashJoin") || q17.contains("SortMergeJoin"))
+    assert(q17.contains("p_brand"), "brand filter must reach the part scan")
+    // Q19: the disjunctive brand/size/quantity predicate derives scan-level
+    // range filters on BOTH sides (l_quantity bounds on lineitem, p_size
+    // bounds on part) instead of filtering only after the join
+    val q19 = plan("q19")
+    assert(!q19.contains("CartesianProduct"))
+    assert(q19.contains("DataFilters: [isnotnull(l_partkey"),
+      s"lineitem scan must carry derived data filters:\n$q19")
+    // Q22: NOT EXISTS plans as a LeftAnti join, and the nation-key IN
+    // filter is pushed into the customer scan
+    val q22 = plan("q22")
+    assert(q22.contains("LeftAnti"))
+    assert(q22.contains("IN (1,2,3,7,8,9,10)"),
+      s"IN filter must reach the customer scan:\n$q22")
+  }
 }
