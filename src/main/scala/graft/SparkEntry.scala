@@ -1017,6 +1017,16 @@ object SparkEntry {
       s.sql(drillSql("rank_orderby"))
     }),
 
+    "q_sql_orderby_window" -> ((s, dir) => {
+      // the UNREWRITTEN drill-3348 shape — a window function INLINE in the
+      // ORDER BY clause — through the SQL facade, which hoists it below the
+      // Sort (SqlApi.sqlWithSortWindows; plain Spark rejects the shape).
+      // LIMIT makes the ordering observable in the row set.
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT n_name, CAST(RANK() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS BIGINT) AS rnk FROM nation ORDER BY ROW_NUMBER() OVER (ORDER BY n_nationkey DESC) LIMIT 10"
+      }""")
+    }),
+
     "q_drill_window_mixed_over" -> ((s, dir) => {
       // bugs/drill-3574.sql: partition-only OVER + OVER () side by side
       Tables.registerAll(s, dir)
@@ -2819,6 +2829,11 @@ object SparkEntry {
     "q_tpch_q22" -> tpchSql("q22"),
     "q_drill_window_const_args" -> drillSql("const_args"),
     "q_drill_window_rank_orderby" -> drillSql("rank_orderby"),
+    "q_sql_orderby_window" ->
+      """SELECT n_name, CAST(RANK() OVER (PARTITION BY n_regionkey
+                ORDER BY n_name) AS BIGINT) AS rnk
+         FROM nation
+         ORDER BY ROW_NUMBER() OVER (ORDER BY n_nationkey DESC) LIMIT 10""",
     "q_drill_window_mixed_over" -> drillSql("mixed_over"),
     "q_drill_window_ntile_nested" -> drillSql("ntile_nested"),
     "q_drill_window_firstval_mixed" -> drillSql("firstval_mixed"),

@@ -54,7 +54,7 @@ object SqlApi {
         ingestTarget(sqlText) match {
           case Some(ing) => runIngest(spark, ing)
           case None =>
-            val df = spark.sql(sqlText)
+            val df = sqlWithSortWindows(spark, sqlText)
             // context.sqlOuterLimit (reference QueryContexts): a hard outer
             // row cap applied over whatever the query returns
             ctxValue(j, "sqlOuterLimit") match {
@@ -165,6 +165,59 @@ object SqlApi {
       spark.sparkContext.clearJobGroup()
       queryId.foreach(activeGroups.remove(_, group))
     }
+  }
+
+  /** `spark.sql` plus support for window functions INSIDE the ORDER BY
+    * clause (`... ORDER BY row_number() OVER (...)`) — Calcite (the
+    * reference's planner, e.g. the adopted drill corpus's drill-3348 shape)
+    * accepts this, but Spark's Sort operator rejects inline window
+    * expressions. The facade hoists each ORDER-BY window into a hidden
+    * projected alias below the Sort, sorts on the alias, and drops the
+    * helper columns after analysis — the standard SQL-equivalent rewrite,
+    * applied automatically.
+    */
+  private[graft] def sqlWithSortWindows(spark: SparkSession,
+                                        sqlText: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, WindowExpression}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(sqlText)
+      catch { case _: Exception => return spark.sql(sqlText) } // multi-statement etc.
+    def sortHasWindow(s: Sort): Boolean =
+      s.order.exists(_.exists(_.isInstanceOf[WindowExpression]))
+    if (!parsed.exists { case s: Sort => sortHasWindow(s); case _ => false })
+      return spark.sql(sqlText)
+    val helpers = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rewritten = parsed.transformUp {
+      case s: Sort if sortHasWindow(s) =>
+        val aliases = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+        val newOrder = s.order.map { so =>
+          so.child match {
+            case w: WindowExpression =>
+              val name = s"__sort_window_${helpers.size}"
+              helpers += name
+              aliases += Alias(w, name)()
+              so.copy(child = UnresolvedAttribute(name))
+            case _ => so
+          }
+        }
+        s.child match {
+          // the common SELECT shape: splice the helper aliases into the
+          // select list itself, so the window's references resolve against
+          // the FROM scope exactly like the projected expressions do
+          case Project(projectList, grandChild) =>
+            Sort(newOrder, s.global,
+              Project(projectList ++ aliases, grandChild))
+          // anything else (set ops, aggregates …): project the child's
+          // full output plus the helpers
+          case other =>
+            Sort(newOrder, s.global,
+              Project(Seq(UnresolvedStar(None)) ++ aliases, other))
+        }
+    }
+    val df = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, rewritten)
+    helpers.foldLeft(df)(_.drop(_))
   }
 
   /** DELETE /druid/v2/sql/{sqlQueryId} analog. */

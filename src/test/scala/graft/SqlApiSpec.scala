@@ -390,6 +390,22 @@ class SqlApiSpec extends AnyFunSuite {
     SqlStatements.cancel(spark, id)
   }
 
+  test("window function inside ORDER BY is hoisted (drill-3348 shape)") {
+    // plain spark.sql rejects this (Sort cannot hold window expressions);
+    // the facade hoists it into a hidden projection — Calcite-parity
+    val df = SqlApi.run(spark, dir, """{
+      "query": "SELECT n_name, RANK() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rnk FROM nation ORDER BY ROW_NUMBER() OVER (ORDER BY n_nationkey DESC) LIMIT 5"
+    }""")
+    assert(df.columns.toSeq == Seq("n_name", "rnk")) // helper column dropped
+    val rows = df.collect()
+    assert(rows.length == 5)
+    // order followed row_number() over n_nationkey DESC: keys 24,23,22,21,20
+    val expect = SqlApi.run(spark, dir, """{
+      "query": "SELECT n_name FROM nation ORDER BY n_nationkey DESC LIMIT 5"
+    }""").collect().map(_.getString(0)).toSeq
+    assert(rows.map(_.getString(0)).toSeq == expect)
+  }
+
   test("context timeout cancels a long-running query") {
     val payload = """{
       "query": "SELECT count(*) FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c",
