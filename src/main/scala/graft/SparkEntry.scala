@@ -1737,6 +1737,19 @@ object SparkEntry {
         .orderBy(col("t"))
     }),
 
+    "q_pack_sequences" -> ((s, dir) => {
+      // concat-then-split sequence packing (Packing.packSequences):
+      // documents laid on one global token tape in doc_id order, cut into
+      // 512-token training sequences; each doc's (seq_id, seq_offset) comes
+      // from a two-phase DISTRIBUTED prefix sum (range partition →
+      // per-partition totals → broadcast offsets), never a single-partition
+      // global window. The oracle recomputes the same arithmetic with a
+      // plain global cumsum.
+      graft.pipeline.Packing.packSequences(
+          t(s, dir)("documents"), "doc_id", "text", maxTokens = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_chunk" -> ((s, dir) => {
       // sliding-window token chunking to a model context length
       // (TextAnalysis.chunk): 50-token windows, 10-token overlap
@@ -3760,6 +3773,20 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
+
+    "q_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+                CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS seq_id,
+                CAST(start_tok % 512 AS BIGINT) AS seq_offset
+         FROM (SELECT doc_id, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS start_tok
+               FROM (SELECT doc_id,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> len(t) > 0)) AS BIGINT) AS n_tokens
+                     FROM documents)) t
+         ORDER BY doc_id""",
 
     "q_text_tokens" ->
       """SELECT doc_id,

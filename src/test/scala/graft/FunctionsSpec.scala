@@ -510,6 +510,30 @@ class FunctionsSpec extends AnyFunSuite {
       .contains((3L, 4L)))
   }
 
+  test("distributed prefix sum equals the single-partition global window") {
+    import graft.pipeline.Packing
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("v", (col("id") % 37) + 1)
+    val dist = Packing.withPrefixSum(df, "id", col("v"), "ps",
+      numPartitions = 8)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = df.withColumn("ps", coalesce(sum(col("v").cast("long")).over(w), lit(0L)))
+    assert(dist.exceptAll(naive).isEmpty && naive.exceptAll(dist).isEmpty)
+    // and the cumsum window is PARTITIONED on the range-partition id — not
+    // a global (single-task) window like the naive formulation
+    assert(dist.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition(__pid"))
+    // packing invariants: offsets stay inside the sequence, ids monotone
+    val packed = Packing.packSequences(
+      Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+        .toDF("doc_id", "text"), "doc_id", "text", maxTokens = 4,
+      numPartitions = 2).collect().sortBy(_.getLong(0))
+    // tape: doc1@0 (3 toks), doc2@3, doc3@5, doc4@9
+    assert(packed.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 1L), (4L, 2L, 1L)))
+  }
+
   test("native lsh_bucket is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for ((bits, off) <- Seq((4, 0), (4, 4), (8, 0), (6, 12))) {
