@@ -1723,6 +1723,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_sample_temperature" -> ((s, dir) => {
+      // temperature-scaled dataset mixing (alpha = 0.5 upsamples tail
+      // languages relative to head ones; Sampling.temperatureSample).
+      // Per-stratum rates ∝ size^(alpha-1), rounded to 6 dp so the oracle's
+      // SQL recomputation hits the identical hash threshold.
+      graft.pipeline.Sampling.temperatureSample(t(s, dir)("documents"),
+          "doc_id", "lang", alpha = 0.5, rate = 0.3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_dedup_contamination_score" -> ((s, dir) => {
+      // contamination FRACTION per probe doc (matched / total distinct
+      // 8-grams) — clean docs stay visible at score 0.0 so a threshold
+      // filter can act on the full probe set
+      val docs = t(s, dir)("documents")
+      graft.pipeline.Dedup.contaminationScore(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+          docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_unicode" -> ((s, dir) => {
       // unicode string-function robustness: multi-byte, combining-accent,
       // CJK and surrogate-pair (emoji) inputs through length/upper/reverse/
@@ -3013,6 +3037,42 @@ object SparkEntry {
          WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 <
                CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.1 ELSE 0.02 END
          GROUP BY lang ORDER BY lang""",
+
+    "q_sample_temperature" ->
+      """WITH sizes AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c
+                        FROM documents GROUP BY lang),
+            tot AS (SELECT sum(c) AS n, sum(pow(c, 0.5)) AS d FROM sizes),
+            rates AS (SELECT lang,
+                             round(0.3 * (SELECT n FROM tot) /
+                               (SELECT d FROM tot) * pow(c, -0.5), 6) AS r
+                      FROM sizes)
+         SELECT d.lang, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS chars
+         FROM documents d JOIN rates USING (lang)
+         WHERE (d.doc_id * 2654435761) % 4294967296 / 4294967296.0 < r
+         GROUP BY d.lang ORDER BY d.lang""",
+
+    "q_dedup_contamination_score" ->
+      """WITH cg AS (
+           SELECT DISTINCT array_to_string(list_slice(toks, i+1, i+8), ' ') AS g
+           FROM (SELECT string_split_regex(text, '\s+') AS toks
+                 FROM documents WHERE doc_id % 10 < 8),
+                unnest(generate_series(0, len(toks) - 8)) AS t(i)
+           WHERE len(toks) >= 8),
+         pg AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i+1, i+8), ' ') AS g
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                 FROM documents WHERE doc_id % 10 >= 8),
+                unnest(generate_series(0, len(toks) - 8)) AS t(i)
+           WHERE len(toks) >= 8),
+         totals AS (SELECT doc_id, count(*) AS total FROM pg GROUP BY doc_id),
+         matches AS (SELECT pg.doc_id, count(*) AS matched
+                     FROM pg JOIN cg USING (g) GROUP BY pg.doc_id)
+         SELECT t.doc_id, COALESCE(m.matched, 0) AS matched, t.total,
+                round(CAST(COALESCE(m.matched, 0) AS DOUBLE) / t.total, 6)
+                  AS score
+         FROM totals t LEFT JOIN matches m ON m.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
 
     "q_text_unicode" ->
       """SELECT t, length(t) AS n_chars, upper(t) AS up, reverse(t) AS rev,

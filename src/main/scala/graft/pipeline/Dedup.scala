@@ -85,24 +85,56 @@ object Dedup {
     */
   def ngramContamination(corpus: DataFrame, probe: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 8): DataFrame = {
-    def grams(df: DataFrame, withId: Boolean): DataFrame = {
-      val toks = split(col(textCol), "\\s+")
-      val firstId = if (withId) Seq(col(idCol).as("__pid")) else Nil
-      val keepId = if (withId) Seq(col("__pid")) else Nil
-      df.select(firstId :+ toks.as("__toks"): _*)
-        .filter(size(col("__toks")) >= n)
-        .select(keepId :+
-          explode(sequence(lit(0), size(col("__toks")) - n)).as("__i") :+
-          col("__toks"): _*)
-        .select(keepId :+
-          concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(n))).as("__g"): _*)
-        .distinct()
-    }
-    grams(probe, withId = true)
-      .join(grams(corpus, withId = false), Seq("__g"))
+                         n: Int = 8): DataFrame =
+    distinctNgramRows(probe, idCol, textCol, n, withId = true)
+      .join(distinctNgramRows(corpus, idCol, textCol, n, withId = false),
+        Seq("__g"))
       .groupBy(col("__pid").as(idCol))
       .agg(count(lit(1)).as("matched"))
+
+  /** Contamination FRACTION per probe document: distinct corpus-colliding
+    * n-grams over distinct n-grams, one row per probe doc that has at least
+    * one n-gram (clean docs score 0.0 — unlike [[ngramContamination]] they
+    * are not dropped, because a decontamination threshold filter needs to
+    * SEE them). Same distinct-gram semi-join shape; the probe gram table is
+    * persisted since it feeds both the totals and the match counts.
+    *
+    * @return (idCol, matched, total, score = matched/total rounded to 6 dp)
+    */
+  def contaminationScore(corpus: DataFrame, probe: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    val pg = distinctNgramRows(probe, idCol, textCol, n, withId = true)
+      .persist()
+    val totals = pg.groupBy(col("__pid")).agg(count(lit(1)).as("total"))
+    val matches = pg
+      .join(distinctNgramRows(corpus, idCol, textCol, n, withId = false),
+        Seq("__g"))
+      .groupBy(col("__pid")).agg(count(lit(1)).as("matched"))
+    totals.join(matches, Seq("__pid"), "left")
+      .select(col("__pid").as(idCol),
+        coalesce(col("matched"), lit(0L)).as("matched"), col("total"),
+        round(coalesce(col("matched"), lit(0L)).cast("double") /
+          col("total"), 6).as("score"))
+  }
+
+  /** Distinct whitespace n-gram rows (__pid?, __g) — shared by the
+    * contamination operators.
+    */
+  private def distinctNgramRows(df: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                withId: Boolean): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val firstId = if (withId) Seq(col(idCol).as("__pid")) else Nil
+    val keepId = if (withId) Seq(col("__pid")) else Nil
+    df.select(firstId :+ toks.as("__toks"): _*)
+      .filter(size(col("__toks")) >= n)
+      .select(keepId :+
+        explode(sequence(lit(0), size(col("__toks")) - n)).as("__i") :+
+        col("__toks"): _*)
+      .select(keepId :+
+        concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(n))).as("__g"): _*)
+      .distinct()
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the

@@ -55,6 +55,33 @@ object Sampling {
     df.filter(unitHashFor(df, keyCol) < rate)
   }
 
+  /** Temperature-scaled mixture sampling — the standard multilingual /
+    * multi-source training-mix reweighting: the sampling distribution over
+    * strata is q_s ∝ p_s^alpha, so per-stratum keep rates scale with
+    * size^(alpha-1). alpha = 1 reduces to a uniform `rate`; alpha = 0
+    * equalizes rows per stratum; 0 < alpha < 1 upsamples tail strata
+    * relative to head strata. Rates derive from ONE tiny per-stratum count
+    * aggregate (|strata| rows to the driver — scale-safe), are rounded to
+    * 6 dp so both engines agree bit-for-bit at the hash threshold, and are
+    * applied as the same deterministic unit-hash filter as [[stratified]].
+    * Rows in strata absent from the rate table (impossible here, by
+    * construction) would drop; rates above 1 simply keep everything.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        alpha: Double, rate: Double): DataFrame = {
+    val sizes = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).sortBy(_._1)
+    require(sizes.nonEmpty, "temperatureSample needs a non-empty input")
+    val n = sizes.map(_._2).sum.toDouble
+    val denom = sizes.map { case (_, c) => math.pow(c.toDouble, alpha) }.sum
+    val rates = sizes.map { case (s, c) =>
+      val r = rate * n / denom * math.pow(c.toDouble, alpha - 1)
+      s -> BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    df.filter(unitHashFor(df, keyCol) <
+      coalesce(typedlit(rates).getItem(col(strataCol)), lit(0.0)))
+  }
+
   /** Assign each row to a named split by cumulative weight — train/val/test
     * partitioning that is stable under re-runs and data growth (a row's
     * split never changes when other rows are added).

@@ -510,6 +510,29 @@ class FunctionsSpec extends AnyFunSuite {
       .contains((3L, 4L)))
   }
 
+  test("temperatureSample: alpha=1 is uniform, alpha<1 upsamples tail strata") {
+    import graft.pipeline.Sampling
+    // head stratum 8x the tail stratum
+    val df = (0 until 9000).map(i =>
+      (i.toLong, if (i < 8000) "head" else "tail")).toDF("id", "lang")
+    def kept(alpha: Double): Map[String, Long] =
+      Sampling.temperatureSample(df, "id", "lang", alpha, rate = 0.2)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniform = kept(1.0)
+    // alpha = 1: every stratum keeps ~rate of itself
+    assert(math.abs(uniform("head") / 8000.0 - 0.2) < 0.03)
+    assert(math.abs(uniform("tail") / 1000.0 - 0.2) < 0.05)
+    val cooled = kept(0.5)
+    // alpha = 0.5: tail keep-rate rises, head keep-rate falls
+    assert(cooled("tail") / 1000.0 > uniform("tail") / 1000.0)
+    assert(cooled("head") / 8000.0 < uniform("head") / 8000.0)
+    // deterministic: same rows on re-run
+    assert(Sampling.temperatureSample(df, "id", "lang", 0.5, 0.2)
+      .exceptAll(Sampling.temperatureSample(df, "id", "lang", 0.5, 0.2))
+      .isEmpty)
+  }
+
   test("distributed prefix sum equals the single-partition global window") {
     import graft.pipeline.Packing
     val df = spark.range(0, 5000).toDF("id")
