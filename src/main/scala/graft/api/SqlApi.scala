@@ -528,7 +528,8 @@ object SqlApi {
   private[graft] case class IngestStatement(
       replace: Boolean, table: String,
       overwriteWhere: Option[(String, String)],
-      innerSql: String, clusterBy: Seq[String])
+      innerSql: String, clusterBy: Seq[String],
+      granularity: String = "DAY")
 
   /** Parse the reference's ingest statements (`DruidSqlInsert.java:39`,
     * `DruidSqlReplace.java`):
@@ -566,12 +567,12 @@ object SqlApi {
         }
         val Part =
           """(?is)^(.*)\bPARTITIONED\s+BY\s+(ALL\s+TIME|HOUR|DAY|WEEK|MONTH|YEAR|ALL)\b\s*(.*)$""".r
-        val (inner, tail) = rest match {
-          case Part(q, gran, t2) =>
-            val g = gran.trim.toUpperCase.replaceAll("\\s+", " ")
+        val (inner, tail, gran) = rest match {
+          case Part(q, gran0, t2) =>
+            val g = gran0.trim.toUpperCase.replaceAll("\\s+", " ")
             require(Seq("DAY", "MONTH", "YEAR", "ALL", "ALL TIME").contains(g),
-              s"unsupported PARTITIONED BY $gran (DAY-or-coarser supported)")
-            (q.trim, t2.trim)
+              s"unsupported PARTITIONED BY $gran0 (DAY-or-coarser supported)")
+            (q.trim, t2.trim, g)
           case _ => throw new IllegalArgumentException(
             "ingest SQL requires PARTITIONED BY (reference DruidSqlInsert)")
         }
@@ -585,7 +586,7 @@ object SqlApi {
                 s"unexpected trailing ingest clause: $other")
             }
           }
-        Some(IngestStatement(replace, table, where, inner, cluster))
+        Some(IngestStatement(replace, table, where, inner, cluster, gran))
       case _ => None
     }
   }
@@ -769,7 +770,13 @@ object SqlApi {
     * statement type.
     */
   private def explainPlan(spark: SparkSession, innerSql: String): DataFrame = {
-    val df = spark.sql(innerSql)
+    // EXPLAIN PLAN FOR INSERT/REPLACE: explain the ingest's SELECT and
+    // report the reference's ingest explain attributes (`query/explain/
+    // ExplainAttributes.java`: statementType, targetDataSource,
+    // partitionedBy, clusteredBy, replaceTimeChunks)
+    val ingest = ingestTarget(innerSql)
+    val selectSql = ingest.map(_.innerSql).getOrElse(innerSql)
+    val df = spark.sql(selectSql)
     val signature = JArray(df.schema.fields.map(f =>
       JObject("name" -> JString(f.name),
         "type" -> JString(druidType(f.dataType)))).toList)
@@ -780,13 +787,32 @@ object SqlApi {
       "signature" -> signature)))
     // datasources from the *parsed* plan: analyzed plans inline temp views,
     // losing the original relation names
-    val parsed = spark.sessionState.sqlParser.parsePlan(innerSql)
+    val parsed = spark.sessionState.sqlParser.parsePlan(selectSql)
     val tables = parsed.collect {
       case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
     }.distinct.sorted
     val resources = JArray(tables.map(t =>
       JObject("name" -> JString(t), "type" -> JString("DATASOURCE"))).toList)
-    val attributes = JObject("statementType" -> JString("SELECT"))
+    val attributes = ingest match {
+      case None => JObject("statementType" -> JString("SELECT"))
+      case Some(ing) =>
+        val base = List(
+          "statementType" ->
+            JString(if (ing.replace) "REPLACE" else "INSERT"),
+          "targetDataSource" -> JString(ing.table),
+          "partitionedBy" -> JString(ing.granularity))
+        val clustered =
+          if (ing.clusterBy.isEmpty) Nil
+          else List("clusteredBy" ->
+            JArray(ing.clusterBy.map(JString(_)).toList))
+        val chunks =
+          if (!ing.replace) Nil
+          else List("replaceTimeChunks" -> JString(ing.overwriteWhere match {
+            case Some((lo, hi)) => s"$lo/$hi"
+            case None => "all"
+          }))
+        JObject(base ++ clustered ++ chunks)
+    }
     import spark.implicits._
     Seq((compact(plan), compact(resources), compact(attributes)))
       .toDF("PLAN", "RESOURCES", "ATTRIBUTES")

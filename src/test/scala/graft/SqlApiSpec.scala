@@ -390,6 +390,27 @@ class SqlApiSpec extends AnyFunSuite {
     SqlStatements.cancel(spark, id)
   }
 
+  test("EXPLAIN PLAN FOR ingest reports the reference's ingest attributes") {
+    val row = SqlApi.run(spark, dir, """{
+      "query": "EXPLAIN PLAN FOR REPLACE INTO exp_target OVERWRITE ALL SELECT ts AS __time, event_type, value FROM events PARTITIONED BY DAY CLUSTERED BY event_type"
+    }""").head()
+    val attrs = JsonMethods.parse(row.getString(2))
+    assert((attrs \ "statementType") == JString("REPLACE"))
+    assert((attrs \ "targetDataSource") == JString("exp_target"))
+    assert((attrs \ "partitionedBy") == JString("DAY"))
+    assert((attrs \ "clusteredBy") == JArray(List(JString("event_type"))))
+    assert((attrs \ "replaceTimeChunks") == JString("all"))
+    // the plan/signature describe the ingest's SELECT
+    assert(row.getString(0).contains("event_type"))
+    val ins = SqlApi.run(spark, dir, """{
+      "query": "EXPLAIN PLAN FOR INSERT INTO exp_target SELECT ts AS __time, value FROM events PARTITIONED BY MONTH"
+    }""").head()
+    val a2 = JsonMethods.parse(ins.getString(2))
+    assert((a2 \ "statementType") == JString("INSERT"))
+    assert((a2 \ "partitionedBy") == JString("MONTH"))
+    assert((a2 \ "replaceTimeChunks") == JNothing)
+  }
+
   test("window function inside ORDER BY is hoisted (drill-3348 shape)") {
     // plain spark.sql rejects this (Sort cannot hold window expressions);
     // the facade hoists it into a hidden projection — Calcite-parity
