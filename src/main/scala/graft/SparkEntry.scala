@@ -1017,6 +1017,16 @@ object SparkEntry {
       s.sql(drillSql("rank_orderby"))
     }),
 
+    "q_sql_unnest_multi" -> ((s, dir) => {
+      // TWO correlated UNNESTs in one FROM (reference qaUnnest
+      // *_multi_unnests corpus; facade rewrites each recursively into
+      // chained LATERAL VIEW explodes) — cross product of the two arrays
+      // per source row, re-aggregated
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM (SELECT split(p_name, ' ') AS words, split(p_type, ' ') AS types FROM part WHERE p_partkey <= 200) t CROSS JOIN UNNEST(words) AS u1 (w1) CROSS JOIN UNNEST(types) AS u2 (w2) GROUP BY w1, w2 HAVING count(*) > 2 ORDER BY w1, w2"
+      }""")
+    }),
+
     "q_sql_orderby_window" -> ((s, dir) => {
       // the UNREWRITTEN drill-3348 shape — a window function INLINE in the
       // ORDER BY clause — through the SQL facade, which hoists it below the
@@ -2866,6 +2876,14 @@ object SparkEntry {
     "q_tpch_q22" -> tpchSql("q22"),
     "q_drill_window_const_args" -> drillSql("const_args"),
     "q_drill_window_rank_orderby" -> drillSql("rank_orderby"),
+    "q_sql_unnest_multi" ->
+      """SELECT w1, w2, count(*) AS n
+         FROM (SELECT string_split(p_name, ' ') AS words,
+                      string_split(p_type, ' ') AS types
+               FROM part WHERE p_partkey <= 200) t,
+              unnest(words) AS u1(w1), unnest(types) AS u2(w2)
+         GROUP BY w1, w2 HAVING count(*) > 2 ORDER BY w1, w2""",
+
     "q_sql_orderby_window" ->
       """SELECT n_name, CAST(RANK() OVER (PARTITION BY n_regionkey
                 ORDER BY n_name) AS BIGINT) AS rnk

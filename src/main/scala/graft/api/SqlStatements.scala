@@ -50,7 +50,12 @@ object SqlStatements {
       val payload: String,
       val parsed: JValue,
       val createdAtMs: Long,
-      val group: String) {
+      val group: String,
+      /** Pre-planned DataFrame (SELECT statements — planned at submit so
+        * invalid SQL fails synchronously like the reference's 400); ingest
+        * statements plan AND run inside the worker.
+        */
+      val planned: Option[org.apache.spark.sql.DataFrame]) {
     @volatile var state: String = Accepted
     @volatile var error: Option[String] = None
     @volatile var schema: Option[StructType] = None
@@ -79,7 +84,12 @@ object SqlStatements {
   /** POST /druid/v2/sql/statements/ — accept the standard [[SqlApi]] payload,
     * return the statement id immediately (reference doPost returns the
     * ACCEPTED `SqlStatementResult`). `context.sqlQueryId` names the
-    * statement; otherwise one is generated.
+    * statement; otherwise one is generated. SELECT statements are PLANNED
+    * here, synchronously — invalid SQL throws at submit, matching the
+    * reference resource's immediate 400 (its doPost plans via the
+    * SqlStatementFactory before returning) — while execution always
+    * happens on the worker pool. Ingest statements defer planning too,
+    * since planning them runs the write.
     */
   def submit(spark: SparkSession, dir: String, payload: String): String = {
     val parsed = JsonMethods.parse(payload)
@@ -88,8 +98,13 @@ object SqlStatements {
       case _ => None
     }).getOrElse(java.util.UUID.randomUUID().toString)
     evictForCapacity()
+    val isIngest = SqlApi.ingestTarget(SqlApi.sql(parsed)).isDefined
+    val planned =
+      if (isIngest) None
+      else Some(SqlApi.run(spark, dir, payload)) // analyzes eagerly; lazy exec
     val stmt = new Stmt(queryId, payload, parsed, System.currentTimeMillis(),
-      group = s"graft-stmt-$queryId#${java.util.UUID.randomUUID()}")
+      group = s"graft-stmt-$queryId#${java.util.UUID.randomUUID()}",
+      planned = planned)
     val prev = registry.putIfAbsent(queryId, stmt)
     if (prev != null && !prev.finished)
       throw new IllegalStateException(
@@ -122,7 +137,7 @@ object SqlStatements {
     spark.sparkContext.setJobGroup(stmt.group, s"graft statement ${stmt.queryId}",
       interruptOnCancel = true)
     try {
-      val df = SqlApi.run(spark, dir, stmt.payload)
+      val df = stmt.planned.getOrElse(SqlApi.run(spark, dir, stmt.payload))
       stmt.schema = Some(df.schema)
       val out = s"$statementsRoot/${stmt.queryId}"
       deleteRecursively(new java.io.File(out))

@@ -372,15 +372,26 @@ class SqlApiSpec extends AnyFunSuite {
 
   test("async statements: failures surface as FAILED with errorDetails") {
     import graft.api.SqlStatements
+    // planning errors throw AT SUBMIT (the reference resource plans in
+    // doPost and answers 400 before anything is enqueued)
+    val planErr = intercept[Exception] {
+      SqlStatements.submit(spark, dir, """{
+        "query": "SELECT no_such_column FROM nation",
+        "context": {"sqlQueryId": "stmt-bad-plan"}
+      }""")
+    }
+    assert(planErr.getMessage.toLowerCase.contains("no_such_column"))
+    // RUNTIME errors surface asynchronously as FAILED (ANSI division by
+    // zero only fires during execution, after submit already returned)
     val id = SqlStatements.submit(spark, dir, """{
-      "query": "SELECT no_such_column FROM nation",
+      "query": "SELECT 1 / (n_nationkey - 3) AS x FROM nation",
       "context": {"sqlQueryId": "stmt-fail"}
     }""")
     assert(SqlStatements.awaitCompletion(id) == SqlStatements.Failed)
     val st = JsonMethods.parse(SqlStatements.status(id))
     assert((st \ "state") == JString("FAILED"))
     assert((st \ "errorDetails" \ "errorMessage") match {
-      case JString(m) => m.toLowerCase.contains("no_such_column")
+      case JString(m) => m != null && m.nonEmpty
       case _ => false
     })
     // results on a FAILED statement are rejected
