@@ -373,6 +373,63 @@ object SparkEntry {
                              AND o_custkey = c_custkey)
          GROUP BY cntrycode ORDER BY cntrycode""")
 
+  /** Randomized cross-engine consistency corpus — the analog of the
+    * reference's `SqlVectorizedExpressionResultConsistencyTest` (its
+    * vectorized and non-vectorized engines must agree on generated
+    * queries; here Spark and the DuckDB oracle must). A seeded,
+    * deterministic generator emits `n` mini aggregation queries over a
+    * portable grammar (string dimension × modulo/range predicates ×
+    * exact-reproducible aggregates) and unions them into ONE SQL text that
+    * both engines run verbatim. Aggregates are restricted to
+    * cross-engine-exact forms: counts, min/max (order-free), and
+    * sums/avgs of integer-valued columns — float-accumulation-order
+    * differences can never flip a value.
+    */
+  private[graft] def consistencySql(seed: Long, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    case class T(name: String, dims: Seq[String], intish: Seq[String],
+                 anyNum: Seq[String], keys: Seq[String])
+    val tables = Seq(
+      T("lineitem", Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"), Seq("l_extendedprice", "l_discount", "l_tax"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      T("orders", Seq("o_orderpriority", "o_orderstatus"),
+        Seq(), Seq("o_totalprice"), Seq("o_orderkey", "o_custkey")),
+      T("customer", Seq("c_mktsegment"),
+        Seq("c_nationkey"), Seq("c_acctbal"), Seq("c_custkey")))
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val parts = (0 until n).map { i =>
+      val t = pick(tables)
+      val dim = pick(t.dims)
+      val key = pick(t.keys)
+      val pred = rnd.nextInt(3) match {
+        case 0 =>
+          val k = 2 + rnd.nextInt(9); val j = rnd.nextInt(k)
+          s"$key % $k = $j"
+        case 1 =>
+          val lo = rnd.nextInt(2000); val hi = lo + 500 + rnd.nextInt(5000)
+          s"$key BETWEEN $lo AND $hi"
+        case _ =>
+          val k = 2 + rnd.nextInt(5); val j = rnd.nextInt(k)
+          s"$key % $k <> $j"
+      }
+      val agg = rnd.nextInt(4) match {
+        case 0 => s"round(min(${pick(t.anyNum)}), 3)"
+        case 1 => s"round(max(${pick(t.anyNum)}), 3)"
+        case 2 if t.intish.nonEmpty => s"round(avg(${pick(t.intish)}), 6)"
+        case _ => s"CAST(count(DISTINCT $key) AS BIGINT)"
+      }
+      val sum =
+        if (t.intish.nonEmpty) s"CAST(sum(${pick(t.intish)}) AS BIGINT)"
+        else "CAST(count(*) AS BIGINT)"
+      s"""SELECT 'g$i' AS qid, CAST($dim AS VARCHAR(64)) AS d,
+         |       CAST(count(*) AS BIGINT) AS n, $sum AS s,
+         |       CAST($agg AS DOUBLE) AS v
+         |FROM ${t.name} WHERE $pred GROUP BY $dim""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY qid, d")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----------------------------------------------------- scan (§2.1/§2.7)
@@ -979,6 +1036,13 @@ object SparkEntry {
       // OVER the per-row window results of a subquery
       Tables.registerAll(s, dir)
       s.sql(drillSql("agg_outer"))
+    }),
+
+    "q_random_consistency" -> ((s, dir) => {
+      // seeded randomized consistency corpus (see consistencySql): 24
+      // generated aggregation queries, one shared text, both engines
+      Tables.registerAll(s, dir)
+      s.sql(consistencySql(seed = 42L, n = 24))
     }),
 
     // ------------------------------------ TPC-H quidem suite (see tpchSql)
@@ -2867,6 +2931,7 @@ object SparkEntry {
     "q_drill_window_empty_over" -> drillSql("empty_over"),
     "q_drill_window_subquery" -> drillSql("subquery"),
     "q_drill_window_agg_outer" -> drillSql("agg_outer"),
+    "q_random_consistency" -> consistencySql(seed = 42L, n = 24),
     "q_tpch_q01" -> tpchSql("q01"),
     "q_tpch_q06" -> tpchSql("q06"),
     "q_tpch_q14" -> tpchSql("q14"),
