@@ -255,7 +255,183 @@ object SparkEntry {
                    ORDER BY l_orderkey, l_linenumber, l_suppkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
                FROM lineitem) sub
-         GROUP BY l_returnflag ORDER BY l_returnflag""")
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // last_val/lastValFn_1.q: LAST_VALUE under the DEFAULT frame — the
+    // implicit RANGE ..CURRENT ROW frame ends at the current peer group, so
+    // with a unique order key LAST_VALUE returns the CURRENT row, not the
+    // partition's last (the classic drill last_val surprise)
+    "lastval_peers" ->
+      """SELECT o_orderkey, o_orderpriority,
+                LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderkey) AS last_cur,
+                FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderkey) AS first_part
+         FROM orders WHERE o_orderkey < 4000
+         ORDER BY o_orderkey""",
+
+    // lead_func/lead_Fn_1.q: a single LEAD projection (NULL at each
+    // partition tail survives into the output)
+    "lead_only" ->
+      """SELECT o_orderkey,
+                CAST(LEAD(o_orderkey) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_orderkey) AS BIGINT) AS lead_key
+         FROM orders WHERE o_orderkey < 2000
+         ORDER BY o_orderkey""",
+
+    // lead_func/lead_Fn_108-ish: explicit offset + default argument forms
+    "lead_offset_default" ->
+      """SELECT o_orderkey,
+                CAST(LEAD(o_orderkey, 2, CAST(-1 AS BIGINT)) OVER (
+                  PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) AS lead2,
+                CAST(LAG(o_orderkey, 3, CAST(0 AS BIGINT)) OVER (
+                  PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) AS lag3
+         FROM orders WHERE o_orderkey < 2000
+         ORDER BY o_orderkey""",
+
+    // aggregates/aggOWnFn_1.q: outer LEAD over a subquery that computed
+    // NTILE, BOTH through a same-named WINDOW clause in their own scope
+    "shared_named" ->
+      """SELECT o_orderkey, CAST(nt AS BIGINT) AS nt,
+                CAST(LEAD(nt) OVER wnd AS BIGINT) AS lead_nt
+         FROM (SELECT o_orderkey, o_orderstatus, NTILE(3) OVER wnd AS nt
+               FROM orders WHERE o_orderkey < 1500
+               WINDOW wnd AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)) sub
+         WINDOW wnd AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+         ORDER BY o_orderkey""",
+
+    // multiple_partitions/q1.sql: outer filter over arithmetic of window
+    // functions carrying three DIFFERENT partitionings
+    "multipart_arith" ->
+      """SELECT * FROM (
+           SELECT o_orderkey,
+                  CAST(COUNT(*) OVER (PARTITION BY o_orderdate ORDER BY o_orderkey) +
+                       SUM(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+                    AS BIGINT) AS total,
+                  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                    AS BIGINT) AS count1,
+                  CAST(SUM(o_custkey) OVER (PARTITION BY o_orderdate ORDER BY o_orderkey)
+                    AS BIGINT) AS count2
+           FROM orders WHERE o_orderkey < 3000) sub
+         WHERE total <> count1 + count2
+         ORDER BY o_orderkey""",
+
+    // multiple_partitions/q10.sql: CASTs on top of windowed aggregates,
+    // added across two partitionings, under an IS NOT NULL filter
+    "multipart_cast" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT)
+                  + CAST(SUM(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS BIGINT)
+                  AS mixed
+         FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey < 3000
+         ORDER BY o_orderkey""",
+
+    // order_by/avg_01.sql + count_01.sql: ORDER-BY-only windows (no
+    // PARTITION BY) — the implicit RANGE frame aggregates whole date tie
+    // classes; integer sums keep the cross-engine compare exact
+    "orderonly_running" ->
+      """SELECT o_orderkey,
+                CAST(SUM(o_custkey) OVER (ORDER BY o_orderdate) AS BIGINT) AS rsum,
+                CAST(FLOOR(AVG(o_custkey) OVER (ORDER BY o_orderdate)) AS BIGINT) AS ravg,
+                CAST(COUNT(*) OVER (ORDER BY o_orderdate) AS BIGINT) AS rcnt
+         FROM orders WHERE o_orderkey < 2000
+         ORDER BY o_orderkey""",
+
+    // order_by/cume_dist_01.sql + percent_rank: rank fractions over an
+    // ORDER-BY-only window with large tie groups
+    "cumedist_orderonly" ->
+      """SELECT o_orderkey,
+                round(CUME_DIST() OVER (ORDER BY o_orderstatus), 6) AS cd,
+                round(PERCENT_RANK() OVER (ORDER BY o_orderstatus), 6) AS pr
+         FROM orders WHERE o_orderkey < 1500
+         ORDER BY o_orderkey""",
+
+    // partition_by/one_part_01.sql: PARTITION-BY-only window on a varchar
+    // key — every row of a segment carries the same whole-partition sum
+    "partonly_sum" ->
+      """SELECT c_custkey,
+                CAST(SUM(c_custkey) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_sum
+         FROM customer ORDER BY c_custkey""",
+
+    // misc/q1.sql: window function over the result of a LEFT OUTER JOIN —
+    // NULL join keys flow into the window ORDER BY (position pinned with an
+    // explicit NULLS FIRST, where engine defaults differ)
+    "join_outer_window" ->
+      """SELECT c_custkey, o_orderkey,
+                CAST(SUM(c_custkey) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_custkey, o_orderkey NULLS FIRST) AS BIGINT) AS rsum
+         FROM customer LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey AND o_orderkey < 500
+         WHERE c_custkey < 300
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    // misc/q10.sql: inner join of two windowed subqueries (window results
+    // become join inputs; DISTINCT collapses each to one row per key)
+    "join_windowed_subq" ->
+      """SELECT sq1.nk AS nk, sq1.c_cnt AS c_cnt, sq2.s_cnt AS s_cnt
+         FROM (SELECT DISTINCT c_nationkey AS nk,
+                 CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS c_cnt
+               FROM customer) sq1
+         INNER JOIN (SELECT DISTINCT s_nationkey AS nk2,
+                 CAST(COUNT(*) OVER (PARTITION BY s_nationkey) AS BIGINT) AS s_cnt
+               FROM supplier) sq2
+           ON sq1.nk = sq2.nk2
+         ORDER BY nk""",
+
+    // druid_queries/over_clause_only_partitioning/
+    // multiple_over_different_partition_column.q: several PARTITION-only
+    // OVER clauses on different columns in one projection
+    "multi_over_parts" ->
+      """SELECT o_orderkey,
+                CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS cnt_status,
+                CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS cnt_pri,
+                CAST(SUM(o_custkey) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS BIGINT) AS sum_both
+         FROM orders WHERE o_orderkey < 2500
+         ORDER BY o_orderkey""",
+
+    // aggregates/testW_Nulls family: aggregate windows whose ARGUMENT is
+    // NULL on some rows — COUNT skips them, MIN ignores them, conditional
+    // SUM leaves gaps
+    "nulls_in_args" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln, l_suppkey, l_partkey,
+                CAST(COUNT(NULLIF(l_suppkey, 5)) OVER w AS BIGINT) AS cnt_nn,
+                CAST(MIN(NULLIF(l_suppkey, 5)) OVER w AS BIGINT) AS min_nn,
+                CAST(SUM(CASE WHEN l_suppkey <> 5 THEN l_suppkey END) OVER w AS BIGINT) AS sum_nn
+         FROM lineitem WHERE l_orderkey < 400
+         WINDOW w AS (PARTITION BY l_returnflag
+           ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY l_orderkey, ln, l_suppkey, l_partkey""",
+
+    // tpcds/query53.sql shape: quarterly sums per brand vs the brand's
+    // all-quarter average through a PARTITION-only window
+    "tpcds_q53" ->
+      """SELECT p_brand, qoy, sum_qty,
+                CAST(FLOOR(AVG(sum_qty) OVER (PARTITION BY p_brand)) AS BIGINT) AS avg_qtr
+         FROM (SELECT p_brand, CAST(quarter(o_orderdate) AS BIGINT) AS qoy,
+                      CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_qty
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+               GROUP BY p_brand, quarter(o_orderdate)) t
+         ORDER BY p_brand, qoy""",
+
+    // tpcds/query47.sql shape: monthly sums per brand with LAG/LEAD
+    // neighbors and a DESC rank within the brand
+    "tpcds_q47" ->
+      """SELECT p_brand, mon, sum_qty,
+                CAST(LAG(sum_qty) OVER (PARTITION BY p_brand ORDER BY mon) AS BIGINT) AS prev_qty,
+                CAST(LEAD(sum_qty) OVER (PARTITION BY p_brand ORDER BY mon) AS BIGINT) AS next_qty,
+                CAST(RANK() OVER (PARTITION BY p_brand ORDER BY sum_qty DESC, mon) AS BIGINT) AS qty_rank
+         FROM (SELECT p_brand, CAST(month(o_orderdate) AS BIGINT) AS mon,
+                      CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_qty
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+               WHERE p_brand IN ('Brand#14', 'Brand#25')
+               GROUP BY p_brand, month(o_orderdate)) t
+         ORDER BY p_brand, mon""")
 
   /** TPC-H queries from the reference's quidem suite
     * (`quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest/qaTpch/
@@ -1139,6 +1315,106 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"),
           row_number().over(w).cast("long").as("rn"))
         .orderBy(col("c_custkey"))
+    }),
+
+    "q_drill_window_lastval" -> ((s, dir) => {
+      // last_val/lastValFn_1.q: LAST_VALUE under the default frame returns
+      // the current row when the order key is unique
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("lastval_peers"))
+    }),
+
+    "q_drill_window_lead_only" -> ((s, dir) => {
+      // lead_func/lead_Fn_1.q: lone LEAD projection, NULL at partition tails
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("lead_only"))
+    }),
+
+    "q_drill_window_lead_offset" -> ((s, dir) => {
+      // lead_func offset+default forms: LEAD(k, 2, -1) / LAG(k, 3, 0)
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("lead_offset_default"))
+    }),
+
+    "q_drill_window_shared_named" -> ((s, dir) => {
+      // aggregates/aggOWnFn_1.q: same-named WINDOW clause reused in inner
+      // and outer query scopes (NTILE inside, LEAD outside)
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("shared_named"))
+    }),
+
+    "q_drill_window_multipart_arith" -> ((s, dir) => {
+      // multiple_partitions/q1.sql: filter on arithmetic of window functions
+      // with three different partitionings
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("multipart_arith"))
+    }),
+
+    "q_drill_window_multipart_cast" -> ((s, dir) => {
+      // multiple_partitions/q10.sql: CASTs over windowed aggregates added
+      // across partitionings
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("multipart_cast"))
+    }),
+
+    "q_drill_window_orderonly" -> ((s, dir) => {
+      // order_by/avg_01.sql + count_01.sql: ORDER-BY-only windows with tie
+      // classes on the date key
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("orderonly_running"))
+    }),
+
+    "q_drill_window_cumedist" -> ((s, dir) => {
+      // order_by/cume_dist_01.sql: CUME_DIST/PERCENT_RANK over an
+      // ORDER-BY-only window with large tie groups
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("cumedist_orderonly"))
+    }),
+
+    "q_drill_window_partonly" -> ((s, dir) => {
+      // partition_by/one_part_01.sql: PARTITION-only window on varchar key
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("partonly_sum"))
+    }),
+
+    "q_drill_window_join_outer" -> ((s, dir) => {
+      // misc/q1.sql: window over a LEFT OUTER JOIN result with NULL order
+      // keys pinned NULLS FIRST
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("join_outer_window"))
+    }),
+
+    "q_drill_window_join_subq" -> ((s, dir) => {
+      // misc/q10.sql: inner join of two windowed subqueries
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("join_windowed_subq"))
+    }),
+
+    "q_drill_window_multi_parts" -> ((s, dir) => {
+      // druid_queries/over_clause_only_partitioning/
+      // multiple_over_different_partition_column.q
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("multi_over_parts"))
+    }),
+
+    "q_drill_window_null_args" -> ((s, dir) => {
+      // aggregates/testW_Nulls family: NULL-bearing aggregate arguments
+      // inside running windows
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("nulls_in_args"))
+    }),
+
+    "q_drill_tpcds_q53" -> ((s, dir) => {
+      // tpcds/query53.sql: quarterly brand sales vs whole-brand average
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("tpcds_q53"))
+    }),
+
+    "q_drill_tpcds_q47" -> ((s, dir) => {
+      // tpcds/query47.sql: monthly brand sales with LAG/LEAD neighbors and
+      // a DESC in-brand rank
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("tpcds_q47"))
     }),
 
     "q_window_frame" -> ((s, dir) => {
@@ -2964,6 +3240,21 @@ object SparkEntry {
                   length(c_mktsegment)] ORDER BY c_custkey) AS BIGINT) AS rn
          FROM customer WHERE c_custkey < 400
          ORDER BY c_custkey""",
+    "q_drill_window_lastval" -> drillSql("lastval_peers"),
+    "q_drill_window_lead_only" -> drillSql("lead_only"),
+    "q_drill_window_lead_offset" -> drillSql("lead_offset_default"),
+    "q_drill_window_shared_named" -> drillSql("shared_named"),
+    "q_drill_window_multipart_arith" -> drillSql("multipart_arith"),
+    "q_drill_window_multipart_cast" -> drillSql("multipart_cast"),
+    "q_drill_window_orderonly" -> drillSql("orderonly_running"),
+    "q_drill_window_cumedist" -> drillSql("cumedist_orderonly"),
+    "q_drill_window_partonly" -> drillSql("partonly_sum"),
+    "q_drill_window_join_outer" -> drillSql("join_outer_window"),
+    "q_drill_window_join_subq" -> drillSql("join_windowed_subq"),
+    "q_drill_window_multi_parts" -> drillSql("multi_over_parts"),
+    "q_drill_window_null_args" -> drillSql("nulls_in_args"),
+    "q_drill_tpcds_q53" -> drillSql("tpcds_q53"),
+    "q_drill_tpcds_q47" -> drillSql("tpcds_q47"),
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
          FROM lineitem

@@ -447,4 +447,29 @@ class SqlApiSpec extends AnyFunSuite {
     val msg = String.valueOf(ex.getMessage) + String.valueOf(ex.getCause)
     assert(msg.toLowerCase.contains("cancel") || ex.isInstanceOf[org.apache.spark.SparkException])
   }
+
+  test("drill negative corpus: window misuse is rejected") {
+    // reference sql/src/test/resources/drill/window/queries/negative/:
+    // these must FAIL to plan, not silently produce something
+    graft.Tables.registerAll(spark, dir)
+    // no_over_clause-1.sql: rank() without an OVER clause
+    intercept[Exception] {
+      spark.sql("SELECT rank() FROM nation").collect()
+    }
+    // drill-3360.sql: a window function nested inside another window's
+    // ORDER BY — drill/Calcite reject this; Spark plans it as two window
+    // stages. Pin the (more permissive) Spark behavior: ordering by
+    // row_number() over n_nationkey is the identity, so rank() == row order.
+    val nested = spark.sql(
+      """SELECT n_nationkey,
+                CAST(rank() OVER (ORDER BY row_number() OVER (ORDER BY n_nationkey)) AS BIGINT) AS r
+         FROM nation""").collect()
+    assert(nested.sortBy(_.getInt(0)).zipWithIndex.forall { case (row, i) => row.getLong(1) == i + 1 })
+    // frame on a rank function (negative/ordrBy frame misuse family)
+    intercept[Exception] {
+      spark.sql(
+        """SELECT rank() OVER (ORDER BY n_nationkey
+             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation""").collect()
+    }
+  }
 }
