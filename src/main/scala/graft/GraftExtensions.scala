@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.{Ipv6Match, JaroWinklerSimilarity}
-import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllSketchAgg, KllDistQuery, KllQuery, KllSketchAgg, KmvEstimate, KmvSetEstimate, KmvSketchAgg, TDigestQuery, TDigestSketchAgg, TupleEstimate, TupleMetricSum, TupleSketchAgg}
+import graft.functions.sketches.{BloomFilterAgg, BloomMightContain, HllEstimateWithBounds, HllSketchAgg, HllToString, HllUnion, KllDistQuery, KllQuery, KllSketchAgg, KllSummary, KmvEstimate, KmvEstimateWithBounds, KmvSetEstimate, KmvSetSketch, KmvSketchAgg, TDigestQuery, TDigestSketchAgg, TupleEstimate, TupleMetricSum, TupleMetricsSumEstimate, TupleSetSketch, TupleSketchAgg}
 
 /** Engine-level Catalyst extensions (registered with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
@@ -220,7 +220,123 @@ object GraftExtensions {
     ("latest_by", info("latest_by", "value at max of ordering (expr, orderExpr)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(args(0), args(1))
-          .toAggregateExpression()))
+          .toAggregateExpression()),
+    // sketch-returning post-agg surface (scalar, per-row over sketch
+    // columns): HLL_SKETCH_* / THETA_SKETCH_* / DS_TUPLE_DOUBLES_* /
+    // DS_QUANTILE* reference names run unchanged
+    ("hll_sketch_union", info("hll_sketch_union",
+      "union of HLL sketches ([lgK, tgtHllType], expr…) — leading literal params ignored"),
+      (args: Seq[Expression]) => HllUnion(dropLeadingParams(args))),
+    ("hll_sketch_to_string", info("hll_sketch_to_string", "debug summary of an HLL sketch"),
+      (args: Seq[Expression]) => HllToString(args.head)),
+    ("hll_sketch_estimate_with_error_bounds", info(
+      "hll_sketch_estimate_with_error_bounds",
+      "ARRAY(estimate, lo, hi) of an HLL sketch (sketch[, numStdDev])"),
+      (args: Seq[Expression]) => HllEstimateWithBounds(args.head,
+        if (args.length > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(1))),
+    ("theta_sketch_union", info("theta_sketch_union",
+      "union of theta sketches ([size], expr…) — leading literal size ignored"),
+      (args: Seq[Expression]) =>
+        dropLeadingParams(args).reduceLeft(KmvSetSketch(_, _, "union"))),
+    ("theta_sketch_intersect", info("theta_sketch_intersect",
+      "intersection of theta sketches ([size], expr…)"),
+      (args: Seq[Expression]) =>
+        dropLeadingParams(args).reduceLeft(KmvSetSketch(_, _, "intersect"))),
+    ("theta_sketch_not", info("theta_sketch_not",
+      "A-NOT-B of theta sketches ([size], exprA, exprB)"),
+      (args: Seq[Expression]) =>
+        dropLeadingParams(args).reduceLeft(KmvSetSketch(_, _, "not"))),
+    ("theta_sketch_estimate_with_error_bounds", info(
+      "theta_sketch_estimate_with_error_bounds",
+      "ARRAY(estimate, lo, hi) of a theta sketch (sketch[, errorBoundsStdDev])"),
+      (args: Seq[Expression]) => KmvEstimateWithBounds(args.head,
+        if (args.length > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(1))),
+    ("ds_quantiles_sketch", info("ds_quantiles_sketch",
+      "KLL quantiles binary sketch aggregate (expr[, k ignored])"),
+      (args: Seq[Expression]) => KllSketchAgg(args.head).toAggregateExpression()),
+    ("ds_quantile_summary", info("ds_quantile_summary",
+      "string summary of a KLL quantiles sketch"),
+      (args: Seq[Expression]) => KllSummary(args.head)),
+    // DS_TUPLE_DOUBLES(key, metric…[, nominalEntries]): aggregate form; the
+    // set ops and metrics-sum estimate are scalar post-aggs
+    ("ds_tuple_doubles", info("ds_tuple_doubles",
+      "tuple sketch aggregate (key, metric…[, nominalEntries ignored])"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray}
+        import org.apache.spark.sql.types.DoubleType
+        val metrics = dropTrailingParam(args.tail)
+        require(metrics.nonEmpty, "ds_tuple_doubles needs at least one metric")
+        TupleSketchAgg(args.head,
+          CreateArray(metrics.map(Cast(_, DoubleType)))).toAggregateExpression()
+      }),
+    ("ds_tuple_doubles_union", info("ds_tuple_doubles_union",
+      "union of tuple sketches (expr…[, nominalEntries ignored]) — summaries summed"),
+      (args: Seq[Expression]) =>
+        dropTrailingParam(args).reduceLeft(TupleSetSketch(_, _, "union"))),
+    ("ds_tuple_doubles_intersect", info("ds_tuple_doubles_intersect",
+      "intersection of tuple sketches (expr…[, nominalEntries ignored])"),
+      (args: Seq[Expression]) =>
+        dropTrailingParam(args).reduceLeft(TupleSetSketch(_, _, "intersect"))),
+    ("ds_tuple_doubles_not", info("ds_tuple_doubles_not",
+      "A-NOT-B of tuple sketches (exprA, exprB[, nominalEntries ignored])"),
+      (args: Seq[Expression]) =>
+        dropTrailingParam(args).reduceLeft(TupleSetSketch(_, _, "not"))),
+    ("ds_tuple_doubles_metrics_sum_estimate", info(
+      "ds_tuple_doubles_metrics_sum_estimate",
+      "ARRAY of population-scaled per-metric sums of a tuple sketch"),
+      (args: Seq[Expression]) => TupleMetricsSumEstimate(args.head)),
+    // reference APPROX_* SQL aggregators over Spark's own implementations
+    ("approx_count_distinct_builtin", info("approx_count_distinct_builtin",
+      "Spark HyperLogLog++ distinct estimate"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .HyperLogLogPlusPlus(args.head).toAggregateExpression()),
+    ("approx_quantile", info("approx_quantile",
+      "approximate quantile (expr, probability[, resolution ignored])"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .ApproximatePercentile(args(0), args(1)).toAggregateExpression()),
+    ("approx_quantile_fixed_buckets", info("approx_quantile_fixed_buckets",
+      "fixed-buckets histogram quantile (expr, prob, numBuckets, lower, upper[, mode])"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 5, "approx_quantile_fixed_buckets(expr, prob, " +
+          "numBuckets, lowerLimit, upperLimit[, outlierHandlingMode])")
+        graft.functions.sketches.FixedBucketsQuantileAgg(args(0),
+          args(1).eval().toString.toDouble,
+          args(2).eval().toString.toInt,
+          args(3).eval().toString.toDouble,
+          args(4).eval().toString.toDouble,
+          if (args.length > 5) args(5).eval().toString.toLowerCase else "ignore")
+          .toAggregateExpression()
+      }),
+    ("array_concat_agg", info("array_concat_agg",
+      "concatenate array values across rows (ARRAY_CONCAT_AGG)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Flatten(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .CollectList(args.head).toAggregateExpression())))
+
+  /** Strip the reference's optional LEADING literal parameters (lgK /
+    * tgtHllType / size) from a variadic sketch-combinator argument list:
+    * foldable int or string literals before the first non-literal arg —
+    * but never strip down to nothing.
+    */
+  private def dropLeadingParams(args: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val dropped = args.dropWhile(e => e.foldable &&
+      Seq(IntegerType, LongType, StringType).exists(_ == e.dataType))
+    if (dropped.isEmpty) args else dropped
+  }
+
+  /** Strip an optional TRAILING numeric-literal parameter (nominalEntries). */
+  private def dropTrailingParam(args: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (args.length > 1 && args.last.foldable &&
+        Seq(IntegerType, LongType).exists(_ == args.last.dataType)) args.init
+    else args
+  }
 
   /** Register the same functions on a plain session (no extensions needed) —
     * used by tests and by sessions the driver constructs for us.

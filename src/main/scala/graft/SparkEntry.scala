@@ -417,6 +417,28 @@ object SparkEntry {
                GROUP BY p_brand, quarter(o_orderdate)) t
          ORDER BY p_brand, qoy""",
 
+    // tpcds/query51.sql shape (drill runs it as query51.drill_4811): two
+    // per-channel cumulative series FULL OUTER JOINed on the time key,
+    // COALESCE'd, filtered where one channel's running total overtakes the
+    // other
+    "tpcds_q51" ->
+      """WITH w AS (
+           SELECT mon, CAST(SUM(qty) OVER (ORDER BY mon) AS BIGINT) AS cume_w
+           FROM (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS mon,
+                        CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS qty
+                 FROM lineitem WHERE l_returnflag = 'R'
+                 GROUP BY year(l_shipdate) * 100 + month(l_shipdate)) t),
+         s AS (
+           SELECT mon, CAST(SUM(qty) OVER (ORDER BY mon) AS BIGINT) AS cume_s
+           FROM (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS mon,
+                        CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS qty
+                 FROM lineitem WHERE l_returnflag = 'A'
+                 GROUP BY year(l_shipdate) * 100 + month(l_shipdate)) t)
+         SELECT COALESCE(w.mon, s.mon) AS mon, cume_w, cume_s
+         FROM w FULL OUTER JOIN s ON w.mon = s.mon
+         WHERE COALESCE(cume_w, 0) > COALESCE(cume_s, 0)
+         ORDER BY mon""",
+
     // tpcds/query47.sql shape: monthly sums per brand with LAG/LEAD
     // neighbors and a DESC rank within the brand
     "tpcds_q47" ->
@@ -1408,6 +1430,12 @@ object SparkEntry {
       // tpcds/query53.sql: quarterly brand sales vs whole-brand average
       Tables.registerAll(s, dir)
       s.sql(drillSql("tpcds_q53"))
+    }),
+
+    "q_drill_tpcds_q51" -> ((s, dir) => {
+      // tpcds/query51: FULL OUTER JOIN of two per-channel cumulative series
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("tpcds_q51"))
     }),
 
     "q_drill_tpcds_q47" -> ((s, dir) => {
@@ -3116,6 +3144,78 @@ object SparkEntry {
           col("either_users") * 0.15).as("not_ok"))
     }),
 
+    "q_sql_sketch_surface" -> ((s, dir) => {
+      // reference sketch SQL text verbatim: DS_THETA / DS_HLL /
+      // DS_TUPLE_DOUBLES aggregates, THETA_SKETCH_UNION/INTERSECT/NOT and
+      // HLL_SKETCH_UNION sketch-returning post-aggs, *_WITH_ERROR_BOUNDS,
+      // DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE, APPROX_QUANTILE and
+      // APPROX_QUANTILE_FIXED_BUCKETS. Self-asserting against the exact
+      // distinct/median computed in the same query (bounds ≥2× the observed
+      // sketch error at these K values).
+      Tables.registerAll(s, dir)
+      GraftExtensions.register(s)
+      s.sql("""
+        WITH sk AS (
+          SELECT event_type,
+                 ds_theta(user_id) AS th,
+                 ds_hll(user_id) AS hl,
+                 ds_tuple_doubles(user_id, CAST(1.0 AS DOUBLE)) AS tu
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY event_type),
+        p AS (SELECT th AS th_p, hl AS hl_p, tu AS tu_p FROM sk
+              WHERE event_type = 'purchase'),
+        c AS (SELECT th AS th_c, hl AS hl_c, tu AS tu_c FROM sk
+              WHERE event_type = 'click'),
+        q AS (SELECT approx_quantile(value, 0.5) AS med_est,
+                     approx_quantile_fixed_buckets(value, 0.5, 200, 0.0,
+                       1000.0, 'clip') AS med_fb,
+                     percentile(value, 0.5) AS med_exact,
+                     count(*) AS n_events
+              FROM events WHERE event_type IN ('purchase', 'click')),
+        u AS (SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS isp,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS isc
+              FROM events WHERE event_type IN ('purchase', 'click')
+              GROUP BY user_id),
+        exact AS (
+          SELECT CAST(sum(isp) AS BIGINT) AS purchase_users,
+                 CAST(sum(CASE WHEN isp = 1 AND isc = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS both_users,
+                 count(*) AS either_users,
+                 CAST(sum(CASE WHEN isp = 1 AND isc = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS purchase_only_users
+          FROM u)
+        SELECT purchase_users, both_users, either_users, purchase_only_users,
+               n_events,
+               abs(theta_sketch_estimate(theta_sketch_union(th_p, th_c))
+                 / either_users - 1.0) <= 0.05 AS theta_union_ok,
+               abs(theta_sketch_estimate(theta_sketch_intersect(th_p, th_c))
+                 - both_users) <= either_users * 0.15 AS theta_intersect_ok,
+               abs(theta_sketch_estimate(theta_sketch_not(th_p, th_c))
+                 - purchase_only_users) <= either_users * 0.15 AS theta_not_ok,
+               theta_sketch_estimate_with_error_bounds(th_p, 3)[1]
+                 <= purchase_users AND purchase_users
+                 <= theta_sketch_estimate_with_error_bounds(th_p, 3)[2]
+                 AS theta_bounds_ok,
+               abs(hll_sketch_estimate(hll_sketch_union(hl_p, hl_c))
+                 / either_users - 1.0) <= 0.1 AS hll_union_ok,
+               hll_sketch_estimate_with_error_bounds(hl_p, 3)[1]
+                 <= purchase_users AND purchase_users
+                 <= hll_sketch_estimate_with_error_bounds(hl_p, 3)[2]
+                 AS hll_bounds_ok,
+               hll_sketch_to_string(hl_p) LIKE '%estimate%' AS hll_str_ok,
+               abs(ds_tuple_doubles_metrics_sum_estimate(
+                     ds_tuple_doubles_union(tu_p, tu_c))[0]
+                 / n_events - 1.0) <= 0.1 AS tuple_union_ok,
+               abs(tuple_estimate(ds_tuple_doubles_intersect(tu_p, tu_c))
+                 - both_users) <= either_users * 0.15 AS tuple_intersect_ok,
+               abs(med_est - med_exact)
+                 <= 0.05 * greatest(abs(med_exact), 1.0) AS aq_ok,
+               abs(med_fb - med_exact)
+                 <= 0.1 * greatest(abs(med_exact), 1.0) + 5.0 AS fb_ok
+        FROM exact CROSS JOIN p CROSS JOIN c CROSS JOIN q""")
+    }),
+
     "q_sketch_bloom" -> ((s, dir) => {
       // bloom-filter agg + membership filter (reference bloom extension):
       // build a filter of high-balance custkeys, probe customers through it.
@@ -3254,6 +3354,7 @@ object SparkEntry {
     "q_drill_window_multi_parts" -> drillSql("multi_over_parts"),
     "q_drill_window_null_args" -> drillSql("nulls_in_args"),
     "q_drill_tpcds_q53" -> drillSql("tpcds_q53"),
+    "q_drill_tpcds_q51" -> drillSql("tpcds_q51"),
     "q_drill_tpcds_q47" -> drillSql("tpcds_q47"),
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
@@ -3533,6 +3634,29 @@ object SparkEntry {
                   AS BIGINT) AS purchase_only_users,
                 TRUE AS p_ok, TRUE AS l_ok, TRUE AS both_ok,
                 TRUE AS union_ok, TRUE AS not_ok
+         FROM u""",
+
+    "q_sql_sketch_surface" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS isp,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS isc
+           FROM events WHERE event_type IN ('purchase', 'click')
+           GROUP BY user_id),
+         q AS (SELECT count(*) AS n_events FROM events
+               WHERE event_type IN ('purchase', 'click'))
+         SELECT CAST(sum(isp) AS BIGINT) AS purchase_users,
+                CAST(sum(CASE WHEN isp = 1 AND isc = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_users,
+                count(*) AS either_users,
+                CAST(sum(CASE WHEN isp = 1 AND isc = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchase_only_users,
+                (SELECT n_events FROM q) AS n_events,
+                TRUE AS theta_union_ok, TRUE AS theta_intersect_ok,
+                TRUE AS theta_not_ok, TRUE AS theta_bounds_ok,
+                TRUE AS hll_union_ok, TRUE AS hll_bounds_ok,
+                TRUE AS hll_str_ok, TRUE AS tuple_union_ok,
+                TRUE AS tuple_intersect_ok, TRUE AS aq_ok, TRUE AS fb_ok
          FROM u""",
 
     "q_sketch_bloom" ->

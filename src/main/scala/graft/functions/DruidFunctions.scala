@@ -283,6 +283,24 @@ object DruidFunctions {
     val fns = Seq(
       "SAFE_DIVIDE(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN " +
         "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE x / y END",
+      // reference StrlenOperatorConversion: alias of CHAR_LENGTH
+      "STRLEN(s STRING) RETURNS INT RETURN length(s)",
+      // reference MultiValueStringOperatorConversions.FilteredPrefix /
+      // FilteredRegex: keep only MVD cells matching a prefix / regex
+      "MV_FILTER_PREFIX(a ARRAY<STRING>, p STRING) RETURNS ARRAY<STRING> " +
+        "RETURN filter(a, x -> startswith(x, p))",
+      "MV_FILTER_REGEX(a ARRAY<STRING>, r STRING) RETURNS ARRAY<STRING> " +
+        "RETURN filter(a, x -> x RLIKE r)",
+      // JSON_VALUE over string-encoded JSON columns (the RETURNING clause is
+      // not parsed — use the typed JSON_VALUE_* variants or CAST)
+      "JSON_VALUE(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      // reference BitwiseConvert{DoubleToLongBits,LongBitsToDouble}: IEEE-754
+      // reinterpretation. No Spark builtin reinterprets bits, so route the
+      // exponent/mantissa split through exact double arithmetic
+      "BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(d DOUBLE) RETURNS BIGINT RETURN " +
+        "graft_double_to_long_bits(d)",
+      "BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(b BIGINT) RETURNS DOUBLE RETURN " +
+        "graft_long_bits_to_double(b)",
       "TIMESTAMP_TO_MILLIS(t TIMESTAMP) RETURNS BIGINT RETURN " +
         "CAST(unix_micros(t) / 1000 AS BIGINT)",
       "MILLIS_TO_TIMESTAMP(m BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(m)",
@@ -541,7 +559,36 @@ object DruidFunctions {
       // reference ComplexDecodeBase64OperatorConversion: decode a base64
       // complex (sketch) column value; our sketch aggregators refold raw
       // binary, so the type tag only documents intent
-      "COMPLEX_DECODE_BASE64(t STRING, s STRING) RETURNS BINARY RETURN unbase64(s)")
+      "COMPLEX_DECODE_BASE64(t STRING, s STRING) RETURNS BINARY RETURN unbase64(s)",
+      // newer-docs alias of COMPLEX_DECODE_BASE64
+      "DECODE_BASE64_COMPLEX(t STRING, s STRING) RETURNS BINARY RETURN unbase64(s)")
+    // IEEE-754 bit reinterpretation + recursive JSON object merge need JVM
+    // code (no Spark builtin): plain deterministic UDFs, called once per
+    // row outside any hot aggregation loop
+    spark.udf.register("graft_double_to_long_bits",
+      (d: java.lang.Double) =>
+        if (d == null) null
+        else java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(d)))
+    spark.udf.register("graft_long_bits_to_double",
+      (b: java.lang.Long) =>
+        if (b == null) null
+        else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(b)))
+    // reference JSON_MERGE (NestedDataExpressions.JsonMergeExprMacro):
+    // Jackson updating-reader semantics — recursive object merge, later
+    // arguments win; json4s `merge` implements the same recursion
+    def mergeJson(parts: Seq[String]): String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      if (parts.exists(_ == null)) null
+      else {
+        val merged = parts.map(JsonMethods.parse(_)).reduceLeft(_ merge _)
+        JsonMethods.compact(JsonMethods.render(merged))
+      }
+    }
+    spark.udf.register("json_merge",
+      (a: String, b: String) => mergeJson(Seq(a, b)))
+    spark.udf.register("json_merge3",
+      (a: String, b: String, c: String) => mergeJson(Seq(a, b, c)))
     fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
     spark.conf.set(Flag, "true")
   }

@@ -106,6 +106,108 @@ object Kmv {
     val only = va.count(h => toDoubleUnit(h) < theta && !setB.contains(h))
     only / theta
   }
+
+  // ------------------------------------------------------- sketch-returning
+  // set operations (reference THETA_SKETCH_UNION / INTERSECT / NOT return a
+  // SKETCH, not an estimate — `datasketches/.../theta/SketchSetPostAggregator
+  // .java`). Intersection/difference results carry an explicit theta that is
+  // no longer derivable from the K-th retained hash, so they serialize in a
+  // tagged form: int count < 0 marks (−count−1) hashes followed by a stored
+  // theta. Plain sketches keep the original layout and stay byte-compatible.
+
+  /** (retained hashes sorted unsigned-ascending, theta) for either layout. */
+  def hashesTheta(bytes: Array[Byte]): (Array[Long], Double) = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    if (n >= 0) {
+      val arr = Array.fill(n)(bb.getLong)
+      (arr, if (arr.length < K) 1.0 else toDoubleUnit(arr.last))
+    } else {
+      val cnt = -n - 1
+      val theta = bb.getDouble
+      (Array.fill(cnt)(bb.getLong), theta)
+    }
+  }
+
+  private def serializeTagged(hashes: Array[Long], theta: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 + 8 * hashes.length)
+    bb.putInt(-hashes.length - 1)
+    bb.putDouble(theta)
+    hashes.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def serializePlain(hashes: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * hashes.length)
+    bb.putInt(hashes.length)
+    hashes.foreach(bb.putLong)
+    bb.array()
+  }
+
+  /** Union sketch. Plain inputs take the aggregate-side Buffer merge, so the
+    * result is byte-identical to folding the same rows in one aggregate (and
+    * estimates identically to [[unionEstimate]]). Tagged inputs merge under
+    * the common theta; if more than K survive, theta drops to the (K+1)-th
+    * smallest hash (the DataSketches union rule) so n/theta stays unbiased.
+    */
+  def unionSketch(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (_, ta) = hashesTheta(a); val (_, tb) = hashesTheta(b)
+    val plainA = ByteBuffer.wrap(a).getInt >= 0
+    val plainB = ByteBuffer.wrap(b).getInt >= 0
+    if (plainA && plainB) {
+      val buf = deserialize(a)
+      buf.mergeFrom(deserialize(b))
+      serialize(buf)
+    } else {
+      val (ha, _) = hashesTheta(a); val (hb, _) = hashesTheta(b)
+      var theta = math.min(ta, tb)
+      val merged = (ha ++ hb).filter(h => toDoubleUnit(h) < theta)
+        .distinct.sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0)
+      val kept =
+        if (merged.length > K) { theta = toDoubleUnit(merged(K)); merged.take(K) }
+        else merged
+      serializeTagged(kept, theta)
+    }
+  }
+
+  /** Intersection sketch: common hashes below the common theta. */
+  def intersectSketch(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (ha, ta) = hashesTheta(a); val (hb, tb) = hashesTheta(b)
+    val theta = math.min(ta, tb)
+    val setB = hb.toSet
+    val common = ha.filter(h => (theta == 1.0 || toDoubleUnit(h) < theta) && setB.contains(h))
+    if (theta == 1.0) serializePlain(common) else serializeTagged(common, theta)
+  }
+
+  /** A-NOT-B sketch: hashes of A below the common theta absent from B. */
+  def notSketch(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (ha, ta) = hashesTheta(a); val (hb, tb) = hashesTheta(b)
+    val theta = math.min(ta, tb)
+    val setB = hb.toSet
+    val only = ha.filter(h => (theta == 1.0 || toDoubleUnit(h) < theta) && !setB.contains(h))
+    if (theta == 1.0) serializePlain(only) else serializeTagged(only, theta)
+  }
+
+  /** Estimate for either layout: tagged → retained/theta; plain → KMV. */
+  def estimateAny(bytes: Array[Byte]): Double = {
+    val bb = ByteBuffer.wrap(bytes)
+    if (bb.getInt >= 0) estimateFrom(values(bytes))
+    else { val (h, theta) = hashesTheta(bytes); h.length / theta }
+  }
+
+  /** Relative standard error of a full sketch: ~1/sqrt(K-1) (Beyer et al.);
+    * exact (0) while below K retained keys with theta 1.
+    */
+  def errorBounds(bytes: Array[Byte], numStdDev: Int): (Double, Double, Double) = {
+    val (h, theta) = hashesTheta(bytes)
+    val est = estimateAny(bytes)
+    if (theta == 1.0 && h.length < K) (est, est, est)
+    else {
+      val rse = 1.0 / math.sqrt((K - 1).toDouble)
+      val f = numStdDev * rse
+      (est, est / (1.0 + f), est * (1.0 + f))
+    }
+  }
 }
 
 /** KMV distinct-sketch aggregate (binary sketch out; estimate via the
@@ -151,7 +253,7 @@ case class KmvEstimate(child: Expression)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else Kmv.estimateFrom(Kmv.values(v.asInstanceOf[Array[Byte]]))
+    else Kmv.estimateAny(v.asInstanceOf[Array[Byte]])
   }
   override protected def withNewChildInternal(c: Expression): KmvEstimate = copy(child = c)
 }

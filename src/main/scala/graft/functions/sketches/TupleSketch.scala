@@ -103,6 +103,123 @@ object TupleKmv {
     while (it.hasNext) s += it.next()(idx)
     s / theta(b)
   }
+
+  // ----------------------------------------------- sketch-returning set ops
+  // (reference DS_TUPLE_DOUBLES_UNION / INTERSECT / NOT —
+  // `datasketches/.../tuple/ArrayOfDoublesSketchSetOpPostAggregator.java`:
+  // union and intersection SUM the double summaries of keys present on both
+  // sides). Like [[Kmv]], intersection/difference results carry an explicit
+  // theta in a tagged layout: int count < 0 marks (−count−1) entries
+  // followed by the stored theta.
+
+  /** (sorted (hash, values) entries, numValues, theta) for either layout. */
+  def entriesTheta(bytes: Array[Byte]): (Array[(Long, Array[Double])], Int, Double) = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n0 = bb.getInt
+    val tagged = n0 < 0
+    val n = if (tagged) -n0 - 1 else n0
+    val nv = bb.getInt
+    val storedTheta = if (tagged) bb.getDouble else 1.0
+    val entries = Array.fill(n) {
+      val h = bb.getLong
+      (h, Array.fill(nv)(bb.getDouble))
+    }
+    val th =
+      if (tagged) storedTheta
+      else if (n < K) 1.0
+      else Kmv.toDoubleUnit(entries.last._1)
+    (entries, nv, th)
+  }
+
+  private def serializeEntries(entries: Array[(Long, Array[Double])], nv: Int,
+      theta: Double): Array[Byte] = {
+    val tagged = theta < 1.0
+    val bb = ByteBuffer.allocate(8 + (if (tagged) 8 else 0) + entries.length * (8 + 8 * nv))
+    bb.putInt(if (tagged) -entries.length - 1 else entries.length)
+    bb.putInt(nv)
+    if (tagged) bb.putDouble(theta)
+    entries.foreach { case (h, vals) => bb.putLong(h); vals.foreach(bb.putDouble) }
+    bb.array()
+  }
+
+  private def sortUnsigned(entries: Array[(Long, Array[Double])]) =
+    entries.sortWith((x, y) => java.lang.Long.compareUnsigned(x._1, y._1) < 0)
+
+  /** Union: merge entries under the common theta, summaries summed for keys
+    * on both sides, K smallest kept.
+    */
+  def unionSketch(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (ea, nva, ta) = entriesTheta(a); val (eb, nvb, tb) = entriesTheta(b)
+    val nv = math.max(nva, nvb)
+    val theta = math.min(ta, tb)
+    val m = new java.util.TreeMap[java.lang.Long, Array[Double]](
+      (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compareUnsigned(x, y))
+    (ea ++ eb).foreach { case (h, vals) =>
+      if (theta == 1.0 || Kmv.toDoubleUnit(h) < theta) {
+        val ex = m.get(h)
+        if (ex != null) { var i = 0; while (i < ex.length && i < vals.length) { ex(i) += vals(i); i += 1 } }
+        else m.put(h, java.util.Arrays.copyOf(vals, nv))
+      }
+    }
+    while (m.size > K) m.pollLastEntry()
+    val out = m.entrySet().iterator()
+    val arr = new Array[(Long, Array[Double])](m.size)
+    var i = 0
+    while (out.hasNext) { val e = out.next(); arr(i) = (e.getKey.longValue(), e.getValue); i += 1 }
+    serializeEntries(arr, nv, theta)
+  }
+
+  /** Intersection: common keys below the common theta, summaries summed. */
+  def intersectSketch(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (ea, nva, ta) = entriesTheta(a); val (eb, nvb, tb) = entriesTheta(b)
+    val nv = math.max(nva, nvb)
+    val theta = math.min(ta, tb)
+    val mb = eb.toMap
+    val out = ea.collect {
+      case (h, vals) if (theta == 1.0 || Kmv.toDoubleUnit(h) < theta) && mb.contains(h) =>
+        val sum = java.util.Arrays.copyOf(vals, nv)
+        val other = mb(h)
+        var i = 0
+        while (i < sum.length && i < other.length) { sum(i) += other(i); i += 1 }
+        (h, sum)
+    }
+    serializeEntries(sortUnsigned(out), nv, theta)
+  }
+
+  /** A-NOT-B: keys of A below the common theta absent from B, A's summaries. */
+  def notSketch(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (ea, nva, ta) = entriesTheta(a); val (eb, _, tb) = entriesTheta(b)
+    val theta = math.min(ta, tb)
+    val setB = eb.map(_._1).toSet
+    val out = ea.filter { case (h, _) =>
+      (theta == 1.0 || Kmv.toDoubleUnit(h) < theta) && !setB.contains(h) }
+    serializeEntries(sortUnsigned(out), nva, theta)
+  }
+
+  /** Distinct-key estimate for either layout. */
+  def estimateAny(bytes: Array[Byte]): Double = {
+    val (entries, _, theta) = entriesTheta(bytes)
+    if (theta == 1.0) {
+      if (entries.length < K) entries.length.toDouble
+      else (K - 1).toDouble / Kmv.toDoubleUnit(entries.last._1)
+    } else entries.length / theta
+  }
+
+  /** Population-scaled per-metric sums for either layout (the reference's
+    * DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE returns one value per summary
+    * column).
+    */
+  def metricsSumEstimate(bytes: Array[Byte]): Array[Double] = {
+    val (entries, nv, theta) = entriesTheta(bytes)
+    val sums = new Array[Double](nv)
+    entries.foreach { case (_, vals) =>
+      var i = 0
+      while (i < sums.length && i < vals.length) { sums(i) += vals(i); i += 1 }
+    }
+    var i = 0
+    while (i < sums.length) { sums(i) /= theta; i += 1 }
+    sums
+  }
 }
 
 /** Tuple sketch aggregate: `key` hashed per row, `values` (ARRAY<DOUBLE>)
@@ -156,7 +273,7 @@ case class TupleEstimate(child: Expression)
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) null else TupleKmv.estimate(v.asInstanceOf[Array[Byte]])
+    if (v == null) null else TupleKmv.estimateAny(v.asInstanceOf[Array[Byte]])
   }
   override protected def withNewChildInternal(c: Expression): TupleEstimate =
     copy(child = c)
@@ -170,7 +287,12 @@ case class TupleMetricSum(child: Expression, idx: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else TupleKmv.metricSum(v.asInstanceOf[Array[Byte]], idx)
+    else {
+      // empty sketch (or absent summary column) sums to 0.0, as the
+      // pre-round-7 single-column path did
+      val sums = TupleKmv.metricsSumEstimate(v.asInstanceOf[Array[Byte]])
+      if (idx < sums.length) sums(idx) else 0.0
+    }
   }
   override protected def withNewChildInternal(c: Expression): TupleMetricSum =
     copy(child = c)

@@ -641,4 +641,134 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getBoolean(5) && !r.getBoolean(6))
     assert(r.getString(7) == "hi")
   }
+
+  test("sketch-returning SQL surface: theta set ops match pairwise estimates") {
+    GraftExtensions.register(spark)
+    spark.range(0, 3000).selectExpr("id % 2000 AS a", "id + 1000 AS b")
+      .createOrReplaceTempView("theta_src")
+    val r = spark.sql(
+      """SELECT theta_sketch_estimate(theta_sketch_union(sa, sb)) AS u,
+                theta_sketch_estimate(theta_sketch_intersect(sa, sb)) AS i,
+                theta_sketch_estimate(theta_sketch_not(sa, sb)) AS d,
+                kmv_union_estimate(sa, sb) AS u0,
+                kmv_intersect_estimate(sa, sb) AS i0,
+                kmv_not_estimate(sa, sb) AS d0,
+                theta_sketch_estimate_with_error_bounds(sa, 2) AS bounds
+         FROM (SELECT ds_theta(a) AS sa, ds_theta(b) AS sb FROM theta_src)""").head()
+    // sketch-op estimate == direct pairwise estimate (same math, same hashes)
+    assert(r.getDouble(0) === r.getDouble(3))
+    assert(r.getDouble(1) === r.getDouble(4))
+    assert(r.getDouble(2) === r.getDouble(5))
+    // truth: |A|=2000, |B|=3000, |A∩B|=2000-1000=... A = 0..1999, B = 1000..3999
+    // → union 4000, intersect 1000, A-not-B 1000; KMV err ~3% at K=1024
+    assert(math.abs(r.getDouble(0) - 4000) / 4000.0 < 0.15)
+    assert(math.abs(r.getDouble(1) - 1000) / 1000.0 < 0.2)
+    assert(math.abs(r.getDouble(2) - 1000) / 1000.0 < 0.2)
+    val bounds = r.getSeq[Double](6)
+    assert(bounds.length == 3 && bounds(1) <= bounds(0) && bounds(0) <= bounds(2))
+  }
+
+  test("hll_sketch_union / to_string / estimate_with_error_bounds") {
+    GraftExtensions.register(spark)
+    spark.range(0, 5000).selectExpr("id AS a", "id + 2500 AS b")
+      .createOrReplaceTempView("hll_src")
+    val r = spark.sql(
+      """SELECT hll_sketch_estimate(hll_sketch_union(sa, sb)) AS u,
+                hll_sketch_estimate_with_error_bounds(sa) AS bnd,
+                hll_sketch_to_string(sa) AS dbg,
+                hll_sketch_estimate(hll_sketch_union(12, 'HLL_4', sa, sb)) AS u_params
+         FROM (SELECT hll_sketch_agg(a) AS sa, hll_sketch_agg(b) AS sb
+               FROM hll_src)""").head()
+    assert(math.abs(r.getDouble(0) - 7500) / 7500.0 < 0.1)
+    val bnd = r.getSeq[Double](1)
+    assert(bnd.length == 3 && bnd(1) <= bnd(0) && bnd(0) <= bnd(2))
+    assert(r.getString(2).contains("estimate"))
+    assert(r.getDouble(3) === r.getDouble(0)) // leading literal params ignored
+  }
+
+  test("ds_tuple_doubles set ops sum summaries; metrics_sum_estimate") {
+    GraftExtensions.register(spark)
+    spark.range(0, 1000).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS m1",
+      "CAST(id AS DOUBLE) AS m2").createOrReplaceTempView("tup_src")
+    val r = spark.sql(
+      """SELECT tuple_estimate(ds_tuple_doubles_union(s1, s2)) AS uk,
+                ds_tuple_doubles_metrics_sum_estimate(
+                  ds_tuple_doubles_union(s1, s2)) AS usums,
+                tuple_estimate(ds_tuple_doubles_intersect(s1, s2)) AS ik,
+                ds_tuple_doubles_metrics_sum_estimate(
+                  ds_tuple_doubles_intersect(s1, s2)) AS isums,
+                tuple_estimate(ds_tuple_doubles_not(s1, s2)) AS dk
+         FROM (SELECT ds_tuple_doubles(k, m1, m2) AS s1 FROM tup_src WHERE k < 600),
+              (SELECT ds_tuple_doubles(k, m1, m2) AS s2 FROM tup_src WHERE k >= 400)
+      """).head()
+    // below K=4096 everything is exact: |A|=600, |B|=600, overlap 200
+    assert(r.getDouble(0) == 1000.0)
+    val usums = r.getSeq[Double](1)
+    // union sums the m1=1 summaries of both sides: 600 + 600 = 1200
+    assert(usums(0) == 1200.0)
+    assert(r.getDouble(2) == 200.0)
+    val isums = r.getSeq[Double](3)
+    // intersection keys 400..599 carry m1 from BOTH sides: 2 each
+    assert(isums(0) == 400.0)
+    assert(r.getDouble(4) == 400.0)
+  }
+
+  test("approx_quantile, approx_count_distinct_builtin, array_concat_agg") {
+    GraftExtensions.register(spark)
+    spark.range(0, 10000).selectExpr("CAST(id AS DOUBLE) AS v", "id % 100 AS k",
+      "array(id, id + 1) AS arr").createOrReplaceTempView("aq_src")
+    val r = spark.sql(
+      """SELECT approx_quantile(v, 0.5) AS med,
+                approx_count_distinct_builtin(k) AS acd,
+                size(array_concat_agg(arr)) AS n
+         FROM aq_src""").head()
+    assert(math.abs(r.getDouble(0) - 5000.0) < 200.0)
+    assert(math.abs(r.getLong(1) - 100L) <= 5L)
+    assert(r.getInt(2) == 20000)
+  }
+
+  test("approx_quantile_fixed_buckets modes") {
+    GraftExtensions.register(spark)
+    // uniform 0..999 plus outliers at -50 and 5000
+    spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS v")
+      .union(Seq(-50.0, 5000.0).toDF("v"))
+      .createOrReplaceTempView("fb_src")
+    val r = spark.sql(
+      """SELECT approx_quantile_fixed_buckets(v, 0.5, 100, 0.0, 1000.0) AS ig,
+                approx_quantile_fixed_buckets(v, 0.5, 100, 0.0, 1000.0, 'clip') AS cl,
+                approx_quantile_fixed_buckets(v, 0.0, 100, 0.0, 1000.0, 'overflow') AS ov
+         FROM fb_src""").head()
+    assert(math.abs(r.getDouble(0) - 500.0) < 15.0) // outliers ignored
+    assert(math.abs(r.getDouble(1) - 500.0) < 15.0) // two clipped extremes barely move it
+    assert(r.getDouble(2) == 0.0)                   // rank 0 lands in lower outliers
+  }
+
+  test("ds_quantiles_sketch / ds_quantile_summary and scalar macro additions") {
+    GraftExtensions.register(spark)
+    DruidFunctions.register(spark)
+    spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("kll_src")
+    val s = spark.sql(
+      """SELECT ds_quantile_summary(ds_quantiles_sketch(v)) AS summ
+         FROM kll_src""").head().getString(0)
+    assert(s.contains("N: 1000") && s.contains("Min: 0.0"))
+    val r = spark.sql(
+      """SELECT STRLEN('héllo') AS sl,
+                MV_FILTER_PREFIX(array('abc', 'abd', 'xyz'), 'ab') AS pf,
+                MV_FILTER_REGEX(array('a1', 'b2', 'a3'), '^a.*') AS rx,
+                JSON_VALUE('{"a": {"b": 7}}', '$.a.b') AS jv,
+                json_merge('{"a": 1, "o": {"x": 1}}',
+                           '{"b": 2, "o": {"y": 2}}') AS jm,
+                BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(2.0) AS dl,
+                BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(
+                  BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(-1.5)) AS rt""").head()
+    assert(r.getInt(0) == 5)
+    assert(r.getSeq[String](1) == Seq("abc", "abd"))
+    assert(r.getSeq[String](2) == Seq("a1", "a3"))
+    assert(r.getString(3) == "7")
+    assert(r.getString(4).contains("\"x\":1") && r.getString(4).contains("\"y\":2")
+      && r.getString(4).contains("\"b\":2"))
+    assert(r.getLong(5) == java.lang.Double.doubleToLongBits(2.0))
+    assert(r.getDouble(6) == -1.5)
+  }
 }
