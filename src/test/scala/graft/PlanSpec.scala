@@ -275,4 +275,29 @@ class PlanSpec extends AnyFunSuite {
     assert(q22.contains("IN (1,2,3,7,8,9,10)"),
       s"IN filter must reach the customer scan:\n$q22")
   }
+
+  test("sketch SQL aggregates run two-phase: partial sketches before the shuffle") {
+    // At cluster scale a sketch aggregate MUST combine per-partition state
+    // map-side and merge small binary sketches through the exchange —
+    // shipping raw rows to a single reducer would turn a KB-sized result
+    // into a full shuffle of the fact table. TypedImperativeAggregate gives
+    // ObjectHashAggregate with a partial mode below the exchange; pin that
+    // shape for the reference-named SQL surface.
+    Tables.registerAll(spark, dir)
+    GraftExtensions.register(spark)
+    val p = spark.sql(
+      """SELECT event_type, theta_sketch_estimate(ds_theta(user_id)) AS t,
+                hll_sketch_estimate(ds_hll(user_id)) AS h,
+                approx_quantile_fixed_buckets(value, 0.5, 100, 0.0, 1000.0) AS q
+         FROM events GROUP BY event_type""")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_")
+    assert(partialIdx >= 0, s"expected partial sketch aggregation:\n$p")
+    // executedPlan prints top-down: the partial agg appears BELOW (after)
+    // the exchange in the text, so its index is larger
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial sketch aggregation must sit below the exchange (map side)")
+  }
 }
