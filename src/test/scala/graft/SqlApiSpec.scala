@@ -448,6 +448,43 @@ class SqlApiSpec extends AnyFunSuite {
     assert(msg.toLowerCase.contains("cancel") || ex.isInstanceOf[org.apache.spark.SparkException])
   }
 
+  test("context.lane routes the SQL query into a scheduler pool") {
+    // reference query laning (QueryContexts.getLane): the SQL route maps a
+    // lane onto a Spark fair-scheduler pool exactly like the native route
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    SqlApi.run(spark, dir, """{
+      "query": "SELECT count(*) AS n FROM nation",
+      "context": {"lane": "low"}
+    }""").collect()
+    assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == "low")
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
+
+  test("useCache/populateCache: SQL result-level cache round trip") {
+    SqlApi.clearCache()
+    val payload = """{
+      "query": "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3",
+      "resultFormat": "csv",
+      "context": {"useCache": true, "populateCache": true}
+    }"""
+    val first = SqlApi.execute(spark, dir, payload)
+    val (h1, m1) = SqlApi.cacheStats
+    assert(h1 == 0 && m1 == 1)
+    val second = SqlApi.execute(spark, dir, payload)
+    val (h2, _) = SqlApi.cacheStats
+    assert(h2 == 1 && second == first)
+    // a different result format must never hit the same entry
+    val other = SqlApi.execute(spark, dir, payload.replace("csv", "arrayLines"))
+    assert(other != first)
+    val (h3, m3) = SqlApi.cacheStats
+    assert(h3 == 1 && m3 == 2)
+    // no flags → no cache participation at all
+    SqlApi.clearCache()
+    SqlApi.execute(spark, dir,
+      """{"query": "SELECT n_name FROM nation LIMIT 1"}""")
+    assert(SqlApi.cacheStats == ((0L, 0L)))
+  }
+
   test("drill negative corpus: window misuse is rejected") {
     // reference sql/src/test/resources/drill/window/queries/negative/:
     // these must FAIL to plan, not silently produce something
