@@ -271,18 +271,55 @@ object Dedup {
                    mode: String = "auto"): DataFrame = {
     val d = simHashTable(df.withColumn("__block", blockKey), idCol, textCol,
       carry = Seq("__block")).persist()
-    val l = d.select(col("__block").as("block"), col("id").as("id_a"),
-      col("simhash").as("sh_a"))
-    val r = d.select(col("__block").as("block"), col("id").as("id_b"),
-      col("simhash").as("sh_b"))
+    // Candidate generation dispatches on the hamming radius.
+    //
+    // Small radii (the 3-6 of web dedup practice, Manku et al. WWW'07) use
+    // pigeonhole banding: split the 64-bit simhash into (maxHamming+1) bit
+    // bands — a pair within radius t MUST agree exactly on at least one
+    // band, so joining on (block, band, band value) finds every qualifying
+    // pair (loss-free) while replacing the per-block all-pairs product with
+    // equi-join buckets of ~N/2^width docs. At corpus scale this is the
+    // difference between O(B²) per block and ordinary shuffle-join fan-in.
+    //
+    // Wide radii make the bands too narrow to select (width < 8 bits →
+    // ≤256 bucket values: the join output stays ~quadratic while paying
+    // (t+1)× input duplication plus a pair-dedup shuffle — measured SLOWER
+    // than the plain block join at t=12), so those fall back to the
+    // size-gated all-pairs block join.
+    val bands = maxHamming + 1
+    val useBanding = bands <= 8 // band width >= 8 bits
+    val cand0 =
+      if (useBanding) {
+        val bounds = (0 until bands).map(i => (i * 64 / bands, (i + 1) * 64 / bands))
+        def banded(idAs: String, shAs: String) = d.select(col("__block").as("block"),
+            col("id").as(idAs), col("simhash").as(shAs),
+            posexplode(array(bounds.map { case (lo, hi) =>
+              val width = hi - lo
+              val mask = if (width >= 64) -1L else (1L << width) - 1
+              shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+            }: _*)).as(Seq("band", "bv")))
+        graft.operators.Joins.boundedBlockJoin(
+            banded("id_a", "sh_a"), banded("id_b", "sh_b"),
+            Seq("block", "band", "bv"), saltBy = col("id_a"), mode = mode)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+          .distinct() // a close pair can collide in several bands
+      } else {
+        val l = d.select(col("__block").as("block"), col("id").as("id_a"),
+          col("simhash").as("sh_a"))
+        val r = d.select(col("__block").as("block"), col("id").as("id_b"),
+          col("simhash").as("sh_b"))
+        graft.operators.Joins.boundedBlockJoin(l, r, Seq("block"),
+            saltBy = col("id_a"), mode = mode)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+      }
     // persist: the candidate set feeds the id prefilter AND the verify join
-    val cand = graft.operators.Joins.boundedBlockJoin(l, r, Seq("block"),
-      saltBy = col("id_a"), mode = mode)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .persist()
+    val cand = cand0.persist()
     // stage 2: exact verify. Grams are computed ONLY for docs that appear
     // in some candidate pair (left-semi prefilter) — at corpus scale the
     // survivors are a vanishing fraction, and rescanning/shingling the

@@ -510,6 +510,29 @@ class FunctionsSpec extends AnyFunSuite {
       .contains((3L, 4L)))
   }
 
+  test("simHashPairs pigeonhole banding is loss-free vs the all-pairs join") {
+    // radius <= 7 routes through band-join candidates; pigeonhole
+    // guarantees the same pair set as the quadratic block join filtered to
+    // the same radius. Use a word-shuffled corpus so several pairs land at
+    // assorted hamming distances around the cut.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val words = base.split(" ")
+    val docs = (0 until 30).map { i =>
+      val mutated = words.zipWithIndex.map { case (w, j) =>
+        if ((i + j) % 7 == 0) w + i.toString else w }
+      (i.toLong, mutated.mkString(" "), "blk")
+    }.toDF("doc_id", "text", "src")
+    def pairSet(h: Int) = Dedup.simHashPairs(docs, "doc_id", "text",
+      blockKey = col("src"), maxHamming = h, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = pairSet(6)                       // banding path
+    val viaBlock = pairSet(64).filter(_._3 <= 6)  // all-pairs path, refiltered
+    assert(banded == viaBlock,
+      s"banding lost/invented pairs: ${banded.diff(viaBlock)} / ${viaBlock.diff(banded)}")
+    assert(viaBlock.nonEmpty, "test corpus produced no pairs at radius 6")
+  }
+
   test("temperatureSample: alpha=1 is uniform, alpha<1 upsamples tail strata") {
     import graft.pipeline.Sampling
     // head stratum 8x the tail stratum
