@@ -611,19 +611,51 @@ object SparkEntry {
           val k = 2 + rnd.nextInt(5); val j = rnd.nextInt(k)
           s"$key % $k <> $j"
       }
-      val agg = rnd.nextInt(4) match {
-        case 0 => s"round(min(${pick(t.anyNum)}), 3)"
-        case 1 => s"round(max(${pick(t.anyNum)}), 3)"
-        case 2 if t.intish.nonEmpty => s"round(avg(${pick(t.intish)}), 6)"
-        case _ => s"CAST(count(DISTINCT $key) AS BIGINT)"
+      rnd.nextInt(4) match {
+        case 3 =>
+          // window family: ranking functions folded through deterministic
+          // reductions — RANK/DENSE_RANK and the peer-class cumulative count
+          // depend only on the (dim, key) multiset, never on tie order
+          val wfn = rnd.nextInt(3) match {
+            case 0 => s"RANK() OVER (PARTITION BY $dim ORDER BY $key)"
+            case 1 => s"DENSE_RANK() OVER (PARTITION BY $dim ORDER BY $key)"
+            case _ => s"COUNT(*) OVER (PARTITION BY $dim ORDER BY $key)"
+          }
+          s"""SELECT 'g$i' AS qid, d, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(rnk) AS BIGINT) AS s, CAST(max(rnk) AS DOUBLE) AS v
+             |FROM (SELECT CAST($dim AS VARCHAR(64)) AS d, $wfn AS rnk
+             |      FROM ${t.name} WHERE $pred) x GROUP BY d""".stripMargin
+        case 2 if t.name != "lineitem" =>
+          // join family: orders/customer joined to its dimension-side twin,
+          // deterministic integer aggregates over the join result
+          val (join, jdim, jkey) =
+            if (t.name == "orders")
+              ("orders JOIN customer ON o_custkey = c_custkey",
+                "c_mktsegment", "o_orderkey")
+            else
+              ("customer JOIN nation ON c_nationkey = n_nationkey",
+                "n_name", "c_custkey")
+          val m = 11 + rnd.nextInt(89)
+          s"""SELECT 'g$i' AS qid, CAST($jdim AS VARCHAR(64)) AS d,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum($jkey % $m) AS BIGINT) AS s,
+             |       CAST(count(DISTINCT $jkey) AS DOUBLE) AS v
+             |FROM $join WHERE $pred GROUP BY $jdim""".stripMargin
+        case _ =>
+          val agg = rnd.nextInt(4) match {
+            case 0 => s"round(min(${pick(t.anyNum)}), 3)"
+            case 1 => s"round(max(${pick(t.anyNum)}), 3)"
+            case 2 if t.intish.nonEmpty => s"round(avg(${pick(t.intish)}), 6)"
+            case _ => s"CAST(count(DISTINCT $key) AS BIGINT)"
+          }
+          val sum =
+            if (t.intish.nonEmpty) s"CAST(sum(${pick(t.intish)}) AS BIGINT)"
+            else "CAST(count(*) AS BIGINT)"
+          s"""SELECT 'g$i' AS qid, CAST($dim AS VARCHAR(64)) AS d,
+             |       CAST(count(*) AS BIGINT) AS n, $sum AS s,
+             |       CAST($agg AS DOUBLE) AS v
+             |FROM ${t.name} WHERE $pred GROUP BY $dim""".stripMargin
       }
-      val sum =
-        if (t.intish.nonEmpty) s"CAST(sum(${pick(t.intish)}) AS BIGINT)"
-        else "CAST(count(*) AS BIGINT)"
-      s"""SELECT 'g$i' AS qid, CAST($dim AS VARCHAR(64)) AS d,
-         |       CAST(count(*) AS BIGINT) AS n, $sum AS s,
-         |       CAST($agg AS DOUBLE) AS v
-         |FROM ${t.name} WHERE $pred GROUP BY $dim""".stripMargin
     }
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY qid, d")
   }

@@ -448,6 +448,18 @@ class SqlApiSpec extends AnyFunSuite {
     assert(msg.toLowerCase.contains("cancel") || ex.isInstanceOf[org.apache.spark.SparkException])
   }
 
+  test("consistency generator emits runnable SQL across seeds and sizes") {
+    // the cross-engine gate pins seed 42; other seeds must still generate
+    // valid SQL from every family (agg / window / join) or a generator
+    // regression would only surface when the driver re-rolls the seed
+    graft.Tables.registerAll(spark, dir)
+    Seq(1L, 7L, 99L).foreach { seed =>
+      val df = spark.sql(SparkEntry.consistencySql(seed, 12))
+      assert(df.columns.toSeq == Seq("qid", "d", "n", "s", "v"), s"seed $seed")
+      assert(df.count() > 0, s"seed $seed returned no rows")
+    }
+  }
+
   test("context.lane routes the SQL query into a scheduler pool") {
     // reference query laning (QueryContexts.getLane): the SQL route maps a
     // lane onto a Spark fair-scheduler pool exactly like the native route
