@@ -172,6 +172,33 @@ object Metadata {
       "ordinal_position", "is_nullable", "data_type")
   }
 
+  /** INFORMATION_SCHEMA.ROUTINES (reference InformationSchema ROUTINES
+    * table): one row per known SQL function. Aggregates are flagged
+    * IS_AGGREGATOR = YES like the reference; the signature column carries
+    * the registry's usage string when one exists. Built from the session
+    * function registry on the driver — O(functions), no data scan.
+    */
+  def informationSchemaRoutines(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.functions.DruidFunctions.register(spark)
+    graft.GraftExtensions.register(spark)
+    val aggHints = Seq("_agg", "sum", "count", "min", "max", "avg", "first",
+      "last", "collect", "percentile", "earliest", "latest", "ds_hll",
+      "ds_theta", "ds_kll", "ds_tuple_doubles", "approx_", "bloom_filter",
+      "any_value", "bit_", "bool_", "listagg", "mode", "regr_", "stddev",
+      "variance", "var_", "corr", "covar", "kurtosis", "skewness", "hll_")
+    spark.catalog.listFunctions().collect().toSeq.map { f =>
+      val name = f.name
+      val isAgg = aggHints.exists(name.toLowerCase.contains) &&
+        !name.toLowerCase.contains("_estimate") &&
+        !name.toLowerCase.contains("window")
+      (Catalog, "INFORMATION_SCHEMA", name, "FUNCTION",
+        if (isAgg) "YES" else "NO",
+        Option(f.description).getOrElse(""))
+    }.toDF("routine_catalog", "routine_schema", "routine_name",
+      "routine_type", "is_aggregator", "signatures")
+  }
+
   /** Register the INFORMATION_SCHEMA views (underscore spelling: Spark temp
     * view names cannot contain dots).
     */
@@ -182,5 +209,7 @@ object Metadata {
       .createOrReplaceTempView("information_schema_tables")
     informationSchemaColumns(spark, dir)
       .createOrReplaceTempView("information_schema_columns")
+    informationSchemaRoutines(spark)
+      .createOrReplaceTempView("information_schema_routines")
   }
 }

@@ -768,6 +768,22 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("job_id", "status", "job_group"))
   }
 
+  test("INFORMATION_SCHEMA.ROUTINES lists functions with aggregator flags") {
+    graft.operators.Metadata.registerInformationSchema(spark, dir)
+    val r = spark.table("information_schema_routines")
+    assert(r.columns.toSeq == Seq("routine_catalog", "routine_schema",
+      "routine_name", "routine_type", "is_aggregator", "signatures"))
+    val byName = r.collect().map(x => x.getString(2) -> x.getString(4)).toMap
+    // the engine surface itself is listed
+    assert(byName.contains("ds_theta") && byName("ds_theta") == "YES")
+    assert(byName.contains("theta_sketch_estimate")
+      && byName("theta_sketch_estimate") == "NO")
+    assert(byName.contains("earliest") && byName("earliest") == "YES")
+    // ordinary builtins flow through from the session registry
+    assert(byName.contains("concat") && byName("concat") == "NO")
+    assert(byName("sum") == "YES")
+  }
+
   test("sys_server_segments maps every segment onto each server") {
     graft.operators.Metadata.registerSystemViews(spark, dir)
     val ss = spark.table("sys_server_segments")

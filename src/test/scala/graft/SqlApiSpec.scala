@@ -460,6 +460,28 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("context.sqlTimeZone scopes datetime semantics to the query") {
+    // reference PlannerContext.getTimeZone: an -08:00 zone shifts which
+    // calendar day a UTC-evening timestamp falls on; the session zone (UTC)
+    // must be restored afterwards
+    val sql = """{"query":
+      "SELECT CAST(date_trunc('DAY', TIMESTAMP '2024-06-01 20:30:00') AS VARCHAR(32)) AS d",
+      "context": {"sqlTimeZone": "America/Los_Angeles"}}"""
+    val la = SqlApi.run(spark, dir, sql).head().getString(0)
+    assert(la.startsWith("2024-06-01 00:00"), la)
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    val utc = SqlApi.run(spark, dir, """{"query":
+      "SELECT CAST(date_trunc('DAY', TIMESTAMP '2024-06-01 20:30:00') AS VARCHAR(32)) AS d"}""")
+      .head().getString(0)
+    assert(utc.startsWith("2024-06-01 00:00"))
+    // a fixed UTC instant shortly after midnight lands on the PREVIOUS
+    // calendar day in the -07:00 zone
+    val cross = SqlApi.run(spark, dir, """{"query":
+      "SELECT CAST(date_trunc('DAY', TIMESTAMP '2024-06-01 04:30:00+00:00') AS VARCHAR(32)) AS d",
+      "context": {"sqlTimeZone": "America/Los_Angeles"}}""").head().getString(0)
+    assert(cross.startsWith("2024-05-31 00:00"), cross)
+  }
+
   test("context.lane routes the SQL query into a scheduler pool") {
     // reference query laning (QueryContexts.getLane): the SQL route maps a
     // lane onto a Spark fair-scheduler pool exactly like the native route
