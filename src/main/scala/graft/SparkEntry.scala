@@ -403,6 +403,92 @@ object SparkEntry {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY l_orderkey, ln, l_suppkey, l_partkey""",
 
+    // frameclause/subQueries/frmInSubQry_25.q: three named windows with
+    // DIFFERENT frame semantics (whole-partition RANGE, cumulative ROWS,
+    // peer-class RANGE) consumed through a subquery with an outer filter
+    "frames_in_subq" ->
+      """SELECT * FROM (
+           SELECT o_orderkey,
+                  CAST(MIN(o_custkey) OVER w AS BIGINT) AS w_min,
+                  CAST(MIN(o_custkey) OVER w2 AS BIGINT) AS w2_min,
+                  CAST(MIN(o_custkey) OVER w3 AS BIGINT) AS w3_min
+           FROM orders WHERE o_orderkey < 2000
+           WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                  w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  w3 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+         ) subqry
+         WHERE subqry.w_min > 0
+         ORDER BY o_orderkey""",
+
+    // aggregates/wPrtnOrdrBy_1.q: rank within a partition pinned to one
+    // varchar value by the WHERE clause (single surviving partition)
+    "rank_filtered" ->
+      """SELECT o_orderpriority, o_orderkey,
+                CAST(RANK() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderkey) AS BIGINT) AS rnk
+         FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
+
+    // aggregates/woPrtnBy_1.q: running MAX over an ORDER-BY-only window
+    "runmax_orderonly" ->
+      """SELECT o_orderkey,
+                CAST(MAX(o_custkey) OVER (ORDER BY o_orderkey) AS BIGINT) AS run_max
+         FROM orders WHERE o_orderkey < 3000
+         ORDER BY o_orderkey""",
+
+    // lag_func family over DATE ordering: LAG of the date key itself plus
+    // the day gap to the previous date (datediff shapes)
+    "lag_dates" ->
+      """SELECT mon, n,
+                CAST(LAG(n) OVER (ORDER BY mon) AS BIGINT) AS prev_n,
+                CAST(mon - LAG(mon) OVER (ORDER BY mon) AS BIGINT) AS gap
+         FROM (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mon,
+                      count(*) AS n
+               FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)) t
+         ORDER BY mon""",
+
+    // ntile_func edge: more tiles than rows — every row its own bucket,
+    // trailing tiles unused
+    "ntile_overflow" ->
+      """SELECT n_nationkey, CAST(NTILE(100) OVER (ORDER BY n_nationkey) AS BIGINT) AS nt
+         FROM nation ORDER BY n_nationkey""",
+
+    // first_val family with a SLIDING frame: FIRST/LAST_VALUE over ROWS
+    // BETWEEN 1 PRECEDING AND 1 FOLLOWING
+    "firstval_sliding" ->
+      """SELECT o_orderkey,
+                FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_orderkey
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS prev_or_self,
+                LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_orderkey
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS next_or_self
+         FROM orders WHERE o_orderkey < 2000
+         ORDER BY o_orderkey""",
+
+    // aggregates/mtyOvrCluse: empty OVER () on top of GROUP BY aggregates —
+    // the share-of-total pattern
+    "share_of_total" ->
+      """SELECT o_orderpriority, n,
+                CAST(SUM(n) OVER () AS BIGINT) AS total,
+                round(n * 100.0 / SUM(n) OVER (), 4) AS pct
+         FROM (SELECT o_orderpriority, count(*) AS n
+               FROM orders GROUP BY o_orderpriority) t
+         ORDER BY o_orderpriority""",
+
+    // lead_func over a computed EXPRESSION argument (not a bare column)
+    "lead_expr" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+                CAST(LEAD(l_suppkey * 2 + l_partkey) OVER (
+                  PARTITION BY l_returnflag
+                  ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey)
+                  AS BIGINT) AS lead_val
+         FROM lineitem WHERE l_orderkey < 300
+         ORDER BY l_orderkey, ln, l_suppkey, l_partkey""",
+
     // tpcds/query53.sql shape: quarterly sums per brand vs the brand's
     // all-quarter average through a PARTITION-only window
     "tpcds_q53" ->
@@ -1456,6 +1542,55 @@ object SparkEntry {
       // inside running windows
       Tables.registerAll(s, dir)
       s.sql(drillSql("nulls_in_args"))
+    }),
+
+    "q_drill_window_frames_subq" -> ((s, dir) => {
+      // frameclause/subQueries/frmInSubQry_25.q: three mixed-frame named
+      // windows behind a subquery with an outer filter
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("frames_in_subq"))
+    }),
+
+    "q_drill_window_rank_filtered" -> ((s, dir) => {
+      // aggregates/wPrtnOrdrBy_1.q: rank in a WHERE-pinned partition
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("rank_filtered"))
+    }),
+
+    "q_drill_window_runmax" -> ((s, dir) => {
+      // aggregates/woPrtnBy_1.q: running MAX, ORDER-BY-only window
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("runmax_orderonly"))
+    }),
+
+    "q_drill_window_lag_dates" -> ((s, dir) => {
+      // lag_func over date-derived ordering: previous value + gap
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("lag_dates"))
+    }),
+
+    "q_drill_window_ntile_overflow" -> ((s, dir) => {
+      // ntile_func edge: more tiles than rows
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ntile_overflow"))
+    }),
+
+    "q_drill_window_firstval_sliding" -> ((s, dir) => {
+      // first_val/last_val over a sliding 1-PRECEDING..1-FOLLOWING frame
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("firstval_sliding"))
+    }),
+
+    "q_drill_window_share_total" -> ((s, dir) => {
+      // aggregates/mtyOvrCluse: empty OVER () share-of-total over GROUP BY
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("share_of_total"))
+    }),
+
+    "q_drill_window_lead_expr" -> ((s, dir) => {
+      // lead_func with a computed expression argument
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("lead_expr"))
     }),
 
     "q_drill_tpcds_q53" -> ((s, dir) => {
@@ -3385,6 +3520,14 @@ object SparkEntry {
     "q_drill_window_join_subq" -> drillSql("join_windowed_subq"),
     "q_drill_window_multi_parts" -> drillSql("multi_over_parts"),
     "q_drill_window_null_args" -> drillSql("nulls_in_args"),
+    "q_drill_window_frames_subq" -> drillSql("frames_in_subq"),
+    "q_drill_window_rank_filtered" -> drillSql("rank_filtered"),
+    "q_drill_window_runmax" -> drillSql("runmax_orderonly"),
+    "q_drill_window_lag_dates" -> drillSql("lag_dates"),
+    "q_drill_window_ntile_overflow" -> drillSql("ntile_overflow"),
+    "q_drill_window_firstval_sliding" -> drillSql("firstval_sliding"),
+    "q_drill_window_share_total" -> drillSql("share_of_total"),
+    "q_drill_window_lead_expr" -> drillSql("lead_expr"),
     "q_drill_tpcds_q53" -> drillSql("tpcds_q53"),
     "q_drill_tpcds_q51" -> drillSql("tpcds_q51"),
     "q_drill_tpcds_q47" -> drillSql("tpcds_q47"),
