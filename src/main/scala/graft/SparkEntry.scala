@@ -409,7 +409,7 @@ object SparkEntry {
     "frames_in_subq" ->
       """SELECT * FROM (
            SELECT o_orderkey,
-                  CAST(MIN(o_custkey) OVER w AS BIGINT) AS w_min,
+                  CAST(SUM(o_custkey) OVER w AS BIGINT) AS w_sum,
                   CAST(MIN(o_custkey) OVER w2 AS BIGINT) AS w2_min,
                   CAST(MIN(o_custkey) OVER w3 AS BIGINT) AS w3_min
            FROM orders WHERE o_orderkey < 2000
@@ -420,7 +420,7 @@ object SparkEntry {
                   w3 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
                           RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
          ) subqry
-         WHERE subqry.w_min > 0
+         WHERE subqry.w_sum > 0
          ORDER BY o_orderkey""",
 
     // aggregates/wPrtnOrdrBy_1.q: rank within a partition pinned to one

@@ -23,6 +23,35 @@ object LookupRegistry {
   def get(name: String): Option[Map[String, String]] = lookups.get(name)
   def names: Seq[String] = lookups.keys.toSeq.sorted
 
+  /** Default cap on loaded-lookup cardinality. The reference's cached
+    * global lookups (`lookups-cached-global`, JDBC/URI loaders) are
+    * heap-resident maps replicated to every node — a lookup that does not
+    * comfortably fit the driver/executor heap is a modeling error, so
+    * loading is guarded rather than silently OOMing a 1000-executor fleet.
+    */
+  val MaxLoadedEntries: Int = 1000000
+
+  /** Load a lookup from any two-column DataFrame source — the analog of the
+    * reference's JDBC / URI lookup loaders (`lookups-cached-global`
+    * JdbcExtractionNamespace / UriExtractionNamespace): first column key,
+    * second value, both cast to string; duplicate keys keep the LAST value
+    * seen, matching the reference's replace-on-reload semantics.
+    */
+  def registerFrom(name: String, df: org.apache.spark.sql.DataFrame,
+                   keyCol: String, valueCol: String,
+                   maxEntries: Int = MaxLoadedEntries): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(keyCol).cast("string"), col(valueCol).cast("string"))
+      .limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"lookup '$name' exceeds $maxEntries entries; load a smaller projection " +
+        "or raise maxEntries explicitly")
+    register(name, rows.iterator
+      .filter(r => !r.isNullAt(0))
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap)
+  }
+
   /** Expression builder for SQL `LOOKUP(expr, 'name'[, 'replaceMissing'])`. */
   def lookupBuilder(args: Seq[Expression]): Expression = {
     require(args.size >= 2, "LOOKUP(expr, 'name'[, replaceMissing])")

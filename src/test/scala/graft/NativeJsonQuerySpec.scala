@@ -210,6 +210,26 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq("-" -> 4L, "banana" -> 3L))
   }
 
+  test("registerFrom loads a lookup from a two-column source with a cap") {
+    // the analog of the reference's JDBC/URI cached-global lookup loaders:
+    // last value wins per key, load refuses past the entry cap
+    import spark.implicits._
+    val src = Seq(("0", "AFRICA"), ("1", "AMERICA"), ("1", "AMERICA_V2"),
+      (null, "IGNORED")).toDF("k", "v")
+    graft.functions.LookupRegistry.registerFrom("region_names", src, "k", "v")
+    val m = graft.functions.LookupRegistry.get("region_names").get
+    assert(m == Map("0" -> "AFRICA", "1" -> "AMERICA_V2"))
+    // and the loaded lookup resolves through SQL LOOKUP()
+    graft.functions.LookupRegistry.registerSql(spark)
+    val r = spark.sql("SELECT LOOKUP('1', 'region_names') AS v").head()
+    assert(r.getString(0) == "AMERICA_V2")
+    intercept[IllegalArgumentException] {
+      graft.functions.LookupRegistry.registerFrom("too_big",
+        spark.range(100).selectExpr("CAST(id AS STRING) k", "CAST(id AS STRING) v"),
+        "k", "v", maxEntries = 10)
+    }
+  }
+
   test("lookup dimension spec: inline map + registered name + missing policy") {
     graft.functions.LookupRegistry.register("status_names",
       Map("F" -> "final", "O" -> "open"))
