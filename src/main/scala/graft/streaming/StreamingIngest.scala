@@ -143,6 +143,93 @@ object StreamingIngest {
     }
   }
 
+  /** Reference lateMessageRejectionPeriod / earlyMessageRejectionPeriod
+    * (`SeekableStreamSupervisorIOConfig`): drop records whose event time
+    * falls outside [processing time − late, processing time + early] at
+    * READ time. Deliberately processing-time-relative (that is the
+    * reference contract): a replayed backlog is rejected, which is the
+    * point — it protects realtime segments from ancient data.
+    */
+  def rejectOutOfPeriod(stream: DataFrame, timeCol: String,
+                        latePeriod: Option[String],
+                        earlyPeriod: Option[String]): DataFrame = {
+    val lateOk = latePeriod.map(p =>
+      col(timeCol) >= current_timestamp() - expr(s"INTERVAL $p"))
+    val earlyOk = earlyPeriod.map(p =>
+      col(timeCol) <= current_timestamp() + expr(s"INTERVAL $p"))
+    (lateOk.toSeq ++ earlyOk.toSeq).reduceOption(_ && _)
+      .map(stream.filter).getOrElse(stream)
+  }
+
+  /** One emitted session: a maximal run of events for `key` with no
+    * inter-event gap exceeding the threshold.
+    */
+  case class Session(key: String, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  // public: Dataset encoders generate bytecode that constructs these from
+  // outside the enclosing object, so they cannot be private
+  case class SessionEvent(key: String, ts: java.sql.Timestamp)
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** Streaming sessionization — the custom-state op the built-in windowed
+    * aggregates cannot express (session bounds depend on the DATA, not a
+    * fixed grid): `flatMapGroupsWithState` keeps one `OpenSession` per key,
+    * closes it when a later event arrives past the inactivity gap, and an
+    * event-time timeout flushes idle sessions once the watermark passes
+    * `last + gap`. State is O(keys) regardless of event volume, and the
+    * watermark bounds it — the shape that survives a 1000-executor stream.
+    *
+    * Returns append-mode rows of [[Session]].
+    */
+  def sessionize(stream: DataFrame, timeCol: String, keyCol: String,
+                 gapMinutes: Int = 30,
+                 watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val typed = stream
+      .select(col(keyCol).cast("string").as("key"),
+        col(timeCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, events, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: flush
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n))
+          } else {
+            // events within a batch arrive unordered; sessionize in time order
+            val sorted = events.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(key, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }.toDF()
+  }
+
   /** Run a bounded micro-batch pass to completion over a prepared streaming
     * DataFrame and return the rolled-up result as a batch DataFrame (memory
     * sink — used by tests and the correctness gate; production writes Delta).

@@ -153,4 +153,51 @@ class StreamingSpec extends AnyFunSuite {
     // sessions must cover every event exactly once
     assert(sessions.agg(sum("n")).head().getLong(0) == 1000L)
   }
+
+  test("StreamingIngest.sessionize closes sessions on gap and watermark timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val stream = graft.streaming.StreamingIngest.sessionize(
+      in.toDF().toDF("k", "t"), "t", "k", gapMinutes = 30, watermark = "1 minutes")
+    // default micro-batch trigger: AvailableNow would stop after the data
+    // present at start, never seeing the second batch
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("lib_sessions").start()
+    // batch 1: user a has two bursts separated by >30min (first closes
+    // in-batch), user b one burst
+    in.addData(("a", ts(0)), ("a", ts(10)), ("a", ts(60)), ("b", ts(5)))
+    q.processAllAvailable()
+    // batch 2: event far in the future advances the watermark past every
+    // open session's last + gap → the timeout flushes a's second burst and b
+    in.addData(("c", ts(10000)))
+    q.processAllAvailable()
+    q.stop()
+    val done = spark.table("lib_sessions")
+      .select("key", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(done.contains(("a", ts(0), ts(10), 2L)), s"in-batch close: $done")
+    assert(done.contains(("a", ts(60), ts(60), 1L)), s"timeout flush: $done")
+    assert(done.contains(("b", ts(5), ts(5), 1L)), s"timeout flush b: $done")
+  }
+
+  test("rejectOutOfPeriod drops events outside the processing-time window") {
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val ancient = new java.sql.Timestamp(System.currentTimeMillis() - 86400000L * 30)
+    val future = new java.sql.Timestamp(System.currentTimeMillis() + 86400000L * 30)
+    val df = Seq(("ok", now), ("late", ancient), ("early", future)).toDF("k", "t")
+    val kept = graft.streaming.StreamingIngest.rejectOutOfPeriod(
+      df, "t", latePeriod = Some("7 DAYS"), earlyPeriod = Some("1 HOURS"))
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(kept == Set("ok"))
+    // one-sided: only the late bound enforced
+    val lateOnly = graft.streaming.StreamingIngest.rejectOutOfPeriod(
+      df, "t", latePeriod = Some("7 DAYS"), earlyPeriod = None)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(lateOnly == Set("ok", "early"))
+  }
 }
