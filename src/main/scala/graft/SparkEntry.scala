@@ -2070,6 +2070,48 @@ object SparkEntry {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    "q_stream_sessionize" -> ((s, dir) => {
+      // the custom-state streaming op, ORACLE-verified cross-paradigm: the
+      // streaming flatMapGroupsWithState sessionizer over a two-batch file
+      // stream must equal the batch gaps-and-islands SQL DuckDB runs. A
+      // far-future sentinel file forms its own micro-batch purely to push
+      // the watermark past every real session's last+gap so the event-time
+      // timeouts flush them (then the sentinel key is dropped).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // per-sf-dir staging: concurrent driver JVMs on different scale
+      // factors must not clobber each other's stream input
+      val staging = s"/tmp/graft_stream_sessionize_${dir.hashCode.abs}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      raw.coalesce(1).write.parquet(s"$staging/b0")
+      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+      raw.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit(maxNs + 365L * 86400 * 1000000000L).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("__sentinel__").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.parquet(s"$staging/b1")
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staging/b*/*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val sessions = StreamingIngest.sessionize(stream, "ts", "user_id",
+        gapMinutes = 30, watermark = "1 minutes")
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName("stream_sessionize_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("stream_sessionize_out")
+        .filter(col("key") =!= "-1")
+        .select(col("key"),
+          date_trunc("second", col("session_start")).as("session_start"),
+          date_trunc("second", col("session_end")).as("session_end"),
+          col("n_events"))
+        .orderBy(col("key"), col("session_start"))
+    }),
+
     "q_json_shred" -> ((s, dir) => {
       // nested-column shredding at ingest: infer the props schema from a
       // sample, from_json into a typed struct, and aggregate on the typed
@@ -4467,6 +4509,24 @@ object SparkEntry {
     "q_inflight_union" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_stream_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT CAST(user_id AS VARCHAR(32)) AS key,
+                date_trunc('second', min(ts)) AS session_start,
+                date_trunc('second', max(ts)) AS session_end,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, sid
+         ORDER BY key, session_start""",
 
     "q_json_shred" ->
       """SELECT event_type,
