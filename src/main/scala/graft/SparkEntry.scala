@@ -2070,6 +2070,29 @@ object SparkEntry {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    "q_sql_pivot" -> ((s, dir) => {
+      // reference experimental PIVOT (sql.md:90): rows→columns with an
+      // aggregate per pivoted value; one shared standard-syntax text
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT * FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+           PIVOT (count(*) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+           ORDER BY o_orderpriority""")
+    }),
+
+    "q_sql_unpivot" -> ((s, dir) => {
+      // reference experimental UNPIVOT (sql.md:61): columns→rows
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, status, n FROM (
+             SELECT o_orderpriority,
+                    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_n,
+                    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS done_n
+             FROM orders GROUP BY o_orderpriority) t
+           UNPIVOT (n FOR status IN (open_n, done_n))
+           ORDER BY o_orderpriority, status""")
+    }),
+
     "q_stream_sessionize" -> ((s, dir) => {
       // the custom-state streaming op, ORACLE-verified cross-paradigm: the
       // streaming flatMapGroupsWithState sessionizer over a two-batch file
@@ -4509,6 +4532,20 @@ object SparkEntry {
     "q_inflight_union" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_sql_pivot" ->
+      """SELECT * FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+         PIVOT (count(*) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+         ORDER BY o_orderpriority""",
+
+    "q_sql_unpivot" ->
+      """SELECT o_orderpriority, status, n FROM (
+           SELECT o_orderpriority,
+                  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_n,
+                  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS done_n
+           FROM orders GROUP BY o_orderpriority) t
+         UNPIVOT (n FOR status IN (open_n, done_n))
+         ORDER BY o_orderpriority, status""",
 
     "q_stream_sessionize" ->
       """WITH marked AS (
