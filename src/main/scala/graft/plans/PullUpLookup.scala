@@ -48,6 +48,11 @@ object AggregatePullUpLookupRule extends Rule[LogicalPlan] {
         .toBoolean) {
       return plan
     }
+    // reference context key sqlPullUpLookup (default TRUE) force-disables
+    // the lift per query even for injective-registered lookups
+    if (conf.getConfString("spark.graft.sqlPullUpLookup", "true") != "true") {
+      return plan
+    }
     plan.transform {
       case agg: Aggregate if agg.child.isInstanceOf[Project] =>
         val proj = agg.child.asInstanceOf[Project]

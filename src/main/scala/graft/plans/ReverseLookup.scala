@@ -49,9 +49,14 @@ object ReverseLookupRule extends Rule[LogicalPlan] {
       }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, _) =>
-      val inverted = invert(cond)
-      if (inverted fastEquals cond) f else f.copy(condition = inverted)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // reference context key sqlReverseLookup (default TRUE) disables the
+    // rewrite per query; SqlApi folds the context into this conf
+    if (conf.getConfString("spark.graft.sqlReverseLookup", "true") != "true") plan
+    else plan.transform {
+      case f @ Filter(cond, _) =>
+        val inverted = invert(cond)
+        if (inverted fastEquals cond) f else f.copy(condition = inverted)
+    }
   }
 }

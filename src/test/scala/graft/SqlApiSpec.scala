@@ -460,6 +460,33 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("context.sqlStringifyArrays renders complex columns as JSON strings") {
+    val payload = """{"query": "SELECT array(1, 2, 3) AS a, named_struct('x', 7) AS s",
+      "resultFormat": "csv", "context": {"sqlStringifyArrays": true}}"""
+    val body = SqlApi.execute(spark, dir, payload)
+    assert(body.contains("[1,2,3]"), body)
+    assert(body.contains("{\"\"x\"\":7}") || body.contains("{\"x\":7}"), body)
+    // default: native array rendering stays untouched
+    val df = SqlApi.run(spark, dir, """{"query": "SELECT array(1, 2, 3) AS a"}""")
+    assert(df.schema.head.dataType.typeName == "array")
+  }
+
+  test("context.sqlReverseLookup=false disables the lookup inversion rewrite") {
+    graft.functions.LookupRegistry.register("rl_ctx", Map("0" -> "AFRICA"))
+    graft.functions.LookupRegistry.registerSql(spark)
+    GraftExtensions.register(spark) // installs ReverseLookupRule in this session
+    def planOf(ctx: String): String = SqlApi.run(spark, dir, s"""{
+      "query": "SELECT n_name FROM nation WHERE LOOKUP(CAST(n_nationkey AS VARCHAR(8)), 'rl_ctx') = 'AFRICA'"$ctx
+    }""").queryExecution.optimizedPlan.toString
+    try {
+      // default: the filter inverts to an equality on the raw key
+      assert(!planOf("").contains("element_at"), "rewrite should fire by default")
+      // opted out: the map extraction survives optimization
+      assert(planOf(""", "context": {"sqlReverseLookup": false}""")
+        .contains("element_at"), "rewrite must be disabled by the context key")
+    } finally spark.conf.unset("spark.graft.sqlReverseLookup")
+  }
+
   test("context.sqlTimeZone scopes datetime semantics to the query") {
     // reference PlannerContext.getTimeZone: an -08:00 zone shifts which
     // calendar day a UTC-evening timestamp falls on; the session zone (UTC)
