@@ -503,6 +503,60 @@ object SparkEntry {
                GROUP BY p_brand, quarter(o_orderdate)) t
          ORDER BY p_brand, qoy""",
 
+    // quidem qaSsb (norm_broadcast.msq.iq Q1_1): the Star Schema Benchmark
+    // flight, retargeted onto the reduced star (orders carries the date
+    // dimension role). Comma-join syntax kept from the suite text.
+    "ssb_q1" ->
+      """SELECT CAST(FLOOR(sum(l_extendedprice * l_discount)) AS BIGINT) AS revenue
+         FROM lineitem, orders
+         WHERE l_orderkey = o_orderkey
+           AND year(o_orderdate) * 100 + month(o_orderdate) = 199704
+           AND l_discount BETWEEN 0.04 AND 0.06
+           AND l_quantity BETWEEN 26 AND 35""",
+
+    // qaSsb Q2_1: brand revenue per year under a supplier-geography filter
+    "ssb_q2" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, p_brand,
+                CAST(FLOOR(sum(l_extendedprice)) AS BIGINT) AS lo_revenue
+         FROM lineitem, orders, part, supplier
+         WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+           AND l_suppkey = s_suppkey
+           AND p_brand IN ('Brand#12', 'Brand#22', 'Brand#32', 'Brand#42')
+           AND s_nationkey IN (1, 2, 3, 17, 24)
+         GROUP BY year(o_orderdate), p_brand
+         ORDER BY d_year, p_brand""",
+
+    // qaSsb Q3_1: customer-nation × supplier-nation revenue per year
+    "ssb_q3" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nation,
+                CAST(s_nationkey AS BIGINT) AS s_nation,
+                CAST(year(o_orderdate) AS BIGINT) AS d_year,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS lo_revenue
+         FROM customer, orders, lineitem, supplier
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey
+           AND c_nationkey IN (8, 9, 12, 18, 21)
+           AND s_nationkey IN (8, 9, 12, 18, 21)
+           AND year(o_orderdate) BETWEEN 1995 AND 1998
+         GROUP BY c_nationkey, s_nationkey, year(o_orderdate)
+         ORDER BY d_year, lo_revenue DESC, c_nation, s_nation""",
+
+    // qaSsb Q4_1: profit per year × customer nation over the full star
+    "ssb_q4" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year,
+                CAST(c_nationkey AS BIGINT) AS c_nation,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)
+                  - l_quantity * p_retailprice * 0.1)) AS BIGINT) AS profit
+         FROM lineitem, orders, customer, supplier, part
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+           AND c_nationkey IN (1, 2, 3, 17, 24)
+           AND p_brand IN ('Brand#12', 'Brand#22', 'Brand#32', 'Brand#42',
+                           'Brand#13', 'Brand#23', 'Brand#33', 'Brand#43')
+         GROUP BY year(o_orderdate), c_nationkey
+         ORDER BY d_year, c_nation""",
+
     // tpcds/query51.sql shape (drill runs it as query51.drill_4811): two
     // per-channel cumulative series FULL OUTER JOINed on the time key,
     // COALESCE'd, filtered where one channel's running total overtakes the
@@ -1603,6 +1657,30 @@ object SparkEntry {
       // tpcds/query51: FULL OUTER JOIN of two per-channel cumulative series
       Tables.registerAll(s, dir)
       s.sql(drillSql("tpcds_q51"))
+    }),
+
+    "q_ssb_q1" -> ((s, dir) => {
+      // quidem qaSsb Q1_1: date-filtered discount revenue
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q1"))
+    }),
+
+    "q_ssb_q2" -> ((s, dir) => {
+      // quidem qaSsb Q2_1: brand × year revenue over the star
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q2"))
+    }),
+
+    "q_ssb_q3" -> ((s, dir) => {
+      // quidem qaSsb Q3_1: customer × supplier nation revenue per year
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q3"))
+    }),
+
+    "q_ssb_q4" -> ((s, dir) => {
+      // quidem qaSsb Q4_1: profit per year × customer nation, 5-table star
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q4"))
     }),
 
     "q_drill_tpcds_q47" -> ((s, dir) => {
@@ -3595,6 +3673,10 @@ object SparkEntry {
     "q_drill_window_lead_expr" -> drillSql("lead_expr"),
     "q_drill_tpcds_q53" -> drillSql("tpcds_q53"),
     "q_drill_tpcds_q51" -> drillSql("tpcds_q51"),
+    "q_ssb_q1" -> drillSql("ssb_q1"),
+    "q_ssb_q2" -> drillSql("ssb_q2"),
+    "q_ssb_q3" -> drillSql("ssb_q3"),
+    "q_ssb_q4" -> drillSql("ssb_q4"),
     "q_drill_tpcds_q47" -> drillSql("tpcds_q47"),
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
