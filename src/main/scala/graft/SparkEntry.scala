@@ -2185,7 +2185,12 @@ object SparkEntry {
       val staging = s"/tmp/graft_stream_sessionize_${dir.hashCode.abs}"
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      raw.coalesce(1).write.parquet(s"$staging/b0")
+      // batch 0 is the ORIGINAL immutable parquet file, symlinked — copying
+      // the fact table through coalesce(1) was the gate's entire cost
+      new java.io.File(s"$staging/b0").mkdirs()
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$staging/b0/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
       val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
       raw.limit(1).select(
           lit(-1L).as("event_id"),
