@@ -2331,9 +2331,12 @@ object SparkEntry {
       val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       val inter = grams.select(col("id").as("id_a"), col("source").as("src_a"),
           col("sh"))
-        .join(grams.select(col("id").as("id_b"), col("source").as("src_b"),
-          col("sh")), Seq("sh"))
-        .filter(col("id_a") < col("id_b") && col("src_a") === col("src_b"))
+        // source is part of the JOIN KEY (truth pairs are same-source by
+        // definition), so the gram self-join never materializes the
+        // cross-source matches it would immediately filter away
+        .join(grams.select(col("id").as("id_b"), col("source").as("src_a"),
+          col("sh")), Seq("sh", "src_a"))
+        .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
       val jac = inter
         .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
