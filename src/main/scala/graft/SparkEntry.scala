@@ -2148,6 +2148,22 @@ object SparkEntry {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    "q_sql_json_funcs" -> ((s, dir) => {
+      // quidem qaJsonCols funcs_and_sql_func_json_{keys,object,paths,query}:
+      // the JSON function battery over the stored props column
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(
+        """SELECT event_id,
+                  JSON_KEYS(props, '$') AS ks,
+                  JSON_PATHS(props) AS ps,
+                  JSON_QUERY(props, '$.k') AS qk,
+                  JSON_OBJECT('a', CAST(event_id AS STRING)) AS obj,
+                  JSON_VALUE(props, '$.k') AS v
+           FROM events WHERE event_id < 100
+           ORDER BY event_id""")
+    }),
+
     "q_sql_pivot" -> ((s, dir) => {
       // reference experimental PIVOT (sql.md:90): rows→columns with an
       // aggregate per pivoted value; one shared standard-syntax text
@@ -4622,6 +4638,16 @@ object SparkEntry {
     "q_inflight_union" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_sql_json_funcs" ->
+      """SELECT event_id,
+                json_keys(props) AS ks,
+                list_transform(json_keys(props), k -> '$.' || k) AS ps,
+                props->>'$.k' AS qk,
+                CAST(json_object('a', CAST(event_id AS VARCHAR)) AS VARCHAR) AS obj,
+                props->>'$.k' AS v
+         FROM events WHERE event_id < 100
+         ORDER BY event_id""",
 
     "q_sql_pivot" ->
       """SELECT * FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
