@@ -276,6 +276,21 @@ class PlanSpec extends AnyFunSuite {
       s"IN filter must reach the customer scan:\n$q22")
   }
 
+  test("SSB star flights broadcast every dimension; fact never shuffles for the join") {
+    Tables.registerAll(spark, dir)
+    val p = spark.sql(SparkEntry.drillSql("ssb_q4"))
+      .queryExecution.executedPlan.toString
+    // 4 dimension joins (orders plays the date role only through the fact
+    // key; customer/supplier/part are true dims) — all broadcast, no
+    // sort-merge anywhere in the star
+    assert(!p.contains("SortMergeJoin"), s"star join must not sort-merge:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension joins must broadcast:\n$p")
+    // the brand IN filter reaches the part scan, not the post-join filter
+    assert(p.contains("PushedFilters") && p.contains("p_brand"),
+      "brand predicate must push into the part scan")
+  }
+
   test("sketch SQL aggregates run two-phase: partial sketches before the shuffle") {
     // At cluster scale a sketch aggregate MUST combine per-partition state
     // map-side and merge small binary sketches through the exchange —
