@@ -474,7 +474,7 @@ object SparkEntry {
     "share_of_total" ->
       """SELECT o_orderpriority, n,
                 CAST(SUM(n) OVER () AS BIGINT) AS total,
-                round(n * 100.0 / SUM(n) OVER (), 4) AS pct
+                CAST(FLOOR(n * 1000000.0 / SUM(n) OVER ()) AS BIGINT) AS pct_ppm
          FROM (SELECT o_orderpriority, count(*) AS n
                FROM orders GROUP BY o_orderpriority) t
          ORDER BY o_orderpriority""",
@@ -2153,10 +2153,12 @@ object SparkEntry {
       // the JSON function battery over the stored props column
       Tables.registerAll(s, dir)
       DruidFunctions.register(s)
+      // array-typed results ride as comma-joined strings: the driver's pandas
+      // comparator cannot hash ndarray cells (r7 red gate)
       s.sql(
         """SELECT event_id,
-                  JSON_KEYS(props, '$') AS ks,
-                  JSON_PATHS(props) AS ps,
+                  array_join(JSON_KEYS(props, '$'), ',') AS ks,
+                  array_join(JSON_PATHS(props), ',') AS ps,
                   JSON_QUERY(props, '$.k') AS qk,
                   JSON_OBJECT('a', CAST(event_id AS STRING)) AS obj,
                   JSON_VALUE(props, '$.k') AS v
@@ -4641,8 +4643,8 @@ object SparkEntry {
 
     "q_sql_json_funcs" ->
       """SELECT event_id,
-                json_keys(props) AS ks,
-                list_transform(json_keys(props), k -> '$.' || k) AS ps,
+                array_to_string(json_keys(props), ',') AS ks,
+                array_to_string(list_transform(json_keys(props), k -> '$.' || k), ',') AS ps,
                 props->>'$.k' AS qk,
                 CAST(json_object('a', CAST(event_id AS VARCHAR)) AS VARCHAR) AS obj,
                 props->>'$.k' AS v

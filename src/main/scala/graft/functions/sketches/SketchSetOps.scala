@@ -105,8 +105,15 @@ case class KmvSetSketch(left: Expression, right: Expression, op: String)
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {
     val a = left.eval(input); val b = right.eval(input)
-    if (a == null) b
-    else if (b == null) a
+    // Null semantics are per-op: a null side means "no sketch", so union
+    // keeps the surviving side, intersect is unknowable (null), and A-NOT-B
+    // is null when A is missing but A unchanged when B is missing.
+    if (a == null || b == null) op match {
+      case "union"     => if (a == null) b else a
+      case "intersect" => null
+      case "not"       => if (a == null) null else a
+      case o => throw new IllegalArgumentException(s"unknown set op: $o")
+    }
     else {
       val ab = a.asInstanceOf[Array[Byte]]; val bb = b.asInstanceOf[Array[Byte]]
       op match {
@@ -149,8 +156,13 @@ case class TupleSetSketch(left: Expression, right: Expression, op: String)
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {
     val a = left.eval(input); val b = right.eval(input)
-    if (a == null) b
-    else if (b == null) a
+    // Same per-op null semantics as KmvSetSketch above.
+    if (a == null || b == null) op match {
+      case "union"     => if (a == null) b else a
+      case "intersect" => null
+      case "not"       => if (a == null) null else a
+      case o => throw new IllegalArgumentException(s"unknown set op: $o")
+    }
     else {
       val ab = a.asInstanceOf[Array[Byte]]; val bb = b.asInstanceOf[Array[Byte]]
       op match {

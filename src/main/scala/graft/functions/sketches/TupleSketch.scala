@@ -161,12 +161,18 @@ object TupleKmv {
         else m.put(h, java.util.Arrays.copyOf(vals, nv))
       }
     }
-    while (m.size > K) m.pollLastEntry()
+    // Trimming to K must also lower theta to the (K+1)-th smallest hash —
+    // otherwise n/theta underestimates whenever theta < 1.0 (mirrors
+    // Kmv.unionSketch).
+    while (m.size > K + 1) m.pollLastEntry()
+    val finalTheta =
+      if (m.size > K) Kmv.toDoubleUnit(m.pollLastEntry().getKey.longValue())
+      else theta
     val out = m.entrySet().iterator()
     val arr = new Array[(Long, Array[Double])](m.size)
     var i = 0
     while (out.hasNext) { val e = out.next(); arr(i) = (e.getKey.longValue(), e.getValue); i += 1 }
-    serializeEntries(arr, nv, theta)
+    serializeEntries(arr, nv, finalTheta)
   }
 
   /** Intersection: common keys below the common theta, summaries summed. */

@@ -182,16 +182,28 @@ object Metadata {
     import spark.implicits._
     graft.functions.DruidFunctions.register(spark)
     graft.GraftExtensions.register(spark)
-    val aggHints = Seq("_agg", "sum", "count", "min", "max", "avg", "first",
-      "last", "collect", "percentile", "earliest", "latest", "ds_hll",
-      "ds_theta", "ds_kll", "ds_tuple_doubles", "approx_", "bloom_filter",
-      "any_value", "bit_", "bool_", "listagg", "mode", "regr_", "stddev",
-      "variance", "var_", "corr", "covar", "kurtosis", "skewness", "hll_")
+    // Aggregate-ness comes from the function registry's ExpressionInfo group
+    // for built-ins, plus an exact-name list for graft-registered aggregates
+    // (their injected ExpressionInfo carries no group). Substring hints
+    // misfire (minute ⊃ "min", last_day ⊃ "last", bit_length ⊃ "bit_").
+    val graftAggs = Set(
+      "hll_estimate_agg", "hll_sketch_agg", "hll_merge_agg", "kmv_sketch_agg",
+      "bloom_build_agg", "tuple_sketch_agg", "kll_sketch_agg", "kll_merge_agg",
+      "earliest", "latest", "earliest_by", "latest_by",
+      "approx_count_distinct_ds_hll", "approx_count_distinct_ds_theta",
+      "ds_hll", "ds_theta", "ds_kll", "ds_quantiles_sketch",
+      "ds_tuple_doubles", "approx_quantile_ds", "bloom_filter",
+      "tdigest_generate_sketch", "tdigest_merge_agg",
+      "approx_count_distinct_builtin", "approx_quantile",
+      "approx_quantile_fixed_buckets", "array_concat_agg", "geometric_mean")
+    def builtinGroup(name: String): Option[String] =
+      try Option(spark.sessionState.catalog.lookupFunctionInfo(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)).getGroup)
+      catch { case _: Exception => None }
     spark.catalog.listFunctions().collect().toSeq.map { f =>
       val name = f.name
-      val isAgg = aggHints.exists(name.toLowerCase.contains) &&
-        !name.toLowerCase.contains("_estimate") &&
-        !name.toLowerCase.contains("window")
+      val isAgg = graftAggs.contains(name.toLowerCase) ||
+        builtinGroup(name).contains("agg_funcs")
       (Catalog, "INFORMATION_SCHEMA", name, "FUNCTION",
         if (isAgg) "YES" else "NO",
         Option(f.description).getOrElse(""))

@@ -691,6 +691,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bounds.length == 3 && bounds(1) <= bounds(0) && bounds(0) <= bounds(2))
   }
 
+  test("sketch set ops: null sides follow per-op semantics") {
+    GraftExtensions.register(spark)
+    spark.range(0, 2000).selectExpr("id AS a", "CAST(id AS DOUBLE) AS m")
+      .createOrReplaceTempView("null_setop_src")
+    val r = spark.sql(
+      """SELECT theta_sketch_estimate(
+                  theta_sketch_union(CAST(NULL AS BINARY), sa)) AS u,
+                theta_sketch_intersect(CAST(NULL AS BINARY), sa) AS i,
+                theta_sketch_not(CAST(NULL AS BINARY), sa) AS d_nulla,
+                theta_sketch_estimate(
+                  theta_sketch_not(sa, CAST(NULL AS BINARY))) AS d_nullb,
+                theta_sketch_estimate(sa) AS ref,
+                tuple_estimate(ds_tuple_doubles_union(CAST(NULL AS BINARY), ta)) AS tu,
+                ds_tuple_doubles_intersect(CAST(NULL AS BINARY), ta) AS ti,
+                ds_tuple_doubles_not(CAST(NULL AS BINARY), ta) AS td_nulla,
+                tuple_estimate(ds_tuple_doubles_not(ta, CAST(NULL AS BINARY))) AS td_nullb,
+                tuple_estimate(ta) AS tref
+         FROM (SELECT ds_theta(a) AS sa, ds_tuple_doubles(a, m) AS ta
+               FROM null_setop_src)""").head()
+    // union: a null side is an empty set — the surviving side's estimate
+    assert(r.getDouble(0) === r.getDouble(4))
+    assert(r.getDouble(5) === r.getDouble(9))
+    // intersect with a missing side is unknowable; A-NOT-B likewise when A
+    // is missing, but B missing leaves A untouched
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) === r.getDouble(4))
+    assert(r.isNullAt(6) && r.isNullAt(7))
+    assert(r.getDouble(8) === r.getDouble(9))
+  }
+
+  test("tuple sketch union lowers theta when trimming to K") {
+    GraftExtensions.register(spark)
+    // two disjoint key ranges, each > K=4096 distinct so both sides carry a
+    // tagged theta < 1; the union must re-tighten theta or it reports ~half
+    spark.range(0, 20000).selectExpr(
+      "id AS a", "id + 20000 AS b", "CAST(1.0 AS DOUBLE) AS m")
+      .createOrReplaceTempView("tuple_trim_src")
+    val est = spark.sql(
+      """SELECT tuple_estimate(ds_tuple_doubles_union(ta, tb)) AS u
+         FROM (SELECT ds_tuple_doubles(a, m) AS ta, ds_tuple_doubles(b, m) AS tb
+               FROM tuple_trim_src)""").head().getDouble(0)
+    assert(math.abs(est - 40000) / 40000.0 < 0.15,
+      s"union estimate $est should approximate 40000, not ~20000")
+  }
+
   test("hll_sketch_union / to_string / estimate_with_error_bounds") {
     GraftExtensions.register(spark)
     spark.range(0, 5000).selectExpr("id AS a", "id + 2500 AS b")

@@ -802,6 +802,10 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     // ordinary builtins flow through from the session registry
     assert(byName.contains("concat") && byName("concat") == "NO")
     assert(byName("sum") == "YES")
+    // scalars whose names merely CONTAIN aggregate-ish substrings stay NO
+    for (scalar <- Seq("minute", "last_day", "bit_length"))
+      if (byName.contains(scalar)) assert(byName(scalar) == "NO",
+        s"$scalar misflagged as aggregate")
   }
 
   test("sys_server_segments maps every segment onto each server") {
