@@ -43,14 +43,26 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
 
+    // min-of-2 timed runs per query: a one-off scheduling hiccup on a shared
+    // box can double a single measurement, and two consecutive rounds of
+    // bench-drift adjudication showed single runs can't tell load from
+    // regression. The min of two back-to-back runs is stable within ~10%.
     val results = bench.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      val best = if (first < 0) first else {
+        val second = once()
+        if (second < 0) first else math.min(first, second)
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -1,0 +1,830 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.DruidFunctions
+
+/** Oracle gates mined from the reference's big quidem QA suites —
+  * `quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest/{qaArray,
+  * qaUnnest, qaAggFuncs}` (185 / 221 / 78 `.iq` files) over the inline
+  * datasets in `sql/src/test/quidem/qatests/{qaArray/ops_funcs,
+  * qaUnnest/array, qaUnnest/mv, qaAggFuncs}/ingest.json`. Each gate
+  * reproduces the suite's test table as an inline VALUES CTE on BOTH engines
+  * (Spark dialect + DuckDB dialect) and ports representative query shapes
+  * near-verbatim, so the driver's DuckDB compare checks the same semantics
+  * the reference's own QA corpus pins.
+  *
+  * Semantics verified against the `.iq` expected outputs (file: TEST_ID):
+  *  - array equality/ordering is structural with null elements equal and
+  *    sorting first (`sql_group_by.01` A1_B1: GROUP BY a_bool → 2 groups,
+  *    HAVING a_bool=ARRAY[1,0,NULL] → 1); Spark's array comparison has the
+  *    same semantics natively, DuckDB's is three-valued so the oracle SQL
+  *    compares null-marked string forms / sentinel-mapped sort keys instead.
+  *  - ARRAY_CONTAINS never yields SQL NULL for present inputs
+  *    (`ops_funcs_array_funcs` A1_B5_C13: contains(a_null, 1) → false);
+  *    second-argument arrays mean contains-all (qaAggFuncs test001 A08).
+  *  - ARRAY_SLICE pads past the end with nulls (A1_B12_C16:
+  *    slice(a_empty, 0, 2) → [null, null]).
+  *  - ARRAY_TO_STRING prints null elements as 'null' (A1_B13_C1: '1|0|null').
+  *  - ARRAY_AGG keeps null inputs as elements (array_agg_long_test001 A04:
+  *    18 elements over 18 rows with 6 nulls) and STRING_AGG skips them
+  *    (string_agg_long_test001 A02: strlen 131).
+  *  - UNNEST of null/empty arrays produces no rows; null elements do
+  *    (array_sql_* SEL + A1_B1); two UNNESTs cross-join (multi_unnests
+  *    A6_B6_D1: 27 rows) — DuckDB zips parallel unnests, so the oracle
+  *    cross-joins two per-row unnest subqueries on the row key instead.
+  *
+  * All array-valued outputs ride as '|'-joined strings with literal 'null'
+  * markers on both engines (the driver's comparator hashes scalars).
+  */
+object QaSuites {
+
+  // ------------------------------------------------------------ preludes ----
+
+  /** a_nested JSON: the 7 leaf arrays plus themselves nested once at $[7]
+    * (gates address $[0..3], $[1][0] and $[7][3] only).
+    */
+  private def nestedJson(b: String, i: String, f: String, s: String,
+      m: String): String = {
+    val seven = s"$b,$i,$f,$s,[null,null,null],[],$m"
+    s"[$seven,[$seven]]"
+  }
+
+  private val nestedA = nestedJson("[true,false,null]", "[1,2,null]",
+    "[0.1,0.2,null]", """["S1","S2",null]""", """[true,1,0.1,"S1",null]""")
+  private val nestedB = nestedJson("[null,false,true]", "[null,2,1]",
+    "[null,0.2,0.1]", """[null,"S2","S1"]""", """[null,"S1",0.1,1,true]""")
+  private val nestedU2 = nestedJson("[null,true,false]", "[null,1,2]",
+    "[null,0.1,0.2]", """[null,"S1","S2"]""", """[null,true,1,0.1,"S1"]""")
+  private val nestedU3 = nestedJson("[false,null,true]", "[2,null,1]",
+    "[0.2,null,0.1]", """["S2",null,"S1"]""", """["S1",null,true,1,0.1]""")
+
+  /** qaArray/ops_funcs `test_array`: 4 rows (2 distinct × 2), boolean arrays
+    * ingested as LONG arrays like the reference's `auto` dimension handling.
+    */
+  private val sparkTestArray: String = {
+    def row(t: String, b: String, i: String, f: String, s: String, m: String,
+        nested: String) =
+      s"""(TIMESTAMP'$t', $b, $i, $f, $s,
+          array(CAST(NULL AS STRING), NULL, NULL),
+          CAST(array() AS ARRAY<STRING>), $m, '$nested')"""
+    val a = row("2022-01-01 00:00:00", "array(1L, 0L, CAST(NULL AS BIGINT))",
+      "array(1L, 2L, CAST(NULL AS BIGINT))", "array(0.1D, 0.2D, CAST(NULL AS DOUBLE))",
+      "array('S1', 'S2', CAST(NULL AS STRING))",
+      "array('true', '1', '0.1', 'S1', CAST(NULL AS STRING))", nestedA)
+    val b = row("2022-02-01 00:00:00", "array(CAST(NULL AS BIGINT), 0L, 1L)",
+      "array(CAST(NULL AS BIGINT), 2L, 1L)", "array(CAST(NULL AS DOUBLE), 0.2D, 0.1D)",
+      "array(CAST(NULL AS STRING), 'S2', 'S1')",
+      "array(CAST(NULL AS STRING), 'S1', '0.1', '1', 'true')", nestedB)
+    s"""test_array AS (SELECT * FROM VALUES $a, $a, $b, $b
+        AS t(__time, a_bool, a_int, a_float, a_str, a_null, a_empty, a_mixed,
+             a_nested))"""
+  }
+
+  private val duckTestArray: String = {
+    def row(t: String, b: String, i: String, f: String, s: String, m: String,
+        nested: String) =
+      s"""(TIMESTAMP '$t', $b::BIGINT[], $i::BIGINT[], $f::DOUBLE[],
+          $s::VARCHAR[], [NULL, NULL, NULL]::VARCHAR[], []::VARCHAR[],
+          $m::VARCHAR[], '$nested')"""
+    val a = row("2022-01-01 00:00:00", "[1, 0, NULL]", "[1, 2, NULL]",
+      "[0.1, 0.2, NULL]", "['S1', 'S2', NULL]", "['true', '1', '0.1', 'S1', NULL]",
+      nestedA)
+    val b = row("2022-02-01 00:00:00", "[NULL, 0, 1]", "[NULL, 2, 1]",
+      "[NULL, 0.2, 0.1]", "[NULL, 'S2', 'S1']", "[NULL, 'S1', '0.1', '1', 'true']",
+      nestedB)
+    s"""test_array AS (SELECT * FROM (VALUES $a, $a, $b, $b)
+        t(__time, a_bool, a_int, a_float, a_str, a_null, a_empty, a_mixed,
+          a_nested))"""
+  }
+
+  /** qaUnnest/array `test_unnest`: 3 rows, s_int = 1, 2, NULL. */
+  private val sparkTestUnnest: String = {
+    def row(t: String, si: String, b: String, i: String, f: String, s: String,
+        m: String, nested: String) =
+      s"""(TIMESTAMP'$t', $si, $b, $i, $f, $s,
+          array(CAST(NULL AS STRING), NULL, NULL),
+          CAST(array() AS ARRAY<STRING>), $m, '$nested')"""
+    val r1 = row("2022-01-01 00:00:00", "1", "array(1L, 0L, CAST(NULL AS BIGINT))",
+      "array(1L, 2L, CAST(NULL AS BIGINT))", "array(0.1D, 0.2D, CAST(NULL AS DOUBLE))",
+      "array('S1', 'S2', CAST(NULL AS STRING))",
+      "array('true', '1', '0.1', 'S1', CAST(NULL AS STRING))", nestedA)
+    val r2 = row("2022-02-01 00:00:00", "2", "array(CAST(NULL AS BIGINT), 1L, 0L)",
+      "array(CAST(NULL AS BIGINT), 1L, 2L)", "array(CAST(NULL AS DOUBLE), 0.1D, 0.2D)",
+      "array(CAST(NULL AS STRING), 'S1', 'S2')",
+      "array(CAST(NULL AS STRING), 'true', '1', '0.1', 'S1')", nestedU2)
+    val r3 = row("2022-03-01 00:00:00", "CAST(NULL AS INT)",
+      "array(0L, CAST(NULL AS BIGINT), 1L)", "array(2L, CAST(NULL AS BIGINT), 1L)",
+      "array(0.2D, CAST(NULL AS DOUBLE), 0.1D)",
+      "array('S2', CAST(NULL AS STRING), 'S1')",
+      "array('S1', CAST(NULL AS STRING), 'true', '1', '0.1')", nestedU3)
+    s"""test_unnest AS (SELECT * FROM VALUES $r1, $r2, $r3
+        AS t(__time, s_int, a_bool, a_int, a_float, a_str, a_null, a_empty,
+             a_mixed, a_nested))"""
+  }
+
+  private val duckTestUnnest: String = {
+    def row(t: String, si: String, b: String, i: String, f: String, s: String,
+        m: String, nested: String) =
+      s"""(TIMESTAMP '$t', $si, $b::BIGINT[], $i::BIGINT[], $f::DOUBLE[],
+          $s::VARCHAR[], [NULL, NULL, NULL]::VARCHAR[], []::VARCHAR[],
+          $m::VARCHAR[], '$nested')"""
+    val r1 = row("2022-01-01 00:00:00", "1", "[1, 0, NULL]", "[1, 2, NULL]",
+      "[0.1, 0.2, NULL]", "['S1', 'S2', NULL]",
+      "['true', '1', '0.1', 'S1', NULL]", nestedA)
+    val r2 = row("2022-02-01 00:00:00", "2", "[NULL, 1, 0]", "[NULL, 1, 2]",
+      "[NULL, 0.1, 0.2]", "[NULL, 'S1', 'S2']",
+      "[NULL, 'true', '1', '0.1', 'S1']", nestedU2)
+    val r3 = row("2022-03-01 00:00:00", "NULL::INTEGER", "[0, NULL, 1]",
+      "[2, NULL, 1]", "[0.2, NULL, 0.1]", "['S2', NULL, 'S1']",
+      "['S1', NULL, 'true', '1', '0.1']", nestedU3)
+    s"""test_unnest AS (SELECT * FROM (VALUES $r1, $r2, $r3)
+        t(__time, s_int, a_bool, a_int, a_float, a_str, a_null, a_empty,
+          a_mixed, a_nested))"""
+  }
+
+  /** qaUnnest/mv `test_unnest`: 5 rows of multi-value string dims (nested
+    * source arrays stringify to '[2]' / '[3, [4, 5]]' like the reference's
+    * MV ingestion); the *_row variants are NULL for c_long=0, [] for 1.
+    */
+  private val mvComplex = "'my_null', 'my_empty', '1', '[2]', '[3, [4, 5]]'"
+  private val mvComplexNullEmpty = "NULL, '', '1', '[2]', '[3, [4, 5]]'"
+  private val mvNum = "'-1', '0', '1', '2', '3'"
+  private val mvNumNullEmpty = "NULL, '', '1', '2', '3'"
+  private val mvAllNullEmpty = "NULL, '', NULL, '', NULL"
+
+  private def mvRows(arr: String => String, nullArr: String): Seq[String] = {
+    // (c_str, c_long, c_double, complex_row, num_row)
+    val specs = Seq(
+      ("NULL", 0, 0.0, nullArr, nullArr),
+      ("''", 1, 0.1, arr(""), arr("")),
+      ("'str2'", 2, 0.2, arr(mvComplexNullEmpty), arr(mvNumNullEmpty)),
+      ("'str3'", 3, 0.3, arr(mvComplexNullEmpty), arr(mvNumNullEmpty)),
+      ("'str4'", 4, 0.4, arr(mvComplexNullEmpty), arr(mvNumNullEmpty)))
+    specs.map { case (cs, cl, cd, cr, nr) =>
+      s"""(TIMESTAMP '2022-01-01 00:00:00', $cs, $cl, CAST($cd AS DOUBLE),
+          ${arr(mvComplex)}, ${arr(mvNum)}, ${arr(mvComplexNullEmpty)},
+          ${arr(mvNumNullEmpty)}, $cr, $nr, ${arr(mvAllNullEmpty)})"""
+    }
+  }
+
+  private val mvCols = """(__time, c_str, c_long, c_double, c_mv_complex,
+      c_mv_num, c_mv_complex_with_null_and_empty_val,
+      c_mv_num_with_null_and_empty_val, c_mv_complex_with_null_and_empty_row,
+      c_mv_num_with_null_and_empty_row, c_mv_all_null_and_empty_val)"""
+      .replaceAll("\\s+", " ")
+
+  private val sparkTestMv: String = {
+    def arr(elems: String) =
+      if (elems.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+      else s"array(${elems.replace("NULL", "CAST(NULL AS STRING)")})"
+    val rows = mvRows(arr, "CAST(NULL AS ARRAY<STRING>)").mkString(", ")
+    val cols = mvCols.stripPrefix("(").stripSuffix(")")
+    s"test_unnest AS (SELECT * FROM VALUES $rows AS t($cols))"
+  }
+
+  private val duckTestMv: String = {
+    def arr(elems: String) = s"[$elems]::VARCHAR[]"
+    val rows = mvRows(arr, "NULL::VARCHAR[]").mkString(", ")
+    val cols = mvCols.stripPrefix("(").stripSuffix(")")
+    s"test_unnest AS (SELECT * FROM (VALUES $rows) t($cols))"
+  }
+
+  /** qaAggFuncs `test_agg_funcs`: 18 rows = 2 timestamps × {1111111111,
+    * 2222222222, NULL} × {'AAAAAAAAAA', 'BBBBBBBBBB', NULL}; numeric columns
+    * are NULL exactly when tab0l0 is.
+    */
+  private def aggRows(tsLit: String => String, nullLong: String,
+      nullStr: String, nullDbl: String): String = {
+    val ls = Seq("1111111111" -> ("11.11111111", "111.1111111"),
+      "2222222222" -> ("22.22222222", "222.2222222"),
+      nullLong -> (nullDbl, nullDbl))
+    val ss = Seq("'AAAAAAAAAA'", "'BBBBBBBBBB'", nullStr)
+    (for {
+      ts <- Seq("2020-01-01 01:01:01", "2020-02-01 01:01:01")
+      (l, (f, d)) <- ls
+      s <- ss
+    } yield s"(${tsLit(ts)}, $l, $s, $f, $d)").mkString(", ")
+  }
+
+  private val sparkTestAggFuncs: String =
+    s"""test_agg_funcs AS (SELECT * FROM VALUES
+        ${aggRows(t => s"TIMESTAMP'$t'", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)")}
+        AS t(__time, tab0l0, tab0s0, tab0f0, tab0d0))"""
+
+  private val duckTestAggFuncs: String =
+    s"""test_agg_funcs AS (SELECT * FROM (VALUES
+        ${aggRows(t => s"TIMESTAMP '$t'", "NULL::BIGINT", "NULL::VARCHAR",
+          "NULL::DOUBLE")})
+        t(__time, tab0l0, tab0s0, tab0f0, tab0d0))"""
+
+  // ------------------------------------------------------- dialect helpers --
+
+  /** DuckDB analog of the engine's ARRAY_TO_STRING: 'null' markers, '' for
+    * empty, NULL for a NULL array (duck's own array_to_string skips nulls
+    * and returns NULL on empty lists).
+    */
+  private def dStr(c: String, sep: String = "|") =
+    s"""(CASE WHEN $c IS NULL THEN NULL
+         ELSE coalesce(array_to_string(list_transform($c,
+           gx -> coalesce(CAST(gx AS VARCHAR), 'null')), '$sep'), '') END)"""
+
+  /** DuckDB analog of the engine's null-padding ARRAY_SLICE. */
+  private def dSlice(c: String, s: Int, e: Int) =
+    s"(CASE WHEN $c IS NULL THEN NULL ELSE list_transform(range($s, $e), gi -> $c[gi + 1]) END)"
+
+  // ----------------------------------------------------------------- gates --
+
+  /** name -> (spark prelude, spark body, duck prelude, duck body) flattened
+    * as (name, sparkSql, duckSql).
+    */
+  private def g(name: String, sparkPrelude: String, duckPrelude: String,
+      sparkBody: String, duckBody: String): (String, String, String) =
+    (name, s"WITH $sparkPrelude $sparkBody", s"WITH $duckPrelude $duckBody")
+
+  private def ga(name: String, sparkBody: String, duckBody: String) =
+    g(name, sparkTestArray, duckTestArray, sparkBody, duckBody)
+  private def gu(name: String, sparkBody: String, duckBody: String) =
+    g(name, sparkTestUnnest, duckTestUnnest, sparkBody, duckBody)
+  private def gm(name: String, sparkBody: String, duckBody: String) =
+    g(name, sparkTestMv, duckTestMv, sparkBody, duckBody)
+  private def gf(name: String, sparkBody: String, duckBody: String) =
+    g(name, sparkTestAggFuncs, duckTestAggFuncs, sparkBody, duckBody)
+
+  private[graft] lazy val gates: Seq[(String, String, String)] = Seq(
+    // ---------------------------------------------------------- qaArray ----
+    // ops_funcs_array_funcs.01 A1_B1_C2/C3/C4/C9: typed ARRAY construction
+    // with null elements
+    ga("q_qa_array_construct",
+      """SELECT array_to_string(array(1, 2, NULL), '|') AS c_int,
+                array_to_string(array(0.1D, 0.2D, NULL), '|') AS c_dbl,
+                array_to_string(array('S1', 'S2', NULL), '|') AS c_str,
+                array_to_string(array('true', '1', '0.1', 'S1', 'null'), '|') AS c_strlit
+         FROM test_array""",
+      s"""SELECT ${dStr("[1, 2, NULL]")} AS c_int,
+                 ${dStr("[0.1, 0.2, NULL]::DOUBLE[]")} AS c_dbl,
+                 ${dStr("['S1', 'S2', NULL]")} AS c_str,
+                 ${dStr("['true', '1', '0.1', 'S1', 'null']")} AS c_strlit
+          FROM test_array"""),
+
+    // ops_funcs_agg_funcs.01 A1_B1_C1..C7 + sql_subquery_with_where.01:
+    // structural array equality (null elements compare equal)
+    ga("q_qa_array_eq_filters",
+      """SELECT CAST(count(*) FILTER (WHERE a_bool <> array(1L, 0L, NULL)) AS BIGINT) AS ne_bool,
+                CAST(count(*) FILTER (WHERE a_int = array(1L, 2L, NULL)) AS BIGINT) AS eq_int,
+                CAST(count(*) FILTER (WHERE a_float <> array(0.1D, 0.2D, NULL)) AS BIGINT) AS ne_float,
+                CAST(count(*) FILTER (WHERE a_str = array('S1', 'S2', NULL)) AS BIGINT) AS eq_str,
+                CAST(count(*) FILTER (WHERE a_null = array(CAST(NULL AS STRING), NULL, NULL)) AS BIGINT) AS eq_null,
+                CAST(count(*) FILTER (WHERE a_bool = a_int) AS BIGINT) AS cross_eq
+         FROM test_array""",
+      s"""SELECT count(*) FILTER (WHERE ${dStr("a_bool")} <> ${dStr("[1, 0, NULL]::BIGINT[]")}) AS ne_bool,
+                 count(*) FILTER (WHERE ${dStr("a_int")} = ${dStr("[1, 2, NULL]::BIGINT[]")}) AS eq_int,
+                 count(*) FILTER (WHERE ${dStr("a_float")} <> ${dStr("[0.1, 0.2, NULL]::DOUBLE[]")}) AS ne_float,
+                 count(*) FILTER (WHERE ${dStr("a_str")} = ${dStr("['S1', 'S2', NULL]")}) AS eq_str,
+                 count(*) FILTER (WHERE ${dStr("a_null")} = ${dStr("[NULL, NULL, NULL]::VARCHAR[]")}) AS eq_null,
+                 count(*) FILTER (WHERE ${dStr("a_bool")} = ${dStr("a_int")}) AS cross_eq
+          FROM test_array"""),
+
+    // sql_group_by.01 A1_B*: arrays as GROUP BY keys
+    ga("q_qa_array_group_by",
+      """SELECT array_to_string(a_int, '|') AS k, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_array GROUP BY a_int ORDER BY k""",
+      s"""SELECT ${dStr("a_int")} AS k, count(*) AS cnt
+          FROM test_array GROUP BY a_int ORDER BY k"""),
+
+    // sql_group_by.01: HAVING pinned to one array group
+    ga("q_qa_array_group_having",
+      """SELECT array_to_string(a_bool, '|') AS k, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_array GROUP BY a_bool HAVING a_bool = array(1L, 0L, NULL)""",
+      s"""SELECT ${dStr("a_bool")} AS k, count(*) AS cnt
+          FROM test_array GROUP BY a_bool HAVING ${dStr("a_bool")} = '1|0|null'"""),
+
+    // ops_funcs_array_funcs A1_B2: ARRAY_LENGTH across column shapes
+    ga("q_qa_array_length_cases",
+      """SELECT array_length(a_bool) AS l_bool, array_length(a_int) AS l_int,
+                array_length(a_float) AS l_float, array_length(a_str) AS l_str,
+                array_length(a_null) AS l_null, array_length(a_empty) AS l_empty,
+                array_length(a_mixed) AS l_mixed
+         FROM test_array""",
+      """SELECT CAST(len(a_bool) AS INTEGER) AS l_bool, CAST(len(a_int) AS INTEGER) AS l_int,
+                CAST(len(a_float) AS INTEGER) AS l_float, CAST(len(a_str) AS INTEGER) AS l_str,
+                CAST(len(a_null) AS INTEGER) AS l_null, CAST(len(a_empty) AS INTEGER) AS l_empty,
+                CAST(len(a_mixed) AS INTEGER) AS l_mixed
+         FROM test_array"""),
+
+    // A1_B3/A1_B4: 0-based OFFSET vs 1-based ORDINAL, NULL out of bounds
+    ga("q_qa_array_offset_ordinal",
+      """SELECT array_offset(a_int, 0) AS off0, array_offset(a_int, 2) AS off2,
+                array_offset(a_int, 100) AS off_oob,
+                array_ordinal(a_int, 1) AS ord1, array_ordinal(a_int, 3) AS ord3,
+                array_ordinal(a_str, 2) AS ord_str,
+                array_offset(a_empty, 0) AS off_empty
+         FROM test_array ORDER BY off0 NULLS FIRST""",
+      """SELECT a_int[1] AS off0, a_int[3] AS off2, a_int[101] AS off_oob,
+                a_int[1] AS ord1, a_int[3] AS ord3, a_str[2] AS ord_str,
+                a_empty[1] AS off_empty
+         FROM test_array ORDER BY off0 NULLS FIRST"""),
+
+    // A1_B7/A1_B8: OFFSET_OF/ORDINAL_OF, NULL when absent (typed probe
+    // against a double array misses: .iq A1_B7_C7)
+    ga("q_qa_array_offset_of",
+      """SELECT array_offset_of(a_bool, 1) AS f_bool, array_offset_of(a_int, 1) AS f_int,
+                array_offset_of(a_float, 1) AS f_float,
+                array_ordinal_of(a_bool, 1) AS o_bool,
+                array_ordinal_of(a_str, 'S2') AS o_s2,
+                array_offset_of(a_null, 'x') AS f_null,
+                array_offset_of(a_empty, 'x') AS f_empty,
+                array_offset_of(a_int, 99) AS f_miss
+         FROM test_array ORDER BY f_bool""",
+      """SELECT CAST(nullif(list_position(a_bool, 1), 0) - 1 AS INTEGER) AS f_bool,
+                CAST(nullif(list_position(a_int, 1), 0) - 1 AS INTEGER) AS f_int,
+                CAST(nullif(list_position(a_float, 1), 0) - 1 AS INTEGER) AS f_float,
+                CAST(nullif(list_position(a_bool, 1), 0) AS INTEGER) AS o_bool,
+                CAST(nullif(list_position(a_str, 'S2'), 0) AS INTEGER) AS o_s2,
+                CAST(nullif(list_position(a_null, 'x'), 0) - 1 AS INTEGER) AS f_null,
+                CAST(nullif(list_position(a_empty, 'x'), 0) - 1 AS INTEGER) AS f_empty,
+                CAST(nullif(list_position(a_int, 99), 0) - 1 AS INTEGER) AS f_miss
+         FROM test_array ORDER BY f_bool"""),
+
+    // A1_B9/A1_B10: APPEND/PREPEND with element-type coercion
+    // (array_append(a_str, 9) → [..., '9'])
+    ga("q_qa_array_append_prepend",
+      """SELECT array_to_string(array_append(a_int, 9), '|') AS app_int,
+                array_to_string(array_append(a_str, 9), '|') AS app_str,
+                array_to_string(array_append(a_empty, 9), '|') AS app_empty,
+                array_to_string(array_prepend(9, a_bool), '|') AS pre_bool,
+                array_to_string(array_prepend(9, a_mixed), '|') AS pre_mixed
+         FROM test_array ORDER BY app_int""",
+      s"""SELECT ${dStr("list_append(a_int, 9)")} AS app_int,
+                 ${dStr("list_append(a_str, '9')")} AS app_str,
+                 ${dStr("list_append(a_empty, '9')")} AS app_empty,
+                 ${dStr("list_prepend(9, a_bool)")} AS pre_bool,
+                 ${dStr("list_prepend('9', a_mixed)")} AS pre_mixed
+          FROM test_array ORDER BY app_int"""),
+
+    // A1_B11: ARRAY_CONCAT incl. all-null-element and empty operands
+    ga("q_qa_array_concat",
+      """SELECT array_to_string(array_concat(a_int, a_int), '|') AS int_int,
+                array_to_string(array_concat(a_empty, a_str), '|') AS empty_str,
+                array_to_string(array_concat(a_null, a_str), '|') AS null_str,
+                array_to_string(array_concat(a_int, array(9L)), '|') AS int_lit
+         FROM test_array ORDER BY int_int""",
+      s"""SELECT ${dStr("(a_int || a_int)")} AS int_int,
+                 ${dStr("(a_empty || a_str)")} AS empty_str,
+                 ${dStr("(a_null || a_str)")} AS null_str,
+                 ${dStr("(a_int || [9]::BIGINT[])")} AS int_lit
+          FROM test_array ORDER BY int_int"""),
+
+    // A1_B12: SLICE pads past the end with nulls (C16: a_empty → [null,null])
+    ga("q_qa_array_slice_pad",
+      """SELECT array_to_string(array_slice(a_int, 0, 2), '|') AS s_int,
+                array_to_string(array_slice(a_empty, 0, 2), '|') AS s_empty,
+                array_to_string(array_slice(a_null, 0, 2), '|') AS s_null,
+                array_to_string(array_slice(a_mixed, 1, 3), '|') AS s_mixed
+         FROM test_array ORDER BY s_int""",
+      s"""SELECT ${dStr(dSlice("a_int", 0, 2))} AS s_int,
+                 ${dStr(dSlice("a_empty", 0, 2))} AS s_empty,
+                 ${dStr(dSlice("a_null", 0, 2))} AS s_null,
+                 ${dStr(dSlice("a_mixed", 1, 3))} AS s_mixed
+          FROM test_array ORDER BY s_int"""),
+
+    // A1_B13: TO_STRING prints nulls, empty array → ''
+    ga("q_qa_array_to_string_nulls",
+      """SELECT array_to_string(a_bool, '|') AS s_bool,
+                array_to_string(a_int, ',') AS s_int,
+                array_to_string(a_float, '|') AS s_float,
+                array_to_string(a_str, '|') AS s_str,
+                array_to_string(a_null, '|') AS s_null,
+                array_to_string(a_empty, '|') AS s_empty,
+                array_to_string(a_mixed, '|') AS s_mixed
+         FROM test_array ORDER BY s_bool""",
+      s"""SELECT ${dStr("a_bool")} AS s_bool, ${dStr("a_int", ",")} AS s_int,
+                 ${dStr("a_float")} AS s_float, ${dStr("a_str")} AS s_str,
+                 ${dStr("a_null")} AS s_null, ${dStr("a_empty")} AS s_empty,
+                 ${dStr("a_mixed")} AS s_mixed
+          FROM test_array ORDER BY s_bool"""),
+
+    // A1_B5 + qaAggFuncs A08/A11: CONTAINS (scalar, contains-all) and
+    // OVERLAP never three-valued on present inputs
+    ga("q_qa_array_contains_overlap",
+      """SELECT array_contains(a_bool, 1) AS c_bool,
+                array_contains(a_null, 1) AS c_null,
+                array_contains(a_empty, 1) AS c_empty,
+                array_contains(a_mixed, 1) AS c_mixed,
+                array_contains(a_int, array(1L, 2L)) AS c_all12,
+                array_contains(a_int, array(1L, 9L)) AS c_all19,
+                array_overlap(a_int, array(1L, 99L)) AS o_19,
+                array_overlap(a_int, array(98L, 99L)) AS o_none,
+                scalar_in_array(2, a_int) AS sin_2,
+                scalar_in_array('S9', a_str) AS sin_s9
+         FROM test_array""",
+      """SELECT list_has_all(a_bool, [1]) AS c_bool,
+                list_has_all(a_null, ['1']) AS c_null,
+                list_has_all(a_empty, ['1']) AS c_empty,
+                list_has_all(a_mixed, ['1']) AS c_mixed,
+                list_has_all(a_int, [1, 2]) AS c_all12,
+                list_has_all(a_int, [1, 9]) AS c_all19,
+                len(list_intersect(a_int, [1, 99])) > 0 AS o_19,
+                len(list_intersect(a_int, [98, 99])) > 0 AS o_none,
+                list_has_all(a_int, [2]) AS sin_2,
+                list_has_all(a_str, ['S9']) AS sin_s9
+         FROM test_array"""),
+
+    // ops_funcs json paths: JSON_VALUE ... RETURNING <type> ARRAY feeding
+    // array functions (oracle uses the equivalent direct columns)
+    ga("q_qa_array_json_typed",
+      """SELECT array_to_string(json_value(a_nested, '$[1]' RETURNING bigint array), '|') AS jp_int,
+                array_to_string(json_value(a_nested, '$[3]' RETURNING varchar array), '|') AS jp_str,
+                array_length(json_value(a_nested, '$[7][3]' RETURNING varchar array)) AS jp_n3,
+                array_offset(json_value(a_nested, '$[2]' RETURNING double array), 1) AS jp_d1,
+                json_value(a_nested, '$[1][0]' RETURNING bigint) AS jp_scalar
+         FROM test_array ORDER BY jp_int""",
+      s"""SELECT ${dStr("a_int")} AS jp_int, ${dStr("a_str")} AS jp_str,
+                 CAST(len(a_str) AS INTEGER) AS jp_n3, a_float[2] AS jp_d1,
+                 a_int[1] AS jp_scalar
+          FROM test_array ORDER BY jp_int"""),
+
+    // sql_select_distinct: DISTINCT over array values
+    ga("q_qa_array_distinct",
+      """SELECT array_to_string(a_int, '|') AS k
+         FROM (SELECT DISTINCT a_int FROM test_array) ORDER BY k""",
+      s"""SELECT ${dStr("a_int")} AS k
+          FROM (SELECT DISTINCT a_int FROM test_array) ORDER BY k"""),
+
+    // sql_order_by + sql_limit_offset: lexicographic array ordering with
+    // null elements first (duck sorts null elements last → sentinel key)
+    ga("q_qa_array_order_limit",
+      """SELECT array_to_string(a_int, '|') AS k, array_to_string(a_str, '|') AS s
+         FROM test_array ORDER BY a_int, __time LIMIT 3 OFFSET 1""",
+      s"""SELECT ${dStr("a_int")} AS k, ${dStr("a_str")} AS s
+          FROM test_array
+          ORDER BY list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)),
+                   __time
+          LIMIT 3 OFFSET 1"""),
+
+    // sql_subquery_with_where: arrays through IN (subquery)
+    ga("q_qa_array_in_subquery",
+      """SELECT CAST(count(*) AS BIGINT) AS n
+         FROM test_array WHERE a_int IN
+           (SELECT a_int FROM test_array WHERE a_bool = array(1L, 0L, NULL))""",
+      s"""SELECT count(*) AS n
+          FROM test_array WHERE ${dStr("a_int")} IN
+            (SELECT ${dStr("a_int")} FROM test_array
+             WHERE ${dStr("a_bool")} = '1|0|null')"""),
+
+    // sql_union_all: array-derived columns across UNION ALL
+    ga("q_qa_array_union",
+      """SELECT array_to_string(a_int, '|') AS k FROM test_array
+         UNION ALL SELECT array_to_string(a_str, '|') FROM test_array
+         ORDER BY k""",
+      s"""SELECT ${dStr("a_int")} AS k FROM test_array
+          UNION ALL SELECT ${dStr("a_str")} FROM test_array
+          ORDER BY k"""),
+
+    // --------------------------------------------------------- qaUnnest ----
+    // array_sql_group_by: null elements unnest into rows and group
+    gu("q_qa_unnest_basic",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         GROUP BY c ORDER BY c NULLS FIRST""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(a_int) AS c FROM test_unnest)
+         GROUP BY c ORDER BY c NULLS FIRST"""),
+
+    // SEL_DATASOURCE shapes: empty arrays yield no rows, null elements do
+    gu("q_qa_unnest_empty_null",
+      """SELECT 'empty' AS src, CAST(count(*) AS BIGINT) AS n
+         FROM test_unnest, UNNEST(a_empty) AS u(c)
+         UNION ALL
+         SELECT 'null_elems' AS src, CAST(count(*) AS BIGINT) AS n
+         FROM test_unnest, UNNEST(a_null) AS u(c)
+         ORDER BY src""",
+      """SELECT 'empty' AS src, count(*) AS n
+         FROM (SELECT unnest(a_empty) AS c FROM test_unnest)
+         UNION ALL
+         SELECT 'null_elems' AS src, count(*) AS n
+         FROM (SELECT unnest(a_null) AS c FROM test_unnest)
+         ORDER BY src"""),
+
+    // array_sql_array_funcs WHERE idiom: scalar + unnested column filters
+    gu("q_qa_unnest_filter",
+      """SELECT s_int, c
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         WHERE (s_int IN (0, 1, 2) OR s_int IS NULL) AND c IS NOT NULL
+         ORDER BY s_int NULLS FIRST, c""",
+      """SELECT s_int, c
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         WHERE (s_int IN (0, 1, 2) OR s_int IS NULL) AND c IS NOT NULL
+         ORDER BY s_int NULLS FIRST, c"""),
+
+    // A1_B1_D2 idiom: UNNEST over JSON_VALUE ... RETURNING bigint array
+    gu("q_qa_unnest_json_typed",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest,
+              UNNEST(json_value(a_nested, '$[1]' RETURNING bigint array)) AS u(c)
+         GROUP BY c ORDER BY c NULLS FIRST""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(a_int) AS c FROM test_unnest)
+         GROUP BY c ORDER BY c NULLS FIRST"""),
+
+    // multi_unnests A6_B7_D1: two UNNESTs cross-join (27 rows; duck zips
+    // parallel unnests so the oracle cross-joins on the row key)
+    gu("q_qa_unnest_multi_cross",
+      """SELECT c1, c2, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_bool) AS u1(c1), UNNEST(a_int) AS u2(c2)
+         GROUP BY c1, c2 ORDER BY c1 NULLS FIRST, c2 NULLS FIRST""",
+      """SELECT c1, c2, count(*) AS cnt
+         FROM (SELECT __time, unnest(a_bool) AS c1 FROM test_unnest) t1
+         JOIN (SELECT __time, unnest(a_int) AS c2 FROM test_unnest) t2
+           USING (__time)
+         GROUP BY c1, c2 ORDER BY c1 NULLS FIRST, c2 NULLS FIRST"""),
+
+    // array_sql_agg_funcs: aggregates over the scalar alongside the
+    // unnested column (s_int NULL row contributes count but not sum)
+    gu("q_qa_unnest_group_agg",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(s_int) AS BIGINT) AS sum_s,
+                CAST(count(s_int) AS BIGINT) AS n_s
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         GROUP BY c ORDER BY c NULLS FIRST""",
+      """SELECT c, count(*) AS cnt, sum(s_int) AS sum_s, count(s_int) AS n_s
+         FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
+         GROUP BY c ORDER BY c NULLS FIRST"""),
+
+    // filtered aggregates over the unnested column
+    gu("q_qa_unnest_filter_c",
+      """SELECT CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS gt1,
+                CAST(count(*) FILTER (WHERE c IS NULL) AS BIGINT) AS n_null,
+                CAST(sum(c) AS BIGINT) AS total
+         FROM test_unnest, UNNEST(a_int) AS u(c)""",
+      """SELECT count(*) FILTER (WHERE c > 1) AS gt1,
+                count(*) FILTER (WHERE c IS NULL) AS n_null,
+                sum(c) AS total
+         FROM (SELECT unnest(a_int) AS c FROM test_unnest)"""),
+
+    // array_sql_order_by + limit_offset: ASC puts unnested nulls first
+    // (duck default is NULLS LAST → explicit)
+    gu("q_qa_unnest_order_limit",
+      """SELECT c
+         FROM test_unnest, UNNEST(a_float) AS u(c)
+         ORDER BY c LIMIT 5 OFFSET 2""",
+      """SELECT c
+         FROM (SELECT unnest(a_float) AS c FROM test_unnest)
+         ORDER BY c NULLS FIRST LIMIT 5 OFFSET 2"""),
+
+    // array_sql_select_distinct over a mixed-typed (string) array
+    gu("q_qa_unnest_distinct",
+      """SELECT c
+         FROM (SELECT DISTINCT c FROM test_unnest, UNNEST(a_mixed) AS u(c))
+         ORDER BY c NULLS FIRST""",
+      """SELECT c
+         FROM (SELECT DISTINCT unnest(a_mixed) AS c FROM test_unnest)
+         ORDER BY c NULLS FIRST"""),
+
+    // array_sql_join: unnest feeding both join sides (null keys drop)
+    gu("q_qa_unnest_join",
+      """SELECT t1.c AS c, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT c FROM test_unnest, UNNEST(a_str) AS u(c)) t1
+         JOIN (SELECT c FROM test_unnest, UNNEST(a_str) AS u(c)) t2
+           ON t1.c = t2.c
+         GROUP BY t1.c ORDER BY c""",
+      """SELECT t1.c AS c, count(*) AS cnt
+         FROM (SELECT unnest(a_str) AS c FROM test_unnest) t1
+         JOIN (SELECT unnest(a_str) AS c FROM test_unnest) t2 ON t1.c = t2.c
+         GROUP BY t1.c ORDER BY c"""),
+
+    // array functions re-applied to the source array per unnested element
+    gu("q_qa_unnest_array_funcs",
+      """SELECT s_int, c, array_offset_of(a_int, c) AS pos,
+                array_contains(a_int, c) AS has
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         WHERE c IS NOT NULL
+         ORDER BY s_int NULLS FIRST, c""",
+      """SELECT s_int, c,
+                CAST(nullif(list_position(a_int, c), 0) - 1 AS INTEGER) AS pos,
+                list_has_all(a_int, [c]) AS has
+         FROM (SELECT s_int, a_int, unnest(a_int) AS c FROM test_unnest)
+         WHERE c IS NOT NULL
+         ORDER BY s_int NULLS FIRST, c"""),
+
+    // array_sql_scalar_*: scalar functions over the unnested column with
+    // null propagation
+    gu("q_qa_unnest_scalar_funcs",
+      """SELECT c, c + 1 AS plus1, abs(c - 2) AS absdiff,
+                concat('v_', CAST(c AS STRING)) AS tagged,
+                coalesce(c, -1) AS filled
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         ORDER BY c NULLS FIRST""",
+      """SELECT c, c + 1 AS plus1, abs(c - 2) AS absdiff,
+                'v_' || CAST(c AS VARCHAR) AS tagged, coalesce(c, -1) AS filled
+         FROM (SELECT unnest(a_int) AS c FROM test_unnest)
+         ORDER BY c NULLS FIRST"""),
+
+    // ------------------------------------------------------ qaUnnest/mv ----
+    // mv_sql_group_by A1_B2: nested source values stringified at ingest
+    gm("q_qa_mv_unnest_group",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(MV_TO_ARRAY(c_mv_complex)) AS u(c)
+         GROUP BY c ORDER BY c""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(c_mv_complex) AS c FROM test_unnest)
+         GROUP BY c ORDER BY c"""),
+
+    // null vs '' MV cells survive unnest as distinct groups
+    gm("q_qa_mv_null_empty_vals",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest,
+              UNNEST(MV_TO_ARRAY(c_mv_num_with_null_and_empty_val)) AS u(c)
+         GROUP BY c ORDER BY c NULLS FIRST""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(c_mv_num_with_null_and_empty_val) AS c
+               FROM test_unnest)
+         GROUP BY c ORDER BY c NULLS FIRST"""),
+
+    // NULL-row and []-row MV cells contribute no rows
+    gm("q_qa_mv_empty_null_rows",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(c) AS BIGINT) AS n_vals
+         FROM test_unnest,
+              UNNEST(MV_TO_ARRAY(c_mv_num_with_null_and_empty_row)) AS u(c)""",
+      """SELECT count(*) AS n_rows, count(c) AS n_vals
+         FROM (SELECT unnest(c_mv_num_with_null_and_empty_row) AS c
+               FROM test_unnest)"""),
+
+    // mv_sql_mv_funcs: the MV_* surface over MV cells
+    gm("q_qa_mv_funcs",
+      """SELECT c_long, MV_LENGTH(c_mv_complex) AS mv_len,
+                MV_OFFSET(c_mv_complex, 3) AS mv_off3,
+                MV_TO_STRING(c_mv_complex, ',') AS mv_str,
+                MV_TO_STRING(MV_FILTER_ONLY(c_mv_num, array('1', '2', '9')), ',') AS mv_only,
+                MV_TO_STRING(MV_FILTER_NONE(c_mv_num, array('-1', '0')), ',') AS mv_none,
+                MV_CONTAINS(c_mv_num, '3') AS mv_has3,
+                MV_OVERLAP(c_mv_num, array('9', '3')) AS mv_ovl
+         FROM test_unnest ORDER BY c_long""",
+      """SELECT c_long, CAST(len(c_mv_complex) AS INTEGER) AS mv_len,
+                c_mv_complex[4] AS mv_off3,
+                array_to_string(c_mv_complex, ',') AS mv_str,
+                array_to_string(list_filter(c_mv_num,
+                  gx -> list_contains(['1', '2', '9'], gx)), ',') AS mv_only,
+                array_to_string(list_filter(c_mv_num,
+                  gx -> NOT coalesce(list_contains(['-1', '0'], gx), false)), ',') AS mv_none,
+                list_contains(c_mv_num, '3') AS mv_has3,
+                len(list_intersect(c_mv_num, ['9', '3'])) > 0 AS mv_ovl
+         FROM test_unnest ORDER BY c_long"""),
+
+    // mv_sql_group_by on scalars: '' and NULL group separately
+    gm("q_qa_mv_groupby_scalar",
+      """SELECT c_str, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(c_long) AS BIGINT) AS sum_long
+         FROM test_unnest GROUP BY c_str ORDER BY c_str NULLS FIRST""",
+      """SELECT c_str, count(*) AS cnt, sum(c_long) AS sum_long
+         FROM test_unnest GROUP BY c_str ORDER BY c_str NULLS FIRST"""),
+
+    // mv_sql_multi_unnests: cross product of two MV columns
+    gm("q_qa_mv_multi_unnest",
+      """SELECT c1, c2, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(MV_TO_ARRAY(c_mv_num)) AS u1(c1),
+              UNNEST(MV_TO_ARRAY(c_mv_all_null_and_empty_val)) AS u2(c2)
+         GROUP BY c1, c2 ORDER BY c1, c2 NULLS FIRST""",
+      """SELECT c1, c2, count(*) AS cnt
+         FROM (SELECT c_long, unnest(c_mv_num) AS c1 FROM test_unnest) t1
+         JOIN (SELECT c_long, unnest(c_mv_all_null_and_empty_val) AS c2
+               FROM test_unnest) t2 USING (c_long)
+         GROUP BY c1, c2 ORDER BY c1, c2 NULLS FIRST"""),
+
+    // -------------------------------------------------------- qaAggFuncs ----
+    // array_agg_long_test001 A03-A13: ARRAY_AGG keeps nulls; contains /
+    // contains-all / overlap over aggregated arrays
+    gf("q_qa_aggfuncs_array_agg_long",
+      """SELECT array_length(array_agg(tab0l0)) AS n_all,
+                strlen(array_to_string(array_agg(tab0l0), '|')) AS len_all,
+                array_length(array_agg(DISTINCT tab0l0)) AS n_dist,
+                array_contains(array_agg(tab0l0), 1111111111L) AS has_1,
+                array_contains(array_agg(tab0l0), array(1111111111L, 2222222222L)) AS has_both,
+                array_contains(array_agg(tab0l0), 3333333333L) AS has_3,
+                array_overlap(array_agg(tab0l0), array(1111111111L, 3333333333L)) AS ovl_13,
+                array_overlap(array_agg(tab0l0), array(3333333333L, 4444444444L)) AS ovl_34
+         FROM test_agg_funcs""",
+      s"""SELECT CAST(len(array_agg(tab0l0)) AS INTEGER) AS n_all,
+                 CAST(strlen(${dStr("array_agg(tab0l0)")}) AS INTEGER) AS len_all,
+                 CAST(len(list(DISTINCT tab0l0)) AS INTEGER) AS n_dist,
+                 list_contains(array_agg(tab0l0), 1111111111) AS has_1,
+                 list_has_all(array_agg(tab0l0), [1111111111, 2222222222]) AS has_both,
+                 list_contains(array_agg(tab0l0), 3333333333) AS has_3,
+                 len(list_intersect(array_agg(tab0l0), [1111111111, 3333333333])) > 0 AS ovl_13,
+                 len(list_intersect(array_agg(tab0l0), [3333333333, 4444444444])) > 0 AS ovl_34
+          FROM test_agg_funcs"""),
+
+    // order-insensitive content check: sorted DISTINCT aggregations with
+    // the null element first on both engines
+    gf("q_qa_aggfuncs_array_agg_sorted",
+      """SELECT array_to_string(sort_array(array_agg(DISTINCT tab0l0), true), '|') AS longs,
+                array_to_string(sort_array(array_agg(DISTINCT tab0d0), true), '|') AS dbls,
+                array_to_string(sort_array(array_agg(DISTINCT tab0s0), true), '|') AS strs
+         FROM test_agg_funcs""",
+      s"""SELECT ${dStr("list_sort(list(DISTINCT tab0l0), 'ASC', 'NULLS FIRST')")} AS longs,
+                 ${dStr("list_sort(list(DISTINCT tab0d0), 'ASC', 'NULLS FIRST')")} AS dbls,
+                 ${dStr("list_sort(list(DISTINCT tab0s0), 'ASC', 'NULLS FIRST')")} AS strs
+          FROM test_agg_funcs"""),
+
+    // grouped ARRAY_AGG (null group rides along)
+    gf("q_qa_aggfuncs_array_agg_grouped",
+      """SELECT tab0s0, array_length(array_agg(tab0l0)) AS n,
+                array_to_string(sort_array(array_agg(DISTINCT tab0l0), true), '|') AS kinds
+         FROM test_agg_funcs GROUP BY tab0s0 ORDER BY tab0s0 NULLS FIRST""",
+      s"""SELECT tab0s0, CAST(len(array_agg(tab0l0)) AS INTEGER) AS n,
+                 ${dStr("list_sort(list(DISTINCT tab0l0), 'ASC', 'NULLS FIRST')")} AS kinds
+          FROM test_agg_funcs GROUP BY tab0s0 ORDER BY tab0s0 NULLS FIRST"""),
+
+    // string_agg_long_test001 A02/A03: STRING_AGG skips nulls, all-null → NULL
+    gf("q_qa_aggfuncs_string_agg",
+      """SELECT strlen(string_agg(CAST(tab0l0 AS STRING), '|')) AS len_l,
+                strlen(string_agg(tab0s0, ',')) AS len_s,
+                string_agg(CAST(tab0l0 AS STRING), '|')
+                  FILTER (WHERE tab0l0 IS NULL) AS all_null,
+                strlen(string_agg(DISTINCT tab0s0, ',')) AS len_dist
+         FROM test_agg_funcs""",
+      """SELECT CAST(strlen(string_agg(CAST(tab0l0 AS VARCHAR), '|')) AS INTEGER) AS len_l,
+                CAST(strlen(string_agg(tab0s0, ',')) AS INTEGER) AS len_s,
+                string_agg(CAST(tab0l0 AS VARCHAR), '|')
+                  FILTER (WHERE tab0l0 IS NULL) AS all_null,
+                CAST(strlen(string_agg(DISTINCT tab0s0, ',')) AS INTEGER) AS len_dist
+         FROM test_agg_funcs"""),
+
+    // ARRAY_CONCAT_AGG: skip NULL arrays, keep null elements
+    gf("q_qa_aggfuncs_concat_agg",
+      """SELECT array_length(array_concat_agg(pair)) AS n_all,
+                strlen(array_to_string(array_concat_agg(pair), ',')) AS len_all
+         FROM (SELECT array(tab0l0, 9L) AS pair FROM test_agg_funcs)""",
+      s"""SELECT CAST(len(flatten(list(pair))) AS INTEGER) AS n_all,
+                 CAST(strlen(${dStr("flatten(list(pair))", ",")}) AS INTEGER) AS len_all
+          FROM (SELECT [tab0l0, 9]::BIGINT[] AS pair FROM test_agg_funcs)"""),
+
+    // plain numeric aggregates over the null-bearing columns
+    gf("q_qa_aggfuncs_numeric",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(tab0l0) AS BIGINT) AS n_l,
+                CAST(count(DISTINCT tab0l0) AS BIGINT) AS nd_l,
+                CAST(sum(tab0l0) AS BIGINT) AS sum_l,
+                round(avg(tab0d0), 4) AS avg_d,
+                CAST(min(tab0l0) AS BIGINT) AS min_l,
+                CAST(max(tab0l0) AS BIGINT) AS max_l
+         FROM test_agg_funcs""",
+      """SELECT count(*) AS n_rows, count(tab0l0) AS n_l,
+                count(DISTINCT tab0l0) AS nd_l, sum(tab0l0) AS sum_l,
+                round(avg(tab0d0), 4) AS avg_d, min(tab0l0) AS min_l,
+                max(tab0l0) AS max_l
+         FROM test_agg_funcs"""),
+
+    // grouped + HAVING with ARRAY_AGG of a null-bearing string column
+    gf("q_qa_aggfuncs_grouped_having",
+      """SELECT tab0l0, CAST(count(*) AS BIGINT) AS cnt,
+                array_length(array_agg(tab0s0)) AS n_s
+         FROM test_agg_funcs GROUP BY tab0l0
+         HAVING count(*) >= 6 ORDER BY tab0l0 NULLS FIRST""",
+      """SELECT tab0l0, count(*) AS cnt,
+                CAST(len(array_agg(tab0s0)) AS INTEGER) AS n_s
+         FROM test_agg_funcs GROUP BY tab0l0
+         HAVING count(*) >= 6 ORDER BY tab0l0 NULLS FIRST"""),
+
+    // FILTER + DISTINCT combinations on ARRAY_AGG
+    gf("q_qa_aggfuncs_filtered",
+      """SELECT array_length(array_agg(tab0l0)
+                  FILTER (WHERE tab0s0 = 'AAAAAAAAAA')) AS n_a,
+                array_length(array_agg(tab0l0)
+                  FILTER (WHERE tab0l0 IS NULL)) AS n_null,
+                array_to_string(sort_array(array_agg(DISTINCT tab0l0)
+                  FILTER (WHERE tab0s0 = 'BBBBBBBBBB'), true), '|') AS dist_b
+         FROM test_agg_funcs""",
+      s"""SELECT CAST(len(list(tab0l0) FILTER (WHERE tab0s0 = 'AAAAAAAAAA')) AS INTEGER) AS n_a,
+                 CAST(len(list(tab0l0) FILTER (WHERE tab0l0 IS NULL)) AS INTEGER) AS n_null,
+                 ${dStr("list_sort(list(DISTINCT tab0l0) FILTER (WHERE tab0s0 = 'BBBBBBBBBB'), 'ASC', 'NULLS FIRST')")} AS dist_b
+          FROM test_agg_funcs"""),
+
+    // array_agg_timestamp_test001: timestamps through ARRAY_AGG + extremes
+    gf("q_qa_aggfuncs_timestamp",
+      """SELECT array_length(array_agg(__time)) AS n_t,
+                date_format(min(__time), 'yyyy-MM-dd HH:mm:ss') AS min_t,
+                date_format(max(__time), 'yyyy-MM-dd HH:mm:ss') AS max_t
+         FROM test_agg_funcs""",
+      """SELECT CAST(len(array_agg(__time)) AS INTEGER) AS n_t,
+                strftime(min(__time), '%Y-%m-%d %H:%M:%S') AS min_t,
+                strftime(max(__time), '%Y-%m-%d %H:%M:%S') AS max_t
+         FROM test_agg_funcs"""))
+
+  // ------------------------------------------------------------ plumbing ----
+
+  private def runSpark(s: SparkSession, sqlText: String): DataFrame = {
+    DruidFunctions.register(s)
+    s.sql(graft.api.SqlApi.rewriteJsonReturning(
+      graft.api.SqlApi.rewriteUnnest(sqlText)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    gates.map { case (name, sparkSql, _) =>
+      name -> ((s: SparkSession, _: String) => runSpark(s, sparkSql))
+    }.toMap
+
+  def oracleSql: Map[String, String] =
+    gates.map { case (name, _, duckSql) => name -> duckSql }.toMap
+}

@@ -800,7 +800,8 @@ object SparkEntry {
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY qid, d")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // ----------------------------------------------------- scan (§2.1/§2.7)
     "q_scan" -> ((s, dir) => {
@@ -3623,7 +3624,7 @@ object SparkEntry {
           col("checksum"), size(col("features")).cast("long").as("feat_dim"))
         .orderBy(col("asset_id"))
     })
-  )
+  ) ++ QaSuites.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -5216,5 +5217,5 @@ object SparkEntry {
                 md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          FROM sc ORDER BY doc_id"""
-  )
+  ) ++ QaSuites.oracleSql
 }

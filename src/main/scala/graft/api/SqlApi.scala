@@ -341,7 +341,36 @@ object SqlApi {
     val params = j \ "parameters" match {
       case JArray(xs) => xs; case _ => Nil
     }
-    rewriteUnnest(bind(setStatements(raw)._2, params))
+    rewriteJsonReturning(rewriteUnnest(bind(setStatements(raw)._2, params)))
+  }
+
+  /** Translate the reference's `JSON_VALUE(expr, path RETURNING type [ARRAY])`
+    * (Calcite syntax Spark doesn't parse —
+    * `sql/.../expression/builtin/NestedDataOperatorConversions.java`) into
+    * the typed JSON_VALUE_* functions registered by DruidFunctions.
+    * DECIMAL/FLOAT map to the double variants like the reference's ExprEval
+    * coercion; CHAR/VARCHAR to the string one.
+    */
+  private[graft] def rewriteJsonReturning(sqlText: String): String = {
+    val Re =
+      """(?is)\bJSON_VALUE\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*('[^']*')\s+RETURNING\s+(BIGINT|INTEGER|DECIMAL|DOUBLE|FLOAT|VARCHAR|CHAR|BOOLEAN)(\s+ARRAY)?\s*\)""".r
+    Re.replaceAllIn(sqlText, m => {
+      val base = m.group(3).toUpperCase match {
+        case "BIGINT" | "INTEGER"            => "BIGINT"
+        case "DECIMAL" | "DOUBLE" | "FLOAT"  => "DOUBLE"
+        case "BOOLEAN"                       => "BOOLEAN"
+        case _                               => "VARCHAR"
+      }
+      val isArray = m.group(4) != null
+      val name =
+        if (isArray) s"JSON_VALUE_${base}_ARRAY"
+        else if (base == "VARCHAR") "JSON_VALUE_STR"
+        else s"JSON_VALUE_$base"
+      // JSON paths contain '$' — quote so replaceAllIn doesn't read them as
+      // group references
+      scala.util.matching.Regex.quoteReplacement(
+        s"$name(${m.group(1)}, ${m.group(2)})")
+    })
   }
 
   /** Leading `SET key = value;` statements (reference `DruidSqlSet` — SQL

@@ -1,0 +1,162 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Druid-parity ARRAY_AGG (reference
+  * `sql/src/main/java/org/apache/druid/sql/calcite/aggregation/builtin/ArraySqlAggregator.java`,
+  * `query/aggregation/ExpressionLambdaAggregatorFactory` array fold): unlike
+  * Spark's `collect_list`, the reference keeps NULL inputs as NULL array
+  * elements (qaAggFuncs `array_agg_long_test001`: 18 rows, 6 null →
+  * `array_length(array_agg(tab0l0)) = 18`), and returns NULL — not an empty
+  * array — when no rows accumulate.
+  *
+  * Distributed shape: a standard partial/final `TypedImperativeAggregate`;
+  * the buffer serializes through an `UnsafeProjection` over
+  * `ARRAY<child.dataType>` with `containsNull = true` (the stock `Collect`
+  * serializer declares `containsNull = false`, which would corrupt the very
+  * nulls this aggregate exists to keep). DISTINCT is handled by the planner's
+  * generic distinct-aggregate rewrite, so `ARRAY_AGG(DISTINCT x)` works and
+  * keeps a null group like the reference.
+  */
+case class DruidArrayAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+    mutable.ArrayBuffer.empty[Any]
+
+  override def update(
+      buf: mutable.ArrayBuffer[Any], input: InternalRow): mutable.ArrayBuffer[Any] = {
+    // copy: unsafe-backed values (strings, nested arrays) are reused buffers
+    buf += InternalRow.copyValue(child.eval(input))
+    buf
+  }
+
+  override def merge(
+      buf: mutable.ArrayBuffer[Any],
+      other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = buf ++= other
+
+  override def eval(buf: mutable.ArrayBuffer[Any]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf.toArray)
+
+  @transient private lazy val bufType = ArrayType(child.dataType, containsNull = true)
+  @transient private lazy val serProjection =
+    UnsafeProjection.create(Array[DataType](bufType))
+
+  override def serialize(buf: mutable.ArrayBuffer[Any]): Array[Byte] =
+    serProjection(InternalRow(new GenericArrayData(buf.toArray))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(0)
+    val out = mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < arr.numElements()) {
+      out += (if (arr.isNullAt(i)) null
+              else InternalRow.copyValue(arr.get(i, child.dataType)))
+      i += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = true)
+  override def nullable: Boolean = true
+  override def defaultResult: Option[Literal] = None
+  override def prettyName: String = "array_agg"
+
+  override def withNewMutableAggBufferOffset(n: Int): DruidArrayAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): DruidArrayAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): DruidArrayAgg =
+    copy(child = c)
+}
+
+/** Druid-parity ARRAY_CONTAINS (reference
+  * `math/expr/Function.java` ArrayContainsFunction +
+  * `sql/.../expression/builtin/ArrayContainsOperatorConversion.java`):
+  * polymorphic over the second argument — a scalar tests membership, an array
+  * tests contains-all — and never returns the SQL three-valued NULL that
+  * Spark's `array_contains` produces when the array holds nulls: a missing
+  * value is `false` even for `[null, null, null]` (qaArray
+  * `ops_funcs_array_funcs` A1_B5_C13: `array_contains(a_null, 1)` → false).
+  * A NULL array input returns NULL.
+  *
+  * Resolves post-analysis via `RuntimeReplaceable`: the replacement coerces
+  * both sides to a common element type (so `array_contains(a_str, 9)` probes
+  * for `'9'` like the reference's string coercion) and rewrites to
+  * `size(array_except(needles, haystack)) = 0`, whose set semantics treat
+  * null elements as ordinary values — all inside codegen-friendly built-ins.
+  */
+case class GraftArrayContains(left: Expression, right: Expression)
+  extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+
+  override lazy val replacement: Expression = {
+    val ArrayType(leftElem, _) = left.dataType: @unchecked
+    val (needles, needleElem) = right.dataType match {
+      case ArrayType(e, _) => (right, e)
+      case _               => (CreateArray(Seq(right)), right.dataType)
+    }
+    val common = TypeCoercion.findWiderTypeForTwo(leftElem, needleElem)
+      .getOrElse(StringType)
+    def asCommon(e: Expression, from: DataType): Expression =
+      if (from == common) e else Cast(e, ArrayType(common, containsNull = true))
+    val hay = asCommon(left, leftElem)
+    val need = asCommon(needles, needleElem)
+    If(IsNull(left), Literal.create(null, BooleanType),
+      EqualTo(Size(ArrayExcept(need, hay)), Literal(0)))
+  }
+
+  override def prettyName: String = "array_contains"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftArrayContains = copy(left = l, right = r)
+}
+
+/** Druid-parity ARRAY_APPEND / ARRAY_PREPEND (reference
+  * `math/expr/Function.java` ArrayAppendFunction / ArrayPrependFunction):
+  * the element coerces toward the ARRAY's element type when no numeric
+  * widening applies — `array_append(a_str, 9)` appends `'9'` (qaArray
+  * `ops_funcs_array_funcs` A1_B10_C10), where Spark's ANSI coercion would
+  * instead try to cast the string elements to BIGINT and throw. Numeric
+  * pairs still widen (`array_append(a_float, 9)` → `[..., 9.0]`).
+  *
+  * `RuntimeReplaceable` so the element type is known at rewrite time; the
+  * replacement is a plain `concat`, fully codegen'd.
+  */
+case class GraftArrayAppend(arr: Expression, elem: Expression, prepend: Boolean)
+  extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+
+  override def left: Expression = arr
+  override def right: Expression = elem
+
+  override lazy val replacement: Expression = {
+    val ArrayType(arrElem, _) = arr.dataType: @unchecked
+    val target = arrElem match {
+      case StringType => StringType // string array absorbs any element
+      case _ => TypeCoercion.findWiderTypeForTwo(arrElem, elem.dataType)
+        .getOrElse(arrElem)
+    }
+    def castArr(e: Expression) =
+      if (arrElem == target) e else Cast(e, ArrayType(target, containsNull = true))
+    val single = CreateArray(Seq(
+      if (elem.dataType == target) elem else Cast(elem, target)))
+    if (prepend) Concat(Seq(single, castArr(arr)))
+    else Concat(Seq(castArr(arr), single))
+  }
+
+  override def prettyName: String = if (prepend) "array_prepend" else "array_append"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftArrayAppend = copy(arr = l, elem = r)
+}

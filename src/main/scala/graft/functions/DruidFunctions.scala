@@ -261,7 +261,118 @@ object DruidFunctions {
           graft.functions.Ipv6Match(ip, s.toString)
         case _ => throw new IllegalArgumentException(
           "IPV6_MATCH(ip, 'subnet/prefix') needs a literal subnet")
-      }))
+      })) ++ arrayBuilders
+  }
+
+  /** Polymorphic ARRAY_* surface (reference `math/expr/Function.java` array
+    * functions + `sql/.../expression/builtin/Array*OperatorConversion.java`).
+    * SQL macros are monomorphic (an `ARRAY<STRING>` parameter silently casts
+    * a `BIGINT` array and changes the result type), so the polymorphic forms
+    * live here as expression-tree builders over built-in functions: the trees
+    * may contain nested `UnresolvedFunction`/lambda nodes, which the analyzer
+    * resolves on its next fixed-point pass, keeping everything inside
+    * Catalyst optimization and whole-stage codegen.
+    *
+    * Reference semantics pinned by quidem qaArray/qaUnnest/qaAggFuncs (see
+    * QaSuites.scala): 0-based OFFSET vs 1-based ORDINAL with NULL out of
+    * bounds; OFFSET_OF/ORDINAL_OF NULL when absent; SLICE pads past the end
+    * with nulls (`array_slice(a_empty, 0, 2)` → `[null, null]`); TO_STRING
+    * prints null elements as `'null'`; APPEND/PREPEND/CONCAT coerce to the
+    * wider element type (`array_append(a_str, 9)` → `[..., '9']`).
+    */
+  private def arrayBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
+    def fn(name: String, args: Expression*): Expression =
+      UnresolvedFunction(Seq(name), args.toSeq, false)
+    def lam(body: Expression => Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_x"))
+      LambdaFunction(body(x), Seq(x))
+    }
+    def nullBool: Expression = Literal.create(null, BooleanType)
+    Seq(
+      "array_length" -> ((a: Seq[Expression]) =>
+        Cast(fn("size", a.head), IntegerType)),
+      "array_offset" -> ((a: Seq[Expression]) =>
+        fn("get", a.head, Cast(a(1), IntegerType))),
+      "array_ordinal" -> ((a: Seq[Expression]) =>
+        fn("get", a.head, Subtract(Cast(a(1), IntegerType), Literal(1)))),
+      "array_offset_of" -> ((a: Seq[Expression]) =>
+        Cast(Subtract(fn("nullif", fn("array_position", a.head, a(1)),
+          Literal(0L)), Literal(1L)), IntegerType)),
+      "array_ordinal_of" -> ((a: Seq[Expression]) =>
+        Cast(fn("nullif", fn("array_position", a.head, a(1)), Literal(0L)),
+          IntegerType)),
+      "array_concat" -> ((a: Seq[Expression]) => fn("concat", a.head, a(1))),
+      "array_append" -> ((a: Seq[Expression]) =>
+        graft.functions.GraftArrayAppend(a.head, a(1), prepend = false)),
+      // reference arg order: ARRAY_PREPEND(expr, arr)
+      "array_prepend" -> ((a: Seq[Expression]) =>
+        graft.functions.GraftArrayAppend(a(1), a.head, prepend = true)),
+      "mv_to_array" -> ((a: Seq[Expression]) => a.head),
+      "array_to_mv" -> ((a: Seq[Expression]) => a.head),
+      // [start, end) 0-based, padding past the array end with nulls; the
+      // sequence bounds ride through 0*size(arr) so a NULL array nulls the
+      // whole result instead of yielding [null, null]
+      "array_slice" -> ((a: Seq[Expression]) => {
+        val pad = Multiply(Literal(0), fn("size", a.head))
+        val lo = Add(Cast(a(1), IntegerType), pad)
+        val hi = Add(Subtract(Cast(a(2), IntegerType), Literal(1)), pad)
+        If(LessThanOrEqual(a(2), a(1)),
+          fn("slice", a.head, Literal(1), Literal(0)),
+          fn("transform", fn("sequence", lo, hi),
+            lam(i => fn("get", a.head, i))))
+      }),
+      // null elements print as 'null' (reference ArrayToStringFunction via
+      // ExprEval string coercion; qaArray A1_B13: '1|0|null')
+      "array_to_string" -> ((a: Seq[Expression]) =>
+        fn("array_join",
+          fn("transform", a.head,
+            lam(x => fn("coalesce", Cast(x, StringType), Literal("null")))),
+          a(1))),
+      // set membership over null elements too: intersect treats null as a
+      // value, so [null] ∩ [1, null] is non-empty like the reference
+      "array_overlap" -> ((a: Seq[Expression]) =>
+        If(Or(IsNull(a.head), IsNull(a(1))), nullBool,
+          GreaterThan(fn("size", fn("array_intersect", a.head, a(1))),
+            Literal(0)))),
+      "array_contains" -> ((a: Seq[Expression]) =>
+        graft.functions.GraftArrayContains(a.head, a(1))),
+      "scalar_in_array" -> ((a: Seq[Expression]) =>
+        graft.functions.GraftArrayContains(a(1), a.head)),
+      "array_agg" -> ((a: Seq[Expression]) =>
+        graft.functions.DruidArrayAgg(a.head)),
+      // concat-agg: skip NULL input arrays (stock collect_list), keep inner
+      // nulls, flatten partition-wise
+      "array_concat_agg" -> ((a: Seq[Expression]) =>
+        Flatten(new org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(a.head).toAggregateExpression())),
+      // typed JSON_VALUE variants backing the SQL RETURNING clause
+      // (SqlApi.rewriteJsonReturning maps `RETURNING bigint array` etc. here;
+      // reference sql/.../expression/builtin/NestedDataOperatorConversions)
+      "json_value_bigint" -> ((a: Seq[Expression]) =>
+        Cast(fn("get_json_object", a.head, a(1)), LongType, None, EvalMode.TRY)),
+      "json_value_double" -> ((a: Seq[Expression]) =>
+        Cast(fn("get_json_object", a.head, a(1)),
+          org.apache.spark.sql.types.DoubleType, None, EvalMode.TRY)),
+      "json_value_boolean" -> ((a: Seq[Expression]) =>
+        Cast(fn("get_json_object", a.head, a(1)), BooleanType, None,
+          EvalMode.TRY)),
+      "json_value_varchar_array" -> ((a: Seq[Expression]) =>
+        fn("from_json", fn("get_json_object", a.head, a(1)),
+          Literal("array<string>"))),
+      "json_value_bigint_array" -> ((a: Seq[Expression]) =>
+        fn("from_json", fn("get_json_object", a.head, a(1)),
+          Literal("array<bigint>"))),
+      "json_value_double_array" -> ((a: Seq[Expression]) =>
+        fn("from_json", fn("get_json_object", a.head, a(1)),
+          Literal("array<double>"))),
+      "json_value_boolean_array" -> ((a: Seq[Expression]) =>
+        fn("from_json", fn("get_json_object", a.head, a(1)),
+          Literal("array<boolean>"))))
   }
 
   /** Register reference-named functions for `spark.sql` text queries. SQL
@@ -453,18 +564,18 @@ object DruidFunctions {
       // multi-value string fns (MultiValueStringOperatorConversions.java);
       // offsets are 0-based, ordinals 1-based, both null out of bounds
       "MV_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN arrays_overlap(a, b)",
-      // MV_TO_ARRAY / ARRAY_TO_MV: identities under the ArrayType(StringType)
-      // MVD representation (SURVEY.md §1.2) — kept so reference SQL text runs
-      "MV_TO_ARRAY(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN a",
-      "ARRAY_TO_MV(a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN a",
+      // (MV_TO_ARRAY / ARRAY_TO_MV identities live in arrayBuilders: a SQL
+      // UDF can't appear under Generate, i.e. inside UNNEST/explode)
       "MV_OFFSET(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i)",
       "MV_ORDINAL(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i - 1)",
       """MV_OFFSET_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
          CAST(nullif(array_position(a, v), 0) - 1 AS INT)""",
       """MV_ORDINAL_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
          CAST(nullif(array_position(a, v), 0) AS INT)""",
-      "MV_APPEND(a ARRAY<STRING>, v STRING) RETURNS ARRAY<STRING> RETURN array_append(a, v)",
-      "MV_PREPEND(v STRING, a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN array_prepend(a, v)",
+      // concat form: ARRAY_APPEND/ARRAY_PREPEND are shadowed by the
+      // polymorphic reference-arg-order builders above
+      "MV_APPEND(a ARRAY<STRING>, v STRING) RETURNS ARRAY<STRING> RETURN concat(a, array(v))",
+      "MV_PREPEND(v STRING, a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(array(v), a)",
       "MV_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(a, b)",
       // reference slice is 0-based [start, end)
       """MV_SLICE(a ARRAY<STRING>, s INT, e INT) RETURNS ARRAY<STRING> RETURN
@@ -474,19 +585,10 @@ object DruidFunctions {
       """MV_FILTER_NONE(a ARRAY<STRING>, deny ARRAY<STRING>) RETURNS ARRAY<STRING>
          RETURN filter(a, x -> NOT coalesce(array_contains(deny, x), false))""",
       // ---------------------------------------------------------- arrays ----
-      "ARRAY_LENGTH(a ARRAY<STRING>) RETURNS INT RETURN size(a)",
-      "ARRAY_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN arrays_overlap(a, b)",
-      "SCALAR_IN_ARRAY(v STRING, a ARRAY<STRING>) RETURNS BOOLEAN RETURN array_contains(a, v)",
-      "ARRAY_OFFSET(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i)",
-      "ARRAY_ORDINAL(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i - 1)",
-      """ARRAY_OFFSET_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
-         CAST(nullif(array_position(a, v), 0) - 1 AS INT)""",
-      """ARRAY_ORDINAL_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
-         CAST(nullif(array_position(a, v), 0) AS INT)""",
-      "ARRAY_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(a, b)",
-      """ARRAY_SLICE(a ARRAY<STRING>, s INT, e INT) RETURNS ARRAY<STRING> RETURN
-         slice(a, s + 1, e - s)""",
-      "ARRAY_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
+      // (polymorphic ARRAY_LENGTH/OFFSET/ORDINAL/OFFSET_OF/ORDINAL_OF/
+      //  CONCAT/APPEND/PREPEND/SLICE/TO_STRING/OVERLAP/CONTAINS/
+      //  SCALAR_IN_ARRAY/AGG/CONCAT_AGG live in arrayBuilders above — a SQL
+      //  macro's ARRAY<STRING> parameter would silently retype BIGINT arrays)
       "STRING_TO_ARRAY(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
       // set-semantics add: sorted distinct result (reference ArraySetAddFunction)
       """ARRAY_SET_ADD(a ARRAY<STRING>, v STRING) RETURNS ARRAY<STRING> RETURN

@@ -15,12 +15,79 @@ import org.apache.spark.unsafe.types.UTF8String
   * exact analog of the reference broadcasting lookup snapshots to every node.
   */
 object LookupRegistry {
-  private val lookups = TrieMap[String, Map[String, String]]()
+
+  /** One immutable loaded generation of a lookup (reference
+    * `server/src/main/java/org/apache/druid/query/lookup/LookupReferencesManager.java`
+    * container state + `LookupExtractorFactoryContainer` version): queries
+    * that resolved against version N keep evaluating against N's map literal
+    * even while N+1 loads — old-or-new, never mixed.
+    */
+  final case class LookupSnapshot(
+      name: String,
+      version: Long,
+      loadTimeMs: Long,
+      mapping: Map[String, String])
+
+  private val lookups = TrieMap[String, LookupSnapshot]()
+  // re-runnable sources for refresh() — the analog of the reference's
+  // polling extraction namespaces (JdbcExtractionNamespace.pollPeriod)
+  private val loaders = TrieMap[String, () => Map[String, String]]()
 
   def register(name: String, mapping: Map[String, String]): Unit =
-    lookups.put(name, mapping)
+    swap(name, mapping)
 
-  def get(name: String): Option[Map[String, String]] = lookups.get(name)
+  /** Atomically publish a new generation: the snapshot is fully built before
+    * the single TrieMap put, so concurrent readers observe either the
+    * previous complete generation or this one.
+    */
+  private def swap(name: String, mapping: Map[String, String]): LookupSnapshot = {
+    var out: LookupSnapshot = null
+    var done = false
+    while (!done) {
+      val prev = lookups.get(name)
+      val next = LookupSnapshot(name, prev.map(_.version + 1).getOrElse(1L),
+        System.currentTimeMillis(), mapping)
+      done = prev match {
+        case Some(p) => lookups.replace(name, p, next)
+        case None    => lookups.putIfAbsent(name, next).isEmpty
+      }
+      if (done) out = next
+    }
+    out
+  }
+
+  /** Register with a re-runnable source; loads generation 1 immediately.
+    * The loader runs again on each [[refresh]] — load happens OUTSIDE any
+    * registry state, then swaps in atomically.
+    */
+  def registerLoader(name: String, loader: () => Map[String, String]): Unit = {
+    loaders.put(name, loader)
+    swap(name, loader())
+  }
+
+  /** Re-run the registered loader and atomically publish the new generation.
+    * Returns the new version, or None if the lookup has no loader (static
+    * `register` lookups refresh by re-registering).
+    */
+  def refresh(name: String): Option[Long] =
+    loaders.get(name).map(l => swap(name, l()).version)
+
+  /** Refresh every loader-backed lookup; returns (name, newVersion). */
+  def refreshAll(): Seq[(String, Long)] =
+    loaders.keys.toSeq.sorted.flatMap(n => refresh(n).map(n -> _))
+
+  /** Unregister (reference LookupReferencesManager.remove). In-flight plans
+    * keep their captured literal; new plans fail resolution like the
+    * reference's missing-lookup error.
+    */
+  def drop(name: String): Unit = {
+    loaders.remove(name)
+    lookups.remove(name)
+  }
+
+  def get(name: String): Option[Map[String, String]] =
+    lookups.get(name).map(_.mapping)
+  def snapshot(name: String): Option[LookupSnapshot] = lookups.get(name)
   def names: Seq[String] = lookups.keys.toSeq.sorted
 
   /** Default cap on loaded-lookup cardinality. The reference's cached
