@@ -2140,8 +2140,8 @@ object SparkEntry {
       // stream source needs a glob (directory-style) path, not a bare file
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = StreamingIngest.source(s, s"$dir/events*.parquet", schema)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = Tables.normalizeTs(
+        StreamingIngest.source(s, s"$dir/events*.parquet", schema))
       StreamingIngest.runBounded(s, stream, "ts", "1 hour",
         Seq("event_type"), queryName = "stream_rollup_out")
         .select(col("bucket"), col("event_type"), col("n"),
@@ -2267,9 +2267,8 @@ object SparkEntry {
       val stream = StreamingIngest.source(s, s"$dir/events*.parquet", schema)
       val q = StreamingIngest.Appenderator.start(stream, s"$base/staging", s"$base/ckpt")
       q.awaitTermination()
-      StreamingIngest.Appenderator
-        .view(s, s"$base/committed", s"$base/staging", schema)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      Tables.normalizeTs(StreamingIngest.Appenderator
+        .view(s, s"$base/committed", s"$base/staging", schema))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
         .orderBy(col("event_type"))

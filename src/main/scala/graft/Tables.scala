@@ -22,16 +22,33 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-      // rejects outright; read the nanos as long (legacy conf) and convert to
-      // a TimestampType truncated to micros (exact integer DIV — a double
-      // division would lose precision on 1.7e18-scale epoch-nanos).
+      // events.ts has shipped as either INT64 TIMESTAMP(NANOS) (which Spark's
+      // reader rejects outright without the legacy nanos-as-long conf) or as
+      // plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4
+      // infers as TIMESTAMP_NTZ).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Normalize the events `ts` column — epoch-nanos long, TIMESTAMP, or
+    * TIMESTAMP_NTZ depending on the parquet vintage — to session-local
+    * TimestampType. Sessions run UTC, so NTZ→LTZ is value-preserving. Works
+    * on batch and streaming DataFrames alike (pure column transform).
+    */
+  def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema(col).dataType match {
+      case LongType =>
+        // epoch-nanos as long: exact integer DIV (a double division would
+        // lose precision on 1.7e18-scale values)
+        df.withColumn(col, functions.expr(s"timestamp_micros($col DIV 1000)"))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ
+        df.withColumn(col, functions.col(col).cast(TimestampType))
     }
   }
 

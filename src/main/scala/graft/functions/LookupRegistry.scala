@@ -127,7 +127,7 @@ object LookupRegistry {
       case other => throw new IllegalArgumentException(
         s"LOOKUP name must be a string literal, got $other")
     }
-    val mapping = lookups.getOrElse(name,
+    val mapping = lookups.get(name).map(_.mapping).getOrElse(
       throw new IllegalArgumentException(s"unknown lookup: $name"))
     // raw Catalyst nodes (a Column-node wrapper would not survive codegen
     // when spliced into a parsed SQL tree)
