@@ -548,7 +548,8 @@ object QaSuites {
                 CAST(count(s_int) AS BIGINT) AS n_s
          FROM test_unnest, UNNEST(a_str) AS u(c)
          GROUP BY c ORDER BY c NULLS FIRST""",
-      """SELECT c, count(*) AS cnt, sum(s_int) AS sum_s, count(s_int) AS n_s
+      """SELECT c, count(*) AS cnt, CAST(sum(s_int) AS BIGINT) AS sum_s,
+                count(s_int) AS n_s
          FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
          GROUP BY c ORDER BY c NULLS FIRST"""),
 
@@ -560,7 +561,7 @@ object QaSuites {
          FROM test_unnest, UNNEST(a_int) AS u(c)""",
       """SELECT count(*) FILTER (WHERE c > 1) AS gt1,
                 count(*) FILTER (WHERE c IS NULL) AS n_null,
-                sum(c) AS total
+                CAST(sum(c) AS BIGINT) AS total
          FROM (SELECT unnest(a_int) AS c FROM test_unnest)"""),
 
     // array_sql_order_by + limit_offset: ASC puts unnested nulls first
@@ -677,7 +678,7 @@ object QaSuites {
       """SELECT c_str, CAST(count(*) AS BIGINT) AS cnt,
                 CAST(sum(c_long) AS BIGINT) AS sum_long
          FROM test_unnest GROUP BY c_str ORDER BY c_str NULLS FIRST""",
-      """SELECT c_str, count(*) AS cnt, sum(c_long) AS sum_long
+      """SELECT c_str, count(*) AS cnt, CAST(sum(c_long) AS BIGINT) AS sum_long
          FROM test_unnest GROUP BY c_str ORDER BY c_str NULLS FIRST"""),
 
     // mv_sql_multi_unnests: cross product of two MV columns
@@ -771,7 +772,8 @@ object QaSuites {
                 CAST(max(tab0l0) AS BIGINT) AS max_l
          FROM test_agg_funcs""",
       """SELECT count(*) AS n_rows, count(tab0l0) AS n_l,
-                count(DISTINCT tab0l0) AS nd_l, sum(tab0l0) AS sum_l,
+                count(DISTINCT tab0l0) AS nd_l,
+                CAST(sum(tab0l0) AS BIGINT) AS sum_l,
                 round(avg(tab0d0), 4) AS avg_d, min(tab0l0) AS min_l,
                 max(tab0l0) AS max_l
          FROM test_agg_funcs"""),

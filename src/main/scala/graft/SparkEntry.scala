@@ -2210,19 +2210,28 @@ object SparkEntry {
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$staging/b0/events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-      raw.limit(1).select(
+      // the sentinel's ts must be written in the SAME vintage as the raw
+      // file (the stream reads both b0 and b1 under raw.schema), so push
+      // the +365d arithmetic into the raw ts domain: nanos-long stays
+      // integer math, timestamp/NTZ stays timestamp + interval
+      val farFuture = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (max(col("ts")) + lit(365L * 86400 * 1000000000L)).as("ts")
+        case _ =>
+          (max(col("ts")) + expr("INTERVAL 365 DAYS")).as("ts")
+      }
+      raw.agg(farFuture).select(
           lit(-1L).as("event_id"),
-          lit(maxNs + 365L * 86400 * 1000000000L).as("ts"),
+          col("ts"),
           lit(-1L).as("user_id"),
           lit("__sentinel__").as("event_type"),
           lit(0.0).as("value"),
           lit(null).cast("string").as("props"))
         .coalesce(1).write.parquet(s"$staging/b1")
-      val stream = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$staging/b*/*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$staging/b*/*.parquet"))
       val sessions = StreamingIngest.sessionize(stream, "ts", "user_id",
         gapMinutes = 30, watermark = "1 minutes")
       val q = sessions.writeStream.outputMode("append").format("memory")

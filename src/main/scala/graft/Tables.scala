@@ -40,15 +40,24 @@ object Tables {
     */
   def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(col).dataType match {
       case LongType =>
         // epoch-nanos as long: exact integer DIV (a double division would
         // lose precision on 1.7e18-scale values)
         df.withColumn(col, functions.expr(s"timestamp_micros($col DIV 1000)"))
       case TimestampType => df
-      case _ => // TIMESTAMP_NTZ
+      case TimestampNTZType =>
+        // NTZ wall-clock values are UTC instants by the testdata contract;
+        // CAST interprets them in the session zone, so it is only
+        // value-preserving under UTC — assert rather than silently shift
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; normalization requires a UTC session, got $tz")
         df.withColumn(col, functions.col(col).cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"unexpected events.$col type $other — known vintages are " +
+          "INT64 epoch-nanos, TIMESTAMP, TIMESTAMP_NTZ")
     }
   }
 

@@ -127,7 +127,7 @@ object LookupRegistry {
       case other => throw new IllegalArgumentException(
         s"LOOKUP name must be a string literal, got $other")
     }
-    val mapping = lookups.get(name).map(_.mapping).getOrElse(
+    val mapping = get(name).getOrElse(
       throw new IllegalArgumentException(s"unknown lookup: $name"))
     // raw Catalyst nodes (a Column-node wrapper would not survive codegen
     // when spliced into a parsed SQL tree)

@@ -28,8 +28,8 @@ class StreamingSpec extends AnyFunSuite {
   private def eventsStream = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    StreamingIngest.source(spark, s"$dir/events*.parquet", schema)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    Tables.normalizeTs(
+      StreamingIngest.source(spark, s"$dir/events*.parquet", schema))
   }
 
   test("streaming rollup equals batch rollup") {
