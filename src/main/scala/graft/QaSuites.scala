@@ -219,6 +219,54 @@ object QaSuites {
           "NULL::DOUBLE")})
         t(__time, tab0l0, tab0s0, tab0f0, tab0d0))"""
 
+  /** qaJsonCols `test_json_cols` (funcs_and_sql/ingest.json, reduced): 4
+    * rows — rows 1-2 carry `a_*`-keyed nested objects and non-null scalars,
+    * rows 3-4 carry `b_*`-keyed objects and NULL scalars, so every path
+    * query exercises both the hit and the structurally-missing vintage.
+    */
+  private val jsonC1A: String =
+    """{"a_str":"A","a_num_int":1,"a_num_float":0.1,"a_bool":true,""" +
+    """"a_null":null,"a_empty_obj":{},"a_empty_array":[],""" +
+    """"a_obj":{"a_str":"A","a_num_int":1,""" +
+    """"a_obj":{"a_str":"AA","a_num_int":11},""" +
+    """"a_array":[{"a_str":"A1","a_num_int":1},{"a_str":"A2","a_num_int":2}]},""" +
+    """"a_array":[{"a_str":"A1","a_num_int":1},{"a_str":"A2","a_num_int":2}]}"""
+
+  private val jsonC1B: String =
+    """{"b_str":"B","b_num_int":1,"b_num_float":0.1,"b_bool":true,""" +
+    """"b_null":null,"b_empty_obj":{},"b_empty_array":[],""" +
+    """"b_obj":{"b_str":"B","b_num_int":1,""" +
+    """"b_obj":{"b_str":"BB","b_num_int":11},""" +
+    """"b_array":[{"b_str":"B1","b_num_int":1},{"b_str":"B2","b_num_int":2}]},""" +
+    """"b_array":[{"b_str":"B1","b_num_int":1},{"b_str":"B2","b_num_int":2}]}"""
+
+  private val jsonC2A: String =
+    """{"a_str":"C","a_num_int":2,"a_num_float":0.2,"a_bool":false,"a_null":null}"""
+  private val jsonC2B: String =
+    """{"b_str":"C","b_num_int":2,"b_num_float":0.2,"b_bool":false,"b_null":null}"""
+
+  private val sparkTestJson: String =
+    s"""test_json_cols AS (SELECT * FROM VALUES
+        (1, TIMESTAMP'2022-01-01 00:00:00', 'A', 1L, 0.1D, true, '$jsonC1A', '$jsonC2A'),
+        (2, TIMESTAMP'2022-01-01 00:00:00', 'A', 1L, 0.1D, true, '$jsonC1A', '$jsonC2A'),
+        (3, TIMESTAMP'2022-02-01 00:00:00', CAST(NULL AS STRING),
+            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+            '$jsonC1B', '$jsonC2B'),
+        (4, TIMESTAMP'2022-02-01 00:00:00', CAST(NULL AS STRING),
+            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+            '$jsonC1B', '$jsonC2B')
+        AS t(rid, __time, s_str, s_num_int, s_num_float, s_bool, c1, c2))"""
+
+  private val duckTestJson: String =
+    s"""test_json_cols AS (SELECT * FROM (VALUES
+        (1, TIMESTAMP '2022-01-01 00:00:00', 'A', 1::BIGINT, 0.1::DOUBLE, true, '$jsonC1A', '$jsonC2A'),
+        (2, TIMESTAMP '2022-01-01 00:00:00', 'A', 1::BIGINT, 0.1::DOUBLE, true, '$jsonC1A', '$jsonC2A'),
+        (3, TIMESTAMP '2022-02-01 00:00:00', NULL::VARCHAR, NULL::BIGINT,
+            NULL::DOUBLE, NULL::BOOLEAN, '$jsonC1B', '$jsonC2B'),
+        (4, TIMESTAMP '2022-02-01 00:00:00', NULL::VARCHAR, NULL::BIGINT,
+            NULL::DOUBLE, NULL::BOOLEAN, '$jsonC1B', '$jsonC2B'))
+        t(rid, __time, s_str, s_num_int, s_num_float, s_bool, c1, c2))"""
+
   // ------------------------------------------------------- dialect helpers --
 
   /** DuckDB analog of the engine's ARRAY_TO_STRING: 'null' markers, '' for
@@ -251,6 +299,15 @@ object QaSuites {
     g(name, sparkTestMv, duckTestMv, sparkBody, duckBody)
   private def gf(name: String, sparkBody: String, duckBody: String) =
     g(name, sparkTestAggFuncs, duckTestAggFuncs, sparkBody, duckBody)
+  private def gj(name: String, sparkBody: String, duckBody: String) =
+    g(name, sparkTestJson, duckTestJson, sparkBody, duckBody)
+
+  /** DuckDB analog of the reference's scalar-only JSON_VALUE (qaJsonCols
+    * func_json_value.02 A071: object/array paths yield NULL).
+    */
+  private def djv(c: String, p: String) =
+    s"""(CASE WHEN json_type($c, '$p') IN ('OBJECT', 'ARRAY') THEN NULL
+         ELSE json_extract_string($c, '$p') END)"""
 
   private[graft] lazy val gates: Seq[(String, String, String)] = Seq(
     // ---------------------------------------------------------- qaArray ----
@@ -812,7 +869,208 @@ object QaSuites {
       """SELECT CAST(len(array_agg(__time)) AS INTEGER) AS n_t,
                 strftime(min(__time), '%Y-%m-%d %H:%M:%S') AS min_t,
                 strftime(max(__time), '%Y-%m-%d %H:%M:%S') AS max_t
-         FROM test_agg_funcs"""))
+         FROM test_agg_funcs"""),
+
+    // ------------------------------------------------------- qaJsonCols ----
+    // func_json_value.01/.03 A100-A110: deep object / array-index paths,
+    // typed RETURNING, missing keys → NULL
+    gj("q_qa_json_value_deep",
+      """SELECT rid,
+                JSON_VALUE(c1, '$.a_str') AS v_str,
+                JSON_VALUE(c1, '$.a_obj.a_num_int' RETURNING BIGINT) AS v_int,
+                JSON_VALUE(c1, '$.a_obj.a_obj.a_str') AS v_deep,
+                JSON_VALUE(c1, '$.a_obj.a_array[1].a_num_int' RETURNING BIGINT) AS v_arr_int,
+                JSON_VALUE(c1, '$.a_array[0].a_str') AS v_arr_str,
+                JSON_VALUE(c1, '$.zzz') AS v_missing
+         FROM test_json_cols ORDER BY rid""",
+      s"""SELECT rid,
+                ${djv("c1", "$.a_str")} AS v_str,
+                CAST(json_extract_string(c1, '$$.a_obj.a_num_int') AS BIGINT) AS v_int,
+                ${djv("c1", "$.a_obj.a_obj.a_str")} AS v_deep,
+                CAST(json_extract_string(c1, '$$.a_obj.a_array[1].a_num_int') AS BIGINT) AS v_arr_int,
+                ${djv("c1", "$.a_array[0].a_str")} AS v_arr_str,
+                ${djv("c1", "$.zzz")} AS v_missing
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_value.02 A071-A075: JSON_VALUE is scalar-only — object,
+    // array, empty-object, empty-array, root and json-null paths all NULL
+    gj("q_qa_json_value_object_null",
+      """SELECT count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_obj') IS NULL) AS n_obj,
+                count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_empty_obj') IS NULL) AS n_eobj,
+                count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_empty_array') IS NULL) AS n_earr,
+                count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_array') IS NULL) AS n_arr,
+                count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_null') IS NULL) AS n_null,
+                count(*) FILTER (WHERE JSON_VALUE(c1, '$') IS NULL) AS n_root
+         FROM test_json_cols""",
+      s"""SELECT count(*) FILTER (WHERE ${djv("c1", "$.a_obj")} IS NULL) AS n_obj,
+                count(*) FILTER (WHERE ${djv("c1", "$.a_empty_obj")} IS NULL) AS n_eobj,
+                count(*) FILTER (WHERE ${djv("c1", "$.a_empty_array")} IS NULL) AS n_earr,
+                count(*) FILTER (WHERE ${djv("c1", "$.a_array")} IS NULL) AS n_arr,
+                count(*) FILTER (WHERE ${djv("c1", "$.a_null")} IS NULL) AS n_null,
+                count(*) FILTER (WHERE ${djv("c1", "$")} IS NULL) AS n_root
+         FROM test_json_cols"""),
+
+    // func_json_value.01 A006/A102: a non-JSON string is itself a scalar at
+    // '$'; a numeric string extracts as its value
+    gj("q_qa_json_value_scalar_self",
+      """SELECT rid,
+                JSON_VALUE('ABCD', '$') AS lit_self,
+                JSON_VALUE(s_str, '$') AS s_self,
+                JSON_VALUE(CAST(s_num_int AS STRING), '$' RETURNING BIGINT) AS i_self
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                'ABCD' AS lit_self,
+                s_str AS s_self,
+                s_num_int AS i_self
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_value.04: RETURNING with a non-coercible target type → NULL
+    gj("q_qa_json_value_returning_badtype",
+      """SELECT rid,
+                JSON_VALUE(c1, '$.a_str' RETURNING BIGINT) AS str_as_int,
+                JSON_VALUE(c1, '$.a_num_float' RETURNING DOUBLE) AS f_dbl,
+                CAST(JSON_VALUE(c1, '$.a_bool' RETURNING BOOLEAN) AS STRING) AS b_bool,
+                JSON_VALUE(c1, '$.a_num_int' RETURNING DOUBLE) AS i_dbl
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                TRY_CAST(json_extract_string(c1, '$.a_str') AS BIGINT) AS str_as_int,
+                CAST(json_extract_string(c1, '$.a_num_float') AS DOUBLE) AS f_dbl,
+                CAST(CAST(json_extract_string(c1, '$.a_bool') AS BOOLEAN) AS VARCHAR) AS b_bool,
+                CAST(json_extract_string(c1, '$.a_num_int') AS DOUBLE) AS i_dbl
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_query.01-.03: JSON_QUERY returns the subtree text (objects,
+    // empty containers, array elements; missing → NULL)
+    gj("q_qa_json_query_subtree",
+      """SELECT rid,
+                JSON_QUERY(c1, '$.a_obj.a_obj') AS q_deep,
+                JSON_QUERY(c1, '$.a_empty_obj') AS q_eobj,
+                JSON_QUERY(c1, '$.a_empty_array') AS q_earr,
+                JSON_QUERY(c1, '$.a_array[1]') AS q_elem,
+                JSON_QUERY(c1, '$.zzz') AS q_missing
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                CAST(json_extract(c1, '$.a_obj.a_obj') AS VARCHAR) AS q_deep,
+                CAST(json_extract(c1, '$.a_empty_obj') AS VARCHAR) AS q_eobj,
+                CAST(json_extract(c1, '$.a_empty_array') AS VARCHAR) AS q_earr,
+                CAST(json_extract(c1, '$.a_array[1]') AS VARCHAR) AS q_elem,
+                CAST(json_extract(c1, '$.zzz') AS VARCHAR) AS q_missing
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_keys.01/.02: keys of root / nested / empty objects; scalar
+    // paths and missing paths → NULL
+    gj("q_qa_json_keys",
+      """SELECT rid,
+                array_join(array_sort(JSON_KEYS(c1, '$')), '|') AS k_root,
+                array_join(array_sort(JSON_KEYS(c1, '$.a_obj')), '|') AS k_obj,
+                array_join(array_sort(JSON_KEYS(c1, '$.a_empty_obj')), '|') AS k_eobj,
+                array_join(array_sort(JSON_KEYS(c1, '$.a_str')), '|') AS k_scalar
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                array_to_string(list_sort(json_keys(c1)), '|') AS k_root,
+                CASE WHEN json_type(c1, '$.a_obj') = 'OBJECT'
+                     THEN array_to_string(list_sort(json_keys(c1, '$.a_obj')), '|')
+                END AS k_obj,
+                CASE WHEN json_type(c1, '$.a_empty_obj') = 'OBJECT'
+                     THEN coalesce(array_to_string(
+                       list_sort(json_keys(c1, '$.a_empty_obj')), '|'), '')
+                END AS k_eobj,
+                CASE WHEN json_type(c1, '$.a_str') = 'OBJECT'
+                     THEN array_to_string(list_sort(json_keys(c1, '$.a_str')), '|')
+                END AS k_scalar
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_paths.01: top-level path enumeration
+    gj("q_qa_json_paths_top",
+      """SELECT rid,
+                array_join(array_sort(JSON_PATHS(c1)), '|') AS p_c1,
+                array_join(array_sort(JSON_PATHS(c2)), '|') AS p_c2
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                array_to_string(list_sort(list_transform(json_keys(c1),
+                  gk -> '$.' || gk)), '|') AS p_c1,
+                array_to_string(list_sort(list_transform(json_keys(c2),
+                  gk -> '$.' || gk)), '|') AS p_c2
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_object.01: construct + extract round-trip
+    gj("q_qa_json_object_roundtrip",
+      """SELECT rid,
+                JSON_OBJECT('k', coalesce(JSON_VALUE(c1, '$.a_str'), 'none')) AS obj,
+                JSON_VALUE(JSON_OBJECT('k',
+                  coalesce(JSON_VALUE(c1, '$.a_str'), 'none')), '$.k') AS back
+         FROM test_json_cols ORDER BY rid""",
+      s"""SELECT rid,
+                CAST(json_object('k',
+                  coalesce(${djv("c1", "$.a_str")}, 'none')) AS VARCHAR) AS obj,
+                coalesce(${djv("c1", "$.a_str")}, 'none') AS back
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_parse_json.01 / func_to_json_string.01 / func_try_parse_json.01:
+    // canonical re-serialization (literal keys pre-sorted so both engines'
+    // key orders agree), content-preserving round-trip over a column,
+    // malformed input → NULL only through TRY_
+    gj("q_qa_json_parse_roundtrip",
+      """SELECT rid,
+                TO_JSON_STRING(PARSE_JSON('{"arr":[1,2],"n":null,"x":1,"y":"z"}')) AS lit_rt,
+                JSON_VALUE(TO_JSON_STRING(PARSE_JSON(c2)), '$.a_num_float' RETURNING DOUBLE) AS c2_rt_f,
+                JSON_VALUE(TO_JSON_STRING(PARSE_JSON(c2)), '$.a_str') AS c2_rt_s,
+                CASE WHEN TRY_PARSE_JSON('{bad json') IS NULL THEN 1 ELSE 0 END AS bad_null
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                '{"arr":[1,2],"n":null,"x":1,"y":"z"}' AS lit_rt,
+                CAST(json_extract_string(c2, '$.a_num_float') AS DOUBLE) AS c2_rt_f,
+                json_extract_string(c2, '$.a_str') AS c2_rt_s,
+                CASE WHEN TRY_CAST('{bad json' AS JSON) IS NULL THEN 1 ELSE 0 END AS bad_null
+         FROM test_json_cols ORDER BY rid"""),
+
+    // datatype_sql: JSON_VALUE results as first-class grouping keys
+    gj("q_qa_json_filter_groupby",
+      """SELECT JSON_VALUE(c1, '$.a_str') AS g, count(*) AS cnt,
+                sum(JSON_VALUE(c1, '$.a_num_int' RETURNING BIGINT)) AS s
+         FROM test_json_cols GROUP BY JSON_VALUE(c1, '$.a_str')
+         ORDER BY g NULLS FIRST""",
+      s"""SELECT ${djv("c1", "$.a_str")} AS g, count(*) AS cnt,
+                CAST(sum(CAST(json_extract_string(c1, '$$.a_num_int') AS BIGINT)) AS BIGINT) AS s
+         FROM test_json_cols GROUP BY 1
+         ORDER BY g NULLS FIRST"""),
+
+    // datatype_comp_ops: typed JSON_VALUE in comparisons, arithmetic,
+    // BETWEEN, IN, boolean contexts (NULL rows drop out of every filter)
+    gj("q_qa_json_comp_ops",
+      """SELECT
+           count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_num_int' RETURNING BIGINT) = 1) AS eq1,
+           count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_num_int' RETURNING BIGINT) <> 1) AS ne1,
+           count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_num_int' RETURNING BIGINT) + 1 = 2) AS plus1,
+           count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_num_float' RETURNING DOUBLE)
+                              BETWEEN 0.05 AND 0.15) AS btw,
+           count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_str') IN ('A', 'B')) AS in_ab,
+           count(*) FILTER (WHERE JSON_VALUE(c1, '$.a_bool' RETURNING BOOLEAN)) AS is_true
+         FROM test_json_cols""",
+      """SELECT
+           count(*) FILTER (WHERE TRY_CAST(json_extract_string(c1, '$.a_num_int') AS BIGINT) = 1) AS eq1,
+           count(*) FILTER (WHERE TRY_CAST(json_extract_string(c1, '$.a_num_int') AS BIGINT) <> 1) AS ne1,
+           count(*) FILTER (WHERE TRY_CAST(json_extract_string(c1, '$.a_num_int') AS BIGINT) + 1 = 2) AS plus1,
+           count(*) FILTER (WHERE TRY_CAST(json_extract_string(c1, '$.a_num_float') AS DOUBLE)
+                              BETWEEN 0.05 AND 0.15) AS btw,
+           count(*) FILTER (WHERE json_extract_string(c1, '$.a_str') IN ('A', 'B')) AS in_ab,
+           count(*) FILTER (WHERE TRY_CAST(json_extract_string(c1, '$.a_bool') AS BOOLEAN)) AS is_true
+         FROM test_json_cols"""),
+
+    // the b_* key vintage: same paths against structurally-different rows
+    gj("q_qa_json_value_b_vintage",
+      """SELECT rid,
+                JSON_VALUE(c1, '$.b_str') AS b_str,
+                JSON_VALUE(c1, '$.b_obj.b_num_int' RETURNING BIGINT) AS b_int,
+                JSON_VALUE(c1, '$.b_array[0].b_str') AS b0,
+                JSON_VALUE(c2, '$.b_num_float' RETURNING DOUBLE) AS b_f
+         FROM test_json_cols ORDER BY rid""",
+      s"""SELECT rid,
+                ${djv("c1", "$.b_str")} AS b_str,
+                CAST(json_extract_string(c1, '$$.b_obj.b_num_int') AS BIGINT) AS b_int,
+                ${djv("c1", "$.b_array[0].b_str")} AS b0,
+                CAST(json_extract_string(c2, '$$.b_num_float') AS DOUBLE) AS b_f
+         FROM test_json_cols ORDER BY rid"""))
 
   // ------------------------------------------------------------ plumbing ----
 

@@ -352,8 +352,12 @@ object SqlApi {
     * coercion; CHAR/VARCHAR to the string one.
     */
   private[graft] def rewriteJsonReturning(sqlText: String): String = {
+    // first arg: any expression without top-level commas — bare refs,
+    // string literals, and one level of nested call parens (enough for
+    // json_query(c1, '$.x') / CAST(x AS VARCHAR); the reference accepts
+    // arbitrary expressions, NestedDataOperatorConversions.java)
     val Re =
-      """(?is)\bJSON_VALUE\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*('[^']*')\s+RETURNING\s+(BIGINT|INTEGER|DECIMAL|DOUBLE|FLOAT|VARCHAR|CHAR|BOOLEAN)(\s+ARRAY)?\s*\)""".r
+      """(?is)\bJSON_VALUE\s*\(\s*((?:[A-Za-z0-9_.\s+*/%-]|\|\||'[^']*'|\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\))+?)\s*,\s*('[^']*')\s+RETURNING\s+(BIGINT|INTEGER|DECIMAL|DOUBLE|FLOAT|VARCHAR|CHAR|BOOLEAN)(\s+ARRAY)?\s*\)""".r
     Re.replaceAllIn(sqlText, m => {
       val base = m.group(3).toUpperCase match {
         case "BIGINT" | "INTEGER"            => "BIGINT"

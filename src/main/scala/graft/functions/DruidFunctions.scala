@@ -403,8 +403,17 @@ object DruidFunctions {
       "MV_FILTER_REGEX(a ARRAY<STRING>, r STRING) RETURNS ARRAY<STRING> " +
         "RETURN filter(a, x -> x RLIKE r)",
       // JSON_VALUE over string-encoded JSON columns (the RETURNING clause is
-      // not parsed — use the typed JSON_VALUE_* variants or CAST)
-      "JSON_VALUE(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      // not parsed — use the typed JSON_VALUE_* variants or CAST).
+      // Scalar-only like the reference (NestedDataExpressions.JsonValueExprMacro:
+      // qaJsonCols func_json_value.02 A071 pins json_value(c1,'$.a_obj') IS
+      // NULL): a subtree extraction starting '{'/'[' yields NULL. A non-JSON
+      // input string is itself a scalar at '$' (A006: json_value('ABCD','$')
+      // = 'ABCD'), which get_json_object rejects as malformed — fall back.
+      """JSON_VALUE(j STRING, p STRING) RETURNS STRING RETURN
+         CASE WHEN substring(get_json_object(j, p), 1, 1) IN ('{', '[') THEN NULL
+              WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
+              WHEN p = '$' THEN j
+              ELSE NULL END""",
       // reference BitwiseConvert{DoubleToLongBits,LongBitsToDouble}: IEEE-754
       // reinterpretation. No Spark builtin reinterprets bits, so route the
       // exponent/mantissa split through exact double arithmetic
@@ -421,7 +430,12 @@ object DruidFunctions {
       "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
       "MV_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
       "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
-      "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      // same scalar-only semantics as JSON_VALUE (RETURNING VARCHAR target)
+      """JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN
+         CASE WHEN substring(get_json_object(j, p), 1, 1) IN ('{', '[') THEN NULL
+              WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
+              WHEN p = '$' THEN j
+              ELSE NULL END""",
       "CONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN contains(s, n)",
       "ICONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN " +
         "contains(lower(s), lower(n))",
