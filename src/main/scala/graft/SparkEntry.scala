@@ -3113,6 +3113,30 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_source_protobuf_desc" -> ((s, dir) => {
+      // descriptor-file-driven flatten (reference protobuf-extensions
+      // FileBasedProtobufBytesDecoder): the schema comes from a compiled
+      // FileDescriptorSet — itself protobuf wire format, parsed by the
+      // same scanner — not from hand-supplied (fieldNo, kind) pairs
+      import graft.sources.ProtoDescriptor
+      val enc = udf((k: Long, seg: String, bal: Double) =>
+        graft.functions.ProtobufWire.encode(
+          Seq(1 -> k, 2 -> seg, 3 -> bal)))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_protodesc_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir)("customer")
+        .select(enc(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .as("msg"))
+        .write.mode("overwrite").parquet(out)
+      val desc = ProtoDescriptor.buildDescriptorSet("graft", "Customer", Seq(
+        ("c_custkey", 1, 3L), ("c_mktsegment", 2, 9L), ("c_acctbal", 3, 1L)))
+      ProtoDescriptor.flatten(s.read.parquet(out), "msg", desc, "graft.Customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // --------------------- subquery datasources (§1.1 QueryDataSource)
     "q_window_over_agg" -> ((s, dir) => {
       // the reference's windowOperator runs OVER an inner groupBy query
@@ -4884,6 +4908,12 @@ object SparkEntry {
          FROM customer GROUP BY 1 ORDER BY 1""",
 
     "q_source_protobuf" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
+                CAST(max(c_custkey) AS BIGINT) AS max_key
+         FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q_source_protobuf_desc" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
                 CAST(max(c_custkey) AS BIGINT) AS max_key

@@ -32,9 +32,16 @@ object ProtobufWire {
     * Varints decode as Long; fixed64/fixed32 as raw bits; length-delimited
     * as the byte slice.
     */
-  def findField(bytes: Array[Byte], fieldNo: Int): Option[(Int, Any)] = {
+  def findField(bytes: Array[Byte], fieldNo: Int): Option[(Int, Any)] =
+    findAll(bytes, fieldNo).lastOption
+
+  /** All occurrences of `fieldNo` in document order — repeated-field
+    * iteration (descriptor messages are built almost entirely from
+    * repeated fields).
+    */
+  def findAll(bytes: Array[Byte], fieldNo: Int): Seq[(Int, Any)] = {
     var i = 0
-    var found: Option[(Int, Any)] = None
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Any)]
     def varint(): Long = {
       var shift = 0; var acc = 0L
       while ({
@@ -65,9 +72,9 @@ object ProtobufWire {
         case other =>
           throw new IllegalArgumentException(s"unsupported wire type $other")
       }
-      if (field == fieldNo) found = Some((wire, value))
+      if (field == fieldNo) found += ((wire, value))
     }
-    found
+    found.toSeq
   }
 
   // ------------------------------------------------------------ encoder ----
@@ -132,11 +139,15 @@ case class ProtoField(child: Expression, fieldNo: Int, kind: String)
   with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
   override def dataType: DataType = kind match {
-    case "varint" => LongType
-    case "double" => DoubleType
-    case "float"  => FloatType
-    case "string" => StringType
-    case "bytes"  => BinaryType
+    case "varint"  => LongType
+    case "zigzag"  => LongType   // sint32/sint64
+    case "bool"    => BooleanType
+    case "double"  => DoubleType
+    case "float"   => FloatType
+    case "fixed64" => LongType   // fixed64/sfixed64 raw bits
+    case "fixed32" => IntegerType
+    case "string"  => StringType
+    case "bytes"   => BinaryType
     case other => throw new IllegalArgumentException(s"bad proto kind: $other")
   }
   override def nullable: Boolean = true
@@ -148,10 +159,15 @@ case class ProtoField(child: Expression, fieldNo: Int, kind: String)
       case None => null
       case Some((wire, value)) => (kind, wire) match {
         case ("varint", 0) => value.asInstanceOf[Long]
+        case ("zigzag", 0) =>
+          val v = value.asInstanceOf[Long]; (v >>> 1) ^ -(v & 1)
+        case ("bool", 0) => value.asInstanceOf[Long] != 0
         case ("double", 1) =>
           java.lang.Double.longBitsToDouble(value.asInstanceOf[Long])
+        case ("fixed64", 1) => value.asInstanceOf[Long]
         case ("float", 5) =>
           java.lang.Float.intBitsToFloat(value.asInstanceOf[Int])
+        case ("fixed32", 5) => value.asInstanceOf[Int]
         case ("string", 2) =>
           UTF8String.fromBytes(value.asInstanceOf[Array[Byte]])
         case ("bytes", 2) => value

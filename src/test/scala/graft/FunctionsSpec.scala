@@ -373,6 +373,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(3)))
   }
 
+  test("protobuf descriptor set parses and drives a typed flatten") {
+    import graft.sources.ProtoDescriptor
+    // a FileDescriptorSet is itself wire format: round-trip build → parse
+    val desc = ProtoDescriptor.buildDescriptorSet("graft", "Customer", Seq(
+      ("c_custkey", 1, 3L),     // TYPE_INT64
+      ("c_mktsegment", 2, 9L),  // TYPE_STRING
+      ("c_acctbal", 3, 1L),     // TYPE_DOUBLE
+      ("c_flag", 4, 8L),        // TYPE_BOOL
+      ("c_delta", 5, 18L)))     // TYPE_SINT64 (zigzag)
+    val schema = ProtoDescriptor.schemaFor(desc, "graft.Customer")
+    assert(schema == Seq(
+      ProtoDescriptor.FieldSpec("c_custkey", 1, "varint"),
+      ProtoDescriptor.FieldSpec("c_mktsegment", 2, "string"),
+      ProtoDescriptor.FieldSpec("c_acctbal", 3, "double"),
+      ProtoDescriptor.FieldSpec("c_flag", 4, "bool"),
+      ProtoDescriptor.FieldSpec("c_delta", 5, "zigzag")))
+    // simple-name lookup resolves; unknown name throws with the inventory
+    assert(ProtoDescriptor.schemaFor(desc, "Customer") == schema)
+    assertThrows[IllegalArgumentException](
+      ProtoDescriptor.schemaFor(desc, "Nope"))
+    // flatten an encoded message column through the parsed schema
+    // (fixture zigzag-encodes field 5: -3 → varint 5)
+    val encZ = udf((k: Long, seg: String, bal: Double, z: Long) =>
+      graft.functions.ProtobufWire.encode(Seq(
+        1 -> k, 2 -> seg, 3 -> bal, 4 -> true,
+        5 -> ((z << 1) ^ (z >> 63)))))
+    val df = Seq((10L, "AUTO", 12.5, -3L)).toDF("k", "seg", "bal", "z")
+      .select(encZ(col("k"), col("seg"), col("bal"), col("z")).as("msg"))
+    val flat = ProtoDescriptor.flatten(df, "msg", desc, "Customer")
+    assert(flat.columns.toSeq ==
+      Seq("c_custkey", "c_mktsegment", "c_acctbal", "c_flag", "c_delta"))
+    val r = flat.head()
+    assert(r.getLong(0) == 10L && r.getString(1) == "AUTO" &&
+      r.getDouble(2) == 12.5 && r.getBoolean(3) && r.getLong(4) == -3L)
+  }
+
   test("SQL TIME_CEIL: aligned stays, unaligned rounds up, calendar periods") {
     DruidFunctions.register(spark)
     val r = spark.sql(
