@@ -2007,6 +2007,29 @@ object SparkEntry {
       }""")
     }),
 
+    "q_jdbc_cursor" -> ((s, dir) => {
+      // JDBC/Avatica entry point (reference DruidAvaticaHandler +
+      // DruidJdbcPreparedStatement): prepare → signature, execute with
+      // typed positional parameters, drain the result through sequential
+      // bounded frames — proving the frame protocol is lossless vs the
+      // one-shot oracle
+      import graft.api.JdbcApi
+      val connId = s"gate-jdbc-${dir.hashCode.abs}"
+      JdbcApi.closeConnection(connId) // idempotent across re-runs
+      JdbcApi.openConnection(connId)
+      try {
+        val (stmtId, sig) = JdbcApi.prepareStatement(s, dir, connId,
+          """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                    round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev
+             FROM orders WHERE o_orderstatus = ? AND o_totalprice > ?
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+        require(sig.parameterCount == 2, s"expected 2 params, got $sig")
+        JdbcApi.execute(s, dir, connId, stmtId, Seq("F", 1000.0),
+          maxRowsInFirstFrame = 0) // metadata-only first frame
+        JdbcApi.drainToDataFrame(s, connId, stmtId, fetchMaxRowCount = 2)
+      } finally JdbcApi.closeConnection(connId)
+    }),
+
     "q_sql_api_insert" -> ((s, dir) => {
       // SQL ingestion through the API (reference DruidSqlInsert/MSQ):
       // INSERT INTO … PARTITIONED BY DAY CLUSTERED BY, read back via SQL.
@@ -4589,6 +4612,12 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(o_totalprice) AS DOUBLE) AS rev
          FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_jdbc_cursor" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS rev
+         FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_sql_api_insert" ->

@@ -1,0 +1,315 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Embedded JDBC (Avatica-model) facade — the analog of the reference's
+  * second query entry point (`sql/src/main/java/org/apache/druid/sql/avatica/
+  * DruidAvaticaHandler.java`, `DruidMeta.java`, `DruidConnection.java`,
+  * `DruidJdbcPreparedStatement.java`, `DruidJdbcResultSet.java`): bounded
+  * connections each holding a bounded set of (prepared) statements; prepare
+  * returns a signature (column + parameter metadata) without executing;
+  * execute binds typed positional parameters and serves the result as
+  * sequential frames of bounded size, Avatica `Meta.Frame`-style.
+  *
+  * Spark-first result serving: a statement's result is `df.toLocalIterator`,
+  * so the driver holds at most one partition regardless of result size —
+  * the same bounded-memory contract as the reference's `DruidJdbcResultSet`
+  * yielder (its `fetch` pulls batches from a sequence backed by the query
+  * cursor). Frames are sequential-only (`fetchOffset` must equal the rows
+  * already served), which is Avatica's actual access pattern; random seeks
+  * would re-run the query in the reference too.
+  */
+object JdbcApi {
+
+  /** Reference `AvaticaServerConfig.java` defaults. */
+  val MaxConnections = 25
+  val MaxStatementsPerConnection = 4
+  val MinRowsPerFrame = 100
+  val MaxRowsPerFrame = 5000
+  val ConnectionIdleTimeoutMs: Long = 5L * 60 * 1000
+
+  final case class ColumnMeta(name: String, sqlType: String, nullable: Boolean)
+  final case class Signature(columns: Seq[ColumnMeta], parameterCount: Int)
+  final case class Frame(offset: Long, done: Boolean, rows: Seq[Row])
+
+  final class StatementClosed(msg: String) extends IllegalStateException(msg)
+
+  private final class StatementState(val id: Int, val preparedSql: Option[String]) {
+    var signature: Option[Signature] = None
+    var schema: Option[StructType] = None
+    var iter: Option[Iterator[Row]] = None
+    var served: Long = 0L
+    var closed = false
+  }
+
+  private final class ConnectionState(val id: String,
+      val context: Map[String, String]) {
+    val statements = new ConcurrentHashMap[Int, StatementState]()
+    private val nextId = new java.util.concurrent.atomic.AtomicInteger()
+    @volatile var lastActivityMs: Long = System.currentTimeMillis()
+    def touch(): Unit = lastActivityMs = System.currentTimeMillis()
+    def allocId(): Int = nextId.incrementAndGet()
+  }
+
+  private val connections = new ConcurrentHashMap[String, ConnectionState]()
+
+  // ------------------------------------------------------------ lifecycle --
+
+  /** Open a connection (reference `DruidMeta.openConnection`): fails beyond
+    * [[MaxConnections]] like the reference's "too many connections".
+    * `context` entries become per-query context (sqlTimeZone etc.).
+    */
+  def openConnection(connectionId: String,
+      context: Map[String, String] = Map.empty): Unit = {
+    if (connections.size >= MaxConnections &&
+        !connections.containsKey(connectionId))
+      throw new IllegalStateException(
+        s"too many connections (max $MaxConnections)")
+    val prev = connections.putIfAbsent(
+      connectionId, new ConnectionState(connectionId, context))
+    if (prev != null)
+      throw new IllegalStateException(s"connection $connectionId already open")
+  }
+
+  def closeConnection(connectionId: String): Unit =
+    connections.remove(connectionId)
+
+  /** Reap idle connections (reference's connection timeout future). Returns
+    * the ids closed. Caller-driven, matching the embedded-library shape.
+    */
+  def closeIdle(nowMs: Long = System.currentTimeMillis(),
+      idleTimeoutMs: Long = ConnectionIdleTimeoutMs): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val dead = connections.asScala.collect {
+      case (id, c) if nowMs - c.lastActivityMs >= idleTimeoutMs => id
+    }.toSeq
+    dead.foreach(connections.remove)
+    dead
+  }
+
+  def openConnectionCount: Int = connections.size
+
+  private def conn(connectionId: String): ConnectionState = {
+    val c = connections.get(connectionId)
+    if (c == null)
+      throw new IllegalStateException(s"no such connection: $connectionId")
+    c.touch()
+    c
+  }
+
+  private def stmt(c: ConnectionState, statementId: Int): StatementState = {
+    val s = c.statements.get(statementId)
+    if (s == null || s.closed)
+      throw new StatementClosed(s"statement $statementId is closed")
+    s
+  }
+
+  private def allocStatement(c: ConnectionState,
+      preparedSql: Option[String]): StatementState = {
+    if (c.statements.size >= MaxStatementsPerConnection)
+      throw new IllegalStateException(
+        s"too many open statements (max $MaxStatementsPerConnection)")
+    val s = new StatementState(c.allocId(), preparedSql)
+    c.statements.put(s.id, s)
+    s
+  }
+
+  // ------------------------------------------------------------ statements --
+
+  /** Plain statement (reference `DruidJdbcStatement`): SQL arrives at
+    * execute time.
+    */
+  def createStatement(connectionId: String): Int =
+    allocStatement(conn(connectionId), None).id
+
+  /** Prepared statement (reference `DruidJdbcPreparedStatement.prepare`):
+    * plans the query NOW — invalid SQL fails here, not at execute — and
+    * returns the signature. Parameter types are not inferred (the reference
+    * returns them from Calcite; here every placeholder reports OTHER and the
+    * execute-time typed value decides).
+    */
+  def prepareStatement(spark: SparkSession, dir: String, connectionId: String,
+      sql: String): (Int, Signature) = {
+    val c = conn(connectionId)
+    val nParams = countPlaceholders(sql)
+    // plan with NULL stand-ins for placeholders: schema derivation without
+    // execution, like the reference's prepare-only Calcite pass
+    val planned = runPayload(spark, dir, sql,
+      Seq.fill(nParams)(JObject("type" -> JString("OTHER"), "value" -> JNull)),
+      c.context)
+    val sig = Signature(planned.schema.fields.toSeq.map(f =>
+      ColumnMeta(f.name, f.dataType.sql, f.nullable)), nParams)
+    val s = allocStatement(c, Some(sql))
+    s.signature = Some(sig)
+    s.schema = Some(planned.schema)
+    (s.id, sig)
+  }
+
+  def signature(connectionId: String, statementId: Int): Signature =
+    stmt(conn(connectionId), statementId).signature.getOrElse(
+      throw new IllegalStateException(s"statement $statementId not prepared"))
+
+  /** Execute a prepared statement with typed positional parameters
+    * (reference `DruidJdbcPreparedStatement.execute(List<TypedValue>)`);
+    * re-executable — a new execute discards the previous result set. Returns
+    * the first frame.
+    */
+  def execute(spark: SparkSession, dir: String, connectionId: String,
+      statementId: Int, parameters: Seq[Any] = Nil,
+      maxRowsInFirstFrame: Int = MaxRowsPerFrame): Frame = {
+    val c = conn(connectionId)
+    val s = stmt(c, statementId)
+    val sql = s.preparedSql.getOrElse(throw new IllegalStateException(
+      s"statement $statementId has no SQL: use executeQuery"))
+    startResult(spark, dir, c, s, sql, parameters)
+    frame(s, 0L, maxRowsInFirstFrame)
+  }
+
+  /** Direct-SQL execute on a plain statement (reference
+    * `DruidJdbcStatement.execute`).
+    */
+  def executeQuery(spark: SparkSession, dir: String, connectionId: String,
+      statementId: Int, sql: String, parameters: Seq[Any] = Nil,
+      maxRowsInFirstFrame: Int = MaxRowsPerFrame): Frame = {
+    val c = conn(connectionId)
+    val s = stmt(c, statementId)
+    startResult(spark, dir, c, s, sql, parameters)
+    frame(s, 0L, maxRowsInFirstFrame)
+  }
+
+  /** Fetch the next frame (reference `DruidJdbcResultSet.nextFrame`):
+    * sequential access only, fetch size clamped to
+    * [[MinRowsPerFrame]]..[[MaxRowsPerFrame]] like `AvaticaServerConfig`.
+    */
+  def nextFrame(connectionId: String, statementId: Int, fetchOffset: Long,
+      fetchMaxRowCount: Int): Frame = {
+    val s = stmt(conn(connectionId), statementId)
+    frame(s, fetchOffset, fetchMaxRowCount)
+  }
+
+  def closeStatement(connectionId: String, statementId: Int): Unit = {
+    val c = conn(connectionId)
+    val s = c.statements.remove(statementId)
+    if (s != null) { s.closed = true; s.iter = None }
+  }
+
+  def resultSchema(connectionId: String, statementId: Int): StructType =
+    stmt(conn(connectionId), statementId).schema.getOrElse(
+      throw new IllegalStateException(s"statement $statementId has no result"))
+
+  // -------------------------------------------------------------- internals --
+
+  private def startResult(spark: SparkSession, dir: String,
+      c: ConnectionState, s: StatementState, sql: String,
+      parameters: Seq[Any]): Unit = {
+    val df = runPayload(spark, dir, sql, parameters.map(typedValue), c.context)
+    s.schema = Some(df.schema)
+    // one partition of driver memory max, like the reference's yielder
+    import scala.jdk.CollectionConverters._
+    s.iter = Some(df.toLocalIterator().asScala)
+    s.served = 0L
+  }
+
+  private def frame(s: StatementState, fetchOffset: Long,
+      fetchMaxRowCount: Int): Frame = {
+    val it = s.iter.getOrElse(throw new IllegalStateException(
+      s"statement ${s.id}: no result set (execute first)"))
+    if (fetchOffset != s.served)
+      throw new IllegalArgumentException(
+        s"non-sequential fetch: offset $fetchOffset, cursor at ${s.served}")
+    // 0 = metadata-only first frame (Avatica allows it); otherwise clamp to
+    // the server's frame-size window like AvaticaServerConfig
+    val n =
+      if (fetchMaxRowCount <= 0) 0
+      else math.min(math.max(fetchMaxRowCount, MinRowsPerFrame), MaxRowsPerFrame)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (buf.length < n && it.hasNext) buf += it.next()
+    val off = s.served
+    s.served += buf.length
+    Frame(off, done = !it.hasNext, rows = buf.toSeq)
+  }
+
+  /** Drain every frame of an executed statement back into a DataFrame —
+    * test/verification helper proving the frame protocol is lossless.
+    */
+  def drainToDataFrame(spark: SparkSession, connectionId: String,
+      statementId: Int, fetchMaxRowCount: Int = MaxRowsPerFrame): DataFrame = {
+    val schema = resultSchema(connectionId, statementId)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var off = stmt(conn(connectionId), statementId).served
+    var done = false
+    while (!done) {
+      val f = nextFrame(connectionId, statementId, off, fetchMaxRowCount)
+      all ++= f.rows
+      off = f.offset + f.rows.length
+      done = f.done
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(all.asJava, schema)
+  }
+
+  private def runPayload(spark: SparkSession, dir: String, sql: String,
+      params: Seq[JValue], context: Map[String, String]): DataFrame = {
+    val payload = JObject(
+      "query" -> JString(sql),
+      "parameters" -> JArray(params.toList),
+      "context" -> JObject(context.map { case (k, v) =>
+        k -> (JString(v): JValue) }.toList))
+    SqlApi.run(spark, dir, JsonMethods.compact(JsonMethods.render(payload)))
+  }
+
+  /** Scala value → the reference's typed-parameter JSON (`SqlParameter`). */
+  private def typedValue(v: Any): JValue = v match {
+    case null               => JObject("type" -> JString("OTHER"), "value" -> JNull)
+    case (t: String, x)     => JObject("type" -> JString(t), "value" -> anyJson(x))
+    case s: String          => JObject("type" -> JString("VARCHAR"), "value" -> JString(s))
+    case b: Boolean         => JObject("type" -> JString("BOOLEAN"), "value" -> JBool(b))
+    case i: Int             => JObject("type" -> JString("BIGINT"), "value" -> JLong(i.toLong))
+    case l: Long            => JObject("type" -> JString("BIGINT"), "value" -> JLong(l))
+    case d: Double          => JObject("type" -> JString("DOUBLE"), "value" -> JDouble(d))
+    case f: Float           => JObject("type" -> JString("DOUBLE"), "value" -> JDouble(f.toDouble))
+    case t: java.sql.Timestamp =>
+      JObject("type" -> JString("TIMESTAMP"), "value" -> JLong(t.getTime))
+    case d: java.sql.Date   =>
+      JObject("type" -> JString("DATE"), "value" -> JString(d.toString))
+    case other => throw new IllegalArgumentException(
+      s"unsupported parameter type: ${other.getClass}")
+  }
+
+  private def anyJson(v: Any): JValue = v match {
+    case null       => JNull
+    case s: String  => JString(s)
+    case b: Boolean => JBool(b)
+    case i: Int     => JLong(i.toLong)
+    case l: Long    => JLong(l)
+    case d: Double  => JDouble(d)
+    case other      => JString(other.toString)
+  }
+
+  /** Count `?` placeholders outside quoted regions and line comments —
+    * the same lexical rules as [[SqlApi.bind]].
+    */
+  private[graft] def countPlaceholders(sql: String): Int = {
+    var i = 0; var n = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' | '"' =>
+          val q = sql.charAt(i); i += 1
+          while (i < sql.length && sql.charAt(i) != q) i += 1
+          i += 1
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          val nl = sql.indexOf('\n', i)
+          i = if (nl < 0) sql.length else nl + 1
+        case '?' => n += 1; i += 1
+        case _ => i += 1
+      }
+    }
+    n
+  }
+}
