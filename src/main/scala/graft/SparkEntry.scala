@@ -1941,6 +1941,122 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ------------------------------------------- qaSql scalar batteries ----
+    // (reference quidem-ut qaSql/scalar_*.iq: per-datatype operator
+    // batteries — comparison/pattern/set ops over computed strings, math
+    // identities, greatest/least null-skipping, druid time fns vs ANSI
+    // derivations, null-handling fns, ipv4 fns — ported from the kttm
+    // fixture onto the events table; each predicate battery must hold for
+    // every row, so the oracle pins the engine's operator semantics)
+    "q_qa_sql_string_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
+        WHERE ('1'||event_type IS NULL
+           OR ('1'||event_type = '1'||event_type
+               AND '1'||event_type IS NOT DISTINCT FROM '1'||event_type
+               AND '1'||event_type <> '0'||event_type
+               AND ('1'||event_type IS DISTINCT FROM '0'||event_type)
+               AND '1'||event_type > '0'||event_type
+               AND '1'||event_type >= '0'||event_type
+               AND '1'||event_type < '2'||event_type
+               AND '1'||event_type <= '2'||event_type
+               AND ('1'||event_type <> '0'||event_type) IS TRUE
+               AND ('1'||event_type = '0'||event_type) IS NOT TRUE
+               AND ('1'||event_type = '0'||event_type) IS FALSE
+               AND ('1'||event_type <> '0'||event_type) IS NOT FALSE
+               AND '1'||event_type BETWEEN '0'||event_type AND '2'||event_type
+               AND '1'||event_type NOT BETWEEN '1'||event_type AND '0'||event_type
+               AND '1'||event_type LIKE '%'
+               AND '1'||event_type NOT LIKE 'ZZZ%'
+               AND '1'||event_type IN ('0'||event_type, '1'||event_type, '2'||event_type)
+               AND '1'||event_type NOT IN ('0'||event_type, '2'||event_type)))""")
+    }),
+
+    "q_qa_sql_numeric_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(CASE WHEN abs(TRUNCATE(value, 1)) <= abs(value)
+                            AND abs(value) - abs(TRUNCATE(value, 1)) < 0.1
+                           THEN 1 END) AS BIGINT) AS n_trunc
+        FROM events
+        WHERE floor(value) <= value AND ceil(value) >= value
+          AND abs(value) >= 0
+          AND sqrt(abs(value)) >= 0
+          AND power(abs(value) + 1, 2) >= 1
+          AND exp(0 * value) = 1
+          AND ln(abs(value) + 1) >= 0
+          AND round(value, 2) BETWEEN value - 0.006 AND value + 0.006
+          AND mod(CAST(floor(abs(value) * 100) AS BIGINT), 7) BETWEEN 0 AND 6
+          AND greatest(value, value + 1) = value + 1
+          AND least(value, value - 1) = value - 1
+          AND sin(value) * sin(value) + cos(value) * cos(value)
+                BETWEEN 0.999999 AND 1.000001""")
+    }),
+
+    "q_qa_sql_reduction" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(greatest(value, 0.5)), 3) AS g_sum,
+               round(sum(least(value, 0.5)), 3) AS l_sum,
+               CAST(count(CASE WHEN greatest(value, CAST(NULL AS DOUBLE)) = value
+                           THEN 1 END) AS BIGINT) AS g_skipnull,
+               CAST(count(CASE WHEN least(value, CAST(NULL AS DOUBLE)) = value
+                           THEN 1 END) AS BIGINT) AS l_skipnull
+        FROM events""")
+    }),
+
+    "q_qa_sql_datetime_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT date_format(min(TIME_FLOOR(ts, 'PT1H')), 'yyyy-MM-dd HH:mm:ss') AS min_floor,
+               date_format(max(TIME_CEIL(ts, 'PT1H')), 'yyyy-MM-dd HH:mm:ss') AS max_ceil,
+               date_format(max(TIME_SHIFT(ts, 'P1D', 2)), 'yyyy-MM-dd HH:mm:ss') AS max_shift,
+               CAST(sum(TIME_EXTRACT(ts, 'HOUR')) AS BIGINT) AS sum_hour,
+               CAST(count(CASE WHEN TIME_IN_INTERVAL(ts, '2024-01-01/2024-02-01')
+                           THEN 1 END) AS BIGINT) AS n_in,
+               CAST(count(CASE WHEN MILLIS_TO_TIMESTAMP(TIMESTAMP_TO_MILLIS(ts)) <= ts
+                           THEN 1 END) AS BIGINT) AS n_millis_rt,
+               CAST(count(CASE WHEN TIME_PARSE(TIME_FORMAT(ts, 'yyyy-MM-dd HH:mm:ss'),
+                                               'yyyy-MM-dd HH:mm:ss')
+                              = date_trunc('second', ts)
+                           THEN 1 END) AS BIGINT) AS n_parse_rt
+        FROM events""")
+    }),
+
+    "q_qa_sql_other_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(CASE WHEN NVL(NULLIF(event_type, 'zzz'), 'd') = event_type
+                      THEN 1 END) AS BIGINT) AS n_nvl,
+          CAST(count(CASE WHEN COALESCE(NULLIF('', ''), event_type) = event_type
+                      THEN 1 END) AS BIGINT) AS n_coal,
+          CAST(count(CASE WHEN LTRIM('  ' || event_type) = event_type
+                      THEN 1 END) AS BIGINT) AS n_ltrim,
+          CAST(count(CASE WHEN CAST(CAST(user_id AS STRING) AS BIGINT) = user_id
+                      THEN 1 END) AS BIGINT) AS n_cast,
+          CAST(count(CASE WHEN CAST(floor(value) AS BIGINT) <= value
+                      THEN 1 END) AS BIGINT) AS n_floor_cast
+        FROM events""")
+    }),
+
+    "q_qa_sql_ipv4_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(count(CASE WHEN IPV4_MATCH(ip, '10.0.0.0/8') THEN 1 END) AS BIGINT) AS n_match,
+               CAST(count(CASE WHEN IPV4_STRINGIFY(IPV4_PARSE(ip)) = ip THEN 1 END) AS BIGINT) AS n_rt,
+               CAST(sum(IPV4_PARSE(ip) % 256) AS BIGINT) AS sum_last
+        FROM (SELECT '10.' || CAST(user_id % 256 AS STRING) || '.0.' ||
+                     CAST(1 + user_id % 200 AS STRING) AS ip
+              FROM events)""")
+    }),
+
     // ----------------------------------------------------------- search (§2.11)
     "q_search" -> ((s, dir) => {
       NQ.search(t(s, dir)("part"), Seq("p_brand", "p_type"), "bra")
@@ -4561,6 +4677,91 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_sql_string_battery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
+         WHERE ('1'||event_type IS NULL
+            OR ('1'||event_type = '1'||event_type
+                AND '1'||event_type IS NOT DISTINCT FROM '1'||event_type
+                AND '1'||event_type <> '0'||event_type
+                AND ('1'||event_type IS DISTINCT FROM '0'||event_type)
+                AND '1'||event_type > '0'||event_type
+                AND '1'||event_type >= '0'||event_type
+                AND '1'||event_type < '2'||event_type
+                AND '1'||event_type <= '2'||event_type
+                AND ('1'||event_type <> '0'||event_type) IS TRUE
+                AND ('1'||event_type = '0'||event_type) IS NOT TRUE
+                AND ('1'||event_type = '0'||event_type) IS FALSE
+                AND ('1'||event_type <> '0'||event_type) IS NOT FALSE
+                AND '1'||event_type BETWEEN '0'||event_type AND '2'||event_type
+                AND '1'||event_type NOT BETWEEN '1'||event_type AND '0'||event_type
+                AND '1'||event_type LIKE '%'
+                AND '1'||event_type NOT LIKE 'ZZZ%'
+                AND '1'||event_type IN ('0'||event_type, '1'||event_type, '2'||event_type)
+                AND '1'||event_type NOT IN ('0'||event_type, '2'||event_type)))""",
+
+    "q_qa_sql_numeric_battery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+                CAST(count(CASE WHEN abs(trunc(value * 10) / 10) <= abs(value)
+                             AND abs(value) - abs(trunc(value * 10) / 10) < 0.1
+                            THEN 1 END) AS BIGINT) AS n_trunc
+         FROM events
+         WHERE floor(value) <= value AND ceil(value) >= value
+           AND abs(value) >= 0
+           AND sqrt(abs(value)) >= 0
+           AND power(abs(value) + 1, 2) >= 1
+           AND exp(0 * value) = 1
+           AND ln(abs(value) + 1) >= 0
+           AND round(value, 2) BETWEEN value - 0.006 AND value + 0.006
+           AND mod(CAST(floor(abs(value) * 100) AS BIGINT), 7) BETWEEN 0 AND 6
+           AND greatest(value, value + 1) = value + 1
+           AND least(value, value - 1) = value - 1
+           AND sin(value) * sin(value) + cos(value) * cos(value)
+                 BETWEEN 0.999999 AND 1.000001""",
+
+    "q_qa_sql_reduction" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+                round(CAST(sum(greatest(value, 0.5)) AS DOUBLE), 3) AS g_sum,
+                round(CAST(sum(least(value, 0.5)) AS DOUBLE), 3) AS l_sum,
+                CAST(count(CASE WHEN greatest(value, NULL) = value
+                            THEN 1 END) AS BIGINT) AS g_skipnull,
+                CAST(count(CASE WHEN least(value, NULL) = value
+                            THEN 1 END) AS BIGINT) AS l_skipnull
+         FROM events""",
+
+    "q_qa_sql_datetime_battery" ->
+      """SELECT strftime(min(date_trunc('hour', ts)), '%Y-%m-%d %H:%M:%S') AS min_floor,
+                strftime(max(CASE WHEN date_trunc('hour', ts) = ts THEN ts
+                                  ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END),
+                         '%Y-%m-%d %H:%M:%S') AS max_ceil,
+                strftime(max(ts + INTERVAL 2 DAY), '%Y-%m-%d %H:%M:%S') AS max_shift,
+                CAST(sum(extract(hour FROM ts)) AS BIGINT) AS sum_hour,
+                CAST(count(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+                                 AND ts < TIMESTAMP '2024-02-01'
+                            THEN 1 END) AS BIGINT) AS n_in,
+                CAST(count(*) AS BIGINT) AS n_millis_rt,
+                CAST(count(*) AS BIGINT) AS n_parse_rt
+         FROM events""",
+
+    "q_qa_sql_other_battery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(CASE WHEN coalesce(NULLIF(event_type, 'zzz'), 'd') = event_type
+                       THEN 1 END) AS BIGINT) AS n_nvl,
+           CAST(count(CASE WHEN COALESCE(NULLIF('', ''), event_type) = event_type
+                       THEN 1 END) AS BIGINT) AS n_coal,
+           CAST(count(CASE WHEN LTRIM('  ' || event_type) = event_type
+                       THEN 1 END) AS BIGINT) AS n_ltrim,
+           CAST(count(CASE WHEN CAST(CAST(user_id AS VARCHAR) AS BIGINT) = user_id
+                       THEN 1 END) AS BIGINT) AS n_cast,
+           CAST(count(CASE WHEN CAST(floor(value) AS BIGINT) <= value
+                       THEN 1 END) AS BIGINT) AS n_floor_cast
+         FROM events""",
+
+    "q_qa_sql_ipv4_battery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_match,
+                CAST(count(*) AS BIGINT) AS n_rt,
+                CAST(sum(1 + user_id % 200) AS BIGINT) AS sum_last
+         FROM events""",
 
     "q_search" ->
       """SELECT dimension, value, cnt FROM (
