@@ -3794,6 +3794,25 @@ object SparkEntry {
         .select(col("asset_id"), col("media_type"), col("n_bytes").cast("long").as("n_bytes"),
           col("checksum"), size(col("features")).cast("long").as("feat_dim"))
         .orderBy(col("asset_id"))
+    }),
+
+    "q_multimodal_decode" -> ((s, dir) => {
+      // REAL image decode through the JDK's bundled PNG codec: synthesize a
+      // deterministic PNG per doc (closed-form channel values), decode it
+      // back with javax.imageio partition-parallel, and emit per-channel
+      // means — the oracle recomputes the same means arithmetically, so the
+      // gate proves encode→PNG→decode is lossless through a real codec
+      val mk = udf((id: Long) =>
+        Multimodal.syntheticPng(id, (16 + id % 8).toInt, 16))
+      val assets = t(s, dir)("documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("asset_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.decodeImageFeatures(assets)
+        .select(col("asset_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy(col("asset_id"))
     })
   ) ++ QaSuites.queries
 
@@ -5430,6 +5449,24 @@ object SparkEntry {
                 md5(text) AS checksum,
                 CAST(8 AS BIGINT) AS feat_dim
          FROM documents ORDER BY asset_id""",
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+                CAST(16 + doc_id % 8 AS BIGINT) AS width,
+                CAST(16 AS BIGINT) AS height,
+                round(list_sum(list_transform(
+                    range(0, CAST(16 + doc_id % 8 AS INTEGER)),
+                    gx -> CAST((gx * 31 + doc_id) % 256 AS DOUBLE)))
+                  / (16 + doc_id % 8), 4) AS mean_r,
+                round(list_sum(list_transform(range(0, 16),
+                    gy -> CAST((gy * 17 + doc_id) % 256 AS DOUBLE)))
+                  / 16, 4) AS mean_g,
+                round(list_sum(list_transform(
+                    range(0, CAST(16 + doc_id % 8 AS INTEGER)),
+                    gx -> list_sum(list_transform(range(0, 16),
+                      gy -> CAST((gx + gy + doc_id) % 256 AS DOUBLE)))))
+                  / ((16 + doc_id % 8) * 16), 4) AS mean_b
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
     "q_text_profile" ->
       """WITH base AS (

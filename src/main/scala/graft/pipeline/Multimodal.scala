@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. The actual media codecs are NOT available in this
-  * environment, so the decode step is a clearly-marked deterministic stub —
-  * but the Spark-side contract (schema, batch shape, partition-parallel
-  * execution, metadata columns) is real and tested.
+  * with typed metadata.
+  *
+  * Codec status in this environment, probed not assumed: the JDK bundles
+  * `javax.imageio` readers (PNG/JPEG/GIF/BMP/TIFF — see
+  * [[availableImageCodecs]]), so the IMAGE decode path
+  * ([[decodeImageFeatures]]) is a REAL decode through a real codec. Audio
+  * and video codecs are genuinely absent, so those decode steps remain
+  * clearly-marked deterministic stubs with the production schema / batch
+  * shape / partition-parallel execution.
   *
   * At 100 TB the pattern is: binary payloads stay in parquet (or are
   * path-references into object storage), decode/feature-extract runs
@@ -16,6 +21,81 @@ import org.apache.spark.sql.types._
   * feature vectors shuffle.
   */
 object Multimodal {
+
+  /** Image formats the JVM can actually decode (javax.imageio registry). */
+  def availableImageCodecs: Seq[String] =
+    javax.imageio.ImageIO.getReaderFormatNames.toSeq
+      .map(_.toLowerCase).distinct.sorted
+
+  /** REAL image decode via the JDK's bundled imageio codecs: per-partition
+    * `mapPartitions` (codec scanner init amortizes across the partition),
+    * per-image width/height + exact per-channel means from the decoded
+    * raster. Undecodable payloads yield NULL feature columns instead of
+    * failing the batch, like the reference's input-format error rows.
+    */
+  def decodeImageFeatures(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select(col("asset_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          org.apache.spark.sql.Row(id, null, null, null, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          org.apache.spark.sql.Row(id, w, h,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture-side counterpart: a deterministic synthetic PNG (the channel
+    * values are closed-form in (x, y, id), so an oracle can recompute the
+    * decoded means arithmetically — proving the encode→PNG→decode loop is
+    * lossless through a real codec).
+    */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 31 + id) % 256).toInt
+        val g = ((y * 17 + id) % 256).toInt
+        val b = ((x + y + id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /** Schema of a multimodal asset row. */
   val assetSchema: StructType = StructType(Seq(
