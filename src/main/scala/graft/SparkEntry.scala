@@ -1941,6 +1941,68 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---------------------------------------- Calcite join-shape corpus ----
+    // (reference sql/src/test/quidem CalciteJoinQueryTest shapes, ported
+    // onto the TPC-H tables: semi+anti join in one query, union-of-inputs
+    // against a dimension, inline datasources with outer where, nested
+    // aggregation over an aggregate, extraction functions inside an IN
+    // subquery)
+    "q_qa_join_semi_anti_simul" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity > 49)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    "q_qa_join_union_inputs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+          UNION ALL
+          SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000) u
+        JOIN nation ON u.k = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")
+    }),
+
+    "q_qa_join_inline_outer_where" -> ((s, dir) => {
+      s.sql("""
+        SELECT a.k, a.v, b.v AS bv
+        FROM (SELECT * FROM VALUES (1, 'x'), (2, 'y'), (3, 'z') AS t(k, v)) a
+        LEFT JOIN (SELECT * FROM VALUES (1, 'p'), (3, 'q') AS t(k, v)) b
+          ON a.k = b.k
+        WHERE b.v IS NULL OR b.v = 'q'
+        ORDER BY a.k""")
+    }),
+
+    "q_qa_nested_groupby_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT pri_class, CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(n) AS BIGINT) AS total
+        FROM (SELECT substring(o_orderpriority, 1, 1) AS pri_class,
+                     o_orderpriority, count(*) AS n
+              FROM orders WHERE o_orderstatus = 'O'
+              GROUP BY o_orderpriority)
+        GROUP BY pri_class ORDER BY pri_class""")
+    }),
+
+    "q_qa_subq_extraction_fn" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT substring(o_orderpriority, 1, 1) AS p, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE substring(o_orderpriority, 1, 1)
+                IN (SELECT substring(c_mktsegment, 1, 1) FROM customer)
+        GROUP BY substring(o_orderpriority, 1, 1)
+        ORDER BY p""")
+    }),
+
     // ------------------------------------------- qaSql scalar batteries ----
     // (reference quidem-ut qaSql/scalar_*.iq: per-datatype operator
     // batteries — comparison/pattern/set ops over computed strings, math
@@ -4696,6 +4758,48 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_join_semi_anti_simul" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+           AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                  WHERE l_quantity > 49)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_qa_join_union_inputs" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+           UNION ALL
+           SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000) u
+         JOIN nation ON u.k = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_qa_join_inline_outer_where" ->
+      """SELECT a.k, a.v, b.v AS bv
+         FROM (SELECT * FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(k, v)) a
+         LEFT JOIN (SELECT * FROM (VALUES (1, 'p'), (3, 'q')) t(k, v)) b
+           ON a.k = b.k
+         WHERE b.v IS NULL OR b.v = 'q'
+         ORDER BY a.k""",
+
+    "q_qa_nested_groupby_agg" ->
+      """SELECT pri_class, CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n) AS BIGINT) AS total
+         FROM (SELECT substring(o_orderpriority, 1, 1) AS pri_class,
+                      o_orderpriority, count(*) AS n
+               FROM orders WHERE o_orderstatus = 'O'
+               GROUP BY o_orderpriority)
+         GROUP BY pri_class ORDER BY pri_class""",
+
+    "q_qa_subq_extraction_fn" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS p, CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         WHERE substring(o_orderpriority, 1, 1)
+                 IN (SELECT substring(c_mktsegment, 1, 1) FROM customer)
+         GROUP BY substring(o_orderpriority, 1, 1)
+         ORDER BY p""",
 
     "q_qa_sql_string_battery" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
