@@ -1941,6 +1941,34 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ------------------------------------------------ kttm vis shapes ----
+    // (reference quidem-ut kttm_* generated visualization queries: numeric
+    // bucketing via FLOOR(x/w)*w with a time filter + LIMIT, and the
+    // hour×weekday heatmap grid)
+    "q_qa_kttm_bucket" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5
+        ORDER BY bucket ASC LIMIT 101""")
+    }),
+
+    "q_qa_kttm_heatmap" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(extract(HOUR FROM ts) AS BIGINT) AS h,
+               CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS sum_v
+        FROM events
+        GROUP BY extract(HOUR FROM ts), dayofweek(ts) - 1
+        ORDER BY h, dow""")
+    }),
+
     // ---------------------------------------- Calcite join-shape corpus ----
     // (reference sql/src/test/quidem CalciteJoinQueryTest shapes, ported
     // onto the TPC-H tables: semi+anti join in one query, union-of-inputs
@@ -4758,6 +4786,22 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_kttm_bucket" ->
+      """SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+           AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1 ORDER BY bucket ASC LIMIT 101""",
+
+    "q_qa_kttm_heatmap" ->
+      """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+                CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+                CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(value) AS DOUBLE), 3) AS sum_v
+         FROM events
+         GROUP BY 1, 2 ORDER BY h, dow""",
 
     "q_qa_join_semi_anti_simul" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
