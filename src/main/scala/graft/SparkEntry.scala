@@ -1941,6 +1941,44 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ------------------------------------------------- qaWin frame matrix ----
+    // (reference qaWin orderby_{rows,range}_* suites: the systematic frame
+    // boundary matrix — both-preceding / both-following / zero-width /
+    // unbounded-to-preceding frames over ROWS, and value-offset RANGE
+    // frames — in one pinned query over a deterministic inner aggregate)
+    "q_qa_win_frame_matrix" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH base AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE user_id < 50
+          GROUP BY user_id, event_type)
+        SELECT user_id, event_type, n,
+          CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1p_cur,
+          CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS BIGINT) AS s_cur_1f,
+          CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS s_zero,
+          CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_2p_1p,
+          CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS s_1f_2f,
+          CAST(sum(n) OVER (PARTITION BY user_id ORDER BY n
+            RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_rng_1p,
+          CAST(sum(n) OVER (PARTITION BY user_id ORDER BY n
+            RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) AS BIGINT) AS s_rng_1f,
+          CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_ub_1p,
+          CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_1f_ub,
+          first_value(n) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv,
+          last_value(n) OVER (PARTITION BY user_id ORDER BY event_type
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv
+        FROM base ORDER BY user_id, event_type""")
+    }),
+
     // ------------------------------------------------ kttm vis shapes ----
     // (reference quidem-ut kttm_* generated visualization queries: numeric
     // bucketing via FLOOR(x/w)*w with a time filter + LIMIT, and the
@@ -4786,6 +4824,36 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_win_frame_matrix" ->
+      """WITH base AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events WHERE user_id < 50
+           GROUP BY user_id, event_type)
+         SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1p_cur,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS BIGINT) AS s_cur_1f,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS s_zero,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_2p_1p,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS s_1f_2f,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY n
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_rng_1p,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY n
+             RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) AS BIGINT) AS s_rng_1f,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_ub_1p,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_1f_ub,
+           CAST(first_value(n) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS fv,
+           CAST(last_value(n) OVER (PARTITION BY user_id ORDER BY event_type
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS lv
+         FROM base ORDER BY user_id, event_type""",
 
     "q_qa_kttm_bucket" ->
       """SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bucket,
