@@ -2061,11 +2061,11 @@ object SparkEntry {
     "q_qa_subq_extraction_fn" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
-        SELECT substring(o_orderpriority, 1, 1) AS p, CAST(count(*) AS BIGINT) AS n
+        SELECT substring(o_orderpriority, 3, 1) AS p, CAST(count(*) AS BIGINT) AS n
         FROM orders
-        WHERE substring(o_orderpriority, 1, 1)
+        WHERE substring(o_orderpriority, 3, 1)
                 IN (SELECT substring(c_mktsegment, 1, 1) FROM customer)
-        GROUP BY substring(o_orderpriority, 1, 1)
+        GROUP BY substring(o_orderpriority, 3, 1)
         ORDER BY p""")
     }),
 
@@ -4906,11 +4906,11 @@ object SparkEntry {
          GROUP BY pri_class ORDER BY pri_class""",
 
     "q_qa_subq_extraction_fn" ->
-      """SELECT substring(o_orderpriority, 1, 1) AS p, CAST(count(*) AS BIGINT) AS n
+      """SELECT substring(o_orderpriority, 3, 1) AS p, CAST(count(*) AS BIGINT) AS n
          FROM orders
-         WHERE substring(o_orderpriority, 1, 1)
+         WHERE substring(o_orderpriority, 3, 1)
                  IN (SELECT substring(c_mktsegment, 1, 1) FROM customer)
-         GROUP BY substring(o_orderpriority, 1, 1)
+         GROUP BY substring(o_orderpriority, 3, 1)
          ORDER BY p""",
 
     "q_qa_sql_string_battery" ->
