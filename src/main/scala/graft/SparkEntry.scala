@@ -1941,6 +1941,54 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // -------------------------------------- Calcite misc corpus shapes ----
+    // (reference sql quidem: filtered_sum — FILTER aggregates over
+    // empty-after-WHERE input; notinvalues — NOT IN a VALUES subquery;
+    // grouping_sets_single_value_filter — a WHERE-pinned dim inside
+    // GROUPING SETS; interval_arithmetic — CURRENT_TIMESTAMP ± INTERVAL)
+    "q_qa_filtered_sum_empty" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(count(1) FILTER (WHERE user_id = -1) AS BIGINT) AS c_eq,
+               CAST(count(1) FILTER (WHERE user_id <> -1) AS BIGINT) AS c_ne,
+               (min(value) IS NULL) AS min_null,
+               CAST(sum(CASE WHEN user_id = -1 THEN event_id ELSE 0 END) AS BIGINT) AS s_case,
+               CAST(sum(event_id) FILTER (WHERE user_id = -1) AS BIGINT) AS s_filter
+        FROM events WHERE user_id < -1""")
+    }),
+
+    "q_qa_notin_values" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE user_id NOT IN (SELECT col FROM VALUES (-1), (-999) AS t(col))
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    "q_qa_grouping_sets_filtered_dim" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH base AS (SELECT event_type, CAST(user_id % 3 AS STRING) AS u3
+                      FROM events)
+        SELECT event_type, u3, CAST(count(*) AS BIGINT) AS n
+        FROM base WHERE event_type = 'click'
+        GROUP BY GROUPING SETS ((u3, event_type), (u3))
+        ORDER BY u3, event_type NULLS FIRST""")
+    }),
+
+    "q_qa_interval_arith" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(count(CASE WHEN ts < CURRENT_TIMESTAMP - INTERVAL '1' DAY
+                           THEN 1 END) AS BIGINT) AS n_past,
+               CAST(count(CASE WHEN ts > CURRENT_TIMESTAMP + INTERVAL '1' DAY
+                           THEN 1 END) AS BIGINT) AS n_future,
+               date_format(max(ts + INTERVAL '2' DAY), 'yyyy-MM-dd HH:mm:ss') AS max_plus2,
+               date_format(min(ts - INTERVAL '3' HOUR), 'yyyy-MM-dd HH:mm:ss') AS min_minus3h
+        FROM events""")
+    }),
+
     // ------------------------------------------------- qaWin frame matrix ----
     // (reference qaWin orderby_{rows,range}_* suites: the systematic frame
     // boundary matrix — both-preceding / both-following / zero-width /
@@ -4824,6 +4872,37 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_filtered_sum_empty" ->
+      """SELECT CAST(count(1) FILTER (WHERE user_id = -1) AS BIGINT) AS c_eq,
+                CAST(count(1) FILTER (WHERE user_id <> -1) AS BIGINT) AS c_ne,
+                (min(value) IS NULL) AS min_null,
+                CAST(sum(CASE WHEN user_id = -1 THEN event_id ELSE 0 END) AS BIGINT) AS s_case,
+                CAST(sum(event_id) FILTER (WHERE user_id = -1) AS BIGINT) AS s_filter
+         FROM events WHERE user_id < -1""",
+
+    "q_qa_notin_values" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE user_id NOT IN (SELECT col FROM (VALUES (-1), (-999)) t(col))
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q_qa_grouping_sets_filtered_dim" ->
+      """WITH base AS (SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS u3
+                       FROM events)
+         SELECT event_type, u3, CAST(count(*) AS BIGINT) AS n
+         FROM base WHERE event_type = 'click'
+         GROUP BY GROUPING SETS ((u3, event_type), (u3))
+         ORDER BY u3, event_type NULLS FIRST""",
+
+    "q_qa_interval_arith" ->
+      """SELECT CAST(count(CASE WHEN ts < CURRENT_TIMESTAMP - INTERVAL '1' DAY
+                            THEN 1 END) AS BIGINT) AS n_past,
+                CAST(count(CASE WHEN ts > CURRENT_TIMESTAMP + INTERVAL '1' DAY
+                            THEN 1 END) AS BIGINT) AS n_future,
+                strftime(max(ts + INTERVAL '2' DAY), '%Y-%m-%d %H:%M:%S') AS max_plus2,
+                strftime(min(ts - INTERVAL '3' HOUR), '%Y-%m-%d %H:%M:%S') AS min_minus3h
+         FROM events""",
 
     "q_qa_win_frame_matrix" ->
       """WITH base AS (
