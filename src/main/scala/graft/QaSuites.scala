@@ -597,6 +597,36 @@ object QaSuites {
            USING (__time)
          GROUP BY c1, c2 ORDER BY c1 NULLS FIRST, c2 NULLS FIRST"""),
 
+    // testUnnestThriceWithFiltersOnDimAndAllUnnestColumnsOrFilters
+    // (sql quidem corpus): three stacked UNNESTs with OR filters spanning
+    // all three unnested columns
+    gu("q_qa_unnest_thrice",
+      """SELECT c1, c2, c3, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_int) AS u1(c1), UNNEST(a_str) AS u2(c2),
+              UNNEST(a_bool) AS u3(c3)
+         WHERE c1 = 1 OR c2 = 'S1' OR c3 = 1
+         GROUP BY c1, c2, c3
+         ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST""",
+      """SELECT c1, c2, c3, count(*) AS cnt
+         FROM (SELECT __time, unnest(a_int) AS c1 FROM test_unnest) t1
+         JOIN (SELECT __time, unnest(a_str) AS c2 FROM test_unnest) t2 USING (__time)
+         JOIN (SELECT __time, unnest(a_bool) AS c3 FROM test_unnest) t3 USING (__time)
+         WHERE c1 = 1 OR c2 = 'S1' OR c3 = 1
+         GROUP BY c1, c2, c3
+         ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST"""),
+
+    // testUnnestWithNotFiltersOnUnnestedColumn: NOT over the unnested
+    // column, with the NULL branch made explicit
+    gu("q_qa_unnest_not_filter",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         WHERE NOT (c = 'S1') OR c IS NULL
+         GROUP BY c ORDER BY c NULLS FIRST""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(a_str) AS c FROM test_unnest)
+         WHERE NOT (c = 'S1') OR c IS NULL
+         GROUP BY c ORDER BY c NULLS FIRST"""),
+
     // array_sql_agg_funcs: aggregates over the scalar alongside the
     // unnested column (s_int NULL row contributes count but not sum)
     gu("q_qa_unnest_group_agg",

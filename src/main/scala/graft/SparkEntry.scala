@@ -1941,6 +1941,27 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_qa_sql_math_funcs" -> ((s, dir) => {
+      // scalar_numeric.02/.03 extended fns: trig/log/root identities plus
+      // SAFE_DIVIDE-by-zero and bitwise-and-vs-mod equivalence, as a
+      // must-hold-per-row battery
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(CASE WHEN BITWISE_AND(user_id, 255) = user_id % 256
+                           THEN 1 END) AS BIGINT) AS n_band
+        FROM events
+        WHERE atan2(value, 1) BETWEEN -1.5708 AND 1.5708
+          AND degrees(radians(value)) BETWEEN value - 1e-9 AND value + 1e-9
+          AND log10(abs(value) + 10) > 1 - 1e-12
+          AND cbrt(value * value * value) BETWEEN value - 1e-6 AND value + 1e-6
+          AND hypot(value, 0) = abs(value)
+          AND SAFE_DIVIDE(value, 0.0) IS NULL
+          AND asin(least(abs(value), 1.0)) >= 0
+          AND pi() BETWEEN 3.14159 AND 3.1416""")
+    }),
+
     // -------------------------------------- Calcite misc corpus shapes ----
     // (reference sql quidem: filtered_sum — FILTER aggregates over
     // empty-after-WHERE input; notinvalues — NOT IN a VALUES subquery;
@@ -4872,6 +4893,20 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_sql_math_funcs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+                CAST(count(CASE WHEN (user_id & 255) = user_id % 256
+                            THEN 1 END) AS BIGINT) AS n_band
+         FROM events
+         WHERE atan2(value, 1) BETWEEN -1.5708 AND 1.5708
+           AND degrees(radians(value)) BETWEEN value - 1e-9 AND value + 1e-9
+           AND log10(abs(value) + 10) > 1 - 1e-12
+           AND cbrt(value * value * value) BETWEEN value - 1e-6 AND value + 1e-6
+           AND sqrt(value * value) = abs(value)
+           AND (CASE WHEN 0.0 = 0.0 THEN NULL ELSE value / 0.0 END) IS NULL
+           AND asin(least(abs(value), 1.0)) >= 0
+           AND pi() BETWEEN 3.14159 AND 3.1416""",
 
     "q_qa_filtered_sum_empty" ->
       """SELECT CAST(count(1) FILTER (WHERE user_id = -1) AS BIGINT) AS c_eq,
