@@ -1941,6 +1941,23 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_qa_count_distinct_grouping" -> ((s, dir) => {
+      // testExactCountDistinctWithGroupingAndOtherAggregators (sql quidem
+      // corpus): two exact COUNT(DISTINCT) columns alongside plain
+      // aggregates under ROLLUP, with GROUPING() disambiguating the total
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user,
+               CAST(count(DISTINCT event_id % 97) AS BIGINT) AS nd_mod,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS sum_v,
+               CAST(grouping(event_type) AS BIGINT) AS g
+        FROM events
+        GROUP BY ROLLUP(event_type)
+        ORDER BY event_type NULLS LAST""")
+    }),
+
     "q_qa_sql_math_funcs" -> ((s, dir) => {
       // scalar_numeric.02/.03 extended fns: trig/log/root identities plus
       // SAFE_DIVIDE-by-zero and bitwise-and-vs-mod equivalence, as a
@@ -4893,6 +4910,17 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_count_distinct_grouping" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user,
+                CAST(count(DISTINCT event_id % 97) AS BIGINT) AS nd_mod,
+                CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(value) AS DOUBLE), 3) AS sum_v,
+                CAST(grouping(event_type) AS BIGINT) AS g
+         FROM events
+         GROUP BY ROLLUP(event_type)
+         ORDER BY event_type NULLS LAST""",
 
     "q_qa_sql_math_funcs" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
