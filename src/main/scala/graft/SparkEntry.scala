@@ -1941,6 +1941,49 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_qa_union_limit" -> ((s, dir) => {
+      // testUnionAllQueriesWithLimit: UNION ALL under a global sort+limit
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT 'c' AS src, c_custkey AS k FROM customer
+          UNION ALL
+          SELECT 's' AS src, s_suppkey AS k FROM supplier)
+        ORDER BY src, k LIMIT 20""")
+    }),
+
+    "q_qa_groupby_limit_extraction" -> ((s, dir) => {
+      // testGroupByLimitPushdownExtraction: extraction-fn grouping key,
+      // ordered by the aggregate with a limit
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT right(c_name, 2) AS e, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY right(c_name, 2)
+        ORDER BY n DESC, e LIMIT 10""")
+    }),
+
+    "q_qa_time_filter_subquery" -> ((s, dir) => {
+      // testTimeFilterOnSubquery: the outer __time range must reach the
+      // scan through the subquery
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+        FROM (SELECT ts, user_id, value FROM events WHERE value > 0.1)
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'""")
+    }),
+
+    "q_qa_repeated_virtual_grouping" -> ((s, dir) => {
+      // testRepeatedIdenticalVirtualExpressionGrouping: the same virtual
+      // expression listed twice in GROUP BY and projected twice
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT user_id % 7 AS a, user_id % 7 AS b, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id % 7, user_id % 7
+        ORDER BY a""")
+    }),
+
     "q_qa_count_distinct_grouping" -> ((s, dir) => {
       // testExactCountDistinctWithGroupingAndOtherAggregators (sql quidem
       // corpus): two exact COUNT(DISTINCT) columns alongside plain
@@ -4910,6 +4953,30 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_union_limit" ->
+      """SELECT * FROM (
+           SELECT 'c' AS src, c_custkey AS k FROM customer
+           UNION ALL
+           SELECT 's' AS src, s_suppkey AS k FROM supplier)
+         ORDER BY src, k LIMIT 20""",
+
+    "q_qa_groupby_limit_extraction" ->
+      """SELECT right(c_name, 2) AS e, CAST(count(*) AS BIGINT) AS n
+         FROM customer GROUP BY right(c_name, 2)
+         ORDER BY n DESC, e LIMIT 10""",
+
+    "q_qa_time_filter_subquery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+         FROM (SELECT ts, user_id, value FROM events WHERE value > 0.1)
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
+
+    "q_qa_repeated_virtual_grouping" ->
+      """SELECT user_id % 7 AS a, user_id % 7 AS b, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY user_id % 7, user_id % 7
+         ORDER BY a""",
 
     "q_qa_count_distinct_grouping" ->
       """SELECT event_type,
