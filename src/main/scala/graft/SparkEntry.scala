@@ -1941,6 +1941,46 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_qa_union_self_merge" -> ((s, dir) => {
+      // numMerge (sql quidem corpus): aggregate over a triple self-UNION —
+      // partial-agg merge across identical inputs
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT * FROM nation UNION ALL
+              SELECT * FROM nation UNION ALL
+              SELECT * FROM nation)
+        WHERE n_regionkey IN (1, 2)
+        GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }),
+
+    "q_qa_conditional_count" -> ((s, dir) => {
+      // decoupled corpus: COUNT over a CASE that yields a column (counts
+      // only non-null branches) next to count(1)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT event_type,
+               CAST(count(CASE WHEN value > 0.5 THEN event_type END) AS BIGINT) AS cnt,
+               CAST(count(1) AS BIGINT) AS aall
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    "q_qa_mv_filter_fns" -> ((s, dir) => {
+      // mv_filter corpus: MV_FILTER_REGEX / MV_FILTER_PREFIX over
+      // STRING_TO_MV literals
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT MV_TO_STRING(MV_FILTER_REGEX(
+                 STRING_TO_MV('abc,def,abd', ','), '^ab'), '|') AS r,
+               MV_TO_STRING(MV_FILTER_PREFIX(
+                 STRING_TO_MV('apple,banana,apricot', ','), 'ap'), '|') AS p,
+               MV_LENGTH(STRING_TO_MV('a,b,c', ',')) AS len,
+               MV_CONTAINS(STRING_TO_MV('a,b,c', ','), 'b') AS has_b""")
+    }),
+
     "q_qa_union_limit" -> ((s, dir) => {
       // testUnionAllQueriesWithLimit: UNION ALL under a global sort+limit
       Tables.registerAll(s, dir)
@@ -4953,6 +4993,31 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_union_self_merge" ->
+      """SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT * FROM nation UNION ALL
+               SELECT * FROM nation UNION ALL
+               SELECT * FROM nation)
+         WHERE n_regionkey IN (1, 2)
+         GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "q_qa_conditional_count" ->
+      """SELECT event_type,
+                CAST(count(CASE WHEN value > 0.5 THEN event_type END) AS BIGINT) AS cnt,
+                CAST(count(1) AS BIGINT) AS aall
+         FROM events
+         WHERE event_type IN ('click', 'view')
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q_qa_mv_filter_fns" ->
+      """SELECT array_to_string(list_filter(string_split('abc,def,abd', ','),
+                  gx -> regexp_matches(gx, '^ab')), '|') AS r,
+                array_to_string(list_filter(string_split('apple,banana,apricot', ','),
+                  gx -> starts_with(gx, 'ap')), '|') AS p,
+                CAST(len(string_split('a,b,c', ',')) AS INTEGER) AS len,
+                list_contains(string_split('a,b,c', ','), 'b') AS has_b""",
 
     "q_qa_union_limit" ->
       """SELECT * FROM (
