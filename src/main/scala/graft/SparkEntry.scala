@@ -1941,6 +1941,26 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_qa_sql_string_fns" -> ((s, dir) => {
+      // scalar_string fn surface: druid names (STRPOS/TEXTCAT/PARSE_LONG/
+      // STRING_FORMAT) beside the shared regex/pad/trim builtins; the
+      // oracle derives each value independently in DuckDB
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT STRPOS('graft-engine', 'engine') AS sp,
+               TEXTCAT('gr', 'aft') AS tc,
+               PARSE_LONG('42') AS pl,
+               PARSE_LONG('ff', 16) AS plr,
+               PARSE_LONG('xyz') AS plbad,
+               STRING_FORMAT('%s-%03d', 'q', 7) AS fmt,
+               regexp_extract('a1b22c333', '([0-9]+)', 1) AS re1,
+               regexp_like('abc123', '[0-9]+') AS rl,
+               lpad('7', 3, '0') AS lp, rpad('7', 3, 'x') AS rp,
+               repeat('ab', 3) AS rep, reverse('graft') AS rev,
+               btrim('xxgraftxx', 'x') AS bt,
+               CAST(position('ft' IN 'graft') AS INT) AS pos""")
+    }),
+
     "q_qa_union_self_merge" -> ((s, dir) => {
       // numMerge (sql quidem corpus): aggregate over a triple self-UNION —
       // partial-agg merge across identical inputs
@@ -4993,6 +5013,20 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_sql_string_fns" ->
+      """SELECT CAST(strpos('graft-engine', 'engine') AS INTEGER) AS sp,
+                'gr' || 'aft' AS tc,
+                CAST('42' AS BIGINT) AS pl,
+                CAST(255 AS BIGINT) AS plr,
+                TRY_CAST('xyz' AS BIGINT) AS plbad,
+                printf('%s-%03d', 'q', 7) AS fmt,
+                regexp_extract('a1b22c333', '([0-9]+)', 1) AS re1,
+                regexp_matches('abc123', '[0-9]+') AS rl,
+                lpad('7', 3, '0') AS lp, rpad('7', 3, 'x') AS rp,
+                repeat('ab', 3) AS rep, reverse('graft') AS rev,
+                trim('xxgraftxx', 'x') AS bt,
+                CAST(position('ft' IN 'graft') AS INTEGER) AS pos""",
 
     "q_qa_union_self_merge" ->
       """SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s,
