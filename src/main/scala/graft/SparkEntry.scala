@@ -1941,6 +1941,16 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_qa_json_query_array" -> ((s, dir) => {
+      // qaJsonCols JSON_QUERY_ARRAY: array-of-scalars extraction with
+      // missing-path NULL, '|'-joined for the hash compare
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT array_join(JSON_QUERY_ARRAY('{"a":[1,2,3]}', '$.a'), '|') AS arr_i,
+               array_join(JSON_QUERY_ARRAY('{"a":["x","y"]}', '$.a'), '|') AS arr_s,
+               (JSON_QUERY_ARRAY('{"a":1}', '$.b') IS NULL) AS missing_null""")
+    }),
+
     "q_qa_sql_string_fns" -> ((s, dir) => {
       // scalar_string fn surface: druid names (STRPOS/TEXTCAT/PARSE_LONG/
       // STRING_FORMAT) beside the shared regex/pad/trim builtins; the
@@ -5013,6 +5023,11 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_json_query_array" ->
+      """SELECT array_to_string(json_extract_string('{"a":[1,2,3]}', '$.a[*]'), '|') AS arr_i,
+                array_to_string(json_extract_string('{"a":["x","y"]}', '$.a[*]'), '|') AS arr_s,
+                TRUE AS missing_null""",
 
     "q_qa_sql_string_fns" ->
       """SELECT CAST(strpos('graft-engine', 'engine') AS INTEGER) AS sp,
