@@ -1941,6 +1941,38 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_qa_datetime_extract" -> ((s, dir) => {
+      // scalar_datetime EXTRACT variants + TIMESTAMPADD/TIMESTAMPDIFF
+      // round-trip, cross-derived in the oracle
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(sum(extract(DOY FROM ts)) AS BIGINT) AS s_doy,
+               CAST(sum(extract(QUARTER FROM ts)) AS BIGINT) AS s_q,
+               CAST(sum(weekofyear(ts)) AS BIGINT) AS s_w,
+               CAST(sum(extract(DAY FROM ts)) AS BIGINT) AS s_d,
+               CAST(count(CASE WHEN TIMESTAMPDIFF(DAY, ts,
+                      TIMESTAMPADD(DAY, 3, ts)) = 3 THEN 1 END) AS BIGINT) AS n_tsdiff
+        FROM events""")
+    }),
+
+    "q_qa_ssb_denorm" -> ((s, dir) => {
+      // qaSsb denorm variants: the star pre-joined into one wide input,
+      // then aggregated — the flat-table plan the reference's denorm_*
+      // suites pin
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH denorm AS (
+          SELECT n_name, year(o_orderdate) AS yr,
+                 l_extendedprice * (1 - l_discount) AS rev
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_discount BETWEEN 0.05 AND 0.07)
+        SELECT n_name, yr, round(sum(rev), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM denorm GROUP BY n_name, yr ORDER BY n_name, yr""")
+    }),
+
     "q_qa_json_query_array" -> ((s, dir) => {
       // qaJsonCols JSON_QUERY_ARRAY: array-of-scalars extraction with
       // missing-path NULL, '|'-joined for the hash compare
@@ -5023,6 +5055,27 @@ object SparkEntry {
                 TRUE AS in_10,
                 ((c_custkey % 256) >= 64 AND (c_custkey % 256) < 128) AS in_10_64
          FROM ips ORDER BY c_custkey""",
+
+    "q_qa_datetime_extract" ->
+      """SELECT CAST(sum(dayofyear(ts)) AS BIGINT) AS s_doy,
+                CAST(sum(quarter(ts)) AS BIGINT) AS s_q,
+                CAST(sum(weekofyear(ts)) AS BIGINT) AS s_w,
+                CAST(sum(day(ts)) AS BIGINT) AS s_d,
+                CAST(count(CASE WHEN date_diff('day', ts, ts + INTERVAL 3 DAY) = 3
+                            THEN 1 END) AS BIGINT) AS n_tsdiff
+         FROM events""",
+
+    "q_qa_ssb_denorm" ->
+      """WITH denorm AS (
+           SELECT n_name, year(o_orderdate) AS yr,
+                  l_extendedprice * (1 - l_discount) AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_discount BETWEEN 0.05 AND 0.07)
+         SELECT n_name, yr, round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+                CAST(count(*) AS BIGINT) AS n
+         FROM denorm GROUP BY n_name, yr ORDER BY n_name, yr""",
 
     "q_qa_json_query_array" ->
       """SELECT array_to_string(json_extract_string('{"a":[1,2,3]}', '$.a[*]'), '|') AS arr_i,
