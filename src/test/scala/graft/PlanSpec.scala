@@ -315,4 +315,40 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
       "partial sketch aggregation must sit below the exchange (map side)")
   }
+
+  test("outer time filter reaches the scan through a subquery") {
+    // the Calcite-corpus shape: a range filter applied ABOVE a projecting
+    // subquery must still land in the scan's data filters — at 100 TB this
+    // is the difference between reading 10 days and reading the table
+    val p = plan("q_qa_time_filter_subquery")
+    val scanSection = p.substring(p.indexOf("FileScan"))
+    assert(scanSection.take(600).contains("ts"), "ts filter must reach the scan:\n" + p)
+    assert(p.indexOf("Filter") < p.indexOf("FileScan"),
+      "filter must sit directly on the scan, not above the aggregate")
+  }
+
+  test("semi+anti simultaneous subqueries both broadcast; fact side never shuffles pre-agg") {
+    val p = plan("q_qa_join_semi_anti_simul")
+    assert(p.contains("LeftSemi"), "expected broadcast semi join:\n" + p)
+    assert(p.contains("LeftAnti"), "expected (null-aware) anti join:\n" + p)
+    val firstJoin = math.min(p.indexOf("LeftSemi"), p.indexOf("LeftAnti"))
+    // no exchange may appear between the orders scan and the two joins —
+    // only BroadcastExchange of the subquery sides
+    val joinRegion = p.substring(firstJoin)
+    val ordersScan = joinRegion.indexOf("orders.parquet")
+    assert(ordersScan >= 0)
+    assert(!joinRegion.take(ordersScan).contains("Exchange hashpartitioning"),
+      "fact side must not shuffle for the semi/anti joins:\n" + p)
+  }
+
+  test("denormalizing star pre-join broadcasts every dimension") {
+    val p = plan("q_qa_ssb_denorm")
+    val n = "BroadcastExchange".r.findAllIn(p).length
+    assert(n >= 2, s"expected customer+nation broadcast (got $n):\n$p")
+    // lineitem (the fact) must not shuffle before the aggregate
+    val aggIdx = p.indexOf("Exchange hashpartitioning")
+    val liIdx = p.indexOf("lineitem.parquet")
+    assert(liIdx > aggIdx,
+      "the only hash exchange must be the final aggregate's, above the fact scan")
+  }
 }
