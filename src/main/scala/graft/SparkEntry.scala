@@ -1968,7 +1968,7 @@ object SparkEntry {
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
           WHERE l_discount BETWEEN 0.05 AND 0.07)
-        SELECT n_name, yr, round(sum(rev), 2) AS revenue,
+        SELECT n_name, yr, CAST(floor(sum(rev)) AS BIGINT) AS revenue,
                CAST(count(*) AS BIGINT) AS n
         FROM denorm GROUP BY n_name, yr ORDER BY n_name, yr""")
     }),
@@ -5073,7 +5073,7 @@ object SparkEntry {
              JOIN customer ON o_custkey = c_custkey
              JOIN nation ON c_nationkey = n_nationkey
            WHERE l_discount BETWEEN 0.05 AND 0.07)
-         SELECT n_name, yr, round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+         SELECT n_name, yr, CAST(floor(sum(rev)) AS BIGINT) AS revenue,
                 CAST(count(*) AS BIGINT) AS n
          FROM denorm GROUP BY n_name, yr ORDER BY n_name, yr""",
 

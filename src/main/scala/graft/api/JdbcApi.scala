@@ -66,7 +66,7 @@ object JdbcApi {
     * `context` entries become per-query context (sqlTimeZone etc.).
     */
   def openConnection(connectionId: String,
-      context: Map[String, String] = Map.empty): Unit = {
+      context: Map[String, String] = Map.empty): Unit = connections.synchronized {
     if (connections.size >= MaxConnections &&
         !connections.containsKey(connectionId))
       throw new IllegalStateException(
@@ -105,7 +105,9 @@ object JdbcApi {
 
   private def stmt(c: ConnectionState, statementId: Int): StatementState = {
     val s = c.statements.get(statementId)
-    if (s == null || s.closed)
+    if (s == null)
+      throw new StatementClosed(s"no such statement: $statementId")
+    if (s.closed)
       throw new StatementClosed(s"statement $statementId is closed")
     s
   }
@@ -138,16 +140,23 @@ object JdbcApi {
       sql: String): (Int, Signature) = {
     val c = conn(connectionId)
     val nParams = countPlaceholders(sql)
-    // plan with NULL stand-ins for placeholders: schema derivation without
-    // execution, like the reference's prepare-only Calcite pass
-    val planned = runPayload(spark, dir, sql,
-      Seq.fill(nParams)(JObject("type" -> JString("OTHER"), "value" -> JNull)),
-      c.context)
-    val sig = Signature(planned.schema.fields.toSeq.map(f =>
-      ColumnMeta(f.name, f.dataType.sql, f.nullable)), nParams)
+    // INSERT/REPLACE must NOT run at prepare (SqlApi.run executes ingest
+    // statements eagerly — a DML prepare would write, then execute would
+    // write again). Like the reference, a DML signature is just its
+    // parameter metadata; columns come from execute.
+    val sig =
+      if (SqlApi.ingestTarget(sql).isDefined) Signature(Nil, nParams)
+      else {
+        // plan with NULL stand-ins for placeholders: schema derivation
+        // without execution, the reference's prepare-only Calcite pass
+        val planned = runPayload(spark, dir, sql,
+          Seq.fill(nParams)(JObject("type" -> JString("OTHER"), "value" -> JNull)),
+          c.context)
+        Signature(planned.schema.fields.toSeq.map(f =>
+          ColumnMeta(f.name, f.dataType.sql, f.nullable)), nParams)
+      }
     val s = allocStatement(c, Some(sql))
     s.signature = Some(sig)
-    s.schema = Some(planned.schema)
     (s.id, sig)
   }
 
@@ -207,7 +216,7 @@ object JdbcApi {
 
   private def startResult(spark: SparkSession, dir: String,
       c: ConnectionState, s: StatementState, sql: String,
-      parameters: Seq[Any]): Unit = {
+      parameters: Seq[Any]): Unit = s.synchronized {
     val df = runPayload(spark, dir, sql, parameters.map(typedValue), c.context)
     s.schema = Some(df.schema)
     // one partition of driver memory max, like the reference's yielder
@@ -216,17 +225,21 @@ object JdbcApi {
     s.served = 0L
   }
 
+  // synchronized like the reference's DruidJdbcResultSet: concurrent
+  // fetches on one statement must not split the shared iterator
   private def frame(s: StatementState, fetchOffset: Long,
-      fetchMaxRowCount: Int): Frame = {
+      fetchMaxRowCount: Int): Frame = s.synchronized {
     val it = s.iter.getOrElse(throw new IllegalStateException(
       s"statement ${s.id}: no result set (execute first)"))
     if (fetchOffset != s.served)
       throw new IllegalArgumentException(
         s"non-sequential fetch: offset $fetchOffset, cursor at ${s.served}")
-    // 0 = metadata-only first frame (Avatica allows it); otherwise clamp to
-    // the server's frame-size window like AvaticaServerConfig
+    // 0 = metadata-only first frame (Avatica allows it); negative = no cap
+    // (Avatica's 'unlimited'); otherwise clamp to the server's frame-size
+    // window like AvaticaServerConfig
     val n =
-      if (fetchMaxRowCount <= 0) 0
+      if (fetchMaxRowCount == 0) 0
+      else if (fetchMaxRowCount < 0) MaxRowsPerFrame
       else math.min(math.max(fetchMaxRowCount, MinRowsPerFrame), MaxRowsPerFrame)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     while (buf.length < n && it.hasNext) buf += it.next()
@@ -240,12 +253,15 @@ object JdbcApi {
     */
   def drainToDataFrame(spark: SparkSession, connectionId: String,
       statementId: Int, fetchMaxRowCount: Int = MaxRowsPerFrame): DataFrame = {
+    // a non-positive fetch size would make zero progress per frame and
+    // never terminate — treat it as the server max (frame() clamps anyway)
+    val per = if (fetchMaxRowCount <= 0) MaxRowsPerFrame else fetchMaxRowCount
     val schema = resultSchema(connectionId, statementId)
     val all = scala.collection.mutable.ArrayBuffer.empty[Row]
     var off = stmt(conn(connectionId), statementId).served
     var done = false
     while (!done) {
-      val f = nextFrame(connectionId, statementId, off, fetchMaxRowCount)
+      val f = nextFrame(connectionId, statementId, off, per)
       all ++= f.rows
       off = f.offset + f.rows.length
       done = f.done
@@ -306,6 +322,9 @@ object JdbcApi {
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           val nl = sql.indexOf('\n', i)
           i = if (nl < 0) sql.length else nl + 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          val end = sql.indexOf("*/", i + 2)
+          i = if (end < 0) sql.length else end + 2
         case '?' => n += 1; i += 1
         case _ => i += 1
       }

@@ -409,8 +409,16 @@ object DruidFunctions {
       // NULL): a subtree extraction starting '{'/'[' yields NULL. A non-JSON
       // input string is itself a scalar at '$' (A006: json_value('ABCD','$')
       // = 'ABCD'), which get_json_object rejects as malformed — fall back.
+      // subtree test parses the extracted text (json_object_keys /
+      // json_array_length are non-null only for valid object/array JSON),
+      // so scalar strings that merely START with '{'/'[' ("[tag]") pass
+      // through; the residual ambiguity — a string value that is itself
+      // valid JSON container text — is inherent to text-level extraction.
+      // The repeated get_json_object calls dedupe in codegen (deterministic
+      // common subexpression elimination).
       """JSON_VALUE(j STRING, p STRING) RETURNS STRING RETURN
-         CASE WHEN substring(get_json_object(j, p), 1, 1) IN ('{', '[') THEN NULL
+         CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL THEN NULL
+              WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN NULL
               WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
               WHEN p = '$' THEN j
               ELSE NULL END""",
@@ -432,7 +440,8 @@ object DruidFunctions {
       "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
       // same scalar-only semantics as JSON_VALUE (RETURNING VARCHAR target)
       """JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN
-         CASE WHEN substring(get_json_object(j, p), 1, 1) IN ('{', '[') THEN NULL
+         CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL THEN NULL
+              WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN NULL
               WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
               WHEN p = '$' THEN j
               ELSE NULL END""",

@@ -47,8 +47,11 @@ object Multimodal {
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val img =
+          // NonFatal, not just IOException: codec internals throw unchecked
+          // exceptions (bad color profiles, truncated bodies behind a valid
+          // magic number) and the error contract is a NULL row, not a dead job
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           org.apache.spark.sql.Row(id, null, null, null, null, null)
         else {

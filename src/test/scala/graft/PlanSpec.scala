@@ -321,9 +321,12 @@ class PlanSpec extends AnyFunSuite {
     // subquery must still land in the scan's data filters — at 100 TB this
     // is the difference between reading 10 days and reading the table
     val p = plan("q_qa_time_filter_subquery")
-    val scanSection = p.substring(p.indexOf("FileScan"))
-    assert(scanSection.take(600).contains("ts"), "ts filter must reach the scan:\n" + p)
-    assert(p.indexOf("Filter") < p.indexOf("FileScan"),
+    val scanIdx = p.indexOf("FileScan")
+    val filterIdx = p.indexOf("Filter")
+    assert(scanIdx >= 0 && filterIdx >= 0, "expected Filter + FileScan nodes:\n" + p)
+    assert(p.substring(scanIdx).take(600).contains("ts"),
+      "ts filter must reach the scan:\n" + p)
+    assert(filterIdx < scanIdx,
       "filter must sit directly on the scan, not above the aggregate")
   }
 
@@ -348,6 +351,8 @@ class PlanSpec extends AnyFunSuite {
     // lineitem (the fact) must not shuffle before the aggregate
     val aggIdx = p.indexOf("Exchange hashpartitioning")
     val liIdx = p.indexOf("lineitem.parquet")
+    assert(aggIdx >= 0 && liIdx >= 0,
+      "expected a hash exchange (final agg) and the lineitem scan:\n" + p)
     assert(liIdx > aggIdx,
       "the only hash exchange must be the final aggregate's, above the fact scan")
   }
