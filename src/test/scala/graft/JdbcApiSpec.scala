@@ -92,6 +92,34 @@ class JdbcApiSpec extends AnyFunSuite {
     } finally JdbcApi.closeConnection("c-limits")
   }
 
+  test("placeholders in comments don't count; DML prepare doesn't execute") {
+    assert(JdbcApi.countPlaceholders(
+      "SELECT ? FROM t -- was it ?\nWHERE x = ? /* or ? */") == 2)
+    JdbcApi.openConnection("c-dml")
+    try {
+      val target = s"jdbc_spec_noexec_${System.nanoTime()}"
+      val (_, sig) = JdbcApi.prepareStatement(spark, dir, "c-dml",
+        s"INSERT INTO $target SELECT n_name, n_nationkey FROM nation PARTITIONED BY ALL")
+      // parameter-only signature, and the ingest target must NOT exist yet
+      assert(sig.columns.isEmpty && sig.parameterCount == 0)
+      assert(!spark.catalog.tableExists(target))
+    } finally JdbcApi.closeConnection("c-dml")
+  }
+
+  test("negative fetch size means unlimited; drain tolerates non-positive sizes") {
+    JdbcApi.openConnection("c-neg")
+    try {
+      val (id, _) = JdbcApi.prepareStatement(spark, dir, "c-neg",
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+      val f = JdbcApi.execute(spark, dir, "c-neg", id, maxRowsInFirstFrame = -1)
+      assert(f.done && f.rows.length == 25)
+      JdbcApi.execute(spark, dir, "c-neg", id, maxRowsInFirstFrame = 0)
+      // fetchMaxRowCount=0 would never progress — drain must substitute a
+      // positive size and terminate
+      assert(JdbcApi.drainToDataFrame(spark, "c-neg", id, 0).count() == 25)
+    } finally JdbcApi.closeConnection("c-neg")
+  }
+
   test("idle connections are reaped, active ones survive") {
     JdbcApi.openConnection("c-idle")
     JdbcApi.openConnection("c-live")
