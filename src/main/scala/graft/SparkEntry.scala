@@ -598,13 +598,33 @@ object SparkEntry {
   /** TPC-H queries from the reference's quidem suite
     * (`quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest/qaTpch/
     * broadcast.msq.iq` — it runs Q01/02/04/06/11/14/15/17/19/20/22 through
-    * its MSQ engine in broadcast and sortMerge modes). Ported here where the
-    * reduced testdata schema allows (no partsupp, no comment/phone/container
-    * columns — Q02/04/11/20 skipped, Q17/19/22 use equivalent predicates
-    * over the available columns). One shared ANSI text per query, run
-    * verbatim by Spark and the DuckDB oracle.
+    * its MSQ engine in broadcast and sortMerge modes, sortMerge covering
+    * Q01–Q06/Q08–Q18/Q20/Q22). The full battery is ported: queries that
+    * touch columns absent from the reduced testdata schema (commitdate/
+    * receiptdate/shipmode/container/comment/phone) substitute equivalent
+    * predicates over available columns, and the partsupp-dependent shapes
+    * (Q02/Q11/Q16/Q20) run over the deterministic [[tpchPartsuppCte]].
+    * One shared ANSI text per query, run verbatim by Spark and the DuckDB
+    * oracle.
     */
   private[graft] def tpchSql(name: String): String = tpchQuerySql(name)
+
+  /** Deterministic stand-in for the missing `partsupp` table: a keyed
+    * arithmetic derivation over part × supplier, identical in Spark and
+    * DuckDB (integer `%` on non-negative keys, then an exact /10.0), so the
+    * partsupp-dependent TPC-H shapes (Q02/Q11/Q16/Q20) run verbatim in both
+    * engines without synthesizing data files.
+    */
+  private val tpchPartsuppCte: String =
+    """WITH partsupp AS (
+         SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+                CAST((p_partkey * 7 + s_suppkey * 13) % 1000 + 1 AS BIGINT)
+                  AS ps_availqty,
+                CAST((p_partkey * 31 + s_suppkey * 17) % 900 + 100 AS DOUBLE)
+                  / 10.0 AS ps_supplycost
+         FROM part, supplier
+         WHERE (p_partkey + s_suppkey) % 4 = 0)
+    """
 
   private val tpchQuerySql: Map[String, String] = Map(
     // TEST_ID Q01: pricing summary report
@@ -709,7 +729,275 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_orderpriority = '1-URGENT'
                              AND o_custkey = c_custkey)
-         GROUP BY cntrycode ORDER BY cntrycode""")
+         GROUP BY cntrycode ORDER BY cntrycode""",
+
+    // TEST_ID Q03: shipping priority (no o_shippriority column in testdata —
+    // dropped from the projection/grouping; shape otherwise verbatim)
+    "q03" ->
+      """SELECT l_orderkey,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS revenue,
+                o_orderdate
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < DATE '1996-03-21'
+           AND l_shipdate > DATE '1996-03-21'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderdate, l_orderkey""",
+
+    // TEST_ID Q04: order priority checking — the reference's correlated
+    // count-subquery shape; the commit/receipt-date lateness predicate
+    // becomes a returnflag test (no commitdate/receiptdate in testdata)
+    "q04" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-04-01'
+           AND o_orderdate < DATE '1996-04-01' + INTERVAL '3' MONTH
+           AND (SELECT count(*) FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') > 0
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    // TEST_ID Q05: local supplier volume — 6-table star, verbatim shape
+    "q05" ->
+      """SELECT n_name,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-01-01' + INTERVAL '1' YEAR
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
+    // Q07: volume shipping between two nations (double self-join of nation)
+    "q07" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(FLOOR(sum(volume)) AS BIGINT) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                      l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier, lineitem, orders, customer, nation n1, nation n2
+               WHERE s_suppkey = l_suppkey
+                 AND o_orderkey = l_orderkey
+                 AND c_custkey = o_custkey
+                 AND s_nationkey = n1.n_nationkey
+                 AND c_nationkey = n2.n_nationkey
+                 AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_4')
+                   OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_3'))
+                 AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+              shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    // TEST_ID Q08: national market share (8-table join; p_type is a single
+    // token in testdata)
+    "q08" ->
+      """SELECT o_year,
+                round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                      / sum(volume), 6) AS mkt_share
+         FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                      l_extendedprice * (1 - l_discount) AS volume,
+                      n2.n_name AS nation
+               FROM part, supplier, lineitem, orders, customer,
+                    nation n1, nation n2, region
+               WHERE p_partkey = l_partkey
+                 AND s_suppkey = l_suppkey
+                 AND l_orderkey = o_orderkey
+                 AND o_custkey = c_custkey
+                 AND c_nationkey = n1.n_nationkey
+                 AND n1.n_regionkey = r_regionkey
+                 AND r_name = 'AMERICA'
+                 AND s_nationkey = n2.n_nationkey
+                 AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+                 AND p_type = 'ECONOMY') all_nations
+         GROUP BY o_year
+         ORDER BY o_year""",
+
+    // TEST_ID Q09: product-type profit measure (ps_supplycost replaced by a
+    // p_retailprice-derived unit cost — no partsupp table in testdata)
+    "q09" ->
+      """SELECT nation, o_year,
+                CAST(FLOOR(sum(amount)) AS BIGINT) AS sum_profit
+         FROM (SELECT n_name AS nation,
+                      CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                      l_extendedprice * (1 - l_discount)
+                        - p_retailprice * l_quantity * 0.01 AS amount
+               FROM part, supplier, lineitem, orders, nation
+               WHERE s_suppkey = l_suppkey
+                 AND p_partkey = l_partkey
+                 AND o_orderkey = l_orderkey
+                 AND s_nationkey = n_nationkey
+                 AND p_name LIKE '%gear%') profit
+         GROUP BY nation, o_year
+         ORDER BY nation, o_year DESC""",
+
+    // TEST_ID Q10: returned-item reporting (address/phone/comment columns
+    // absent from testdata — dropped from projection/grouping)
+    "q10" ->
+      """SELECT c_custkey, c_name,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS revenue,
+                CAST(FLOOR(c_acctbal) AS BIGINT) AS c_acctbal, n_name
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate >= DATE '1996-07-01'
+           AND o_orderdate < DATE '1996-07-01' + INTERVAL '3' MONTH
+           AND l_returnflag = 'R'
+           AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey""",
+
+    // TEST_ID Q12: shipping modes and order priority (shipmode becomes
+    // linestatus, the commit/receipt lateness test becomes ship-after-order)
+    "q12" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                               OR o_orderpriority = '2-HIGH'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                              AND o_orderpriority <> '2-HIGH'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders, lineitem
+         WHERE o_orderkey = l_orderkey
+           AND l_linestatus IN ('O', 'F')
+           AND l_shipdate > o_orderdate
+           AND l_shipdate >= DATE '1997-01-01'
+           AND l_shipdate < DATE '1997-01-01' + INTERVAL '1' YEAR
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
+
+    // TEST_ID Q13: customer distribution (left join + two-level count; the
+    // o_comment anti-filter becomes a priority filter)
+    "q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    // TEST_ID Q18: large-volume customers (IN over a HAVING subquery;
+    // threshold tuned to the synthetic quantity distribution)
+    "q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                CAST(FLOOR(o_totalprice) AS BIGINT) AS o_totalprice,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(l_quantity) > 300)
+           AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey""",
+
+    // Q21: suppliers who kept orders waiting — EXISTS + NOT-EXISTS pair over
+    // the same fact table (lateness via returnflag, no receipt/commit dates)
+    "q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders, nation
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+           AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_3'
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name""",
+
+    // TEST_ID Q02: minimum-cost supplier (correlated MIN subquery over the
+    // derived partsupp CTE)
+    "q02" -> (tpchPartsuppCte +
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                round(ps_supplycost, 1) AS ps_supplycost
+         FROM part, supplier, partsupp, nation, region
+         WHERE p_partkey = ps_partkey
+           AND s_suppkey = ps_suppkey
+           AND p_size = 15
+           AND p_type = 'LARGE'
+           AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE'
+           AND ps_supplycost =
+             (SELECT min(ps_supplycost)
+              FROM partsupp, supplier, nation, region
+              WHERE p_partkey = ps_partkey
+                AND s_suppkey = ps_suppkey
+                AND s_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey
+                AND r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""),
+
+    // TEST_ID Q11: important stock identification (HAVING vs a scalar
+    // aggregate subquery over the same join)
+    "q11" -> (tpchPartsuppCte +
+      """SELECT ps_partkey,
+                CAST(FLOOR(sum(ps_supplycost * ps_availqty)) AS BIGINT)
+                  AS part_value
+         FROM partsupp, supplier, nation
+         WHERE ps_suppkey = s_suppkey
+           AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_9'
+         GROUP BY ps_partkey
+         HAVING sum(ps_supplycost * ps_availqty) >
+           (SELECT sum(ps_supplycost * ps_availqty) * 0.001
+            FROM partsupp, supplier, nation
+            WHERE ps_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_9')
+         ORDER BY part_value DESC, ps_partkey"""),
+
+    // TEST_ID Q16: part/supplier relationship (NOT IN + COUNT DISTINCT)
+    "q16" -> (tpchPartsuppCte +
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT ps_suppkey) AS supplier_cnt
+         FROM partsupp, part
+         WHERE p_partkey = ps_partkey
+           AND p_brand <> 'Brand#45'
+           AND p_type NOT LIKE 'MEDIUM%'
+           AND p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+           AND ps_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""),
+
+    // TEST_ID Q20: potential part promotion (nested IN with a correlated
+    // half-stock subquery — the reference's exact Q20 shape)
+    "q20" -> (tpchPartsuppCte +
+      """SELECT s_name, CAST(FLOOR(s_acctbal) AS BIGINT) AS s_acctbal
+         FROM supplier, nation
+         WHERE s_suppkey IN
+             (SELECT ps_suppkey FROM partsupp
+              WHERE ps_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                AND ps_availqty >
+                  (SELECT 0.5 * sum(l_quantity)
+                   FROM lineitem
+                   WHERE l_partkey = ps_partkey
+                     AND l_suppkey = ps_suppkey
+                     AND l_shipdate >= DATE '1996-01-01'
+                     AND l_shipdate < DATE '1996-01-01' + INTERVAL '1' YEAR))
+           AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_2'
+         ORDER BY s_name"""))
 
   /** Randomized cross-engine consistency corpus — the analog of the
     * reference's `SqlVectorizedExpressionResultConsistencyTest` (its
@@ -1437,6 +1725,51 @@ object SparkEntry {
     }),
     "q_tpch_q22" -> ((s, dir) => {
       Tables.registerAll(s, dir); s.sql(tpchSql("q22"))
+    }),
+    "q_tpch_q02" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q02"))
+    }),
+    "q_tpch_q03" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q03"))
+    }),
+    "q_tpch_q04" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q04"))
+    }),
+    "q_tpch_q05" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q05"))
+    }),
+    "q_tpch_q07" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q07"))
+    }),
+    "q_tpch_q08" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q08"))
+    }),
+    "q_tpch_q09" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q09"))
+    }),
+    "q_tpch_q10" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q10"))
+    }),
+    "q_tpch_q11" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q11"))
+    }),
+    "q_tpch_q12" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q12"))
+    }),
+    "q_tpch_q13" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q13"))
+    }),
+    "q_tpch_q16" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q16"))
+    }),
+    "q_tpch_q18" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q18"))
+    }),
+    "q_tpch_q20" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q20"))
+    }),
+    "q_tpch_q21" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q21"))
     }),
 
     "q_drill_window_const_args" -> ((s, dir) => {
@@ -4201,6 +4534,21 @@ object SparkEntry {
     "q_tpch_q17" -> tpchSql("q17"),
     "q_tpch_q19" -> tpchSql("q19"),
     "q_tpch_q22" -> tpchSql("q22"),
+    "q_tpch_q02" -> tpchSql("q02"),
+    "q_tpch_q03" -> tpchSql("q03"),
+    "q_tpch_q04" -> tpchSql("q04"),
+    "q_tpch_q05" -> tpchSql("q05"),
+    "q_tpch_q07" -> tpchSql("q07"),
+    "q_tpch_q08" -> tpchSql("q08"),
+    "q_tpch_q09" -> tpchSql("q09"),
+    "q_tpch_q10" -> tpchSql("q10"),
+    "q_tpch_q11" -> tpchSql("q11"),
+    "q_tpch_q12" -> tpchSql("q12"),
+    "q_tpch_q13" -> tpchSql("q13"),
+    "q_tpch_q16" -> tpchSql("q16"),
+    "q_tpch_q18" -> tpchSql("q18"),
+    "q_tpch_q20" -> tpchSql("q20"),
+    "q_tpch_q21" -> tpchSql("q21"),
     "q_drill_window_const_args" -> drillSql("const_args"),
     "q_drill_window_rank_orderby" -> drillSql("rank_orderby"),
     "q_sql_unnest_multi" ->

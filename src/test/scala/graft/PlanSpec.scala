@@ -276,6 +276,50 @@ class PlanSpec extends AnyFunSuite {
       s"IN filter must reach the customer scan:\n$q22")
   }
 
+  test("tpch full-battery plans: star joins broadcast, subqueries decorrelate to semi/anti joins") {
+    Tables.registerAll(spark, dir)
+    def plan(q: String): String =
+      spark.sql(SparkEntry.tpchSql(q)).queryExecution.executedPlan.toString
+    // Q05: 6-table star — every dimension (supplier/nation/region/customer)
+    // is broadcast-sized; the lineitem fact must never feed a cartesian, and
+    // the date range must reach the orders scan as a pushed filter
+    val q05 = plan("q05")
+    assert(!q05.contains("CartesianProduct"), s"q05 cartesian:\n$q05")
+    assert("BroadcastHashJoin".r.findAllIn(q05).size >= 3,
+      s"q05 dimension joins must broadcast:\n$q05")
+    assert(q05.contains("PushedFilters") && q05.contains("o_orderdate"),
+      s"q05 date filter must push into the orders scan:\n$q05")
+    // Q04: the correlated count(*) subquery decorrelates to ONE aggregate
+    // over lineitem joined back to orders — not a per-order re-execution
+    val q04 = plan("q04")
+    assert(!q04.contains("CartesianProduct"), s"q04 cartesian:\n$q04")
+    assert(q04.contains("l_returnflag"),
+      s"q04 returnflag filter must reach the lineitem side:\n$q04")
+    // Q18: the IN-over-HAVING subquery plans as a semi join against the
+    // pre-aggregated lineitem, never as a full materialized IN list
+    val q18 = plan("q18")
+    assert(q18.contains("LeftSemi"), s"q18 IN must become LeftSemi:\n$q18")
+    assert(!q18.contains("CartesianProduct"), s"q18 cartesian:\n$q18")
+    // Q21: the EXISTS / NOT EXISTS pair over the same fact decorrelates to
+    // a LeftSemi + LeftAnti chain — the 100-TB shape (two hash joins on
+    // l_orderkey), not nested-loop re-probes
+    val q21 = plan("q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q21 must plan semi+anti joins:\n$q21")
+    assert(!q21.contains("CartesianProduct"), s"q21 cartesian:\n$q21")
+    // Q08: widest join in the battery (8 relations) — planner must keep it
+    // cartesian-free with the region/type filters pushed to their scans
+    val q08 = plan("q08")
+    assert(!q08.contains("CartesianProduct"), s"q08 cartesian:\n$q08")
+    assert(q08.contains("ECONOMY"),
+      s"q08 p_type filter must reach the part scan:\n$q08")
+    // Q20: nested IN + correlated scalar agg — everything decorrelates;
+    // no per-supplier re-scan of lineitem
+    val q20 = plan("q20")
+    assert(!q20.contains("CartesianProduct"), s"q20 cartesian:\n$q20")
+    assert(q20.contains("LeftSemi"), s"q20 IN chain must semi-join:\n$q20")
+  }
+
   test("SSB star flights broadcast every dimension; fact never shuffles for the join") {
     Tables.registerAll(spark, dir)
     val p = spark.sql(SparkEntry.drillSql("ssb_q4"))
