@@ -2571,6 +2571,103 @@ object SparkEntry {
         ORDER BY h, dow""")
     }),
 
+    // kttm_Overall/Sparkline shapes: the dashboard comparison-period query —
+    // one pass, each measure computed twice via FILTER over the current and
+    // previous window (plus an intentionally-empty window pinning the
+    // SQL-standard empty-filter semantics: COUNT→0, SUM→NULL)
+    "q_qa_kttm_compare" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT
+          count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                             AND ts < TIMESTAMP '2024-01-11 00:00:00') AS v0,
+          CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                             AND ts < TIMESTAMP '2024-01-11 00:00:00')) AS BIGINT) AS v1,
+          count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+                             AND ts < TIMESTAMP '2024-01-10 00:00:00') AS v2,
+          CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+                             AND ts < TIMESTAMP '2024-01-10 00:00:00')) AS BIGINT) AS v3,
+          count(*) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
+                             AND ts < TIMESTAMP '2023-01-02 00:00:00') AS empty_cnt,
+          CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
+                             AND ts < TIMESTAMP '2023-01-02 00:00:00')) AS BIGINT) AS empty_sum
+        FROM events""")
+    }),
+
+    // kttm_Line-chart/Stackarea: TIME_FLOOR bucket series with a
+    // per-bucket filtered measure
+    "q_qa_kttm_timefloor_compare" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT date_trunc('hour', ts) AS bucket,
+               count(*) AS cnt,
+               count(*) FILTER (WHERE event_type = 'click') AS clicks,
+               CAST(FLOOR(sum(value)) AS BIGINT) AS sum_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-10 12:00:00'
+        GROUP BY date_trunc('hour', ts)
+        ORDER BY bucket""")
+    }),
+
+    // ------------------------- decoupled-planning Calcite corpus shapes ----
+    // (reference sql/src/test/quidem DecoupledPlanningCalciteQueryTest:
+    // shapes that stress the planner — re-aggregation of a time-floored
+    // GROUP BY with HAVING, LIMIT pushdown through an extraction-fn
+    // grouping, time filters on subqueries, and UNION ALL under a global
+    // sort+limit; repeated-virtual-grouping and exact-count-distinct shapes
+    // are covered by the earlier Calcite misc gates)
+
+    "q_qa_groupby_on_groupby_timefloor" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus,
+               CAST(date_trunc('month', gran) AS DATE) AS mon,
+               CAST(FLOOR(sum(s)) AS BIGINT) AS tot
+        FROM (SELECT date_trunc('day', o_orderdate) AS gran, o_orderstatus,
+                     sum(o_totalprice) AS s
+              FROM orders GROUP BY date_trunc('day', o_orderdate), o_orderstatus
+              HAVING sum(o_totalprice) > 200000) x
+        GROUP BY o_orderstatus, date_trunc('month', gran)
+        ORDER BY o_orderstatus, mon DESC""")
+    }),
+
+    "q_qa_limit_pushdown_extraction" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS p1,
+               count(*) AS cnt
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderstatus, substring(o_orderpriority, 1, 1)
+        ORDER BY p1
+        LIMIT 3""")
+    }),
+
+    "q_qa_time_filter_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT count(*) AS cnt,
+               CAST(FLOOR(sum(o_totalprice)) AS BIGINT) AS tot
+        FROM (SELECT o_orderdate, o_totalprice FROM orders
+              WHERE o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1998-01-01') t
+        WHERE o_totalprice > 100000""")
+    }),
+
+
+    "q_qa_union_all_limit" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT c_name AS name, c_acctbal AS bal FROM customer
+          UNION ALL
+          SELECT 'sup' AS name, 0.0 AS bal FROM lineitem WHERE l_orderkey = 1
+        ) u
+        ORDER BY bal DESC, name
+        LIMIT 5""")
+    }),
+
     // ---------------------------------------- Calcite join-shape corpus ----
     // (reference sql/src/test/quidem CalciteJoinQueryTest shapes, ported
     // onto the TPC-H tables: semi+anti join in one query, union-of-inputs
@@ -5594,6 +5691,72 @@ object SparkEntry {
                 round(CAST(sum(value) AS DOUBLE), 3) AS sum_v
          FROM events
          GROUP BY 1, 2 ORDER BY h, dow""",
+
+    "q_qa_kttm_compare" ->
+      """SELECT
+           count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                              AND ts < TIMESTAMP '2024-01-11 00:00:00') AS v0,
+           CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                              AND ts < TIMESTAMP '2024-01-11 00:00:00')) AS BIGINT) AS v1,
+           count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+                              AND ts < TIMESTAMP '2024-01-10 00:00:00') AS v2,
+           CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+                              AND ts < TIMESTAMP '2024-01-10 00:00:00')) AS BIGINT) AS v3,
+           count(*) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
+                              AND ts < TIMESTAMP '2023-01-02 00:00:00') AS empty_cnt,
+           CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
+                              AND ts < TIMESTAMP '2023-01-02 00:00:00')) AS BIGINT) AS empty_sum
+         FROM events""",
+
+    "q_qa_kttm_timefloor_compare" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                count(*) AS cnt,
+                count(*) FILTER (WHERE event_type = 'click') AS clicks,
+                CAST(FLOOR(sum(value)) AS BIGINT) AS sum_v
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-10 12:00:00'
+         GROUP BY date_trunc('hour', ts)
+         ORDER BY bucket""",
+
+
+    "q_qa_groupby_on_groupby_timefloor" ->
+      """SELECT o_orderstatus,
+                CAST(date_trunc('month', gran) AS DATE) AS mon,
+                CAST(FLOOR(sum(s)) AS BIGINT) AS tot
+         FROM (SELECT date_trunc('day', o_orderdate) AS gran, o_orderstatus,
+                      sum(o_totalprice) AS s
+               FROM orders GROUP BY date_trunc('day', o_orderdate), o_orderstatus
+               HAVING sum(o_totalprice) > 200000) x
+         GROUP BY o_orderstatus, date_trunc('month', gran)
+         ORDER BY o_orderstatus, mon DESC""",
+
+    "q_qa_limit_pushdown_extraction" ->
+      """SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS p1,
+                count(*) AS cnt
+         FROM orders
+         WHERE o_orderstatus = 'F'
+         GROUP BY o_orderstatus, substring(o_orderpriority, 1, 1)
+         ORDER BY p1
+         LIMIT 3""",
+
+    "q_qa_time_filter_subquery" ->
+      """SELECT count(*) AS cnt,
+                CAST(FLOOR(sum(o_totalprice)) AS BIGINT) AS tot
+         FROM (SELECT o_orderdate, o_totalprice FROM orders
+               WHERE o_orderdate >= DATE '1997-01-01'
+                 AND o_orderdate < DATE '1998-01-01') t
+         WHERE o_totalprice > 100000""",
+
+
+    "q_qa_union_all_limit" ->
+      """SELECT * FROM (
+           SELECT c_name AS name, c_acctbal AS bal FROM customer
+           UNION ALL
+           SELECT 'sup' AS name, 0.0 AS bal FROM lineitem WHERE l_orderkey = 1
+         ) u
+         ORDER BY bal DESC, name
+         LIMIT 5""",
 
     "q_qa_join_semi_anti_simul" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
