@@ -557,6 +557,66 @@ object SparkEntry {
          GROUP BY year(o_orderdate), c_nationkey
          ORDER BY d_year, c_nation""",
 
+    // qaSsb Q1_0: coarse year-level revenue flight (vs Q1_1's year-month)
+    "ssb_q1_0" ->
+      """SELECT CAST(FLOOR(sum(l_extendedprice * l_discount)) AS BIGINT) AS revenue
+         FROM lineitem, orders
+         WHERE l_orderkey = o_orderkey
+           AND year(o_orderdate) = 1997
+           AND l_discount BETWEEN 0.01 AND 0.03
+           AND l_quantity < 25""",
+
+    // qaSsb Q3_0: region-level rollup of the geography flight — both sides
+    // of the star constrained to one region through the nation dim
+    "ssb_q3_0" ->
+      """SELECT CAST(cn.n_regionkey AS BIGINT) AS c_region,
+                CAST(sn.n_regionkey AS BIGINT) AS s_region,
+                CAST(year(o_orderdate) AS BIGINT) AS d_year,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS lo_revenue
+         FROM customer, orders, lineitem, supplier, nation cn, nation sn
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey
+           AND c_nationkey = cn.n_nationkey
+           AND s_nationkey = sn.n_nationkey
+           AND cn.n_regionkey = 2 AND sn.n_regionkey = 2
+           AND year(o_orderdate) BETWEEN 1995 AND 1997
+         GROUP BY cn.n_regionkey, sn.n_regionkey, year(o_orderdate)
+         ORDER BY d_year, lo_revenue DESC""",
+
+    // qaSsb Q3_3: finest-granularity flight — two specific geography keys
+    // and a single year-month, the most selective of the Q3 family
+    "ssb_q3_3" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_city,
+                CAST(s_nationkey AS BIGINT) AS s_city,
+                CAST(year(o_orderdate) AS BIGINT) AS d_year,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS lo_revenue
+         FROM customer, orders, lineitem, supplier
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey
+           AND c_nationkey IN (5, 11) AND s_nationkey IN (5, 11)
+           AND year(o_orderdate) * 100 + month(o_orderdate) = 199712
+         GROUP BY c_nationkey, s_nationkey, year(o_orderdate)
+         ORDER BY d_year, lo_revenue DESC, c_city, s_city""",
+
+    // qaSsb Q4_2: profit drill-down — year × supplier-nation × category
+    // under both-geography filters and a two-year window
+    "ssb_q4_2" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year,
+                CAST(s_nationkey AS BIGINT) AS s_nation,
+                p_type AS p_category,
+                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)
+                  - l_quantity * p_retailprice * 0.1)) AS BIGINT) AS profit
+         FROM lineitem, orders, customer, supplier, part
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+           AND c_nationkey IN (1, 2, 3, 17, 24)
+           AND s_nationkey IN (1, 2, 3, 17, 24)
+           AND year(o_orderdate) IN (1997, 1998)
+         GROUP BY year(o_orderdate), s_nationkey, p_type
+         ORDER BY d_year, s_nation, p_category""",
+
     // tpcds/query51.sql shape (drill runs it as query51.drill_4811): two
     // per-channel cumulative series FULL OUTER JOINed on the time key,
     // COALESCE'd, filtered where one channel's running total overtakes the
@@ -2011,6 +2071,22 @@ object SparkEntry {
       s.sql(drillSql("ssb_q3"))
     }),
 
+    "q_ssb_q1_0" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q1_0"))
+    }),
+    "q_ssb_q3_0" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q3_0"))
+    }),
+    "q_ssb_q3_3" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q3_3"))
+    }),
+    "q_ssb_q4_2" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("ssb_q4_2"))
+    }),
     "q_ssb_q4" -> ((s, dir) => {
       // quidem qaSsb Q4_1: profit per year × customer nation, 5-table star
       Tables.registerAll(s, dir)
@@ -4698,6 +4774,10 @@ object SparkEntry {
     "q_ssb_q2" -> drillSql("ssb_q2"),
     "q_ssb_q3" -> drillSql("ssb_q3"),
     "q_ssb_q4" -> drillSql("ssb_q4"),
+    "q_ssb_q1_0" -> drillSql("ssb_q1_0"),
+    "q_ssb_q3_0" -> drillSql("ssb_q3_0"),
+    "q_ssb_q3_3" -> drillSql("ssb_q3_3"),
+    "q_ssb_q4_2" -> drillSql("ssb_q4_2"),
     "q_drill_tpcds_q47" -> drillSql("tpcds_q47"),
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
