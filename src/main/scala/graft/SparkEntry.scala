@@ -4678,6 +4678,30 @@ object SparkEntry {
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy(col("asset_id"))
+    }),
+
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL audio decode through the JDK's bundled WAV codec: synthesize a
+      // deterministic 16-bit PCM WAV per doc (closed-form sample values),
+      // parse it back with javax.sound.sampled partition-parallel, and emit
+      // header + amplitude features — the oracle recomputes the same values
+      // arithmetically, proving encode→WAV→decode is lossless through a
+      // real codec
+      val mk = udf((id: Long) =>
+        Multimodal.syntheticWav(id, (400 + id % 5 * 80).toInt))
+      val assets = t(s, dir)("documents").filter(col("doc_id") < 60)
+        .select(col("doc_id").as("asset_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.decodeAudioFeatures(assets)
+        .select(col("asset_id"),
+          col("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_frames"),
+          round(col("duration_s"), 4).as("duration_s"),
+          round(col("mean_abs"), 4).as("mean_abs"),
+          round(col("rms"), 4).as("rms"),
+          col("peak").cast("long").as("peak"))
+        .orderBy(col("asset_id"))
     })
   ) ++ QaSuites.queries
 
@@ -6650,6 +6674,27 @@ object SparkEntry {
                       gy -> CAST((gx + gy + doc_id) % 256 AS DOUBLE)))))
                   / ((16 + doc_id % 8) * 16), 4) AS mean_b
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "q_multimodal_audio" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(400 + doc_id % 5 * 80 AS BIGINT) AS n,
+                  list_transform(range(0, CAST(400 + doc_id % 5 * 80 AS INTEGER)),
+                    i -> (i * 37 + doc_id * 11) % 2048 - 1024) AS samples
+           FROM documents WHERE doc_id < 60)
+         SELECT doc_id AS asset_id,
+                CAST(8000.0 AS DOUBLE) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(16 AS BIGINT) AS bits,
+                n AS n_frames,
+                round(n / 8000.0, 4) AS duration_s,
+                round(list_sum(list_transform(samples, s -> abs(s)))
+                  / CAST(n AS DOUBLE), 4) AS mean_abs,
+                round(sqrt(list_sum(list_transform(samples,
+                    s -> CAST(s AS DOUBLE) * s)) / n), 4) AS rms,
+                CAST(list_max(list_transform(samples, s -> abs(s))) AS BIGINT)
+                  AS peak
+         FROM base ORDER BY asset_id""",
 
     "q_text_profile" ->
       """WITH base AS (

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   *
   * Codec status in this environment, probed not assumed: the JDK bundles
   * `javax.imageio` readers (PNG/JPEG/GIF/BMP/TIFF — see
-  * [[availableImageCodecs]]), so the IMAGE decode path
-  * ([[decodeImageFeatures]]) is a REAL decode through a real codec. Audio
-  * and video codecs are genuinely absent, so those decode steps remain
-  * clearly-marked deterministic stubs with the production schema / batch
-  * shape / partition-parallel execution.
+  * [[availableImageCodecs]]) and `javax.sound.sampled` file readers
+  * (WAVE/AU/AIFF — see [[availableAudioCodecs]]), so the IMAGE
+  * ([[decodeImageFeatures]]) and AUDIO ([[decodeAudioFeatures]]) decode
+  * paths are REAL decodes through real codecs. Video codecs are genuinely
+  * absent, so frame sampling remains a clearly-marked deterministic stub
+  * with the production schema / batch shape / partition-parallel
+  * execution.
   *
   * At 100 TB the pattern is: binary payloads stay in parquet (or are
   * path-references into object storage), decode/feature-extract runs
@@ -97,6 +99,101 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Audio container formats the JVM can actually parse
+    * (javax.sound.sampled registry — WAVE/AU/AIFF on a stock JDK).
+    */
+  def availableAudioCodecs: Seq[String] =
+    javax.sound.sampled.AudioSystem.getAudioFileTypes.toSeq
+      .map(_.toString.toLowerCase).distinct.sorted
+
+  /** REAL audio decode via the JDK's bundled sampled-audio codecs:
+    * per-partition `mapPartitions`, container header → (sample_rate,
+    * channels, bits, frames, duration), then a full PCM pass for
+    * mean-absolute amplitude, RMS, and peak over 16-bit little-endian
+    * samples. Unparseable payloads yield NULL feature columns instead of
+    * failing the batch (same error contract as the image path).
+    */
+  def decodeAudioFeatures(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", DoubleType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true),
+      StructField("mean_abs", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("peak", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select(col("asset_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val decoded =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+              else {
+                val nFrames = in.getFrameLength
+                val bytes = in.readAllBytes()
+                val nSamples = bytes.length / 2
+                var sumAbs = 0L; var sumSq = 0.0; var peak = 0
+                var i = 0
+                while (i < nSamples) {
+                  val lo = bytes(2 * i) & 0xff
+                  val hi = bytes(2 * i + 1).toInt
+                  val s = (hi << 8) | lo
+                  val a = math.abs(s)
+                  sumAbs += a; sumSq += s.toDouble * s
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                val n = math.max(nSamples, 1)
+                Some((fmt.getSampleRate.toDouble, fmt.getChannels,
+                  fmt.getSampleSizeInBits, nFrames,
+                  nFrames / fmt.getSampleRate.toDouble,
+                  sumAbs.toDouble / n, math.sqrt(sumSq / n), peak))
+              }
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((sr, ch, bits, nf, dur, ma, rms, pk)) =>
+            org.apache.spark.sql.Row(id, sr, ch, bits, nf, dur, ma, rms, pk)
+          case None =>
+            org.apache.spark.sql.Row(id, null, null, null, null, null, null,
+              null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture-side counterpart of [[syntheticPng]] for audio: a 16-bit mono
+    * PCM WAV whose sample values are closed-form in (i, id) —
+    * `s_i = ((i*37 + id*11) % 2048) - 1024` — so an oracle can recompute
+    * the decoded mean-abs/RMS/peak arithmetically, proving the
+    * encode→WAV→decode loop is lossless through a real codec.
+    */
+  def syntheticWav(id: Long, nFrames: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (((i.toLong * 37 + id * 11) % 2048) - 1024).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
