@@ -669,21 +669,26 @@ object SparkEntry {
     */
   private[graft] def tpchSql(name: String): String = tpchQuerySql(name)
 
-  /** Deterministic stand-in for the missing `partsupp` table: a keyed
-    * arithmetic derivation over part × supplier, identical in Spark and
-    * DuckDB (integer `%` on non-negative keys, then an exact /10.0), so the
-    * partsupp-dependent TPC-H shapes (Q02/Q11/Q16/Q20) run verbatim in both
-    * engines without synthesizing data files.
+  /** Deterministic stand-in for the missing `partsupp` table: like real
+    * TPC-H, exactly 4 rows per part, with the supplier key an arithmetic
+    * function of (p_partkey, j) over the live supplier key range — LINEAR
+    * in scale factor (part × a 4-row inline table), never a part×supplier
+    * cross join, so the derived table grows like a real partsupp would at
+    * 100 TB. Identical in Spark and DuckDB (integer `%` on non-negative
+    * keys, then an exact /10.0).
     */
   private val tpchPartsuppCte: String =
     """WITH partsupp AS (
-         SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
-                CAST((p_partkey * 7 + s_suppkey * 13) % 1000 + 1 AS BIGINT)
+         SELECT p_partkey AS ps_partkey,
+                s0 + (p_partkey * 7 + j * 13) % ns AS ps_suppkey,
+                CAST((p_partkey * 7 + j * 13) % 1000 + 1 AS BIGINT)
                   AS ps_availqty,
-                CAST((p_partkey * 31 + s_suppkey * 17) % 900 + 100 AS DOUBLE)
+                CAST((p_partkey * 31 + j * 17) % 900 + 100 AS DOUBLE)
                   / 10.0 AS ps_supplycost
-         FROM part, supplier
-         WHERE (p_partkey + s_suppkey) % 4 = 0)
+         FROM part
+         CROSS JOIN (SELECT count(*) AS ns, min(s_suppkey) AS s0
+                     FROM supplier) sc
+         CROSS JOIN (VALUES (0), (1), (2), (3)) js(j))
     """
 
   private val tpchQuerySql: Map[String, String] = Map(
@@ -991,7 +996,7 @@ object SparkEntry {
          FROM part, supplier, partsupp, nation, region
          WHERE p_partkey = ps_partkey
            AND s_suppkey = ps_suppkey
-           AND p_size = 15
+           AND p_size BETWEEN 10 AND 20
            AND p_type = 'LARGE'
            AND s_nationkey = n_nationkey
            AND n_regionkey = r_regionkey

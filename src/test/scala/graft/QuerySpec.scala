@@ -17,10 +17,12 @@ class QuerySpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
-  // every query must run and (except pair-mining queries that may
-  // legitimately be empty at tiny scale) return rows
+  // every query must run and (except pair-mining queries and
+  // ultra-selective TPC-H/SSB filters that may legitimately be empty at
+  // tiny scale) return rows
   private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_ngram_jaccard", "q_embed_ann_lsh")
+    "q_dedup_ngram_jaccard", "q_embed_ann_lsh",
+    "q_tpch_q11", "q_tpch_q20", "q_ssb_q3_3")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
