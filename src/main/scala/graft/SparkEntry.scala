@@ -2695,9 +2695,10 @@ object SparkEntry {
     // (reference sql/src/test/quidem DecoupledPlanningCalciteQueryTest:
     // shapes that stress the planner — re-aggregation of a time-floored
     // GROUP BY with HAVING, LIMIT pushdown through an extraction-fn
-    // grouping, time filters on subqueries, and UNION ALL under a global
-    // sort+limit; repeated-virtual-grouping and exact-count-distinct shapes
-    // are covered by the earlier Calcite misc gates)
+    // grouping, and UNION ALL under a global sort+limit;
+    // repeated-virtual-grouping, exact-count-distinct, and
+    // time-filter-on-subquery shapes are covered by the earlier Calcite
+    // misc gates)
 
     "q_qa_groupby_on_groupby_timefloor" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -2725,16 +2726,6 @@ object SparkEntry {
         LIMIT 3""")
     }),
 
-    "q_qa_time_filter_subquery" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql("""
-        SELECT count(*) AS cnt,
-               CAST(FLOOR(sum(o_totalprice)) AS BIGINT) AS tot
-        FROM (SELECT o_orderdate, o_totalprice FROM orders
-              WHERE o_orderdate >= DATE '1997-01-01'
-                AND o_orderdate < DATE '1998-01-01') t
-        WHERE o_totalprice > 100000""")
-    }),
 
 
     "q_qa_union_all_limit" -> ((s, dir) => {
@@ -3156,6 +3147,28 @@ object SparkEntry {
         .select(col("bucket"), col("event_type"), col("n"),
           round(col("sum_value"), 3).as("sum_value"))
         .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    "q_stream_enrich" -> ((s, dir) => {
+      // ingest-time transform + lookup (reference transformSpec lookup()):
+      // derive a dimension key per event, enrich the stream against a
+      // broadcast nation snapshot, then rollup by the looked-up name — the
+      // stream never shuffles for the join
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = Tables.normalizeTs(
+        StreamingIngest.source(s, s"$dir/events*.parquet", schema))
+        .withColumn("nk", pmod(col("user_id"), lit(25)))
+      val dim = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val enriched = StreamingIngest.enrich(stream, dim,
+        col("nk") === col("n_nationkey"))
+      StreamingIngest.runBoundedAgg(s,
+        StreamingIngest.rollup(enriched, "ts", "1 day", Seq("n_name")),
+        queryName = "stream_enrich_out")
+        .select(col("bucket"), col("n_name"), col("n"),
+          round(col("sum_value"), 3).as("sum_value"))
+        .orderBy(col("bucket"), col("n_name"))
     }),
 
     "q_sql_json_funcs" -> ((s, dir) => {
@@ -5849,13 +5862,6 @@ object SparkEntry {
          ORDER BY p1
          LIMIT 3""",
 
-    "q_qa_time_filter_subquery" ->
-      """SELECT count(*) AS cnt,
-                CAST(FLOOR(sum(o_totalprice)) AS BIGINT) AS tot
-         FROM (SELECT o_orderdate, o_totalprice FROM orders
-               WHERE o_orderdate >= DATE '1997-01-01'
-                 AND o_orderdate < DATE '1998-01-01') t
-         WHERE o_totalprice > 100000""",
 
 
     "q_qa_union_all_limit" ->
@@ -6130,6 +6136,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
                 round(sum(value), 3) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_stream_enrich" ->
+      """SELECT date_trunc('day', ts) AS bucket, n_name, count(*) AS n,
+                round(sum(value), 3) AS sum_value
+         FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY 1, 2 ORDER BY bucket, n_name""",
 
     "q_inflight_union" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -234,10 +234,29 @@ object StreamingIngest {
     * DataFrame and return the rolled-up result as a batch DataFrame (memory
     * sink — used by tests and the correctness gate; production writes Delta).
     */
+  /** Ingest-time transform + lookup enrichment (the reference's
+    * transformSpec with `lookup()` — applied per row by the indexing task
+    * before rows reach the incremental index): a stream-static join against
+    * a dimension snapshot. The static side is explicitly broadcast, so each
+    * micro-batch probes a per-executor hash map — no stream shuffle, no
+    * streaming state — which is the only shape that holds when the stream
+    * side is 100 TB/day and the lookup is a few MB.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             joinExpr: Column, joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), joinExpr, joinType)
+
   def runBounded(spark: SparkSession, stream: DataFrame,
                  timeCol: String, granularity: String, dims: Seq[String],
-                 queryName: String): DataFrame = {
-    val agg = rollup(stream, timeCol, granularity, dims)
+                 queryName: String): DataFrame =
+    runBoundedAgg(spark, rollup(stream, timeCol, granularity, dims), queryName)
+
+  /** Bounded one-pass run of an already-built streaming aggregate (memory
+    * sink, AvailableNow): the harness for gates that compose their own
+    * enrich/transform before the rollup.
+    */
+  def runBoundedAgg(spark: SparkSession, agg: DataFrame,
+                    queryName: String): DataFrame = {
     // stateful streaming opens one state store per shuffle partition per
     // micro-batch; for a bounded single-batch pass 32 store inits are pure
     // overhead — run the stateful stage narrow, restore the session conf

@@ -42,4 +42,17 @@ class QuerySpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("no duplicate gate names in the SparkEntry source") {
+    // a Map literal silently keeps only the LAST binding for a repeated
+    // key, so a re-added gate name would shadow the original and its plan
+    // pins without any compile error — scan the source for duplicates
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val defs = """"(q_[a-z0-9_]+)" -> \(\(s, dir\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val dups = defs.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate gate definitions: $dups")
+  }
 }

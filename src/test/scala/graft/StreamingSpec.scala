@@ -43,6 +43,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrich equals batch join and broadcasts the dim") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dim = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val stream = eventsStream.withColumn("nk", pmod(col("user_id"), lit(25)))
+    val enriched = StreamingIngest.enrich(stream, dim,
+      col("nk") === col("n_nationkey"))
+    val streamed = StreamingIngest.runBoundedAgg(spark,
+      StreamingIngest.rollup(enriched, "ts", "1 day", Seq("n_name")),
+      "stream_spec_enrich").select("bucket", "n_name", "n")
+    val batch = Tables.load(spark, dir, "events")
+      .withColumn("nk", pmod(col("user_id"), lit(25)))
+      .join(dim, col("nk") === col("n_nationkey"), "left")
+      .groupBy(date_trunc("day", col("ts")).as("bucket"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the join itself must be broadcast — the stream side never shuffles
+    // to co-locate with the dimension (the raw logical plan carries the
+    // hint; optimized/executed plans can't be forced on a streaming DF)
+    val plan = enriched.queryExecution.logical.toString
+    assert(plan.toLowerCase.contains("hint"),
+      s"dim side must carry a broadcast hint:\n$plan")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     // events replayed twice (same files via a 2-path glob is not possible
     // here, so duplicate by unioning the stream with itself per batch is
