@@ -2728,6 +2728,26 @@ object SparkEntry {
 
 
 
+    // qaSql aggr_general: aggregate ARITHMETIC inside HAVING, chained
+    // through IS [NOT] DISTINCT FROM self-comparisons plus a HAVING-level
+    // time filter — the planner must recognize the repeated aggregate
+    // expression as one aggregate, not re-evaluate per predicate term
+    "q_qa_aggr_having_distinct_from" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT date_trunc('hour', ts) AS t, count(*) + 1 AS c
+        FROM events
+        GROUP BY date_trunc('hour', ts)
+        HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                          AND TIMESTAMP '2024-01-10 06:00:00'
+           AND (count(*) + 1 IS NULL
+                OR (count(*) + 1 = count(*) + 1
+                    AND count(*) + 1 IS NOT DISTINCT FROM count(*) + 1
+                    AND count(*) + 1 <> count(*)
+                    AND (count(*) + 1 IS DISTINCT FROM count(*))))
+        ORDER BY t""")
+    }),
+
     "q_qa_union_all_limit" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -5863,6 +5883,19 @@ object SparkEntry {
          LIMIT 3""",
 
 
+
+    "q_qa_aggr_having_distinct_from" ->
+      """SELECT date_trunc('hour', ts) AS t, count(*) + 1 AS c
+         FROM events
+         GROUP BY date_trunc('hour', ts)
+         HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                           AND TIMESTAMP '2024-01-10 06:00:00'
+            AND (count(*) + 1 IS NULL
+                 OR (count(*) + 1 = count(*) + 1
+                     AND count(*) + 1 IS NOT DISTINCT FROM count(*) + 1
+                     AND count(*) + 1 <> count(*)
+                     AND (count(*) + 1 IS DISTINCT FROM count(*))))
+         ORDER BY t""",
 
     "q_qa_union_all_limit" ->
       """SELECT * FROM (
