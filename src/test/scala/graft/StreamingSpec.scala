@@ -67,6 +67,59 @@ class StreamingSpec extends AnyFunSuite {
       s"dim side must carry a broadcast hint:\n$plan")
   }
 
+  test("supervisor lifecycle: submit/suspend/resume is exactly-once across restarts") {
+    import graft.streaming.Supervisors
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sup").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(srcDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("tss", "event_type", "value")
+        .selectExpr("CAST(tss AS TIMESTAMP) AS ts", "event_type", "value")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+    val fileA = Seq(
+      ("2024-01-01 00:05:00", "click", 1.0), ("2024-01-01 00:10:00", "view", 2.0),
+      ("2024-01-01 01:05:00", "click", 3.0), ("2024-01-01 02:05:00", "view", 4.0))
+    writeBatch("a", fileA)
+
+    val schema = spark.read.parquet(s"$srcDir/a").schema
+    val spec = Supervisors.SupervisorSpec("sup1", s"$srcDir/*/*.parquet",
+      schema, "ts", "1 hour", Seq("event_type"), outDir, ck)
+    val st0 = Supervisors.submit(spark, spec)
+    assert(st0.state == Supervisors.Running)
+    Supervisors.awaitDrained("sup1")
+    val st1 = Supervisors.suspend("sup1")
+    assert(st1.state == Supervisors.Suspended)
+
+    // new data lands while suspended; its timestamps push the watermark
+    // past every file-A bucket, so those buckets must emit exactly once
+    writeBatch("b", Seq(("2024-01-01 05:00:00", "click", 5.0)))
+    assert(Supervisors.resume(spark, "sup1").state == Supervisors.Running)
+    Supervisors.awaitDrained("sup1")
+    Supervisors.suspend("sup1")
+    writeBatch("c", Seq(("2024-01-01 07:00:00", "view", 6.0)))
+    Supervisors.resume(spark, "sup1")
+    Supervisors.awaitDrained("sup1")
+    assert(Supervisors.list().contains("sup1"))
+    Supervisors.terminate("sup1")
+    assert(!Supervisors.list().contains("sup1"))
+
+    val out = spark.read.parquet(outDir)
+    // exactly-once: a replayed batch after resume would duplicate buckets
+    val dups = out.groupBy("bucket", "event_type").count().filter(col("count") > 1)
+    assert(dups.isEmpty, "duplicate (bucket, dim) rows — resume replayed data")
+    // completeness: every file-A bucket is closed by the later watermark
+    // and must be present with the batch-exact aggregate
+    val emitted = out.select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"),
+      col("event_type"), col("n"), col("sum_value")).as[(String, String, Long, Double)]
+      .collect().toSet
+    assert(emitted.contains(("2024-01-01 00:00:00", "click", 1L, 1.0)), emitted.toString)
+    assert(emitted.contains(("2024-01-01 00:00:00", "view", 1L, 2.0)))
+    assert(emitted.contains(("2024-01-01 01:00:00", "click", 1L, 3.0)))
+    assert(emitted.contains(("2024-01-01 02:00:00", "view", 1L, 4.0)))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     // events replayed twice (same files via a 2-path glob is not possible
     // here, so duplicate by unioning the stream with itself per batch is
