@@ -177,6 +177,17 @@ object SqlApi {
   private def executeTo(spark: SparkSession, dir: String, payload: String,
                         out: java.io.Writer, capped: Boolean): Unit = {
     val j = JsonMethods.parse(payload)
+    // admission control (reference QueryScheduler.run): the whole
+    // compile+execute runs under the lane/total permits so capacity counts
+    // in-flight queries, and rejection happens before any work is planned
+    QueryLanes.withAdmission(str(ctxValue(j, "lane"))) {
+      executeAdmitted(spark, dir, payload, j, out, capped)
+    }
+  }
+
+  private def executeAdmitted(spark: SparkSession, dir: String,
+                              payload: String, j: JValue,
+                              out: java.io.Writer, capped: Boolean): Unit = {
     val df0 = run(spark, dir, payload)
     // reference sqlStringifyArrays: complex-typed result columns render as
     // JSON strings (the reference's default for non-array-aware formats;

@@ -570,4 +570,40 @@ class SqlApiSpec extends AnyFunSuite {
              ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation""").collect()
     }
   }
+
+  test("query laning: capacity-exceeded queries are rejected, not queued") {
+    import graft.api.QueryLanes
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    try {
+      // HiLo strategy: total 2, 'low' lane capped at 1
+      QueryLanes.configureHiLo(totalCapacity = 2, lowPercent = 50)
+      // a low-lane query holds its permit while a second low-lane query
+      // arrives → the second is shed immediately with the typed error
+      val entered = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val holder = new Thread(() =>
+        QueryLanes.withAdmission(Some("low")) {
+          entered.countDown()
+          release.await(10, TimeUnit.SECONDS)
+        })
+      holder.start()
+      assert(entered.await(10, TimeUnit.SECONDS))
+      val rejected = intercept[QueryLanes.QueryCapacityExceeded] {
+        SqlApi.execute(spark, dir,
+          """{"query": "SELECT count(*) AS n FROM nation",
+              "context": {"lane": "low"}}""")
+      }
+      assert(rejected.getMessage.contains("lane 'low'"))
+      // the default lane still has total capacity → runs fine concurrently
+      val ok = SqlApi.execute(spark, dir,
+        """{"query": "SELECT count(*) AS n FROM nation"}""")
+      assert(ok.contains("25"))
+      release.countDown(); holder.join(10000)
+      // after the holder releases, the low lane admits again
+      val okLow = SqlApi.execute(spark, dir,
+        """{"query": "SELECT count(*) AS n FROM nation",
+            "context": {"lane": "low"}}""")
+      assert(okLow.contains("25"))
+    } finally QueryLanes.configure(0) // restore unlimited for other tests
+  }
 }
