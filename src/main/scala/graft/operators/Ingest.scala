@@ -150,6 +150,46 @@ object Ingest {
     dropped
   }
 
+  /** The auto-compaction DUTY (reference coordinator `CompactSegments.java`
+    * with `NewestSegmentFirstPolicy.java`): scan a partition-dir-per-chunk
+    * warehouse, newest chunks first, and compact ONLY the fragmented ones —
+    * more than one file and average file size below `targetBytes`. Chunks
+    * already at a good layout are skipped, so repeated runs are idempotent
+    * no-ops (the reference tracks this via compaction state on segments;
+    * here the file layout itself is the state). Each selected chunk is
+    * rewritten with a narrow `coalesce` to ceil(total/targetBytes) files —
+    * no shuffle, the 100-TB-safe shape for small-file consolidation.
+    *
+    * @return the compacted partition paths (newest first)
+    */
+  def autoCompact(spark: SparkSession, root: String, targetBytes: Long,
+                  maxChunks: Int = Int.MaxValue): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val chunks = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .sortBy(_.getPath.getName)(Ordering[String].reverse) // newest first
+    val fragmented = chunks.flatMap { c =>
+      val files = fs.listStatus(c.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val total = files.map(_.getLen).sum
+      if (files.length > 1 && total / files.length < targetBytes)
+        Some((c.getPath, total))
+      else None
+    }
+    fragmented.take(maxChunks).map { case (p, total) =>
+      val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      val tmp = new org.apache.hadoop.fs.Path(p.toString + "__compacting")
+      spark.read.parquet(p.toString).coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+      p.toString
+    }
+  }
+
   /** Auto-compaction: rewrite a (possibly many-small-files) table into
     * ~targetRowsPerFile files per partition — the reference coordinator's
     * CompactSegments duty as a batch job.

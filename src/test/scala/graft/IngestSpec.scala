@@ -198,4 +198,31 @@ class IngestSpec extends AnyFunSuite {
       if (t == null) "" else t.getMessage + " " + chain(t.getCause)
     assert(chain(ex).contains("outside OVERWRITE WHERE"))
   }
+
+  test("autoCompact: fragmented chunks compact newest-first, good chunks untouched, idempotent") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ac").toString
+    // two fragmented day chunks (8 small files each) + one already-compact
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 7).as("k"))
+    df.repartition(8).write.parquet(s"$root/__day=2024-01-01")
+    df.repartition(8).write.parquet(s"$root/__day=2024-01-02")
+    df.coalesce(1).write.parquet(s"$root/__day=2024-01-03")
+    def files(day: String): Int =
+      new java.io.File(s"$root/__day=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(files("2024-01-01") == 8 && files("2024-01-03") == 1)
+
+    val compacted = graft.operators.Ingest.autoCompact(
+      spark, root, targetBytes = 512L * 1024 * 1024)
+    // newest-first policy order; the single-file chunk was skipped
+    assert(compacted.map(_.split("=").last) == Seq("2024-01-02", "2024-01-01"))
+    assert(files("2024-01-01") == 1 && files("2024-01-02") == 1)
+    // data preserved
+    assert(spark.read.parquet(s"$root/__day=2024-01-01").count() == 1000)
+    assert(spark.read.parquet(root).agg(sum("id")).head().getLong(0) ==
+      3 * (999L * 1000 / 2))
+    // second run: nothing fragmented remains
+    assert(graft.operators.Ingest.autoCompact(spark, root, 512L * 1024 * 1024).isEmpty)
+  }
 }
