@@ -2728,6 +2728,27 @@ object SparkEntry {
 
 
 
+    // qaWin basics_multi_windows: window functions over TWO DIFFERENT
+    // partitionings in one SELECT over a grouped subquery — the planner
+    // must share one sort/exchange for the same-partitioning pair and add
+    // exactly one more for the second partitioning (pinned in PlanSpec)
+    "q_qa_win_multi_partitions" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH base AS (
+          SELECT user_id, event_type, count(*) AS n
+          FROM events WHERE user_id < 40
+          GROUP BY user_id, event_type)
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_type) AS rn_by_user,
+               CAST(sum(n) OVER (PARTITION BY user_id
+                                 ORDER BY event_type) AS BIGINT) AS run_by_user,
+               CAST(sum(n) OVER (PARTITION BY event_type
+                                 ORDER BY user_id) AS BIGINT) AS run_by_type
+        FROM base ORDER BY user_id, event_type""")
+    }),
+
     // qaSql aggr_general: aggregate ARITHMETIC inside HAVING, chained
     // through IS [NOT] DISTINCT FROM self-comparisons plus a HAVING-level
     // time filter — the planner must recognize the repeated aggregate
@@ -5883,6 +5904,20 @@ object SparkEntry {
          LIMIT 3""",
 
 
+
+    "q_qa_win_multi_partitions" ->
+      """WITH base AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events WHERE user_id < 40
+           GROUP BY user_id, event_type)
+         SELECT user_id, event_type, n,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_type) AS rn_by_user,
+                CAST(sum(n) OVER (PARTITION BY user_id
+                                  ORDER BY event_type) AS BIGINT) AS run_by_user,
+                CAST(sum(n) OVER (PARTITION BY event_type
+                                  ORDER BY user_id) AS BIGINT) AS run_by_type
+         FROM base ORDER BY user_id, event_type""",
 
     "q_qa_aggr_having_distinct_from" ->
       """SELECT date_trunc('hour', ts) AS t, count(*) + 1 AS c

@@ -374,6 +374,17 @@ class PlanSpec extends AnyFunSuite {
       "filter must sit directly on the scan, not above the aggregate")
   }
 
+  test("multi-partitioning windows: same-partitioning pair shares one Window; one extra exchange for the second") {
+    // qaWin basics_multi_windows at 100 TB: N distinct PARTITION BY clauses
+    // cost N sort+exchange passes — functions over the SAME partitioning
+    // must collapse into one Window operator or the pass count silently
+    // doubles
+    val p = plan("q_qa_win_multi_partitions")
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows == 2,
+      s"expected exactly 2 Window operators (one per distinct partitioning), got $windows:\n$p")
+  }
+
   test("semi+anti simultaneous subqueries both broadcast; fact side never shuffles pre-agg") {
     val p = plan("q_qa_join_semi_anti_simul")
     assert(p.contains("LeftSemi"), "expected broadcast semi join:\n" + p)
