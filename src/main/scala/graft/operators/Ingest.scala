@@ -190,6 +190,31 @@ object Ingest {
     }
   }
 
+  /** Retention rules (reference coordinator `RunRules.java` with
+    * `loadByPeriod`/`dropForever` rules, `docs/operations/rule-configuration.md`):
+    * keep the newest `keepDays` day-chunks as of `asOfDay`, drop everything
+    * older. Metadata-only: decides from directory names, deletes whole
+    * chunks — never reads data. Returns dropped chunk paths.
+    */
+  def applyRetention(spark: SparkSession, root: String, keepDays: Int,
+                     asOfDay: String): Seq[String] = {
+    require(keepDays > 0, s"keepDays must be positive, got $keepDays")
+    val cutoff = java.time.LocalDate.parse(asOfDay).minusDays(keepDays - 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+      .filter { s =>
+        val day = s.getPath.getName.stripPrefix("__day=")
+        try java.time.LocalDate.parse(day).isBefore(cutoff)
+        catch { case _: java.time.format.DateTimeParseException => false }
+      }
+      .sortBy(_.getPath.getName)
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+  }
+
   /** Auto-compaction: rewrite a (possibly many-small-files) table into
     * ~targetRowsPerFile files per partition — the reference coordinator's
     * CompactSegments duty as a batch job.

@@ -225,4 +225,24 @@ class IngestSpec extends AnyFunSuite {
     // second run: nothing fragmented remains
     assert(graft.operators.Ingest.autoCompact(spark, root, 512L * 1024 * 1024).isEmpty)
   }
+
+  test("applyRetention drops only day chunks older than the keep window") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    val df = spark.range(10).toDF("id")
+    Seq("2024-01-01", "2024-01-05", "2024-01-09", "2024-01-10").foreach(d =>
+      df.write.parquet(s"$root/__day=$d"))
+    // non-day dirs are never touched
+    df.write.parquet(s"$root/__other=x")
+    val dropped = graft.operators.Ingest.applyRetention(
+      spark, root, keepDays = 6, asOfDay = "2024-01-10")
+    // cutoff = 2024-01-05: the 01-01 chunk drops, 01-05 (== cutoff) stays
+    assert(dropped.map(_.split("=").last) == Seq("2024-01-01"))
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("__day=2024-01-05", "__day=2024-01-09",
+      "__day=2024-01-10", "__other=x"))
+    // idempotent
+    assert(graft.operators.Ingest.applyRetention(
+      spark, root, 6, "2024-01-10").isEmpty)
+  }
 }
