@@ -82,14 +82,27 @@ object Metadata {
     */
   def supervisors(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.streams.active.toSeq.map { q =>
+    val live = spark.streams.active.toSeq.map { q =>
       val source = Option(q.lastProgress)
         .flatMap(_.sources.headOption).map(_.description).getOrElse("")
       (Option(q.name).getOrElse(q.id.toString), q.runId.toString,
         if (q.isActive) "RUNNING" else "STOPPED",
         q.status.message, q.exception.isEmpty, "stream", source, !q.isActive)
-    }.toDF("supervisor_id", "run_id", "state", "detailed_state", "healthy",
-      "type", "source", "suspended")
+    }
+    // lifecycle-managed supervisors (streaming/Supervisors): a SUSPENDED
+    // supervisor has no active query, but the reference still lists it with
+    // suspended=true — merge the registry's view for ids the live scan
+    // doesn't already cover
+    val liveIds = live.map(_._1).toSet
+    val managed = graft.streaming.Supervisors.statuses()
+      .filterNot(s => liveIds.contains(s.id))
+      .map { s =>
+        val state = s.state.toString.toUpperCase
+        (s.id, "", state, s"batches=${s.batchesCompleted}", true,
+          "stream", "", state == "SUSPENDED")
+      }
+    (live ++ managed).toDF("supervisor_id", "run_id", "state",
+      "detailed_state", "healthy", "type", "source", "suspended")
   }
 
   /** sys.server_segments (reference `SystemSchema.java:105-111`): the

@@ -83,6 +83,7 @@ object Supervisors {
 
   private def startQuery(spark: SparkSession, e: Entry): Unit = {
     val q = ingestStream(spark, e.spec).writeStream
+      .queryName(e.spec.id)
       .format("parquet")
       .outputMode("append")
       .option("path", e.spec.outPath)
@@ -148,4 +149,10 @@ object Supervisors {
 
   /** List active supervisor ids (reference `GET /druid/indexer/v1/supervisor`). */
   def list(): Seq[String] = registry.keys.toSeq.sorted
+
+  /** All registered supervisors with their lifecycle state — feeds the
+    * sys.supervisors system table, which otherwise only sees ACTIVE
+    * streaming queries and would drop suspended supervisors.
+    */
+  def statuses(): Seq[Status] = list().map(status)
 }

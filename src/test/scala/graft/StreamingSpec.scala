@@ -91,6 +91,11 @@ class StreamingSpec extends AnyFunSuite {
     Supervisors.awaitDrained("sup1")
     val st1 = Supervisors.suspend("sup1")
     assert(st1.state == Supervisors.Suspended)
+    // a suspended supervisor still appears in sys.supervisors
+    val sysRow = graft.operators.Metadata.supervisors(spark)
+      .filter(col("supervisor_id") === "sup1").collect()
+    assert(sysRow.length == 1 && sysRow(0).getAs[Boolean]("suspended"),
+      sysRow.mkString(","))
 
     // new data lands while suspended; its timestamps push the watermark
     // past every file-A bucket, so those buckets must emit exactly once
