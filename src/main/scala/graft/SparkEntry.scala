@@ -2820,6 +2820,74 @@ object SparkEntry {
         ORDER BY a.k""")
     }),
 
+    // --------------- Calcite join corpus, second tranche (Decoupled
+    // PlanningCalciteJoinQueryTest): mismatched-type join keys through
+    // casts, LEFT JOIN + IS NULL as anti join, joining two time-floored
+    // aggregates on the floored key, UNION ALL where both branches are
+    // joins, and two simultaneous IN semi joins
+    "q_qa_join_cast_key" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, count(*) AS n
+        FROM orders JOIN nation
+          ON CAST(o_custkey % 25 AS STRING) = CAST(n_nationkey AS STRING)
+        GROUP BY n_name ORDER BY n_name""")
+    }),
+
+    "q_qa_join_isnull_filter" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer LEFT JOIN
+          (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT') u
+          ON c_custkey = o_custkey
+        WHERE o_custkey IS NULL
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    "q_qa_join_timefloor_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(a.d AS TIMESTAMP) AS d, a.n_orders, b.n_lines
+        FROM (SELECT date_trunc('month', o_orderdate) AS d, count(*) AS n_orders
+              FROM orders GROUP BY date_trunc('month', o_orderdate)) a
+        JOIN (SELECT date_trunc('month', l_shipdate) AS d, count(*) AS n_lines
+              FROM lineitem GROUP BY date_trunc('month', l_shipdate)) b
+          ON a.d = b.d
+        WHERE a.d >= TIMESTAMP '1997-01-01'
+          AND a.d < TIMESTAMP '1998-01-01'
+        ORDER BY d""")
+    }),
+
+    "q_qa_union_two_joins" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT 'cust' AS side, c_mktsegment AS k, count(*) AS n
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderpriority = '1-URGENT'
+          GROUP BY c_mktsegment
+          UNION ALL
+          SELECT 'supp' AS side, CAST(s_nationkey AS STRING) AS k, count(*) AS n
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE l_quantity > 45
+          GROUP BY s_nationkey) u
+        ORDER BY side, k""")
+    }),
+
+    "q_qa_two_semi_joins" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 9000)
+          AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     "q_qa_nested_groupby_agg" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -5965,6 +6033,54 @@ object SparkEntry {
            ON a.k = b.k
          WHERE b.v IS NULL OR b.v = 'q'
          ORDER BY a.k""",
+
+    "q_qa_join_cast_key" ->
+      """SELECT n_name, count(*) AS n
+         FROM orders JOIN nation
+           ON CAST(o_custkey % 25 AS STRING) = CAST(n_nationkey AS STRING)
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_qa_join_isnull_filter" ->
+      """SELECT c_mktsegment, count(*) AS n
+         FROM customer LEFT JOIN
+           (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT') u
+           ON c_custkey = o_custkey
+         WHERE o_custkey IS NULL
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_qa_join_timefloor_agg" ->
+      """SELECT CAST(a.d AS TIMESTAMP) AS d, a.n_orders, b.n_lines
+         FROM (SELECT date_trunc('month', o_orderdate) AS d, count(*) AS n_orders
+               FROM orders GROUP BY date_trunc('month', o_orderdate)) a
+         JOIN (SELECT date_trunc('month', l_shipdate) AS d, count(*) AS n_lines
+               FROM lineitem GROUP BY date_trunc('month', l_shipdate)) b
+           ON a.d = b.d
+         WHERE a.d >= TIMESTAMP '1997-01-01'
+           AND a.d < TIMESTAMP '1998-01-01'
+         ORDER BY d""",
+
+    "q_qa_union_two_joins" ->
+      """SELECT * FROM (
+           SELECT 'cust' AS side, c_mktsegment AS k, count(*) AS n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderpriority = '1-URGENT'
+           GROUP BY c_mktsegment
+           UNION ALL
+           SELECT 'supp' AS side, CAST(s_nationkey AS STRING) AS k, count(*) AS n
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           WHERE l_quantity > 45
+           GROUP BY s_nationkey) u
+         ORDER BY side, k""",
+
+    "q_qa_two_semi_joins" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_acctbal > 9000)
+           AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              WHERE l_quantity > 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_qa_nested_groupby_agg" ->
       """SELECT pri_class, CAST(count(*) AS BIGINT) AS n_groups,
