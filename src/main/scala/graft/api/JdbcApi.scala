@@ -277,7 +277,11 @@ object JdbcApi {
       "parameters" -> JArray(params.toList),
       "context" -> JObject(context.map { case (k, v) =>
         k -> (JString(v): JValue) }.toList))
-    SqlApi.run(spark, dir, JsonMethods.compact(JsonMethods.render(payload)))
+    // the reference QueryScheduler lanes ALL entry points including
+    // Avatica — switching protocol must not evade admission control
+    QueryLanes.withAdmission(context.get("lane")) {
+      SqlApi.run(spark, dir, JsonMethods.compact(JsonMethods.render(payload)))
+    }
   }
 
   /** Scala value → the reference's typed-parameter JSON (`SqlParameter`). */

@@ -137,11 +137,20 @@ object SqlStatements {
     spark.sparkContext.setJobGroup(stmt.group, s"graft statement ${stmt.queryId}",
       interruptOnCancel = true)
     try {
-      val df = stmt.planned.getOrElse(SqlApi.run(spark, dir, stmt.payload))
-      stmt.schema = Some(df.schema)
+      // the async statement API is an entry point like any other — its
+      // execution counts against lane/total capacity (reference
+      // QueryScheduler lanes every protocol)
+      val lane = stmt.parsed \ "context" \ "lane" match {
+        case org.json4s.JString(s) => Some(s)
+        case _ => None
+      }
       val out = s"$statementsRoot/${stmt.queryId}"
-      deleteRecursively(new java.io.File(out))
-      df.write.mode("overwrite").parquet(out)
+      QueryLanes.withAdmission(lane) {
+        val df = stmt.planned.getOrElse(SqlApi.run(spark, dir, stmt.payload))
+        stmt.schema = Some(df.schema)
+        deleteRecursively(new java.io.File(out))
+        df.write.mode("overwrite").parquet(out)
+      }
       // page inventory from the part files (reference PageInformation):
       // one page per file, file order = result order
       val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)

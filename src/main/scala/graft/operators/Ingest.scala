@@ -153,12 +153,14 @@ object Ingest {
   /** The auto-compaction DUTY (reference coordinator `CompactSegments.java`
     * with `NewestSegmentFirstPolicy.java`): scan a partition-dir-per-chunk
     * warehouse, newest chunks first, and compact ONLY the fragmented ones —
-    * more than one file and average file size below `targetBytes`. Chunks
-    * already at a good layout are skipped, so repeated runs are idempotent
-    * no-ops (the reference tracks this via compaction state on segments;
-    * here the file layout itself is the state). Each selected chunk is
-    * rewritten with a narrow `coalesce` to ceil(total/targetBytes) files —
-    * no shuffle, the 100-TB-safe shape for small-file consolidation.
+    * strictly more files than ceil(total/targetBytes) would need. Chunks
+    * already at the target layout are skipped, so repeated runs are
+    * idempotent no-ops (the reference tracks this via compaction state on
+    * segments; here the file layout itself is the state). Each selected
+    * chunk is rewritten with a narrow `coalesce` into a staging dir OUTSIDE
+    * the scanned root, then swapped in with checked delete+rename — no
+    * shuffle, the 100-TB-safe shape for small-file consolidation (a
+    * transactional table format makes the swap atomic in production).
     *
     * @return the compacted partition paths (newest first)
     */
@@ -175,17 +177,27 @@ object Ingest {
       val files = fs.listStatus(c.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val total = files.map(_.getLen).sum
-      if (files.length > 1 && total / files.length < targetBytes)
-        Some((c.getPath, total))
+      val targetFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      // fragmented = strictly more files than the target layout needs —
+      // selecting on average size alone would re-rewrite every
+      // multi-target-size chunk forever (never idempotent)
+      if (files.length > targetFiles) Some((c.getPath, targetFiles))
       else None
     }
-    fragmented.take(maxChunks).map { case (p, total) =>
-      val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-      val tmp = new org.apache.hadoop.fs.Path(p.toString + "__compacting")
+    fragmented.take(maxChunks).map { case (p, nFiles) =>
+      // staging dir OUTSIDE the scanned root: a tmp dir inside it would be
+      // picked up by concurrent reads of the root (and by the next duty
+      // run) as a chunk of its own
+      val tmp = new org.apache.hadoop.fs.Path(
+        rootPath.getParent, s".compacting__${rootPath.getName}__${p.getName}")
+      fs.delete(tmp, true)
       spark.read.parquet(p.toString).coalesce(nFiles)
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(p, true)
-      fs.rename(tmp, p)
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(s"autoCompact: failed to remove $p")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"autoCompact: rename $tmp -> $p failed; compacted data is at $tmp")
       p.toString
     }
   }

@@ -98,7 +98,8 @@ object Metadata {
       .filterNot(s => liveIds.contains(s.id))
       .map { s =>
         val state = s.state.toString.toUpperCase
-        (s.id, "", state, s"batches=${s.batchesCompleted}", true,
+        (s.id, "", state,
+          s.error.getOrElse(s"batches=${s.batchesCompleted}"), s.healthy,
           "stream", "", state == "SUSPENDED")
       }
     (live ++ managed).toDF("supervisor_id", "run_id", "state",

@@ -140,9 +140,15 @@ object Multimodal {
               val fmt = in.getFormat
               if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
               else {
-                val nFrames = in.getFrameLength
                 val bytes = in.readAllBytes()
                 val nSamples = bytes.length / 2
+                // AU's legal unknown-data-size header makes getFrameLength
+                // report NOT_SPECIFIED (-1); derive the frame count from
+                // the decoded bytes instead of emitting a negative duration
+                val nFrames = in.getFrameLength match {
+                  case n if n >= 0 => n
+                  case _ => nSamples.toLong / math.max(1, fmt.getChannels)
+                }
                 var sumAbs = 0L; var sumSq = 0.0; var peak = 0
                 var i = 0
                 while (i < nSamples) {

@@ -246,6 +246,9 @@ object StreamingIngest {
              joinExpr: Column, joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), joinExpr, joinType)
 
+  /** Bounded one-pass micro-batch run of the standard rollup (memory sink,
+    * AvailableNow), returning the rolled-up table for oracle comparison.
+    */
   def runBounded(spark: SparkSession, stream: DataFrame,
                  timeCol: String, granularity: String, dims: Seq[String],
                  queryName: String): DataFrame =

@@ -45,14 +45,26 @@ object Supervisors {
   case object Running extends State
   case object Suspended extends State
   case object Stopping extends State
+  case object Unhealthy extends State
 
-  final case class Status(id: String, state: State, batchesCompleted: Long)
+  final case class Status(id: String, state: State, batchesCompleted: Long,
+                          healthy: Boolean = true,
+                          error: Option[String] = None)
 
   private final case class Entry(spec: SupervisorSpec,
       var query: Option[org.apache.spark.sql.streaming.StreamingQuery],
-      var state: State, var batches: Long)
+      var state: State, var batches: Long,
+      var error: Option[String] = None)
 
   private val registry = TrieMap.empty[String, Entry]
+
+  /** Batches completed so far in the CURRENT run: batchId is the
+    * checkpoint-scoped cumulative counter, unlike recentProgress which is
+    * capped at spark.sql.streaming.numRecentProgressUpdates entries.
+    */
+  private def completedBatches(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress).map(_.batchId + 1L).getOrElse(0L)
 
   private def ingestStream(spark: SparkSession, spec: SupervisorSpec): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -72,12 +84,16 @@ object Supervisors {
         +: spec.dims.map(col)) ++ Seq(col("n"), col("sum_value")): _*)
   }
 
-  /** Submit + start (reference `POST /druid/indexer/v1/supervisor`). */
+  /** Submit + start (reference `POST /druid/indexer/v1/supervisor`).
+    * A failed start leaves no registry entry — the id stays re-submittable
+    * instead of being poisoned in Pending.
+    */
   def submit(spark: SparkSession, spec: SupervisorSpec): Status = synchronized {
     require(!registry.contains(spec.id), s"supervisor ${spec.id} already exists")
     val e = Entry(spec, None, Pending, 0L)
     registry.put(spec.id, e)
-    startQuery(spark, e)
+    try startQuery(spark, e)
+    catch { case t: Throwable => registry.remove(spec.id); throw t }
     status(spec.id)
   }
 
@@ -111,13 +127,21 @@ object Supervisors {
   def suspend(id: String): Status = synchronized {
     val e = registry.getOrElse(id, sys.error(s"no supervisor $id"))
     e.query.foreach { q =>
-      e.batches += q.recentProgress.length
+      observeFailure(e, q)
+      e.batches += completedBatches(q)
       q.stop(); q.awaitTermination()
     }
     e.query = None
-    e.state = Suspended
+    if (e.state != Unhealthy) e.state = Suspended
     status(id)
   }
+
+  private def observeFailure(e: Entry,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    q.exception.foreach { ex =>
+      e.state = Unhealthy
+      e.error = Some(ex.getMessage)
+    }
 
   /** Resume (reference `POST .../supervisor/{id}/resume`): restart from the
     * retained checkpoint — only data arriving after the suspend is read.
@@ -140,11 +164,17 @@ object Supervisors {
     }
   }
 
-  /** Status (reference `GET .../supervisor/{id}/status`). */
-  def status(id: String): Status = {
-    val e = registry.getOrElse(id, sys.error(s"no supervisor $id"))
-    val batches = e.batches + e.query.map(_.recentProgress.length.toLong).getOrElse(0L)
-    Status(id, e.state, batches)
+  /** Status (reference `GET .../supervisor/{id}/status`). A query that died
+    * with an exception reports UNHEALTHY (reference UNHEALTHY_SUPERVISOR),
+    * never a phantom RUNNING.
+    */
+  def status(id: String): Status =
+    statusOf(id, registry.getOrElse(id, sys.error(s"no supervisor $id")))
+
+  private def statusOf(id: String, e: Entry): Status = {
+    e.query.foreach(observeFailure(e, _))
+    val batches = e.batches + e.query.map(completedBatches).getOrElse(0L)
+    Status(id, e.state, batches, healthy = e.state != Unhealthy, error = e.error)
   }
 
   /** List active supervisor ids (reference `GET /druid/indexer/v1/supervisor`). */
@@ -152,7 +182,11 @@ object Supervisors {
 
   /** All registered supervisors with their lifecycle state — feeds the
     * sys.supervisors system table, which otherwise only sees ACTIVE
-    * streaming queries and would drop suspended supervisors.
+    * streaming queries and would drop suspended supervisors. Snapshot
+    * iteration over the registry itself — a concurrent terminate() must
+    * make the row disappear, not crash the system-table query.
     */
-  def statuses(): Seq[Status] = list().map(status)
+  def statuses(): Seq[Status] =
+    registry.readOnlySnapshot().toSeq.sortBy(_._1)
+      .map { case (id, e) => statusOf(id, e) }
 }

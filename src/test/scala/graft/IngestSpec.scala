@@ -224,6 +224,20 @@ class IngestSpec extends AnyFunSuite {
       3 * (999L * 1000 / 2))
     // second run: nothing fragmented remains
     assert(graft.operators.Ingest.autoCompact(spark, root, 512L * 1024 * 1024).isEmpty)
+
+    // multi-file target layouts are ALSO idempotent: a chunk compacted to
+    // ceil(total/target) > 1 files must not be re-selected forever
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ac2").toString
+    df.repartition(8).write.parquet(s"$root2/__day=2024-02-01")
+    val total = new java.io.File(s"$root2/__day=2024-02-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = total / 2 + 1 // forces a 2-file target layout
+    assert(graft.operators.Ingest.autoCompact(spark, root2, target).size == 1)
+    val nAfter = new java.io.File(s"$root2/__day=2024-02-01").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nAfter == 2, s"expected 2-file layout, got $nAfter")
+    assert(graft.operators.Ingest.autoCompact(spark, root2, target).isEmpty,
+      "second run must be a no-op at the multi-file target layout")
   }
 
   test("applyRetention drops only day chunks older than the keep window") {

@@ -54,5 +54,11 @@ class QuerySpec extends AnyFunSuite {
       .findAllMatchIn(src).map(_.group(1)).toSeq
     val dups = defs.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate gate definitions: $dups")
+    // the oracle map shadows the same way: each gate name may be bound at
+    // most twice in the whole file (once in queries, once in oracleSql)
+    val all = """"(q_[a-z0-9_]+)" ->""".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val overBound = all.groupBy(identity).filter(_._2.size > 2).keys
+    assert(overBound.isEmpty, s"gate names bound more than twice: $overBound")
   }
 }
