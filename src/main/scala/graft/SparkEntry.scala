@@ -4484,6 +4484,39 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_ingest_sketch_rollup" -> ((s, dir) => {
+      // the reference's rollup-with-sketch-metric ingestion (metricsSpec
+      // with hyperUnique/HLL at ingest: rollup keeps one row per (day,
+      // dim) with a MERGEABLE sketch column instead of raw ids). Write the
+      // day-partitioned rollup with the HLL binary as a metric column,
+      // read it back, and merge the pre-aggregated sketches ACROSS days —
+      // distinct users per event_type without ever re-reading raw ids.
+      // Self-asserting like q_sketch_hll: the estimate must sit within 5%
+      // of the exact count (computed from raw for the assertion only).
+      import graft.functions.sketches.HllSketchAgg.{hllSketch, hllMergeEstimate}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sk_rollup_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = t(s, dir)("events")
+      ev.withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(hllSketch(col("user_id")).as("users_hll"),
+          count(lit(1)).as("n"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      val merged = s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(hllMergeEstimate(col("users_hll")).as("est"),
+          sum(col("n")).as("n"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_users_exact"),
+          col("n").cast("long").as("n"),
+          (abs(col("est") / col("n_users_exact").cast("double") - 1.0) <= 0.05)
+            .as("hll_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_sketch_kll" -> ((s, dir) => {
       // KLL quantiles sketch (reference datasketches KLL ext): mergeable
       // binary sketch per group, quantile/rank via post-agg. Self-asserting
@@ -5172,6 +5205,12 @@ object SparkEntry {
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_sketch_hll" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                count(*) AS n, TRUE AS hll_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_ingest_sketch_rollup" ->
       """SELECT event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                 count(*) AS n, TRUE AS hll_ok
