@@ -3744,6 +3744,29 @@ object SparkEntry {
             count(lit(1))) >= 0.25).as("recall_ok"))
     }),
 
+    "q_embed_ann_pq" -> ((s, dir) => {
+      // product quantization ANN (the 100-TB memory path: m byte codes per
+      // vector instead of dim floats; ADC search never decodes the
+      // corpus). Oracle anchoring like q_embed_ann_ivf: exact top-5 rows +
+      // an asserted recall floor. The synthetic embeddings are unclustered
+      // (near-random directions) — PQ's hardest case — so the floor is
+      // conservative; on clustered real corpora recall is far higher.
+      val emb = t(s, dir)("embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books, m = 8)
+      val ann = Similarity.pqSearch(qs, codes, books, "vec_id", "embedding",
+        m = 8, k = 5)
+      val exact = Similarity.bruteForceKnn(qs, emb, "vec_id", "embedding",
+        k = 5, rankRoundDigits = 4)
+      exact.join(ann.select(col("q_id"), col("n_id"), lit(1).as("__hit")),
+          Seq("q_id", "n_id"), "left")
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          round(avg(round(col("sim"), 4)), 4).as("exact_mean_topk_sim"),
+          ((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1))) >= 0.15).as("recall_ok"))
+    }),
+
     "q_expr_array" -> ((s, dir) => {
       // SQL ARRAY surface (§1.2 ARRAY type / §2.9 array fns): indexing,
       // slicing, length, aggregates over the array
@@ -5348,6 +5371,30 @@ object SparkEntry {
          FROM topk""",
 
     "q_embed_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         sims AS (
+           SELECT q_id, n_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))))
+               AS sim
+           FROM c, q WHERE q_id <> n_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY round(sim, 4) DESC, n_id) AS rk
+           FROM sims),
+         topk AS (SELECT q_id, round(sim, 4) AS sim FROM ranked WHERE rk <= 5)
+         SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                round(avg(sim), 4) AS exact_mean_topk_sim, TRUE AS recall_ok
+         FROM topk""",
+
+    "q_embed_ann_pq" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                     FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),

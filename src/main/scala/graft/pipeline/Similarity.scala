@@ -296,4 +296,130 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
       .orderBy(col("q_id"), col("n_id"))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Non-spherical Lloyd for PQ subspaces: unlike [[ivfCentroids]] the
+    * subvectors and centroids keep their MAGNITUDE — ADC reconstructs
+    * dot(q, v) from per-subspace partial dots, so a unit-normalized
+    * codebook would throw away exactly the information PQ must preserve.
+    * Assignment is min squared-L2, ranked as max(v·c − ‖c‖²/2).
+    */
+  private def pqLloyd(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = vecs.orderBy(col("__vid")).limit(k)
+      .select(row_number().over(Window.orderBy(col("__vid"))).as("centroid_id"),
+        col("__v").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy(col("__vid"))
+        .orderBy(col("__score").desc, col("centroid_id").asc)
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .select(col("__vid"), col("__v"), col("centroid_id"),
+          (dot(col("__v"), col("centroid")) -
+            dot(col("centroid"), col("centroid")) / 2).as("__score"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      i += 1
+    }
+    centroids.persist()
+  }
+
+  /** Train PQ codebooks: split the vector into `m` equal subvectors and
+    * run the (magnitude-preserving) relational Lloyd per subspace
+    * (`k` centroids each). The returned table is tiny (m·k rows) and
+    * broadcast by consumers.
+    *
+    * @return (subspace, centroid_id, centroid ARRAY<DOUBLE>)
+    */
+  /** Unit-normalize the FULL vector before slicing: cosine-PQ. With unit
+    * corpus vectors, dot == cosine, so the ADC sum approximates the exact
+    * cosine ranking; the subvectors still carry their (non-unit) share of
+    * the norm, which the magnitude-preserving Lloyd keeps.
+    */
+  private def unitFull(vecCol: String): Column = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    when(n === 0, v).otherwise(transform(v, x => x / n))
+  }
+
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int = 2): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val unit = corpus.select(col(idCol).as("__vid"), unitFull(vecCol).as("__u"))
+    (0 until m).map { s =>
+      val slice = unit.select(col("__vid"),
+        expr(s"slice(__u, ${s * sub + 1}, $sub)").as("__v"))
+      pqLloyd(slice, k, iters)
+        .select(lit(s).as("subspace"), col("centroid_id"), col("centroid"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Encode the corpus against trained codebooks: per subspace, the id of
+    * the nearest centroid — `m` small codes replace the full vector
+    * (64 floats → 4 bytes at m=4: the 100-TB memory story of PQ). One
+    * pass: explode subvectors, broadcast-join the m·k codebook, keep the
+    * argmax code per (vector, subspace).
+    *
+    * @return (idCol, subspace, code)
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val sub = dim / m
+    val exploded = df.select(col(idCol), unitFull(vecCol).as("__u"))
+      .withColumn("subspace", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("__sub",
+        slice(col("__u"), col("subspace") * lit(sub) + lit(1), lit(sub)))
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    exploded.join(broadcast(codebooks), "subspace")
+      // same min-L2 assignment as training: max(v·c − ‖c‖²/2)
+      .withColumn("__sim", dot(col("__sub"), col("centroid")) -
+        dot(col("centroid"), col("centroid")) / 2)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("subspace"), col("centroid_id").as("code"))
+  }
+
+  /** ADC (asymmetric distance computation) search: queries keep full
+    * precision, corpus is PQ codes. Per query a distance table of m·k
+    * partial dot products is computed against the codebooks (tiny,
+    * broadcast); the approximate similarity of a corpus vector is the sum
+    * of table entries selected by its codes. The corpus is never decoded —
+    * at 1B vectors the scan touches m bytes per vector plus an m-way sum.
+    */
+  def pqSearch(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+               idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
+    val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    val sub = dim / m
+    // per-(query, subspace, centroid) partial dot products — the ADC table
+    val table = queries.select(col(idCol).as("q_id"), unitFull(vecCol).as("__qv"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("q_id"), col("subspace"), col("centroid_id"),
+        dot(expr(s"slice(__qv, subspace * $sub + 1, $sub)"),
+          col("centroid")).as("partial"))
+    // corpus codes join the table on (subspace, code); summing the m
+    // partials reconstructs the approximate dot product
+    val approx = codes.join(table,
+        codes("subspace") === table("subspace") &&
+          codes("code") === table("centroid_id"))
+      .groupBy(col("q_id"), codes(idCol).as("n_id"))
+      .agg(sum(col("partial")).as("approx_sim"), count(lit(1)).as("__m"))
+      .filter(col("__m") === m) // all subspaces matched
+      .filter(col("q_id") =!= col("n_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_sim").desc, col("n_id").asc)
+    approx.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).select("q_id", "n_id", "approx_sim")
+      .orderBy(col("q_id"), col("n_id"))
+  }
 }

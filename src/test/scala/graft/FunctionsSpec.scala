@@ -250,6 +250,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("PQ encodes m codes per vector in codebook range; ADC search finds true neighbors") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val m = 8; val k = 16
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m, k)
+    assert(books.count() == m.toLong * k)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books, m)
+    val n = emb.count()
+    assert(codes.count() == n * m, "exactly m codes per vector")
+    assert(codes.filter(col("code") < 1 || col("code") > k).isEmpty)
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqSearch(qs, codes, books, "vec_id", "embedding",
+        m, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.size == 50, "k=5 results for each of the 10 queries")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // unclustered synthetic corpus — PQ's hardest case; the gate floor is
+    // 0.15, require headroom here
+    assert(recall >= 0.15, s"recall $recall")
+  }
+
   test("connected components cluster transitive dup chains") {
     // chain 1-2, 2-3 plus island 7-8: components {1,2,3} and {7,8}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
