@@ -2888,6 +2888,34 @@ object SparkEntry {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // SqlQuidemTest full_outer_constant_project: a constant project on the
+    // null-extended side of a FULL OUTER JOIN must null out for unmatched
+    // rows (the reference's DruidJoinRule hoisting case)
+    "q_qa_full_outer_const_project" -> ((s, dir) => {
+      s.sql("""
+        SELECT l.a, r.tag
+        FROM (SELECT * FROM VALUES ('abc'), ('xyz') AS v(a)) l
+        FULL JOIN (SELECT k, 42 AS tag
+                   FROM (SELECT * FROM VALUES ('abc'),
+                         (CAST(NULL AS STRING)) AS v(k)) t) r
+          ON l.a = r.k
+        ORDER BY a NULLS FIRST, tag""")
+    }),
+
+    // SqlQuidemTest union_removed_branch_union_nulls: a UNION ALL whose
+    // first branch is pruned to empty by a contradictory time filter and
+    // whose second is a bare NULL row — type coercion across the union
+    // must keep the (BIGINT, STRING) shape
+    "q_qa_union_null_branch" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        (SELECT CAST(count(*) AS BIGINT) AS c, o_orderstatus AS ch FROM orders
+         WHERE o_orderdate >= DATE '2030-01-01' GROUP BY o_orderstatus)
+        UNION ALL
+        (SELECT NULL, NULL)
+        ORDER BY c NULLS FIRST, ch""")
+    }),
+
     "q_qa_nested_groupby_agg" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -6167,6 +6195,21 @@ object SparkEntry {
            AND o_orderkey IN (SELECT l_orderkey FROM lineitem
                               WHERE l_quantity > 45)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_qa_full_outer_const_project" ->
+      """SELECT l.a, r.tag
+         FROM (VALUES ('abc'), ('xyz')) l(a)
+         FULL JOIN (SELECT k, 42 AS tag
+                    FROM (VALUES ('abc'), (CAST(NULL AS STRING))) t(k)) r
+           ON l.a = r.k
+         ORDER BY a NULLS FIRST, tag""",
+
+    "q_qa_union_null_branch" ->
+      """(SELECT CAST(count(*) AS BIGINT) AS c, o_orderstatus AS ch FROM orders
+          WHERE o_orderdate >= DATE '2030-01-01' GROUP BY o_orderstatus)
+         UNION ALL
+         (SELECT NULL, NULL)
+         ORDER BY c NULLS FIRST, ch""",
 
     "q_qa_nested_groupby_agg" ->
       """SELECT pri_class, CAST(count(*) AS BIGINT) AS n_groups,
