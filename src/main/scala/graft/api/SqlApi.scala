@@ -761,6 +761,10 @@ object SqlApi {
           .write.mode("append").partitionBy("__day").parquet(path)
     }
     spark.read.parquet(path).createOrReplaceTempView(ing.table)
+    // the reference invalidates result-level cache entries when segments
+    // change; an ingest is exactly that event, so stale cached bodies for
+    // the mutated warehouse must not survive it
+    clearCache()
     import spark.implicits._
     Seq((ing.table, path)).toDF("dataSource", "location")
   }

@@ -546,6 +546,30 @@ class SqlApiSpec extends AnyFunSuite {
     assert(SqlApi.cacheStats == ((0L, 0L)))
   }
 
+  test("ingest invalidates the SQL result cache (reference segment-change semantics)") {
+    SqlApi.clearCache()
+    val tbl = "cache_inval_t"
+    def ingest(maxKey: Long): Unit = SqlApi.execute(spark, dir, s"""{
+      "query": "REPLACE INTO $tbl OVERWRITE ALL SELECT o_orderdate AS __time, o_orderkey FROM orders WHERE o_orderkey <= $maxKey PARTITIONED BY DAY"
+    }""")
+    ingest(100)
+    val q = s"""{
+      "query": "SELECT count(*) AS n FROM $tbl",
+      "resultFormat": "csv",
+      "context": {"useCache": true, "populateCache": true}
+    }"""
+    val before = SqlApi.execute(spark, dir, q)
+    // second read hits the cache
+    assert(SqlApi.execute(spark, dir, q) == before)
+    val (h1, _) = SqlApi.cacheStats
+    assert(h1 >= 1)
+    // re-ingest with different data: the cached body must NOT survive
+    ingest(50)
+    val after = SqlApi.execute(spark, dir, q)
+    assert(after != before,
+      s"stale cached result served after ingest: $after")
+  }
+
   test("drill negative corpus: window misuse is rejected") {
     // reference sql/src/test/resources/drill/window/queries/negative/:
     // these must FAIL to plan, not silently produce something
