@@ -615,6 +615,52 @@ object QaSuites {
          GROUP BY c1, c2, c3
          ORDER BY c1 NULLS FIRST, c2 NULLS FIRST, c3 NULLS FIRST"""),
 
+    // array_sql_join A2_B1_C19: EQUI-JOIN of two unnested relations ON the
+    // unnested value itself (NULL elements drop out of the equi-join in
+    // both engines)
+    gu("q_qa_unnest_join_on_value",
+      """SELECT t1.s_int AS s1, t2.s_int AS s2, t1.c AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT s_int, c FROM test_unnest, UNNEST(a_int) AS u(c)) t1
+         JOIN (SELECT s_int, c FROM test_unnest, UNNEST(a_int) AS u(c)) t2
+           ON t1.c = t2.c
+         GROUP BY t1.s_int, t2.s_int, t1.c
+         ORDER BY s1 NULLS FIRST, s2 NULLS FIRST, c""",
+      """SELECT t1.s_int AS s1, t2.s_int AS s2, t1.c AS c, count(*) AS cnt
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest) t1
+         JOIN (SELECT s_int, unnest(a_int) AS c FROM test_unnest) t2
+           ON t1.c = t2.c
+         GROUP BY t1.s_int, t2.s_int, t1.c
+         ORDER BY s1 NULLS FIRST, s2 NULLS FIRST, c"""),
+
+    // array_sql_join A2_B1_C18: unnested value joined against the OTHER
+    // side's SCALAR dimension
+    gu("q_qa_unnest_join_scalar",
+      """SELECT t1.s_int AS s1, t2.c AS c, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT s_int FROM test_unnest) t1
+         JOIN (SELECT s_int, c FROM test_unnest, UNNEST(a_int) AS u(c)) t2
+           ON t1.s_int = t2.c
+         GROUP BY t1.s_int, t2.c
+         ORDER BY s1, c""",
+      """SELECT t1.s_int AS s1, t2.c AS c, count(*) AS cnt
+         FROM (SELECT s_int FROM test_unnest) t1
+         JOIN (SELECT s_int, unnest(a_int) AS c FROM test_unnest) t2
+           ON t1.s_int = t2.c
+         GROUP BY t1.s_int, t2.c
+         ORDER BY s1, c"""),
+
+    // array_sql_select_distinct + sql_limit_offset: DISTINCT over the
+    // unnested column under a deterministic ORDER BY with LIMIT/OFFSET
+    gu("q_qa_unnest_distinct_limit_offset",
+      """SELECT DISTINCT c
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         ORDER BY c NULLS FIRST
+         LIMIT 2 OFFSET 1""",
+      """SELECT DISTINCT c
+         FROM (SELECT unnest(a_int) AS c FROM test_unnest)
+         ORDER BY c NULLS FIRST
+         LIMIT 2 OFFSET 1"""),
+
     // testUnnestWithNotFiltersOnUnnestedColumn: NOT over the unnested
     // column, with the NULL branch made explicit
     gu("q_qa_unnest_not_filter",
