@@ -4535,6 +4535,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_agg_bigdecimal" -> ((s, dir) => {
+      // reference compressed-bigdecimal extension (exact decimal
+      // aggregation immune to float accumulation error): Spark's native
+      // DECIMAL(38,10) sum IS that capability — exact, order-independent,
+      // and rendered at full scale for a digit-exact oracle compare
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS STRING)
+                 AS dec_sum,
+               CAST(CAST(sum(CAST(l_tax AS DECIMAL(38,10)))
+                 - sum(CAST(l_discount AS DECIMAL(38,10)))
+                 AS DECIMAL(38,10)) AS STRING) AS dec_net
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     "q_ingest_sketch_rollup" -> ((s, dir) => {
       // the reference's rollup-with-sketch-metric ingestion (metricsSpec
       // with hyperUnique/HLL at ingest: rollup keeps one row per (day,
@@ -5260,6 +5276,15 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                 count(*) AS n, TRUE AS hll_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_agg_bigdecimal" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR)
+                  AS dec_sum,
+                CAST(CAST(sum(CAST(l_tax AS DECIMAL(38,10)))
+                  - sum(CAST(l_discount AS DECIMAL(38,10)))
+                  AS DECIMAL(38,10)) AS VARCHAR) AS dec_net
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_ingest_sketch_rollup" ->
       """SELECT event_type,
