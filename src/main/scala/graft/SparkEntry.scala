@@ -4535,6 +4535,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_qa_json_object_variadic" -> ((s, dir) => {
+      // reference json_object takes variadic KV pairs with heterogeneous
+      // value types — number/string/boolean/float in one object, rendered
+      // compact and type-preserving in both engines
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT event_id,
+               JSON_OBJECT('id', event_id, 'type', event_type,
+                           'flag', event_id % 2 = 0,
+                           'half', CAST(event_id AS DOUBLE) / 2) AS obj
+        FROM events WHERE event_id < 50 ORDER BY event_id""")
+    }),
+
     "q_agg_bigdecimal" -> ((s, dir) => {
       // reference compressed-bigdecimal extension (exact decimal
       // aggregation immune to float accumulation error): Spark's native
@@ -5276,6 +5290,14 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                 count(*) AS n, TRUE AS hll_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_qa_json_object_variadic" ->
+      """SELECT event_id,
+                CAST(json_object('id', event_id, 'type', event_type,
+                                 'flag', event_id % 2 = 0,
+                                 'half', CAST(event_id AS DOUBLE) / 2)
+                  AS VARCHAR) AS obj
+         FROM events WHERE event_id < 50 ORDER BY event_id""",
 
     "q_agg_bigdecimal" ->
       """SELECT l_returnflag,

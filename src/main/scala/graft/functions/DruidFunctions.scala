@@ -202,6 +202,20 @@ object DruidFunctions {
     Seq(
       "string_format" -> ((args: Seq[Expression]) =>
         FormatString(args.head +: args.tail.map(fmtArg): _*)),
+      // reference NestedDataExpressions json_object: VARIADIC key/value
+      // pairs with heterogeneous value types. Foldable (literal) keys build
+      // a named_struct (type-preserving JSON: numbers stay numbers,
+      // booleans stay booleans); non-literal keys fall back to a map
+      // (values then share one coerced type, like Spark's map())
+      "json_object" -> ((args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{CreateMap, CreateNamedStruct, StructsToJson}
+        require(args.nonEmpty && args.size % 2 == 0,
+          s"JSON_OBJECT takes key/value pairs, got ${args.size} arguments")
+        val keysFoldable = args.grouped(2).forall(_.head.foldable)
+        val child =
+          if (keysFoldable) CreateNamedStruct(args) else CreateMap(args)
+        StructsToJson(Map.empty, child)
+      }),
       "parse_long" -> ((args: Seq[Expression]) => args match {
         case Seq(s) => Cast(s, LongType, None, EvalMode.TRY)
         case Seq(s, radix) =>
@@ -637,10 +651,7 @@ object DruidFunctions {
          json_object_keys(get_json_object(j, p))""",
       """JSON_PATHS(j STRING) RETURNS ARRAY<STRING> RETURN
          transform(json_object_keys(j), k -> concat('$.', k))""",
-      // JSON_OBJECT(k, v) (reference NestedDataExpressions json_object;
-      // Calcite's KEY k VALUE v syntax isn't reachable from a macro, the
-      // positional pair form is)
-      "JSON_OBJECT(k STRING, v STRING) RETURNS STRING RETURN to_json(map(k, v))",
+      // (JSON_OBJECT lives in catalystBuilders above: variadic KV arity)
       // JSON_QUERY_ARRAY: array-of-scalars extraction (element JSON text for
       // nested elements, like the reference's ExprEval array coercion)
       """JSON_QUERY_ARRAY(j STRING, p STRING) RETURNS ARRAY<STRING> RETURN
