@@ -4545,7 +4545,9 @@ object SparkEntry {
         SELECT event_id,
                JSON_OBJECT('id', event_id, 'type', event_type,
                            'flag', event_id % 2 = 0,
-                           'half', CAST(event_id AS DOUBLE) / 2) AS obj
+                           'half', CAST(event_id AS DOUBLE) / 2,
+                           'maybe', CASE WHEN event_id % 3 = 0
+                                         THEN NULL ELSE event_type END) AS obj
         FROM events WHERE event_id < 50 ORDER BY event_id""")
     }),
 
@@ -5295,7 +5297,9 @@ object SparkEntry {
       """SELECT event_id,
                 CAST(json_object('id', event_id, 'type', event_type,
                                  'flag', event_id % 2 = 0,
-                                 'half', CAST(event_id AS DOUBLE) / 2)
+                                 'half', CAST(event_id AS DOUBLE) / 2,
+                                 'maybe', CASE WHEN event_id % 3 = 0
+                                               THEN NULL ELSE event_type END)
                   AS VARCHAR) AS obj
          FROM events WHERE event_id < 50 ORDER BY event_id""",
 

@@ -106,8 +106,12 @@ object SqlApi {
     */
   def execute(spark: SparkSession, dir: String, payload: String): String = {
     val j = JsonMethods.parse(payload)
-    val useCache = ctxValue(j, "useCache") == JBool(true)
-    val populateCache = ctxValue(j, "populateCache") == JBool(true)
+    // DML never participates in the result cache: a cache-hit INSERT would
+    // silently no-op (returning a success body for work that never ran),
+    // and populating would cache a side effect
+    val isDml = ingestTarget(sql(j)).isDefined
+    val useCache = !isDml && ctxValue(j, "useCache") == JBool(true)
+    val populateCache = !isDml && ctxValue(j, "populateCache") == JBool(true)
     val key = if (useCache || populateCache) Some(sqlCacheKey(dir, j)) else None
     if (useCache) {
       key.flatMap(k => Option(sqlResultCache.get(k))) match {
@@ -763,8 +767,9 @@ object SqlApi {
     spark.read.parquet(path).createOrReplaceTempView(ing.table)
     // the reference invalidates result-level cache entries when segments
     // change; an ingest is exactly that event, so stale cached bodies for
-    // the mutated warehouse must not survive it
-    clearCache()
+    // the mutated warehouse must not survive it (entries only — hit/miss
+    // monitoring counters are not reset by an invalidation)
+    sqlResultCache.clear()
     import spark.implicits._
     Seq((ing.table, path)).toDF("dataSource", "location")
   }

@@ -208,13 +208,26 @@ object DruidFunctions {
       // booleans stay booleans); non-literal keys fall back to a map
       // (values then share one coerced type, like Spark's map())
       "json_object" -> ((args: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.{CreateMap, CreateNamedStruct, StructsToJson}
+        import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, CreateNamedStruct, StructsToJson}
+        import org.apache.spark.sql.types.{NullType, StringType}
         require(args.nonEmpty && args.size % 2 == 0,
           s"JSON_OBJECT takes key/value pairs, got ${args.size} arguments")
         val keysFoldable = args.grouped(2).forall(_.head.foldable)
         val child =
-          if (keysFoldable) CreateNamedStruct(args) else CreateMap(args)
-        StructsToJson(Map.empty, child)
+          if (keysFoldable)
+            // keys coerce to string like the reference (an integer-literal
+            // key is legal); a bare NULL value would make an untyped
+            // NullType field StructsToJson rejects — type it as string
+            CreateNamedStruct(args.grouped(2).flatMap { case Seq(k, v) =>
+              val tv = if (v.resolved && v.dataType == NullType)
+                Cast(v, StringType) else v
+              Seq(Cast(k, StringType), tv)
+            }.toSeq)
+          else CreateMap(args)
+        // the reference's json_object KEEPS null-valued fields
+        // ({"k":null}), matching the DuckDB oracle — Spark's generator
+        // default drops them
+        StructsToJson(Map("ignoreNullFields" -> "false"), child)
       }),
       "parse_long" -> ((args: Seq[Expression]) => args match {
         case Seq(s) => Cast(s, LongType, None, EvalMode.TRY)

@@ -217,7 +217,30 @@ object Similarity {
       .withColumn("__n", norm(col("__v0")))
       .select(col("__vid"), when(col("__n") === 0, col("__v0"))
         .otherwise(transform(col("__v0"), x => x / col("__n"))).as("__v"))
-    var centroids = vecs.orderBy(col("__vid")).limit(nlist)
+    // persist: the trained centroid table (nlist rows) is probed by both
+    // the corpus and the query side — without the cache the whole Lloyd
+    // training re-runs per consumer
+    lloyd(vecs, nlist, iters,
+      score = (v, c) => dot(v, c), renormalizeMean = true).persist()
+  }
+
+  /** Shared relational Lloyd loop: seed with the lowest-id vectors
+    * (deterministic), then per iteration assign every vector to its
+    * best-scoring centroid (stream × broadcast centroids) and recompute
+    * elementwise means via posexplode + groupBy — all distributed, no
+    * driver-side vectors. A centroid whose cluster goes empty in an
+    * iteration keeps its previous position (dropping it would shrink the
+    * codebook/list count, a data-dependent failure).
+    *
+    * @param score ranking expression (higher = closer): plain dot for
+    *              spherical k-means, v·c − ‖c‖²/2 for min-L2
+    * @param renormalizeMean re-project recomputed means to unit length
+    *                        (spherical) or keep their magnitude (PQ)
+    */
+  private def lloyd(vecs: DataFrame, k: Int, iters: Int,
+                    score: (Column, Column) => Column,
+                    renormalizeMean: Boolean): DataFrame = {
+    var centroids = vecs.orderBy(col("__vid")).limit(k)
       .select(row_number().over(Window.orderBy(col("__vid"))).as("centroid_id"),
         col("__v").as("centroid"))
     var i = 0
@@ -226,26 +249,31 @@ object Similarity {
         .orderBy(col("__sim").desc, col("centroid_id").asc)
       val assigned = vecs.crossJoin(broadcast(centroids))
         .select(col("__vid"), col("__v"), col("centroid_id"),
-          dot(col("__v"), col("centroid")).as("__sim"))
+          score(col("__v"), col("centroid")).as("__sim"))
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
-      centroids = assigned
+      val means = assigned
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("__c0"))
-        // re-normalize the mean (spherical k-means) so dot == cosine
-        .withColumn("__cn", norm(col("__c0")))
-        .select(col("centroid_id"), when(col("__cn") === 0, col("__c0"))
-          .otherwise(transform(col("__c0"), x => x / col("__cn"))).as("centroid"))
+      val updated =
+        if (renormalizeMean)
+          // re-normalize the mean (spherical k-means) so dot == cosine
+          means.withColumn("__cn", norm(col("__c0")))
+            .select(col("centroid_id"), when(col("__cn") === 0, col("__c0"))
+              .otherwise(transform(col("__c0"), x => x / col("__cn")))
+              .as("centroid"))
+        else means.select(col("centroid_id"), col("__c0").as("centroid"))
+      // empty clusters keep their previous centroid
+      centroids = updated.unionByName(
+        centroids.join(updated.select("centroid_id"),
+          Seq("centroid_id"), "left_anti"))
       i += 1
     }
-    // persist: the trained centroid table (nlist rows) is probed by both
-    // the corpus and the query side — without the cache the whole Lloyd
-    // training re-runs per consumer
-    centroids.persist()
+    centroids
   }
 
   /** Nearest `nprobe` centroid ids per row. Centroids are unit vectors, so
@@ -299,45 +327,6 @@ object Similarity {
 
   // ------------------------------------------------ product quantization
 
-  /** Non-spherical Lloyd for PQ subspaces: unlike [[ivfCentroids]] the
-    * subvectors and centroids keep their MAGNITUDE — ADC reconstructs
-    * dot(q, v) from per-subspace partial dots, so a unit-normalized
-    * codebook would throw away exactly the information PQ must preserve.
-    * Assignment is min squared-L2, ranked as max(v·c − ‖c‖²/2).
-    */
-  private def pqLloyd(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = vecs.orderBy(col("__vid")).limit(k)
-      .select(row_number().over(Window.orderBy(col("__vid"))).as("centroid_id"),
-        col("__v").as("centroid"))
-    var i = 0
-    while (i < iters) {
-      val w = Window.partitionBy(col("__vid"))
-        .orderBy(col("__score").desc, col("centroid_id").asc)
-      val assigned = vecs.crossJoin(broadcast(centroids))
-        .select(col("__vid"), col("__v"), col("centroid_id"),
-          (dot(col("__v"), col("centroid")) -
-            dot(col("centroid"), col("centroid")) / 2).as("__score"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-      centroids = assigned
-        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-      i += 1
-    }
-    centroids.persist()
-  }
-
-  /** Train PQ codebooks: split the vector into `m` equal subvectors and
-    * run the (magnitude-preserving) relational Lloyd per subspace
-    * (`k` centroids each). The returned table is tiny (m·k rows) and
-    * broadcast by consumers.
-    *
-    * @return (subspace, centroid_id, centroid ARRAY<DOUBLE>)
-    */
   /** Unit-normalize the FULL vector before slicing: cosine-PQ. With unit
     * corpus vectors, dot == cosine, so the ADC sum approximates the exact
     * cosine ranking; the subvectors still carry their (non-unit) share of
@@ -349,6 +338,17 @@ object Similarity {
     when(n === 0, v).otherwise(transform(v, x => x / n))
   }
 
+  /** Train PQ codebooks: split the vector into `m` equal subvectors and
+    * run the relational [[lloyd]] per subspace (`k` centroids each) with
+    * min-L2 assignment and MAGNITUDE-PRESERVING means - ADC reconstructs
+    * dot(q, v) from per-subspace partial dots, so a unit-normalized
+    * codebook would throw away exactly the information PQ must preserve.
+    * The returned table is tiny (m*k rows), persisted ONCE (encode and
+    * search both probe it; a persist per subspace training would leak m
+    * cached frames per call), and broadcast by consumers.
+    *
+    * @return (subspace, centroid_id, centroid ARRAY<DOUBLE>)
+    */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int = 2): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
@@ -358,9 +358,11 @@ object Similarity {
     (0 until m).map { s =>
       val slice = unit.select(col("__vid"),
         expr(s"slice(__u, ${s * sub + 1}, $sub)").as("__v"))
-      pqLloyd(slice, k, iters)
+      lloyd(slice, k, iters,
+        score = (v, c) => dot(v, c) - dot(c, c) / 2, renormalizeMean = false)
         .select(lit(s).as("subspace"), col("centroid_id"), col("centroid"))
     }.reduce(_ unionAll _)
+      .persist()
   }
 
   /** Encode the corpus against trained codebooks: per subspace, the id of

@@ -568,6 +568,24 @@ class SqlApiSpec extends AnyFunSuite {
     val after = SqlApi.execute(spark, dir, q)
     assert(after != before,
       s"stale cached result served after ingest: $after")
+    // invalidation clears ENTRIES, not the monitoring counters
+    val (h2, m2) = SqlApi.cacheStats
+    assert(h2 >= h1 && m2 >= 1, s"ingest reset cacheStats: ($h2, $m2)")
+    // DML never participates in the cache: a repeated INSERT with cache
+    // flags must EXECUTE (not no-op from a cache hit)
+    def insertDml(): String = SqlApi.execute(spark, dir, s"""{
+      "query": "INSERT INTO cache_inval_app SELECT o_orderdate AS __time, o_orderkey FROM orders WHERE o_orderkey <= 10 PARTITIONED BY DAY",
+      "context": {"useCache": true, "populateCache": true}
+    }""")
+    def countApp(): Long = {
+      insertDml() // ensure the table exists before counting
+      SqlApi.execute(spark, dir,
+        """{"query": "SELECT count(*) AS n FROM cache_inval_app",
+            "resultFormat": "csv"}""").trim.split("\n").last.trim.toLong
+    }
+    val n0 = countApp()   // one insert inside
+    val n1 = countApp()   // a second insert — must append again, not no-op
+    assert(n1 > n0, s"cached DML must still execute: $n0 -> $n1")
   }
 
   test("drill negative corpus: window misuse is rejected") {
