@@ -3781,7 +3781,15 @@ object SparkEntry {
       // conservative; on clustered real corpora recall is far higher.
       val emb = t(s, dir)("embeddings")
       val qs = emb.filter(col("vec_id") < 20)
-      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+      // codebooks train on a deterministic 1/4 sample — the standard PQ
+      // recipe (training cost is sample-sized, encode/search still cover
+      // the full corpus; at 1B vectors nobody trains on all of them)
+      // one Lloyd iteration suffices at this codebook size: the seeds are
+      // real vectors, so iteration 2 moves the recall floor by noise while
+      // doubling the (plan-compile-dominated) training cost of the gate
+      val books = Similarity.pqTrain(
+        emb.filter(pmod(col("vec_id"), lit(4)) === 0),
+        "vec_id", "embedding", m = 8, k = 16, iters = 1)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books, m = 8)
       val ann = Similarity.pqSearch(qs, codes, books, "vec_id", "embedding",
         m = 8, k = 5)

@@ -267,10 +267,15 @@ object Similarity {
               .otherwise(transform(col("__c0"), x => x / col("__cn")))
               .as("centroid"))
         else means.select(col("centroid_id"), col("__c0").as("centroid"))
-      // empty clusters keep their previous centroid
-      centroids = updated.unionByName(
-        centroids.join(updated.select("centroid_id"),
-          Seq("centroid_id"), "left_anti"))
+      // empty clusters keep their previous centroid — expressed as ONE
+      // full-outer join + coalesce so each iteration's plan is referenced
+      // exactly once (an anti-join formulation references it twice, and
+      // the recompute work then doubles per iteration)
+      centroids = centroids
+        .select(col("centroid_id"), col("centroid").as("__prev"))
+        .join(updated, Seq("centroid_id"), "full_outer")
+        .select(col("centroid_id"),
+          coalesce(col("centroid"), col("__prev")).as("centroid"))
       i += 1
     }
     centroids
