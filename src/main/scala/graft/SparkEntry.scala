@@ -26,6 +26,57 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** qaWin corpus base: the reference's windowed tables are GROUP-BY
+    * derivations of the raw stream (qaWin `.iq` inner subquery — server_ip ×
+    * client_ip × timezone × 12-h floor). Same derivation over `events`;
+    * within PARTITION BY cli, (srv, tz, t12) is the group key, so the
+    * battery's multi-key ORDER BY is total and frame contents deterministic.
+    */
+  private val winSparkBase: String =
+    """SELECT user_id % 3 AS srv, event_type AS cli,
+              CAST(user_id % 5 AS STRING) AS tz,
+              TIME_FLOOR(ts, 'PT12H') AS t12, count(*) AS n
+       FROM events WHERE user_id < 12
+       GROUP BY user_id % 3, event_type, CAST(user_id % 5 AS STRING),
+                TIME_FLOOR(ts, 'PT12H')"""
+
+  private val winDuckBase: String =
+    """SELECT user_id % 3 AS srv, event_type AS cli,
+              CAST(user_id % 5 AS VARCHAR) AS tz,
+              time_bucket(INTERVAL '12 hours', ts) AS t12, count(*) AS n
+       FROM events WHERE user_id < 12
+       GROUP BY user_id % 3, event_type, CAST(user_id % 5 AS VARCHAR),
+                time_bucket(INTERVAL '12 hours', ts)"""
+
+  /** qaSql scalar_* comparison battery (scalar_datetime/string/reduction/
+    * numeric .iq A*_q_simple): every operator the suite chains over a probe
+    * `p1` with its strictly-smaller/larger neighbors `p0`/`p2`. True for
+    * every non-null probe by construction. `strType` is the dialect's
+    * string type name for the LIKE terms (the reference LIKEs through an
+    * implicit cast; Spark and DuckDB both want it explicit).
+    */
+  private def battery(p1: String, p0: String, p2: String,
+      strType: String): String =
+    s"""($p1 IS NULL
+         OR ($p1 = $p1
+             AND $p1 IS NOT DISTINCT FROM $p1
+             AND $p1 <> $p0
+             AND ($p1 IS DISTINCT FROM $p0)
+             AND $p1 > $p0
+             AND $p1 >= $p0
+             AND $p1 < $p2
+             AND $p1 <= $p2
+             AND ($p1 <> $p0) IS TRUE
+             AND ($p1 = $p0) IS NOT TRUE
+             AND ($p1 = $p0) IS FALSE
+             AND ($p1 <> $p0) IS NOT FALSE
+             AND $p1 BETWEEN $p0 AND $p2
+             AND $p1 NOT BETWEEN $p1 AND $p0
+             AND CAST($p1 AS $strType) like '%'
+             AND CAST($p1 AS $strType) not like '__DOES_NOT_EXIST__%'
+             AND $p1 IN ($p0, $p1, $p2)
+             AND $p1 NOT IN ($p0, $p2)))"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_groupby_q1")(spark, "/root/testdata/sf0.001")
@@ -2691,6 +2742,37 @@ object SparkEntry {
         ORDER BY bucket""")
     }),
 
+    // kttm_Spotmatrix/Heatmap grid: a JSON-extracted dimension × hourly
+    // TIME_FLOOR grid under an IN filter on the extracted value, grouped
+    // by ordinals like the generated console SQL (the reference's
+    // TIME_FLOOR(…, 'PT1H', NULL, 'Etc/UTC') ≡ the 2-arg form under this
+    // engine's pinned-UTC sessions)
+    "q_qa_kttm_spotmatrix" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT JSON_VALUE(props, '$.k') AS k,
+               TIME_FLOOR(ts, 'PT1H') AS t,
+               CAST(COUNT(*) AS BIGINT) AS count
+        FROM events
+        WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+          AND ts < TIMESTAMP '2024-01-05 17:00:00'
+          AND JSON_VALUE(props, '$.k') IN ('1','2','3','5','8','13','21','34','55')
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")
+    }),
+
+    // kttm_Table/Spotmatrix preamble: the console's GROUP BY () global
+    // aggregate — Calcite's explicit empty grouping set, which Spark's
+    // parser rejects; SqlApi.rewriteEmptyGroupBy translates it to the
+    // GROUPING SETS spelling, so the gate goes through the facade
+    "q_qa_kttm_groupby_empty" -> ((s, dir) => {
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT MAX(date_trunc('second', ts)) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY ()",
+        "context": {"sqlQueryId": "gate-kttm-groupby-empty"}
+      }""")
+    }),
+
     // ------------------------- decoupled-planning Calcite corpus shapes ----
     // (reference sql/src/test/quidem DecoupledPlanningCalciteQueryTest:
     // shapes that stress the planner — re-aggregation of a time-floored
@@ -2779,6 +2861,171 @@ object SparkEntry {
         ) u
         ORDER BY bal DESC, name
         LIMIT 5""")
+    }),
+
+    // ------------------------------------------------------ qaWin corpus ----
+    // (reference quidem-ut qaWin: the 501-file frame-boundary battery —
+    // orderby_{rows,range}_<bound>_{first_last,sum_count}.*.iq and
+    // basics_window_func_in_func.all.iq — window frames over a GROUP-BY
+    // derived subquery of the windowed kttm table. The shapes are ported
+    // onto an equivalent deterministic GROUP-BY slice of `events`; within
+    // each PARTITION BY cli the (srv, tz, t12) tuple is the group key, so
+    // the multi-key ORDER BY is a total order and first/last values are
+    // deterministic. The corpus's RANGE-with-offset-over-multi-key error
+    // battery (orderby_range_1_preceding_*.iq: 49/50 !error) is pinned in
+    // SqlApiSpec — Spark rejects the same shapes at analysis.)
+    "q_qa_win_rows_ub_prec" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(length(tz)) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sum_val,
+               count(tz) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12 ROWS UNBOUNDED PRECEDING) AS cnt_val
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    "q_qa_win_rows_frames_first_last" -> ((s, dir) => {
+      // orderby_rows_{1_preceding,0_preceding,1_following,ub_*}_first_last:
+      // empty frames at both partition edges must yield NULL, 0 PRECEDING/
+      // 0 FOLLOWING must parse as CURRENT ROW
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS fv_1p,
+               last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS lv_00,
+               first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fv_1f,
+               last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv_ubp
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    "q_qa_win_rows_sliding_sum" -> ((s, dir) => {
+      // orderby_rows_1_{preceding,following}_sum_count + the
+      // strictly-ahead frame (2 FOLLOWING AND 3 FOLLOWING): sum over an
+      // empty frame is NULL while count is 0
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_11,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS s_23,
+               count(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS c_23
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    "q_qa_win_range_peers" -> ((s, dir) => {
+      // orderby_range_{current,ub_preceding,ub_following}_sum_count over a
+      // tie-heavy single ORDER BY key: RANGE frames are peer-group frames,
+      // so every row of a tz tie class gets the whole class's sum/count
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS peer_sum,
+               count(*) OVER (PARTITION BY cli ORDER BY tz
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peer_cnt,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz
+                 RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cum_peer_sum,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz
+                 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS rev_peer_sum
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    "q_qa_win_func_in_func" -> ((s, dir) => {
+      // basics_window_func_in_func A1_W1_G1: scalar function wrapping a
+      // window aggregate whose argument is itself a function call
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(floor(avg(length(cli)) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12)) AS BIGINT) AS c
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // ---------------------------------------------- qaSql scalar corpus ----
+    // (reference qaSql/scalar_{datetime,string,reduction,numeric}.*.iq —
+    // each applies one comparison-operator battery (=, IS [NOT] DISTINCT
+    // FROM, <>, ordered compares, IS [NOT] TRUE/FALSE, [NOT] BETWEEN,
+    // [NOT] LIKE, [NOT] IN) to a probe expression family; every term holds
+    // for every row, so cnt = the filtered slice. The reference LIKEs the
+    // raw value through an implicit cast; both dialects here cast
+    // explicitly.)
+    "q_qa_scalar_datetime_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        SELECT CAST(count(*) FILTER (WHERE
+                 ${battery("ts", "ts - INTERVAL 2 YEAR", "ts + INTERVAL 2 YEAR", "STRING")}) AS BIGINT) AS cnt_time,
+               CAST(count(*) FILTER (WHERE
+                 ${battery("TIME_FLOOR(ts, 'P1Y')",
+                   "TIME_FLOOR(ts - INTERVAL 2 YEAR, 'P1Y')",
+                   "TIME_FLOOR(ts + INTERVAL 2 YEAR, 'P1Y')", "STRING")}) AS BIGINT) AS cnt_floor
+        FROM events WHERE user_id < 100""")
+    }),
+
+    "q_qa_scalar_string_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT CAST(count(*) FILTER (WHERE
+                 ${battery("'1' || event_type", "'0' || event_type",
+                   "'2' || event_type", "STRING")}) AS BIGINT) AS cnt_concat,
+               CAST(count(*) FILTER (WHERE
+                 ${battery("upper(substring(event_type, 1, 3))",
+                   "'A'", "'ZZZZ'", "STRING")}) AS BIGINT) AS cnt_func
+        FROM events WHERE user_id < 100""")
+    }),
+
+    "q_qa_scalar_reduction_battery" -> ((s, dir) => {
+      // scalar_reduction A1..A7: greatest/least/coalesce/nvl/nullif probes
+      // (the reference's greatest/least ignore NULL arguments — so does
+      // Spark; the DuckDB oracle drops the NULL argument to express the
+      // same value)
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT CAST(count(*) FILTER (WHERE
+                 ${battery("'1' || greatest(user_id, 1L, CAST(NULL AS BIGINT))",
+                   "'0' || greatest(user_id, 1L, CAST(NULL AS BIGINT))",
+                   "'2' || greatest(user_id, 1L, CAST(NULL AS BIGINT))", "STRING")}) AS BIGINT) AS cnt_greatest,
+               CAST(count(*) FILTER (WHERE
+                 ${battery("'1' || least(user_id, 7L, CAST(NULL AS BIGINT))",
+                   "'0' || least(user_id, 7L, CAST(NULL AS BIGINT))",
+                   "'2' || least(user_id, 7L, CAST(NULL AS BIGINT))", "STRING")}) AS BIGINT) AS cnt_least,
+               CAST(count(*) FILTER (WHERE
+                 ${battery("'1' || coalesce(CAST(NULL AS STRING), event_type)",
+                   "'0' || coalesce(CAST(NULL AS STRING), event_type)",
+                   "'2' || coalesce(CAST(NULL AS STRING), event_type)", "STRING")}) AS BIGINT) AS cnt_coalesce,
+               CAST(count(*) FILTER (WHERE
+                 ${battery("'1' || coalesce(nullif(event_type, 'ZZZ'), 'x')",
+                   "'0' || coalesce(nullif(event_type, 'ZZZ'), 'x')",
+                   "'2' || coalesce(nullif(event_type, 'ZZZ'), 'x')", "STRING")}) AS BIGINT) AS cnt_nullif
+        FROM events WHERE user_id < 100""")
+    }),
+
+    "q_qa_scalar_numeric_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT CAST(count(*) FILTER (WHERE
+                 ${battery("user_id * 2 + 1", "user_id * 2", "user_id * 2 + 2", "STRING")}) AS BIGINT) AS cnt_long,
+               CAST(count(*) FILTER (WHERE
+                 ${battery("round(value, 2) + 1.0D", "round(value, 2)",
+                   "round(value, 2) + 2.0D", "STRING")}) AS BIGINT) AS cnt_double
+        FROM events WHERE user_id < 100""")
     }),
 
     // ---------------------------------------- Calcite join-shape corpus ----
@@ -6181,6 +6428,120 @@ object SparkEntry {
          ) u
          ORDER BY bal DESC, name
          LIMIT 5""",
+
+    "q_qa_kttm_spotmatrix" ->
+      """SELECT json_extract_string(props, '$.k') AS k,
+               time_bucket(INTERVAL '1 hour', ts) AS t,
+               CAST(COUNT(*) AS BIGINT) AS count
+         FROM events
+         WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
+           AND ts < TIMESTAMP '2024-01-05 17:00:00'
+           AND json_extract_string(props, '$.k') IN ('1','2','3','5','8','13','21','34','55')
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
+
+    "q_qa_kttm_groupby_empty" ->
+      """SELECT MAX(date_trunc('second', ts)) AS mx,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY ()""",
+
+    "q_qa_win_rows_ub_prec" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(length(tz)) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sum_val,
+                 count(tz) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12 ROWS UNBOUNDED PRECEDING) AS cnt_val
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_rows_frames_first_last" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS fv_1p,
+                 last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS lv_00,
+                 first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fv_1f,
+                 last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv_ubp
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_rows_sliding_sum" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_11,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS s_23,
+                 count(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS c_23
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_range_peers" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS peer_sum,
+                 count(*) OVER (PARTITION BY cli ORDER BY tz
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peer_cnt,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz
+                   RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cum_peer_sum,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz
+                   RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS rev_peer_sum
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_func_in_func" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(floor(avg(length(cli)) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12)) AS BIGINT) AS c
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_scalar_datetime_battery" ->
+      s"""SELECT CAST(count(*) FILTER (WHERE
+                  ${battery("ts", "ts - INTERVAL 2 YEAR", "ts + INTERVAL 2 YEAR", "VARCHAR")}) AS BIGINT) AS cnt_time,
+                CAST(count(*) FILTER (WHERE
+                  ${battery("date_trunc('year', ts)",
+                    "date_trunc('year', ts - INTERVAL 2 YEAR)",
+                    "date_trunc('year', ts + INTERVAL 2 YEAR)", "VARCHAR")}) AS BIGINT) AS cnt_floor
+         FROM events WHERE user_id < 100""",
+
+    "q_qa_scalar_string_battery" ->
+      s"""SELECT CAST(count(*) FILTER (WHERE
+                  ${battery("'1' || event_type", "'0' || event_type",
+                    "'2' || event_type", "VARCHAR")}) AS BIGINT) AS cnt_concat,
+                CAST(count(*) FILTER (WHERE
+                  ${battery("upper(substring(event_type, 1, 3))",
+                    "'A'", "'ZZZZ'", "VARCHAR")}) AS BIGINT) AS cnt_func
+         FROM events WHERE user_id < 100""",
+
+    "q_qa_scalar_reduction_battery" ->
+      s"""SELECT CAST(count(*) FILTER (WHERE
+                  ${battery("'1' || greatest(user_id, 1)",
+                    "'0' || greatest(user_id, 1)",
+                    "'2' || greatest(user_id, 1)", "VARCHAR")}) AS BIGINT) AS cnt_greatest,
+                CAST(count(*) FILTER (WHERE
+                  ${battery("'1' || least(user_id, 7)",
+                    "'0' || least(user_id, 7)",
+                    "'2' || least(user_id, 7)", "VARCHAR")}) AS BIGINT) AS cnt_least,
+                CAST(count(*) FILTER (WHERE
+                  ${battery("'1' || coalesce(CAST(NULL AS VARCHAR), event_type)",
+                    "'0' || coalesce(CAST(NULL AS VARCHAR), event_type)",
+                    "'2' || coalesce(CAST(NULL AS VARCHAR), event_type)", "VARCHAR")}) AS BIGINT) AS cnt_coalesce,
+                CAST(count(*) FILTER (WHERE
+                  ${battery("'1' || coalesce(nullif(event_type, 'ZZZ'), 'x')",
+                    "'0' || coalesce(nullif(event_type, 'ZZZ'), 'x')",
+                    "'2' || coalesce(nullif(event_type, 'ZZZ'), 'x')", "VARCHAR")}) AS BIGINT) AS cnt_nullif
+         FROM events WHERE user_id < 100""",
+
+    "q_qa_scalar_numeric_battery" ->
+      s"""SELECT CAST(count(*) FILTER (WHERE
+                  ${battery("user_id * 2 + 1", "user_id * 2", "user_id * 2 + 2", "VARCHAR")}) AS BIGINT) AS cnt_long,
+                CAST(count(*) FILTER (WHERE
+                  ${battery("round(value, 2) + 1.0", "round(value, 2)",
+                    "round(value, 2) + 2.0", "VARCHAR")}) AS BIGINT) AS cnt_double
+         FROM events WHERE user_id < 100""",
 
     "q_qa_join_semi_anti_simul" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n

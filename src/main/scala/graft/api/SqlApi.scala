@@ -356,8 +356,18 @@ object SqlApi {
     val params = j \ "parameters" match {
       case JArray(xs) => xs; case _ => Nil
     }
-    rewriteJsonReturning(rewriteUnnest(bind(setStatements(raw)._2, params)))
+    rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
+      bind(setStatements(raw)._2, params))))
   }
+
+  /** Calcite's explicit empty grouping set — `GROUP BY ()` — is what the
+    * reference's own console/dashboard SQL emits for global aggregates
+    * (every kttm_*.iq visualization query). Spark's parser rejects the
+    * bare form but accepts the equivalent GROUPING SETS spelling.
+    */
+  private[graft] def rewriteEmptyGroupBy(sqlText: String): String =
+    sqlText.replaceAll("(?i)\\bGROUP\\s+BY\\s*\\(\\s*\\)",
+      "GROUP BY GROUPING SETS (())")
 
   /** Translate the reference's `JSON_VALUE(expr, path RETURNING type [ARRAY])`
     * (Calcite syntax Spark doesn't parse —

@@ -613,6 +613,40 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("qaWin negative corpus: RANGE offsets need one numeric sort key") {
+    // reference quidem-ut qaWin orderby_range_{1,negative}_* batteries:
+    // 49/50 testcases per file are QueryInterruptedException because a
+    // value-offset RANGE frame is only defined over a single numeric
+    // ORDER BY key. Spark rejects the same shapes at analysis.
+    graft.Tables.registerAll(spark, dir)
+    // multi-key ORDER BY with a RANGE offset (orderby_range_1_preceding)
+    intercept[Exception] {
+      spark.sql(
+        """SELECT sum(n_regionkey) OVER (ORDER BY n_name, n_nationkey
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation""").collect()
+    }
+    // non-numeric single key with a RANGE offset
+    intercept[Exception] {
+      spark.sql(
+        """SELECT sum(n_regionkey) OVER (ORDER BY n_name
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation""").collect()
+    }
+    // negative offset (orderby_range_negative: RANGE -1 PRECEDING). Druid
+    // rejects it; Spark is more permissive — the lower bound resolves past
+    // the current row, the frame is empty, and every aggregate is NULL.
+    // Pin Spark's behavior (same divergence class as drill-3360 above).
+    val empt = spark.sql(
+      """SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey
+           RANGE BETWEEN -1 PRECEDING AND CURRENT ROW) AS s FROM nation""").collect()
+    assert(empt.forall(_.isNullAt(0)))
+    // inverted bounds ARE rejected at analysis in both engines
+    intercept[Exception] {
+      spark.sql(
+        """SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey
+             RANGE BETWEEN -2 PRECEDING AND -1 FOLLOWING) FROM nation""").collect()
+    }
+  }
+
   test("query laning: capacity-exceeded queries are rejected, not queued") {
     import graft.api.QueryLanes
     import java.util.concurrent.{CountDownLatch, TimeUnit}
