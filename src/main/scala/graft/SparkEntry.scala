@@ -3970,6 +3970,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_repetition" -> ((s, dir) => {
+      // Gopher-rule repetition filters: duplicated-trigram fraction and
+      // top-trigram coverage per document
+      TextAnalysis.repetitionSignals(t(s, dir)("documents"),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------- similarity (training pipeline)
     "q_embed_knn" -> ((s, dir) => {
       val emb = t(s, dir)("embeddings")
@@ -7009,6 +7017,21 @@ object SparkEntry {
                 substring(md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 8) AS fp8
          FROM documents ORDER BY doc_id""",
+
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+               FROM t WHERE len(w) >= 3),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+                CAST(count(*) AS BIGINT) AS distinct_ngrams,
+                CAST(max(cnt) AS BIGINT) AS top_ngram_count,
+                round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_ngram_frac,
+                round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_ngram_cover
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
 
     "q_embed_knn" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

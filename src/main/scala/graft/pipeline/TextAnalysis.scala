@@ -114,6 +114,44 @@ object TextAnalysis {
           col("chunk_idx") * step + 1, lit(chunkTokens))).as("n_tokens"))
   }
 
+  /** Within-document repetition signals — the Gopher-rule repetition
+    * family (duplicate n-gram fraction, most-frequent-n-gram coverage)
+    * used by C4/Gopher/FineWeb-style pipelines to drop documents dominated
+    * by repeated spans (boilerplate, keyword stuffing, generation loops).
+    * Documents shorter than `n` tokens have no n-grams and drop out, like
+    * the empty-unnest on the oracle side.
+    *
+    * Shape at scale: explode to (doc, gram), one hash aggregate whose
+    * map-side partial collapses each document's grams before the only
+    * wide shuffle, then a per-doc rollup on the already-doc-keyed stream —
+    * no joins, no second scan of the corpus.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val gramCount = size(toks) - n + 1
+    val grams = when(gramCount >= 1,
+      transform(sequence(lit(1), gramCount),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array())
+    val perGram = df
+      .select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    perGram.groupBy(col(idCol))
+      .agg(sum("cnt").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max("cnt").as("top_ngram_count"))
+      .select(col(idCol),
+        col("total_ngrams"), col("distinct_ngrams"), col("top_ngram_count"),
+        round(lit(1.0) -
+          col("distinct_ngrams") / col("total_ngrams").cast("double"), 6)
+          .as("dup_ngram_frac"),
+        round(col("top_ngram_count") / col("total_ngrams").cast("double"), 6)
+          .as("top_ngram_cover"))
+  }
+
   /** Full document-profile projection used by q_text_* queries.
     *
     * Computed as one explode + hash-aggregate pass (token counts, stopword

@@ -363,6 +363,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) > 0 && r.getDouble(1) <= 1.0)
   }
 
+  test("repetition signals: duplicated n-grams and top-gram coverage") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // bigrams: ab, ba, ab, ba, ab → 5 total, 2 distinct
+      (2L, "x y z"),        // bigrams: xy, yz → all unique
+      (3L, "w")             // shorter than n → no grams, row drops out
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(r.length == 2)
+    val d1 = r(0)
+    assert(d1.getLong(1) == 5 && d1.getLong(2) == 2 && d1.getLong(3) == 3)
+    assert(d1.getDouble(4) == 0.6 && d1.getDouble(5) == 0.6)
+    val d2 = r(1)
+    assert(d2.getLong(1) == 2 && d2.getLong(2) == 2 && d2.getLong(3) == 1)
+    assert(d2.getDouble(4) == 0.0 && d2.getDouble(5) == 0.5)
+  }
+
   test("protobuf wire format matches the spec's known vectors") {
     import graft.functions.ProtobufWire
     // protobuf encoding guide examples: field 1 varint 150 = 08 96 01;
