@@ -3107,6 +3107,65 @@ object SparkEntry {
         ORDER BY d""")
     }),
 
+    // testCommaJoinLeftFunction: comma-join whose condition applies a
+    // scalar function to the left column — the planner must hoist the
+    // function into a pre-join projection, not a post-join filter
+    "q_qa_join_fn_on_key" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c.c_name, r.r_name
+        FROM customer c, region r
+        WHERE SUBSTRING(c.c_mktsegment, 1, 1) = SUBSTRING(r.r_name, 1, 1)
+          AND c.c_custkey <= 300
+        ORDER BY c.c_name, r.r_name""")
+    }),
+
+    // testExactTopNOnInnerJoinWithLimit: topN grouped on a dimension
+    // joined to a grouped subquery of the same table, lexicographic
+    // dimension ordering with a limit
+    "q_qa_join_topn_limit" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT f1.o_orderpriority AS pri,
+               CAST(FLOOR(sum(f1.o_totalprice)) AS BIGINT) AS s
+        FROM orders f1 INNER JOIN (
+          SELECT o_orderpriority FROM orders
+          WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+        ) f2 ON f1.o_orderpriority = f2.o_orderpriority
+        GROUP BY 1 ORDER BY 1 LIMIT 1""")
+    }),
+
+    // testSemiJoinWithOuterTimeExtractAggregateWithOrderBy: IN-subquery
+    // semi join under an outer COUNT(DISTINCT) grouped and ordered by a
+    // time-extract virtual column
+    "q_qa_join_semi_time_extract" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+               CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS d
+        FROM events
+        WHERE event_type IN (SELECT event_type FROM events WHERE user_id = 7)
+          AND user_id < 200
+        GROUP BY EXTRACT(DAY FROM ts)
+        ORDER BY d""")
+    }),
+
+    // testVirtualColumnOnMVFilterJoinExpression: join keyed on an
+    // MV_FILTER_ONLY virtual column (non-matching rows filter to the
+    // empty cell and are excluded, like the reference's null MVD)
+    "q_qa_join_mv_filter_expr" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        WITH f AS (SELECT p_partkey,
+                          MV_FILTER_ONLY(split(p_type, ' '), array('PROMO')) AS mv
+                   FROM part WHERE p_partkey <= 200)
+        SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        FROM f a INNER JOIN f b
+          ON a.mv = b.mv AND size(a.mv) > 0 AND a.p_partkey < b.p_partkey
+        ORDER BY pa, pb""")
+    }),
+
     "q_qa_union_two_joins" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -6601,6 +6660,41 @@ object SparkEntry {
          WHERE a.d >= TIMESTAMP '1997-01-01'
            AND a.d < TIMESTAMP '1998-01-01'
          ORDER BY d""",
+
+    "q_qa_join_fn_on_key" ->
+      """SELECT c.c_name, r.r_name
+         FROM customer c, region r
+         WHERE SUBSTRING(c.c_mktsegment, 1, 1) = SUBSTRING(r.r_name, 1, 1)
+           AND c.c_custkey <= 300
+         ORDER BY c.c_name, r.r_name""",
+
+    "q_qa_join_topn_limit" ->
+      """SELECT f1.o_orderpriority AS pri,
+               CAST(FLOOR(sum(f1.o_totalprice)) AS BIGINT) AS s
+         FROM orders f1 INNER JOIN (
+           SELECT o_orderpriority FROM orders
+           WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+         ) f2 ON f1.o_orderpriority = f2.o_orderpriority
+         GROUP BY 1 ORDER BY 1 LIMIT 1""",
+
+    "q_qa_join_semi_time_extract" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+                CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS d
+         FROM events
+         WHERE event_type IN (SELECT event_type FROM events WHERE user_id = 7)
+           AND user_id < 200
+         GROUP BY EXTRACT(DAY FROM ts)
+         ORDER BY d""",
+
+    "q_qa_join_mv_filter_expr" ->
+      """WITH f AS (SELECT p_partkey,
+                           list_filter(string_split(p_type, ' '),
+                             x -> x = 'PROMO') AS mv
+                    FROM part WHERE p_partkey <= 200)
+         SELECT a.p_partkey AS pa, b.p_partkey AS pb
+         FROM f a INNER JOIN f b
+           ON a.mv = b.mv AND len(a.mv) > 0 AND a.p_partkey < b.p_partkey
+         ORDER BY pa, pb""",
 
     "q_qa_union_two_joins" ->
       """SELECT * FROM (
