@@ -3107,6 +3107,19 @@ object SparkEntry {
         ORDER BY d""")
     }),
 
+    // SqlQuidemTest notinvalues.iq: NOT IN against an inline VALUES
+    // subquery — plans as an anti join to a values relation, and the
+    // NOT IN NULL trap does not apply (no nulls in the values list)
+    "q_qa_notin_values" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT col FROM (VALUES (1), (999)) AS t(col))
+          AND o_orderkey <= 2000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // testCommaJoinLeftFunction: comma-join whose condition applies a
     // scalar function to the left column — the planner must hoist the
     // function into a pre-join projection, not a post-join filter
@@ -6660,6 +6673,13 @@ object SparkEntry {
          WHERE a.d >= TIMESTAMP '1997-01-01'
            AND a.d < TIMESTAMP '1998-01-01'
          ORDER BY d""",
+
+    "q_qa_notin_values" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         WHERE o_custkey NOT IN (SELECT col FROM (VALUES (1), (999)) AS t(col))
+           AND o_orderkey <= 2000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_qa_join_fn_on_key" ->
       """SELECT c.c_name, r.r_name
