@@ -686,6 +686,29 @@ object QaSuites {
          FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
          GROUP BY c ORDER BY c NULLS FIRST"""),
 
+    // DecoupledPlanningCalciteArraysQueryTest
+    // testUnnestWithGroupByHavingSelector: HAVING selector on the
+    // unnested grouping column
+    gu("q_qa_unnest_group_having",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         GROUP BY c HAVING c = 'S1'""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(a_str) AS c FROM test_unnest)
+         GROUP BY c HAVING c = 'S1'"""),
+
+    // testUnnestWithGroupByOnExpression: grouping on an expression OF the
+    // unnested column (NULL elements flow to a NULL expression group)
+    gu("q_qa_unnest_group_expr",
+      """SELECT upper(c) || '_x' AS k, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(min(s_int) AS BIGINT) AS mn
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         GROUP BY upper(c) || '_x' ORDER BY k NULLS FIRST""",
+      """SELECT upper(c) || '_x' AS k, count(*) AS cnt,
+                CAST(min(s_int) AS BIGINT) AS mn
+         FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
+         GROUP BY upper(c) || '_x' ORDER BY k NULLS FIRST"""),
+
     // filtered aggregates over the unnested column
     gu("q_qa_unnest_filter_c",
       """SELECT CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS gt1,

@@ -3120,6 +3120,22 @@ object SparkEntry {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // testMultipleExactCountDistinctWithGroupingAndOtherAggregatorsUsingJoin:
+    // several exact COUNT(DISTINCT) columns beside plain aggregates under
+    // one grouping — plans through Spark's Expand (the reference rewrites
+    // to a join of per-distinct subqueries; same results, one pass here)
+    "q_qa_multi_count_distinct" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_pri,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+               CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey <= 20000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // testCommaJoinLeftFunction: comma-join whose condition applies a
     // scalar function to the left column — the planner must hoist the
     // function into a pre-join projection, not a post-join filter
@@ -6680,6 +6696,15 @@ object SparkEntry {
          WHERE o_custkey NOT IN (SELECT col FROM (VALUES (1), (999)) AS t(col))
            AND o_orderkey <= 2000
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_qa_multi_count_distinct" ->
+      """SELECT o_orderstatus,
+                CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_pri,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+                CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders WHERE o_orderkey <= 20000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_qa_join_fn_on_key" ->
       """SELECT c.c_name, r.r_name
