@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("multiple exact count-distincts run one Expand pass, no self-join") {
+    // the reference rewrites N distinct aggregates into a join of N
+    // grouping subqueries; Spark's Expand evaluates all of them plus the
+    // plain aggregates in a single scan — pin that no join sneaks in and
+    // the fact table is read once
+    val p = plan("q_qa_multi_count_distinct")
+    assert(p.contains("Expand"), "expected Expand-based multi-distinct")
+    assert(!p.contains("Join"), "multi-distinct must not plan as a self-join")
+    assert("FileScan|BatchScan".r.findAllIn(p).size == 1,
+      "fact side must be scanned exactly once")
+  }
+
   test("expression queries run inside whole-stage codegen") {
     // AQE finalizes codegen spans at execution; run the query, then read
     // the final plan
