@@ -123,6 +123,23 @@ class QaSuitesSpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L)
   }
 
+  test("JSON_VALUE RETURNING accepts a computed first argument") {
+    // the reference allows any expression before the path
+    // (NestedDataOperatorConversions.java) — e.g. JSON_QUERY output or a
+    // CAST — not just a bare column reference
+    DruidFunctions.register(spark)
+    val sql = graft.api.SqlApi.rewriteJsonReturning(
+      """SELECT json_value(json_query(j, '$[1]'), '$[0]' RETURNING bigint) AS nested,
+                json_value(CAST(j AS STRING), '$[1][1]' RETURNING bigint) AS casted,
+                array_to_string(json_value(json_query(j, '$[1]'),
+                  '$' RETURNING bigint array), '|') AS arr
+         FROM VALUES ('[[true],[1,2,null]]') AS t(j)""")
+    val r = spark.sql(sql).head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 2L)
+    assert(r.getString(2) == "1|2|null")
+  }
+
   test("qa gate battery matches pinned reference row counts") {
     // spot-pin .iq expected cardinalities through the actual gate SQL
     val q = SparkEntry.queries
