@@ -292,6 +292,45 @@ object Ingest {
     }
     df.withColumn(shreddedCol, from_json(col(jsonCol), inferred))
   }
+
+  /** Ingest-time flattenSpec (reference `JSONPathSpec`/`FlattenSpec` —
+    * `processing/.../data/input/impl/JSONPathSpec.java`, exercised by the
+    * qaJsonCols `ingest_flatten_spec`/`ingest_schmdisc_flatten_spec`
+    * suites): explicit JSONPath-addressed fields become named columns,
+    * and `useFieldDiscovery` additionally surfaces every top-level
+    * primitive not already claimed by an explicit field. Values land as
+    * strings, matching the reference's default string-dimension ingest;
+    * missing paths are NULL. Pure projections — codegen'd, no shuffle.
+    *
+    * Field spec: (name, path) with path in `get_json_object` syntax
+    * (`$.a.b[0]` — the reference's "path" type; a bare `$.name` is its
+    * "root" type).
+    */
+  def flattenJson(df: DataFrame, jsonCol: String,
+                  fields: Seq[(String, String)],
+                  useFieldDiscovery: Boolean = false,
+                  sampleRows: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val discovered: Seq[(String, String)] =
+      if (!useFieldDiscovery) Nil
+      else {
+        val sample = df.select(col(jsonCol)).na.drop()
+          .limit(sampleRows).as[String].collect()
+        val claimed = fields.map(_._1).toSet
+        spark.read.json(sample.toSeq.toDS()).schema.fields.toSeq
+          .filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.StructType => false
+            case _: org.apache.spark.sql.types.ArrayType  => false
+            case _                                        => true
+          })
+          .map(f => f.name -> s"$$.${f.name}")
+          .filterNot(f => claimed.contains(f._1))
+      }
+    (fields ++ discovered).foldLeft(df) { case (d, (name, path)) =>
+      d.withColumn(name, get_json_object(col(jsonCol), path))
+    }
+  }
 }
 
 /** Aggregate-projection catalog (reference `AggregateProjectionMetadata`):

@@ -115,6 +115,33 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("flattenJson: explicit JSONPath fields + top-level field discovery") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"a": 1, "b": "x", "nest": {"d": "deep"}, "arr": [10, 20]}"""),
+      (2L, """{"a": 2, "e": true, "nest": {"d": "deep2"}, "arr": [30]}"""),
+      (3L, null.asInstanceOf[String])).toDF("id", "js")
+    val out = graft.operators.Ingest.flattenJson(df, "js",
+      fields = Seq("deep_d" -> "$.nest.d", "first_arr" -> "$.arr[0]",
+        "a" -> "$.a"),
+      useFieldDiscovery = true)
+    // discovery surfaces top-level primitives (b, e) but not objects/
+    // arrays (nest, arr), and does not re-add the claimed 'a'
+    assert(out.columns.toSet ==
+      Set("id", "js", "deep_d", "first_arr", "a", "b", "e"))
+    val rows = out.orderBy("id").collect()
+    def s(r: org.apache.spark.sql.Row, c: String): String = {
+      val i = out.columns.indexOf(c)
+      if (r.isNullAt(i)) null else r.getString(i)
+    }
+    assert(s(rows(0), "deep_d") == "deep" && s(rows(0), "first_arr") == "10")
+    assert(s(rows(0), "a") == "1" && s(rows(0), "b") == "x" &&
+      s(rows(0), "e") == null)
+    assert(s(rows(1), "deep_d") == "deep2" && s(rows(1), "first_arr") == "30")
+    assert(s(rows(1), "e") == "true" && s(rows(1), "b") == null)
+    assert(s(rows(2), "deep_d") == null && s(rows(2), "a") == null)
+  }
+
   test("replaceWhere swaps interval days, drops uncovered days, keeps the rest") {
     val out = Files.createTempDirectory("graft_repl").toString
     val ev = Tables.load(spark, dir, "events")
