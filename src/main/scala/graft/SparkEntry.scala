@@ -1450,6 +1450,19 @@ object SparkEntry {
         .limit(4)
     }),
 
+    "q_sql_insert_hour" -> ((s, dir) => {
+      // PARTITIONED BY HOUR (reference hour-granularity segments): the
+      // ingest lands hour-chunk dirs (__hour=yyyy-MM-dd-HH) and the
+      // read-back chunk column reproduces the per-hour rollup exactly
+      Tables.registerAll(s, dir)
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "REPLACE INTO graft_hourly OVERWRITE ALL SELECT ts AS __time, event_type, value FROM events WHERE event_id < 2000 PARTITIONED BY HOUR"
+      }""")
+      s.sql("""SELECT __hour AS h, CAST(count(*) AS BIGINT) AS n,
+                      CAST(FLOOR(sum(value)) AS BIGINT) AS sv
+               FROM graft_hourly GROUP BY __hour ORDER BY h""")
+    }),
+
     "q_sql_insert" -> ((s, dir) => {
       // SQL-driven batch ingestion (reference INSERT ... PARTITIONED BY via
       // MSQ): CREATE TABLE + INSERT OVERWRITE ... SELECT, then query the
@@ -5923,6 +5936,12 @@ object SparkEntry {
     "q_topn_dim_order" ->
       """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_type ORDER BY p_type ASC LIMIT 4""",
+
+    "q_sql_insert_hour" ->
+      """SELECT strftime(ts, '%Y-%m-%d-%H') AS h, CAST(count(*) AS BIGINT) AS n,
+                CAST(FLOOR(sum(value)) AS BIGINT) AS sv
+         FROM events WHERE event_id < 2000
+         GROUP BY 1 ORDER BY 1""",
 
     "q_sql_insert" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,

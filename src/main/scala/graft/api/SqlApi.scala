@@ -724,8 +724,9 @@ object SqlApi {
         val (inner, tail, gran) = rest match {
           case Part(q, gran0, t2) =>
             val g = gran0.trim.toUpperCase.replaceAll("\\s+", " ")
-            require(Seq("DAY", "MONTH", "YEAR", "ALL", "ALL TIME").contains(g),
-              s"unsupported PARTITIONED BY $gran0 (DAY-or-coarser supported)")
+            require(Seq("HOUR", "DAY", "WEEK", "MONTH", "YEAR", "ALL",
+              "ALL TIME").contains(g),
+              s"unsupported PARTITIONED BY $gran0")
             (q.trim, t2.trim, g)
           case _ => throw new IllegalArgumentException(
             "ingest SQL requires PARTITIONED BY (reference DruidSqlInsert)")
@@ -754,6 +755,11 @@ object SqlApi {
     ing.overwriteWhere match {
       case Some((lo, hi)) =>
         // interval bounds must align to the day PARTITIONED BY granularity
+        // (per-chunk replace is day-layout only; HOUR ingests use
+        // OVERWRITE ALL, matching the supported REPLACE surface)
+        require(ing.granularity != "HOUR",
+          "OVERWRITE WHERE supports day-layout granularities; use " +
+            "OVERWRITE ALL with PARTITIONED BY HOUR")
         def dayOf(ts: String): String = {
           require(ts.matches("""\d{4}-\d{2}-\d{2}([T ]00:00:00(\.0+)?)?Z?"""),
             s"OVERWRITE WHERE bound $ts must align to PARTITIONED BY DAY")
@@ -763,16 +769,16 @@ object SqlApi {
           dayOf(lo), dayOf(hi), ing.clusterBy)
       case None if ing.replace =>
         graft.operators.Ingest.replaceAll(result, path, Tables.TimeColumn,
-          ing.clusterBy)
+          ing.clusterBy, ing.granularity)
       case None =>
-        // INSERT: append new day segments alongside existing ones
-        val withDay = result.withColumn("__day",
-          org.apache.spark.sql.functions.to_date(
-            org.apache.spark.sql.functions.col(Tables.TimeColumn)))
-        withDay.repartition(org.apache.spark.sql.functions.col("__day"))
-          .sortWithinPartitions(("__day" +: ing.clusterBy).map(
+        // INSERT: append new time-chunk segments alongside existing ones
+        val (partCol, partExpr) = graft.operators.Ingest
+          .segmentPartition(Tables.TimeColumn, ing.granularity)
+        result.withColumn(partCol, partExpr)
+          .repartition(org.apache.spark.sql.functions.col(partCol))
+          .sortWithinPartitions((partCol +: ing.clusterBy).map(
             org.apache.spark.sql.functions.col): _*)
-          .write.mode("append").partitionBy("__day").parquet(path)
+          .write.mode("append").partitionBy(partCol).parquet(path)
     }
     spark.read.parquet(path).createOrReplaceTempView(ing.table)
     // the reference invalidates result-level cache entries when segments

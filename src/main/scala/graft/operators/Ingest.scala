@@ -14,17 +14,31 @@ import graft.functions.DruidFunctions
   */
 object Ingest {
 
-  /** INSERT … PARTITIONED BY <day> CLUSTERED BY <cols>: day-partitioned
-    * parquet with rows sorted within partitions on the cluster key, so
-    * min/max column stats make later filters on those keys prune row groups.
+  /** INSERT … PARTITIONED BY <gran> CLUSTERED BY <cols>: time-chunk
+    * partitioned parquet with rows sorted within partitions on the cluster
+    * key, so min/max column stats make later filters on those keys prune
+    * row groups. HOUR granularity lands as `__hour=yyyy-MM-dd-HH` chunk
+    * dirs (the reference's hour segments); DAY and coarser land as
+    * `__day=` dirs — a coarser segment granularity over a day-dir layout
+    * stays prune-correct, it just splits each logical chunk into days.
     */
   def writeSegments(df: DataFrame, path: String, timeCol: String,
-                    clusterBy: Seq[String]): Unit = {
-    val withDay = df.withColumn("__day", to_date(col(timeCol)))
-    withDay
-      .repartition(col("__day"))
-      .sortWithinPartitions(("__day" +: clusterBy).map(col): _*)
-      .write.mode("overwrite").partitionBy("__day").parquet(path)
+                    clusterBy: Seq[String], gran: String = "DAY"): Unit = {
+    val (partCol, partExpr) = segmentPartition(timeCol, gran)
+    df.withColumn(partCol, partExpr)
+      .repartition(col(partCol))
+      .sortWithinPartitions((partCol +: clusterBy).map(col): _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+
+  /** Segment-granularity partition column: HOUR chunks get their own
+    * column name so hour and day layouts can never be silently mixed in
+    * one datasource directory.
+    */
+  private[graft] def segmentPartition(timeCol: String,
+      gran: String): (String, Column) = gran.toUpperCase match {
+    case "HOUR" => ("__hour", date_format(col(timeCol), "yyyy-MM-dd-HH"))
+    case _      => ("__day", to_date(col(timeCol)))
   }
 
   /** Rollup at ingest (the reference's pre-aggregation of rows with equal
@@ -64,8 +78,8 @@ object Ingest {
     * atomically superseded by the query result.
     */
   def replaceAll(df: DataFrame, path: String, timeCol: String,
-                 clusterBy: Seq[String] = Nil): Unit =
-    writeSegments(df, path, timeCol, clusterBy)
+                 clusterBy: Seq[String] = Nil, gran: String = "DAY"): Unit =
+    writeSegments(df, path, timeCol, clusterBy, gran)
 
   /** REPLACE INTO … OVERWRITE WHERE &lt;time interval&gt; (reference MSQ
     * REPLACE into time chunks, `DruidSqlReplace.java` +

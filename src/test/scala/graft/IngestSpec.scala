@@ -142,6 +142,38 @@ class IngestSpec extends AnyFunSuite {
     assert(s(rows(2), "deep_d") == null && s(rows(2), "a") == null)
   }
 
+  test("PARTITIONED BY HOUR lands hour-chunk dirs; OVERWRITE WHERE rejects it") {
+    import spark.implicits._
+    val df = Seq(
+      ("2024-01-10 05:10:00", 1L), ("2024-01-10 05:50:00", 2L),
+      ("2024-01-10 06:05:00", 3L), ("2024-01-11 23:59:00", 4L))
+      .toDF("t", "v")
+      .select(to_timestamp($"t").as("__time"), $"v")
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_hour_spec"
+    graft.operators.Ingest.replaceAll(df, loc, "__time", Nil, gran = "HOUR")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(loc))
+      .map(_.getPath.getName).filter(_.startsWith("__hour=")).sorted
+    assert(dirs.toSeq == Seq("__hour=2024-01-10-05", "__hour=2024-01-10-06",
+      "__hour=2024-01-11-23"))
+    val back = spark.read.parquet(loc)
+    assert(back.count() == 4)
+    assert(back.filter($"__hour" === "2024-01-10-05").count() == 2)
+    // the parser carries the granularity through
+    val ing = graft.api.SqlApi.ingestTarget(
+      "INSERT INTO t SELECT 1 PARTITIONED BY HOUR").get
+    assert(ing.granularity == "HOUR")
+    // per-chunk replace stays a day-layout operation — the real API path
+    // must reject OVERWRITE WHERE + HOUR before writing anything
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.SqlApi.run(spark, dir, """{
+        "query": "REPLACE INTO graft_hour_reject OVERWRITE WHERE __time >= TIMESTAMP '2024-01-10' AND __time < TIMESTAMP '2024-01-11' SELECT ts AS __time FROM events PARTITIONED BY HOUR"
+      }""")
+    }
+    assert(ex.getMessage.contains("OVERWRITE ALL"))
+  }
+
   test("replaceWhere swaps interval days, drops uncovered days, keeps the rest") {
     val out = Files.createTempDirectory("graft_repl").toString
     val ev = Tables.load(spark, dir, "events")
