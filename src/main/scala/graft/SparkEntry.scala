@@ -1450,6 +1450,20 @@ object SparkEntry {
         .limit(4)
     }),
 
+    "q_sql_timefloor_full" -> ((s, dir) => {
+      // full TIME_FLOOR arity (reference TimeFloorOperatorConversion):
+      // origin-anchored fixed buckets, timezone wall-clock calendar floors
+      // (zone-local midnight across the DST line), arbitrary fixed periods
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT event_id,
+               TIME_FLOOR(ts, 'PT15M', '1970-01-01T00:07:00') AS f_origin,
+               TIME_FLOOR(ts, 'P1D', NULL, 'America/Los_Angeles') AS f_la,
+               TIME_FLOOR(ts, 'PT6H') AS f_6h
+        FROM events WHERE event_id < 300 ORDER BY event_id""")
+    }),
+
     "q_sql_insert_hour" -> ((s, dir) => {
       // PARTITIONED BY HOUR (reference hour-granularity segments): the
       // ingest lands hour-chunk dirs (__hour=yyyy-MM-dd-HH) and the
@@ -3118,19 +3132,6 @@ object SparkEntry {
         WHERE a.d >= TIMESTAMP '1997-01-01'
           AND a.d < TIMESTAMP '1998-01-01'
         ORDER BY d""")
-    }),
-
-    // SqlQuidemTest notinvalues.iq: NOT IN against an inline VALUES
-    // subquery — plans as an anti join to a values relation, and the
-    // NOT IN NULL trap does not apply (no nulls in the values list)
-    "q_qa_notin_values" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql("""
-        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
-        FROM orders
-        WHERE o_custkey NOT IN (SELECT col FROM (VALUES (1), (999)) AS t(col))
-          AND o_orderkey <= 2000
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
     // testMultipleExactCountDistinctWithGroupingAndOtherAggregatorsUsingJoin:
@@ -5937,6 +5938,16 @@ object SparkEntry {
       """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_type ORDER BY p_type ASC LIMIT 4""",
 
+    "q_sql_timefloor_full" ->
+      """SELECT event_id,
+                time_bucket(INTERVAL '15 minutes', ts,
+                  TIMESTAMP '1970-01-01 00:07:00') AS f_origin,
+                (date_trunc('day', (ts AT TIME ZONE 'UTC')
+                   AT TIME ZONE 'America/Los_Angeles')
+                 AT TIME ZONE 'America/Los_Angeles') AT TIME ZONE 'UTC' AS f_la,
+                time_bucket(INTERVAL '6 hours', ts) AS f_6h
+         FROM events WHERE event_id < 300 ORDER BY event_id""",
+
     "q_sql_insert_hour" ->
       """SELECT strftime(ts, '%Y-%m-%d-%H') AS h, CAST(count(*) AS BIGINT) AS n,
                 CAST(FLOOR(sum(value)) AS BIGINT) AS sv
@@ -6708,13 +6719,6 @@ object SparkEntry {
          WHERE a.d >= TIMESTAMP '1997-01-01'
            AND a.d < TIMESTAMP '1998-01-01'
          ORDER BY d""",
-
-    "q_qa_notin_values" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
-         FROM orders
-         WHERE o_custkey NOT IN (SELECT col FROM (VALUES (1), (999)) AS t(col))
-           AND o_orderkey <= 2000
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_qa_multi_count_distinct" ->
       """SELECT o_orderstatus,

@@ -60,6 +60,91 @@ object DruidFunctions {
         timestamp_micros(rel - pmod(rel, lit(p)) + lit(originEpochMicros))
     }
 
+  /** Lenient ISO-8601 instant parse for TIME_FLOOR origin literals
+    * (reference accepts '1970-01-01T00:30:00', with or without zone/'T',
+    * or a bare date).
+    */
+  private def parseIsoMicros(s: String): Long = {
+    val t = s.trim.replace(' ', 'T')
+    val inst =
+      scala.util.Try(java.time.Instant.parse(t))
+        .orElse(scala.util.Try(java.time.LocalDateTime.parse(t)
+          .toInstant(java.time.ZoneOffset.UTC)))
+        .orElse(scala.util.Try(java.time.LocalDate.parse(t)
+          .atStartOfDay.toInstant(java.time.ZoneOffset.UTC)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unparseable TIME_FLOOR origin: $s"))
+    inst.getEpochSecond * 1_000_000L + inst.getNano / 1000L
+  }
+
+  /** SQL TIME_FLOOR(ts, period[, origin[, timezone]]) as a Catalyst builder
+    * (reference `TimeFloorOperatorConversion` — the 3/4-arg forms the 2-arg
+    * SQL macro could not express). period/origin/timezone must be literals
+    * like the reference's PeriodGranularity construction. Timezone floors
+    * happen in the zone's wall-clock frame (from_utc → floor → to_utc), so
+    * calendar buckets anchor at zone-local midnight across DST; a non-null
+    * origin anchors fixed-length buckets at origin + k*period. Calendar
+    * periods with an explicit origin are rejected (Joda-chronology corner
+    * the engine does not model).
+    */
+  private[graft] def timeFloorBuilder(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+    require(args.size >= 2 && args.size <= 4,
+      s"TIME_FLOOR(ts, period[, origin[, timezone]]), got ${args.size} args")
+    def litString(e: Expression, what: String): Option[String] = e match {
+      case Literal(null, _) => None
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => throw new IllegalArgumentException(
+        s"TIME_FLOOR $what must be a string literal")
+    }
+    val period = litString(args(1), "period").getOrElse(
+      throw new IllegalArgumentException("TIME_FLOOR period must not be null"))
+    val originMicros: Option[Long] = args.drop(2).headOption.flatMap {
+      case Literal(null, _) => None
+      case Literal(us: Long, TimestampType) => Some(us)
+      case e => litString(e, "origin").map(parseIsoMicros)
+    }
+    val tz: Option[String] = args.drop(3).headOption
+      .flatMap(e => litString(e, "timezone"))
+      .filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+    def floorFrame(t: Expression, origin: Option[Long]): Expression =
+      CalendarPeriods.get(period) match {
+        case Some(unit) if origin.isEmpty =>
+          TruncTimestamp(Literal(UTF8String.fromString(unit), StringType), t)
+        case Some(_) =>
+          throw new IllegalArgumentException(
+            s"TIME_FLOOR: calendar period $period with an explicit origin " +
+              "is not supported")
+        case None =>
+          val p = periodMicros(period)
+          require(p > 0, s"TIME_FLOOR period must be positive: $period")
+          val o = Literal(origin.getOrElse(0L), LongType)
+          val rel = Subtract(UnixMicros(t), o)
+          MicrosToTimestamp(Add(Subtract(rel, Pmod(rel, Literal(p, LongType))), o))
+      }
+    tz match {
+      case None => floorFrame(args.head, originMicros)
+      case Some(zone) =>
+        val zoneLit = Literal(UTF8String.fromString(zone), StringType)
+        // origin is an instant; anchor buckets at its wall-clock position
+        // in the zone (offset resolved once, at the origin instant)
+        val originLocal = originMicros.map { om =>
+          val off = java.time.ZoneId.of(zone).getRules
+            .getOffset(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(om, 1_000_000L),
+              Math.floorMod(om, 1_000_000L) * 1000L)).getTotalSeconds
+          om + off * 1_000_000L
+        }
+        ToUTCTimestamp(
+          floorFrame(FromUTCTimestamp(args.head, zoneLit), originLocal),
+          zoneLit)
+    }
+  }
+
   /** TIME_CEIL — smallest bucket boundary >= ts. */
   def timeCeil(ts: Column, period: String): Column = {
     val floored = timeFloor(ts, period)
@@ -282,6 +367,10 @@ object DruidFunctions {
         require(args.size == 1, "notnull(expr)")
         org.apache.spark.sql.catalyst.expressions.IsNotNull(args.head)
       }),
+      // SQL TIME_FLOOR with the full reference arity (period/origin/tz);
+      // replaces the old 2-arg SQL macro — same semantics for 2 args
+      "time_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
+      "timestamp_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
       // reference IPv6AddressMatchExprMacro — subnet must be a CIDR literal
       "ipv6_match" -> ((args: Seq[Expression]) => args match {
         case Seq(ip, Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
@@ -516,25 +605,8 @@ object DruidFunctions {
                 concat(format_string('%.2f', CAST((b DIV 1000000) / 1000.0 AS DOUBLE)), ' G')
               ELSE concat(format_string('%.2f', CAST((b DIV 1000000000) / 1000.0 AS DOUBLE)), ' T')
          END""",
-      // TIME_FLOOR for calendar + common fixed ISO periods (the Scala API's
-      // timeFloor handles arbitrary periods/origins; SQL covers the usual set)
-      """TIME_FLOOR(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN
-         CASE p
-           WHEN 'P1Y' THEN date_trunc('year', t)
-           WHEN 'P3M' THEN date_trunc('quarter', t)
-           WHEN 'P1M' THEN date_trunc('month', t)
-           WHEN 'P1W' THEN date_trunc('week', t)
-           WHEN 'P1D' THEN date_trunc('day', t)
-           WHEN 'PT1H' THEN date_trunc('hour', t)
-           WHEN 'PT1M' THEN date_trunc('minute', t)
-           WHEN 'PT1S' THEN date_trunc('second', t)
-           ELSE timestamp_micros(unix_micros(t) - pmod(unix_micros(t),
-             CASE p WHEN 'PT5M' THEN 300000000 WHEN 'PT15M' THEN 900000000
-                    WHEN 'PT30M' THEN 1800000000 WHEN 'PT6H' THEN 21600000000
-                    WHEN 'PT12H' THEN 43200000000
-                    ELSE CAST(raise_error(concat('unsupported period: ', p)) AS BIGINT)
-             END))
-         END""",
+      // (TIME_FLOOR lives in catalystBuilders above: full period/origin/
+      // timezone arity, arbitrary fixed periods via exact micros arithmetic)
       """TIME_SHIFT(t TIMESTAMP, p STRING, n INT) RETURNS TIMESTAMP RETURN
          CASE p
            WHEN 'P1Y' THEN t + make_ym_interval(n, 0)
@@ -680,7 +752,9 @@ object DruidFunctions {
       // query/expression/Timestamp*ExprMacro.java) names time functions
       // timestamp_* where SQL says TIME_* — alias so JSON-facade expression
       // virtual columns / filters run verbatim
-      "TIMESTAMP_FLOOR(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN TIME_FLOOR(t, p)",
+      // (TIMESTAMP_FLOOR aliases the TIME_FLOOR catalyst builder above — a
+      // SQL-macro delegation would pass its parameter as a non-literal
+      // period, which the builder rejects at macro-definition analysis)
       "TIMESTAMP_CEIL(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN TIME_CEIL(t, p)",
       "TIMESTAMP_SHIFT(t TIMESTAMP, p STRING, n INT) RETURNS TIMESTAMP RETURN TIME_SHIFT(t, p, n)",
       "TIMESTAMP_EXTRACT(t TIMESTAMP, u STRING) RETURNS BIGINT RETURN TIME_EXTRACT(t, u)",

@@ -225,14 +225,42 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("SQL TIME_FLOOR / TIME_SHIFT raise on unsupported periods") {
     DruidFunctions.register(spark)
+    // the Catalyst-builder TIME_FLOOR handles ANY fixed ISO period (the old
+    // SQL macro's enumerated list is gone) — PT10M is now a valid floor…
+    val ok = spark.sql(
+      "SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'PT10M')").head()
+    assert(ok.getTimestamp(0).toString == "2024-03-05 10:30:00.0")
+    // …while non-fixed multi-month periods still reject, at analysis time
     val e1 = intercept[Exception] {
-      spark.sql("SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'PT10M')").head()
+      spark.sql("SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'P2M')").head()
     }
     assert(e1.getMessage.contains("unsupported period"))
     val e2 = intercept[Exception] {
       spark.sql("SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'PT10M', 1)").head()
     }
     assert(e2.getMessage.contains("unsupported period"))
+  }
+
+  test("TIME_FLOOR full arity: origin-anchored and timezone wall-clock floors") {
+    DruidFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'PT15M',
+               '1970-01-01T00:07:00') AS a,
+             TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'P1D', NULL,
+               'America/Los_Angeles') AS b,
+             TIME_FLOOR(TIMESTAMP '2024-12-15 13:47:21', 'P1D', NULL,
+               'America/Los_Angeles') AS c,
+             TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'PT6H',
+               TIMESTAMP '1970-01-01 01:00:00') AS d,
+             TIMESTAMP_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'P1M') AS e
+      """).head()
+    assert(r.getTimestamp(0).toString == "2024-03-15 13:37:00.0")
+    // PDT (−7): LA midnight = 07:00 UTC
+    assert(r.getTimestamp(1).toString == "2024-03-15 07:00:00.0")
+    // PST (−8): LA midnight = 08:00 UTC — tz floor follows the DST line
+    assert(r.getTimestamp(2).toString == "2024-12-15 08:00:00.0")
+    assert(r.getTimestamp(3).toString == "2024-03-15 13:00:00.0")
+    assert(r.getTimestamp(4).toString == "2024-03-01 00:00:00.0")
   }
 
   test("IVF ANN returns k valid neighbors with useful recall") {
