@@ -145,6 +145,101 @@ object DruidFunctions {
     }
   }
 
+  /** Add exactly one ISO period to a Catalyst expression — calendar units
+    * via TimestampAdd (month lengths respected), fixed periods via exact
+    * micros arithmetic.
+    */
+  private def addOnePeriod(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      period: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    CalendarPeriods.get(period) match {
+      case Some(unit) => TimestampAdd(unit.toUpperCase, Literal(1L, LongType), e)
+      case None =>
+        MicrosToTimestamp(Add(UnixMicros(e), Literal(periodMicros(period), LongType)))
+    }
+  }
+
+  /** SQL TIME_CEIL(ts, period[, origin[, timezone]]) — smallest bucket
+    * boundary >= ts, computed as floor(ts − 1µs) + period inside the same
+    * origin/timezone frame as TIME_FLOOR (the +period lands back outside,
+    * so zone-local calendar ceilings track the DST line).
+    */
+  private[graft] def timeCeilBuilder(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    require(args.size >= 2 && args.size <= 4,
+      s"TIME_CEIL(ts, period[, origin[, timezone]]), got ${args.size} args")
+    val period = args(1) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "TIME_CEIL period must be a string literal")
+    }
+    val tz: Option[String] = args.drop(3).headOption.flatMap {
+      case Literal(null, _) => None
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => throw new IllegalArgumentException(
+        "TIME_CEIL timezone must be a string literal")
+    }.filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+    val minus1 = MicrosToTimestamp(
+      Subtract(UnixMicros(args.head), Literal(1L, LongType)))
+    tz match {
+      case None =>
+        addOnePeriod(timeFloorBuilder(minus1 +: args.tail), period)
+      case Some(zone) =>
+        // build the whole ceil in the zone's wall-clock frame, convert once
+        val zoneLit = Literal(UTF8String.fromString(zone), StringType)
+        val localArgs =
+          FromUTCTimestamp(minus1, zoneLit) +: args.drop(1).take(2)
+        ToUTCTimestamp(addOnePeriod(timeFloorBuilder(localArgs), period),
+          zoneLit)
+    }
+  }
+
+  /** SQL TIME_SHIFT(ts, period, n[, timezone]) — shift by n periods (n any
+    * integer expression). Calendar shifts via TimestampAdd preserve the
+    * time of day; with a timezone they happen in the zone's wall-clock
+    * frame (a P1D shift across a DST transition is 23/25 UTC hours there,
+    * like the reference's chronology-based shift).
+    */
+  private[graft] def timeShiftBuilder(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    require(args.size >= 3 && args.size <= 4,
+      s"TIME_SHIFT(ts, period, n[, timezone]), got ${args.size} args")
+    val period = args(1) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "TIME_SHIFT period must be a string literal")
+    }
+    val n = Cast(args(2), LongType)
+    val tz: Option[String] = args.drop(3).headOption.flatMap {
+      case Literal(null, _) => None
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => throw new IllegalArgumentException(
+        "TIME_SHIFT timezone must be a string literal")
+    }.filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+    def shiftIn(t: Expression): Expression = CalendarPeriods.get(period) match {
+      case Some(unit) => TimestampAdd(unit.toUpperCase, n, t)
+      case None =>
+        MicrosToTimestamp(Add(UnixMicros(t),
+          Multiply(n, Literal(periodMicros(period), LongType))))
+    }
+    tz match {
+      case None => shiftIn(args.head)
+      case Some(zone) =>
+        val zoneLit = Literal(UTF8String.fromString(zone), StringType)
+        ToUTCTimestamp(shiftIn(FromUTCTimestamp(args.head, zoneLit)), zoneLit)
+    }
+  }
+
   /** TIME_CEIL — smallest bucket boundary >= ts. */
   def timeCeil(ts: Column, period: String): Column = {
     val floored = timeFloor(ts, period)
@@ -371,6 +466,10 @@ object DruidFunctions {
       // replaces the old 2-arg SQL macro — same semantics for 2 args
       "time_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
       "timestamp_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
+      "time_ceil" -> ((args: Seq[Expression]) => timeCeilBuilder(args)),
+      "timestamp_ceil" -> ((args: Seq[Expression]) => timeCeilBuilder(args)),
+      "time_shift" -> ((args: Seq[Expression]) => timeShiftBuilder(args)),
+      "timestamp_shift" -> ((args: Seq[Expression]) => timeShiftBuilder(args)),
       // reference IPv6AddressMatchExprMacro — subnet must be a CIDR literal
       "ipv6_match" -> ((args: Seq[Expression]) => args match {
         case Seq(ip, Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
@@ -607,44 +706,10 @@ object DruidFunctions {
          END""",
       // (TIME_FLOOR lives in catalystBuilders above: full period/origin/
       // timezone arity, arbitrary fixed periods via exact micros arithmetic)
-      """TIME_SHIFT(t TIMESTAMP, p STRING, n INT) RETURNS TIMESTAMP RETURN
-         CASE p
-           WHEN 'P1Y' THEN t + make_ym_interval(n, 0)
-           WHEN 'P3M' THEN t + make_ym_interval(0, 3 * n)
-           WHEN 'P1M' THEN t + make_ym_interval(0, n)
-           ELSE timestamp_micros(unix_micros(t) + CAST(n AS BIGINT) *
-             CASE p WHEN 'P1W' THEN 604800000000 WHEN 'P1D' THEN 86400000000
-                    WHEN 'PT6H' THEN 21600000000 WHEN 'PT1H' THEN 3600000000
-                    WHEN 'PT15M' THEN 900000000 WHEN 'PT1M' THEN 60000000
-                    WHEN 'PT1S' THEN 1000000
-                    ELSE CAST(raise_error(concat('unsupported period: ', p)) AS BIGINT)
-             END)
-         END""",
-      // TIME_CEIL via floor(t - 1µs) + one period: aligned inputs stay put,
-      // unaligned ones round up — no double evaluation of the floor branch
-      """TIME_CEIL(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN
-         CASE p
-           WHEN 'P1Y' THEN date_trunc('year', t - INTERVAL 1 MICROSECOND)
-                           + make_ym_interval(1, 0)
-           WHEN 'P3M' THEN date_trunc('quarter', t - INTERVAL 1 MICROSECOND)
-                           + make_ym_interval(0, 3)
-           WHEN 'P1M' THEN date_trunc('month', t - INTERVAL 1 MICROSECOND)
-                           + make_ym_interval(0, 1)
-           ELSE timestamp_micros(
-             (unix_micros(t) - 1) - pmod(unix_micros(t) - 1,
-               CASE p WHEN 'P1W' THEN 604800000000 WHEN 'P1D' THEN 86400000000
-                      WHEN 'PT12H' THEN 43200000000 WHEN 'PT6H' THEN 21600000000
-                      WHEN 'PT1H' THEN 3600000000 WHEN 'PT30M' THEN 1800000000
-                      WHEN 'PT15M' THEN 900000000 WHEN 'PT5M' THEN 300000000
-                      WHEN 'PT1M' THEN 60000000 WHEN 'PT1S' THEN 1000000
-                      ELSE CAST(raise_error(concat('unsupported period: ', p)) AS BIGINT)
-               END)
-             + CASE p WHEN 'P1W' THEN 604800000000 WHEN 'P1D' THEN 86400000000
-                      WHEN 'PT12H' THEN 43200000000 WHEN 'PT6H' THEN 21600000000
-                      WHEN 'PT1H' THEN 3600000000 WHEN 'PT30M' THEN 1800000000
-                      WHEN 'PT15M' THEN 900000000 WHEN 'PT5M' THEN 300000000
-                      WHEN 'PT1M' THEN 60000000 ELSE 1000000 END)
-         END""",
+      // (TIME_SHIFT lives in catalystBuilders above: any fixed period,
+      // expression n, optional timezone frame)
+      // (TIME_CEIL lives in catalystBuilders above: floor(t-1us)+period in
+      // the same origin/timezone frame)
       // TIME_IN_INTERVAL with the reference's 'start/end' ISO form ([start, end))
       """TIME_IN_INTERVAL(t TIMESTAMP, i STRING) RETURNS BOOLEAN RETURN
          t >= to_timestamp(split_part(i, '/', 1))
@@ -755,8 +820,6 @@ object DruidFunctions {
       // (TIMESTAMP_FLOOR aliases the TIME_FLOOR catalyst builder above — a
       // SQL-macro delegation would pass its parameter as a non-literal
       // period, which the builder rejects at macro-definition analysis)
-      "TIMESTAMP_CEIL(t TIMESTAMP, p STRING) RETURNS TIMESTAMP RETURN TIME_CEIL(t, p)",
-      "TIMESTAMP_SHIFT(t TIMESTAMP, p STRING, n INT) RETURNS TIMESTAMP RETURN TIME_SHIFT(t, p, n)",
       "TIMESTAMP_EXTRACT(t TIMESTAMP, u STRING) RETURNS BIGINT RETURN TIME_EXTRACT(t, u)",
       "TIMESTAMP_FORMAT(t TIMESTAMP, p STRING) RETURNS STRING RETURN date_format(t, p)",
       "TIMESTAMP_PARSE(s STRING, p STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, p)",

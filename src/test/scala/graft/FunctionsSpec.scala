@@ -230,15 +230,40 @@ class FunctionsSpec extends AnyFunSuite {
     val ok = spark.sql(
       "SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'PT10M')").head()
     assert(ok.getTimestamp(0).toString == "2024-03-05 10:30:00.0")
+    val shifted = spark.sql(
+      "SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'PT10M', 3)").head()
+    assert(shifted.getTimestamp(0).toString == "2024-03-05 11:07:45.0")
     // …while non-fixed multi-month periods still reject, at analysis time
     val e1 = intercept[Exception] {
       spark.sql("SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'P2M')").head()
     }
     assert(e1.getMessage.contains("unsupported period"))
     val e2 = intercept[Exception] {
-      spark.sql("SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'PT10M', 1)").head()
+      spark.sql("SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'P2M', 1)").head()
     }
     assert(e2.getMessage.contains("unsupported period"))
+  }
+
+  test("TIME_CEIL / TIME_SHIFT full arity: timezone frames track DST") {
+    DruidFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT TIME_CEIL(TIMESTAMP '2024-03-15 13:45:00', 'PT15M') AS aligned,
+             TIME_CEIL(TIMESTAMP '2024-03-15 13:47:21', 'P1D', NULL,
+               'America/Los_Angeles') AS la,
+             TIME_SHIFT(TIMESTAMP '2024-03-09 13:47:21', 'P1D', 2,
+               'America/Los_Angeles') AS dst,
+             TIMESTAMP_CEIL(TIMESTAMP '2024-03-15 13:47:21', 'P1Y') AS tc,
+             TIMESTAMP_SHIFT(TIMESTAMP '2024-03-15 13:47:21', 'P1M', -2) AS tsh
+      """).head()
+    assert(r.getTimestamp(0).toString == "2024-03-15 13:45:00.0",
+      "aligned input stays put")
+    // ceil day in LA: Mar 16 00:00 PDT = 07:00 UTC
+    assert(r.getTimestamp(1).toString == "2024-03-16 07:00:00.0")
+    // +2 LA calendar days over the spring-forward line: wall clock
+    // preserved, so the UTC offset changes -8 -> -7 (a 23-hour day)
+    assert(r.getTimestamp(2).toString == "2024-03-11 12:47:21.0")
+    assert(r.getTimestamp(3).toString == "2025-01-01 00:00:00.0")
+    assert(r.getTimestamp(4).toString == "2024-01-15 13:47:21.0")
   }
 
   test("TIME_FLOOR full arity: origin-anchored and timezone wall-clock floors") {
