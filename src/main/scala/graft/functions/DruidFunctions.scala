@@ -240,6 +240,111 @@ object DruidFunctions {
     }
   }
 
+  /** SQL TIME_EXTRACT(ts, unit[, timezone]) / TIME_FORMAT(ts[, pattern[,
+    * timezone]]) / TIME_PARSE(s[, pattern[, timezone]]) builders —
+    * reference TimestampExtract/TimeFormat/TimeParse operator conversions
+    * with the timezone argument their 2-arg SQL macros could not carry.
+    * Extract/format shift into the zone's wall clock (from_utc); parse
+    * interprets the wall-clock string in the zone and returns the UTC
+    * instant (to_utc). Unit/pattern/timezone must be literals, like the
+    * reference's conversion-time extraction.
+    */
+  private[graft] def timeExtractBuilder(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.unsafe.types.UTF8String
+    require(args.size >= 2 && args.size <= 3,
+      s"TIME_EXTRACT(ts, unit[, timezone]), got ${args.size} args")
+    val unit = literalString(args(1), "TIME_EXTRACT unit").getOrElse(
+      throw new IllegalArgumentException("TIME_EXTRACT unit must not be null"))
+    val t = timezoneArg(args.drop(2).headOption, "TIME_EXTRACT")
+      .map(z => FromUTCTimestamp(args.head,
+        Literal(UTF8String.fromString(z), StringType)): Expression)
+      .getOrElse(args.head)
+    // unit is a literal, so the branch resolves at build time — no CASE in
+    // the plan. DOW is Joda ISO (Monday=1..Sunday=7); EPOCH extracts the
+    // true UTC instant regardless of the display zone, like the reference.
+    val ext: Expression = unit.toUpperCase match {
+      case "EPOCH"  => UnixSeconds(args.head)
+      case "MILLIS" => IntegralDivide(UnixMicros(args.head), Literal(1000L, LongType))
+      case "SECOND" => Second(t)
+      case "MINUTE" => Minute(t)
+      case "HOUR"   => Hour(t)
+      case "DAY"    => DayOfMonth(t)
+      case "DOW" | "ISODOW" =>
+        Add(Pmod(Add(DayOfWeek(t), Literal(5)), Literal(7)), Literal(1))
+      case "DOY"    => DayOfYear(t)
+      case "WEEK"   => WeekOfYear(t)
+      case "MONTH"  => Month(t)
+      case "QUARTER" => Quarter(t)
+      case "YEAR"   => Year(t)
+      case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+    }
+    Cast(ext, LongType)
+  }
+
+  private[graft] def timeFormatBuilder(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.unsafe.types.UTF8String
+    require(args.nonEmpty && args.size <= 3,
+      s"TIME_FORMAT(ts[, pattern[, timezone]]), got ${args.size} args")
+    // reference default pattern: ISO-8601 with millis and zone designator
+    val pattern = args.drop(1).headOption
+      .flatMap(e => literalString(e, "TIME_FORMAT pattern"))
+      .getOrElse("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    val base = timezoneArg(args.drop(2).headOption, "TIME_FORMAT")
+      .map(z => FromUTCTimestamp(args.head,
+        Literal(UTF8String.fromString(z), StringType)): Expression)
+      .getOrElse(args.head)
+    DateFormatClass(base, Literal(UTF8String.fromString(pattern), StringType))
+  }
+
+  private[graft] def timeParseBuilder(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.unsafe.types.UTF8String
+    require(args.nonEmpty && args.size <= 3,
+      s"TIME_PARSE(s[, pattern[, timezone]]), got ${args.size} args")
+    val pattern = args.drop(1).headOption
+      .flatMap(e => literalString(e, "TIME_PARSE pattern"))
+    val parsed: Expression = pattern match {
+      case Some(p) =>
+        GetTimestamp(args.head,
+          Literal(UTF8String.fromString(p), StringType), TimestampType)
+      // no pattern: Spark's string→timestamp cast is the reference's
+      // lenient ISO parse ('T' or space separator), TRY → null on garbage
+      case None => Cast(args.head, TimestampType, None, EvalMode.TRY)
+    }
+    timezoneArg(args.drop(2).headOption, "TIME_PARSE")
+      .map(z => ToUTCTimestamp(parsed,
+        Literal(UTF8String.fromString(z), StringType)): Expression)
+      .getOrElse(parsed)
+  }
+
+  private def literalString(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    e match {
+      case Literal(null, _) => None
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+    }
+  }
+
+  private def timezoneArg(
+      e: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      fn: String): Option[String] =
+    e.flatMap(x => literalString(x, s"$fn timezone"))
+      .filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+
   /** TIME_CEIL — smallest bucket boundary >= ts. */
   def timeCeil(ts: Column, period: String): Column = {
     val floored = timeFloor(ts, period)
@@ -470,6 +575,10 @@ object DruidFunctions {
       "timestamp_ceil" -> ((args: Seq[Expression]) => timeCeilBuilder(args)),
       "time_shift" -> ((args: Seq[Expression]) => timeShiftBuilder(args)),
       "timestamp_shift" -> ((args: Seq[Expression]) => timeShiftBuilder(args)),
+      "time_extract" -> ((args: Seq[Expression]) => timeExtractBuilder(args)),
+      "timestamp_extract" -> ((args: Seq[Expression]) => timeExtractBuilder(args)),
+      "time_format" -> ((args: Seq[Expression]) => timeFormatBuilder(args)),
+      "time_parse" -> ((args: Seq[Expression]) => timeParseBuilder(args)),
       // reference IPv6AddressMatchExprMacro — subnet must be a CIDR literal
       "ipv6_match" -> ((args: Seq[Expression]) => args match {
         case Seq(ip, Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
@@ -647,8 +756,8 @@ object DruidFunctions {
       "TIMESTAMP_TO_MILLIS(t TIMESTAMP) RETURNS BIGINT RETURN " +
         "CAST(unix_micros(t) / 1000 AS BIGINT)",
       "MILLIS_TO_TIMESTAMP(m BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(m)",
-      "TIME_FORMAT(t TIMESTAMP, p STRING) RETURNS STRING RETURN date_format(t, p)",
-      "TIME_PARSE(s STRING, p STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, p)",
+      // (TIME_FORMAT / TIME_PARSE / TIME_EXTRACT live in catalystBuilders:
+      // optional pattern + timezone arities)
       "MV_LENGTH(a ARRAY<STRING>) RETURNS INT RETURN size(a)",
       "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
       "MV_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
@@ -714,25 +823,6 @@ object DruidFunctions {
       """TIME_IN_INTERVAL(t TIMESTAMP, i STRING) RETURNS BOOLEAN RETURN
          t >= to_timestamp(split_part(i, '/', 1))
          AND t < to_timestamp(split_part(i, '/', 2))""",
-      // TIME_EXTRACT(t, unit) (reference TimestampExtractExprMacro): DOW is
-      // Joda ISO Monday=1..Sunday=7, Spark's dayofweek is Sunday=1 — shifted
-      """TIME_EXTRACT(t TIMESTAMP, u STRING) RETURNS BIGINT RETURN
-         CASE upper(u)
-           WHEN 'EPOCH' THEN unix_timestamp(t)
-           WHEN 'MILLIS' THEN CAST(unix_micros(t) / 1000 AS BIGINT)
-           WHEN 'SECOND' THEN second(t)
-           WHEN 'MINUTE' THEN minute(t)
-           WHEN 'HOUR' THEN hour(t)
-           WHEN 'DAY' THEN day(t)
-           WHEN 'DOW' THEN ((dayofweek(t) + 5) % 7) + 1
-           WHEN 'ISODOW' THEN ((dayofweek(t) + 5) % 7) + 1
-           WHEN 'DOY' THEN dayofyear(t)
-           WHEN 'WEEK' THEN weekofyear(t)
-           WHEN 'MONTH' THEN month(t)
-           WHEN 'QUARTER' THEN quarter(t)
-           WHEN 'YEAR' THEN year(t)
-           ELSE CAST(raise_error(concat('unsupported unit: ', u)) AS BIGINT)
-         END""",
       // ------------------------------------------------------------ string ----
       "TEXTCAT(x STRING, y STRING) RETURNS STRING RETURN concat(x, y)",
       "STRPOS(h STRING, n STRING) RETURNS INT RETURN instr(h, n)",
@@ -820,7 +910,6 @@ object DruidFunctions {
       // (TIMESTAMP_FLOOR aliases the TIME_FLOOR catalyst builder above — a
       // SQL-macro delegation would pass its parameter as a non-literal
       // period, which the builder rejects at macro-definition analysis)
-      "TIMESTAMP_EXTRACT(t TIMESTAMP, u STRING) RETURNS BIGINT RETURN TIME_EXTRACT(t, u)",
       "TIMESTAMP_FORMAT(t TIMESTAMP, p STRING) RETURNS STRING RETURN date_format(t, p)",
       "TIMESTAMP_PARSE(s STRING, p STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, p)",
       // -------------------------------------------------------------- IP ----
