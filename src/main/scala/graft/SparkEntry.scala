@@ -1464,6 +1464,21 @@ object SparkEntry {
         FROM events WHERE event_id < 300 ORDER BY event_id""")
     }),
 
+    "q_sql_time_tz_funcs" -> ((s, dir) => {
+      // timezone arities of TIME_EXTRACT / TIME_FORMAT / TIME_PARSE
+      // (incl. a half-hour-offset zone) plus the 1-arg ISO default format
+      // and the lenient 1-arg parse round-trip
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT event_id,
+               TIME_EXTRACT(ts, 'HOUR', 'America/New_York') AS h_ny,
+               TIME_FORMAT(ts, 'yyyy-MM-dd HH:mm', 'Asia/Kolkata') AS f_ind,
+               TIME_PARSE(CAST(date_trunc('second', ts) AS STRING)) AS p_back,
+               TIME_FORMAT(ts) AS iso
+        FROM events WHERE event_id < 200 ORDER BY event_id""")
+    }),
+
     "q_sql_insert_hour" -> ((s, dir) => {
       // PARTITIONED BY HOUR (reference hour-granularity segments): the
       // ingest lands hour-chunk dirs (__hour=yyyy-MM-dd-HH) and the
@@ -5937,6 +5952,17 @@ object SparkEntry {
     "q_topn_dim_order" ->
       """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_type ORDER BY p_type ASC LIMIT 4""",
+
+    "q_sql_time_tz_funcs" ->
+      """SELECT event_id,
+                CAST(hour((ts AT TIME ZONE 'UTC')
+                  AT TIME ZONE 'America/New_York') AS BIGINT) AS h_ny,
+                strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata',
+                  '%Y-%m-%d %H:%M') AS f_ind,
+                CAST(CAST(date_trunc('second', ts) AS VARCHAR) AS TIMESTAMP) AS p_back,
+                strftime(date_trunc('millisecond', ts),
+                  '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso
+         FROM events WHERE event_id < 200 ORDER BY event_id""",
 
     "q_sql_timefloor_full" ->
       """SELECT event_id,
