@@ -1464,6 +1464,15 @@ object SparkEntry {
         FROM events WHERE event_id < 300 ORDER BY event_id""")
     }),
 
+    "q_sql_floor_to" -> ((s, dir) => {
+      // Calcite FLOOR(t TO unit) / CEIL(t TO unit) — the console's time
+      // bucketing syntax, translated by SqlApi.rewriteFloorCeilTo
+      Tables.registerAll(s, dir)
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT FLOOR(ts TO DAY) AS d, CEIL(ts TO HOUR) AS ch, CAST(count(*) AS BIGINT) AS n FROM events WHERE event_id < 2000 GROUP BY FLOOR(ts TO DAY), CEIL(ts TO HOUR) ORDER BY d, ch"
+      }""")
+    }),
+
     "q_sql_time_tz_funcs" -> ((s, dir) => {
       // timezone arities of TIME_EXTRACT / TIME_FORMAT / TIME_PARSE
       // (incl. a half-hour-offset zone) plus the 1-arg ISO default format
@@ -5952,6 +5961,14 @@ object SparkEntry {
     "q_topn_dim_order" ->
       """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_type ORDER BY p_type ASC LIMIT 4""",
+
+    "q_sql_floor_to" ->
+      """SELECT date_trunc('day', ts) AS d,
+                date_trunc('hour', ts - INTERVAL 1 MICROSECOND)
+                  + INTERVAL 1 HOUR AS ch,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events WHERE event_id < 2000
+         GROUP BY 1, 2 ORDER BY d, ch""",
 
     "q_sql_time_tz_funcs" ->
       """SELECT event_id,

@@ -356,8 +356,39 @@ object SqlApi {
     val params = j \ "parameters" match {
       case JArray(xs) => xs; case _ => Nil
     }
-    rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
-      bind(setStatements(raw)._2, params))))
+    rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(rewriteFloorCeilTo(
+      bind(setStatements(raw)._2, params)))))
+  }
+
+  /** Calcite's `FLOOR(expr TO unit)` / `CEIL(expr TO unit)` — the syntax
+    * the reference's own SQL (and every Druid console query) uses for time
+    * bucketing; Spark's parser has no TO form. FLOOR maps to date_trunc,
+    * CEIL to the engine's TIME_CEIL with the unit's ISO period. The
+    * expression may contain one nesting level of call parentheses
+    * (`FLOOR(CAST(t AS TIMESTAMP) TO YEAR)`).
+    */
+  private[graft] def rewriteFloorCeilTo(sqlText: String): String = {
+    val Re =
+      ("""(?is)\b(FLOOR|CEIL|CEILING)\s*\(\s*((?:[^()',]|'[^']*'|\((?:[^()']|'[^']*')*\))+?)""" +
+        """\s+TO\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\s*\)""").r
+    val out = Re.replaceAllIn(sqlText, m => {
+      val expr = m.group(2).trim
+      val unit = m.group(3).toUpperCase
+      val rep =
+        if (m.group(1).equalsIgnoreCase("FLOOR"))
+          s"date_trunc('$unit', $expr)"
+        else {
+          val period = unit match {
+            case "YEAR" => "P1Y"; case "QUARTER" => "P3M"; case "MONTH" => "P1M"
+            case "WEEK" => "P1W"; case "DAY" => "P1D"; case "HOUR" => "PT1H"
+            case "MINUTE" => "PT1M"; case _ => "PT1S"
+          }
+          s"TIME_CEIL($expr, '$period')"
+        }
+      scala.util.matching.Regex.quoteReplacement(rep)
+    })
+    // nested FLOOR(FLOOR(t TO DAY) TO …) resolves inner-out across passes
+    if (out != sqlText) rewriteFloorCeilTo(out) else out
   }
 
   /** Calcite's explicit empty grouping set — `GROUP BY ()` — is what the

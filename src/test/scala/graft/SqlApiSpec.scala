@@ -613,6 +613,20 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("FLOOR/CEIL … TO unit rewrite: nested forms, plain FLOOR untouched") {
+    import graft.api.SqlApi.rewriteFloorCeilTo
+    assert(rewriteFloorCeilTo("SELECT FLOOR(__time TO HOUR) FROM t") ==
+      "SELECT date_trunc('HOUR', __time) FROM t")
+    assert(rewriteFloorCeilTo("SELECT CEILING(CAST(x AS TIMESTAMP) TO MONTH)") ==
+      "SELECT TIME_CEIL(CAST(x AS TIMESTAMP), 'P1M')")
+    // nested: inner floor resolves first, then the outer
+    assert(rewriteFloorCeilTo("FLOOR(FLOOR(t TO DAY) TO YEAR)") ==
+      "date_trunc('YEAR', date_trunc('DAY', t))")
+    // numeric floor/ceil untouched
+    val plain = "SELECT FLOOR(x), CEIL(y / 2.0), floor(avg(z)) FROM t"
+    assert(rewriteFloorCeilTo(plain) == plain)
+  }
+
   test("qaWin negative corpus: RANGE offsets need one numeric sort key") {
     // reference quidem-ut qaWin orderby_range_{1,negative}_* batteries:
     // 49/50 testcases per file are QueryInterruptedException because a
