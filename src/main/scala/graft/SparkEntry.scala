@@ -1464,6 +1464,15 @@ object SparkEntry {
         FROM events WHERE event_id < 300 ORDER BY event_id""")
     }),
 
+    "q_sql_quoted_idents" -> ((s, dir) => {
+      // Calcite double-quoted identifiers exactly as the reference console
+      // emits them — the SQL API accepts the dialect verbatim
+      Tables.registerAll(s, dir)
+      graft.api.SqlApi.run(s, dir, """{
+        "query": "SELECT \"t\".\"event_type\" AS \"type\", CAST(COUNT(*) AS BIGINT) AS \"count\" FROM \"events\" AS \"t\" WHERE \"t\".\"event_id\" < 1000 GROUP BY \"t\".\"event_type\" ORDER BY \"type\""
+      }""")
+    }),
+
     "q_sql_floor_to" -> ((s, dir) => {
       // Calcite FLOOR(t TO unit) / CEIL(t TO unit) — the console's time
       // bucketing syntax, translated by SqlApi.rewriteFloorCeilTo
@@ -5961,6 +5970,11 @@ object SparkEntry {
     "q_topn_dim_order" ->
       """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
          FROM part GROUP BY p_type ORDER BY p_type ASC LIMIT 4""",
+
+    "q_sql_quoted_idents" ->
+      """SELECT "t"."event_type" AS "type", CAST(COUNT(*) AS BIGINT) AS "count"
+         FROM events AS t WHERE t.event_id < 1000
+         GROUP BY t.event_type ORDER BY "type"""",
 
     "q_sql_floor_to" ->
       """SELECT date_trunc('day', ts) AS d,

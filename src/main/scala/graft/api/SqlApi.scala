@@ -81,7 +81,15 @@ object SqlApi {
             }
         }
     }
-    str(ctxValue(j, "sqlTimeZone")) match {
+    // Druid SQL quotes identifiers with double quotes (Calcite), Spark
+    // with backticks — accept the reference's form on this entry point so
+    // console-generated SQL runs verbatim. Scoped to this query's parse +
+    // analysis and restored after; single-quoted string literals are
+    // unaffected by the conf.
+    val DqKey = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val prevDq = spark.conf.getOption(DqKey)
+    spark.conf.set(DqKey, "true")
+    try str(ctxValue(j, "sqlTimeZone")) match {
       case Some(zone) =>
         val TzKey = "spark.sql.session.timeZone"
         val prev = spark.conf.get(TzKey)
@@ -91,7 +99,13 @@ object SqlApi {
           df.queryExecution.analyzed // force analysis under the zone
           df
         } finally spark.conf.set(TzKey, prev)
-      case None => build()
+      case None =>
+        val df = build()
+        df.queryExecution.analyzed // force analysis while the conf is set
+        df
+    } finally prevDq match {
+      case Some(v) => spark.conf.set(DqKey, v)
+      case None    => spark.conf.unset(DqKey)
     }
   }
 
