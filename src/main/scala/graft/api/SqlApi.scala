@@ -83,31 +83,48 @@ object SqlApi {
     }
     // Druid SQL quotes identifiers with double quotes (Calcite), Spark
     // with backticks — accept the reference's form on this entry point so
-    // console-generated SQL runs verbatim. Scoped to this query's parse +
-    // analysis and restored after; single-quoted string literals are
-    // unaffected by the conf.
-    val DqKey = "spark.sql.ansi.doubleQuotedIdentifiers"
-    val prevDq = spark.conf.getOption(DqKey)
-    spark.conf.set(DqKey, "true")
-    try str(ctxValue(j, "sqlTimeZone")) match {
-      case Some(zone) =>
-        val TzKey = "spark.sql.session.timeZone"
-        val prev = spark.conf.get(TzKey)
-        spark.conf.set(TzKey, zone)
-        try {
+    // console-generated SQL runs verbatim. The conf (and the optional
+    // per-query sqlTimeZone) is session state, so the set/build/restore
+    // window is serialized per session: overlapping facade requests would
+    // otherwise restore each other's values and leak the conf. Only parse
+    // + analysis happens under the lock — execution stays concurrent.
+    confScopeLock(spark).synchronized {
+      val DqKey = "spark.sql.ansi.doubleQuotedIdentifiers"
+      val prevDq = spark.conf.getOption(DqKey)
+      spark.conf.set(DqKey, "true")
+      try str(ctxValue(j, "sqlTimeZone")) match {
+        case Some(zone) =>
+          val TzKey = "spark.sql.session.timeZone"
+          val prev = spark.conf.get(TzKey)
+          spark.conf.set(TzKey, zone)
+          try {
+            val df = build()
+            df.queryExecution.analyzed // force analysis under the zone
+            df
+          } finally spark.conf.set(TzKey, prev)
+        case None =>
           val df = build()
-          df.queryExecution.analyzed // force analysis under the zone
+          df.queryExecution.analyzed // force analysis while the conf is set
           df
-        } finally spark.conf.set(TzKey, prev)
-      case None =>
-        val df = build()
-        df.queryExecution.analyzed // force analysis while the conf is set
-        df
-    } finally prevDq match {
-      case Some(v) => spark.conf.set(DqKey, v)
-      case None    => spark.conf.unset(DqKey)
+      } finally prevDq match {
+        case Some(v) => spark.conf.set(DqKey, v)
+        case None    => spark.conf.unset(DqKey)
+      }
     }
   }
+
+  /** Per-session lock for the scoped-conf parse window above (weak keys:
+    * sessions stay collectable).
+    */
+  private val confScopeLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, AnyRef]())
+  private def confScopeLock(spark: SparkSession): AnyRef =
+    confScopeLocks.synchronized {
+      var l = confScopeLocks.get(spark)
+      if (l == null) { l = new AnyRef; confScopeLocks.put(spark, l) }
+      l
+    }
 
   /** Run the payload and render the HTTP response body per `resultFormat` +
     * header flags, honoring context.timeout and context.sqlQueryId
@@ -816,9 +833,25 @@ object SqlApi {
         graft.operators.Ingest.replaceAll(result, path, Tables.TimeColumn,
           ing.clusterBy, ing.granularity)
       case None =>
-        // INSERT: append new time-chunk segments alongside existing ones
+        // INSERT: append new time-chunk segments alongside existing ones.
+        // The statement's granularity must match the datasource's existing
+        // chunk layout — appending __day= dirs into an __hour= datasource
+        // (or vice versa) would commit a mixed layout the reader rejects,
+        // AFTER the data is already written
         val (partCol, partExpr) = graft.operators.Ingest
           .segmentPartition(Tables.TimeColumn, ing.granularity)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(path)
+        if (fs.exists(root)) {
+          val other = if (partCol == "__hour") "__day=" else "__hour="
+          val mixed = fs.listStatus(root)
+            .exists(_.getPath.getName.startsWith(other))
+          require(!mixed,
+            s"INSERT PARTITIONED BY ${ing.granularity} into '${ing.table}' " +
+              s"conflicts with the datasource's existing ${other.dropRight(1)} " +
+              "chunk layout; use REPLACE ... OVERWRITE ALL to change granularity")
+        }
         result.withColumn(partCol, partExpr)
           .repartition(org.apache.spark.sql.functions.col(partCol))
           .sortWithinPartitions((partCol +: ing.clusterBy).map(

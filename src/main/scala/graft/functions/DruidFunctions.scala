@@ -95,22 +95,14 @@ object DruidFunctions {
     import org.apache.spark.unsafe.types.UTF8String
     require(args.size >= 2 && args.size <= 4,
       s"TIME_FLOOR(ts, period[, origin[, timezone]]), got ${args.size} args")
-    def litString(e: Expression, what: String): Option[String] = e match {
-      case Literal(null, _) => None
-      case Literal(s: UTF8String, StringType) => Some(s.toString)
-      case _ => throw new IllegalArgumentException(
-        s"TIME_FLOOR $what must be a string literal")
-    }
-    val period = litString(args(1), "period").getOrElse(
+    val period = literalString(args(1), "TIME_FLOOR period").getOrElse(
       throw new IllegalArgumentException("TIME_FLOOR period must not be null"))
     val originMicros: Option[Long] = args.drop(2).headOption.flatMap {
       case Literal(null, _) => None
       case Literal(us: Long, TimestampType) => Some(us)
-      case e => litString(e, "origin").map(parseIsoMicros)
+      case e => literalString(e, "TIME_FLOOR origin").map(parseIsoMicros)
     }
-    val tz: Option[String] = args.drop(3).headOption
-      .flatMap(e => litString(e, "timezone"))
-      .filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+    val tz = timezoneArg(args.drop(3).headOption, "TIME_FLOOR")
     def floorFrame(t: Expression, origin: Option[Long]): Expression =
       CalendarPeriods.get(period) match {
         case Some(unit) if origin.isEmpty =>
@@ -132,15 +124,9 @@ object DruidFunctions {
         val zoneLit = Literal(UTF8String.fromString(zone), StringType)
         // origin is an instant; anchor buckets at its wall-clock position
         // in the zone (offset resolved once, at the origin instant)
-        val originLocal = originMicros.map { om =>
-          val off = java.time.ZoneId.of(zone).getRules
-            .getOffset(java.time.Instant.ofEpochSecond(
-              Math.floorDiv(om, 1_000_000L),
-              Math.floorMod(om, 1_000_000L) * 1000L)).getTotalSeconds
-          om + off * 1_000_000L
-        }
         ToUTCTimestamp(
-          floorFrame(FromUTCTimestamp(args.head, zoneLit), originLocal),
+          floorFrame(FromUTCTimestamp(args.head, zoneLit),
+            originMicros.map(zoneLocalMicros(_, zone))),
           zoneLit)
     }
   }
@@ -166,35 +152,51 @@ object DruidFunctions {
     * origin/timezone frame as TIME_FLOOR (the +period lands back outside,
     * so zone-local calendar ceilings track the DST line).
     */
+  /** An instant's wall-clock position in `zone`, as shifted epoch micros —
+    * how both floor and ceil anchor an origin inside the zone frame
+    * (offset resolved once, at the origin instant).
+    */
+  private def zoneLocalMicros(om: Long, zone: String): Long = {
+    val off = java.time.ZoneId.of(zone).getRules
+      .getOffset(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(om, 1_000_000L),
+        Math.floorMod(om, 1_000_000L) * 1000L)).getTotalSeconds
+    om + off * 1_000_000L
+  }
+
   private[graft] def timeCeilBuilder(
       args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
     import org.apache.spark.unsafe.types.UTF8String
     require(args.size >= 2 && args.size <= 4,
       s"TIME_CEIL(ts, period[, origin[, timezone]]), got ${args.size} args")
-    val period = args(1) match {
-      case Literal(s: UTF8String, StringType) => s.toString
-      case _ => throw new IllegalArgumentException(
-        "TIME_CEIL period must be a string literal")
-    }
-    val tz: Option[String] = args.drop(3).headOption.flatMap {
+    val period = literalString(args(1), "TIME_CEIL period").getOrElse(
+      throw new IllegalArgumentException("TIME_CEIL period must not be null"))
+    val originMicros: Option[Long] = args.drop(2).headOption.flatMap {
       case Literal(null, _) => None
-      case Literal(s: UTF8String, StringType) => Some(s.toString)
-      case _ => throw new IllegalArgumentException(
-        "TIME_CEIL timezone must be a string literal")
-    }.filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+      case Literal(us: Long, TimestampType) => Some(us)
+      case e => literalString(e, "TIME_CEIL origin").map(parseIsoMicros)
+    }
+    val tz = timezoneArg(args.drop(3).headOption, "TIME_CEIL")
     val minus1 = MicrosToTimestamp(
       Subtract(UnixMicros(args.head), Literal(1L, LongType)))
     tz match {
       case None =>
-        addOnePeriod(timeFloorBuilder(minus1 +: args.tail), period)
+        addOnePeriod(
+          timeFloorBuilder(Seq(minus1, args(1)) ++ args.drop(2).take(1)),
+          period)
       case Some(zone) =>
-        // build the whole ceil in the zone's wall-clock frame, convert once
+        // build the whole ceil in the zone's wall-clock frame, convert
+        // once; origin anchors at its zone-local wall-clock position —
+        // the SAME grid TIME_FLOOR uses, so ceil(x) is always the next
+        // floor boundary
         val zoneLit = Literal(UTF8String.fromString(zone), StringType)
+        val localOrigin = originMicros.map(om =>
+          Literal(zoneLocalMicros(om, zone), TimestampType))
         val localArgs =
-          FromUTCTimestamp(minus1, zoneLit) +: args.drop(1).take(2)
+          Seq(FromUTCTimestamp(minus1, zoneLit), args(1)) ++ localOrigin
         ToUTCTimestamp(addOnePeriod(timeFloorBuilder(localArgs), period),
           zoneLit)
     }
@@ -214,18 +216,10 @@ object DruidFunctions {
     import org.apache.spark.unsafe.types.UTF8String
     require(args.size >= 3 && args.size <= 4,
       s"TIME_SHIFT(ts, period, n[, timezone]), got ${args.size} args")
-    val period = args(1) match {
-      case Literal(s: UTF8String, StringType) => s.toString
-      case _ => throw new IllegalArgumentException(
-        "TIME_SHIFT period must be a string literal")
-    }
+    val period = literalString(args(1), "TIME_SHIFT period").getOrElse(
+      throw new IllegalArgumentException("TIME_SHIFT period must not be null"))
     val n = Cast(args(2), LongType)
-    val tz: Option[String] = args.drop(3).headOption.flatMap {
-      case Literal(null, _) => None
-      case Literal(s: UTF8String, StringType) => Some(s.toString)
-      case _ => throw new IllegalArgumentException(
-        "TIME_SHIFT timezone must be a string literal")
-    }.filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+    val tz = timezoneArg(args.drop(3).headOption, "TIME_SHIFT")
     def shiftIn(t: Expression): Expression = CalendarPeriods.get(period) match {
       case Some(unit) => TimestampAdd(unit.toUpperCase, n, t)
       case None =>
@@ -292,15 +286,22 @@ object DruidFunctions {
     import org.apache.spark.unsafe.types.UTF8String
     require(args.nonEmpty && args.size <= 3,
       s"TIME_FORMAT(ts[, pattern[, timezone]]), got ${args.size} args")
-    // reference default pattern: ISO-8601 with millis and zone designator
+    val tz = timezoneArg(args.drop(2).headOption, "TIME_FORMAT")
+    // reference default pattern: ISO-8601 with millis and the zone
+    // designator — 'Z' only under UTC; a real zone renders its offset
+    // (e.g. +05:30), because the formatted wall time names a zone-local
+    // instant, not UTC
     val pattern = args.drop(1).headOption
       .flatMap(e => literalString(e, "TIME_FORMAT pattern"))
-      .getOrElse("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-    val base = timezoneArg(args.drop(2).headOption, "TIME_FORMAT")
-      .map(z => FromUTCTimestamp(args.head,
-        Literal(UTF8String.fromString(z), StringType)): Expression)
-      .getOrElse(args.head)
-    DateFormatClass(base, Literal(UTF8String.fromString(pattern), StringType))
+      .getOrElse(
+        if (tz.isDefined) "yyyy-MM-dd'T'HH:mm:ss.SSSxxx"
+        else "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    // format the true instant IN the zone (DateFormatClass carries its own
+    // zone id, which ResolveTimeZone leaves alone) — no wall-clock shift,
+    // so offset designators in the pattern print the zone's real offset
+    DateFormatClass(args.head,
+      Literal(UTF8String.fromString(pattern), StringType),
+      tz)
   }
 
   private[graft] def timeParseBuilder(

@@ -326,12 +326,24 @@ object Ingest {
                   sampleRows: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // an extracted field must not overwrite an input column — the
+    // reference errors on flattenSpec names colliding with existing
+    // dimensions, and silently clobbering jsonCol itself would corrupt
+    // every later extraction in the fold
+    val existing = df.columns.toSet
+    fields.find(f => existing.contains(f._1)).foreach { case (name, _) =>
+      throw new IllegalArgumentException(
+        s"flattenSpec field '$name' collides with an existing column")
+    }
     val discovered: Seq[(String, String)] =
       if (!useFieldDiscovery) Nil
       else {
         val sample = df.select(col(jsonCol)).na.drop()
           .limit(sampleRows).as[String].collect()
-        val claimed = fields.map(_._1).toSet
+        // discovery must not clobber either explicit fields OR columns the
+        // DataFrame already has (a top-level JSON key named like an input
+        // column would silently replace real data)
+        val claimed = fields.map(_._1).toSet ++ existing
         spark.read.json(sample.toSeq.toDS()).schema.fields.toSeq
           .filter(f => f.dataType match {
             case _: org.apache.spark.sql.types.StructType => false
