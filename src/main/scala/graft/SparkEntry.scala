@@ -3167,6 +3167,36 @@ object SparkEntry {
         ORDER BY d""")
     }),
 
+    // testGroupByOverGroupByOverInnerJoinOnTwoInlineDataSources: double
+    // re-aggregation above a self-join — the planner must keep one join
+    // and collapse the redundant outer grouping
+    "q_qa_join_groupby_over_groupby" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT event_type FROM (
+          SELECT event_type, ts FROM (
+            SELECT t1.event_type, t1.ts
+            FROM events t1 INNER JOIN events t2
+              ON t1.event_type = t2.event_type
+            WHERE t1.event_id < 200 AND t2.event_id < 200)
+          GROUP BY 1, 2)
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // testUsingSubqueryAsPartOfAndFilter: IN-subquery semi join AND'ed
+    // with a plain predicate under a grouped count
+    "q_qa_join_subq_and_filter" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderpriority IN (SELECT o_orderpriority FROM orders
+                                  WHERE o_orderstatus = 'F')
+          AND o_orderstatus <> 'P' AND o_orderkey <= 3000
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderpriority, o_orderstatus""")
+    }),
+
     // testMultipleExactCountDistinctWithGroupingAndOtherAggregatorsUsingJoin:
     // several exact COUNT(DISTINCT) columns beside plain aggregates under
     // one grouping — plans through Spark's Expand (the reference rewrites
@@ -6776,6 +6806,25 @@ object SparkEntry {
          WHERE a.d >= TIMESTAMP '1997-01-01'
            AND a.d < TIMESTAMP '1998-01-01'
          ORDER BY d""",
+
+    "q_qa_join_groupby_over_groupby" ->
+      """SELECT event_type FROM (
+           SELECT event_type, ts FROM (
+             SELECT t1.event_type, t1.ts
+             FROM events t1 INNER JOIN events t2
+               ON t1.event_type = t2.event_type
+             WHERE t1.event_id < 200 AND t2.event_id < 200)
+           GROUP BY 1, 2)
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q_qa_join_subq_and_filter" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders
+         WHERE o_orderpriority IN (SELECT o_orderpriority FROM orders
+                                   WHERE o_orderstatus = 'F')
+           AND o_orderstatus <> 'P' AND o_orderkey <= 3000
+         GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderpriority, o_orderstatus""",
 
     "q_qa_multi_count_distinct" ->
       """SELECT o_orderstatus,
