@@ -159,7 +159,14 @@ class IngestSpec extends AnyFunSuite {
       "__hour=2024-01-11-23"))
     val back = spark.read.parquet(loc)
     assert(back.count() == 4)
-    assert(back.filter($"__hour" === "2024-01-10-05").count() == 2)
+    val oneChunk = back.filter($"__hour" === "2024-01-10-05")
+    assert(oneChunk.count() == 2)
+    // chunk filters must prune at the partition level (the 100-TB point of
+    // hour segments: an hour-range query reads only its chunk dirs)
+    val plan = oneChunk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"),
+      "expected a partition-level filter on __hour")
     // the parser carries the granularity through
     val ing = graft.api.SqlApi.ingestTarget(
       "INSERT INTO t SELECT 1 PARTITIONED BY HOUR").get
