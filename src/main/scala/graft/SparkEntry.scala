@@ -4135,6 +4135,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_boilerplate" -> ((s, dir) => {
+      // cross-document boilerplate spans: 5-grams shared by >= 3 docs
+      TextAnalysis.boilerplateGrams(t(s, dir)("documents"),
+        "doc_id", "text", n = 5, minDocs = 3)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+        .limit(20)
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       // Gopher-rule repetition filters: duplicated-trigram fraction and
       // top-trigram coverage per document
@@ -7285,6 +7293,19 @@ object SparkEntry {
                 substring(md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 8) AS fp8
          FROM documents ORDER BY doc_id""",
+
+    "q_text_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+              FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+                 i -> array_to_string(w[i:i+4], ' '))) AS gram
+               FROM t WHERE len(w) >= 5),
+         c AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                      CAST(count(*) AS BIGINT) AS n_occurrences
+               FROM g GROUP BY gram)
+         SELECT gram, n_docs, n_occurrences FROM c WHERE n_docs >= 3
+         ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20""",
 
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id,

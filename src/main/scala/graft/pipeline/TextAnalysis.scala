@@ -157,6 +157,32 @@ object TextAnalysis {
           .as("top_ngram_cover"))
   }
 
+  /** Cross-document boilerplate spans — word n-grams that appear in at
+    * least `minDocs` distinct documents (site templates, license headers,
+    * navigation text). The cross-corpus complement of
+    * [[repetitionSignals]]: pipelines first FIND widespread spans with
+    * this, then strip or down-weight documents dominated by them. One
+    * explode + one hash aggregate keyed on the gram (count-distinct runs
+    * two-phase); only (gram, id) pairs shuffle, documents never move.
+    */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1,
+      s"need n >= 1 and minDocs >= 1, got ($n, $minDocs)")
+    val pre = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val gramCount = size(toks) - n + 1
+    val grams = when(gramCount >= 1,
+      transform(sequence(lit(1), gramCount),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array())
+    pre.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Full document-profile projection used by q_text_* queries.
     *
     * Computed as one explode + hash-aggregate pass (token counts, stopword

@@ -433,6 +433,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d2.getDouble(4) == 0.0 && d2.getDouble(5) == 0.5)
   }
 
+  test("boilerplate grams: spans shared across documents, singletons dropped") {
+    val df = Seq(
+      (1L, "copyright acme corp all rights reserved unique one"),
+      (2L, "copyright acme corp all rights reserved unique two"),
+      (3L, "copyright acme corp all rights reserved other text"),
+      (4L, "totally different content with no shared spans here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateGrams(df, "doc_id", "text",
+      n = 5, minDocs = 3).orderBy("gram").collect()
+    // the shared 6-word prefix yields exactly two 5-grams present in all
+    // three docs; the grams touching the 7th word only reach 2 docs
+    assert(r.map(_.getString(0)).toSeq == Seq(
+      "acme corp all rights reserved",
+      "copyright acme corp all rights"))
+    assert(r.forall(row => row.getLong(1) == 3L && row.getLong(2) == 3L))
+  }
+
   test("protobuf wire format matches the spec's known vectors") {
     import graft.functions.ProtobufWire
     // protobuf encoding guide examples: field 1 varint 150 = 08 96 01;
