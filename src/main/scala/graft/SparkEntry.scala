@@ -558,7 +558,7 @@ object SparkEntry {
     // flight, retargeted onto the reduced star (orders carries the date
     // dimension role). Comma-join syntax kept from the suite text.
     "ssb_q1" ->
-      """SELECT CAST(FLOOR(sum(l_extendedprice * l_discount)) AS BIGINT) AS revenue
+      """SELECT CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue
          FROM lineitem, orders
          WHERE l_orderkey = o_orderkey
            AND year(o_orderdate) * 100 + month(o_orderdate) = 199704
@@ -568,7 +568,7 @@ object SparkEntry {
     // qaSsb Q2_1: brand revenue per year under a supplier-geography filter
     "ssb_q2" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, p_brand,
-                CAST(FLOOR(sum(l_extendedprice)) AS BIGINT) AS lo_revenue
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)))) AS BIGINT) AS lo_revenue
          FROM lineitem, orders, part, supplier
          WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
            AND l_suppkey = s_suppkey
@@ -582,7 +582,7 @@ object SparkEntry {
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nation,
                 CAST(s_nationkey AS BIGINT) AS s_nation,
                 CAST(year(o_orderdate) AS BIGINT) AS d_year,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS lo_revenue
          FROM customer, orders, lineitem, supplier
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -597,8 +597,8 @@ object SparkEntry {
     "ssb_q4" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year,
                 CAST(c_nationkey AS BIGINT) AS c_nation,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)
-                  - l_quantity * p_retailprice * 0.1)) AS BIGINT) AS profit
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * 0.1)) AS BIGINT) AS profit
          FROM lineitem, orders, customer, supplier, part
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND l_suppkey = s_suppkey AND l_partkey = p_partkey
@@ -610,7 +610,7 @@ object SparkEntry {
 
     // qaSsb Q1_0: coarse year-level revenue flight (vs Q1_1's year-month)
     "ssb_q1_0" ->
-      """SELECT CAST(FLOOR(sum(l_extendedprice * l_discount)) AS BIGINT) AS revenue
+      """SELECT CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue
          FROM lineitem, orders
          WHERE l_orderkey = o_orderkey
            AND year(o_orderdate) = 1997
@@ -623,7 +623,7 @@ object SparkEntry {
       """SELECT CAST(cn.n_regionkey AS BIGINT) AS c_region,
                 CAST(sn.n_regionkey AS BIGINT) AS s_region,
                 CAST(year(o_orderdate) AS BIGINT) AS d_year,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS lo_revenue
          FROM customer, orders, lineitem, supplier, nation cn, nation sn
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -641,7 +641,7 @@ object SparkEntry {
       """SELECT CAST(c_nationkey AS BIGINT) AS c_city,
                 CAST(s_nationkey AS BIGINT) AS s_city,
                 CAST(year(o_orderdate) AS BIGINT) AS d_year,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS lo_revenue
          FROM customer, orders, lineitem, supplier
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -657,8 +657,8 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year,
                 CAST(s_nationkey AS BIGINT) AS s_nation,
                 p_type AS p_category,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)
-                  - l_quantity * p_retailprice * 0.1)) AS BIGINT) AS profit
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * 0.1)) AS BIGINT) AS profit
          FROM lineitem, orders, customer, supplier, part
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND l_suppkey = s_suppkey AND l_partkey = p_partkey
@@ -747,14 +747,14 @@ object SparkEntry {
     "q01" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(FLOOR(sum(l_quantity)) AS BIGINT) AS sum_qty,
-                CAST(FLOOR(sum(l_extendedprice)) AS BIGINT) AS sum_base_price,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)))) AS BIGINT) AS sum_base_price,
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS sum_disc_price,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)))
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))))
                   AS BIGINT) AS sum_charge,
                 CAST(FLOOR(avg(l_quantity)) AS BIGINT) AS avg_qty,
-                CAST(FLOOR(avg(l_extendedprice)) AS BIGINT) AS avg_price,
-                CAST(FLOOR(avg(l_discount)) AS BIGINT) AS avg_disc,
+                CAST(FLOOR(avg(CAST(l_extendedprice AS DECIMAL(12,2)))) AS BIGINT) AS avg_price,
+                CAST(FLOOR(avg(CAST(l_discount AS DECIMAL(4,2)))) AS BIGINT) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= DATE '2001-12-01' - INTERVAL '90' DAY
@@ -763,7 +763,7 @@ object SparkEntry {
 
     // TEST_ID Q06: forecasting revenue change
     "q06" ->
-      """SELECT CAST(FLOOR(sum(l_extendedprice * l_discount)) AS BIGINT) AS revenue
+      """SELECT CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue
          FROM lineitem
          WHERE l_shipdate >= DATE '1996-01-01'
            AND l_shipdate < DATE '1996-01-01' + INTERVAL '1' YEAR
@@ -773,8 +773,8 @@ object SparkEntry {
     // TEST_ID Q14: promotion effect (p_type LIKE 'PROMO%')
     "q14" ->
       """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
-                sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) /
+                sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 4) AS promo_revenue
          FROM lineitem, part
          WHERE l_partkey = p_partkey
            AND l_shipdate >= DATE '1996-09-01'
@@ -788,7 +788,7 @@ object SparkEntry {
                 CAST(FLOOR(total_revenue) AS BIGINT) AS total_revenue
          FROM supplier,
            (SELECT l_suppkey AS supplier_no,
-                   round(sum(l_extendedprice * (1 - l_discount)), 0)
+                   round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 0)
                      AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-02-01'
@@ -797,7 +797,7 @@ object SparkEntry {
          WHERE s_suppkey = supplier_no
            AND total_revenue =
              (SELECT max(round(sum_rev, 0)) FROM
-                (SELECT sum(l_extendedprice * (1 - l_discount)) AS sum_rev
+                (SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_rev
                  FROM lineitem
                  WHERE l_shipdate >= DATE '1996-02-01'
                    AND l_shipdate < DATE '1996-02-01' + INTERVAL '3' MONTH
@@ -807,7 +807,7 @@ object SparkEntry {
     // TEST_ID Q17: small-quantity-order revenue (container predicate
     // replaced by brand-only — no p_container column in testdata)
     "q17" ->
-      """SELECT CAST(FLOOR(sum(l_extendedprice) / 7.0) AS BIGINT) AS avg_yearly
+      """SELECT CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0) AS BIGINT) AS avg_yearly
          FROM lineitem, part
          WHERE p_partkey = l_partkey
            AND p_brand = 'Brand#23'
@@ -818,7 +818,7 @@ object SparkEntry {
     // range conjunctions (shipmode/container terms replaced by p_size — not
     // in testdata)
     "q19" ->
-      """SELECT CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+      """SELECT CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS revenue
          FROM lineitem, part
          WHERE p_partkey = l_partkey
@@ -834,12 +834,12 @@ object SparkEntry {
     // synthetic customer has at least one order)
     "q22" ->
       """SELECT cntrycode, count(*) AS numcust,
-                CAST(FLOOR(sum(c_acctbal)) AS BIGINT) AS totacctbal
+                CAST(FLOOR(sum(CAST(c_acctbal AS DECIMAL(18,2)))) AS BIGINT) AS totacctbal
          FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal,
                       c_custkey
                FROM customer
                WHERE c_nationkey IN (1, 2, 3, 7, 8, 9, 10)
-                 AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                 AND c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
                                   WHERE c_acctbal > 0.00
                                     AND c_nationkey IN (1, 2, 3, 7, 8, 9, 10))) cust
          WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -851,7 +851,7 @@ object SparkEntry {
     // dropped from the projection/grouping; shape otherwise verbatim)
     "q03" ->
       """SELECT l_orderkey,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS revenue,
                 o_orderdate
          FROM customer, orders, lineitem
@@ -879,7 +879,7 @@ object SparkEntry {
     // TEST_ID Q05: local supplier volume — 6-table star, verbatim shape
     "q05" ->
       """SELECT n_name,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey
@@ -900,7 +900,7 @@ object SparkEntry {
                 CAST(FLOOR(sum(volume)) AS BIGINT) AS revenue
          FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-                      l_extendedprice * (1 - l_discount) AS volume
+                      CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
                FROM supplier, lineitem, orders, customer, nation n1, nation n2
                WHERE s_suppkey = l_suppkey
                  AND o_orderkey = l_orderkey
@@ -921,7 +921,7 @@ object SparkEntry {
                 round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
                       / sum(volume), 6) AS mkt_share
          FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-                      l_extendedprice * (1 - l_discount) AS volume,
+                      CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
                       n2.n_name AS nation
                FROM part, supplier, lineitem, orders, customer,
                     nation n1, nation n2, region
@@ -945,8 +945,8 @@ object SparkEntry {
                 CAST(FLOOR(sum(amount)) AS BIGINT) AS sum_profit
          FROM (SELECT n_name AS nation,
                       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-                      l_extendedprice * (1 - l_discount)
-                        - p_retailprice * l_quantity * 0.01 AS amount
+                      CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * 0.01 AS amount
                FROM part, supplier, lineitem, orders, nation
                WHERE s_suppkey = l_suppkey
                  AND p_partkey = l_partkey
@@ -960,7 +960,7 @@ object SparkEntry {
     // absent from testdata — dropped from projection/grouping)
     "q10" ->
       """SELECT c_custkey, c_name,
-                CAST(FLOOR(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))) AS BIGINT)
                   AS revenue,
                 CAST(FLOOR(c_acctbal) AS BIGINT) AS c_acctbal, n_name
          FROM customer, orders, lineitem, nation
@@ -1066,15 +1066,15 @@ object SparkEntry {
     // aggregate subquery over the same join)
     "q11" -> (tpchPartsuppCte +
       """SELECT ps_partkey,
-                CAST(FLOOR(sum(ps_supplycost * ps_availqty)) AS BIGINT)
+                CAST(FLOOR(sum(CAST(ps_supplycost AS DECIMAL(12,1)) * ps_availqty)) AS BIGINT)
                   AS part_value
          FROM partsupp, supplier, nation
          WHERE ps_suppkey = s_suppkey
            AND s_nationkey = n_nationkey
            AND n_name = 'NATION_9'
          GROUP BY ps_partkey
-         HAVING sum(ps_supplycost * ps_availqty) >
-           (SELECT sum(ps_supplycost * ps_availqty) * 0.001
+         HAVING sum(CAST(ps_supplycost AS DECIMAL(12,1)) * ps_availqty) >
+           (SELECT sum(CAST(ps_supplycost AS DECIMAL(12,1)) * ps_availqty) * 0.001
             FROM partsupp, supplier, nation
             WHERE ps_suppkey = s_suppkey
               AND s_nationkey = n_nationkey
@@ -1506,7 +1506,7 @@ object SparkEntry {
         "query": "REPLACE INTO graft_hourly OVERWRITE ALL SELECT ts AS __time, event_type, value FROM events WHERE event_id < 2000 PARTITIONED BY HOUR"
       }""")
       s.sql("""SELECT __hour AS h, CAST(count(*) AS BIGINT) AS n,
-                      CAST(FLOOR(sum(value)) AS BIGINT) AS sv
+                      CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS sv
                FROM graft_hourly GROUP BY __hour ORDER BY h""")
     }),
 
@@ -2488,7 +2488,7 @@ object SparkEntry {
       s.sql("""
         WITH denorm AS (
           SELECT n_name, year(o_orderdate) AS yr,
-                 l_extendedprice * (1 - l_discount) AS rev
+                 CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -2773,15 +2773,15 @@ object SparkEntry {
         SELECT
           count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
                              AND ts < TIMESTAMP '2024-01-11 00:00:00') AS v0,
-          CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
                              AND ts < TIMESTAMP '2024-01-11 00:00:00')) AS BIGINT) AS v1,
           count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
                              AND ts < TIMESTAMP '2024-01-10 00:00:00') AS v2,
-          CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+          CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
                              AND ts < TIMESTAMP '2024-01-10 00:00:00')) AS BIGINT) AS v3,
           count(*) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
                              AND ts < TIMESTAMP '2023-01-02 00:00:00') AS empty_cnt,
-          CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
+          CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
                              AND ts < TIMESTAMP '2023-01-02 00:00:00')) AS BIGINT) AS empty_sum
         FROM events""")
     }),
@@ -2794,7 +2794,7 @@ object SparkEntry {
         SELECT date_trunc('hour', ts) AS bucket,
                count(*) AS cnt,
                count(*) FILTER (WHERE event_type = 'click') AS clicks,
-               CAST(FLOOR(sum(value)) AS BIGINT) AS sum_v
+               CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS sum_v
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
           AND ts < TIMESTAMP '2024-01-10 12:00:00'
@@ -2847,11 +2847,11 @@ object SparkEntry {
       s.sql("""
         SELECT o_orderstatus,
                CAST(date_trunc('month', gran) AS DATE) AS mon,
-               CAST(FLOOR(sum(s)) AS BIGINT) AS tot
+               CAST(FLOOR(sum(CAST(s AS DECIMAL(18,2)))) AS BIGINT) AS tot
         FROM (SELECT date_trunc('day', o_orderdate) AS gran, o_orderstatus,
-                     sum(o_totalprice) AS s
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
               FROM orders GROUP BY date_trunc('day', o_orderdate), o_orderstatus
-              HAVING sum(o_totalprice) > 200000) x
+              HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 200000) x
         GROUP BY o_orderstatus, date_trunc('month', gran)
         ORDER BY o_orderstatus, mon DESC""")
     }),
@@ -3016,6 +3016,265 @@ object SparkEntry {
                CAST(floor(avg(length(cli)) OVER (PARTITION BY cli
                  ORDER BY srv, tz, t12)) AS BIGINT) AS c
         FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // ------------------- qaWin round-11 depth (501-file corpus families) ----
+    // orderby_range_{0,1}_{preceding,following}_sum_count over a SINGLE
+    // numeric sort key — the corpus's positive RANGE-offset cases (the
+    // multi-key ones are its 49/50 !error battery, pinned in SqlApiSpec):
+    // a value-offset frame spans VALUE distance, not row distance, so tie
+    // classes and value gaps behave differently from ROWS
+    "q_qa_win_range_numeric_offset" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1p,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) AS BIGINT) AS s_1f,
+               count(*) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c_11,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS s_00
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // RANGE with INTERVAL offsets over the timestamp sort key (the corpus
+    // sorts on time_floor(__time, 'PT12H'); a 12-hour offset spans exactly
+    // one bucket, a 1-day offset two)
+    "q_qa_win_range_interval" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY t12
+                 RANGE BETWEEN INTERVAL 12 HOURS PRECEDING AND CURRENT ROW) AS BIGINT) AS s_12h,
+               count(*) OVER (PARTITION BY cli ORDER BY t12
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND INTERVAL 12 HOURS FOLLOWING) AS c_day
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // orderby_range_{current,ub_following}_first_last: FIRST/LAST over peer
+    // frames — the default RANGE..CURRENT frame ends at the current PEER
+    // CLASS (the classic last_value surprise), and CURRENT..UNBOUNDED
+    // starts at the class head
+    "q_qa_win_range_first_last_peers" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               first_value(tz) OVER (PARTITION BY cli ORDER BY tz
+                 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv_cur_ubf,
+               last_value(tz) OVER (PARTITION BY cli ORDER BY tz
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS lv_peer,
+               last_value(tz) OVER (PARTITION BY cli ORDER BY tz) AS lv_default,
+               first_value(tz) OVER (PARTITION BY cli ORDER BY tz
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv_all
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // basics_window_funcs NTILE edges: NTILE(1) is constant, NTILE(k) for
+    // k > partition size gives each row its own bucket 1..cnt, NTILE(3)
+    // spreads remainders into the FIRST buckets
+    "q_qa_win_ntile_edges" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(NTILE(1) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS nt1,
+               CAST(NTILE(3) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS nt3,
+               CAST(NTILE(100) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS nt_big,
+               CAST(NTILE(7) OVER (ORDER BY cli, srv, tz, t12) AS BIGINT) AS nt_glob
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // IGNORE NULLS × explicit frames (the corpus's first_last families all
+    // run RESPECT and IGNORE variants): a bounded frame can contain ONLY
+    // nulls, in which case IGNORE NULLS yields NULL even mid-partition.
+    // Spark spells it `f(x) IGNORE NULLS OVER`, DuckDB `f(x IGNORE NULLS)`.
+    "q_qa_win_ignore_nulls_frames" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12, v,
+               first_value(v) IGNORE NULLS OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv_nn,
+               last_value(v) IGNORE NULLS OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lv_nn,
+               nth_value(v, 2) IGNORE NULLS OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth_nn
+        FROM (SELECT *, CASE WHEN srv = 1 THEN NULL ELSE tz END AS v FROM w)
+        ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // NTH_VALUE under cumulative / sliding / whole-partition frames — the
+    // frame decides WHICH rows are numbered, so nth over a slide moves
+    "q_qa_win_nth_value" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               nth_value(tz, 2) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2_cum,
+               nth_value(tz, 3) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS nth3_slide,
+               nth_value(tz, 1) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth1_all
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // window over a correlated UNNEST (qaUnnest × qaWin): the partition key
+    // IS the unnested value — candidate rows multiply before windowing
+    "q_qa_win_over_unnest" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT word, p_partkey,
+               CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS word_cnt,
+               CAST(row_number() OVER (PARTITION BY word ORDER BY p_partkey) AS BIGINT) AS rn,
+               CAST(sum(p_partkey) OVER (PARTITION BY word ORDER BY p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_key
+        FROM (SELECT p_partkey, word
+              FROM part LATERAL VIEW explode(split(p_name, ' ')) t AS word
+              WHERE p_partkey <= 200) x
+        ORDER BY word, p_partkey""")
+    }),
+
+    // sql_union_all family: windows straddling a UNION ALL of two sources
+    "q_qa_win_over_union" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        WITH u AS (
+          SELECT 'c' AS src, CAST(c_nationkey AS BIGINT) AS k, c_custkey AS id
+          FROM customer WHERE c_custkey <= 150
+          UNION ALL
+          SELECT 's' AS src, CAST(s_nationkey AS BIGINT) AS k, s_suppkey AS id
+          FROM supplier)
+        SELECT src, k, id,
+               CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS k_cnt,
+               CAST(row_number() OVER (PARTITION BY k ORDER BY src, id) AS BIGINT) AS rn,
+               CAST(sum(id) OVER (PARTITION BY src ORDER BY id) AS BIGINT) AS cum_id
+        FROM u ORDER BY k, src, id""")
+    }),
+
+    // basics_multi_windows: six windows with distinct partitionings, frame
+    // modes, and an empty OVER () in one projection
+    "q_qa_win_multi_windows" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(rank() OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS r1,
+               CAST(dense_rank() OVER (PARTITION BY tz ORDER BY cli, srv, t12) AS BIGINT) AS r2,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+               CAST(sum(n) OVER (PARTITION BY tz ORDER BY cli, srv, t12
+                 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS s2,
+               CAST(count(*) OVER () AS BIGINT) AS total,
+               CAST(min(srv) OVER (PARTITION BY cli, tz) AS BIGINT) AS m1
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // sql_limit_offset: LIMIT/OFFSET applied AFTER window evaluation — the
+    // cumulative sums must reflect the full input, not the page
+    "q_qa_win_limit_offset" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT cli, srv, tz, t12,
+               CAST(row_number() OVER (ORDER BY cli, srv, tz, t12) AS BIGINT) AS rn,
+               CAST(sum(n) OVER (ORDER BY cli, srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM w ORDER BY cli, srv, tz, t12 LIMIT 10 OFFSET 5""")
+    }),
+
+    // sql_select_distinct: DISTINCT over whole-partition window outputs
+    // collapses each partition to one row
+    "q_qa_win_distinct" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT DISTINCT cli,
+               CAST(count(*) OVER (PARTITION BY cli) AS BIGINT) AS cnt,
+               CAST(sum(n) OVER (PARTITION BY cli) AS BIGINT) AS s
+        FROM w ORDER BY cli""")
+    }),
+
+    // basics_data_types_and_exprs: window aggregates over string, timestamp
+    // and numeric arguments in one projection
+    "q_qa_win_datatypes" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               min(tz) OVER (PARTITION BY cli) AS min_str,
+               max(t12) OVER (PARTITION BY cli) AS max_ts,
+               CAST(max(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS max_n,
+               CAST(count(t12) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS c_ts
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // basics_order_by_nulls_first_last: explicit NULLS FIRST/LAST inside
+    // window ORDER BY over a null-bearing expression (engine defaults
+    // differ — Spark asc=nulls-first, DuckDB asc=nulls-last)
+    "q_qa_win_nulls_order" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12, v,
+               CAST(row_number() OVER (PARTITION BY cli
+                 ORDER BY v ASC NULLS LAST, srv, tz, t12) AS BIGINT) AS rn_nl,
+               CAST(row_number() OVER (PARTITION BY cli
+                 ORDER BY v DESC NULLS FIRST, srv, tz, t12) AS BIGINT) AS rn_nf,
+               first_value(v) OVER (PARTITION BY cli
+                 ORDER BY v ASC NULLS FIRST, srv, tz, t12) AS fv_nf
+        FROM (SELECT *, CASE WHEN srv = 0 THEN NULL ELSE tz END AS v FROM w)
+        ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // sql_subquery_with_where: outer WHERE over rank fractions computed in
+    // a subquery (rank pages, percent_rank/cume_dist round-pinned)
+    "q_qa_win_rank_subq_filter" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT * FROM (
+          SELECT cli, srv, tz, t12,
+                 CAST(rank() OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS rk,
+                 round(percent_rank() OVER (PARTITION BY cli ORDER BY srv, tz, t12), 6) AS pr,
+                 round(cume_dist() OVER (PARTITION BY cli ORDER BY srv, tz, t12), 6) AS cd
+          FROM w) x
+        WHERE rk <= 3 ORDER BY cli, rk, srv, tz, t12""")
+    }),
+
+    // basics_group_by: a window ranking GROUP BY aggregates, under HAVING
+    "q_qa_win_group_by_having" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT cli, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(rank() OVER (ORDER BY CAST(sum(n) AS BIGINT) DESC, cli) AS BIGINT) AS rk
+        FROM w GROUP BY cli HAVING sum(n) > 1
+        ORDER BY rk, cli""")
     }),
 
     // ---------------------------------------------- qaSql scalar corpus ----
@@ -3207,7 +3466,7 @@ object SparkEntry {
         SELECT o_orderstatus,
                CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_pri,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust,
-               CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS s,
+               CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM orders WHERE o_orderkey <= 20000
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
@@ -3233,7 +3492,7 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       s.sql("""
         SELECT f1.o_orderpriority AS pri,
-               CAST(FLOOR(sum(f1.o_totalprice)) AS BIGINT) AS s
+               CAST(FLOOR(sum(CAST(f1.o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS s
         FROM orders f1 INNER JOIN (
           SELECT o_orderpriority FROM orders
           WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
@@ -6045,7 +6304,7 @@ object SparkEntry {
 
     "q_sql_insert_hour" ->
       """SELECT strftime(ts, '%Y-%m-%d-%H') AS h, CAST(count(*) AS BIGINT) AS n,
-                CAST(FLOOR(sum(value)) AS BIGINT) AS sv
+                CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS sv
          FROM events WHERE event_id < 2000
          GROUP BY 1 ORDER BY 1""",
 
@@ -6058,7 +6317,7 @@ object SparkEntry {
 
     "q_groupby_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS sum_base_price,
                 avg(l_quantity) AS avg_qty, count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
@@ -6385,7 +6644,7 @@ object SparkEntry {
     "q_qa_ssb_denorm" ->
       """WITH denorm AS (
            SELECT n_name, year(o_orderdate) AS yr,
-                  l_extendedprice * (1 - l_discount) AS rev
+                  CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
              JOIN nation ON c_nationkey = n_nationkey
@@ -6568,15 +6827,15 @@ object SparkEntry {
       """SELECT
            count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
                               AND ts < TIMESTAMP '2024-01-11 00:00:00') AS v0,
-           CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
                               AND ts < TIMESTAMP '2024-01-11 00:00:00')) AS BIGINT) AS v1,
            count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
                               AND ts < TIMESTAMP '2024-01-10 00:00:00') AS v2,
-           CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
+           CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE ts >= TIMESTAMP '2024-01-09 00:00:00'
                               AND ts < TIMESTAMP '2024-01-10 00:00:00')) AS BIGINT) AS v3,
            count(*) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
                               AND ts < TIMESTAMP '2023-01-02 00:00:00') AS empty_cnt,
-           CAST(FLOOR(sum(value) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
+           CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'
                               AND ts < TIMESTAMP '2023-01-02 00:00:00')) AS BIGINT) AS empty_sum
          FROM events""",
 
@@ -6584,7 +6843,7 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                 count(*) AS cnt,
                 count(*) FILTER (WHERE event_type = 'click') AS clicks,
-                CAST(FLOOR(sum(value)) AS BIGINT) AS sum_v
+                CAST(FLOOR(sum(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS sum_v
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-10 12:00:00'
@@ -6595,11 +6854,11 @@ object SparkEntry {
     "q_qa_groupby_on_groupby_timefloor" ->
       """SELECT o_orderstatus,
                 CAST(date_trunc('month', gran) AS DATE) AS mon,
-                CAST(FLOOR(sum(s)) AS BIGINT) AS tot
+                CAST(FLOOR(sum(CAST(s AS DECIMAL(18,2)))) AS BIGINT) AS tot
          FROM (SELECT date_trunc('day', o_orderdate) AS gran, o_orderstatus,
-                      sum(o_totalprice) AS s
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
                FROM orders GROUP BY date_trunc('day', o_orderdate), o_orderstatus
-               HAVING sum(o_totalprice) > 200000) x
+               HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 200000) x
          GROUP BY o_orderstatus, date_trunc('month', gran)
          ORDER BY o_orderstatus, mon DESC""",
 
@@ -6718,6 +6977,165 @@ object SparkEntry {
                  CAST(floor(avg(length(cli)) OVER (PARTITION BY cli
                    ORDER BY srv, tz, t12)) AS BIGINT) AS c
           FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_range_numeric_offset" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1p,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) AS BIGINT) AS s_1f,
+                 count(*) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c_11,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS s_00
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_range_interval" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY t12
+                   RANGE BETWEEN INTERVAL 12 HOURS PRECEDING AND CURRENT ROW) AS BIGINT) AS s_12h,
+                 count(*) OVER (PARTITION BY cli ORDER BY t12
+                   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND INTERVAL 12 HOURS FOLLOWING) AS c_day
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_range_first_last_peers" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 first_value(tz) OVER (PARTITION BY cli ORDER BY tz
+                   RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv_cur_ubf,
+                 last_value(tz) OVER (PARTITION BY cli ORDER BY tz
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS lv_peer,
+                 last_value(tz) OVER (PARTITION BY cli ORDER BY tz) AS lv_default,
+                 first_value(tz) OVER (PARTITION BY cli ORDER BY tz
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv_all
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_ntile_edges" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(NTILE(1) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS nt1,
+                 CAST(NTILE(3) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS nt3,
+                 CAST(NTILE(100) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS nt_big,
+                 CAST(NTILE(7) OVER (ORDER BY cli, srv, tz, t12) AS BIGINT) AS nt_glob
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_ignore_nulls_frames" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12, v,
+                 first_value(v IGNORE NULLS) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv_nn,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lv_nn,
+                 nth_value(v, 2 IGNORE NULLS) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth_nn
+          FROM (SELECT *, CASE WHEN srv = 1 THEN NULL ELSE tz END AS v FROM w)
+          ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_nth_value" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 nth_value(tz, 2) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2_cum,
+                 nth_value(tz, 3) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS nth3_slide,
+                 nth_value(tz, 1) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth1_all
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_over_unnest" ->
+      """SELECT word, p_partkey,
+                CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS word_cnt,
+                CAST(row_number() OVER (PARTITION BY word ORDER BY p_partkey) AS BIGINT) AS rn,
+                CAST(sum(p_partkey) OVER (PARTITION BY word ORDER BY p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_key
+         FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+               FROM part WHERE p_partkey <= 200) x
+         ORDER BY word, p_partkey""",
+
+    "q_qa_win_over_union" ->
+      """WITH u AS (
+           SELECT 'c' AS src, CAST(c_nationkey AS BIGINT) AS k, c_custkey AS id
+           FROM customer WHERE c_custkey <= 150
+           UNION ALL
+           SELECT 's' AS src, CAST(s_nationkey AS BIGINT) AS k, s_suppkey AS id
+           FROM supplier)
+         SELECT src, k, id,
+                CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS k_cnt,
+                CAST(row_number() OVER (PARTITION BY k ORDER BY src, id) AS BIGINT) AS rn,
+                CAST(sum(id) OVER (PARTITION BY src ORDER BY id) AS BIGINT) AS cum_id
+         FROM u ORDER BY k, src, id""",
+
+    "q_qa_win_multi_windows" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(rank() OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS r1,
+                 CAST(dense_rank() OVER (PARTITION BY tz ORDER BY cli, srv, t12) AS BIGINT) AS r2,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+                 CAST(sum(n) OVER (PARTITION BY tz ORDER BY cli, srv, t12
+                   RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS s2,
+                 CAST(count(*) OVER () AS BIGINT) AS total,
+                 CAST(min(srv) OVER (PARTITION BY cli, tz) AS BIGINT) AS m1
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_limit_offset" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT cli, srv, tz, t12,
+                 CAST(row_number() OVER (ORDER BY cli, srv, tz, t12) AS BIGINT) AS rn,
+                 CAST(sum(n) OVER (ORDER BY cli, srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM w ORDER BY cli, srv, tz, t12 LIMIT 10 OFFSET 5""",
+
+    "q_qa_win_distinct" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT DISTINCT cli,
+                 CAST(count(*) OVER (PARTITION BY cli) AS BIGINT) AS cnt,
+                 CAST(sum(n) OVER (PARTITION BY cli) AS BIGINT) AS s
+          FROM w ORDER BY cli""",
+
+    "q_qa_win_datatypes" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 min(tz) OVER (PARTITION BY cli) AS min_str,
+                 max(t12) OVER (PARTITION BY cli) AS max_ts,
+                 CAST(max(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS max_n,
+                 CAST(count(t12) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS c_ts
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_nulls_order" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12, v,
+                 CAST(row_number() OVER (PARTITION BY cli
+                   ORDER BY v ASC NULLS LAST, srv, tz, t12) AS BIGINT) AS rn_nl,
+                 CAST(row_number() OVER (PARTITION BY cli
+                   ORDER BY v DESC NULLS FIRST, srv, tz, t12) AS BIGINT) AS rn_nf,
+                 first_value(v) OVER (PARTITION BY cli
+                   ORDER BY v ASC NULLS FIRST, srv, tz, t12) AS fv_nf
+          FROM (SELECT *, CASE WHEN srv = 0 THEN NULL ELSE tz END AS v FROM w)
+          ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_rank_subq_filter" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT * FROM (
+            SELECT cli, srv, tz, t12,
+                   CAST(rank() OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS rk,
+                   round(percent_rank() OVER (PARTITION BY cli ORDER BY srv, tz, t12), 6) AS pr,
+                   round(cume_dist() OVER (PARTITION BY cli ORDER BY srv, tz, t12), 6) AS cd
+            FROM w) x
+          WHERE rk <= 3 ORDER BY cli, rk, srv, tz, t12""",
+
+    "q_qa_win_group_by_having" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT cli, CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(rank() OVER (ORDER BY CAST(sum(n) AS BIGINT) DESC, cli) AS BIGINT) AS rk
+          FROM w GROUP BY cli HAVING sum(n) > 1
+          ORDER BY rk, cli""",
 
     "q_qa_scalar_datetime_battery" ->
       s"""SELECT CAST(count(*) FILTER (WHERE
@@ -6838,7 +7256,7 @@ object SparkEntry {
       """SELECT o_orderstatus,
                 CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_pri,
                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust,
-                CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS s,
+                CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS s,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM orders WHERE o_orderkey <= 20000
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
@@ -6852,7 +7270,7 @@ object SparkEntry {
 
     "q_qa_join_topn_limit" ->
       """SELECT f1.o_orderpriority AS pri,
-               CAST(FLOOR(sum(f1.o_totalprice)) AS BIGINT) AS s
+               CAST(FLOOR(sum(CAST(f1.o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS s
          FROM orders f1 INNER JOIN (
            SELECT o_orderpriority FROM orders
            WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
@@ -7422,18 +7840,18 @@ object SparkEntry {
 
     "q_source_avro" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-                round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
          FROM customer GROUP BY 1 ORDER BY 1""",
 
     "q_source_protobuf" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-                round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal,
                 CAST(max(c_custkey) AS BIGINT) AS max_key
          FROM customer GROUP BY 1 ORDER BY 1""",
 
     "q_source_protobuf_desc" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-                round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal,
                 CAST(max(c_custkey) AS BIGINT) AS max_key
          FROM customer GROUP BY 1 ORDER BY 1""",
 

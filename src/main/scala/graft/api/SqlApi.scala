@@ -65,51 +65,52 @@ object SqlApi {
     // session zone into datetime expressions at ANALYSIS time, so setting
     // the conf around plan construction (and restoring it after) scopes the
     // zone to this query without leaking into the session
-    def build(): DataFrame = explainTarget(sqlText) match {
-      case Some(inner) => explainPlan(spark, inner)
-      case None =>
-        ingestTarget(sqlText) match {
-          case Some(ing) => runIngest(spark, ing)
-          case None =>
-            val df = sqlWithSortWindows(spark, sqlText)
-            // context.sqlOuterLimit (reference QueryContexts): a hard outer
-            // row cap applied over whatever the query returns
-            ctxValue(j, "sqlOuterLimit") match {
-              case JInt(n)  => df.limit(n.toInt)
-              case JLong(n) => df.limit(n.toInt)
-              case _        => df
-            }
-        }
-    }
     // Druid SQL quotes identifiers with double quotes (Calcite), Spark
     // with backticks — accept the reference's form on this entry point so
     // console-generated SQL runs verbatim. The conf (and the optional
-    // per-query sqlTimeZone) is session state, so the set/build/restore
-    // window is serialized per session: overlapping facade requests would
-    // otherwise restore each other's values and leak the conf. Only parse
-    // + analysis happens under the lock — execution stays concurrent.
-    confScopeLock(spark).synchronized {
-      val DqKey = "spark.sql.ansi.doubleQuotedIdentifiers"
-      val prevDq = spark.conf.getOption(DqKey)
-      spark.conf.set(DqKey, "true")
-      try str(ctxValue(j, "sqlTimeZone")) match {
-        case Some(zone) =>
-          val TzKey = "spark.sql.session.timeZone"
-          val prev = spark.conf.get(TzKey)
-          spark.conf.set(TzKey, zone)
-          try {
-            val df = build()
-            df.queryExecution.analyzed // force analysis under the zone
-            df
-          } finally spark.conf.set(TzKey, prev)
-        case None =>
-          val df = build()
-          df.queryExecution.analyzed // force analysis while the conf is set
-          df
-      } finally prevDq match {
-        case Some(v) => spark.conf.set(DqKey, v)
-        case None    => spark.conf.unset(DqKey)
-      }
+    // per-query sqlTimeZone) is session state; parsing happens on a CLONED
+    // session (shared context/catalog/temp views, independent SQLConf) so
+    // the parse-scoped confs cannot leak to concurrent direct `spark.sql`
+    // callers on the original session. DML is the exception: runIngest
+    // registers the ingested table as a temp view, which must land on the
+    // caller's session — that path keeps the serialized set/restore window.
+    val DqKey = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val TzKey = "spark.sql.session.timeZone"
+    val tz = str(ctxValue(j, "sqlTimeZone"))
+    ingestTarget(sqlText) match {
+      case Some(ing) =>
+        confScopeLock(spark).synchronized {
+          val prevDq = spark.conf.getOption(DqKey)
+          val prevTz = spark.conf.get(TzKey)
+          spark.conf.set(DqKey, "true")
+          tz.foreach(spark.conf.set(TzKey, _))
+          try runIngest(spark, ing)
+          finally {
+            spark.conf.set(TzKey, prevTz)
+            prevDq match {
+              case Some(v) => spark.conf.set(DqKey, v)
+              case None    => spark.conf.unset(DqKey)
+            }
+          }
+        }
+      case None =>
+        val ps = org.apache.spark.sql.GraftSessionAccess.cloneSession(spark)
+        ps.conf.set(DqKey, "true")
+        tz.foreach(ps.conf.set(TzKey, _))
+        val df = explainTarget(sqlText) match {
+          case Some(inner) => explainPlan(ps, inner)
+          case None =>
+            val base = sqlWithSortWindows(ps, sqlText)
+            // context.sqlOuterLimit (reference QueryContexts): a hard outer
+            // row cap applied over whatever the query returns
+            ctxValue(j, "sqlOuterLimit") match {
+              case JInt(n)  => base.limit(n.toInt)
+              case JLong(n) => base.limit(n.toInt)
+              case _        => base
+            }
+        }
+        df.queryExecution.analyzed // bake zone/idents into the plan now
+        df
     }
   }
 
@@ -387,8 +388,53 @@ object SqlApi {
     val params = j \ "parameters" match {
       case JArray(xs) => xs; case _ => Nil
     }
-    rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(rewriteFloorCeilTo(
-      bind(setStatements(raw)._2, params)))))
+    // literal masking: the text rewrites below are regex-driven and would
+    // otherwise also fire inside single-quoted string literals (a literal
+    // containing "FLOOR(x TO DAY)" or "GROUP BY ()" would be corrupted
+    // before parsing). Each literal's content is swapped for an opaque
+    // placeholder before the rewrites and restored after — the rewrites
+    // still see a literal token where one was (so FLOOR(TIME_PARSE('...')
+    // TO DAY) keeps matching), but can never match text inside one.
+    val (masked, lits) = maskLiterals(bind(setStatements(raw)._2, params))
+    unmaskLiterals(
+      rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
+        rewriteFloorCeilTo(masked)))), lits)
+  }
+
+  /** Replace every single-quoted literal's content ('' escapes included)
+    * with `'\u0001<idx>\u0001'`; [[unmaskLiterals]] restores them. \u0001
+    * cannot appear in legal SQL text, so placeholders never collide.
+    */
+  private[graft] def maskLiterals(sqlText: String): (String, Vector[String]) = {
+    val sb = new StringBuilder
+    val lits = Vector.newBuilder[String]
+    var i = 0
+    var n = 0
+    while (i < sqlText.length) {
+      if (sqlText.charAt(i) == '\'') {
+        var j = i + 1
+        val lit = new StringBuilder
+        var done = false
+        while (!done && j < sqlText.length) {
+          if (sqlText.charAt(j) == '\'') {
+            if (j + 1 < sqlText.length && sqlText.charAt(j + 1) == '\'') {
+              lit.append("''"); j += 2
+            } else { done = true; j += 1 }
+          } else { lit.append(sqlText.charAt(j)); j += 1 }
+        }
+        lits += lit.toString
+        sb.append('\'').append('\u0001').append(n).append('\u0001').append('\'')
+        n += 1
+        i = j
+      } else { sb.append(sqlText.charAt(i)); i += 1 }
+    }
+    (sb.toString, lits.result())
+  }
+
+  private[graft] def unmaskLiterals(sqlText: String, lits: Vector[String]): String = {
+    val Re = "'\u0001(\\d+)\u0001'".r
+    Re.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement("'" + lits(m.group(1).toInt) + "'"))
   }
 
   /** Calcite's `FLOOR(expr TO unit)` / `CEIL(expr TO unit)` — the syntax

@@ -260,23 +260,44 @@ object DruidFunctions {
     // unit is a literal, so the branch resolves at build time — no CASE in
     // the plan. DOW is Joda ISO (Monday=1..Sunday=7); EPOCH extracts the
     // true UTC instant regardless of the display zone, like the reference.
-    val ext: Expression = unit.toUpperCase match {
-      case "EPOCH"  => UnixSeconds(args.head)
-      case "MILLIS" => IntegralDivide(UnixMicros(args.head), Literal(1000L, LongType))
-      case "SECOND" => Second(t)
-      case "MINUTE" => Minute(t)
-      case "HOUR"   => Hour(t)
-      case "DAY"    => DayOfMonth(t)
-      case "DOW" | "ISODOW" =>
-        Add(Pmod(Add(DayOfWeek(t), Literal(5)), Literal(7)), Literal(1))
-      case "DOY"    => DayOfYear(t)
-      case "WEEK"   => WeekOfYear(t)
-      case "MONTH"  => Month(t)
-      case "QUARTER" => Quarter(t)
-      case "YEAR"   => Year(t)
-      case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+    // CENTURY/MILLENNIUM are DOUBLE in the reference (ceil of year/100|1000,
+    // postgres semantics); every other unit is LONG
+    unit.toUpperCase match {
+      case "CENTURY" => Cast(Ceil(Divide(
+        Cast(Year(t), org.apache.spark.sql.types.DoubleType),
+        Literal(100.0))), org.apache.spark.sql.types.DoubleType)
+      case "MILLENNIUM" => Cast(Ceil(Divide(
+        Cast(Year(t), org.apache.spark.sql.types.DoubleType),
+        Literal(1000.0))), org.apache.spark.sql.types.DoubleType)
+      case longUnit =>
+        val ext: Expression = longUnit match {
+          case "EPOCH"  => UnixSeconds(args.head)
+          // MILLIS (epoch millis) is a documented extension beyond the
+          // reference unit set; MILLISECOND is the reference's
+          // millisOfSecond (Pmod keeps it in 0..999 pre-epoch too)
+          case "MILLIS" => IntegralDivide(UnixMicros(args.head), Literal(1000L, LongType))
+          case "MILLISECOND" =>
+            Pmod(IntegralDivide(UnixMicros(args.head), Literal(1000L, LongType)),
+              Literal(1000L, LongType))
+          case "SECOND" => Second(t)
+          case "MINUTE" => Minute(t)
+          case "HOUR"   => Hour(t)
+          case "DAY"    => DayOfMonth(t)
+          case "DOW" | "ISODOW" =>
+            Add(Pmod(Add(DayOfWeek(t), Literal(5)), Literal(7)), Literal(1))
+          case "DOY"    => DayOfYear(t)
+          case "WEEK"   => WeekOfYear(t)
+          case "MONTH"  => Month(t)
+          case "QUARTER" => Quarter(t)
+          // reference ISOYEAR returns the calendar year (TimestampExtract
+          // ExprMacro.java:100-101 routes ISOYEAR through year().get())
+          case "YEAR" | "ISOYEAR" => Year(t)
+          // postgres DECADE: year/10, truncating (reference :102-104)
+          case "DECADE" => IntegralDivide(Year(t), Literal(10L, LongType))
+          case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+        }
+        Cast(ext, LongType)
     }
-    Cast(ext, LongType)
   }
 
   private[graft] def timeFormatBuilder(
@@ -315,9 +336,14 @@ object DruidFunctions {
     val pattern = args.drop(1).headOption
       .flatMap(e => literalString(e, "TIME_PARSE pattern"))
     val parsed: Expression = pattern match {
+      // failOnError=false: the reference TimestampParseExprMacro catches
+      // parse failures and returns NULL; the default here is ANSI-dependent
+      // and would raise under Spark 4's ansi=on (and disagree with the
+      // no-pattern TRY path below)
       case Some(p) =>
         GetTimestamp(args.head,
-          Literal(UTF8String.fromString(p), StringType), TimestampType)
+          Literal(UTF8String.fromString(p), StringType), TimestampType,
+          "time_parse", None, false)
       // no pattern: Spark's string→timestamp cast is the reference's
       // lenient ISO parse ('T' or space separator), TRY → null on garbage
       case None => Cast(args.head, TimestampType, None, EvalMode.TRY)

@@ -335,6 +335,12 @@ object Ingest {
       throw new IllegalArgumentException(
         s"flattenSpec field '$name' collides with an existing column")
     }
+    // duplicate names within the spec would silently overwrite each other
+    // in the fold below (last wins) — the reference errors on them
+    fields.groupBy(_._1).collectFirst { case (name, fs) if fs.size > 1 =>
+      throw new IllegalArgumentException(
+        s"flattenSpec field '$name' is defined ${fs.size} times")
+    }
     val discovered: Seq[(String, String)] =
       if (!useFieldDiscovery) Nil
       else {
@@ -350,7 +356,17 @@ object Ingest {
             case _: org.apache.spark.sql.types.ArrayType  => false
             case _                                        => true
           })
-          .map(f => f.name -> s"$$.${f.name}")
+          // building "$.<key>" from a raw discovered key breaks for keys
+          // containing JSONPath metacharacters (dots/brackets/spaces/
+          // quotes): get_json_object would parse them as path structure
+          // and silently yield NULL columns — address those as $['key']
+          // (bracket-notation, which get_json_object accepts), and skip
+          // keys embedding a single quote (not expressible in either form)
+          .filter(f => !f.name.contains("'"))
+          .map { f =>
+            val safe = f.name.forall(c => c.isLetterOrDigit || c == '_')
+            f.name -> (if (safe) s"$$.${f.name}" else s"$$['${f.name}']")
+          }
           .filterNot(f => claimed.contains(f._1))
       }
     (fields ++ discovered).foldLeft(df) { case (d, (name, path)) =>

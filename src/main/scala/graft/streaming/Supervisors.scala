@@ -51,6 +51,11 @@ object Supervisors {
                           healthy: Boolean = true,
                           error: Option[String] = None)
 
+  /** `batches` is a HIGH-WATER MARK of the checkpoint-cumulative batch
+    * counter, not an accumulator: `batchId` continues from the retained
+    * checkpoint across suspend/resume, so adding the counter at each
+    * suspend would double-count every pre-suspend batch on the next cycle.
+    */
   private final case class Entry(spec: SupervisorSpec,
       var query: Option[org.apache.spark.sql.streaming.StreamingQuery],
       var state: State, var batches: Long,
@@ -128,7 +133,7 @@ object Supervisors {
     val e = registry.getOrElse(id, sys.error(s"no supervisor $id"))
     e.query.foreach { q =>
       observeFailure(e, q)
-      e.batches += completedBatches(q)
+      e.batches = math.max(e.batches, completedBatches(q))
       q.stop(); q.awaitTermination()
     }
     e.query = None
@@ -173,7 +178,8 @@ object Supervisors {
 
   private def statusOf(id: String, e: Entry): Status = {
     e.query.foreach(observeFailure(e, _))
-    val batches = e.batches + e.query.map(completedBatches).getOrElse(0L)
+    val batches = math.max(e.batches,
+      e.query.map(completedBatches).getOrElse(0L))
     Status(id, e.state, batches, healthy = e.state != Unhealthy, error = e.error)
   }
 

@@ -208,6 +208,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(10) == "-1.23 G")
   }
 
+  test("TIME_PARSE with pattern returns NULL on unparseable input (both arities agree)") {
+    // reference TimestampParseExprMacro catches parse failures → NULL; the
+    // patterned arity must not ANSI-error where the no-pattern arity TRYs
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT TIME_PARSE('garbage', 'yyyy-MM-dd'),
+                TIME_PARSE('garbage'),
+                TIME_PARSE('2024-03-07', 'yyyy-MM-dd')""").head()
+    assert(r.isNullAt(0), "patterned TIME_PARSE must NULL on garbage")
+    assert(r.isNullAt(1))
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-07"))
+  }
+
+  test("TIME_EXTRACT reference units: MILLISECOND/ISOYEAR/DECADE/CENTURY/MILLENNIUM") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45.123', 'MILLISECOND'),
+                TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45', 'ISOYEAR'),
+                TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45', 'DECADE'),
+                TIME_EXTRACT(TIMESTAMP '2024-01-07 10:37:45', 'CENTURY'),
+                TIME_EXTRACT(TIMESTAMP '2000-06-15 00:00:00', 'MILLENNIUM'),
+                TIME_EXTRACT(TIMESTAMP '2001-06-15 00:00:00', 'MILLENNIUM')""").head()
+    assert(r.getLong(0) == 123L)
+    assert(r.getLong(1) == 2024L)
+    assert(r.getLong(2) == 202L)          // postgres: year/10 truncating
+    assert(r.getDouble(3) == 21.0)        // ceil(2024/100) — DOUBLE like ref
+    assert(r.getDouble(4) == 2.0)         // 2000 is 2nd millennium
+    assert(r.getDouble(5) == 3.0)         // 3rd started 2001-01-01
+  }
+
   test("JSON SQL surface: JSON_OBJECT / JSON_QUERY_ARRAY / TO_JSON_STRING / MV_TO_ARRAY") {
     DruidFunctions.register(spark)
     val r = spark.sql(

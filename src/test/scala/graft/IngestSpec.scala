@@ -142,6 +142,27 @@ class IngestSpec extends AnyFunSuite {
     assert(s(rows(2), "deep_d") == null && s(rows(2), "a") == null)
   }
 
+  test("flattenJson: dotted discovered keys use bracket paths; duplicate spec names rejected") {
+    import spark.implicits._
+    // a top-level key containing a dot would, as "$.a.b", address a NESTED
+    // path and silently yield NULL — bracket notation addresses it exactly
+    val df = Seq(
+      (1L, """{"a.b": "dotted", "c d": "spaced", "plain": "p"}""")).toDF("id", "js")
+    val out = graft.operators.Ingest.flattenJson(df, "js", fields = Nil,
+      useFieldDiscovery = true)
+    val r = out.head()
+    def s(c: String): String = r.getString(out.columns.indexOf(c))
+    assert(s("a.b") == "dotted", out.columns.mkString(","))
+    assert(s("c d") == "spaced")
+    assert(s("plain") == "p")
+    // duplicate names in the explicit field list: error, not last-wins
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Ingest.flattenJson(df, "js",
+        fields = Seq("x" -> "$.plain", "x" -> "$['a.b']"))
+    }
+    assert(err.getMessage.contains("defined 2 times"))
+  }
+
   test("PARTITIONED BY HOUR lands hour-chunk dirs; OVERWRITE WHERE rejects it") {
     import spark.implicits._
     val df = Seq(

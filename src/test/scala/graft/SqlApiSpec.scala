@@ -627,6 +627,29 @@ class SqlApiSpec extends AnyFunSuite {
     assert(rewriteFloorCeilTo(plain) == plain)
   }
 
+  test("text rewrites never fire inside string literals (literal masking)") {
+    import graft.api.SqlApi
+    // a literal whose CONTENT looks like the rewrite triggers must survive
+    // the whole rewrite chain verbatim
+    val payload = """{"query": "SELECT 'use FLOOR(x TO DAY) here' AS a, 'GROUP BY ()' AS b, FLOOR(__time TO HOUR) AS h FROM t GROUP BY ()"}"""
+    val out = SqlApi.sql(org.json4s.jackson.JsonMethods.parse(payload))
+    assert(out.contains("'use FLOOR(x TO DAY) here'"), out)
+    assert(out.contains("'GROUP BY ()'"), out)
+    // ...while the same patterns OUTSIDE literals still rewrite
+    assert(out.contains("date_trunc('HOUR', __time)"), out)
+    assert(out.contains("GROUP BY GROUPING SETS (())"), out)
+    // masking round-trips '' escapes
+    val (m, lits) = SqlApi.maskLiterals("SELECT 'it''s' || 'x', col FROM t")
+    assert(!m.contains("it"), m)
+    assert(SqlApi.unmaskLiterals(m, lits) == "SELECT 'it''s' || 'x', col FROM t")
+    // end-to-end: the literal value comes back untouched from execution
+    graft.Tables.registerAll(spark, dir)
+    val r = SqlApi.run(spark, dir,
+      """{"query": "SELECT 'FLOOR(x TO DAY)' AS lit, FLOOR(CAST('2024-03-07' AS TIMESTAMP) TO MONTH) AS m"}""").head()
+    assert(r.getString(0) == "FLOOR(x TO DAY)")
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-01"))
+  }
+
   test("qaWin negative corpus: RANGE offsets need one numeric sort key") {
     // reference quidem-ut qaWin orderby_range_{1,negative}_* batteries:
     // 49/50 testcases per file are QueryInterruptedException because a

@@ -125,6 +125,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.contains(("2024-01-01 02:00:00", "view", 1L, 4.0)))
   }
 
+  test("supervisor batchesCompleted does not double-count across suspend/resume") {
+    // batchId is checkpoint-scoped and CONTINUES across suspend/resume, so
+    // a supervisor that banks the cumulative counter at each suspend and
+    // adds the live counter on top reports ~2x after one cycle. The true
+    // count is the checkpoint's own offset ledger: one offsets/<batchId>
+    // file per committed batch.
+    import graft.streaming.Supervisors
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_supbc").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    def writeBatch(name: String, ts: String, v: Double): Unit =
+      Seq((ts, "click", v)).toDF("tss", "event_type", "value")
+        .selectExpr("CAST(tss AS TIMESTAMP) AS ts", "event_type", "value")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+    writeBatch("a", "2024-01-01 00:05:00", 1.0)
+    val schema = spark.read.parquet(s"$srcDir/a").schema
+    val spec = Supervisors.SupervisorSpec("supbc", s"$srcDir/*/*.parquet",
+      schema, "ts", "1 hour", Seq("event_type"), s"$root/out", s"$root/ck")
+    Supervisors.submit(spark, spec)
+    Supervisors.awaitDrained("supbc")
+    val afterFirst = Supervisors.suspend("supbc").batchesCompleted
+    writeBatch("b", "2024-01-01 05:00:00", 2.0)
+    Supervisors.resume(spark, "supbc")
+    Supervisors.awaitDrained("supbc")
+    val afterSecond = Supervisors.suspend("supbc").batchesCompleted
+    Supervisors.terminate("supbc")
+    def ledger: Long = new java.io.File(s"$root/ck/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit)).toLong
+    assert(afterSecond == ledger,
+      s"batchesCompleted $afterSecond != checkpoint ledger $ledger " +
+        s"(first-cycle count was $afterFirst — a 2x value means the " +
+        "cumulative batchId was re-banked on resume)")
+    assert(afterSecond >= afterFirst)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     // events replayed twice (same files via a 2-path glob is not possible
     // here, so duplicate by unioning the stream with itself per batch is
