@@ -697,6 +697,81 @@ object QaSuites {
          FROM (SELECT unnest(a_str) AS c FROM test_unnest)
          GROUP BY c HAVING c = 'S1'"""),
 
+    // --------------------------- qaUnnest round-11 depth (221-file corpus)
+    // array_sql_group_by GROUPING SETS over an unnested column alongside
+    // the scalar dimension: each set aggregates an independent slice, and
+    // GROUPING() disambiguates the per-set NULLs from real NULL elements
+    gu("q_qa_unnest_grouping_sets",
+      """SELECT c, s_int, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(grouping(c) AS BIGINT) AS g_c,
+                CAST(grouping(s_int) AS BIGINT) AS g_s
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         GROUP BY GROUPING SETS ((c), (s_int), ())
+         ORDER BY g_c, g_s, c NULLS FIRST, s_int NULLS FIRST""",
+      """SELECT c, s_int, count(*) AS cnt,
+                CAST(grouping(c) AS BIGINT) AS g_c,
+                CAST(grouping(s_int) AS BIGINT) AS g_s
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         GROUP BY GROUPING SETS ((c), (s_int), ())
+         ORDER BY g_c, g_s, c NULLS FIRST, s_int NULLS FIRST"""),
+
+    // ROLLUP over (scalar, unnested): the hierarchy folds the unnested
+    // level first, then the scalar, then the grand total
+    gu("q_qa_unnest_rollup",
+      """SELECT s_int, c, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(grouping(s_int) AS BIGINT) AS g_s,
+                CAST(grouping(c) AS BIGINT) AS g_c
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         GROUP BY ROLLUP (s_int, c)
+         ORDER BY g_s, g_c, s_int NULLS FIRST, c NULLS FIRST""",
+      """SELECT s_int, c, count(*) AS cnt,
+                CAST(grouping(s_int) AS BIGINT) AS g_s,
+                CAST(grouping(c) AS BIGINT) AS g_c
+         FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
+         GROUP BY ROLLUP (s_int, c)
+         ORDER BY g_s, g_c, s_int NULLS FIRST, c NULLS FIRST"""),
+
+    // A1_B1_D2 deep-path idiom: UNNEST of a json_value array addressed
+    // THROUGH the nested copy at $[7] (not a top-level leaf)
+    gu("q_qa_unnest_json_deep",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest,
+              UNNEST(json_value(a_nested, '$[7][3]' RETURNING varchar array)) AS u(c)
+         GROUP BY c ORDER BY c NULLS FIRST""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(a_str) AS c FROM test_unnest)
+         GROUP BY c ORDER BY c NULLS FIRST"""),
+
+    // array_sql_subquery_with_where (the corpus's largest family, 25
+    // files): outer WHERE over the unnested value of an inner subquery,
+    // mixed with a scalar predicate whose NULL branch is kept
+    gu("q_qa_unnest_subq_where_in",
+      """SELECT s_int, c
+         FROM (SELECT s_int, c FROM test_unnest, UNNEST(a_int) AS u(c)) x
+         WHERE c IN (1, 2) AND (s_int > 0 OR s_int IS NULL)
+         ORDER BY s_int NULLS FIRST, c""",
+      """SELECT s_int, c
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest) x
+         WHERE c IN (1, 2) AND (s_int > 0 OR s_int IS NULL)
+         ORDER BY s_int NULLS FIRST, c"""),
+
+    // array_sql_union_all: UNION ALL of two differently-typed unnest
+    // branches, normalized to strings, aggregated across the union
+    gu("q_qa_unnest_union_all",
+      """SELECT src, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT 'int' AS src, CAST(c AS STRING) AS c
+           FROM test_unnest, UNNEST(a_int) AS u(c)
+           UNION ALL
+           SELECT 'str' AS src, c FROM test_unnest, UNNEST(a_str) AS u(c)) z
+         GROUP BY src, c ORDER BY src, c NULLS FIRST""",
+      """SELECT src, c, count(*) AS cnt FROM (
+           SELECT 'int' AS src, CAST(c AS VARCHAR) AS c
+           FROM (SELECT unnest(a_int) AS c FROM test_unnest)
+           UNION ALL
+           SELECT 'str' AS src, c
+           FROM (SELECT unnest(a_str) AS c FROM test_unnest)) z
+         GROUP BY src, c ORDER BY src, c NULLS FIRST"""),
+
     // testUnnestWithGroupByOnExpression: grouping on an expression OF the
     // unnested column (NULL elements flow to a NULL expression group)
     gu("q_qa_unnest_group_expr",

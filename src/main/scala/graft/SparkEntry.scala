@@ -743,6 +743,32 @@ object SparkEntry {
     """
 
   private val tpchQuerySql: Map[String, String] = Map(
+    // Q01/Q06 DECIMAL variants: the reference's qaTpch runs through MSQ
+    // with DECIMAL semantics — these prove exact-decimal aggregation
+    // composes with the battery (no FLOOR, no rounding: the full-precision
+    // decimal sums must match to the last cent, rendered as strings so the
+    // compare is textual, not float-tolerant). Builds on q_agg_bigdecimal.
+    "q01_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS STRING) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= DATE '2001-12-01' - INTERVAL '90' DAY
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q06_decimal" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS STRING) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1996-01-01' + INTERVAL '1' YEAR
+           AND l_discount BETWEEN 0.03 - 0.01 AND 0.03 + 0.01
+           AND l_quantity < 24""",
+
     // TEST_ID Q01: pricing summary report
     "q01" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1946,6 +1972,12 @@ object SparkEntry {
     }),
     "q_tpch_q21" -> ((s, dir) => {
       Tables.registerAll(s, dir); s.sql(tpchSql("q21"))
+    }),
+    "q_tpch_q01_decimal" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q01_decimal"))
+    }),
+    "q_tpch_q06_decimal" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(tpchSql("q06_decimal"))
     }),
 
     "q_drill_window_const_args" -> ((s, dir) => {
@@ -5640,6 +5672,27 @@ object SparkEntry {
           round(col("rms"), 4).as("rms"),
           col("peak").cast("long").as("peak"))
         .orderBy(col("asset_id"))
+    }),
+
+    "q_multimodal_video" -> ((s, dir) => {
+      // REAL video frame sampling through the JDK's bundled GIF codec:
+      // synthesize a deterministic ANIMATED gif per doc (two closed-form
+      // solid colors per frame — exact through the 2-entry palette), decode
+      // every 2nd frame partition-parallel, and emit per-frame channel
+      // means — the oracle recomputes the same means arithmetically,
+      // proving encode→GIF→frame-decode is lossless through a real codec
+      val mk = udf((id: Long) =>
+        Multimodal.syntheticGif(id, (12 + id % 4).toInt, 8, (3 + id % 3).toInt))
+      val assets = t(s, dir)("documents").filter(col("doc_id") < 60)
+        .select(col("doc_id").as("asset_id"), mk(col("doc_id")).as("payload"))
+      Multimodal.sampleVideoFrames(assets, stride = 2)
+        .select(col("asset_id"), col("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy(col("asset_id"), col("frame_no"))
     })
   ) ++ QaSuites.queries
 
@@ -5684,6 +5737,8 @@ object SparkEntry {
     "q_tpch_q18" -> tpchSql("q18"),
     "q_tpch_q20" -> tpchSql("q20"),
     "q_tpch_q21" -> tpchSql("q21"),
+    "q_tpch_q01_decimal" -> tpchSql("q01_decimal"),
+    "q_tpch_q06_decimal" -> tpchSql("q06_decimal"),
     "q_drill_window_const_args" -> drillSql("const_args"),
     "q_drill_window_rank_orderby" -> drillSql("rank_orderby"),
     "q_sql_unnest_multi" ->
@@ -8175,6 +8230,24 @@ object SparkEntry {
                 CAST(list_max(list_transform(samples, s -> abs(s))) AS BIGINT)
                   AS peak
          FROM base ORDER BY asset_id""",
+
+    "q_multimodal_video" ->
+      """WITH frames AS (
+           SELECT doc_id,
+                  CAST(12 + doc_id % 4 AS BIGINT) AS w,
+                  unnest(range(0, CAST(3 + doc_id % 3 AS BIGINT), 2)) AS f
+           FROM documents WHERE doc_id < 60)
+         SELECT doc_id AS asset_id,
+                CAST(f AS BIGINT) AS frame_no,
+                w AS width,
+                CAST(8 AS BIGINT) AS height,
+                round(((w // 2) * CAST((f * 29 + doc_id) % 256 AS DOUBLE)
+                  + (w - w // 2) * ((f * 13 + doc_id * 5) % 256)) / w, 4) AS mean_r,
+                round(((w // 2) * CAST((f * 47 + doc_id * 3) % 256 AS DOUBLE)
+                  + (w - w // 2) * ((f * 59 + doc_id) % 256)) / w, 4) AS mean_g,
+                round(((w // 2) * CAST((f * 71 + doc_id * 7) % 256 AS DOUBLE)
+                  + (w - w // 2) * ((f * 23 + doc_id * 9) % 256)) / w, 4) AS mean_b
+         FROM frames ORDER BY asset_id, frame_no""",
 
     "q_text_profile" ->
       """WITH base AS (

@@ -35,7 +35,15 @@ object JdbcApi {
   val ConnectionIdleTimeoutMs: Long = 5L * 60 * 1000
 
   final case class ColumnMeta(name: String, sqlType: String, nullable: Boolean)
-  final case class Signature(columns: Seq[ColumnMeta], parameterCount: Int)
+
+  /** `parameterTypes` is the per-placeholder SQL type, inferred at prepare
+    * like the reference's Calcite-derived parameter signature
+    * (`DruidJdbcPreparedStatement` returns `AvaticaParameter`s typed from
+    * the validated rel); placeholders whose type the scan cannot determine
+    * report OTHER, and the execute-time typed value decides.
+    */
+  final case class Signature(columns: Seq[ColumnMeta], parameterCount: Int,
+      parameterTypes: Seq[String] = Nil)
   final case class Frame(offset: Long, done: Boolean, rows: Seq[Row])
 
   final class StatementClosed(msg: String) extends IllegalStateException(msg)
@@ -132,28 +140,31 @@ object JdbcApi {
 
   /** Prepared statement (reference `DruidJdbcPreparedStatement.prepare`):
     * plans the query NOW — invalid SQL fails here, not at execute — and
-    * returns the signature. Parameter types are not inferred (the reference
-    * returns them from Calcite; here every placeholder reports OTHER and the
-    * execute-time typed value decides).
+    * returns the signature, including per-placeholder parameter types
+    * inferred from the placeholder's syntactic context resolved against the
+    * registered table schemas (the facade analog of the reference's
+    * Calcite-validated parameter row type).
     */
   def prepareStatement(spark: SparkSession, dir: String, connectionId: String,
       sql: String): (Int, Signature) = {
     val c = conn(connectionId)
     val nParams = countPlaceholders(sql)
+    val pTypes = inferParameterTypes(spark, dir, sql)
     // INSERT/REPLACE must NOT run at prepare (SqlApi.run executes ingest
     // statements eagerly — a DML prepare would write, then execute would
     // write again). Like the reference, a DML signature is just its
     // parameter metadata; columns come from execute.
     val sig =
-      if (SqlApi.ingestTarget(sql).isDefined) Signature(Nil, nParams)
+      if (SqlApi.ingestTarget(sql).isDefined) Signature(Nil, nParams, pTypes)
       else {
-        // plan with NULL stand-ins for placeholders: schema derivation
-        // without execution, the reference's prepare-only Calcite pass
+        // plan with typed stand-ins for placeholders (values irrelevant —
+        // nothing executes): schema derivation without execution, the
+        // reference's prepare-only Calcite pass. A NULL stand-in would
+        // reject positions that demand a concrete type (LIMIT ?).
         val planned = runPayload(spark, dir, sql,
-          Seq.fill(nParams)(JObject("type" -> JString("OTHER"), "value" -> JNull)),
-          c.context)
+          pTypes.map(standIn), c.context)
         Signature(planned.schema.fields.toSeq.map(f =>
-          ColumnMeta(f.name, f.dataType.sql, f.nullable)), nParams)
+          ColumnMeta(f.name, f.dataType.sql, f.nullable)), nParams, pTypes)
       }
     val s = allocStatement(c, Some(sql))
     s.signature = Some(sig)
@@ -310,6 +321,142 @@ object JdbcApi {
     case l: Long    => JLong(l)
     case d: Double  => JDouble(d)
     case other      => JString(other.toString)
+  }
+
+  // ------------------------------------------- parameter-type inference --
+
+  /** Infer each `?` placeholder's SQL type from its syntactic context,
+    * resolving column identifiers against the registered table schemas —
+    * the facade analog of the reference's Calcite parameter-row derivation
+    * (`DruidJdbcPreparedStatement` signature contract). Handled contexts:
+    * `CAST(? AS T)`, comparison against a column or literal (either side),
+    * `[NOT] LIKE ?`, `BETWEEN ? AND ?`, `LIMIT ?`/`OFFSET ?`. Anything
+    * else reports OTHER (the execute-time typed value decides, as before).
+    */
+  private[graft] def inferParameterTypes(spark: SparkSession, dir: String,
+      sql: String): Seq[String] = {
+    graft.Tables.registerAll(spark, dir)
+    val toks = lex(sql)
+    def up(i: Int): String =
+      if (i >= 0 && i < toks.length) toks(i).toUpperCase else ""
+    // name → SQL type over every identifier in the text that names a
+    // readable table/view (unqualified column match, first table wins —
+    // the same best-effort a JDBC client gets from sparse metadata)
+    val colType: Map[String, String] = toks
+      .filter(t => t.nonEmpty && (t.head.isLetter || t.head == '_'))
+      .distinct
+      .flatMap(t => scala.util.Try(spark.table(t).schema).toOption)
+      .flatMap(_.fields)
+      .groupBy(_.name.toLowerCase)
+      .map { case (n, fs) => n -> sqlTypeName(fs.head.dataType) }
+    val cmp = Set("=", "<", ">", "<=", ">=", "<>", "!=", "LIKE", "IN")
+    def operandType(i: Int): Option[String] = {
+      if (i < 0 || i >= toks.length) return None
+      val t = toks(i)
+      if (t.startsWith("'")) Some("VARCHAR")
+      else if (t.headOption.exists(_.isDigit))
+        Some(if (t.exists(c => c == '.' || c == 'e' || c == 'E')) "DOUBLE"
+             else "BIGINT")
+      else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE"))
+        Some("BOOLEAN")
+      else if (t.nonEmpty && (t.head.isLetter || t.head == '_'))
+        colType.get(t.split('.').last.toLowerCase)
+      else None
+    }
+    toks.zipWithIndex.collect { case ("?", i) =>
+      val inferred: Option[String] =
+        if (up(i + 1) == "AS" && up(i - 1) == "(" && up(i - 2) == "CAST")
+          Some(up(i + 2))
+        else if (cmp.contains(up(i - 1)))
+          // `col op ?` (also reaches through NOT LIKE: toks(i-1)=LIKE)
+          operandType(if (up(i - 2) == "NOT") i - 3 else i - 2)
+        else if (cmp.contains(up(i + 1)))
+          operandType(i + 2)
+        else if (up(i - 1) == "BETWEEN")
+          operandType(if (up(i - 2) == "NOT") i - 3 else i - 2)
+        else if (up(i - 1) == "AND" && (up(i - 3) == "BETWEEN" ||
+                 (up(i - 3) == "?" && up(i - 4) == "BETWEEN")))
+          // second bound of BETWEEN ? AND ? / BETWEEN x AND ?
+          operandType(if (up(i - 4) == "BETWEEN") i - 5 else i - 4)
+        else if (up(i - 1) == "LIMIT" || up(i - 1) == "OFFSET")
+          Some("BIGINT")
+        else None
+      inferred.getOrElse("OTHER")
+    }
+  }
+
+  /** Benign typed placeholder stand-in for prepare-time planning. */
+  private def standIn(sqlType: String): JValue = sqlType match {
+    case "BIGINT"    => JObject("type" -> JString("BIGINT"), "value" -> JLong(0L))
+    case "DOUBLE" | "DECIMAL" =>
+      JObject("type" -> JString("DOUBLE"), "value" -> JDouble(0.0))
+    case "VARCHAR"   => JObject("type" -> JString("VARCHAR"), "value" -> JString(""))
+    case "BOOLEAN"   => JObject("type" -> JString("BOOLEAN"), "value" -> JBool(false))
+    case "TIMESTAMP" => JObject("type" -> JString("TIMESTAMP"), "value" -> JLong(0L))
+    case "DATE"      => JObject("type" -> JString("DATE"), "value" -> JString("1970-01-01"))
+    case _           => JObject("type" -> JString("OTHER"), "value" -> JNull)
+  }
+
+  private def sqlTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "VARCHAR"
+      case LongType | IntegerType | ShortType | ByteType => "BIGINT"
+      case DoubleType | FloatType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case _: DecimalType => "DECIMAL"
+      case _ => "OTHER"
+    }
+  }
+
+  /** Minimal SQL lexer feeding the parameter-type scan: identifiers
+    * (qualified names kept whole), numbers, string literals (kept quoted),
+    * multi-char comparison operators, single-char punctuation. Comments and
+    * double-quoted identifiers follow [[countPlaceholders]]'s rules.
+    */
+  private[graft] def lex(sql: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val sb = new StringBuilder("'")
+        i += 1
+        while (i < sql.length && sql.charAt(i) != '\'') { sb.append(sql.charAt(i)); i += 1 }
+        i += 1; sb.append('\'')
+        out += sb.toString
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < sql.length && sql.charAt(i) != '"') { sb.append(sql.charAt(i)); i += 1 }
+        i += 1
+        out += sb.toString // a quoted identifier token
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val nl = sql.indexOf('\n', i); i = if (nl < 0) sql.length else nl + 1
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2); i = if (end < 0) sql.length else end + 2
+      } else if (c.isLetter || c == '_') {
+        val sb = new StringBuilder
+        while (i < sql.length && (sql.charAt(i).isLetterOrDigit ||
+               sql.charAt(i) == '_' || sql.charAt(i) == '.')) {
+          sb.append(sql.charAt(i)); i += 1
+        }
+        out += sb.toString
+      } else if (c.isDigit) {
+        val sb = new StringBuilder
+        while (i < sql.length && (sql.charAt(i).isLetterOrDigit ||
+               sql.charAt(i) == '.')) { sb.append(sql.charAt(i)); i += 1 }
+        out += sb.toString
+      } else if ((c == '<' || c == '>' || c == '!') && i + 1 < sql.length &&
+                 (sql.charAt(i + 1) == '=' || sql.charAt(i + 1) == '>')) {
+        out += s"$c${sql.charAt(i + 1)}"; i += 2
+      } else if (!c.isWhitespace) {
+        out += c.toString; i += 1
+      } else i += 1
+    }
+    out.result()
   }
 
   /** Count `?` placeholders outside quoted regions and line comments —

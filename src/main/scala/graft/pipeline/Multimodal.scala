@@ -242,19 +242,115 @@ object Multimodal {
       md5(col("payload")).as("checksum"),
       stubDecodeFeatures(col("payload"), dim).as("features"))
 
-  /** "Frame sampling" stub for video-like payloads: slice the payload into
-    * fixed-size chunks and keep every `stride`-th — the partition-parallel
-    * slicing/fanout shape of real frame extraction.
+  /** REAL video frame sampling through a real bundled codec: multi-frame
+    * GIF is the one video-like container the stock JDK can both write and
+    * read (`javax.imageio`'s GIF plugin exposes `getNumImages`/`read(i)`),
+    * so frame extraction here is an actual decode, not byte slicing.
+    * Per-partition `mapPartitions`; every `stride`-th frame is decoded and
+    * reduced to (frame_no, width, height, per-channel means) — the
+    * decode-then-feature shape of real video sampling, where only the small
+    * per-frame features ever shuffle. Undecodable payloads contribute zero
+    * frames instead of failing the batch (same error contract as the image
+    * path). Swap the ImageIO reader for an FFmpeg binding at deployment —
+    * the schema, sampling and partition-parallel shape stay identical.
     */
-  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    assets.select(col("asset_id"),
-      posexplode(
-        filter(
-          transform(sequence(lit(0), (length(col("payload")) / frameBytes).cast("int")),
-            i => when(pmod(i, lit(stride)) === 0,
-              substring(base64(col("payload")), 1, 8)).otherwise(null)),
-          f => f.isNotNull))
-        .as(Seq("frame_no", "frame_sig")))
+  def sampleVideoFrames(assets: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select(col("asset_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        try {
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) { in.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).iterator.map { f =>
+                val img = reader.read(f)
+                val w = img.getWidth; val h = img.getHeight
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                    sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val np = w.toLong * h
+                org.apache.spark.sql.Row(id, f.toLong, w, h,
+                  sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+              }.toVector
+            } finally { reader.dispose(); in.close() }
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }(enc)
+  }
+
+  /** Fixture-side counterpart of [[syntheticPng]]/[[syntheticWav]] for
+    * video: a deterministic ANIMATED GIF whose every frame is two solid
+    * half-frames with closed-form colors in (frame, id) — an exact 2-entry
+    * palette per frame, so the lossy-looking GIF quantizer is exact and an
+    * oracle can recompute the decoded per-frame channel means
+    * arithmetically. Left `w/2` columns get color A(f,id), the rest color
+    * B(f,id):
+    * A = ((f*29+id)%256, (f*47+id*3)%256, (f*71+id*7)%256),
+    * B = ((f*13+id*5)%256, (f*59+id)%256, (f*23+id*9)%256).
+    */
+  def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val ar = ((f * 29 + id) % 256).toInt
+      val ag = ((f * 47 + id * 3) % 256).toInt
+      val ab = ((f * 71 + id * 7) % 256).toInt
+      val br = ((f * 13 + id * 5) % 256).toInt
+      val bg = ((f * 59 + id) % 256).toInt
+      val bb = ((f * 23 + id * 9) % 256).toInt
+      // explicit 2-color indexed model — the GIF palette holds exactly our
+      // colors, so decode returns them bit-exact
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array(ar.toByte, br.toByte), Array(ag.toByte, bg.toByte),
+        Array(ab.toByte, bb.toByte))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, if (x < w / 2) 0 else 1); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
 
   /** Batched decode via `mapPartitions` — the Scala analog of the
     * mapInPandas/mapInArrow batch contract: the decoder receives an

@@ -36,6 +36,36 @@ class JdbcApiSpec extends AnyFunSuite {
     } finally JdbcApi.closeConnection("c-prep")
   }
 
+  test("prepare infers typed parameter metadata (reference Calcite signature contract)") {
+    JdbcApi.openConnection("c-ptype")
+    try {
+      val (id, sig) = JdbcApi.prepareStatement(spark, dir, "c-ptype",
+        """SELECT o_orderkey FROM orders
+           WHERE o_custkey > ? AND o_orderstatus = ? AND o_orderdate < ?
+             AND o_orderpriority LIKE ?
+             AND o_totalprice BETWEEN ? AND ?
+             AND o_orderkey = CAST(? AS BIGINT)
+           LIMIT ?""")
+      assert(sig.parameterCount == 8)
+      assert(sig.parameterTypes == Seq(
+        "BIGINT",     // o_custkey >
+        "VARCHAR",    // o_orderstatus =
+        "TIMESTAMP",  // o_orderdate <
+        "VARCHAR",    // LIKE
+        "DOUBLE",     // BETWEEN ? (o_totalprice)
+        "DOUBLE",     // AND ? (second bound)
+        "BIGINT",     // CAST(? AS BIGINT)
+        "BIGINT"),    // LIMIT ?
+        sig.parameterTypes.toString)
+      JdbcApi.closeStatement("c-ptype", id)
+      // unresolvable context degrades to OTHER, never an error
+      val (id2, sig2) = JdbcApi.prepareStatement(spark, dir, "c-ptype",
+        "SELECT coalesce(?, n_name) AS x FROM nation")
+      assert(sig2.parameterTypes == Seq("OTHER"))
+      JdbcApi.closeStatement("c-ptype", id2)
+    } finally JdbcApi.closeConnection("c-ptype")
+  }
+
   test("execute binds typed parameters and is re-executable") {
     JdbcApi.openConnection("c-exec")
     try {

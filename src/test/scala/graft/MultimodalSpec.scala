@@ -46,13 +46,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("frame sampling keeps every stride-th chunk") {
-    val frames = Multimodal.sampleFrames(assets.limit(10), frameBytes = 50, stride = 2)
-    assert(frames.count() > 0)
-    assert(frames.columns.toSeq == Seq("asset_id", "frame_no", "frame_sig"))
-    // stride 2 halves the frame count vs stride 1
-    val all = Multimodal.sampleFrames(assets.limit(10), frameBytes = 50, stride = 1)
-    assert(frames.count() <= all.count())
+  test("video frame sampling decodes every stride-th GIF frame through a real codec") {
+    import spark.implicits._
+    // 4 assets, 5 frames each, 10x6 px: the closed-form two-color frames
+    // round-trip exactly through the GIF palette
+    val vids = (0L until 4L).map(id =>
+      (id, Multimodal.syntheticGif(id, 10, 6, 5))).toDF("asset_id", "payload")
+    val all = Multimodal.sampleVideoFrames(vids, stride = 1)
+    assert(all.count() == 4 * 5)
+    assert(all.columns.toSeq == Seq("asset_id", "frame_no", "width", "height",
+      "mean_r", "mean_g", "mean_b"))
+    // stride 2 keeps frames 0,2,4
+    val sampled = Multimodal.sampleVideoFrames(vids, stride = 2)
+    assert(sampled.count() == 4 * 3)
+    assert(sampled.select("frame_no").distinct().orderBy("frame_no")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L))
+    // decoded means equal the closed-form colors: left 5 cols = A, right 5 = B
+    val r = all.filter(col("asset_id") === 2L && col("frame_no") === 3L).head()
+    val id = 2L; val f = 3L
+    def m(a: Long, b: Long) = (5 * a + 5 * b) / 10.0
+    assert(r.getInt(2) == 10 && r.getInt(3) == 6)
+    assert(r.getDouble(4) == m((f * 29 + id) % 256, (f * 13 + id * 5) % 256))
+    assert(r.getDouble(5) == m((f * 47 + id * 3) % 256, (f * 59 + id) % 256))
+    assert(r.getDouble(6) == m((f * 71 + id * 7) % 256, (f * 23 + id * 9) % 256))
+    // garbage payloads contribute zero frames, not a dead job
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload")
+    assert(Multimodal.sampleVideoFrames(bad).count() == 0)
   }
 
   test("partition-batched decode is deterministic and partition-insensitive") {
