@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.DruidFunctions
 import graft.operators.{Joins, NativeQueries => NQ, PostProcessing}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingIngest
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle) per implemented
@@ -1416,6 +1416,25 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q_session_window" -> ((s, dir) => {
+      // Spark-NATIVE session windows (the session_window grouping function
+      // — the idiomatic scale path for sessionization: one gap-merging
+      // aggregation, no lag+running-sum window pair like q_sessionize):
+      // 30-minute gap, per-user session aggregates; the oracle rebuilds the
+      // same sessions with the classic gaps-and-islands formulation.
+      // Spark opens a NEW session when the gap >= the duration (the
+      // previous session's half-open [start, last+gap) end excludes it).
+      t(s, dir)("events").filter(col("user_id") < 40)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")), 3).cast("double")
+            .as("sum_v"))
+        .select(col("user_id"),
+          date_trunc("second", col("session_window.start")).as("session_start"),
+          col("n_events"), col("sum_v"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "q_timewarp" -> ((s, dir) => {
       // timewarp post-processing (reference TimewarpOperator): answer a
       // "this week" query from last week's complete data — query the
@@ -2781,6 +2800,23 @@ object SparkEntry {
           AND ts < TIMESTAMP '2024-01-20 00:00:00'
         GROUP BY FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5
         ORDER BY bucket ASC LIMIT 101""")
+    }),
+
+    "q_qa_kttm_stackarea" -> ((s, dir) => {
+      // kttm_Stackarea drill-in: the 2-D stacked series — hour bucket ×
+      // numeric bin (FLOOR(x/w)*w) under BOTH a time-range and a bin-range
+      // filter, exactly the generated console shape
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT date_trunc('hour', ts) AS h,
+               FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-12 00:00:00'
+          AND CAST(value AS DOUBLE) >= 0.5 AND CAST(value AS DOUBLE) < 3.0
+        GROUP BY 1, 2
+        ORDER BY h, bin""")
     }),
 
     "q_qa_kttm_heatmap" -> ((s, dir) => {
@@ -4381,6 +4417,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_sample_cap_per_key" -> ((s, dir) => {
+      // per-key quota cap (Dolma/C4-style per-domain document caps): at
+      // most 5 docs per source, deterministic by doc_id — a single
+      // key-shuffled window, the standard anti-domination pass at 100 TB
+      Sampling.capPerKey(t(s, dir)("documents"), "source", 5, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"))
     }),
 
     "q_dedup_families" -> ((s, dir) => {
@@ -6311,6 +6359,45 @@ object SparkEntry {
                 max(n_events) AS longest_session
          FROM per_session GROUP BY user_id
          HAVING count(*) >= 3 ORDER BY user_id""",
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 40),
+         x AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id,
+                date_trunc('second', min(ts)) AS session_start,
+                count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS sum_v
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
+    "q_sample_cap_per_key" ->
+      """SELECT source, count(*) AS n_kept,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 5 GROUP BY source ORDER BY source""",
+
+    "q_qa_kttm_stackarea" ->
+      """SELECT date_trunc('hour', ts) AS h,
+                FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-12 00:00:00'
+           AND CAST(value AS DOUBLE) >= 0.5 AND CAST(value AS DOUBLE) < 3.0
+         GROUP BY 1, 2
+         ORDER BY h, bin""",
 
     "q_timewarp" ->
       """SELECT date_trunc('day', ts) + INTERVAL 7 DAY AS bucket,

@@ -594,6 +594,70 @@ object DruidFunctions {
         require(args.size == 1, "notnull(expr)")
         org.apache.spark.sql.catalyst.expressions.IsNotNull(args.head)
       }),
+      // reference native-expression `timestamp(str[, format])` →
+      // epoch MILLIS as LONG (math/expr/Function.java
+      // TimestampFromEpochFunc:3189 — ISO parse without a format; errors on
+      // unparseable input, unlike TIME_PARSE's NULL contract)
+      "timestamp" -> ((args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{GetTimestamp, IntegralDivide, UnixMicros}
+        import org.apache.spark.sql.types.TimestampType
+        import org.apache.spark.unsafe.types.UTF8String
+        require(args.size == 1 || args.size == 2,
+          s"timestamp(str[, format]), got ${args.size} args")
+        val parsed: Expression =
+          if (args.size == 2) {
+            val p = literalString(args(1), "timestamp format").getOrElse(
+              throw new IllegalArgumentException("timestamp format must not be null"))
+            GetTimestamp(args.head,
+              Literal(UTF8String.fromString(p), StringType), TimestampType,
+              "timestamp", None, true)
+          } else Cast(args.head, TimestampType)
+        Cast(IntegralDivide(UnixMicros(parsed), Literal(1000L, LongType)), LongType)
+      }),
+      // reference `subtract_months(leftMillis, rightMillis, tz)` →
+      // Joda whole-months from right to left in the zone's calendar
+      // (Function.java SubMonthFunc:3259 / DateTimes.subMonths:176 —
+      // monthsBetween truncates toward zero, with clamped month addition:
+      // Jan 31 + 1 month lands on Feb's last day)
+      "subtract_months" -> ((args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, FromUTCTimestamp, GreaterThan, GreaterThanOrEqual, LessThan, MakeYMInterval, Month, Multiply, Subtract, TimestampAddYMInterval, UnaryMinus, Year}
+        import org.apache.spark.unsafe.types.UTF8String
+        require(args.size == 2 || args.size == 3,
+          s"subtract_months(l, r[, tz]), got ${args.size} args")
+        // 2-arg convenience arity (timestamp, n) → timestamp shifted back n
+        // months (the engine's original SQL-macro behavior, kept for
+        // back-compat); 3-arg is the reference's months-count form
+        if (args.size == 2)
+          TimestampAddYMInterval(args(0),
+            MakeYMInterval(Literal(0), UnaryMinus(Cast(args(1),
+              org.apache.spark.sql.types.IntegerType))))
+        else {
+        val tz = literalString(args(2), "subtract_months timezone").getOrElse("UTC")
+        def wall(e: Expression): Expression = {
+          val ts = org.apache.spark.sql.catalyst.expressions.MillisToTimestamp(
+            Cast(e, LongType))
+          if (tz == "UTC" || tz == "Etc/UTC") ts
+          else FromUTCTimestamp(ts, Literal(UTF8String.fromString(tz), StringType))
+        }
+        val l = wall(args(0)); val r = wall(args(1))
+        // candidate = calendar-field month difference; Joda truncation:
+        // step r forward by n0 months (clamped) and back off by one if it
+        // overshoots l (symmetric for the negative direction)
+        val n0 = Add(
+          Multiply(Subtract(Year(l), Year(r)), Literal(12)),
+          Subtract(Month(l), Month(r)))
+        def shifted(n: Expression): Expression =
+          TimestampAddYMInterval(r, MakeYMInterval(Literal(0), n))
+        Cast(CaseWhen(Seq(
+          (org.apache.spark.sql.catalyst.expressions.And(
+            GreaterThanOrEqual(n0, Literal(0)), GreaterThan(shifted(n0), l)),
+            Subtract(n0, Literal(1))),
+          (org.apache.spark.sql.catalyst.expressions.And(
+            LessThan(n0, Literal(0)), LessThan(shifted(n0), l)),
+            Add(n0, Literal(1)))),
+          Some(n0)), LongType)
+        }
+      }),
       // SQL TIME_FLOOR with the full reference arity (period/origin/tz);
       // replaces the old 2-arg SQL macro — same semantics for 2 args
       "time_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
@@ -799,9 +863,8 @@ object DruidFunctions {
       "CONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN contains(s, n)",
       "ICONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN " +
         "contains(lower(s), lower(n))",
-      // (PARSE_LONG lives in catalystBuilders above: optional-radix arity)
-      "SUBTRACT_MONTHS(t TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN " +
-        "t - make_ym_interval(0, n)",
+      // (PARSE_LONG and SUBTRACT_MONTHS live in catalystBuilders above:
+      // optional-radix / dual-arity forms)
       // integer division like the reference's div: Java long division
       // (truncate toward zero). x DIV y is Spark's integral divide — a
       // double-division floor() would lose precision past 2^53 and round

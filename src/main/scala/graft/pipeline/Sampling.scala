@@ -43,6 +43,23 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(unitHashFor(df, keyCol) < lit(rate))
 
+  /** Per-key quota cap — the Dolma/C4-style "cap documents per domain"
+    * pass that keeps any one crawl host from dominating the training mix:
+    * keep at most `maxPerKey` rows per key, chosen deterministically by
+    * `orderCols`. One shuffle on the key (the window's partitioning);
+    * row_number short-circuits per partition, so at 100 TB the cost is the
+    * one key-shuffle regardless of how skewed the biggest domain is.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, maxPerKey: Int,
+                orderCols: Seq[String]): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= maxPerKey)
+      .drop("__cap_rn")
+  }
+
   /** Stratified sampling: per-stratum keep rates (dataset mixing — e.g.
     * downsample web crawl to 10%, keep all code). Strata absent from
     * `rates` fall back to `defaultRate`.

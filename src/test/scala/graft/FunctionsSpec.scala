@@ -208,6 +208,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(10) == "-1.23 G")
   }
 
+  test("timestamp()/subtract_months() native-expression functions match the reference") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT TIMESTAMP('2024-03-07 01:02:03'),
+                TIMESTAMP('07/03/2024', 'dd/MM/yyyy'),
+                SUBTRACT_MONTHS(TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-03-31 00:00:00'),
+                                TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-01-31 00:00:00'), 'UTC'),
+                SUBTRACT_MONTHS(TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-03-30 00:00:00'),
+                                TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-01-31 00:00:00'), 'UTC'),
+                SUBTRACT_MONTHS(TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-02-29 00:00:00'),
+                                TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-01-31 00:00:00'), 'UTC'),
+                SUBTRACT_MONTHS(TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-01-31 00:00:00'),
+                                TIMESTAMP_TO_MILLIS(TIMESTAMP '2024-03-15 00:00:00'), 'UTC')""")
+      .head()
+    assert(r.getLong(0) == 1709773323000L)   // epoch millis, LONG like ref
+    assert(r.getLong(1) == 1709769600000L)   // patterned parse
+    assert(r.getLong(2) == 2L)               // Jan 31 → Mar 31 = 2 whole months
+    // Jan 31 + 2 clamped months = Mar 31 > Mar 30 → truncates to 1 (Joda)
+    assert(r.getLong(3) == 1L)
+    // Jan 31 + 1 clamped month = Feb 29 (leap) → exactly reached → 1
+    assert(r.getLong(4) == 1L)
+    // negative direction truncates toward zero: Mar 15 → Jan 31 = -1
+    assert(r.getLong(5) == -1L)
+  }
+
   test("TIME_PARSE with pattern returns NULL on unparseable input (both arities agree)") {
     // reference TimestampParseExprMacro catches parse failures → NULL; the
     // patterned arity must not ANSI-error where the no-pattern arity TRYs
@@ -631,6 +656,24 @@ class FunctionsSpec extends AnyFunSuite {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .filter(col("id") < 10000)
     assert(s1.exceptAll(bigger).isEmpty)
+  }
+
+  test("capPerKey keeps at most N per key, deterministically by order") {
+    import graft.pipeline.Sampling
+    val df = (0 until 100).map(i => (s"dom${i % 3}", i.toLong)).toDF("dom", "id")
+    val capped = Sampling.capPerKey(df, "dom", 7, Seq("id"))
+    val byDom = capped.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom.values.forall(_ == 7), byDom.toString)
+    // deterministic: the kept rows are the LOWEST ids per key
+    val kept = capped.filter(col("dom") === "dom0")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L, 6L, 9L, 12L, 15L, 18L))
+    // a key under the cap keeps everything
+    val small = (0 until 3).map(i => ("only", i.toLong)).toDF("dom", "id")
+    assert(Sampling.capPerKey(small, "dom", 7, Seq("id")).count() == 3)
+    // helper column does not leak
+    assert(capped.columns.toSeq == Seq("dom", "id"))
   }
 
   test("Sampling dispatches string keys through xxhash64 (no silent empty sample)") {
