@@ -3333,6 +3333,102 @@ object SparkEntry {
         WHERE rk <= 3 ORDER BY cli, rk, srv, tz, t12""")
     }),
 
+    // orderby DESC families: value-offset RANGE frames over a DESCENDING
+    // numeric key — "preceding" walks toward larger values
+    "q_qa_win_desc_range" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv DESC
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1p,
+               first_value(srv) OVER (PARTITION BY cli ORDER BY srv DESC) AS fv_desc,
+               last_value(srv) OVER (PARTITION BY cli ORDER BY srv DESC
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS lv_peer_desc
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // basics_window_and_aggr: window aggregates whose ARGUMENTS are
+    // expressions (arithmetic, CASE, function calls) — not bare columns
+    "q_qa_win_expr_args" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n * 2 + 1) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12) AS BIGINT) AS s_arith,
+               CAST(sum(CASE WHEN srv = 0 THEN n ELSE 0 END) OVER (
+                 PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS s_case,
+               CAST(max(length(tz) + srv) OVER (PARTITION BY cli) AS BIGINT) AS m_fn
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // sql_subquery_with_where pagination idiom: global row_number paged
+    // with BETWEEN in the outer query
+    "q_qa_win_pagination" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT * FROM (
+          SELECT cli, srv, tz, t12,
+                 CAST(row_number() OVER (ORDER BY cli, srv, tz, t12) AS BIGINT) AS rn
+          FROM w) x
+        WHERE rn BETWEEN 6 AND 15 ORDER BY rn""")
+    }),
+
+    // LEAD/LAG with typed defaults (string default, zero offset ≡ current
+    // row, timestamp argument)
+    "q_qa_win_lead_lag_typed" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               lead(tz, 1, 'none') OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12) AS next_tz,
+               lag(tz, 0) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12) AS self_tz,
+               lag(t12, 2) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12) AS t12_back2
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // stacked windows: an outer window over an inner window's output
+    // (rank of running sums)
+    "q_qa_win_stacked" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase),
+        inner_w AS (
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+          FROM w)
+        SELECT srv, cli, tz, t12, run,
+               CAST(rank() OVER (PARTITION BY cli ORDER BY run DESC, srv, tz, t12)
+                 AS BIGINT) AS run_rank,
+               CAST(sum(run) OVER (PARTITION BY cli) AS BIGINT) AS run_total
+        FROM inner_w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // tie-heavy rank fractions: percent_rank/cume_dist where the whole
+    // partition can be one tie class
+    "q_qa_win_tie_fractions" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               round(percent_rank() OVER (PARTITION BY cli ORDER BY srv), 6) AS pr,
+               round(cume_dist() OVER (PARTITION BY cli ORDER BY srv), 6) AS cd,
+               CAST(dense_rank() OVER (PARTITION BY cli ORDER BY srv) AS BIGINT) AS dr
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
     // basics_group_by: a window ranking GROUP BY aggregates, under HAVING
     "q_qa_win_group_by_having" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -7271,6 +7367,66 @@ object SparkEntry {
                    round(cume_dist() OVER (PARTITION BY cli ORDER BY srv, tz, t12), 6) AS cd
             FROM w) x
           WHERE rk <= 3 ORDER BY cli, rk, srv, tz, t12""",
+
+    "q_qa_win_desc_range" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv DESC
+                   RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_1p,
+                 first_value(srv) OVER (PARTITION BY cli ORDER BY srv DESC) AS fv_desc,
+                 last_value(srv) OVER (PARTITION BY cli ORDER BY srv DESC
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS lv_peer_desc
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_expr_args" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n * 2 + 1) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS BIGINT) AS s_arith,
+                 CAST(sum(CASE WHEN srv = 0 THEN n ELSE 0 END) OVER (
+                   PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS s_case,
+                 CAST(max(length(tz) + srv) OVER (PARTITION BY cli) AS BIGINT) AS m_fn
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_pagination" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT * FROM (
+            SELECT cli, srv, tz, t12,
+                   CAST(row_number() OVER (ORDER BY cli, srv, tz, t12) AS BIGINT) AS rn
+            FROM w) x
+          WHERE rn BETWEEN 6 AND 15 ORDER BY rn""",
+
+    "q_qa_win_lead_lag_typed" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 lead(tz, 1, 'none') OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS next_tz,
+                 lag(tz, 0) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS self_tz,
+                 lag(t12, 2) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS t12_back2
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_stacked" ->
+      s"""WITH w AS ($winDuckBase),
+          inner_w AS (
+            SELECT srv, cli, tz, t12,
+                   CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+            FROM w)
+          SELECT srv, cli, tz, t12, run,
+                 CAST(rank() OVER (PARTITION BY cli ORDER BY run DESC, srv, tz, t12)
+                   AS BIGINT) AS run_rank,
+                 CAST(sum(run) OVER (PARTITION BY cli) AS BIGINT) AS run_total
+          FROM inner_w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_tie_fractions" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 round(percent_rank() OVER (PARTITION BY cli ORDER BY srv), 6) AS pr,
+                 round(cume_dist() OVER (PARTITION BY cli ORDER BY srv), 6) AS cd,
+                 CAST(dense_rank() OVER (PARTITION BY cli ORDER BY srv) AS BIGINT) AS dr
+          FROM w ORDER BY cli, srv, tz, t12""",
 
     "q_qa_win_group_by_having" ->
       s"""WITH w AS ($winDuckBase)

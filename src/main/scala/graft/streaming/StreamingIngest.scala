@@ -246,6 +246,35 @@ object StreamingIngest {
              joinExpr: Column, joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), joinExpr, joinType)
 
+  /** Stream-stream INTERVAL join — funnel attribution (click → purchase
+    * within a horizon), a Spark Structured Streaming capability beyond the
+    * reference's stream model (its joins are stream × broadcast only).
+    * Both sides carry watermarks; the time-range predicate
+    * `left.time <= right.time < left.time + horizon` bounds the join state,
+    * so Spark evicts buffered rows once the watermark passes
+    * `time + horizon` — O(in-horizon rows) state, not O(stream). At 100 TB
+    * rates the state is horizon-bounded per key and the join shuffles both
+    * sides on the key once, exactly like the batch equi-join it must equal
+    * on closed data (StreamingSpec pins that equality).
+    *
+    * @param left       the triggering stream (e.g. clicks)
+    * @param right      the outcome stream (e.g. purchases)
+    * @param keyCol     equi-join key on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param horizon    attribution window, e.g. "30 minutes"
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTime: String, rightTime: String,
+                   horizon: String): DataFrame = {
+    val l = left.withWatermark(leftTime, horizon).alias("l")
+    val r = right.withWatermark(rightTime, horizon).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTime") >= col(s"l.$leftTime") &&
+        col(s"r.$rightTime") < col(s"l.$leftTime") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Bounded one-pass micro-batch run of the standard rollup (memory sink,
     * AvailableNow), returning the rolled-up table for oracle comparison.
     */

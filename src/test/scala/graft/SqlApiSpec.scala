@@ -684,6 +684,31 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("qaWin negative corpus: NTILE and NTH_VALUE argument bounds") {
+    // basics_window_funcs error battery: NTILE requires a positive bucket
+    // count and NTH_VALUE a positive offset — rejected, not silently NULL
+    graft.Tables.registerAll(spark, dir)
+    intercept[Exception] {
+      spark.sql(
+        "SELECT NTILE(0) OVER (ORDER BY n_nationkey) FROM nation").collect()
+    }
+    intercept[Exception] {
+      spark.sql(
+        "SELECT NTILE(-3) OVER (ORDER BY n_nationkey) FROM nation").collect()
+    }
+    intercept[Exception] {
+      spark.sql(
+        """SELECT NTH_VALUE(n_name, 0) OVER (ORDER BY n_nationkey)
+           FROM nation""").collect()
+    }
+    // a non-literal NTILE bucket count is likewise rejected at analysis
+    intercept[Exception] {
+      spark.sql(
+        """SELECT NTILE(n_regionkey) OVER (ORDER BY n_nationkey)
+           FROM nation""").collect()
+    }
+  }
+
   test("query laning: capacity-exceeded queries are rejected, not queued") {
     import graft.api.QueryLanes
     import java.util.concurrent.{CountDownLatch, TimeUnit}

@@ -161,6 +161,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterSecond >= afterFirst)
   }
 
+  test("stream-stream interval join equals the batch join on closed data") {
+    // funnel attribution: purchases within 30 minutes of a click by the
+    // same user. On a fully-drained bounded input the streaming interval
+    // join must produce exactly the batch join's matches.
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    def writeSide(name: String, rows: Seq[(Long, String)]): String = {
+      val p = s"$root/$name"
+      rows.toDF("user_id", "tss")
+        .selectExpr("user_id", "CAST(tss AS TIMESTAMP) AS ts")
+        .repartition(1).write.parquet(p)
+      p
+    }
+    val clicks = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 10:05:00"), (3L, "2024-01-01 10:10:00"))
+    val purchases = Seq(
+      (1L, "2024-01-01 10:20:00"),  // within 30m of click 1a only
+      (1L, "2024-01-01 11:29:59"),  // within 30m of click 1b
+      (2L, "2024-01-01 10:35:00"),  // exactly at 10:05+30m → EXCLUDED
+      (2L, "2024-01-01 10:34:59"),  // inside
+      (4L, "2024-01-01 10:00:00"))  // no matching click key
+    val cp = writeSide("clicks", clicks)
+    val pp = writeSide("purch", purchases)
+    val cs = spark.readStream.schema(spark.read.parquet(cp).schema).parquet(cp)
+      .withColumnRenamed("ts", "click_ts")
+    val ps = spark.readStream.schema(spark.read.parquet(pp).schema).parquet(pp)
+      .withColumnRenamed("ts", "purchase_ts")
+    val joined = StreamingIngest.intervalJoin(cs, ps, "user_id",
+      "click_ts", "purchase_ts", "30 minutes")
+      .select(col("l.user_id").as("user_id"), col("click_ts"), col("purchase_ts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+    val cb = spark.read.parquet(cp).withColumnRenamed("ts", "click_ts").alias("l")
+    val pb = spark.read.parquet(pp).withColumnRenamed("ts", "purchase_ts").alias("r")
+    val batch = cb.join(pb,
+      col("l.user_id") === col("r.user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 minutes"))
+      .select(col("l.user_id").as("user_id"), col("click_ts"), col("purchase_ts"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.collect().mkString(";")} batch=${batch.collect().mkString(";")}")
+    // the expected match set, explicitly: 3 attributed pairs (1@10:20,
+    // 1@11:29:59, 2@10:34:59 — the exact-boundary 2@10:35:00 is excluded)
+    assert(streamed.count() == 3)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     // events replayed twice (same files via a 2-path glob is not possible
     // here, so duplicate by unioning the stream with itself per batch is
