@@ -2819,6 +2819,27 @@ object SparkEntry {
         ORDER BY h, bin""")
     }),
 
+    "q_qa_kttm_sunburst" -> ((s, dir) => {
+      // kttm_sunburst drill-in: a JSON_VALUE-filtered slice (equality +
+      // IS NULL branch) under a DISJUNCTION of bin ranges — the generated
+      // sunburst segment-click query shape
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          AND CAST(JSON_VALUE(props, '$.k') AS BIGINT) BETWEEN 10 AND 40
+          AND JSON_VALUE(props, '$.missing') IS NULL
+          AND event_type = 'click'
+          AND ((0.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 1.0)
+            OR (1.5 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 2.0)
+            OR (3.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 3.2))
+        GROUP BY 1 ORDER BY bin LIMIT 101""")
+    }),
+
     "q_qa_kttm_heatmap" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -4560,6 +4581,28 @@ object SparkEntry {
           round(jaroWinkler(col("c_mktsegment"), lit("AUTOMOBILE")), 6)
             .as("jw_seg"))
         .orderBy(col("c_custkey"))
+    }),
+
+    "q_text_url_canonical" -> ((s, dir) => {
+      // URL canonicalization before crawl dedup: synthesized messy URLs
+      // (mixed case, default ports, trailing slashes, tracking params,
+      // fragments, unordered query params) collapse to canonical keys —
+      // the oracle mirrors both the synthesis and every normalization rule
+      val id = col("doc_id")
+      val url = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTP://Example")).otherwise(lit("http://example")),
+        pmod(id, lit(5)).cast("string"), lit(".COM"),
+        when(pmod(id, lit(3)) === 0, lit(":80")).otherwise(lit("")),
+        lit("/path"), pmod(id, lit(7)).cast("string"),
+        when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(2)) === 0, lit("?utm_source=x&b=2&a=1"))
+          .otherwise(lit("?z=9&utm_campaign=c&a=1")),
+        when(pmod(id, lit(4)) === 0, lit("#frag")).otherwise(lit("")))
+      t(s, dir)("documents").filter(id < 200)
+        .select(id, TextAnalysis.canonicalizeUrl(url).as("curl"))
+        .groupBy(col("curl"))
+        .agg(count(lit(1)).as("n"), min(id).as("first_id"))
+        .orderBy(col("curl"))
     }),
 
     "q_text_fingerprint" -> ((s, dir) => {
@@ -7053,6 +7096,20 @@ object SparkEntry {
            AND ts < TIMESTAMP '2024-01-20 00:00:00'
          GROUP BY 1 ORDER BY bucket ASC LIMIT 101""",
 
+    "q_qa_kttm_sunburst" ->
+      """SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-20 00:00:00'
+           AND CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 40
+           AND json_extract_string(props, '$.missing') IS NULL
+           AND event_type = 'click'
+           AND ((0.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 1.0)
+             OR (1.5 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 2.0)
+             OR (3.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 3.2))
+         GROUP BY 1 ORDER BY bin LIMIT 101""",
+
     "q_qa_kttm_heatmap" ->
       """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
                 CAST(extract(dow FROM ts) AS BIGINT) AS dow,
@@ -8001,6 +8058,49 @@ object SparkEntry {
                 round(jaro_winkler_similarity(c_mktsegment, 'AUTOMOBILE'), 6)
                   AS jw_seg
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
+
+    "q_text_url_canonical" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Example' ELSE 'http://example' END)
+             || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+             || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+             || '/path' || CAST(doc_id % 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+                      ELSE '?z=9&utm_campaign=c&a=1' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents WHERE doc_id < 200),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+         p AS (
+           SELECT doc_id,
+             lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS pathq
+           FROM nf),
+         q AS (
+           SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS auth,
+             regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+             regexp_extract(pathq, '\?(.*)$', 1) AS query
+           FROM p),
+         r AS (
+           SELECT doc_id, scheme, auth,
+             CASE WHEN length(rawpath) = 0 THEN '/'
+                  WHEN rawpath = '/' THEN '/'
+                  ELSE regexp_replace(rawpath, '/$', '') END AS path,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               x -> length(x) > 0 AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'gclid=')
+                    AND NOT starts_with(x, 'fbclid=')
+                    AND x <> 'gclid' AND x <> 'fbclid')), '&') AS canonq
+           FROM q)
+         SELECT scheme || '://' || auth || path
+                || (CASE WHEN length(canonq) > 0 THEN '?' || canonq ELSE '' END) AS curl,
+                count(*) AS n, min(doc_id) AS first_id
+         FROM r GROUP BY 1 ORDER BY curl""",
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -84,6 +84,42 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
+  /** URL canonicalization — the normalization pass a crawl-dedup pipeline
+    * runs BEFORE exact/near dedup so `HTTP://Example.COM:80/a/?b=2&utm_x=1`
+    * and `http://example.com/a?b=2` collapse. Rules (each expressible in
+    * any engine, so the oracle can mirror them):
+    *   1. strip the fragment;
+    *   2. lowercase scheme and authority;
+    *   3. drop the scheme's default port (:80 http, :443 https);
+    *   4. empty path → "/", else strip one trailing "/" (root kept);
+    *   5. drop tracking params (utm_*, gclid, fbclid) and empty params;
+    *   6. byte-sort the remaining query params.
+    * Pure function composition (regexp + higher-order array fns) — stays
+    * inside whole-stage codegen, no UDF; at 100 TB this runs in the scan
+    * projection before the dedup shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val pathq = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val rawPath = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(length(rawPath) === 0, lit("/"))
+      .when(rawPath === "/", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/$", ""))
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") &&
+        !p.startsWith("gclid=") && !p.startsWith("fbclid=") &&
+        !(p === "gclid") && !(p === "fbclid"))
+    val canonQ = array_join(sort_array(params), "&")
+    concat(scheme, lit("://"), authNoPort, path,
+      when(length(canonQ) > 0, concat(lit("?"), canonQ)).otherwise(lit("")))
+  }
+
   /** Rolling-hash document sketch: first 8 hex chars of the fingerprint,
     * useful as a cheap shard/bucket key.
     */

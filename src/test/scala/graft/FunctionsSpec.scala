@@ -658,6 +658,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(s1.exceptAll(bigger).isEmpty)
   }
 
+  test("canonicalizeUrl normalizes case/ports/slashes/tracking-params/fragments") {
+    import graft.pipeline.TextAnalysis
+    import spark.implicits._
+    val in = Seq(
+      "HTTP://Example.COM:80/a/?b=2&utm_source=x&a=1#frag",
+      "http://example.com/a?a=1&b=2",
+      "HTTPS://Host.Org:443/",
+      "https://host.org",
+      "https://host.org:8443/x",          // non-default port kept
+      "http://h.io/p?gclid=abc&fbclid=1&z=2",
+      "http://h.io/p?z=2").toDF("url")
+    val out = in.select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == "http://example.com/a?a=1&b=2")
+    assert(out(0) == out(1), "messy and clean forms must collapse")
+    assert(out(2) == "https://host.org/")
+    assert(out(2) == out(3), "default port + root slash collapse")
+    assert(out(4) == "https://host.org:8443/x")
+    assert(out(5) == "http://h.io/p?z=2")
+    assert(out(5) == out(6), "tracking params drop")
+  }
+
   test("capPerKey keeps at most N per key, deterministically by order") {
     import graft.pipeline.Sampling
     val df = (0 until 100).map(i => (s"dom${i % 3}", i.toLong)).toDF("dom", "id")
