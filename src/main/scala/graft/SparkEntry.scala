@@ -3000,6 +3000,42 @@ object SparkEntry {
         ORDER BY t""")
     }),
 
+    // aggr_general A20: the FULL comparison-operator battery applied to a
+    // string-concatenated AGGREGATE inside HAVING (every term must resolve
+    // to the same aggregate instance, not re-aggregate per predicate)
+    "q_qa_aggr_battery_having" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT date_trunc('hour', ts) AS t, '1' || min(event_type) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1
+        HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                          AND TIMESTAMP '2024-01-10 06:00:00'
+           AND ${battery("'1' || min(event_type)", "'0' || min(event_type)",
+                "'2' || min(event_type)", "STRING")}
+        ORDER BY t""")
+    }),
+
+    // aggr_general A21: the battery over JSON_VALUE OF an aggregate —
+    // json extraction composed on top of the aggregated json column
+    "q_qa_aggr_battery_json" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        SELECT date_trunc('hour', ts) AS t,
+               '1' || JSON_VALUE(min(props), '$$.k') AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1
+        HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                          AND TIMESTAMP '2024-01-10 06:00:00'
+           AND ${battery("'1' || JSON_VALUE(min(props), '$.k')",
+                "'0' || JSON_VALUE(min(props), '$.k')",
+                "'2' || JSON_VALUE(min(props), '$.k')", "STRING")}
+        ORDER BY t""")
+    }),
+
     "q_qa_union_all_limit" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -3481,6 +3517,26 @@ object SparkEntry {
                    "TIME_FLOOR(ts - INTERVAL 2 YEAR, 'P1Y')",
                    "TIME_FLOOR(ts + INTERVAL 2 YEAR, 'P1Y')", "STRING")}) AS BIGINT) AS cnt_floor
         FROM events WHERE user_id < 100""")
+    }),
+
+    // qaSql scalar_ipv4: the comparison battery over IPV4_PARSE plus
+    // subnet-match and parse→stringify round-trip counts (the oracle
+    // recomputes the parse arithmetically, so a wrong octet weight or
+    // byte order would break the count equality)
+    "q_qa_scalar_ipv4_battery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH ips AS (
+          SELECT concat('10.', CAST(user_id % 256 AS STRING), '.',
+                        CAST(user_id * 7 % 256 AS STRING), '.1') AS ip
+          FROM events WHERE user_id < 100)
+        SELECT CAST(count(*) FILTER (WHERE
+                 ${battery("IPV4_PARSE(ip)", "IPV4_PARSE(ip) - 1",
+                   "IPV4_PARSE(ip) + 1", "STRING")}) AS BIGINT) AS cnt_parse,
+               CAST(count(*) FILTER (WHERE IPV4_MATCH(ip, '10.0.0.0/8')) AS BIGINT) AS cnt_match,
+               CAST(count(*) FILTER (WHERE IPV4_STRINGIFY(IPV4_PARSE(ip)) = ip) AS BIGINT) AS cnt_roundtrip
+        FROM ips""")
     }),
 
     "q_qa_scalar_string_battery" -> ((s, dir) => {
@@ -7195,6 +7251,30 @@ object SparkEntry {
                      AND (count(*) + 1 IS DISTINCT FROM count(*))))
          ORDER BY t""",
 
+    "q_qa_aggr_battery_having" ->
+      s"""SELECT date_trunc('hour', ts) AS t, '1' || min(event_type) AS c,
+                count(*) AS n
+         FROM events
+         GROUP BY 1
+         HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                           AND TIMESTAMP '2024-01-10 06:00:00'
+            AND ${battery("'1' || min(event_type)", "'0' || min(event_type)",
+                 "'2' || min(event_type)", "VARCHAR")}
+         ORDER BY t""",
+
+    "q_qa_aggr_battery_json" ->
+      s"""SELECT date_trunc('hour', ts) AS t,
+                '1' || json_extract_string(min(props), '$$.k') AS c,
+                count(*) AS n
+         FROM events
+         GROUP BY 1
+         HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                           AND TIMESTAMP '2024-01-10 06:00:00'
+            AND ${battery("'1' || json_extract_string(min(props), '$.k')",
+                 "'0' || json_extract_string(min(props), '$.k')",
+                 "'2' || json_extract_string(min(props), '$.k')", "VARCHAR")}
+         ORDER BY t""",
+
     "q_qa_union_all_limit" ->
       """SELECT * FROM (
            SELECT c_name AS name, c_acctbal AS bal FROM customer
@@ -7500,6 +7580,17 @@ object SparkEntry {
                     "date_trunc('year', ts - INTERVAL 2 YEAR)",
                     "date_trunc('year', ts + INTERVAL 2 YEAR)", "VARCHAR")}) AS BIGINT) AS cnt_floor
          FROM events WHERE user_id < 100""",
+
+    "q_qa_scalar_ipv4_battery" ->
+      s"""WITH ips AS (
+           SELECT 10 * 16777216 + (user_id % 256) * 65536
+                  + (user_id * 7 % 256) * 256 + 1 AS ipnum
+           FROM events WHERE user_id < 100)
+         SELECT CAST(count(*) FILTER (WHERE
+                  ${battery("ipnum", "ipnum - 1", "ipnum + 1", "VARCHAR")}) AS BIGINT) AS cnt_parse,
+                count(*) AS cnt_match,
+                count(*) AS cnt_roundtrip
+         FROM ips""",
 
     "q_qa_scalar_string_battery" ->
       s"""SELECT CAST(count(*) FILTER (WHERE
