@@ -2829,14 +2829,14 @@ object SparkEntry {
         SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
                CAST(count(*) AS BIGINT) AS n
         FROM events
-        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-          AND ts < TIMESTAMP '2024-01-20 00:00:00'
-          AND CAST(JSON_VALUE(props, '$.k') AS BIGINT) BETWEEN 10 AND 40
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          AND CAST(JSON_VALUE(props, '$.k') AS BIGINT) BETWEEN 5 AND 70
           AND JSON_VALUE(props, '$.missing') IS NULL
           AND event_type = 'click'
-          AND ((0.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 1.0)
-            OR (1.5 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 2.0)
-            OR (3.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 3.2))
+          AND ((0.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 5.0)
+            OR (10.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 20.0)
+            OR (50.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 100.0))
         GROUP BY 1 ORDER BY bin LIMIT 101""")
     }),
 
@@ -7156,14 +7156,14 @@ object SparkEntry {
       """SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
                 CAST(count(*) AS BIGINT) AS n
          FROM events
-         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-           AND ts < TIMESTAMP '2024-01-20 00:00:00'
-           AND CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 40
+         WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+           AND ts < TIMESTAMP '2024-02-01 00:00:00'
+           AND CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 5 AND 70
            AND json_extract_string(props, '$.missing') IS NULL
            AND event_type = 'click'
-           AND ((0.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 1.0)
-             OR (1.5 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 2.0)
-             OR (3.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 3.2))
+           AND ((0.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 5.0)
+             OR (10.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 20.0)
+             OR (50.0 <= CAST(value AS DOUBLE) AND CAST(value AS DOUBLE) < 100.0))
          GROUP BY 1 ORDER BY bin LIMIT 101""",
 
     "q_qa_kttm_heatmap" ->

@@ -411,6 +411,32 @@ class PlanSpec extends AnyFunSuite {
       "fact side must not shuffle for the semi/anti joins:\n" + p)
   }
 
+  test("capPerKey plans as one key shuffle + one Window; no extra exchange") {
+    val p = plan("q_sample_cap_per_key")
+    assert(p.contains("Window"), "expected a Window operator (row_number):\n" + p)
+    // exactly two hash exchanges may appear: the window's partitioning and
+    // the final groupBy — both on the same key, so AQE/exchange reuse can
+    // even merge them; more would mean the cap pass shuffles data twice
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 hash exchanges (window + final agg), got $n:\n$p")
+    // the filter must be on the rank column, applied before the drop
+    assert(p.contains("row_number"), p)
+  }
+
+  test("session_window gate plans a session-window aggregate, not a join") {
+    val p = plan("q_session_window")
+    assert(p.toLowerCase.contains("sessionwindow") ||
+      p.contains("session_window"), "expected session window node:\n" + p)
+    assert(!p.contains("CartesianProduct"), "no cartesian in sessionization:\n" + p)
+  }
+
+  test("sunburst JSON-filtered slice still pushes the time range to the scan") {
+    val p = plan("q_qa_kttm_sunburst")
+    // the JSON_VALUE filter itself cannot push, but the ts range must
+    assert(p.split("PushedFilters")(1).takeWhile(_ != '\n').contains("ts"),
+      "time-range filter must reach the parquet reader:\n" + p)
+  }
+
   test("denormalizing star pre-join broadcasts every dimension") {
     val p = plan("q_qa_ssb_denorm")
     val n = "BroadcastExchange".r.findAllIn(p).length
