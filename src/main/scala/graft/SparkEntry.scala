@@ -4639,6 +4639,18 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_text_chunk_dedup" -> ((s, dir) => {
+      // C4/Dolma span-dedup WITH REMOVAL: 10-token chunks seen in >= 2
+      // distinct docs drop from every document (including the first
+      // occurrence); the oracle rebuilds the surviving text independently
+      // and the md5 must agree byte-for-byte
+      TextAnalysis.removeDuplicateChunks(
+        t(s, dir)("documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_url_canonical" -> ((s, dir) => {
       // URL canonicalization before crawl dedup: synthesized messy URLs
       // (mixed case, default ports, trailing slashes, tracking params,
@@ -8149,6 +8161,28 @@ object SparkEntry {
                 round(jaro_winkler_similarity(c_mktsegment, 'AUTOMOBILE'), 6)
                   AS jw_seg
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
+
+    "q_text_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                              t -> length(t) > 0) AS tk
+           FROM documents WHERE doc_id < 100),
+         chunks AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+                  array_to_string(tk[CAST(i*10+1 AS BIGINT) : CAST(i*10+10 AS BIGINT)], ' ') AS chunk
+           FROM toks, unnest(range(0,
+             CAST(floor((len(tk) - 1) / 10) + 1 AS BIGINT))) AS t(i)),
+         dc AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs
+                FROM chunks GROUP BY 1),
+         j AS (SELECT c.doc_id, c.chunk_no, c.chunk, dc.ndocs
+               FROM chunks c JOIN dc USING (chunk))
+         SELECT doc_id,
+                count(*) AS n_chunks,
+                count(*) FILTER (WHERE ndocs < 2) AS n_kept,
+                md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_no)
+                               FILTER (WHERE ndocs < 2), '')) AS cleaned_md5
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     "q_text_url_canonical" ->
       """WITH raw AS (

@@ -84,6 +84,48 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
+  /** Chunk-level exact dedup WITH REMOVAL — the C4/Dolma span-dedup pass:
+    * split each document into non-overlapping `chunkTokens`-token chunks,
+    * count how many DISTINCT documents each chunk text appears in, and
+    * rebuild every document keeping only chunks seen in fewer than
+    * `minDocs` documents (boilerplate/duplicated spans drop everywhere,
+    * including from their first occurrence — C4's rule). Detection-only
+    * mining lives in [[boilerplateGrams]]; this is the transform.
+    *
+    * Shape at 100 TB: tokenize once, explode chunk INDEXES (never tokens),
+    * one (chunk-text) hash aggregate for the global counts, one
+    * chunk-keyed join back, one per-doc regroup — documents themselves
+    * never shuffle, only (id, chunk) rows do.
+    *
+    * @return (idCol, n_chunks, n_kept, cleaned) — cleaned is the rebuilt
+    *         text of the surviving chunks in document order
+    */
+  def removeDuplicateChunks(df: DataFrame, idCol: String, textCol: String,
+                            chunkTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(chunkTokens >= 1 && minDocs >= 2)
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+    val chunks = toks.select(col("__id"),
+      posexplode(transform(
+        sequence(lit(0),
+          ((size(col("__toks")) - 1) / chunkTokens).cast("int")),
+        i => array_join(
+          slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+      .toDF("__id", "chunk_no", "chunk")
+    val counts = chunks.groupBy("chunk")
+      .agg(countDistinct(col("__id")).as("__ndocs"))
+    chunks.join(counts, "chunk")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__ndocs") < minDocs, 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__ndocs") < minDocs,
+              struct(col("chunk_no"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("cleaned"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** URL canonicalization — the normalization pass a crawl-dedup pipeline
     * runs BEFORE exact/near dedup so `HTTP://Example.COM:80/a/?b=2&utm_x=1`
     * and `http://example.com/a?b=2` collapse. Rules (each expressible in
