@@ -4481,6 +4481,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_quality_filter" -> ((s, dir) => {
+      // attributes-stage quality filter: verdict + violated-rule list per
+      // doc (Gopher thresholds over the shared metric definitions); the
+      // oracle recomputes every rule from the same formulas
+      t(s, dir)("documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityFilter(col("text")).as("reasons"))
+        .select(col("doc_id"),
+          (size(col("reasons")) === 0).as("passed"),
+          array_join(col("reasons"), "|").as("why"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_redact" -> ((s, dir) => {
       // PII-style scrubbing pass (training-data hygiene): mask digit runs
       // and email-shaped tokens, report how much changed
@@ -8716,6 +8729,43 @@ object SparkEntry {
                 round(((w // 2) * CAST((f * 71 + doc_id * 7) % 256 AS DOUBLE)
                   + (w - w // 2) * ((f * 23 + doc_id * 9) % 256)) / w, 4) AS mean_b
          FROM frames ORDER BY asset_id, frame_no""",
+
+    "q_text_quality_filter" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> len(t) > 0) AS toks,
+                  CAST(length(text) AS DOUBLE) AS nc,
+                  nc - CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS DOUBLE) AS np
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS DOUBLE) AS nt,
+                  CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','of','and','to','in','is'], t)))
+                    AS DOUBLE) AS ns,
+                  nc, np
+           FROM base),
+         r AS (
+           SELECT doc_id,
+                  list_filter([
+                    CASE WHEN nt < 5 THEN 'too_short' END,
+                    CASE WHEN nt > 1000 THEN 'too_long' END,
+                    CASE WHEN (CASE WHEN nt = 0 THEN 0.0
+                               ELSE (nc - (nt - 1)) / nt END) < 2.0
+                           OR (CASE WHEN nt = 0 THEN 0.0
+                               ELSE (nc - (nt - 1)) / nt END) > 12.0
+                         THEN 'token_len_out_of_range' END,
+                    CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) < 0.02
+                         THEN 'low_stopword_ratio' END,
+                    CASE WHEN (CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) > 0.2
+                         THEN 'high_punct_ratio' END],
+                    x -> x IS NOT NULL) AS reasons
+           FROM m)
+         SELECT doc_id, len(reasons) = 0 AS passed,
+                coalesce(array_to_string(reasons, '|'), '') AS why
+         FROM r ORDER BY doc_id""",
 
     "q_text_profile" ->
       """WITH base AS (

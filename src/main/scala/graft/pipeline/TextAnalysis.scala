@@ -84,6 +84,29 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
+  /** Gopher/Dolma-style quality FILTER WITH REASONS: every document gets a
+    * pass/fail verdict plus the list of rule names it violated — the
+    * "attributes" stage of a curation pipeline, where downstream mixes
+    * filter on reasons rather than re-deriving them. Thresholds follow the
+    * Gopher rules adapted to [[qualityMetrics]]'s definitions. Pure column
+    * expressions (codegen, no shuffle).
+    */
+  def qualityFilter(text: Column,
+                    minTokens: Int = 5, maxTokens: Int = 1000,
+                    minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+                    minStopwordRatio: Double = 0.02,
+                    maxPunctRatio: Double = 0.2): Column = {
+    val m = qualityMetrics(text).toMap
+    val reasons = array(
+      when(m("n_tokens") < minTokens, "too_short"),
+      when(m("n_tokens") > maxTokens, "too_long"),
+      when(m("mean_token_len") < minMeanTokLen ||
+           m("mean_token_len") > maxMeanTokLen, "token_len_out_of_range"),
+      when(m("stopword_ratio") < minStopwordRatio, "low_stopword_ratio"),
+      when(m("punct_ratio") > maxPunctRatio, "high_punct_ratio"))
+    filter(reasons, r => r.isNotNull)
+  }
+
   /** Chunk-level exact dedup WITH REMOVAL — the C4/Dolma span-dedup pass:
     * split each document into non-overlapping `chunkTokens`-token chunks,
     * count how many DISTINCT documents each chunk text appears in, and
