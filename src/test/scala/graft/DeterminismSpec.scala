@@ -60,4 +60,24 @@ class DeterminismSpec extends AnyFunSuite {
   test("SSB Q4 profit expression is partition-order independent") {
     stableAcrossPartitionings("q_ssb_q4")
   }
+
+  test("entire TPC-H battery is partition-order independent (7 vs 32 partitions)") {
+    // the family-wide claim: every battery gate survives a shuffle-count
+    // perturbation bit-identically, not just the three spot-checked shapes
+    spark.sparkContext.setLogLevel("ERROR")
+    val battery = SparkEntry.queries.keys.filter(_.startsWith("q_tpch_")).toSeq.sorted
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try battery.foreach { gate =>
+      val results = Seq("7", "32").map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        SparkEntry.queries(gate)(spark, dir).collect().map(_.toString).sorted.toSeq
+      }
+      assert(results(0) == results(1),
+        s"$gate differs between 7 and 32 shuffle partitions")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
 }
