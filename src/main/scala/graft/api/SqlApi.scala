@@ -95,22 +95,43 @@ object SqlApi {
         }
       case None =>
         val ps = org.apache.spark.sql.GraftSessionAccess.cloneSession(spark)
-        ps.conf.set(DqKey, "true")
-        tz.foreach(ps.conf.set(TzKey, _))
-        val df = explainTarget(sqlText) match {
-          case Some(inner) => explainPlan(ps, inner)
-          case None =>
-            val base = sqlWithSortWindows(ps, sqlText)
-            // context.sqlOuterLimit (reference QueryContexts): a hard outer
-            // row cap applied over whatever the query returns
-            ctxValue(j, "sqlOuterLimit") match {
-              case JInt(n)  => base.limit(n.toInt)
-              case JLong(n) => base.limit(n.toInt)
-              case _        => base
-            }
+        def build(): DataFrame = {
+          val df = explainTarget(sqlText) match {
+            case Some(inner) => explainPlan(ps, inner)
+            case None =>
+              val base = sqlWithSortWindows(ps, sqlText)
+              // context.sqlOuterLimit (reference QueryContexts): a hard
+              // outer row cap applied over whatever the query returns
+              ctxValue(j, "sqlOuterLimit") match {
+                case JInt(n)  => base.limit(n.toInt)
+                case JLong(n) => base.limit(n.toInt)
+                case _        => base
+              }
+          }
+          df.queryExecution.analyzed // bake zone/idents into the plan now
+          df
         }
-        df.queryExecution.analyzed // bake zone/idents into the plan now
-        df
+        if (ps ne spark) {
+          // independent SQLConf: set-and-forget, nothing to restore
+          ps.conf.set(DqKey, "true")
+          tz.foreach(ps.conf.set(TzKey, _))
+          build()
+        } else confScopeLock(spark).synchronized {
+          // clone unavailable (non-classic session): fall back to the
+          // serialized set/restore window on the shared conf
+          val prevDq = spark.conf.getOption(DqKey)
+          val prevTz = spark.conf.get(TzKey)
+          spark.conf.set(DqKey, "true")
+          tz.foreach(spark.conf.set(TzKey, _))
+          try build()
+          finally {
+            spark.conf.set(TzKey, prevTz)
+            prevDq match {
+              case Some(v) => spark.conf.set(DqKey, v)
+              case None    => spark.conf.unset(DqKey)
+            }
+          }
+        }
     }
   }
 
