@@ -796,11 +796,13 @@ object SparkEntry {
            AND l_discount BETWEEN 0.03 - 0.01 AND 0.03 + 0.01
            AND l_quantity < 24""",
 
-    // TEST_ID Q14: promotion effect (p_type LIKE 'PROMO%')
+    // TEST_ID Q14: promotion effect (p_type LIKE 'PROMO%'). Same
+    // decimal-quotient serialization hazard as Q08 — CAST to DOUBLE so a
+    // value with a trailing zero in the 4th decimal can't hash-diverge.
     "q14" ->
-      """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+      """SELECT CAST(round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) /
-                sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 4) AS promo_revenue
+                sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS promo_revenue
          FROM lineitem, part
          WHERE l_partkey = p_partkey
            AND l_shipdate >= DATE '1996-09-01'
@@ -941,11 +943,14 @@ object SparkEntry {
          ORDER BY supp_nation, cust_nation, l_year""",
 
     // TEST_ID Q08: national market share (8-table join; p_type is a single
-    // token in testdata)
+    // token in testdata). The ratio is CAST to DOUBLE: Spark's decimal
+    // quotient keeps fixed scale (trailing zeros like 0.038360) while
+    // DuckDB's prints the float repr (0.03836) — identical values, different
+    // serialized bytes. DOUBLE on both dialects makes the text identical.
     "q08" ->
       """SELECT o_year,
-                round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                      / sum(volume), 6) AS mkt_share
+                CAST(round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                      / sum(volume), 6) AS DOUBLE) AS mkt_share
          FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
                       CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
                       n2.n_name AS nation
@@ -2793,7 +2798,7 @@ object SparkEntry {
     "q_qa_kttm_bucket" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
-        SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bucket,
+        SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS DOUBLE) AS bucket,
                CAST(count(*) AS BIGINT) AS n
         FROM events
         WHERE TIMESTAMP '2024-01-05 00:00:00' <= ts
@@ -2809,7 +2814,7 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       s.sql("""
         SELECT date_trunc('hour', ts) AS h,
-               FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
+               CAST(FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS DOUBLE) AS bin,
                CAST(count(*) AS BIGINT) AS n
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
@@ -2826,7 +2831,7 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       DruidFunctions.register(s)
       s.sql("""
-        SELECT FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS bin,
+        SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 0.5) * 0.5 AS DOUBLE) AS bin,
                CAST(count(*) AS BIGINT) AS n
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'

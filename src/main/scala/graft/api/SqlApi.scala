@@ -946,29 +946,39 @@ object SqlApi {
     */
   private[graft] def rewriteTableFunctions(spark: SparkSession, dir: String,
                                            sqlText: String): String = {
+    // Scan the MASKED text, like the sql(j) rewrites: a string literal that
+    // merely CONTAINS "TABLE(EXTERN(" (e.g. SQL-in-SQL audit rows) must
+    // never be structurally rewritten. The paren matcher also gets simpler
+    // guarantees on masked text (no parens/quotes hide inside literals).
+    // Literal contents are restored per-region — the EXTERN/APPEND argument
+    // JSON needs its real text back before parsing.
+    val (masked0, lits) = maskLiterals(sqlText)
     val TableRe = """(?is)TABLE\s*\(\s*(APPEND|EXTERN)\s*\(""".r
-    TableRe.findFirstMatchIn(sqlText) match {
-      case None => sqlText
-      case Some(m) =>
-        val argsStart = m.end - 1 // points at the inner '('
-        val argsEnd = matchParen(sqlText, argsStart)
-        val outerEnd = matchParen(sqlText, sqlText.indexOf('(', m.start))
-        val argsRegion = sqlText.substring(argsStart + 1, argsEnd)
-        val args = splitArgs(argsRegion)
-        val view = "__" + m.group(1).toLowerCase + "_" +
-          Integer.toHexString(argsRegion.hashCode).replace('-', 'n')
-        val df = m.group(1).toUpperCase match {
-          case "APPEND" =>
-            val names = args.map(unquoteSql)
-            names.map(Tables.load(spark, dir, _)).reduce(
-              _.unionByName(_, allowMissingColumns = true))
-          case "EXTERN" => externDataFrame(spark, args.map(unquoteSql))
-        }
-        df.createOrReplaceTempView(view)
-        rewriteTableFunctions(spark, dir,
-          sqlText.substring(0, m.start) + view +
-            sqlText.substring(outerEnd + 1))
-    }
+    @annotation.tailrec
+    def loop(masked: String): String =
+      TableRe.findFirstMatchIn(masked) match {
+        case None => masked
+        case Some(m) =>
+          val argsStart = m.end - 1 // points at the inner '('
+          val argsEnd = matchParen(masked, argsStart)
+          val outerEnd = matchParen(masked, masked.indexOf('(', m.start))
+          val argsRegion =
+            unmaskLiterals(masked.substring(argsStart + 1, argsEnd), lits)
+          val args = splitArgs(argsRegion)
+          val view = "__" + m.group(1).toLowerCase + "_" +
+            Integer.toHexString(argsRegion.hashCode).replace('-', 'n')
+          val df = m.group(1).toUpperCase match {
+            case "APPEND" =>
+              val names = args.map(unquoteSql)
+              names.map(Tables.load(spark, dir, _)).reduce(
+                _.unionByName(_, allowMissingColumns = true))
+            case "EXTERN" => externDataFrame(spark, args.map(unquoteSql))
+          }
+          df.createOrReplaceTempView(view)
+          loop(masked.substring(0, m.start) + view +
+            masked.substring(outerEnd + 1))
+      }
+    unmaskLiterals(loop(masked0), lits)
   }
 
   /** Split a SQL argument list on top-level commas (quote-aware). */

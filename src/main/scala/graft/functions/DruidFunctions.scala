@@ -274,11 +274,13 @@ object DruidFunctions {
           case "EPOCH"  => UnixSeconds(args.head)
           // MILLIS (epoch millis) is a documented extension beyond the
           // reference unit set; MILLISECOND is the reference's
-          // millisOfSecond (Pmod keeps it in 0..999 pre-epoch too)
-          case "MILLIS" => IntegralDivide(UnixMicros(args.head), Literal(1000L, LongType))
+          // millisOfSecond (Pmod keeps it in 0..999 pre-epoch too).
+          // FLOOR division, not truncation: Joda's millis are the floor of
+          // the instant, so epoch-1.5ms is millis -2 (→ 998), where a
+          // truncating div would give -1 (→ 999)
+          case "MILLIS" => floorMillis(args.head)
           case "MILLISECOND" =>
-            Pmod(IntegralDivide(UnixMicros(args.head), Literal(1000L, LongType)),
-              Literal(1000L, LongType))
+            Pmod(floorMillis(args.head), Literal(1000L, LongType))
           case "SECOND" => Second(t)
           case "MINUTE" => Minute(t)
           case "HOUR"   => Hour(t)
@@ -298,6 +300,22 @@ object DruidFunctions {
         }
         Cast(ext, LongType)
     }
+  }
+
+  /** Epoch millis of an instant with FLOOR semantics (Joda `getMillis`):
+    * truncating division is off by one for pre-epoch instants carrying
+    * sub-millisecond micros (-1500 µs div 1000 = -1, floor = -2). Pmod's
+    * non-negative remainder makes the subtraction exactly divisible, so the
+    * truncating IntegralDivide then IS the floor.
+    */
+  private def floorMillis(
+      ts: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal, Pmod, Subtract, UnixMicros}
+    import org.apache.spark.sql.types.LongType
+    val us = UnixMicros(ts)
+    val k = Literal(1000L, LongType)
+    IntegralDivide(Subtract(us, Pmod(us, k)), k)
   }
 
   private[graft] def timeFormatBuilder(
@@ -612,7 +630,8 @@ object DruidFunctions {
               Literal(UTF8String.fromString(p), StringType), TimestampType,
               "timestamp", None, true)
           } else Cast(args.head, TimestampType)
-        Cast(IntegralDivide(UnixMicros(parsed), Literal(1000L, LongType)), LongType)
+        // floor (not truncating) millis — see floorMillis
+        Cast(floorMillis(parsed), LongType)
       }),
       // reference `subtract_months(leftMillis, rightMillis, tz)` →
       // Joda whole-months from right to left in the zone's calendar
@@ -633,11 +652,22 @@ object DruidFunctions {
               org.apache.spark.sql.types.IntegerType))))
         else {
         val tz = literalString(args(2), "subtract_months timezone").getOrElse("UTC")
+        // Wall clock of the instant IN the argument zone, as TimestampNTZ:
+        // render with an EXPLICIT zone id (DateFormatClass carries its own,
+        // immune to the session timezone) and reparse zone-free. Year/Month
+        // and the clamped month stepping below then run on the tz-local
+        // calendar regardless of spark.sql.session.timeZone — the old
+        // FromUTCTimestamp + session-zone extraction double-shifted under a
+        // non-UTC session (e.g. a facade query with sqlTimeZone set).
         def wall(e: Expression): Expression = {
           val ts = org.apache.spark.sql.catalyst.expressions.MillisToTimestamp(
             Cast(e, LongType))
-          if (tz == "UTC" || tz == "Etc/UTC") ts
-          else FromUTCTimestamp(ts, Literal(UTF8String.fromString(tz), StringType))
+          Cast(
+            org.apache.spark.sql.catalyst.expressions.DateFormatClass(ts,
+              Literal(UTF8String.fromString("yyyy-MM-dd HH:mm:ss.SSS"),
+                org.apache.spark.sql.types.StringType),
+              Some(tz)),
+            org.apache.spark.sql.types.TimestampNTZType)
         }
         val l = wall(args(0)); val r = wall(args(1))
         // candidate = calendar-field month difference; Joda truncation:

@@ -127,12 +127,17 @@ object TextAnalysis {
                             chunkTokens: Int = 10, minDocs: Int = 2): DataFrame = {
     require(chunkTokens >= 1 && minDocs >= 2)
     val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+    // Zero-token documents must yield ZERO chunks (and so drop from the
+    // output, matching the oracle's range() semantics) — without the guard,
+    // (size-1)/chunkTokens is double division whose int cast gives 0 for
+    // size=0, producing sequence(0,0) = one phantom empty chunk.
     val chunks = toks.select(col("__id"),
-      posexplode(transform(
+      posexplode(when(size(col("__toks")) === 0,
+        array().cast("array<string>")).otherwise(transform(
         sequence(lit(0),
           ((size(col("__toks")) - 1) / chunkTokens).cast("int")),
         i => array_join(
-          slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+          slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))))
       .toDF("__id", "chunk_no", "chunk")
     val counts = chunks.groupBy("chunk")
       .agg(countDistinct(col("__id")).as("__ndocs"))

@@ -332,6 +332,23 @@ class PlanSpec extends AnyFunSuite {
     assert(q20.contains("LeftSemi"), s"q20 IN chain must semi-join:\n$q20")
   }
 
+  test("ratio gates emit no DECIMAL output column (serialization parity with the oracle)") {
+    // A round(decimal/decimal) projection keeps Spark's fixed decimal scale
+    // (0.038360) where DuckDB's float repr drops the trailing zero (0.03836)
+    // — identical numbers, divergent serialized hashes. Every ratio gate
+    // must CAST its quotient to DOUBLE; pin that for the two TPC-H shapes
+    // that carry the hazard (q08 mkt_share, q14 promo_revenue).
+    Tables.registerAll(spark, dir)
+    import org.apache.spark.sql.types.DecimalType
+    for (q <- Seq("q08", "q14")) {
+      val schema = spark.sql(SparkEntry.tpchSql(q)).schema
+      val decimals = schema.fields.filter(_.dataType.isInstanceOf[DecimalType])
+      assert(decimals.isEmpty,
+        s"$q must not expose DECIMAL output columns, found: " +
+          decimals.map(f => s"${f.name}:${f.dataType}").mkString(", "))
+    }
+  }
+
   test("SSB star flights broadcast every dimension; fact never shuffles for the join") {
     Tables.registerAll(spark, dir)
     val p = spark.sql(SparkEntry.drillSql("ssb_q4"))

@@ -37,9 +37,34 @@ def compare(a: pd.DataFrame, b: pd.DataFrame):
     exact = True
     tol = True
     detail = []
+
+    def is_decimal_obj(s: pd.Series) -> bool:
+        """object-dtype column whose non-null values are decimal.Decimal."""
+        import decimal
+        if s.dtype != object:
+            return False
+        nn = s.dropna()
+        return len(nn) > 0 and all(isinstance(v, decimal.Decimal) for v in nn)
+
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
+            # TYPE-PARITY: one side fixed-scale Decimal, the other float.
+            # The driver hashes SERIALIZED values — Decimal('0.038360') and
+            # 0.03836 hash differently even though they're numerically equal.
+            # Float-normalizing here would hide exactly that divergence (it
+            # did for q_tpch_q08 in r11), so flag it as a hard failure: the
+            # local gate must be strictly STRICTER than the driver.
+            a_dec, b_dec = is_decimal_obj(av), is_decimal_obj(bv)
+            a_flt = pd.api.types.is_float_dtype(av)
+            b_flt = pd.api.types.is_float_dtype(bv)
+            if (a_dec and b_flt) or (b_dec and a_flt):
+                exact = False; tol = False
+                side = "spark" if a_dec else "oracle"
+                detail.append(
+                    f"{c}: TYPE-PARITY {side} is Decimal vs float — "
+                    "serialization-sensitive; CAST the gate to DOUBLE on both dialects")
+                continue
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 av = av.astype(float); bv = bv.astype(float)
                 eq = ((av == bv) | (av.isna() & bv.isna()))
