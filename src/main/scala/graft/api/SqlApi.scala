@@ -953,7 +953,7 @@ object SqlApi {
     // Literal contents are restored per-region — the EXTERN/APPEND argument
     // JSON needs its real text back before parsing.
     val (masked0, lits) = maskLiterals(sqlText)
-    val TableRe = """(?is)TABLE\s*\(\s*(APPEND|EXTERN)\s*\(""".r
+    val TableRe = """(?is)\bTABLE\s*\(\s*(APPEND|EXTERN)\s*\(""".r
     @annotation.tailrec
     def loop(masked: String): String =
       TableRe.findFirstMatchIn(masked) match {

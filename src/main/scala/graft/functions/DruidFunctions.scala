@@ -653,21 +653,19 @@ object DruidFunctions {
         else {
         val tz = literalString(args(2), "subtract_months timezone").getOrElse("UTC")
         // Wall clock of the instant IN the argument zone, as TimestampNTZ:
-        // render with an EXPLICIT zone id (DateFormatClass carries its own,
-        // immune to the session timezone) and reparse zone-free. Year/Month
-        // and the clamped month stepping below then run on the tz-local
-        // calendar regardless of spark.sql.session.timeZone — the old
-        // FromUTCTimestamp + session-zone extraction double-shifted under a
-        // non-UTC session (e.g. a facade query with sqlTimeZone set).
+        // a Timestamp→TimestampNTZ Cast carrying an EXPLICIT timeZoneId
+        // shifts the instant by that zone's offset (immune to
+        // spark.sql.session.timeZone, era-proof, no per-row format/parse —
+        // the old DateFormatClass string round-trip misformatted pre-1-AD
+        // years under 'yyyy'). Year/Month and the clamped month stepping
+        // below then run on the tz-local calendar. Known documented edge:
+        // Joda compares instants in the zone chronology, so a shifted(n0)
+        // landing exactly in a DST gap can disagree by one month; the
+        // wall-clock compare is kept as the documented approximation.
         def wall(e: Expression): Expression = {
           val ts = org.apache.spark.sql.catalyst.expressions.MillisToTimestamp(
             Cast(e, LongType))
-          Cast(
-            org.apache.spark.sql.catalyst.expressions.DateFormatClass(ts,
-              Literal(UTF8String.fromString("yyyy-MM-dd HH:mm:ss.SSS"),
-                org.apache.spark.sql.types.StringType),
-              Some(tz)),
-            org.apache.spark.sql.types.TimestampNTZType)
+          Cast(ts, org.apache.spark.sql.types.TimestampNTZType, Some(tz))
         }
         val l = wall(args(0)); val r = wall(args(1))
         // candidate = calendar-field month difference; Joda truncation:
