@@ -3503,6 +3503,223 @@ object SparkEntry {
         ORDER BY rk, cli""")
     }),
 
+    // ------------------- qaWin round-13 depth (501-file corpus families) ----
+    // sql_join family (sql_join.01.*.iq A1_G1_Q3): two windowed subqueries
+    // self-joined on a non-partition key — every window must be computed
+    // BEFORE the join multiplies rows, so the per-side first/last/cnt
+    // values replicate, not recompute, across the join fanout
+    "q_qa_win_join_self" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase),
+        win AS (
+          SELECT srv, cli, tz, t12,
+                 first_value(tz) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS fv,
+                 last_value(tz) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS lv,
+                 CAST(count(tz) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS BIGINT) AS cnt
+          FROM w)
+        SELECT CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(t1.cnt + t2.cnt) AS BIGINT) AS s_cnt,
+               CAST(sum(CASE WHEN t1.fv = t2.fv THEN 1 ELSE 0 END) AS BIGINT) AS same_fv,
+               CAST(sum(CASE WHEN t1.lv = t2.lv THEN 1 ELSE 0 END) AS BIGINT) AS same_lv
+        FROM win t1 INNER JOIN win t2 ON t1.srv = t2.srv""")
+    }),
+
+    // sql_subquery_with_where A1_G2_Q1: window functions in the SAME query
+    // block as GROUP BY — evaluated over the grouped output, so the running
+    // count(tz) numbers group rows, not raw rows
+    "q_qa_win_groupby_running" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT user_id % 3 AS srv, event_type AS cli,
+               CAST(user_id % 5 AS STRING) AS tz,
+               first_value(CAST(user_id % 5 AS STRING)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY user_id % 3, CAST(user_id % 5 AS STRING)) AS fv,
+               last_value(CAST(user_id % 5 AS STRING)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY user_id % 3, CAST(user_id % 5 AS STRING)) AS lv,
+               CAST(count(CAST(user_id % 5 AS STRING)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY user_id % 3, CAST(user_id % 5 AS STRING)) AS BIGINT) AS cnt
+        FROM events WHERE user_id < 12
+        GROUP BY user_id % 3, event_type, CAST(user_id % 5 AS STRING)
+        ORDER BY cli, srv, tz""")
+    }),
+
+    // sql_union_all A1_G2_Q1: UNION ALL of the source with itself, then
+    // GROUP BY + running window in the same block — the union doubles raw
+    // rows but grouping collapses them back, so window output matches the
+    // single-source shape while any count(*) aggregate doubles
+    "q_qa_win_union_groupby" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT user_id % 3 AS srv, event_type AS cli,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) OVER (PARTITION BY event_type
+                 ORDER BY user_id % 3) AS BIGINT) AS run_cnt,
+               CAST(sum(count(*)) OVER (PARTITION BY event_type
+                 ORDER BY user_id % 3) AS BIGINT) AS run_sum
+        FROM (SELECT * FROM events WHERE user_id < 12
+              UNION ALL
+              SELECT * FROM events WHERE user_id < 12)
+        GROUP BY user_id % 3, event_type
+        ORDER BY cli, srv""")
+    }),
+
+    // basics_window_and_aggr A1_G1_Q2: a named WINDOW clause shared by
+    // several functions (row_number / sum / first_value all OVER w)
+    "q_qa_win_named_window" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(row_number() OVER win AS BIGINT) AS rn,
+               CAST(sum(n) OVER win AS BIGINT) AS cum,
+               first_value(tz) OVER win AS fv
+        FROM w
+        WINDOW win AS (PARTITION BY cli ORDER BY srv, tz, t12)
+        ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // mixed frame modes in ONE projection: a ROWS slide, a value-RANGE
+    // frame, and a GROUPS frame (peer-class offsets). Spark has no GROUPS
+    // frame mode, so it is emulated exactly as operators.Windows does —
+    // dense_rank as the peer-class ordinal, then a value-RANGE over it
+    // (DuckDB parses but does not implement GROUPS either, so the oracle
+    // states the same peer-class definition through dense_rank)
+    "q_qa_win_mixed_frames" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_rows,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_range,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_groups
+        FROM (SELECT srv, cli, tz, t12, n,
+                     dense_rank() OVER (PARTITION BY cli ORDER BY srv) AS dr
+              FROM w) g
+        ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // orderby_range_*_first_last over tz-floored time across DST
+    // boundaries: daily America/New_York buckets of `orders` are 23 h apart
+    // at spring-forward and 25 h at fall-back, so a RANGE INTERVAL 1 DAY
+    // PRECEDING frame INCLUDES the previous bucket on 23 h days but
+    // EXCLUDES it on 25 h days — a fixed-24 h mental model gets both wrong
+    "q_qa_win_range_interval_dst" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      val daily = t(s, dir)("orders")
+        .groupBy(graft.operators.Windows
+          .timeFloorZone(col("o_orderdate").cast("timestamp"), "P1D",
+            "America/New_York").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      daily.createOrReplaceTempView("ny_daily")
+      s.sql("""
+        SELECT bucket, n,
+               CAST(first_value(n) OVER (ORDER BY bucket
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS fv_day,
+               CAST(count(*) OVER (ORDER BY bucket
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS c_day
+        FROM ny_daily ORDER BY bucket""")
+    }),
+
+    // basics_window_funcs percentile edges: percent_rank is 0 for the
+    // single row of a 1-row partition (denominator n-1 = 0), cume_dist
+    // counts the whole peer class, NTILE(2) on a 1-row partition is 1
+    "q_qa_win_percent_edges" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               round(percent_rank() OVER (PARTITION BY cli, tz
+                 ORDER BY srv, t12), 6) AS pr,
+               round(cume_dist() OVER (PARTITION BY cli, tz
+                 ORDER BY srv), 6) AS cd_peers,
+               CAST(ntile(2) OVER (PARTITION BY cli, tz
+                 ORDER BY srv, t12) AS BIGINT) AS nt2
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // frames that can be EMPTY: entirely-preceding and entirely-following
+    // ROWS frames yield count 0 / sum NULL at the partition edges — the
+    // corpus's 0_preceding/0_following suites pin exactly this boundary
+    "q_qa_win_empty_frames" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_back,
+               CAST(count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_back,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS s_fwd,
+               CAST(count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS c_fwd
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // the corpus's signature multi-key ORDER BY with EXPRESSION sort keys
+    // (server_ip ASC, length(server_ip) ASC, cast(length(server_ip) AS
+    // DOUBLE)+0.123 ASC, timezone, time_floor): redundant derived keys must
+    // not perturb the ordering or the frame contents
+    "q_qa_win_multi_sortkey_expr" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               first_value(tz) OVER (PARTITION BY cli
+                 ORDER BY srv ASC, length(tz) ASC,
+                          CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                          tz, t12) AS fv,
+               last_value(tz) OVER (PARTITION BY cli
+                 ORDER BY srv ASC, length(tz) ASC,
+                          CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                          tz, t12) AS lv,
+               CAST(count(tz) OVER (PARTITION BY cli
+                 ORDER BY srv ASC, length(tz) ASC,
+                          CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                          tz, t12) AS BIGINT) AS cnt
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // basics_window_func_in_func, deeper: scalar functions OVER window
+    // results — length(first_value(..)), concat of two different windows,
+    // and arithmetic combining two window aggregates in one expression
+    "q_qa_win_scalar_chain" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(length(first_value(tz) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12)) AS BIGINT) AS len_fv,
+               concat(first_value(tz) OVER (PARTITION BY cli
+                        ORDER BY srv, tz, t12), '|',
+                      last_value(tz) OVER (PARTITION BY cli
+                        ORDER BY srv, tz, t12)) AS fv_lv,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
+                    - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
+                 AS BIGINT) AS sum_minus_cnt
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
     // ---------------------------------------------- qaSql scalar corpus ----
     // (reference qaSql/scalar_{datetime,string,reduction,numeric}.*.iq —
     // each applies one comparison-operator battery (=, IS [NOT] DISTINCT
@@ -7601,6 +7818,144 @@ object SparkEntry {
                  CAST(rank() OVER (ORDER BY CAST(sum(n) AS BIGINT) DESC, cli) AS BIGINT) AS rk
           FROM w GROUP BY cli HAVING sum(n) > 1
           ORDER BY rk, cli""",
+
+    "q_qa_win_join_self" ->
+      s"""WITH w AS ($winDuckBase),
+          win AS (
+            SELECT srv, cli, tz, t12,
+                   first_value(tz) OVER (PARTITION BY cli
+                     ORDER BY srv, tz, t12) AS fv,
+                   last_value(tz) OVER (PARTITION BY cli
+                     ORDER BY srv, tz, t12) AS lv,
+                   CAST(count(tz) OVER (PARTITION BY cli
+                     ORDER BY srv, tz, t12) AS BIGINT) AS cnt
+            FROM w)
+          SELECT CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(t1.cnt + t2.cnt) AS BIGINT) AS s_cnt,
+                 CAST(sum(CASE WHEN t1.fv = t2.fv THEN 1 ELSE 0 END) AS BIGINT) AS same_fv,
+                 CAST(sum(CASE WHEN t1.lv = t2.lv THEN 1 ELSE 0 END) AS BIGINT) AS same_lv
+          FROM win t1 INNER JOIN win t2 ON t1.srv = t2.srv""",
+
+    "q_qa_win_groupby_running" ->
+      """SELECT user_id % 3 AS srv, event_type AS cli,
+                CAST(user_id % 5 AS VARCHAR) AS tz,
+                first_value(CAST(user_id % 5 AS VARCHAR)) OVER (
+                  PARTITION BY event_type
+                  ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR)) AS fv,
+                last_value(CAST(user_id % 5 AS VARCHAR)) OVER (
+                  PARTITION BY event_type
+                  ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR)) AS lv,
+                CAST(count(CAST(user_id % 5 AS VARCHAR)) OVER (
+                  PARTITION BY event_type
+                  ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR)) AS BIGINT) AS cnt
+         FROM events WHERE user_id < 12
+         GROUP BY user_id % 3, event_type, CAST(user_id % 5 AS VARCHAR)
+         ORDER BY cli, srv, tz""",
+
+    "q_qa_win_union_groupby" ->
+      """SELECT user_id % 3 AS srv, event_type AS cli,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) OVER (PARTITION BY event_type
+                  ORDER BY user_id % 3) AS BIGINT) AS run_cnt,
+                CAST(sum(count(*)) OVER (PARTITION BY event_type
+                  ORDER BY user_id % 3) AS BIGINT) AS run_sum
+         FROM (SELECT * FROM events WHERE user_id < 12
+               UNION ALL
+               SELECT * FROM events WHERE user_id < 12)
+         GROUP BY user_id % 3, event_type
+         ORDER BY cli, srv""",
+
+    "q_qa_win_named_window" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(row_number() OVER win AS BIGINT) AS rn,
+                 CAST(sum(n) OVER win AS BIGINT) AS cum,
+                 first_value(tz) OVER win AS fv
+          FROM w
+          WINDOW win AS (PARTITION BY cli ORDER BY srv, tz, t12)
+          ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_mixed_frames" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_rows,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_range,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY dr
+                   RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_groups
+          FROM (SELECT *, dense_rank() OVER (PARTITION BY cli ORDER BY srv) AS dr
+                FROM w) g
+          ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_range_interval_dst" ->
+      """WITH ny_daily AS (
+           SELECT ((date_trunc('day', (CAST(o_orderdate AS TIMESTAMP)
+                      AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'))
+                    AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS bucket,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1)
+         SELECT bucket, n,
+                CAST(first_value(n) OVER (ORDER BY bucket
+                  RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS fv_day,
+                CAST(count(*) OVER (ORDER BY bucket
+                  RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS c_day
+         FROM ny_daily ORDER BY bucket""",
+
+    "q_qa_win_percent_edges" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 round(percent_rank() OVER (PARTITION BY cli, tz
+                   ORDER BY srv, t12), 6) AS pr,
+                 round(cume_dist() OVER (PARTITION BY cli, tz
+                   ORDER BY srv), 6) AS cd_peers,
+                 CAST(ntile(2) OVER (PARTITION BY cli, tz
+                   ORDER BY srv, t12) AS BIGINT) AS nt2
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_empty_frames" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_back,
+                 CAST(count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_back,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS s_fwd,
+                 CAST(count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS c_fwd
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_multi_sortkey_expr" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 first_value(tz) OVER (PARTITION BY cli
+                   ORDER BY srv ASC, length(tz) ASC,
+                            CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                            tz, t12) AS fv,
+                 last_value(tz) OVER (PARTITION BY cli
+                   ORDER BY srv ASC, length(tz) ASC,
+                            CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                            tz, t12) AS lv,
+                 CAST(count(tz) OVER (PARTITION BY cli
+                   ORDER BY srv ASC, length(tz) ASC,
+                            CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                            tz, t12) AS BIGINT) AS cnt
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_scalar_chain" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(length(first_value(tz) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12)) AS BIGINT) AS len_fv,
+                 concat(first_value(tz) OVER (PARTITION BY cli
+                          ORDER BY srv, tz, t12), '|',
+                        last_value(tz) OVER (PARTITION BY cli
+                          ORDER BY srv, tz, t12)) AS fv_lv,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
+                      - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
+                   AS BIGINT) AS sum_minus_cnt
+          FROM w ORDER BY cli, srv, tz, t12""",
 
     "q_qa_scalar_datetime_battery" ->
       s"""SELECT CAST(count(*) FILTER (WHERE
