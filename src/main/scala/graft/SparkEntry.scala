@@ -3720,6 +3720,22 @@ object SparkEntry {
         FROM w ORDER BY cli, srv, tz, t12""")
     }),
 
+    // Druid/Calcite single-bound FOLLOWING frame shorthand through the SQL
+    // facade: `ROWS UNBOUNDED FOLLOWING` / `ROWS 1 FOLLOWING` mean BETWEEN
+    // CURRENT ROW AND <b> FOLLOWING (qaWin orderby_*_following corpora;
+    // SqlApi.rewriteSuffixFrames — Spark's parser rejects the lone bound)
+    "q_qa_win_suffix_frames" -> ((s, dir) => {
+      val q = "SELECT user_id % 3 AS srv, event_type AS cli, " +
+        "CAST(user_id % 5 AS VARCHAR) AS tz, " +
+        "CAST(sum(count(*)) OVER (PARTITION BY event_type ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR) ROWS UNBOUNDED FOLLOWING) AS BIGINT) AS s_ubf, " +
+        "CAST(count(count(*)) OVER (PARTITION BY event_type ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR) ROWS 1 FOLLOWING) AS BIGINT) AS c_1f, " +
+        "CAST(sum(count(*)) OVER (PARTITION BY event_type ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR) ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_ubp " +
+        "FROM events WHERE user_id < 12 " +
+        "GROUP BY user_id % 3, event_type, CAST(user_id % 5 AS VARCHAR) " +
+        "ORDER BY cli, srv, tz"
+      graft.api.SqlApi.run(s, dir, s"""{"query": "${q.replace("\"", "\\\"")}"}""")
+    }),
+
     // ---------------------------------------------- qaSql scalar corpus ----
     // (reference qaSql/scalar_{datetime,string,reduction,numeric}.*.iq —
     // each applies one comparison-operator battery (=, IS [NOT] DISTINCT
@@ -7956,6 +7972,22 @@ object SparkEntry {
                       - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                    AS BIGINT) AS sum_minus_cnt
           FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_suffix_frames" ->
+      """SELECT user_id % 3 AS srv, event_type AS cli,
+                CAST(user_id % 5 AS VARCHAR) AS tz,
+                CAST(sum(count(*)) OVER (PARTITION BY event_type
+                  ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR)
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS s_ubf,
+                CAST(count(count(*)) OVER (PARTITION BY event_type
+                  ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR)
+                  ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS BIGINT) AS c_1f,
+                CAST(sum(count(*)) OVER (PARTITION BY event_type
+                  ORDER BY user_id % 3, CAST(user_id % 5 AS VARCHAR)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_ubp
+         FROM events WHERE user_id < 12
+         GROUP BY user_id % 3, event_type, CAST(user_id % 5 AS VARCHAR)
+         ORDER BY cli, srv, tz""",
 
     "q_qa_scalar_datetime_battery" ->
       s"""SELECT CAST(count(*) FILTER (WHERE

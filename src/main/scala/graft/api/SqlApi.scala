@@ -419,8 +419,34 @@ object SqlApi {
     val (masked, lits) = maskLiterals(bind(setStatements(raw)._2, params))
     unmaskLiterals(
       rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
-        rewriteFloorCeilTo(masked)))), lits)
+        rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(
+          masked)))))), lits)
   }
+
+  /** Calcite's unparameterized string types: Druid SQL accepts
+    * `CAST(x AS VARCHAR)` / `CAST(x AS CHAR)` as unbounded strings
+    * (sql/.../planner/Calcites.java type mappings); Spark requires a
+    * length on VARCHAR/CHAR, so map the bare forms to STRING. Only the
+    * `AS <type>)` CAST tail is touched — `RETURNING VARCHAR` (JSON_VALUE)
+    * keeps its own handling in rewriteJsonReturning.
+    */
+  private[graft] def rewriteCastTypes(sqlText: String): String =
+    """(?is)\bAS\s+(?:VARCHAR|CHAR)\s*\)""".r
+      .replaceAllIn(sqlText, _ => "AS STRING)")
+
+  /** Calcite/Druid single-bound FOLLOWING frame shorthand: `ROWS <b>
+    * FOLLOWING` (and RANGE, incl. `UNBOUNDED FOLLOWING`) means
+    * BETWEEN CURRENT ROW AND <b> FOLLOWING — verified against the
+    * reference's qaWin orderby_rows_1_following / _ub_following expected
+    * outputs (quidem-ut qaWin corpus). Spark's parser rejects a lone
+    * FOLLOWING bound, so expand it. PRECEDING shorthand is already
+    * standard (BETWEEN <b> PRECEDING AND CURRENT ROW) in both.
+    */
+  private[graft] def rewriteSuffixFrames(sqlText: String): String =
+    """(?is)\b(ROWS|RANGE)\s+((?:UNBOUNDED|\d+|INTERVAL\s+'[^']*'(?:\s+\w+)?)\s+FOLLOWING)""".r
+      .replaceAllIn(sqlText, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)} BETWEEN CURRENT ROW AND ${m.group(2)}"))
 
   /** Replace every single-quoted literal's content ('' escapes included)
     * with `'\u0001<idx>\u0001'`; [[unmaskLiterals]] restores them. \u0001

@@ -613,6 +613,31 @@ class SqlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("suffix frame shorthand: lone FOLLOWING bound expands to CURRENT ROW AND") {
+    import graft.api.SqlApi.rewriteSuffixFrames
+    assert(rewriteSuffixFrames("OVER (ORDER BY a ROWS UNBOUNDED FOLLOWING)") ==
+      "OVER (ORDER BY a ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+    assert(rewriteSuffixFrames("OVER (ORDER BY a ROWS 2 FOLLOWING)") ==
+      "OVER (ORDER BY a ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)")
+    assert(rewriteSuffixFrames("OVER (ORDER BY t RANGE INTERVAL '1' DAY FOLLOWING)") ==
+      "OVER (ORDER BY t RANGE BETWEEN CURRENT ROW AND INTERVAL '1' DAY FOLLOWING)")
+    // already-explicit frames and PRECEDING shorthand untouched
+    val explicit = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    assert(rewriteSuffixFrames(explicit) == explicit)
+    val prec = "ROWS 1 PRECEDING"
+    assert(rewriteSuffixFrames(prec) == prec)
+  }
+
+  test("bare VARCHAR/CHAR casts map to STRING; parameterized forms untouched") {
+    import graft.api.SqlApi.rewriteCastTypes
+    assert(rewriteCastTypes("CAST(x AS VARCHAR)") == "CAST(x AS STRING)")
+    assert(rewriteCastTypes("cast(x as char)") == "cast(x AS STRING)")
+    val sized = "CAST(x AS VARCHAR(10))"
+    assert(rewriteCastTypes(sized) == sized)
+    val ret = "JSON_VALUE(c, '$.x' RETURNING VARCHAR)"
+    assert(rewriteCastTypes(ret) == ret)
+  }
+
   test("FLOOR/CEIL … TO unit rewrite: nested forms, plain FLOOR untouched") {
     import graft.api.SqlApi.rewriteFloorCeilTo
     assert(rewriteFloorCeilTo("SELECT FLOOR(__time TO HOUR) FROM t") ==
