@@ -853,6 +853,138 @@ object QaSuites {
          FROM (SELECT unnest(a_int) AS c FROM test_unnest)
          ORDER BY c NULLS FIRST"""),
 
+    // --------------------------------------- qaUnnest round-13 depth ----
+    // multi_unnests A6_B8_D1: cross of TWO json_value RETURNING arrays of
+    // different element types (boolean × double) over the shredded column
+    gu("q_qa_unnest_json_multi",
+      """SELECT CAST(c1 AS BIGINT) AS c1, c2, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest,
+              UNNEST(json_value(a_nested, '$[0]' RETURNING boolean array)) AS u1(c1),
+              UNNEST(json_value(a_nested, '$[2]' RETURNING double array)) AS u2(c2)
+         GROUP BY c1, c2 ORDER BY CAST(c1 AS BIGINT) NULLS FIRST, c2 NULLS FIRST""",
+      """SELECT c1, c2, count(*) AS cnt
+         FROM (SELECT __time, unnest(a_bool) AS c1 FROM test_unnest) t1
+         JOIN (SELECT __time, unnest(a_float) AS c2 FROM test_unnest) t2
+           USING (__time)
+         GROUP BY c1, c2 ORDER BY c1 NULLS FIRST, c2 NULLS FIRST"""),
+
+    // window functions over exploded rows: partition by the source row's
+    // scalar, order by the unnested value — frames see the exploded stream
+    gu("q_qa_unnest_window",
+      """SELECT s_int, c,
+                CAST(rank() OVER (PARTITION BY s_int
+                  ORDER BY c NULLS FIRST) AS BIGINT) AS rk,
+                CAST(sum(c) OVER (PARTITION BY s_int ORDER BY c NULLS FIRST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         ORDER BY s_int NULLS FIRST, c NULLS FIRST""",
+      """SELECT s_int, c,
+                CAST(rank() OVER (PARTITION BY s_int
+                  ORDER BY c NULLS FIRST) AS BIGINT) AS rk,
+                CAST(sum(c) OVER (PARTITION BY s_int ORDER BY c NULLS FIRST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         ORDER BY s_int NULLS FIRST, c NULLS FIRST"""),
+
+    // unnest under set operators: the typed-array column and the json path
+    // shred the SAME logical values, so INTERSECT keeps all distinct
+    // elements and EXCEPT is empty (NULLs compare equal in set ops)
+    gu("q_qa_unnest_setops",
+      """SELECT 'inter' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT c FROM test_unnest, UNNEST(a_int) AS u(c)
+           INTERSECT
+           SELECT c2 FROM test_unnest,
+             UNNEST(json_value(a_nested, '$[1]' RETURNING bigint array)) AS v(c2))
+         UNION ALL
+         SELECT 'exc' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT c FROM test_unnest, UNNEST(a_int) AS u(c)
+           EXCEPT
+           SELECT c2 FROM test_unnest,
+             UNNEST(json_value(a_nested, '$[1]' RETURNING bigint array)) AS v(c2))
+         ORDER BY op""",
+      """SELECT 'inter' AS op, count(*) AS n FROM (
+           SELECT unnest(a_int) AS c FROM test_unnest
+           INTERSECT
+           SELECT unnest(a_int) AS c2 FROM test_unnest)
+         UNION ALL
+         SELECT 'exc' AS op, count(*) AS n FROM (
+           SELECT unnest(a_int) AS c FROM test_unnest
+           EXCEPT
+           SELECT unnest(a_int) AS c2 FROM test_unnest)
+         ORDER BY op"""),
+
+    // subquery_with_where nested-unnest IN: the outer exploded value
+    // filtered by an inner unnest-derived set (non-null json elements)
+    gu("q_qa_unnest_in_subquery",
+      """SELECT s_int, c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         WHERE c IN (SELECT c2 FROM test_unnest,
+             UNNEST(json_value(a_nested, '$[1]' RETURNING bigint array)) AS v(c2)
+           WHERE c2 IS NOT NULL)
+         GROUP BY s_int, c
+         ORDER BY s_int NULLS FIRST, c""",
+      """SELECT s_int, c, count(*) AS cnt
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         WHERE c IN (SELECT unnest(a_int) AS c2 FROM test_unnest)
+           AND c IS NOT NULL
+         GROUP BY s_int, c
+         ORDER BY s_int NULLS FIRST, c"""),
+
+    // ORDER BY the unnested value itself with LIMIT/OFFSET paging across
+    // source-row boundaries (array_sql_order_by family)
+    gu("q_qa_unnest_order_by_c",
+      """SELECT c, s_int
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         ORDER BY c DESC NULLS LAST, s_int NULLS FIRST
+         LIMIT 5 OFFSET 2""",
+      """SELECT c, s_int
+         FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
+         ORDER BY c DESC NULLS LAST, s_int NULLS FIRST
+         LIMIT 5 OFFSET 2"""),
+
+    // agg-function battery over exploded rows: ordered string_agg (NULL
+    // elements excluded identically on both sides)
+    gu("q_qa_unnest_agg_collect",
+      """SELECT s_int,
+                array_join(array_sort(collect_list(c)), '|') AS joined,
+                CAST(count(c) AS BIGINT) AS n_nonnull
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         GROUP BY s_int ORDER BY s_int NULLS FIRST""",
+      """SELECT s_int,
+                string_agg(c, '|' ORDER BY c) AS joined,
+                count(c) AS n_nonnull
+         FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
+         GROUP BY s_int ORDER BY s_int NULLS FIRST"""),
+
+    // DISTINCT aggregates over exploded values (array_sql_agg_funcs)
+    gu("q_qa_unnest_distinct_aggs",
+      """SELECT s_int,
+                CAST(count(DISTINCT c) AS BIGINT) AS nd,
+                CAST(sum(DISTINCT c) AS BIGINT) AS sd,
+                CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         GROUP BY s_int ORDER BY s_int NULLS FIRST""",
+      """SELECT s_int,
+                count(DISTINCT c) AS nd,
+                CAST(sum(DISTINCT c) AS BIGINT) AS sd,
+                min(c) AS mn, max(c) AS mx
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         GROUP BY s_int ORDER BY s_int NULLS FIRST"""),
+
+    // string functions over the json-shredded VARCHAR array ($[3] = a_str)
+    gu("q_qa_unnest_json_str_funcs",
+      """SELECT lower(c) AS lc, CAST(length(c) AS BIGINT) AS len,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest,
+              UNNEST(json_value(a_nested, '$[3]' RETURNING varchar array)) AS u(c)
+         GROUP BY lower(c), length(c)
+         ORDER BY lc NULLS FIRST""",
+      """SELECT lower(c) AS lc, CAST(length(c) AS BIGINT) AS len,
+                count(*) AS cnt
+         FROM (SELECT unnest(a_str) AS c FROM test_unnest)
+         GROUP BY lower(c), length(c)
+         ORDER BY lc NULLS FIRST"""),
+
     // ------------------------------------------------------ qaUnnest/mv ----
     // mv_sql_group_by A1_B2: nested source values stringified at ingest
     gm("q_qa_mv_unnest_group",
@@ -862,6 +994,33 @@ object QaSuites {
       """SELECT c, count(*) AS cnt
          FROM (SELECT unnest(c_mv_complex) AS c FROM test_unnest)
          GROUP BY c ORDER BY c"""),
+
+    // mv_sql_scalar_string_funcs: string functions applied to each
+    // multi-value element after explosion
+    gm("q_qa_mv_unnest_string_funcs",
+      """SELECT c, upper(c) AS uc, CAST(length(c) AS BIGINT) AS len,
+                concat(c, '_x') AS tagged, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(MV_TO_ARRAY(c_mv_complex)) AS u(c)
+         GROUP BY c ORDER BY c""",
+      """SELECT c, upper(c) AS uc, CAST(length(c) AS BIGINT) AS len,
+                c || '_x' AS tagged, count(*) AS cnt
+         FROM (SELECT unnest(c_mv_complex) AS c FROM test_unnest)
+         GROUP BY c ORDER BY c"""),
+
+    // mv col_general row variants: a NULL mv cell and an empty mv cell both
+    // contribute ZERO exploded rows; NULL/'' ELEMENTS inside a present cell
+    // still emit rows — count per source row pins the difference
+    gm("q_qa_mv_unnest_row_null_empty",
+      """SELECT c_long, CAST(count(c) AS BIGINT) AS n_nonnull,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM test_unnest,
+              UNNEST(MV_TO_ARRAY(c_mv_complex_with_null_and_empty_row)) AS u(c)
+         GROUP BY c_long ORDER BY c_long""",
+      """SELECT c_long, count(c) AS n_nonnull, count(*) AS n_rows
+         FROM (SELECT c_long,
+                      unnest(c_mv_complex_with_null_and_empty_row) AS c
+               FROM test_unnest)
+         GROUP BY c_long ORDER BY c_long"""),
 
     // null vs '' MV cells survive unnest as distinct groups
     gm("q_qa_mv_null_empty_vals",
