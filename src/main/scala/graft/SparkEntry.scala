@@ -4819,6 +4819,73 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // END-TO-END curation pipeline in ONE DataFrame plan — the composed
+      // form of the solo-gated operators (a real pretraining data flow):
+      //   1. canonicalizeUrl on a synthesized messy provenance URL; doc
+      //      pairs (2k, 2k+1) share a canonical location → URL dedup keeps
+      //      the min doc_id per canonical URL
+      //   2. exact content dedup (md5 of raw text, keep min id)
+      //   3. near-dup removal: MinHash-LSH candidates (threshold 0.4)
+      //      exact-verified on the CANDIDATE PAIRS ONLY (true 3-shingle
+      //      jaccard >= 0.5), connected-component families, keep the min
+      //      id of each family (all true pairs in this corpus sit at
+      //      j >= 0.9 where 16x4 LSH detection is deterministic-in-practice,
+      //      so the oracle's exhaustive truth set matches)
+      //   4. decontamination: drop docs sharing any raw 8-gram with the
+      //      benchmark probe set (doc_id % 97 == 0) — contaminationScore
+      //      with corpus=probe, probe=survivors
+      //   5. Gopher-style quality filter (zero violations pass)
+      //   6. packSequences onto 512-token training sequences
+      // Scale shape: every stage is a hash-agg or size-gated join; the
+      // corpus text never shuffles except the stage-1/2 key shuffles, and
+      // pair verification only touches LSH candidates.
+      val docs = t(s, dir)("documents")
+      val id = col("doc_id")
+      val url = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTPS://Crawl")).otherwise(lit("https://crawl")),
+        lit(".Example.COM"),
+        when(pmod(id, lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/doc/"), floor(id / 2).cast("long").cast("string"),
+        when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(id, lit(2)) === 0, lit("?utm_source=x&ref=1"))
+          .otherwise(lit("?ref=1&utm_campaign=c")),
+        when(pmod(id, lit(4)) === 0, lit("#top")).otherwise(lit("")))
+      val withUrl = docs.withColumn("curl", TextAnalysis.canonicalizeUrl(url))
+      val urlKept = Dedup.exact(withUrl, col("curl"), col("doc_id"))
+      // persist at the fan-out points: exactKept feeds the LSH signature
+      // build, the pair verification, the family anti-join and the probe
+      // scoring — without it the whole scan+dedup subtree re-executes per
+      // consumer (12 corpus scans in the unpersisted plan, 2 with these;
+      // on a cluster this would be a checkpoint to object storage)
+      val exactKept = Dedup.exact(urlKept, md5(col("text")), col("doc_id"))
+        .select(col("doc_id"), col("text")).persist()
+      val found = Dedup.minHashLsh(exactKept, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, numBands = 16, threshold = 0.4)
+      val sh = exactKept.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val verified = found
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val famKept = Dedup.dropDuplicateFamilies(exactKept, verified, "doc_id")
+        .persist()
+      val probe = docs.filter(pmod(id, lit(97)) === 0)
+        .select(col("doc_id"), col("text"))
+      val scores = Dedup.contaminationScore(probe, famKept,
+        "doc_id", "text", n = 8)
+      val clean = famKept.join(
+        scores.filter(col("matched") > 0).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val passed = clean.filter(
+        size(TextAnalysis.qualityFilter(col("text"))) === 0)
+      graft.pipeline.Packing.packSequences(passed, "doc_id", "text",
+          maxTokens = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_chunk" -> ((s, dir) => {
       // sliding-window token chunking to a model context length
       // (TextAnalysis.chunk): 50-token windows, 10-token overlap
@@ -8525,6 +8592,139 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
+
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE raw AS (
+           SELECT doc_id, text,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Crawl' ELSE 'https://crawl' END)
+             || '.Example.COM'
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             || '/doc/' || CAST(doc_id // 2 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&ref=1'
+                      ELSE '?ref=1&utm_campaign=c' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+           FROM documents),
+         nf AS (SELECT doc_id, text, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+         pp AS (
+           SELECT doc_id, text,
+             lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS pathq
+           FROM nf),
+         qq AS (
+           SELECT doc_id, text, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS auth,
+             regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+             regexp_extract(pathq, '\?(.*)$', 1) AS query
+           FROM pp),
+         curled AS (
+           SELECT doc_id, text,
+             scheme || '://' || auth
+             || (CASE WHEN length(rawpath) = 0 THEN '/'
+                      WHEN rawpath = '/' THEN '/'
+                      ELSE regexp_replace(rawpath, '/$', '') END)
+             || (CASE WHEN length(cq) > 0 THEN '?' || cq ELSE '' END) AS curl
+           FROM (SELECT *, array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> length(p) > 0 AND NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'gclid=')
+                        AND NOT starts_with(p, 'fbclid=')
+                        AND p <> 'gclid' AND p <> 'fbclid')), '&') AS cq
+                 FROM qq)),
+         urlkept AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+             FROM curled) WHERE rn = 1),
+         exactkept AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM urlkept) WHERE rn = 1),
+         grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(string_split(norm, ' ')) - 1),
+             i -> array_to_string(string_split(norm, ' ')[i:i+2], ' ')))) AS g
+           FROM (SELECT doc_id,
+                        trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM exactkept)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         truth AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2) x
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM truth
+                   UNION ALL SELECT id_b, id_a FROM truth),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         famkept AS (
+           SELECT k.doc_id, k.text FROM exactkept k
+           LEFT JOIN comp ON comp.id = k.doc_id
+           WHERE comp.id IS NULL OR comp.root = k.doc_id),
+         cg AS (
+           SELECT DISTINCT array_to_string(list_slice(toks, i+1, i+8), ' ') AS g
+           FROM (SELECT string_split_regex(text, '\s+') AS toks
+                 FROM documents WHERE doc_id % 97 = 0),
+                unnest(generate_series(0, len(toks) - 8)) AS t(i)
+           WHERE len(toks) >= 8),
+         pg AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i+1, i+8), ' ') AS g
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                 FROM famkept),
+                unnest(generate_series(0, len(toks) - 8)) AS t(i)
+           WHERE len(toks) >= 8),
+         contaminated AS (SELECT DISTINCT pg.doc_id FROM pg JOIN cg USING (g)),
+         clean AS (
+           SELECT f.doc_id, f.text FROM famkept f
+           WHERE f.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         qbase AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> len(t) > 0) AS toks,
+                  CAST(length(text) AS DOUBLE) AS nc,
+                  CAST(length(text) AS DOUBLE)
+                    - CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                      AS DOUBLE) AS np
+           FROM clean),
+         qm AS (
+           SELECT doc_id, text,
+                  CAST(len(toks) AS DOUBLE) AS nt,
+                  CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','of','and','to','in','is'], t)))
+                    AS DOUBLE) AS ns,
+                  nc, np
+           FROM qbase),
+         passed AS (
+           SELECT doc_id, text FROM qm
+           WHERE NOT (nt < 5) AND NOT (nt > 1000)
+             AND NOT ((CASE WHEN nt = 0 THEN 0.0 ELSE (nc - (nt - 1)) / nt END) < 2.0
+                      OR (CASE WHEN nt = 0 THEN 0.0 ELSE (nc - (nt - 1)) / nt END) > 12.0)
+             AND NOT ((CASE WHEN nt = 0 THEN 0.0 ELSE ns / nt END) < 0.02)
+             AND NOT ((CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) > 0.2))
+         SELECT doc_id, n_tokens,
+                CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS seq_id,
+                CAST(start_tok % 512 AS BIGINT) AS seq_offset
+         FROM (SELECT doc_id, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS start_tok
+               FROM (SELECT doc_id,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> len(t) > 0)) AS BIGINT) AS n_tokens
+                     FROM passed)) t
+         ORDER BY doc_id""",
 
     "q_pack_sequences" ->
       """SELECT doc_id, n_tokens,
