@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.functions.DruidFunctions
 import graft.operators.{Joins, NativeQueries => NQ, PostProcessing}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingIngest
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle) per implemented
@@ -76,6 +76,43 @@ object SparkEntry {
              AND CAST($p1 AS $strType) not like '__DOES_NOT_EXIST__%'
              AND $p1 IN ($p0, $p1, $p2)
              AND $p1 NOT IN ($p0, $p2)))"""
+
+  /** DuckDB replay of pipeline.Bpe.train's `n` merge rounds: w = word
+    * vocabulary, v0 = char symbolization, then per round i a pair-count
+    * aggregate (p), the deterministic argmax (m: count DESC, pair ASC),
+    * and the merge application by literal space-delimited replace (v).
+    * CTEs are MATERIALIZED — each vi is referenced twice, and inlined
+    * evaluation would re-derive the whole chain exponentially.
+    */
+  private def bpeOracleCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w AS MATERIALIZED (
+         SELECT word, count(*) AS freq
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> len(t) > 0)) AS word FROM documents)
+         GROUP BY word),
+       v0 AS MATERIALIZED (
+         SELECT word, freq, array_to_string(string_split(word, ''), ' ') AS s
+         FROM w)"""
+    for (i <- 1 to n) {
+      val prev = s"v${i - 1}"
+      sb ++= s""",
+       p$i AS MATERIALIZED (
+         SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS c
+         FROM (SELECT freq, string_split(s, ' ') AS syms FROM $prev
+               WHERE len(string_split(s, ' ')) >= 2),
+              unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         GROUP BY 1, 2),
+       m$i AS MATERIALIZED (
+         SELECT a, b FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+       v$i AS MATERIALIZED (
+         SELECT word, freq, trim(replace(' ' || s || ' ',
+           ' ' || (SELECT a FROM m$i) || ' ' || (SELECT b FROM m$i) || ' ',
+           ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')) AS s
+         FROM $prev)"""
+    }
+    sb.toString
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4819,6 +4856,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_bpe_merges" -> ((s, dir) => {
+      // deterministic BPE merge-table training (pipeline.Bpe.train): 10
+      // rounds of pair-count aggregates over the word VOCABULARY (never
+      // the corpus), ties broken (count DESC, pair ASC) — the oracle
+      // replays the identical 10 rounds in SQL and must produce the same
+      // merge table symbol for symbol
+      import s.implicits._
+      val merges = Bpe.train(t(s, dir)("documents"), "text", numMerges = 10)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong + 1, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy(col("merge_rank"))
+    }),
+
+    "q_text_bpe" -> ((s, dir) => {
+      // subword token budgeting: per-document whitespace vs BPE token
+      // counts under the 10-merge table trained on the same corpus. The
+      // merge chain applies to DISTINCT words only (vocabulary-sized), then
+      // one join + aggregate produce per-doc counts.
+      val docs = t(s, dir)("documents")
+      val merges = Bpe.train(docs, "text", numMerges = 10)
+      Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // END-TO-END curation pipeline in ONE DataFrame plan — the composed
       // form of the solo-gated operators (a real pretraining data flow):
@@ -8592,6 +8654,27 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
+
+    "q_text_bpe_merges" -> {
+      val n = 10
+      s"""WITH ${bpeOracleCtes(n)}
+          SELECT * FROM (${(1 to n).map(i =>
+            s"""SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM m$i""")
+            .mkString(" UNION ALL ")})
+          ORDER BY merge_rank"""
+    },
+
+    "q_text_bpe" -> {
+      val n = 10
+      s"""WITH ${bpeOracleCtes(n)},
+          dw AS (SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS word
+                 FROM documents)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_ws,
+                 CAST(sum(len(string_split(v.s, ' '))) AS BIGINT) AS n_tokens_bpe
+          FROM dw JOIN v$n v USING (word)
+          GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     "q_pipeline_e2e" ->
       """WITH RECURSIVE raw AS (
