@@ -3757,6 +3757,103 @@ object SparkEntry {
         FROM w ORDER BY cli, srv, tz, t12""")
     }),
 
+    // Drill frameclause/multipl_wnwds mulwind_01: a named window plus
+    // inline windows with DESC NULLS FIRST and RANGE CURRENT ROW AND
+    // CURRENT ROW peers, wrapped in a subquery FILTERED on one of the
+    // window outputs — windows must evaluate before the outer predicate
+    "q_drill_window_named_mixed" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT * FROM (
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER win AS BIGINT) AS w_sum,
+                 CAST(min(n) OVER (PARTITION BY cli ORDER BY n DESC NULLS FIRST
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS m_peer,
+                 CAST(max(n) OVER (PARTITION BY cli ORDER BY n
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_max,
+                 CAST(count(n) OVER win AS BIGINT) AS w_count,
+                 last_value(tz) OVER win AS w_lval
+          FROM w
+          WINDOW win AS (PARTITION BY cli ORDER BY n DESC NULLS FIRST, srv, tz, t12
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ) subqry
+        WHERE subqry.w_count > 3
+        ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // Drill misc q15: the full ranking+aggregate battery over ONE shared
+    // global (partition-less) named window ordered DESC
+    "q_drill_window_all_funcs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER win AS BIGINT) AS s,
+               CAST(max(n) OVER win AS BIGINT) AS mx,
+               CAST(min(n) OVER win AS BIGINT) AS mn,
+               CAST(count(*) OVER win AS BIGINT) AS c,
+               CAST(rank() OVER win AS BIGINT) AS rk,
+               CAST(dense_rank() OVER win AS BIGINT) AS drk,
+               round(percent_rank() OVER win, 6) AS pr,
+               round(cume_dist() OVER win, 6) AS cd,
+               CAST(row_number() OVER win AS BIGINT) AS rn
+        FROM w
+        WINDOW win AS (ORDER BY n DESC, cli, srv, tz, t12)
+        ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // Drill statistical_aggregates + empty-partition variants: sample
+    // variance over a 1-row partition is NULL, population variance 0
+    "q_drill_window_var_stat" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               round(var_samp(n) OVER (PARTITION BY cli, tz), 6) AS vs,
+               round(var_pop(n) OVER (PARTITION BY cli, tz), 6) AS vp,
+               round(stddev_samp(n) OVER (PARTITION BY cli, tz), 6) AS sd,
+               CAST(count(*) OVER (PARTITION BY cli, tz) AS BIGINT) AS np
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // Drill frameclause/subQueries frmInSubQry: a framed running sum
+    // computed in a subquery, aggregated by the OUTER query — the frame
+    // result is an input column to a plain GROUP BY
+    "q_drill_window_frame_in_subq" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT cli, CAST(max(run) AS BIGINT) AS max_run,
+               CAST(sum(run) AS BIGINT) AS sum_run,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM (SELECT cli,
+                     sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run
+              FROM w) x
+        GROUP BY cli ORDER BY cli""")
+    }),
+
+    // DESC time-ordered RANGE INTERVAL frame: "PRECEDING" under DESC walks
+    // toward LARGER timestamps, so the 12-hour bound faces the other way
+    "q_qa_win_range_interval_desc" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY t12 DESC
+                 RANGE BETWEEN INTERVAL 12 HOURS PRECEDING AND CURRENT ROW) AS BIGINT) AS s_12h,
+               CAST(count(*) OVER (PARTITION BY cli ORDER BY t12 DESC
+                 RANGE BETWEEN INTERVAL 12 HOURS PRECEDING
+                           AND INTERVAL 12 HOURS FOLLOWING) AS BIGINT) AS c_24h
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
     // Druid/Calcite single-bound FOLLOWING frame shorthand through the SQL
     // facade: `ROWS UNBOUNDED FOLLOWING` / `ROWS 1 FOLLOWING` mean BETWEEN
     // CURRENT ROW AND <b> FOLLOWING (qaWin orderby_*_following corpora;
@@ -8100,6 +8197,70 @@ object SparkEntry {
                  CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                       - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                    AS BIGINT) AS sum_minus_cnt
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_drill_window_named_mixed" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT * FROM (
+            SELECT srv, cli, tz, t12,
+                   CAST(sum(n) OVER win AS BIGINT) AS w_sum,
+                   CAST(min(n) OVER (PARTITION BY cli ORDER BY n DESC NULLS FIRST
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS m_peer,
+                   CAST(max(n) OVER (PARTITION BY cli ORDER BY n
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_max,
+                   CAST(count(n) OVER win AS BIGINT) AS w_count,
+                   last_value(tz) OVER win AS w_lval
+            FROM w
+            WINDOW win AS (PARTITION BY cli ORDER BY n DESC NULLS FIRST, srv, tz, t12
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          ) subqry
+          WHERE subqry.w_count > 3
+          ORDER BY cli, srv, tz, t12""",
+
+    "q_drill_window_all_funcs" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER win AS BIGINT) AS s,
+                 CAST(max(n) OVER win AS BIGINT) AS mx,
+                 CAST(min(n) OVER win AS BIGINT) AS mn,
+                 CAST(count(*) OVER win AS BIGINT) AS c,
+                 CAST(rank() OVER win AS BIGINT) AS rk,
+                 CAST(dense_rank() OVER win AS BIGINT) AS drk,
+                 round(percent_rank() OVER win, 6) AS pr,
+                 round(cume_dist() OVER win, 6) AS cd,
+                 CAST(row_number() OVER win AS BIGINT) AS rn
+          FROM w
+          WINDOW win AS (ORDER BY n DESC, cli, srv, tz, t12)
+          ORDER BY cli, srv, tz, t12""",
+
+    "q_drill_window_var_stat" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 round(var_samp(n) OVER (PARTITION BY cli, tz), 6) AS vs,
+                 round(var_pop(n) OVER (PARTITION BY cli, tz), 6) AS vp,
+                 round(stddev_samp(n) OVER (PARTITION BY cli, tz), 6) AS sd,
+                 CAST(count(*) OVER (PARTITION BY cli, tz) AS BIGINT) AS np
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_drill_window_frame_in_subq" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT cli, CAST(max(run) AS BIGINT) AS max_run,
+                 CAST(sum(run) AS BIGINT) AS sum_run,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM (SELECT cli,
+                       sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run
+                FROM w) x
+          GROUP BY cli ORDER BY cli""",
+
+    "q_qa_win_range_interval_desc" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY t12 DESC
+                   RANGE BETWEEN INTERVAL 12 HOURS PRECEDING AND CURRENT ROW) AS BIGINT) AS s_12h,
+                 CAST(count(*) OVER (PARTITION BY cli ORDER BY t12 DESC
+                   RANGE BETWEEN INTERVAL 12 HOURS PRECEDING
+                             AND INTERVAL 12 HOURS FOLLOWING) AS BIGINT) AS c_24h
           FROM w ORDER BY cli, srv, tz, t12""",
 
     "q_qa_win_suffix_frames" ->
