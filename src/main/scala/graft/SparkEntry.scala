@@ -3757,6 +3757,52 @@ object SparkEntry {
         FROM w ORDER BY cli, srv, tz, t12""")
     }),
 
+    // the systematic RANGE-offset edge matrix the orderby_range_* corpus
+    // sweeps: both-PRECEDING and both-FOLLOWING value windows (can be
+    // EMPTY when no row lands in the value interval), UNBOUNDED-to-offset
+    // hybrids, and FIRST/LAST over a symmetric value window — value
+    // distance, not row distance, decides membership everywhere
+    "q_qa_win_range_matrix_full" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_2p_1p,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS s_1f_2f,
+               CAST(count(*) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_ub_1p,
+               CAST(count(*) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_1f_ub,
+               first_value(srv) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv_sym,
+               last_value(srv) OVER (PARTITION BY cli ORDER BY srv
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv_sym
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // LEAD/LAG are NAVIGATION functions: they read physical row offsets in
+    // the partition and IGNORE any frame clause on the shared window —
+    // pinned by pairing them with a framed aggregate over the same named
+    // 1-row frame (the aggregate sees only the frame; lag still reaches
+    // outside it)
+    "q_qa_win_lag_ignores_frame" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(lag(n, 2) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12) AS BIGINT) AS lag2,
+               CAST(lead(n, 2) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12) AS BIGINT) AS lead2,
+               CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS s_self
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
     // Drill frameclause/multipl_wnwds mulwind_01: a named window plus
     // inline windows with DESC NULLS FIRST and RANGE CURRENT ROW AND
     // CURRENT ROW peers, wrapped in a subquery FILTERED on one of the
@@ -8197,6 +8243,34 @@ object SparkEntry {
                  CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                       - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                    AS BIGINT) AS sum_minus_cnt
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_range_matrix_full" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_2p_1p,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS s_1f_2f,
+                 CAST(count(*) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_ub_1p,
+                 CAST(count(*) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_1f_ub,
+                 first_value(srv) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv_sym,
+                 last_value(srv) OVER (PARTITION BY cli ORDER BY srv
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv_sym
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_lag_ignores_frame" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(lag(n, 2) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS BIGINT) AS lag2,
+                 CAST(lead(n, 2) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12) AS BIGINT) AS lead2,
+                 CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS s_self
           FROM w ORDER BY cli, srv, tz, t12""",
 
     "q_drill_window_named_mixed" ->

@@ -61,6 +61,20 @@ class DeterminismSpec extends AnyFunSuite {
     stableAcrossPartitionings("q_ssb_q4")
   }
 
+  test("end-to-end curation pipeline is partition-order independent") {
+    // six chained operators incl. MinHash-LSH candidate generation and a
+    // two-phase prefix-sum packing — every stage must be associative for
+    // the gate hash to survive a different executor layout
+    stableAcrossPartitionings("q_pipeline_e2e")
+  }
+
+  test("BPE merge table and token counts are partition-order independent") {
+    // the trainer's argmax collect is the risk point: ties MUST break on
+    // (count DESC, pair ASC), never on partition arrival order
+    stableAcrossPartitionings("q_text_bpe_merges")
+    stableAcrossPartitionings("q_text_bpe")
+  }
+
   test("entire TPC-H battery is partition-order independent (7 vs 32 partitions)") {
     // the family-wide claim: every battery gate survives a shuffle-count
     // perturbation bit-identically, not just the three spot-checked shapes
