@@ -1022,6 +1022,45 @@ object QaSuites {
                FROM test_unnest)
          GROUP BY c_long ORDER BY c_long"""),
 
+    // mv_sql_subquery_with_where B10/B11: three-valued IN over exploded MV
+    // values — a NULL in the IN list turns every non-match UNKNOWN, so
+    // IS NOT TRUE keeps NULL elements AND UNKNOWN non-matches while a
+    // plain NOT IN would drop everything; the same predicate applied in
+    // the subquery and in the outer query must agree
+    gm("q_qa_mv_unnest_in_3vl",
+      """SELECT o.c,
+                CAST(o.c IN ('1', '[2]') AS STRING) AS in_plain,
+                CAST(o.c IN ('1', NULL) AS STRING) AS in_with_null,
+                o.cnt_outer, coalesce(s.n, 0L) AS cnt_subq
+         FROM (SELECT c, CAST(count(*) AS BIGINT) AS cnt_outer
+               FROM test_unnest,
+                 UNNEST(MV_TO_ARRAY(c_mv_complex_with_null_and_empty_val)) AS u(c)
+               WHERE (c IN ('1', NULL)) IS NOT TRUE
+               GROUP BY c) o
+         LEFT JOIN (SELECT c2, CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT c2 FROM test_unnest,
+                 UNNEST(MV_TO_ARRAY(c_mv_complex_with_null_and_empty_val)) AS v(c2)
+                 WHERE (c2 IN ('1', NULL)) IS NOT TRUE) x
+               GROUP BY c2) s
+           ON o.c <=> s.c2
+         ORDER BY o.c NULLS FIRST""",
+      """SELECT o.c,
+                CAST(o.c IN ('1', '[2]') AS VARCHAR) AS in_plain,
+                CAST(o.c IN ('1', NULL) AS VARCHAR) AS in_with_null,
+                o.cnt_outer, coalesce(s.n, 0) AS cnt_subq
+         FROM (SELECT c, count(*) AS cnt_outer
+               FROM (SELECT unnest(c_mv_complex_with_null_and_empty_val) AS c
+                     FROM test_unnest)
+               WHERE (c IN ('1', NULL)) IS NOT TRUE
+               GROUP BY c) o
+         LEFT JOIN (SELECT c2, count(*) AS n
+               FROM (SELECT unnest(c_mv_complex_with_null_and_empty_val) AS c2
+                     FROM test_unnest)
+               WHERE (c2 IN ('1', NULL)) IS NOT TRUE
+               GROUP BY c2) s
+           ON o.c IS NOT DISTINCT FROM s.c2
+         ORDER BY o.c NULLS FIRST"""),
+
     // null vs '' MV cells survive unnest as distinct groups
     gm("q_qa_mv_null_empty_vals",
       """SELECT c, CAST(count(*) AS BIGINT) AS cnt

@@ -2737,9 +2737,30 @@ object SparkEntry {
           AND log10(abs(value) + 10) > 1 - 1e-12
           AND cbrt(value * value * value) BETWEEN value - 1e-6 AND value + 1e-6
           AND hypot(value, 0) = abs(value)
-          AND SAFE_DIVIDE(value, 0.0) IS NULL
+          AND ((value <> 0 AND SAFE_DIVIDE(value, 0.0) IS NULL)
+               OR (value = 0 AND SAFE_DIVIDE(value, 0.0) = 0.0))
           AND asin(least(abs(value), 1.0)) >= 0
           AND pi() BETWEEN 3.14159 AND 3.1416""")
+    }),
+
+    // Function.java SafeDivide / SizeFormatFunc / NVL surface: long-path
+    // truncating safe division (0/0 is NULL on longs), the double path's
+    // 0/0 = 0 special case, and the three human-readable formatters with
+    // explicit precision (inputs chosen so every printed value is exact at
+    // the printed precision — no cross-engine rounding ties)
+    "q_qa_scalar_misc_fns" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT o_orderkey,
+               SAFE_DIVIDE(o_orderkey, o_orderkey % 3) AS sd_long,
+               SAFE_DIVIDE(CAST(o_orderkey AS DOUBLE),
+                           CAST(o_orderkey % 3 AS DOUBLE)) AS sd_dbl,
+               NVL(NULLIF(o_orderkey % 5, 0), -1) AS nvl_mod,
+               HUMAN_READABLE_BINARY_BYTE_FORMAT(o_orderkey * 1024, 1) AS hrb,
+               HUMAN_READABLE_DECIMAL_BYTE_FORMAT(o_orderkey * 1000) AS hrd,
+               HUMAN_READABLE_DECIMAL_FORMAT(o_orderkey * 123456, 3) AS hrdec
+        FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")
     }),
 
     // -------------------------------------- Calcite misc corpus shapes ----
@@ -7614,9 +7635,31 @@ object SparkEntry {
            AND log10(abs(value) + 10) > 1 - 1e-12
            AND cbrt(value * value * value) BETWEEN value - 1e-6 AND value + 1e-6
            AND sqrt(value * value) = abs(value)
-           AND (CASE WHEN 0.0 = 0.0 THEN NULL ELSE value / 0.0 END) IS NULL
+           AND ((value <> 0 AND (CASE WHEN value <> 0 THEN NULL
+                                 ELSE 0.0 END) IS NULL)
+                OR (value = 0 AND (CASE WHEN value <> 0 THEN NULL
+                                   ELSE 0.0 END) = 0.0))
            AND asin(least(abs(value), 1.0)) >= 0
            AND pi() BETWEEN 3.14159 AND 3.1416""",
+
+    "q_qa_scalar_misc_fns" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                     ELSE o_orderkey // (o_orderkey % 3) END AS sd_long,
+                CASE WHEN o_orderkey % 3 = 0 THEN
+                       (CASE WHEN o_orderkey <> 0 THEN NULL ELSE 0.0 END)
+                     ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 3) END AS sd_dbl,
+                coalesce(NULLIF(o_orderkey % 5, 0), -1) AS nvl_mod,
+                CASE WHEN o_orderkey = 0 THEN '0 B'
+                     ELSE printf('%.1f KiB', CAST(o_orderkey AS DOUBLE)) END AS hrb,
+                CASE WHEN o_orderkey = 0 THEN '0 B'
+                     ELSE printf('%.2f KB', CAST(o_orderkey AS DOUBLE)) END AS hrd,
+                CASE WHEN o_orderkey = 0 THEN '0'
+                     WHEN o_orderkey * 123456 < 1000000 THEN
+                       printf('%.3f K', o_orderkey * 123456 / 1000.0)
+                     ELSE printf('%.3f M', (o_orderkey * 123456 // 1000) / 1000.0)
+                END AS hrdec
+         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
 
     "q_qa_filtered_sum_empty" ->
       """SELECT CAST(count(1) FILTER (WHERE user_id = -1) AS BIGINT) AS c_eq,

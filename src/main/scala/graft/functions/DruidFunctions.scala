@@ -438,8 +438,10 @@ object DruidFunctions {
   /** SAFE_DIVIDE — null (not error / Inf) on zero denominator
     * (reference `Function.java:1220`).
     */
-  def safeDivide(x: Column, y: Column): Column =
-    when(y === 0 || y.isNull, lit(null)).otherwise(x / y)
+  def safeDivide(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{toCol, toExpr}
+    toCol(graft.functions.SafeDivide(toExpr(x), toExpr(y)))
+  }
 
   // ------------------------------------------------------- multi-value str ----
   // Reference MVDs (multi-value string dimensions) are modelled as
@@ -579,6 +581,36 @@ object DruidFunctions {
         If(RLike(args(0), args(1)),
           RegExpExtract(args(0), args(1), idx),
           Literal.create(null, StringType))
+      }),
+      // Function.java SafeDivide:1218 — zero-divisor absorbing division,
+      // long path for integral inputs, double path otherwise
+      "safe_divide" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"safe_divide takes 2 arguments, got ${args.size}")
+        SafeDivide(args(0), args(1))
+      }),
+      // Druid SQL NVL (sql/.../builtin/NvlOperatorConversion): 2-arg coalesce
+      "nvl" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"nvl takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.Coalesce(args)
+      }),
+      // Function.java SizeFormatFunc:4690 family (precision defaults to 2)
+      "human_readable_binary_byte_format" -> ((args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          s"human_readable_binary_byte_format takes 1 or 2 args, got ${args.size}")
+        HumanReadableFormatExpr(args(0),
+          args.lift(1).getOrElse(Literal(2)), HumanReadableFormat.BinaryByte)
+      }),
+      "human_readable_decimal_byte_format" -> ((args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          s"human_readable_decimal_byte_format takes 1 or 2 args, got ${args.size}")
+        HumanReadableFormatExpr(args(0),
+          args.lift(1).getOrElse(Literal(2)), HumanReadableFormat.DecimalByte)
+      }),
+      "human_readable_decimal_format" -> ((args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          s"human_readable_decimal_format takes 1 or 2 args, got ${args.size}")
+        HumanReadableFormatExpr(args(0),
+          args.lift(1).getOrElse(Literal(2)), HumanReadableFormat.Decimal)
       }),
       // reference DivOperatorConversion: integer division, truncate toward 0
       "div" -> ((args: Seq[Expression]) => {
@@ -835,8 +867,8 @@ object DruidFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
     val fns = Seq(
-      "SAFE_DIVIDE(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN " +
-        "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE x / y END",
+      // (SAFE_DIVIDE lives in catalystBuilders above: exact Function.java
+      // SafeDivide semantics — long path, 0/0 = 0, NaN divisor)
       // reference StrlenOperatorConversion: alias of CHAR_LENGTH
       "STRLEN(s STRING) RETURNS INT RETURN length(s)",
       // reference MultiValueStringOperatorConversions.FilteredPrefix /
@@ -899,38 +931,9 @@ object DruidFunctions {
       // negatives the wrong way
       "SAFE_DIV(x BIGINT, y BIGINT) RETURNS BIGINT RETURN " +
         "CASE WHEN y = 0 OR y IS NULL THEN NULL ELSE x DIV y END",
-      // HUMAN_READABLE_* (reference Function.java SizeFormatFunc →
-      // HumanReadableBytes.format, default precision 2, pattern "%.2f %s%s"
-      // — printf rounding, NO thousands grouping)
-      """HUMAN_READABLE_BINARY_BYTE_FORMAT(b BIGINT) RETURNS STRING RETURN
-         CASE WHEN abs(b) < 1024 THEN concat(CAST(b AS STRING), ' B')
-              WHEN abs(b) < 1048576 THEN
-                concat(format_string('%.2f', CAST(b / 1024.0 AS DOUBLE)), ' KiB')
-              WHEN abs(b) < 1073741824 THEN
-                concat(format_string('%.2f', CAST(b / 1048576.0 AS DOUBLE)), ' MiB')
-              ELSE concat(format_string('%.2f', CAST(b / 1073741824.0 AS DOUBLE)), ' GiB')
-         END""",
-      """HUMAN_READABLE_DECIMAL_BYTE_FORMAT(b BIGINT) RETURNS STRING RETURN
-         CASE WHEN abs(b) < 1000 THEN concat(CAST(b AS STRING), ' B')
-              WHEN abs(b) < 1000000 THEN
-                concat(format_string('%.2f', CAST(b / 1000.0 AS DOUBLE)), ' KB')
-              WHEN abs(b) < 1000000000 THEN
-                concat(format_string('%.2f', CAST(b / 1000000.0 AS DOUBLE)), ' MB')
-              ELSE concat(format_string('%.2f', CAST(b / 1000000000.0 AS DOUBLE)), ' GB')
-         END""",
-      // DECIMAL unit system: bare K/M/G suffixes, plain number below 1000;
-      // the reference's loop divides by 1000 with INTEGER truncation at each
-      // step before the final /1000.0, reproduced with DIV here
-      """HUMAN_READABLE_DECIMAL_FORMAT(b BIGINT) RETURNS STRING RETURN
-         CASE WHEN abs(b) < 1000 THEN CAST(b AS STRING)
-              WHEN abs(b) < 1000000 THEN
-                concat(format_string('%.2f', CAST(b / 1000.0 AS DOUBLE)), ' K')
-              WHEN abs(b) < 1000000000 THEN
-                concat(format_string('%.2f', CAST((b DIV 1000) / 1000.0 AS DOUBLE)), ' M')
-              WHEN abs(b) < 1000000000000 THEN
-                concat(format_string('%.2f', CAST((b DIV 1000000) / 1000.0 AS DOUBLE)), ' G')
-              ELSE concat(format_string('%.2f', CAST((b DIV 1000000000) / 1000.0 AS DOUBLE)), ' T')
-         END""",
+      // (HUMAN_READABLE_{BINARY_BYTE,DECIMAL_BYTE,DECIMAL}_FORMAT live in
+      // catalystBuilders above: exact HumanReadableBytes.format semantics —
+      // full unit range, optional precision arg, Long.MIN_VALUE special case)
       // (TIME_FLOOR lives in catalystBuilders above: full period/origin/
       // timezone arity, arbitrary fixed periods via exact micros arithmetic)
       // (TIME_SHIFT lives in catalystBuilders above: any fixed period,

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Divide, EqualTo, Expression, If, IntegralDivide, IsNaN, Literal, Not, Or, RuntimeReplaceable}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misc scalar functions from the reference's native expression library
+  * (`processing/.../math/expr/Function.java`) with no Spark built-in
+  * equivalent.
+  */
+
+/** `safe_divide(x, y)` — division that absorbs the error cases
+  * (Function.java SafeDivide:1218): on the LONG path a zero divisor yields
+  * NULL; on the DOUBLE path a zero-or-NaN divisor yields NULL unless the
+  * dividend is also zero, which yields 0.0 (the reference's "0/0 = 0"
+  * special case). Type-polymorphic like the reference: both-integral
+  * inputs divide as longs, anything else as doubles. RuntimeReplaceable —
+  * the optimizer swaps in the typed If/Divide tree, so evaluation and
+  * codegen are entirely built-in expressions.
+  */
+case class SafeDivide(left: Expression, right: Expression)
+    extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override lazy val replacement: Expression = {
+    val integral = Seq(left, right).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    if (integral) {
+      val x = Cast(left, LongType)
+      val y = Cast(right, LongType)
+      If(EqualTo(y, Literal(0L)), Literal.create(null, LongType),
+        IntegralDivide(x, y))
+    } else {
+      val x = Cast(left, DoubleType)
+      val y = Cast(right, DoubleType)
+      // null-branch condition is Java's `x != 0` (NaN != 0 is TRUE there,
+      // and Spark's EqualTo(NaN, 0.0) is false, so Not(EqualTo) matches)
+      If(Or(EqualTo(y, Literal(0.0)), IsNaN(y)),
+        If(Not(EqualTo(x, Literal(0.0))),
+          Literal.create(null, DoubleType), Literal(0.0)),
+        Divide(x, y))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+object HumanReadableFormat {
+  sealed trait UnitSystem
+  case object BinaryByte extends UnitSystem
+  case object DecimalByte extends UnitSystem
+  case object Decimal extends UnitSystem
+
+  private val BinaryUnits = Array("", "Ki", "Mi", "Gi", "Ti", "Pi", "Ei")
+  private val DecimalUnits = Array("K", "M", "G", "T", "P", "E")
+
+  /** `HumanReadableBytes.format` (utils/HumanReadableBytes.java:247):
+    * binary units step at powers of 1024 with a "B" suffix, decimal at
+    * powers of 1000; the plain decimal system drops the suffix. Values
+    * inside the first unit print as bare integers.
+    */
+  def format(bytes: Long, precision: Int, system: UnitSystem): String = {
+    require(precision >= 0 && precision <= 3,
+      s"precision [$precision] must be in the range of [0,3]")
+    system match {
+      case BinaryByte =>
+        if (bytes > -1024 && bytes < 1024) s"$bytes B"
+        else if (bytes == Long.MinValue)
+          String.format(s"%.${precision}f %s%s",
+            Double.box(-8.0), BinaryUnits.last, "B")
+        else {
+          val idx = (63 - java.lang.Long.numberOfLeadingZeros(
+            math.abs(bytes))) / 10
+          String.format(s"%.${precision}f %s%s",
+            Double.box(bytes.toDouble / (1L << (idx * 10))),
+            BinaryUnits(idx), "B")
+        }
+      case DecimalByte => decimalFormat(bytes, precision, "B")
+      case Decimal     => decimalFormat(bytes, precision, "").trim
+    }
+  }
+
+  private def decimalFormat(bytes0: Long, precision: Int,
+      suffix: String): String = {
+    if (bytes0 > -1000 && bytes0 < 1000) s"$bytes0 $suffix"
+    else {
+      var bytes = bytes0
+      var idx = 0
+      while (bytes <= -1000000L || bytes >= 1000000L) {
+        bytes /= 1000; idx += 1
+      }
+      String.format(s"%.${precision}f %s%s",
+        Double.box(bytes / 1000.0), DecimalUnits(idx), suffix)
+    }
+  }
+}
+
+/** `human_readable_{binary_byte,decimal_byte,decimal}_format(value[,
+  * precision])` (Function.java SizeFormatFunc:4690) — string rendering, off
+  * any hot aggregate path, so CodegenFallback is fine.
+  */
+case class HumanReadableFormatExpr(child: Expression, precision: Expression,
+    system: HumanReadableFormat.UnitSystem)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, precision)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val p = precision.eval(input)
+      val prec = if (p == null) 2 else p.asInstanceOf[Number].intValue()
+      UTF8String.fromString(HumanReadableFormat.format(
+        v.asInstanceOf[Number].longValue(), prec, system))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), precision = newChildren(1))
+}

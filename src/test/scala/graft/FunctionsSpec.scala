@@ -51,6 +51,56 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(0).isNullAt(0) && r(1).getDouble(0) == 3.0)
   }
 
+  test("safeDivide matches Function.java SafeDivide exactly") {
+    // double path: 0/0 = 0 (the reference's special case), x/0 = null,
+    // NaN divisor = null unless x = 0
+    val d = Seq((0.0, 0.0), (1.0, Double.NaN), (0.0, Double.NaN), (7.0, 2.0))
+      .toDF("x", "y")
+      .select(DruidFunctions.safeDivide(col("x"), col("y")).as("d"))
+      .collect()
+    assert(d(0).getDouble(0) == 0.0)
+    assert(d(1).isNullAt(0))
+    assert(d(2).getDouble(0) == 0.0)
+    assert(d(3).getDouble(0) == 3.5)
+    // long path: integral inputs divide as longs (truncation), zero
+    // divisor is null EVEN for 0/0
+    DruidFunctions.register(spark)
+    val l = spark.sql(
+      """SELECT safe_divide(7L, 2L) AS a, safe_divide(-7L, 2L) AS b,
+                safe_divide(0L, 0L) AS c, safe_divide(5L, 0L) AS d,
+                safe_divide(7.0D, 2L) AS e""").head()
+    assert(l.getLong(0) == 3L && l.getLong(1) == -3L)
+    assert(l.isNullAt(2) && l.isNullAt(3))
+    assert(l.getDouble(4) == 3.5)
+  }
+
+  test("human_readable format family matches HumanReadableBytes.format") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT human_readable_binary_byte_format(1024L) AS a,
+                human_readable_binary_byte_format(1048576L, 1) AS b,
+                human_readable_binary_byte_format(500L) AS c,
+                human_readable_decimal_byte_format(1000L) AS d,
+                human_readable_decimal_byte_format(-999L) AS e,
+                human_readable_decimal_format(123456789L, 0) AS f,
+                human_readable_decimal_format(999L) AS g""").head()
+    assert(r.getString(0) == "1.00 KiB")
+    assert(r.getString(1) == "1.0 MiB")
+    assert(r.getString(2) == "500 B")
+    assert(r.getString(3) == "1.00 KB")
+    assert(r.getString(4) == "-999 B")
+    assert(r.getString(5) == "123 M")
+    assert(r.getString(6) == "999")
+  }
+
+  test("nvl is a two-argument coalesce") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nvl(NULL, 'x') AS a, nvl('y', 'x') AS b, nvl(NULL, 5) AS c")
+      .head()
+    assert(r.getString(0) == "x" && r.getString(1) == "y" && r.getInt(2) == 5)
+  }
+
   test("ipv4 parse/stringify roundtrip and subnet match") {
     val df = Seq("10.64.3.1").toDF("ip").select(
       DruidFunctions.ipv4Parse(col("ip")).as("l"),
