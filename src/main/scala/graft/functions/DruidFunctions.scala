@@ -582,6 +582,19 @@ object DruidFunctions {
           RegExpExtract(args(0), args(1), idx),
           Literal.create(null, StringType))
       }),
+      // Function.java Scalb: Math.scalb(d, scale) = d × 2^scale with exact
+      // exponent arithmetic (StaticInvoke keeps overflow/subnormal edges
+      // identical to the reference's Java call)
+      "scalb" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"scalb takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.DoubleType,
+          "scalb",
+          Seq(Cast(args(0), org.apache.spark.sql.types.DoubleType),
+            Cast(args(1), org.apache.spark.sql.types.IntegerType)),
+          Seq(org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.IntegerType))
+      }),
       // Function.java SafeDivide:1218 — zero-divisor absorbing division,
       // long path for integral inputs, double path otherwise
       "safe_divide" -> ((args: Seq[Expression]) => {

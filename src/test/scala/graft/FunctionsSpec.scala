@@ -93,6 +93,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(6) == "999")
   }
 
+  test("scalb and textcat match the reference's native expressions") {
+    DruidFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT scalb(3.0D, 4) AS a, scalb(1.0D, -2) AS b,
+                scalb(0.0D, 100) AS c,
+                textcat('a', 'b') AS d, textcat('x', CAST(7 AS STRING)) AS e""")
+      .head()
+    assert(r.getDouble(0) == 48.0)
+    assert(r.getDouble(1) == 0.25)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getString(3) == "ab" && r.getString(4) == "x7")
+  }
+
   test("nvl is a two-argument coalesce") {
     DruidFunctions.register(spark)
     val r = spark.sql(
