@@ -3080,6 +3080,30 @@ object SparkEntry {
         ORDER BY t""")
     }),
 
+    // aggr_general A39-A41 + A24-A25: the comparison battery over BITWISE
+    // aggregates and over a TIMESTAMP aggregate shifted by interval
+    // arithmetic — both probe families compared in HAVING like the corpus
+    "q_qa_aggr_battery_bit_time" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT date_trunc('hour', ts) AS t,
+               CAST(bit_xor(user_id) + 1 AS BIGINT) AS bx,
+               CAST(bit_and(user_id) AS BIGINT) AS ba,
+               CAST(bit_or(user_id) AS BIGINT) AS bo,
+               min(date_trunc('hour', ts)) + INTERVAL 1 YEAR AS mt,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1
+        HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                          AND TIMESTAMP '2024-01-10 06:00:00'
+           AND ${battery("bit_xor(user_id) + 1", "bit_xor(user_id)",
+                "bit_xor(user_id) + 2", "STRING")}
+           AND ${battery("min(date_trunc('hour', ts)) + INTERVAL 1 YEAR",
+                "min(date_trunc('hour', ts))",
+                "min(date_trunc('hour', ts)) + INTERVAL 2 YEAR", "STRING")}
+        ORDER BY t""")
+    }),
+
     // aggr_general A21: the battery over JSON_VALUE OF an aggregate —
     // json extraction composed on top of the aggregated json column
     "q_qa_aggr_battery_json" -> ((s, dir) => {
@@ -7838,6 +7862,24 @@ object SparkEntry {
                                            AND TIMESTAMP '2024-01-10 06:00:00'
             AND ${battery("'1' || min(event_type)", "'0' || min(event_type)",
                  "'2' || min(event_type)", "VARCHAR")}
+         ORDER BY t""",
+
+    "q_qa_aggr_battery_bit_time" ->
+      s"""SELECT date_trunc('hour', ts) AS t,
+                CAST(bit_xor(user_id) + 1 AS BIGINT) AS bx,
+                CAST(bit_and(user_id) AS BIGINT) AS ba,
+                CAST(bit_or(user_id) AS BIGINT) AS bo,
+                min(date_trunc('hour', ts)) + INTERVAL 1 YEAR AS mt,
+                count(*) AS n
+         FROM events
+         GROUP BY 1
+         HAVING date_trunc('hour', ts) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                           AND TIMESTAMP '2024-01-10 06:00:00'
+            AND ${battery("bit_xor(user_id) + 1", "bit_xor(user_id)",
+                 "bit_xor(user_id) + 2", "VARCHAR")}
+            AND ${battery("min(date_trunc('hour', ts)) + INTERVAL 1 YEAR",
+                 "min(date_trunc('hour', ts))",
+                 "min(date_trunc('hour', ts)) + INTERVAL 2 YEAR", "VARCHAR")}
          ORDER BY t""",
 
     "q_qa_aggr_battery_json" ->
