@@ -3802,6 +3802,85 @@ object SparkEntry {
         FROM w ORDER BY cli, srv, tz, t12""")
     }),
 
+    // sql_select_count: a plain aggregate over the OUTPUT of a windowed
+    // subquery — the window evaluates fully before the outer count/sum,
+    // even when the outer query keeps none of the window's input columns
+    "q_qa_win_agg_over_window" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(rn) AS BIGINT) AS sum_rn,
+               CAST(max(cum) AS BIGINT) AS max_cum,
+               CAST(count(DISTINCT fv) AS BIGINT) AS nd_fv
+        FROM (SELECT row_number() OVER (PARTITION BY cli
+                       ORDER BY srv, tz, t12) AS rn,
+                     sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     first_value(tz) OVER (PARTITION BY cli
+                       ORDER BY srv, tz, t12) AS fv
+              FROM w) x""")
+    }),
+
+    // basics_order_by_nulls_first_last with MIXED directions in ONE window:
+    // ASC NULLS LAST then DESC NULLS FIRST on later keys, under a bounded
+    // frame — the null placement of EACH key independently shapes frames
+    "q_qa_win_mixed_null_dirs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12, v,
+               CAST(row_number() OVER (PARTITION BY cli
+                 ORDER BY v ASC NULLS LAST, srv DESC, tz, t12) AS BIGINT) AS rn_mix,
+               CAST(sum(n) OVER (PARTITION BY cli
+                 ORDER BY v ASC NULLS LAST, srv DESC, tz, t12
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_mix,
+               last_value(v) OVER (PARTITION BY cli
+                 ORDER BY v DESC NULLS FIRST, srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_nf
+        FROM (SELECT *, CASE WHEN srv = 2 THEN NULL ELSE tz END AS v FROM w)
+        ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // Drill statistical_aggregates over SLIDING frames: running sample
+    // variance/stddev over a 3-row window — partials must combine exactly
+    // (rounded identically on both sides)
+    "q_drill_window_var_sliding" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               round(var_samp(n) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS vs3,
+               round(stddev_pop(n) OVER (PARTITION BY cli
+                 ORDER BY srv, tz, t12
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS sp3,
+               round(avg(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS a3
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // unnest → GROUP BY → window: running aggregates over the GROUPED
+    // output of an exploded array (qaUnnest × window composition)
+    "q_qa_unnest_group_window" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT word, n,
+               CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rk,
+               CAST(sum(n) OVER (ORDER BY n DESC, word
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS n
+              FROM part LATERAL VIEW explode(split(p_name, ' ')) t AS word
+              WHERE p_partkey <= 300
+              GROUP BY word) g
+        ORDER BY rk""")
+    }),
+
     // the systematic RANGE-offset edge matrix the orderby_range_* corpus
     // sweeps: both-PRECEDING and both-FOLLOWING value windows (can be
     // EMPTY when no row lands in the value interval), UNBOUNDED-to-offset
@@ -8329,6 +8408,58 @@ object SparkEntry {
                       - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                    AS BIGINT) AS sum_minus_cnt
           FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_agg_over_window" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT count(*) AS c,
+                 CAST(sum(rn) AS BIGINT) AS sum_rn,
+                 CAST(max(cum) AS BIGINT) AS max_cum,
+                 count(DISTINCT fv) AS nd_fv
+          FROM (SELECT row_number() OVER (PARTITION BY cli
+                         ORDER BY srv, tz, t12) AS rn,
+                       sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       first_value(tz) OVER (PARTITION BY cli
+                         ORDER BY srv, tz, t12) AS fv
+                FROM w) x""",
+
+    "q_qa_win_mixed_null_dirs" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12, v,
+                 CAST(row_number() OVER (PARTITION BY cli
+                   ORDER BY v ASC NULLS LAST, srv DESC, tz, t12) AS BIGINT) AS rn_mix,
+                 CAST(sum(n) OVER (PARTITION BY cli
+                   ORDER BY v ASC NULLS LAST, srv DESC, tz, t12
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_mix,
+                 last_value(v) OVER (PARTITION BY cli
+                   ORDER BY v DESC NULLS FIRST, srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_nf
+          FROM (SELECT *, CASE WHEN srv = 2 THEN NULL ELSE tz END AS v FROM w)
+          ORDER BY cli, srv, tz, t12""",
+
+    "q_drill_window_var_sliding" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 round(var_samp(n) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS vs3,
+                 round(stddev_pop(n) OVER (PARTITION BY cli
+                   ORDER BY srv, tz, t12
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS sp3,
+                 round(avg(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS a3
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_unnest_group_window" ->
+      """SELECT word, n,
+                CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rk,
+                CAST(sum(n) OVER (ORDER BY n DESC, word
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM (SELECT word, count(*) AS n
+               FROM (SELECT unnest(string_split(p_name, ' ')) AS word
+                     FROM part WHERE p_partkey <= 300)
+               GROUP BY word) g
+         ORDER BY rk""",
 
     "q_qa_win_range_matrix_full" ->
       s"""WITH w AS ($winDuckBase)
