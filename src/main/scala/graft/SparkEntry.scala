@@ -741,7 +741,58 @@ object SparkEntry {
                JOIN part ON l_partkey = p_partkey
                WHERE p_brand IN ('Brand#14', 'Brand#25')
                GROUP BY p_brand, month(o_orderdate)) t
-         ORDER BY p_brand, mon""")
+         ORDER BY p_brand, mon""",
+
+    // tpcds/query57.sql shape: yearly average of monthly sums (avg of an
+    // aggregate over a window), a chronological in-partition RANK, and
+    // LAG/LEAD neighbors taken over that rank — the boundary-months filter
+    // (Dec of the prior year, Jan of the next) feeds the edge rows
+    "tpcds_q57" ->
+      """WITH v1 AS (
+           SELECT s_nationkey AS nat, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(month(o_orderdate) AS BIGINT) AS mo,
+                  CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_sales
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           WHERE year(o_orderdate) = 1995
+              OR (year(o_orderdate) = 1994 AND month(o_orderdate) = 12)
+              OR (year(o_orderdate) = 1996 AND month(o_orderdate) = 1)
+           GROUP BY s_nationkey, year(o_orderdate), month(o_orderdate)),
+         v2 AS (
+           SELECT nat, yr, mo, sum_sales,
+                  CAST(FLOOR(AVG(sum_sales) OVER (PARTITION BY nat, yr)) AS BIGINT) AS avg_yr,
+                  CAST(RANK() OVER (PARTITION BY nat ORDER BY yr, mo) AS BIGINT) AS rn
+           FROM v1),
+         v3 AS (
+           SELECT nat, yr, mo, sum_sales, avg_yr, rn,
+                  CAST(LAG(sum_sales) OVER (PARTITION BY nat ORDER BY rn) AS BIGINT) AS psum,
+                  CAST(LEAD(sum_sales) OVER (PARTITION BY nat ORDER BY rn) AS BIGINT) AS nsum
+           FROM v2)
+         SELECT nat, yr, mo, sum_sales, avg_yr, rn, psum, nsum
+         FROM v3 WHERE avg_yr > 0
+         ORDER BY nat, yr, mo""",
+
+    // tpcds/query63.sql shape: monthly sums filtered by OR'd category
+    // branches, a whole-partition AVG window, and an outer deviation
+    // filter — the |sum − avg| / avg > 0.1 test done in INTEGER arithmetic
+    // (|s−a|·10 > a) so the threshold has no floating-point boundary
+    "tpcds_q63" ->
+      """SELECT nat, mon, sum_sales, avg_monthly FROM (
+           SELECT nat, mon, sum_sales,
+                  CAST(FLOOR(AVG(sum_sales) OVER (PARTITION BY nat)) AS BIGINT) AS avg_monthly
+           FROM (SELECT s_nationkey AS nat,
+                        CAST(month(o_orderdate) AS BIGINT) AS mon,
+                        CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_sales
+                 FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 WHERE year(o_orderdate) IN (1995, 1996)
+                   AND (s_nationkey IN (1, 2, 3) OR s_nationkey IN (10, 11))
+                 GROUP BY s_nationkey, month(o_orderdate)) x) y
+         WHERE avg_monthly > 0
+           AND ABS(sum_sales - avg_monthly) * 10 > avg_monthly
+         ORDER BY nat, mon""")
 
   /** TPC-H queries from the reference's quidem suite
     * (`quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest/qaTpch/
@@ -2307,6 +2358,16 @@ object SparkEntry {
       // a DESC in-brand rank
       Tables.registerAll(s, dir)
       s.sql(drillSql("tpcds_q47"))
+    }),
+
+    "q_drill_tpcds_q57" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("tpcds_q57"))
+    }),
+
+    "q_drill_tpcds_q63" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("tpcds_q63"))
     }),
 
     "q_window_frame" -> ((s, dir) => {
@@ -6698,6 +6759,8 @@ object SparkEntry {
     "q_ssb_q3_3" -> drillSql("ssb_q3_3"),
     "q_ssb_q4_2" -> drillSql("ssb_q4_2"),
     "q_drill_tpcds_q47" -> drillSql("tpcds_q47"),
+    "q_drill_tpcds_q57" -> drillSql("tpcds_q57"),
+    "q_drill_tpcds_q63" -> drillSql("tpcds_q63"),
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
          FROM lineitem
