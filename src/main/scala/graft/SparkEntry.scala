@@ -3863,6 +3863,25 @@ object SparkEntry {
         FROM w ORDER BY cli, srv, tz, t12""")
     }),
 
+    // druid_queries/array_concat_agg: ARRAY-collecting aggregates AS WINDOW
+    // functions — the whole-partition list is attached to every row of the
+    // partition (sorted + joined so the value is deterministic); the empty
+    // OVER () variant collects across the entire input
+    "q_drill_window_list_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT grp, cli, n,
+               array_join(array_sort(collect_list(cli) OVER
+                 (PARTITION BY grp)), '|') AS part_list,
+               array_join(array_sort(collect_list(cli) OVER ()), '|') AS all_list
+        FROM (SELECT user_id % 3 AS grp, event_type AS cli,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE user_id < 9
+              GROUP BY user_id % 3, event_type) g
+        ORDER BY grp, cli""")
+    }),
+
     // sql_select_count: a plain aggregate over the OUTPUT of a windowed
     // subquery — the window evaluates fully before the outer count/sum,
     // even when the outer query keeps none of the window's input columns
@@ -8471,6 +8490,17 @@ object SparkEntry {
                       - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                    AS BIGINT) AS sum_minus_cnt
           FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_drill_window_list_agg" ->
+      """SELECT grp, cli, n,
+                array_to_string(list_sort(list(cli) OVER
+                  (PARTITION BY grp)), '|') AS part_list,
+                array_to_string(list_sort(list(cli) OVER ()), '|') AS all_list
+         FROM (SELECT user_id % 3 AS grp, event_type AS cli,
+                      count(*) AS n
+               FROM events WHERE user_id < 9
+               GROUP BY user_id % 3, event_type) g
+         ORDER BY grp, cli""",
 
     "q_qa_win_agg_over_window" ->
       s"""WITH w AS ($winDuckBase)
