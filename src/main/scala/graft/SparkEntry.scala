@@ -3863,6 +3863,26 @@ object SparkEntry {
         FROM w ORDER BY cli, srv, tz, t12""")
     }),
 
+    // Drill bugs/drill-3210: SELECT * star expansion alongside named-window
+    // aggregates, plus a SECOND independent window function whose alias
+    // drives the outer ORDER BY (both were planner NPEs in Drill — pinned
+    // as value semantics; Spark requires the window in the projection,
+    // ordered by its alias)
+    "q_drill_window_star_orderby" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT *, CAST(sum(n) OVER w AS BIGINT) AS s,
+               CAST(count(n) OVER w AS BIGINT) AS c,
+               CAST(rank() OVER (PARTITION BY b1 ORDER BY n, c1) AS BIGINT) AS rk
+        FROM (SELECT user_id % 3 AS b1, event_type AS c1,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE user_id < 9
+              GROUP BY user_id % 3, event_type) t
+        WINDOW w AS (PARTITION BY b1 ORDER BY c1 DESC)
+        ORDER BY rk, b1, c1""")
+    }),
+
     // druid_queries/array_concat_agg: ARRAY-collecting aggregates AS WINDOW
     // functions — the whole-partition list is attached to every row of the
     // partition (sorted + joined so the value is deterministic); the empty
@@ -8490,6 +8510,17 @@ object SparkEntry {
                       - count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12)
                    AS BIGINT) AS sum_minus_cnt
           FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_drill_window_star_orderby" ->
+      """SELECT *, CAST(sum(n) OVER w AS BIGINT) AS s,
+                CAST(count(n) OVER w AS BIGINT) AS c,
+                CAST(rank() OVER (PARTITION BY b1 ORDER BY n, c1) AS BIGINT) AS rk
+         FROM (SELECT user_id % 3 AS b1, event_type AS c1,
+                      count(*) AS n
+               FROM events WHERE user_id < 9
+               GROUP BY user_id % 3, event_type) t
+         WINDOW w AS (PARTITION BY b1 ORDER BY c1 DESC)
+         ORDER BY rk, b1, c1""",
 
     "q_drill_window_list_agg" ->
       """SELECT grp, cli, n,
