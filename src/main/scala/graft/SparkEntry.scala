@@ -5559,6 +5559,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_embed_centroid_dist" -> ((s, dir) => {
+      // per-vector squared L2 distance to its label centroid
+      // (pipeline.Diversity): centroids are a (label, pos) hash aggregate,
+      // distances a broadcast join + codegen'd fold — no pair joins
+      graft.pipeline.Diversity.centroidDistances(
+          t(s, dir)("embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_embed_diversity" -> ((s, dir) => {
+      // per-label diversity report: E‖x−y‖² = 2·E‖x−c‖² — the pairwise
+      // statistic from the first moment, no O(n²) join
+      graft.pipeline.Diversity.groupDiversity(
+          t(s, dir)("embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("label"))
+    }),
+
     "q_embed_stats" -> ((s, dir) => {
       t(s, dir)("embeddings")
         .groupBy(col("label"))
@@ -9575,6 +9592,35 @@ object SparkEntry {
            FROM v a, v b WHERE a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(sim, 4) AS sim FROM sims
          WHERE sim >= 0.42 ORDER BY id_a, id_b""",
+
+    "q_embed_centroid_dist" ->
+      """WITH pos AS (
+           SELECT label, i, avg(embedding[i]) AS m
+           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+           GROUP BY label, i),
+         cent AS (SELECT label, list(m ORDER BY i) AS c FROM pos GROUP BY label)
+         SELECT e.vec_id, e.label,
+                round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))), 6) AS d2
+         FROM embeddings e JOIN cent c USING (label)
+         ORDER BY e.vec_id""",
+
+    "q_embed_diversity" ->
+      """WITH pos AS (
+           SELECT label, i, avg(embedding[i]) AS m
+           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+           GROUP BY label, i),
+         cent AS (SELECT label, list(m ORDER BY i) AS c FROM pos GROUP BY label),
+         d AS (
+           SELECT e.label,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))) AS d2
+           FROM embeddings e JOIN cent c USING (label))
+         SELECT label, count(*) AS n, round(avg(d2), 6) AS msd,
+                round(avg(d2) * 2, 6) AS expected_pair_d2
+         FROM d GROUP BY label ORDER BY label""",
 
     "q_embed_stats" ->
       """SELECT label, count(*) AS n, min(vec_id) AS min_id,
