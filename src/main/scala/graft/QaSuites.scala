@@ -530,6 +530,127 @@ object QaSuites {
             (SELECT ${dStr("a_int")} FROM test_array
              WHERE ${dStr("a_bool")} = '1|0|null')"""),
 
+    // sql_subquery_with_where.19/.20 A2_B16..B22: whole-array ordering
+    // comparisons vs literals — null elements sort FIRST and compare equal
+    // ([null,2,1] < [1,2]; [1,2,null] >= [1,2] via longer-with-equal-prefix;
+    // a_int >= ARRAY[1,2,NULL] matches only [1,2,null]). Spark's array
+    // ordering is identical; duck's list compare is three-valued over null
+    // elements, so the oracle compares null→sentinel-mapped keys.
+    ga("q_qa_array_lex_compare",
+      """SELECT array_to_string(a_int, '|') AS k,
+                CAST(count(*) FILTER (WHERE a_int <  array(1L, 2L, NULL)) AS BIGINT) AS lt_full,
+                CAST(count(*) FILTER (WHERE a_int <= array(1L, 2L, NULL)) AS BIGINT) AS le_full,
+                CAST(count(*) FILTER (WHERE a_int >  array(1L, 2L)) AS BIGINT) AS gt_pre,
+                CAST(count(*) FILTER (WHERE a_int >= array(1L, 2L)) AS BIGINT) AS ge_pre,
+                CAST(count(*) FILTER (WHERE a_int <> array(1L, 2L)) AS BIGINT) AS ne_pre,
+                CAST(count(*) FILTER (WHERE a_str <  array('S1', 'S2', NULL)) AS BIGINT) AS lt_str,
+                CAST(count(*) FILTER (WHERE a_str >= array('S1', 'S2')) AS BIGINT) AS ge_str,
+                CAST(count(*) FILTER (WHERE a_float > array(0.1D)) AS BIGINT) AS gt_f1,
+                CAST(count(*) FILTER (WHERE a_bool <= array(1L, 0L, NULL)) AS BIGINT) AS le_bool
+         FROM test_array GROUP BY a_int ORDER BY k""",
+      s"""SELECT ${dStr("a_int")} AS k,
+                 count(*) FILTER (WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808))
+                   <  [1, 2, -9223372036854775808]::BIGINT[]) AS lt_full,
+                 count(*) FILTER (WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808))
+                   <= [1, 2, -9223372036854775808]::BIGINT[]) AS le_full,
+                 count(*) FILTER (WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808))
+                   >  [1, 2]::BIGINT[]) AS gt_pre,
+                 count(*) FILTER (WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808))
+                   >= [1, 2]::BIGINT[]) AS ge_pre,
+                 count(*) FILTER (WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808))
+                   <> [1, 2]::BIGINT[]) AS ne_pre,
+                 count(*) FILTER (WHERE list_transform(a_str, gx -> coalesce(gx, ''))
+                   <  ['S1', 'S2', '']::VARCHAR[]) AS lt_str,
+                 count(*) FILTER (WHERE list_transform(a_str, gx -> coalesce(gx, ''))
+                   >= ['S1', 'S2']::VARCHAR[]) AS ge_str,
+                 count(*) FILTER (WHERE list_transform(a_float, gx -> coalesce(gx, -1e308))
+                   >  [0.1]::DOUBLE[]) AS gt_f1,
+                 count(*) FILTER (WHERE list_transform(a_bool, gx -> coalesce(gx, -9223372036854775808))
+                   <= [1, 0, -9223372036854775808]::BIGINT[]) AS le_bool
+          FROM test_array GROUP BY a_int ORDER BY k"""),
+
+    // sql_subquery_with_where A2_B16 C1..C10: the same predicate through all
+    // ten query forms — direct, filter inside/outside a derived table, and
+    // filter inside/outside a CTE, each bare and grouped. Pins that filter
+    // placement is semantically transparent (the planner pushes it freely).
+    ga("q_qa_array_subq_forms",
+      """, t1f AS (SELECT * FROM test_array WHERE a_int >= array(1L, 2L)),
+           t1a AS (SELECT * FROM test_array)
+         SELECT form, k, CAST(cnt AS BIGINT) AS cnt FROM (
+           SELECT 'c01' AS form, array_to_string(a_int, '|') AS k, 1 AS cnt
+           FROM test_array WHERE a_int >= array(1L, 2L)
+           UNION ALL
+           SELECT 'c02', array_to_string(a_int, '|'), count(*)
+           FROM test_array WHERE a_int >= array(1L, 2L) GROUP BY a_int
+           UNION ALL
+           SELECT 'c03', array_to_string(a_int, '|'), 1
+           FROM (SELECT * FROM test_array WHERE a_int >= array(1L, 2L))
+           UNION ALL
+           SELECT 'c04', array_to_string(a_int, '|'), count(*)
+           FROM (SELECT * FROM test_array WHERE a_int >= array(1L, 2L))
+           GROUP BY a_int
+           UNION ALL
+           SELECT 'c05', array_to_string(a_int, '|'), 1
+           FROM (SELECT * FROM test_array) WHERE a_int >= array(1L, 2L)
+           UNION ALL
+           SELECT 'c06', array_to_string(a_int, '|'), count(*)
+           FROM (SELECT * FROM test_array) WHERE a_int >= array(1L, 2L)
+           GROUP BY a_int
+           UNION ALL
+           SELECT 'c07', array_to_string(a_int, '|'), 1 FROM t1f
+           UNION ALL
+           SELECT 'c08', array_to_string(a_int, '|'), count(*) FROM t1f
+           GROUP BY a_int
+           UNION ALL
+           SELECT 'c09', array_to_string(a_int, '|'), 1 FROM t1a
+           WHERE a_int >= array(1L, 2L)
+           UNION ALL
+           SELECT 'c10', array_to_string(a_int, '|'), count(*) FROM t1a
+           WHERE a_int >= array(1L, 2L) GROUP BY a_int
+         ) ORDER BY form, k""",
+      s""", t1f AS (SELECT * FROM test_array
+            WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]),
+          t1a AS (SELECT * FROM test_array)
+          SELECT form, k, cnt FROM (
+            SELECT 'c01' AS form, ${dStr("a_int")} AS k, 1::BIGINT AS cnt
+            FROM test_array
+            WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]
+            UNION ALL
+            SELECT 'c02', ${dStr("a_int")}, count(*)
+            FROM test_array
+            WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]
+            GROUP BY a_int
+            UNION ALL
+            SELECT 'c03', ${dStr("a_int")}, 1
+            FROM (SELECT * FROM test_array
+                  WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[])
+            UNION ALL
+            SELECT 'c04', ${dStr("a_int")}, count(*)
+            FROM (SELECT * FROM test_array
+                  WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[])
+            GROUP BY a_int
+            UNION ALL
+            SELECT 'c05', ${dStr("a_int")}, 1
+            FROM (SELECT * FROM test_array)
+            WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]
+            UNION ALL
+            SELECT 'c06', ${dStr("a_int")}, count(*)
+            FROM (SELECT * FROM test_array)
+            WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]
+            GROUP BY a_int
+            UNION ALL
+            SELECT 'c07', ${dStr("a_int")}, 1 FROM t1f
+            UNION ALL
+            SELECT 'c08', ${dStr("a_int")}, count(*) FROM t1f GROUP BY a_int
+            UNION ALL
+            SELECT 'c09', ${dStr("a_int")}, 1 FROM t1a
+            WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]
+            UNION ALL
+            SELECT 'c10', ${dStr("a_int")}, count(*) FROM t1a
+            WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]
+            GROUP BY a_int
+          ) ORDER BY form, k"""),
+
     // sql_union_all: array-derived columns across UNION ALL
     ga("q_qa_array_union",
       """SELECT array_to_string(a_int, '|') AS k FROM test_array
@@ -1121,6 +1242,30 @@ object QaSuites {
          JOIN (SELECT c_long, unnest(c_mv_all_null_and_empty_val) AS c2
                FROM test_unnest) t2 USING (c_long)
          GROUP BY c1, c2 ORDER BY c1, c2 NULLS FIRST"""),
+
+    // mv_sql_join.01 A1_B7: join a table to an unnest derivation on the
+    // exploded value vs a cast scalar — '' (empty string) c_str of the
+    // c_long=1 row survives the join distinct from NULL (reference expected:
+    // ('',1,'1') ×3 and ('str2',2,'2') ×3).
+    gm("q_qa_unnest_mv_join",
+      """SELECT t1.c_str AS c_str, t1.c_long AS c_long, t2.c AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest t1
+         INNER JOIN (SELECT c_long, c FROM test_unnest,
+                     UNNEST(MV_TO_ARRAY(c_mv_num_with_null_and_empty_val)) AS u(c)) t2
+           ON t2.c = CAST(t1.c_long AS STRING)
+         WHERE t1.c_long IN (0, 1, 2, 999) AND t2.c_long IN (0, 1, 2, 999)
+         GROUP BY t1.c_str, t1.c_long, t2.c
+         ORDER BY c_long, c""",
+      """SELECT t1.c_str AS c_str, t1.c_long AS c_long, t2.c AS c,
+                count(*) AS cnt
+         FROM test_unnest t1
+         INNER JOIN (SELECT c_long, unnest(c_mv_num_with_null_and_empty_val) AS c
+                     FROM test_unnest) t2
+           ON t2.c = CAST(t1.c_long AS VARCHAR)
+         WHERE t1.c_long IN (0, 1, 2, 999) AND t2.c_long IN (0, 1, 2, 999)
+         GROUP BY t1.c_str, t1.c_long, t2.c
+         ORDER BY c_long, c"""),
 
     // -------------------------------------------------------- qaAggFuncs ----
     // array_agg_long_test001 A03-A13: ARRAY_AGG keeps nulls; contains /

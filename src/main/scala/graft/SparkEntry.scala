@@ -200,6 +200,39 @@ object SparkEntry {
                 CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // nestedAggs/frmclause02.q + basic_1.q/basic_2.q + nstdagg07.q: windows
+    // with explicit frames and running order OVER GROUP-BY aggregates —
+    // MAX(COUNT) under a cumulative RANGE frame, a running AVG of per-group
+    // SUMs, MIN(MAX) over the empty OVER (), and a global running total
+    "nested_agg_frames" ->
+      """SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(MAX(COUNT(*)) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderstatus
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mx_cnt,
+                round(AVG(CAST(SUM(o_orderkey) AS BIGINT)) OVER (
+                  PARTITION BY o_orderpriority ORDER BY o_orderstatus), 4) AS avg_sum,
+                CAST(MIN(MAX(o_orderkey)) OVER () AS BIGINT) AS mn_mx_all,
+                CAST(SUM(COUNT(*)) OVER (ORDER BY o_orderpriority, o_orderstatus
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_total
+         FROM orders GROUP BY o_orderpriority, o_orderstatus
+         ORDER BY pri, st""",
+
+    // aggregates/aggOWnFn_1.q: the SAME window NAME bound independently at
+    // two query levels — inner NTILE over the subquery's WINDOW clause,
+    // outer LEAD over the outer query's own definition of the same name
+    "named_scope" ->
+      """SELECT pri, st, ntl,
+                CAST(LEAD(ntl) OVER w AS BIGINT) AS ld
+         FROM (SELECT pri, st,
+                      CAST(NTILE(3) OVER w AS BIGINT) AS ntl
+               FROM (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                            COUNT(*) AS n
+                     FROM orders GROUP BY o_orderpriority, o_orderstatus) g
+               WINDOW w AS (PARTITION BY pri ORDER BY st)) sub
+         WINDOW w AS (PARTITION BY pri ORDER BY st)
+         ORDER BY pri, st""",
+
     // ntile_func/ntileFn_33.q: NTILE bucketing consumed by an outer GROUP BY
     "ntile" ->
       """SELECT nt, CAST(COUNT(*) AS BIGINT) AS n
@@ -1923,6 +1956,19 @@ object SparkEntry {
     // gate cites the .q family it ports; the SQL is shared verbatim with the
     // DuckDB oracle (both engines run the same text).
 
+    "q_drill_window_nestagg_frames" -> ((s, dir) => {
+      // nestedAggs/frmclause* family: explicit frames over GROUP-BY
+      // aggregates (windows evaluate on the post-aggregation row set)
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("nested_agg_frames"))
+    }),
+
+    "q_drill_window_named_scope" -> ((s, dir) => {
+      // aggregates/aggOWnFn_1.q: window-name shadowing across query levels
+      Tables.registerAll(s, dir)
+      s.sql(drillSql("named_scope"))
+    }),
+
     "q_drill_window_rbupacr" -> ((s, dir) => {
       // frameclause/RBUPACR (ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
       // ROW), e.g. RBUPACR_int_1.q: running MAX/COUNT under an explicit
@@ -2103,6 +2149,27 @@ object SparkEntry {
       // fn in the ORDER BY clause
       Tables.registerAll(s, dir)
       s.sql(drillSql("rank_orderby"))
+    }),
+
+    "q_qa_unnest_earliest" -> ((s, dir) => {
+      // qaUnnest array_sql_agg_funcs A-earliest/latest battery: the
+      // time-ordered first/last aggregates composed OVER exploded rows —
+      // explosion multiplies rows but the (value, key) pairs keep the
+      // aggregate deterministic (event_id is unique per source row)
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      graft.GraftExtensions.register(s)
+      s.sql(graft.api.SqlApi.rewriteUnnest("""
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+               earliest(event_id, event_id) AS first_id,
+               latest(event_id, event_id) AS last_id,
+               earliest_by(user_id, event_id) AS first_user,
+               latest_by(user_id, event_id) AS last_user
+        FROM (SELECT event_id, user_id, w
+              FROM events CROSS JOIN UNNEST(split(concat_ws('_', event_type,
+                     CAST(event_id % 7 AS STRING)), '_')) AS u (w)
+              WHERE user_id < 50)
+        GROUP BY w ORDER BY w"""))
     }),
 
     "q_sql_unnest_multi" -> ((s, dir) => {
@@ -4004,6 +4071,55 @@ object SparkEntry {
                  RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv_sym,
                last_value(srv) OVER (PARTITION BY cli ORDER BY srv
                  RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv_sym
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // qaWin W-matrix: explicit ROWS/RANGE frames with PARTITION BY but NO
+    // ORDER BY (reference `OVER (PARTITION BY client_ip ROWS ...)` /
+    // `OVER (...)` specs) — limited to the order-insensitive frames
+    // (current-row-only and whole-partition), which both engines define
+    // deterministically without a sort key.
+    "q_qa_win_frame_no_orderby" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli
+                 ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS s_self,
+               CAST(sum(n) OVER (PARTITION BY cli
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s_part,
+               CAST(count(*) OVER (PARTITION BY cli
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_part,
+               CAST(sum(n) OVER (
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s_all,
+               CAST(min(n) OVER (PARTITION BY cli
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS mn_part,
+               CAST(max(n) OVER (
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS mx_all
+        FROM w ORDER BY cli, srv, tz, t12""")
+    }),
+
+    // qaWin W-matrix `ORDER BY server_ip DESC, server_ip, ...`: the same key
+    // repeated with conflicting directions — the FIRST occurrence governs
+    // (later duplicates are no-op tie-breaks on an already-decided key), and
+    // frames walk the resulting order.
+    "q_qa_win_dup_sortkey" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql(s"""
+        WITH w AS ($winSparkBase)
+        SELECT srv, cli, tz, t12,
+               CAST(sum(n) OVER (PARTITION BY cli
+                 ORDER BY srv DESC, srv, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_run,
+               CAST(count(*) OVER (PARTITION BY cli
+                 ORDER BY srv DESC, srv ASC, tz, t12
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_ub_1p,
+               first_value(tz) OVER (PARTITION BY cli
+                 ORDER BY srv DESC, srv, tz, t12) AS fv,
+               CAST(row_number() OVER (PARTITION BY cli
+                 ORDER BY srv DESC, srv, tz, t12) AS BIGINT) AS rn
         FROM w ORDER BY cli, srv, tz, t12""")
     }),
 
@@ -6760,6 +6876,20 @@ object SparkEntry {
     "q_tpch_q06_decimal" -> tpchSql("q06_decimal"),
     "q_drill_window_const_args" -> drillSql("const_args"),
     "q_drill_window_rank_orderby" -> drillSql("rank_orderby"),
+    "q_drill_window_nestagg_frames" -> drillSql("nested_agg_frames"),
+    "q_drill_window_named_scope" -> drillSql("named_scope"),
+    "q_qa_unnest_earliest" ->
+      """SELECT w AS word, count(*) AS cnt,
+                min_by(event_id, event_id) AS first_id,
+                max_by(event_id, event_id) AS last_id,
+                min_by(user_id, event_id) AS first_user,
+                max_by(user_id, event_id) AS last_user
+         FROM (SELECT event_id, user_id,
+                      unnest(string_split(event_type || '_' ||
+                        CAST(event_id % 7 AS VARCHAR), '_')) AS w
+               FROM events WHERE user_id < 50)
+         GROUP BY w ORDER BY w""",
+
     "q_sql_unnest_multi" ->
       """SELECT w1, w2, count(*) AS n
          FROM (SELECT string_split(p_name, ' ') AS words,
@@ -8617,6 +8747,38 @@ object SparkEntry {
                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv_sym,
                  last_value(srv) OVER (PARTITION BY cli ORDER BY srv
                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv_sym
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_frame_no_orderby" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli
+                   ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS s_self,
+                 CAST(sum(n) OVER (PARTITION BY cli
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s_part,
+                 CAST(count(*) OVER (PARTITION BY cli
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_part,
+                 CAST(sum(n) OVER (
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s_all,
+                 CAST(min(n) OVER (PARTITION BY cli
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS mn_part,
+                 CAST(max(n) OVER (
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS mx_all
+          FROM w ORDER BY cli, srv, tz, t12""",
+
+    "q_qa_win_dup_sortkey" ->
+      s"""WITH w AS ($winDuckBase)
+          SELECT srv, cli, tz, t12,
+                 CAST(sum(n) OVER (PARTITION BY cli
+                   ORDER BY srv DESC, srv, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_run,
+                 CAST(count(*) OVER (PARTITION BY cli
+                   ORDER BY srv DESC, srv ASC, tz, t12
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_ub_1p,
+                 first_value(tz) OVER (PARTITION BY cli
+                   ORDER BY srv DESC, srv, tz, t12) AS fv,
+                 CAST(row_number() OVER (PARTITION BY cli
+                   ORDER BY srv DESC, srv, tz, t12) AS BIGINT) AS rn
           FROM w ORDER BY cli, srv, tz, t12""",
 
     "q_qa_win_lag_ignores_frame" ->

@@ -140,6 +140,28 @@ class QaSuitesSpec extends AnyFunSuite {
     assert(r.getString(2) == "1|2|null")
   }
 
+  test("qaArray ops_funcs_scalar_funcs: scalar math fns reject ARRAY args") {
+    // The reference corpus (ops_funcs_scalar_funcs.*.iq, 43 files) is all
+    // !error testcases — 'Cannot apply ABS to arguments of type
+    // ABS(<BIGINT ARRAY>)' and analogues for every scalar math function.
+    // Spark's analyzer rejects the same shapes (DATATYPE_MISMATCH), so the
+    // error surface agrees even though the messages differ.
+    for (fn <- Seq("abs", "ceil", "floor", "exp", "ln", "sqrt", "sin",
+                   "cos", "tan", "log10", "acos", "asin"))
+      intercept[Exception] {
+        spark.sql(s"SELECT $fn(array(1L, 2L, NULL)) AS c").collect()
+      }
+    intercept[Exception] {
+      spark.sql("SELECT mod(array(1L, 2L), 2) AS c").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT power(array(1L, 2L), 2) AS c").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT round(array(0.1D), 1) AS c").collect()
+    }
+  }
+
   test("qa gate battery matches pinned reference row counts") {
     // spot-pin .iq expected cardinalities through the actual gate SQL
     val q = SparkEntry.queries
