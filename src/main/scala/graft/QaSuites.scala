@@ -302,6 +302,19 @@ object QaSuites {
   private def gj(name: String, sparkBody: String, duckBody: String) =
     g(name, sparkTestJson, duckTestJson, sparkBody, duckBody)
 
+  /** DuckDB analog of the reference's JSON_KEYS (qaJsonCols func_json_keys.02
+    * A053/A058): object → sorted field names, array → index strings, empty →
+    * '', missing/scalar → NULL; '|'-joined for the scalar comparator.
+    */
+  private def djk(c: String, p: String) =
+    s"""(CASE WHEN json_type($c, '$p') = 'ARRAY'
+          THEN coalesce(array_to_string(list_transform(
+            range(0, CAST(json_array_length($c, '$p') AS BIGINT)),
+            gk -> CAST(gk AS VARCHAR)), '|'), '')
+          WHEN json_type($c, '$p') = 'OBJECT'
+          THEN coalesce(array_to_string(list_sort(json_keys($c, '$p')), '|'), '')
+          ELSE NULL END)"""
+
   /** DuckDB analog of the reference's scalar-only JSON_VALUE (qaJsonCols
     * func_json_value.02 A071: object/array paths yield NULL).
     */
@@ -1243,6 +1256,14 @@ object QaSuites {
                FROM test_unnest) t2 USING (c_long)
          GROUP BY c1, c2 ORDER BY c1, c2 NULLS FIRST"""),
 
+    // array_sql_order_by battery (`ORDER BY 1 DESC` over exploded rows):
+    // ordinal ORDER BY binds to the unnested output column, with paging
+    gu("q_qa_unnest_order_ordinal",
+      """SELECT c FROM test_unnest, UNNEST(a_int) AS u(c)
+         ORDER BY 1 DESC NULLS LAST LIMIT 5 OFFSET 1""",
+      """SELECT c FROM (SELECT unnest(a_int) AS c FROM test_unnest)
+         ORDER BY 1 DESC NULLS LAST LIMIT 5 OFFSET 1"""),
+
     // mv_sql_join.01 A1_B7: join a table to an unnest derivation on the
     // exploded value vs a cast scalar — '' (empty string) c_str of the
     // c_long=1 row survives the join distinct from NULL (reference expected:
@@ -1496,6 +1517,28 @@ object QaSuites {
                      THEN array_to_string(list_sort(json_keys(c1, '$.a_str')), '|')
                 END AS k_scalar
          FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_keys.02 A053/A058: JSON_KEYS over ARRAY paths — an array
+    // value enumerates its INDEXES as string keys ('0','1'), an
+    // array-indexed path steps into the element object, empty containers
+    // give [], out-of-bounds and wrong-vintage paths give NULL
+    gj("q_qa_json_keys_arrays",
+      """SELECT rid,
+                array_join(JSON_KEYS(c1, '$.a_array'), '|') AS k_arr,
+                array_join(array_sort(JSON_KEYS(c1, '$.a_obj.a_array[0]')), '|') AS k_idx0,
+                array_join(array_sort(JSON_KEYS(c1, '$.a_array[1]')), '|') AS k_idx1,
+                array_join(JSON_KEYS(c1, '$.a_array[5]'), '|') AS k_oob,
+                array_join(JSON_KEYS(c1, '$.a_empty_array'), '|') AS k_earr,
+                array_join(JSON_KEYS(c1, '$.b_array'), '|') AS k_barr
+         FROM test_json_cols ORDER BY rid""",
+      s"""SELECT rid,
+                 ${djk("c1", "$.a_array")} AS k_arr,
+                 ${djk("c1", "$.a_obj.a_array[0]")} AS k_idx0,
+                 ${djk("c1", "$.a_array[1]")} AS k_idx1,
+                 ${djk("c1", "$.a_array[5]")} AS k_oob,
+                 ${djk("c1", "$.a_empty_array")} AS k_earr,
+                 ${djk("c1", "$.b_array")} AS k_barr
+          FROM test_json_cols ORDER BY rid"""),
 
     // func_json_paths.01: top-level path enumeration
     gj("q_qa_json_paths_top",

@@ -1021,8 +1021,25 @@ object DruidFunctions {
          END""",
       // ------------------------------------------------------------ JSON ----
       "JSON_QUERY(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      // JSON_KEYS: objects → field names, ARRAYS → index strings ('0','1',…),
+      // empty object/array → [], missing path / scalar → NULL (reference
+      // NestedDataExpressions.JsonKeysExprMacro; pinned by quidem qaJsonCols
+      // funcs_and_sql_func_json_keys.02 A053/A058: keys('$.a_array') = [0, 1],
+      // keys('$.a_obj.a_empty_array') = []). get_json_object unquotes string
+      // scalars, so a string VALUE that itself spells a JSON array is
+      // indistinguishable from one — acceptable: the reference operates on
+      // typed nested columns, this facade on JSON text.
       """JSON_KEYS(j STRING, p STRING) RETURNS ARRAY<STRING> RETURN
-         json_object_keys(get_json_object(j, p))""",
+         CASE
+           WHEN get_json_object(j, p) IS NULL THEN NULL
+           WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN
+             CASE WHEN json_array_length(get_json_object(j, p)) = 0
+                  THEN CAST(array() AS ARRAY<STRING>)
+                  ELSE transform(sequence(0,
+                         json_array_length(get_json_object(j, p)) - 1),
+                         gk -> CAST(gk AS STRING)) END
+           ELSE json_object_keys(get_json_object(j, p))
+         END""",
       """JSON_PATHS(j STRING) RETURNS ARRAY<STRING> RETURN
          transform(json_object_keys(j), k -> concat('$.', k))""",
       // (JSON_OBJECT lives in catalystBuilders above: variadic KV arity)

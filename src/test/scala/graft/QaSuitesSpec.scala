@@ -160,6 +160,13 @@ class QaSuitesSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT round(array(0.1D), 1) AS c").collect()
     }
+    // ops_funcs_ops.*.iq: arithmetic operators reject array operands too
+    // ("Cannot apply '+' to arguments of type '<BIGINT ARRAY> + <BIGINT
+    // ARRAY>'")
+    for (op <- Seq("+", "-", "*", "/"))
+      intercept[Exception] {
+        spark.sql(s"SELECT (array(1L, 2L) $op array(1L, 2L)) AS c").collect()
+      }
   }
 
   test("qa gate battery matches pinned reference row counts") {
