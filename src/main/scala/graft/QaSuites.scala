@@ -1541,16 +1541,32 @@ object QaSuites {
           FROM test_json_cols ORDER BY rid"""),
 
     // func_json_paths.01: top-level path enumeration
+    // func_json_paths.01 A001/A033/A044: RECURSIVE leaf enumeration — nested
+    // object and array-index leaves, the empty ARRAY as its own leaf, the
+    // empty OBJECT contributing nothing, scalar/NULL input → ['$']. The
+    // fixture is static, so the oracle states the reference-rule path sets
+    // literally per row vintage (like the .iq expected blocks).
     gj("q_qa_json_paths_top",
       """SELECT rid,
                 array_join(array_sort(JSON_PATHS(c1)), '|') AS p_c1,
-                array_join(array_sort(JSON_PATHS(c2)), '|') AS p_c2
+                array_join(array_sort(JSON_PATHS(c2)), '|') AS p_c2,
+                array_join(array_sort(JSON_PATHS(JSON_QUERY(c1, '$.a_obj.a_array'))), '|') AS p_sub,
+                array_join(JSON_PATHS(s_str), '|') AS p_scalar
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
-                array_to_string(list_sort(list_transform(json_keys(c1),
-                  gk -> '$.' || gk)), '|') AS p_c1,
-                array_to_string(list_sort(list_transform(json_keys(c2),
-                  gk -> '$.' || gk)), '|') AS p_c2
+                CASE WHEN rid <= 2
+                  THEN '$.a_array[0].a_num_int|$.a_array[0].a_str|$.a_array[1].a_num_int|$.a_array[1].a_str|$.a_bool|$.a_empty_array|$.a_null|$.a_num_float|$.a_num_int|$.a_obj.a_array[0].a_num_int|$.a_obj.a_array[0].a_str|$.a_obj.a_array[1].a_num_int|$.a_obj.a_array[1].a_str|$.a_obj.a_num_int|$.a_obj.a_obj.a_num_int|$.a_obj.a_obj.a_str|$.a_obj.a_str|$.a_str'
+                  ELSE '$.b_array[0].b_num_int|$.b_array[0].b_str|$.b_array[1].b_num_int|$.b_array[1].b_str|$.b_bool|$.b_empty_array|$.b_null|$.b_num_float|$.b_num_int|$.b_obj.b_array[0].b_num_int|$.b_obj.b_array[0].b_str|$.b_obj.b_array[1].b_num_int|$.b_obj.b_array[1].b_str|$.b_obj.b_num_int|$.b_obj.b_obj.b_num_int|$.b_obj.b_obj.b_str|$.b_obj.b_str|$.b_str'
+                END AS p_c1,
+                CASE WHEN rid <= 2
+                  THEN '$.a_bool|$.a_null|$.a_num_float|$.a_num_int|$.a_str'
+                  ELSE '$.b_bool|$.b_null|$.b_num_float|$.b_num_int|$.b_str'
+                END AS p_c2,
+                CASE WHEN rid <= 2
+                  THEN '$[0].a_num_int|$[0].a_str|$[1].a_num_int|$[1].a_str'
+                  ELSE '$'
+                END AS p_sub,
+                '$' AS p_scalar
          FROM test_json_cols ORDER BY rid"""),
 
     // func_json_object.01: construct + extract round-trip

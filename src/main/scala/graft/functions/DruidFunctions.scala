@@ -595,6 +595,24 @@ object DruidFunctions {
           Seq(org.apache.spark.sql.types.DoubleType,
             org.apache.spark.sql.types.IntegerType))
       }),
+      // NestedDataExpressions.JsonPathsExprMacro: recursive LEAF path
+      // enumeration (objects recurse, primitive arrays are single leaves,
+      // mixed arrays recurse per index, scalar/NULL input → ['$']) — the
+      // tree walk lives in JsonPathsUtil.paths, pinned to the reference's
+      // StructuredDataProcessor traversal
+      "json_paths" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, s"json_paths takes 1 argument, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonPathsUtil.getClass,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType),
+          "paths",
+          Seq(Cast(args(0), org.apache.spark.sql.types.StringType)),
+          Seq(org.apache.spark.sql.types.StringType),
+          // NULL input is NOT null-propagated: the reference yields ['$']
+          // for a missing/scalar document (qaJsonCols A001/A044 rows 3-4)
+          propagateNull = false)
+      }),
       // Function.java SafeDivide:1218 — zero-divisor absorbing division,
       // long path for integral inputs, double path otherwise
       "safe_divide" -> ((args: Seq[Expression]) => {
@@ -1040,8 +1058,7 @@ object DruidFunctions {
                          gk -> CAST(gk AS STRING)) END
            ELSE json_object_keys(get_json_object(j, p))
          END""",
-      """JSON_PATHS(j STRING) RETURNS ARRAY<STRING> RETURN
-         transform(json_object_keys(j), k -> concat('$.', k))""",
+      // (JSON_PATHS lives in catalystBuilders: recursive leaf enumeration)
       // (JSON_OBJECT lives in catalystBuilders above: variadic KV arity)
       // JSON_QUERY_ARRAY: array-of-scalars extraction (element JSON text for
       // nested elements, like the reference's ExprEval array coercion)
