@@ -1478,21 +1478,33 @@ object QaSuites {
          FROM test_json_cols ORDER BY rid"""),
 
     // func_json_query.01-.03: JSON_QUERY returns the subtree text (objects,
-    // empty containers, array elements; missing → NULL)
+    // empty containers, array elements; missing → NULL) — and for SCALAR
+    // paths the JSON-serialized value: strings KEEP their quotes (A045
+    // prints "A"), numbers/booleans print bare, JSON null literal → NULL
     gj("q_qa_json_query_subtree",
       """SELECT rid,
                 JSON_QUERY(c1, '$.a_obj.a_obj') AS q_deep,
                 JSON_QUERY(c1, '$.a_empty_obj') AS q_eobj,
                 JSON_QUERY(c1, '$.a_empty_array') AS q_earr,
                 JSON_QUERY(c1, '$.a_array[1]') AS q_elem,
-                JSON_QUERY(c1, '$.zzz') AS q_missing
+                JSON_QUERY(c1, '$.zzz') AS q_missing,
+                JSON_QUERY(c1, '$.a_str') AS q_str,
+                JSON_QUERY(c1, '$.a_num_int') AS q_num,
+                JSON_QUERY(c1, '$.a_bool') AS q_bool,
+                JSON_QUERY(c1, '$.a_null') AS q_jnull
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 CAST(json_extract(c1, '$.a_obj.a_obj') AS VARCHAR) AS q_deep,
                 CAST(json_extract(c1, '$.a_empty_obj') AS VARCHAR) AS q_eobj,
                 CAST(json_extract(c1, '$.a_empty_array') AS VARCHAR) AS q_earr,
                 CAST(json_extract(c1, '$.a_array[1]') AS VARCHAR) AS q_elem,
-                CAST(json_extract(c1, '$.zzz') AS VARCHAR) AS q_missing
+                CAST(json_extract(c1, '$.zzz') AS VARCHAR) AS q_missing,
+                CAST(json_extract(c1, '$.a_str') AS VARCHAR) AS q_str,
+                CAST(json_extract(c1, '$.a_num_int') AS VARCHAR) AS q_num,
+                CAST(json_extract(c1, '$.a_bool') AS VARCHAR) AS q_bool,
+                CASE WHEN json_type(c1, '$.a_null') = 'NULL' THEN NULL
+                     ELSE CAST(json_extract(c1, '$.a_null') AS VARCHAR)
+                END AS q_jnull
          FROM test_json_cols ORDER BY rid"""),
 
     // func_json_keys.01/.02: keys of root / nested / empty objects; scalar

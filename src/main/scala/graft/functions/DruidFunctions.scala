@@ -1038,7 +1038,20 @@ object DruidFunctions {
                  - floor(q * (size(filter(arr, x -> x IS NOT NULL)) - 1)))
          END""",
       // ------------------------------------------------------------ JSON ----
-      "JSON_QUERY(j STRING, p STRING) RETURNS STRING RETURN get_json_object(j, p)",
+      // JSON_QUERY returns the JSON-SERIALIZED subtree: containers keep
+      // their original compact text; scalar strings keep their QUOTES
+      // (reference NestedDataOperatorConversions JSON_QUERY returns
+      // COMPLEX<json> — quidem func_json_query.01 A045 prints "A", not A);
+      // JSON null literals and missing paths → SQL NULL. get_json_object
+      // unquotes scalars, so scalars re-serialize through the variant path.
+      """JSON_QUERY(j STRING, p STRING) RETURNS STRING RETURN
+         CASE
+           WHEN get_json_object(j, p) IS NULL THEN NULL
+           WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL
+                OR json_array_length(get_json_object(j, p)) IS NOT NULL
+             THEN get_json_object(j, p)
+           ELSE to_json(try_variant_get(try_parse_json(j), p))
+         END""",
       // JSON_KEYS: objects → field names, ARRAYS → index strings ('0','1',…),
       // empty object/array → [], missing path / scalar → NULL (reference
       // NestedDataExpressions.JsonKeysExprMacro; pinned by quidem qaJsonCols
