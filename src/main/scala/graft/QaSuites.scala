@@ -1603,13 +1603,17 @@ object QaSuites {
                 TO_JSON_STRING(PARSE_JSON('{"arr":[1,2],"n":null,"x":1,"y":"z"}')) AS lit_rt,
                 JSON_VALUE(TO_JSON_STRING(PARSE_JSON(c2)), '$.a_num_float' RETURNING DOUBLE) AS c2_rt_f,
                 JSON_VALUE(TO_JSON_STRING(PARSE_JSON(c2)), '$.a_str') AS c2_rt_s,
-                CASE WHEN TRY_PARSE_JSON('{bad json') IS NULL THEN 1 ELSE 0 END AS bad_null
+                CASE WHEN TRY_PARSE_JSON('{bad json') IS NULL THEN 1 ELSE 0 END AS bad_null,
+                TO_JSON_STRING('abc') AS str_ser,
+                TO_JSON_STRING('a"b\\c') AS str_esc
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 '{"arr":[1,2],"n":null,"x":1,"y":"z"}' AS lit_rt,
                 CAST(json_extract_string(c2, '$.a_num_float') AS DOUBLE) AS c2_rt_f,
                 json_extract_string(c2, '$.a_str') AS c2_rt_s,
-                CASE WHEN TRY_CAST('{bad json' AS JSON) IS NULL THEN 1 ELSE 0 END AS bad_null
+                CASE WHEN TRY_CAST('{bad json' AS JSON) IS NULL THEN 1 ELSE 0 END AS bad_null,
+                '"abc"' AS str_ser,
+                '"a\"b\\c"' AS str_esc
          FROM test_json_cols ORDER BY rid"""),
 
     // datatype_sql: JSON_VALUE results as first-class grouping keys

@@ -1082,7 +1082,21 @@ object DruidFunctions {
       // PARSE_JSON / TRY_PARSE_JSON themselves are Spark built-ins with the
       // reference's exact names and semantics (variant result; TRY_ → null
       // on malformed input) — nothing to register.
-      "TO_JSON_STRING(j STRING) RETURNS STRING RETURN to_json(parse_json(j))",
+      // TO_JSON_STRING: canonical re-serialization for JSON documents, and
+      // JSON-STRING serialization (quote + escape) for plain strings — the
+      // reference quotes string-typed input (func_to_json_string.01 A004:
+      // to_json_string('abc') = "abc") and re-serializes COMPLEX<json>
+      // input. At this STRING facade the two meet as: parseable → document,
+      // unparseable → quoted string. (A string VALUE that itself spells
+      // valid JSON — '1234', '[]' — takes the document path; irreducible
+      // without a nested type.) The array(j) trick reuses Spark's JSON
+      // string escaping.
+      """TO_JSON_STRING(j STRING) RETURNS STRING RETURN
+         CASE
+           WHEN j IS NULL THEN NULL
+           WHEN try_parse_json(j) IS NOT NULL THEN to_json(try_parse_json(j))
+           ELSE substr(to_json(array(j)), 2, length(to_json(array(j))) - 2)
+         END""",
       // ------------------------------------- native expression language ----
       // the reference's native expression language (math/expr/Function.java,
       // query/expression/Timestamp*ExprMacro.java) names time functions
