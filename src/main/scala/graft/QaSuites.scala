@@ -1288,6 +1288,36 @@ object QaSuites {
          GROUP BY t1.c_str, t1.c_long, t2.c
          ORDER BY c_long, c"""),
 
+    // mv_sql_scalar_datetime_funcs (A1_B10 family): datetime functions over
+    // EXPLODED MV values cast to numbers — millis→timestamp round-trips,
+    // calendar-year TIME_FLOOR across the epoch (c='-1' lands pre-1970),
+    // field extraction, and interval membership
+    gm("q_qa_unnest_mv_datetime",
+      """SELECT c,
+                CAST(MILLIS_TO_TIMESTAMP(CAST(c AS BIGINT)) AS STRING) AS ts_ms,
+                CAST(TIME_FLOOR(MILLIS_TO_TIMESTAMP(CAST(c AS BIGINT) * 31536000000),
+                  'P1Y') AS STRING) AS yr,
+                CAST(TIME_EXTRACT(MILLIS_TO_TIMESTAMP(CAST(c AS BIGINT) * 86400000),
+                  'DAY') AS BIGINT) AS dom,
+                TIME_IN_INTERVAL(MILLIS_TO_TIMESTAMP(CAST(c AS BIGINT)),
+                  '1970-01-01/1970-01-02') AS in_day,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(MV_TO_ARRAY(c_mv_num)) AS u(c)
+         WHERE c_long IN (0, 1, 2)
+         GROUP BY c ORDER BY c""",
+      """SELECT c,
+                CAST(epoch_ms(CAST(c AS BIGINT)) AS VARCHAR) AS ts_ms,
+                CAST(CAST(date_trunc('year',
+                  epoch_ms(CAST(c AS BIGINT) * 31536000000)) AS TIMESTAMP) AS VARCHAR) AS yr,
+                CAST(extract(day FROM
+                  epoch_ms(CAST(c AS BIGINT) * 86400000)) AS BIGINT) AS dom,
+                (epoch_ms(CAST(c AS BIGINT)) >= TIMESTAMP '1970-01-01'
+                 AND epoch_ms(CAST(c AS BIGINT)) < TIMESTAMP '1970-01-02') AS in_day,
+                count(*) AS cnt
+         FROM (SELECT unnest(c_mv_num) AS c FROM test_unnest
+               WHERE c_long IN (0, 1, 2))
+         GROUP BY c ORDER BY c"""),
+
     // -------------------------------------------------------- qaAggFuncs ----
     // array_agg_long_test001 A03-A13: ARRAY_AGG keeps nulls; contains /
     // contains-all / overlap over aggregated arrays
