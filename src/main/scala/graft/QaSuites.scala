@@ -1288,6 +1288,44 @@ object QaSuites {
          GROUP BY t1.c_str, t1.c_long, t2.c
          ORDER BY c_long, c"""),
 
+    // sql_group_by battery over a_nested: GROUP BY a JSON-DERIVED typed
+    // array (json_value RETURNING bigint array as the grouping key) — the
+    // derivation and the structural-equality grouping must agree
+    ga("q_qa_array_group_json_derived",
+      """SELECT array_to_string(json_value(a_nested, '$[1]' RETURNING bigint array), '|') AS k,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_array
+         GROUP BY json_value(a_nested, '$[1]' RETURNING bigint array)
+         ORDER BY k""",
+      """SELECT array_to_string(list_transform(
+                  json_transform(json_extract(a_nested, '$[1]'), '["BIGINT"]'),
+                  gx -> coalesce(CAST(gx AS VARCHAR), 'null')), '|') AS k,
+                count(*) AS cnt
+         FROM test_array
+         GROUP BY json_transform(json_extract(a_nested, '$[1]'), '["BIGINT"]')
+         ORDER BY k"""),
+
+    // array_sql_join.05 A4_B1 (RIGHT/LEFT JOIN back to the base table): an
+    // unnest derivation on the NULL-SUPPLYING side of an outer join —
+    // null-extended rows must stay distinguishable from genuine NULL array
+    // elements (u.s_int carries the difference)
+    gu("q_qa_unnest_outer_join",
+      """SELECT t2.s_int AS s2, u.s_int AS s1, u.c AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest t2
+         LEFT JOIN (SELECT s_int, c FROM test_unnest, UNNEST(a_bool) AS x(c)
+                    WHERE s_int = 1) u
+           ON t2.s_int = u.s_int
+         GROUP BY t2.s_int, u.s_int, u.c
+         ORDER BY s2 NULLS FIRST, s1 NULLS FIRST, c NULLS FIRST""",
+      """SELECT t2.s_int AS s2, u.s_int AS s1, u.c AS c, count(*) AS cnt
+         FROM test_unnest t2
+         LEFT JOIN (SELECT s_int, unnest(a_bool) AS c FROM test_unnest
+                    WHERE s_int = 1) u
+           ON t2.s_int = u.s_int
+         GROUP BY t2.s_int, u.s_int, u.c
+         ORDER BY s2 NULLS FIRST, s1 NULLS FIRST, c NULLS FIRST"""),
+
     // mv_sql_scalar_datetime_funcs (A1_B10 family): datetime functions over
     // EXPLODED MV values cast to numbers — millis→timestamp round-trips,
     // calendar-year TIME_FLOOR across the epoch (c='-1' lands pre-1970),
