@@ -167,6 +167,13 @@ class QaSuitesSpec extends AnyFunSuite {
       intercept[Exception] {
         spark.sql(s"SELECT (array(1L, 2L) $op array(1L, 2L)) AS c").collect()
       }
+    // qaWin basics_window_funcs.02: ntile(0) is rejected ("numBuckets[0]
+    // must be greater than zero") — Spark raises the same class of error
+    intercept[Exception] {
+      spark.sql(
+        """SELECT ntile(0) OVER (ORDER BY x) FROM VALUES (1), (2) t(x)"""
+      ).collect()
+    }
   }
 
   test("qa gate battery matches pinned reference row counts") {
