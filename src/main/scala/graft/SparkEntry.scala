@@ -1653,6 +1653,23 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_time_format_joda" -> ((s, dir) => {
+      // Joda pattern fidelity (the reference's TIME_FORMAT/TIME_PARSE take
+      // org.joda.time.format.DateTimeFormat syntax): 'YYYY' is YEAR-OF-ERA
+      // — a verbatim java.time read would print the locale week-based year
+      // and be wrong the first days of January; 'ZZ' is the offset WITH a
+      // colon; 'DDD' is padded day-of-year; Joda patterns also drive parse
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT TIME_FORMAT(TIME_PARSE('2021-01-01 00:00:00'), 'YYYY-MM-dd') AS yoe,
+               TIME_FORMAT(TIME_PARSE('2021-06-15 12:34:56'),
+                 'yyyy-MM-dd HH:mm ZZ', 'Asia/Kolkata') AS wall_off,
+               TIME_FORMAT(TIME_PARSE('2021-06-15 12:34:56'), 'EEE DDD') AS dow_doy,
+               CAST(TIME_PARSE('2021/166 07:08', 'yyyy/DDD HH:mm') AS STRING) AS parsed_doy
+        FROM region LIMIT 1""")
+    }),
+
     "q_sql_time_tz_funcs" -> ((s, dir) => {
       // timezone arities of TIME_EXTRACT / TIME_FORMAT / TIME_PARSE
       // (incl. a half-hour-offset zone) plus the 1-arg ISO default format
@@ -7525,6 +7542,15 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_time_format_joda" ->
+      """SELECT '2021-01-01' AS yoe,
+                strftime(TIMESTAMP '2021-06-15 12:34:56'
+                  + INTERVAL '5 hours 30 minutes', '%Y-%m-%d %H:%M')
+                  || ' +05:30' AS wall_off,
+                strftime(TIMESTAMP '2021-06-15 12:34:56', '%a %j') AS dow_doy,
+                CAST(TIMESTAMP '2021-06-15 07:08:00' AS VARCHAR) AS parsed_doy
+         FROM region LIMIT 1""",
 
     "q_sql_time_tz_funcs" ->
       """SELECT event_id,

@@ -1063,14 +1063,18 @@ object NativeJsonQuery {
       case "lower"  => lower(base)
       case "strlen" => length(base).cast("string")
       case "timeFormat" =>
-        val f = str(fn \ "format").getOrElse("yyyy-MM-dd")
+        // format is Joda syntax (TimeFormatExtractionFn) — translate
+        val f = graft.functions.DruidFunctions.jodaToJavaPattern(
+          str(fn \ "format").getOrElse("yyyy-MM-dd"))
         val t = str(fn \ "timeZone").map(z => from_utc_timestamp(base, z))
           .getOrElse(base)
         date_format(t, f)
       case "time" =>
         date_format(
-          to_timestamp(base, str(fn \ "timeFormat").get),
-          str(fn \ "resultFormat").get)
+          to_timestamp(base, graft.functions.DruidFunctions.jodaToJavaPattern(
+            str(fn \ "timeFormat").get)),
+          graft.functions.DruidFunctions.jodaToJavaPattern(
+            str(fn \ "resultFormat").get))
       case "regex" =>
         val pat = str(fn \ "expr").get
         val idx = int(fn \ "index").getOrElse(1)

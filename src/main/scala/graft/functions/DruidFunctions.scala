@@ -234,6 +234,54 @@ object DruidFunctions {
     }
   }
 
+  /** Translate a Joda-Time DateTimeFormat pattern — the syntax the
+    * reference's TIME_FORMAT / TIME_PARSE / timeFormat-extraction take
+    * (org.joda.time.format.DateTimeFormat) — to the java.time
+    * DateTimeFormatter syntax Spark's formatters use. The trap tokens:
+    * Joda 'y' is the PROLEPTIC year (java 'u'), Joda 'Y' is year-of-era
+    * (java 'y'), Joda 'x' is the ISO weekyear (java 'Y' — verbatim
+    * passthrough would silently print week-based years for 'YYYY-MM-dd'
+    * around every new year), and Joda's 'Z' family is offset/offset-with-
+    * colon/zone-id ('xx'/'xxx'/'VV'). Quoted literals pass through
+    * untouched; all other letters coincide.
+    */
+  private[graft] def jodaToJavaPattern(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\'') {
+        sb += c; i += 1
+        while (i < p.length && p.charAt(i) != '\'') { sb += p.charAt(i); i += 1 }
+        if (i < p.length) { sb += '\''; i += 1 }
+      } else if (c.isLetter) {
+        var j = i
+        while (j < p.length && p.charAt(j) == c) j += 1
+        val n = j - i
+        sb ++= (c match {
+          // Joda 'y' is the proleptic year — Spark's dialect FORBIDS a
+          // literal 'u' but itself rewrites 'y' to proleptic 'u' when no
+          // era field is present (DateTimeFormatterHelper), so 'y' passes
+          // through; Joda 'Y' (year-of-era) matches 'y' for all CE years
+          case 'Y' => "y" * n
+          // Joda 'x' is the ISO weekyear; java.time 'Y'/'w' follow the
+          // formatter LOCALE's week rules (US: Sunday start, minimal 1 day)
+          // and would silently print different weeks than Joda near new
+          // year — no faithful pattern exists, so reject loudly
+          case 'x' | 'w' => throw new IllegalArgumentException(
+            s"Joda ISO weekyear/week pattern '$c' has no locale-safe " +
+              "java.time equivalent; use TIME_EXTRACT(ts, 'WEEK')")
+          case 'Z' => if (n == 1) "xx" else if (n == 2) "xxx" else "VV"
+          case 'C' => throw new IllegalArgumentException(
+            "Joda century-of-era 'C' has no java.time equivalent")
+          case other => other.toString * n
+        })
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** SQL TIME_EXTRACT(ts, unit[, timezone]) / TIME_FORMAT(ts[, pattern[,
     * timezone]]) / TIME_PARSE(s[, pattern[, timezone]]) builders —
     * reference TimestampExtract/TimeFormat/TimeParse operator conversions
@@ -332,6 +380,7 @@ object DruidFunctions {
     // instant, not UTC
     val pattern = args.drop(1).headOption
       .flatMap(e => literalString(e, "TIME_FORMAT pattern"))
+      .map(jodaToJavaPattern)
       .getOrElse(
         if (tz.isDefined) "yyyy-MM-dd'T'HH:mm:ss.SSSxxx"
         else "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
@@ -353,6 +402,7 @@ object DruidFunctions {
       s"TIME_PARSE(s[, pattern[, timezone]]), got ${args.size} args")
     val pattern = args.drop(1).headOption
       .flatMap(e => literalString(e, "TIME_PARSE pattern"))
+      .map(jodaToJavaPattern)
     val parsed: Expression = pattern match {
       // failOnError=false: the reference TimestampParseExprMacro catches
       // parse failures and returns NULL; the default here is ANSI-dependent
@@ -427,8 +477,9 @@ object DruidFunctions {
     case u => throw new IllegalArgumentException(s"unsupported unit: $u")
   }
 
-  /** TIME_FORMAT(ts, javaPattern). */
-  def timeFormat(ts: Column, pattern: String): Column = date_format(ts, pattern)
+  /** TIME_FORMAT(ts, jodaPattern). */
+  def timeFormat(ts: Column, pattern: String): Column =
+    date_format(ts, jodaToJavaPattern(pattern))
 
   /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS. */
   def millisToTimestamp(c: Column): Column = timestamp_millis(c)
