@@ -1522,12 +1522,16 @@ object QaSuites {
       """SELECT rid,
                 JSON_VALUE('ABCD', '$') AS lit_self,
                 JSON_VALUE(s_str, '$') AS s_self,
-                JSON_VALUE(CAST(s_num_int AS STRING), '$' RETURNING BIGINT) AS i_self
+                JSON_VALUE(CAST(s_num_int AS STRING), '$' RETURNING BIGINT) AS i_self,
+                JSON_VALUE(s_str, '$.') AS dot_self,
+                JSON_VALUE(c1, '$.') AS dot_obj
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 'ABCD' AS lit_self,
                 s_str AS s_self,
-                s_num_int AS i_self
+                s_num_int AS i_self,
+                s_str AS dot_self,
+                CAST(NULL AS VARCHAR) AS dot_obj
          FROM test_json_cols ORDER BY rid"""),
 
     // func_json_value.04: RETURNING with a non-coercible target type → NULL

@@ -977,7 +977,9 @@ object DruidFunctions {
          CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL THEN NULL
               WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN NULL
               WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
-              WHEN p = '$' THEN j
+              WHEN (p = '$' OR p = '$.')
+                   AND json_object_keys(j) IS NULL
+                   AND json_array_length(j) IS NULL THEN j
               ELSE NULL END""",
       // reference BitwiseConvert{DoubleToLongBits,LongBitsToDouble}: IEEE-754
       // reinterpretation. No Spark builtin reinterprets bits, so route the
@@ -1000,7 +1002,9 @@ object DruidFunctions {
          CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL THEN NULL
               WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN NULL
               WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
-              WHEN p = '$' THEN j
+              WHEN (p = '$' OR p = '$.')
+                   AND json_object_keys(j) IS NULL
+                   AND json_array_length(j) IS NULL THEN j
               ELSE NULL END""",
       "CONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN contains(s, n)",
       "ICONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN " +
