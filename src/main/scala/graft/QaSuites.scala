@@ -1625,6 +1625,18 @@ object QaSuites {
           FROM test_json_cols ORDER BY rid"""),
 
     // func_json_paths.01: top-level path enumeration
+    // func_json_keys.03 A117/A118: the KEY ARRAY itself as a GROUP BY key
+    // with array_contains HAVING — and '$.' as a root-path alias
+    gj("q_qa_json_keys_group",
+      """SELECT array_join(array_sort(mycol), '|') AS k, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT JSON_KEYS(c1, '$.') AS mycol FROM test_json_cols)
+         GROUP BY mycol
+         HAVING array_contains(mycol, 'a_str')""",
+      """SELECT array_to_string(list_sort(mycol), '|') AS k, count(*) AS c
+         FROM (SELECT json_keys(c1) AS mycol FROM test_json_cols)
+         GROUP BY mycol
+         HAVING list_contains(mycol, 'a_str')"""),
+
     // func_json_paths.01 A001/A033/A044: RECURSIVE leaf enumeration — nested
     // object and array-index leaves, the empty ARRAY as its own leaf, the
     // empty OBJECT contributing nothing, scalar/NULL input → ['$']. The

@@ -1117,14 +1117,14 @@ object DruidFunctions {
       // typed nested columns, this facade on JSON text.
       """JSON_KEYS(j STRING, p STRING) RETURNS ARRAY<STRING> RETURN
          CASE
-           WHEN get_json_object(j, p) IS NULL THEN NULL
-           WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN
-             CASE WHEN json_array_length(get_json_object(j, p)) = 0
+           WHEN get_json_object(j, IF(p = '$.', '$', p)) IS NULL THEN NULL
+           WHEN json_array_length(get_json_object(j, IF(p = '$.', '$', p))) IS NOT NULL THEN
+             CASE WHEN json_array_length(get_json_object(j, IF(p = '$.', '$', p))) = 0
                   THEN CAST(array() AS ARRAY<STRING>)
                   ELSE transform(sequence(0,
-                         json_array_length(get_json_object(j, p)) - 1),
+                         json_array_length(get_json_object(j, IF(p = '$.', '$', p))) - 1),
                          gk -> CAST(gk AS STRING)) END
-           ELSE json_object_keys(get_json_object(j, p))
+           ELSE json_object_keys(get_json_object(j, IF(p = '$.', '$', p)))
          END""",
       // (JSON_PATHS lives in catalystBuilders: recursive leaf enumeration)
       // (JSON_OBJECT lives in catalystBuilders above: variadic KV arity)
