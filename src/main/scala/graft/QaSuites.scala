@@ -1563,7 +1563,8 @@ object QaSuites {
                 JSON_QUERY(c1, '$.a_str') AS q_str,
                 JSON_QUERY(c1, '$.a_num_int') AS q_num,
                 JSON_QUERY(c1, '$.a_bool') AS q_bool,
-                JSON_QUERY(c1, '$.a_null') AS q_jnull
+                JSON_QUERY(c1, '$.a_null') AS q_jnull,
+                JSON_QUERY(s_str, '$') AS q_root_scalar
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 CAST(json_extract(c1, '$.a_obj.a_obj') AS VARCHAR) AS q_deep,
@@ -1576,7 +1577,9 @@ object QaSuites {
                 CAST(json_extract(c1, '$.a_bool') AS VARCHAR) AS q_bool,
                 CASE WHEN json_type(c1, '$.a_null') = 'NULL' THEN NULL
                      ELSE CAST(json_extract(c1, '$.a_null') AS VARCHAR)
-                END AS q_jnull
+                END AS q_jnull,
+                CASE WHEN s_str IS NULL THEN NULL
+                     ELSE '"' || s_str || '"' END AS q_root_scalar
          FROM test_json_cols ORDER BY rid"""),
 
     // func_json_keys.01/.02: keys of root / nested / empty objects; scalar

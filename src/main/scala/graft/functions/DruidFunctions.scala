@@ -1101,7 +1101,11 @@ object DruidFunctions {
       // unquotes scalars, so scalars re-serialize through the variant path.
       """JSON_QUERY(j STRING, p STRING) RETURNS STRING RETURN
          CASE
-           WHEN get_json_object(j, p) IS NULL THEN NULL
+           WHEN get_json_object(j, p) IS NULL THEN
+             CASE WHEN (p = '$' OR p = '$.') AND j IS NOT NULL
+                  THEN substr(to_json(array(j)), 2,
+                              length(to_json(array(j))) - 2)
+                  ELSE NULL END
            WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL
                 OR json_array_length(get_json_object(j, p)) IS NOT NULL
              THEN get_json_object(j, p)
