@@ -1653,6 +1653,23 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_pad_edges" -> ((s, dir) => {
+      // Function.java LpadFunc/RpadFunc edges: len 0 → NULL, len < 0 → '',
+      // empty pad leaves the base untouched, truncation below base length,
+      // multi-char pad cycling, 2-arg space default, null propagation
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT lpad('abc', 0, 'x') AS l0, rpad('abc', 0, 'x') AS r0,
+               lpad('abc', -2, 'x') AS lneg,
+               lpad('abc', 5, '') AS lempty,
+               lpad('abc', 2, 'x') AS ltrunc,
+               rpad('ab', 5, 'xy') AS rfill,
+               lpad('abc', 5) AS ldef,
+               lpad(CAST(NULL AS STRING), 3, 'x') AS lnull
+        FROM region LIMIT 1""")
+    }),
+
     "q_sql_time_format_joda" -> ((s, dir) => {
       // Joda pattern fidelity (the reference's TIME_FORMAT/TIME_PARSE take
       // org.joda.time.format.DateTimeFormat syntax): 'YYYY' is YEAR-OF-ERA
@@ -7542,6 +7559,13 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_pad_edges" ->
+      """SELECT CAST(NULL AS VARCHAR) AS l0, CAST(NULL AS VARCHAR) AS r0,
+                '' AS lneg, 'abc' AS lempty, 'ab' AS ltrunc,
+                'abxyx' AS rfill, '  abc' AS ldef,
+                CAST(NULL AS VARCHAR) AS lnull
+         FROM region LIMIT 1""",
 
     "q_sql_time_format_joda" ->
       """SELECT '2021-01-01' AS yoe,

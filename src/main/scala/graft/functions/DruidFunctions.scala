@@ -282,6 +282,34 @@ object DruidFunctions {
     sb.toString
   }
 
+  /** Shared lpad/rpad edge semantics (Function.java LpadFunc/RpadFunc over
+    * StringUtils.lpad/rpad): len == 0 → NULL, len < 0 → '', an EMPTY pad
+    * that would be needed leaves the base untouched; otherwise Spark's
+    * StringLPad/StringRPad pad-or-truncate is identical.
+    */
+  private def padEdge(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      left: Boolean): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.unsafe.types.UTF8String
+    val str = Cast(args(0), StringType)
+    val len = Cast(args(1), IntegerType)
+    val pad =
+      if (args.size > 2) Cast(args(2), StringType)
+      else Literal(UTF8String.fromString(" "), StringType)
+    val padded: Expression =
+      if (left) StringLPad(str, len, pad) else StringRPad(str, len, pad)
+    CaseWhen(Seq(
+      (EqualTo(len, Literal(0)),
+        Literal.create(null, StringType): Expression),
+      (LessThan(len, Literal(0)),
+        Literal(UTF8String.fromString(""), StringType): Expression),
+      (And(EqualTo(Length(pad), Literal(0)), GreaterThan(len, Length(str))),
+        str: Expression)),
+      padded)
+  }
+
   /** SQL TIME_EXTRACT(ts, unit[, timezone]) / TIME_FORMAT(ts[, pattern[,
     * timezone]]) / TIME_PARSE(s[, pattern[, timezone]]) builders —
     * reference TimestampExtract/TimeFormat/TimeParse operator conversions
@@ -663,6 +691,20 @@ object DruidFunctions {
           // NULL input is NOT null-propagated: the reference yields ['$']
           // for a missing/scalar document (qaJsonCols A001/A044 rows 3-4)
           propagateNull = false)
+      }),
+      // Function.java LpadFunc:3133 / RpadFunc: len == 0 → NULL (not ''),
+      // len < 0 → '' (StringUtils.lpad:654), empty pad leaves the base
+      // untouched when padding is needed; otherwise pad/truncate to len.
+      // Spark's builtins return '' for len == 0, so override by name.
+      "lpad" -> ((args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          s"lpad takes 2 or 3 arguments, got ${args.size}")
+        padEdge(args, left = true)
+      }),
+      "rpad" -> ((args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          s"rpad takes 2 or 3 arguments, got ${args.size}")
+        padEdge(args, left = false)
       }),
       // Function.java SafeDivide:1218 — zero-divisor absorbing division,
       // long path for integral inputs, double path otherwise
