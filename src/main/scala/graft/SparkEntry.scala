@@ -1653,6 +1653,25 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_round_repeat_edges" -> ((s, dir) => {
+      // Function.java Round/RepeatFunc edges: NaN rounds to 0.0, ±Infinity
+      // clamps to ±Double.MaxValue, HALF_UP away from zero on .5 both
+      // signs, negative scale; repeat with count < 1 is NULL (not '')
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT round(CAST('NaN' AS DOUBLE), 2) AS r_nan,
+               round(CAST('Infinity' AS DOUBLE)) AS r_pinf,
+               round(CAST('-Infinity' AS DOUBLE)) AS r_ninf,
+               round(2.5D) AS r_half,
+               round(-2.5D) AS r_neghalf,
+               round(1234.5678D, -2) AS r_negscale,
+               repeat('ab', 3) AS rep3,
+               repeat('ab', 0) AS rep0,
+               repeat('ab', -1) AS repneg
+        FROM region LIMIT 1""")
+    }),
+
     "q_sql_pad_edges" -> ((s, dir) => {
       // Function.java LpadFunc/RpadFunc edges: len 0 → NULL, len < 0 → '',
       // empty pad leaves the base untouched, truncation below base length,
@@ -7559,6 +7578,18 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_round_repeat_edges" ->
+      """SELECT 0.0::DOUBLE AS r_nan,
+                1.7976931348623157e308::DOUBLE AS r_pinf,
+                -1.7976931348623157e308::DOUBLE AS r_ninf,
+                3.0::DOUBLE AS r_half,
+                -3.0::DOUBLE AS r_neghalf,
+                1200.0::DOUBLE AS r_negscale,
+                'ababab' AS rep3,
+                CAST(NULL AS VARCHAR) AS rep0,
+                CAST(NULL AS VARCHAR) AS repneg
+         FROM region LIMIT 1""",
 
     "q_sql_pad_edges" ->
       """SELECT CAST(NULL AS VARCHAR) AS l0, CAST(NULL AS VARCHAR) AS r0,

@@ -600,7 +600,7 @@ object DruidFunctions {
   val catalystBuilders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, EvalMode, Expression, FormatString, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, EvalMode, Expression, FormatString, If, LessThan, Literal, StringRepeat}
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     // Java's Formatter can't print Spark Decimal through %f — SQL fractional
     // literals parse as Decimal, so coerce them (reference expr args are
@@ -691,6 +691,25 @@ object DruidFunctions {
           // NULL input is NOT null-propagated: the reference yields ['$']
           // for a missing/scalar document (qaJsonCols A001/A044 rows 3-4)
           propagateNull = false)
+      }),
+      // Function.java Round:1489 + safeGetFromDouble:1563: NaN rounds to
+      // 0.0 and ±Infinity clamps to ±Double.MaxValue BEFORE rounding —
+      // Spark's builtin propagates non-finite values, so override by name
+      "round" -> ((args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          s"round takes 1 or 2 arguments, got ${args.size}")
+        val scale = if (args.size > 1) args(1) else Literal(0)
+        DruidRound(args(0), scale)
+      }),
+      // Function.java RepeatFunc:3110: count < 1 → NULL (Spark: '')
+      "repeat" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"repeat takes 2 arguments, got ${args.size}")
+        If(
+          LessThan(Cast(args(1),
+            org.apache.spark.sql.types.IntegerType), Literal(1)),
+          Literal.create(null, StringType),
+          StringRepeat(Cast(args(0), StringType),
+            Cast(args(1), org.apache.spark.sql.types.IntegerType)))
       }),
       // Function.java LpadFunc:3133 / RpadFunc: len == 0 → NULL (not ''),
       // len < 0 → '' (StringUtils.lpad:654), empty pad leaves the base

@@ -51,6 +51,38 @@ case class SafeDivide(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `round(x[, scale])` — Function.java Round:1489: HALF_UP in exact
+  * BigDecimal, and NON-FINITE doubles normalize BEFORE rounding
+  * (safeGetFromDouble:1563 — NaN → 0.0, ±Infinity → ±Double.MaxValue).
+  * Spark's Round propagates NaN/Infinity, so the double path wraps the
+  * input; every other type is exactly Spark's Round (same HALF_UP
+  * BigDecimal.valueOf mechanism).
+  */
+case class DruidRound(child: Expression, scale: Expression)
+    extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(child, scale)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case DoubleType | org.apache.spark.sql.types.FloatType =>
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Round}
+      val x = Cast(child, DoubleType)
+      val norm = CaseWhen(Seq(
+        (IsNaN(x), Literal(0.0): Expression),
+        (EqualTo(x, Literal(Double.PositiveInfinity)),
+          Literal(Double.MaxValue): Expression),
+        (EqualTo(x, Literal(Double.NegativeInfinity)),
+          Literal(-Double.MaxValue): Expression)),
+        x)
+      Round(norm, scale)
+    case _ => org.apache.spark.sql.catalyst.expressions.Round(child, scale)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), scale = newChildren(1))
+}
+
 object HumanReadableFormat {
   sealed trait UnitSystem
   case object BinaryByte extends UnitSystem
