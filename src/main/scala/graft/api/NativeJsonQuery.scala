@@ -29,6 +29,23 @@ object NativeJsonQuery {
   def run(spark: SparkSession, dir: String, json: String): DataFrame =
     runParsed(spark, dir, JsonMethods.parse(json))
 
+  /** The native expression language's `substring`/`strpos` differ from the
+    * same-named SQL functions (0-based, NULL past end / Java indexOf with
+    * -1) — Function.java:2824,2867. Expression virtual columns and
+    * expression filters carry NATIVE text, so reroute those two names to
+    * the druid_-prefixed builders; string literals are masked first so
+    * content can't be rewritten.
+    */
+  private def rewriteNativeExpr(text: String): String = {
+    val (masked, lits) = graft.api.SqlApi.maskLiterals(text)
+    val rerouted = masked
+      .replaceAll("(?i)\\bsubstring\\s*\\(", "druid_substring(")
+      .replaceAll("(?i)\\bstrpos\\s*\\(", "druid_strpos(")
+    graft.api.SqlApi.unmaskLiterals(rerouted, lits)
+  }
+
+  private def nativeExpr(text: String): Column = expr(rewriteNativeExpr(text))
+
   private def runParsed(spark: SparkSession, dir: String, q: JValue): DataFrame = {
     // context.queryId → Spark job group, so the reference's
     // DELETE /druid/v2/{id} cancellation maps to cancelJobGroup (see
@@ -64,7 +81,7 @@ object NativeJsonQuery {
             else expr(s"`$src`.${path.stripPrefix("$.")}")
           acc.withColumn(name, c)
         case _ =>
-          acc.withColumn(name, expr(str(vc \ "expression").get))
+          acc.withColumn(name, nativeExpr(str(vc \ "expression").get))
       }
     }
     val flt = combineFilters(df, q)
@@ -231,7 +248,7 @@ object NativeJsonQuery {
           .orElse(str(spec \ "virtualColumn" \ "outputName"))
           .getOrElse("unnested")
         val colExpr = str(spec \ "virtualColumn" \ "expression")
-          .map(expr)
+          .map(nativeExpr)
           .orElse(str(spec \ "column").map(col))
           .getOrElse(throw new IllegalArgumentException(
             "unnest dataSource needs column or virtualColumn"))
@@ -1430,7 +1447,7 @@ object NativeJsonQuery {
         case "pow" => fields.reduce((a, b) => pow(a, b))
         case o => throw new IllegalArgumentException(s"unsupported arithmetic fn: $o")
       }
-    case "expression" => expr(str(j \ "expression").get)
+    case "expression" => nativeExpr(str(j \ "expression").get)
     case other => throw new IllegalArgumentException(s"unsupported postAggregator: $other")
   }
 

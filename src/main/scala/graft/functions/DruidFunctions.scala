@@ -600,7 +600,7 @@ object DruidFunctions {
   val catalystBuilders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, EvalMode, Expression, FormatString, If, LessThan, Literal, StringRepeat}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Conv, EvalMode, Expression, FormatString, If, LessThan, Literal, StringRepeat}
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     // Java's Formatter can't print Spark Decimal through %f — SQL fractional
     // literals parse as Decimal, so coerce them (reference expr args are
@@ -691,6 +691,46 @@ object DruidFunctions {
           // NULL input is NOT null-propagated: the reference yields ['$']
           // for a missing/scalar document (qaJsonCols A001/A044 rows 3-4)
           propagateNull = false)
+      }),
+      // Function.java SubstringFunc:2867 — the NATIVE expression language's
+      // substring is 0-BASED with length -1 meaning to-the-end and NULL
+      // once index reaches the string length ("behaves like
+      // SubstringDimExtractionFn, not SQL SUBSTRING"); the SQL layer's
+      // 1-based SUBSTRING keeps Spark's builtin, so the native facade
+      // rewrites to this name (NativeJsonQuery.rewriteNativeExpr)
+      "druid_substring" -> ((args: Seq[Expression]) => {
+        require(args.size == 3,
+          s"substring takes 3 arguments, got ${args.size}")
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, GreaterThanOrEqual, Length, Substring}
+        val s = Cast(args(0), StringType)
+        val i = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+        val l = Cast(args(2), org.apache.spark.sql.types.IntegerType)
+        CaseWhen(Seq(
+          (GreaterThanOrEqual(i, Length(s)),
+            Literal.create(null, StringType): Expression),
+          (LessThan(l, Literal(0)),
+            Substring(s, Add(i, Literal(1)), Literal(Int.MaxValue)): Expression)),
+          Substring(s, Add(i, Literal(1)), l))
+      }),
+      // Function.java StrposFunc:2824 — native strpos is Java indexOf:
+      // 0-based, -1 when absent, optional fromIndex (clamped at 0)
+      "druid_strpos" -> ((args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          s"strpos takes 2 or 3 arguments, got ${args.size}")
+        import org.apache.spark.sql.catalyst.expressions.{EqualTo, Greatest, If, StringInstr, Subtract, Substring}
+        val h = Cast(args(0), StringType)
+        val n = Cast(args(1), StringType)
+        val from = Greatest(Seq(
+          if (args.size > 2)
+            Cast(args(2), org.apache.spark.sql.types.IntegerType)
+          else Literal(0),
+          Literal(0)))
+        val sub = Substring(h, Add(from, Literal(1)), Literal(Int.MaxValue))
+        val p = StringInstr(sub, n)
+        Cast(
+          If(EqualTo(p, Literal(0)), Literal(-1),
+            Add(Subtract(p, Literal(1)), from)),
+          LongType)
       }),
       // Function.java Round:1489 + safeGetFromDouble:1563: NaN rounds to
       // 0.0 and ±Infinity clamps to ±Double.MaxValue BEFORE rounding —

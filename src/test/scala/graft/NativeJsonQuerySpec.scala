@@ -1129,4 +1129,30 @@ class NativeJsonQuerySpec extends AnyFunSuite {
     assert(declared.orderBy("k").collect().map(_.getDouble(1)).toSeq ==
       Seq(1.0, 2.0))
   }
+
+  test("native expression substring/strpos are 0-based (Function.java:2824,2867)") {
+    // the NATIVE expression language differs from same-named SQL functions:
+    // substring(s, index, length) is 0-based, length -1 = to the end, and
+    // index at/past the length is NULL; strpos is Java indexOf (0-based,
+    // -1 when absent, optional fromIndex)
+    val df = NativeJsonQuery.run(spark, dir, """
+      {"queryType": "scan",
+       "dataSource": {"type": "inline", "columnNames": ["s"],
+         "columnTypes": ["STRING"], "rows": [["abcdef"]]},
+       "virtualColumns": [
+         {"type": "expression", "name": "sub0", "expression": "substring(s, 0, 3)"},
+         {"type": "expression", "name": "subtail", "expression": "substring(s, 4, -1)"},
+         {"type": "expression", "name": "suboob", "expression": "substring(s, 6, 2)"},
+         {"type": "expression", "name": "p_hit", "expression": "strpos(s, 'cd')"},
+         {"type": "expression", "name": "p_miss", "expression": "strpos(s, 'xx')"},
+         {"type": "expression", "name": "p_from", "expression": "strpos(s, 'b', 2)"}],
+       "columns": ["sub0", "subtail", "suboob", "p_hit", "p_miss", "p_from"]}""")
+    val r = df.head()
+    assert(r.getString(0) == "abc")     // 0-based start
+    assert(r.getString(1) == "ef")      // length -1 → to end
+    assert(r.isNullAt(2))               // index == strlen → NULL, not ''
+    assert(r.getLong(3) == 2L)          // 0-based indexOf
+    assert(r.getLong(4) == -1L)         // absent → -1, not 0
+    assert(r.getLong(5) == -1L)         // fromIndex skips the match
+  }
 }
