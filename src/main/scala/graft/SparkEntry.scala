@@ -1653,6 +1653,25 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_parse_long_edges" -> ((s, dir) => {
+      // Function.java ParseLong:715: signed Long.parseLong in the given
+      // radix, 0x/0X prefix stripping under radix 16, NULL on any invalid
+      // digit (never 0), fractional text is not integral
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT parse_long('123') AS p10,
+               parse_long('-45') AS pneg,
+               parse_long('1.5') AS pfrac,
+               parse_long('ff', 16) AS phex,
+               parse_long('0xFF', 16) AS phexpre,
+               parse_long('-0xfF', 16) AS phexneg,
+               parse_long('GG', 16) AS pbad,
+               parse_long('101', 2) AS pbin,
+               parse_long('zz', 36) AS p36
+        FROM region LIMIT 1""")
+    }),
+
     "q_sql_round_repeat_edges" -> ((s, dir) => {
       // Function.java Round/RepeatFunc edges: NaN rounds to 0.0, ±Infinity
       // clamps to ±Double.MaxValue, HALF_UP away from zero on .5 both
@@ -7578,6 +7597,14 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_parse_long_edges" ->
+      """SELECT 123::BIGINT AS p10, -45::BIGINT AS pneg,
+                CAST(NULL AS BIGINT) AS pfrac,
+                255::BIGINT AS phex, 255::BIGINT AS phexpre,
+                -255::BIGINT AS phexneg, CAST(NULL AS BIGINT) AS pbad,
+                5::BIGINT AS pbin, 1295::BIGINT AS p36
+         FROM region LIMIT 1""",
 
     "q_sql_round_repeat_edges" ->
       """SELECT 0.0::DOUBLE AS r_nan,

@@ -35,6 +35,14 @@ object NativeJsonQuery {
     * expression filters carry NATIVE text, so reroute those two names to
     * the druid_-prefixed builders; string literals are masked first so
     * content can't be rewritten.
+    *
+    * Documented residual dialect divergences (operators, not function
+    * names, so a lexical reroute can't fix them without a type-aware
+    * parser): native `long / long` is integer division (Expr.java
+    * BinDivExpr; Spark's `/` is always double — use `div(x, y)`), native
+    * `^` is POWER (Spark: bitwise XOR — use `power(x, y)`), and native
+    * `string + string` concatenates (Spark: numeric coercion — use
+    * `concat`). The function forms are registered and exact.
     */
   private def rewriteNativeExpr(text: String): String = {
     val (masked, lits) = graft.api.SqlApi.maskLiterals(text)

@@ -600,7 +600,7 @@ object DruidFunctions {
   val catalystBuilders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Conv, EvalMode, Expression, FormatString, If, LessThan, Literal, StringRepeat}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Conv, EvalMode, Expression, FormatString, If, LessThan, Literal, Or, StringRepeat}
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     // Java's Formatter can't print Spark Decimal through %f — SQL fractional
     // literals parse as Decimal, so coerce them (reference expr args are
@@ -640,10 +640,49 @@ object DruidFunctions {
         // default drops them
         StructsToJson(Map("ignoreNullFields" -> "false"), child)
       }),
+      // Function.java ParseLong:715 — Long.parseLong semantics: signed,
+      // radix-16 strips an 0x/0X prefix (:748), any invalid digit → NULL.
+      // Spark's Conv is UNSIGNED and parses garbage to 0, so validate with
+      // the radix's digit class first and route the sign around Conv. The
+      // radix must be a literal (the reference vectorizes only that form).
       "parse_long" -> ((args: Seq[Expression]) => args match {
         case Seq(s) => Cast(s, LongType, None, EvalMode.TRY)
-        case Seq(s, radix) =>
-          Cast(Conv(s, radix, Literal(10)), LongType, None, EvalMode.TRY)
+        case Seq(s, radixE) =>
+          import org.apache.spark.sql.catalyst.expressions.{RLike, StartsWith, Substring, UnaryMinus}
+          import org.apache.spark.unsafe.types.UTF8String
+          val radix = radixE match {
+            case Literal(v: Int, _) => v
+            case Literal(v: Long, _) => v.toInt
+            case _ => throw new IllegalArgumentException(
+              "parse_long radix must be an integer literal")
+          }
+          require(radix >= 2 && radix <= 36, s"radix [$radix] out of range")
+          if (radix == 10) Cast(s, LongType, None, EvalMode.TRY)
+          else {
+            val digitClass =
+              if (radix <= 10) s"0-${('0' + radix - 1).toChar}"
+              else s"0-9a-${('a' + radix - 11).toChar}" +
+                s"A-${('A' + radix - 11).toChar}"
+            val prefix = if (radix == 16) "(0[xX])?" else ""
+            val pat = s"^-?$prefix[$digitClass]+$$"
+            val str = Cast(s, StringType)
+            def lit(x: String) = Literal(UTF8String.fromString(x), StringType)
+            val neg = StartsWith(str, lit("-"))
+            val unsigned = If(neg,
+              Substring(str, Literal(2), Literal(Int.MaxValue)), str)
+            val mag =
+              if (radix == 16)
+                If(Or(StartsWith(unsigned, lit("0x")),
+                      StartsWith(unsigned, lit("0X"))),
+                  Substring(unsigned, Literal(3), Literal(Int.MaxValue)),
+                  unsigned)
+              else unsigned
+            val magLong = Cast(Conv(mag, Literal(radix), Literal(10)),
+              LongType, None, EvalMode.TRY)
+            If(RLike(str, lit(pat)),
+              If(neg, UnaryMinus(magLong), magLong),
+              Literal.create(null, LongType))
+          }
         case other => throw new IllegalArgumentException(
           s"parse_long takes 1 or 2 arguments, got ${other.size}")
       }),
