@@ -1653,6 +1653,18 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_timefloor_multiweek" -> ((s, dir) => {
+      // PeriodGranularity.java:455: MULTI-week periods are fixed-length and
+      // epoch-anchored (1970-01-01, a Thursday) — unlike single P1W, which
+      // is the Monday calendar week
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(TIME_FLOOR(ts, 'P2W') AS STRING) AS wk2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1 ORDER BY 1""")
+    }),
+
     "q_sql_parse_long_edges" -> ((s, dir) => {
       // Function.java ParseLong:715: signed Long.parseLong in the given
       // radix, 0x/0X prefix stripping under radix 16, NULL on any invalid
@@ -7597,6 +7609,12 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_timefloor_multiweek" ->
+      """SELECT CAST(epoch_ms((epoch_ms(ts) // 1209600000) * 1209600000)
+                  AS VARCHAR) AS wk2,
+                count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_sql_parse_long_edges" ->
       """SELECT 123::BIGINT AS p10, -45::BIGINT AS pneg,

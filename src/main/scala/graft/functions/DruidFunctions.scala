@@ -33,13 +33,20 @@ object DruidFunctions {
     // fractional seconds allowed (ISO-8601 decimal fraction on the smallest
     // unit): PT0.5S etc. — the facade's arbitrary-millis DurationGranularity
     // (reference java/util/common/granularity/DurationGranularity.java)
-    val Re = """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
+    // multi-week periods (P2W…) are fixed-length and EPOCH-anchored like the
+    // reference (PeriodGranularity.java:455 aligns week multiples on the
+    // default origin, 1970-01-01 — a Thursday); single P1W is calendar
+    // (Monday) and never reaches here
+    val Re = """P(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
     period match {
-      case Re(d, h, m, s) =>
+      case Re(w, d, h, m, s) =>
         def v(x: String) = Option(x).map(_.toLong).getOrElse(0L)
         val secMicros = Option(s)
           .map(x => (BigDecimal(x) * 1_000_000).toLongExact).getOrElse(0L)
-        ((v(d) * 24 + v(h)) * 60 + v(m)) * 60_000_000L + secMicros
+        val micros =
+          (((v(w) * 7 + v(d)) * 24 + v(h)) * 60 + v(m)) * 60_000_000L + secMicros
+        require(micros > 0, s"period must be positive: $period")
+        micros
       case _ => throw new IllegalArgumentException(s"unsupported period: $period")
     }
   }
