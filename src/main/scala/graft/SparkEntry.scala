@@ -1653,6 +1653,20 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_timefloor_multimonth" -> ((s, dir) => {
+      // PeriodGranularity.java:417,436: year/month MULTIPLES (P2Y, P6M)
+      // are calendar buckets aligned on 1970-01; TIME_CEIL at an exact
+      // boundary stays on the boundary
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(TIME_FLOOR(CAST(o_orderdate AS TIMESTAMP), 'P6M') AS STRING) AS h1,
+               CAST(TIME_FLOOR(CAST(o_orderdate AS TIMESTAMP), 'P2Y') AS STRING) AS y2,
+               CAST(TIME_CEIL(CAST(o_orderdate AS TIMESTAMP), 'P6M') AS STRING) AS c6,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+    }),
+
     "q_sql_timefloor_multiweek" -> ((s, dir) => {
       // PeriodGranularity.java:455: MULTI-week periods are fixed-length and
       // epoch-anchored (1970-01-01, a Thursday) — unlike single P1W, which
@@ -7609,6 +7623,24 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_timefloor_multimonth" ->
+      """WITH t AS (SELECT CAST(o_orderdate AS TIMESTAMP) AS ots,
+                           (year(o_orderdate) - 1970) * 12
+                             + month(o_orderdate) - 1 AS m
+                    FROM orders),
+            f AS (SELECT ots,
+                         make_timestamp(1970 + (m - m % 6) // 12,
+                           (m - m % 6) % 12 + 1, 1, 0, 0, 0) AS h1ts,
+                         make_timestamp(1970 + (m - m % 24) // 12,
+                           (m - m % 24) % 12 + 1, 1, 0, 0, 0) AS y2ts
+                  FROM t)
+         SELECT CAST(h1ts AS VARCHAR) AS h1,
+                CAST(y2ts AS VARCHAR) AS y2,
+                CAST(CASE WHEN ots = h1ts THEN h1ts
+                          ELSE h1ts + INTERVAL 6 MONTH END AS VARCHAR) AS c6,
+                count(*) AS cnt
+         FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "q_sql_timefloor_multiweek" ->
       """SELECT CAST(epoch_ms((epoch_ms(ts) // 1209600000) * 1209600000)

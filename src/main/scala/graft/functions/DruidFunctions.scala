@@ -26,6 +26,21 @@ object DruidFunctions {
     "P1Y" -> "year", "P3M" -> "quarter", "P1M" -> "month", "P1W" -> "week",
     "P1D" -> "day", "PT1H" -> "hour", "PT1M" -> "minute", "PT1S" -> "second")
 
+  /** Multi-month calendar periods (P2Y, P6M, …): months per bucket.
+    * PeriodGranularity.java:417,436 aligns year/month MULTIPLES on the
+    * default origin 1970-01; the single-unit periods P1Y/P3M/P1M resolve
+    * through [[CalendarPeriods]] first and never reach this.
+    */
+  private[graft] def monthsOf(period: String): Option[Int] = {
+    val Y = """P(\d+)Y""".r
+    val M = """P(\d+)M""".r
+    period match {
+      case Y(n) => Some(n.toInt * 12)
+      case M(n) => Some(n.toInt)
+      case _ => None
+    }
+  }
+
   /** Fixed-length ISO period → microseconds (days/hours/minutes/seconds only;
     * calendar periods are handled by date_trunc above).
     */
@@ -57,6 +72,13 @@ object DruidFunctions {
   def timeFloor(ts: Column, period: String, originEpochMicros: Long = 0L): Column =
     CalendarPeriods.get(period) match {
       case Some(unit) if originEpochMicros == 0L => date_trunc(unit, ts)
+      case None if originEpochMicros == 0L && monthsOf(period).isDefined =>
+        // calendar multiple: floor the months-since-epoch to the bucket size
+        val n = monthsOf(period).get
+        val m = (year(ts) - lit(1970)) * lit(12) + month(ts) - lit(1)
+        val b = m - pmod(m, lit(n))
+        val yr = lit(1970) + ((b - pmod(b, lit(12))) / lit(12)).cast("int")
+        make_date(yr, pmod(b, lit(12)) + lit(1), lit(1)).cast("timestamp")
       case _ =>
         val p = periodMicros(period)
         require(p > 0, s"period must be positive: $period")
@@ -118,6 +140,19 @@ object DruidFunctions {
           throw new IllegalArgumentException(
             s"TIME_FLOOR: calendar period $period with an explicit origin " +
               "is not supported")
+        case None if origin.isEmpty && monthsOf(period).isDefined =>
+          // calendar multiple (P2Y/P6M…): floor months-since-epoch
+          import org.apache.spark.sql.types.IntegerType
+          val n = monthsOf(period).get
+          val m = Add(
+            Multiply(Subtract(Year(t), Literal(1970)), Literal(12)),
+            Subtract(Month(t), Literal(1)))
+          val b = Subtract(m, Pmod(m, Literal(n)))
+          val yr = Add(Literal(1970),
+            Cast(IntegralDivide(Subtract(b, Pmod(b, Literal(12))),
+              Literal(12)), IntegerType))
+          Cast(MakeDate(yr, Add(Pmod(b, Literal(12)), Literal(1)),
+            Literal(1)), TimestampType)
         case None =>
           val p = periodMicros(period)
           require(p > 0, s"TIME_FLOOR period must be positive: $period")
@@ -149,6 +184,8 @@ object DruidFunctions {
     import org.apache.spark.sql.types.LongType
     CalendarPeriods.get(period) match {
       case Some(unit) => TimestampAdd(unit.toUpperCase, Literal(1L, LongType), e)
+      case None if monthsOf(period).isDefined =>
+        TimestampAdd("MONTH", Literal(monthsOf(period).get.toLong, LongType), e)
       case None =>
         MicrosToTimestamp(Add(UnixMicros(e), Literal(periodMicros(period), LongType)))
     }
@@ -490,6 +527,8 @@ object DruidFunctions {
       case Some("year")    => ts + make_ym_interval(lit(n), lit(0))
       case Some("quarter") => ts + make_ym_interval(lit(0), lit(3 * n))
       case Some("month")   => ts + make_ym_interval(lit(0), lit(n))
+      case None if monthsOf(period).isDefined =>
+        ts + make_ym_interval(lit(0), lit(monthsOf(period).get * n))
       case _ => timestamp_micros(unix_micros(ts) + lit(periodMicros(period) * n))
     }
 
