@@ -266,6 +266,9 @@ object DruidFunctions {
     val tz = timezoneArg(args.drop(3).headOption, "TIME_SHIFT")
     def shiftIn(t: Expression): Expression = CalendarPeriods.get(period) match {
       case Some(unit) => TimestampAdd(unit.toUpperCase, n, t)
+      case None if monthsOf(period).isDefined =>
+        TimestampAdd("MONTH",
+          Multiply(n, Literal(monthsOf(period).get.toLong, LongType)), t)
       case None =>
         MicrosToTimestamp(Add(UnixMicros(t),
           Multiply(n, Literal(periodMicros(period), LongType))))

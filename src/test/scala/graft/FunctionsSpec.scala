@@ -351,15 +351,23 @@ class FunctionsSpec extends AnyFunSuite {
     val shifted = spark.sql(
       "SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'PT10M', 3)").head()
     assert(shifted.getTimestamp(0).toString == "2024-03-05 11:07:45.0")
-    // …while non-fixed multi-month periods still reject, at analysis time
+    // calendar multiples bucket months-since-epoch aligned on 1970-01
+    // (PeriodGranularity.java:436): March 2024 is month 650 since epoch,
+    // even, so the P2M bucket starts at 2024-03-01
+    val m2 = spark.sql(
+      "SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'P2M')").head()
+    assert(m2.getTimestamp(0).toString == "2024-03-01 00:00:00.0")
+    val m2b = spark.sql(
+      "SELECT TIME_FLOOR(TIMESTAMP '2024-04-05 10:37:45', 'P2M')").head()
+    assert(m2b.getTimestamp(0).toString == "2024-03-01 00:00:00.0")
+    val s2 = spark.sql(
+      "SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'P2M', 1)").head()
+    assert(s2.getTimestamp(0).toString == "2024-05-05 10:37:45.0")
+    // …while malformed / compound periods still reject, at analysis time
     val e1 = intercept[Exception] {
-      spark.sql("SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'P2M')").head()
+      spark.sql("SELECT TIME_FLOOR(TIMESTAMP '2024-03-05 10:37:45', 'P1Y2M')").head()
     }
     assert(e1.getMessage.contains("unsupported period"))
-    val e2 = intercept[Exception] {
-      spark.sql("SELECT TIME_SHIFT(TIMESTAMP '2024-03-05 10:37:45', 'P2M', 1)").head()
-    }
-    assert(e2.getMessage.contains("unsupported period"))
   }
 
   test("TIME_CEIL / TIME_SHIFT full arity: timezone frames track DST") {
