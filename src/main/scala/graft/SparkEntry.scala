@@ -1653,6 +1653,24 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_time_in_interval" -> ((s, dir) => {
+      // TimeInIntervalConvertletFactory: all three ISO interval spellings —
+      // start/end, start/PERIOD, PERIOD/end — as half-open [start, end),
+      // with calendar (P6M) and fixed (PT36H) period endpoints
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(count(*) FILTER (WHERE TIME_IN_INTERVAL(
+                 CAST(o_orderdate AS TIMESTAMP), '1995-01-01/1996-01-01')) AS BIGINT) AS c_se,
+               CAST(count(*) FILTER (WHERE TIME_IN_INTERVAL(
+                 CAST(o_orderdate AS TIMESTAMP), '1995-01-01/P6M')) AS BIGINT) AS c_sp,
+               CAST(count(*) FILTER (WHERE TIME_IN_INTERVAL(
+                 CAST(o_orderdate AS TIMESTAMP), 'P6M/1996-01-01')) AS BIGINT) AS c_pe,
+               CAST(count(*) FILTER (WHERE TIME_IN_INTERVAL(
+                 CAST(o_orderdate AS TIMESTAMP), '1995-06-15/PT36H')) AS BIGINT) AS c_fx
+        FROM orders""")
+    }),
+
     "q_sql_timefloor_multimonth" -> ((s, dir) => {
       // PeriodGranularity.java:417,436: year/month MULTIPLES (P2Y, P6M)
       // are calendar buckets aligned on 1970-01; TIME_CEIL at an exact
@@ -7623,6 +7641,19 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_time_in_interval" ->
+      """SELECT count(*) FILTER (WHERE o_orderdate >= DATE '1995-01-01'
+                                   AND o_orderdate < DATE '1996-01-01') AS c_se,
+                count(*) FILTER (WHERE o_orderdate >= DATE '1995-01-01'
+                                   AND o_orderdate < DATE '1995-07-01') AS c_sp,
+                count(*) FILTER (WHERE o_orderdate >= DATE '1995-07-01'
+                                   AND o_orderdate < DATE '1996-01-01') AS c_pe,
+                count(*) FILTER (WHERE CAST(o_orderdate AS TIMESTAMP)
+                                   >= TIMESTAMP '1995-06-15 00:00:00'
+                                   AND CAST(o_orderdate AS TIMESTAMP)
+                                   < TIMESTAMP '1995-06-16 12:00:00') AS c_fx
+         FROM orders""",
 
     "q_sql_timefloor_multimonth" ->
       """WITH t AS (SELECT CAST(o_orderdate AS TIMESTAMP) AS ots,

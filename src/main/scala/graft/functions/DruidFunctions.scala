@@ -995,6 +995,45 @@ object DruidFunctions {
       "timestamp_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
       "time_ceil" -> ((args: Seq[Expression]) => timeCeilBuilder(args)),
       "timestamp_ceil" -> ((args: Seq[Expression]) => timeCeilBuilder(args)),
+      // TimeInIntervalConvertletFactory: [start, end) membership where the
+      // LITERAL interval may be 'start/end', 'start/period', or
+      // 'period/end' (Joda Interval.parse) — the period-relative endpoint
+      // resolves at build time (calendar months via UTC plusMonths, fixed
+      // periods via exact micros)
+      "time_in_interval" -> ((args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"TIME_IN_INTERVAL(t, interval), got ${args.size} args")
+        import org.apache.spark.sql.types.TimestampType
+        val iv = literalString(args(1), "TIME_IN_INTERVAL interval")
+          .getOrElse(throw new IllegalArgumentException(
+            "TIME_IN_INTERVAL interval must be a literal"))
+        val parts = iv.split("/", 2)
+        require(parts.length == 2, s"malformed ISO interval: $iv")
+        def shift(baseUs: Long, period: String, sign: Int): Long =
+          monthsOf(period) match {
+            case Some(n) =>
+              val inst = java.time.Instant.ofEpochSecond(
+                Math.floorDiv(baseUs, 1_000_000L),
+                Math.floorMod(baseUs, 1_000_000L) * 1000L)
+              val out = inst.atZone(java.time.ZoneOffset.UTC)
+                .plusMonths(sign.toLong * n).toInstant
+              out.getEpochSecond * 1_000_000L + out.getNano / 1000L
+            case None => baseUs + sign * periodMicros(period)
+          }
+        val (startUs, endUs) =
+          if (parts(0).startsWith("P")) {
+            val e = parseIsoMicros(parts(1)); (shift(e, parts(0), -1), e)
+          } else if (parts(1).startsWith("P")) {
+            val s0 = parseIsoMicros(parts(0)); (s0, shift(s0, parts(1), 1))
+          } else (parseIsoMicros(parts(0)), parseIsoMicros(parts(1)))
+        require(startUs <= endUs, s"interval start after end: $iv")
+        val t = Cast(args.head, TimestampType)
+        org.apache.spark.sql.catalyst.expressions.And(
+          org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(t,
+            Literal(startUs, TimestampType)),
+          org.apache.spark.sql.catalyst.expressions.LessThan(t,
+            Literal(endUs, TimestampType)))
+      }),
       "time_shift" -> ((args: Seq[Expression]) => timeShiftBuilder(args)),
       "timestamp_shift" -> ((args: Seq[Expression]) => timeShiftBuilder(args)),
       "time_extract" -> ((args: Seq[Expression]) => timeExtractBuilder(args)),
@@ -1215,10 +1254,9 @@ object DruidFunctions {
       // expression n, optional timezone frame)
       // (TIME_CEIL lives in catalystBuilders above: floor(t-1us)+period in
       // the same origin/timezone frame)
-      // TIME_IN_INTERVAL with the reference's 'start/end' ISO form ([start, end))
-      """TIME_IN_INTERVAL(t TIMESTAMP, i STRING) RETURNS BOOLEAN RETURN
-         t >= to_timestamp(split_part(i, '/', 1))
-         AND t < to_timestamp(split_part(i, '/', 2))""",
+      // (TIME_IN_INTERVAL lives in catalystBuilders: the reference accepts
+      // all three ISO-8601 interval spellings — start/end, start/period,
+      // period/end — resolved at conversion time from a literal)
       // ------------------------------------------------------------ string ----
       "TEXTCAT(x STRING, y STRING) RETURNS STRING RETURN concat(x, y)",
       "STRPOS(h STRING, n STRING) RETURNS INT RETURN instr(h, n)",
