@@ -1480,12 +1480,18 @@ object NativeJsonQuery {
   private def granularityPeriod(j: JValue): Option[String] = j match {
     case JString(s) => s.toLowerCase match {
       case "all"                          => None
+      // NONE = no truncation: the reference treats it as millisecond
+      // granularity (GranularityType.NONE ≡ DurationGranularity(1ms))
+      case "none"                         => Some("PT0.001S")
       case "second"                       => Some("PT1S")
       case "minute"                       => Some("PT1M")
+      case "five_minute"                  => Some("PT5M")
+      case "ten_minute"                   => Some("PT10M")
       case "fifteen_minute"               => Some("PT15M")
       case "thirty_minute"                => Some("PT30M")
       case "hour"                         => Some("PT1H")
       case "six_hour"                     => Some("PT6H")
+      case "eight_hour"                   => Some("PT8H")
       case "day"                          => Some("P1D")
       case "week"                         => Some("P1W")
       case "month"                        => Some("P1M")

@@ -1130,6 +1130,24 @@ class NativeJsonQuerySpec extends AnyFunSuite {
       Seq(1.0, 2.0))
   }
 
+  test("timeseries standard granularity names: five/ten minute, eight_hour, none") {
+    // GranularityType enum: every standard name maps to a period bucket;
+    // NONE is millisecond precision (no truncation)
+    def buckets(g: String): Long = NativeJsonQuery.run(spark, dir,
+      s"""{"queryType": "timeseries", "dataSource": "events",
+           "granularity": "$g",
+           "aggregations": [{"type": "count", "name": "n"}]}""").count()
+    val b5 = buckets("five_minute")
+    val b10 = buckets("ten_minute")
+    val b15 = buckets("fifteen_minute")
+    val b6h = buckets("six_hour")
+    val b8h = buckets("eight_hour")
+    val bNone = buckets("none")
+    assert(b5 >= b10 && b10 >= b15)     // finer buckets, more rows
+    assert(b8h <= b6h)
+    assert(bNone >= b5)                 // ms precision dominates everything
+  }
+
   test("native expression substring/strpos are 0-based (Function.java:2824,2867)") {
     // the NATIVE expression language differs from same-named SQL functions:
     // substring(s, index, length) is 0-based, length -1 = to the end, and
