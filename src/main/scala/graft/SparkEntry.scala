@@ -1653,6 +1653,19 @@ object SparkEntry {
       }""")
     }),
 
+    "q_sql_trunc_alias" -> ((s, dir) => {
+      // DruidOperatorTable.java:229: TRUNC aliases numeric TRUNCATE (digits
+      // default 0) — Spark's own trunc is DATE truncation and would shadow
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT trunc(3.77D * 10) / 10 AS t1,
+               TRUNCATE(-2.99D, 1) AS t2,
+               trunc(-2.9D) AS t3,
+               TRUNCATE(1234.567D, -2) AS t4
+        FROM region LIMIT 1""")
+    }),
+
     "q_sql_time_in_interval" -> ((s, dir) => {
       // TimeInIntervalConvertletFactory: all three ISO interval spellings —
       // start/end, start/PERIOD, PERIOD/end — as half-open [start, end),
@@ -7641,6 +7654,11 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_id < 2000
          GROUP BY 1, 2 ORDER BY d, ch""",
+
+    "q_sql_trunc_alias" ->
+      """SELECT 3.7::DOUBLE AS t1, -2.9::DOUBLE AS t2,
+                -2.0::DOUBLE AS t3, 1200.0::DOUBLE AS t4
+         FROM region LIMIT 1""",
 
     "q_sql_time_in_interval" ->
       """SELECT count(*) FILTER (WHERE o_orderdate >= DATE '1995-01-01'

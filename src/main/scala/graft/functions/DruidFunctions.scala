@@ -329,6 +329,23 @@ object DruidFunctions {
     sb.toString
   }
 
+  /** TRUNCATE/TRUNC(x[, d]) — truncate toward zero at d digits
+    * (Function.java truncate; sign(x) · floor(|x|·10^d) / 10^d).
+    */
+  private def truncateToward0(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DoubleType
+    require(args.size == 1 || args.size == 2,
+      s"truncate takes 1 or 2 arguments, got ${args.size}")
+    val x = Cast(args(0), DoubleType)
+    val p = Pow(Literal(10.0),
+      if (args.size > 1) Cast(args(1), DoubleType) else Literal(0.0))
+    Multiply(Signum(x),
+      Divide(Cast(Floor(Multiply(Abs(x), p)), DoubleType), p))
+  }
+
   /** Shared lpad/rpad edge semantics (Function.java LpadFunc/RpadFunc over
     * StringUtils.lpad/rpad): len == 0 → NULL, len < 0 → '', an EMPTY pad
     * that would be needed leaves the base untouched; otherwise Spark's
@@ -820,6 +837,13 @@ object DruidFunctions {
             Add(Subtract(p, Literal(1)), from)),
           LongType)
       }),
+      // Function.java truncate (digits default 0) with the reference's
+      // SQL-layer TRUNC alias (DruidOperatorTable.java:229 wraps
+      // TruncateOperatorConversion) — Spark's own `trunc` is DATE
+      // truncation, so both names are overridden here: truncate toward
+      // zero at d digits
+      "truncate" -> ((args: Seq[Expression]) => truncateToward0(args)),
+      "trunc" -> ((args: Seq[Expression]) => truncateToward0(args)),
       // Function.java Round:1489 + safeGetFromDouble:1563: NaN rounds to
       // 0.0 and ±Infinity clamps to ±Double.MaxValue BEFORE rounding —
       // Spark's builtin propagates non-finite values, so override by name
@@ -1261,9 +1285,9 @@ object DruidFunctions {
       "TEXTCAT(x STRING, y STRING) RETURNS STRING RETURN concat(x, y)",
       "STRPOS(h STRING, n STRING) RETURNS INT RETURN instr(h, n)",
       "DECODE_BASE64_UTF8(s STRING) RETURNS STRING RETURN decode(unbase64(s), 'UTF-8')",
-      // numeric TRUNCATE toward zero at d digits (reference Function.java truncate)
-      """TRUNCATE(x DOUBLE, d INT) RETURNS DOUBLE RETURN
-         sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)""",
+      // (TRUNCATE/TRUNC live in catalystBuilders: optional-digits arity and
+      // the reference's TRUNC alias, which Spark's builtin date-trunc would
+      // otherwise shadow)
       // --------------------------------------------------------- bitwise ----
       "BITWISE_AND(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x & y",
       "BITWISE_OR(x BIGINT, y BIGINT) RETURNS BIGINT RETURN x | y",
