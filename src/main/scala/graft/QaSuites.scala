@@ -459,6 +459,28 @@ object QaSuites {
                  ${dStr(dSlice("a_mixed", 1, 3))} AS s_mixed
           FROM test_array ORDER BY s_int"""),
 
+    // ArraySliceFunction:4646-4656 out-of-range edges — Arrays.copyOfRange
+    // semantics: start < 0, start > length, or start > end → NULL array;
+    // 2-arg form defaults end to the array length; start == length with a
+    // larger end null-pads; start == end is the empty array
+    ga("q_qa_array_slice_edges",
+      """SELECT array_to_string(array_slice(a_int, -1, 2), '|') AS s_neg,
+                array_to_string(array_slice(a_int, 4, 5), '|') AS s_past,
+                array_to_string(array_slice(a_int, 2, 1), '|') AS s_inv,
+                array_to_string(array_slice(a_int, 1), '|') AS s_2arg,
+                array_to_string(array_slice(a_int, 3, 5), '|') AS s_atlen,
+                array_to_string(array_slice(a_int, 1, 1), '|') AS s_emptyrange,
+                array_to_string(array_slice(a_empty, 1, 2), '|') AS s_emptyarr
+         FROM test_array ORDER BY s_2arg""",
+      s"""SELECT CAST(NULL AS VARCHAR) AS s_neg,
+                 CAST(NULL AS VARCHAR) AS s_past,
+                 CAST(NULL AS VARCHAR) AS s_inv,
+                 ${dStr(dSlice("a_int", 1, 3))} AS s_2arg,
+                 ${dStr(dSlice("a_int", 3, 5))} AS s_atlen,
+                 ${dStr(dSlice("a_int", 1, 1))} AS s_emptyrange,
+                 CAST(NULL AS VARCHAR) AS s_emptyarr
+          FROM test_array ORDER BY s_2arg"""),
+
     // A1_B13: TO_STRING prints nulls, empty array → ''
     ga("q_qa_array_to_string_nulls",
       """SELECT array_to_string(a_bool, '|') AS s_bool,

@@ -1711,9 +1711,12 @@ object SparkEntry {
     }),
 
     "q_sql_parse_long_edges" -> ((s, dir) => {
-      // Function.java ParseLong:715: signed Long.parseLong in the given
-      // radix, 0x/0X prefix stripping under radix 16, NULL on any invalid
-      // digit (never 0), fractional text is not integral
+      // Function.java ParseLong:748: signed Long.parseLong in the given
+      // radix, NULL on any invalid digit (never 0), fractional text is not
+      // integral; the 0x/0X prefix is stripped only when the RAW input
+      // starts with it — '-0xfF' is NOT '-255', it fails Long.parseLong
+      // and NULLs, while '0x-f' parses (sign allowed after the strip) and
+      // a leading '+' is a Long.parseLong-legal sign
       Tables.registerAll(s, dir)
       DruidFunctions.register(s)
       s.sql("""
@@ -1723,6 +1726,8 @@ object SparkEntry {
                parse_long('ff', 16) AS phex,
                parse_long('0xFF', 16) AS phexpre,
                parse_long('-0xfF', 16) AS phexneg,
+               parse_long('0x-f', 16) AS phexinner,
+               parse_long('+ff', 16) AS pplus,
                parse_long('GG', 16) AS pbad,
                parse_long('101', 2) AS pbin,
                parse_long('zz', 36) AS p36
@@ -1746,6 +1751,26 @@ object SparkEntry {
                repeat('ab', 0) AS rep0,
                repeat('ab', -1) AS repneg
         FROM region LIMIT 1""")
+    }),
+
+    "q_sql_div_edges" -> ((s, dir) => {
+      // Function.java Div:1264-1268 — the DOUBLE path divides FIRST and
+      // truncates the QUOTIENT ((long)(x / y)), so a fractional divisor is
+      // a real divisor: DIV(10.0, 2.5) = 4 (not 10/2 = 5) and a divisor
+      // < 1 divides instead of nulling out; x/0.0 → Infinity → Long.Max.
+      // The LONG path stays integer division truncating toward zero.
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT r_regionkey,
+               DIV(10.0D, 2.5D) AS d_frac,
+               DIV(10.0D, 0.3D) AS d_small,
+               DIV(7, 2) AS d_int,
+               DIV(-7, 2) AS d_negint,
+               DIV(-7.5D, 2.5D) AS d_negfrac,
+               DIV(1.0D, 0.0D) AS d_zero,
+               DIV(CAST(r_regionkey * 10 + 7 AS DOUBLE), 2.5D) AS d_row
+        FROM region ORDER BY r_regionkey""")
     }),
 
     "q_sql_pad_edges" -> ((s, dir) => {
@@ -7701,7 +7726,9 @@ object SparkEntry {
       """SELECT 123::BIGINT AS p10, -45::BIGINT AS pneg,
                 CAST(NULL AS BIGINT) AS pfrac,
                 255::BIGINT AS phex, 255::BIGINT AS phexpre,
-                -255::BIGINT AS phexneg, CAST(NULL AS BIGINT) AS pbad,
+                CAST(NULL AS BIGINT) AS phexneg,
+                -15::BIGINT AS phexinner, 255::BIGINT AS pplus,
+                CAST(NULL AS BIGINT) AS pbad,
                 5::BIGINT AS pbin, 1295::BIGINT AS p36
          FROM region LIMIT 1""",
 
@@ -7716,6 +7743,15 @@ object SparkEntry {
                 CAST(NULL AS VARCHAR) AS rep0,
                 CAST(NULL AS VARCHAR) AS repneg
          FROM region LIMIT 1""",
+
+    "q_sql_div_edges" ->
+      """SELECT r_regionkey,
+                4::BIGINT AS d_frac, 33::BIGINT AS d_small,
+                3::BIGINT AS d_int, -3::BIGINT AS d_negint,
+                -3::BIGINT AS d_negfrac,
+                9223372036854775807::BIGINT AS d_zero,
+                CAST(trunc((r_regionkey * 10 + 7) / 2.5) AS BIGINT) AS d_row
+         FROM region ORDER BY r_regionkey""",
 
     "q_sql_pad_edges" ->
       """SELECT CAST(NULL AS VARCHAR) AS l0, CAST(NULL AS VARCHAR) AS r0,

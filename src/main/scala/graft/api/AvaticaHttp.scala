@@ -34,10 +34,15 @@ object AvaticaHttp {
       override def handle(ex: HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(),
           StandardCharsets.UTF_8)
+        // Avatica's remote JSON handler replies 500 with the error body on
+        // a failed dispatch (AbstractAvaticaHandler) — status-code-driven
+        // clients must not read a failure as success
+        var status = 200
         val out =
           try JsonMethods.compact(JsonMethods.render(
             dispatch(spark, dir, JsonMethods.parse(body))))
           catch { case e: Throwable =>
+            status = 500
             JsonMethods.compact(JsonMethods.render(JObject(
               "response" -> JString("error"),
               "errorMessage" -> JString(
@@ -47,7 +52,7 @@ object AvaticaHttp {
           }
         val bytes = out.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length)
+        ex.sendResponseHeaders(status, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()
       }

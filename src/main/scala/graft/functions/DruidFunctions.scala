@@ -35,8 +35,10 @@ object DruidFunctions {
     val Y = """P(\d+)Y""".r
     val M = """P(\d+)M""".r
     period match {
-      case Y(n) => Some(n.toInt * 12)
-      case M(n) => Some(n.toInt)
+      // n == 0 falls through to periodMicros's loud "period must be
+      // positive" — P0M must not reach Pmod(m, 0) and silently NULL
+      case Y(n) if n.toInt > 0 => Some(n.toInt * 12)
+      case M(n) if n.toInt > 0 => Some(n.toInt)
       case _ => None
     }
   }
@@ -319,6 +321,13 @@ object DruidFunctions {
             s"Joda ISO weekyear/week pattern '$c' has no locale-safe " +
               "java.time equivalent; use TIME_EXTRACT(ts, 'WEEK')")
           case 'Z' => if (n == 1) "xx" else if (n == 2) "xxx" else "VV"
+          // Joda 'e' is the ISO day-of-week NUMBER (Monday=1); java.time's
+          // 'e' is the LOCALIZED day-of-week (Sunday=1 under Spark's US
+          // locale) — every value would silently shift by one day, so
+          // reject loudly like the other locale-unsafe tokens
+          case 'e' => throw new IllegalArgumentException(
+            "Joda ISO day-of-week 'e' has no locale-safe java.time " +
+              "equivalent; use TIME_EXTRACT(ts, 'DOW')")
           case 'C' => throw new IllegalArgumentException(
             "Joda century-of-era 'C' has no java.time equivalent")
           case other => other.toString * n
@@ -729,21 +738,27 @@ object DruidFunctions {
               if (radix <= 10) s"0-${('0' + radix - 1).toChar}"
               else s"0-9a-${('a' + radix - 11).toChar}" +
                 s"A-${('A' + radix - 11).toChar}"
+            // Function.java ParseLong:748 — the 0x/0X prefix is stripped
+            // only when the RAW input starts with it (before any sign), so
+            // '-0xfF' reaches Long.parseLong un-stripped and NULLs out,
+            // while '0x-ff' parses to -255; Long.parseLong itself accepts a
+            // leading '+' or '-' after the prefix strip. (Long.MIN_VALUE's
+            // magnitude overflows the TRY cast and yields NULL — accepted
+            // 1-ulp divergence on the most pathological input.)
             val prefix = if (radix == 16) "(0[xX])?" else ""
-            val pat = s"^-?$prefix[$digitClass]+$$"
+            val pat = s"^$prefix[+-]?[$digitClass]+$$"
             val str = Cast(s, StringType)
             def lit(x: String) = Literal(UTF8String.fromString(x), StringType)
-            val neg = StartsWith(str, lit("-"))
-            val unsigned = If(neg,
-              Substring(str, Literal(2), Literal(Int.MaxValue)), str)
-            val mag =
+            val afterPrefix =
               if (radix == 16)
-                If(Or(StartsWith(unsigned, lit("0x")),
-                      StartsWith(unsigned, lit("0X"))),
-                  Substring(unsigned, Literal(3), Literal(Int.MaxValue)),
-                  unsigned)
-              else unsigned
-            val magLong = Cast(Conv(mag, Literal(radix), Literal(10)),
+                If(Or(StartsWith(str, lit("0x")), StartsWith(str, lit("0X"))),
+                  Substring(str, Literal(3), Literal(Int.MaxValue)), str)
+              else str
+            val neg = StartsWith(afterPrefix, lit("-"))
+            val signless = If(Or(neg, StartsWith(afterPrefix, lit("+"))),
+              Substring(afterPrefix, Literal(2), Literal(Int.MaxValue)),
+              afterPrefix)
+            val magLong = Cast(Conv(signless, Literal(radix), Literal(10)),
               LongType, None, EvalMode.TRY)
             If(RLike(str, lit(pat)),
               If(neg, UnaryMinus(magLong), magLong),
@@ -806,11 +821,21 @@ object DruidFunctions {
       "druid_substring" -> ((args: Seq[Expression]) => {
         require(args.size == 3,
           s"substring takes 3 arguments, got ${args.size}")
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         import org.apache.spark.sql.catalyst.expressions.{CaseWhen, GreaterThanOrEqual, Length, Substring}
+        import org.apache.spark.unsafe.types.UTF8String
         val s = Cast(args(0), StringType)
         val i = Cast(args(1), org.apache.spark.sql.types.IntegerType)
         val l = Cast(args(2), org.apache.spark.sql.types.IntegerType)
         CaseWhen(Seq(
+          // a negative index passes the reference's `index < arg.length()`
+          // guard and then throws from String.substring — same rejection
+          (LessThan(i, Literal(0)),
+            UnresolvedFunction(Seq("raise_error"), Seq(Literal(
+              UTF8String.fromString(
+                "substring index must be non-negative (reference " +
+                  "String.substring throws StringIndexOutOfBoundsException)"),
+              StringType)), isDistinct = false): Expression),
           (GreaterThanOrEqual(i, Length(s)),
             Literal.create(null, StringType): Expression),
           (LessThan(l, Literal(0)),
@@ -818,11 +843,13 @@ object DruidFunctions {
           Substring(s, Add(i, Literal(1)), l))
       }),
       // Function.java StrposFunc:2824 — native strpos is Java indexOf:
-      // 0-based, -1 when absent, optional fromIndex (clamped at 0)
+      // 0-based, -1 when absent, optional fromIndex (Java clamps negatives
+      // to 0, and an empty needle past the string end answers the string
+      // LENGTH, not the fromIndex — hence the Least)
       "druid_strpos" -> ((args: Seq[Expression]) => {
         require(args.size == 2 || args.size == 3,
           s"strpos takes 2 or 3 arguments, got ${args.size}")
-        import org.apache.spark.sql.catalyst.expressions.{EqualTo, Greatest, If, StringInstr, Subtract, Substring}
+        import org.apache.spark.sql.catalyst.expressions.{EqualTo, Greatest, If, Least, Length, StringInstr, Subtract, Substring}
         val h = Cast(args(0), StringType)
         val n = Cast(args(1), StringType)
         val from = Greatest(Seq(
@@ -833,8 +860,10 @@ object DruidFunctions {
         val sub = Substring(h, Add(from, Literal(1)), Literal(Int.MaxValue))
         val p = StringInstr(sub, n)
         Cast(
-          If(EqualTo(p, Literal(0)), Literal(-1),
-            Add(Subtract(p, Literal(1)), from)),
+          Least(Seq(
+            If(EqualTo(p, Literal(0)), Literal(-1),
+              Add(Subtract(p, Literal(1)), from)),
+            Length(h))),
           LongType)
       }),
       // Function.java truncate (digits default 0) with the reference's
@@ -907,11 +936,11 @@ object DruidFunctions {
         HumanReadableFormatExpr(args(0),
           args.lift(1).getOrElse(Literal(2)), HumanReadableFormat.Decimal)
       }),
-      // reference DivOperatorConversion: integer division, truncate toward 0
+      // Function.java Div:1250 — long path divides as longs; double path
+      // divides FIRST, then truncates the quotient: (long)(x / y)
       "div" -> ((args: Seq[Expression]) => {
         require(args.size == 2, s"div takes 2 arguments, got ${args.size}")
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          Cast(args(0), LongType), Cast(args(1), LongType))
+        DruidDiv(args(0), args(1))
       }),
       // reference native-expression case forms (math/expr/Function.java
       // CaseSearchedFunc / CaseSimpleFunc): variadic, so Catalyst builders
@@ -1123,17 +1152,30 @@ object DruidFunctions {
         graft.functions.GraftArrayAppend(a(1), a.head, prepend = true)),
       "mv_to_array" -> ((a: Seq[Expression]) => a.head),
       "array_to_mv" -> ((a: Seq[Expression]) => a.head),
-      // [start, end) 0-based, padding past the array end with nulls; the
-      // sequence bounds ride through 0*size(arr) so a NULL array nulls the
-      // whole result instead of yielding [null, null]
+      // [start, end) 0-based (Function.java ArraySliceFunction:4646-4656):
+      // end defaults to the array length (2-arg form); Arrays.copyOfRange
+      // semantics — `start < 0 || start > length || start > end` → NULL
+      // array, end past the length pads with nulls. The sequence lower
+      // bound rides through 0*size(arr) so a NULL array nulls the whole
+      // result instead of yielding [null, null]; the NullType literal in
+      // the guard branch coerces to the array type at analysis.
       "array_slice" -> ((a: Seq[Expression]) => {
-        val pad = Multiply(Literal(0), fn("size", a.head))
-        val lo = Add(Cast(a(1), IntegerType), pad)
-        val hi = Add(Subtract(Cast(a(2), IntegerType), Literal(1)), pad)
-        If(LessThanOrEqual(a(2), a(1)),
-          fn("slice", a.head, Literal(1), Literal(0)),
-          fn("transform", fn("sequence", lo, hi),
-            lam(i => fn("get", a.head, i))))
+        require(a.size == 2 || a.size == 3,
+          s"array_slice takes 2 or 3 arguments, got ${a.size}")
+        val sz = fn("size", a.head)
+        val start = Cast(a(1), IntegerType)
+        val end = if (a.size == 3) Cast(a(2), IntegerType) else sz
+        val outOfRange = Or(Or(LessThan(start, Literal(0)),
+          GreaterThan(start, sz)), GreaterThan(start, end))
+        val pad = Multiply(Literal(0), sz)
+        val lo = Add(start, pad)
+        val hi = Subtract(end, Literal(1))
+        If(outOfRange,
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          If(EqualTo(start, end),
+            fn("slice", a.head, Literal(1), Literal(0)),
+            fn("transform", fn("sequence", lo, hi),
+              lam(i => fn("get", a.head, i)))))
       }),
       // null elements print as 'null' (reference ArrayToStringFunction via
       // ExprEval string coercion; qaArray A1_B13: '1|0|null')

@@ -51,6 +51,67 @@ case class SafeDivide(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `div(x, y)` — Function.java Div:1250: on the LONG path plain long
+  * division; on the DOUBLE path the reference divides FIRST and then
+  * truncates the quotient — `(long)(x / y)` (Function.java:1264-1268) —
+  * so DIV(10.0, 2.5) = 4, not 10/2 = 5, and a fractional divisor < 1 is
+  * a perfectly good divisor, not a divide-by-zero. Type-polymorphic like
+  * [[SafeDivide]]: both-integral inputs go through IntegralDivide,
+  * anything else divides as doubles and casts the quotient to LONG
+  * (Spark's non-ANSI double→long cast is Java's `(long)` — NaN → 0,
+  * ±Infinity → ±Long.MaxValue — matching the reference cast exactly,
+  * including x/0.0 = Infinity → Long.MaxValue).
+  */
+case class DruidDiv(left: Expression, right: Expression)
+    extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override lazy val replacement: Expression = {
+    val integral = Seq(left, right).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    if (integral) {
+      // long /0 throws in the reference (Java ArithmeticException) — ANSI
+      // IntegralDivide's divide-by-zero error is the same rejection
+      IntegralDivide(Cast(left, LongType), Cast(right, LongType))
+    } else {
+      // Spark's Divide NULLs on a zero divisor in every eval mode, so the
+      // IEEE-then-truncate semantics need their own expression
+      DoubleDivToLong(Cast(left, DoubleType), Cast(right, DoubleType))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+/** Java's `(long)(x / y)` exactly — IEEE division (x/0.0 = ±Infinity, never
+  * an error) followed by the narrowing cast (NaN → 0, ±Inf → ±Long.Max).
+  * Codegen emits the literal Java expression, so it stays inside
+  * whole-stage codegen on the hot path.
+  */
+case class DoubleDivToLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    (x.asInstanceOf[Double] / y.asInstanceOf[Double]).toLong
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"(long)($a / $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `round(x[, scale])` — Function.java Round:1489: HALF_UP in exact
   * BigDecimal, and NON-FINITE doubles normalize BEFORE rounding
   * (safeGetFromDouble:1563 — NaN → 0.0, ±Infinity → ±Double.MaxValue).

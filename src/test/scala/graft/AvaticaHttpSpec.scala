@@ -30,15 +30,19 @@ class AvaticaHttpSpec extends AnyFunSuite {
     finally server.stop(0)
   }
 
-  private def post(client: HttpClient, url: String, body: JValue): JValue = {
+  private def postRaw(client: HttpClient, url: String, body: JValue)
+      : (Int, JValue) = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(
         JsonMethods.compact(JsonMethods.render(body)), StandardCharsets.UTF_8))
       .build()
-    JsonMethods.parse(
-      client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), JsonMethods.parse(resp.body()))
   }
+
+  private def post(client: HttpClient, url: String, body: JValue): JValue =
+    postRaw(client, url, body)._2
 
   private def jstr(j: JValue): String = j match { case JString(s) => s; case o => fail(s"not a string: $o") }
   private def jint(j: JValue): Int = j match { case JInt(n) => n.toInt; case JLong(n) => n.toInt; case o => fail(s"not an int: $o") }
@@ -115,17 +119,24 @@ class AvaticaHttpSpec extends AnyFunSuite {
     }
   }
 
-  test("errors surface as Avatica error responses, not HTTP failures") {
+  test("errors are HTTP 500 with the Avatica error body (AbstractAvaticaHandler)") {
     withServer { (url, client) =>
-      val resp = post(client, url, JObject(
+      val (code, resp) = postRaw(client, url, JObject(
         "request" -> JString("fetch"),
         "connectionId" -> JString("no-such-conn"),
         "statementId" -> JInt(99)))
+      assert(code == 500)
       assert(jstr(resp \ "response") == "error")
       assert(jstr(resp \ "errorMessage").nonEmpty)
-      val bad = post(client, url, JObject(
+      val (badCode, bad) = postRaw(client, url, JObject(
         "request" -> JString("unknownRpc")))
+      assert(badCode == 500)
       assert(jstr(bad \ "response") == "error")
+      // success replies stay 200
+      val (okCode, ok) = postRaw(client, url, JObject(
+        "request" -> JString("openConnection"),
+        "connectionId" -> JString("http-conn-err")))
+      assert(okCode == 200 && jstr(ok \ "response") == "openConnection")
     }
   }
 }

@@ -64,6 +64,42 @@ class QaSuitesSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("ARRAY_SLICE out-of-range edges are NULL; 2-arg defaults end (Function.java:4646-4656)") {
+    val r = one(
+      """SELECT array_slice(array(1L, 2L, 3L), -1, 2) AS s_neg,
+                array_slice(array(1L, 2L, 3L), 4, 5) AS s_past,
+                array_slice(array(1L, 2L, 3L), 2, 1) AS s_inv,
+                array_to_string(array_slice(array(1L, 2L, 3L), 1), '|') AS s_2arg,
+                array_to_string(array_slice(array(1L, 2L, 3L), 3, 5), '|') AS s_atlen,
+                array_to_string(array_slice(array(1L, 2L, 3L), 1, 1), '|') AS s_emptyrange,
+                array_slice(CAST(array() AS ARRAY<STRING>), 1, 2) AS s_emptyarr""")
+    assert(r.isNullAt(0))                 // start < 0
+    assert(r.isNullAt(1))                 // start > length
+    assert(r.isNullAt(2))                 // start > end
+    assert(r.getString(3) == "2|3")       // end defaults to length
+    assert(r.getString(4) == "null|null") // copyOfRange pads past the end
+    assert(r.getString(5) == "")          // start == end → empty
+    assert(r.isNullAt(6))                 // start 1 > length 0
+  }
+
+  test("DIV on doubles divides first, then truncates the quotient (Function.java:1264)") {
+    val r = one(
+      """SELECT DIV(10.0D, 2.5D) AS d_frac,
+                DIV(10.0D, 0.3D) AS d_small,
+                DIV(7, 2) AS d_int, DIV(-7, 2) AS d_negint,
+                DIV(-7.5D, 2.5D) AS d_negfrac,
+                DIV(1.0D, 0.0D) AS d_zero""")
+    assert(r.getLong(0) == 4L)            // not 10/2 = 5
+    assert(r.getLong(1) == 33L)           // divisor < 1 still divides
+    assert(r.getLong(2) == 3L)
+    assert(r.getLong(3) == -3L)           // truncate toward zero
+    assert(r.getLong(4) == -3L)
+    assert(r.getLong(5) == Long.MaxValue) // (long)(x/0.0) = (long)Inf
+    // long path: /0 is an error in the reference (Java ArithmeticException);
+    // ANSI IntegralDivide rejects the same way
+    intercept[Exception](one("SELECT DIV(7L, 0L) AS d_intzero"))
+  }
+
   test("ARRAY_TO_STRING prints null elements as 'null' (A1_B13)") {
     val r = one(
       """SELECT array_to_string(array(1L, 0L, NULL), '|') AS s_long,
