@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.ReverseLookupRule)
     e.injectOptimizerRule(_ => graft.plans.AggregatePullUpLookupRule)
+    e.injectOptimizerRule(_ => graft.plans.RejectInvertedFrames)
     e.injectPlannerStrategy(_ => graft.plans.ApproxTopNStrategy)
   }
 }
@@ -354,6 +355,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.AggregatePullUpLookupRule
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RejectInvertedFrames))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RejectInvertedFrames
     graft.plans.ApproxTopN.ensureStrategy(spark)
   }
 }

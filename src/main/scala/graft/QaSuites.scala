@@ -481,6 +481,30 @@ object QaSuites {
                  CAST(NULL AS VARCHAR) AS s_emptyarr
           FROM test_array ORDER BY s_2arg"""),
 
+    // ArraySetAddFunction:3988 / ArraySetAddAllFunction:4006 — TreeSet with
+    // the nulls-FIRST comparator (a null element genuinely joins the set);
+    // add_all with a NULL rhs returns the LHS VERBATIM (un-sorted,
+    // un-distincted — ArraysMergeFunction:603). ArrayOffsetOf/OrdinalOf use
+    // an Objects.equals scan, so a NULL needle FINDS a null element
+    // (Function.java:3733); both rows of test_array share the value set
+    // {null, 1, 2}, so set results are row-constant
+    ga("q_qa_array_set_ops",
+      """SELECT array_to_string(array_set_add(a_int, 9), '|') AS sa_add,
+                array_to_string(array_set_add(a_int, CAST(NULL AS BIGINT)), '|') AS sa_null,
+                array_to_string(array_set_add_all(a_int, array(3L, 1L)), '|') AS sa_all,
+                array_to_string(array_set_add_all(a_int, CAST(NULL AS ARRAY<BIGINT>)), '|') AS sa_rhsnull,
+                array_offset_of(a_int, CAST(NULL AS BIGINT)) AS oo_null,
+                array_ordinal_of(a_int, 2) AS ord_two
+         FROM test_array ORDER BY sa_rhsnull""",
+      s"""SELECT 'null|1|2|9' AS sa_add,
+                 'null|1|2' AS sa_null,
+                 'null|1|2|3' AS sa_all,
+                 ${dStr("a_int")} AS sa_rhsnull,
+                 CAST(list_position(list_transform(a_int, gx -> gx IS NULL),
+                   true) - 1 AS INTEGER) AS oo_null,
+                 CAST(list_position(a_int, 2) AS INTEGER) AS ord_two
+          FROM test_array ORDER BY sa_rhsnull"""),
+
     // A1_B13: TO_STRING prints nulls, empty array → ''
     ga("q_qa_array_to_string_nulls",
       """SELECT array_to_string(a_bool, '|') AS s_bool,
@@ -1771,14 +1795,194 @@ object QaSuites {
                 CAST(json_extract_string(c1, '$$.b_obj.b_num_int') AS BIGINT) AS b_int,
                 ${djv("c1", "$.b_array[0].b_str")} AS b0,
                 CAST(json_extract_string(c2, '$$.b_num_float') AS DOUBLE) AS b_f
-         FROM test_json_cols ORDER BY rid"""))
+         FROM test_json_cols ORDER BY rid"""),
+
+    // ------------------------------------------- round-14 qaJsonCols ----
+    // func_json_value.03: RETURNING across nested/array paths — a STRING
+    // leaf under RETURNING BIGINT is NULL, array-index paths type, the
+    // CAST(JSON_VALUE(…)) spelling is equivalent, a scalar column is its
+    // own '$' document
+    gj("q_qa_json_value_typed_paths",
+      """SELECT rid,
+                JSON_VALUE(c1, '$.a_obj.a_str' RETURNING BIGINT) AS v_str_int,
+                JSON_VALUE(c1, '$.a_array[0].a_num_int' RETURNING BIGINT) AS v_arr0,
+                JSON_VALUE(c1, '$.a_array[1].a_str') AS v_arr1,
+                JSON_VALUE(CAST(s_num_int AS STRING), '$') AS v_self,
+                CAST(JSON_VALUE(c1, '$.a_num_int') AS BIGINT) AS v_cast,
+                JSON_VALUE(c1, '$.a_num_float' RETURNING DOUBLE) AS v_dbl
+         FROM test_json_cols ORDER BY rid""",
+      s"""SELECT rid,
+                TRY_CAST(json_extract_string(c1, '$$.a_obj.a_str') AS BIGINT) AS v_str_int,
+                CAST(json_extract_string(c1, '$$.a_array[0].a_num_int') AS BIGINT) AS v_arr0,
+                ${djv("c1", "$.a_array[1].a_str")} AS v_arr1,
+                CAST(s_num_int AS VARCHAR) AS v_self,
+                CAST(json_extract_string(c1, '$$.a_num_int') AS BIGINT) AS v_cast,
+                CAST(json_extract_string(c1, '$$.a_num_float') AS DOUBLE) AS v_dbl
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_query.04: COUNT over JSON_QUERY subquery outputs — array /
+    // scalar-string / object paths are non-null exactly when present
+    // (serialized scalars count; the b-vintage rows don't)
+    gj("q_qa_json_query_counts",
+      """SELECT CAST(count(*) AS BIGINT) AS c_all,
+                CAST(count(JSON_QUERY(c1, '$.a_array')) AS BIGINT) AS c_arr,
+                CAST(count(JSON_QUERY(c1, '$.a_obj.a_str')) AS BIGINT) AS c_str,
+                CAST(count(JSON_QUERY(c1, '$.a_obj')) AS BIGINT) AS c_obj,
+                CAST(count(DISTINCT CAST(JSON_QUERY(c1, '$.a_array') AS STRING)) AS BIGINT) AS d_arr
+         FROM test_json_cols""",
+      """SELECT CAST(count(*) AS BIGINT) AS c_all,
+                CAST(count(json_extract(c1, '$.a_array')) AS BIGINT) AS c_arr,
+                CAST(count(json_extract(c1, '$.a_obj.a_str')) AS BIGINT) AS c_str,
+                CAST(count(json_extract(c1, '$.a_obj')) AS BIGINT) AS c_obj,
+                CAST(count(DISTINCT CAST(json_extract(c1, '$.a_array') AS VARCHAR)) AS BIGINT) AS d_arr
+         FROM test_json_cols"""),
+
+    // func_json_paths.02: RECURSIVE leaf enumeration unnested and
+    // aggregated — 18 leaves per document (empty objects contribute
+    // nothing, the empty array is a single leaf, object arrays recurse per
+    // index); oracle pins the derived counts and lexicographic extremes
+    gj("q_qa_json_paths_deep",
+      """SELECT CAST(count(*) AS BIGINT) AS n_paths,
+                CAST(count(DISTINCT p) AS BIGINT) AS n_distinct,
+                min(p) AS p_min, max(p) AS p_max
+         FROM test_json_cols, UNNEST(JSON_PATHS(c1)) AS t(p)""",
+      """SELECT 72::BIGINT AS n_paths, 36::BIGINT AS n_distinct,
+                '$.a_array[0].a_num_int' AS p_min, '$.b_str' AS p_max"""),
+
+    // func_json_object.03: Calcite KEY…VALUE and colon syntaxes; a
+    // json_query/json_object VALUE EMBEDS as a nested document (the
+    // reference's COMPLEX<json> typing), it is not quoted
+    gj("q_qa_json_object_syntax",
+      """SELECT rid,
+                JSON_OBJECT(KEY 'a' VALUE JSON_QUERY(c1, '$.a_obj.a_obj')) AS o_nest,
+                JSON_OBJECT('k': JSON_VALUE(c1, '$.a_str'), 'n': s_num_int) AS o_colon,
+                JSON_OBJECT(KEY 'o' VALUE JSON_OBJECT(KEY 'b' VALUE 'B')) AS o_oo
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                concat('{"a":', coalesce(CAST(json_extract(c1, '$.a_obj.a_obj') AS VARCHAR), 'null'), '}') AS o_nest,
+                concat('{"k":',
+                  CASE WHEN json_extract_string(c1, '$.a_str') IS NULL THEN 'null'
+                       ELSE to_json(json_extract_string(c1, '$.a_str')) END,
+                  ',"n":', coalesce(CAST(s_num_int AS VARCHAR), 'null'), '}') AS o_colon,
+                '{"o":{"b":"B"}}' AS o_oo
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_try_parse_json.02: TRY_ is NULL on malformed text, parses real
+    // documents (including the full nested fixture)
+    gj("q_qa_json_try_parse",
+      """SELECT rid,
+                CAST(TRY_PARSE_JSON('not json') AS STRING) AS bad,
+                CAST(TRY_PARSE_JSON('{"z": 1}') AS STRING) AS ok,
+                (TRY_PARSE_JSON(c1) IS NOT NULL) AS parses
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid, CAST(NULL AS VARCHAR) AS bad,
+                '{"z":1}' AS ok, true AS parses
+         FROM test_json_cols ORDER BY rid"""),
+
+    // datatype_sql A001-A005: JSON columns under IS [NOT] NULL and
+    // SELECT ALL subquery passthrough
+    gj("q_qa_json_datatype_sql",
+      """SELECT CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT) AS n_null,
+                CAST(count(*) FILTER (WHERE c1 IS NOT NULL) AS BIGINT) AS n_notnull,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM (SELECT ALL c1 FROM test_json_cols)) AS n_subq
+         FROM test_json_cols""",
+      """SELECT CAST(count(*) FILTER (WHERE c1 IS NULL) AS BIGINT) AS n_null,
+                CAST(count(*) FILTER (WHERE c1 IS NOT NULL) AS BIGINT) AS n_notnull,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM (SELECT ALL c1 FROM test_json_cols)) AS n_subq
+         FROM test_json_cols"""),
+
+    // ------------------------------------------- round-14 qaAggFuncs ----
+    // string_agg_string_test003 A10/A12: the 3-arg maxBytes form, DISTINCT
+    // under it, composition determinism via the all-equal filter
+    gf("q_qa_aggfuncs_string_agg_sized",
+      """SELECT string_agg(tab0s0, ',') AS all_a,
+                string_agg(DISTINCT tab0s0, '|', 100000) AS dist_a,
+                strlen(string_agg(DISTINCT tab0s0, '|', 100000)) AS len_dist
+         FROM test_agg_funcs WHERE tab0s0 = 'AAAAAAAAAA'""",
+      """SELECT string_agg(tab0s0, ',') AS all_a,
+                string_agg(DISTINCT tab0s0, '|') AS dist_a,
+                CAST(strlen(string_agg(DISTINCT tab0s0, '|')) AS INTEGER) AS len_dist
+         FROM test_agg_funcs WHERE tab0s0 = 'AAAAAAAAAA'"""),
+
+    // string_agg_double/long: numeric columns string-render through the
+    // aggregate; the all-equal FILTER keeps element order irrelevant
+    gf("q_qa_aggfuncs_string_agg_numeric",
+      """SELECT strlen(string_agg(CAST(tab0d0 AS STRING), ';')) AS len_d,
+                string_agg(CAST(tab0d0 AS STRING), ',')
+                  FILTER (WHERE tab0l0 = 1111111111) AS d_a,
+                string_agg(CAST(tab0l0 AS STRING), '|')
+                  FILTER (WHERE tab0l0 = 2222222222) AS l_b
+         FROM test_agg_funcs""",
+      """SELECT CAST(strlen(string_agg(CAST(tab0d0 AS VARCHAR), ';')) AS INTEGER) AS len_d,
+                string_agg(CAST(tab0d0 AS VARCHAR), ',')
+                  FILTER (WHERE tab0l0 = 1111111111) AS d_a,
+                string_agg(CAST(tab0l0 AS VARCHAR), '|')
+                  FILTER (WHERE tab0l0 = 2222222222) AS l_b
+         FROM test_agg_funcs"""),
+
+    // string_agg_string_test003 A10/A11: aggregates COMPOSED through
+    // textcat / string_format
+    gf("q_qa_aggfuncs_composed",
+      """SELECT TEXTCAT(string_agg(tab0s0, ','),
+                        string_agg(DISTINCT tab0s0, '|', 100000)) AS cat,
+                STRING_FORMAT('%s-%s',
+                  string_agg(DISTINCT tab0s0, ',', 100000),
+                  string_agg(tab0s0, '|')) AS fmt
+         FROM test_agg_funcs WHERE tab0s0 = 'AAAAAAAAAA'""",
+      """SELECT concat(string_agg(tab0s0, ','),
+                       string_agg(DISTINCT tab0s0, '|')) AS cat,
+                concat(string_agg(DISTINCT tab0s0, ','), '-',
+                       string_agg(tab0s0, '|')) AS fmt
+         FROM test_agg_funcs WHERE tab0s0 = 'AAAAAAAAAA'"""),
+
+    // aggregates over an EMPTY filtered input: string_agg/array_agg/sum →
+    // NULL, count → 0
+    gf("q_qa_aggfuncs_empty_input",
+      """SELECT string_agg(tab0s0, '|') AS sa,
+                array_length(array_agg(tab0l0)) AS aa_len,
+                CAST(sum(tab0l0) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS c
+         FROM test_agg_funcs WHERE tab0s0 = 'ZZZ'""",
+      """SELECT string_agg(tab0s0, '|') AS sa,
+                CAST(len(array_agg(tab0l0)) AS INTEGER) AS aa_len,
+                CAST(sum(tab0l0) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS c
+         FROM test_agg_funcs WHERE tab0s0 = 'ZZZ'"""),
+
+    // aggregates of EXPRESSION arguments
+    gf("q_qa_aggfuncs_expr_args",
+      """SELECT strlen(string_agg(concat(upper(tab0s0),
+                  CAST(length(tab0s0) AS STRING)), '|')) AS len_e,
+                CAST(sum(length(tab0s0)) AS BIGINT) AS s_len,
+                CAST(count(DISTINCT substring(tab0s0, 1, 1)) AS BIGINT) AS n_first
+         FROM test_agg_funcs""",
+      """SELECT CAST(strlen(string_agg(upper(tab0s0) ||
+                  CAST(length(tab0s0) AS VARCHAR), '|')) AS INTEGER) AS len_e,
+                CAST(sum(length(tab0s0)) AS BIGINT) AS s_len,
+                CAST(count(DISTINCT substring(tab0s0, 1, 1)) AS BIGINT) AS n_first
+         FROM test_agg_funcs"""),
+
+    // {string,array}_agg_timestamp: DISTINCT timestamp aggregation and its
+    // string rendering
+    gf("q_qa_aggfuncs_timestamp_distinct",
+      """SELECT CAST(count(DISTINCT __time) AS BIGINT) AS n_ts,
+                strlen(string_agg(DISTINCT CAST(__time AS STRING), '|', 100000)) AS len_ts,
+                array_length(array_agg(DISTINCT __time)) AS aa_n
+         FROM test_agg_funcs""",
+      """SELECT CAST(count(DISTINCT __time) AS BIGINT) AS n_ts,
+                CAST(strlen(string_agg(DISTINCT CAST(__time AS VARCHAR), '|')) AS INTEGER) AS len_ts,
+                CAST(len(array_agg(DISTINCT __time)) AS INTEGER) AS aa_n
+         FROM test_agg_funcs"""))
 
   // ------------------------------------------------------------ plumbing ----
 
   private def runSpark(s: SparkSession, sqlText: String): DataFrame = {
     DruidFunctions.register(s)
-    s.sql(graft.api.SqlApi.rewriteJsonReturning(
-      graft.api.SqlApi.rewriteUnnest(sqlText)))
+    s.sql(graft.api.SqlApi.rewriteJsonObject(
+      graft.api.SqlApi.rewriteJsonReturning(
+        graft.api.SqlApi.rewriteUnnest(sqlText))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -48,6 +48,189 @@ object SparkEntry {
        GROUP BY user_id % 3, event_type, CAST(user_id % 5 AS VARCHAR),
                 time_bucket(INTERVAL '12 hours', ts)"""
 
+  /** qaWin round-4 battery (sql_join.01/.02, sql_subquery_with_where,
+    * orderby_{rows,range}_0_*, basics_window_and_aggr,
+    * basics_data_types_and_exprs, sql_select_distinct `.iq` shapes): each
+    * body is dialect-neutral SQL evaluated over the shared `w` base CTE on
+    * BOTH engines — windows inside join inputs and over join outputs, RANGE
+    * frames keyed by strings and multi-key peer sets, reused aliases across
+    * nested window subqueries, zero-offset frames, aggregate-argument
+    * windows, and NULL-laden value frames. Bodies may open extra CTEs by
+    * starting with ", name AS (…)". Every output is BIGINT/string, so the
+    * cross-engine hash is exact.
+    */
+  private val winRound4: Seq[(String, String)] = Seq(
+    // sql_join.01 A1_G2_Q3/Q4: window outputs as the JOIN KEY — both sides
+    // window first (first_value + running count), then equi-join on the
+    // windowed first_value within the partition key
+    "q_qa_win_join_on_wincol" ->
+      """, win AS (
+           SELECT srv, cli, tz, t12,
+                  first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS fv,
+                  CAST(count(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS cnt
+           FROM w)
+         SELECT CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(t1.cnt * t2.cnt) AS BIGINT) AS s
+         FROM win t1 INNER JOIN win t2
+           ON t1.fv = t2.fv AND t1.cli = t2.cli""",
+    // sql_join.02: window evaluated over the OUTPUT of a join (join first,
+    // then number + running-sum the joined rows)
+    "q_qa_win_join_then_window" ->
+      """SELECT a.srv AS srv, a.cli AS cli, a.tz AS tz,
+                CAST(row_number() OVER (PARTITION BY a.cli
+                  ORDER BY a.srv, a.tz, a.t12, b.tz, b.t12) AS BIGINT) AS rn,
+                CAST(sum(b.n) OVER (PARTITION BY a.cli
+                  ORDER BY a.srv, a.tz, a.t12, b.tz, b.t12
+                  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+         FROM w a INNER JOIN w b ON a.srv = b.srv AND a.cli = b.cli
+         ORDER BY cli, rn""",
+    // windowed side LEFT JOINed against a HAVING-filtered aggregate side;
+    // the window is computed pre-join and survives unmatched rows
+    "q_qa_win_join_left_mixed" ->
+      """, win AS (
+           SELECT srv, cli, tz, t12,
+                  CAST(count(*) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS rcnt
+           FROM w),
+         agg AS (
+           SELECT cli, srv, CAST(sum(n) AS BIGINT) AS tot
+           FROM w GROUP BY cli, srv HAVING sum(n) > 2)
+         SELECT win.cli AS cli, win.srv AS srv, win.tz AS tz, win.rcnt AS rcnt,
+                coalesce(agg.tot, -1) AS tot
+         FROM win LEFT JOIN agg ON win.cli = agg.cli AND win.srv = agg.srv
+         ORDER BY cli, srv, tz, win.t12""",
+    // orderby_range_* with a STRING sort key: RANGE prefix frames include
+    // the whole peer group of the current string value
+    "q_qa_win_range_string_peers" ->
+      """SELECT srv, cli, tz,
+                CAST(count(*) OVER (PARTITION BY cli ORDER BY tz
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_peers,
+                CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_peers
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // descending string key: peers still group, default frame is peer-wise
+    "q_qa_win_range_string_desc" ->
+      """SELECT srv, cli, tz,
+                CAST(count(*) OVER (PARTITION BY cli ORDER BY tz DESC
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_desc,
+                CAST(sum(n) OVER (PARTITION BY cli ORDER BY tz DESC) AS BIGINT) AS s_desc,
+                first_value(tz) OVER (PARTITION BY cli ORDER BY tz DESC) AS fv_desc
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // MULTI-key RANGE peers: the peer set is rows equal on BOTH sort keys
+    // (UNBOUNDED/CURRENT frames are the only legal multi-key RANGE forms)
+    "q_qa_win_range_multikey" ->
+      """SELECT srv, cli, tz,
+                CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz
+                  RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS s_suffix,
+                CAST(count(*) OVER (PARTITION BY cli ORDER BY srv, tz
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_prefix
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // sql_subquery_with_where: filter on a level-1 window column, then a
+    // level-2 window over the SURVIVORS (frame contents change post-filter)
+    "q_qa_win_where_two_level" ->
+      """, l1 AS (
+           SELECT srv, cli, tz, t12,
+                  row_number() OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS rn
+           FROM w),
+         l2 AS (
+           SELECT cli, rn,
+                  CAST(sum(rn) OVER (PARTITION BY cli ORDER BY rn) AS BIGINT) AS srn
+           FROM l1 WHERE rn <= 5)
+         SELECT cli, CAST(max(srn) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS c
+         FROM l2 GROUP BY cli ORDER BY cli""",
+    // sql_join.01 A1_G1_Q5 alias shape: nested window subqueries REUSING
+    // the same output aliases (fv/lv) for different expressions per level
+    "q_qa_win_subq_reused_alias" ->
+      """SELECT cli, fv, lv, CAST(cnt AS BIGINT) AS cnt FROM (
+           SELECT cli,
+                  first_value(fv) OVER (PARTITION BY cli ORDER BY lv, fv) AS fv,
+                  last_value(lv) OVER (PARTITION BY cli ORDER BY lv, fv) AS lv,
+                  count(*) OVER (PARTITION BY cli ORDER BY lv, fv) AS cnt
+           FROM (
+             SELECT cli, srv, tz, t12,
+                    first_value(tz) OVER (PARTITION BY cli, srv ORDER BY tz, t12) AS fv,
+                    last_value(tz) OVER (PARTITION BY cli, srv ORDER BY tz, t12
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+             FROM w) inner_q
+         ) outer_q ORDER BY cli, cnt, fv, lv""",
+    // orderby_{rows,range}_0_{preceding,following}: zero offsets are legal
+    // and mean exactly the current row (ROWS) / the peer set (RANGE)
+    "q_qa_win_zero_offset_frames" ->
+      """SELECT srv, cli, tz,
+                CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_zp,
+                CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN CURRENT ROW AND 0 FOLLOWING) AS BIGINT) AS s_zf,
+                CAST(sum(n) OVER (PARTITION BY cli ORDER BY srv
+                  RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS s_rzero
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // basics_window_and_aggr: AGGREGATES as window arguments in the same
+    // block as GROUP BY — the window runs over grouped output
+    "q_qa_win_aggarg_window" ->
+      """SELECT cli, srv, CAST(sum(n) AS BIGINT) AS tot,
+                CAST(sum(sum(n)) OVER (PARTITION BY cli ORDER BY srv) AS BIGINT) AS run_tot,
+                CAST(max(count(*)) OVER (PARTITION BY cli) AS BIGINT) AS max_groups
+         FROM w GROUP BY cli, srv ORDER BY cli, srv""",
+    // basics_data_types_and_exprs: the corpus's mixed-type expression sort
+    // key (int, length(), a +0.123 double derivation, then tiebreakers)
+    "q_qa_win_expr_sortkey_mixed" ->
+      """SELECT srv, cli, tz,
+                first_value(tz) OVER (PARTITION BY cli ORDER BY srv ASC,
+                  length(tz) ASC, CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                  tz, t12) AS fv,
+                CAST(count(tz) OVER (PARTITION BY cli ORDER BY srv ASC,
+                  length(tz) ASC, CAST(length(tz) AS DOUBLE) + 0.123 ASC,
+                  tz, t12) AS BIGINT) AS cnt
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // sql_select_distinct: DISTINCT over window outputs, then counted
+    "q_qa_win_distinct_fv_count" ->
+      """, win AS (
+           SELECT cli,
+                  first_value(tz) OVER (PARTITION BY cli, srv ORDER BY tz, t12) AS fv
+           FROM w)
+         SELECT cli, CAST(count(*) AS BIGINT) AS n_all,
+                CAST(count(DISTINCT fv) AS BIGINT) AS n_fv
+         FROM win GROUP BY cli ORDER BY cli""",
+    // 3-arg LEAD/LAG defaults fire beyond the partition edge, typed like
+    // the value column
+    "q_qa_win_lead_lag_default" ->
+      """SELECT srv, cli, tz,
+                lag(tz, 2, 'none') OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS lag2,
+                lead(tz, 3, 'end') OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS lead3,
+                CAST(lag(n, 1, -1) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS BIGINT) AS lagn
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // frames whose value column is NULL-laden: count skips, sum/min/max
+    // NULL out on all-null frames, first_value RESPECTS nulls by default
+    "q_qa_win_null_value_frames" ->
+      """, w2 AS (
+           SELECT srv, cli, tz, t12,
+                  CASE WHEN tz = '0' THEN NULL ELSE n END AS v
+           FROM w)
+         SELECT srv, cli, tz,
+                CAST(count(v) OVER win AS BIGINT) AS c_v,
+                CAST(sum(v) OVER win AS BIGINT) AS s_v,
+                CAST(min(v) OVER win AS BIGINT) AS mn,
+                CAST(max(v) OVER win AS BIGINT) AS mx,
+                CAST(first_value(v) OVER win AS BIGINT) AS fv_respect
+         FROM w2
+         WINDOW win AS (PARTITION BY cli ORDER BY srv, tz, t12
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY cli, srv, tz, t12""")
+
+  private def winRound4Queries
+      : Map[String, (SparkSession, String) => DataFrame] =
+    winRound4.map { case (name, body) =>
+      name -> ((s: SparkSession, dir: String) => {
+        Tables.registerAll(s, dir)
+        DruidFunctions.register(s)
+        s.sql(s"WITH w AS ($winSparkBase) $body")
+      })
+    }.toMap
+
+  private def winRound4Oracle: Map[String, String] =
+    winRound4.map { case (name, body) =>
+      name -> s"WITH w AS ($winDuckBase) $body"
+    }.toMap
+
   /** qaSql scalar_* comparison battery (scalar_datetime/string/reduction/
     * numeric .iq A*_q_simple): every operator the suite chains over a probe
     * `p1` with its strictly-smaller/larger neighbors `p0`/`p2`. True for
@@ -1771,6 +1954,24 @@ object SparkEntry {
                DIV(1.0D, 0.0D) AS d_zero,
                DIV(CAST(r_regionkey * 10 + 7 AS DOUBLE), 2.5D) AS d_row
         FROM region ORDER BY r_regionkey""")
+    }),
+
+    "q_sql_format_edges" -> ((s, dir) => {
+      // StringUtils.nonStrictFormat:381 — an ILLEGAL pattern never errors:
+      // the reference returns the unformatted pattern with "; arg" appended
+      // per argument; %-conversions that don't fit the arg type degrade the
+      // same way; Locale.ENGLISH formatting otherwise
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT STRING_FORMAT('%q', 5) AS f_bad,
+               STRING_FORMAT('%d apples; %s', 3, 'red') AS f_ok,
+               STRING_FORMAT('%.3f', 2.5D) AS f_prec,
+               STRING_FORMAT('%s=%s', 'k', CAST(NULL AS STRING)) AS f_null,
+               STRING_FORMAT('%d', 'x') AS f_conv,
+               STRING_FORMAT('bare') AS f_bare,
+               STRING_FORMAT('%05d|%x', 42, 255) AS f_pad
+        FROM region LIMIT 1""")
     }),
 
     "q_sql_pad_edges" -> ((s, dir) => {
@@ -6533,6 +6734,26 @@ object SparkEntry {
         """).orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_expr_native_cast" -> ((s, dir) => {
+      // native-expression cast(x, 'TYPE') (Function.java CastFunc:1986 via
+      // ExprEval.castTo / computeNumber:625): string numbers go through a
+      // long-then-double parse ('12.5' → 12 where SQL CAST errors),
+      // 'true'/'false' are 1/0, unparseable text is NULL never an error,
+      // doubles truncate to LONG, and nested casts compose
+      graft.api.NativeJsonQuery.run(s, dir, """
+        {"queryType": "scan", "dataSource": "lineitem",
+         "virtualColumns": [
+           {"type": "expression", "name": "v_strnum", "expression": "cast('12.5', 'LONG')"},
+           {"type": "expression", "name": "v_dbl", "expression": "cast(l_quantity, 'LONG')"},
+           {"type": "expression", "name": "v_bool", "expression": "cast('true', 'DOUBLE')"},
+           {"type": "expression", "name": "v_bad", "expression": "cast(l_returnflag, 'LONG')"},
+           {"type": "expression", "name": "v_rt", "expression": "cast(cast(l_orderkey, 'STRING'), 'LONG')"}],
+         "columns": ["l_orderkey", "l_linenumber", "v_strnum", "v_dbl",
+                     "v_bool", "v_bad", "v_rt"],
+         "filter": {"type": "bound", "dimension": "l_orderkey", "upper": 100}}
+        """).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ------------------------------------- sketch aggregators (§2.5 ext)
     "q_sketch_hll" -> ((s, dir) => {
       // custom TypedImperativeAggregate HLL (reference hyperUnique, 2048
@@ -6983,7 +7204,7 @@ object SparkEntry {
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy(col("asset_id"), col("frame_no"))
     })
-  ) ++ QaSuites.queries
+  ) ++ QaSuites.queries ++ winRound4Queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -7752,6 +7973,13 @@ object SparkEntry {
                 9223372036854775807::BIGINT AS d_zero,
                 CAST(trunc((r_regionkey * 10 + 7) / 2.5) AS BIGINT) AS d_row
          FROM region ORDER BY r_regionkey""",
+
+    "q_sql_format_edges" ->
+      """SELECT '%q; 5' AS f_bad, '3 apples; red' AS f_ok,
+                '2.500' AS f_prec, 'k=null' AS f_null,
+                '%d; x' AS f_conv, 'bare' AS f_bare,
+                '00042|ff' AS f_pad
+         FROM region LIMIT 1""",
 
     "q_sql_pad_edges" ->
       """SELECT CAST(NULL AS VARCHAR) AS l0, CAST(NULL AS VARCHAR) AS r0,
@@ -10180,6 +10408,16 @@ object SparkEntry {
          WHERE l_quantity >= 48 AND l_returnflag = 'R'
          ORDER BY l_orderkey, l_linenumber""",
 
+    "q_expr_native_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+                12::BIGINT AS v_strnum,
+                CAST(trunc(l_quantity) AS BIGINT) AS v_dbl,
+                1.0::DOUBLE AS v_bool,
+                CAST(NULL AS BIGINT) AS v_bad,
+                l_orderkey AS v_rt
+         FROM lineitem WHERE l_orderkey <= 100
+         ORDER BY l_orderkey, l_linenumber""",
+
     "q_moving_avg" ->
       """WITH b AS (
            SELECT date_trunc('day', ts) AS timestamp, event_type,
@@ -10522,5 +10760,5 @@ object SparkEntry {
                 md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          FROM sc ORDER BY doc_id"""
-  ) ++ QaSuites.oracleSql
+  ) ++ QaSuites.oracleSql ++ winRound4Oracle
 }

@@ -46,10 +46,52 @@ object NativeJsonQuery {
     */
   private def rewriteNativeExpr(text: String): String = {
     val (masked, lits) = graft.api.SqlApi.maskLiterals(text)
-    val rerouted = masked
+    val rerouted = rerouteCasts(masked
       .replaceAll("(?i)\\bsubstring\\s*\\(", "druid_substring(")
-      .replaceAll("(?i)\\bstrpos\\s*\\(", "druid_strpos(")
+      .replaceAll("(?i)\\bstrpos\\s*\\(", "druid_strpos("))
     graft.api.SqlApi.unmaskLiterals(rerouted, lits)
+  }
+
+  /** Reroute the native expression language's two-arg `cast(x, 'TYPE')`
+    * (Function.java CastFunc:1986 — string→number via computeNumber, never
+    * an error) to the `druid_cast` builder, while leaving the SQL-style
+    * `CAST(x AS TYPE)` (which some native tests carry verbatim) on Spark's
+    * builtin. The discriminator is a TOP-LEVEL comma inside the call —
+    * literals are already masked, so commas in strings can't confuse it.
+    */
+  private def rerouteCasts(s: String): String = {
+    val lower = s.toLowerCase
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val idx = lower.indexOf("cast", i)
+      if (idx < 0) { out.append(s.substring(i)); i = s.length }
+      else {
+        val wordStart = idx == 0 || {
+          val c = lower.charAt(idx - 1)
+          !Character.isLetterOrDigit(c) && c != '_'
+        }
+        var j = idx + 4
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (wordStart && j < s.length && s.charAt(j) == '(') {
+          var depth = 1; var k = j + 1; var topComma = false
+          while (k < s.length && depth > 0) {
+            val c = s.charAt(k)
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            else if (c == ',' && depth == 1) topComma = true
+            k += 1
+          }
+          out.append(s.substring(i, idx))
+          out.append(if (topComma) "druid_cast" else s.substring(idx, idx + 4))
+          out.append(s.substring(idx + 4, j + 1))
+          out.append(rerouteCasts(s.substring(j + 1, k - 1)))
+          out.append(s.substring(k - 1, k))
+          i = k
+        } else { out.append(s.substring(i, idx + 4)); i = idx + 4 }
+      }
+    }
+    out.toString
   }
 
   private def nativeExpr(text: String): Column = expr(rewriteNativeExpr(text))

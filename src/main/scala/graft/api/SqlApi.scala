@@ -418,9 +418,139 @@ object SqlApi {
     // TO DAY) keeps matching), but can never match text inside one.
     val (masked, lits) = maskLiterals(bind(setStatements(raw)._2, params))
     unmaskLiterals(
-      rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
+      rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
         rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(
-          masked)))))), lits)
+          masked))))))), lits)
+  }
+
+  /** Calcite's JSON_OBJECT syntaxes — `JSON_OBJECT(KEY k VALUE v, …)` and
+    * `JSON_OBJECT(k : v, …)` (what the reference's SQL and the qaJsonCols
+    * corpus write) — normalized to the plain pair-call form
+    * `json_object(k, v, …)` the registered variadic builder accepts. Only
+    * TOP-LEVEL `KEY`/`VALUE` tokens and `:` separators inside a
+    * json_object(…) call are touched (scan is balanced-paren aware and runs
+    * on masked text, so literals can't match); nested json_object calls
+    * recurse.
+    */
+  /** Split on top-level commas (paren-aware; assumes masked literals). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var d = 0; var start = 0; var p = 0
+    while (p < s.length) {
+      val c = s.charAt(p)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (c == ',' && d == 0) { out += s.substring(start, p); start = p + 1 }
+      p += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  private[graft] def rewriteJsonObject(sqlText: String): String = {
+    val lower = sqlText.toLowerCase
+    val out = new StringBuilder
+    var i = 0
+    while (i < sqlText.length) {
+      val idx = lower.indexOf("json_object", i)
+      if (idx < 0) { out.append(sqlText.substring(i)); i = sqlText.length }
+      else {
+        val wordStart = idx == 0 || {
+          val c = lower.charAt(idx - 1)
+          !Character.isLetterOrDigit(c) && c != '_'
+        }
+        var j = idx + "json_object".length
+        while (j < sqlText.length && sqlText.charAt(j).isWhitespace) j += 1
+        if (wordStart && j < sqlText.length && sqlText.charAt(j) == '(') {
+          var depth = 1; var k = j + 1
+          while (k < sqlText.length && depth > 0) {
+            val c = sqlText.charAt(k)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            k += 1
+          }
+          val inner = rewriteJsonObject(sqlText.substring(j + 1, k - 1))
+          // top-level token pass over the (recursively rewritten) arg text:
+          // `KEY` counts as syntax only at an ARGUMENT START (so a column
+          // named key/value elsewhere is untouched), and `VALUE` only when
+          // a KEY opened the current argument
+          val normalized = {
+            val sb = new StringBuilder
+            var d = 0; var p = 0
+            var argStart = true; var expectValue = false
+            val innerLower = inner.toLowerCase
+            def isWordBoundary(pos: Int): Boolean =
+              pos < 0 || pos >= inner.length || {
+                val c = inner.charAt(pos)
+                !Character.isLetterOrDigit(c) && c != '_'
+              }
+            while (p < inner.length) {
+              val c = inner.charAt(p)
+              if (c.isWhitespace) { sb.append(c); p += 1 }
+              else if (c == '(') { d += 1; argStart = false; sb.append(c); p += 1 }
+              else if (c == ')') { d -= 1; sb.append(c); p += 1 }
+              else if (d == 0 && c == ',') {
+                argStart = true; expectValue = false; sb.append(c); p += 1
+              }
+              else if (d == 0 && c == ':') {
+                argStart = false; sb.append(','); p += 1
+              }
+              else if (d == 0 && argStart && innerLower.startsWith("key", p) &&
+                  isWordBoundary(p - 1) && isWordBoundary(p + 3)) {
+                argStart = false; expectValue = true; p += 3
+              }
+              else if (d == 0 && expectValue &&
+                  innerLower.startsWith("value", p) &&
+                  isWordBoundary(p - 1) && isWordBoundary(p + 5)) {
+                expectValue = false; sb.append(','); p += 5
+              }
+              else { argStart = false; sb.append(c); p += 1 }
+            }
+            sb.toString
+          }
+          // values that are SYNTACTICALLY json-typed (json_query /
+          // parse_json / try_parse_json / a nested json_object, or the
+          // concat('{' … construction a nested rewrite just produced)
+          // EMBED as nested documents like the reference's COMPLEX<json>
+          // values (func_json_object.03) — and the reference PRESERVES the
+          // source document's key order, so embedding splices the
+          // serialized text directly instead of re-parsing through Spark's
+          // key-sorting variant. Plain values JSON-encode through the
+          // to_json(array(v)) trick, which keeps their Spark TYPE (numbers
+          // stay numbers, strings quote+escape).
+          def isJsonTypedText(t: String): Boolean =
+            t.toLowerCase.matches(
+              "(?s)(json_query|json_object|parse_json|try_parse_json)\\s*\\(.*") ||
+            t.matches("(?s)concat\\s*\\(\\s*'\\{'.*")
+          val args = splitTopLevel(normalized)
+          val hasJsonValue = args.size % 2 == 0 && args.zipWithIndex.exists {
+            case (a, ix) => ix % 2 == 1 && isJsonTypedText(a.trim)
+          }
+          out.append(sqlText.substring(i, idx))
+          if (hasJsonValue) {
+            def enc(e: String) =
+              s"substr(to_json(array(($e))), 2, length(to_json(array(($e)))) - 2)"
+            val parts = args.grouped(2).map { case Seq(k0, v0) =>
+              val kk = enc(s"CAST((${k0.trim}) AS STRING)")
+              val t = v0.trim
+              val vv =
+                if (isJsonTypedText(t)) s"coalesce(CAST(($t) AS STRING), 'null')"
+                else s"coalesce(${enc(t)}, 'null')"
+              s"$kk, ':', $vv"
+            }.mkString(", ',', ")
+            out.append(s"concat('{', $parts, '}')")
+          } else {
+            out.append("json_object")
+              .append(sqlText.substring(idx + "json_object".length, j + 1))
+            out.append(normalized).append(')')
+          }
+          i = k
+        } else {
+          out.append(sqlText.substring(i, idx + "json_object".length))
+          i = idx + "json_object".length
+        }
+      }
+    }
+    out.toString
   }
 
   /** Calcite's unparameterized string types: Druid SQL accepts

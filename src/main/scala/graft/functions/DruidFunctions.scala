@@ -338,6 +338,18 @@ object DruidFunctions {
     sb.toString
   }
 
+  /** The reference aggregators' maxBytes argument must be a positive
+    * numeric literal (validated here; the cap itself is a capacity bound
+    * Spark doesn't need).
+    */
+  private def requirePositiveSizeLiteral(fn: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Unit = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+      if v.longValue > 0 => ()
+    case other => throw new IllegalArgumentException(
+      s"$fn maxBytes must be a positive numeric literal, got $other")
+  }
+
   /** TRUNCATE/TRUNC(x[, d]) — truncate toward zero at d digits
     * (Function.java truncate; sign(x) · floor(|x|·10^d) / 10^d).
     */
@@ -612,11 +624,16 @@ object DruidFunctions {
   def stringToMv(c: Column, sepRegex: String): Column = split(c, sepRegex)
   /** ARRAY_TO_MV is an identity under the array representation. */
   def arrayToMv(c: Column): Column = c
-  /** MV_HARMONIZE_NULLS (reference MultiValueStringOperatorConversions):
-    * null MVD → empty array, so downstream mv_* fns see a uniform shape.
+  /** MV_HARMONIZE_NULLS (Function.java harmonizeMultiValue:4769): null, [],
+    * and [null] all coerce to the SINGLE-NULL array `[null]` — the shape
+    * `ExpressionSelectors` homogenize produces — NOT an empty array, so
+    * downstream mv_* fns and implicit scalar mapping see one row.
     */
-  def mvHarmonizeNulls(c: Column): Column =
-    coalesce(c, array().cast(ArrayType(StringType)))
+  def mvHarmonizeNulls(c: Column): Column = {
+    val cast = c.cast(ArrayType(StringType))
+    when(cast.isNull || size(cast) === 0,
+      array(lit(null).cast(StringType))).otherwise(cast)
+  }
 
   // ------------------------------------------------------------------ json ----
   /** JSON_VALUE(col, '$.path') — string-typed extraction like the reference. */
@@ -686,18 +703,38 @@ object DruidFunctions {
       case _ => e
     }
     Seq(
+      // nonStrictFormat: an illegal pattern degrades to "pattern; arg; …"
+      // instead of erroring (StringUtils.nonStrictFormat:381)
       "string_format" -> ((args: Seq[Expression]) =>
-        FormatString(args.head +: args.tail.map(fmtArg): _*)),
+        NonStrictFormat(args.head +: args.tail.map(fmtArg))),
+      // native-expression cast(x, 'TYPE') (Function.java CastFunc:1986) —
+      // NativeJsonQuery.rewriteNativeExpr reroutes `cast(` here; the SQL
+      // layer's CAST … AS keeps Spark's builtin
+      "druid_cast" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"cast takes 2 arguments, got ${args.size}")
+        val tname = args(1) match {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType) => u.toString
+          case _ => throw new IllegalArgumentException(
+            "cast type must be a string literal")
+        }
+        DruidCast(args(0), tname)
+      }),
       // reference NestedDataExpressions json_object: VARIADIC key/value
       // pairs with heterogeneous value types. Foldable (literal) keys build
       // a named_struct (type-preserving JSON: numbers stay numbers,
       // booleans stay booleans); non-literal keys fall back to a map
       // (values then share one coerced type, like Spark's map())
       "json_object" -> ((args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, CreateNamedStruct, StructsToJson}
         import org.apache.spark.sql.types.{NullType, StringType}
         require(args.nonEmpty && args.size % 2 == 0,
           s"JSON_OBJECT takes key/value pairs, got ${args.size} arguments")
+        // (COMPLEX<json>-valued pairs — json_query / nested json_object
+        // values — are handled upstream by SqlApi.rewriteJsonObject, which
+        // splices their serialized text order-preserved; by the time this
+        // builder runs, children are plain typed expressions)
         val keysFoldable = args.grouped(2).forall(_.head.foldable)
         val child =
           if (keysFoldable)
@@ -873,6 +910,50 @@ object DruidFunctions {
       // zero at d digits
       "truncate" -> ((args: Seq[Expression]) => truncateToward0(args)),
       "trunc" -> ((args: Seq[Expression]) => truncateToward0(args)),
+      // Function.java Cot:1208 computes Math.cos(x)/Math.sin(x); Spark's
+      // builtin is 1/tan(x) — same poles, ulp-level different values, so
+      // override with the reference's exact formula (raw IEEE division:
+      // cot(0) = Infinity, not an ANSI divide-by-zero error)
+      "cot" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, s"cot takes 1 argument, got ${args.size}")
+        import org.apache.spark.sql.catalyst.expressions.{Cos, Sin}
+        val x = Cast(args(0), org.apache.spark.sql.types.DoubleType)
+        DoubleDivide(Cos(x), Sin(x))
+      }),
+      // Function.java LeftFunc/RightFunc:2934,2960 — a NEGATIVE length is a
+      // loud validation error (Spark's builtins return ''), n past the
+      // string length returns the whole string
+      "left" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"left takes 2 arguments, got ${args.size}")
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        import org.apache.spark.sql.catalyst.expressions.Substring
+        import org.apache.spark.unsafe.types.UTF8String
+        val s = Cast(args(0), StringType)
+        val n = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+        If(LessThan(n, Literal(0)),
+          UnresolvedFunction(Seq("raise_error"), Seq(Literal(
+            UTF8String.fromString(
+              "Function[left] needs a positive integer as the second argument"),
+            StringType)), isDistinct = false),
+          Substring(s, Literal(1), n))
+      }),
+      "right" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"right takes 2 arguments, got ${args.size}")
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Substring, UnaryMinus}
+        import org.apache.spark.unsafe.types.UTF8String
+        val s = Cast(args(0), StringType)
+        val n = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+        CaseWhen(Seq(
+          (LessThan(n, Literal(0)),
+            UnresolvedFunction(Seq("raise_error"), Seq(Literal(
+              UTF8String.fromString(
+                "Function[right] needs a positive integer as the second argument"),
+              StringType)), isDistinct = false): Expression),
+          (EqualTo(n, Literal(0)),
+            Literal(UTF8String.fromString(""), StringType): Expression)),
+          Substring(s, UnaryMinus(n), Literal(Int.MaxValue)))
+      }),
       // Function.java Round:1489 + safeGetFromDouble:1563: NaN rounds to
       // 0.0 and ±Infinity clamps to ±Double.MaxValue BEFORE rounding —
       // Spark's builtin propagates non-finite values, so override by name
@@ -1138,13 +1219,35 @@ object DruidFunctions {
         fn("get", a.head, Cast(a(1), IntegerType))),
       "array_ordinal" -> ((a: Seq[Expression]) =>
         fn("get", a.head, Subtract(Cast(a(1), IntegerType), Literal(1)))),
+      // Objects.equals scan (Function.java:3733) — a NULL needle FINDS a
+      // null element, so probe with null-safe equality over a boolean
+      // transform instead of array_position's null-blind contract;
+      // not-found stays NULL
       "array_offset_of" -> ((a: Seq[Expression]) =>
-        Cast(Subtract(fn("nullif", fn("array_position", a.head, a(1)),
+        Cast(Subtract(fn("nullif",
+          fn("array_position", fn("transform", a.head,
+            lam(x => EqualNullSafe(x, a(1)))), Literal(true)),
           Literal(0L)), Literal(1L)), IntegerType)),
       "array_ordinal_of" -> ((a: Seq[Expression]) =>
-        Cast(fn("nullif", fn("array_position", a.head, a(1)), Literal(0L)),
-          IntegerType)),
+        Cast(fn("nullif",
+          fn("array_position", fn("transform", a.head,
+            lam(x => EqualNullSafe(x, a(1)))), Literal(true)),
+          Literal(0L)), IntegerType)),
       "array_concat" -> ((a: Seq[Expression]) => fn("concat", a.head, a(1))),
+      // ArraySetAddFunction:3988 — TreeSet with the nullable comparator:
+      // distinct, SORTED with nulls FIRST (sort_array asc is exactly
+      // nulls-first); a NULL element genuinely joins the set
+      "array_set_add" -> ((a: Seq[Expression]) =>
+        fn("sort_array", fn("array_distinct",
+          graft.functions.GraftArrayAppend(a.head, a(1), prepend = false)),
+          Literal(true))),
+      // ArraySetAddAllFunction:4006 via ArraysMergeFunction:595 — lhs NULL
+      // → NULL, rhs NULL → the LHS VERBATIM (not set-ified, the reference
+      // returns lhsExpr untouched), else sorted nulls-first distinct union
+      "array_set_add_all" -> ((a: Seq[Expression]) =>
+        If(IsNull(a(1)), a.head,
+          fn("sort_array", fn("array_distinct", fn("concat", a.head, a(1))),
+            Literal(true)))),
       "array_append" -> ((a: Seq[Expression]) =>
         graft.functions.GraftArrayAppend(a.head, a(1), prepend = false)),
       // reference arg order: ARRAY_PREPEND(expr, arr)
@@ -1194,8 +1297,26 @@ object DruidFunctions {
         graft.functions.GraftArrayContains(a.head, a(1))),
       "scalar_in_array" -> ((a: Seq[Expression]) =>
         graft.functions.GraftArrayContains(a(1), a.head)),
-      "array_agg" -> ((a: Seq[Expression]) =>
-        graft.functions.DruidArrayAgg(a.head)),
+      // ARRAY_AGG(expr[, maxBytes]) / STRING_AGG(expr, sep[, maxBytes]) —
+      // the reference's size argument is a BUFFER CAP (exceeding it fails
+      // the query, ExpressionLambdaAggregatorFactory); Spark has no
+      // per-aggregate byte budget, so a positive literal is validated and
+      // accepted with the cap unenforced — a capacity rejection, never a
+      // result-semantics difference. Returning the bare AggregateFunction
+      // lets the analyzer apply DISTINCT and ORDER BY … WITHIN the call.
+      "array_agg" -> ((a: Seq[Expression]) => {
+        require(a.size == 1 || a.size == 2,
+          s"array_agg takes 1 or 2 arguments, got ${a.size}")
+        a.lift(1).foreach(requirePositiveSizeLiteral("array_agg", _))
+        graft.functions.DruidArrayAgg(a.head)
+      }),
+      "string_agg" -> ((a: Seq[Expression]) => {
+        require(a.size == 2 || a.size == 3,
+          s"string_agg takes 2 or 3 arguments, got ${a.size}")
+        a.lift(2).foreach(requirePositiveSizeLiteral("string_agg", _))
+        new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
+          Cast(a.head, StringType), a(1), Nil, 0, 0)
+      }),
       // concat-agg: skip NULL input arrays (stock collect_list), keep inner
       // nulls, flatten partition-wise
       "array_concat_agg" -> ((a: Seq[Expression]) =>
@@ -1247,6 +1368,9 @@ object DruidFunctions {
       // SafeDivide semantics — long path, 0/0 = 0, NaN divisor)
       // reference StrlenOperatorConversion: alias of CHAR_LENGTH
       "STRLEN(s STRING) RETURNS INT RETURN length(s)",
+      // reference SQL TEXTCAT (DruidOperatorTable) — two-string concat,
+      // NULL-propagating like ||
+      "TEXTCAT(a STRING, b STRING) RETURNS STRING RETURN concat(a, b)",
       // reference MultiValueStringOperatorConversions.FilteredPrefix /
       // FilteredRegex: keep only MVD cells matching a prefix / regex
       "MV_FILTER_PREFIX(a ARRAY<STRING>, p STRING) RETURNS ARRAY<STRING> " +
@@ -1367,11 +1491,8 @@ object DruidFunctions {
       //  SCALAR_IN_ARRAY/AGG/CONCAT_AGG live in arrayBuilders above — a SQL
       //  macro's ARRAY<STRING> parameter would silently retype BIGINT arrays)
       "STRING_TO_ARRAY(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
-      // set-semantics add: sorted distinct result (reference ArraySetAddFunction)
-      """ARRAY_SET_ADD(a ARRAY<STRING>, v STRING) RETURNS ARRAY<STRING> RETURN
-         array_sort(array_distinct(array_append(a, v)))""",
-      """ARRAY_SET_ADD_ALL(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING>
-         RETURN array_sort(array_union(a, b))""",
+      // (ARRAY_SET_ADD / ARRAY_SET_ADD_ALL are polymorphic Catalyst
+      //  builders in arrayBuilders — TreeSet semantics with nulls FIRST)
       // linear-interpolation quantile over a double array (array_quantile)
       """ARRAY_QUANTILE(arr ARRAY<DOUBLE>, q DOUBLE) RETURNS DOUBLE RETURN
          CASE WHEN size(filter(arr, x -> x IS NOT NULL)) = 0 THEN NULL

@@ -88,6 +88,158 @@ case class DruidDiv(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** Native-expression `cast(x, 'TYPE')` (Function.java CastFunc:1986 over
+  * ExprEval.castTo) — the edge rules differ from SQL CAST:
+  *  - string → LONG/DOUBLE goes through `computeNumber` (ExprEval.java:625):
+  *    'true'/'false' (any case) are 1/0, then a long parse, then a DOUBLE
+  *    parse — so cast('12.5', 'LONG') is 12 where SQL CAST errors/NULLs;
+  *    unparseable text is NULL, never an error.
+  *  - double → LONG truncates with Java (long) saturation.
+  *  - scalar → ARRAY<T> wraps a single element; array → ARRAY<T> casts
+  *    per element with the same rules.
+  * RuntimeReplaceable — the typed tree is picked once child types resolve,
+  * and every leaf is a built-in (codegen'd) expression.
+  */
+case class DruidCast(child: Expression, typeName: String)
+    extends RuntimeReplaceable {
+
+  import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, CaseWhen, Coalesce, EvalMode, LambdaFunction, Lower, NamedLambdaVariable}
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, FloatType}
+
+  override def children: Seq[Expression] = Seq(child)
+
+  private def lit(s: String) =
+    Literal(UTF8String.fromString(s), StringType)
+
+  /** computeNumber, truncated to LONG. */
+  private def strToLong(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    CaseWhen(Seq(
+      (EqualTo(Lower(s), lit("true")), Literal(1L): Expression),
+      (EqualTo(Lower(s), lit("false")), Literal(0L): Expression)),
+      Coalesce(Seq(
+        Cast(s, LongType, None, EvalMode.TRY),
+        Cast(Cast(s, DoubleType, None, EvalMode.TRY), LongType, None,
+          EvalMode.LEGACY))))
+  }
+
+  private def strToDouble(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    CaseWhen(Seq(
+      (EqualTo(Lower(s), lit("true")), Literal(1.0): Expression),
+      (EqualTo(Lower(s), lit("false")), Literal(0.0): Expression)),
+      Cast(s, DoubleType, None, EvalMode.TRY))
+  }
+
+  private def scalarTo(e: Expression, target: String): Expression =
+    (target, e.dataType) match {
+      case ("LONG", StringType)   => strToLong(e)
+      case ("LONG", _)            => Cast(e, LongType, None, EvalMode.LEGACY)
+      case ("DOUBLE", StringType) => strToDouble(e)
+      case ("DOUBLE", _)          => Cast(e, DoubleType, None, EvalMode.LEGACY)
+      case ("STRING", BooleanType) =>
+        // Druid longs render booleans as 1/0 strings
+        Cast(Cast(e, LongType), StringType)
+      case ("STRING", _)          => Cast(e, StringType)
+      case (other, _) => throw new IllegalArgumentException(
+        s"cast: invalid type [$other]")
+    }
+
+  override lazy val replacement: Expression = {
+    val t = typeName.toUpperCase.replaceAll("\\s+", "")
+    val ArrayRe = "ARRAY<(LONG|DOUBLE|STRING)>".r
+    t match {
+      case ArrayRe(et) =>
+        child.dataType match {
+          case ArrayType(elemType, _) =>
+            val lv = NamedLambdaVariable("graft_cast_x", elemType, true)
+            ArrayTransform(child, LambdaFunction(scalarTo(lv, et), Seq(lv)))
+          case _ =>
+            org.apache.spark.sql.catalyst.expressions.CreateArray(
+              Seq(scalarTo(child, et)))
+        }
+      case scalar =>
+        child.dataType match {
+          case ArrayType(_, _) => throw new IllegalArgumentException(
+            s"cast: invalid cast from ARRAY to [$scalar]")
+          case _ => scalarTo(child, scalar)
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** `string_format(pattern, args…)` — Function.java StringFormatFunc:2790
+  * over `StringUtils.nonStrictFormat:381`: `String.format(Locale.ENGLISH,
+  * …)`, except an ILLEGAL format never errors — the reference appends
+  * "; arg" per argument to the unformatted pattern and returns that.
+  * Spark's FormatString throws, so this needs its own eval; string
+  * rendering is off any hot aggregate path, CodegenFallback is fine.
+  * (A null pattern returns NULL — the reference NPEs there when args are
+  * present; accepted leniency on a pathological input.)
+  */
+case class NonStrictFormat(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fmt = children.head.eval(input)
+    if (fmt == null) return null
+    val f = fmt.toString
+    if (children.size == 1) return UTF8String.fromString(f)
+    val args: Seq[AnyRef] = children.tail.map { c =>
+      c.eval(input) match {
+        case null => null
+        case u: UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case v => v.asInstanceOf[AnyRef]
+      }
+    }
+    val out =
+      try String.format(java.util.Locale.ENGLISH, f, args: _*)
+      catch {
+        case _: java.util.IllegalFormatException =>
+          args.foldLeft(new StringBuilder(f)) { (sb, a) =>
+            sb.append("; ").append(a)
+          }.toString
+      }
+    UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Plain IEEE `x / y` on doubles (Infinity on a zero divisor, never an
+  * error) — Spark's Divide rejects zero divisors under ANSI and NULLs them
+  * in legacy mode, so reference-exact double math needs the raw operation.
+  * Codegen emits the literal Java division.
+  */
+case class DoubleDivide(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    x.asInstanceOf[Double] / y.asInstanceOf[Double]
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"($a / $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Java's `(long)(x / y)` exactly — IEEE division (x/0.0 = ±Infinity, never
   * an error) followed by the narrowing cast (NaN → 0, ±Inf → ±Long.Max).
   * Codegen emits the literal Java expression, so it stays inside

@@ -80,10 +80,13 @@ class MvdSpec extends AnyFunSuite {
     assert(ordered.toSeq == Seq("", "1", "10.1", "2", "abc", "def"))
   }
 
-  test("mv_harmonize_nulls turns null MVDs into empty arrays") {
-    val df = Seq(Some(Seq("a", "b")), None).toDF("mv")
+  test("mv_harmonize_nulls coerces null and [] into [null] (Function.java:4769)") {
+    val df = Seq(Some(Seq("a", "b")), Some(Seq.empty[String]), None).toDF("mv")
       .select(DruidFunctions.mvHarmonizeNulls(col("mv")).as("h"))
-      .select(size(col("h")).as("n"))
-    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 2))
+    val rows = df.select(size(col("h")).as("n"),
+      element_at(col("h"), 1).as("first")).collect()
+    // null and [] both become the single-null array; real arrays untouched
+    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 2))
+    assert(rows.count(r => r.isNullAt(1)) == 2)
   }
 }

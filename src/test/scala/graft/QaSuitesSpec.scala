@@ -212,6 +212,23 @@ class QaSuitesSpec extends AnyFunSuite {
     }
   }
 
+  test("qaWin orderby_*_negative: negative frame bounds are rejected (56 !error files)") {
+    // The whole orderby_{rows,range}_negative_* corpus family is !error
+    // (QueryInterruptedException) — 'ROWS BETWEEN -1 PRECEDING AND CURRENT
+    // ROW' and the RANGE analogues. Spark silently evaluates the empty
+    // frame to NULL, so the engine adds RejectInvertedFrames.
+    GraftExtensions.register(spark)
+    for (frame <- Seq(
+      "ROWS BETWEEN -1 PRECEDING AND CURRENT ROW",
+      "ROWS BETWEEN CURRENT ROW AND -1 FOLLOWING",
+      "RANGE BETWEEN -1 PRECEDING AND CURRENT ROW"))
+      intercept[Exception] {
+        spark.sql(
+          s"""SELECT sum(x) OVER (ORDER BY x $frame)
+              FROM VALUES (1), (2) t(x)""").collect()
+      }
+  }
+
   test("qa gate battery matches pinned reference row counts") {
     // spot-pin .iq expected cardinalities through the actual gate SQL
     val q = SparkEntry.queries

@@ -694,13 +694,15 @@ class SqlApiSpec extends AnyFunSuite {
              RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation""").collect()
     }
     // negative offset (orderby_range_negative: RANGE -1 PRECEDING). Druid
-    // rejects it; Spark is more permissive — the lower bound resolves past
-    // the current row, the frame is empty, and every aggregate is NULL.
-    // Pin Spark's behavior (same divergence class as drill-3360 above).
-    val empt = spark.sql(
-      """SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey
-           RANGE BETWEEN -1 PRECEDING AND CURRENT ROW) AS s FROM nation""").collect()
-    assert(empt.forall(_.isNullAt(0)))
+    // rejects it; stock Spark would evaluate the empty frame to NULL, so
+    // the engine adds RejectInvertedFrames — the bound pair (-1 PRECEDING,
+    // CURRENT ROW) is inverted (lower +1 > upper 0) and throws loudly.
+    graft.GraftExtensions.register(spark)
+    intercept[Exception] {
+      spark.sql(
+        """SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey
+             RANGE BETWEEN -1 PRECEDING AND CURRENT ROW) AS s FROM nation""").collect()
+    }
     // inverted bounds ARE rejected at analysis in both engines
     intercept[Exception] {
       spark.sql(
