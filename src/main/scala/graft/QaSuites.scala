@@ -315,11 +315,22 @@ object QaSuites {
           THEN coalesce(array_to_string(list_sort(json_keys($c, '$p')), '|'), '')
           ELSE NULL END)"""
 
-  /** DuckDB analog of the reference's scalar-only JSON_VALUE (qaJsonCols
-    * func_json_value.02 A071: object/array paths yield NULL).
+  /** DuckDB analog of the reference's JSON_VALUE (qaJsonCols
+    * func_json_value.02 A071/A086: object paths yield NULL, but PRIMITIVE
+    * arrays — the empty array included — pass through as their compact
+    * JSON text (JsonValueExprMacro accepts isPrimitiveArray). The
+    * primitive test scans the serialized array for a container opener
+    * after '[' — exact on these fixtures (no string values containing
+    * braces/brackets).
     */
   private def djv(c: String, p: String) =
-    s"""(CASE WHEN json_type($c, '$p') IN ('OBJECT', 'ARRAY') THEN NULL
+    s"""(CASE WHEN json_type($c, '$p') = 'OBJECT' THEN NULL
+         WHEN json_type($c, '$p') = 'ARRAY' THEN
+           CASE WHEN regexp_matches(substr(json_extract($c, '$p')::VARCHAR, 2),
+                                    '[\\[{]') THEN NULL
+                ELSE json_extract($c, '$p')::VARCHAR END
+         WHEN json_type($c, '$p') = 'BOOLEAN' THEN
+           CASE json_extract_string($c, '$p') WHEN 'true' THEN '1' ELSE '0' END
          ELSE json_extract_string($c, '$p') END)"""
 
   private[graft] lazy val gates: Seq[(String, String, String)] = Seq(
@@ -1892,6 +1903,74 @@ object QaSuites {
                 (SELECT CAST(count(*) AS BIGINT)
                  FROM (SELECT ALL c1 FROM test_json_cols)) AS n_subq
          FROM test_json_cols"""),
+
+    // func_json_value.01 A042-A047 / .02 A086 / .02 A058-A064: JSON_VALUE
+    // passes PRIMITIVE arrays through (the empty array included) while
+    // objects and container-bearing arrays stay NULL; booleans coerce 1/0
+    // (.03 A127: a_bool → 1, ExprEval.bestEffortOf long coercion)
+    gj("q_qa_json_value_prim_array",
+      """SELECT rid,
+                JSON_VALUE(c1, '$.a_empty_array') AS v_earr,
+                JSON_VALUE(c1, '$.a_empty_obj') AS v_eobj,
+                JSON_VALUE('[1,0,null]', '$') AS v_prim,
+                JSON_VALUE('[{},[],null]', '$[1]') AS v_mid_empty,
+                JSON_VALUE('[{},[],null]', '$[0]') AS v_mid_obj,
+                JSON_VALUE('[{},[],null]', '$[2]') AS v_mid_null,
+                JSON_VALUE('[{},[],null]', '$') AS v_mixed,
+                JSON_VALUE(c1, '$.a_bool') AS v_bool
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                CASE WHEN rid <= 2 THEN '[]' END AS v_earr,
+                CAST(NULL AS VARCHAR) AS v_eobj,
+                '[1,0,null]' AS v_prim,
+                '[]' AS v_mid_empty,
+                CAST(NULL AS VARCHAR) AS v_mid_obj,
+                CAST(NULL AS VARCHAR) AS v_mid_null,
+                CAST(NULL AS VARCHAR) AS v_mixed,
+                CASE WHEN rid <= 2 THEN '1' END AS v_bool
+         FROM test_json_cols ORDER BY rid"""),
+
+    // func_json_query.03 A100/A110-A112 vs func_json_value.02 A069/A077:
+    // '$.'-root is the whole document for JSON_QUERY; negative array
+    // indexes address from the end in JSON_QUERY but are NULL in
+    // JSON_VALUE (literal paths plan onto the nested-field virtual
+    // column, which has no negative element fields)
+    gj("q_qa_json_query_edges",
+      """SELECT rid,
+                strlen(JSON_QUERY(c1, '$.')) AS q_dotroot_len,
+                JSON_QUERY(s_str, '$.') AS q_dotroot_scalar,
+                JSON_QUERY(c1, '$.a_array[-1].a_str') AS q_neg1,
+                JSON_QUERY(c1, '$.a_array[-2].a_num_int') AS q_neg2,
+                JSON_QUERY(c1, '$.a_array[-9].a_str') AS q_negoor,
+                JSON_VALUE(c1, '$.a_array[-1].a_str') AS v_neg1,
+                JSON_QUERY(c1, '$.a_array[1].a_str') AS q_pos
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                CAST(strlen(c1::JSON::VARCHAR) AS INTEGER) AS q_dotroot_len,
+                CASE WHEN rid <= 2 THEN '"A"' END AS q_dotroot_scalar,
+                CASE WHEN rid <= 2 THEN '"A2"' END AS q_neg1,
+                CASE WHEN rid <= 2 THEN '1' END AS q_neg2,
+                CAST(NULL AS VARCHAR) AS q_negoor,
+                CAST(NULL AS VARCHAR) AS v_neg1,
+                CASE WHEN rid <= 2 THEN '"A2"' END AS q_pos
+         FROM test_json_cols ORDER BY rid"""),
+
+    // NestedPathFinder.parseJsonPath quoted-field grammar: $['name'] ≡
+    // $.name for value/query/keys (the slice/union/double-dot rejections
+    // are spec-tested — they raise, which a result gate can't pin)
+    gj("q_qa_json_path_quoted_field",
+      """SELECT rid,
+                JSON_VALUE(c1, "$['a_str']") AS v_q,
+                JSON_VALUE(c1, "$['a_obj']['a_obj'].a_str") AS v_deep,
+                JSON_QUERY(c1, "$['a_empty_obj']") AS q_eobj,
+                array_join(JSON_KEYS(c1, "$['a_obj']"), '|') AS k_obj
+         FROM test_json_cols ORDER BY rid""",
+      """SELECT rid,
+                CASE WHEN rid <= 2 THEN 'A' END AS v_q,
+                CASE WHEN rid <= 2 THEN 'AA' END AS v_deep,
+                CASE WHEN rid <= 2 THEN '{}' END AS q_eobj,
+                CASE WHEN rid <= 2 THEN 'a_str|a_num_int|a_obj|a_array' END AS k_obj
+         FROM test_json_cols ORDER BY rid"""),
 
     // ------------------------------------------- round-14 qaAggFuncs ----
     // string_agg_string_test003 A10/A12: the 3-arg maxBytes form, DISTINCT

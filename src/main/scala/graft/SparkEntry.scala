@@ -1974,6 +1974,52 @@ object SparkEntry {
         FROM region LIMIT 1""")
     }),
 
+    "q_expr_ieee_math" -> ((s, dir) => {
+      // Function.java IEEE-edge math family via the same java.lang.Math
+      // calls (GetExponent:1356 → LONG, NextUp:1447, Ulp:1747,
+      // CopySign:1789, Remainder:1831 = IEEEremainder, NextAfter:1906) and
+      // the null-propagating bivariate max/min (Max:1852/Min:1879 — note
+      // max(1, NULL) is NULL, unlike SQL GREATEST)
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(getexponent(10.0D) AS BIGINT) AS ge_10,
+               CAST(getexponent(0.5D) AS BIGINT) AS ge_half,
+               nextup(1.0D) AS nu_1,
+               ulp(1.0D) AS ulp_1,
+               copysign(3.5D, -1.0D) AS cs_neg,
+               remainder(5.0D, 3.0D) AS rem_53,
+               nextafter(1.0D, 2.0D) AS na_up,
+               nextafter(1.0D, 0.0D) AS na_down,
+               CAST(druid_max(7L, 3L) AS BIGINT) AS mx_long,
+               druid_max(7.5D, CAST(NULL AS DOUBLE)) AS mx_null,
+               druid_min(7.5D, 3.0D) AS mn_dbl
+        FROM region LIMIT 1""")
+    }),
+
+    "q_expr_bitwise_native" -> ((s, dir) => {
+      // Function.java camelCase bitwise family on DOUBLE operands:
+      // BivariateBitwiseMathFunction evals asLong() per operand — truncate
+      // toward zero, NaN → 0 (never round, never reject) — and the
+      // IEEE-754 reinterpretation pair (BitwiseConvert*:944,976)
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT bitwiseAnd(3.9D, 7.2D) AS and_trunc,
+               bitwiseAnd(-3.9D, -1L) AS and_negtrunc,
+               bitwiseOr(3.9D, 8.5D) AS or_trunc,
+               bitwiseXor(7.9D, 2.0D) AS xor_trunc,
+               bitwiseComplement(5.7D) AS compl_trunc,
+               bitwiseShiftLeft(3.7D, 2.9D) AS shl_trunc,
+               bitwiseShiftRight(-16.5D, 2.1D) AS shr_trunc,
+               bitwiseAnd(CAST('NaN' AS DOUBLE), 7L) AS and_nan,
+               bitwiseAnd(CAST(NULL AS DOUBLE), 1L) AS and_null,
+               bitwiseConvertDoubleToLongBits(2.0D) AS bits_2,
+               bitwiseConvertDoubleToLongBits(-0.0D) AS bits_negzero,
+               bitwiseConvertLongBitsToDouble(4611686018427387904L) AS dbl_2
+        FROM region LIMIT 1""")
+    }),
+
     "q_sql_pad_edges" -> ((s, dir) => {
       // Function.java LpadFunc/RpadFunc edges: len 0 → NULL, len < 0 → '',
       // empty pad leaves the base untouched, truncation below base length,
@@ -7204,7 +7250,7 @@ object SparkEntry {
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy(col("asset_id"), col("frame_no"))
     })
-  ) ++ QaSuites.queries ++ winRound4Queries
+  ) ++ QaSuites.queries ++ winRound4Queries ++ DrillFrameclause.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -7979,6 +8025,30 @@ object SparkEntry {
                 '2.500' AS f_prec, 'k=null' AS f_null,
                 '%d; x' AS f_conv, 'bare' AS f_bare,
                 '00042|ff' AS f_pad
+         FROM region LIMIT 1""",
+
+    "q_expr_ieee_math" ->
+      """SELECT 3::BIGINT AS ge_10, -1::BIGINT AS ge_half,
+                1.0000000000000002::DOUBLE AS nu_1,
+                2.220446049250313e-16::DOUBLE AS ulp_1,
+                -3.5::DOUBLE AS cs_neg,
+                -1.0::DOUBLE AS rem_53,
+                1.0000000000000002::DOUBLE AS na_up,
+                9.999999999999999e-1::DOUBLE AS na_down,
+                7::BIGINT AS mx_long,
+                CAST(NULL AS DOUBLE) AS mx_null,
+                3.0::DOUBLE AS mn_dbl
+         FROM region LIMIT 1""",
+
+    "q_expr_bitwise_native" ->
+      """SELECT 3::BIGINT AS and_trunc, -3::BIGINT AS and_negtrunc,
+                11::BIGINT AS or_trunc, 5::BIGINT AS xor_trunc,
+                -6::BIGINT AS compl_trunc, 12::BIGINT AS shl_trunc,
+                -4::BIGINT AS shr_trunc, 0::BIGINT AS and_nan,
+                CAST(NULL AS BIGINT) AS and_null,
+                4611686018427387904::BIGINT AS bits_2,
+                CAST(-9223372036854775808 AS BIGINT) AS bits_negzero,
+                2.0::DOUBLE AS dbl_2
          FROM region LIMIT 1""",
 
     "q_sql_pad_edges" ->
@@ -10760,5 +10830,5 @@ object SparkEntry {
                 md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          FROM sc ORDER BY doc_id"""
-  ) ++ QaSuites.oracleSql ++ winRound4Oracle
+  ) ++ QaSuites.oracleSql ++ winRound4Oracle ++ DrillFrameclause.oracleSql
 }

@@ -48,7 +48,12 @@ object NativeJsonQuery {
     val (masked, lits) = graft.api.SqlApi.maskLiterals(text)
     val rerouted = rerouteCasts(masked
       .replaceAll("(?i)\\bsubstring\\s*\\(", "druid_substring(")
-      .replaceAll("(?i)\\bstrpos\\s*\\(", "druid_strpos("))
+      .replaceAll("(?i)\\bstrpos\\s*\\(", "druid_strpos(")
+      // native bivariate max/min (Function.java Max:1852/Min:1879) are
+      // null-propagating scalars, not the SQL aggregates — reroute so the
+      // aggregate names stay Spark's
+      .replaceAll("(?i)\\bmax\\s*\\(", "druid_max(")
+      .replaceAll("(?i)\\bmin\\s*\\(", "druid_min("))
     graft.api.SqlApi.unmaskLiterals(rerouted, lits)
   }
 

@@ -692,7 +692,7 @@ object DruidFunctions {
   val catalystBuilders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Conv, EvalMode, Expression, FormatString, If, LessThan, Literal, Or, StringRepeat}
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor, Cast, Conv, EvalMode, Expression, FormatString, Greatest, If, IsNull, Least, LessThan, Literal, Or, ShiftLeft, ShiftRight, StringRepeat}
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     // Java's Formatter can't print Spark Decimal through %f — SQL fractional
     // literals parse as Decimal, so coerce them (reference expr args are
@@ -821,6 +821,138 @@ object DruidFunctions {
       // Function.java Scalb: Math.scalb(d, scale) = d × 2^scale with exact
       // exponent arithmetic (StaticInvoke keeps overflow/subnormal edges
       // identical to the reference's Java call)
+      // Function.java IEEE-edge math family (GetExponent:1356, NextUp:1447,
+      // Ulp:1747, CopySign:1789, Remainder:1831 = Math.IEEEremainder,
+      // NextAfter:1906): StaticInvoke of the same java.lang.Math methods,
+      // so subnormal/NaN/±0 edges are bit-identical to the reference
+      "getexponent" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, s"getExponent takes 1 argument, got ${args.size}")
+        Cast(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.IntegerType,
+          "getExponent",
+          Seq(Cast(args(0), org.apache.spark.sql.types.DoubleType)),
+          Seq(org.apache.spark.sql.types.DoubleType)), LongType)
+      }),
+      "nextup" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, s"nextUp takes 1 argument, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.DoubleType,
+          "nextUp",
+          Seq(Cast(args(0), org.apache.spark.sql.types.DoubleType)),
+          Seq(org.apache.spark.sql.types.DoubleType))
+      }),
+      "ulp" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, s"ulp takes 1 argument, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.DoubleType,
+          "ulp",
+          Seq(Cast(args(0), org.apache.spark.sql.types.DoubleType)),
+          Seq(org.apache.spark.sql.types.DoubleType))
+      }),
+      "copysign" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"copySign takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.DoubleType,
+          "copySign",
+          args.map(Cast(_, org.apache.spark.sql.types.DoubleType)),
+          Seq(org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType))
+      }),
+      "nextafter" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"nextAfter takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.DoubleType,
+          "nextAfter",
+          args.map(Cast(_, org.apache.spark.sql.types.DoubleType)),
+          Seq(org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType))
+      }),
+      "remainder" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"remainder takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], org.apache.spark.sql.types.DoubleType,
+          "IEEEremainder",
+          args.map(Cast(_, org.apache.spark.sql.types.DoubleType)),
+          Seq(org.apache.spark.sql.types.DoubleType,
+            org.apache.spark.sql.types.DoubleType))
+      }),
+      // Function.java Max:1852 / Min:1879 — the native BIVARIATE max/min:
+      // NULL-propagating (unlike SQL GREATEST/LEAST which skip nulls),
+      // long pairing stays long, any double makes it double.
+      // NativeJsonQuery.rewriteNativeExpr reroutes native max(/min( here so
+      // the SQL aggregate names stay untouched.
+      "druid_max" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"max takes 2 arguments, got ${args.size}")
+        If(Or(IsNull(args(0)), IsNull(args(1))),
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          Greatest(args))
+      }),
+      "druid_min" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"min takes 2 arguments, got ${args.size}")
+        If(Or(IsNull(args(0)), IsNull(args(1))),
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          Least(args))
+      }),
+      // Native camelCase bitwise family (Function.java BitwiseAnd:1008 ..
+      // BitwiseXor:1092, BitwiseComplement:914, BitwiseConvert*:944,976).
+      // BivariateBitwiseMathFunction evals x.asLong() op y.asLong() — a
+      // DOUBLE operand TRUNCATES toward zero ((long) d, NaN → 0), it is
+      // never rounded or rejected — so each operand rides a LEGACY-mode
+      // Cast to LONG (Java (long) semantics regardless of session ANSI
+      // mode). Shift distance follows Java's << low-6-bit rule (long→int
+      // keeps them). The SQL-layer BITWISE_* names (typed macros above)
+      // stay; these are the NATIVE expression spellings.
+      "bitwiseand" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"bitwiseAnd takes 2 arguments, got ${args.size}")
+        BitwiseAnd(Cast(args(0), LongType, None, EvalMode.LEGACY),
+          Cast(args(1), LongType, None, EvalMode.LEGACY))
+      }),
+      "bitwiseor" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"bitwiseOr takes 2 arguments, got ${args.size}")
+        BitwiseOr(Cast(args(0), LongType, None, EvalMode.LEGACY),
+          Cast(args(1), LongType, None, EvalMode.LEGACY))
+      }),
+      "bitwisexor" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"bitwiseXor takes 2 arguments, got ${args.size}")
+        BitwiseXor(Cast(args(0), LongType, None, EvalMode.LEGACY),
+          Cast(args(1), LongType, None, EvalMode.LEGACY))
+      }),
+      "bitwisecomplement" -> ((args: Seq[Expression]) => {
+        require(args.size == 1,
+          s"bitwiseComplement takes 1 argument, got ${args.size}")
+        BitwiseNot(Cast(args(0), LongType, None, EvalMode.LEGACY))
+      }),
+      "bitwiseshiftleft" -> ((args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"bitwiseShiftLeft takes 2 arguments, got ${args.size}")
+        ShiftLeft(Cast(args(0), LongType, None, EvalMode.LEGACY),
+          Cast(Cast(args(1), LongType, None, EvalMode.LEGACY),
+            org.apache.spark.sql.types.IntegerType))
+      }),
+      "bitwiseshiftright" -> ((args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"bitwiseShiftRight takes 2 arguments, got ${args.size}")
+        ShiftRight(Cast(args(0), LongType, None, EvalMode.LEGACY),
+          Cast(Cast(args(1), LongType, None, EvalMode.LEGACY),
+            org.apache.spark.sql.types.IntegerType))
+      }),
+      "bitwiseconvertdoubletolongbits" -> ((args: Seq[Expression]) => {
+        require(args.size == 1,
+          s"bitwiseConvertDoubleToLongBits takes 1 argument, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Double], LongType, "doubleToLongBits",
+          Seq(Cast(args(0), org.apache.spark.sql.types.DoubleType)),
+          Seq(org.apache.spark.sql.types.DoubleType))
+      }),
+      "bitwiseconvertlongbitstodouble" -> ((args: Seq[Expression]) => {
+        require(args.size == 1,
+          s"bitwiseConvertLongBitsToDouble takes 1 argument, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Double], org.apache.spark.sql.types.DoubleType,
+          "longBitsToDouble",
+          Seq(Cast(args(0), LongType, None, EvalMode.LEGACY)),
+          Seq(LongType))
+      }),
       "scalb" -> ((args: Seq[Expression]) => {
         require(args.size == 2, s"scalb takes 2 arguments, got ${args.size}")
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
@@ -848,6 +980,60 @@ object DruidFunctions {
           // NULL input is NOT null-propagated: the reference yields ['$']
           // for a missing/scalar document (qaJsonCols A001/A044 rows 3-4)
           propagateNull = false)
+      }),
+      // NestedDataExpressions JsonValue/JsonQuery/JsonKeys ExprMacros via
+      // the JsonWalk transcription of NestedPathFinder (parse grammar,
+      // negative indexes, primitive-array pass-through, boolean 1/0
+      // coercion, loud slice/union-path rejection — see JsonWalk scaladoc).
+      // Optional third json_value arg = native type name (JsonValueCastExpr,
+      // NestedDataExpressions.java:493-530): TRY-cast of the walked value.
+      "json_value" -> ((args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          s"json_value takes 2 or 3 arguments, got ${args.size}")
+        val walked = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonWalk.getClass, StringType, "value",
+          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(StringType, StringType), propagateNull = false)
+        if (args.size == 2) walked
+        else {
+          val tpe = args(2) match {
+            case Literal(s, StringType) if s != null => s.toString.toUpperCase
+            case other => throw new IllegalArgumentException(
+              s"json_value type argument must be a string literal, got $other")
+          }
+          tpe match {
+            case "LONG"   => Cast(walked, LongType, None, EvalMode.TRY)
+            case "DOUBLE" => Cast(walked,
+              org.apache.spark.sql.types.DoubleType, None, EvalMode.TRY)
+            case "STRING" => walked
+            case "ARRAY<LONG>" =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("from_json"), Seq(walked, Literal("array<bigint>")), false)
+            case "ARRAY<DOUBLE>" =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("from_json"), Seq(walked, Literal("array<double>")), false)
+            case "ARRAY<STRING>" =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("from_json"), Seq(walked, Literal("array<string>")), false)
+            case other => throw new IllegalArgumentException(
+              s"json_value: invalid output type [$other]")
+          }
+        }
+      }),
+      "json_query" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"json_query takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonWalk.getClass, StringType, "query",
+          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(StringType, StringType), propagateNull = false)
+      }),
+      "json_keys" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, s"json_keys takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonWalk.getClass,
+          org.apache.spark.sql.types.ArrayType(StringType), "keys",
+          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(StringType, StringType), propagateNull = false)
       }),
       // Function.java SubstringFunc:2867 — the NATIVE expression language's
       // substring is 0-BASED with length -1 meaning to-the-end and NULL
@@ -1324,23 +1510,26 @@ object DruidFunctions {
           .CollectList(a.head).toAggregateExpression())),
       // typed JSON_VALUE variants backing the SQL RETURNING clause
       // (SqlApi.rewriteJsonReturning maps `RETURNING bigint array` etc. here;
-      // reference sql/.../expression/builtin/NestedDataOperatorConversions)
+      // reference sql/.../expression/builtin/NestedDataOperatorConversions).
+      // All route through the same JsonWalk value() as the untyped form
+      // (JsonValueCastExpr = find → bestEffort → castTo), so booleans cast
+      // 1/0 to numerics and array targets see the walked compact text.
       "json_value_bigint" -> ((a: Seq[Expression]) =>
-        Cast(fn("get_json_object", a.head, a(1)), LongType, None, EvalMode.TRY)),
+        Cast(fn("json_value", a.head, a(1)), LongType, None, EvalMode.TRY)),
       "json_value_double" -> ((a: Seq[Expression]) =>
-        Cast(fn("get_json_object", a.head, a(1)),
+        Cast(fn("json_value", a.head, a(1)),
           org.apache.spark.sql.types.DoubleType, None, EvalMode.TRY)),
       "json_value_boolean" -> ((a: Seq[Expression]) =>
-        Cast(fn("get_json_object", a.head, a(1)), BooleanType, None,
+        Cast(fn("json_value", a.head, a(1)), BooleanType, None,
           EvalMode.TRY)),
       "json_value_varchar_array" -> ((a: Seq[Expression]) =>
-        fn("from_json", fn("get_json_object", a.head, a(1)),
+        fn("from_json", fn("json_value", a.head, a(1)),
           Literal("array<string>"))),
       "json_value_bigint_array" -> ((a: Seq[Expression]) =>
-        fn("from_json", fn("get_json_object", a.head, a(1)),
+        fn("from_json", fn("json_value", a.head, a(1)),
           Literal("array<bigint>"))),
       "json_value_double_array" -> ((a: Seq[Expression]) =>
-        fn("from_json", fn("get_json_object", a.head, a(1)),
+        fn("from_json", fn("json_value", a.head, a(1)),
           Literal("array<double>"))),
       "json_value_boolean_array" -> ((a: Seq[Expression]) =>
         fn("from_json", fn("get_json_object", a.head, a(1)),
@@ -1377,28 +1566,11 @@ object DruidFunctions {
         "RETURN filter(a, x -> startswith(x, p))",
       "MV_FILTER_REGEX(a ARRAY<STRING>, r STRING) RETURNS ARRAY<STRING> " +
         "RETURN filter(a, x -> x RLIKE r)",
-      // JSON_VALUE over string-encoded JSON columns (the RETURNING clause is
-      // not parsed — use the typed JSON_VALUE_* variants or CAST).
-      // Scalar-only like the reference (NestedDataExpressions.JsonValueExprMacro:
-      // qaJsonCols func_json_value.02 A071 pins json_value(c1,'$.a_obj') IS
-      // NULL): a subtree extraction starting '{'/'[' yields NULL. A non-JSON
-      // input string is itself a scalar at '$' (A006: json_value('ABCD','$')
-      // = 'ABCD'), which get_json_object rejects as malformed — fall back.
-      // subtree test parses the extracted text (json_object_keys /
-      // json_array_length are non-null only for valid object/array JSON),
-      // so scalar strings that merely START with '{'/'[' ("[tag]") pass
-      // through; the residual ambiguity — a string value that is itself
-      // valid JSON container text — is inherent to text-level extraction.
-      // The repeated get_json_object calls dedupe in codegen (deterministic
-      // common subexpression elimination).
-      """JSON_VALUE(j STRING, p STRING) RETURNS STRING RETURN
-         CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL THEN NULL
-              WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN NULL
-              WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
-              WHEN (p = '$' OR p = '$.')
-                   AND json_object_keys(j) IS NULL
-                   AND json_array_length(j) IS NULL THEN j
-              ELSE NULL END""",
+      // (JSON_VALUE / JSON_QUERY / JSON_KEYS live in catalystBuilders: the
+      // JsonWalk transcription of NestedPathFinder — primitive-array
+      // pass-through, negative-index and '$.'-root rules, loud slice/union
+      // path rejection. The RETURNING clause is rewritten by SqlApi to the
+      // typed JSON_VALUE_* variants.)
       // reference BitwiseConvert{DoubleToLongBits,LongBitsToDouble}: IEEE-754
       // reinterpretation. No Spark builtin reinterprets bits, so route the
       // exponent/mantissa split through exact double arithmetic
@@ -1415,15 +1587,8 @@ object DruidFunctions {
       "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
       "MV_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
       "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
-      // same scalar-only semantics as JSON_VALUE (RETURNING VARCHAR target)
-      """JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN
-         CASE WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL THEN NULL
-              WHEN json_array_length(get_json_object(j, p)) IS NOT NULL THEN NULL
-              WHEN get_json_object(j, p) IS NOT NULL THEN get_json_object(j, p)
-              WHEN (p = '$' OR p = '$.')
-                   AND json_object_keys(j) IS NULL
-                   AND json_array_length(j) IS NULL THEN j
-              ELSE NULL END""",
+      // RETURNING VARCHAR target: same walker as the untyped JSON_VALUE
+      "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN json_value(j, p)",
       "CONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN contains(s, n)",
       "ICONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN " +
         "contains(lower(s), lower(n))",
@@ -1507,43 +1672,9 @@ object DruidFunctions {
                  - floor(q * (size(filter(arr, x -> x IS NOT NULL)) - 1)))
          END""",
       // ------------------------------------------------------------ JSON ----
-      // JSON_QUERY returns the JSON-SERIALIZED subtree: containers keep
-      // their original compact text; scalar strings keep their QUOTES
-      // (reference NestedDataOperatorConversions JSON_QUERY returns
-      // COMPLEX<json> — quidem func_json_query.01 A045 prints "A", not A);
-      // JSON null literals and missing paths → SQL NULL. get_json_object
-      // unquotes scalars, so scalars re-serialize through the variant path.
-      """JSON_QUERY(j STRING, p STRING) RETURNS STRING RETURN
-         CASE
-           WHEN get_json_object(j, p) IS NULL THEN
-             CASE WHEN (p = '$' OR p = '$.') AND j IS NOT NULL
-                  THEN substr(to_json(array(j)), 2,
-                              length(to_json(array(j))) - 2)
-                  ELSE NULL END
-           WHEN json_object_keys(get_json_object(j, p)) IS NOT NULL
-                OR json_array_length(get_json_object(j, p)) IS NOT NULL
-             THEN get_json_object(j, p)
-           ELSE to_json(try_variant_get(try_parse_json(j), p))
-         END""",
-      // JSON_KEYS: objects → field names, ARRAYS → index strings ('0','1',…),
-      // empty object/array → [], missing path / scalar → NULL (reference
-      // NestedDataExpressions.JsonKeysExprMacro; pinned by quidem qaJsonCols
-      // funcs_and_sql_func_json_keys.02 A053/A058: keys('$.a_array') = [0, 1],
-      // keys('$.a_obj.a_empty_array') = []). get_json_object unquotes string
-      // scalars, so a string VALUE that itself spells a JSON array is
-      // indistinguishable from one — acceptable: the reference operates on
-      // typed nested columns, this facade on JSON text.
-      """JSON_KEYS(j STRING, p STRING) RETURNS ARRAY<STRING> RETURN
-         CASE
-           WHEN get_json_object(j, IF(p = '$.', '$', p)) IS NULL THEN NULL
-           WHEN json_array_length(get_json_object(j, IF(p = '$.', '$', p))) IS NOT NULL THEN
-             CASE WHEN json_array_length(get_json_object(j, IF(p = '$.', '$', p))) = 0
-                  THEN CAST(array() AS ARRAY<STRING>)
-                  ELSE transform(sequence(0,
-                         json_array_length(get_json_object(j, IF(p = '$.', '$', p))) - 1),
-                         gk -> CAST(gk AS STRING)) END
-           ELSE json_object_keys(get_json_object(j, IF(p = '$.', '$', p)))
-         END""",
+      // (JSON_QUERY / JSON_KEYS live in catalystBuilders: JsonWalk —
+      // subtree serialization keeps scalar-string quotes, negative indexes
+      // address from the end, keys are field names / index strings)
       // (JSON_PATHS lives in catalystBuilders: recursive leaf enumeration)
       // (JSON_OBJECT lives in catalystBuilders above: variadic KV arity)
       // JSON_QUERY_ARRAY: array-of-scalars extraction (element JSON text for

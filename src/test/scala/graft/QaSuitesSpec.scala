@@ -244,4 +244,21 @@ class QaSuitesSpec extends AnyFunSuite {
     assert(agg.getBoolean(agg.fieldIndex("has_both")))
     assert(!agg.getBoolean(agg.fieldIndex("has_3")))
   }
+
+  test("json path slice/union/double-dot grammar is rejected loudly " +
+      "(func_json_value.02 A073-A076, func_json_query.03 A106-A109)") {
+    // NestedPathFinder.parseJsonPath rejections → QueryInterruptedException
+    // in the reference; the JsonWalk transcription raises the same set
+    val doc = """{"a":[{"x":1},{"x":2}]}"""
+    for (path <- Seq("$.a[0:2]", "$.a[0,1]", "$.a[:2]", "$.a[0:]",
+        "$..x", "$.[0]", "$x", "$['a", "$.a[0")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT JSON_VALUE('$doc', '$path')").collect()
+      }
+      assert(e.getMessage != null)
+    }
+    // …while negative indexes and function-call-looking fields parse fine
+    assert(one(s"SELECT JSON_QUERY('$doc', '$$.a[-1].x') AS r").getString(0) == "2")
+    assert(one(s"SELECT JSON_VALUE('$doc', '$$.a[0].x.length()') AS r").isNullAt(0))
+  }
 }
