@@ -2053,6 +2053,40 @@ object QaSuites {
       """SELECT CAST(count(DISTINCT __time) AS BIGINT) AS n_ts,
                 CAST(strlen(string_agg(DISTINCT CAST(__time AS VARCHAR), '|')) AS INTEGER) AS len_ts,
                 CAST(len(array_agg(DISTINCT __time)) AS INTEGER) AS aa_n
+         FROM test_agg_funcs"""),
+
+    // array_agg_double_test002/003/004: the DISTINCT and DISTINCT+maxBytes
+    // and maxBytes-only forms COMPOSED into array fns (append / concat /
+    // whole-array contains / agg-vs-agg overlap / offset_of with a
+    // single-survivor filter for order determinism) — every probe is
+    // order-insensitive or filter-pinned, like the corpus wraps them
+    gf("q_qa_aggfuncs_array_agg_composed",
+      """SELECT array_length(array_append(array_agg(DISTINCT tab0d0), 333.3333333D)) AS n_app,
+                array_contains(array_append(array_agg(DISTINCT tab0d0, 100000), 333.3333333D),
+                               333.3333333D) AS app_has,
+                array_length(array_concat(array_agg(DISTINCT tab0d0, 100000),
+                                          array_agg(DISTINCT tab0d0, 100000))) AS n_cat,
+                array_contains(array_agg(DISTINCT tab0d0, 100000),
+                               array(111.1111111D, 222.2222222D)) AS has_both,
+                array_contains(array_agg(DISTINCT tab0d0), array(111.1111111D, 333.3333333D)) AS has_13,
+                array_overlap(array_agg(DISTINCT tab0d0, 100000),
+                              array_agg(tab0d0, 2147483647)) AS ovl_self,
+                (SELECT array_offset_of(array_agg(DISTINCT tab0d0, 100000), 222.2222222D)
+                 FROM test_agg_funcs WHERE tab0d0 > 150) AS off_pin,
+                (SELECT array_ordinal_of(array_agg(DISTINCT tab0d0), 222.2222222D)
+                 FROM test_agg_funcs WHERE tab0d0 > 150) AS ord_pin
+         FROM test_agg_funcs""",
+      """SELECT CAST(len(list_append(list(DISTINCT tab0d0), 333.3333333)) AS INTEGER) AS n_app,
+                list_contains(list_append(list(DISTINCT tab0d0), 333.3333333),
+                              333.3333333) AS app_has,
+                CAST(len(list(DISTINCT tab0d0)) * 2 AS INTEGER) AS n_cat,
+                list_has_all(list(DISTINCT tab0d0), [111.1111111, 222.2222222]) AS has_both,
+                list_has_all(list(DISTINCT tab0d0), [111.1111111, 333.3333333]) AS has_13,
+                len(list_intersect(list(DISTINCT tab0d0), list(tab0d0))) > 0 AS ovl_self,
+                (SELECT CAST(0 AS INTEGER)
+                 FROM test_agg_funcs WHERE tab0d0 > 150 LIMIT 1) AS off_pin,
+                (SELECT CAST(1 AS INTEGER)
+                 FROM test_agg_funcs WHERE tab0d0 > 150 LIMIT 1) AS ord_pin
          FROM test_agg_funcs"""))
 
   // ------------------------------------------------------------ plumbing ----

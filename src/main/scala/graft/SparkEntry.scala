@@ -1956,6 +1956,39 @@ object SparkEntry {
         FROM region ORDER BY r_regionkey""")
     }),
 
+    "q_expr_native_pred_fns" -> ((s, dir) => {
+      // Native predicate family (Function.java IsTrueFunc:2530 etc.) over
+      // the Evals.asBoolean:55-68 truthiness rule: numerics are true iff
+      // > 0 (so -1 and NaN are FALSE), strings via Boolean.parseBoolean
+      // (only 'true' is true — '1' is FALSE), NULL is not-true AND
+      // not-false; isdistinctfrom/notdistinctfrom treat NULL as a value;
+      // native if() runs its condition through the same rule; plus
+      // decode_base64_utf8 (BuiltInExprMacros:149) and the native
+      // unix_timestamp's ISO parse in epoch seconds (Function.java:3245)
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT istrue(1 > 0) AS t_bool,
+               istrue(-1) AS t_neg,
+               istrue(0.5D) AS t_half,
+               istrue('true') AS t_strtrue,
+               istrue('1') AS t_str1,
+               isfalse('abc') AS f_garbage,
+               isfalse(CAST(NULL AS STRING)) AS f_null,
+               isfalse(CAST('NaN' AS DOUBLE)) AS f_nan,
+               nottrue(CAST(NULL AS BOOLEAN)) AS nt_null,
+               notfalse(CAST(NULL AS BOOLEAN)) AS nf_null,
+               isdistinctfrom(CAST(NULL AS INT), CAST(NULL AS INT)) AS idf_nulls,
+               notdistinctfrom(CAST(NULL AS INT), 1) AS ndf_nullone,
+               notdistinctfrom(2, 2) AS ndf_eq,
+               druid_if(-1, 'a', 'b') AS if_neg,
+               druid_if(2, 'a', 'b') AS if_pos,
+               decode_base64_utf8('aGVsbG8=') AS b64,
+               druid_unix_timestamp('2000-01-01T00:00:00Z') AS ut_iso,
+               druid_unix_timestamp('2000-01-02', 'yyyy-MM-dd') AS ut_fmt
+        FROM region LIMIT 1""")
+    }),
+
     "q_sql_format_edges" -> ((s, dir) => {
       // StringUtils.nonStrictFormat:381 — an ILLEGAL pattern never errors:
       // the reference returns the unformatted pattern with "; arg" appended
@@ -7250,7 +7283,8 @@ object SparkEntry {
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy(col("asset_id"), col("frame_no"))
     })
-  ) ++ QaSuites.queries ++ winRound4Queries ++ DrillFrameclause.queries
+  ) ++ QaSuites.queries ++ winRound4Queries ++ DrillFrameclause.queries ++
+    DrillAggregates.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -8019,6 +8053,17 @@ object SparkEntry {
                 9223372036854775807::BIGINT AS d_zero,
                 CAST(trunc((r_regionkey * 10 + 7) / 2.5) AS BIGINT) AS d_row
          FROM region ORDER BY r_regionkey""",
+
+    "q_expr_native_pred_fns" ->
+      """SELECT true AS t_bool, false AS t_neg, true AS t_half,
+                true AS t_strtrue, false AS t_str1,
+                true AS f_garbage, false AS f_null, true AS f_nan,
+                true AS nt_null, true AS nf_null,
+                false AS idf_nulls, false AS ndf_nullone, true AS ndf_eq,
+                'b' AS if_neg, 'a' AS if_pos,
+                'hello' AS b64,
+                946684800::BIGINT AS ut_iso, 946771200::BIGINT AS ut_fmt
+         FROM region LIMIT 1""",
 
     "q_sql_format_edges" ->
       """SELECT '%q; 5' AS f_bad, '3 apples; red' AS f_ok,
@@ -10830,5 +10875,6 @@ object SparkEntry {
                 md5(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          FROM sc ORDER BY doc_id"""
-  ) ++ QaSuites.oracleSql ++ winRound4Oracle ++ DrillFrameclause.oracleSql
+  ) ++ QaSuites.oracleSql ++ winRound4Oracle ++ DrillFrameclause.oracleSql ++
+    DrillAggregates.oracleSql
 }

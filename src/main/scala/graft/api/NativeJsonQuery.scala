@@ -53,7 +53,13 @@ object NativeJsonQuery {
       // null-propagating scalars, not the SQL aggregates — reroute so the
       // aggregate names stay Spark's
       .replaceAll("(?i)\\bmax\\s*\\(", "druid_max(")
-      .replaceAll("(?i)\\bmin\\s*\\(", "druid_min("))
+      .replaceAll("(?i)\\bmin\\s*\\(", "druid_min(")
+      // native `if` runs its condition through asBoolean (numerics true
+      // iff > 0) — reroute off Spark's IF (nonzero = true)
+      .replaceAll("(?i)\\bif\\s*\\(", "druid_if(")
+      // native unix_timestamp parses ISO (or a Joda pattern), not Spark's
+      // 'yyyy-MM-dd HH:mm:ss' default
+      .replaceAll("(?i)\\bunix_timestamp\\s*\\(", "druid_unix_timestamp("))
     graft.api.SqlApi.unmaskLiterals(rerouted, lits)
   }
 

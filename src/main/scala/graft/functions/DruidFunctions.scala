@@ -338,16 +338,21 @@ object DruidFunctions {
     sb.toString
   }
 
-  /** The reference aggregators' maxBytes argument must be a positive
-    * numeric literal (validated here; the cap itself is a capacity bound
-    * Spark doesn't need).
+  /** The reference aggregators' maxBytes argument must be a numeric
+    * literal in [10, Int.MaxValue]: ExpressionLambdaAggregatorFactory
+    * checks maxSizeBytes >= MIN_SIZE_BYTES (= 10) and
+    * HumanReadableBytes.getBytesInInt rejects values past Integer range
+    * (qaAggFuncs *_misc_test005: 'Not even a size', -1, 0, 1, 2147483648
+    * all QueryInterruptedException; 2147483647 runs). The cap itself is a
+    * capacity bound Spark doesn't need.
     */
   private def requirePositiveSizeLiteral(fn: String,
       e: org.apache.spark.sql.catalyst.expressions.Expression): Unit = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
-      if v.longValue > 0 => ()
+      if v.longValue >= 10 && v.longValue <= Int.MaxValue => ()
     case other => throw new IllegalArgumentException(
-      s"$fn maxBytes must be a positive numeric literal, got $other")
+      s"$fn maxBytes must be a numeric literal in [10, ${Int.MaxValue}], " +
+        s"got $other")
   }
 
   /** TRUNCATE/TRUNC(x[, d]) — truncate toward zero at d digits
@@ -1217,7 +1222,12 @@ object DruidFunctions {
           if (args.size % 2 == 0) (args, None)
           else (args.init, Some(args.last))
         org.apache.spark.sql.catalyst.expressions.CaseWhen(
-          pairs.grouped(2).map { case Seq(c, v) => (c, v) }.toSeq, other)
+          pairs.grouped(2).map { case Seq(c, v) =>
+            // conditions go through asBoolean (Function.java:2182) — the
+            // native truthiness rule, null = false
+            (org.apache.spark.sql.catalyst.expressions.Coalesce(
+              Seq(DruidTruth(c), Literal(false))): Expression, v)
+          }.toSeq, other)
       }),
       "case_simple" -> ((args: Seq[Expression]) => {
         require(args.size >= 3, "case_simple(expr, match, v[, …][, else])")
@@ -1234,6 +1244,58 @@ object DruidFunctions {
       "notnull" -> ((args: Seq[Expression]) => {
         require(args.size == 1, "notnull(expr)")
         org.apache.spark.sql.catalyst.expressions.IsNotNull(args.head)
+      }),
+      // reference native IS TRUE/FALSE family (Function.java
+      // IsTrueFunc:2530 / IsFalseFunc:2500 / IsNotTrueFunc:2466 /
+      // IsNotFalseFunc:2435): never-null predicates over the native
+      // truthiness rule (Evals.asBoolean — numerics true iff > 0, strings
+      // via parseBoolean); a NULL value is not-true and not-false
+      "istrue" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, "istrue(expr)")
+        import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, IsNotNull}
+        And(IsNotNull(args.head),
+          Coalesce(Seq(DruidTruth(args.head), Literal(false))))
+      }),
+      "isfalse" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, "isfalse(expr)")
+        import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, IsNotNull, Not}
+        And(IsNotNull(args.head),
+          Not(Coalesce(Seq(DruidTruth(args.head), Literal(false)))))
+      }),
+      "nottrue" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, "nottrue(expr)")
+        import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, IsNotNull, Not}
+        Not(And(IsNotNull(args.head),
+          Coalesce(Seq(DruidTruth(args.head), Literal(false)))))
+      }),
+      "notfalse" -> ((args: Seq[Expression]) => {
+        require(args.size == 1, "notfalse(expr)")
+        import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, IsNotNull, Not}
+        Not(And(IsNotNull(args.head),
+          Not(Coalesce(Seq(DruidTruth(args.head), Literal(false))))))
+      }),
+      // reference IS [NOT] DISTINCT FROM (Function.java
+      // IsNotDistinctFromFunc:2348 / IsDistinctFromFunc:2416): null-safe
+      // equality that treats NULL as a value — never returns null
+      "notdistinctfrom" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, "notdistinctfrom(x, y)")
+        org.apache.spark.sql.catalyst.expressions.EqualNullSafe(args(0), args(1))
+      }),
+      "isdistinctfrom" -> ((args: Seq[Expression]) => {
+        require(args.size == 2, "isdistinctfrom(x, y)")
+        org.apache.spark.sql.catalyst.expressions.Not(
+          org.apache.spark.sql.catalyst.expressions.EqualNullSafe(args(0), args(1)))
+      }),
+      // reference native `if(cond, then, else)` (Function.java
+      // ConditionFunc:2118): the condition goes through asBoolean — a NULL
+      // or non-positive numeric condition selects the ELSE branch. The
+      // native rewriter reroutes `if(` here so Spark's own IF (nonzero =
+      // true) keeps its SQL semantics elsewhere.
+      "druid_if" -> ((args: Seq[Expression]) => {
+        require(args.size == 3, s"if(cond, then, else), got ${args.size} args")
+        import org.apache.spark.sql.catalyst.expressions.{Coalesce, If}
+        If(Coalesce(Seq(DruidTruth(args(0)), Literal(false))),
+          args(1), args(2))
       }),
       // reference native-expression `timestamp(str[, format])` →
       // epoch MILLIS as LONG (math/expr/Function.java
@@ -1255,6 +1317,29 @@ object DruidFunctions {
           } else Cast(args.head, TimestampType)
         // floor (not truncating) millis — see floorMillis
         Cast(floorMillis(parsed), LongType)
+      }),
+      // reference native `unix_timestamp(str[, format])` — the same parse
+      // as `timestamp()` but in epoch SECONDS (Function.java
+      // UnixTimestampFunc:3245: date.getMillis() / 1000, Java truncating
+      // division). The native rewriter reroutes here so Spark's own
+      // unix_timestamp (different default format, NULL on parse failure)
+      // keeps its SQL semantics elsewhere.
+      "druid_unix_timestamp" -> ((args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{GetTimestamp, IntegralDivide}
+        import org.apache.spark.sql.types.TimestampType
+        import org.apache.spark.unsafe.types.UTF8String
+        require(args.size == 1 || args.size == 2,
+          s"unix_timestamp(str[, format]), got ${args.size} args")
+        val parsed: Expression =
+          if (args.size == 2) {
+            val p = literalString(args(1), "unix_timestamp format").getOrElse(
+              throw new IllegalArgumentException(
+                "unix_timestamp format must not be null"))
+            GetTimestamp(args.head,
+              Literal(UTF8String.fromString(p), StringType), TimestampType,
+              "unix_timestamp", None, true)
+          } else Cast(args.head, TimestampType)
+        IntegralDivide(Cast(floorMillis(parsed), LongType), Literal(1000L))
       }),
       // reference `subtract_months(leftMillis, rightMillis, tz)` →
       // Joda whole-months from right to left in the zone's calendar
@@ -1589,6 +1674,10 @@ object DruidFunctions {
       "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
       // RETURNING VARCHAR target: same walker as the untyped JSON_VALUE
       "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN json_value(j, p)",
+      // reference BuiltInExprMacros.StringDecodeBase64UTFExprMacro:149 —
+      // base64 → UTF-8 text, null-propagating
+      "DECODE_BASE64_UTF8(s STRING) RETURNS STRING RETURN " +
+        "decode(unbase64(s), 'UTF-8')",
       "CONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN contains(s, n)",
       "ICONTAINS_STRING(s STRING, n STRING) RETURNS BOOLEAN RETURN " +
         "contains(lower(s), lower(n))",

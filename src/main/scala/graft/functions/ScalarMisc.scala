@@ -172,6 +172,44 @@ case class DruidCast(child: Expression, typeName: String)
     copy(child = newChildren(0))
 }
 
+/** The native expression language's truthiness rule
+  * (`math/expr/Evals.java:55-68`): numerics are true iff `x > 0` (so
+  * `-1` is FALSE, unlike a SQL nonzero-cast), strings go through
+  * `Boolean.parseBoolean` (only a case-insensitive `"true"` is true —
+  * `'1'` is FALSE), booleans pass through. NULL input stays NULL here;
+  * each caller applies its own null rule (asBoolean contexts treat null
+  * as false, `istrue`/`isfalse` check the raw value first).
+  * RuntimeReplaceable — the typed tree is picked once the child type
+  * resolves, every leaf codegen'd.
+  */
+case class DruidTruth(child: Expression) extends RuntimeReplaceable {
+
+  import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Lower}
+  import org.apache.spark.sql.types.{BooleanType, DecimalType, FloatType}
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case BooleanType => child
+    case StringType =>
+      EqualTo(Lower(child), Literal(UTF8String.fromString("true"), StringType))
+    case ByteType | ShortType | IntegerType | LongType =>
+      GreaterThan(child, Cast(Literal(0), child.dataType))
+    case DoubleType | FloatType | _: DecimalType =>
+      // Java `x > 0` is false for NaN; Spark's nan-safe ordering puts NaN
+      // above everything, so guard it out explicitly
+      And(Not(IsNaN(Cast(child, DoubleType))),
+        GreaterThan(Cast(child, DoubleType), Literal(0.0)))
+    case org.apache.spark.sql.types.NullType =>
+      Literal.create(null, org.apache.spark.sql.types.BooleanType)
+    case _ => Cast(child, BooleanType)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** `string_format(pattern, args…)` — Function.java StringFormatFunc:2790
   * over `StringUtils.nonStrictFormat:381`: `String.format(Locale.ENGLISH,
   * …)`, except an ILLEGAL format never errors — the reference appends

@@ -1150,4 +1150,59 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == java.lang.Double.doubleToLongBits(2.0))
     assert(r.getDouble(6) == -1.5)
   }
+
+  test("native predicate family uses Evals.asBoolean truthiness " +
+      "(Function.java IsTrueFunc:2530, Evals.java:55-68)") {
+    DruidFunctions.register(spark)
+    def b(sql: String): Boolean = spark.sql(s"SELECT $sql AS r").head().getBoolean(0)
+    // numerics: true iff > 0 (−1 is FALSE, unlike a SQL nonzero cast)
+    assert(b("istrue(1)") && !b("istrue(-1)") && !b("istrue(0)"))
+    assert(b("istrue(0.5D)") && !b("istrue(CAST('NaN' AS DOUBLE))"))
+    // strings: Boolean.parseBoolean — only 'true' (any case); '1' is FALSE
+    assert(b("istrue('TRUE')") && !b("istrue('1')") && !b("istrue('abc')"))
+    assert(b("isfalse('abc')") && b("isfalse('1')") && b("isfalse(-1)"))
+    // NULL is neither true nor false, but IS not-true and not-false
+    assert(!b("istrue(CAST(NULL AS BOOLEAN))"))
+    assert(!b("isfalse(CAST(NULL AS BOOLEAN))"))
+    assert(b("nottrue(CAST(NULL AS STRING))"))
+    assert(b("notfalse(CAST(NULL AS DOUBLE))"))
+    // IS [NOT] DISTINCT FROM treats NULL as a value, never returns null
+    assert(b("notdistinctfrom(CAST(NULL AS INT), CAST(NULL AS INT))"))
+    assert(!b("isdistinctfrom(CAST(NULL AS INT), CAST(NULL AS INT))"))
+    assert(b("isdistinctfrom(CAST(NULL AS INT), 1)"))
+    assert(b("notdistinctfrom(2, 2)") && !b("notdistinctfrom(2, 3)"))
+    // native if() runs the condition through the same truthiness
+    assert(one("druid_if(-1, 'a', 'b')") == "b")
+    assert(one("druid_if(5, 'a', 'b')") == "a")
+    assert(one("druid_if(CAST(NULL AS INT), 'a', 'b')") == "b")
+    // case_searched conditions too (Function.java:2182)
+    assert(one("case_searched(-1, 'neg', 2, 'pos', 'other')") == "pos")
+  }
+
+  test("decode_base64_utf8 and native unix_timestamp " +
+      "(BuiltInExprMacros:149, Function.java UnixTimestampFunc:3245)") {
+    DruidFunctions.register(spark)
+    assert(one("decode_base64_utf8('aGVsbG8=')") == "hello")
+    assert(spark.sql("SELECT decode_base64_utf8(CAST(NULL AS STRING)) AS r")
+      .head().isNullAt(0))
+    // ISO parse (Spark's builtin unix_timestamp would NULL on the 'T' form)
+    assert(spark.sql("SELECT druid_unix_timestamp('2000-01-01T00:00:00Z') AS r")
+      .head().getLong(0) == 946684800L)
+    assert(spark.sql(
+      "SELECT druid_unix_timestamp('2000-01-02', 'yyyy-MM-dd') AS r")
+      .head().getLong(0) == 946771200L)
+  }
+
+  test("native like() function form resolves to Spark's like builder " +
+      "(LikeExprMacro parity: % _ wildcards, custom escape)") {
+    DruidFunctions.register(spark)
+    def b(sql: String): Boolean = spark.sql(s"SELECT $sql AS r").head().getBoolean(0)
+    assert(b("like('abcdef', 'abc%')") && !b("like('abcdef', 'xyz%')"))
+    assert(b("like('a_c', 'a\\\\_c')") && b("like('abc', 'a_c')"))
+    assert(spark.sql("SELECT like(CAST(NULL AS STRING), 'a%') AS r")
+      .head().isNullAt(0))
+  }
+
+  private def one(sql: String): String =
+    spark.sql(s"SELECT $sql AS r").head().getString(0)
 }

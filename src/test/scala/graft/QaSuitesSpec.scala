@@ -261,4 +261,28 @@ class QaSuitesSpec extends AnyFunSuite {
     assert(one(s"SELECT JSON_QUERY('$doc', '$$.a[-1].x') AS r").getString(0) == "2")
     assert(one(s"SELECT JSON_VALUE('$doc', '$$.a[0].x.length()') AS r").isNullAt(0))
   }
+
+  test("array_agg/string_agg maxBytes validates the [10, IntMax] window " +
+      "(qaAggFuncs *_misc_test005 A01-A08)") {
+    // ExpressionLambdaAggregatorFactory: maxSizeBytes >= MIN_SIZE_BYTES
+    // (10) and HumanReadableBytes.getBytesInInt rejects > Integer.MAX_VALUE
+    for (bad <- Seq("'Not even a size'", "-1", "0", "1", "2147483648")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT array_agg(r_name, $bad) FROM VALUES ('a') t(r_name)")
+          .collect()
+      }
+      assert(e.getMessage != null)
+      val e2 = intercept[Exception] {
+        spark.sql(
+          s"SELECT string_agg(r_name, '|', $bad) FROM VALUES ('a') t(r_name)")
+          .collect()
+      }
+      assert(e2.getMessage != null)
+    }
+    // boundary values run
+    assert(one("SELECT array_length(array_agg(c, 10)) AS n " +
+      "FROM VALUES ('a'), ('b') t(c)").getInt(0) == 2)
+    assert(one("SELECT array_length(array_agg(c, 2147483647)) AS n " +
+      "FROM VALUES ('a'), ('b') t(c)").getInt(0) == 2)
+  }
 }
