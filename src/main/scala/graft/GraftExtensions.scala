@@ -355,7 +355,13 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.AggregatePullUpLookupRule
-    if (!spark.experimental.extraOptimizations
+    // Skip if the session was built withExtensions(GraftExtensions) — the
+    // rule is already in an optimizer batch there, and a second copy in
+    // extraOptimizations would run the (cheap, but non-zero) check twice
+    // per fixed-point iteration.
+    val alreadyInjected = spark.sessionState.optimizer.batches
+      .exists(_.rules.exists(_ eq graft.plans.RejectInvertedFrames))
+    if (!alreadyInjected && !spark.experimental.extraOptimizations
         .contains(graft.plans.RejectInvertedFrames))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+

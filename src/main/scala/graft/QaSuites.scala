@@ -1413,6 +1413,128 @@ object QaSuites {
                WHERE c_long IN (0, 1, 2))
          GROUP BY c ORDER BY c"""),
 
+    // ---- qaUnnest round 3: the subquery_with_where batteries (34 mv +
+    // 25 array .iq — the corpus's largest un-mined unnest surface).
+    // mv_sql_subquery_with_where.17: the unnested value filtered by BOTH an
+    // IN and a NOT IN subquery over inline VALUES
+    gm("q_qa_unnest_subq_in_notin_values",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT * FROM test_unnest),
+              UNNEST(MV_TO_ARRAY(c_mv_num_with_null_and_empty_val)) AS u(c)
+         WHERE c IN (SELECT col FROM
+                 VALUES(''),('my_null'),('my_empty'),('1'),('-1'),('0'),('999') AS t(col))
+           AND c NOT IN (SELECT col FROM
+                 VALUES('[2]'),('[3, [4, 5]]'),('2'),('3'),('999') AS t(col))
+         GROUP BY c ORDER BY c""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(c_mv_num_with_null_and_empty_val) AS c
+               FROM test_unnest)
+         WHERE c IN (SELECT col FROM (
+                 VALUES(''),('my_null'),('my_empty'),('1'),('-1'),('0'),('999')) AS t(col))
+           AND c NOT IN (SELECT col FROM (
+                 VALUES('[2]'),('[3, [4, 5]]'),('2'),('3'),('999')) AS t(col))
+         GROUP BY c ORDER BY c"""),
+    // mv_sql_subquery_with_where.05: OR-chained filters on the OUTER scalar
+    // dims under the lateral (the unnest re-runs only over survivors)
+    gm("q_qa_unnest_subq_outer_or_chain",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT * FROM test_unnest),
+              UNNEST(MV_TO_ARRAY(c_mv_complex)) AS u(c)
+         WHERE (c_str = '' OR c_str = 'str2' OR c_long = 0 OR c_long = 1
+                OR c_long = 2 OR c_long = 999)
+           AND NOT c_str = 'str3'
+         GROUP BY c ORDER BY c""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(c_mv_complex) AS c FROM test_unnest
+               WHERE (c_str = '' OR c_str = 'str2' OR c_long = 0 OR c_long = 1
+                      OR c_long = 2 OR c_long = 999)
+                 AND NOT c_str = 'str3')
+         GROUP BY c ORDER BY c"""),
+    // mv_sql_subquery_with_where.25: IN + NOT IN VALUES-subqueries on the
+    // outer LONG key, unnesting the null-and-empty-ROW variant (row 0 is a
+    // NULL array, row 1 is [], both drop under CROSS unnest)
+    gm("q_qa_unnest_subq_long_in_rows",
+      """SELECT c_long, c
+         FROM (SELECT * FROM test_unnest),
+              UNNEST(MV_TO_ARRAY(c_mv_complex_with_null_and_empty_row)) AS u(c)
+         WHERE c_long IN (SELECT col FROM VALUES(0),(1),(2),(999) AS t(col))
+           AND c_long NOT IN (SELECT col FROM VALUES(3),(998) AS t(col))
+         ORDER BY c_long, c NULLS FIRST""",
+      """SELECT c_long, c
+         FROM (SELECT c_long, unnest(c_mv_complex_with_null_and_empty_row) AS c
+               FROM test_unnest)
+         WHERE c_long IN (SELECT col FROM (VALUES(0),(1),(2),(999)) AS t(col))
+           AND c_long NOT IN (SELECT col FROM (VALUES(3),(998)) AS t(col))
+         ORDER BY c_long, c NULLS FIRST"""),
+    // mv_sql_subquery_with_where.30: `c <> literal` over the all-null-and-
+    // empty value class — NULL elements drop (3VL), empties survive
+    gm("q_qa_unnest_subq_neq_allnull",
+      """SELECT c, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT * FROM test_unnest),
+              UNNEST(MV_TO_ARRAY(c_mv_all_null_and_empty_val)) AS u(c)
+         WHERE c <> '1'
+         GROUP BY c ORDER BY c""",
+      """SELECT c, count(*) AS cnt
+         FROM (SELECT unnest(c_mv_all_null_and_empty_val) AS c
+               FROM test_unnest)
+         WHERE c <> '1'
+         GROUP BY c ORDER BY c"""),
+    // array_sql_subquery_with_where.18/.22: typed-array unnest under outer
+    // IS NOT NULL / <> filters combined with value filters
+    gu("q_qa_unnest_subq_typed_filters",
+      """SELECT kind, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT 'str' AS kind, c FROM (SELECT * FROM test_unnest),
+                UNNEST(a_str) AS u(c)
+           WHERE s_int IS NOT NULL AND c IS NOT NULL
+           UNION ALL
+           SELECT 'mixed' AS kind, c FROM (SELECT * FROM test_unnest),
+                UNNEST(a_mixed) AS u(c)
+           WHERE s_int <> 1 AND c <> 'S1') z
+         GROUP BY kind, c ORDER BY kind, c""",
+      """SELECT kind, c, count(*) AS cnt FROM (
+           SELECT 'str' AS kind, c
+           FROM (SELECT s_int, unnest(a_str) AS c FROM test_unnest)
+           WHERE s_int IS NOT NULL AND c IS NOT NULL
+           UNION ALL
+           SELECT 'mixed' AS kind, c
+           FROM (SELECT s_int, unnest(a_mixed) AS c FROM test_unnest)
+           WHERE s_int <> 1 AND c <> 'S1') z
+         GROUP BY kind, c ORDER BY kind, c"""),
+    // array_sql_subquery_with_where scalar-vs-element correlation: the
+    // element equals / differs from the row's own scalar key
+    gu("q_qa_unnest_subq_elem_vs_scalar",
+      """SELECT s_int, c
+         FROM (SELECT * FROM test_unnest), UNNEST(a_int) AS u(c)
+         WHERE c = s_int OR (c IS NULL AND s_int IS NULL)
+         ORDER BY s_int NULLS FIRST, c NULLS FIRST""",
+      """SELECT s_int, c
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         WHERE c = s_int OR (c IS NULL AND s_int IS NULL)
+         ORDER BY s_int NULLS FIRST, c NULLS FIRST"""),
+    // array_sql_order_by: unnested value ordered DESC with LIMIT/OFFSET
+    // pagination and a NULLS-position pin
+    gu("q_qa_unnest_order_desc_page",
+      """SELECT c
+         FROM (SELECT * FROM test_unnest), UNNEST(a_float) AS u(c)
+         ORDER BY c DESC NULLS LAST, c LIMIT 5 OFFSET 2""",
+      """SELECT c
+         FROM (SELECT unnest(a_float) AS c FROM test_unnest)
+         ORDER BY c DESC NULLS LAST, c LIMIT 5 OFFSET 2"""),
+    // mv_sql_group_by + HAVING over unnested values with an outer-scalar
+    // split (the grouped count depends on both levels)
+    gm("q_qa_unnest_mv_group_having_split",
+      """SELECT c, c_long, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT * FROM test_unnest),
+              UNNEST(MV_TO_ARRAY(c_mv_num)) AS u(c)
+         WHERE c_long <= 2
+         GROUP BY c, c_long HAVING count(*) >= 1
+         ORDER BY c, c_long""",
+      """SELECT c, c_long, count(*) AS cnt
+         FROM (SELECT c_long, unnest(c_mv_num) AS c FROM test_unnest
+               WHERE c_long <= 2)
+         GROUP BY c, c_long HAVING count(*) >= 1
+         ORDER BY c, c_long"""),
+
     // -------------------------------------------------------- qaAggFuncs ----
     // array_agg_long_test001 A03-A13: ARRAY_AGG keeps nulls; contains /
     // contains-all / overlap over aggregated arrays
@@ -2093,9 +2215,14 @@ object QaSuites {
 
   private def runSpark(s: SparkSession, sqlText: String): DataFrame = {
     DruidFunctions.register(s)
-    s.sql(graft.api.SqlApi.rewriteJsonObject(
-      graft.api.SqlApi.rewriteJsonReturning(
-        graft.api.SqlApi.rewriteUnnest(sqlText))))
+    // mirror SqlApi.sql: the rewrites are regex-driven and only literal-safe
+    // on masked text (a gate whose json_object argument contains a top-level
+    // ':' inside a string literal would otherwise be mangled).
+    val (masked, lits) = graft.api.SqlApi.maskLiterals(sqlText)
+    s.sql(graft.api.SqlApi.unmaskLiterals(
+      graft.api.SqlApi.rewriteJsonObject(
+        graft.api.SqlApi.rewriteJsonReturning(
+          graft.api.SqlApi.rewriteUnnest(masked))), lits))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

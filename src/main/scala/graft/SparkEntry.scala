@@ -214,7 +214,96 @@ object SparkEntry {
          FROM w2
          WINDOW win AS (PARTITION BY cli ORDER BY srv, tz, t12
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-         ORDER BY cli, srv, tz, t12""")
+         ORDER BY cli, srv, tz, t12""",
+
+    // ---- round 5: the systematic qaWin orderby_rows_* matrices (28
+    // families × 15 variants — `orderby_rows_{1,0}_{preceding,following}_
+    // {sum_count,first_last}` et al). Every LEGAL combined-bound spelling
+    // the corpus enumerates, over the shared `w` base; the RANGE-offset
+    // siblings are `!error` families (multi-key/string RANGE offsets),
+    // covered by spec-level rejection tests. Window order ends with the
+    // in-partition group key (srv, tz, t12) so frames are total.
+    // A2/A3 sum_count: 1 PRECEDING paired with each upper bound
+    "q_qa_win_rows1p_bounds_sum" ->
+      """SELECT srv, cli, tz,
+                CAST(sum(length(tz)) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 0 PRECEDING) AS BIGINT) AS s_0p,
+                CAST(count(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS c_0f,
+                CAST(sum(length(tz)) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_1f,
+                CAST(count(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_uf
+         FROM w ORDER BY cli, srv, tz, t12""",
+    "q_qa_win_rows1p_bounds_fl" ->
+      """SELECT srv, cli, tz,
+                first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 0 PRECEDING) AS fv_0p,
+                last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv_1f,
+                first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS fv_uf,
+                last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 0 FOLLOWING) AS lv_0f
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // 0/UNBOUNDED lower bounds paired with offset uppers (A4..A7 shapes)
+    "q_qa_win_rows_bound_grid" ->
+      """SELECT srv, cli, tz,
+                CAST(count(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 0 FOLLOWING AND 1 FOLLOWING) AS BIGINT) AS c_0f1f,
+                CAST(sum(length(tz)) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 0 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS s_0puf,
+                CAST(count(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_ub1p,
+                CAST(sum(length(tz)) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 0 FOLLOWING) AS BIGINT) AS s_ub0f,
+                first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv_ub1p,
+                last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12
+                  ROWS BETWEEN 0 FOLLOWING AND 1 FOLLOWING) AS lv_0f1f
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // UNPARTITIONED window (W2/W4 variants: `WINDOW w AS (ORDER BY ...)`)
+    "q_qa_win_rows_unpartitioned" ->
+      """SELECT srv, cli, tz,
+                CAST(sum(length(tz)) OVER (ORDER BY cli, srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_g,
+                CAST(count(tz) OVER (ORDER BY cli, srv, tz, t12
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS c_g,
+                first_value(tz) OVER (ORDER BY cli, srv, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS fv_g
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // EXPRESSION order keys with mixed ASC/DESC (W5/W6 variants: length()
+    // and arithmetic-cast keys before the group-key tail)
+    "q_qa_win_rows_expr_orderkeys" ->
+      """SELECT srv, cli, tz,
+                CAST(sum(n) OVER (PARTITION BY cli
+                  ORDER BY length(tz) DESC, CAST(srv AS DOUBLE)+0.123 ASC, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS s_e,
+                CAST(count(*) OVER (PARTITION BY cli
+                  ORDER BY length(tz) DESC, srv DESC, tz, t12
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS c_e,
+                last_value(tz) OVER (PARTITION BY cli
+                  ORDER BY length(tz), srv, tz DESC, t12
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 0 FOLLOWING) AS lv_e
+         FROM w ORDER BY cli, srv, tz, t12""",
+    // frame WITHOUT ORDER BY (W7 variants `PARTITION BY cli ROWS BETWEEN 1
+    // PRECEDING AND UNBOUNDED FOLLOWING`): which row gets which count is
+    // order-dependent, but the per-partition count MULTISET is not —
+    // project (cli, cnt) only and let the order-insensitive compare pin it
+    "q_qa_win_rows_frame_no_order" ->
+      """SELECT cli,
+                CAST(count(*) OVER (PARTITION BY cli
+                  ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS c_nf
+         FROM w ORDER BY cli, c_nf""",
+    // GROUP BY + WINDOW in ONE query block (every corpus variant windows
+    // over the grouped output with aggregate-expression window args)
+    "q_qa_win_groupby_window_block" ->
+      """SELECT cli, srv,
+                CAST(sum(sum(n)) OVER (PARTITION BY cli ORDER BY srv
+                  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_run,
+                CAST(count(*) OVER (PARTITION BY cli ORDER BY srv
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS BIGINT) AS c_look
+         FROM w GROUP BY cli, srv ORDER BY cli, srv""")
 
   private def winRound4Queries
       : Map[String, (SparkSession, String) => DataFrame] =
@@ -1956,6 +2045,42 @@ object SparkEntry {
         FROM region ORDER BY r_regionkey""")
     }),
 
+    "q_sql_split_edges" -> ((s, dir) => {
+      // StringToArrayFunction (Function.java:3582) is Java String.split
+      // limit-0: TRAILING empty strings drop (interior ones stay), ',,,'
+      // collapses to [], '' splits to [''], a null delimiter splits per
+      // character — none of which Spark's split() reproduces (it keeps
+      // trailing empties even at limit 0), hence the StaticInvoke builder.
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT MV_TO_STRING(STRING_TO_MV('a,b,,', ','), '|') AS trail,
+               MV_LENGTH(STRING_TO_MV('a,b,,', ',')) AS trail_len,
+               MV_TO_STRING(STRING_TO_ARRAY('a,,b', ','), '|') AS interior,
+               MV_LENGTH(STRING_TO_MV(',,,', ',')) AS all_sep,
+               MV_LENGTH(STRING_TO_MV('', ',')) AS empty_in,
+               MV_TO_STRING(STRING_TO_MV('ab', CAST(NULL AS STRING)), '|') AS null_delim,
+               MV_LENGTH(STRING_TO_MV(CAST(NULL AS STRING), ',')) AS null_in
+        FROM region LIMIT 1""")
+    }),
+
+    "q_sql_mv_join_edges" -> ((s, dir) => {
+      // ArrayToStringFunction (Function.java:3623-3649): null elements
+      // print via String::valueOf ('a|null|b'), the single-element [null]
+      // array is SQL NULL (:3643), and a null separator joins with ''
+      // (:3646) — Spark's bare array_join silently SKIPS null elements, so
+      // the builder transforms through CAST + coalesce('null') first.
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT MV_TO_STRING(array('a', CAST(NULL AS STRING), 'b'), '|') AS j_null,
+               ARRAY_TO_STRING(array(1, 0, CAST(NULL AS INT)), '|') AS j_num,
+               MV_TO_STRING(array(CAST(NULL AS STRING)), '|') AS j_singlenull,
+               MV_TO_STRING(CAST(NULL AS ARRAY<STRING>), '|') AS j_nullarr,
+               MV_TO_STRING(array('a', 'b'), CAST(NULL AS STRING)) AS j_nullsep
+        FROM region LIMIT 1""")
+    }),
+
     "q_expr_native_pred_fns" -> ((s, dir) => {
       // Native predicate family (Function.java IsTrueFunc:2530 etc.) over
       // the Evals.asBoolean:55-68 truthiness rule: numerics are true iff
@@ -2026,7 +2151,9 @@ object SparkEntry {
                nextafter(1.0D, 0.0D) AS na_down,
                CAST(druid_max(7L, 3L) AS BIGINT) AS mx_long,
                druid_max(7.5D, CAST(NULL AS DOUBLE)) AS mx_null,
-               druid_min(7.5D, 3.0D) AS mn_dbl
+               druid_min(7.5D, 3.0D) AS mn_dbl,
+               isnan(druid_min(CAST('NaN' AS DOUBLE), 3.0D)) AS mn_nan,
+               isnan(druid_max(CAST('NaN' AS DOUBLE), 3.0D)) AS mx_nan
         FROM region LIMIT 1""")
     }),
 
@@ -3160,7 +3287,27 @@ object SparkEntry {
       s.sql("""
         SELECT array_join(JSON_QUERY_ARRAY('{"a":[1,2,3]}', '$.a'), '|') AS arr_i,
                array_join(JSON_QUERY_ARRAY('{"a":["x","y"]}', '$.a'), '|') AS arr_s,
-               (JSON_QUERY_ARRAY('{"a":1}', '$.b') IS NULL) AS missing_null""")
+               (JSON_QUERY_ARRAY('{"a":1}', '$.b') IS NULL) AS missing_null,
+               array_join(JSON_QUERY_ARRAY('{"a":["x","y"]}', '$[''a'']'), '|') AS quoted_field,
+               array_join(JSON_QUERY_ARRAY('{"a":[[1,2],[3,4]]}', '$.a[-1]'), '|') AS neg_idx,
+               array_join(JSON_QUERY_ARRAY('{"a":7}', '$.a'), '|') AS scalar_wrap,
+               size(JSON_QUERY_ARRAY('{"a":{"b":1}}', '$.a')) AS obj_wrap_len,
+               array_join(JSON_QUERY_ARRAY('{"a":[{"x":1},2]}', '$.a'), '|') AS mixed""")
+    }),
+
+    "q_qa_json_native_negidx" -> ((s, dir) => {
+      // the NATIVE json_value macro resolves negative array indexes from
+      // the end (NestedPathArrayElement — NativeJsonQuery.rewriteNativeExpr
+      // reroutes to json_value_native), while the SQL layer's
+      // NestedFieldVirtualColumn planning nulls them (func_json_value.02
+      // A077-A079); both share the walker grammar (quoted fields, typed
+      // third arg)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT json_value_native('{"a":[1,2,3]}', '$.a[-1]') AS nv_neg,
+               JSON_VALUE('{"a":[1,2,3]}', '$.a[-1]') AS sql_neg,
+               json_value_native('{"a":["p","q"]}', '$[''a''][0]') AS nv_quoted,
+               json_value_native('{"a":"9"}', '$.a', 'LONG') AS nv_typed""")
     }),
 
     "q_qa_sql_string_fns" -> ((s, dir) => {
@@ -4727,7 +4874,12 @@ object SparkEntry {
                  ${battery("IPV4_PARSE(ip)", "IPV4_PARSE(ip) - 1",
                    "IPV4_PARSE(ip) + 1", "STRING")}) AS BIGINT) AS cnt_parse,
                CAST(count(*) FILTER (WHERE IPV4_MATCH(ip, '10.0.0.0/8')) AS BIGINT) AS cnt_match,
-               CAST(count(*) FILTER (WHERE IPV4_STRINGIFY(IPV4_PARSE(ip)) = ip) AS BIGINT) AS cnt_roundtrip
+               CAST(count(*) FILTER (WHERE IPV4_STRINGIFY(IPV4_PARSE(ip)) = ip) AS BIGINT) AS cnt_roundtrip,
+               IPV4_PARSE('300.1.1.1') AS inv_octet,
+               IPV4_PARSE('1.2.3.4.5') AS inv_extra,
+               IPV4_PARSE('1.2.3') AS inv_short,
+               IPV4_PARSE('1.2.3.x') AS inv_alpha,
+               IPV4_PARSE('192.168.0.1') AS ok_parse
         FROM ips""")
     }),
 
@@ -7284,7 +7436,7 @@ object SparkEntry {
         .orderBy(col("asset_id"), col("frame_no"))
     })
   ) ++ QaSuites.queries ++ winRound4Queries ++ DrillFrameclause.queries ++
-    DrillAggregates.queries
+    DrillAggregates.queries ++ DrillLeadLag.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -8054,6 +8206,19 @@ object SparkEntry {
                 CAST(trunc((r_regionkey * 10 + 7) / 2.5) AS BIGINT) AS d_row
          FROM region ORDER BY r_regionkey""",
 
+    "q_sql_split_edges" ->
+      """SELECT 'a|b' AS trail, 2 AS trail_len, 'a||b' AS interior,
+                0 AS all_sep, 1 AS empty_in, 'a|b' AS null_delim,
+                CAST(NULL AS INTEGER) AS null_in
+         FROM region LIMIT 1""",
+
+    "q_sql_mv_join_edges" ->
+      """SELECT 'a|null|b' AS j_null, '1|0|null' AS j_num,
+                CAST(NULL AS VARCHAR) AS j_singlenull,
+                CAST(NULL AS VARCHAR) AS j_nullarr,
+                'ab' AS j_nullsep
+         FROM region LIMIT 1""",
+
     "q_expr_native_pred_fns" ->
       """SELECT true AS t_bool, false AS t_neg, true AS t_half,
                 true AS t_strtrue, false AS t_str1,
@@ -8082,7 +8247,8 @@ object SparkEntry {
                 9.999999999999999e-1::DOUBLE AS na_down,
                 7::BIGINT AS mx_long,
                 CAST(NULL AS DOUBLE) AS mx_null,
-                3.0::DOUBLE AS mn_dbl
+                3.0::DOUBLE AS mn_dbl,
+                TRUE AS mn_nan, TRUE AS mx_nan
          FROM region LIMIT 1""",
 
     "q_expr_bitwise_native" ->
@@ -8487,7 +8653,18 @@ object SparkEntry {
     "q_qa_json_query_array" ->
       """SELECT array_to_string(json_extract_string('{"a":[1,2,3]}', '$.a[*]'), '|') AS arr_i,
                 array_to_string(json_extract_string('{"a":["x","y"]}', '$.a[*]'), '|') AS arr_s,
-                TRUE AS missing_null""",
+                TRUE AS missing_null,
+                'x|y' AS quoted_field,
+                '3|4' AS neg_idx,
+                '7' AS scalar_wrap,
+                1 AS obj_wrap_len,
+                '{"x":1}|2' AS mixed""",
+
+    "q_qa_json_native_negidx" ->
+      """SELECT '3' AS nv_neg,
+                CAST(NULL AS VARCHAR) AS sql_neg,
+                'p' AS nv_quoted,
+                9::BIGINT AS nv_typed""",
 
     "q_qa_sql_string_fns" ->
       """SELECT CAST(strpos('graft-engine', 'engine') AS INTEGER) AS sp,
@@ -9475,7 +9652,12 @@ object SparkEntry {
          SELECT CAST(count(*) FILTER (WHERE
                   ${battery("ipnum", "ipnum - 1", "ipnum + 1", "VARCHAR")}) AS BIGINT) AS cnt_parse,
                 count(*) AS cnt_match,
-                count(*) AS cnt_roundtrip
+                count(*) AS cnt_roundtrip,
+                CAST(NULL AS BIGINT) AS inv_octet,
+                CAST(NULL AS BIGINT) AS inv_extra,
+                CAST(NULL AS BIGINT) AS inv_short,
+                CAST(NULL AS BIGINT) AS inv_alpha,
+                3232235521::BIGINT AS ok_parse
          FROM ips""",
 
     "q_qa_scalar_string_battery" ->
@@ -10876,5 +11058,5 @@ object SparkEntry {
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          FROM sc ORDER BY doc_id"""
   ) ++ QaSuites.oracleSql ++ winRound4Oracle ++ DrillFrameclause.oracleSql ++
-    DrillAggregates.oracleSql
+    DrillAggregates.oracleSql ++ DrillLeadLag.oracleSql
 }

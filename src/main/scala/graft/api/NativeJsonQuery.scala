@@ -59,7 +59,12 @@ object NativeJsonQuery {
       .replaceAll("(?i)\\bif\\s*\\(", "druid_if(")
       // native unix_timestamp parses ISO (or a Joda pattern), not Spark's
       // 'yyyy-MM-dd HH:mm:ss' default
-      .replaceAll("(?i)\\bunix_timestamp\\s*\\(", "druid_unix_timestamp("))
+      .replaceAll("(?i)\\bunix_timestamp\\s*\\(", "druid_unix_timestamp(")
+      // the native json_value macro resolves NEGATIVE array indexes from
+      // the end (NestedPathArrayElement) — only the SQL layer's
+      // virtual-column planning nulls them, so reroute to the guard-free
+      // walker variant
+      .replaceAll("(?i)\\bjson_value\\s*\\(", "json_value_native("))
     graft.api.SqlApi.unmaskLiterals(rerouted, lits)
   }
 

@@ -419,8 +419,37 @@ object SqlApi {
     val (masked, lits) = maskLiterals(bind(setStatements(raw)._2, params))
     unmaskLiterals(
       rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
-        rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(
-          masked))))))), lits)
+        rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(rewriteFetch(
+          rejectNegativeFrameBounds(masked))))))))), lits)
+  }
+
+  /** Calcite's SQL-standard row-limit spellings — `FETCH FIRST|NEXT n
+    * ROWS ONLY` and `OFFSET n ROWS` (the reference accepts both; the Drill
+    * window corpus writes them) — normalized to Spark's LIMIT/OFFSET.
+    * Runs on masked text so literals can't match.
+    */
+  private[graft] def rewriteFetch(sqlText: String): String =
+    sqlText
+      .replaceAll("(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
+      .replaceAll("(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b",
+        "LIMIT $1")
+
+  /** Calcite (and therefore the reference) rejects any NEGATIVE window-frame
+    * amount — `ROWS BETWEEN UNBOUNDED PRECEDING AND -1 FOLLOWING` is an
+    * error, not an empty frame. Post-parse, `-1 FOLLOWING` and `1 PRECEDING`
+    * are the same Catalyst bound (both `UnaryMinus(1)`), so the optimizer
+    * rule [[graft.plans.RejectInvertedFrames]] can only catch the inverted
+    * subset; the negated-literal spelling must be rejected here on the SQL
+    * text (masked, so string literals can't match). PRECEDING/FOLLOWING are
+    * reserved frame keywords, so `- <num> PRECEDING|FOLLOWING` can only be a
+    * frame bound.
+    */
+  private[graft] def rejectNegativeFrameBounds(sqlText: String): String = {
+    if ("""(?is)-\s*\d+(?:\.\d+)?\s+(PRECEDING|FOLLOWING)\b""".r
+          .findFirstIn(sqlText).isDefined)
+      throw new IllegalArgumentException(
+        "Window frame bound amounts must be non-negative")
+    sqlText
   }
 
   /** Calcite's JSON_OBJECT syntaxes — `JSON_OBJECT(KEY k VALUE v, …)` and

@@ -707,6 +707,63 @@ object DruidFunctions {
         Cast(e, DoubleType)
       case _ => e
     }
+    // native bivariate max/min: integral pairs stay exact (Least/Greatest on
+    // longs — a double round-trip would lose precision past 2^53), any
+    // floating operand goes through java.lang.Math so NaN propagates
+    def druidMinMax(args: Seq[Expression], op: String): Expression = {
+      require(args.size == 2, s"$op takes 2 arguments, got ${args.size}")
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val integral = args.forall(e => e.resolved &&
+        Seq(ByteType, ShortType, IntegerType, LongType).exists(_ == e.dataType))
+      val core: Expression =
+        if (integral) { if (op == "max") Greatest(args) else Least(args) }
+        else org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], DoubleType, op,
+          Seq(Cast(args(0), DoubleType), Cast(args(1), DoubleType)),
+          Seq(DoubleType, DoubleType))
+      If(Or(IsNull(args(0)), IsNull(args(1))),
+        Literal.create(null, org.apache.spark.sql.types.NullType), core)
+    }
+    // NestedDataExpressions JsonValue macro over JsonWalk, parameterized by
+    // walker method: "value" (SQL layer — negative indexes NULL, matching
+    // NestedFieldVirtualColumn planning) vs "valueNative" (native macro —
+    // negative indexes resolve from the end). Optional third arg = native
+    // type name (JsonValueCastExpr, NestedDataExpressions.java:493-530):
+    // TRY-cast of the walked value.
+    def jsonValueBuilder(method: String): Seq[Expression] => Expression =
+      (args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          s"json_value takes 2 or 3 arguments, got ${args.size}")
+        val walked = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonWalk.getClass, StringType, method,
+          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(StringType, StringType), propagateNull = false)
+        if (args.size == 2) walked
+        else {
+          val tpe = args(2) match {
+            case Literal(s, StringType) if s != null => s.toString.toUpperCase
+            case other => throw new IllegalArgumentException(
+              s"json_value type argument must be a string literal, got $other")
+          }
+          tpe match {
+            case "LONG"   => Cast(walked, LongType, None, EvalMode.TRY)
+            case "DOUBLE" => Cast(walked,
+              org.apache.spark.sql.types.DoubleType, None, EvalMode.TRY)
+            case "STRING" => walked
+            case "ARRAY<LONG>" =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("from_json"), Seq(walked, Literal("array<bigint>")), false)
+            case "ARRAY<DOUBLE>" =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("from_json"), Seq(walked, Literal("array<double>")), false)
+            case "ARRAY<STRING>" =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("from_json"), Seq(walked, Literal("array<string>")), false)
+            case other => throw new IllegalArgumentException(
+              s"json_value: invalid output type [$other]")
+          }
+        }
+      }
     Seq(
       // nonStrictFormat: an illegal pattern degrades to "pattern; arg; …"
       // instead of erroring (StringUtils.nonStrictFormat:381)
@@ -886,18 +943,13 @@ object DruidFunctions {
       // long pairing stays long, any double makes it double.
       // NativeJsonQuery.rewriteNativeExpr reroutes native max(/min( here so
       // the SQL aggregate names stay untouched.
-      "druid_max" -> ((args: Seq[Expression]) => {
-        require(args.size == 2, s"max takes 2 arguments, got ${args.size}")
-        If(Or(IsNull(args(0)), IsNull(args(1))),
-          Literal.create(null, org.apache.spark.sql.types.NullType),
-          Greatest(args))
-      }),
-      "druid_min" -> ((args: Seq[Expression]) => {
-        require(args.size == 2, s"min takes 2 arguments, got ${args.size}")
-        If(Or(IsNull(args(0)), IsNull(args(1))),
-          Literal.create(null, org.apache.spark.sql.types.NullType),
-          Least(args))
-      }),
+      // Function.java Max:1852 / Min:1879 (BivariateMathFunction): both-long
+      // pairs use Math.max/min(long,long); ANY double operand routes through
+      // Math.max/min(double,double), which PROPAGATES NaN — Spark's
+      // Least/Greatest rank NaN greatest in their total ordering, so
+      // min(NaN, 3.0) would wrongly return 3.0 there. Null propagates.
+      "druid_max" -> ((args: Seq[Expression]) => druidMinMax(args, "max")),
+      "druid_min" -> ((args: Seq[Expression]) => druidMinMax(args, "min")),
       // Native camelCase bitwise family (Function.java BitwiseAnd:1008 ..
       // BitwiseXor:1092, BitwiseComplement:914, BitwiseConvert*:944,976).
       // BivariateBitwiseMathFunction evals x.asLong() op y.asLong() — a
@@ -992,39 +1044,12 @@ object DruidFunctions {
       // coercion, loud slice/union-path rejection — see JsonWalk scaladoc).
       // Optional third json_value arg = native type name (JsonValueCastExpr,
       // NestedDataExpressions.java:493-530): TRY-cast of the walked value.
-      "json_value" -> ((args: Seq[Expression]) => {
-        require(args.size == 2 || args.size == 3,
-          s"json_value takes 2 or 3 arguments, got ${args.size}")
-        val walked = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-          JsonWalk.getClass, StringType, "value",
-          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
-          Seq(StringType, StringType), propagateNull = false)
-        if (args.size == 2) walked
-        else {
-          val tpe = args(2) match {
-            case Literal(s, StringType) if s != null => s.toString.toUpperCase
-            case other => throw new IllegalArgumentException(
-              s"json_value type argument must be a string literal, got $other")
-          }
-          tpe match {
-            case "LONG"   => Cast(walked, LongType, None, EvalMode.TRY)
-            case "DOUBLE" => Cast(walked,
-              org.apache.spark.sql.types.DoubleType, None, EvalMode.TRY)
-            case "STRING" => walked
-            case "ARRAY<LONG>" =>
-              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-                Seq("from_json"), Seq(walked, Literal("array<bigint>")), false)
-            case "ARRAY<DOUBLE>" =>
-              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-                Seq("from_json"), Seq(walked, Literal("array<double>")), false)
-            case "ARRAY<STRING>" =>
-              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-                Seq("from_json"), Seq(walked, Literal("array<string>")), false)
-            case other => throw new IllegalArgumentException(
-              s"json_value: invalid output type [$other]")
-          }
-        }
-      }),
+      "json_value" -> jsonValueBuilder("value"),
+      // native expression path (NativeJsonQuery.rewriteNativeExpr reroutes
+      // json_value here): the macro resolves NEGATIVE indexes from the end
+      // (NestedPathArrayElement), unlike the SQL layer's virtual-column
+      // planning which nulls them
+      "json_value_native" -> jsonValueBuilder("valueNative"),
       "json_query" -> ((args: Seq[Expression]) => {
         require(args.size == 2, s"json_query takes 2 arguments, got ${args.size}")
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
@@ -1037,6 +1062,31 @@ object DruidFunctions {
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           JsonWalk.getClass,
           org.apache.spark.sql.types.ArrayType(StringType), "keys",
+          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(StringType, StringType), propagateNull = false)
+      }),
+      // JsonMergeExprMacro (NestedDataExpressions.java:105-170): variadic
+      // recursive object merge, later args win, any NULL arg → NULL; folds
+      // pairwise (later-wins merging is associative), codegen'd StaticInvoke
+      "json_merge" -> ((args: Seq[Expression]) => {
+        require(args.size >= 2,
+          s"json_merge must have at least two arguments, got ${args.size}")
+        args.map(a => Cast(a, StringType): Expression).reduceLeft { (l, r) =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            JsonMergeUtil.getClass, StringType, "merge",
+            Seq(l, r), Seq(StringType, StringType), propagateNull = false)
+        }
+      }),
+      // JsonQueryArrayExprMacro (NestedDataExpressions.java:651-731): same
+      // walker grammar as json_query (quoted fields, negative indexes, loud
+      // slice/union rejection); array → elements, scalar/object → 1-element
+      // wrap (ExprEval.asArray), missing → NULL
+      "json_query_array" -> ((args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"json_query_array takes 2 arguments, got ${args.size}")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonWalk.getClass,
+          org.apache.spark.sql.types.ArrayType(StringType), "queryArray",
           Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
           Seq(StringType, StringType), propagateNull = false)
       }),
@@ -1483,6 +1533,35 @@ object DruidFunctions {
       LambdaFunction(body(x), Seq(x))
     }
     def nullBool: Expression = Literal.create(null, BooleanType)
+    // reference ArrayToStringFunction (Function.java:3623-3649): null array
+    // OR the single-element [null] array → SQL NULL; otherwise
+    // String::valueOf per element (nulls print 'null') joined by the
+    // separator, null separator → ''
+    def arrayToString(a: Seq[Expression]): Expression = {
+      require(a.size == 2,
+        s"array_to_string takes 2 arguments, got ${a.size}")
+      val joined = fn("array_join",
+        fn("transform", a.head,
+          lam(x => fn("coalesce", Cast(x, StringType), Literal("null")))),
+        fn("coalesce", Cast(a(1), StringType), Literal("")))
+      If(And(EqualTo(fn("size", a.head), Literal(1)),
+             IsNull(fn("get", a.head, Literal(0)))),
+        Literal.create(null, StringType), joined)
+    }
+    // reference StringToArrayFunction (Function.java:3582): Java
+    // String.split limit-0 — trailing empty strings dropped
+    def javaSplitExpr(a: Seq[Expression]): Expression = {
+      require(a.size == 2,
+        s"string_to_array takes 2 arguments, got ${a.size}")
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        StringSplitUtil.getClass,
+        org.apache.spark.sql.types.ArrayType(StringType), "javaSplit",
+        Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
+        Seq(StringType, StringType),
+        // null delimiter splits per-character, only a null INPUT nulls out
+        // (handled inside the helper)
+        propagateNull = false)
+    }
     Seq(
       "array_length" -> ((a: Seq[Expression]) =>
         Cast(fn("size", a.head), IntegerType)),
@@ -1552,12 +1631,15 @@ object DruidFunctions {
               lam(i => fn("get", a.head, i)))))
       }),
       // null elements print as 'null' (reference ArrayToStringFunction via
-      // ExprEval string coercion; qaArray A1_B13: '1|0|null')
-      "array_to_string" -> ((a: Seq[Expression]) =>
-        fn("array_join",
-          fn("transform", a.head,
-            lam(x => fn("coalesce", Cast(x, StringType), Literal("null")))),
-          a(1))),
+      // String::valueOf; qaArray A1_B13: '1|0|null'), but the single-element
+      // [null] array is SQL NULL (Function.java:3643 `raw.length == 1 &&
+      // raw[0] == null`), and a null separator joins with '' (:3646)
+      "array_to_string" -> ((a: Seq[Expression]) => arrayToString(a)),
+      "mv_to_string" -> ((a: Seq[Expression]) => arrayToString(a)),
+      // Java String.split limit-0 (drops trailing empties) — a SQL macro on
+      // Spark's split keeps them; see StringSplitUtil
+      "string_to_array" -> ((a: Seq[Expression]) => javaSplitExpr(a)),
+      "string_to_mv" -> ((a: Seq[Expression]) => javaSplitExpr(a)),
       // set membership over null elements too: intersect treats null as a
       // value, so [null] ∩ [1, null] is non-empty like the reference
       "array_overlap" -> ((a: Seq[Expression]) =>
@@ -1616,9 +1698,16 @@ object DruidFunctions {
       "json_value_double_array" -> ((a: Seq[Expression]) =>
         fn("from_json", fn("json_value", a.head, a(1)),
           Literal("array<double>"))),
+      // RETURNING BOOLEAN ARRAY: the reference plans it as the BIGINT array
+      // conversion (NestedDataOperatorConversions.java:316-317 routes
+      // BOOLEAN_TYPES to the LONG element type) and Calcite casts back —
+      // long truthiness is `> 0` (Evals.asBoolean). Same walker as the
+      // other typed variants (quoted fields, loud slice/union rejection).
       "json_value_boolean_array" -> ((a: Seq[Expression]) =>
-        fn("from_json", fn("get_json_object", a.head, a(1)),
-          Literal("array<boolean>"))))
+        fn("transform",
+          fn("from_json", fn("json_value", a.head, a(1)),
+            Literal("array<bigint>")),
+          lam(x => GreaterThan(x, Literal(0L))))))
   }
 
   /** Register reference-named functions for `spark.sql` text queries. SQL
@@ -1657,12 +1746,12 @@ object DruidFunctions {
       // path rejection. The RETURNING clause is rewritten by SqlApi to the
       // typed JSON_VALUE_* variants.)
       // reference BitwiseConvert{DoubleToLongBits,LongBitsToDouble}: IEEE-754
-      // reinterpretation. No Spark builtin reinterprets bits, so route the
-      // exponent/mantissa split through exact double arithmetic
+      // reinterpretation — delegates to the codegen'd StaticInvoke builders
+      // (the native camelCase family above), no UDF boundary
       "BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(d DOUBLE) RETURNS BIGINT RETURN " +
-        "graft_double_to_long_bits(d)",
+        "bitwiseconvertdoubletolongbits(d)",
       "BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(b BIGINT) RETURNS DOUBLE RETURN " +
-        "graft_long_bits_to_double(b)",
+        "bitwiseconvertlongbitstodouble(b)",
       "TIMESTAMP_TO_MILLIS(t TIMESTAMP) RETURNS BIGINT RETURN " +
         "CAST(unix_micros(t) / 1000 AS BIGINT)",
       "MILLIS_TO_TIMESTAMP(m BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(m)",
@@ -1670,8 +1759,10 @@ object DruidFunctions {
       // optional pattern + timezone arities)
       "MV_LENGTH(a ARRAY<STRING>) RETURNS INT RETURN size(a)",
       "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
-      "MV_TO_STRING(a ARRAY<STRING>, s STRING) RETURNS STRING RETURN array_join(a, s)",
-      "STRING_TO_MV(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
+      // (MV_TO_STRING / STRING_TO_MV / STRING_TO_ARRAY live in
+      //  arrayBuilders: [null]→NULL + null-prints-'null' join semantics and
+      //  Java split limit-0 trailing-empty dropping, neither expressible as
+      //  a split()/array_join() macro)
       // RETURNING VARCHAR target: same walker as the untyped JSON_VALUE
       "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN json_value(j, p)",
       // reference BuiltInExprMacros.StringDecodeBase64UTFExprMacro:149 —
@@ -1744,7 +1835,6 @@ object DruidFunctions {
       //  CONCAT/APPEND/PREPEND/SLICE/TO_STRING/OVERLAP/CONTAINS/
       //  SCALAR_IN_ARRAY/AGG/CONCAT_AGG live in arrayBuilders above — a SQL
       //  macro's ARRAY<STRING> parameter would silently retype BIGINT arrays)
-      "STRING_TO_ARRAY(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
       // (ARRAY_SET_ADD / ARRAY_SET_ADD_ALL are polymorphic Catalyst
       //  builders in arrayBuilders — TreeSet semantics with nulls FIRST)
       // linear-interpolation quantile over a double array (array_quantile)
@@ -1766,10 +1856,8 @@ object DruidFunctions {
       // address from the end, keys are field names / index strings)
       // (JSON_PATHS lives in catalystBuilders: recursive leaf enumeration)
       // (JSON_OBJECT lives in catalystBuilders above: variadic KV arity)
-      // JSON_QUERY_ARRAY: array-of-scalars extraction (element JSON text for
-      // nested elements, like the reference's ExprEval array coercion)
-      """JSON_QUERY_ARRAY(j STRING, p STRING) RETURNS ARRAY<STRING> RETURN
-         from_json(get_json_object(j, p), 'array<string>')""",
+      // (JSON_QUERY_ARRAY lives in catalystBuilders: JsonWalk.queryArray —
+      //  same grammar as json_query, scalar/object 1-element wrap)
       // TO_JSON_STRING: canonical re-serialization (parse_json → variant →
       // to_json), so semantically-equal JSON prints identically.
       // PARSE_JSON / TRY_PARSE_JSON themselves are Spark built-ins with the
@@ -1801,11 +1889,21 @@ object DruidFunctions {
       "TIMESTAMP_FORMAT(t TIMESTAMP, p STRING) RETURNS STRING RETURN date_format(t, p)",
       "TIMESTAMP_PARSE(s STRING, p STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, p)",
       // -------------------------------------------------------------- IP ----
+      // invalid input → NULL (IPv4AddressParseExprMacro.java:43 via
+      // IPv4AddressExprUtils.isValidIPv4Address — strict dotted quad, no
+      // extra/missing octets, each 0-255; '300.1.1.1' and '1.2.3.4.5' are
+      // rejected, not silently bit-mangled)
       """IPV4_PARSE(s STRING) RETURNS BIGINT RETURN
-         CAST(split_part(s, '.', 1) AS BIGINT) * 16777216
-         + CAST(split_part(s, '.', 2) AS BIGINT) * 65536
-         + CAST(split_part(s, '.', 3) AS BIGINT) * 256
-         + CAST(split_part(s, '.', 4) AS BIGINT)""",
+         CASE WHEN s RLIKE '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$'
+                AND CAST(split_part(s, '.', 1) AS BIGINT) <= 255
+                AND CAST(split_part(s, '.', 2) AS BIGINT) <= 255
+                AND CAST(split_part(s, '.', 3) AS BIGINT) <= 255
+                AND CAST(split_part(s, '.', 4) AS BIGINT) <= 255
+         THEN CAST(split_part(s, '.', 1) AS BIGINT) * 16777216
+            + CAST(split_part(s, '.', 2) AS BIGINT) * 65536
+            + CAST(split_part(s, '.', 3) AS BIGINT) * 256
+            + CAST(split_part(s, '.', 4) AS BIGINT)
+         ELSE NULL END""",
       """IPV4_STRINGIFY(x BIGINT) RETURNS STRING RETURN
          concat_ws('.', CAST(x DIV 16777216 % 256 AS STRING),
                         CAST(x DIV 65536 % 256 AS STRING),
@@ -1825,33 +1923,6 @@ object DruidFunctions {
       "COMPLEX_DECODE_BASE64(t STRING, s STRING) RETURNS BINARY RETURN unbase64(s)",
       // newer-docs alias of COMPLEX_DECODE_BASE64
       "DECODE_BASE64_COMPLEX(t STRING, s STRING) RETURNS BINARY RETURN unbase64(s)")
-    // IEEE-754 bit reinterpretation + recursive JSON object merge need JVM
-    // code (no Spark builtin): plain deterministic UDFs, called once per
-    // row outside any hot aggregation loop
-    spark.udf.register("graft_double_to_long_bits",
-      (d: java.lang.Double) =>
-        if (d == null) null
-        else java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(d)))
-    spark.udf.register("graft_long_bits_to_double",
-      (b: java.lang.Long) =>
-        if (b == null) null
-        else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(b)))
-    // reference JSON_MERGE (NestedDataExpressions.JsonMergeExprMacro):
-    // Jackson updating-reader semantics — recursive object merge, later
-    // arguments win; json4s `merge` implements the same recursion
-    def mergeJson(parts: Seq[String]): String = {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      if (parts.exists(_ == null)) null
-      else {
-        val merged = parts.map(JsonMethods.parse(_)).reduceLeft(_ merge _)
-        JsonMethods.compact(JsonMethods.render(merged))
-      }
-    }
-    spark.udf.register("json_merge",
-      (a: String, b: String) => mergeJson(Seq(a, b)))
-    spark.udf.register("json_merge3",
-      (a: String, b: String, c: String) => mergeJson(Seq(a, b, c)))
     fns.foreach(f => spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $f"))
     spark.conf.set(Flag, "true")
   }

@@ -172,12 +172,26 @@ object JsonWalk {
   private def scalarText(n: JsonNode): String =
     if (n.isBoolean) { if (n.asBoolean()) "1" else "0" } else n.asText()
 
-  def value(json: UTF8String, path: UTF8String): UTF8String = {
+  def value(json: UTF8String, path: UTF8String): UTF8String =
+    valueImpl(json, path, negIndexNull = true)
+
+  /** The NATIVE expression macro (JsonValueExprMacro) resolves negative
+    * array indexes via NestedPathArrayElement end-addressing — only the SQL
+    * layer's literal-path planning onto NestedFieldVirtualColumn nulls them
+    * (func_json_value.02 A077-A079 vs json_query's A110-A112), so native
+    * queries ride this guard-free variant.
+    */
+  def valueNative(json: UTF8String, path: UTF8String): UTF8String =
+    valueImpl(json, path, negIndexNull = false)
+
+  private def valueImpl(json: UTF8String, path: UTF8String,
+                        negIndexNull: Boolean): UTF8String = {
     if (json == null || path == null) return null
     val parts = parse(path.toString)
     // literal-path JSON_VALUE plans onto the nested-field virtual column,
     // which has no negative element fields
-    if (parts.exists { case Elem(i) => i < 0; case _ => false }) return null
+    if (negIndexNull &&
+        parts.exists { case Elem(i) => i < 0; case _ => false }) return null
     val root = parseDoc(json)
     if (root == null || root.isNull) {
       // unparseable text is itself a root-level string scalar
@@ -220,6 +234,43 @@ object JsonWalk {
 
   private def textNodeJson(s: String): String =
     com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
+
+  /** JSON_QUERY_ARRAY (JsonQueryArrayExprMacro,
+    * NestedDataExpressions.java:651-731): find the subtree with the SAME
+    * path grammar as json_query (quoted fields, negative indexes, loud
+    * slice/union rejection), then: a JSON array yields its ELEMENTS (each
+    * rendered as the facade's element text — containers as compact JSON,
+    * strings unquoted, other scalars verbatim); a scalar or object WRAPS
+    * into a single-element array (ExprEval.asArray = new Object[]{value});
+    * missing / JSON null → SQL NULL.
+    */
+  def queryArray(json: UTF8String, path: UTF8String): ArrayData = {
+    if (json == null || path == null) return null
+    val parts = parse(path.toString)
+    val root = parseDoc(json)
+    if (root == null || root.isNull) {
+      // raw text at the root is itself a string scalar → 1-element wrap
+      return if (parts.isEmpty && !(root != null && root.isNull))
+        new GenericArrayData(Array[Any](json))
+      else null
+    }
+    val at = find(root, parts)
+    if (at == null) return null
+    def elemText(n: JsonNode): UTF8String =
+      UTF8String.fromString(
+        if (n.isContainerNode) n.toString
+        else if (n.isTextual) n.asText()
+        else n.asText())
+    if (at.isArray) {
+      val out = new Array[Any](at.size())
+      var i = 0
+      while (i < at.size()) {
+        out(i) = if (at.get(i).isNull) null else elemText(at.get(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else new GenericArrayData(Array[Any](elemText(at)))
+  }
 
   def keys(json: UTF8String, path: UTF8String): ArrayData = {
     if (json == null || path == null) return null

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{CurrentRow, Expression, Literal, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern
 
 /** Rejects window frames whose bounds are inverted (lower > upper) — the
   * qaWin `orderby_{rows,range}_negative_*` corpus (56 `.iq` files, all
@@ -29,15 +30,24 @@ object RejectInvertedFrames extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // O(1) guard: SpecifiedWindowFrame only lives under window expressions,
+    // so plans without a Window node skip the full-tree expression walk —
+    // this rule sits in a fixed-point optimizer batch and must not tax the
+    // enormous iterative plans the PQ/Lloyd pipelines compile.
+    if (!plan.containsAnyPattern(TreePattern.WINDOW,
+                                 TreePattern.WINDOW_EXPRESSION)) return plan
     plan.foreach { node =>
-      node.expressions.foreach(_.foreach {
-        case SpecifiedWindowFrame(_, lower, upper) =>
-          for (l <- boundVal(lower); u <- boundVal(upper))
-            if (l > u) throw new IllegalArgumentException(
-              s"Window frame upper bound ($upper) must not be less than " +
-                s"lower bound ($lower)")
-        case _ =>
-      })
+      if (node.containsAnyPattern(TreePattern.WINDOW,
+                                  TreePattern.WINDOW_EXPRESSION)) {
+        node.expressions.foreach(_.foreach {
+          case SpecifiedWindowFrame(_, lower, upper) =>
+            for (l <- boundVal(lower); u <- boundVal(upper))
+              if (l > u) throw new IllegalArgumentException(
+                s"Window frame upper bound ($upper) must not be less than " +
+                  s"lower bound ($lower)")
+          case _ =>
+        })
+      }
     }
     plan
   }

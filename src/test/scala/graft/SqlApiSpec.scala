@@ -709,6 +709,18 @@ class SqlApiSpec extends AnyFunSuite {
         """SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey
              RANGE BETWEEN -2 PRECEDING AND -1 FOLLOWING) FROM nation""").collect()
     }
+    // a negative amount that does NOT invert the pair (-1 FOLLOWING parses
+    // to the same Catalyst bound as 1 PRECEDING, so the optimizer rule
+    // can't see it) — Calcite rejects any negative frame amount; the SQL
+    // facade catches the spelling on the masked text
+    intercept[IllegalArgumentException] {
+      graft.api.SqlApi.rejectNegativeFrameBounds(
+        """SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND -1 FOLLOWING) FROM nation""")
+    }
+    // legal PRECEDING-pair upper bound passes untouched
+    assert(graft.api.SqlApi.rejectNegativeFrameBounds(
+      "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING").nonEmpty)
   }
 
   test("qaWin negative corpus: NTILE and NTH_VALUE argument bounds") {
