@@ -444,6 +444,51 @@ object QaSuites {
                  ${dStr("list_prepend('9', a_mixed)")} AS pre_mixed
           FROM test_array ORDER BY app_int"""),
 
+    // qaArray ops_funcs_mv_funcs + ops_funcs_json_funcs + scalar_funcs.40+
+    // over TYPED arrays: MV_* and JSON fns applied to ARRAY<BIGINT> columns
+    // — mv_append/'A' coerces to the ARRAY's element type (null, NOT a
+    // widened string — Function.java:564 castTo(elementType)), mv_offset
+    // renders VARCHAR, json_keys gives index strings, json_value walks the
+    // cast text, CASE/nullif compare arrays with null elements as values
+    ga("q_qa_mv_typed_arrays",
+      """SELECT mv_length(a_bool) AS len_b,
+                mv_offset(a_bool, 0) AS off_b,
+                mv_contains(a_bool, 1) AS has1,
+                CAST(mv_offset_of(a_bool, 1) AS INT) AS oof1,
+                array_to_string(mv_append(a_bool, 'A'), '|') AS app_a,
+                array_to_string(mv_append(a_int, 9), '|') AS app_9,
+                array_to_string(mv_prepend('A', a_int), '|') AS pre_a,
+                array_to_string(mv_slice(a_bool, 0, 2), '|') AS sl,
+                mv_to_string(a_bool, '|') AS mts,
+                array_to_string(json_keys(a_bool, '$.'), '|') AS jk,
+                array_to_string(json_paths(a_bool), '|') AS jp,
+                json_value(a_bool, '$[0]') AS jv0,
+                to_json_string(a_bool) AS tjs,
+                (CASE a_int WHEN array(1L, 2L, CAST(NULL AS BIGINT))
+                   THEN 1 ELSE 2 END) AS case_arr,
+                (nullif(a_int, array(1L, 2L, CAST(NULL AS BIGINT))) IS NULL) AS ni
+         FROM test_array ORDER BY mts""",
+      """SELECT 3 AS len_b,
+                CASE WHEN a_bool[1] IS NULL THEN NULL ELSE '1' END AS off_b,
+                TRUE AS has1,
+                CASE WHEN a_bool[1] IS NULL THEN 2 ELSE 0 END AS oof1,
+                CASE WHEN a_bool[1] IS NULL THEN 'null|0|1|null'
+                     ELSE '1|0|null|null' END AS app_a,
+                CASE WHEN a_bool[1] IS NULL THEN 'null|2|1|9'
+                     ELSE '1|2|null|9' END AS app_9,
+                CASE WHEN a_bool[1] IS NULL THEN 'null|null|2|1'
+                     ELSE 'null|1|2|null' END AS pre_a,
+                CASE WHEN a_bool[1] IS NULL THEN 'null|0' ELSE '1|0' END AS sl,
+                CASE WHEN a_bool[1] IS NULL THEN 'null|0|1' ELSE '1|0|null' END AS mts,
+                '0|1|2' AS jk,
+                '$' AS jp,
+                CASE WHEN a_bool[1] IS NULL THEN NULL ELSE '1' END AS jv0,
+                CASE WHEN a_bool[1] IS NULL THEN '[null,0,1]'
+                     ELSE '[1,0,null]' END AS tjs,
+                CASE WHEN a_bool[1] IS NULL THEN 2 ELSE 1 END AS case_arr,
+                (a_bool[1] IS NOT NULL) AS ni
+         FROM test_array ORDER BY mts"""),
+
     // A1_B11: ARRAY_CONCAT incl. all-null-element and empty operands
     ga("q_qa_array_concat",
       """SELECT array_to_string(array_concat(a_int, a_int), '|') AS int_int,
@@ -1535,6 +1580,32 @@ object QaSuites {
          GROUP BY c, c_long HAVING count(*) >= 1
          ORDER BY c, c_long"""),
 
+    // qaAggFuncs string_agg_{float,double,misc}: the corpus chains every
+    // string function over a STRING_AGG result (order-insensitive via count
+    // wrappers there; here the >111<222 filter leaves ONE distinct value so
+    // the aggregate string '111.1111111' is deterministic) — parse_long of
+    // a dotted string NULLs, regexp find-semantics, contains/strpos, BOTH/
+    // charset trims collapsing to '', repeat(x,0) → NULL
+    gf("q_qa_aggfuncs_strfns_over_agg",
+      """SELECT parse_long(string_agg(DISTINCT tab0d0, '|'), 16) AS pl,
+                CAST(position('1' IN string_agg(DISTINCT tab0d0, '|')) AS INT) AS pos1,
+                regexp_extract(string_agg(DISTINCT tab0d0, '|'), '111\\.') AS rex,
+                regexp_like(string_agg(DISTINCT tab0d0, '|'), '222\\.') AS rl_no,
+                regexp_like(string_agg(DISTINCT tab0d0, '|'), '111\\.') AS rl_yes,
+                contains_string(string_agg(DISTINCT tab0d0, '|'), '111.') AS cs,
+                icontains_string(string_agg(DISTINCT tab0d0, '|'), '111.') AS ics,
+                CAST(strpos(string_agg(DISTINCT tab0d0, '|'), '1111') AS INT) AS sp,
+                trim(BOTH '1234567890.' FROM string_agg(DISTINCT tab0d0, '|')) AS tb,
+                btrim(string_agg(DISTINCT tab0d0, '|'), '1234567890.') AS bt,
+                repeat(string_agg(DISTINCT tab0d0, '|'), 0) AS rep0,
+                CAST(length(string_agg(DISTINCT tab0d0, '|')) AS INT) AS len
+         FROM test_agg_funcs WHERE tab0d0 > 111 AND tab0d0 < 222""",
+      """SELECT CAST(NULL AS BIGINT) AS pl, 1 AS pos1, '111.' AS rex,
+                FALSE AS rl_no, TRUE AS rl_yes, TRUE AS cs, TRUE AS ics,
+                5 AS sp, '' AS tb, '' AS bt, CAST(NULL AS VARCHAR) AS rep0,
+                11 AS len
+         FROM test_agg_funcs WHERE tab0d0 > 111 AND tab0d0 < 222 LIMIT 1"""),
+
     // -------------------------------------------------------- qaAggFuncs ----
     // array_agg_long_test001 A03-A13: ARRAY_AGG keeps nulls; contains /
     // contains-all / overlap over aggregated arrays
@@ -1871,7 +1942,11 @@ object QaSuites {
                 JSON_VALUE(TO_JSON_STRING(PARSE_JSON(c2)), '$.a_str') AS c2_rt_s,
                 CASE WHEN TRY_PARSE_JSON('{bad json') IS NULL THEN 1 ELSE 0 END AS bad_null,
                 TO_JSON_STRING('abc') AS str_ser,
-                TO_JSON_STRING('a"b\\c') AS str_esc
+                TO_JSON_STRING('a"b\\c') AS str_esc,
+                TO_JSON_STRING('1234') AS lit_num_str,
+                TO_JSON_STRING('"This is My Key"') AS lit_quoted,
+                TO_JSON_STRING(1234) AS lit_num,
+                TO_JSON_STRING(0.1D + 0.1D) AS lit_sum
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 '{"arr":[1,2],"n":null,"x":1,"y":"z"}' AS lit_rt,
@@ -1879,7 +1954,11 @@ object QaSuites {
                 json_extract_string(c2, '$.a_str') AS c2_rt_s,
                 CASE WHEN TRY_CAST('{bad json' AS JSON) IS NULL THEN 1 ELSE 0 END AS bad_null,
                 '"abc"' AS str_ser,
-                '"a\"b\\c"' AS str_esc
+                '"a\"b\\c"' AS str_esc,
+                '"1234"' AS lit_num_str,
+                '"\"This is My Key\""' AS lit_quoted,
+                '1234' AS lit_num,
+                '0.2' AS lit_sum
          FROM test_json_cols ORDER BY rid"""),
 
     // datatype_sql: JSON_VALUE results as first-class grouping keys
@@ -1989,7 +2068,14 @@ object QaSuites {
       """SELECT rid,
                 JSON_OBJECT(KEY 'a' VALUE JSON_QUERY(c1, '$.a_obj.a_obj')) AS o_nest,
                 JSON_OBJECT('k': JSON_VALUE(c1, '$.a_str'), 'n': s_num_int) AS o_colon,
-                JSON_OBJECT(KEY 'o' VALUE JSON_OBJECT(KEY 'b' VALUE 'B')) AS o_oo
+                JSON_OBJECT(KEY 'o' VALUE JSON_OBJECT(KEY 'b' VALUE 'B')) AS o_oo,
+                JSON_OBJECT(KEY 'aaa' VALUE 'A1', KEY 'aaa' VALUE 'A2',
+                            KEY 'aaa' VALUE 'A3') AS o_dup,
+                JSON_OBJECT(KEY 'a' VALUE TRUE) AS o_bool,
+                JSON_OBJECT(KEY 'a' VALUE (1 = 2)) AS o_boolf,
+                JSON_OBJECT(KEY 'a' VALUE __time) AS o_time,
+                JSON_OBJECT(KEY '"This is My Key"' VALUE 'A') AS o_qkey,
+                JSON_OBJECT(KEY 'a' VALUE CAST(NULL AS STRING)) AS o_null
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 concat('{"a":', coalesce(CAST(json_extract(c1, '$.a_obj.a_obj') AS VARCHAR), 'null'), '}') AS o_nest,
@@ -1997,7 +2083,13 @@ object QaSuites {
                   CASE WHEN json_extract_string(c1, '$.a_str') IS NULL THEN 'null'
                        ELSE to_json(json_extract_string(c1, '$.a_str')) END,
                   ',"n":', coalesce(CAST(s_num_int AS VARCHAR), 'null'), '}') AS o_colon,
-                '{"o":{"b":"B"}}' AS o_oo
+                '{"o":{"b":"B"}}' AS o_oo,
+                '{"aaa":"A3"}' AS o_dup,
+                '{"a":1}' AS o_bool,
+                '{"a":0}' AS o_boolf,
+                concat('{"a":', CAST(epoch_ms(__time) AS VARCHAR), '}') AS o_time,
+                '{"\"This is My Key\"":"A"}' AS o_qkey,
+                '{"a":null}' AS o_null
          FROM test_json_cols ORDER BY rid"""),
 
     // func_try_parse_json.02: TRY_ is NULL on malformed text, parses real

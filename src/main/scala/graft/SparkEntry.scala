@@ -7804,7 +7804,8 @@ object SparkEntry {
     "q_qa_json_object_variadic" ->
       """SELECT event_id,
                 CAST(json_object('id', event_id, 'type', event_type,
-                                 'flag', event_id % 2 = 0,
+                                 'flag', CASE WHEN event_id % 2 = 0
+                                              THEN 1 ELSE 0 END,
                                  'half', CAST(event_id AS DOUBLE) / 2,
                                  'maybe', CASE WHEN event_id % 3 = 0
                                                THEN NULL ELSE event_type END)

@@ -143,15 +143,21 @@ case class GraftArrayAppend(arr: Expression, elem: Expression, prepend: Boolean)
 
   override lazy val replacement: Expression = {
     val ArrayType(arrElem, _) = arr.dataType: @unchecked
-    val target = arrElem match {
-      case StringType => StringType // string array absorbs any element
-      case _ => TypeCoercion.findWiderTypeForTwo(arrElem, elem.dataType)
-        .getOrElse(arrElem)
-    }
+    // reference ArrayAddElementFunction (Function.java:542-568): the ARRAY
+    // argument's element type WINS — `scalarExpr.castTo(arrayExpr
+    // .elementType())`, so appending 'A' to ARRAY<LONG> yields a null
+    // element (ExprEval casts never error), not a widened string array.
+    // NullType elements keep the array type; a NullType ARRAY adopts the
+    // element's type (nothing to preserve on that side).
+    val target =
+      if (arrElem == org.apache.spark.sql.types.NullType &&
+          elem.dataType != org.apache.spark.sql.types.NullType) elem.dataType
+      else arrElem
     def castArr(e: Expression) =
       if (arrElem == target) e else Cast(e, ArrayType(target, containsNull = true))
     val single = CreateArray(Seq(
-      if (elem.dataType == target) elem else Cast(elem, target)))
+      if (elem.dataType == target) elem
+      else Cast(elem, target, None, EvalMode.TRY)))
     if (prepend) Concat(Seq(single, castArr(arr)))
     else Concat(Seq(castArr(arr), single))
   }

@@ -797,18 +797,43 @@ object DruidFunctions {
         // values — are handled upstream by SqlApi.rewriteJsonObject, which
         // splices their serialized text order-preserved; by the time this
         // builder runs, children are plain typed expressions)
+        // reference value typing (JsonObjectExprMacro over ExprEval):
+        // BOOLEAN is a LONG 1/0 ({"a":1}, not true), TIMESTAMP is epoch
+        // millis ({"a":1640995200000}); a bare NULL value would make an
+        // untyped NullType field StructsToJson rejects — type it as string
+        def coerce(v: Expression): Expression =
+          if (!v.resolved) v
+          else v.dataType match {
+            case NullType => Cast(v, StringType)
+            case org.apache.spark.sql.types.BooleanType =>
+              Cast(v, org.apache.spark.sql.types.LongType)
+            case org.apache.spark.sql.types.TimestampType =>
+              UnresolvedFunction(Seq("unix_millis"), Seq(v), false)
+            case _ => v
+          }
         val keysFoldable = args.grouped(2).forall(_.head.foldable)
         val child =
-          if (keysFoldable)
+          if (keysFoldable) {
             // keys coerce to string like the reference (an integer-literal
-            // key is legal); a bare NULL value would make an untyped
-            // NullType field StructsToJson rejects — type it as string
-            CreateNamedStruct(args.grouped(2).flatMap { case Seq(k, v) =>
-              val tv = if (v.resolved && v.dataType == NullType)
-                Cast(v, StringType) else v
-              Seq(Cast(k, StringType), tv)
-            }.toSeq)
-          else CreateMap(args)
+            // key is legal); DUPLICATE keys keep the LAST value
+            // (funcs_and_sql_func_json_object: 'aaa'×3 → {"aaa":"A3"}),
+            // resolved here when every key folds to a comparable string
+            val pairs = args.grouped(2).map { case Seq(k, v) =>
+              val keyText = try {
+                Option(Cast(k, StringType).eval(null)).map(_.toString)
+              } catch { case _: Exception => None }
+              (keyText, k, v)
+            }.toSeq
+            val deduped =
+              if (pairs.forall(_._1.isDefined))
+                pairs.groupBy(_._1).map(_._2.last).toSeq
+                  .sortBy(p => pairs.indexWhere(_._1 == p._1))
+              else pairs
+            CreateNamedStruct(deduped.flatMap { case (_, k, v) =>
+              Seq(Cast(k, StringType), coerce(v))
+            })
+          } else CreateMap(args.grouped(2).flatMap {
+            case Seq(k, v) => Seq(k, coerce(v)) }.toSeq)
         // the reference's json_object KEEPS null-valued fields
         // ({"k":null}), matching the DuckDB oracle — Spark's generator
         // default drops them
@@ -1603,6 +1628,16 @@ object DruidFunctions {
       // reference arg order: ARRAY_PREPEND(expr, arr)
       "array_prepend" -> ((a: Seq[Expression]) =>
         graft.functions.GraftArrayAppend(a(1), a.head, prepend = true)),
+      // MV_* add-element forms: the same lhs-typed append (Function.java
+      // ArrayAddElementFunction:542 via MultiValueStringOperatorConversions)
+      // rendered as a VARCHAR MV — qaArray ops_funcs_mv_funcs:
+      // mv_append(ARRAY<LONG>, 'A') → ["1","0",null,null]
+      "mv_append" -> ((a: Seq[Expression]) =>
+        Cast(graft.functions.GraftArrayAppend(a.head, a(1), prepend = false),
+          org.apache.spark.sql.types.ArrayType(StringType))),
+      "mv_prepend" -> ((a: Seq[Expression]) =>
+        Cast(graft.functions.GraftArrayAppend(a(1), a.head, prepend = true),
+          org.apache.spark.sql.types.ArrayType(StringType))),
       "mv_to_array" -> ((a: Seq[Expression]) => a.head),
       "array_to_mv" -> ((a: Seq[Expression]) => a.head),
       // [start, end) 0-based (Function.java ArraySliceFunction:4646-4656):
@@ -1675,6 +1710,32 @@ object DruidFunctions {
       "array_concat_agg" -> ((a: Seq[Expression]) =>
         Flatten(new org.apache.spark.sql.catalyst.expressions.aggregate
           .CollectList(a.head).toAggregateExpression())),
+      // TO_JSON_STRING (NestedDataExpressions.ToJsonStringExprMacro): a
+      // STRING *literal* is typed VARCHAR in the reference and always
+      // serializes as a JSON string — to_json_string('1234') = "1234",
+      // to_json_string('"This is My Key"') = "\"This is My Key\""
+      // (funcs_and_sql_func_to_json_string corpus) — resolvable at build
+      // time here; non-literal input rides the STRING-facade rule
+      // (parseable → canonical document via parse→to_json, else quoted
+      // string; the array(j) trick reuses Spark's JSON string escaping).
+      "to_json_string" -> ((a: Seq[Expression]) => {
+        require(a.size == 1, s"to_json_string takes 1 argument, got ${a.size}")
+        a.head match {
+          case Literal(null, StringType) => Literal.create(null, StringType)
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+              com.fasterxml.jackson.databind.node.TextNode
+                .valueOf(u.toString).toString), StringType)
+          case e =>
+            val j = Cast(e, StringType)
+            val tryp = fn("try_parse_json", j)
+            val asArr = fn("to_json", fn("array", j))
+            If(IsNull(j), Literal.create(null, StringType),
+              If(IsNotNull(tryp), fn("to_json", tryp),
+                fn("substr", asArr, Literal(2),
+                  Subtract(fn("length", asArr), Literal(2)))))
+        }
+      }),
       // typed JSON_VALUE variants backing the SQL RETURNING clause
       // (SqlApi.rewriteJsonReturning maps `RETURNING bigint array` etc. here;
       // reference sql/.../expression/builtin/NestedDataOperatorConversions).
@@ -1818,10 +1879,11 @@ object DruidFunctions {
          CAST(nullif(array_position(a, v), 0) - 1 AS INT)""",
       """MV_ORDINAL_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
          CAST(nullif(array_position(a, v), 0) AS INT)""",
-      // concat form: ARRAY_APPEND/ARRAY_PREPEND are shadowed by the
-      // polymorphic reference-arg-order builders above
-      "MV_APPEND(a ARRAY<STRING>, v STRING) RETURNS ARRAY<STRING> RETURN concat(a, array(v))",
-      "MV_PREPEND(v STRING, a ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(array(v), a)",
+      // (MV_APPEND / MV_PREPEND live in arrayBuilders: the reference routes
+      //  them through the polymorphic array_append — the ARRAY's element
+      //  type wins, so appending 'A' to a BIGINT array yields a null
+      //  element — then renders as a VARCHAR MV; a typed SQL macro would
+      //  silently retype the array to strings first and keep 'A')
       "MV_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(a, b)",
       // reference slice is 0-based [start, end)
       """MV_SLICE(a ARRAY<STRING>, s INT, e INT) RETURNS ARRAY<STRING> RETURN
@@ -1863,21 +1925,13 @@ object DruidFunctions {
       // PARSE_JSON / TRY_PARSE_JSON themselves are Spark built-ins with the
       // reference's exact names and semantics (variant result; TRY_ → null
       // on malformed input) — nothing to register.
-      // TO_JSON_STRING: canonical re-serialization for JSON documents, and
-      // JSON-STRING serialization (quote + escape) for plain strings — the
-      // reference quotes string-typed input (func_to_json_string.01 A004:
-      // to_json_string('abc') = "abc") and re-serializes COMPLEX<json>
-      // input. At this STRING facade the two meet as: parseable → document,
-      // unparseable → quoted string. (A string VALUE that itself spells
-      // valid JSON — '1234', '[]' — takes the document path; irreducible
-      // without a nested type.) The array(j) trick reuses Spark's JSON
-      // string escaping.
-      """TO_JSON_STRING(j STRING) RETURNS STRING RETURN
-         CASE
-           WHEN j IS NULL THEN NULL
-           WHEN try_parse_json(j) IS NOT NULL THEN to_json(try_parse_json(j))
-           ELSE substr(to_json(array(j)), 2, length(to_json(array(j))) - 2)
-         END""",
+      // (TO_JSON_STRING lives in arrayBuilders: literal-aware — a VARCHAR
+      //  LITERAL always serializes as a JSON string like the reference
+      //  ('1234' → "1234", '"x"' → "\"x\""); non-literal input keeps the
+      //  facade rule parseable → document / unparseable → quoted string,
+      //  since a JSON column and a string value are the same STRING type
+      //  here. A non-literal string VALUE that itself spells valid JSON
+      //  takes the document path; irreducible without a nested type.)
       // ------------------------------------- native expression language ----
       // the reference's native expression language (math/expr/Function.java,
       // query/expression/Timestamp*ExprMacro.java) names time functions

@@ -331,14 +331,22 @@ class FunctionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT JSON_OBJECT('a', 'b'),
                 JSON_QUERY_ARRAY('{"xs": ["p", "q"]}', '$.xs'),
-                TO_JSON_STRING('{"a":  1}'),
+                TO_JSON_STRING(c),
                 to_json(TRY_PARSE_JSON('not json')),
-                MV_TO_ARRAY(array('x', 'y')), ARRAY_TO_MV(array('x'))""").head()
+                MV_TO_ARRAY(array('x', 'y')), ARRAY_TO_MV(array('x')),
+                TO_JSON_STRING('{"a":  1}')
+         FROM VALUES ('{"a":  1}') t(c)""").head()
     assert(r.getString(0) == """{"a":"b"}""")
     assert(r.getSeq[String](1) == Seq("p", "q"))
-    assert(r.getString(2) == """{"a":1}""", "canonical re-serialization")
+    assert(r.getString(2) == """{"a":1}""",
+      "canonical re-serialization of a (non-literal) JSON column value")
     assert(r.isNullAt(3), "TRY_PARSE_JSON (Spark built-in) → null on garbage")
     assert(r.getSeq[String](4) == Seq("x", "y"))
+    // a VARCHAR LITERAL always serializes as a JSON string in the reference
+    // (funcs_and_sql_func_to_json_string: '1234' → "1234"), even when it
+    // spells valid JSON
+    assert(r.getString(6) == "\"{\\\"a\\\":  1}\"",
+      "string literal is JSON-string-quoted, not re-parsed")
   }
 
   test("SQL TIME_FLOOR / TIME_SHIFT raise on unsupported periods") {
