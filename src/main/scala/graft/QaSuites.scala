@@ -1580,6 +1580,117 @@ object QaSuites {
          GROUP BY c, c_long HAVING count(*) >= 1
          ORDER BY c, c_long"""),
 
+    // ---- qaUnnest round 4: array_sql_order_by / mv_sql_join /
+    // array_sql_agg_funcs / array_sql_array_funcs families.
+    // ORDER BY positional ordinal (ORDER BY 1 DESC), ORDER BY inside a
+    // subquery, outer-scalar order keys over the lateral
+    gu("q_qa_unnest_order_positional",
+      """SELECT kind, c, cnt FROM (
+           SELECT 'byc' AS kind, CAST(c AS STRING) AS c,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM test_unnest, UNNEST(a_bool) AS u(c) GROUP BY c
+           UNION ALL
+           SELECT 'bysint' AS kind, CAST(s_int AS STRING) AS c,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM test_unnest, UNNEST(a_bool) AS u(c) GROUP BY s_int
+           UNION ALL
+           SELECT 'sub' AS kind, CAST(c AS STRING) AS c,
+                  CAST(1 AS BIGINT) AS cnt
+           FROM (SELECT c FROM test_unnest, UNNEST(a_int) AS u(c)
+                 ORDER BY 1 DESC LIMIT 3)) z
+         ORDER BY kind, c NULLS FIRST, cnt""",
+      """SELECT kind, c, cnt FROM (
+           SELECT 'byc' AS kind, CAST(c AS VARCHAR) AS c, count(*) AS cnt
+           FROM (SELECT unnest(a_bool) AS c FROM test_unnest) GROUP BY c
+           UNION ALL
+           SELECT 'bysint' AS kind, CAST(s_int AS VARCHAR) AS c, count(*) AS cnt
+           FROM (SELECT s_int, unnest(a_bool) AS c FROM test_unnest) GROUP BY s_int
+           UNION ALL
+           SELECT 'sub' AS kind, CAST(c AS VARCHAR) AS c, 1::BIGINT AS cnt
+           FROM (SELECT c FROM (SELECT unnest(a_int) AS c FROM test_unnest)
+                 ORDER BY 1 DESC NULLS LAST LIMIT 3)) z
+         ORDER BY kind, c NULLS FIRST, cnt"""),
+    // mv_sql_join: the lateral joined THROUGH explicit join forms — joins
+    // where one side is a subquery CONTAINING the unnest (the comma-join +
+    // JOIN mixes are !error in the reference)
+    gm("q_qa_unnest_join_forms",
+      """SELECT t1.c_str AS c_str, t1.c_long AS c_long, u2.c AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest t1
+         INNER JOIN (SELECT c_long, c FROM test_unnest,
+                     UNNEST(MV_TO_ARRAY(c_mv_num_with_null_and_empty_val)) AS u(c)) u2
+           ON t1.c_long = u2.c_long
+         WHERE t1.c_long < 3
+         GROUP BY t1.c_str, t1.c_long, u2.c
+         ORDER BY c_long, c NULLS FIRST, c_str NULLS FIRST""",
+      """SELECT t1.c_str AS c_str, t1.c_long AS c_long, u2.c AS c,
+                count(*) AS cnt
+         FROM test_unnest t1
+         INNER JOIN (SELECT c_long,
+                            unnest(c_mv_num_with_null_and_empty_val) AS c
+                     FROM test_unnest) u2
+           ON t1.c_long = u2.c_long
+         WHERE t1.c_long < 3
+         GROUP BY t1.c_str, t1.c_long, u2.c
+         ORDER BY c_long, c NULLS FIRST, c_str NULLS FIRST"""),
+    gm("q_qa_unnest_left_join_unnest_side",
+      """SELECT t1.c_long AS c_long, u2.c AS c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest t1
+         LEFT JOIN (SELECT c_long, c FROM test_unnest,
+                    UNNEST(MV_TO_ARRAY(c_mv_complex_with_null_and_empty_row)) AS u(c)) u2
+           ON t1.c_long = u2.c_long
+         GROUP BY t1.c_long, u2.c
+         ORDER BY c_long, c NULLS FIRST""",
+      """SELECT t1.c_long AS c_long, u2.c AS c, count(*) AS cnt
+         FROM test_unnest t1
+         LEFT JOIN (SELECT c_long,
+                           unnest(c_mv_complex_with_null_and_empty_row) AS c
+                    FROM test_unnest) u2
+           ON t1.c_long = u2.c_long
+         GROUP BY t1.c_long, u2.c
+         ORDER BY c_long, c NULLS FIRST"""),
+    // array_sql_agg_funcs: aggregates over the unnested ELEMENT and the
+    // outer scalar under the standard filter — count/sum/min/max plus
+    // DISTINCT forms of both levels
+    gu("q_qa_unnest_agg_elem_scalar",
+      """SELECT CAST(count(*) AS BIGINT) AS c_all,
+                CAST(count(DISTINCT c) AS BIGINT) AS c_dc,
+                CAST(count(DISTINCT s_int) AS BIGINT) AS c_ds,
+                CAST(sum(c) AS BIGINT) AS s_c,
+                CAST(sum(s_int) AS BIGINT) AS s_s,
+                CAST(min(c) AS BIGINT) AS mn_c,
+                CAST(max(s_int) AS BIGINT) AS mx_s
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         WHERE s_int IN (0, 1, 2) OR s_int IS NULL""",
+      """SELECT count(*) AS c_all,
+                count(DISTINCT c) AS c_dc,
+                count(DISTINCT s_int) AS c_ds,
+                CAST(sum(c) AS BIGINT) AS s_c,
+                CAST(sum(s_int) AS BIGINT) AS s_s,
+                CAST(min(c) AS BIGINT) AS mn_c,
+                CAST(max(s_int) AS BIGINT) AS mx_s
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         WHERE s_int IN (0, 1, 2) OR s_int IS NULL"""),
+    // array_sql_array_funcs: arrays CONSTRUCTED from the unnested element
+    // and the outer scalar (array[c, s_int, 3]), fed back through array
+    // fns and filters
+    gu("q_qa_unnest_array_construct_elem",
+      """SELECT array_to_string(array(c, s_int, 3L), '|') AS built,
+                CAST(array_length(array(c, c, 3L)) AS INT) AS len3,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_int) AS u(c)
+         WHERE (s_int IN (0, 1, 2) OR s_int IS NULL)
+           AND array_contains(array(c, s_int, 3L), 3)
+         GROUP BY array(c, s_int, 3L), array(c, c, 3L)
+         ORDER BY built""",
+      """SELECT concat(coalesce(CAST(c AS VARCHAR), 'null'), '|',
+                       coalesce(CAST(s_int AS VARCHAR), 'null'), '|3') AS built,
+                3 AS len3, count(*) AS cnt
+         FROM (SELECT s_int, unnest(a_int) AS c FROM test_unnest)
+         WHERE s_int IN (0, 1, 2) OR s_int IS NULL
+         GROUP BY c, s_int
+         ORDER BY built"""),
+
     // qaAggFuncs string_agg_{float,double,misc}: the corpus chains every
     // string function over a STRING_AGG result (order-insensitive via count
     // wrappers there; here the >111<222 filter leaves ONE distinct value so

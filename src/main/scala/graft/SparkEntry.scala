@@ -303,7 +303,33 @@ object SparkEntry {
                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_run,
                 CAST(count(*) OVER (PARTITION BY cli ORDER BY srv
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS BIGINT) AS c_look
-         FROM w GROUP BY cli, srv ORDER BY cli, srv""")
+         FROM w GROUP BY cli, srv ORDER BY cli, srv""",
+    // sql_select_count / sql_limit_offset / sql_union_all wraps: counting
+    // a PAGED windowed subquery (LIMIT/OFFSET applied before the count),
+    // count(col) over a NULL-bearing window output, and window results
+    // consumed through UNION ALL
+    "q_qa_win_count_paged_union" ->
+      """SELECT kind, c FROM (
+           SELECT 'lim' AS kind, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS fv
+             FROM w LIMIT 7) z1
+           UNION ALL
+           SELECT 'off' AS kind, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS fv
+             FROM w LIMIT 100 OFFSET 3) z2
+           UNION ALL
+           SELECT 'cntcol' AS kind, CAST(count(fv) AS BIGINT) AS c FROM (
+             SELECT CASE WHEN tz = '0' THEN NULL ELSE
+               first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12) END AS fv
+             FROM w) z3
+           UNION ALL
+           SELECT 'uall' AS kind, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT last_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS v
+             FROM w
+             UNION ALL
+             SELECT first_value(tz) OVER (PARTITION BY cli ORDER BY srv, tz, t12) AS v
+             FROM w) z4) u
+         ORDER BY kind""")
 
   private def winRound4Queries
       : Map[String, (SparkSession, String) => DataFrame] =
