@@ -3007,6 +3007,38 @@ object SparkEntry {
       s.sql(drillSql("ssb_q4"))
     }),
 
+    "q_drill_tpcds_rank_peers" -> ((s, dir) => {
+      // Drill tpcds_variants/{cumedist,percentrank,denserank,a1}*.sql: the
+      // rank family OVER (PARTITION BY k ORDER BY k) — ordering by the
+      // partition key makes the WHOLE partition one peer group, so
+      // PERCENT_RANK is 0, CUME_DIST is 1, DENSE_RANK is 1 on every row,
+      // and the a1 running SUM equals the whole-partition sum; computed
+      // over the customer ⋈ orders comma-join like the corpus's
+      // customer ⋈ store_sales
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT CAST(count(DISTINCT pr) AS BIGINT) AS pr_vals,
+               CAST(max(pr) AS DOUBLE) AS pr_max,
+               CAST(count(DISTINCT cd) AS BIGINT) AS cd_vals,
+               CAST(min(cd) AS DOUBLE) AS cd_min,
+               CAST(count(DISTINCT dr) AS BIGINT) AS dr_vals,
+               CAST(max(dr) AS BIGINT) AS dr_max,
+               CAST(count(*) FILTER (WHERE srun = stot) AS BIGINT) AS sum_peers
+        FROM (
+          SELECT PERCENT_RANK() OVER (PARTITION BY o.o_custkey
+                   ORDER BY o.o_custkey) AS pr,
+                 CUME_DIST() OVER (PARTITION BY o.o_custkey
+                   ORDER BY o.o_custkey) AS cd,
+                 DENSE_RANK() OVER (PARTITION BY o.o_custkey, c.c_custkey
+                   ORDER BY o.o_custkey, c.c_custkey) AS dr,
+                 CAST(sum(o.o_totalprice) OVER (PARTITION BY o.o_custkey
+                   ORDER BY o.o_custkey) AS DECIMAL(18,2)) AS srun,
+                 CAST(sum(o.o_totalprice) OVER (PARTITION BY o.o_custkey)
+                   AS DECIMAL(18,2)) AS stot
+          FROM customer c, orders o
+          WHERE c.c_custkey = o.o_custkey AND o.o_custkey < 500) z""")
+    }),
+
     "q_drill_tpcds_q47" -> ((s, dir) => {
       // tpcds/query47.sql: monthly brand sales with LAG/LEAD neighbors and
       // a DESC in-brand rank
@@ -4893,12 +4925,12 @@ object SparkEntry {
       DruidFunctions.register(s)
       s.sql(s"""
         WITH ips AS (
-          SELECT concat('10.', CAST(user_id % 256 AS STRING), '.',
-                        CAST(user_id * 7 % 256 AS STRING), '.1') AS ip
-          FROM events WHERE user_id < 100)
+          SELECT ip, IPV4_PARSE(ip) AS ipl FROM (
+            SELECT concat('10.', CAST(user_id % 256 AS STRING), '.',
+                          CAST(user_id * 7 % 256 AS STRING), '.1') AS ip
+            FROM events WHERE user_id < 100))
         SELECT CAST(count(*) FILTER (WHERE
-                 ${battery("IPV4_PARSE(ip)", "IPV4_PARSE(ip) - 1",
-                   "IPV4_PARSE(ip) + 1", "STRING")}) AS BIGINT) AS cnt_parse,
+                 ${battery("ipl", "ipl - 1", "ipl + 1", "STRING")}) AS BIGINT) AS cnt_parse,
                CAST(count(*) FILTER (WHERE IPV4_MATCH(ip, '10.0.0.0/8')) AS BIGINT) AS cnt_match,
                CAST(count(*) FILTER (WHERE IPV4_STRINGIFY(IPV4_PARSE(ip)) = ip) AS BIGINT) AS cnt_roundtrip,
                IPV4_PARSE('300.1.1.1') AS inv_octet,
@@ -7577,6 +7609,14 @@ object SparkEntry {
     "q_ssb_q3_0" -> drillSql("ssb_q3_0"),
     "q_ssb_q3_3" -> drillSql("ssb_q3_3"),
     "q_ssb_q4_2" -> drillSql("ssb_q4_2"),
+    "q_drill_tpcds_rank_peers" ->
+      """SELECT 1::BIGINT AS pr_vals, 0.0::DOUBLE AS pr_max,
+                1::BIGINT AS cd_vals, 1.0::DOUBLE AS cd_min,
+                1::BIGINT AS dr_vals, 1::BIGINT AS dr_max,
+                (SELECT count(*) FROM customer c, orders o
+                 WHERE c.c_custkey = o.o_custkey
+                   AND o.o_custkey < 500) AS sum_peers""",
+
     "q_drill_tpcds_q47" -> drillSql("tpcds_q47"),
     "q_drill_tpcds_q57" -> drillSql("tpcds_q57"),
     "q_drill_tpcds_q63" -> drillSql("tpcds_q63"),
