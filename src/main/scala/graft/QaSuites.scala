@@ -1691,6 +1691,36 @@ object QaSuites {
          GROUP BY c, s_int
          ORDER BY built"""),
 
+    // mv/array_sql_scalar_{string,numeric}_funcs: the unnested STRING
+    // element rides NUMERIC functions via string→number coercion
+    // (abs(c)+abs(c_long), ceil(c+c_long)) and the numeric scalar rides
+    // STRING functions via number→string coercion (concat(c, c_long),
+    // length, string_format('%sZ', long))
+    gm("q_qa_unnest_mv_scalar_coercion",
+      """SELECT c,
+                CAST(abs(c) + abs(c_long) AS DOUBLE) AS ab,
+                CAST(ceil(c + c_long) AS BIGINT) AS ce,
+                concat(c, c_long) AS cc,
+                CAST(length(CAST(c_long AS STRING)) AS INT) AS ln,
+                string_format('%sZ', c_long) AS sf,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(MV_TO_ARRAY(c_mv_num)) AS u(c)
+         WHERE c_long IN (0, 1, 2)
+         GROUP BY c, abs(c) + abs(c_long), ceil(c + c_long),
+                  concat(c, c_long), length(CAST(c_long AS STRING)),
+                  string_format('%sZ', c_long)
+         ORDER BY c, ab, cc""",
+      """SELECT c,
+                CAST(abs(CAST(c AS DOUBLE)) + abs(c_long) AS DOUBLE) AS ab,
+                CAST(ceil(CAST(c AS DOUBLE) + c_long) AS BIGINT) AS ce,
+                concat(c, CAST(c_long AS VARCHAR)) AS cc,
+                CAST(length(CAST(c_long AS VARCHAR)) AS INT) AS ln,
+                concat(CAST(c_long AS VARCHAR), 'Z') AS sf,
+                count(*) AS cnt
+         FROM (SELECT c_long, unnest(c_mv_num) AS c FROM test_unnest)
+         WHERE c_long IN (0, 1, 2)
+         GROUP BY ALL ORDER BY c, ab, cc"""),
+
     // qaAggFuncs string_agg_{float,double,misc}: the corpus chains every
     // string function over a STRING_AGG result (order-insensitive via count
     // wrappers there; here the >111<222 filter leaves ONE distinct value so
