@@ -3007,6 +3007,26 @@ object SparkEntry {
       s.sql(drillSql("ssb_q4"))
     }),
 
+    "q_qa_sql_aggr_general_having" -> ((s, dir) => {
+      // qaSql aggr_general.std: aggregates with POST-arithmetic (+1), MIN/
+      // MAX of the time_floor key shifted by INTERVAL '1' YEAR, and HAVING
+      // on the GROUP key itself with a BETWEEN timestamp range
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(TIME_FLOOR(ts, 'PT1H') AS STRING) AS t,
+               CAST(count(*) + 1 AS BIGINT) AS c1,
+               CAST(count(DISTINCT event_type) + 1 AS BIGINT) AS cd,
+               CAST(min(TIME_FLOOR(ts, 'PT1H')) + INTERVAL '1' YEAR AS STRING) AS mn_y,
+               CAST(max(TIME_FLOOR(ts, 'PT1H')) + INTERVAL '1' YEAR AS STRING) AS mx_y,
+               CAST(floor(avg(user_id) + 1) AS BIGINT) AS av1
+        FROM events
+        GROUP BY TIME_FLOOR(ts, 'PT1H')
+        HAVING TIME_FLOOR(ts, 'PT1H')
+          BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-03 00:00:00'
+        ORDER BY t""")
+    }),
+
     "q_drill_tpcds_rank_peers" -> ((s, dir) => {
       // Drill tpcds_variants/{cumedist,percentrank,denserank,a1}*.sql: the
       // rank family OVER (PARTITION BY k ORDER BY k) — ordering by the
@@ -7609,6 +7629,21 @@ object SparkEntry {
     "q_ssb_q3_0" -> drillSql("ssb_q3_0"),
     "q_ssb_q3_3" -> drillSql("ssb_q3_3"),
     "q_ssb_q4_2" -> drillSql("ssb_q4_2"),
+    "q_qa_sql_aggr_general_having" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS t,
+                count(*) + 1 AS c1,
+                count(DISTINCT event_type) + 1 AS cd,
+                CAST(min(time_bucket(INTERVAL '1 hour', ts))
+                  + INTERVAL '1 year' AS VARCHAR) AS mn_y,
+                CAST(max(time_bucket(INTERVAL '1 hour', ts))
+                  + INTERVAL '1 year' AS VARCHAR) AS mx_y,
+                CAST(floor(avg(user_id) + 1) AS BIGINT) AS av1
+         FROM events
+         GROUP BY time_bucket(INTERVAL '1 hour', ts)
+         HAVING time_bucket(INTERVAL '1 hour', ts)
+           BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-03 00:00:00'
+         ORDER BY t""",
+
     "q_drill_tpcds_rank_peers" ->
       """SELECT 1::BIGINT AS pr_vals, 0.0::DOUBLE AS pr_max,
                 1::BIGINT AS cd_vals, 1.0::DOUBLE AS cd_min,
