@@ -1738,12 +1738,17 @@ object QaSuites {
                 CAST(strpos(string_agg(DISTINCT tab0d0, '|'), '1111') AS INT) AS sp,
                 trim(BOTH '1234567890.' FROM string_agg(DISTINCT tab0d0, '|')) AS tb,
                 btrim(string_agg(DISTINCT tab0d0, '|'), '1234567890.') AS bt,
+                ltrim(string_agg(DISTINCT tab0d0, '|'), '1') AS lt2,
+                rtrim(string_agg(DISTINCT tab0d0, '|'), '1') AS rt2,
+                CAST(position('1' IN string_agg(DISTINCT tab0d0, '|') FROM 2) AS INT) AS posf,
                 repeat(string_agg(DISTINCT tab0d0, '|'), 0) AS rep0,
                 CAST(length(string_agg(DISTINCT tab0d0, '|')) AS INT) AS len
          FROM test_agg_funcs WHERE tab0d0 > 111 AND tab0d0 < 222""",
       """SELECT CAST(NULL AS BIGINT) AS pl, 1 AS pos1, '111.' AS rex,
                 FALSE AS rl_no, TRUE AS rl_yes, TRUE AS cs, TRUE AS ics,
-                5 AS sp, '' AS tb, '' AS bt, CAST(NULL AS VARCHAR) AS rep0,
+                5 AS sp, '' AS tb, '' AS bt,
+                '.1111111' AS lt2, '111.' AS rt2, 2 AS posf,
+                CAST(NULL AS VARCHAR) AS rep0,
                 11 AS len
          FROM test_agg_funcs WHERE tab0d0 > 111 AND tab0d0 < 222 LIMIT 1"""),
 
@@ -2455,7 +2460,8 @@ object QaSuites {
     s.sql(graft.api.SqlApi.unmaskLiterals(
       graft.api.SqlApi.rewriteJsonObject(
         graft.api.SqlApi.rewriteJsonReturning(
-          graft.api.SqlApi.rewriteUnnest(masked))), lits))
+          graft.api.SqlApi.rewriteUnnest(
+            graft.api.SqlApi.rewritePositionFrom(masked)))), lits))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

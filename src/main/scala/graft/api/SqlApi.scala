@@ -420,7 +420,7 @@ object SqlApi {
     unmaskLiterals(
       rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
         rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(rewriteFetch(
-          rejectNegativeFrameBounds(masked))))))))), lits)
+          rewritePositionFrom(rejectNegativeFrameBounds(masked)))))))))), lits)
   }
 
   /** Calcite's SQL-standard row-limit spellings — `FETCH FIRST|NEXT n
@@ -433,6 +433,57 @@ object SqlApi {
       .replaceAll("(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
       .replaceAll("(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b",
         "LIMIT $1")
+
+  /** Calcite's `POSITION(needle IN haystack FROM start)` — the FROM-start
+    * form Spark's grammar lacks (PositionOperatorConversion; the qaAggFuncs
+    * string_agg corpus writes it). `locate(needle, haystack, start)` has
+    * the identical contract: 1-based index in the FULL string, search
+    * starting at `start`, 0 when absent. Balanced-paren scan (operands may
+    * nest calls); the no-FROM form stays on Spark's builtin.
+    */
+  private[graft] def rewritePositionFrom(sqlText: String): String = {
+    val Re = """(?i)\bPOSITION\s*\(""".r
+    def topLevelToken(s: String, token: String): Int = {
+      val up = s.toUpperCase
+      var depth = 0
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith(token, i) &&
+                (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
+                (i + token.length >= s.length ||
+                 !up.charAt(i + token.length).isLetterOrDigit))
+              return i
+        }
+        i += 1
+      }
+      -1
+    }
+    def loop(s: String, from: Int): String =
+      Re.findFirstMatchIn(s.substring(from)) match {
+        case None => s
+        case Some(m) =>
+          val open = s.indexOf('(', from + m.start)
+          val close = matchParen(s, open)
+          val inner = s.substring(open + 1, close)
+          val inIdx = topLevelToken(inner, "IN")
+          val fromIdx = topLevelToken(inner, "FROM")
+          if (inIdx < 0 || fromIdx < 0 || fromIdx < inIdx)
+            loop(s, close + 1) // plain POSITION(x IN y) — Spark handles it
+          else {
+            val needle = inner.substring(0, inIdx).trim
+            val hay = inner.substring(inIdx + 2, fromIdx).trim
+            val start = inner.substring(fromIdx + 4).trim
+            val repl = s"locate($needle, $hay, $start)"
+            loop(s.substring(0, from + m.start) + repl +
+              s.substring(close + 1), from + m.start)
+          }
+      }
+    loop(sqlText, 0)
+  }
 
   /** Calcite (and therefore the reference) rejects any NEGATIVE window-frame
     * amount — `ROWS BETWEEN UNBOUNDED PRECEDING AND -1 FOLLOWING` is an

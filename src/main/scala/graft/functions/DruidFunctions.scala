@@ -895,6 +895,26 @@ object DruidFunctions {
       // (the whole match) and a non-matching pattern yields NULL — Spark's
       // built-in returns '' and requires care with the index, so shadow it
       // with the reference's semantics
+      // Druid LTrim/RTrimOperatorConversions: LTRIM(expr[, chars]) — but
+      // Spark's legacy TWO-arg ltrim/rtrim take (trimStr, srcStr) REVERSED,
+      // so ltrim('xxabcxx','x') would silently trim 'x' by 'xxabcxx' → ''.
+      // Shadow with the reference's argument order.
+      "ltrim" -> ((args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          s"ltrim takes 1 or 2 arguments, got ${args.size}")
+        if (args.size == 1)
+          org.apache.spark.sql.catalyst.expressions.StringTrimLeft(args.head)
+        else org.apache.spark.sql.catalyst.expressions.StringTrimLeft(
+          args(0), Some(args(1)))
+      }),
+      "rtrim" -> ((args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          s"rtrim takes 1 or 2 arguments, got ${args.size}")
+        if (args.size == 1)
+          org.apache.spark.sql.catalyst.expressions.StringTrimRight(args.head)
+        else org.apache.spark.sql.catalyst.expressions.StringTrimRight(
+          args(0), Some(args(1)))
+      }),
       "regexp_extract" -> ((args: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.{If, RLike, RegExpExtract}
         import org.apache.spark.sql.types.StringType
