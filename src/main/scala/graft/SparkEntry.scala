@@ -3007,6 +3007,24 @@ object SparkEntry {
       s.sql(drillSql("ssb_q4"))
     }),
 
+    "q_sql_date_trunc_units" -> ((s, dir) => {
+      // DateTruncOperatorConversion TRUNC_PERIOD_MAP: decade/century/
+      // millennium are P10Y/P100Y/P1000Y on the DEFAULT 1970 origin
+      // (millennium(1987) → 1970, not the calendar 1000), micro/milliseconds
+      // truncate to millis, quarter/week are the calendar floors — Spark's
+      // builtin silently NULLs the extended units, hence the shadow builder
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      s.sql("""
+        SELECT CAST(DATE_TRUNC('decade', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS dec_u,
+               CAST(DATE_TRUNC('century', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS cen_u,
+               CAST(DATE_TRUNC('millennium', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS mil_u,
+               CAST(DATE_TRUNC('quarter', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS qtr_u,
+               CAST(DATE_TRUNC('week', TIMESTAMP'1987-06-17 10:00:00') AS STRING) AS wk_u,
+               CAST(DATE_TRUNC('milliseconds', TIMESTAMP'1987-06-15 10:00:00.1234') AS STRING) AS ms_u,
+               CAST(DATE_TRUNC('hour', TIMESTAMP'1987-06-15 10:30:00') AS STRING) AS hr_u""")
+    }),
+
     "q_qa_sql_aggr_general_having" -> ((s, dir) => {
       // qaSql aggr_general.std: aggregates with POST-arithmetic (+1), MIN/
       // MAX of the time_floor key shifted by INTERVAL '1' YEAR, and HAVING
@@ -7629,6 +7647,15 @@ object SparkEntry {
     "q_ssb_q3_0" -> drillSql("ssb_q3_0"),
     "q_ssb_q3_3" -> drillSql("ssb_q3_3"),
     "q_ssb_q4_2" -> drillSql("ssb_q4_2"),
+    "q_sql_date_trunc_units" ->
+      """SELECT '1980-01-01 00:00:00' AS dec_u,
+                '1970-01-01 00:00:00' AS cen_u,
+                '1970-01-01 00:00:00' AS mil_u,
+                '1987-04-01 00:00:00' AS qtr_u,
+                '1987-06-15 00:00:00' AS wk_u,
+                '1987-06-15 10:00:00.123' AS ms_u,
+                '1987-06-15 10:00:00' AS hr_u""",
+
     "q_qa_sql_aggr_general_having" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS t,
                 count(*) + 1 AS c1,

@@ -1492,6 +1492,36 @@ object DruidFunctions {
       // SQL TIME_FLOOR with the full reference arity (period/origin/tz);
       // replaces the old 2-arg SQL macro — same semantics for 2 args
       "time_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
+      // DateTruncOperatorConversion: DATE_TRUNC(unit, ts) compiles to
+      // timestamp_floor over TRUNC_PERIOD_MAP — decade/century/millennium
+      // are P10Y/P100Y/P1000Y with the DEFAULT 1970 origin (so
+      // millennium(1987) is 1970, NOT the calendar 1000-aligned value), and
+      // micro/milliseconds both truncate to millis; Spark's builtin NULLs
+      // the units it doesn't know, so shadow the extended ones and pass the
+      // rest through
+      "date_trunc" -> ((args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"date_trunc takes 2 arguments, got ${args.size}")
+        val unit = args.head match {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType)
+            if u != null => Some(u.toString.toLowerCase)
+          case _ => None
+        }
+        def floorP(p: String) =
+          timeFloorBuilder(Seq(args(1), Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p),
+            StringType)))
+        unit match {
+          case Some("decade")      => floorP("P10Y")
+          case Some("century")     => floorP("P100Y")
+          case Some("millennium")  => floorP("P1000Y")
+          case Some("microseconds") | Some("milliseconds") =>
+            floorP("PT0.001S")
+          case _ =>
+            new org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
+              args.head, args(1))
+        }
+      }),
       "timestamp_floor" -> ((args: Seq[Expression]) => timeFloorBuilder(args)),
       "time_ceil" -> ((args: Seq[Expression]) => timeCeilBuilder(args)),
       "timestamp_ceil" -> ((args: Seq[Expression]) => timeCeilBuilder(args)),
