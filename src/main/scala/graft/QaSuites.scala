@@ -2461,7 +2461,8 @@ object QaSuites {
       graft.api.SqlApi.rewriteJsonObject(
         graft.api.SqlApi.rewriteJsonReturning(
           graft.api.SqlApi.rewriteUnnest(
-            graft.api.SqlApi.rewritePositionFrom(masked)))), lits))
+            graft.api.SqlApi.rewritePositionFrom(
+              graft.api.SqlApi.rewriteExtractUnits(masked))))), lits))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

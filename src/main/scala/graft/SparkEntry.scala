@@ -3015,14 +3015,19 @@ object SparkEntry {
       // builtin silently NULLs the extended units, hence the shadow builder
       Tables.registerAll(s, dir)
       DruidFunctions.register(s)
-      s.sql("""
+      s.sql(graft.api.SqlApi.rewriteExtractUnits("""
         SELECT CAST(DATE_TRUNC('decade', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS dec_u,
                CAST(DATE_TRUNC('century', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS cen_u,
                CAST(DATE_TRUNC('millennium', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS mil_u,
                CAST(DATE_TRUNC('quarter', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS qtr_u,
                CAST(DATE_TRUNC('week', TIMESTAMP'1987-06-17 10:00:00') AS STRING) AS wk_u,
                CAST(DATE_TRUNC('milliseconds', TIMESTAMP'1987-06-15 10:00:00.1234') AS STRING) AS ms_u,
-               CAST(DATE_TRUNC('hour', TIMESTAMP'1987-06-15 10:30:00') AS STRING) AS hr_u""")
+               CAST(DATE_TRUNC('hour', TIMESTAMP'1987-06-15 10:30:00') AS STRING) AS hr_u,
+               CAST(EXTRACT(EPOCH FROM TIMESTAMP'1987-06-15 10:00:00') AS BIGINT) AS x_epoch,
+               CAST(EXTRACT(DOW FROM TIMESTAMP'1987-06-17 10:00:00') AS BIGINT) AS x_dow,
+               CAST(EXTRACT(ISODOW FROM TIMESTAMP'1987-06-21 10:00:00') AS BIGINT) AS x_isodow,
+               CAST(EXTRACT(DECADE FROM TIMESTAMP'1987-06-15 10:00:00') AS BIGINT) AS x_decade,
+               CAST(EXTRACT(MILLISECOND FROM TIMESTAMP'1987-06-15 10:00:00.789') AS BIGINT) AS x_ms"""))
     }),
 
     "q_qa_sql_aggr_general_having" -> ((s, dir) => {
@@ -7654,7 +7659,12 @@ object SparkEntry {
                 '1987-04-01 00:00:00' AS qtr_u,
                 '1987-06-15 00:00:00' AS wk_u,
                 '1987-06-15 10:00:00.123' AS ms_u,
-                '1987-06-15 10:00:00' AS hr_u""",
+                '1987-06-15 10:00:00' AS hr_u,
+                550749600::BIGINT AS x_epoch,
+                3::BIGINT AS x_dow,
+                7::BIGINT AS x_isodow,
+                198::BIGINT AS x_decade,
+                789::BIGINT AS x_ms""",
 
     "q_qa_sql_aggr_general_having" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS t,

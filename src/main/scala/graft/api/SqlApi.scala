@@ -420,7 +420,8 @@ object SqlApi {
     unmaskLiterals(
       rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
         rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(rewriteFetch(
-          rewritePositionFrom(rejectNegativeFrameBounds(masked)))))))))), lits)
+          rewritePositionFrom(rewriteExtractUnits(
+            rejectNegativeFrameBounds(masked))))))))))), lits)
   }
 
   /** Calcite's SQL-standard row-limit spellings — `FETCH FIRST|NEXT n
@@ -433,6 +434,32 @@ object SqlApi {
       .replaceAll("(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
       .replaceAll("(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b",
         "LIMIT $1")
+
+  /** Calcite EXTRACT units Spark's builtin lacks or numbers differently —
+    * EPOCH (seconds), MILLISECOND/MICROSECOND, DECADE/CENTURY/MILLENNIUM,
+    * ISODOW/ISOYEAR, and DOW (the reference's TimeExtract is Joda ISO
+    * Monday=1..Sunday=7 where Spark's DOW is Sunday-based) — rerouted to
+    * the TIME_EXTRACT builder, which implements the reference's
+    * TimestampExtractExprMacro unit set. Standard units stay on Spark's
+    * builtin. Balanced-paren scan; runs on masked text.
+    */
+  private[graft] def rewriteExtractUnits(sqlText: String): String = {
+    val Re = ("""(?i)\bEXTRACT\s*\(\s*(EPOCH|MILLISECOND|MICROSECOND|DECADE""" +
+      """|CENTURY|MILLENNIUM|ISODOW|ISOYEAR|DOW)\s+FROM\b""").r
+    def loop(s: String, from: Int): String =
+      Re.findFirstMatchIn(s.substring(from)) match {
+        case None => s
+        case Some(m) =>
+          val start = from + m.start
+          val open = s.indexOf('(', start)
+          val close = matchParen(s, open)
+          val unit = m.group(1).toUpperCase
+          val inner = s.substring(start + m.matched.length, close).trim
+          val repl = s"time_extract($inner, '$unit')"
+          loop(s.substring(0, start) + repl + s.substring(close + 1), start)
+      }
+    loop(sqlText, 0)
+  }
 
   /** Calcite's `POSITION(needle IN haystack FROM start)` — the FROM-start
     * form Spark's grammar lacks (PositionOperatorConversion; the qaAggFuncs
