@@ -3015,7 +3015,7 @@ object SparkEntry {
       // builtin silently NULLs the extended units, hence the shadow builder
       Tables.registerAll(s, dir)
       DruidFunctions.register(s)
-      s.sql(graft.api.SqlApi.rewriteExtractUnits("""
+      s.sql(graft.api.SqlApi.rewriteFloorCeilTo(graft.api.SqlApi.rewriteExtractUnits("""
         SELECT CAST(DATE_TRUNC('decade', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS dec_u,
                CAST(DATE_TRUNC('century', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS cen_u,
                CAST(DATE_TRUNC('millennium', TIMESTAMP'1987-06-15 10:00:00') AS STRING) AS mil_u,
@@ -3027,7 +3027,10 @@ object SparkEntry {
                CAST(EXTRACT(DOW FROM TIMESTAMP'1987-06-17 10:00:00') AS BIGINT) AS x_dow,
                CAST(EXTRACT(ISODOW FROM TIMESTAMP'1987-06-21 10:00:00') AS BIGINT) AS x_isodow,
                CAST(EXTRACT(DECADE FROM TIMESTAMP'1987-06-15 10:00:00') AS BIGINT) AS x_decade,
-               CAST(EXTRACT(MILLISECOND FROM TIMESTAMP'1987-06-15 10:00:00.789') AS BIGINT) AS x_ms"""))
+               CAST(EXTRACT(MILLISECOND FROM TIMESTAMP'1987-06-15 10:00:00.789') AS BIGINT) AS x_ms,
+               CAST(FLOOR(TIMESTAMP'1987-06-15 10:00:00' TO DECADE) AS STRING) AS f_dec,
+               CAST(CEIL(TIMESTAMP'1987-06-15 10:00:00' TO DECADE) AS STRING) AS c_dec,
+               CAST(CEIL(TIMESTAMP'1987-06-15 10:00:00' TO CENTURY) AS STRING) AS c_cen""")))
     }),
 
     "q_qa_sql_aggr_general_having" -> ((s, dir) => {
@@ -7664,7 +7667,10 @@ object SparkEntry {
                 3::BIGINT AS x_dow,
                 7::BIGINT AS x_isodow,
                 198::BIGINT AS x_decade,
-                789::BIGINT AS x_ms""",
+                789::BIGINT AS x_ms,
+                '1980-01-01 00:00:00' AS f_dec,
+                '1990-01-01 00:00:00' AS c_dec,
+                '2070-01-01 00:00:00' AS c_cen""",
 
     "q_qa_sql_aggr_general_having" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS t,

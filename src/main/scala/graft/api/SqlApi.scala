@@ -731,7 +731,8 @@ object SqlApi {
   private[graft] def rewriteFloorCeilTo(sqlText: String): String = {
     val Re =
       ("""(?is)\b(FLOOR|CEIL|CEILING)\s*\(\s*((?:[^()',]|'[^']*'|\((?:[^()']|'[^']*')*\))+?)""" +
-        """\s+TO\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\s*\)""").r
+        """\s+TO\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND""" +
+        """|DECADE|CENTURY|MILLENNIUM|MILLISECOND)\s*\)""").r
     val out = Re.replaceAllIn(sqlText, m => {
       val expr = m.group(2).trim
       val unit = m.group(3).toUpperCase
@@ -742,7 +743,10 @@ object SqlApi {
           val period = unit match {
             case "YEAR" => "P1Y"; case "QUARTER" => "P3M"; case "MONTH" => "P1M"
             case "WEEK" => "P1W"; case "DAY" => "P1D"; case "HOUR" => "PT1H"
-            case "MINUTE" => "PT1M"; case _ => "PT1S"
+            case "MINUTE" => "PT1M"
+            case "DECADE" => "P10Y"; case "CENTURY" => "P100Y"
+            case "MILLENNIUM" => "P1000Y"; case "MILLISECOND" => "PT0.001S"
+            case _ => "PT1S"
           }
           s"TIME_CEIL($expr, '$period')"
         }
