@@ -2092,7 +2092,8 @@ object QaSuites {
                 TO_JSON_STRING('1234') AS lit_num_str,
                 TO_JSON_STRING('"This is My Key"') AS lit_quoted,
                 TO_JSON_STRING(1234) AS lit_num,
-                TO_JSON_STRING(0.1D + 0.1D) AS lit_sum
+                TO_JSON_STRING(0.1D + 0.1D) AS lit_sum,
+                JSON_VALUE(c1, '$.a_str' RETURNING VARCHAR NULL ON EMPTY NULL ON ERROR) AS jv_onempty
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 '{"arr":[1,2],"n":null,"x":1,"y":"z"}' AS lit_rt,
@@ -2104,7 +2105,8 @@ object QaSuites {
                 '"1234"' AS lit_num_str,
                 '"\"This is My Key\""' AS lit_quoted,
                 '1234' AS lit_num,
-                '0.2' AS lit_sum
+                '0.2' AS lit_sum,
+                json_extract_string(c1, '$.a_str') AS jv_onempty
          FROM test_json_cols ORDER BY rid"""),
 
     // datatype_sql: JSON_VALUE results as first-class grouping keys

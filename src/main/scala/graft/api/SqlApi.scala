@@ -772,7 +772,15 @@ object SqlApi {
     * DECIMAL/FLOAT map to the double variants like the reference's ExprEval
     * coercion; CHAR/VARCHAR to the string one.
     */
-  private[graft] def rewriteJsonReturning(sqlText: String): String = {
+  private[graft] def rewriteJsonReturning(sqlText0: String): String = {
+    // the SQL-standard behavior clauses: the reference accepts ONLY the
+    // NULL behaviors (NestedDataOperatorConversions.java:300-310 throws on
+    // anything else) — NULL ON EMPTY / NULL ON ERROR are its defaults, so
+    // strip them before the RETURNING match; non-NULL behaviors fall
+    // through to Spark's parser, which rejects them loudly like the
+    // reference
+    val sqlText = sqlText0.replaceAll(
+      "(?is)\\s+NULL\\s+ON\\s+(EMPTY|ERROR)\\b", "")
     // first arg: any expression without top-level commas — bare refs,
     // string literals, and one level of nested call parens (enough for
     // json_query(c1, '$.x') / CAST(x AS VARCHAR); the reference accepts
