@@ -2109,6 +2109,19 @@ object QaSuites {
                 json_extract_string(c1, '$.a_str') AS jv_onempty
          FROM test_json_cols ORDER BY rid"""),
 
+    // qaSql aggr_general: JSON functions COMPOSED over EARLIEST/LATEST
+    // outputs ('1'||earliest(x), json_value(earliest(agent), '$.type')) —
+    // the first/last aggregate carries the JSON text and the path function
+    // runs on the aggregated value
+    gj("q_qa_json_over_earliest",
+      """SELECT concat('1', JSON_VALUE(EARLIEST(c1), '$.a_str')) AS e_str,
+                concat('1', JSON_VALUE(LATEST(c1), '$.b_str')) AS l_str,
+                JSON_VALUE(EARLIEST(c1), '$.a_num_int' RETURNING BIGINT) AS e_int,
+                (JSON_VALUE(LATEST(c1), '$.a_str') IS NULL) AS l_miss
+         FROM test_json_cols""",
+      """SELECT '1A' AS e_str, '1B' AS l_str, 1::BIGINT AS e_int,
+                TRUE AS l_miss"""),
+
     // datatype_sql: JSON_VALUE results as first-class grouping keys
     gj("q_qa_json_filter_groupby",
       """SELECT JSON_VALUE(c1, '$.a_str') AS g, count(*) AS cnt,
