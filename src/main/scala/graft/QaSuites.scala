@@ -2468,6 +2468,11 @@ object QaSuites {
 
   private def runSpark(s: SparkSession, sqlText: String): DataFrame = {
     DruidFunctions.register(s)
+    // EARLIEST/LATEST and the sketch surface live in the extensions
+    // registry — register here too so a gate can run standalone (the full
+    // board previously registered them through an earlier gate, an
+    // order-dependence SPARK_GRAFT_ONLY exposed)
+    graft.GraftExtensions.register(s)
     // mirror SqlApi.sql: the rewrites are regex-driven and only literal-safe
     // on masked text (a gate whose json_object argument contains a top-level
     // ':' inside a string literal would otherwise be mangled).
