@@ -347,25 +347,21 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.ReverseLookupRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.ReverseLookupRule
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.AggregatePullUpLookupRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.AggregatePullUpLookupRule
-    // Skip if the session was built withExtensions(GraftExtensions) — the
-    // rule is already in an optimizer batch there, and a second copy in
-    // extraOptimizations would run the (cheap, but non-zero) check twice
-    // per fixed-point iteration.
-    val alreadyInjected = spark.sessionState.optimizer.batches
-      .exists(_.rules.exists(_ eq graft.plans.RejectInvertedFrames))
-    if (!alreadyInjected && !spark.experimental.extraOptimizations
-        .contains(graft.plans.RejectInvertedFrames))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.RejectInvertedFrames
+    // Skip rules the session already carries from
+    // withExtensions(GraftExtensions) — a second copy in extraOptimizations
+    // would run each rule twice per fixed-point iteration.
+    def addOnce(rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+      val alreadyInjected = spark.sessionState.optimizer.batches
+        .exists(_.rules.exists(_ eq rule))
+      if (!alreadyInjected &&
+          !spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
+    addOnce(graft.plans.ReverseLookupRule)
+    addOnce(graft.plans.AggregatePullUpLookupRule)
+    addOnce(graft.plans.RejectInvertedFrames)
     graft.plans.ApproxTopN.ensureStrategy(spark)
   }
 }

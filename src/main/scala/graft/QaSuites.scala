@@ -2473,16 +2473,10 @@ object QaSuites {
     // board previously registered them through an earlier gate, an
     // order-dependence SPARK_GRAFT_ONLY exposed)
     graft.GraftExtensions.register(s)
-    // mirror SqlApi.sql: the rewrites are regex-driven and only literal-safe
-    // on masked text (a gate whose json_object argument contains a top-level
-    // ':' inside a string literal would otherwise be mangled).
-    val (masked, lits) = graft.api.SqlApi.maskLiterals(sqlText)
-    s.sql(graft.api.SqlApi.unmaskLiterals(
-      graft.api.SqlApi.rewriteJsonObject(
-        graft.api.SqlApi.rewriteJsonReturning(
-          graft.api.SqlApi.rewriteUnnest(
-            graft.api.SqlApi.rewritePositionFrom(
-              graft.api.SqlApi.rewriteExtractUnits(masked))))), lits))
+    // the SAME rewrite pipeline as SqlApi.sql — one shared chain (masking
+    // included), so gates and the facade can never diverge on
+    // FETCH/FLOOR-TO/negative-frame handling.
+    s.sql(graft.api.SqlApi.rewriteSql(sqlText))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -7540,7 +7540,8 @@ object SparkEntry {
         .orderBy(col("asset_id"), col("frame_no"))
     })
   ) ++ QaSuites.queries ++ winRound4Queries ++ DrillFrameclause.queries ++
-    DrillAggregates.queries ++ DrillLeadLag.queries
+    DrillAggregates.queries ++ DrillLeadLag.queries ++
+    DrillMultiPartitions.queries ++ DrillNestedAggs.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -11203,5 +11204,6 @@ object SparkEntry {
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          FROM sc ORDER BY doc_id"""
   ) ++ QaSuites.oracleSql ++ winRound4Oracle ++ DrillFrameclause.oracleSql ++
-    DrillAggregates.oracleSql ++ DrillLeadLag.oracleSql
+    DrillAggregates.oracleSql ++ DrillLeadLag.oracleSql ++
+    DrillMultiPartitions.oracleSql ++ DrillNestedAggs.oracleSql
 }

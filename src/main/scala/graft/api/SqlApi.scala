@@ -417,11 +417,26 @@ object SqlApi {
     // still see a literal token where one was (so FLOOR(TIME_PARSE('...')
     // TO DAY) keeps matching), but can never match text inside one.
     val (masked, lits) = maskLiterals(bind(setStatements(raw)._2, params))
-    unmaskLiterals(
-      rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
-        rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(rewriteFetch(
-          rewritePositionFrom(rewriteExtractUnits(
-            rejectNegativeFrameBounds(masked))))))))))), lits)
+    unmaskLiterals(rewritePipeline(masked), lits)
+  }
+
+  /** The full rewrite pipeline over MASKED SQL text — the ONE chain shared
+    * by the facade ([[sql(j)]]) and the QA gate runner
+    * (`QaSuites.runSpark`), so the two entry points can never diverge on
+    * FETCH / FLOOR-TO / negative-frame handling.
+    */
+  private[graft] def rewritePipeline(masked: String): String =
+    rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
+      rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(rewriteFetch(
+        rewritePositionFrom(rewriteExtractUnits(
+          rejectNegativeFrameBounds(masked)))))))))))
+
+  /** Mask → full pipeline → unmask, for plain SQL text (no payload
+    * binding) — the gate-runner entry point.
+    */
+  private[graft] def rewriteSql(sqlText: String): String = {
+    val (masked, lits) = maskLiterals(sqlText)
+    unmaskLiterals(rewritePipeline(masked), lits)
   }
 
   /** Calcite's SQL-standard row-limit spellings — `FETCH FIRST|NEXT n
@@ -431,9 +446,17 @@ object SqlApi {
     */
   private[graft] def rewriteFetch(sqlText: String): String =
     sqlText
+      // Combined SQL-standard paging first: Calcite writes OFFSET before
+      // FETCH, but Spark's grammar only accepts LIMIT before OFFSET.
+      .replaceAll("(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\s+FETCH\\s+" +
+        "(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b", "LIMIT $2 OFFSET $1")
+      .replaceAll("(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\s+FETCH\\s+" +
+        "(?:FIRST|NEXT)\\s+ROW\\s+ONLY\\b", "LIMIT 1 OFFSET $1")
       .replaceAll("(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b", "OFFSET $1")
       .replaceAll("(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b",
         "LIMIT $1")
+      // Count-less form: FETCH FIRST ROW ONLY = 1 row.
+      .replaceAll("(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROW\\s+ONLY\\b", "LIMIT 1")
 
   /** Calcite EXTRACT units Spark's builtin lacks or numbers differently —
     * EPOCH (seconds), MILLISECOND/MICROSECOND, DECADE/CENTURY/MILLENNIUM,
@@ -479,10 +502,11 @@ object SqlApi {
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ =>
+            def boundary(c: Char): Boolean = !(c.isLetterOrDigit || c == '_')
             if (depth == 0 && up.startsWith(token, i) &&
-                (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
+                (i == 0 || boundary(up.charAt(i - 1))) &&
                 (i + token.length >= s.length ||
-                 !up.charAt(i + token.length).isLetterOrDigit))
+                 boundary(up.charAt(i + token.length))))
               return i
         }
         i += 1

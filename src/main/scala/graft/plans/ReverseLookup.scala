@@ -54,7 +54,12 @@ object ReverseLookupRule extends Rule[LogicalPlan] {
     // rewrite per query; SqlApi folds the context into this conf
     if (conf.getConfString("spark.graft.sqlReverseLookup", "true") != "true") plan
     else plan.transform {
-      case f @ Filter(cond, _) =>
+      // Cheap containment precheck before the allocating transformUp: only
+      // a map-literal extraction in the condition can match the rewrite.
+      case f @ Filter(cond, _) if cond.exists {
+            case ElementAt(Literal(_: MapData, _: MapType), _, _, _) => true
+            case _ => false
+          } =>
         val inverted = invert(cond)
         if (inverted fastEquals cond) f else f.copy(condition = inverted)
     }

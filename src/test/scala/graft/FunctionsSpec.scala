@@ -1153,10 +1153,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1) == Seq("abc", "abd"))
     assert(r.getSeq[String](2) == Seq("a1", "a3"))
     assert(r.getString(3) == "7")
-    assert(r.getString(4).contains("\"x\":1") && r.getString(4).contains("\"y\":2")
-      && r.getString(4).contains("\"b\":2"))
+    // SHALLOW merge (JsonMergeExprMacro): the later top-level "o" replaces
+    // the earlier one wholesale — "x":1 must be gone, not recursively kept
+    assert(r.getString(4).contains("\"y\":2") && r.getString(4).contains("\"b\":2")
+      && !r.getString(4).contains("\"x\""))
     assert(r.getLong(5) == java.lang.Double.doubleToLongBits(2.0))
     assert(r.getDouble(6) == -1.5)
+  }
+
+  test("json_merge is SHALLOW (JsonMergeExprMacro, " +
+      "NestedDataExpressions.java:140-185)") {
+    DruidFunctions.register(spark)
+    def s(sql: String): String = {
+      val v = spark.sql(s"SELECT $sql AS r").head()
+      if (v.isNullAt(0)) null else v.getString(0)
+    }
+    // object+object: top-level putAll — nested object replaced wholesale
+    assert(s("""json_merge('{"o":{"x":1}}', '{"o":{"y":2}}')""")
+      == """{"o":{"y":2}}""")
+    // array+array: concatenation, duplicates kept (json4s would set-union)
+    assert(s("""json_merge('[1,2]', '[2,3]')""") == "[1,2,2,3]")
+    // three-arg fold is left-to-right shallow
+    assert(s("""json_merge('{"a":1}', '{"a":2,"b":1}', '{"b":9}')""")
+      == """{"a":2,"b":9}""")
+    // JSON null argument nulls the whole result (getArgAsObject null path)
+    assert(s("""json_merge('{"a":1}', 'null')""") == null)
+    assert(s("""json_merge(CAST(NULL AS STRING), '{"a":1}')""") == null)
+    // object/array mix is an ERROR, not a silent replace
+    val e = intercept[Exception] { s("""json_merge('{"a":1}', '[1]')""") }
+    assert(e.getMessage != null)
   }
 
   test("native predicate family uses Evals.asBoolean truthiness " +

@@ -721,6 +721,51 @@ class SqlApiSpec extends AnyFunSuite {
     // legal PRECEDING-pair upper bound passes untouched
     assert(graft.api.SqlApi.rejectNegativeFrameBounds(
       "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING").nonEmpty)
+    // parity: BOTH entry points (facade pipeline and gate-runner pipeline)
+    // reject the negated-literal spelling — the chains are unified
+    intercept[IllegalArgumentException] {
+      graft.api.SqlApi.rewriteSql(
+        """SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND -1 FOLLOWING) FROM nation""")
+    }
+  }
+
+  test("rewriteFetch handles the combined OFFSET…FETCH paging form " +
+      "(Calcite order → Spark's LIMIT-before-OFFSET)") {
+    import graft.api.SqlApi.rewriteFetch
+    assert(rewriteFetch("SELECT a FROM t OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY")
+      == "SELECT a FROM t LIMIT 10 OFFSET 5")
+    assert(rewriteFetch("SELECT a FROM t OFFSET 1 ROW FETCH FIRST 2 ROWS ONLY")
+      == "SELECT a FROM t LIMIT 2 OFFSET 1")
+    // count-less FETCH FIRST ROW ONLY = 1, both standalone and combined
+    assert(rewriteFetch("SELECT a FROM t FETCH FIRST ROW ONLY")
+      == "SELECT a FROM t LIMIT 1")
+    assert(rewriteFetch("SELECT a FROM t OFFSET 3 ROWS FETCH FIRST ROW ONLY")
+      == "SELECT a FROM t LIMIT 1 OFFSET 3")
+    // standalone forms unchanged in behavior
+    assert(rewriteFetch("SELECT a FROM t OFFSET 4 ROWS")
+      == "SELECT a FROM t OFFSET 4")
+    assert(rewriteFetch("SELECT a FROM t FETCH NEXT 7 ROWS ONLY")
+      == "SELECT a FROM t LIMIT 7")
+    // the combined form parses end-to-end through the shared pipeline
+    graft.Tables.registerAll(spark, dir)
+    val rows = spark.sql(graft.api.SqlApi.rewriteSql(
+      """SELECT n_nationkey FROM nation ORDER BY n_nationkey
+         OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY""")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3, 4))
+  }
+
+  test("POSITION…FROM boundary check treats '_' as identifier (in_x is " +
+      "not the IN keyword)") {
+    import graft.api.SqlApi.{maskLiterals, rewritePositionFrom, unmaskLiterals}
+    // a column named in_x / y_from inside POSITION(...) must not be taken
+    // as the IN/FROM keyword
+    val noFrom = "SELECT POSITION(in_x IN y_from) FROM t"
+    assert(rewritePositionFrom(noFrom) == noFrom)
+    val (m, lits) = maskLiterals(
+      "SELECT POSITION('b' IN col_in FROM 2) FROM t")
+    assert(unmaskLiterals(rewritePositionFrom(m), lits)
+      == "SELECT locate('b', col_in, 2) FROM t")
   }
 
   test("qaWin negative corpus: NTILE and NTH_VALUE argument bounds") {
