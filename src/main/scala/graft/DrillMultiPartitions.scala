@@ -105,7 +105,7 @@ object DrillMultiPartitions {
 
   private val cols = "t(rid, c_integer, c_bigint, c_double, c_date, " +
     "c_time, c_timestamp, c_boolean, c_varchar)"
-  private def fixture(duck: Boolean): String =
+  private[graft] def fixture(duck: Boolean): String =
     if (duck)
       s"""j1 AS (SELECT * FROM (VALUES
           ${rows.map(row(_, duck = true)).mkString(",\n          ")}) $cols)"""
@@ -114,7 +114,7 @@ object DrillMultiPartitions {
           ${rows.map(row(_, duck = false)).mkString(",\n          ")} AS $cols)"""
 
   // t1/t2 fixture for the join-of-windowed-subqueries shape (q60)
-  private def tFixture(duck: Boolean): String = {
+  private[graft] def tFixture(duck: Boolean): String = {
     val t1 = Seq((10, 1, "A"), (20, 1, "B"), (30, 2, "A"), (40, 2, "B"),
       (50, 3, "A"))
     val t2 = Seq((100, 1, "X"), (200, 1, "Y"), (300, 2, "X"), (400, 3, "Y"),

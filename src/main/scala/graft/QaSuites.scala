@@ -62,7 +62,7 @@ object QaSuites {
   /** qaArray/ops_funcs `test_array`: 4 rows (2 distinct × 2), boolean arrays
     * ingested as LONG arrays like the reference's `auto` dimension handling.
     */
-  private val sparkTestArray: String = {
+  private[graft] val sparkTestArray: String = {
     def row(t: String, b: String, i: String, f: String, s: String, m: String,
         nested: String) =
       s"""(TIMESTAMP'$t', $b, $i, $f, $s,
@@ -81,7 +81,7 @@ object QaSuites {
              a_nested))"""
   }
 
-  private val duckTestArray: String = {
+  private[graft] val duckTestArray: String = {
     def row(t: String, b: String, i: String, f: String, s: String, m: String,
         nested: String) =
       s"""(TIMESTAMP '$t', $b::BIGINT[], $i::BIGINT[], $f::DOUBLE[],
@@ -765,6 +765,171 @@ object QaSuites {
             WHERE list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) >= [1, 2]::BIGINT[]
             GROUP BY a_int
           ) ORDER BY form, k"""),
+
+    // sql_subquery_with_where.01-12 A0/A1 B1..B5: CROSS-TYPE array
+    // comparisons — a_bool vs a_int (same element type, different values),
+    // bigint[] vs double[] (elementwise numeric coercion), varchar[] vs
+    // varchar[] of different lengths, and the all-null / empty arrays.
+    // Every pair is structurally unequal → 0, except the self-compares.
+    ga("q_qa_array_swq_crosstype",
+      """SELECT CAST(count(*) FILTER (WHERE a_bool = a_int) AS BIGINT) AS bool_int,
+                CAST(count(*) FILTER (WHERE a_int = a_float) AS BIGINT) AS int_float,
+                CAST(count(*) FILTER (WHERE a_str = a_mixed) AS BIGINT) AS str_mixed,
+                CAST(count(*) FILTER (WHERE a_str = a_null) AS BIGINT) AS str_null,
+                CAST(count(*) FILTER (WHERE a_empty = a_null) AS BIGINT) AS empty_null,
+                CAST(count(*) FILTER (WHERE a_str = a_empty) AS BIGINT) AS str_empty,
+                CAST(count(*) FILTER (WHERE a_bool = a_bool) AS BIGINT) AS bool_self,
+                CAST(count(*) FILTER (WHERE a_bool < a_int) AS BIGINT) AS bool_lt_int,
+                CAST(count(*) FILTER (WHERE a_float <> a_int) AS BIGINT) AS float_ne_int
+         FROM test_array""",
+      s"""SELECT count(*) FILTER (WHERE
+            list_transform(a_bool, gx -> coalesce(gx, -9223372036854775808))
+              = list_transform(a_int, gx -> coalesce(gx, -9223372036854775808))) AS bool_int,
+          count(*) FILTER (WHERE
+            list_transform(a_int, gx -> coalesce(CAST(gx AS DOUBLE), -1e308))
+              = list_transform(a_float, gx -> coalesce(gx, -1e308))) AS int_float,
+          count(*) FILTER (WHERE
+            list_transform(a_str, gx -> coalesce(gx, ''))
+              = list_transform(a_mixed, gx -> coalesce(gx, ''))) AS str_mixed,
+          count(*) FILTER (WHERE
+            list_transform(a_str, gx -> coalesce(gx, ''))
+              = list_transform(a_null, gx -> coalesce(gx, ''))) AS str_null,
+          count(*) FILTER (WHERE
+            list_transform(a_empty, gx -> coalesce(gx, ''))
+              = list_transform(a_null, gx -> coalesce(gx, ''))) AS empty_null,
+          count(*) FILTER (WHERE
+            list_transform(a_str, gx -> coalesce(gx, ''))
+              = list_transform(a_empty, gx -> coalesce(gx, ''))) AS str_empty,
+          count(*) FILTER (WHERE
+            list_transform(a_bool, gx -> coalesce(gx, -9223372036854775808))
+              = list_transform(a_bool, gx -> coalesce(gx, -9223372036854775808))) AS bool_self,
+          count(*) FILTER (WHERE
+            list_transform(a_bool, gx -> coalesce(gx, -9223372036854775808))
+              < list_transform(a_int, gx -> coalesce(gx, -9223372036854775808))) AS bool_lt_int,
+          count(*) FILTER (WHERE
+            list_transform(a_float, gx -> coalesce(gx, -1e308))
+              <> list_transform(a_int, gx -> coalesce(CAST(gx AS DOUBLE), -1e308))) AS float_ne_int
+          FROM test_array"""),
+
+    // sql_subquery_with_where IN/NOT IN grids: whole arrays as IN-list
+    // members (null elements compare equal inside the member match), run
+    // bare, through a derived table, and through a CTE
+    ga("q_qa_array_swq_in",
+      """, cte AS (SELECT * FROM test_array)
+         SELECT CAST(count(*) FILTER (WHERE a_int IN
+                  (array(1L, 2L, NULL), array(NULL, 2L, 1L))) AS BIGINT) AS in_both,
+                CAST(count(*) FILTER (WHERE a_int IN
+                  (array(1L, 2L, NULL), array(9L))) AS BIGINT) AS in_one,
+                CAST(count(*) FILTER (WHERE a_int NOT IN
+                  (array(1L, 2L), array(9L))) AS BIGINT) AS notin_none,
+                CAST(count(*) FILTER (WHERE a_str IN
+                  (array('S1', 'S2', NULL), array('x'))) AS BIGINT) AS in_str,
+                (SELECT CAST(count(*) AS BIGINT) FROM
+                  (SELECT * FROM test_array WHERE a_int IN
+                    (array(1L, 2L, NULL), array(NULL, 2L, 1L)))) AS in_subq,
+                (SELECT CAST(count(*) AS BIGINT) FROM cte WHERE a_int NOT IN
+                  (array(1L, 2L, NULL), array(9L))) AS notin_cte
+         FROM test_array""",
+      s""", cte AS (SELECT * FROM test_array)
+          SELECT count(*) FILTER (WHERE
+            list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) IN
+              ([1, 2, -9223372036854775808]::BIGINT[],
+               [-9223372036854775808, 2, 1]::BIGINT[])) AS in_both,
+          count(*) FILTER (WHERE
+            list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) IN
+              ([1, 2, -9223372036854775808]::BIGINT[], [9]::BIGINT[])) AS in_one,
+          count(*) FILTER (WHERE
+            list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) NOT IN
+              ([1, 2]::BIGINT[], [9]::BIGINT[])) AS notin_none,
+          count(*) FILTER (WHERE
+            list_transform(a_str, gx -> coalesce(gx, '')) IN
+              (['S1', 'S2', '']::VARCHAR[], ['x']::VARCHAR[])) AS in_str,
+          (SELECT count(*) FROM
+            (SELECT * FROM test_array WHERE
+              list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) IN
+                ([1, 2, -9223372036854775808]::BIGINT[],
+                 [-9223372036854775808, 2, 1]::BIGINT[]))) AS in_subq,
+          (SELECT count(*) FROM cte WHERE
+            list_transform(a_int, gx -> coalesce(gx, -9223372036854775808)) NOT IN
+              ([1, 2, -9223372036854775808]::BIGINT[], [9]::BIGINT[])) AS notin_cte
+          FROM test_array"""),
+
+    // sql_subquery_with_where IS NULL grids: the array COLUMNS are never
+    // SQL NULL (a_null is an array OF nulls, a_empty is []) — IS NULL → 0,
+    // IS NOT NULL → 4, in every container placement
+    ga("q_qa_array_swq_null_checks",
+      """, cte AS (SELECT * FROM test_array WHERE a_bool IS NOT NULL)
+         SELECT CAST(count(*) FILTER (WHERE a_bool IS NULL) AS BIGINT) AS bool_null,
+                CAST(count(*) FILTER (WHERE a_null IS NULL) AS BIGINT) AS null_null,
+                CAST(count(*) FILTER (WHERE a_empty IS NULL) AS BIGINT) AS empty_null,
+                CAST(count(*) FILTER (WHERE a_mixed IS NOT NULL) AS BIGINT) AS mixed_nn,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM (SELECT * FROM test_array) WHERE a_str IS NOT NULL) AS str_nn_subq,
+                (SELECT CAST(count(*) AS BIGINT) FROM cte) AS bool_nn_cte
+         FROM test_array""",
+      """, cte AS (SELECT * FROM test_array WHERE a_bool IS NOT NULL)
+         SELECT count(*) FILTER (WHERE a_bool IS NULL) AS bool_null,
+                count(*) FILTER (WHERE a_null IS NULL) AS null_null,
+                count(*) FILTER (WHERE a_empty IS NULL) AS empty_null,
+                count(*) FILTER (WHERE a_mixed IS NOT NULL) AS mixed_nn,
+                (SELECT count(*)
+                 FROM (SELECT * FROM test_array) WHERE a_str IS NOT NULL) AS str_nn_subq,
+                (SELECT count(*) FROM cte) AS bool_nn_cte
+         FROM test_array"""),
+
+    // sql_subquery_with_where.40-57: array comparisons against
+    // JSON_VALUE … RETURNING varchar array ($[6] is a_mixed itself) and
+    // the Calcite boolean-test wraps IS [NOT] TRUE/FALSE over them
+    ga("q_qa_array_swq_jsoncmp",
+      """SELECT CAST(count(*) FILTER (WHERE
+                  a_mixed = json_value(a_nested, '$[6]' RETURNING varchar array)) AS BIGINT) AS eq_self,
+                CAST(count(*) FILTER (WHERE
+                  a_mixed <= json_value(a_nested, '$[6]' RETURNING varchar array)) AS BIGINT) AS le_self,
+                CAST(count(*) FILTER (WHERE NOT
+                  (a_mixed <= json_value(a_nested, '$[6]' RETURNING varchar array))) AS BIGINT) AS not_le,
+                CAST(count(*) FILTER (WHERE
+                  (a_mixed < json_value(a_nested, '$[6]' RETURNING varchar array)) IS FALSE) AS BIGINT) AS lt_is_false,
+                CAST(count(*) FILTER (WHERE
+                  (a_mixed < json_value(a_nested, '$[6]' RETURNING varchar array)) IS TRUE) AS BIGINT) AS lt_is_true,
+                CAST(count(*) FILTER (WHERE
+                  (a_mixed >= json_value(a_nested, '$[6]' RETURNING varchar array)) IS NOT FALSE) AS BIGINT) AS ge_is_not_false,
+                CAST(count(*) FILTER (WHERE
+                  (a_nested = a_nested) IS TRUE) AS BIGINT) AS nested_self,
+                CAST(count(*) FILTER (WHERE a_mixed IN
+                  (json_value(a_nested, '$[6]' RETURNING varchar array),
+                   array('zz'))) AS BIGINT) AS in_json
+         FROM test_array""",
+      s"""SELECT count(*) FILTER (WHERE
+            list_transform(a_mixed, gx -> coalesce(gx, ''))
+              = list_transform(json_transform(json_extract(a_nested, '$$[6]'),
+                  '["VARCHAR"]'), gx -> coalesce(gx, ''))) AS eq_self,
+          count(*) FILTER (WHERE
+            list_transform(a_mixed, gx -> coalesce(gx, ''))
+              <= list_transform(json_transform(json_extract(a_nested, '$$[6]'),
+                  '["VARCHAR"]'), gx -> coalesce(gx, ''))) AS le_self,
+          count(*) FILTER (WHERE NOT
+            (list_transform(a_mixed, gx -> coalesce(gx, ''))
+              <= list_transform(json_transform(json_extract(a_nested, '$$[6]'),
+                  '["VARCHAR"]'), gx -> coalesce(gx, '')))) AS not_le,
+          count(*) FILTER (WHERE
+            (list_transform(a_mixed, gx -> coalesce(gx, ''))
+              < list_transform(json_transform(json_extract(a_nested, '$$[6]'),
+                  '["VARCHAR"]'), gx -> coalesce(gx, ''))) IS FALSE) AS lt_is_false,
+          count(*) FILTER (WHERE
+            (list_transform(a_mixed, gx -> coalesce(gx, ''))
+              < list_transform(json_transform(json_extract(a_nested, '$$[6]'),
+                  '["VARCHAR"]'), gx -> coalesce(gx, ''))) IS TRUE) AS lt_is_true,
+          count(*) FILTER (WHERE
+            (list_transform(a_mixed, gx -> coalesce(gx, ''))
+              >= list_transform(json_transform(json_extract(a_nested, '$$[6]'),
+                  '["VARCHAR"]'), gx -> coalesce(gx, ''))) IS NOT FALSE) AS ge_is_not_false,
+          count(*) FILTER (WHERE (a_nested = a_nested) IS TRUE) AS nested_self,
+          count(*) FILTER (WHERE
+            list_transform(a_mixed, gx -> coalesce(gx, '')) IN
+              (list_transform(json_transform(json_extract(a_nested, '$$[6]'),
+                  '["VARCHAR"]'), gx -> coalesce(gx, '')),
+               ['zz']::VARCHAR[])) AS in_json
+          FROM test_array"""),
 
     // sql_union_all: array-derived columns across UNION ALL
     ga("q_qa_array_union",

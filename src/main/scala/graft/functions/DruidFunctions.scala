@@ -1800,9 +1800,17 @@ object DruidFunctions {
       "json_value_boolean" -> ((a: Seq[Expression]) =>
         Cast(fn("json_value", a.head, a(1)), BooleanType, None,
           EvalMode.TRY)),
+      // VARCHAR ARRAY target: dedicated walker — element coercion is
+      // String.valueOf (booleans keep true/false), not the untyped
+      // facade's bestEffort 1/0 (qaArray ingest_dynamic_rollup_false.02
+      // E00 pins `a_mixed = json_value(… '$[6]' RETURNING varchar array)`
+      // matching every row)
       "json_value_varchar_array" -> ((a: Seq[Expression]) =>
-        fn("from_json", fn("json_value", a.head, a(1)),
-          Literal("array<string>"))),
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          JsonWalk.getClass,
+          org.apache.spark.sql.types.ArrayType(StringType), "valueStrArray",
+          Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
+          Seq(StringType, StringType), propagateNull = false)),
       "json_value_bigint_array" -> ((a: Seq[Expression]) =>
         fn("from_json", fn("json_value", a.head, a(1)),
           Literal("array<bigint>"))),

@@ -217,6 +217,34 @@ object JsonWalk {
     } else UTF8String.fromString(scalarText(at))
   }
 
+  /** JSON_VALUE … RETURNING VARCHAR ARRAY element coercion — the reference
+    * plans the array-RETURNING form onto a STRING_ARRAY expected type whose
+    * element cast is String.valueOf (qaArray ingest_dynamic_rollup_false.02
+    * E00: `a_mixed = json_value(a_nested, '$[6]' RETURNING varchar array)`
+    * matches all rows), so booleans keep `true`/`false` here — UNLIKE the
+    * untyped facade's bestEffort long coercion (booleans 1/0), which the
+    * numeric array targets still ride. Same path grammar and SQL-layer
+    * negative-index guard as [[value]]; non-array / nested-array targets
+    * and JSON null → SQL NULL.
+    */
+  def valueStrArray(json: UTF8String, path: UTF8String): ArrayData = {
+    if (json == null || path == null) return null
+    val parts = parse(path.toString)
+    if (parts.exists { case Elem(i) => i < 0; case _ => false }) return null
+    val root = parseDoc(json)
+    if (root == null || root.isNull) return null
+    val at = find(root, parts)
+    if (at == null || !at.isArray || !isPrimitiveArray(at)) return null
+    val out = new Array[Any](at.size())
+    var i = 0
+    while (i < at.size()) {
+      val e = at.get(i)
+      out(i) = if (e.isNull) null else UTF8String.fromString(e.asText())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def query(json: UTF8String, path: UTF8String): UTF8String = {
     if (json == null || path == null) return null
     val parts = parse(path.toString)
