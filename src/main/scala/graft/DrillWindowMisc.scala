@@ -109,7 +109,7 @@ object DrillWindowMisc {
         s"""SELECT rid,
               CAST(var_samp(c_integer) OVER w AS DOUBLE) AS vs_int,
               CAST(var_samp(c_bigint) OVER w AS DOUBLE) AS vs_big,
-              CAST(var_samp(c_double) OVER w AS DOUBLE) AS vs_dbl,
+              round(CAST(var_samp(c_double) OVER w AS DOUBLE), 3) AS vs_dbl,
               CAST(variance(c_integer) OVER w AS DOUBLE) AS var_int,
               CAST(var_pop(c_integer) OVER w AS DOUBLE) AS vp_int,
               CAST(stddev_samp(c_integer) OVER w AS DOUBLE) AS sd_int,

@@ -7541,7 +7541,9 @@ object SparkEntry {
     })
   ) ++ QaSuites.queries ++ winRound4Queries ++ DrillFrameclause.queries ++
     DrillAggregates.queries ++ DrillLeadLag.queries ++
-    DrillMultiPartitions.queries ++ DrillNestedAggs.queries
+    DrillMultiPartitions.queries ++ DrillNestedAggs.queries ++
+    DrillWindowMisc.queries ++ QaSqlBatteries.queries ++
+    CalciteJoinShapes.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -11205,5 +11207,7 @@ object SparkEntry {
          FROM sc ORDER BY doc_id"""
   ) ++ QaSuites.oracleSql ++ winRound4Oracle ++ DrillFrameclause.oracleSql ++
     DrillAggregates.oracleSql ++ DrillLeadLag.oracleSql ++
-    DrillMultiPartitions.oracleSql ++ DrillNestedAggs.oracleSql
+    DrillMultiPartitions.oracleSql ++ DrillNestedAggs.oracleSql ++
+    DrillWindowMisc.oracleSql ++ QaSqlBatteries.oracleSql ++
+    CalciteJoinShapes.oracleSql
 }

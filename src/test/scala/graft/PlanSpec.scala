@@ -447,6 +447,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian in sessionization:\n" + p)
   }
 
+  test("Drill optimization corpus: same-spec windows share ONE Window " +
+      "operator and one exchange (optimization/plan/pp_01-13)") {
+    // pp_05: two aggregates over the SAME (partition, order) spec — the
+    // planner must merge them into a single Window node over a single
+    // hash exchange, not sort+shuffle twice; pp_10-style different
+    // partitions genuinely need two
+    Tables.registerAll(spark, dir)
+    val same = spark.sql(
+      """SELECT sum(n_regionkey) OVER (PARTITION BY n_regionkey)
+               + sum(n_regionkey + 100) OVER (PARTITION BY n_regionkey)
+         FROM nation""").queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(same).length == 1,
+      "same-spec window functions must merge into one Window operator:\n" + same)
+    assert("Exchange hashpartitioning".r.findAllIn(same).length == 1,
+      "one partition spec → one exchange:\n" + same)
+    val diff = spark.sql(
+      """SELECT sum(n_regionkey) OVER (PARTITION BY n_regionkey),
+                sum(n_nationkey) OVER (PARTITION BY n_name)
+         FROM nation""").queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(diff).length == 2,
+      "different partition specs need two Window operators:\n" + diff)
+  }
+
+  test("Drill negative corpus: window functions without OVER are rejected " +
+      "(negative/no_over_clause)") {
+    Tables.registerAll(spark, dir)
+    for (fn <- Seq("rank()", "row_number()", "dense_rank()", "ntile(3)",
+        "lag(n_name)")) {
+      intercept[Exception] {
+        spark.sql(s"SELECT $fn FROM nation").collect()
+      }
+    }
+  }
+
   test("sunburst JSON-filtered slice still pushes the time range to the scan") {
     val p = plan("q_qa_kttm_sunburst")
     // the JSON_VALUE filter itself cannot push, but the ts range must
