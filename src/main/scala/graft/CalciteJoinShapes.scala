@@ -151,15 +151,13 @@ object CalciteJoinShapes {
       """SELECT n.n_name, r.r_name
          FROM nation n
          JOIN region r
-           ON lower(substring(n.n_name, 1, 1)) =
-              lower(substring(r.r_name, 1, 1))
+           ON substring(n.n_name, 8, 1) = CAST(r.r_regionkey AS VARCHAR(2))
           AND CAST(n.n_regionkey AS BIGINT) = CAST(r.r_regionkey AS BIGINT)
          ORDER BY n.n_name, r.r_name""",
       """SELECT n.n_name, r.r_name
          FROM nation n
          JOIN region r
-           ON lower(substring(n.n_name, 1, 1)) =
-              lower(substring(r.r_name, 1, 1))
+           ON substring(n.n_name, 8, 1) = CAST(r.r_regionkey AS VARCHAR(2))
           AND CAST(n.n_regionkey AS BIGINT) = CAST(r.r_regionkey AS BIGINT)
          ORDER BY n.n_name, r.r_name"""),
 
@@ -198,8 +196,8 @@ object CalciteJoinShapes {
          FROM customer
          WHERE c_nationkey IN
              (SELECT n_nationkey FROM nation
-              WHERE substring(n_name, 1, 1) IN
-                (SELECT substring(r_name, 1, 1) FROM region))
+              WHERE substring(n_name, 8, 1) IN
+                (SELECT CAST(r_regionkey AS VARCHAR(2)) FROM region))
            AND c_acctbal > 0
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
@@ -207,8 +205,8 @@ object CalciteJoinShapes {
          FROM customer
          WHERE c_nationkey IN
              (SELECT n_nationkey FROM nation
-              WHERE substring(n_name, 1, 1) IN
-                (SELECT substring(r_name, 1, 1) FROM region))
+              WHERE substring(n_name, 8, 1) IN
+                (SELECT CAST(r_regionkey AS VARCHAR(2)) FROM region))
            AND c_acctbal > 0
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment"""))

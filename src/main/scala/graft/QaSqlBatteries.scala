@@ -214,8 +214,84 @@ object QaSqlBatteries {
       ("q_qasql_aggr_having_tautology", body(noCast), body(duckCast))
     }
 
+    def arrayGate = {
+      // array.all.iq: the tautology surface over WHOLE-ARRAY values —
+      // array_prepend (reference argument order: ELEMENT first) over a
+      // split-derived multi-word array, compared with every operator.
+      // No null elements, so the DuckDB list compare is total and needs
+      // no sentinel mapping; duck spells list_prepend/string_split.
+      def arr(duck: Boolean, e: String) =
+        if (duck) s"list_prepend('$e', string_split(p_name, ' '))"
+        else s"array_prepend('$e', split(p_name, ' '))"
+      def body(duck: Boolean) = {
+        val x = arr(duck, "1"); val lo = arr(duck, "0"); val hi = arr(duck, "2")
+        s"""SELECT (SELECT count(*) FROM part WHERE
+              ($x IS NULL OR ($x = $x
+                AND $x IS NOT DISTINCT FROM $x
+                AND $x <> $lo AND ($x IS DISTINCT FROM $lo)
+                AND $x > $lo AND $x >= $lo
+                AND $x < $hi AND $x <= $hi
+                AND ($x <> $lo) IS TRUE AND ($x = $lo) IS NOT TRUE
+                AND ($x = $lo) IS FALSE AND ($x <> $lo) IS NOT FALSE
+                AND $x BETWEEN $lo AND $hi
+                AND $x NOT BETWEEN $x AND $lo
+                AND $x IN ($lo, $x, $hi)
+                AND $x NOT IN ($lo, $hi)))) AS n_taut,
+            (SELECT count(*) FROM part) AS n_all"""
+      }
+      ("q_qasql_tautology_array", body(false), body(true))
+    }
+
+    def mvGate = {
+      // mv.all.iq: '1'||MV_TO_STRING(MV_FILTER_ONLY(ARRAY_TO_MV(x), x))
+      // concat-coercion tautology — the MV chain is an identity when the
+      // allow-list is the array itself
+      def mv(duck: Boolean, p: String) =
+        if (duck)
+          s"'$p' || array_to_string(list_filter(string_split(p_name, ' '), " +
+            "gx -> list_contains(string_split(p_name, ' '), gx)), ',')"
+        else
+          s"'$p' || mv_to_string(mv_filter_only(array_to_mv(" +
+            "split(p_name, ' ')), split(p_name, ' ')), ',')"
+      def body(duck: Boolean) = {
+        val x = mv(duck, "1"); val lo = mv(duck, "0"); val hi = mv(duck, "2")
+        s"""SELECT (SELECT count(*) FROM part WHERE
+              ($x IS NULL OR ($x = $x
+                AND $x IS NOT DISTINCT FROM $x
+                AND $x <> $lo AND ($x IS DISTINCT FROM $lo)
+                AND $x > $lo AND $x >= $lo
+                AND $x < $hi AND $x <= $hi
+                AND ($x <> $lo) IS TRUE AND ($x = $lo) IS FALSE))) AS n_taut,
+            (SELECT count(*) FROM part) AS n_all"""
+      }
+      ("q_qasql_tautology_mv", body(false), body(true))
+    }
+
+    def jsonGate = {
+      // json.all.iq: array_prepend over JSON_KEYS(props, '$.') — the
+      // root-keys array rides the whole-array comparison surface
+      def k(duck: Boolean, e: String) =
+        if (duck) s"list_prepend('$e', json_keys(props))"
+        else s"array_prepend('$e', json_keys(props, '$$.'))"
+      def body(duck: Boolean) = {
+        val x = k(duck, "1"); val lo = k(duck, "0"); val hi = k(duck, "2")
+        s"""SELECT (SELECT count(*) FROM events WHERE
+              ($x IS NULL OR ($x = $x
+                AND $x IS NOT DISTINCT FROM $x
+                AND $x <> $lo AND ($x IS DISTINCT FROM $lo)
+                AND $x > $lo AND $x >= $lo
+                AND $x < $hi AND $x <= $hi
+                AND ($x <> $lo) IS TRUE AND ($x = $lo) IS NOT TRUE
+                AND $x BETWEEN $lo AND $hi
+                AND $x IN ($lo, $x, $hi)
+                AND $x NOT IN ($lo, $hi)))) AS n_taut,
+            (SELECT count(*) FROM events) AS n_all"""
+      }
+      ("q_qasql_tautology_json_keys", body(false), body(true))
+    }
+
     Seq(numericGate, datetimeGate, stringGate, reductionGate, otherGate,
-      aggrGate)
+      aggrGate, arrayGate, mvGate, jsonGate)
   }
 
   private def runSpark(s: SparkSession, dir: String, sqlText: String)

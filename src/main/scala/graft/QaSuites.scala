@@ -942,6 +942,62 @@ object QaSuites {
 
     // --------------------------------------------------------- qaUnnest ----
     // array_sql_group_by: null elements unnest into rows and group
+    // DecoupledPlanningCalciteArraysQueryTest residual shapes: UNNEST of
+    // the SAME column THRICE with a filter per level (the all-levels
+    // selector), GROUP BY + HAVING selector on the unnested alias, a
+    // NOT-filter on the unnested column (null elements DROP through !=,
+    // 3-valued), and an inner ORDER+LIMIT under the UNNEST (the corpus's
+    // unordered LIMIT pinned by __time, the standing adaptation). DuckDB
+    // zips parallel unnests, so the oracle cross-joins per-row unnest
+    // subqueries on the row key.
+    gu("q_qa_unnest_thrice_filters",
+      """SELECT u1, u2, u3, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest,
+              UNNEST(a_str) AS a(u1),
+              UNNEST(a_str) AS b(u2),
+              UNNEST(a_str) AS c(u3)
+         WHERE u1 = 'S1' AND u2 = 'S2' AND u3 IS NOT NULL
+         GROUP BY u1, u2, u3
+         ORDER BY u1, u2, u3""",
+      """SELECT u1, u2, u3, count(*) AS cnt
+         FROM (SELECT __time, unnest(a_str) AS u1 FROM test_unnest) x1
+         JOIN (SELECT __time, unnest(a_str) AS u2 FROM test_unnest) x2
+           ON x1.__time = x2.__time
+         JOIN (SELECT __time, unnest(a_str) AS u3 FROM test_unnest) x3
+           ON x1.__time = x3.__time
+         WHERE u1 = 'S1' AND u2 = 'S2' AND u3 IS NOT NULL
+         GROUP BY u1, u2, u3
+         ORDER BY u1, u2, u3"""),
+
+    gu("q_qa_unnest_having_notfilter_limit",
+      """SELECT 'hav' AS src, c, CAST(count(*) AS BIGINT) AS cnt
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         GROUP BY c HAVING c = 'S1'
+         UNION ALL
+         SELECT 'ne', c, CAST(count(*) AS BIGINT)
+         FROM test_unnest, UNNEST(a_str) AS u(c)
+         WHERE c <> 'S2' GROUP BY c
+         UNION ALL
+         SELECT 'lim', c, CAST(count(*) AS BIGINT)
+         FROM (SELECT a_str FROM test_unnest ORDER BY __time LIMIT 2) t,
+              UNNEST(a_str) AS u(c)
+         GROUP BY c
+         ORDER BY src, c NULLS FIRST""",
+      """SELECT src, c, cnt FROM (
+           SELECT 'hav' AS src, c, count(*) AS cnt
+           FROM (SELECT unnest(a_str) AS c FROM test_unnest) x
+           GROUP BY c HAVING c = 'S1'
+           UNION ALL
+           SELECT 'ne', c, count(*)
+           FROM (SELECT unnest(a_str) AS c FROM test_unnest) x
+           WHERE c <> 'S2' GROUP BY c
+           UNION ALL
+           SELECT 'lim', c, count(*)
+           FROM (SELECT unnest(a_str) AS c FROM
+                 (SELECT a_str FROM test_unnest ORDER BY __time LIMIT 2) t) x
+           GROUP BY c
+         ) u ORDER BY src, c NULLS FIRST"""),
+
     gu("q_qa_unnest_basic",
       """SELECT c, CAST(count(*) AS BIGINT) AS cnt
          FROM test_unnest, UNNEST(a_int) AS u(c)

@@ -7543,7 +7543,7 @@ object SparkEntry {
     DrillAggregates.queries ++ DrillLeadLag.queries ++
     DrillMultiPartitions.queries ++ DrillNestedAggs.queries ++
     DrillWindowMisc.queries ++ QaSqlBatteries.queries ++
-    CalciteJoinShapes.queries
+    CalciteJoinShapes.queries ++ SqlQuidemShapes.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -11209,5 +11209,5 @@ object SparkEntry {
     DrillAggregates.oracleSql ++ DrillLeadLag.oracleSql ++
     DrillMultiPartitions.oracleSql ++ DrillNestedAggs.oracleSql ++
     DrillWindowMisc.oracleSql ++ QaSqlBatteries.oracleSql ++
-    CalciteJoinShapes.oracleSql
+    CalciteJoinShapes.oracleSql ++ SqlQuidemShapes.oracleSql
 }

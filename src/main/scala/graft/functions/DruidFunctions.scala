@@ -1256,7 +1256,11 @@ object DruidFunctions {
           LessThan(Cast(args(1),
             org.apache.spark.sql.types.IntegerType), Literal(1)),
           Literal.create(null, StringType),
-          StringRepeat(Cast(args(0), StringType),
+          // no explicit Cast on the string arg: the explicit form would
+          // silently stringify ARRAY inputs, which the reference rejects
+          // (qaArray ops_funcs_scalar_funcs !error grid) — StringRepeat's
+          // implicit coercion accepts atomics only
+          StringRepeat(args(0),
             Cast(args(1), org.apache.spark.sql.types.IntegerType)))
       }),
       // Function.java LpadFunc:3133 / RpadFunc: len == 0 → NULL (not ''),

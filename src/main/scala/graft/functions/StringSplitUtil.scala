@@ -18,16 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
 object StringSplitUtil {
 
   // regexes are almost always literal per-query constants; cache compiled
-  // patterns so the per-row cost is the split itself (bounded: worst case a
-  // few distinct delimiters per query)
-  private val patterns = new ConcurrentHashMap[String, Pattern]()
+  // patterns so the per-row cost is the split itself. Two-generation
+  // rotation instead of a full clear: when the hot map fills, it becomes
+  // the warm generation and lookups fall back to it before recompiling —
+  // a workload with >1024 live delimiters degrades to at most one extra
+  // map probe, never a thundering-herd recompile of its whole working set.
+  @volatile private var warm = new ConcurrentHashMap[String, Pattern]()
+  @volatile private var patterns = new ConcurrentHashMap[String, Pattern]()
   private def pattern(r: String): Pattern = {
     val hit = patterns.get(r)
-    if (hit != null) hit
-    else {
-      if (patterns.size > 1024) patterns.clear()
-      patterns.computeIfAbsent(r, Pattern.compile(_))
+    if (hit != null) return hit
+    if (patterns.size > 1024) synchronized {
+      if (patterns.size > 1024) { warm = patterns
+        patterns = new ConcurrentHashMap[String, Pattern]() }
     }
+    val old = warm.get(r)
+    if (old != null) { patterns.putIfAbsent(r, old); old }
+    else patterns.computeIfAbsent(r, Pattern.compile(_))
   }
 
   def javaSplit(s: UTF8String, r: UTF8String): ArrayData = {

@@ -768,6 +768,38 @@ class SqlApiSpec extends AnyFunSuite {
       == "SELECT locate('b', col_in, 2) FROM t")
   }
 
+  test("qaArray ops_funcs_scalar_funcs rejection grid: scalar functions " +
+      "over ARRAY columns are analysis errors (43-file !error battery)") {
+    graft.functions.DruidFunctions.register(spark)
+    spark.sql(
+      """SELECT array(1L, 2L, CAST(NULL AS BIGINT)) AS a_int,
+                array('S1', 'S2', CAST(NULL AS STRING)) AS a_str
+         FROM range(1)""").createOrReplaceTempView("swq_arr")
+    // the grid's numeric/string/temporal function families — every one
+    // the reference rejects AND Spark rejects (analysis-time parity)
+    val rejected = Seq(
+      "abs(a_int)", "ceil(a_int)", "floor(a_int)", "sqrt(a_int)",
+      "sin(a_int)", "tan(a_int)", "exp(a_int)", "ln(a_int)",
+      "power(a_int, 2)", "mod(a_int, 2)", "radians(a_int)",
+      "round(a_int)", "upper(a_int)", "lower(a_int)",
+      "trim(a_str)", "ltrim(a_str)", "rtrim(a_str)",
+      "repeat(a_str, 2)", "substring(a_str, 1, 2)",
+      "time_floor(a_int, 'PT1H')", "timestamp_to_millis(a_str)",
+      "parse_long(a_int)", "safe_divide(a_int, 2)")
+    for (expr <- rejected) {
+      intercept[Exception] {
+        spark.sql(s"SELECT $expr AS col FROM swq_arr").collect()
+      }
+    }
+    // documented-permissive: Spark DEFINES these on arrays (a capability
+    // superset, not a wrong answer on any accepted query) — reverse
+    // reverses the array, count counts rows, concat concatenates arrays
+    assert(spark.sql("SELECT reverse(a_int) AS r FROM swq_arr").head()
+      .getSeq[Any](0).head == null)
+    assert(spark.sql("SELECT count(a_int) AS c FROM swq_arr").head()
+      .getLong(0) == 1L)
+  }
+
   test("qaWin negative corpus: NTILE and NTH_VALUE argument bounds") {
     // basics_window_funcs error battery: NTILE requires a positive bucket
     // count and NTH_VALUE a positive offset — rejected, not silently NULL
