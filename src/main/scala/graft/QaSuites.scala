@@ -931,6 +931,24 @@ object QaSuites {
                ['zz']::VARCHAR[])) AS in_json
           FROM test_array"""),
 
+    // funcs_and_sql_func_to_json_string A016 + try_parse_json A008-A012:
+    // SQL booleans serialize as LONGS (the reference expression layer has
+    // no boolean type — TO_JSON_STRING(TRUE) = 1), document-INTERNAL
+    // booleans stay true/false, and literal strings always quote
+    ga("q_qa_json_tjs_boolean",
+      """SELECT to_json_string(TRUE) AS b_true,
+                to_json_string(FALSE) AS b_false,
+                to_json_string(1 = 1) AS b_expr,
+                to_json_string(CAST(NULL AS BOOLEAN)) AS b_null,
+                to_json_string(parse_json('{"a":true}')) AS doc_bool,
+                to_json_string('true') AS str_true
+         FROM test_array LIMIT 1""",
+      """SELECT '1' AS b_true, '0' AS b_false, '1' AS b_expr,
+                NULL::VARCHAR AS b_null,
+                '{"a":true}' AS doc_bool,
+                '"true"' AS str_true
+         FROM test_array LIMIT 1"""),
+
     // sql_union_all: array-derived columns across UNION ALL
     ga("q_qa_array_union",
       """SELECT array_to_string(a_int, '|') AS k FROM test_array

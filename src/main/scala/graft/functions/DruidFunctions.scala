@@ -1612,6 +1612,16 @@ object DruidFunctions {
       LambdaFunction(body(x), Seq(x))
     }
     def nullBool: Expression = Literal.create(null, BooleanType)
+    // reference Calcite operand check: VARCHAR-only argument — reject any
+    // RESOLVED non-string input at build time (numerics would otherwise
+    // implicit-cast through Spark's coercion)
+    def rejectNonString(op: String, e: Expression): Unit =
+      if (e.resolved && e.dataType != StringType &&
+          e.dataType != org.apache.spark.sql.types.NullType)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3055",
+          messageParameters = Map("reason" ->
+            s"Cannot apply '$op' to arguments of type '$op(<${e.dataType.sql}>)'"))
     // reference ArrayToStringFunction (Function.java:3623-3649): null array
     // OR the single-element [null] array → SQL NULL; otherwise
     // String::valueOf per element (nulls print 'null') joined by the
@@ -1772,6 +1782,24 @@ object DruidFunctions {
       // time here; non-literal input rides the STRING-facade rule
       // (parseable → canonical document via parse→to_json, else quoted
       // string; the array(j) trick reuses Spark's JSON string escaping).
+      // PARSE_JSON / TRY_PARSE_JSON accept VARCHAR ONLY in the reference —
+      // `try_parse_json(1234)` is "Cannot apply … to <INTEGER>"
+      // (funcs_and_sql_func_try_parse_json A008-A012) — where Spark's
+      // builtin would implicitly cast the numeric to string. Shadowed with
+      // a resolved-type guard; string/unresolved inputs delegate to the
+      // builtin ParseJson expression unchanged.
+      "parse_json" -> ((a: Seq[Expression]) => {
+        require(a.size == 1, s"parse_json takes 1 argument, got ${a.size}")
+        rejectNonString("PARSE_JSON", a.head)
+        new org.apache.spark.sql.catalyst.expressions.variant
+          .ParseJson(a.head, true)
+      }),
+      "try_parse_json" -> ((a: Seq[Expression]) => {
+        require(a.size == 1, s"try_parse_json takes 1 argument, got ${a.size}")
+        rejectNonString("TRY_PARSE_JSON", a.head)
+        new org.apache.spark.sql.catalyst.expressions.variant
+          .ParseJson(a.head, false)
+      }),
       "to_json_string" -> ((a: Seq[Expression]) => {
         require(a.size == 1, s"to_json_string takes 1 argument, got ${a.size}")
         a.head match {
@@ -1780,6 +1808,12 @@ object DruidFunctions {
             Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
               com.fasterxml.jackson.databind.node.TextNode
                 .valueOf(u.toString).toString), StringType)
+          // the reference's expression layer has NO boolean type — booleans
+          // ride as LONGS (ExprEval), so TO_JSON_STRING(TRUE) prints 1, not
+          // true (funcs_and_sql_func_to_json_string corpus)
+          case e if e.resolved &&
+              e.dataType == org.apache.spark.sql.types.BooleanType =>
+            Cast(Cast(e, LongType), StringType)
           case e =>
             val j = Cast(e, StringType)
             val tryp = fn("try_parse_json", j)
