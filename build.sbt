@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the container's platform charset is US-ASCII; Java 17 predates
+  // JEP 400's UTF-8 default, and Spark's variant→string path decodes
+  // with the platform charset — non-ASCII text through parse_json would
+  // come back as U+FFFD without this
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -55,7 +55,13 @@ object GraftExtensions {
       case Seq(v) => (v, time)
       case Seq(v, second) if second.foldable &&
           Seq(ByteType, ShortType, IntegerType, LongType).contains(second.dataType) =>
-        (graft.functions.ChopUtf8(v, second.eval().toString.toInt), time)
+        // the maxBytes form is the STRING aggregator — a numeric value
+        // argument stringifies first (EarliestLatestBySqlAggregator
+        // accepts ANY + numeric literal; qaUnnest earliest(s_int, 100))
+        (graft.functions.ChopUtf8(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            v, org.apache.spark.sql.types.StringType),
+          second.eval().toString.toInt), time)
       case Seq(v, order) => (v, order)
       case _ => throw new IllegalArgumentException(
         s"$fn takes 1 or 2 arguments, got ${args.size}")

@@ -47,7 +47,10 @@ object QaSuites {
   private def nestedJson(b: String, i: String, f: String, s: String,
       m: String): String = {
     val seven = s"$b,$i,$f,$s,[null,null,null],[],$m"
-    s"[$seven,[$seven]]"
+    // the reference document nests ITSELF twice: $[7] carries the 7
+    // leaves PLUS another copy at $[7][7] (qaArray sql/ingest.json) —
+    // a 2-level fixture silently NULLs every $[7][7] path
+    s"[$seven,[$seven,[$seven]]]"
   }
 
   private val nestedA = nestedJson("[true,false,null]", "[1,2,null]",
@@ -99,7 +102,7 @@ object QaSuites {
   }
 
   /** qaUnnest/array `test_unnest`: 3 rows, s_int = 1, 2, NULL. */
-  private val sparkTestUnnest: String = {
+  private[graft] val sparkTestUnnest: String = {
     def row(t: String, si: String, b: String, i: String, f: String, s: String,
         m: String, nested: String) =
       s"""(TIMESTAMP'$t', $si, $b, $i, $f, $s,
@@ -174,7 +177,7 @@ object QaSuites {
       c_mv_num_with_null_and_empty_row, c_mv_all_null_and_empty_val)"""
       .replaceAll("\\s+", " ")
 
-  private val sparkTestMv: String = {
+  private[graft] val sparkTestMv: String = {
     def arr(elems: String) =
       if (elems.isEmpty) "CAST(array() AS ARRAY<STRING>)"
       else s"array(${elems.replace("NULL", "CAST(NULL AS STRING)")})"
@@ -947,6 +950,18 @@ object QaSuites {
                 NULL::VARCHAR AS b_null,
                 '{"a":true}' AS doc_bool,
                 '"true"' AS str_true
+         FROM test_array LIMIT 1"""),
+
+    // funcs_and_sql_func_{parse,try_parse}_json A002: non-ASCII text
+    // round-trips through the variant path intact ("日本" keeps its two
+    // characters — guards the UTF-8 default-charset regression the
+    // US-ASCII container surfaces in the variant→string decode)
+    ga("q_qa_json_utf8_roundtrip",
+      """SELECT to_json_string(try_parse_json('"日本"')) AS rt,
+                json_value('{"k": "日本"}', '$.k') AS jv,
+                length(json_value('{"k": "日本"}', '$.k')) AS jv_len
+         FROM test_array LIMIT 1""",
+      """SELECT '"日本"' AS rt, '日本' AS jv, 2 AS jv_len
          FROM test_array LIMIT 1"""),
 
     // sql_union_all: array-derived columns across UNION ALL

@@ -59,7 +59,7 @@ object SqlApi {
       spark.conf.set("spark.graft.sqlReverseLookup", v.toString))
     bool(ctxValue(j, "sqlPullUpLookup")).foreach(v =>
       spark.conf.set("spark.graft.sqlPullUpLookup", v.toString))
-    val sqlText = rewriteTableFunctions(spark, dir, sql(j))
+    val sqlText = calciteLiteralEscape(rewriteTableFunctions(spark, dir, sql(j)))
     // context.sqlTimeZone (reference PlannerContext.getTimeZone): the query
     // plans under the requested zone — Catalyst's ResolveTimeZone bakes the
     // session zone into datetime expressions at ANALYSIS time, so setting
@@ -418,6 +418,23 @@ object SqlApi {
     // TO DAY) keeps matching), but can never match text inside one.
     val (masked, lits) = maskLiterals(bind(setStatements(raw)._2, params))
     unmaskLiterals(rewritePipeline(masked), lits)
+  }
+
+  /** Calcite string literals do NOT process backslash escapes — '\|' is
+    * the two characters backslash+pipe (a regex-escaped pipe for the
+    * split functions; ops_funcs_mv_funcs A1_B15 splits 'a|b' on '\|') —
+    * while Spark's parser unescapes them ('\|' → '|', '\n' → newline).
+    * Doubling each backslash inside the masked-out literals makes Spark's
+    * unescaping return the original characters, giving payload SQL the
+    * reference's literal semantics. Applied as the LAST text step before
+    * the facade hands SQL to Spark's parser (after the structural rewrites
+    * — rewriteTableFunctions reads the TRUE literal text for its EXTERN
+    * JSON arguments). Gate batteries enter through rewriteSql and keep
+    * Spark dialect.
+    */
+  private[graft] def calciteLiteralEscape(sqlText: String): String = {
+    val (masked, lits) = maskLiterals(sqlText)
+    unmaskLiterals(masked, lits.map(_.replace("\\", "\\\\")))
   }
 
   /** The full rewrite pipeline over MASKED SQL text — the ONE chain shared

@@ -1733,6 +1733,15 @@ object DruidFunctions {
       // String::valueOf; qaArray A1_B13: '1|0|null'), but the single-element
       // [null] array is SQL NULL (Function.java:3643 `raw.length == 1 &&
       // raw[0] == null`), and a null separator joins with '' (:3646)
+      // MV_SLICE is the SAME ArraySliceFunction as ARRAY_SLICE in the
+      // reference (null-padding past the end, [null, null] from an empty
+      // array; ops_funcs_mv_funcs A1_B13_C16) — a plain slice() macro
+      // would drop the padding
+      "mv_slice" -> ((a: Seq[Expression]) => {
+        require(a.size == 2 || a.size == 3,
+          s"mv_slice takes 2 or 3 arguments, got ${a.size}")
+        fn("array_slice", a: _*)
+      }),
       "array_to_string" -> ((a: Seq[Expression]) => arrayToString(a)),
       "mv_to_string" -> ((a: Seq[Expression]) => arrayToString(a)),
       // Java String.split limit-0 (drops trailing empties) — a SQL macro on
@@ -1861,10 +1870,8 @@ object DruidFunctions {
       // long truthiness is `> 0` (Evals.asBoolean). Same walker as the
       // other typed variants (quoted fields, loud slice/union rejection).
       "json_value_boolean_array" -> ((a: Seq[Expression]) =>
-        fn("transform",
-          fn("from_json", fn("json_value", a.head, a(1)),
-            Literal("array<bigint>")),
-          lam(x => GreaterThan(x, Literal(0L))))))
+        fn("from_json", fn("json_value", a.head, a(1)),
+          Literal("array<bigint>"))))
   }
 
   /** Register reference-named functions for `spark.sql` text queries. SQL
@@ -1981,9 +1988,6 @@ object DruidFunctions {
       //  element — then renders as a VARCHAR MV; a typed SQL macro would
       //  silently retype the array to strings first and keep 'A')
       "MV_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(a, b)",
-      // reference slice is 0-based [start, end)
-      """MV_SLICE(a ARRAY<STRING>, s INT, e INT) RETURNS ARRAY<STRING> RETURN
-         slice(a, s + 1, e - s)""",
       """MV_FILTER_ONLY(a ARRAY<STRING>, allow ARRAY<STRING>) RETURNS ARRAY<STRING>
          RETURN filter(a, x -> array_contains(allow, x))""",
       """MV_FILTER_NONE(a ARRAY<STRING>, deny ARRAY<STRING>) RETURNS ARRAY<STRING>

@@ -768,6 +768,20 @@ class SqlApiSpec extends AnyFunSuite {
       == "SELECT locate('b', col_in, 2) FROM t")
   }
 
+  test("payload string literals keep Calcite no-escape semantics " +
+      "(ops_funcs_mv_funcs A1_B15: split on '\\|' is a pipe split)") {
+    graft.functions.DruidFunctions.register(spark)
+    // '\|' through the facade = backslash+pipe = regex-escaped pipe;
+    // Spark's parser alone would eat the backslash and split per-char
+    val df = graft.api.SqlApi.run(spark, dir,
+      """{"query": "SELECT string_to_mv('true|1|S1', '\\|') AS c"}""")
+    assert(df.head().getSeq[String](0) == Seq("true", "1", "S1"))
+    // '\n' stays two characters, not a newline
+    val df2 = graft.api.SqlApi.run(spark, dir,
+      """{"query": "SELECT length('a\\nb') AS n"}""")
+    assert(df2.head().getInt(0) == 4)
+  }
+
   test("qaArray ops_funcs_scalar_funcs rejection grid: scalar functions " +
       "over ARRAY columns are analysis errors (43-file !error battery)") {
     graft.functions.DruidFunctions.register(spark)
