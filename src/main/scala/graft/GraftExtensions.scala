@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.ReverseLookupRule)
     e.injectOptimizerRule(_ => graft.plans.AggregatePullUpLookupRule)
     e.injectOptimizerRule(_ => graft.plans.RejectInvertedFrames)
+    e.injectOptimizerRule(_ => graft.plans.SortDistinctArrayAgg)
     e.injectPlannerStrategy(_ => graft.plans.ApproxTopNStrategy)
   }
 }
@@ -320,10 +321,16 @@ object GraftExtensions {
       }),
     ("array_concat_agg", info("array_concat_agg",
       "concatenate array values across rows (ARRAY_CONCAT_AGG)"),
-      (args: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.Flatten(
-          org.apache.spark.sql.catalyst.expressions.aggregate
-            .CollectList(args.head).toAggregateExpression())))
+      (args: Seq[Expression]) => {
+        // all-NULL group (CollectList skips nulls → empty buffer) is SQL
+        // NULL like the reference, not [] (ops_funcs_agg_funcs A1_B29)
+        import org.apache.spark.sql.catalyst.expressions.{EqualTo, Flatten, If, Literal, Size}
+        val cl = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(args.head).toAggregateExpression()
+        If(EqualTo(Size(cl), Literal(0)),
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          Flatten(cl))
+      }))
 
   /** Strip the reference's optional LEADING literal parameters (lgK /
     * tgtHllType / size) from a variadic sketch-combinator argument list:
@@ -368,6 +375,7 @@ object GraftExtensions {
     addOnce(graft.plans.ReverseLookupRule)
     addOnce(graft.plans.AggregatePullUpLookupRule)
     addOnce(graft.plans.RejectInvertedFrames)
+    addOnce(graft.plans.SortDistinctArrayAgg)
     graft.plans.ApproxTopN.ensureStrategy(spark)
   }
 }

@@ -28,6 +28,7 @@ import org.apache.spark.sql.types._
   */
 case class DruidArrayAgg(
     child: Expression,
+    sorted: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]]
@@ -47,8 +48,26 @@ case class DruidArrayAgg(
       buf: mutable.ArrayBuffer[Any],
       other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = buf ++= other
 
+  // ARRAY_AGG(DISTINCT x) returns a SORTED array in the reference
+  // (array_sql_agg_funcs A1_B28: [null, 1, 2], nulls first ascending) —
+  // the [[graft.plans.SortDistinctArrayAgg]] rule flips `sorted` on
+  // distinct call sites
+  @transient private lazy val elemOrdering: Ordering[Any] = {
+    val base = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(child.dataType)
+    new Ordering[Any] {
+      override def compare(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else base.compare(a, b)
+    }
+  }
+
   override def eval(buf: mutable.ArrayBuffer[Any]): Any =
-    if (buf.isEmpty) null else new GenericArrayData(buf.toArray)
+    if (buf.isEmpty) null
+    else new GenericArrayData(
+      if (sorted) buf.toArray.sorted(elemOrdering) else buf.toArray)
 
   @transient private lazy val bufType = ArrayType(child.dataType, containsNull = true)
   @transient private lazy val serProjection =

@@ -736,7 +736,7 @@ object DruidFunctions {
           s"json_value takes 2 or 3 arguments, got ${args.size}")
         val walked = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           JsonWalk.getClass, StringType, method,
-          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(JsonInputText(args(0)), Cast(args(1), StringType)),
           Seq(StringType, StringType), propagateNull = false)
         if (args.size == 2) walked
         else {
@@ -1077,7 +1077,7 @@ object DruidFunctions {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType),
           "paths",
-          Seq(Cast(args(0), org.apache.spark.sql.types.StringType)),
+          Seq(JsonInputText(args(0))),
           Seq(org.apache.spark.sql.types.StringType),
           // NULL input is NOT null-propagated: the reference yields ['$']
           // for a missing/scalar document (qaJsonCols A001/A044 rows 3-4)
@@ -1099,7 +1099,7 @@ object DruidFunctions {
         require(args.size == 2, s"json_query takes 2 arguments, got ${args.size}")
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           JsonWalk.getClass, StringType, "query",
-          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(JsonInputText(args(0)), Cast(args(1), StringType)),
           Seq(StringType, StringType), propagateNull = false)
       }),
       "json_keys" -> ((args: Seq[Expression]) => {
@@ -1107,7 +1107,7 @@ object DruidFunctions {
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           JsonWalk.getClass,
           org.apache.spark.sql.types.ArrayType(StringType), "keys",
-          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(JsonInputText(args(0)), Cast(args(1), StringType)),
           Seq(StringType, StringType), propagateNull = false)
       }),
       // JsonMergeExprMacro (NestedDataExpressions.java:105-170): variadic
@@ -1132,7 +1132,7 @@ object DruidFunctions {
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           JsonWalk.getClass,
           org.apache.spark.sql.types.ArrayType(StringType), "queryArray",
-          Seq(Cast(args(0), StringType), Cast(args(1), StringType)),
+          Seq(JsonInputText(args(0)), Cast(args(1), StringType)),
           Seq(StringType, StringType), propagateNull = false)
       }),
       // Function.java SubstringFunc:2867 — the NATIVE expression language's
@@ -1645,7 +1645,7 @@ object DruidFunctions {
       org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
         StringSplitUtil.getClass,
         org.apache.spark.sql.types.ArrayType(StringType), "javaSplit",
-        Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
+        Seq(JsonInputText(a.head), Cast(a(1), StringType)),
         Seq(StringType, StringType),
         // null delimiter splits per-character, only a null INPUT nulls out
         // (handled inside the helper)
@@ -1780,9 +1780,17 @@ object DruidFunctions {
       }),
       // concat-agg: skip NULL input arrays (stock collect_list), keep inner
       // nulls, flatten partition-wise
-      "array_concat_agg" -> ((a: Seq[Expression]) =>
-        Flatten(new org.apache.spark.sql.catalyst.expressions.aggregate
-          .CollectList(a.head).toAggregateExpression())),
+      // ARRAY_CONCAT_AGG of a group whose inputs are ALL NULL arrays is
+      // SQL NULL in the reference (CollectList skips nulls, so an empty
+      // buffer marks the all-null group), not the empty array
+      // (ops_funcs_agg_funcs A1_B29_C23)
+      "array_concat_agg" -> ((a: Seq[Expression]) => {
+        val cl = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(a.head).toAggregateExpression()
+        If(EqualTo(Size(cl), Literal(0)),
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          Flatten(cl))
+      }),
       // TO_JSON_STRING (NestedDataExpressions.ToJsonStringExprMacro): a
       // STRING *literal* is typed VARCHAR in the reference and always
       // serializes as a JSON string — to_json_string('1234') = "1234",
@@ -1856,7 +1864,7 @@ object DruidFunctions {
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           JsonWalk.getClass,
           org.apache.spark.sql.types.ArrayType(StringType), "valueStrArray",
-          Seq(Cast(a.head, StringType), Cast(a(1), StringType)),
+          Seq(JsonInputText(a.head), Cast(a(1), StringType)),
           Seq(StringType, StringType), propagateNull = false)),
       "json_value_bigint_array" -> ((a: Seq[Expression]) =>
         fn("from_json", fn("json_value", a.head, a(1)),

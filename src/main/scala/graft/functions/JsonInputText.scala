@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Adapter feeding the JSON walker: a STRING input passes through, an SQL
+  * ARRAY input serializes to its compact JSON text first. The reference's
+  * JSON functions accept ARRAY-typed expressions as nested data —
+  * `json_keys(a_str, '$.')` yields the index keys `[0, 1, 2]` and
+  * `json_query(a_str, '$[0]')` the first element (qaArray
+  * ops_funcs_json_funcs A1_B1_C10/A1_B4_C10) — where a bare CAST to
+  * STRING would render Spark's non-JSON array form (`[S1, S2, null]`)
+  * that the walker cannot parse. Type dispatch needs the RESOLVED child
+  * type, which function builders don't see, hence an expression instead
+  * of a build-time rewrite. CodegenFallback: every consumer is already a
+  * non-codegen StaticInvoke walker call.
+  */
+case class JsonInputText(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  private lazy val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  private def write(gen: com.fasterxml.jackson.core.JsonGenerator,
+                    v: Any, t: DataType): Unit = (v, t) match {
+    case (null, _) => gen.writeNull()
+    case (a: ArrayData, ArrayType(et, _)) =>
+      gen.writeStartArray()
+      var i = 0
+      while (i < a.numElements()) {
+        write(gen, if (a.isNullAt(i)) null else a.get(i, et), et)
+        i += 1
+      }
+      gen.writeEndArray()
+    case (s: UTF8String, _) => gen.writeString(s.toString)
+    case (b: Boolean, _) => gen.writeBoolean(b)
+    case (n: Byte, _) => gen.writeNumber(n.toLong)
+    case (n: Short, _) => gen.writeNumber(n.toLong)
+    case (n: Int, _) => gen.writeNumber(n.toLong)
+    case (n: Long, _) => gen.writeNumber(n)
+    case (n: Float, _) => gen.writeNumber(n.toDouble)
+    case (n: Double, _) => gen.writeNumber(n)
+    case (n: org.apache.spark.sql.types.Decimal, _) =>
+      gen.writeNumber(n.toJavaBigDecimal)
+    case (other, _) => gen.writeString(other.toString)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    child.dataType match {
+      case StringType => v
+      case at: ArrayType =>
+        val sw = new java.io.StringWriter()
+        val gen = jsonFactory.createGenerator(sw)
+        write(gen, v, at)
+        gen.close()
+        UTF8String.fromString(sw.toString)
+      case _ => UTF8String.fromString(v.toString)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): JsonInputText =
+    copy(child = c)
+}

@@ -39,8 +39,16 @@ def main():
                     else:
                         continue
                 else:
-                    cols = [c.strip() for c in lines[0].split("|")]
-                    rows = [[c.strip() for c in ln.split("|")] for ln in lines[1:]]
+                    # cells may CONTAIN '|' (array_to_string with a pipe
+                    # separator), so split on the padded ' | ' delimiter
+                    # into exactly ncols cells
+                    cols = [c.strip() for c in lines[0].split(" | ")]
+                    ncols = len(cols)
+                    def cells(ln):
+                        if ncols == 1:
+                            return [ln.strip()]
+                        return [c.strip() for c in ln.split(" | ", ncols - 1)]
+                    rows = [cells(ln) for ln in lines[1:]]
                 print(json.dumps({"file": base, "tid": tid,
                                   "query": " ".join(q.rstrip(";").split()),
                                   "cols": cols, "rows": rows}))
