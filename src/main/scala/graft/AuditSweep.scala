@@ -105,12 +105,17 @@ object AuditSweep {
 
     val nOk = new AtomicInteger; val nBad = new AtomicInteger
     val errs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val errExample = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val mism = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // the MV corpus reuses the test_unnest NAME with the c_mv_* column
+    // set — run it as a second phase against the MV fixture view
+    val (mvCases, arrCases) = cases.partition(_.query.contains("c_mv"))
+    def runPhase(phase: Vector[Case]): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    cases.foreach { c =>
+    phase.foreach { c =>
       pool.submit(new Runnable { def run(): Unit = {
         try {
-          val df = spark.sql(api.SqlApi.rewriteSql(c.query))
+          val df = api.SqlApi.runSql(spark, c.query)
           val got = df.collect().map(_.toSeq.map(normCell)).toSeq
           val ordered = "(?is).*\\bORDER\\s+BY\\b.*".r.matches(c.query)
           def rowsEq(g: Seq[Seq[String]], e: Seq[Seq[String]]): Boolean =
@@ -131,20 +136,26 @@ object AuditSweep {
           }
         } catch {
           case ex: Throwable =>
-            val key = Option(ex.getMessage).getOrElse("null")
-              .linesIterator.next().take(80)
+            val key = ex.getClass.getSimpleName + ": " +
+              Option(ex.getMessage).getOrElse("null")
+                .linesIterator.nextOption().getOrElse("").take(80)
             errs.merge(key, 1, (a, b) => a + b)
+            errExample.putIfAbsent(key, c.query.take(200))
         }
       }})
     }
     pool.shutdown()
     pool.awaitTermination(120, java.util.concurrent.TimeUnit.MINUTES)
+    }
+    runPhase(arrCases)
+    spark.sql(viewSql(QaSuites.sparkTestMv, "test_unnest"))
+    runPhase(mvCases)
     mism.forEach(m => println(m))
     println(s"AUDIT total=${cases.size} ok=${nOk.get} mismatch=${nBad.get} " +
       s"errored=${errs.values().stream().mapToInt(_.intValue).sum}")
     import scala.jdk.CollectionConverters._
     errs.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, v) =>
-      println(s"ERRCLASS\t$v\t$k")
+      println(s"ERRCLASS\t$v\t$k\tEG: ${errExample.getOrDefault(k, "")}")
     }
     spark.stop()
   }

@@ -215,7 +215,7 @@ object CalciteJoinShapes {
       : DataFrame = {
     Tables.registerAll(s, dir)
     DruidFunctions.register(s)
-    s.sql(graft.api.SqlApi.rewriteSql(sqlText))
+    graft.api.SqlApi.runSql(s, sqlText)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

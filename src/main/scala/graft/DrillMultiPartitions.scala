@@ -243,7 +243,8 @@ object DrillMultiPartitions {
               CAST(cume_dist() OVER W AS DOUBLE) AS cdist,
               row_number() OVER W AS rn,
               CAST(avg(c_integer + c_integer) OVER W AS DOUBLE) AS avg2,
-              CAST(sum(c_integer / 100) OVER W AS DOUBLE) AS sumdiv,
+              CAST(sum(c_integer ${if (duck) "//" else "/"} 100) OVER W
+                AS DOUBLE) AS sumdiv,
               count(*) OVER W AS cnt,
               min(c_integer) OVER W AS mn,
               max(c_integer) OVER W AS mx
@@ -359,7 +360,7 @@ object DrillMultiPartitions {
 
   private def runSpark(s: SparkSession, sqlText: String): DataFrame = {
     DruidFunctions.register(s)
-    s.sql(graft.api.SqlApi.rewriteSql(sqlText))
+    graft.api.SqlApi.runSql(s, sqlText)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -200,8 +200,8 @@ object DrillNestedAggs {
       // with the session; DROP here would race the lazy DataFrame)
       s.sql(s"CREATE OR REPLACE TEMPORARY VIEW vw_nstd_on_atu AS " +
         s"SELECT * FROM ${atuCte(false).replaceFirst("atu AS ", "")}")
-      s.sql(graft.api.SqlApi.rewriteSql(sqlText))
-    } else s.sql(graft.api.SqlApi.rewriteSql(sqlText))
+      graft.api.SqlApi.runSql(s, sqlText)
+    } else graft.api.SqlApi.runSql(s, sqlText)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -187,7 +187,7 @@ object DrillWindowMisc {
 
   private def runSpark(s: SparkSession, sqlText: String): DataFrame = {
     DruidFunctions.register(s)
-    s.sql(graft.api.SqlApi.rewriteSql(sqlText))
+    graft.api.SqlApi.runSql(s, sqlText)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

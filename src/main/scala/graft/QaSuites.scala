@@ -2589,10 +2589,10 @@ object QaSuites {
     // are spec-tested — they raise, which a result gate can't pin)
     gj("q_qa_json_path_quoted_field",
       """SELECT rid,
-                JSON_VALUE(c1, "$['a_str']") AS v_q,
-                JSON_VALUE(c1, "$['a_obj']['a_obj'].a_str") AS v_deep,
-                JSON_QUERY(c1, "$['a_empty_obj']") AS q_eobj,
-                array_join(JSON_KEYS(c1, "$['a_obj']"), '|') AS k_obj
+                JSON_VALUE(c1, '$[''a_str'']') AS v_q,
+                JSON_VALUE(c1, '$[''a_obj''][''a_obj''].a_str') AS v_deep,
+                JSON_QUERY(c1, '$[''a_empty_obj'']') AS q_eobj,
+                array_join(JSON_KEYS(c1, '$[''a_obj'']'), '|') AS k_obj
          FROM test_json_cols ORDER BY rid""",
       """SELECT rid,
                 CASE WHEN rid <= 2 THEN 'A' END AS v_q,
@@ -2730,7 +2730,7 @@ object QaSuites {
     // the SAME rewrite pipeline as SqlApi.sql — one shared chain (masking
     // included), so gates and the facade can never diverge on
     // FETCH/FLOOR-TO/negative-frame handling.
-    s.sql(graft.api.SqlApi.rewriteSql(sqlText))
+    graft.api.SqlApi.runSql(s, sqlText)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

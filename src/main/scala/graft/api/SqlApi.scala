@@ -342,16 +342,32 @@ object SqlApi {
     */
   private[graft] def sqlWithSortWindows(spark: SparkSession,
                                         sqlText: String): DataFrame = {
+    // Druid is LENIENT where ANSI throws: implicit string→number casts
+    // over dirty values ('' sums as null), size-of-null, invalid casts.
+    // The pipeline's rewriteDoubleQuotedIdents covers the one ANSI
+    // feature the facade used (double-quoted identifiers), so ANSI can
+    // be off at the SQL boundary.
+    if (spark.conf.get("spark.sql.ansi.enabled", "true") == "true")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
     import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, WindowExpression}
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
-    val parsed =
+    val parsed0 =
       try spark.sessionState.sqlParser.parsePlan(sqlText)
       catch { case _: Exception => return spark.sql(sqlText) } // multi-statement etc.
+    // Calcite division dialect: `/` on two integral operands is INTEGER
+    // division in the reference (array_sql_ops A1_B4: c/s_int -> 0/1).
+    // Swapped pre-analysis — the RuntimeReplaceable picks the arithmetic
+    // once types resolve; DataFrame-API plans keep Spark's operator.
+    val parsed = parsed0.transformAllExpressions {
+      case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
+        graft.functions.CalciteDiv(l, r)
+    }
     def sortHasWindow(s: Sort): Boolean =
       s.order.exists(_.exists(_.isInstanceOf[WindowExpression]))
     if (!parsed.exists { case s: Sort => sortHasWindow(s); case _ => false })
-      return spark.sql(sqlText)
+      return org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, parsed)
     val helpers = scala.collection.mutable.ArrayBuffer.empty[String]
     val rewritten = parsed.transformUp {
       case s: Sort if sortHasWindow(s) =>
@@ -383,6 +399,13 @@ object SqlApi {
     val df = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, rewritten)
     helpers.foldLeft(df)(_.drop(_))
   }
+
+  /** The battery/gate SQL runner: full rewrite pipeline + Calcite
+    * division dialect + window-in-ORDER-BY splicing. One entry point so
+    * the QA batteries, the audit sweep, and the facade share semantics.
+    */
+  def runSql(spark: SparkSession, sqlText: String): DataFrame =
+    sqlWithSortWindows(spark, rewriteSql(sqlText))
 
   /** DELETE /druid/v2/sql/{sqlQueryId} analog. */
   def cancel(spark: SparkSession, sqlQueryId: String): Unit =
@@ -444,9 +467,11 @@ object SqlApi {
     */
   private[graft] def rewritePipeline(masked: String): String =
     rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
-      rewriteSuffixFrames(rewriteCastTypes(rewriteFloorCeilTo(rewriteFetch(
-        rewritePositionFrom(rewriteExtractUnits(
-          rejectNegativeFrameBounds(masked)))))))))))
+      rewriteSuffixFrames(rewriteCastTry(rewriteCastTypes(rewriteArrayBrackets(
+        rewriteFloorCeilTo(rewriteFetch(
+          rewritePositionFrom(rewriteExtractUnits(
+            rejectNegativeFrameBounds(
+              rewriteDoubleQuotedIdents(masked))))))))))))))
 
   /** Mask → full pipeline → unmask, for plain SQL text (no payload
     * binding) — the gate-runner entry point.
@@ -708,6 +733,87 @@ object SqlApi {
     * `AS <type>)` CAST tail is touched — `RETURNING VARCHAR` (JSON_VALUE)
     * keeps its own handling in rewriteJsonReturning.
     */
+  /** Calcite's bracket array constructor — `ARRAY[1, 0, NULL]`, the
+    * spelling every reference corpus uses — to Spark's `array(...)` call
+    * form. Balanced-bracket scan (array literals nest: ARRAY[ARRAY[1]]);
+    * runs on masked text so literals can't match.
+    */
+  private[graft] def rewriteArrayBrackets(sqlText: String): String = {
+    val Re = """(?i)\bARRAY\s*\[""".r
+    def matchBracket(s: String, open: Int): Int = {
+      var depth = 0; var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    // Druid has NO decimal type — a literal with a decimal point is a
+    // DOUBLE (math/expr grammar), while Spark parses 0.1 as DECIMAL(1,1),
+    // whose ARRAY type then refuses to compare with a double-array
+    // column. Bare decimal-literal elements get the double cast.
+    val DecLit = """^-?\d+\.\d+(?:[eE][+-]?\d+)?$""".r
+    def splitElems(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var d = 0; var start = 0; var p = 0
+      while (p < s.length) {
+        s.charAt(p) match {
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case ',' if d == 0 => out += s.substring(start, p); start = p + 1
+          case _ =>
+        }
+        p += 1
+      }
+      out += s.substring(start)
+      out.result()
+    }
+    def castDecimals(inner: String): String =
+      splitElems(inner).map(_.trim).map {
+        case e if DecLit.matches(e) => s"CAST($e AS DOUBLE)"
+        case e => e
+      }.mkString(", ")
+    @annotation.tailrec
+    def loop(s: String): String = Re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val open = s.indexOf('[', m.start)
+        val close = matchBracket(s, open)
+        if (close < 0) s
+        else loop(s.substring(0, m.start) + "array(" +
+          castDecimals(s.substring(open + 1, close)) + ")" +
+          s.substring(close + 1))
+    }
+    loop(sqlText)
+  }
+
+  /** Druid casts are LENIENT — CAST('' AS BIGINT) and CAST('abc' AS
+    * DOUBLE) are NULL (native casts are total), where Spark 4's ANSI
+    * default throws at runtime. TRY_CAST has exactly the reference's
+    * contract; identical results on every valid cast. ANSI stays on
+    * (double-quoted identifier support is coupled to it).
+    */
+  /** Druid (Calcite) double-quotes IDENTIFIERS - a quoted column in
+    * every console-generated query - where Spark's default (ANSI off)
+    * reads a string literal. Backtick them on the masked text
+    * (Druid-dialect SQL has no double-quoted strings; single-quoted
+    * literal content is already masked out).
+    */
+  private[graft] def rewriteDoubleQuotedIdents(sqlText: String): String = {
+    val Re = "\"((?:[^\"]|\"\")*)\"".r
+    Re.replaceAllIn(sqlText, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "`" + m.group(1).replace("\"\"", "\"") + "`"))
+  }
+
+  private[graft] def rewriteCastTry(sqlText: String): String =
+    """(?i)(?<![A-Za-z0-9_])CAST\s*\(""".r
+      .replaceAllIn(sqlText, "TRY_CAST(")
+
   private[graft] def rewriteCastTypes(sqlText: String): String =
     """(?is)\bAS\s+(?:VARCHAR|CHAR)\s*\)""".r
       .replaceAllIn(sqlText, _ => "AS STRING)")
@@ -1044,8 +1150,13 @@ object SqlApi {
       case Some(m) => (m.group(1), m.group(2), rest.substring(m.end))
       case None    => ("unnested", "col", rest)
     }
+    // LATERAL subquery, not LATERAL VIEW: Spark's grammar hangs lateral
+    // views off the END of the FROM clause, so `… CROSS JOIN UNNEST(x)
+    // AS u(c) INNER JOIN t2 ON u.c = …` (a shape all over the reference
+    // corpus) could not be expressed — a JOIN LATERAL derived table
+    // composes with subsequent joins and keeps the alias addressable
     val replaced = sqlText.substring(0, start) +
-      s" LATERAL VIEW explode($expr) $alias AS $colName" + restAfter
+      s" JOIN LATERAL (SELECT explode($expr) AS $colName) $alias" + restAfter
     rewriteUnnest(replaced) // handle multiple UNNESTs
   }
 

@@ -1652,8 +1652,13 @@ object DruidFunctions {
         propagateNull = false)
     }
     Seq(
+      // explicit legacySizeOfNull=false: ARRAY_LENGTH(NULL) is NULL in
+      // the reference regardless of the session's ANSI mode (Spark's
+      // size() returns -1 under the legacy conf when ANSI is off)
       "array_length" -> ((a: Seq[Expression]) =>
-        Cast(fn("size", a.head), IntegerType)),
+        Cast(Size(a.head, legacySizeOfNull = false), IntegerType)),
+      "mv_length" -> ((a: Seq[Expression]) =>
+        Cast(Size(a.head, legacySizeOfNull = false), IntegerType)),
       "array_offset" -> ((a: Seq[Expression]) =>
         fn("get", a.head, Cast(a(1), IntegerType))),
       "array_ordinal" -> ((a: Seq[Expression]) =>
@@ -1832,7 +1837,10 @@ object DruidFunctions {
               e.dataType == org.apache.spark.sql.types.BooleanType =>
             Cast(Cast(e, LongType), StringType)
           case e =>
-            val j = Cast(e, StringType)
+            // ARRAY inputs serialize to their compact JSON text first
+            // (ops_funcs_json_funcs A1_B8_C19: to_json_string(a_mixed) =
+            // ["true","1","0.1","S1",null]); strings pass through
+            val j = JsonInputText(e)
             val tryp = fn("try_parse_json", j)
             val asArr = fn("to_json", fn("array", j))
             If(IsNull(j), Literal.create(null, StringType),
@@ -1929,7 +1937,7 @@ object DruidFunctions {
       "MILLIS_TO_TIMESTAMP(m BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(m)",
       // (TIME_FORMAT / TIME_PARSE / TIME_EXTRACT live in catalystBuilders:
       // optional pattern + timezone arities)
-      "MV_LENGTH(a ARRAY<STRING>) RETURNS INT RETURN size(a)",
+      // (MV_LENGTH lives in arrayBuilders: conf-proof size-of-null)
       "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
       // (MV_TO_STRING / STRING_TO_MV / STRING_TO_ARRAY live in
       //  arrayBuilders: [null]→NULL + null-prints-'null' join semantics and

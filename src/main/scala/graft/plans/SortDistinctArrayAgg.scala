@@ -20,6 +20,16 @@ object SortDistinctArrayAgg extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case d: DruidArrayAgg if !d.sorted =>
             ae.copy(aggregateFunction = d.copy(sorted = true))
+          // STRING_AGG(DISTINCT …) is sorted too (array_sql_agg_funcs
+          // A1_B32: '1|2' regardless of encounter order)
+          case l: org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg
+              if l.orderExpressions.isEmpty =>
+            ae.copy(aggregateFunction = l.withOrderingWithinGroup(Seq(
+              org.apache.spark.sql.catalyst.expressions.SortOrder(
+                l.child,
+                org.apache.spark.sql.catalyst.expressions.Ascending)))
+              .asInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateFunction])
           case _ => ae
         }
     }

@@ -283,12 +283,13 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getString(2) == "aé-first", "1-arg form orders by __time")
     assert(r.getString(3) == "zz-l")
     assert(r.getString(4) == "a", "never split a code point")
-    // non-string input with a byte budget is rejected at analysis, like the
-    // reference's string-only maxBytesPerString
-    val err = intercept[Exception] {
-      spark.sql("SELECT earliest(CAST(1.5 AS DOUBLE), 3) FROM el_in").collect()
-    }
-    assert(err.getMessage.toLowerCase.contains("string"))
+    // non-string input with a byte budget STRINGIFIES first — the
+    // maxBytes form is the string aggregator and the reference accepts
+    // ANY value type there (qaUnnest mv_sql_agg_funcs earliest(s_int,
+    // 100); EarliestLatestAnySqlAggregator operand checker)
+    val v = spark.sql("SELECT earliest(CAST(1.5 AS DOUBLE), 3) FROM el_in")
+      .head().getString(0)
+    assert(v == "1.5")
   }
 
   test("Druid SQL sketch names run reference SQL text unchanged") {

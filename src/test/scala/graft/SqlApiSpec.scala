@@ -67,14 +67,14 @@ class SqlApiSpec extends AnyFunSuite {
   test("UNNEST rewrite: CROSS JOIN form") {
     val s = SqlApi.rewriteUnnest(
       "SELECT w FROM nation CROSS JOIN UNNEST(split(n_comment, ' ')) AS t (w)")
-    assert(s.contains("LATERAL VIEW explode(split(n_comment, ' ')) t AS w"))
+    assert(s.contains("JOIN LATERAL (SELECT explode(split(n_comment, ' ')) AS w) t"))
     assert(!s.toUpperCase.contains("UNNEST"))
   }
 
   test("UNNEST rewrite: comma form and nested parens") {
     val s = SqlApi.rewriteUnnest(
       "SELECT x FROM t, UNNEST(filter(a, v -> v > (1+2))) AS u(x) WHERE x > 0")
-    assert(s.contains("LATERAL VIEW explode(filter(a, v -> v > (1+2))) u AS x"))
+    assert(s.contains("JOIN LATERAL (SELECT explode(filter(a, v -> v > (1+2))) AS x) u"))
   }
 
   test("UNNEST inside a string literal is untouched") {
@@ -252,7 +252,7 @@ class SqlApiSpec extends AnyFunSuite {
   test("CROSS JOIN with extra whitespace before UNNEST rewrites cleanly") {
     val s = SqlApi.rewriteUnnest(
       "SELECT w FROM nation CROSS  JOIN\nUNNEST(split(c, ' ')) AS t (w)")
-    assert(s.contains("LATERAL VIEW explode(split(c, ' ')) t AS w"))
+    assert(s.contains("JOIN LATERAL (SELECT explode(split(c, ' ')) AS w) t"))
     assert(!s.toUpperCase.contains("CROSS"))
   }
 
@@ -381,10 +381,12 @@ class SqlApiSpec extends AnyFunSuite {
       }""")
     }
     assert(planErr.getMessage.toLowerCase.contains("no_such_column"))
-    // RUNTIME errors surface asynchronously as FAILED (ANSI division by
-    // zero only fires during execution, after submit already returned)
+    // RUNTIME errors surface asynchronously as FAILED (strict
+    // parse_json only fails during execution, after submit already
+    // returned — division now follows the reference's lenient non-ANSI
+    // arithmetic, so it no longer errors)
     val id = SqlStatements.submit(spark, dir, """{
-      "query": "SELECT 1 / (n_nationkey - 3) AS x FROM nation",
+      "query": "SELECT parse_json(n_name) AS x FROM nation",
       "context": {"sqlQueryId": "stmt-fail"}
     }""")
     assert(SqlStatements.awaitCompletion(id) == SqlStatements.Failed)
