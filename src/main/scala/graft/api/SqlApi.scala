@@ -467,11 +467,11 @@ object SqlApi {
     */
   private[graft] def rewritePipeline(masked: String): String =
     rewriteJsonObject(rewriteJsonReturning(rewriteUnnest(rewriteEmptyGroupBy(
-      rewriteSuffixFrames(rewriteCastTry(rewriteCastTypes(rewriteArrayBrackets(
+      rewriteSuffixFrames(rewriteInBooleanTest(rewriteCastTry(rewriteCastTypes(rewriteArrayBrackets(
         rewriteFloorCeilTo(rewriteFetch(
           rewritePositionFrom(rewriteExtractUnits(
             rejectNegativeFrameBounds(
-              rewriteDoubleQuotedIdents(masked))))))))))))))
+              rewriteDoubleQuotedIdents(masked)))))))))))))))
 
   /** Mask → full pipeline → unmask, for plain SQL text (no payload
     * binding) — the gate-runner entry point.
@@ -808,6 +808,19 @@ object SqlApi {
     Re.replaceAllIn(sqlText, m =>
       java.util.regex.Matcher.quoteReplacement(
         "`" + m.group(1).replace("\"\"", "\"") + "`"))
+  }
+
+  /** Calcite parses `x IN (...) IS FALSE` (boolean test directly over
+    * an IN predicate) where Spark's grammar needs the predicate
+    * parenthesized. Conservative shape: identifier [NOT] IN (list)
+    * followed by IS [NOT] TRUE/FALSE, on masked text.
+    */
+  private[graft] def rewriteInBooleanTest(sqlText: String): String = {
+    val Re = ("""(?is)(?<![A-Za-z0-9_.)])([A-Za-z_][A-Za-z0-9_.]*\s+(?:NOT\s+)?IN\s*\([^()]*\))""" +
+      """(\s+IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b)""").r
+    Re.replaceAllIn(sqlText, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "(" + m.group(1) + ")" + m.group(2)))
   }
 
   private[graft] def rewriteCastTry(sqlText: String): String =
