@@ -49,21 +49,90 @@ object AuditSweep {
     else if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0"
     else d.toString
 
-  /** Cell equality: exact, numeric-tolerant, quote-insensitive for array
-    * prints, and empty==NULL.
+  /** Cell match level: 2 = exact text, 1 = lenient (numeric tolerance,
+    * quote/separator-insensitive array prints, trailing-.000 timestamps),
+    * 0 = no match. Lenient matches are COUNTED SEPARATELY in the summary so
+    * tolerance can't silently absorb real formatting divergences.
     */
-  private def cellEq(got: String, exp: String): Boolean = {
-    if (got == exp) return true
+  private def cellMatch(got: String, exp: String): Int = {
+    if (got == exp) return 2
     val g = got.replace("\"", ""); val e = exp.replace("\"", "")
-    if (g == e) return true
-    if (g.replace(", ", ",") == e.replace(", ", ",")) return true
+    if (g == e) return 1
+    if (g.replace(", ", ",") == e.replace(", ", ",")) return 1
     try {
       val gd = got.toDouble; val ed = exp.toDouble
-      return math.abs(gd - ed) <= 1e-6 * math.max(1.0, math.abs(ed))
+      if (math.abs(gd - ed) <= 1e-6 * math.max(1.0, math.abs(ed))) return 1
     } catch { case _: Throwable => }
     // timestamp with/without trailing .000
-    if (g.stripSuffix(".000") == e.stripSuffix(".000")) return true
-    false
+    if (g.stripSuffix(".000") == e.stripSuffix(".000")) return 1
+    // Druid renders a SINGLE-ELEMENT multi-value string unwrapped (the
+    // documented MV-rendering divergence) — count as lenient, not exact
+    if (g == "[" + e + "]" || e == "[" + g + "]") return 1
+    0
+  }
+
+  /** qaWin's `test_win` (768 rows) and qaJsonCols funcs_and_sql's
+    * `test_json_cols` (4 rows) from the extract_fixture_data.py dumps —
+    * typed per the reference ingest specs (qaWin/ingest.json: string dims +
+    * session_length long + iso timestamp; funcs_and_sql/ingest.json: auto
+    * scalars with strict-boolean LONG s_bool, nested data as compact JSON
+    * text per the engine's nested-as-STRING convention).
+    */
+  private def registerWinAndJsonFixtures(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val winPath = "/tmp/test_win.jsonl"
+    if (new java.io.File(winPath).exists()) {
+      spark.read.schema(
+        "timestamp STRING, session STRING, number STRING, client_ip STRING, " +
+        "language ARRAY<STRING>, adblock_list STRING, app_version STRING, " +
+        "path STRING, loaded_image STRING, referrer STRING, " +
+        "referrer_host STRING, server_ip STRING, screen STRING, " +
+        "window STRING, session_length BIGINT, timezone STRING, " +
+        "timezone_offset STRING")
+        .json(winPath)
+        .withColumn("__time", to_timestamp(col("timestamp")))
+        .drop("timestamp")
+        .createOrReplaceTempView("test_win")
+    } else println(s"WARN no $winPath — run tools/extract_fixture_data.py")
+    val jsonPath = "/tmp/test_json_cols.jsonl"
+    if (new java.io.File(jsonPath).exists()) {
+      spark.read.schema(
+        "timestamp STRING, s_str STRING, s_num_int BIGINT, " +
+        "s_num_float DOUBLE, s_bool BIGINT, s_null STRING, " +
+        "c_empty_obj STRING, c_empty_array STRING, " +
+        "c_empty_obj_nested STRING, c_empty_array_nested STRING, " +
+        "c1 STRING, c2 STRING")
+        .json(jsonPath)
+        .withColumn("__time", to_timestamp(col("timestamp")))
+        .drop("timestamp")
+        .select("__time", "s_str", "s_num_int", "s_num_float", "s_bool",
+          "s_null", "c_empty_obj", "c_empty_array", "c_empty_obj_nested",
+          "c_empty_array_nested", "c1", "c2")
+        .createOrReplaceTempView("test_json_cols")
+    } else println(s"WARN no $jsonPath — run tools/extract_fixture_data.py")
+  }
+
+  /** Result order is only guaranteed by an ORDER BY at paren depth 0 — an
+    * ORDER BY inside an OVER clause or subquery doesn't order the result
+    * (the old whole-text regex made every windowed query "ordered" and
+    * flagged pure row-order differences as mismatches).
+    */
+  private[graft] def hasTopLevelOrderBy(q: String): Boolean = {
+    val s = q.toUpperCase
+    var depth = 0; var i = 0; var found = false
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' if depth == 0 && s.regionMatches(i, "ORDER", 0, 5) &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) =>
+          val rest = s.substring(i + 5)
+          if (rest.matches("(?s)\\s+BY\\b.*")) found = true
+        case _ =>
+      }
+      i += 1
+    }
+    found
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,8 +144,18 @@ object AuditSweep {
     spark.sparkContext.setLogLevel("ERROR")
     functions.DruidFunctions.register(spark)
     GraftExtensions.register(spark)
-    spark.sql(viewSql(QaSuites.sparkTestArray, "test_array"))
+    // the reference auto-types the all-null a_null array LONG (qaArray
+    // ops_funcs ingest: [null,null,null] with "auto" typing), so lhs-typed
+    // coercions null out appended/prepended strings — mv_prepend('A',
+    // a_null) = [null,null,null,null] (ops_funcs_mv_funcs A1_B10_C13_D1).
+    // The QaSuites gate fixture keeps VARCHAR typing for its DuckDB-oracle
+    // batteries; the sweep replays against the reference's typing.
+    spark.sql(viewSql(QaSuites.sparkTestArray.replace(
+      "array(CAST(NULL AS STRING), NULL, NULL)",
+      "array(CAST(NULL AS BIGINT), NULL, NULL)"), "test_array"))
     spark.sql(viewSql(QaSuites.sparkTestUnnest, "test_unnest"))
+    spark.sql(viewSql(QaSuites.sparkTestAggFuncs, "test_agg_funcs"))
+    registerWinAndJsonFixtures(spark)
 
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -104,9 +183,11 @@ object AuditSweep {
     }.toVector
 
     val nOk = new AtomicInteger; val nBad = new AtomicInteger
+    val nLenient = new AtomicInteger
     val errs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val errExample = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val mism = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lenient = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // the MV corpus reuses the test_unnest NAME with the c_mv_* column
     // set — run it as a second phase against the MV fixture view
     val (mvCases, arrCases) = cases.partition(_.query.contains("c_mv"))
@@ -117,30 +198,49 @@ object AuditSweep {
         try {
           val df = api.SqlApi.runSql(spark, c.query)
           val got = df.collect().map(_.toSeq.map(normCell)).toSeq
-          val ordered = "(?is).*\\bORDER\\s+BY\\b.*".r.matches(c.query)
-          def rowsEq(g: Seq[Seq[String]], e: Seq[Seq[String]]): Boolean =
-            g.size == e.size && g.zip(e).forall { case (gr, er) =>
-              gr.size == er.size && gr.zip(er).forall(p => cellEq(p._1, p._2))
+          val ordered = hasTopLevelOrderBy(c.query)
+          // grid match level: min over cells (0 = mismatch, 1 = lenient
+          // match somewhere, 2 = every cell exact)
+          def rowsEq(g: Seq[Seq[String]], e: Seq[Seq[String]]): Int =
+            if (g.size != e.size) 0
+            else g.zip(e).foldLeft(2) { case (acc, (gr, er)) =>
+              if (acc == 0 || gr.size != er.size) 0
+              else gr.zip(er).foldLeft(acc)((a, p) =>
+                math.min(a, cellMatch(p._1, p._2)))
             }
-          val fullEq =
+          val lvl =
             if (ordered) rowsEq(got, c.rows)
             else rowsEq(got.sortBy(_.mkString(" ")),
                         c.rows.sortBy(_.mkString(" ")))
-          if (fullEq) nOk.incrementAndGet()
+          if (lvl == 2) nOk.incrementAndGet()
+          else if (lvl == 1) {
+            nLenient.incrementAndGet()
+            lenient.add(s"LENIENT\t${c.file}\t${c.tid}\t${c.query.take(160)}" +
+              s"\tgot=${got.take(2).map(_.mkString("|")).mkString(";")}" +
+              s"\texp=${c.rows.take(2).map(_.mkString("|")).mkString(";")}")
+          }
           else {
             nBad.incrementAndGet()
-            if (mism.size < 200)
-              mism.add(s"MISMATCH\t${c.file}\t${c.tid}\t${c.query.take(160)}" +
-                s"\tgot=${got.take(3).map(_.mkString("|")).mkString(";")}" +
-                s"\texp=${c.rows.take(3).map(_.mkString("|")).mkString(";")}")
+            // dump SORTED rows when the compare was unordered, so got/exp
+            // align positionally and the first differing row is the real one
+            val (gd, ed) =
+              if (ordered) (got, c.rows)
+              else (got.sortBy(_.mkString(" ")), c.rows.sortBy(_.mkString(" ")))
+            val firstDiff = gd.zip(ed).indexWhere { case (gr, er) =>
+              gr.size != er.size || gr.zip(er).exists(p => cellMatch(p._1, p._2) == 0)
+            }
+            mism.add(s"MISMATCH\t${c.file}\t${c.tid}\t${c.query.take(200)}" +
+              s"\tnGot=${gd.size}\tnExp=${ed.size}\tdiffRow=$firstDiff" +
+              s"\tgot=${gd.slice(math.max(0, firstDiff), firstDiff + 3).map(_.mkString("|")).mkString(";")}" +
+              s"\texp=${ed.slice(math.max(0, firstDiff), firstDiff + 3).map(_.mkString("|")).mkString(";")}")
           }
         } catch {
           case ex: Throwable =>
             val key = ex.getClass.getSimpleName + ": " +
               Option(ex.getMessage).getOrElse("null")
-                .linesIterator.nextOption().getOrElse("").take(80)
+                .linesIterator.nextOption().getOrElse("").take(140)
             errs.merge(key, 1, (a, b) => a + b)
-            errExample.putIfAbsent(key, c.query.take(200))
+            errExample.putIfAbsent(key, c.query.take(400))
         }
       }})
     }
@@ -148,11 +248,29 @@ object AuditSweep {
     pool.awaitTermination(120, java.util.concurrent.TimeUnit.MINUTES)
     }
     runPhase(arrCases)
-    spark.sql(viewSql(QaSuites.sparkTestMv, "test_unnest"))
+    // Druid ingests a NULL or EMPTY multi-value string as a single-null MV
+    // (the documented MV-ingestion rule): unnest over the *_row fixtures
+    // yields one NULL-element row per such row (mv_sql_order_by A5_B2:
+    // the null group counts 5 = 3 null elements + the null row + the
+    // empty row). The engine gate fixture keeps NULL/[] for its
+    // DuckDB-oracle batteries; the sweep replays the reference ingest.
+    spark.sql(viewSql(QaSuites.sparkTestMv
+      .replace("CAST(NULL AS ARRAY<STRING>)", "array(CAST(NULL AS STRING))")
+      .replace("CAST(array() AS ARRAY<STRING>)",
+        "array(CAST(NULL AS STRING))"), "test_unnest"))
     runPhase(mvCases)
-    mism.forEach(m => println(m))
-    println(s"AUDIT total=${cases.size} ok=${nOk.get} mismatch=${nBad.get} " +
+    // full diff lists go to a file (the console caps would hide the tail);
+    // console keeps the first 200 for a quick look
+    val out = new java.io.PrintWriter("/tmp/sweep_mismatches.tsv", "UTF-8")
+    mism.forEach(m => out.println(m))
+    lenient.forEach(m => out.println(m))
+    out.close()
+    mism.stream().limit(200).forEach(m => println(m))
+    lenient.stream().limit(50).forEach(m => println(m))
+    println(s"AUDIT total=${cases.size} exact=${nOk.get} " +
+      s"lenient=${nLenient.get} mismatch=${nBad.get} " +
       s"errored=${errs.values().stream().mapToInt(_.intValue).sum}")
+    println("full diff list: /tmp/sweep_mismatches.tsv")
     import scala.jdk.CollectionConverters._
     errs.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, v) =>
       println(s"ERRCLASS\t$v\t$k\tEG: ${errExample.getOrDefault(k, "")}")

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.AggregatePullUpLookupRule)
     e.injectOptimizerRule(_ => graft.plans.RejectInvertedFrames)
     e.injectOptimizerRule(_ => graft.plans.SortDistinctArrayAgg)
+    e.injectOptimizerRule(_ => graft.plans.DeterministicWindowOrder)
     e.injectPlannerStrategy(_ => graft.plans.ApproxTopNStrategy)
   }
 }
@@ -376,6 +377,7 @@ object GraftExtensions {
     addOnce(graft.plans.AggregatePullUpLookupRule)
     addOnce(graft.plans.RejectInvertedFrames)
     addOnce(graft.plans.SortDistinctArrayAgg)
+    addOnce(graft.plans.DeterministicWindowOrder)
     graft.plans.ApproxTopN.ensureStrategy(spark)
   }
 }

@@ -210,7 +210,7 @@ object QaSuites {
     } yield s"(${tsLit(ts)}, $l, $s, $f, $d)").mkString(", ")
   }
 
-  private val sparkTestAggFuncs: String =
+  private[graft] val sparkTestAggFuncs: String =
     s"""test_agg_funcs AS (SELECT * FROM VALUES
         ${aggRows(t => s"TIMESTAMP'$t'", "CAST(NULL AS BIGINT)",
           "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)")}
@@ -2716,7 +2716,99 @@ object QaSuites {
                  FROM test_agg_funcs WHERE tab0d0 > 150 LIMIT 1) AS off_pin,
                 (SELECT CAST(1 AS INTEGER)
                  FROM test_agg_funcs WHERE tab0d0 > 150 LIMIT 1) AS ord_pin
-         FROM test_agg_funcs"""))
+         FROM test_agg_funcs"""),
+
+    // ------------------------------------------------- r17 window dialect ----
+    // qaWin orderby_rows_0_preceding/1_following A3/A6 grids: an INVERTED
+    // literal ROWS frame (lower > upper) is the EMPTY frame — sum NULL,
+    // count 0 on every row (Spark rejects the bound pair; the facade
+    // rewrites to null-ified args over a single-row frame)
+    gf("q_qa_win_empty_frame",
+      """SELECT tab0s0,
+                sum(tab0l0) OVER (PARTITION BY tab0s0
+                  ORDER BY tab0l0, __time
+                  ROWS BETWEEN 1 FOLLOWING AND 0 FOLLOWING) AS sv,
+                CAST(count(tab0l0) OVER (PARTITION BY tab0s0
+                  ORDER BY tab0l0, __time
+                  ROWS BETWEEN 0 PRECEDING AND 1 PRECEDING) AS BIGINT) AS cv
+         FROM test_agg_funcs""",
+      """SELECT tab0s0, NULL::BIGINT AS sv, 0::BIGINT AS cv
+         FROM test_agg_funcs"""),
+    // qaWin orderby_rows_current_first_last W21/W22: FIRST_VALUE/LAST_VALUE
+    // over an UNORDERED window ignore the frame and take the whole
+    // partition (reference WindowFirstProcessor); the engine's
+    // deterministic tie order is every remaining column ascending (nulls
+    // first), so first = the null-long row, last = the max tuple
+    gf("q_qa_win_orderless_firstlast",
+      """SELECT DISTINCT tab0s0,
+                first_value(tab0l0) OVER (PARTITION BY tab0s0 ROWS CURRENT ROW) AS fv,
+                last_value(tab0l0) OVER (PARTITION BY tab0s0 ROWS CURRENT ROW) AS lv
+         FROM test_agg_funcs""",
+      """SELECT DISTINCT tab0s0, NULL::BIGINT AS fv, 2222222222::BIGINT AS lv
+         FROM test_agg_funcs"""),
+    // qaWin orderby_range_current W21: a RANGE frame with NO ORDER BY makes
+    // every row a peer — the frame is the whole partition
+    gf("q_qa_win_range_noorder",
+      """SELECT DISTINCT tab0s0,
+                CAST(count(tab0l0) OVER (PARTITION BY tab0s0
+                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS cnt
+         FROM test_agg_funcs""",
+      """SELECT tab0s0, count(tab0l0) AS cnt FROM test_agg_funcs
+         GROUP BY tab0s0"""),
+    // BIT_* aggs cast their input LENIENTLY to LONG like the reference's
+    // ColumnType.LONG virtual column (qaUnnest array_sql_agg_funcs bit
+    // batteries run them over VARCHAR unnest elements)
+    gf("q_qa_bit_aggs_lenient",
+      """SELECT bit_or(CAST(tab0l0 AS STRING)) AS bo,
+                bit_xor(CAST(tab0l0 AS STRING)) AS bx,
+                bit_and(CAST(tab0l0 AS STRING)) AS ba
+         FROM test_agg_funcs""",
+      """SELECT bit_or(tab0l0) AS bo, bit_xor(tab0l0) AS bx,
+                bit_and(tab0l0) AS ba
+         FROM test_agg_funcs"""),
+    // Function.java ArrayOffsetOf/ArrayOrdinalOf Objects.equals probe:
+    // STRICTLY typed needle (LONG 1 never matches STRING '1' or DOUBLE
+    // 1.0 — ops_funcs_mv_funcs A1_B8_C19/C7), while MV_CONTAINS casts the
+    // needle toward the ARRAY's type (A1_B6_C19: a_mixed contains 1)
+    ga("q_qa_mv_strict_needle",
+      """SELECT CAST(mv_offset_of(a_mixed, 1) AS INT) AS strict_null,
+                CAST(mv_offset_of(a_mixed, '1') AS INT) AS str_hit,
+                CAST(array_offset_of(a_float, 1) AS INT) AS dbl_null,
+                mv_contains(a_mixed, 1) AS lhs_cast,
+                mv_contains(a_str, 1) AS miss
+         FROM test_array""",
+      """SELECT NULL::INTEGER AS strict_null,
+                CAST(nullif(list_position(a_mixed, '1'), 0) - 1 AS INTEGER) AS str_hit,
+                NULL::INTEGER AS dbl_null,
+                true AS lhs_cast, false AS miss
+         FROM test_array"""),
+    // ARRAY_CONCAT_AGG(DISTINCT …) = sorted distinct element set
+    // (array_set_add_all TreeSet fold, nulls first —
+    // ops_funcs_agg_funcs A1_B30_C1_D1)
+    ga("q_qa_concat_agg_distinct",
+      """SELECT array_to_string(array_concat_agg(DISTINCT a_bool), '|') AS col
+         FROM test_array""",
+      """SELECT 'null|0|1' AS col"""),
+    // Calcite coerces a NUMERIC literal toward a VARCHAR column in
+    // equality ('AAAAAAAAAA' = 999 is FALSE, so NOT keeps the row —
+    // qaUnnest mv_sql_subquery_with_where A1_B8_C9), where Spark's
+    // PromoteStrings would cast the column and 3VL-drop it
+    gf("q_qa_eq_literal_dialect",
+      """SELECT CAST(count(*) FILTER (WHERE NOT tab0s0 = 999) AS BIGINT) AS kept,
+                CAST(count(*) FILTER (WHERE tab0s0 = 999) AS BIGINT) AS matched
+         FROM test_agg_funcs""",
+      """SELECT count(*) FILTER (WHERE NOT tab0s0 = '999') AS kept,
+                count(*) FILTER (WHERE tab0s0 = '999') AS matched
+         FROM test_agg_funcs"""),
+    // datetimes ride the expr layer as LONG millis: STRING_AGG over
+    // __time concatenates epoch millis, array_to_string over a timestamp
+    // array renders millis (qaAggFuncs string_agg_timestamp_test001-004)
+    gf("q_qa_string_agg_time_millis",
+      """SELECT string_agg(DISTINCT __time, '|', 100000) AS col,
+                array_to_string(array_agg(DISTINCT __time, 100000), '|') AS col2
+         FROM test_agg_funcs""",
+      """SELECT '1577840461000|1580518861000' AS col,
+                '1577840461000|1580518861000' AS col2"""))
 
   // ------------------------------------------------------------ plumbing ----
 

@@ -3103,9 +3103,12 @@ object SparkEntry {
     }),
 
     "q_window_frame" -> ((s, dir) => {
-      // frames over integer-valued doubles → exact under any association
+      // frames over integer-valued doubles → exact under any association;
+      // l_quantity in the ORDER makes it total — the generated lineitem
+      // carries a few duplicate (suppkey, orderkey, linenumber) keys, and
+      // ROWS frames over ties are tie-order-dependent
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       t(s, dir)("lineitem").filter(col("l_suppkey") <= 5)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity"))
@@ -8628,10 +8631,10 @@ object SparkEntry {
     "q_window_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
                 sum(l_quantity) OVER (PARTITION BY l_suppkey
-                  ORDER BY l_orderkey, l_linenumber
+                  ORDER BY l_orderkey, l_linenumber, l_quantity
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
                 sum(l_quantity) OVER (PARTITION BY l_suppkey
-                  ORDER BY l_orderkey, l_linenumber
+                  ORDER BY l_orderkey, l_linenumber, l_quantity
                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_qty
          FROM lineitem WHERE l_suppkey <= 5
          ORDER BY l_suppkey, l_orderkey, l_linenumber""",

@@ -111,7 +111,28 @@ object SqlQuidemShapes {
            GROUP BY n_name
            UNION ALL
            SELECT NULL::BIGINT, NULL::VARCHAR
-         ) u"""))
+         ) u"""),
+
+    // DecoupledPlanningCalciteQueryTest testWindowingWithScanAndSort: a
+    // RANK window inside a LIMIT'd CTE over a groupBy, sorted OUTSIDE on
+    // the aggregate — the window must plan above the aggregate and below
+    // the limit, and the outer sort on a projected aggregate must survive
+    // the CTE boundary (25 nation groups < the LIMIT keeps it exact)
+    ("q_squid_window_scan_sort",
+      """WITH t AS (
+           SELECT rank() OVER (PARTITION BY n_regionkey
+                               ORDER BY n_regionkey ASC) AS ranking,
+                  CAST(count(n_name) AS BIGINT) AS trend_score
+           FROM nation
+           GROUP BY n_regionkey, n_name LIMIT 30)
+         SELECT ranking, trend_score FROM t ORDER BY trend_score""",
+      """WITH t AS (
+           SELECT rank() OVER (PARTITION BY n_regionkey
+                               ORDER BY n_regionkey ASC) AS ranking,
+                  CAST(count(n_name) AS BIGINT) AS trend_score
+           FROM nation
+           GROUP BY n_regionkey, n_name LIMIT 30)
+         SELECT ranking, trend_score FROM t ORDER BY trend_score"""))
 
   private def runSpark(s: SparkSession, dir: String, sqlText: String)
       : DataFrame = {

@@ -345,11 +345,124 @@ object SqlApi {
     // Druid is LENIENT where ANSI throws: implicit string→number casts
     // over dirty values ('' sums as null), size-of-null, invalid casts.
     // The pipeline's rewriteDoubleQuotedIdents covers the one ANSI
-    // feature the facade used (double-quoted identifiers), so ANSI can
-    // be off at the SQL boundary.
-    if (spark.conf.get("spark.sql.ansi.enabled", "true") == "true")
-      spark.conf.set("spark.sql.ansi.enabled", "false")
+    // feature the facade used (double-quoted identifiers), so ANSI is
+    // off at the SQL boundary — scoped to THIS call: every Dataset built
+    // below analyzes eagerly (Bridge.ofRows / Dataset construction), so
+    // cast eval modes are baked into the plan before the conf is
+    // restored, and a DataFrame-API user of the same session keeps their
+    // ANSI semantics. Serialized via confScopeLock like the facade's
+    // other scoped-conf windows (re-entrant from the fallback path).
+    val AnsiKey = "spark.sql.ansi.enabled"
+    confScopeLock(spark).synchronized {
+      val prevAnsi = spark.conf.getOption(AnsiKey)
+      spark.conf.set(AnsiKey, "false")
+      try sortWindowSql(spark, sqlText)
+      finally prevAnsi match {
+        case Some(v) => spark.conf.set(AnsiKey, v)
+        case None    => spark.conf.unset(AnsiKey)
+      }
+    }
+  }
 
+  /** Calcite window-frame dialect the reference accepts but Spark's
+    * analyzer rejects, normalized pre-analysis:
+    *
+    *  - RANGE frame with NO ORDER BY: every row is a peer of every other,
+    *    so the CURRENT/UNBOUNDED bound combinations all equal the whole
+    *    partition (qaWin orderby_range_current_* W21: first/last over
+    *    `PARTITION BY client_ip RANGE CURRENT ROW` = partition first/last)
+    *    → ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING.
+    *  - INVERTED literal ROWS frames (lower > upper, e.g. `ROWS BETWEEN 1
+    *    FOLLOWING AND 0 FOLLOWING`): the reference computes over the EMPTY
+    *    frame — sum NULL, count 0 (orderby_rows_1_following A6 grids) —
+    *    where Spark rejects the bound pair. Spark can't spell an empty
+    *    frame, so null-ify the aggregate's arguments (null-ignoring aggs
+    *    then see zero input rows) over a single-row frame.
+    *
+    * Named WINDOW clauses are inlined first (the analyzer's own
+    * WindowsSubstitution runs too late — frame validation fails before the
+    * rewrite could see the spec).
+    */
+  private def rewriteWindowDialect(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.WithWindowDefinition
+    def boundVal(e: Expression): Option[Long] = e match {
+      case CurrentRow => Some(0L)
+      case l if l.foldable && l.resolved =>
+        l.eval(null) match {
+          case n: Number => Some(n.longValue())
+          case _ => None
+        }
+      case _ => None
+    }
+    def specialOnly(e: Expression): Boolean =
+      e == CurrentRow || e == UnboundedPreceding || e == UnboundedFollowing
+    def fixSpec(spec: WindowSpecDefinition): WindowSpecDefinition =
+      spec.frameSpecification match {
+        case SpecifiedWindowFrame(RangeFrame, lo, hi)
+            if spec.orderSpec.isEmpty && specialOnly(lo) && specialOnly(hi) =>
+          spec.copy(frameSpecification =
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              UnboundedFollowing))
+        case _ => spec
+      }
+    def nullified(agg: Expression): Expression = agg.mapChildren {
+      // count(*) parses with a star child — count(1)-equivalent, and a
+      // star can't sit inside a conditional
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedStar =>
+        If(Literal(false), Literal(1), Literal.create(null,
+          org.apache.spark.sql.types.NullType))
+      case c if !c.isInstanceOf[WindowSpecDefinition] =>
+        If(Literal(false), c, Literal.create(null,
+          org.apache.spark.sql.types.NullType))
+      case other => other
+    }
+    def fixWindowExpr(we: WindowExpression): Expression = {
+      var spec = fixSpec(we.windowSpec)
+      // FIRST_VALUE/LAST_VALUE over an UNORDERED window compute over the
+      // whole partition in the reference (WindowFirstProcessor — the frame
+      // is ignored: `WINDOW w AS (ROWS CURRENT ROW)` with no ORDER BY gives
+      // the partition first/last, qaWin orderby_rows_current_first_last
+      // W21/W22 grids), while framed aggregates like SUM keep the frame.
+      val fnName = we.windowFunction match {
+        case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          uf.nameParts.last.toLowerCase
+        case _ => ""
+      }
+      if (spec.orderSpec.isEmpty &&
+          Set("first_value", "last_value")(fnName))
+        spec = spec.copy(frameSpecification =
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            UnboundedFollowing))
+      spec.frameSpecification match {
+        case SpecifiedWindowFrame(RowFrame, lo, hi) =>
+          (boundVal(lo), boundVal(hi)) match {
+            case (Some(l), Some(h)) if l > h =>
+              WindowExpression(nullified(we.windowFunction),
+                spec.copy(frameSpecification =
+                  SpecifiedWindowFrame(RowFrame, CurrentRow, CurrentRow)))
+            case _ => we.copy(windowSpec = spec)
+          }
+        case _ => we.copy(windowSpec = spec)
+      }
+    }
+    // inline named WINDOW specs, then normalize every window expression
+    val inlined = plan.transformUp {
+      case WithWindowDefinition(defs, child, _) =>
+        child.transformExpressions {
+          case UnresolvedWindowExpression(c, WindowSpecReference(name))
+              if defs.contains(name) => WindowExpression(c, defs(name))
+        }
+    }
+    inlined.transformAllExpressions {
+      case we: WindowExpression => fixWindowExpr(we)
+    }
+  }
+
+  private def sortWindowSql(spark: SparkSession,
+                            sqlText: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
     import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, WindowExpression}
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
@@ -360,14 +473,29 @@ object SqlApi {
     // division in the reference (array_sql_ops A1_B4: c/s_int -> 0/1).
     // Swapped pre-analysis — the RuntimeReplaceable picks the arithmetic
     // once types resolve; DataFrame-API plans keep Spark's operator.
-    val parsed = parsed0.transformAllExpressions {
+    val parsed = rewriteWindowDialect(parsed0.transformAllExpressions {
       case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
         graft.functions.CalciteDiv(l, r)
-    }
+      // Calcite equality dialect: a NUMERIC literal against a column
+      // coerces toward the COLUMN's type — over a VARCHAR column the
+      // literal becomes its string form ('my_null' = 999 is FALSE, so
+      // `AND NOT c=999` KEEPS non-numeric rows — qaUnnest
+      // mv_sql_subquery_with_where A1_B8_C9), where Spark's PromoteStrings
+      // casts the COLUMN to the numeric type and three-valued NULL drops
+      // them. CompatCompare resolves the direction once types are known
+      // (string side wins via string promotion; numeric pairs widen
+      // exactly like Spark would).
+      case eq @ org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+          if isAttrVsNumericLit(l, r) =>
+        graft.functions.CompatCompare(l, r, "=")
+      case ens @ org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r)
+          if isAttrVsNumericLit(l, r) =>
+        graft.functions.CompatCompare(l, r, "<=>")
+    })
     def sortHasWindow(s: Sort): Boolean =
       s.order.exists(_.exists(_.isInstanceOf[WindowExpression]))
     if (!parsed.exists { case s: Sort => sortHasWindow(s); case _ => false })
-      return org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, parsed)
+      return ofRowsCompat(spark, parsed)
     val helpers = scala.collection.mutable.ArrayBuffer.empty[String]
     val rewritten = parsed.transformUp {
       case s: Sort if sortHasWindow(s) =>
@@ -396,9 +524,63 @@ object SqlApi {
               Project(Seq(UnresolvedStar(None)) ++ aliases, other))
         }
     }
-    val df = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, rewritten)
+    val df = ofRowsCompat(spark, rewritten)
     helpers.foldLeft(df)(_.drop(_))
   }
+
+  /** One side a bare column reference, the other a numeric literal —
+    * the shape where Calcite's equality coercion direction (literal toward
+    * column) differs from Spark's (column toward literal).
+    */
+  private def isAttrVsNumericLit(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.NumericType
+    def numLit(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e match {
+        case Literal(_, _: NumericType) => true
+        case _ => false
+      }
+    (l.isInstanceOf[UnresolvedAttribute] && numLit(r)) ||
+      (r.isInstanceOf[UnresolvedAttribute] && numLit(l))
+  }
+
+  /** Analysis with the Calcite cross-type-array-comparison fallback: when
+    * Spark's comparison coercion finds no common type for two columns
+    * (BINARY_OP_DIFF_TYPES — e.g. `WHERE a_int = a_str` over BIGINT[] vs
+    * VARCHAR[], which the reference coerces to the VARCHAR array space),
+    * retry ONCE with attribute-vs-attribute comparisons swapped to
+    * [[graft.functions.CompatCompare]]. Queries that analyze cleanly never
+    * take the retry, so standard Spark coercion is untouched for them.
+    */
+  private def ofRowsCompat(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    try org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(
+            _.contains("BINARY_OP_DIFF_TYPES")) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions._
+        def tag(c: BinaryComparison): String = c match {
+          case _: EqualNullSafe => "<=>"
+          case _: LessThan => "<"
+          case _: LessThanOrEqual => "<="
+          case _: GreaterThan => ">"
+          case _: GreaterThanOrEqual => ">="
+          case _ => "="
+        }
+        val retried = plan.transformAllExpressions {
+          case c: BinaryComparison
+              if c.left.isInstanceOf[UnresolvedAttribute] &&
+                 c.right.isInstanceOf[UnresolvedAttribute] =>
+            graft.functions.CompatCompare(c.left, c.right, tag(c))
+        }
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, retried)
+    }
 
   /** The battery/gate SQL runner: full rewrite pipeline + Calcite
     * division dialect + window-in-ORDER-BY splicing. One entry point so
@@ -470,8 +652,28 @@ object SqlApi {
       rewriteSuffixFrames(rewriteInBooleanTest(rewriteCastTry(rewriteCastTypes(rewriteArrayBrackets(
         rewriteFloorCeilTo(rewriteFetch(
           rewritePositionFrom(rewriteExtractUnits(
-            rejectNegativeFrameBounds(
-              rewriteDoubleQuotedIdents(masked)))))))))))))))
+            rejectNegativeFrameBounds(rewriteConcatAggDistinct(
+              rewriteNiladicPi(
+                rewriteDoubleQuotedIdents(masked)))))))))))))))))
+
+  /** ARRAY_CONCAT_AGG(DISTINCT x) — the builder's NULL-for-all-NULL-groups
+    * wrapper means it can't return a bare AggregateFunction, so Spark's
+    * DISTINCT syntax can't reach it; reroute to the dedicated
+    * ARRAY_CONCAT_AGG_DISTINCT builder (sorted distinct element set, the
+    * reference's array_set_add_all TreeSet fold —
+    * ops_funcs_agg_funcs A1_B30_C1_D1: [null, 0, 1]).
+    */
+  private[graft] def rewriteConcatAggDistinct(sqlText: String): String =
+    sqlText.replaceAll("(?is)\\bARRAY_CONCAT_AGG\\s*\\(\\s*DISTINCT\\b",
+      "ARRAY_CONCAT_AGG_DISTINCT(")
+
+  /** Calcite's niladic `PI` — usable without parens (`SELECT pi AS col`,
+    * qaArray scalar batteries) — becomes Spark's pi() call. Word-bounded
+    * and not followed by `(` or `.`, so pi() calls and qualified columns
+    * survive; runs on masked text.
+    */
+  private[graft] def rewriteNiladicPi(sqlText: String): String =
+    sqlText.replaceAll("(?i)(?<![\\w.`])PI(?![\\w(.`])", "pi()")
 
   /** Mask → full pipeline → unmask, for plain SQL text (no payload
     * binding) — the gate-runner entry point.
@@ -791,12 +993,6 @@ object SqlApi {
     loop(sqlText)
   }
 
-  /** Druid casts are LENIENT — CAST('' AS BIGINT) and CAST('abc' AS
-    * DOUBLE) are NULL (native casts are total), where Spark 4's ANSI
-    * default throws at runtime. TRY_CAST has exactly the reference's
-    * contract; identical results on every valid cast. ANSI stays on
-    * (double-quoted identifier support is coupled to it).
-    */
   /** Druid (Calcite) double-quotes IDENTIFIERS - a quoted column in
     * every console-generated query - where Spark's default (ANSI off)
     * reads a string literal. Backtick them on the masked text
@@ -823,6 +1019,16 @@ object SqlApi {
         "(" + m.group(1) + ")" + m.group(2)))
   }
 
+  /** Druid casts are LENIENT — CAST('' AS BIGINT) and CAST('abc' AS
+    * DOUBLE) are NULL (native casts are total), where Spark 4's ANSI
+    * default throws at runtime. TRY_CAST has exactly the reference's
+    * contract; identical results on every valid cast. Explicit casts in
+    * facade SQL all become TRY_CAST here; the remaining lenient behaviors
+    * (implicit coercions, size(null), …) come from the ANSI-off window
+    * that [[sqlWithSortWindows]] scopes around plan analysis.
+    * Double-quoted identifiers are handled independently by
+    * [[rewriteDoubleQuotedIdents]] and do not need ANSI.
+    */
   private[graft] def rewriteCastTry(sqlText: String): String =
     """(?i)(?<![A-Za-z0-9_])CAST\s*\(""".r
       .replaceAllIn(sqlText, "TRY_CAST(")
@@ -946,10 +1152,10 @@ object SqlApi {
     // json_query(c1, '$.x') / CAST(x AS VARCHAR); the reference accepts
     // arbitrary expressions, NestedDataOperatorConversions.java)
     val Re =
-      """(?is)\bJSON_VALUE\s*\(\s*((?:[A-Za-z0-9_.\s+*/%-]|\|\||'[^']*'|\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\))+?)\s*,\s*('[^']*')\s+RETURNING\s+(BIGINT|INTEGER|DECIMAL|DOUBLE|FLOAT|VARCHAR|CHAR|BOOLEAN)(\s+ARRAY)?\s*\)""".r
+      """(?is)\bJSON_VALUE\s*\(\s*((?:[A-Za-z0-9_.\s+*/%-]|\|\||'[^']*'|\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\))+?)\s*,\s*('[^']*')\s+RETURNING\s+(BIGINT|INTEGER|INT|DECIMAL|DOUBLE|FLOAT|VARCHAR|CHAR|BOOLEAN)(\s+ARRAY)?\s*\)""".r
     Re.replaceAllIn(sqlText, m => {
       val base = m.group(3).toUpperCase match {
-        case "BIGINT" | "INTEGER"            => "BIGINT"
+        case "BIGINT" | "INTEGER" | "INT"    => "BIGINT"
         case "DECIMAL" | "DOUBLE" | "FLOAT"  => "DOUBLE"
         case "BOOLEAN"                       => "BOOLEAN"
         case _                               => "VARCHAR"

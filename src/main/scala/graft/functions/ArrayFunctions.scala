@@ -123,7 +123,13 @@ case class GraftArrayContains(left: Expression, right: Expression)
   extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
 
   override lazy val replacement: Expression = {
-    val ArrayType(leftElem, _) = left.dataType: @unchecked
+    // MV convention: a scalar haystack is a 1-element array (null scalar →
+    // NULL result via the IsNull guard, like native asArray() == null)
+    val leftArr = left.dataType match {
+      case _: ArrayType => left
+      case _ => CreateArray(Seq(left))
+    }
+    val ArrayType(leftElem, _) = leftArr.dataType: @unchecked
     val (needles, needleElem) = right.dataType match {
       case ArrayType(e, _) => (right, e)
       case _               => (CreateArray(Seq(right)), right.dataType)
@@ -132,7 +138,7 @@ case class GraftArrayContains(left: Expression, right: Expression)
       .getOrElse(StringType)
     def asCommon(e: Expression, from: DataType): Expression =
       if (from == common) e else Cast(e, ArrayType(common, containsNull = true))
-    val hay = asCommon(left, leftElem)
+    val hay = asCommon(leftArr, leftElem)
     val need = asCommon(needles, needleElem)
     If(IsNull(left), Literal.create(null, BooleanType),
       EqualTo(Size(ArrayExcept(need, hay)), Literal(0)))
@@ -184,4 +190,67 @@ case class GraftArrayAppend(arr: Expression, elem: Expression, prepend: Boolean)
   override def prettyName: String = if (prepend) "array_prepend" else "array_append"
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GraftArrayAppend = copy(arr = l, elem = r)
+}
+
+/** Druid-parity ARRAY_OVERLAP / MV_OVERLAP: the RIGHT array casts toward
+  * the LEFT array's element type (Function.java
+  * ArrayOverlapFunction:4192 `arrayExpr2.castTo(array1Type)` — so
+  * `mv_overlap(bigint_array, ARRAY[1])` is true), and the SQL layer's
+  * result is IN-like THREE-VALUED (qaArray ops_funcs_mv_funcs A1_B7 grid):
+  * TRUE on any shared element — a shared NULL counts, like the native
+  * `asList.contains(check)` — otherwise NULL when either side carries a
+  * null element (`mv_overlap(a_str, ARRAY[1])` and `mv_overlap(a_null,
+  * ARRAY[1])` are NULL, not false), and FALSE only when both sides are
+  * null-free. A NULL array input is NULL.
+  */
+case class GraftArrayOverlap(left: Expression, right: Expression,
+    threeValued: Boolean)
+  extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+
+  override lazy val replacement: Expression = {
+    // MV convention: a scalar in array position is a 1-element array
+    // (native asArray() wraps scalars; a NULL scalar → NULL result via the
+    // IsNull guard below, matching asArray() == null)
+    val leftArr = left.dataType match {
+      case _: ArrayType => left
+      case _ => CreateArray(Seq(left))
+    }
+    val ArrayType(leftElem, _) = leftArr.dataType: @unchecked
+    val rhs = right.dataType match {
+      case ArrayType(e, _) if e == leftElem => right
+      case _: ArrayType =>
+        Cast(right, ArrayType(leftElem, containsNull = true), None,
+          EvalMode.TRY)
+      case _ => CreateArray(Seq(Cast(right, leftElem, None, EvalMode.TRY)))
+    }
+    val nullBool = Literal.create(null, BooleanType)
+    val overlaps = GreaterThan(Size(ArrayIntersect(leftArr, rhs)), Literal(0))
+    if (!threeValued) {
+      // ARRAY_OVERLAP — the native two-valued fn
+      // (ArrayOverlapFunction:4188-4202): null LHS → NULL, null RHS →
+      // FALSE, otherwise found/not-found — array_overlap(a_str, ARRAY[1])
+      // is FALSE even though a_str carries nulls (ops_funcs_array_funcs
+      // A1_B6_C10); a shared null still matches (asList.contains(null))
+      If(IsNull(left), nullBool,
+        If(IsNull(rhs), Literal(false), overlaps))
+    } else {
+      // MV_OVERLAP — IN-like THREE-VALUED at the SQL layer (qaArray
+      // ops_funcs_mv_funcs A1_B7): TRUE on any shared element, otherwise
+      // NULL when either side carries a null element (mv_overlap(a_str,
+      // ARRAY[1]) is NULL), FALSE only when both sides are null-free
+      // intersect/except use null-safe set semantics, so a shared null
+      // lands in the intersection and except(x, [null]) strips nulls
+      def hasNull(e: Expression): Expression =
+        GreaterThan(Size(e),
+          Size(ArrayExcept(e,
+            CreateArray(Seq(Literal.create(null, leftElem))))))
+      If(Or(IsNull(left), IsNull(rhs)), nullBool,
+        If(overlaps, Literal(true),
+          If(Or(hasNull(leftArr), hasNull(rhs)), nullBool, Literal(false))))
+    }
+  }
+
+  override def prettyName: String = "array_overlap"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftArrayOverlap = copy(left = l, right = r)
 }

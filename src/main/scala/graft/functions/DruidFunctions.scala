@@ -1629,9 +1629,14 @@ object DruidFunctions {
     def arrayToString(a: Seq[Expression]): Expression = {
       require(a.size == 2,
         s"array_to_string takes 2 arguments, got ${a.size}")
+      // TimeAsMillis: TIMESTAMP elements stringify as epoch millis — the
+      // reference's expr layer carries datetimes as LONG
+      // (array_agg_timestamp_test003 A03: strlen = 27, not 39)
       val joined = fn("array_join",
         fn("transform", a.head,
-          lam(x => fn("coalesce", Cast(x, StringType), Literal("null")))),
+          lam(x => fn("coalesce",
+            Cast(graft.functions.TimeAsMillis(x), StringType),
+            Literal("null")))),
         fn("coalesce", Cast(a(1), StringType), Literal("")))
       If(And(EqualTo(fn("size", a.head), Literal(1)),
              IsNull(fn("get", a.head, Literal(0)))),
@@ -1655,28 +1660,68 @@ object DruidFunctions {
       // explicit legacySizeOfNull=false: ARRAY_LENGTH(NULL) is NULL in
       // the reference regardless of the session's ANSI mode (Spark's
       // size() returns -1 under the legacy conf when ANSI is off)
+      // MvInput: a scalar is a 1-element array (ArrayLengthFunction rides
+      // asArray(), so array_length('x') = 1 and array_length(NULL) = NULL)
       "array_length" -> ((a: Seq[Expression]) =>
-        Cast(Size(a.head, legacySizeOfNull = false), IntegerType)),
+        Cast(Size(graft.functions.MvInput(a.head), legacySizeOfNull = false),
+          IntegerType)),
       "mv_length" -> ((a: Seq[Expression]) =>
-        Cast(Size(a.head, legacySizeOfNull = false), IntegerType)),
+        Cast(Size(graft.functions.MvInput(a.head), legacySizeOfNull = false),
+          IntegerType)),
       "array_offset" -> ((a: Seq[Expression]) =>
         fn("get", a.head, Cast(a(1), IntegerType))),
       "array_ordinal" -> ((a: Seq[Expression]) =>
         fn("get", a.head, Subtract(Cast(a(1), IntegerType), Literal(1)))),
       // Objects.equals scan (Function.java:3733) — a NULL needle FINDS a
-      // null element, so probe with null-safe equality over a boolean
-      // transform instead of array_position's null-blind contract;
-      // not-found stays NULL
+      // null element and the comparison is STRICTLY TYPED (a LONG needle
+      // never matches a STRING or DOUBLE element; DruidTypedEquals), so
+      // probe over a boolean transform instead of array_position's
+      // null-blind, type-coercing contract; not-found stays NULL
       "array_offset_of" -> ((a: Seq[Expression]) =>
         Cast(Subtract(fn("nullif",
           fn("array_position", fn("transform", a.head,
-            lam(x => EqualNullSafe(x, a(1)))), Literal(true)),
+            lam(x => graft.functions.DruidTypedEquals(x, a(1)))),
+            Literal(true)),
           Literal(0L)), Literal(1L)), IntegerType)),
       "array_ordinal_of" -> ((a: Seq[Expression]) =>
         Cast(fn("nullif",
           fn("array_position", fn("transform", a.head,
-            lam(x => EqualNullSafe(x, a(1)))), Literal(true)),
+            lam(x => graft.functions.DruidTypedEquals(x, a(1)))),
+            Literal(true)),
           Literal(0L)), IntegerType)),
+      // MV variants are the SAME Function.java scans — keep the needle
+      // UNCAST so strict typing applies (the old `v STRING` SQL macros
+      // silently stringified numeric needles: mv_offset_of(a_mixed, 1)
+      // must be NULL, not 1 — ops_funcs_mv_funcs A1_B8_C19_D1)
+      "mv_offset_of" -> ((a: Seq[Expression]) =>
+        fn("array_offset_of", graft.functions.MvInput(a.head), a(1))),
+      "mv_ordinal_of" -> ((a: Seq[Expression]) =>
+        fn("array_ordinal_of", graft.functions.MvInput(a.head), a(1))),
+      "mv_offset" -> ((a: Seq[Expression]) =>
+        fn("get", graft.functions.MvInput(a.head), Cast(a(1), IntegerType))),
+      "mv_ordinal" -> ((a: Seq[Expression]) =>
+        fn("get", graft.functions.MvInput(a.head),
+          Subtract(Cast(a(1), IntegerType), Literal(1)))),
+      "mv_concat" -> ((a: Seq[Expression]) =>
+        fn("concat", graft.functions.MvInput(a.head),
+          graft.functions.MvInput(a(1)))),
+      // same Function.java ArrayContains as ARRAY_CONTAINS (lhs-typed
+      // needle cast, FALSE — not null — on a miss even among null
+      // elements; only a null ARRAY nulls out): the old `v STRING` macro
+      // rode Spark's null-blind array_contains
+      // (ops_funcs_mv_funcs A1_B6_C23: mv_contains(varchar mv, 1) = false)
+      // …and a NULL MV ARRAY is FALSE, not the ARRAY_CONTAINS NULL
+      // (ops_funcs_mv_funcs A1_B6_C23: mv_contains over a NULL
+      // RETURNING-array = false while the direct select of it is NULL)
+      "mv_contains" -> ((a: Seq[Expression]) =>
+        fn("coalesce", graft.functions.GraftArrayContains(
+          graft.functions.MvInput(a.head, nullAsSingleNull = true), a(1)),
+          Literal(false))),
+      "mv_overlap" -> ((a: Seq[Expression]) =>
+        graft.functions.GraftArrayOverlap(
+          graft.functions.MvInput(a.head, nullAsSingleNull = true),
+          graft.functions.MvInput(a(1), nullAsSingleNull = true),
+          threeValued = true)),
       "array_concat" -> ((a: Seq[Expression]) => fn("concat", a.head, a(1))),
       // ArraySetAddFunction:3988 — TreeSet with the nullable comparator:
       // distinct, SORTED with nulls FIRST (sort_array asc is exactly
@@ -1702,12 +1747,15 @@ object DruidFunctions {
       // rendered as a VARCHAR MV — qaArray ops_funcs_mv_funcs:
       // mv_append(ARRAY<LONG>, 'A') → ["1","0",null,null]
       "mv_append" -> ((a: Seq[Expression]) =>
-        Cast(graft.functions.GraftArrayAppend(a.head, a(1), prepend = false),
+        Cast(graft.functions.GraftArrayAppend(
+          graft.functions.MvInput(a.head), a(1), prepend = false),
           org.apache.spark.sql.types.ArrayType(StringType))),
       "mv_prepend" -> ((a: Seq[Expression]) =>
-        Cast(graft.functions.GraftArrayAppend(a(1), a.head, prepend = true),
+        Cast(graft.functions.GraftArrayAppend(
+          graft.functions.MvInput(a(1)), a.head, prepend = true),
           org.apache.spark.sql.types.ArrayType(StringType))),
-      "mv_to_array" -> ((a: Seq[Expression]) => a.head),
+      "mv_to_array" -> ((a: Seq[Expression]) =>
+        graft.functions.MvInput(a.head)),
       "array_to_mv" -> ((a: Seq[Expression]) => a.head),
       // [start, end) 0-based (Function.java ArraySliceFunction:4646-4656):
       // end defaults to the array length (2-arg form); Arrays.copyOfRange
@@ -1745,20 +1793,21 @@ object DruidFunctions {
       "mv_slice" -> ((a: Seq[Expression]) => {
         require(a.size == 2 || a.size == 3,
           s"mv_slice takes 2 or 3 arguments, got ${a.size}")
-        fn("array_slice", a: _*)
+        fn("array_slice",
+          (graft.functions.MvInput(a.head) +: a.tail): _*)
       }),
       "array_to_string" -> ((a: Seq[Expression]) => arrayToString(a)),
-      "mv_to_string" -> ((a: Seq[Expression]) => arrayToString(a)),
+      "mv_to_string" -> ((a: Seq[Expression]) =>
+        arrayToString(graft.functions.MvInput(a.head) +: a.tail)),
       // Java String.split limit-0 (drops trailing empties) — a SQL macro on
       // Spark's split keeps them; see StringSplitUtil
       "string_to_array" -> ((a: Seq[Expression]) => javaSplitExpr(a)),
       "string_to_mv" -> ((a: Seq[Expression]) => javaSplitExpr(a)),
-      // set membership over null elements too: intersect treats null as a
-      // value, so [null] ∩ [1, null] is non-empty like the reference
+      // lhs-typed rhs cast + null-rhs-is-false + null elements as set
+      // members (Function.java ArrayOverlapFunction:4182)
       "array_overlap" -> ((a: Seq[Expression]) =>
-        If(Or(IsNull(a.head), IsNull(a(1))), nullBool,
-          GreaterThan(fn("size", fn("array_intersect", a.head, a(1))),
-            Literal(0)))),
+        graft.functions.GraftArrayOverlap(a.head, a(1),
+          threeValued = false)),
       "array_contains" -> ((a: Seq[Expression]) =>
         graft.functions.GraftArrayContains(a.head, a(1))),
       "scalar_in_array" -> ((a: Seq[Expression]) =>
@@ -1780,8 +1829,11 @@ object DruidFunctions {
         require(a.size == 2 || a.size == 3,
           s"string_agg takes 2 or 3 arguments, got ${a.size}")
         a.lift(2).foreach(requirePositiveSizeLiteral("string_agg", _))
+        // timestamps stringify as EPOCH MILLIS (Druid's expr layer carries
+        // them as LONG — string_agg_timestamp_test001-004)
         new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
-          Cast(a.head, StringType), a(1), Nil, 0, 0)
+          Cast(graft.functions.TimeAsMillis(a.head), StringType),
+          a(1), Nil, 0, 0)
       }),
       // concat-agg: skip NULL input arrays (stock collect_list), keep inner
       // nulls, flatten partition-wise
@@ -1789,12 +1841,39 @@ object DruidFunctions {
       // SQL NULL in the reference (CollectList skips nulls, so an empty
       // buffer marks the all-null group), not the empty array
       // (ops_funcs_agg_funcs A1_B29_C23)
+      // BIT_AND/OR/XOR take any input in the reference (the aggregation
+      // rides a ColumnType.LONG virtual column — strings cast LENIENTLY,
+      // 'S1' → null → skipped); Spark's builtins demand integral input, so
+      // shadow with a TRY cast. NOTE the reference's BIT_AND carries an
+      // initialValue=0 quirk (BitwiseSqlAggregator.java:147 — 0 & x = 0
+      // for every non-empty group); the engine keeps REAL bitwise-and
+      // semantics, documented as a deliberate divergence in COVERAGE.md.
+      "bit_and" -> ((a: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BitAndAgg(
+          Cast(a.head, LongType, None, EvalMode.TRY))),
+      "bit_or" -> ((a: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BitOrAgg(
+          Cast(a.head, LongType, None, EvalMode.TRY))),
+      "bit_xor" -> ((a: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BitXorAgg(
+          Cast(a.head, LongType, None, EvalMode.TRY))),
       "array_concat_agg" -> ((a: Seq[Expression]) => {
         val cl = new org.apache.spark.sql.catalyst.expressions.aggregate
           .CollectList(a.head).toAggregateExpression()
         If(EqualTo(Size(cl), Literal(0)),
           Literal.create(null, org.apache.spark.sql.types.NullType),
           Flatten(cl))
+      }),
+      // DISTINCT form (rerouted by SqlApi.rewriteConcatAggDistinct): the
+      // reference folds through array_set_add_all's TreeSet — distinct
+      // ELEMENTS, sorted ascending with nulls first — and keeps the
+      // NULL-for-all-NULL-groups rule
+      "array_concat_agg_distinct" -> ((a: Seq[Expression]) => {
+        val cl = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(a.head).toAggregateExpression()
+        If(EqualTo(Size(cl), Literal(0)),
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          fn("sort_array", fn("array_distinct", Flatten(cl)), Literal(true)))
       }),
       // TO_JSON_STRING (NestedDataExpressions.ToJsonStringExprMacro): a
       // STRING *literal* is typed VARCHAR in the reference and always
@@ -1938,7 +2017,7 @@ object DruidFunctions {
       // (TIME_FORMAT / TIME_PARSE / TIME_EXTRACT live in catalystBuilders:
       // optional pattern + timezone arities)
       // (MV_LENGTH lives in arrayBuilders: conf-proof size-of-null)
-      "MV_CONTAINS(a ARRAY<STRING>, v STRING) RETURNS BOOLEAN RETURN array_contains(a, v)",
+      // (MV_CONTAINS lives in arrayBuilders: lhs-typed GraftArrayContains)
       // (MV_TO_STRING / STRING_TO_MV / STRING_TO_ARRAY live in
       //  arrayBuilders: [null]→NULL + null-prints-'null' join semantics and
       //  Java split limit-0 trailing-empty dropping, neither expressible as
@@ -1989,21 +2068,19 @@ object DruidFunctions {
       // ------------------------------------------------------------- MV ----
       // multi-value string fns (MultiValueStringOperatorConversions.java);
       // offsets are 0-based, ordinals 1-based, both null out of bounds
-      "MV_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN RETURN arrays_overlap(a, b)",
+      // (MV_OVERLAP lives in arrayBuilders: null-element-aware overlap)
       // (MV_TO_ARRAY / ARRAY_TO_MV identities live in arrayBuilders: a SQL
       // UDF can't appear under Generate, i.e. inside UNNEST/explode)
-      "MV_OFFSET(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i)",
-      "MV_ORDINAL(a ARRAY<STRING>, i INT) RETURNS STRING RETURN get(a, i - 1)",
-      """MV_OFFSET_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
-         CAST(nullif(array_position(a, v), 0) - 1 AS INT)""",
-      """MV_ORDINAL_OF(a ARRAY<STRING>, v STRING) RETURNS INT RETURN
-         CAST(nullif(array_position(a, v), 0) AS INT)""",
+      // (MV_OFFSET / MV_ORDINAL / MV_OFFSET_OF / MV_ORDINAL_OF / MV_CONCAT
+      //  live in arrayBuilders: the array slot takes MvInput scalar-MV
+      //  coercion and the *_OF needle must stay UNCAST for the reference's
+      //  strictly-typed Objects.equals probe — `v STRING` signatures here
+      //  would stringify numeric needles)
       // (MV_APPEND / MV_PREPEND live in arrayBuilders: the reference routes
       //  them through the polymorphic array_append — the ARRAY's element
       //  type wins, so appending 'A' to a BIGINT array yields a null
       //  element — then renders as a VARCHAR MV; a typed SQL macro would
       //  silently retype the array to strings first and keep 'A')
-      "MV_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN concat(a, b)",
       """MV_FILTER_ONLY(a ARRAY<STRING>, allow ARRAY<STRING>) RETURNS ARRAY<STRING>
          RETURN filter(a, x -> array_contains(allow, x))""",
       """MV_FILTER_NONE(a ARRAY<STRING>, deny ARRAY<STRING>) RETURNS ARRAY<STRING>

@@ -27,6 +27,20 @@ case class JsonInputText(child: Expression) extends UnaryExpression
 
   private lazy val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
+  // Non-string/non-numeric atomics (DATE, TIMESTAMP, BINARY …) must render
+  // the way the replaced Cast(_, StringType) did — "2001-01-01 00:00:00",
+  // not the internal micros/epoch-day value — so route them through Cast
+  // semantics instead of toString on Catalyst internals.
+  @transient private lazy val tzId: String =
+    try org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    catch { case _: Exception => "UTC" }
+
+  private def castText(v: Any, t: DataType): UTF8String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    Cast(Literal(v, t), StringType, Some(tzId), EvalMode.TRY)
+      .eval(null).asInstanceOf[UTF8String]
+  }
+
   private def write(gen: com.fasterxml.jackson.core.JsonGenerator,
                     v: Any, t: DataType): Unit = (v, t) match {
     case (null, _) => gen.writeNull()
@@ -39,6 +53,11 @@ case class JsonInputText(child: Expression) extends UnaryExpression
       }
       gen.writeEndArray()
     case (s: UTF8String, _) => gen.writeString(s.toString)
+    // DATE/TIMESTAMP store as Int/Long internally — dispatch on the TYPE
+    // before the numeric cases so they render as formatted text
+    case (d, DateType | TimestampType | TimestampNTZType) =>
+      val s = castText(d, t)
+      gen.writeString(if (s == null) d.toString else s.toString)
     case (b: Boolean, _) => gen.writeBoolean(b)
     case (n: Byte, _) => gen.writeNumber(n.toLong)
     case (n: Short, _) => gen.writeNumber(n.toLong)
@@ -48,7 +67,9 @@ case class JsonInputText(child: Expression) extends UnaryExpression
     case (n: Double, _) => gen.writeNumber(n)
     case (n: org.apache.spark.sql.types.Decimal, _) =>
       gen.writeNumber(n.toJavaBigDecimal)
-    case (other, _) => gen.writeString(other.toString)
+    case (other, t) =>
+      val s = castText(other, t)
+      gen.writeString(if (s == null) other.toString else s.toString)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -62,7 +83,9 @@ case class JsonInputText(child: Expression) extends UnaryExpression
         write(gen, v, at)
         gen.close()
         UTF8String.fromString(sw.toString)
-      case _ => UTF8String.fromString(v.toString)
+      case t =>
+        val s = castText(v, t)
+        if (s == null) UTF8String.fromString(v.toString) else s
     }
   }
 

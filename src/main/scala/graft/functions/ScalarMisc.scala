@@ -411,3 +411,22 @@ case class HumanReadableFormatExpr(child: Expression, precision: Expression,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), precision = newChildren(1))
 }
+
+/** Druid's expression layer has no TIMESTAMP type — datetimes ride as LONG
+  * epoch millis, so aggregates that STRINGIFY their input render millis,
+  * not formatted text: `string_agg(__time, '|')` = '1577840461000|…'
+  * (qaAggFuncs string_agg_timestamp_test001-004). Resolves to a
+  * millis LONG for timestamp input and passes anything else through
+  * untouched; builders wrap stringifying call sites with it because they
+  * can't see the resolved input type.
+  */
+case class TimeAsMillis(child: Expression) extends RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(child)
+  override lazy val replacement: Expression = child.dataType match {
+    case org.apache.spark.sql.types.TimestampType =>
+      org.apache.spark.sql.catalyst.expressions.UnixMillis(child)
+    case _ => child
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TimeAsMillis = copy(child = c.head)
+}

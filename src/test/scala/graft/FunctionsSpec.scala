@@ -349,6 +349,20 @@ class FunctionsSpec extends AnyFunSuite {
       "string literal is JSON-string-quoted, not re-parsed")
   }
 
+  test("JSON fns over datetime inputs render formatted text, not internals") {
+    DruidFunctions.register(spark)
+    // the JsonInputText fallback must cast like Cast(_, StringType) did:
+    // TIMESTAMP → '2001-01-01 00:00:00', DATE → '2001-01-01' — not the
+    // internal micros / epoch-day representation
+    val r = spark.sql(
+      """SELECT TO_JSON_STRING(TIMESTAMP '2001-01-01 00:00:00'),
+                TO_JSON_STRING(DATE '2001-01-01'),
+                TO_JSON_STRING(array(DATE '2001-01-01'))""").head()
+    assert(r.getString(0) == "\"2001-01-01 00:00:00\"")
+    assert(r.getString(1) == "\"2001-01-01\"")
+    assert(r.getString(2) == "[\"2001-01-01\"]")
+  }
+
   test("SQL TIME_FLOOR / TIME_SHIFT raise on unsupported periods") {
     DruidFunctions.register(spark)
     // the Catalyst-builder TIME_FLOOR handles ANY fixed ISO period (the old

@@ -876,4 +876,25 @@ class SqlApiSpec extends AnyFunSuite {
       assert(okLow.contains("25"))
     } finally QueryLanes.configure(0) // restore unlimited for other tests
   }
+
+  test("facade's ANSI-off dialect is scoped per query, not session-global") {
+    val AnsiKey = "spark.sql.ansi.enabled"
+    val prev = spark.conf.getOption(AnsiKey)
+    try {
+      spark.conf.set(AnsiKey, "true")
+      // lenient dialect INSIDE the facade: invalid cast is NULL, not error
+      val viaFacade = SqlApi.runSql(spark,
+        "SELECT CAST('abc' AS BIGINT) AS v").head()
+      assert(viaFacade.isNullAt(0))
+      // the session conf is untouched after the call …
+      assert(spark.conf.get(AnsiKey) == "true")
+      // … and a DataFrame-API ANSI cast on the SAME session still throws
+      intercept[Exception] {
+        spark.sql("SELECT CAST('abc' AS BIGINT) AS v").head()
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(AnsiKey, v)
+      case None    => spark.conf.unset(AnsiKey)
+    }
+  }
 }

@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Extract full testcases over the known fixture tables (test_array,
-test_unnest) from the reference quidem corpora, with expected result
-grids. Output: JSON lines {file, tid, query, cols, rows}.
+test_unnest, test_win, test_agg_funcs, test_json_cols) from the reference
+quidem corpora, with expected result grids. Output: JSON lines
+{file, tid, query, cols, rows, dataset}.
+
+qaJsonCols is restricted to the funcs_and_sql dataset — the ingest/*
+variants re-ingest the documents under different specs (rollup, flatten,
+tsv) and have per-variant schemas, so their grids don't replay against one
+fixture. Fixture data for test_win / test_json_cols comes from
+extract_fixture_data.py.
 """
 import re, sys, glob, os, json
 
@@ -10,9 +17,14 @@ CASE = re.compile(
     r"# TESTCASE: \S+ TEST_ID: (\S+)\s*\n#-+\n"
     r"((?:SELECT|WITH|\().*?;)\n(.*?)\n!(ok|error)", re.S)
 ROW = re.compile(r"^\|(.*)\|$", re.M)
+USE = re.compile(r"^!use \S*datasets=(\S+?)(?:&\S*)?$", re.M)
+# FROM/JOIN table references; `(?!\s*\()` skips function-call FROMs
+# (POSITION(x FROM string_agg(...))) and derived tables
+TABLE = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)\b(?!\s*\()", re.I)
 
 def main():
-    want_tables = {"test_array", "test_unnest"}
+    want_tables = {"test_array", "test_unnest", "test_win",
+                   "test_agg_funcs", "test_json_cols"}
     n = 0
     for root in ROOTS:
         for f in sorted(glob.glob(root + "/**/*.iq", recursive=True)):
@@ -21,13 +33,20 @@ def main():
                 text = open(f, encoding="utf-8").read()
             except Exception:
                 continue
+            use = USE.search(text)
+            dataset = use.group(1).rsplit("/", 1)[-1] if use else ""
+            # qaJsonCols: only the funcs_and_sql fixture is registered
+            if "test_json_cols" in text and dataset != "funcs_and_sql":
+                continue
             for m in CASE.finditer(text):
                 tid, q, res, kind = m.groups()
                 if kind != "ok":
                     continue
-                tables = set(re.findall(r"\bFROM\s+([a-zA-Z_][a-zA-Z0-9_]*)", q, re.I))
-                # only fixture tables (plus derived-table FROM ( which regex skips)
-                named = {t for t in tables if not t.startswith("t1") and t != "t"}
+                tables = set(t.lower() for t in TABLE.findall(q))
+                # drop join aliases / keywords the regex can trip on
+                named = {t for t in tables
+                         if not t.startswith("t1") and t not in
+                         ("t", "t2", "lateral", "unnest")}
                 if not named <= want_tables or not (named & want_tables):
                     continue
                 lines = ROW.findall(res)
@@ -51,7 +70,8 @@ def main():
                     rows = [cells(ln) for ln in lines[1:]]
                 print(json.dumps({"file": base, "tid": tid,
                                   "query": " ".join(q.rstrip(";").split()),
-                                  "cols": cols, "rows": rows}))
+                                  "cols": cols, "rows": rows,
+                                  "dataset": dataset}))
                 n += 1
     print(f"# extracted {n}", file=sys.stderr)
 
