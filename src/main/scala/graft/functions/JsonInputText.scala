@@ -27,18 +27,29 @@ case class JsonInputText(child: Expression) extends UnaryExpression
 
   private lazy val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
-  // Non-string/non-numeric atomics (DATE, TIMESTAMP, BINARY …) must render
-  // the way the replaced Cast(_, StringType) did — "2001-01-01 00:00:00",
-  // not the internal micros/epoch-day value — so route them through Cast
+  // The reference's expression layer has NO datetime types — TIMESTAMP and
+  // DATE ride as LONG epoch millis, so JSON functions see the millis value
+  // (`json_value(__time, '$')` = '1640995200000' and `RETURNING bigint`
+  // compares against millis — qaJsonCols funcs_and_sql_func_json_value
+  // A001-A003; json_object TIMESTAMP values render epoch millis, r15).
+  // Other non-string atomics (BINARY …) route through Cast-to-string
   // semantics instead of toString on Catalyst internals.
+  private def timeMillis(v: Any, t: DataType): Long = t match {
+    case DateType => v.asInstanceOf[Int].toLong * 86400000L
+    case _ => Math.floorDiv(v.asInstanceOf[Long], 1000L) // micros → millis
+  }
+
   @transient private lazy val tzId: String =
     try org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     catch { case _: Exception => "UTC" }
 
-  private def castText(v: Any, t: DataType): UTF8String = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
-    Cast(Literal(v, t), StringType, Some(tzId), EvalMode.TRY)
-      .eval(null).asInstanceOf[UTF8String]
+  private def castText(v: Any, t: DataType): UTF8String = t match {
+    case DateType | TimestampType | TimestampNTZType =>
+      UTF8String.fromString(timeMillis(v, t).toString)
+    case _ =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+      Cast(Literal(v, t), StringType, Some(tzId), EvalMode.TRY)
+        .eval(null).asInstanceOf[UTF8String]
   }
 
   private def write(gen: com.fasterxml.jackson.core.JsonGenerator,
@@ -54,10 +65,10 @@ case class JsonInputText(child: Expression) extends UnaryExpression
       gen.writeEndArray()
     case (s: UTF8String, _) => gen.writeString(s.toString)
     // DATE/TIMESTAMP store as Int/Long internally — dispatch on the TYPE
-    // before the numeric cases so they render as formatted text
+    // before the numeric cases; they serialize as epoch-millis NUMBERS
+    // (the reference's expr layer carries datetimes as LONG)
     case (d, DateType | TimestampType | TimestampNTZType) =>
-      val s = castText(d, t)
-      gen.writeString(if (s == null) d.toString else s.toString)
+      gen.writeNumber(timeMillis(d, t))
     case (b: Boolean, _) => gen.writeBoolean(b)
     case (n: Byte, _) => gen.writeNumber(n.toLong)
     case (n: Short, _) => gen.writeNumber(n.toLong)

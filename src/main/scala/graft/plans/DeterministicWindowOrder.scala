@@ -44,7 +44,9 @@ object DeterministicWindowOrder extends Rule[LogicalPlan] {
     case _ => true // non-window parts of the projection
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (
+    !conf.getConfString("spark.graft.deterministicWindows", "true").toBoolean
+  ) plan else plan.transform {
     // order MAY be empty (OVER (ROWS UNBOUNDED PRECEDING) — qaWin W22):
     // the reference runs the frame over its deterministic input order, so
     // the full-output tie-break IS the order

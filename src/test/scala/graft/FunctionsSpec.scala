@@ -349,18 +349,19 @@ class FunctionsSpec extends AnyFunSuite {
       "string literal is JSON-string-quoted, not re-parsed")
   }
 
-  test("JSON fns over datetime inputs render formatted text, not internals") {
+  test("JSON fns over datetime inputs see epoch millis, not internals") {
     DruidFunctions.register(spark)
-    // the JsonInputText fallback must cast like Cast(_, StringType) did:
-    // TIMESTAMP → '2001-01-01 00:00:00', DATE → '2001-01-01' — not the
-    // internal micros / epoch-day representation
+    // the reference's expr layer carries datetimes as LONG millis —
+    // json_value(__time, '$') = '1640995200000' (qaJsonCols
+    // funcs_and_sql_func_json_value A001), never the internal micros /
+    // epoch-day representation and never formatted text
     val r = spark.sql(
       """SELECT TO_JSON_STRING(TIMESTAMP '2001-01-01 00:00:00'),
-                TO_JSON_STRING(DATE '2001-01-01'),
+                JSON_VALUE(TIMESTAMP '2022-01-01 00:00:00', '$'),
                 TO_JSON_STRING(array(DATE '2001-01-01'))""").head()
-    assert(r.getString(0) == "\"2001-01-01 00:00:00\"")
-    assert(r.getString(1) == "\"2001-01-01\"")
-    assert(r.getString(2) == "[\"2001-01-01\"]")
+    assert(r.getString(0) == "978307200000")
+    assert(r.getString(1) == "1640995200000")
+    assert(r.getString(2) == "[978307200000]")
   }
 
   test("SQL TIME_FLOOR / TIME_SHIFT raise on unsupported periods") {
