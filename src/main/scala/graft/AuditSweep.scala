@@ -196,7 +196,12 @@ object AuditSweep {
     phase.foreach { c =>
       pool.submit(new Runnable { def run(): Unit = {
         try {
-          val df = api.SqlApi.runSql(spark, c.query)
+          // corpus text is CALCITE dialect: string literals do NOT process
+          // backslash escapes ('110\|' is a 4-char regex), where Spark's
+          // parser would eat the backslash — double them like the facade
+          // does (string_agg_long_test001 A22 pins the difference)
+          val df = api.SqlApi.runSql(spark,
+            api.SqlApi.calciteLiteralEscape(c.query))
           val got = df.collect().map(_.toSeq.map(normCell)).toSeq
           val ordered = hasTopLevelOrderBy(c.query)
           // grid match level: min over cells (0 = mismatch, 1 = lenient
@@ -208,10 +213,15 @@ object AuditSweep {
               else gr.zip(er).foldLeft(acc)((a, p) =>
                 math.min(a, cellMatch(p._1, p._2)))
             }
+          // unordered compares sort by NORMALIZED cells (quotes stripped,
+          // ", " collapsed) so print-format-only differences — Spark's
+          // `[a, b]` vs Druid's `["a","b"]` — can't misalign the rows that
+          // cellMatch would then accept leniently
+          def normKey(r: Seq[String]): String =
+            r.map(_.replace("\"", "").replace(", ", ",")).mkString(" ")
           val lvl =
             if (ordered) rowsEq(got, c.rows)
-            else rowsEq(got.sortBy(_.mkString(" ")),
-                        c.rows.sortBy(_.mkString(" ")))
+            else rowsEq(got.sortBy(normKey), c.rows.sortBy(normKey))
           if (lvl == 2) nOk.incrementAndGet()
           else if (lvl == 1) {
             nLenient.incrementAndGet()
@@ -225,7 +235,7 @@ object AuditSweep {
             // align positionally and the first differing row is the real one
             val (gd, ed) =
               if (ordered) (got, c.rows)
-              else (got.sortBy(_.mkString(" ")), c.rows.sortBy(_.mkString(" ")))
+              else (got.sortBy(normKey), c.rows.sortBy(normKey))
             val firstDiff = gd.zip(ed).indexWhere { case (gr, er) =>
               gr.size != er.size || gr.zip(er).exists(p => cellMatch(p._1, p._2) == 0)
             }

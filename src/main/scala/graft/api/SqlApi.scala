@@ -352,14 +352,28 @@ object SqlApi {
     // restored, and a DataFrame-API user of the same session keeps their
     // ANSI semantics. Serialized via confScopeLock like the facade's
     // other scoped-conf windows (re-entrant from the fallback path).
+    // Calcite has NO lateral column aliases — a SELECT item's alias is
+    // invisible to sibling expressions and to GROUP BY expressions, so
+    // `SELECT time_floor(__time, …) AS __time … GROUP BY time_floor(
+    // __time, …)` groups on the TABLE column (qaWin W9 subquery shapes);
+    // Spark's implicit lateral resolution would bind the alias instead.
     val AnsiKey = "spark.sql.ansi.enabled"
+    val LcaKey = "spark.sql.lateralColumnAlias.enableImplicitResolution"
     confScopeLock(spark).synchronized {
       val prevAnsi = spark.conf.getOption(AnsiKey)
+      val prevLca = spark.conf.getOption(LcaKey)
       spark.conf.set(AnsiKey, "false")
+      spark.conf.set(LcaKey, "false")
       try sortWindowSql(spark, sqlText)
-      finally prevAnsi match {
-        case Some(v) => spark.conf.set(AnsiKey, v)
-        case None    => spark.conf.unset(AnsiKey)
+      finally {
+        prevAnsi match {
+          case Some(v) => spark.conf.set(AnsiKey, v)
+          case None    => spark.conf.unset(AnsiKey)
+        }
+        prevLca match {
+          case Some(v) => spark.conf.set(LcaKey, v)
+          case None    => spark.conf.unset(LcaKey)
+        }
       }
     }
   }
@@ -448,15 +462,32 @@ object SqlApi {
         case _ => we.copy(windowSpec = spec)
       }
     }
-    // inline named WINDOW specs, then normalize every window expression
+    // inline named WINDOW specs, then normalize every window expression —
+    // the references can sit ANY depth below the definition node (GROUP BY
+    // shapes put them under Aggregate/Filter chains), so substitute across
+    // the whole child subtree
     val inlined = plan.transformUp {
       case WithWindowDefinition(defs, child, _) =>
-        child.transformExpressions {
+        child.transformAllExpressions {
           case UnresolvedWindowExpression(c, WindowSpecReference(name))
               if defs.contains(name) => WindowExpression(c, defs(name))
         }
     }
-    inlined.transformAllExpressions {
+    // grouping()/grouping_id() with a PLAIN GROUP BY is constant 0 in the
+    // reference (no subtotal rows — qaUnnest array_sql_group_by grouping
+    // batteries); Spark rejects them outside GroupingSets/Cube/Rollup
+    val groupingFixed = inlined.transformUp {
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if !agg.groupingExpressions.exists(_.exists(
+            _.isInstanceOf[BaseGroupingSets])) =>
+        agg.transformExpressions {
+          case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if Set("grouping", "grouping_id")(
+                uf.nameParts.last.toLowerCase) =>
+            Literal(0L)
+        }
+    }
+    groupingFixed.transformAllExpressions {
       case we: WindowExpression => fixWindowExpr(we)
     }
   }
