@@ -476,16 +476,29 @@ object SqlApi {
     // grouping()/grouping_id() with a PLAIN GROUP BY is constant 0 in the
     // reference (no subtotal rows — qaUnnest array_sql_group_by grouping
     // batteries); Spark rejects them outside GroupingSets/Cube/Rollup
+    def plainAgg(
+        agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Boolean =
+      !agg.groupingExpressions.exists(_.exists(
+        _.isInstanceOf[BaseGroupingSets]))
+    def dropGrouping(e: Expression): Expression = e.transform {
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if Set("grouping", "grouping_id")(uf.nameParts.last.toLowerCase) =>
+        Literal(0L)
+    }
     val groupingFixed = inlined.transformUp {
+      // HAVING grouping(…) sits ABOVE the aggregate in its own node
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving
+          if h.child.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Aggregate] &&
+            plainAgg(h.child.asInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Aggregate]) =>
+        h.copy(havingCondition = dropGrouping(h.havingCondition))
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-          if !agg.groupingExpressions.exists(_.exists(
-            _.isInstanceOf[BaseGroupingSets])) =>
-        agg.transformExpressions {
-          case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-              if Set("grouping", "grouping_id")(
-                uf.nameParts.last.toLowerCase) =>
-            Literal(0L)
-        }
+          if plainAgg(agg) =>
+        agg.copy(aggregateExpressions =
+          agg.aggregateExpressions.map(e =>
+            dropGrouping(e).asInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.NamedExpression]))
     }
     groupingFixed.transformAllExpressions {
       case we: WindowExpression => fixWindowExpr(we)
@@ -504,24 +517,37 @@ object SqlApi {
     // division in the reference (array_sql_ops A1_B4: c/s_int -> 0/1).
     // Swapped pre-analysis — the RuntimeReplaceable picks the arithmetic
     // once types resolve; DataFrame-API plans keep Spark's operator.
-    val parsed = rewriteWindowDialect(parsed0.transformAllExpressions {
-      case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
-        graft.functions.CalciteDiv(l, r)
-      // Calcite equality dialect: a NUMERIC literal against a column
-      // coerces toward the COLUMN's type — over a VARCHAR column the
-      // literal becomes its string form ('my_null' = 999 is FALSE, so
-      // `AND NOT c=999` KEEPS non-numeric rows — qaUnnest
-      // mv_sql_subquery_with_where A1_B8_C9), where Spark's PromoteStrings
-      // casts the COLUMN to the numeric type and three-valued NULL drops
-      // them. CompatCompare resolves the direction once types are known
-      // (string side wins via string promotion; numeric pairs widen
-      // exactly like Spark would).
-      case eq @ org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
-          if isAttrVsNumericLit(l, r) =>
-        graft.functions.CompatCompare(l, r, "=")
-      case ens @ org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r)
-          if isAttrVsNumericLit(l, r) =>
-        graft.functions.CompatCompare(l, r, "<=>")
+    def dialectCore(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      rewriteWindowDialect(p.transformAllExpressions {
+        case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
+          graft.functions.CalciteDiv(l, r)
+        // Calcite equality dialect: a NUMERIC literal against a column
+        // coerces toward the COLUMN's type — over a VARCHAR column the
+        // literal becomes its string form ('my_null' = 999 is FALSE, so
+        // `AND NOT c=999` KEEPS non-numeric rows — qaUnnest
+        // mv_sql_subquery_with_where A1_B8_C9), where Spark's
+        // PromoteStrings casts the COLUMN to the numeric type and
+        // three-valued NULL drops them. CompatCompare resolves the
+        // direction once types are known (string side wins via string
+        // promotion; numeric pairs widen exactly like Spark would).
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+            if isAttrVsNumericLit(l, r) =>
+          graft.functions.CompatCompare(l, r, "=")
+        case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r)
+            if isAttrVsNumericLit(l, r) =>
+          graft.functions.CompatCompare(l, r, "<=>")
+      })
+    // CTE bodies are INNER children of UnresolvedWith — plan.transform
+    // never descends into them, so apply the dialect pipeline to each
+    // body explicitly (WITH t1 AS (… WHERE a_int=a_str) … was reaching
+    // analysis untransformed)
+    val parsed = dialectCore(parsed0.transformUp {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { t =>
+          t.copy(_2 = dialectCore(t._2).asInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias])
+        })
     })
     def sortHasWindow(s: Sort): Boolean =
       s.order.exists(_.exists(_.isInstanceOf[WindowExpression]))
@@ -604,12 +630,22 @@ object SqlApi {
           case _: GreaterThanOrEqual => ">="
           case _ => "="
         }
-        val retried = plan.transformAllExpressions {
-          case c: BinaryComparison
-              if c.left.isInstanceOf[UnresolvedAttribute] &&
-                 c.right.isInstanceOf[UnresolvedAttribute] =>
-            graft.functions.CompatCompare(c.left, c.right, tag(c))
-        }
+        def swap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          p.transformAllExpressions {
+            case c: BinaryComparison
+                if c.left.isInstanceOf[UnresolvedAttribute] &&
+                   c.right.isInstanceOf[UnresolvedAttribute] =>
+              graft.functions.CompatCompare(c.left, c.right, tag(c))
+          }
+        // CTE bodies are inner children — swap inside them too
+        val retried = swap(plan.transformUp {
+          case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+            w.copy(cteRelations = w.cteRelations.map { t =>
+              t.copy(_2 = swap(t._2).asInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias])
+            })
+        })
         org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, retried)
     }
 
