@@ -167,7 +167,14 @@ case class GraftArrayAppend(arr: Expression, elem: Expression, prepend: Boolean)
   override def right: Expression = elem
 
   override lazy val replacement: Expression = {
-    val ArrayType(arrElem, _) = arr.dataType: @unchecked
+    // MV convention: a SCALAR in the array slot is a 1-element array
+    // (native asArray() wraps scalars — array_append('Z', c_long) =
+    // ['Z', '0']); a NULL scalar nulls out like asArray() == null
+    val (arrArr, wrapped) = arr.dataType match {
+      case _: ArrayType => (arr, false)
+      case _ => (CreateArray(Seq(arr)), true)
+    }
+    val ArrayType(arrElem, _) = arrArr.dataType: @unchecked
     // reference ArrayAddElementFunction (Function.java:542-568): the ARRAY
     // argument's element type WINS — `scalarExpr.castTo(arrayExpr
     // .elementType())`, so appending 'A' to ARRAY<LONG> yields a null
@@ -183,8 +190,12 @@ case class GraftArrayAppend(arr: Expression, elem: Expression, prepend: Boolean)
     val single = CreateArray(Seq(
       if (elem.dataType == target) elem
       else Cast(elem, target, None, EvalMode.TRY)))
-    if (prepend) Concat(Seq(single, castArr(arr)))
-    else Concat(Seq(castArr(arr), single))
+    val combined =
+      if (prepend) Concat(Seq(single, castArr(arrArr)))
+      else Concat(Seq(castArr(arrArr), single))
+    if (!wrapped) combined
+    else If(IsNull(arr),
+      Literal.create(null, ArrayType(target, containsNull = true)), combined)
   }
 
   override def prettyName: String = if (prepend) "array_prepend" else "array_append"

@@ -20,15 +20,32 @@ case class CalciteDiv(left: Expression, right: Expression)
     case _ => false
   }
 
-  override lazy val replacement: Expression =
-    if (integral(left.dataType) && integral(right.dataType))
+  // Calcite casts a VARCHAR operand toward the NUMERIC side of the
+  // division (qaUnnest scalar batteries: mv element '1' / c_long 2 = 0 —
+  // integer division, '' and non-numeric strings → NULL via lenient cast)
+  private def coerced(e: Expression, other: DataType): Expression =
+    e.dataType match {
+      case StringType if integral(other) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, LongType, None, EvalMode.TRY)
+      case StringType =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, DoubleType, None, EvalMode.TRY)
+      case _ => e
+    }
+
+  override lazy val replacement: Expression = {
+    val l = coerced(left, right.dataType)
+    val r = coerced(right, left.dataType)
+    if (integral(l.dataType) && integral(r.dataType))
       // IntegralDivide resolves on LONG operands only (TypeCoercion
       // widens div operands; a pre-analysis swap must do it itself)
       IntegralDivide(
-        org.apache.spark.sql.catalyst.expressions.Cast(left, LongType),
-        org.apache.spark.sql.catalyst.expressions.Cast(right, LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(l, LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(r, LongType),
         EvalMode.LEGACY)
-    else Divide(left, right, EvalMode.LEGACY)
+    else Divide(l, r, EvalMode.LEGACY)
+  }
 
   override def children: Seq[Expression] = Seq(left, right)
   override def prettyName: String = "calcite_div"
