@@ -65,9 +65,11 @@ object AuditSweep {
     } catch { case _: Throwable => }
     // timestamp with/without trailing .000
     if (g.stripSuffix(".000") == e.stripSuffix(".000")) return 1
-    // Druid renders a SINGLE-ELEMENT multi-value string unwrapped (the
-    // documented MV-rendering divergence) — count as lenient, not exact
+    // Druid renders a SINGLE-ELEMENT multi-value string unwrapped and an
+    // EMPTY multi-value as the empty cell (the documented MV-rendering
+    // divergence) — count as lenient, not exact
     if (g == "[" + e + "]" || e == "[" + g + "]") return 1
+    if ((g == "[]" && e.isEmpty) || (e == "[]" && g.isEmpty)) return 1
     0
   }
 
@@ -112,6 +114,115 @@ object AuditSweep {
     } else println(s"WARN no $jsonPath — run tools/extract_fixture_data.py")
   }
 
+  /** qaTpch (8 pipe-delimited .tbl.gz, TPC-H tiny) and qaSsb (norm star
+    * schema + denorm wide table) fixtures, typed per the reference ingest
+    * specs (qaTpch/ingest_*.json: long keys + double amounts, string
+    * dates, constant __time 2025-01-01; qaSsb norm/ingest.*.json: all-long
+    * measures, constant __time 2010-01-01; denorm/ingest.ssb_denorm.json:
+    * __time parsed from order_date MM/dd/yyyy). The .tbl rows end with a
+    * trailing delimiter — a sacrificial trailing column absorbs it.
+    */
+  private def registerTpchSsbFixtures(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{expr, to_timestamp, col}
+    val base = "/root/reference/sql/src/test/quidem/qatests"
+    if (!new java.io.File(base).exists()) {
+      println(s"WARN no $base — qaTpch/qaSsb phases will error"); return
+    }
+    def reg(name: String, path: String, schema: String,
+            trailing: Boolean = true): org.apache.spark.sql.DataFrame = {
+      val full = if (trailing) schema + ", _trail STRING" else schema
+      val df = spark.read.schema(full)
+        .option("sep", "|").option("header", "false").csv(path)
+      val d2 = if (trailing) df.drop("_trail") else df
+      d2.createOrReplaceTempView(name); d2
+    }
+    val tpch = Map(
+      "customer" -> ("c_custkey BIGINT, c_name STRING, c_address STRING, " +
+        "c_nationkey BIGINT, c_phone STRING, c_acctbal DOUBLE, " +
+        "c_mktsegment STRING, c_comment STRING"),
+      "lineitem" -> ("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+        "l_linenumber BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+        "l_linestatus STRING, l_shipdate STRING, l_commitdate STRING, " +
+        "l_receiptdate STRING, l_shipinstruct STRING, l_shipmode STRING, " +
+        "l_comment STRING"),
+      "nation" -> "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING",
+      "orders" -> ("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING, " +
+        "o_clerk STRING, o_shippriority BIGINT, o_comment STRING"),
+      "part" -> ("p_partkey BIGINT, p_name STRING, p_mfgr STRING, " +
+        "p_brand STRING, p_type STRING, p_size BIGINT, p_container STRING, " +
+        "p_retailprice DOUBLE, p_comment STRING"),
+      "partsupp" -> ("ps_partkey BIGINT, ps_suppkey BIGINT, " +
+        "ps_availqty BIGINT, ps_supplycost DOUBLE, ps_comment STRING"),
+      "region" -> "r_regionkey BIGINT, r_name STRING, r_comment STRING",
+      "supplier" -> ("s_suppkey BIGINT, s_name STRING, s_address STRING, " +
+        "s_nationkey BIGINT, s_phone STRING, s_acctbal FLOAT, s_comment STRING"))
+    tpch.foreach { case (t, schema) =>
+      reg(t, s"$base/qaTpch/data/$t.tbl.gz", schema)
+        .withColumn("__time", expr("timestamp'2025-01-01 00:00:00'"))
+        .createOrReplaceTempView(t)
+    }
+    val ssbNorm = Map(
+      "customer" -> ("c_custkey BIGINT, c_name STRING, c_address STRING, " +
+        "c_city STRING, c_nation STRING, c_region STRING, c_phone STRING, " +
+        "c_mktsegment STRING"),
+      "date" -> ("d_datekey BIGINT, d_date STRING, d_dayofweek STRING, " +
+        "d_month STRING, d_year BIGINT, d_yearmonthnum BIGINT, " +
+        "d_yearmonth STRING, d_daynuminweek BIGINT, d_daynuminmonth BIGINT, " +
+        "d_daynuminyear BIGINT, d_monthnuminyear BIGINT, " +
+        "d_weeknuminyear BIGINT, d_sellingseason STRING, " +
+        "d_lastdayinweekfl BIGINT, d_lastdayinmonthfl BIGINT, " +
+        "d_holidayfl BIGINT, d_weekdayfl BIGINT"),
+      "lineorder" -> ("lo_orderkey BIGINT, lo_linenumber BIGINT, " +
+        "lo_custkey BIGINT, lo_partkey BIGINT, lo_suppkey BIGINT, " +
+        "lo_orderdate BIGINT, lo_orderpriority STRING, " +
+        "lo_shippriority STRING, lo_quantity BIGINT, " +
+        "lo_extendedprice BIGINT, lo_ordtotalprice BIGINT, " +
+        "lo_discount BIGINT, lo_revenue BIGINT, lo_supplycost BIGINT, " +
+        "lo_tax BIGINT, lo_commitdate BIGINT, lo_shipmode STRING"),
+      "part" -> ("p_partkey BIGINT, p_name STRING, p_mfgr STRING, " +
+        "p_category STRING, p_brand1 STRING, p_color STRING, " +
+        "p_type STRING, p_size BIGINT, p_container STRING"),
+      "supplier" -> ("s_suppkey BIGINT, s_name STRING, s_address STRING, " +
+        "s_city STRING, s_nation STRING, s_region STRING, s_phone STRING"))
+    ssbNorm.foreach { case (t, schema) =>
+      reg(s"ssb_norm_$t", s"$base/qaSsb/norm/data/$t.tbl.gz", schema)
+        .withColumn("__time", expr("timestamp'2010-01-01 00:00:00'"))
+        .createOrReplaceTempView(s"ssb_norm_$t")
+    }
+    val denormCols = Seq(
+      "lo_orderkey BIGINT", "lo_linenumber BIGINT", "lo_custkey BIGINT",
+      "lo_partkey BIGINT", "lo_suppkey BIGINT", "lo_orderdate BIGINT",
+      "lo_orderpriority STRING", "lo_shippriority STRING",
+      "lo_quantity BIGINT", "lo_extendedprice BIGINT",
+      "lo_ordtotalprice BIGINT", "lo_discount BIGINT", "lo_revenue BIGINT",
+      "lo_supplycost BIGINT", "lo_tax BIGINT", "lo_commitdate BIGINT",
+      "lo_shipmode STRING",
+      "c_custkey BIGINT", "c_name STRING", "c_address STRING",
+      "c_city STRING", "c_nation STRING", "c_region STRING",
+      "c_phone STRING", "c_mktsegment STRING",
+      "s_suppkey BIGINT", "s_name STRING", "s_address STRING",
+      "s_city STRING", "s_nation STRING", "s_region STRING",
+      "s_phone STRING",
+      "p_partkey BIGINT", "p_name STRING", "p_mfgr STRING",
+      "p_category STRING", "p_brand1 STRING", "p_color STRING",
+      "p_type STRING", "p_size BIGINT", "p_container STRING",
+      "d_datekey BIGINT", "d_date STRING", "d_dayofweek STRING",
+      "d_month STRING", "d_year BIGINT", "d_yearmonthnum BIGINT",
+      "d_yearmonth STRING", "d_daynuminweek BIGINT",
+      "d_daynuminmonth BIGINT", "d_daynuminyear BIGINT",
+      "d_monthnuminyear BIGINT", "d_weeknuminyear BIGINT",
+      "d_sellingseason STRING", "d_lastdayinweekfl BIGINT",
+      "d_lastdayinmonthfl BIGINT", "d_holidayfl BIGINT",
+      "d_weekdayfl BIGINT", "order_date STRING").mkString(", ")
+    reg("ssb_denorm", s"$base/qaSsb/denorm/data/ssb.tsv.gz", denormCols,
+        trailing = false)
+      .withColumn("__time", to_timestamp(col("order_date"), "MM/dd/yyyy"))
+      .drop("order_date")
+      .createOrReplaceTempView("ssb_denorm")
+  }
+
   /** Result order is only guaranteed by an ORDER BY at paren depth 0 — an
     * ORDER BY inside an OVER clause or subquery doesn't order the result
     * (the old whole-text regex made every windowed query "ordered" and
@@ -152,10 +263,47 @@ object AuditSweep {
     // batteries; the sweep replays against the reference's typing.
     spark.sql(viewSql(QaSuites.sparkTestArray.replace(
       "array(CAST(NULL AS STRING), NULL, NULL)",
-      "array(CAST(NULL AS BIGINT), NULL, NULL)"), "test_array"))
-    spark.sql(viewSql(QaSuites.sparkTestUnnest, "test_unnest"))
+      "array(CAST(NULL AS BIGINT), NULL, NULL)")
+      .replace("test_array AS (", "test_array_base AS ("), "test_array_base"))
+    // the reference's qaArray ingest adds 14 transform-derived scalar
+    // columns (t_*_scalar1 = json_value(a_*, '$[0]'), t_*_scalar2 =
+    // json_value(a_nested, '$[k][0]'); qaArray/sql/ingest.json
+    // transformSpec) — the ingest_* corpus counts and filters them. The
+    // boolean doc values render 'true'/'false' (the doc array is JSON
+    // booleans; json_value stringifies), a_bool here is the LONG-ingested
+    // array, so scalar1 maps 1→'true'/0→'false'.
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_array AS
+      SELECT *,
+        CASE element_at(a_bool, 1) WHEN 1 THEN 'true' WHEN 0 THEN 'false'
+          END AS t_bool_scalar1,
+        json_value(a_nested, '$[0][0]') AS t_bool_scalar2,
+        element_at(a_int, 1) AS t_int_scalar1,
+        json_value(a_nested, '$[1][0]') AS t_int_scalar2,
+        element_at(a_float, 1) AS t_float_scalar1,
+        json_value(a_nested, '$[2][0]') AS t_float_scalar2,
+        element_at(a_str, 1) AS t_str_scalar1,
+        json_value(a_nested, '$[3][0]') AS t_str_scalar2,
+        CAST(NULL AS STRING) AS t_null_scalar1,
+        json_value(a_nested, '$[4][0]') AS t_null_scalar2,
+        CAST(NULL AS STRING) AS t_empty_scalar1,
+        json_value(a_nested, '$[5][0]') AS t_empty_scalar2,
+        element_at(a_mixed, 1) AS t_mixed_scalar1,
+        json_value(a_nested, '$[6][0]') AS t_mixed_scalar2,
+        1L AS cnt
+      FROM test_array_base""")
+    // the reference's qaUnnest/array ingest carries an always-null s_null
+    // dim between s_int and the arrays (qaUnnest/array/ingest.json) —
+    // star expansion must produce it in position
+    spark.sql(viewSql(QaSuites.sparkTestUnnest
+      .replace("test_unnest AS (", "test_unnest_base AS ("),
+      "test_unnest_base"))
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_unnest AS
+      SELECT __time, s_int, CAST(NULL AS STRING) AS s_null, a_bool, a_int,
+             a_float, a_str, a_null, a_empty, a_mixed, a_nested
+      FROM test_unnest_base""")
     spark.sql(viewSql(QaSuites.sparkTestAggFuncs, "test_agg_funcs"))
     registerWinAndJsonFixtures(spark)
+    registerTpchSsbFixtures(spark)
 
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -188,6 +336,7 @@ object AuditSweep {
     val errExample = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val mism = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val lenient = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errAll = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // the MV corpus reuses the test_unnest NAME with the c_mv_* column
     // set — run it as a second phase against the MV fixture view
     val (mvCases, arrCases) = cases.partition(_.query.contains("c_mv"))
@@ -218,7 +367,16 @@ object AuditSweep {
           // `[a, b]` vs Druid's `["a","b"]` — can't misalign the rows that
           // cellMatch would then accept leniently
           def normKey(r: Seq[String]): String =
-            r.map(_.replace("\"", "").replace(", ", ",")).mkString(" ")
+            r.map { c0 =>
+              val c = c0.replace("\"", "").replace(", ", ",")
+              // align the MV-rendering lenience: a single-element or
+              // empty array print sorts with its unwrapped form so the
+              // row pairing reaches cellMatch
+              if (c.startsWith("[") && c.endsWith("]") &&
+                  !c.substring(1, c.length - 1).contains(","))
+                c.substring(1, c.length - 1)
+              else c
+            }.mkString(" ")
           val lvl =
             if (ordered) rowsEq(got, c.rows)
             else rowsEq(got.sortBy(normKey), c.rows.sortBy(normKey))
@@ -251,6 +409,8 @@ object AuditSweep {
                 .linesIterator.nextOption().getOrElse("").take(140)
             errs.merge(key, 1, (a, b) => a + b)
             errExample.putIfAbsent(key, c.query.take(400))
+            errAll.add(s"ERROR\t${c.file}\t${c.tid}\t${key.take(120)}" +
+              s"\t${c.query.take(300)}")
         }
       }})
     }
@@ -274,6 +434,7 @@ object AuditSweep {
     val out = new java.io.PrintWriter("/tmp/sweep_mismatches.tsv", "UTF-8")
     mism.forEach(m => out.println(m))
     lenient.forEach(m => out.println(m))
+    errAll.forEach(m => out.println(m))
     out.close()
     mism.stream().limit(200).forEach(m => println(m))
     lenient.stream().limit(50).forEach(m => println(m))

@@ -505,6 +505,108 @@ object SqlApi {
     }
   }
 
+  /** Druid computes window functions over the GROUPING SETS output rows
+    * (the null-filled subtotal grid IS the window input — qaWin
+    * sql_group_by A2/A3 shapes), where Spark's window extraction rejects
+    * any window argument that is only a grouping-sets column
+    * (MISSING_AGGREGATION). Decouple: the grouping-sets aggregate keeps
+    * one helper alias per distinct flat grouping expression, and the
+    * select list — windows included — moves to a Project above it with
+    * each grouping expression swapped for its helper attribute.
+    */
+  private def decoupleGroupingSetWindows(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedHaving}
+    def gsWindowAgg(agg: Aggregate): Boolean =
+      agg.groupingExpressions.exists(
+        _.exists(_.isInstanceOf[BaseGroupingSets])) &&
+        agg.aggregateExpressions.exists(
+          _.exists(_.isInstanceOf[WindowExpression]))
+    // (inner grouping-sets aggregate over helper aliases, the grouping-
+    // expression substitution, the substituted select list)
+    def split(agg: Aggregate): (Aggregate, Expression => Expression,
+        Seq[NamedExpression]) = {
+      val flat: Seq[Expression] = agg.groupingExpressions.flatMap {
+        case gs: BaseGroupingSets => gs.groupingSets.flatten
+        case e => Seq(e)
+      }.distinct
+      val helper = flat.indices.map(i => s"__gs_$i")
+      val inner = agg.copy(aggregateExpressions =
+        flat.zip(helper).map { case (g, h) => Alias(g, h)() })
+      def subst(e: Expression): Expression = e.transformDown {
+        case x if flat.contains(x) =>
+          UnresolvedAttribute(helper(flat.indexOf(x)))
+      }
+      val outList: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case Alias(c, name) => Alias(subst(c), name)()
+        case UnresolvedAlias(att: UnresolvedAttribute, _) =>
+          Alias(subst(att), att.nameParts.last)()
+        case UnresolvedAlias(c, f) => UnresolvedAlias(subst(c), f)
+        case other => subst(other).asInstanceOf[NamedExpression]
+      }
+      (inner, subst, outList)
+    }
+    // top-down: HAVING + aggregate rewrite as ONE unit (the reference
+    // filters the grouped rows BEFORE the windows run — sql_group_by
+    // A2_Q3/Q4 expect FIRST/LAST/cnt computed over the HAVING survivors);
+    // the replacement's inner aggregate no longer matches either case
+    plan.transformDown {
+      case UnresolvedHaving(cond, agg: Aggregate) if gsWindowAgg(agg) =>
+        val (inner, subst, outList) = split(agg)
+        Project(outList, Filter(subst(cond), inner))
+      case agg: Aggregate if gsWindowAgg(agg) =>
+        val (inner, _, outList) = split(agg)
+        Project(outList, inner)
+    }
+  }
+
+  /** Calcite's star expansion over a join UNIQUIFIES duplicate column
+    * names — the second `a_bool` becomes `a_bool0`, the third `a_bool1`
+    * (SqlValidatorUtil.uniquify), so `SELECT a_bool FROM (SELECT * FROM t
+    * t1 CROSS JOIN t t2)` resolves to t1's column where Spark throws
+    * AMBIGUOUS_REFERENCE (qaArray sql_join A7 grids; the UNNEST alias
+    * colliding with a table column rides the same rename). The child
+    * subtree is analyzed on its own to learn the output names; plans the
+    * sub-analysis cannot resolve (correlations) pass through untouched.
+    */
+  private def dedupStarOverJoin(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LateralJoin, Project}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
+    plan.transformUp {
+      case p @ Project(list, child)
+          if list.exists {
+            case s: UnresolvedStar => s.target.isEmpty
+            case _ => false
+          } && (child.isInstanceOf[Join] || child.isInstanceOf[LateralJoin]) =>
+        try {
+          val analyzed = spark.sessionState.analyzer.execute(child)
+          val out = analyzed.output
+          val lower = out.map(_.name.toLowerCase)
+          if (lower.distinct.size == lower.size) p
+          else {
+            val seen = scala.collection.mutable.Map.empty[String, Int]
+            val expanded = out.map { a =>
+              val k = a.name.toLowerCase
+              val n = seen.getOrElse(k, 0)
+              seen(k) = n + 1
+              if (n == 0) a else Alias(a, a.name + (n - 1))()
+            }
+            Project(list.flatMap {
+              case s: UnresolvedStar if s.target.isEmpty => expanded
+              case e => Seq(e)
+            }, analyzed)
+          }
+        } catch { case _: Exception => p }
+    }
+  }
+
   private def sortWindowSql(spark: SparkSession,
                             sqlText: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
@@ -519,7 +621,8 @@ object SqlApi {
     // once types resolve; DataFrame-API plans keep Spark's operator.
     def dialectCore(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-      rewriteWindowDialect(p.transformAllExpressions {
+      dedupStarOverJoin(spark, decoupleGroupingSetWindows(
+        rewriteWindowDialect(p.transformAllExpressions {
         case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
           graft.functions.CalciteDiv(l, r)
         // Calcite equality dialect: a NUMERIC literal against a column
@@ -537,7 +640,22 @@ object SqlApi {
         case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r)
             if isAttrVsNumericLit(l, r) =>
           graft.functions.CompatCompare(l, r, "<=>")
-      })
+        // a multi-value expression under IN takes Druid's MVD-filter
+        // semantics — the row matches when ANY element is in the list
+        // (qaUnnest mv_sql_mv_funcs A1_B1_C1: mv_filter_only(...) IN
+        // ('', '1', …)); spelled as the IN-like three-valued MV_OVERLAP
+        case org.apache.spark.sql.catalyst.expressions.In(
+            f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction,
+            list)
+            if Set("mv_filter_only", "mv_filter_none")(
+              f.nameParts.last.toLowerCase) &&
+              list.nonEmpty && list.forall(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("mv_overlap"), Seq(f,
+              org.apache.spark.sql.catalyst.expressions.CreateArray(list)),
+            isDistinct = false)
+      })))
     // CTE bodies are INNER children of UnresolvedWith — plan.transform
     // never descends into them, so apply the dialect pipeline to each
     // body explicitly (WITH t1 AS (… WHERE a_int=a_str) … was reaching
@@ -720,8 +838,21 @@ object SqlApi {
         rewriteFloorCeilTo(rewriteFetch(
           rewritePositionFrom(rewriteExtractUnits(
             rejectNegativeFrameBounds(rewriteConcatAggDistinct(
-              rewriteNiladicPi(
-                rewriteDoubleQuotedIdents(masked)))))))))))))))))
+              rewriteNiladicPi(rewriteIntervalPrecision(
+                rewriteDoubleQuotedIdents(masked))))))))))))))))))
+
+  /** Calcite interval literals carry an optional leading-field precision —
+    * `INTERVAL '63' DAY (3)` (TPC-H Q1 as the reference's qaTpch corpus
+    * writes it) — that Spark's grammar rejects. The precision only bounds
+    * the literal's digits, never its value, so it is dropped. Anchored on
+    * the masked-literal INTERVAL token so a bare `YEAR(col)` function call
+    * can never match.
+    */
+  private[graft] def rewriteIntervalPrecision(sqlText: String): String =
+    sqlText.replaceAll(
+      "(?i)\\b(INTERVAL\\s+'" + "\u0001" + "\\d+" + "\u0001" + "'\\s+" +
+        "(?:DAY|MONTH|YEAR|HOUR|MINUTE|SECOND))\\s*\\(\\s*\\d+\\s*\\)",
+      "$1")
 
   /** ARRAY_CONCAT_AGG(DISTINCT x) — the builder's NULL-for-all-NULL-groups
     * wrapper means it can't return a bare AggregateFunction, so Spark's
@@ -1096,9 +1227,24 @@ object SqlApi {
     * Double-quoted identifiers are handled independently by
     * [[rewriteDoubleQuotedIdents]] and do not need ANSI.
     */
-  private[graft] def rewriteCastTry(sqlText: String): String =
-    """(?i)(?<![A-Za-z0-9_])CAST\s*\(""".r
-      .replaceAllIn(sqlText, "TRY_CAST(")
+  private[graft] def rewriteCastTry(sqlText: String): String = {
+    // Casts TO STRING are total — they can never fail, so CAST and
+    // TRY_CAST agree — and keeping the plain CAST matters: Spark rejects
+    // TRY_CAST over a correlated outer reference in lateral position
+    // (qaUnnest array_sql_mv_funcs `string_to_mv(cast(c AS char), …)`
+    // under a correlated UNNEST), while the equivalent CAST decorrelates
+    // fine. rewriteCastTypes has already normalized VARCHAR/CHAR→STRING.
+    val Re = """(?i)(?<![A-Za-z0-9_])CAST\s*\(""".r
+    val ToString = """(?is).*\bAS\s+STRING\s*$""".r
+    val hits = Re.findAllMatchIn(sqlText).toVector
+    hits.reverseIterator.foldLeft(sqlText) { (s, m) =>
+      val open = s.indexOf('(', m.start)
+      val close = matchParen(s, open)
+      val inner = s.substring(open + 1, close)
+      if (ToString.pattern.matcher(inner).matches()) s
+      else s.substring(0, m.start) + "TRY_CAST(" + s.substring(open + 1)
+    }
+  }
 
   private[graft] def rewriteCastTypes(sqlText: String): String =
     """(?is)\bAS\s+(?:VARCHAR|CHAR)\s*\)""".r

@@ -247,17 +247,21 @@ case class GraftArrayOverlap(left: Expression, right: Expression,
     } else {
       // MV_OVERLAP — IN-like THREE-VALUED at the SQL layer (qaArray
       // ops_funcs_mv_funcs A1_B7): TRUE on any shared element, otherwise
-      // NULL when either side carries a null element (mv_overlap(a_str,
-      // ARRAY[1]) is NULL), FALSE only when both sides are null-free
-      // intersect/except use null-safe set semantics, so a shared null
-      // lands in the intersection and except(x, [null]) strips nulls
+      // NULL when the LEFT side carries a null element (mv_overlap(a_str,
+      // ARRAY[1]) is NULL — the unknown probe might have matched), FALSE
+      // when the probe side is null-free — a null on the RIGHT only ever
+      // MATCHES a null probe, it never un-knows a miss (qaUnnest
+      // array_sql_mv_funcs A1_B7: mv_overlap('2', NULL-scalar) = false
+      // while mv_overlap(NULL, NULL) = true).
+      // intersect uses null-safe set semantics, so a shared null lands in
+      // the intersection; except(x, [null]) strips nulls for the probe test
       def hasNull(e: Expression): Expression =
         GreaterThan(Size(e),
           Size(ArrayExcept(e,
             CreateArray(Seq(Literal.create(null, leftElem))))))
       If(Or(IsNull(left), IsNull(rhs)), nullBool,
         If(overlaps, Literal(true),
-          If(Or(hasNull(leftArr), hasNull(rhs)), nullBool, Literal(false))))
+          If(hasNull(leftArr), nullBool, Literal(false))))
     }
   }
 

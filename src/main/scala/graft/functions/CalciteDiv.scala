@@ -44,7 +44,18 @@ case class CalciteDiv(left: Expression, right: Expression)
         org.apache.spark.sql.catalyst.expressions.Cast(l, LongType),
         org.apache.spark.sql.catalyst.expressions.Cast(r, LongType),
         EvalMode.LEGACY)
-    else Divide(l, r, EvalMode.LEGACY)
+    else {
+      // Druid's numeric space is LONG/DOUBLE only — a DECIMAL literal
+      // (7.0) is a DOUBLE there, and Divide itself resolves only on
+      // same-typed operands (the analyzer does not coerce inside a
+      // replacement), so any fractional mix divides as DOUBLE.
+      def dbl(e: Expression): Expression = e.dataType match {
+        case DoubleType => e
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          e, DoubleType, None, EvalMode.TRY)
+      }
+      Divide(dbl(l), dbl(r), EvalMode.LEGACY)
+    }
   }
 
   override def children: Seq[Expression] = Seq(left, right)

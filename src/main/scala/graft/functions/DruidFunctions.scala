@@ -1668,10 +1668,15 @@ object DruidFunctions {
       "mv_length" -> ((a: Seq[Expression]) =>
         Cast(Size(graft.functions.MvInput(a.head), legacySizeOfNull = false),
           IntegerType)),
+      // ARRAY_* functions take the same scalar-is-a-1-element-MV coercion
+      // as the MV_* family (Function.java asArray over a VARCHAR scalar;
+      // qaUnnest mv_sql_array_funcs: array_offset(c, 0) over the unnested
+      // scalar c returns c itself) — MvInput passes real arrays through
       "array_offset" -> ((a: Seq[Expression]) =>
-        fn("get", a.head, Cast(a(1), IntegerType))),
+        fn("get", graft.functions.MvInput(a.head), Cast(a(1), IntegerType))),
       "array_ordinal" -> ((a: Seq[Expression]) =>
-        fn("get", a.head, Subtract(Cast(a(1), IntegerType), Literal(1)))),
+        fn("get", graft.functions.MvInput(a.head),
+          Subtract(Cast(a(1), IntegerType), Literal(1)))),
       // Objects.equals scan (Function.java:3733) — a NULL needle FINDS a
       // null element and the comparison is STRICTLY TYPED (a LONG needle
       // never matches a STRING or DOUBLE element; DruidTypedEquals), so
@@ -1679,13 +1684,13 @@ object DruidFunctions {
       // null-blind, type-coercing contract; not-found stays NULL
       "array_offset_of" -> ((a: Seq[Expression]) =>
         Cast(Subtract(fn("nullif",
-          fn("array_position", fn("transform", a.head,
+          fn("array_position", fn("transform", graft.functions.MvInput(a.head),
             lam(x => graft.functions.DruidTypedEquals(x, a(1)))),
             Literal(true)),
           Literal(0L)), Literal(1L)), IntegerType)),
       "array_ordinal_of" -> ((a: Seq[Expression]) =>
         Cast(fn("nullif",
-          fn("array_position", fn("transform", a.head,
+          fn("array_position", fn("transform", graft.functions.MvInput(a.head),
             lam(x => graft.functions.DruidTypedEquals(x, a(1)))),
             Literal(true)),
           Literal(0L)), IntegerType)),
@@ -1722,7 +1727,12 @@ object DruidFunctions {
           graft.functions.MvInput(a.head, nullAsSingleNull = true),
           graft.functions.MvInput(a(1), nullAsSingleNull = true),
           threeValued = true)),
-      "array_concat" -> ((a: Seq[Expression]) => fn("concat", a.head, a(1))),
+      // MvInput on BOTH slots: over scalars, a bare concat would resolve
+      // as STRING concatenation ('' || '' = '' where the reference returns
+      // the 2-element MV ['','']; qaUnnest mv_sql_array_funcs A1_B11)
+      "array_concat" -> ((a: Seq[Expression]) =>
+        fn("concat", graft.functions.MvInput(a.head),
+          graft.functions.MvInput(a(1)))),
       // ArraySetAddFunction:3988 — TreeSet with the nullable comparator:
       // distinct, SORTED with nulls FIRST (sort_array asc is exactly
       // nulls-first); a NULL element genuinely joins the set
@@ -1757,6 +1767,23 @@ object DruidFunctions {
       "mv_to_array" -> ((a: Seq[Expression]) =>
         graft.functions.MvInput(a.head)),
       "array_to_mv" -> ((a: Seq[Expression]) => a.head),
+      // MV_FILTER_ONLY/NONE ride the scalar-MV coercion too (the qaUnnest
+      // corpus filters the unnested scalar c); the VARCHAR-MV space is the
+      // reference's (MultiValueStringOperatorConversions — string MVs
+      // only), so both sides cast there. A null element survives NONE
+      // (three-valued NOT over the miss) and drops from ONLY, exactly
+      // like the previous SQL-macro spelling.
+      "mv_filter_only" -> ((a: Seq[Expression]) =>
+        fn("filter",
+          Cast(graft.functions.MvInput(a.head), ArrayType(StringType)),
+          lam(x => fn("array_contains",
+            Cast(a(1), ArrayType(StringType)), x)))),
+      "mv_filter_none" -> ((a: Seq[Expression]) =>
+        fn("filter",
+          Cast(graft.functions.MvInput(a.head), ArrayType(StringType)),
+          lam(x => org.apache.spark.sql.catalyst.expressions.Not(
+            fn("coalesce", fn("array_contains",
+              Cast(a(1), ArrayType(StringType)), x), Literal(false)))))),
       // [start, end) 0-based (Function.java ArraySliceFunction:4646-4656):
       // end defaults to the array length (2-arg form); Arrays.copyOfRange
       // semantics — `start < 0 || start > length || start > end` → NULL
@@ -1767,7 +1794,8 @@ object DruidFunctions {
       "array_slice" -> ((a: Seq[Expression]) => {
         require(a.size == 2 || a.size == 3,
           s"array_slice takes 2 or 3 arguments, got ${a.size}")
-        val sz = fn("size", a.head)
+        val arr = graft.functions.MvInput(a.head)
+        val sz = fn("size", arr)
         val start = Cast(a(1), IntegerType)
         val end = if (a.size == 3) Cast(a(2), IntegerType) else sz
         val outOfRange = Or(Or(LessThan(start, Literal(0)),
@@ -1778,9 +1806,9 @@ object DruidFunctions {
         If(outOfRange,
           Literal.create(null, org.apache.spark.sql.types.NullType),
           If(EqualTo(start, end),
-            fn("slice", a.head, Literal(1), Literal(0)),
+            fn("slice", arr, Literal(1), Literal(0)),
             fn("transform", fn("sequence", lo, hi),
-              lam(i => fn("get", a.head, i)))))
+              lam(i => fn("get", arr, i)))))
       }),
       // null elements print as 'null' (reference ArrayToStringFunction via
       // String::valueOf; qaArray A1_B13: '1|0|null'), but the single-element
@@ -1796,7 +1824,8 @@ object DruidFunctions {
         fn("array_slice",
           (graft.functions.MvInput(a.head) +: a.tail): _*)
       }),
-      "array_to_string" -> ((a: Seq[Expression]) => arrayToString(a)),
+      "array_to_string" -> ((a: Seq[Expression]) =>
+        arrayToString(graft.functions.MvInput(a.head) +: a.tail)),
       "mv_to_string" -> ((a: Seq[Expression]) =>
         arrayToString(graft.functions.MvInput(a.head) +: a.tail)),
       // Java String.split limit-0 (drops trailing empties) — a SQL macro on
@@ -1812,6 +1841,29 @@ object DruidFunctions {
         graft.functions.GraftArrayContains(a.head, a(1))),
       "scalar_in_array" -> ((a: Seq[Expression]) =>
         graft.functions.GraftArrayContains(a(1), a.head)),
+      // Calcite's GREATEST/LEAST coerce every operand to the LEAST
+      // RESTRICTIVE type — a VARCHAR among the args makes the whole
+      // comparison a string comparison (qaUnnest
+      // mv_sql_scalar_reduction_funcs: least(c, c_long, '1')), where
+      // Spark's coercion for Least/Greatest refuses string↔numeric mixes.
+      // Same-type and pure-numeric argument lists fall through untouched
+      // (Spark's own widening + null-skipping already match the reference).
+      "least" -> ((a: Seq[Expression]) => {
+        val ts = a.map(_.dataType)
+        if (a.forall(_.resolved) && ts.distinct.size > 1 &&
+            ts.contains(StringType))
+          Least(a.map(e =>
+            if (e.dataType == StringType) e else Cast(e, StringType)))
+        else Least(a)
+      }),
+      "greatest" -> ((a: Seq[Expression]) => {
+        val ts = a.map(_.dataType)
+        if (a.forall(_.resolved) && ts.distinct.size > 1 &&
+            ts.contains(StringType))
+          Greatest(a.map(e =>
+            if (e.dataType == StringType) e else Cast(e, StringType)))
+        else Greatest(a)
+      }),
       // ARRAY_AGG(expr[, maxBytes]) / STRING_AGG(expr, sep[, maxBytes]) —
       // the reference's size argument is a BUFFER CAP (exceeding it fails
       // the query, ExpressionLambdaAggregatorFactory); Spark has no
@@ -2081,10 +2133,9 @@ object DruidFunctions {
       //  type wins, so appending 'A' to a BIGINT array yields a null
       //  element — then renders as a VARCHAR MV; a typed SQL macro would
       //  silently retype the array to strings first and keep 'A')
-      """MV_FILTER_ONLY(a ARRAY<STRING>, allow ARRAY<STRING>) RETURNS ARRAY<STRING>
-         RETURN filter(a, x -> array_contains(allow, x))""",
-      """MV_FILTER_NONE(a ARRAY<STRING>, deny ARRAY<STRING>) RETURNS ARRAY<STRING>
-         RETURN filter(a, x -> NOT coalesce(array_contains(deny, x), false))""",
+      // (MV_FILTER_ONLY / MV_FILTER_NONE live in arrayBuilders: the array
+      //  slot takes MvInput scalar-MV coercion — a SQL macro's
+      //  ARRAY<STRING> parameter rejects the unnested scalar c)
       // ---------------------------------------------------------- arrays ----
       // (polymorphic ARRAY_LENGTH/OFFSET/ORDINAL/OFFSET_OF/ORDINAL_OF/
       //  CONCAT/APPEND/PREPEND/SLICE/TO_STRING/OVERLAP/CONTAINS/

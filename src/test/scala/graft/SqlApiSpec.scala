@@ -757,6 +757,29 @@ class SqlApiSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3, 4))
   }
 
+  test("Calcite interval leading-field precision is dropped; a bare " +
+      "YEAR(col) function call never matches (qaTpch Q1 dialect)") {
+    import graft.api.SqlApi.rewriteSql
+    assert(rewriteSql(
+      "SELECT * FROM t WHERE d <= date '1998-12-01' - interval '63' DAY (3)")
+      .endsWith("interval '63' DAY"))
+    assert(!rewriteSql(
+      "SELECT d < date '1998-12-01' - interval '63' DAY (3) FROM t")
+      .contains("(3)"))
+    // function calls and non-interval parens survive
+    val kept = rewriteSql("SELECT YEAR (o_orderdate), MONTH(d) FROM t")
+    assert(kept.contains("YEAR (o_orderdate)") && kept.contains("MONTH(d)"))
+    // end-to-end: the TPC-H Q1 predicate parses and the DOUBLE/DECIMAL
+    // division mix resolves (CalciteDiv casts fractional mixes to DOUBLE)
+    graft.Tables.registerAll(spark, dir)
+    val r = graft.api.SqlApi.runSql(spark,
+      """SELECT cast(sum(o_totalprice) / 7.0 AS bigint) AS avg7
+         FROM orders
+         WHERE o_orderdate <= date '1998-12-01' - interval '63' DAY (3)""")
+      .head()
+    assert(!r.isNullAt(0) && r.getLong(0) > 0L)
+  }
+
   test("POSITION…FROM boundary check treats '_' as identifier (in_x is " +
       "not the IN keyword)") {
     import graft.api.SqlApi.{maskLiterals, rewritePositionFrom, unmaskLiterals}

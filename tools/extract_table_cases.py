@@ -14,7 +14,7 @@ import re, sys, glob, os, json
 
 ROOTS = ["/root/reference/quidem-ut/src/test/quidem/org.apache.druid.quidem.QTest"]
 CASE = re.compile(
-    r"# TESTCASE: \S+ TEST_ID: (\S+)\s*\n#-+\n"
+    r"# TESTCASE: \S+ TEST_ID: (\S+)\s*\n#-+\n\s*"
     r"((?:SELECT|WITH|\().*?;)\n(.*?)\n!(ok|error)", re.S)
 ROW = re.compile(r"^\|(.*)\|$", re.M)
 USE = re.compile(r"^!use \S*datasets=(\S+?)(?:&\S*)?$", re.M)
@@ -24,7 +24,14 @@ TABLE = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)\b(?!\s*\()", re.
 
 def main():
     want_tables = {"test_array", "test_unnest", "test_win",
-                   "test_agg_funcs", "test_json_cols"}
+                   "test_agg_funcs", "test_json_cols",
+                   # qaTpch (pipe-delimited .tbl.gz, AuditSweep registers)
+                   "customer", "lineitem", "nation", "orders", "part",
+                   "partsupp", "region", "supplier",
+                   # qaSsb norm + denorm
+                   "ssb_denorm", "ssb_norm_customer", "ssb_norm_date",
+                   "ssb_norm_lineorder", "ssb_norm_part",
+                   "ssb_norm_supplier"}
     n = 0
     for root in ROOTS:
         for f in sorted(glob.glob(root + "/**/*.iq", recursive=True)):
