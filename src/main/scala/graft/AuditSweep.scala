@@ -110,7 +110,11 @@ object AuditSweep {
         .select("__time", "s_str", "s_num_int", "s_num_float", "s_bool",
           "s_null", "c_empty_obj", "c_empty_array", "c_empty_obj_nested",
           "c_empty_array_nested", "c1", "c2")
-        .createOrReplaceTempView("test_json_cols")
+        // the base name stays stable; the ingest-variant phases
+        // re-register test_json_cols per variant shape on top of it
+        .createOrReplaceTempView("test_json_cols_base")
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW test_json_cols AS " +
+        "SELECT * FROM test_json_cols_base")
     } else println(s"WARN no $jsonPath — run tools/extract_fixture_data.py")
   }
 
@@ -272,7 +276,7 @@ object AuditSweep {
     // boolean doc values render 'true'/'false' (the doc array is JSON
     // booleans; json_value stringifies), a_bool here is the LONG-ingested
     // array, so scalar1 maps 1→'true'/0→'false'.
-    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_array AS
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_array_full AS
       SELECT *,
         CASE element_at(a_bool, 1) WHEN 1 THEN 'true' WHEN 0 THEN 'false'
           END AS t_bool_scalar1,
@@ -291,6 +295,9 @@ object AuditSweep {
         json_value(a_nested, '$[6][0]') AS t_mixed_scalar2,
         1L AS cnt
       FROM test_array_base""")
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW test_array AS " +
+        "SELECT * FROM test_array_full")
     // the reference's qaUnnest/array ingest carries an always-null s_null
     // dim between s_int and the arrays (qaUnnest/array/ingest.json) —
     // star expansion must produce it in position
@@ -308,13 +315,40 @@ object AuditSweep {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     case class Case(file: String, tid: String, query: String,
-                    rows: Seq[Seq[String]])
+                    rows: Seq[Seq[String]], phase: String)
+    // phase = which fixture registration a case replays against. The same
+    // query text carries DIFFERENT expected grids across ingest variants
+    // (rollup=true dedupes the 4-row fixture to 2 rows with cnt=2), so
+    // dedup is per-phase, not global.
+    def phaseOf(dataset: String, q: String): String = dataset match {
+      case "hashed_rollup_true" | "range_rollup_true" |
+           "schmdisc_dynamic_rollup_true" => "rollup"
+      // qaJsonCols ingest/* variants: grouped by the SHAPE the ingest
+      // spec produces — rollup=false (4 rows), rollup=true (2), the
+      // flatten-spec c1/c2 rewrite, and the schemaless scalar-only view.
+      // TSV variants parse_json every column back, so their logical
+      // content equals the JSON variants of the same rollup shape.
+      case "jsoncols_schmless_json" => "jc_schmless"
+      case "jsoncols_schmless_tsv" => "jc_schmless_tsv"
+      case "jsoncols_flatten_spec" | "jsoncols_schmdisc_flatten_spec" =>
+        "jc_flatten"
+      case "jsoncols_dynamic_rollup_false" |
+           "jsoncols_schmdisc_hashed_rollup_false" |
+           "jsoncols_schmdisc_range_rollup_false" |
+           "jsoncols_schmdisc_and_transform_spec" => "jc_false"
+      case d if d.startsWith("jsoncols_") => "jc_true"
+      case _ if q.contains("c_mv") => "mv"
+      case _ => "main"
+    }
     val seen = scala.collection.mutable.HashSet.empty[String]
     val cases = scala.io.Source.fromFile(path, "UTF-8").getLines().flatMap {
       line =>
         val j = JsonMethods.parse(line)
         val q = (j \ "query") match { case JString(s) => s; case _ => "" }
-        if (q.isEmpty || !seen.add(q)) None
+        def str(f: String) = (j \ f) match {
+          case JString(s) => s; case _ => "" }
+        val phase = phaseOf(str("dataset"), q)
+        if (q.isEmpty || !seen.add(phase + " " + q)) None
         else {
           val rows = (j \ "rows") match {
             case JArray(rs) => rs.map {
@@ -324,9 +358,7 @@ object AuditSweep {
             }
             case _ => Nil
           }
-          def str(f: String) = (j \ f) match {
-            case JString(s) => s; case _ => "" }
-          Some(Case(str("file"), str("tid"), q, rows))
+          Some(Case(str("file"), str("tid"), q, rows, phase))
         }
     }.toVector
 
@@ -338,8 +370,14 @@ object AuditSweep {
     val lenient = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val errAll = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // the MV corpus reuses the test_unnest NAME with the c_mv_* column
-    // set — run it as a second phase against the MV fixture view
-    val (mvCases, arrCases) = cases.partition(_.query.contains("c_mv"))
+    // set, and the rollup=true ingest variants reuse the test_array NAME
+    // with the deduped table — each runs as its own phase against the
+    // re-registered fixture view
+    val mvCases = cases.filter(_.phase == "mv")
+    val rollupCases = cases.filter(_.phase == "rollup")
+    val jcCases = cases.filter(_.phase.startsWith("jc_"))
+      .groupBy(_.phase)
+    val arrCases = cases.filter(_.phase == "main")
     def runPhase(phase: Vector[Case]): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     phase.foreach { c =>
@@ -418,6 +456,126 @@ object AuditSweep {
     pool.awaitTermination(120, java.util.concurrent.TimeUnit.MINUTES)
     }
     runPhase(arrCases)
+    // rollup=true ingest variants (qaArray ingest_hashed/range_rollup_true,
+    // schmdisc_dynamic_rollup_true): same dims + transforms, but ingestion
+    // GROUPS identical rows — the 4-row fixture dedupes to 2 with the
+    // count metric cnt accumulating 2 per surviving row
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_array AS
+      SELECT __time, a_bool, a_int, a_float, a_str, a_null, a_empty,
+             a_mixed, a_nested,
+             t_bool_scalar1, t_bool_scalar2, t_int_scalar1, t_int_scalar2,
+             t_float_scalar1, t_float_scalar2, t_str_scalar1, t_str_scalar2,
+             t_null_scalar1, t_null_scalar2, t_empty_scalar1,
+             t_empty_scalar2, t_mixed_scalar1, t_mixed_scalar2,
+             count(*) AS cnt
+      FROM test_array_full
+      GROUP BY __time, a_bool, a_int, a_float, a_str, a_null, a_empty,
+               a_mixed, a_nested,
+               t_bool_scalar1, t_bool_scalar2, t_int_scalar1, t_int_scalar2,
+               t_float_scalar1, t_float_scalar2, t_str_scalar1,
+               t_str_scalar2, t_null_scalar1, t_null_scalar2,
+               t_empty_scalar1, t_empty_scalar2, t_mixed_scalar1,
+               t_mixed_scalar2""")
+    runPhase(rollupCases)
+    // ---- qaJsonCols ingest/* variant phases ----------------------------
+    // the ingest specs add 15 transform-derived t_* columns (json_query
+    // extracts + a json_object combine; ingest_dynamic_rollup_false.json)
+    // and the rollup count metric; built through the facade so the
+    // json_object KEY/VALUE dialect resolves
+    if (jcCases.nonEmpty) {
+      // scalar-targeting transforms auto-type in the reference (VARCHAR/
+      // LONG/DOUBLE per the JSON value; booleans land as LONG 1/0), and
+      // t_new embeds the c1/c2 DOCUMENTS — spelled textually because the
+      // engine's nested-as-STRING representation would otherwise quote
+      // them as strings
+      val tCols = """
+        json_query(c1, '$.a_obj') AS t_obj,
+        json_query(c1, '$.a_array[0]') AS t_array,
+        json_value(s_str, '$.') AS t_str1,
+        CAST(json_value(s_num_int, '$.') AS BIGINT) AS t_num_int1,
+        CAST(json_value(s_num_float, '$.') AS DOUBLE) AS t_num_float1,
+        CAST(json_value(s_bool, '$.') AS BIGINT) AS t_bool1,
+        json_value(s_null, '$.') AS t_null1,
+        json_query(c_empty_array_nested, '$[0]') AS t_empty_obj,
+        json_query(c_empty_obj_nested, '$.o2') AS t_empty_array,
+        json_value(c1, '$.a_str') AS t_str2,
+        CAST(json_value(c1, '$.a_obj.a_num_int') AS BIGINT) AS t_num_int2,
+        CAST(json_value(c1, '$.a_array[0].a_num_float') AS DOUBLE)
+          AS t_num_float2,
+        CASE WHEN json_value(c1, '$.a_array[1].a_bool') IN ('true', '1')
+          THEN 1L WHEN json_value(c1, '$.a_array[1].a_bool')
+          IN ('false', '0') THEN 0L END AS t_bool2,
+        json_value(c1, '$.a_null') AS t_null2,
+        '{"c1":' || coalesce(c1, 'null') || ',"c2":' ||
+          coalesce(c2, 'null') || '}' AS t_new"""
+      api.SqlApi.runSql(spark,
+        s"SELECT *, $tCols, 1L AS cnt FROM test_json_cols_base")
+        .createOrReplaceTempView("test_json_cols_full")
+      def jcPhase(key: String)(registerFixture: => Unit): Unit =
+        jcCases.get(key).foreach { cs => registerFixture; runPhase(cs) }
+      jcPhase("jc_false") {
+        spark.sql("CREATE OR REPLACE TEMPORARY VIEW test_json_cols AS " +
+          "SELECT * FROM test_json_cols_full")
+      }
+      jcPhase("jc_true") {
+        // rollup=true ingestion groups the 2×-duplicated docs: 2 rows,
+        // cnt accumulates 2
+        spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_json_cols AS
+          SELECT * EXCEPT(cnt), count(*) AS cnt FROM test_json_cols_full
+          GROUP BY ALL""")
+      }
+      jcPhase("jc_flatten") {
+        // flattenSpec rewrites c1 → .c1.a_obj and c2 → .c2.a_array[0]
+        // BEFORE the transforms (ingest_flatten_spec.json), rollup=true
+        api.SqlApi.runSql(spark,
+          s"""SELECT * EXCEPT(cnt), count(*) AS cnt FROM (
+                SELECT *, $tCols, 1L AS cnt FROM (
+                  SELECT __time, s_str, s_num_int, s_num_float, s_bool,
+                         s_null, c_empty_obj, c_empty_array,
+                         c_empty_obj_nested, c_empty_array_nested,
+                         json_query(c1, '$$.a_obj') AS c1,
+                         json_query(c2, '$$.a_array[0]') AS c2
+                  FROM test_json_cols_base))
+              GROUP BY ALL""")
+          .createOrReplaceTempView("test_json_cols")
+      }
+      jcPhase("jc_schmless") {
+        // schemaless ingest: every scalar lands as its RAW STRING
+        // ('true', not the auto-typed 1), nested objects render as Java
+        // Map.toString ('{o1={}, o2=[], o3=null}'), nested arrays become
+        // MVs of stringified elements SORTED nulls-first
+        // ([null, '[]', '{}'] — the ingest MV value sort); rollup=true
+        spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_json_cols AS
+          SELECT __time, CAST(s_str AS STRING) AS s_str,
+                 CAST(s_num_int AS STRING) AS s_num_int,
+                 CAST(s_num_float AS STRING) AS s_num_float,
+                 CASE s_bool WHEN 1 THEN 'true' WHEN 0 THEN 'false'
+                   END AS s_bool,
+                 CAST(s_null AS STRING) AS s_null,
+                 c_empty_obj, c_empty_array,
+                 CASE WHEN c_empty_obj_nested IS NOT NULL
+                   THEN '{o1={}, o2=[], o3=null}' END AS c_empty_obj_nested,
+                 CASE WHEN c_empty_array_nested IS NOT NULL
+                   THEN array(CAST(NULL AS STRING), '[]', '{}')
+                   END AS c_empty_array_nested,
+                 c1, c2, count(*) AS cnt
+          FROM test_json_cols_base GROUP BY ALL""")
+      }
+      jcPhase("jc_schmless_tsv") {
+        // schemaless TSV: every cell stays its RAW text — nested columns
+        // keep their compact JSON spelling as plain STRINGs; rollup=true
+        spark.sql("""CREATE OR REPLACE TEMPORARY VIEW test_json_cols AS
+          SELECT __time, CAST(s_str AS STRING) AS s_str,
+                 CAST(s_num_int AS STRING) AS s_num_int,
+                 CAST(s_num_float AS STRING) AS s_num_float,
+                 CASE s_bool WHEN 1 THEN 'true' WHEN 0 THEN 'false'
+                   END AS s_bool,
+                 CAST(s_null AS STRING) AS s_null,
+                 c_empty_obj, c_empty_array, c_empty_obj_nested,
+                 c_empty_array_nested, c1, c2, count(*) AS cnt
+          FROM test_json_cols_base GROUP BY ALL""")
+      }
+    }
     // Druid ingests a NULL or EMPTY multi-value string as a single-null MV
     // (the documented MV-ingestion rule): unnest over the *_row fixtures
     // yields one NULL-element row per such row (mv_sql_order_by A5_B2:

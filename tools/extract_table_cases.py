@@ -42,9 +42,11 @@ def main():
                 continue
             use = USE.search(text)
             dataset = use.group(1).rsplit("/", 1)[-1] if use else ""
-            # qaJsonCols: only the funcs_and_sql fixture is registered
+            # qaJsonCols ingest/* datasets share the table NAME with
+            # per-variant content — AuditSweep phases them by dataset;
+            # tag them so the json-cols variants don't collide
             if "test_json_cols" in text and dataset != "funcs_and_sql":
-                continue
+                dataset = "jsoncols_" + dataset
             for m in CASE.finditer(text):
                 tid, q, res, kind = m.groups()
                 if kind != "ok":
