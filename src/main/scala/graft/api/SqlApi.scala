@@ -563,6 +563,84 @@ object SqlApi {
     }
   }
 
+  /** Druid's parse_json produces COMPLEX<json>, which groups, DISTINCTs
+    * and compares BY VALUE (funcs_and_sql_func_parse_json A043-A046);
+    * Spark's VARIANT does none of those. Route the variant through its
+    * canonical JSON text at those use sites — to_json_string over a
+    * variant serializes with SORTED object keys (the variant encoding),
+    * so text equality IS value equality. Covered shapes: a grouping
+    * expression that is (or aliases, via the child projection) a
+    * parse_json/try_parse_json call; SELECT DISTINCT over such a
+    * projection; equality with such a call on either side.
+    */
+  private def variantKeyDialect(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Project}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction}
+    def isVariantCall(e: Expression): Boolean = e match {
+      case f: UnresolvedFunction =>
+        Set("parse_json", "try_parse_json")(f.nameParts.last.toLowerCase)
+      case _ => false
+    }
+    def textOf(e: Expression): Expression =
+      UnresolvedFunction(Seq("to_json_string"), Seq(e), isDistinct = false)
+    def wrapProject(p: Project, names: Set[String]): Project =
+      p.copy(projectList = p.projectList.map {
+        case Alias(c, n) if names.contains(n.toLowerCase) &&
+            isVariantCall(c) => Alias(textOf(c), n)()
+        case UnresolvedAlias(c, f) if names.isEmpty && isVariantCall(c) =>
+          UnresolvedAlias(textOf(c), f)
+        case Alias(c, n) if names.isEmpty && isVariantCall(c) =>
+          Alias(textOf(c), n)()
+        case other => other
+      })
+    val eqFixed = plan.transformAllExpressions {
+      case EqualTo(l, r) if isVariantCall(l) || isVariantCall(r) =>
+        EqualTo(if (isVariantCall(l)) textOf(l) else l,
+          if (isVariantCall(r)) textOf(r) else r)
+      case EqualNullSafe(l, r) if isVariantCall(l) || isVariantCall(r) =>
+        EqualNullSafe(if (isVariantCall(l)) textOf(l) else l,
+          if (isVariantCall(r)) textOf(r) else r)
+    }
+    eqFixed.transformUp {
+      case Distinct(p: Project)
+          if p.projectList.exists {
+            case Alias(c, _) => isVariantCall(c)
+            case UnresolvedAlias(c, _) => isVariantCall(c)
+            case _ => false
+          } =>
+        Distinct(wrapProject(p, Set.empty))
+      case agg: Aggregate =>
+        val groupedNames = agg.groupingExpressions.collect {
+          case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+            a.nameParts.head.toLowerCase
+        }.toSet
+        val g2 = agg.copy(groupingExpressions =
+          agg.groupingExpressions.map(e =>
+            if (isVariantCall(e)) textOf(e) else e),
+          aggregateExpressions = agg.aggregateExpressions.map {
+            case Alias(c, n) if isVariantCall(c) &&
+                agg.groupingExpressions.contains(c) => Alias(textOf(c), n)()
+            case other => other
+          })
+        // the aliased projection usually sits under a SubqueryAlias
+        // (SELECT … FROM (SELECT parse_json(…) mycol FROM t) GROUP BY mycol)
+        def rewriteChild(
+            n: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          n match {
+            case p: Project => wrapProject(p, groupedNames)
+            case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+              sa.copy(child = rewriteChild(sa.child))
+            case other => other
+          }
+        if (groupedNames.isEmpty) g2
+        else g2.copy(child = rewriteChild(g2.child))
+    }
+  }
+
   /** Calcite's star expansion over a join UNIQUIFIES duplicate column
     * names — the second `a_bool` becomes `a_bool0`, the third `a_bool1`
     * (SqlValidatorUtil.uniquify), so `SELECT a_bool FROM (SELECT * FROM t
@@ -622,7 +700,7 @@ object SqlApi {
     def dialectCore(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
       dedupStarOverJoin(spark, decoupleGroupingSetWindows(
-        rewriteWindowDialect(p.transformAllExpressions {
+        variantKeyDialect(rewriteWindowDialect(p.transformAllExpressions {
         case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
           graft.functions.CalciteDiv(l, r)
         // Calcite equality dialect: a NUMERIC literal against a column
@@ -655,7 +733,7 @@ object SqlApi {
             Seq("mv_overlap"), Seq(f,
               org.apache.spark.sql.catalyst.expressions.CreateArray(list)),
             isDistinct = false)
-      })))
+      }))))
     // CTE bodies are INNER children of UnresolvedWith — plan.transform
     // never descends into them, so apply the dialect pipeline to each
     // body explicitly (WITH t1 AS (… WHERE a_int=a_str) … was reaching
