@@ -2808,7 +2808,105 @@ object QaSuites {
                 array_to_string(array_agg(DISTINCT __time, 100000), '|') AS col2
          FROM test_agg_funcs""",
       """SELECT '1577840461000|1580518861000' AS col,
-                '1577840461000|1580518861000' AS col2"""))
+                '1577840461000|1580518861000' AS col2"""),
+    // windows run over the GROUPING SETS output grid (qaWin sql_group_by
+    // A2_Q1: the null-filled subtotal rows ARE the window input) — the
+    // standard-SQL semantics DuckDB shares, which Spark alone rejects
+    // (MISSING_AGGREGATION over grouping-sets columns)
+    gf("q_qa_gs_windows",
+      """SELECT tab0s0,
+                CAST(count(*) OVER (PARTITION BY tab0s0) AS BIGINT) AS peers
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)""",
+      """SELECT tab0s0, count(*) OVER (PARTITION BY tab0s0) AS peers
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)"""),
+    // …and HAVING filters the grouped rows BEFORE the windows see them
+    // (sql_group_by A2_Q3: count over the HAVING survivors)
+    gf("q_qa_gs_windows_having",
+      """SELECT tab0s0,
+                CAST(count(*) OVER () AS BIGINT) AS survivors
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)
+         HAVING tab0s0 IS NOT NULL""",
+      """SELECT tab0s0, count(*) OVER () AS survivors
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)
+         HAVING tab0s0 IS NOT NULL"""),
+    // Calcite star expansion UNIQUIFIES duplicate join output names
+    // (SqlValidatorUtil.uniquify — qaArray sql_join A7: the bare name
+    // resolves to the FIRST table's column, the second becomes name0),
+    // and an UNNEST alias colliding with a table column takes the rename
+    ga("q_qa_star_uniquify",
+      """SELECT CAST(count(a_bool) AS BIGINT) AS c1_side,
+                CAST(count(a_bool0) AS BIGINT) AS c2_side
+         FROM (SELECT * FROM test_array t1 CROSS JOIN test_array t2)""",
+      """SELECT count(t1.a_bool) AS c1_side, count(t2.a_bool) AS c2_side
+         FROM test_array t1 CROSS JOIN test_array t2"""),
+    // parse_json groups/compares BY VALUE like the reference's
+    // COMPLEX<json> (funcs_and_sql_func_parse_json A043-A046) — routed
+    // through the sorted-key canonical text, so the 2 distinct documents
+    // group to 2 and self-equality keeps all rows
+    ga("q_qa_variant_group",
+      """SELECT CAST(count(*) AS BIGINT) AS groups,
+                (SELECT CAST(count(*) AS BIGINT) FROM test_array
+                 WHERE parse_json(to_json_string(a_nested)) =
+                       parse_json(to_json_string(a_nested))) AS self_eq
+         FROM (SELECT parse_json(to_json_string(a_nested)) AS mycol
+               FROM test_array GROUP BY mycol)""",
+      """SELECT (SELECT count(*) FROM
+                  (SELECT a_nested FROM test_array GROUP BY a_nested))
+                  AS groups,
+                count(*) AS self_eq
+         FROM test_array WHERE a_nested = a_nested"""),
+    // ARRAY_* functions take the scalar-is-a-1-element-MV coercion
+    // (qaUnnest mv_sql_array_funcs over the unnested scalar c:
+    // array_offset(c, 0) = c, array_concat(c, c) = the 2-element MV,
+    // a bare concat would have resolved as STRING concatenation)
+    gu("q_qa_scalar_array_fns",
+      """SELECT CAST(s_int AS STRING) AS c,
+                array_offset(CAST(s_int AS STRING), 0) AS off0,
+                array_to_string(
+                  array_concat(CAST(s_int AS STRING), CAST(s_int AS STRING)),
+                  '|') AS cc,
+                array_to_string(
+                  array_slice(CAST(s_int AS STRING), 0, 1), '|') AS sl
+         FROM test_unnest""",
+      """SELECT CAST(s_int AS VARCHAR) AS c,
+                CAST(s_int AS VARCHAR) AS off0,
+                CAST(s_int AS VARCHAR) || '|' || CAST(s_int AS VARCHAR) AS cc,
+                CAST(s_int AS VARCHAR) AS sl
+         FROM test_unnest"""),
+    // MV_FILTER_ONLY/NONE over the scalar form; LEAST/GREATEST coerce a
+    // mixed VARCHAR/numeric argument list to STRING comparison
+    gu("q_qa_mvfilter_scalar",
+      """SELECT array_to_string(
+                  mv_filter_only(CAST(s_int AS STRING), array('1', '9')),
+                  ',') AS only_v,
+                array_to_string(
+                  mv_filter_none(CAST(s_int AS STRING), array('1')),
+                  ',') AS none_v,
+                greatest(CAST(s_int AS STRING), s_int, '1') AS gr
+         FROM test_unnest""",
+      """SELECT CASE WHEN s_int = 1 THEN '1' WHEN s_int = 2 THEN '' END
+                  AS only_v,
+                CASE WHEN s_int = 2 THEN '2' WHEN s_int = 1 THEN '' END
+                  AS none_v,
+                greatest(CAST(s_int AS VARCHAR), '1') AS gr
+         FROM test_unnest"""),
+    // MV_OVERLAP three-valued rule: NULL only from a null PROBE element;
+    // a null on the right only matches a null probe (qaUnnest
+    // array_sql_mv_funcs A1_B7: mv_overlap('2', NULL) = false,
+    // mv_overlap(NULL, NULL) = true, null-carrying lhs miss = NULL)
+    ga("q_qa_mv_overlap_nulls",
+      """SELECT mv_overlap('2', CAST(NULL AS STRING)) AS rhs_null_miss,
+                mv_overlap(CAST(NULL AS STRING), CAST(NULL AS STRING))
+                  AS null_match,
+                CAST(mv_overlap(a_str, array('ZZ')) AS INT) AS probe_null
+         FROM test_array""",
+      """SELECT false AS rhs_null_miss, true AS null_match,
+                NULL::INTEGER AS probe_null
+         FROM test_array"""))
 
   // ------------------------------------------------------------ plumbing ----
 

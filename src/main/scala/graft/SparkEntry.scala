@@ -3007,6 +3007,23 @@ object SparkEntry {
       s.sql(drillSql("ssb_q4"))
     }),
 
+    "q_sql_interval_precision" -> ((s, dir) => {
+      // Calcite interval leading-field precision — qaTpch Q1 writes
+      // `date '1998-12-01' - interval '63' DAY (3)` — plus the
+      // fractional-mix division riding CalciteDiv's DOUBLE coercion
+      // (TPC-H Q17: sum(double) / 7.0 must resolve inside the
+      // RuntimeReplaceable)
+      Tables.registerAll(s, dir)
+      DruidFunctions.register(s)
+      // l_quantity is integer-valued, so the double sum is exact and the
+      // division result is partition-order and engine independent
+      graft.api.SqlApi.runSql(s, """
+        SELECT cast(count(*) AS BIGINT) AS n,
+               cast(sum(cast(l_quantity AS DOUBLE)) / 7.0 AS BIGINT) AS avg7
+        FROM lineitem
+        WHERE l_shipdate <= date '1998-12-01' - interval '63' DAY (3)""")
+    }),
+
     "q_sql_date_trunc_units" -> ((s, dir) => {
       // DateTruncOperatorConversion TRUNC_PERIOD_MAP: decade/century/
       // millennium are P10Y/P100Y/P1000Y on the DEFAULT 1970 origin
@@ -7661,6 +7678,11 @@ object SparkEntry {
     "q_ssb_q3_0" -> drillSql("ssb_q3_0"),
     "q_ssb_q3_3" -> drillSql("ssb_q3_3"),
     "q_ssb_q4_2" -> drillSql("ssb_q4_2"),
+    "q_sql_interval_precision" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DOUBLE)) / 7.0 AS BIGINT) AS avg7
+         FROM lineitem
+         WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL 63 DAY""",
     "q_sql_date_trunc_units" ->
       """SELECT '1980-01-01 00:00:00' AS dec_u,
                 '1970-01-01 00:00:00' AS cen_u,

@@ -544,6 +544,10 @@ object SqlApi {
         case Alias(c, name) => Alias(subst(c), name)()
         case UnresolvedAlias(att: UnresolvedAttribute, _) =>
           Alias(subst(att), att.nameParts.last)()
+        // a bare column select item parses as the attribute itself —
+        // substitution must not rename the output to the helper
+        case att: UnresolvedAttribute =>
+          Alias(subst(att), att.nameParts.last)()
         case UnresolvedAlias(c, f) => UnresolvedAlias(subst(c), f)
         case other => subst(other).asInstanceOf[NamedExpression]
       }
@@ -603,6 +607,9 @@ object SqlApi {
       case EqualNullSafe(l, r) if isVariantCall(l) || isVariantCall(r) =>
         EqualNullSafe(if (isVariantCall(l)) textOf(l) else l,
           if (isVariantCall(r)) textOf(r) else r)
+      // subquery expressions carry their own plan — recurse so a variant
+      // equality/grouping inside a scalar subquery is rewritten too
+      case s: SubqueryExpression => s.withNewPlan(variantKeyDialect(s.plan))
     }
     eqFixed.transformUp {
       case Distinct(p: Project)
@@ -622,7 +629,11 @@ object SqlApi {
             if (isVariantCall(e)) textOf(e) else e),
           aggregateExpressions = agg.aggregateExpressions.map {
             case Alias(c, n) if isVariantCall(c) &&
-                agg.groupingExpressions.contains(c) => Alias(textOf(c), n)()
+                (agg.groupingExpressions.contains(c) ||
+                  groupedNames.contains(n.toLowerCase)) =>
+              // GROUP BY <alias> resolves by alias substitution, so the
+              // variant alias in the SAME select list is the key
+              Alias(textOf(c), n)()
             case other => other
           })
         // the aliased projection usually sits under a SubqueryAlias
@@ -654,9 +665,15 @@ object SqlApi {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, LateralJoin, Project}
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LateralJoin, Project, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+    // gate preludes define the fixtures as CTEs — a bare subtree can't
+    // resolve them, so the throwaway schema-discovery analysis wraps the
+    // join in the plan's own CTE definitions
+    val ctes = plan.collect {
+      case w: UnresolvedWith => w.cteRelations
+    }.flatten
     plan.transformUp {
       case p @ Project(list, child)
           if list.exists {
@@ -664,22 +681,28 @@ object SqlApi {
             case _ => false
           } && (child.isInstanceOf[Join] || child.isInstanceOf[LateralJoin]) =>
         try {
-          val analyzed = spark.sessionState.analyzer.execute(child)
-          val out = analyzed.output
+          val probe =
+            if (ctes.isEmpty) child
+            else UnresolvedWith(child, ctes, allowRecursion = false)
+          // analyzed ONLY for the output schema + qualifiers; the rewritten
+          // Project keeps the ORIGINAL child and re-references columns
+          // qualified, so no resolved subtree is spliced into the plan
+          val out = spark.sessionState.analyzer.execute(probe).output
           val lower = out.map(_.name.toLowerCase)
           if (lower.distinct.size == lower.size) p
           else {
             val seen = scala.collection.mutable.Map.empty[String, Int]
-            val expanded = out.map { a =>
+            val expanded: Seq[NamedExpression] = out.map { a =>
+              val ref = UnresolvedAttribute(a.qualifier :+ a.name)
               val k = a.name.toLowerCase
               val n = seen.getOrElse(k, 0)
               seen(k) = n + 1
-              if (n == 0) a else Alias(a, a.name + (n - 1))()
+              if (n == 0) ref else Alias(ref, a.name + (n - 1))()
             }
             Project(list.flatMap {
               case s: UnresolvedStar if s.target.isEmpty => expanded
               case e => Seq(e)
-            }, analyzed)
+            }, child)
           }
         } catch { case _: Exception => p }
     }
