@@ -227,6 +227,82 @@ object AuditSweep {
       .createOrReplaceTempView("ssb_denorm")
   }
 
+  /** The standard Calcite test datasets (TestDataBuilder RAW_ROWS1 /
+    * NumFoo.getRawRows / LookylooModule) backing the
+    * DecoupledPlanningCalcite*QueryTest quidem tree: `foo` (6 rows, MV
+    * dim2/dim3 with the []-ingests-as-NULL convention, count metric cnt,
+    * FLOAT m1 + DOUBLE m2), `numfoo` (the same rows plus dim4-dim6 and
+    * nullable typed dbl/f/l columns), the `druid.*` qualified spellings,
+    * and the `lookup.lookyloo` joinable (also registered as an engine
+    * lookup for the LOOKUP() call sites).
+    */
+  private def registerCalciteFixtures(spark: SparkSession): Unit = {
+    val fooRows =
+      """(TIMESTAMP'2000-01-01 00:00:00', '', array('a'), array('a','b')),
+         (TIMESTAMP'2000-01-02 00:00:00', '10.1', CAST(NULL AS ARRAY<STRING>), array('b','c')),
+         (TIMESTAMP'2000-01-03 00:00:00', '2', array(''), array('d')),
+         (TIMESTAMP'2001-01-01 00:00:00', '1', array('a'), array('')),
+         (TIMESTAMP'2001-01-02 00:00:00', 'def', array('abc'), CAST(NULL AS ARRAY<STRING>)),
+         (TIMESTAMP'2001-01-03 00:00:00', 'abc', CAST(NULL AS ARRAY<STRING>), CAST(NULL AS ARRAY<STRING>))"""
+    // dim2/dim3 carry the druid.mv tag: MV STRING columns are VARCHAR in
+    // the reference (scalar functions apply per element) where TRUE ARRAY
+    // columns reject them — the tag is how the engine keeps both
+    val mvMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("druid.mv", true).build()
+    import org.apache.spark.sql.functions.col
+    spark.sql(
+      s"""SELECT __time, dim1, dim2, dim3, 1L AS cnt,
+                 CAST(row_number() OVER (ORDER BY __time) AS FLOAT) AS m1,
+                 CAST(row_number() OVER (ORDER BY __time) AS DOUBLE) AS m2,
+                 CASE dim1 WHEN '' THEN '"AQAAAEAAAA=="'
+                   WHEN '1' THEN '"AQAAAQAAAAFREA=="' END AS unique_dim1
+          FROM VALUES $fooRows AS t(__time, dim1, dim2, dim3)""")
+      .withColumn("dim2", col("dim2").as("dim2", mvMeta))
+      .withColumn("dim3", col("dim3").as("dim3", mvMeta))
+      .createOrReplaceTempView("foo")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW numfoo AS
+          SELECT f.__time, f.dim1, f.dim2, f.dim3, n.dim4, n.dim5, n.dim6,
+                 n.dbl1, n.dbl2, n.f1, n.f2, n.l1, n.l2,
+                 f.cnt, f.m1, f.m2
+          FROM foo f JOIN VALUES
+            ('', 'a', 'aa', '1', 1.0D, CAST(NULL AS DOUBLE),
+             CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), 7L, CAST(NULL AS BIGINT)),
+            ('10.1', 'a', 'ab', '2', 1.7D, 1.7D,
+             CAST(0.1 AS FLOAT), CAST(0.1 AS FLOAT), 325323L, 325323L),
+            ('2', 'a', 'ba', '3', 0.0D, 0.0D,
+             CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT), 0L, 0L),
+            ('1', 'b', 'ad', '4', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS FLOAT), CAST(NULL AS FLOAT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+            ('def', 'b', 'aa', '5', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS FLOAT), CAST(NULL AS FLOAT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+            ('abc', 'b', 'ab', '6', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS FLOAT), CAST(NULL AS FLOAT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+            AS n(k, dim4, dim5, dim6, dbl1, dbl2, f1, f2, l1, l2)
+          ON f.dim1 = n.k""")
+    // qualified spellings live in real catalog databases; the in-memory
+    // catalog forgets tables between runs but the warehouse files remain,
+    // so clear the location first
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File("/tmp/sweep_warehouse"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS druid")
+    spark.sql("CREATE DATABASE IF NOT EXISTS lookup")
+    spark.table("foo").write.mode("overwrite").saveAsTable("druid.foo")
+    spark.table("numfoo").write.mode("overwrite").saveAsTable("druid.numfoo")
+    val looky = Map("a" -> "xa", "abc" -> "xabc",
+      "nosuchkey" -> "mysteryvalue", "6" -> "x6")
+    import spark.implicits._
+    looky.toSeq.toDF("k", "v").write.mode("overwrite")
+      .saveAsTable("lookup.lookyloo")
+    graft.functions.LookupRegistry.register("lookyloo", looky)
+  }
+
   /** Result order is only guaranteed by an ORDER BY at paren depth 0 — an
     * ORDER BY inside an OVER clause or subquery doesn't order the result
     * (the old whole-text regex made every windowed query "ordered" and
@@ -255,6 +331,7 @@ object AuditSweep {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/sweep_warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     functions.DruidFunctions.register(spark)
@@ -337,6 +414,7 @@ object AuditSweep {
            "jsoncols_schmdisc_range_rollup_false" |
            "jsoncols_schmdisc_and_transform_spec" => "jc_false"
       case d if d.startsWith("jsoncols_") => "jc_true"
+      case "calcite" => "calcite"
       case _ if q.contains("c_mv") => "mv"
       case _ => "main"
     }
@@ -374,6 +452,7 @@ object AuditSweep {
     // with the deduped table — each runs as its own phase against the
     // re-registered fixture view
     val mvCases = cases.filter(_.phase == "mv")
+    val calciteCases = cases.filter(_.phase == "calcite")
     val rollupCases = cases.filter(_.phase == "rollup")
     val jcCases = cases.filter(_.phase.startsWith("jc_"))
       .groupBy(_.phase)
@@ -456,6 +535,10 @@ object AuditSweep {
     pool.awaitTermination(120, java.util.concurrent.TimeUnit.MINUTES)
     }
     runPhase(arrCases)
+    if (calciteCases.nonEmpty) {
+      registerCalciteFixtures(spark)
+      runPhase(calciteCases)
+    }
     // rollup=true ingest variants (qaArray ingest_hashed/range_rollup_true,
     // schmdisc_dynamic_rollup_true): same dims + transforms, but ingestion
     // GROUPS identical rows — the 4-row fixture dedupes to 2 with the

@@ -2888,10 +2888,8 @@ object QaSuites {
                   ',') AS none_v,
                 greatest(CAST(s_int AS STRING), s_int, '1') AS gr
          FROM test_unnest""",
-      """SELECT CASE WHEN s_int = 1 THEN '1' WHEN s_int = 2 THEN '' END
-                  AS only_v,
-                CASE WHEN s_int = 2 THEN '2' WHEN s_int = 1 THEN '' END
-                  AS none_v,
+      """SELECT CASE WHEN s_int = 1 THEN '1' END AS only_v,
+                CASE WHEN s_int = 2 THEN '2' END AS none_v,
                 greatest(CAST(s_int AS VARCHAR), '1') AS gr
          FROM test_unnest"""),
     // MV_OVERLAP three-valued rule: NULL only from a null PROBE element;

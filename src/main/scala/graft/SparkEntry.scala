@@ -10214,8 +10214,11 @@ object SparkEntry {
                 w[2] AS w2,
                 CAST(nullif(list_position(w, 'green'), 0) - 1 AS BIGINT) AS green_off,
                 array_to_string(list_slice(w, 1, 2), '-') AS first2,
-                coalesce(array_to_string(list_filter(w,
-                  x -> list_contains(['green','blue','red'], x)), ','), '') AS colors,
+                CASE WHEN len(list_filter(w,
+                    x -> list_contains(['green','blue','red'], x))) > 0
+                  THEN array_to_string(list_filter(w,
+                    x -> list_contains(['green','blue','red'], x)), ',')
+                  END AS colors,
                 list_contains(w, 'green') AS has_green,
                 array_to_string(list_sort(list_distinct(
                   list_append(list_slice(w, 1, 2), 'zzz'))), ',') AS setadd

@@ -726,6 +726,12 @@ object SqlApi {
         variantKeyDialect(rewriteWindowDialect(p.transformAllExpressions {
         case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
           graft.functions.CalciteDiv(l, r)
+        // Druid timestamps are epoch-millis LONGs — CAST(ts AS BIGINT)
+        // yields millis, not Spark's seconds; the replacement falls back
+        // to the plain cast for every non-timestamp input
+        case org.apache.spark.sql.catalyst.expressions.Cast(
+            child, org.apache.spark.sql.types.LongType, _, mode) =>
+          graft.functions.DruidLongCast(child, mode)
         // Calcite equality dialect: a NUMERIC literal against a column
         // coerces toward the COLUMN's type — over a VARCHAR column the
         // literal becomes its string form ('my_null' = 999 is FALSE, so
@@ -756,6 +762,11 @@ object SqlApi {
             Seq("mv_overlap"), Seq(f,
               org.apache.spark.sql.catalyst.expressions.CreateArray(list)),
             isDistinct = false)
+        // expression dialect must reach subquery plans too — an IN
+        // subquery spelling CAST(… AS BIGINT) on both sides would
+        // otherwise get millis outside and seconds inside
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.withNewPlan(dialectCore(s.plan))
       }))))
     // CTE bodies are INNER children of UnresolvedWith — plan.transform
     // never descends into them, so apply the dialect pipeline to each
@@ -837,8 +848,10 @@ object SqlApi {
     try org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getMessage).exists(
-            _.contains("BINARY_OP_DIFF_TYPES")) =>
+          if Option(e.getMessage).exists(m =>
+            m.contains("BINARY_OP_DIFF_TYPES") ||
+              m.contains("DATA_DIFF_TYPES") ||
+              m.contains("IN_SUBQUERY_DATA_TYPE_MISMATCH")) =>
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         import org.apache.spark.sql.catalyst.expressions._
         def tag(c: BinaryComparison): String = c match {
@@ -849,13 +862,49 @@ object SqlApi {
           case _: GreaterThanOrEqual => ">="
           case _ => "="
         }
+        def attrish(x: Expression): Boolean = x.isInstanceOf[UnresolvedAttribute]
         def swap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
             : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
           p.transformAllExpressions {
             case c: BinaryComparison
-                if c.left.isInstanceOf[UnresolvedAttribute] &&
-                   c.right.isInstanceOf[UnresolvedAttribute] =>
+                if attrish(c.left) || attrish(c.right) =>
               graft.functions.CompatCompare(c.left, c.right, tag(c))
+            // Druid's MVD IN: any element in the value list — OR of the
+            // per-element-compatible equalities (CalciteJoinQueryTest
+            // `dim2 IN ('a','b')` over the MV dim2)
+            case In(a, list)
+                if attrish(a) && list.nonEmpty &&
+                  list.forall(_.isInstanceOf[Literal]) =>
+              list.map(l => graft.functions.CompatCompare(a, l, "=")
+                : Expression).reduceLeft(Or(_, _))
+            // tuple IN over an MV member: pairwise compatible equalities
+            case In(s: CreateNamedStruct, list)
+                if list.forall(_.isInstanceOf[CreateNamedStruct]) =>
+              list.map { case t: CreateNamedStruct =>
+                s.valExprs.zip(t.valExprs).map { case (l, r) =>
+                  graft.functions.CompatCompare(l, r, "="): Expression
+                }.reduceLeft(And(_, _))
+              }.reduceLeft(Or(_, _))
+            // MVD IN-subquery: any element of the MV in the subquery's
+            // value set — spelled as overlap against the collected set
+            // (the subquery is analyzed standalone to learn its output)
+            case InSubquery(vals, l: ListQuery) if vals.size == 1 =>
+              try {
+                val analyzed = spark.sessionState.analyzer.execute(l.plan)
+                val attr = analyzed.output.head
+                val agg = org.apache.spark.sql.catalyst.plans.logical
+                  .Aggregate(Nil, Seq(Alias(
+                    org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                      Seq("collect_list"), Seq(attr), isDistinct = false),
+                    "__in_vals")()), analyzed)
+                graft.functions.GraftArrayOverlap(vals.head,
+                  ScalarSubquery(agg), threeValued = false)
+              } catch {
+                case _: Exception => InSubquery(vals, l)
+              }
+            // the failing comparison can live inside an IN/EXISTS/scalar
+            // subquery plan — recurse
+            case sub: SubqueryExpression => sub.withNewPlan(swap(sub.plan))
           }
         // CTE bodies are inner children — swap inside them too
         val retried = swap(plan.transformUp {

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, Expression, IntegralDivide, RuntimeReplaceable}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode, Expression, IntegralDivide, RuntimeReplaceable}
 import org.apache.spark.sql.types._
 
 /** Calcite's `/` — INTEGER division when BOTH operands are integral
@@ -12,6 +12,28 @@ import org.apache.spark.sql.types._
   * DataFrame-API code keeps Spark's operator untouched — the dialect
   * lives at the SQL boundary.
   */
+/** Druid's CAST(timestamp AS BIGINT) yields epoch MILLIS — timestamps ARE
+  * millis longs in the reference's value space (CalciteJoinQueryTest
+  * testJoinOnTimeseriesWithFloorOnTime expects 946684800000) — where
+  * Spark's cast yields epoch seconds. The facade swaps parsed
+  * long-casts for this node; non-timestamp inputs keep the original cast.
+  */
+case class DruidLongCast(child: Expression, evalMode: EvalMode.Value)
+    extends Expression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case TimestampType =>
+      org.apache.spark.sql.catalyst.expressions.UnixMillis(child)
+    case _ => Cast(child, LongType, None, evalMode)
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "druid_long_cast"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DruidLongCast =
+    copy(child = newChildren(0))
+}
+
 case class CalciteDiv(left: Expression, right: Expression)
     extends Expression with RuntimeReplaceable {
 

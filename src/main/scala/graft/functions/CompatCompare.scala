@@ -30,6 +30,19 @@ case class CompatCompare(left: Expression, right: Expression, op: String)
     case _     => EqualTo(l, r)
   }
 
+  // Druid's MULTI-VALUE filter semantics: a scalar comparison against an
+  // MV column matches when ANY element satisfies it (`dim2 = 'a'` over the
+  // MV dim2 is the MVD selector; CalciteJoinQueryTest joins foo.dim2 to
+  // the lookup key the same way). Per-element three-valued exists.
+  private def mvAnyMatch(arr: Expression, scalar: Expression,
+      flip: Boolean): Expression = {
+    val ArrayType(elemT, _) = arr.dataType: @unchecked
+    val v = NamedLambdaVariable("graft_mv_x", elemT, nullable = true)
+    val needle = Cast(scalar, elemT, None, EvalMode.TRY)
+    val body = if (flip) mk(needle, v) else mk(v, needle)
+    ArrayExists(arr, LambdaFunction(body, Seq(v)))
+  }
+
   override lazy val replacement: Expression =
     (left.dataType, right.dataType) match {
       case (lt, rt) if lt == rt => mk(left, right)
@@ -40,9 +53,29 @@ case class CompatCompare(left: Expression, right: Expression, op: String)
             val s = ArrayType(StringType, containsNull = true)
             mk(Cast(left, s), Cast(right, s))
         }
+      case (_: ArrayType, rt) if !rt.isInstanceOf[ArrayType] =>
+        mvAnyMatch(left, right, flip = false)
+      case (lt, _: ArrayType) if !lt.isInstanceOf[ArrayType] =>
+        mvAnyMatch(right, left, flip = true)
+      // Calcite coerces a STRING against a temporal column toward the
+      // TEMPORAL side (`__time >= '2000-01-01'` compares as timestamps —
+      // a string-space widening would compare formatted text); the
+      // engine's clock convention is UTC
+      case (lt @ (TimestampType | DateType), StringType) =>
+        mk(left, Cast(right, lt, Some("UTC"), EvalMode.TRY))
+      case (StringType, rt @ (TimestampType | DateType)) =>
+        mk(Cast(left, rt, Some("UTC"), EvalMode.TRY), right)
       case (lt, rt) =>
         TypeCoercion.findWiderTypeForTwo(lt, rt) match {
-          case Some(w) => mk(Cast(left, w), Cast(right, w))
+          case Some(w) => mk(Cast(left, w, Some("UTC"), EvalMode.LEGACY),
+            Cast(right, w, Some("UTC"), EvalMode.LEGACY))
+          // otherwise the STRING side casts toward the typed side;
+          // incomparable non-string pairs keep the original comparison
+          // so analysis reports them
+          case None if rt == StringType =>
+            mk(left, Cast(right, lt, Some("UTC"), EvalMode.TRY))
+          case None if lt == StringType =>
+            mk(Cast(left, rt, Some("UTC"), EvalMode.TRY), right)
           case None => mk(left, right)
         }
     }

@@ -103,6 +103,13 @@ object DruidFunctions {
           .toInstant(java.time.ZoneOffset.UTC)))
         .orElse(scala.util.Try(java.time.LocalDate.parse(t)
           .atStartOfDay.toInstant(java.time.ZoneOffset.UTC)))
+        // Joda accepts PARTIAL instants — a bare '2000' or '2000-06' is
+        // the period start (TIME_IN_INTERVAL('2000/P1D') in the Calcite
+        // corpus)
+        .orElse(scala.util.Try(java.time.Year.parse(t)
+          .atDay(1).atStartOfDay.toInstant(java.time.ZoneOffset.UTC)))
+        .orElse(scala.util.Try(java.time.YearMonth.parse(t)
+          .atDay(1).atStartOfDay.toInstant(java.time.ZoneOffset.UTC)))
         .getOrElse(throw new IllegalArgumentException(
           s"unparseable TIME_FLOOR origin: $s"))
     inst.getEpochSecond * 1_000_000L + inst.getNano / 1000L
@@ -1642,6 +1649,41 @@ object DruidFunctions {
              IsNull(fn("get", a.head, Literal(0)))),
         Literal.create(null, StringType), joined)
     }
+    // SUBSTRING over an MV column maps per element (scalar inputs keep
+    // the builtin); Spark's 2-arg Substring already defaults the length
+    def mvElementwiseSubstring(a: Seq[Expression]): Expression = {
+      require(a.size == 2 || a.size == 3,
+        s"substring takes 2 or 3 arguments, got ${a.size}")
+      // Druid's substring returns NULL when the start is past the end —
+      // SubstringDimExtractionFn semantics: substring('', 1) is NULL, so
+      // `substring(x, 1) <> 'b'` DROPS empty strings
+      // (CalciteJoinQueryTest testUnnestExtractionFn) — where Spark
+      // yields ''
+      def sub(e: Expression): Expression = {
+        val raw =
+          if (a.size == 3)
+            Substring(e, Cast(a(1), IntegerType), Cast(a(2), IntegerType))
+          else Substring(e, Cast(a(1), IntegerType),
+            Literal(Integer.MAX_VALUE))
+        fn("nullif", raw, Literal(""))
+      }
+      // MV string columns (tagged `druid.mv` in the fixture schema) are
+      // VARCHAR in the reference — scalar functions apply per element —
+      // while TRUE ARRAY columns reject scalar functions at analysis
+      // (qaArray ops_funcs_scalar_funcs !error grid); untagged arrays
+      // keep the builtin and fail analysis exactly like the reference
+      def mvTagged(e: Expression): Boolean = e match {
+        case at: AttributeReference => at.metadata.contains("druid.mv")
+        case al: Alias => mvTagged(al.child)
+        case _ => false
+      }
+      a.head match {
+        case h if h.resolved && h.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType] && mvTagged(h) =>
+          fn("transform", h, lam(x => sub(x)))
+        case h => sub(h)
+      }
+    }
     // reference StringToArrayFunction (Function.java:3582): Java
     // String.split limit-0 — trailing empty strings dropped
     def javaSplitExpr(a: Seq[Expression]): Expression = {
@@ -1773,17 +1815,27 @@ object DruidFunctions {
       // only), so both sides cast there. A null element survives NONE
       // (three-valued NOT over the miss) and drops from ONLY, exactly
       // like the previous SQL-macro spelling.
-      "mv_filter_only" -> ((a: Seq[Expression]) =>
-        fn("filter",
+      // …and an EMPTY filter result is NULL — the reference's value space
+      // has no empty MV (ListFilteredVirtualColumn yields the null row
+      // value; CalciteJoinQueryTest joins ON MV_FILTER_ONLY(…) match only
+      // where something survived, never []-to-[])
+      "mv_filter_only" -> ((a: Seq[Expression]) => {
+        val res = fn("filter",
           Cast(graft.functions.MvInput(a.head), ArrayType(StringType)),
           lam(x => fn("array_contains",
-            Cast(a(1), ArrayType(StringType)), x)))),
-      "mv_filter_none" -> ((a: Seq[Expression]) =>
-        fn("filter",
+            Cast(a(1), ArrayType(StringType)), x)))
+        If(EqualTo(Size(res), Literal(0)),
+          Literal.create(null, ArrayType(StringType)), res)
+      }),
+      "mv_filter_none" -> ((a: Seq[Expression]) => {
+        val res = fn("filter",
           Cast(graft.functions.MvInput(a.head), ArrayType(StringType)),
           lam(x => org.apache.spark.sql.catalyst.expressions.Not(
             fn("coalesce", fn("array_contains",
-              Cast(a(1), ArrayType(StringType)), x), Literal(false)))))),
+              Cast(a(1), ArrayType(StringType)), x), Literal(false)))))
+        If(EqualTo(Size(res), Literal(0)),
+          Literal.create(null, ArrayType(StringType)), res)
+      }),
       // [start, end) 0-based (Function.java ArraySliceFunction:4646-4656):
       // end defaults to the array length (2-arg form); Arrays.copyOfRange
       // semantics — `start < 0 || start > length || start > end` → NULL
@@ -1841,6 +1893,29 @@ object DruidFunctions {
         graft.functions.GraftArrayContains(a.head, a(1))),
       "scalar_in_array" -> ((a: Seq[Expression]) =>
         graft.functions.GraftArrayContains(a(1), a.head)),
+      // ANY_VALUE(expr[, maxBytes[, aggregateMultipleValues]]) — the
+      // reference's extra args are a buffer cap (validated, unenforced —
+      // same contract as ARRAY_AGG's) and an MV-aggregation toggle;
+      // Spark's AnyValue carries the value semantics
+      "any_value" -> ((a: Seq[Expression]) => {
+        require(a.size >= 1 && a.size <= 3,
+          s"any_value takes 1 to 3 arguments, got ${a.size}")
+        a.lift(1).foreach(requirePositiveSizeLiteral("any_value", _))
+        val av = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .AnyValue(a.head)
+        // aggregateMultipleValues=false over an MV column picks a single
+        // element (the reference keeps the first)
+        if (a.size == 3 && a(2) == Literal(false) && a.head.resolved &&
+            a.head.dataType.isInstanceOf[ArrayType])
+          fn("get", av.toAggregateExpression(), Literal(0))
+        else av
+      }),
+      // string functions over an MV column apply PER ELEMENT in the
+      // reference (multi-value-dimensions docs; CalciteJoinQueryTest
+      // substring(dim2, 1, 1) over the MV dim2) — scalar inputs keep
+      // Spark's builtin
+      "substring" -> ((a: Seq[Expression]) => mvElementwiseSubstring(a)),
+      "substr" -> ((a: Seq[Expression]) => mvElementwiseSubstring(a)),
       // Calcite's GREATEST/LEAST coerce every operand to the LEAST
       // RESTRICTIVE type — a VARCHAR among the args makes the whole
       // comparison a string comparison (qaUnnest

@@ -82,7 +82,64 @@ def main():
                                   "cols": cols, "rows": rows,
                                   "dataset": dataset}))
                 n += 1
+    n += calcite_tree()
     print(f"# extracted {n}", file=sys.stderr)
+
+
+# The sql/src/test/quidem tree (DecoupledPlanningCalciteJoinQueryTest etc.)
+# uses a different format: a `# <testname> case-crc:` header, !set lines, the
+# query terminated by `;`, the mysql grid, `!ok`, then plan dumps. Fixtures
+# are the standard Calcite test datasets (foo / numfoo / lookup.lookyloo),
+# registered by AuditSweep's "calcite" phase.
+CQ_CASE = re.compile(
+    r"(?ms)^((?:SELECT|WITH|select|with|\()\b.*?;)\s*\n(.*?)\n!ok")
+CQ_TABLE = re.compile(
+    r"\b(?:FROM|JOIN)\s+([a-zA-Z_\"][a-zA-Z0-9_.\"]*)", re.I)
+
+
+def calcite_tree():
+    roots = glob.glob(
+        "/root/reference/sql/src/test/quidem/org.apache.druid.sql.calcite.*")
+    want = {"foo", "numfoo", "druid.foo", "druid.numfoo", "lookup.lookyloo"}
+    n = 0
+    for root in sorted(roots):
+        for f in sorted(glob.glob(root + "/**/*.iq", recursive=True)):
+            base = os.path.basename(f)
+            try:
+                text = open(f, encoding="utf-8").read()
+            except Exception:
+                continue
+            for i, m in enumerate(CQ_CASE.finditer(text)):
+                q, res = m.groups()
+                tables = {t.strip('"').lower()
+                          for t in CQ_TABLE.findall(q)}
+                # CTE and derived-table aliases excuse themselves
+                ctes = {t.lower() for t in
+                        re.findall(r"(?i)\b([a-zA-Z_]\w*)\s+AS\s*\(", q)}
+                named = tables - ctes - {"lateral", "unnest", "t", "t1",
+                                         "t2", "x", "v"}
+                if not (named & want) or not (named <= want):
+                    continue
+                lines = ROW.findall(res)
+                if not lines:
+                    if "(0 rows)" not in res:
+                        continue
+                    cols, rows = None, []
+                else:
+                    cols = [c.strip() for c in lines[0].split(" | ")]
+                    ncols = len(cols)
+
+                    def cells(ln):
+                        if ncols == 1:
+                            return [ln.strip()]
+                        return [c.strip() for c in ln.split(" | ", ncols - 1)]
+                    rows = [cells(ln) for ln in lines[1:]]
+                print(json.dumps({"file": base, "tid": f"c{i}",
+                                  "query": " ".join(q.rstrip(";").split()),
+                                  "cols": cols, "rows": rows,
+                                  "dataset": "calcite"}))
+                n += 1
+    return n
 
 if __name__ == "__main__":
     main()
