@@ -722,8 +722,8 @@ object SqlApi {
     // once types resolve; DataFrame-API plans keep Spark's operator.
     def dialectCore(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-      dedupStarOverJoin(spark, decoupleGroupingSetWindows(
-        variantKeyDialect(rewriteWindowDialect(p.transformAllExpressions {
+      decoupleGroupingSetWindows(
+        maybeVariantKeyDialect(rewriteWindowDialect(p.transformAllExpressions {
         case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
           graft.functions.CalciteDiv(l, r)
         // Druid timestamps are epoch-millis LONGs — CAST(ts AS BIGINT)
@@ -767,7 +767,15 @@ object SqlApi {
         // otherwise get millis outside and seconds inside
         case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
           s.withNewPlan(dialectCore(s.plan))
-      }))))
+      })))
+    // the variant-key walk touches every Aggregate — skip it unless the
+    // text can possibly produce a VARIANT (measured at ~10ms/query on the
+    // bench board otherwise)
+    def maybeVariantKeyDialect(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      if (sqlText.toLowerCase.contains("parse_json")) variantKeyDialect(p)
+      else p
     // CTE bodies are INNER children of UnresolvedWith — plan.transform
     // never descends into them, so apply the dialect pipeline to each
     // body explicitly (WITH t1 AS (… WHERE a_int=a_str) … was reaching
@@ -847,6 +855,16 @@ object SqlApi {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     try org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
     catch {
+      // Calcite's star-expansion uniquify only matters when a duplicate
+      // name is actually referenced — running the schema probe on every
+      // star-over-join cost ~0.3s/query, so it lives on the failure path
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(m =>
+            m.contains("AMBIGUOUS_REFERENCE") ||
+              m.contains("UNRESOLVED_COLUMN")) =>
+        val retried = dedupStarOverJoin(spark, plan)
+        if (retried eq plan) throw e
+        else org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, retried)
       case e: org.apache.spark.sql.AnalysisException
           if Option(e.getMessage).exists(m =>
             m.contains("BINARY_OP_DIFF_TYPES") ||
@@ -999,10 +1017,19 @@ object SqlApi {
     * can never match.
     */
   private[graft] def rewriteIntervalPrecision(sqlText: String): String =
-    sqlText.replaceAll(
+    rewriteQuarterInterval(sqlText).replaceAll(
       "(?i)\\b(INTERVAL\\s+'" + "\u0001" + "\\d+" + "\u0001" + "'\\s+" +
         "(?:DAY|MONTH|YEAR|HOUR|MINUTE|SECOND))\\s*\\(\\s*\\d+\\s*\\)",
       "$1")
+
+  /** Calcite's `INTERVAL 'n' QUARTER` — a unit Spark's grammar lacks —
+    * spelled as the month interval scaled by 3 (multiplication binds
+    * tighter than the +/- the interval participates in, and the rewrite
+    * never needs the masked literal's value).
+    */
+  private[graft] def rewriteQuarterInterval(sqlText: String): String =
+    sqlText.replaceAll(
+      "(?i)\\b(INTERVAL\\s+'[^']*'\\s+)QUARTER\\b", "$1MONTH * 3")
 
   /** ARRAY_CONCAT_AGG(DISTINCT x) — the builder's NULL-for-all-NULL-groups
     * wrapper means it can't return a bare AggregateFunction, so Spark's

@@ -99,7 +99,10 @@ CQ_TABLE = re.compile(
 
 def calcite_tree():
     roots = glob.glob(
-        "/root/reference/sql/src/test/quidem/org.apache.druid.sql.calcite.*")
+        "/root/reference/sql/src/test/quidem/org.apache.druid.sql.calcite.*"
+    ) + glob.glob(
+        "/root/reference/sql/src/test/quidem/org.apache.druid.quidem."
+        "SqlQuidemTest")
     want = {"foo", "numfoo", "druid.foo", "druid.numfoo", "lookup.lookyloo"}
     n = 0
     for root in sorted(roots):
@@ -134,8 +137,14 @@ def calcite_tree():
                             return [ln.strip()]
                         return [c.strip() for c in ln.split(" | ", ncols - 1)]
                     rows = [cells(ln) for ln in lines[1:]]
+                qn = " ".join(q.rstrip(";").split())
+                # the tree pins `!set sqlCurrentTimestamp
+                # 2000-01-01T00:00:00Z` — inline the pinned clock
+                qn = re.sub(r"(?i)\bCURRENT_TIMESTAMP\b",
+                            "TIMESTAMP '2000-01-01 00:00:00'", qn)
+                qn = re.sub(r"(?i)\bCURRENT_DATE\b", "DATE '2000-01-01'", qn)
                 print(json.dumps({"file": base, "tid": f"c{i}",
-                                  "query": " ".join(q.rstrip(";").split()),
+                                  "query": qn,
                                   "cols": cols, "rows": rows,
                                   "dataset": "calcite"}))
                 n += 1
