@@ -295,6 +295,12 @@ object AuditSweep {
     spark.sql("CREATE DATABASE IF NOT EXISTS lookup")
     spark.table("foo").write.mode("overwrite").saveAsTable("druid.foo")
     spark.table("numfoo").write.mode("overwrite").saveAsTable("druid.numfoo")
+    // the broadcast GlobalTableDataSource carries the numfoo rows
+    // (CalciteTests.BROADCAST_DATASOURCE; the join grids count 9 = 3×3
+    // per dim4 against numfoo)
+    spark.table("numfoo").createOrReplaceTempView("broadcast")
+    spark.table("numfoo").write.mode("overwrite")
+      .saveAsTable("druid.broadcast")
     val looky = Map("a" -> "xa", "abc" -> "xabc",
       "nosuchkey" -> "mysteryvalue", "6" -> "x6")
     import spark.implicits._

@@ -103,7 +103,8 @@ def calcite_tree():
     ) + glob.glob(
         "/root/reference/sql/src/test/quidem/org.apache.druid.quidem."
         "SqlQuidemTest")
-    want = {"foo", "numfoo", "druid.foo", "druid.numfoo", "lookup.lookyloo"}
+    want = {"foo", "numfoo", "druid.foo", "druid.numfoo", "lookup.lookyloo",
+            "broadcast", "druid.broadcast"}
     n = 0
     for root in sorted(roots):
         for f in sorted(glob.glob(root + "/**/*.iq", recursive=True)):
