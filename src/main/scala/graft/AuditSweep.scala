@@ -432,7 +432,7 @@ object AuditSweep {
         def str(f: String) = (j \ f) match {
           case JString(s) => s; case _ => "" }
         val phase = phaseOf(str("dataset"), q)
-        if (q.isEmpty || !seen.add(phase + " " + q)) None
+        if (q.isEmpty || !seen.add(phase + "\u0000" + q)) None
         else {
           val rows = (j \ "rows") match {
             case JArray(rs) => rs.map {

@@ -41,6 +41,11 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+      // the pipeline operators persist() fan-out intermediates that the
+      // returned plan consumes; release them so a gate's cached blocks
+      // don't squat in the block manager (borrowing execution memory)
+      // for the remaining 650+ gates of the run
+      spark.catalog.clearCache()
     }
 
     // min-of-2 timed runs per query: a one-off scheduling hiccup on a shared
@@ -49,6 +54,11 @@ object Bench {
     // regression. The min of two back-to-back runs is stable within ~10%.
     val results = bench.map { case (name, fn) =>
       def once(): Double = {
+        // each measurement is self-contained: no free-riding on cached
+        // blocks from the previous run (or a previous gate), and no
+        // storage-pool pressure accumulating across the 658-gate run —
+        // the mechanism behind three rounds of bench-drift adjudication
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>

@@ -2833,6 +2833,59 @@ object QaSuites {
          FROM test_agg_funcs
          GROUP BY GROUPING SETS(tab0s0, tab0l0)
          HAVING tab0s0 IS NOT NULL"""),
+    // …and plain aggregates MIX with the windows: COUNT(*) computes per
+    // group INSIDE the grouping-sets aggregate (as does the count feeding
+    // SUM(...) OVER () and the HAVING), never in the decoupled Project
+    // (ADVICE r17: the decoupling used to strand them above the Aggregate)
+    gf("q_qa_gs_windows_mixed_agg",
+      """SELECT tab0s0, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(count(*)) OVER () AS BIGINT) AS s
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)
+         HAVING count(*) > 0""",
+      """SELECT tab0s0, count(*) AS c, CAST(sum(count(*)) OVER () AS BIGINT) AS s
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)
+         HAVING count(*) > 0"""),
+    // SQL identifiers are case-insensitive: the select-list/window spelling
+    // TAB0S0 must match GROUP BY GROUPING SETS(tab0s0) (ADVICE r17)
+    gf("q_qa_gs_windows_case",
+      """SELECT TAB0S0 AS g1,
+                CAST(count(*) OVER (PARTITION BY TAB0S0) AS BIGINT) AS peers
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)""",
+      """SELECT tab0s0 AS g1, count(*) OVER (PARTITION BY tab0s0) AS peers
+         FROM test_agg_funcs
+         GROUP BY GROUPING SETS(tab0s0, tab0l0)"""),
+    // Calcite leading-field precision composes with the QUARTER unit:
+    // INTERVAL '2' QUARTER(2) — the QUARTER rewrite consumes the
+    // precision (ADVICE r17: it used to leave a dangling `(2)` after
+    // `MONTH * 3` that no longer parsed)
+    gf("q_qasql_quarter_precision",
+      """SELECT CAST(TIMESTAMP '2020-01-01 00:00:00'
+                  + INTERVAL '2' QUARTER(2) AS STRING) AS t2,
+                CAST(TIMESTAMP '2020-01-01 00:00:00'
+                  + INTERVAL '1' QUARTER AS STRING) AS t1""",
+      """SELECT CAST(TIMESTAMP '2020-01-01 00:00:00'
+                  + INTERVAL 6 MONTH AS VARCHAR) AS t2,
+                CAST(TIMESTAMP '2020-01-01 00:00:00'
+                  + INTERVAL 3 MONTH AS VARCHAR) AS t1"""),
+    // the type-mismatch IN-subquery retry preserves three-valued NOT IN
+    // for SCALAR probes (ADVICE r17: the old blanket collect_list overlap
+    // dropped the subquery's NULLs, so NOT IN wrongly kept all rows) while
+    // the ARRAY probe in the same plan keeps the MVD overlap dialect
+    ga("q_qa_notin_null_subq",
+      """SELECT CAST(count(*) AS BIGINT) AS mvd_in,
+                (SELECT CAST(count(*) AS BIGINT) FROM test_array
+                 WHERE CAST(3 AS BIGINT) NOT IN
+                   (SELECT a_int[2] FROM test_array)) AS notin_null
+         FROM test_array
+         WHERE a_int IN (SELECT a_int[0] FROM test_array)""",
+      """SELECT count(*) AS mvd_in,
+                (SELECT count(*) FROM test_array
+                 WHERE 3 NOT IN (SELECT a_int[3] FROM test_array)) AS notin_null
+         FROM test_array, (SELECT list(a_int[1]) AS vs FROM test_array) v
+         WHERE list_has_any(a_int, v.vs)"""),
     // Calcite star expansion UNIQUIFIES duplicate join output names
     // (SqlValidatorUtil.uniquify — qaArray sql_join A7: the bare name
     // resolves to the FIRST table's column, the second becomes name0),

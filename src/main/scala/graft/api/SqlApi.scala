@@ -525,22 +525,63 @@ object SqlApi {
         _.exists(_.isInstanceOf[BaseGroupingSets])) &&
         agg.aggregateExpressions.exists(
           _.exists(_.isInstanceOf[WindowExpression]))
-    // (inner grouping-sets aggregate over helper aliases, the grouping-
-    // expression substitution, the substituted select list)
-    def split(agg: Aggregate): (Aggregate, Expression => Expression,
-        Seq[NamedExpression]) = {
-      val flat: Seq[Expression] = agg.groupingExpressions.flatMap {
+    // Per-aggregate rewriter: substitutes grouping expressions AND plain
+    // (non-window) aggregate calls with helper attributes, accumulating
+    // the helpers so the inner Aggregate computes everything — a COUNT(*)
+    // or SUM(x) left in the outer Project would fail analysis, and the
+    // reference computes them per group before the windows run anyway.
+    final class GsSplit(agg: Aggregate) {
+      private val flat: Seq[Expression] = agg.groupingExpressions.flatMap {
         case gs: BaseGroupingSets => gs.groupingSets.flatten
         case e => Seq(e)
       }.distinct
-      val helper = flat.indices.map(i => s"__gs_$i")
-      val inner = agg.copy(aggregateExpressions =
-        flat.zip(helper).map { case (g, h) => Alias(g, h)() })
-      def subst(e: Expression): Expression = e.transformDown {
-        case x if flat.contains(x) =>
-          UnresolvedAttribute(helper(flat.indexOf(x)))
+      // SQL identifiers are case-insensitive: a select-list spelling of
+      // SERVER_IP must match GROUP BY GROUPING SETS(server_ip)
+      private def canon(e: Expression): Expression = e.transformUp {
+        case a: UnresolvedAttribute =>
+          UnresolvedAttribute(a.nameParts.map(_.toLowerCase))
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          f.copy(nameParts = f.nameParts.map(_.toLowerCase))
       }
-      val outList: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      private val flatCanon = flat.map(canon)
+      private val helper = flat.indices.map(i => s"__gs_$i")
+      // the SQL aggregate surface this engine registers; grouping/
+      // grouping_id must also compute INSIDE the Aggregate (they read the
+      // grouping-sets bitmask, which does not exist above it)
+      private val aggNames = Set("count", "sum", "min", "max", "avg",
+        "any_value", "earliest", "latest", "earliest_by", "latest_by",
+        "array_agg", "array_concat_agg", "string_agg", "listagg",
+        "bit_and", "bit_or", "bit_xor", "grouping", "grouping_id",
+        "approx_count_distinct", "stddev", "stddev_pop", "stddev_samp",
+        "var_pop", "var_samp", "variance", "collect_list", "collect_set",
+        "bool_and", "bool_or", "count_if", "mode", "median", "percentile",
+        "percentile_cont", "approx_quantile_ds", "ds_hll", "ds_theta")
+      private val hoisted =
+        scala.collection.mutable.LinkedHashMap[Expression, (Expression, String)]()
+      private def isAggCall(e: Expression): Boolean = e match {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          aggNames(f.nameParts.last.toLowerCase)
+        case _ => false
+      }
+      def subst(e: Expression): Expression = {
+        val i = flatCanon.indexOf(canon(e))
+        if (i >= 0) UnresolvedAttribute(helper(i))
+        else e match {
+          case we: WindowExpression =>
+            // the window FUNCTION itself runs over the grouped grid —
+            // only its arguments and the spec may carry group aggregates
+            // (SUM(COUNT(*)) OVER (): the COUNT hoists, the SUM stays)
+            WindowExpression(we.windowFunction.mapChildren(subst),
+              we.windowSpec.mapChildren(subst)
+                .asInstanceOf[WindowSpecDefinition])
+          case f if isAggCall(f) =>
+            val (_, h) = hoisted.getOrElseUpdate(canon(f),
+              (f, s"__gsagg_${hoisted.size}"))
+            UnresolvedAttribute(h)
+          case other => other.mapChildren(subst)
+        }
+      }
+      def outList: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case Alias(c, name) => Alias(subst(c), name)()
         case UnresolvedAlias(att: UnresolvedAttribute, _) =>
           Alias(subst(att), att.nameParts.last)()
@@ -551,7 +592,10 @@ object SqlApi {
         case UnresolvedAlias(c, f) => UnresolvedAlias(subst(c), f)
         case other => subst(other).asInstanceOf[NamedExpression]
       }
-      (inner, subst, outList)
+      // build AFTER all subst calls so every hoisted aggregate is known
+      def inner: Aggregate = agg.copy(aggregateExpressions =
+        flat.zip(helper).map { case (g, h) => Alias(g, h)() } ++
+          hoisted.values.map { case (f, h) => Alias(f, h)() })
     }
     // top-down: HAVING + aggregate rewrite as ONE unit (the reference
     // filters the grouped rows BEFORE the windows run — sql_group_by
@@ -559,11 +603,14 @@ object SqlApi {
     // the replacement's inner aggregate no longer matches either case
     plan.transformDown {
       case UnresolvedHaving(cond, agg: Aggregate) if gsWindowAgg(agg) =>
-        val (inner, subst, outList) = split(agg)
-        Project(outList, Filter(subst(cond), inner))
+        val sp = new GsSplit(agg)
+        val substCond = sp.subst(cond)
+        val out = sp.outList
+        Project(out, Filter(substCond, sp.inner))
       case agg: Aggregate if gsWindowAgg(agg) =>
-        val (inner, _, outList) = split(agg)
-        Project(outList, inner)
+        val sp = new GsSplit(agg)
+        val out = sp.outList
+        Project(out, sp.inner)
     }
   }
 
@@ -881,6 +928,18 @@ object SqlApi {
           case _ => "="
         }
         def attrish(x: Expression): Boolean = x.isInstanceOf[UnresolvedAttribute]
+        // the IN-subquery's standalone analysis must see the outer WITH's
+        // CTE definitions (gate SQL defines its fixture tables as CTEs)
+        val cteDefs = plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+            w.cteRelations
+        }.flatten
+        def analyzeWithCtes(
+            p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+          spark.sessionState.analyzer.execute(
+            if (cteDefs.isEmpty) p
+            else org.apache.spark.sql.catalyst.plans.logical
+              .UnresolvedWith(p, cteDefs))
         def swap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
             : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
           p.transformAllExpressions {
@@ -903,20 +962,29 @@ object SqlApi {
                   graft.functions.CompatCompare(l, r, "="): Expression
                 }.reduceLeft(And(_, _))
               }.reduceLeft(Or(_, _))
-            // MVD IN-subquery: any element of the MV in the subquery's
-            // value set — spelled as overlap against the collected set
-            // (the subquery is analyzed standalone to learn its output)
-            case InSubquery(vals, l: ListQuery) if vals.size == 1 =>
+            // Mismatched IN-subquery (gated on the IN-specific error so
+            // well-typed IN subqueries elsewhere in the plan keep Spark's
+            // semi-join planning): collect the value set once as
+            // struct(vals, hasnull); GraftInCollected dispatches on the
+            // resolved probe type — MVD overlap for an ARRAY probe,
+            // three-valued IN for a scalar probe (NOT IN over a
+            // null-containing subquery must stay NULL, not FALSE)
+            case InSubquery(vals, l: ListQuery)
+                if vals.size == 1 && Option(e.getMessage).exists(
+                  _.contains("IN_SUBQUERY_DATA_TYPE_MISMATCH")) =>
               try {
-                val analyzed = spark.sessionState.analyzer.execute(l.plan)
+                val analyzed = analyzeWithCtes(l.plan)
                 val attr = analyzed.output.head
                 val agg = org.apache.spark.sql.catalyst.plans.logical
-                  .Aggregate(Nil, Seq(Alias(
+                  .Aggregate(Nil, Seq(Alias(CreateNamedStruct(Seq(
+                    Literal("vals"),
                     org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
                       Seq("collect_list"), Seq(attr), isDistinct = false),
-                    "__in_vals")()), analyzed)
-                graft.functions.GraftArrayOverlap(vals.head,
-                  ScalarSubquery(agg), threeValued = false)
+                    Literal("hasnull"),
+                    org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                      Seq("max"), Seq(IsNull(attr)), isDistinct = false))),
+                    "__in_coll")()), analyzed)
+                graft.functions.GraftInCollected(vals.head, ScalarSubquery(agg))
               } catch {
                 case _: Exception => InSubquery(vals, l)
               }
@@ -1025,11 +1093,15 @@ object SqlApi {
   /** Calcite's `INTERVAL 'n' QUARTER` — a unit Spark's grammar lacks —
     * spelled as the month interval scaled by 3 (multiplication binds
     * tighter than the +/- the interval participates in, and the rewrite
-    * never needs the masked literal's value).
+    * never needs the masked literal's value). A leading-field precision
+    * `QUARTER(2)` is consumed here: this rewrite runs BEFORE the generic
+    * precision stripper, whose unit list lacks QUARTER — leaving the
+    * `(2)` dangling after `MONTH * 3` would no longer parse.
     */
   private[graft] def rewriteQuarterInterval(sqlText: String): String =
     sqlText.replaceAll(
-      "(?i)\\b(INTERVAL\\s+'[^']*'\\s+)QUARTER\\b", "$1MONTH * 3")
+      "(?i)\\b(INTERVAL\\s+'[^']*'\\s+)QUARTER\\b\\s*(?:\\(\\s*\\d+\\s*\\))?",
+      "($1MONTH * 3)")
 
   /** ARRAY_CONCAT_AGG(DISTINCT x) — the builder's NULL-for-all-NULL-groups
     * wrapper means it can't return a bare AggregateFunction, so Spark's

@@ -269,3 +269,60 @@ case class GraftArrayOverlap(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GraftArrayOverlap = copy(left = l, right = r)
 }
+
+/** Type-dispatched IN-subquery retry (the SQL facade's analysis-failure
+  * path): `collected` is a scalar subquery returning
+  * `struct(vals: collect_list(col), hasnull: max(col IS NULL))` over the
+  * IN-subquery's output. An ARRAY-typed probe takes Druid's MVD
+  * IN-subquery dialect — any element of the MV in the value set
+  * (two-valued overlap, like the MVD selector). A SCALAR probe keeps
+  * standard SQL three-valued IN semantics, which the collected null-free
+  * list alone cannot express (collect_list drops the NULLs that make a
+  * NOT IN miss evaluate to NULL): empty set → FALSE, null probe → NULL,
+  * match → TRUE, miss with a null in the set → NULL, otherwise FALSE.
+  * The probe casts toward the wider of the two types (Calcite's IN
+  * coercion), string space as the fallback.
+  *
+  * Scale note: this node only appears on the type-mismatch retry path —
+  * well-typed IN subqueries keep Spark's semi-join planning; the
+  * collected array is bounded by the dialect use case (lookup-sized
+  * value sets).
+  */
+case class GraftInCollected(value: Expression, collected: Expression)
+  extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+
+  override def left: Expression = value
+  override def right: Expression = collected
+
+  override lazy val replacement: Expression = {
+    val vals = GetStructField(collected, 0, Some("vals"))
+    val hasNull = Coalesce(Seq(
+      GetStructField(collected, 1, Some("hasnull")), Literal(false)))
+    val ArrayType(elemT, _) = vals.dataType: @unchecked
+    value.dataType match {
+      case _: ArrayType => GraftArrayOverlap(value, vals, threeValued = false)
+      case vt =>
+        val common = TypeCoercion.findWiderTypeForTwo(vt, elemT)
+          .getOrElse(StringType)
+        val probe =
+          if (vt == common) value
+          else Cast(value, common, Some("UTC"), EvalMode.TRY)
+        val castVals =
+          if (elemT == common) vals
+          else Cast(vals, ArrayType(common, containsNull = true),
+            Some("UTC"), EvalMode.TRY)
+        val nullB = Literal.create(null, BooleanType)
+        If(And(EqualTo(Size(vals), Literal(0)), Not(hasNull)),
+          Literal(false),
+          If(IsNull(value), nullB,
+            If(Coalesce(Seq(ArrayContains(castVals, probe), Literal(false))),
+              Literal(true),
+              If(hasNull, nullB, Literal(false)))))
+    }
+  }
+
+  override def prettyName: String = "graft_in_collected"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftInCollected =
+    copy(value = l, collected = r)
+}

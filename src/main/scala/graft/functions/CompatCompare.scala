@@ -53,9 +53,15 @@ case class CompatCompare(left: Expression, right: Expression, op: String)
             val s = ArrayType(StringType, containsNull = true)
             mk(Cast(left, s), Cast(right, s))
         }
-      case (_: ArrayType, rt) if !rt.isInstanceOf[ArrayType] =>
+      // only MV-tagged string columns take the any-element-match dialect;
+      // a TRUE ARRAY column vs a scalar keeps the original comparison so
+      // analysis rejects it exactly like the reference's validator
+      // (qaArray !error grids)
+      case (_: ArrayType, rt) if !rt.isInstanceOf[ArrayType] &&
+          CompatCompare.mvTagged(left) =>
         mvAnyMatch(left, right, flip = false)
-      case (lt, _: ArrayType) if !lt.isInstanceOf[ArrayType] =>
+      case (lt, _: ArrayType) if !lt.isInstanceOf[ArrayType] &&
+          CompatCompare.mvTagged(right) =>
         mvAnyMatch(right, left, flip = true)
       // Calcite coerces a STRING against a temporal column toward the
       // TEMPORAL side (`__time >= '2000-01-01'` compares as timestamps —
@@ -83,4 +89,19 @@ case class CompatCompare(left: Expression, right: Expression, op: String)
   override def prettyName: String = "compat_compare"
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CompatCompare = copy(left = l, right = r)
+}
+
+object CompatCompare {
+  /** MV string columns carry the `druid.mv` metadata tag (set by the
+    * fixture loaders) — VARCHAR in the reference, so the MVD any-match
+    * filter dialect applies; untagged TRUE ARRAY columns do not (the
+    * reference's validator rejects scalar comparisons against them).
+    * Same tag check as DruidFunctions.mvElementwiseSubstring.
+    */
+  def mvTagged(e: Expression): Boolean = e match {
+    case at: AttributeReference => at.metadata.contains("druid.mv")
+    case al: Alias => mvTagged(al.child)
+    case c: Cast => mvTagged(c.child)
+    case _ => false
+  }
 }

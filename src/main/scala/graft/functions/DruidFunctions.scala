@@ -1744,11 +1744,20 @@ object DruidFunctions {
         fn("array_offset_of", graft.functions.MvInput(a.head), a(1))),
       "mv_ordinal_of" -> ((a: Seq[Expression]) =>
         fn("array_ordinal_of", graft.functions.MvInput(a.head), a(1))),
+      // MV_* functions render VARCHAR regardless of the MV's element type
+      // (MultiValueStringOperatorConversions Offset/Ordinal return
+      // VARCHAR; over a typed ARRAY<BIGINT> MV, mv_offset(a, 0) is '1'
+      // not 1 — q_qa_mv_typed_arrays) — TimeAsMillis keeps the
+      // datetime-as-epoch-millis convention of the expr layer
       "mv_offset" -> ((a: Seq[Expression]) =>
-        fn("get", graft.functions.MvInput(a.head), Cast(a(1), IntegerType))),
+        Cast(graft.functions.TimeAsMillis(
+          fn("get", graft.functions.MvInput(a.head), Cast(a(1), IntegerType))),
+          StringType)),
       "mv_ordinal" -> ((a: Seq[Expression]) =>
-        fn("get", graft.functions.MvInput(a.head),
-          Subtract(Cast(a(1), IntegerType), Literal(1)))),
+        Cast(graft.functions.TimeAsMillis(
+          fn("get", graft.functions.MvInput(a.head),
+            Subtract(Cast(a(1), IntegerType), Literal(1)))),
+          StringType)),
       "mv_concat" -> ((a: Seq[Expression]) =>
         fn("concat", graft.functions.MvInput(a.head),
           graft.functions.MvInput(a(1)))),

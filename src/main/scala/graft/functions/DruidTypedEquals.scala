@@ -1,10 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Cast, EqualNullSafe, Expression, IsNull}
+import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** The reference's `Objects.equals(array[i], scalarExpr.value())` needle
   * probe (Function.java ArrayOffsetOfFunction:3733 / ArrayOrdinalOfFunction)
@@ -17,18 +16,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * Values normalize within their own type family only — the engine's
   * integral widths (BYTE..LONG) all model Druid LONG and its fractional
   * widths (FLOAT/DOUBLE/DECIMAL literals) model Druid DOUBLE; BOOLEAN
-  * models Druid's strict-boolean LONG 1/0. Cross-family is always false,
-  * exactly like Objects.equals on Long/Double/String boxes.
+  * models Druid's strict-boolean LONG 1/0. Cross-family is always false
+  * (unless both sides are NULL), exactly like Objects.equals on
+  * Long/Double/String boxes.
   *
-  * A custom expression (not EqualNullSafe) because Spark's comparison
-  * coercion would CAST the operands to a common type first — the exact
-  * behavior the reference doesn't have.
+  * A custom expression (not plain EqualNullSafe on the raw operands)
+  * because Spark's comparison coercion would CAST the operands to a common
+  * type first — the exact behavior the reference doesn't have. The family
+  * check is static on the operand dataTypes, so this is RuntimeReplaceable:
+  * cross-family pairs fold to a null-pair probe and same-family pairs to a
+  * cast-normalized EqualNullSafe — all codegen'd (the interpreted
+  * CodegenFallback version cost 2-11x on the MV microgates at r17).
+  * NaN-vs-NaN: EqualNullSafe says true, matching Objects.equals on Double
+  * boxes (Double.equals treats NaN equal).
   */
 case class DruidTypedEquals(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends RuntimeReplaceable {
 
-  override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(left, right)
 
   // 0 = integral(Long), 1 = fractional(Double), 2 = string,
   // 3 = date, 4 = timestamp (own families: internal units differ from
@@ -42,33 +47,19 @@ case class DruidTypedEquals(left: Expression, right: Expression)
     case _ => -1
   }
 
-  private def normLong(v: Any): Long = v match {
-    case b: Boolean => if (b) 1L else 0L
-    case n: Number => n.longValue()
-    case x => x.asInstanceOf[Number].longValue()
-  }
-
-  private def normDouble(v: Any): Double = v match {
-    case d: Decimal => d.toDouble
-    case n: Number => n.doubleValue()
-    case x => x.asInstanceOf[Number].doubleValue()
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val l = left.eval(input)
-    val r = right.eval(input)
-    if (l == null || r == null) return (l == null) && (r == null)
+  override lazy val replacement: Expression = {
     val lf = family(left.dataType); val rf = family(right.dataType)
-    if (lf != rf || lf < 0) return false
-    lf match {
-      case 0 => normLong(l) == normLong(r)
-      case 1 => normDouble(l) == normDouble(r)
-      case 2 => l.asInstanceOf[UTF8String].equals(r.asInstanceOf[UTF8String])
-      case _ => l == r // date/timestamp: same-family raw internal values
+    if (lf != rf || lf < 0) {
+      // cross-family: only a null pair matches (Objects.equals(null, null))
+      And(IsNull(left), IsNull(right))
+    } else lf match {
+      case 0 => EqualNullSafe(Cast(left, LongType), Cast(right, LongType))
+      case 1 => EqualNullSafe(Cast(left, DoubleType), Cast(right, DoubleType))
+      case _ => EqualNullSafe(left, right)
     }
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DruidTypedEquals =
-    copy(left = newLeft, right = newRight)
+      c: IndexedSeq[Expression]): DruidTypedEquals =
+    copy(left = c(0), right = c(1))
 }

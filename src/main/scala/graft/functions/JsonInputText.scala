@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -15,11 +16,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * ops_funcs_json_funcs A1_B1_C10/A1_B4_C10) — where a bare CAST to
   * STRING would render Spark's non-JSON array form (`[S1, S2, null]`)
   * that the walker cannot parse. Type dispatch needs the RESOLVED child
-  * type, which function builders don't see, hence an expression instead
-  * of a build-time rewrite. CodegenFallback: every consumer is already a
-  * non-codegen StaticInvoke walker call.
+  * type, which function builders don't see — but it is STATIC at plan
+  * time, so this is RuntimeReplaceable: the dominant STRING case folds to
+  * the bare child (whole-stage codegen'd — STRING_TO_MV previously paid
+  * an interpreted pass-through per row) and only genuinely nested inputs
+  * route to the interpreted serializer below.
   */
-case class JsonInputText(child: Expression) extends UnaryExpression
+case class JsonInputText(child: Expression) extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => child
+    case _ => JsonInputTextSerialize(child)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): JsonInputText = copy(child = c.head)
+}
+
+/** The non-string arm of [[JsonInputText]]: serializes ARRAY input to
+  * compact JSON text and casts scalar input with the reference's
+  * datetime-as-epoch-millis convention. Interpreted (CodegenFallback) —
+  * every consumer is already a non-codegen StaticInvoke walker call.
+  */
+case class JsonInputTextSerialize(child: Expression) extends UnaryExpression
     with CodegenFallback {
 
   override def dataType: DataType = StringType
@@ -100,6 +121,6 @@ case class JsonInputText(child: Expression) extends UnaryExpression
     }
   }
 
-  override protected def withNewChildInternal(c: Expression): JsonInputText =
-    copy(child = c)
+  override protected def withNewChildInternal(
+      c: Expression): JsonInputTextSerialize = copy(child = c)
 }

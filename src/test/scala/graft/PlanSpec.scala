@@ -82,6 +82,31 @@ class PlanSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) (Project|Filter)".r.findFirstIn(p).isDefined)
   }
 
+  test("MV_* function queries stay inside whole-stage codegen") {
+    // r17 regression class: MvInput/DruidTypedEquals were CodegenFallback
+    // and sat in every MV_* builder — 2-11x on the MV microgates. Both are
+    // RuntimeReplaceable now (dispatch is static on the operand dataType),
+    // so the optimizer folds them away and the executed plan must show a
+    // codegen'd Project with no trace of the placeholder expressions.
+    // HOF-based MV fns (MV_FILTER_*, MV_OFFSET_OF, …) ride Spark's
+    // transform/filter, which are CodegenFallback by construction in
+    // Spark itself — pin the non-HOF core (length/offset/ordinal/
+    // contains over STRING_TO_MV) instead, which must codegen end-to-end
+    Tables.registerAll(spark, dir)
+    graft.functions.DruidFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT p_partkey, MV_LENGTH(w) AS n, MV_OFFSET(w, 0) AS w0,
+                MV_ORDINAL(w, 2) AS w2, MV_CONTAINS(w, 'green') AS g
+         FROM (SELECT p_partkey, STRING_TO_MV(p_name, ' ') AS w FROM part)""")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("mvinput") && !p.contains("druidtypedequals") &&
+      !p.contains("jsoninputtext"),
+      "RuntimeReplaceable MV placeholders must fold away: " + p.take(600))
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      "MV projection must whole-stage codegen: " + p.take(1200))
+  }
+
   test("approximate topN plans through the custom exec and matches exact") {
     val events = Tables.load(spark, dir, "events")
     val approx = graft.plans.ApproxTopN

@@ -1,0 +1,323 @@
+#!/usr/bin/env python3
+"""Extract SQL + expectedResults literal grids from the reference's
+Java-coded Calcite test corpus (sql/src/test/java/.../calcite/
+Calcite*QueryTest.java) into the AuditSweep case format:
+{file, tid, query, cols, rows, dataset="calcite"}.
+
+Only cases whose referenced tables are covered by the sweep's calcite
+fixtures (foo / numfoo / druid.* / lookup.lookyloo / broadcast) and whose
+expected cells are pure literals (strings, numbers, null, timestamp()/
+day() helpers, Immutable/Arrays/List.of arrays, boxed constants) are
+emitted; everything else is counted as skipped with a reason histogram
+printed to stderr.
+
+Cell rendering matches AuditSweep.normCell: null -> "", timestamps ->
+"yyyy-MM-dd HH:mm:ss.SSS", doubles -> "1.0" for integral values, arrays
+-> "[a, b]" with nulls printed "null".
+"""
+import json
+import os
+import re
+import sys
+from collections import Counter
+from datetime import datetime, timedelta
+
+SRC = "/root/reference/sql/src/test/java/org/apache/druid/sql/calcite"
+
+FILES = [
+    "CalciteQueryTest.java",
+    "CalciteJoinQueryTest.java",
+    "CalciteMultiValueStringQueryTest.java",
+    "CalciteArraysQueryTest.java",
+    "CalciteSelectQueryTest.java",
+    "CalciteSimpleQueryTest.java",
+    "CalciteUnionQueryTest.java",
+    "CalciteGroupByQueryTest.java",
+    "CalciteCorrelatedQueryTest.java",
+    "CalciteLookupFunctionQueryTest.java",
+    "CalciteSubqueryTest.java",
+    "CalciteTimeBoundaryQueryTest.java",
+]
+
+# tables the sweep's registerCalciteFixtures provides
+KNOWN_TABLES = {
+    "foo", "numfoo", "broadcast", "lookyloo",
+    "druid.foo", "druid.numfoo", "druid.broadcast", "lookup.lookyloo",
+}
+
+STR = r'"(?:[^"\\]|\\.)*"'
+STRCAT = re.compile(r"(?:%s)(?:\s*\+\s*(?:%s))*" % (STR, STR))
+TABLE = re.compile(
+    r"\b(?:FROM|JOIN)\s+((?:\"[A-Za-z_][\w.]*\"|[A-Za-z_][\w]*)"
+    r"(?:\.(?:\"[A-Za-z_][\w]*\"|[A-Za-z_][\w]*))?)", re.I)
+
+
+def unescape_java(s):
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "n":
+                out.append("\n")
+            elif n == "t":
+                out.append("\t")
+            elif n == "r":
+                out.append("\r")
+            elif n == "u" and i + 5 < len(s):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            else:
+                out.append(n)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def eval_strcat(tok):
+    """A Java string-concat expression -> Python str, or None."""
+    parts = re.findall(STR, tok)
+    rebuilt = r"\s*\+\s*".join(re.escape(p) for p in parts)
+    if not re.fullmatch(rebuilt, tok.strip()):
+        return None
+    return "".join(unescape_java(p[1:-1]) for p in parts)
+
+
+def parse_ts(text):
+    """DateTimes.of-style string -> 'yyyy-MM-dd HH:mm:ss.SSS'."""
+    t = text.strip().replace("T", " ").rstrip("Z")
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", t):
+        t += " 00:00:00"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}", t):
+        t += ":00"
+    m = re.fullmatch(r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})(?:\.(\d{1,3}))?", t)
+    if not m:
+        return None
+    frac = (m.group(2) or "").ljust(3, "0")
+    return "%s.%s" % (m.group(1), frac)
+
+
+CONSTS = {
+    "Long.MAX_VALUE": "9223372036854775807",
+    "Long.MIN_VALUE": "-9223372036854775808",
+    "Integer.MAX_VALUE": "2147483647",
+    "Integer.MIN_VALUE": "-2147483648",
+    "Double.NaN": "NaN",
+    "Float.NaN": "NaN",
+    "Double.POSITIVE_INFINITY": "Infinity",
+    "Double.NEGATIVE_INFINITY": "-Infinity",
+    "Float.POSITIVE_INFINITY": "Infinity",
+    "Float.NEGATIVE_INFINITY": "-Infinity",
+}
+
+
+def fmt_num(tok):
+    t = tok.rstrip("LlFfDd")
+    try:
+        if re.fullmatch(r"[+-]?\d+", t) and not tok.lower().endswith(("f", "d")) \
+                and "." not in tok and "e" not in tok.lower():
+            return str(int(t))
+        v = float(t)
+    except ValueError:
+        return None
+    if v == int(v) and abs(v) < 1e15:
+        return "%d.0" % int(v)
+    return repr(v)
+
+
+def eval_cell(tok):
+    """One Java expected-cell expression -> rendered text, or None."""
+    tok = tok.strip()
+    if tok == "null":
+        return ""
+    if tok in ("true", "false"):
+        return tok
+    if tok in CONSTS:
+        return CONSTS[tok]
+    if re.fullmatch(STR, tok):
+        return unescape_java(tok[1:-1])
+    # string concat spanning source lines
+    cat = eval_strcat(tok)
+    if cat is not None:
+        return cat
+    m = re.fullmatch(r"(?:timestamp|day)\(\s*(%s)\s*\)" % STR, tok)
+    if m:
+        return parse_ts(unescape_java(m.group(1)[1:-1]))
+    m = re.fullmatch(
+        r"(?:ImmutableList|Arrays\.asList|List)\.of\(\s*(.*)\s*\)", tok, re.S)
+    if m or re.fullmatch(r"(?:Arrays\.asList|useDefault\b.*)", tok):
+        if not m:
+            return None
+        inner = split_args(m.group(1))
+        cells = []
+        for it in inner:
+            c = eval_cell(it)
+            if c is None:
+                return None
+            cells.append("null" if it.strip() == "null" else c)
+        return "[" + ", ".join(cells) + "]"
+    if re.fullmatch(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?[LlFfDd]?", tok):
+        return fmt_num(tok)
+    return None
+
+
+def split_args(s):
+    """Split a Java argument list on top-level commas."""
+    args, depth, cur, i, in_str = [], 0, [], 0, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            cur.append(c)
+            if c == "\\":
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+            cur.append(c)
+        elif c in "([{":
+            depth += 1
+            cur.append(c)
+        elif c in ")]}":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        args.append("".join(cur))
+    return args
+
+
+def object_rows(body):
+    """Every new Object[]{...} block in a method body, brace-matched."""
+    rows = []
+    for m in re.finditer(r"new Object\[\]\s*\{", body):
+        i = m.end()
+        depth = 1
+        in_str = False
+        start = i
+        while i < len(body) and depth > 0:
+            c = body[i]
+            if in_str:
+                if c == "\\":
+                    i += 1
+                elif c == '"':
+                    in_str = False
+            elif c == '"':
+                in_str = True
+            elif c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+            i += 1
+        rows.append(body[start:i - 1])
+    return rows
+
+
+def find_sql(body):
+    """First string-concat whose text starts like SQL."""
+    for m in STRCAT.finditer(body):
+        txt = eval_strcat(m.group(0))
+        if txt is None:
+            continue
+        if re.match(r"\s*(SELECT|WITH|INSERT|REPLACE|\()", txt, re.I):
+            return txt
+    return None
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/java_cases.jsonl"
+    skipped = Counter()
+    cases = []
+    for fname in FILES:
+        path = os.path.join(SRC, fname)
+        if not os.path.exists(path):
+            continue
+        text = open(path, encoding="utf-8").read()
+        # method bodies: from each @Test to the next @Test (or EOF)
+        methods = re.split(r"@Test\b", text)[1:]
+        for body in methods:
+            nm = re.search(r"public void (\w+)\s*\(", body)
+            tid = nm.group(1) if nm else "anon"
+            if "assertQueryIsUnplannable" in body or "expectedException" in body \
+                    or "ExpectedException" in body or "DruidException" in body:
+                skipped["error_case"] += 1
+                continue
+            if "LOS_ANGELES" in body:
+                skipped["tz_context"] += 1
+                continue
+            # contexts that change the RESULT grid (not just the plan)
+            if "OUTER_LIMIT_CONTEXT" in body or "sqlOuterLimit" in body \
+                    or "DONT_SKIP_EMPTY_BUCKETS" in body \
+                    or "skipEmptyBuckets" in body \
+                    or "TIMESERIES_CONTEXT" in body:
+                skipped["result_context"] += 1
+                continue
+            sql = find_sql(body)
+            if sql is None:
+                skipped["no_sql"] += 1
+                continue
+            tables = set(t.strip('"').lower() for t in TABLE.findall(sql))
+            # strip alias-only names resolved within the query (CTEs)
+            ctes = set(m.group(1).lower() for m in
+                       re.finditer(r"(\w+)\s+AS\s*\(", sql, re.I))
+            ext = {t for t in tables if t not in ctes}
+            if not ext or not ext.issubset(
+                    {k.lower() for k in KNOWN_TABLES}):
+                skipped["unknown_table"] += 1
+                continue
+            if "expectedResults" in body:
+                tail = body[body.index("expectedResults"):]
+            else:
+                tail = body
+            raw_rows = object_rows(tail)
+            if not raw_rows:
+                skipped["no_rows"] += 1
+                continue
+            rows = []
+            bad = False
+            for rr in raw_rows:
+                cells = []
+                for tok in split_args(rr):
+                    c = eval_cell(tok)
+                    if c is None:
+                        bad = True
+                        break
+                    cells.append(c)
+                if bad:
+                    break
+                rows.append(cells)
+            if bad:
+                skipped["complex_cell"] += 1
+                continue
+            ncols = {len(r) for r in rows}
+            if len(ncols) != 1:
+                skipped["ragged"] += 1
+                continue
+            cases.append({
+                "file": fname.replace(".java", "") + ".java",
+                "tid": tid,
+                "query": sql,
+                "cols": ["c%d" % i for i in range(next(iter(ncols)))],
+                "rows": rows,
+                "dataset": "calcite",
+            })
+    with open(out_path, "w") as f:
+        for c in cases:
+            f.write(json.dumps(c) + "\n")
+    print("emitted %d cases -> %s" % (len(cases), out_path), file=sys.stderr)
+    print("skipped: %s" % dict(skipped), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
