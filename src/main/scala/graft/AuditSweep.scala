@@ -40,7 +40,10 @@ object AuditSweep {
       val s = ts.toString // 2022-01-01 00:00:00.0
       if (s.matches(".*\\.\\d$")) s + "00" else s
     case d: Double => fmtDouble(d)
-    case f: Float => fmtDouble(f.toDouble)
+    // FLOAT prints at float precision (Druid renders FLOAT columns as
+    // their Float.toString — 0.1, not 0.10000000149011612)
+    case f: Float =>
+      if (f == f.floor && math.abs(f) < 1e15f) s"${f.toLong}.0" else f.toString
     case x => x.toString
   }
 
@@ -65,6 +68,17 @@ object AuditSweep {
     } catch { case _: Throwable => }
     // timestamp with/without trailing .000
     if (g.stripSuffix(".000") == e.stripSuffix(".000")) return 1
+    // the Java-coded corpus pins TIMESTAMP cells as raw epoch millis
+    // (BaseCalciteQueryTest rows carry timestamp(...) longs) — a rendered
+    // timestamp matching the millis value is the same instant
+    if (e.matches("-?\\d{9,}") &&
+        g.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{3}")) {
+      try {
+        val ms = java.time.LocalDateTime.parse(g.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        if (ms == e.toLong) return 1
+      } catch { case _: Throwable => }
+    }
     // Druid renders a SINGLE-ELEMENT multi-value string unwrapped and an
     // EMPTY multi-value as the empty cell (the documented MV-rendering
     // divergence) — count as lenient, not exact
@@ -255,14 +269,22 @@ object AuditSweep {
                  CAST(row_number() OVER (ORDER BY __time) AS FLOAT) AS m1,
                  CAST(row_number() OVER (ORDER BY __time) AS DOUBLE) AS m2,
                  CASE dim1 WHEN '' THEN '"AQAAAEAAAA=="'
-                   WHEN '1' THEN '"AQAAAQAAAAFREA=="' END AS unique_dim1
+                   WHEN '10.1' THEN '"AQAAAQAAAAHNBA=="'
+                   WHEN '2' THEN '"AQAAAQAAAAOzAg=="'
+                   WHEN '1' THEN '"AQAAAQAAAAFREA=="'
+                   WHEN 'def' THEN '"AQAAAQAAAACyEA=="'
+                   WHEN 'abc' THEN '"AQAAAQAAAAEkAQ=="' END AS unique_dim1
           FROM VALUES $fooRows AS t(__time, dim1, dim2, dim3)""")
       .withColumn("dim2", col("dim2").as("dim2", mvMeta))
       .withColumn("dim3", col("dim3").as("dim3", mvMeta))
+      // single partition in segment (__time) order: the reference's ANY/
+      // EARLIEST aggregators read rows in segment order, and the test
+      // grids pin first-row values (testAnyAggregatorsOnHeapNumericNulls)
+      .orderBy("__time").coalesce(1)
       .createOrReplaceTempView("foo")
+    // segment (__time) order, single partition — see the foo note
     spark.sql(
-      s"""CREATE OR REPLACE TEMPORARY VIEW numfoo AS
-          SELECT f.__time, f.dim1, f.dim2, f.dim3, n.dim4, n.dim5, n.dim6,
+      s"""SELECT f.__time, f.dim1, f.dim2, f.dim3, n.dim4, n.dim5, n.dim6,
                  n.dbl1, n.dbl2, n.f1, n.f2, n.l1, n.l2,
                  f.cnt, f.m1, f.m2
           FROM foo f JOIN VALUES
@@ -283,6 +305,8 @@ object AuditSweep {
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
             AS n(k, dim4, dim5, dim6, dbl1, dbl2, f1, f2, l1, l2)
           ON f.dim1 = n.k""")
+      .orderBy("__time").coalesce(1)
+      .createOrReplaceTempView("numfoo")
     // qualified spellings live in real catalog databases; the in-memory
     // catalog forgets tables between runs but the warehouse files remain,
     // so clear the location first
@@ -307,6 +331,20 @@ object AuditSweep {
     looky.toSeq.toDF("k", "v").write.mode("overwrite")
       .saveAsTable("lookup.lookyloo")
     graft.functions.LookupRegistry.register("lookyloo", looky)
+    // LookylooModule's sibling lookups: the injective one-to-one map on
+    // dim1 and the chainable map over lookyloo's values
+    graft.functions.LookupRegistry.register("lookyloo121", Map(
+      "" -> "x", "10.1" -> "x10.1", "2" -> "x2", "1" -> "x1",
+      "def" -> "xdef", "abc" -> "xabc"))
+    graft.functions.LookupRegistry.register("lookyloo-chain", Map(
+      "xa" -> "za", "xabc" -> "zabc", "x6" -> "z6"))
+    // the SQL LOOKUP() call sites need the registry-backed function
+    graft.functions.LookupRegistry.registerSql(spark)
+    // foo/numfoo carry druid.mv-tagged MVDs (dim2/dim3): grouping on them
+    // explodes per element in the reference — register so the facade's
+    // MVD groupBy dialect fires for these tables only
+    Seq("foo", "numfoo", "broadcast", "druid.foo", "druid.numfoo",
+      "druid.broadcast").foreach(graft.functions.MvdTables.register)
   }
 
   /** Result order is only guaranteed by an ORDER BY at paren depth 0 — an

@@ -505,6 +505,298 @@ object SqlApi {
     }
   }
 
+  /** Druid's groupBy EXPLODES a multi-value dimension into one group per
+    * element — a row with ["b","c"] contributes to groups b AND c, a null
+    * MVD row to the null group (Druid "Grouping on multi-value
+    * dimensions"; CalciteMultiValueStringQueryTest grids) — and the same
+    * applies to expressions OVER an MVD (the expression maps per element
+    * first). Spark groups the whole array as one key, so the facade
+    * rewrites: each MVD grouping expression moves into an explode
+    * Generate below the Aggregate and the grouping/select references
+    * swap to the exploded element. Gated on [[graft.functions.MvdTables]]
+    * — a query that touches no registered MVD table pays nothing; when it
+    * does, the aggregate's child is analyzed once to learn which columns
+    * carry the druid.mv tag.
+    */
+  private def mvdGroupByExplode(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction,
+      UnresolvedGenerator, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Generate, UnresolvedWith}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+    if (!graft.functions.MvdTables.any) return plan
+    def refsMvd(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.exists {
+        case r: UnresolvedRelation =>
+          graft.functions.MvdTables.isMvdTable(
+            r.multipartIdentifier.mkString("."))
+        case _ => false
+      }
+    if (!refsMvd(plan)) return plan
+    val cteDefs = plan.collect { case w: UnresolvedWith => w.cteRelations }
+      .flatten
+    val mvProducing = Set("mv_append", "mv_prepend", "mv_concat", "mv_slice",
+      "mv_filter_only", "mv_filter_none", "mv_filter_prefix",
+      "mv_filter_regex", "string_to_mv", "coalesce", "nvl", "concat",
+      "textcat", "upper", "lower", "nullif")
+    var idx = 0
+    def rewriteAgg(agg: Aggregate): org.apache.spark.sql.catalyst.plans
+        .logical.LogicalPlan = {
+      val childOut =
+        try {
+          val p = if (cteDefs.isEmpty) agg.child
+            else UnresolvedWith(agg.child, cteDefs)
+          spark.sessionState.analyzer.execute(p).output
+        } catch { case _: Exception => return agg }
+      def taggedAttr(name: String): Boolean = childOut.exists(a =>
+        a.name.equalsIgnoreCase(name) && a.metadata.contains("druid.mv") &&
+          a.dataType.isInstanceOf[ArrayType])
+      def exprIsMvd(e: Expression): Boolean = e match {
+        case u: UnresolvedAttribute => taggedAttr(u.nameParts.last)
+        case f: UnresolvedFunction
+            if mvProducing(f.nameParts.last.toLowerCase) =>
+          f.arguments.exists(exprIsMvd)
+        case m: graft.functions.MvElementwise => m.children.exists(exprIsMvd)
+        case _ => false
+      }
+      // GROUP BY <ordinal> points at the select item (the parser emits
+      // UnresolvedOrdinal; a plain integer literal covers older paths)
+      def ordinalOf(g: Expression): Option[Int] = g match {
+        case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal =>
+          Some(o.ordinal)
+        case Literal(i: Int, IntegerType) => Some(i)
+        case _ => None
+      }
+      def targetOf(g: Expression): Expression = ordinalOf(g) match {
+        case Some(i) if i >= 1 && i <= agg.aggregateExpressions.size =>
+          agg.aggregateExpressions(i - 1) match {
+            case Alias(c, _) => c
+            case UnresolvedAlias(c, _) => c
+            case other => other
+          }
+        case _ => g
+      }
+      var child = agg.child
+      var ae: Seq[NamedExpression] = agg.aggregateExpressions
+      var changed = false
+      val newGe = agg.groupingExpressions.map { g =>
+        val t = targetOf(g)
+        if (!exprIsMvd(t)) g
+        else {
+          changed = true
+          val gname = s"__mvg_$idx"; idx += 1
+          // concrete Coalesce (not an UnresolvedFunction) so the retry
+          // path's elementwise rewrite can never touch this wrapper
+          val gen = UnresolvedGenerator(FunctionIdentifier("explode"), Seq(
+            Coalesce(Seq(
+              Cast(t, ArrayType(StringType, containsNull = true)),
+              CreateArray(Seq(Literal.create(null, StringType)))))))
+          child = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+            qualifier = None,
+            generatorOutput = Seq(UnresolvedAttribute(gname)), child)
+          val rep = UnresolvedAttribute(gname)
+          def nameOf(e: Expression): String = e match {
+            case ua: UnresolvedAttribute => ua.nameParts.last
+            case f: UnresolvedFunction => f.nameParts.last.toLowerCase
+            case _ => gname
+          }
+          ae = ae.map {
+            case al @ Alias(c, n) if c == t => Alias(rep, n)()
+            case UnresolvedAlias(c, _) if c == t => Alias(rep, nameOf(t))()
+            case ua: UnresolvedAttribute if (ua: Expression) == t =>
+              Alias(rep, ua.nameParts.last)()
+            case other => other.transformDown {
+              case x if x == t => rep
+            }.asInstanceOf[NamedExpression]
+          }
+          if (ordinalOf(g).isDefined) g // ordinal still points there
+          else rep
+        }
+      }
+      if (!changed) agg
+      else agg.copy(groupingExpressions = newGe,
+        aggregateExpressions = ae, child = child)
+    }
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      p.transformUp {
+        case agg: Aggregate
+            if agg.groupingExpressions.nonEmpty &&
+              !agg.groupingExpressions.exists(
+                _.exists(_.isInstanceOf[BaseGroupingSets])) &&
+              refsMvd(agg) =>
+          rewriteAgg(agg)
+      }
+    walk(plan.transformUp {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map(t =>
+          t.copy(_2 = walk(t._2).asInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias])))
+    })
+  }
+
+  /** Druid's groupBy engine merges partial results SORTED BY THE
+    * DIMENSIONS, and the SQL layer's LimitSpec sort is stable over that
+    * input — so `GROUP BY d ORDER BY agg` lists TIED groups in dimension
+    * order, and with a LIMIT the dim-first ties are the ones that
+    * survive (the CalciteQueryTest testOrderByEarliest and
+    * testMultiValueString grids all pin it). Spark's sort ties are
+    * partition-arbitrary; append
+    * the grouping expressions ascending-nulls-first as trailing sort keys
+    * to model the reference's deterministic order. Skipped for GROUPING
+    * SETS (subtotal rows make dim order ill-defined) and when the sort
+    * already carries every grouping expression.
+    */
+  /** True when the plan reads a table registered as a Druid-native MVD
+    * datasource — the dialect rewrites that model the reference's
+    * segment/merge ORDER (tie-breakers, null collation, MVD explode)
+    * only apply there: for arbitrary tables the ingest order is unknown
+    * and the rewrites would just perturb Spark plans for nothing.
+    */
+  private def refsDruidTable(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    graft.functions.MvdTables.any && plan.exists {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        graft.functions.MvdTables.isMvdTable(
+          r.multipartIdentifier.mkString("."))
+      case _ => false
+    }
+
+  private def appendGroupTieBreakers(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, BaseGroupingSets, NullsFirst, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Sort}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedHaving
+    if (!refsDruidTable(plan)) return plan
+    def groupingOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
+      p match {
+        case a: Aggregate
+            if a.groupingExpressions.nonEmpty &&
+              !a.groupingExpressions.exists(
+                _.exists(_.isInstanceOf[BaseGroupingSets])) &&
+              // DISTINCT parses as Aggregate(grouping == aggregate list);
+              // appending its keys is harmless but noisy — skip
+              a.groupingExpressions != a.aggregateExpressions =>
+          Some(a.groupingExpressions)
+        case h: UnresolvedHaving => groupingOf(h.child)
+        case _ => None
+      }
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    plan.transformUp {
+      case s @ Sort(order, true, child, _) if groupingOf(child).isDefined =>
+        val ge = groupingOf(child).get
+        val present = order.map(_.child)
+        val extra = ge.filterNot(present.contains)
+          .map(g => SortOrder(g, Ascending, NullsFirst, Seq.empty))
+        if (extra.isEmpty) s else s.copy(order = order ++ extra)
+      // LIMIT with NO ORDER BY over a grouped query returns the
+      // dim-sorted head in the reference (the groupBy merge order —
+      // CalciteQueryTest testGroupByWithForceLimitPushDown expects the
+      // lexicographically first group); Spark's head is
+      // partition-arbitrary, so insert the dimension sort
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, child))
+          if groupingOf(child).isDefined =>
+        val ge = groupingOf(child).get
+        gl.copy(child = ll.copy(child = Sort(
+          ge.map(g => SortOrder(g, Ascending, NullsFirst, Seq.empty)),
+          global = true, child)))
+    }
+  }
+
+  /** Druid's groupBy ORDER BY over a NUMERIC AGGREGATE output sorts NULL
+    * as the LARGEST value — nulls LAST ascending, FIRST descending
+    * (CalciteQueryTest testOrderByAnyLong grid) — the aggregator
+    * comparators' convention, where Spark defaults to
+    * nulls-first-ascending. STRING keys and plain dimensions keep the
+    * lexicographic nulls-low order, and EARLIEST/LATEST sort by their
+    * (time, value) pair where the null pair is LOWEST
+    * (testOrderByEarliestLong) — so the flip targets only sort keys that
+    * resolve to a numeric-aggregate call in the aggregate below.
+    */
+  private def druidNullCollation(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction,
+      UnresolvedHaving, UnresolvedOrdinal}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Ascending, Descending, Expression, NamedExpression,
+      NullsFirst, NullsLast, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+    if (!refsDruidTable(plan)) return plan
+    val numericAggs = Set("sum", "count", "min", "max", "avg", "any_value",
+      "bit_and", "bit_or", "bit_xor", "approx_count_distinct", "count_if")
+    def aggOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[Aggregate] = p match {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => Some(a)
+      case h: UnresolvedHaving => aggOf(h.child)
+      case _ => None
+    }
+    def aggListOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[Seq[NamedExpression]] = aggOf(p).map(_.aggregateExpressions)
+    def isNumericAggCall(e: Expression): Boolean = e match {
+      case f: UnresolvedFunction =>
+        numericAggs(f.nameParts.last.toLowerCase)
+      // the parser builds ANY_VALUE (wrapped in an AggregateExpression)
+      // directly, without an UnresolvedFunction stage
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression =>
+        ae.aggregateFunction.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue]
+      case _ => false
+    }
+    plan.transformUp {
+      case s @ Sort(order, true, child, _) if aggListOf(child).isDefined =>
+        val ae = aggListOf(child).get
+        // a NUMERIC grouping DIMENSION also takes the nulls-high order
+        // (testNullLongTopN: GROUP BY l1 ORDER BY l1 DESC lists the null
+        // group first); resolve the aggregate's child once to learn types
+        lazy val childTypes: Map[String, org.apache.spark.sql.types.DataType] =
+          try {
+            spark.sessionState.analyzer.execute(aggOf(child).get.child)
+              .output.map(a => a.name.toLowerCase -> a.dataType).toMap
+          } catch { case _: Exception => Map.empty }
+        def numericCol(name: String): Boolean =
+          childTypes.get(name.toLowerCase).exists(
+            _.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        def targets(key: Expression): Boolean = key match {
+          case o: UnresolvedOrdinal
+              if o.ordinal >= 1 && o.ordinal <= ae.size =>
+            ae(o.ordinal - 1) match {
+              case Alias(c, _) => isNumericAggCall(c)
+              case UnresolvedAlias(c, _) => isNumericAggCall(c)
+              case other => isNumericAggCall(other)
+            }
+          case u: UnresolvedAttribute =>
+            ae.exists {
+              case Alias(c, n) =>
+                n.equalsIgnoreCase(u.nameParts.last) && isNumericAggCall(c)
+              case _ => false
+            } || numericCol(u.nameParts.last)
+          case e => isNumericAggCall(e)
+        }
+        s.copy(order = order.map {
+          case so @ SortOrder(k, Ascending, NullsFirst, _) if targets(k) =>
+            so.copy(nullOrdering = NullsLast)
+          case so @ SortOrder(k, Descending, NullsLast, _) if targets(k) =>
+            so.copy(nullOrdering = NullsFirst)
+          case so => so
+        })
+    }
+  }
+
   /** Druid computes window functions over the GROUPING SETS output rows
     * (the null-filled subtotal grid IS the window input — qaWin
     * sql_group_by A2/A3 shapes), where Spark's window extraction rejects
@@ -769,7 +1061,7 @@ object SqlApi {
     // once types resolve; DataFrame-API plans keep Spark's operator.
     def dialectCore(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-      decoupleGroupingSetWindows(
+      decoupleGroupingSetWindows(appendGroupTieBreakers(druidNullCollation(spark,
         maybeVariantKeyDialect(rewriteWindowDialect(p.transformAllExpressions {
         case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
           graft.functions.CalciteDiv(l, r)
@@ -779,6 +1071,12 @@ object SqlApi {
         case org.apache.spark.sql.catalyst.expressions.Cast(
             child, org.apache.spark.sql.types.LongType, _, mode) =>
           graft.functions.DruidLongCast(child, mode)
+        // …and CAST(x AS INTEGER/SMALLINT) takes the same lenient
+        // string-through-double parse (Druid INTEGER IS LONG)
+        case org.apache.spark.sql.catalyst.expressions.Cast(child, t, _, mode)
+            if t == org.apache.spark.sql.types.IntegerType ||
+              t == org.apache.spark.sql.types.ShortType =>
+          graft.functions.DruidLongCast(child, mode, t)
         // Calcite equality dialect: a NUMERIC literal against a column
         // coerces toward the COLUMN's type — over a VARCHAR column the
         // literal becomes its string form ('my_null' = 999 is FALSE, so
@@ -809,12 +1107,19 @@ object SqlApi {
             Seq("mv_overlap"), Seq(f,
               org.apache.spark.sql.catalyst.expressions.CreateArray(list)),
             isDistinct = false)
+        // Calcite's GROUPING takes any number of arguments and returns
+        // the bitmask — Spark's one-arg grouping() rejects it, but
+        // grouping_id() IS the multi-arg bitmask form
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("grouping") &&
+              f.arguments.size > 1 =>
+          f.copy(nameParts = Seq("grouping_id"))
         // expression dialect must reach subquery plans too — an IN
         // subquery spelling CAST(… AS BIGINT) on both sides would
         // otherwise get millis outside and seconds inside
         case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
           s.withNewPlan(dialectCore(s.plan))
-      })))
+      })))))
     // the variant-key walk touches every Aggregate — skip it unless the
     // text can possibly produce a VARIANT (measured at ~10ms/query on the
     // bench board otherwise)
@@ -827,13 +1132,13 @@ object SqlApi {
     // never descends into them, so apply the dialect pipeline to each
     // body explicitly (WITH t1 AS (… WHERE a_int=a_str) … was reaching
     // analysis untransformed)
-    val parsed = dialectCore(parsed0.transformUp {
+    val parsed = mvdGroupByExplode(spark, dialectCore(parsed0.transformUp {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
         w.copy(cteRelations = w.cteRelations.map { t =>
           t.copy(_2 = dialectCore(t._2).asInstanceOf[
             org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias])
         })
-    })
+    }))
     def sortHasWindow(s: Sort): Boolean =
       s.order.exists(_.exists(_.isInstanceOf[WindowExpression]))
     if (!parsed.exists { case s: Sort => sortHasWindow(s); case _ => false })
@@ -928,6 +1233,14 @@ object SqlApi {
           case _ => "="
         }
         def attrish(x: Expression): Boolean = x.isInstanceOf[UnresolvedAttribute]
+        val elementwiseNames =
+          Set("coalesce", "nvl", "concat", "textcat", "upper", "lower")
+        def mvFnCall(x: Expression): Boolean = x match {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            val n = f.nameParts.last.toLowerCase
+            elementwiseNames(n) || n.startsWith("mv_") || n == "string_to_mv"
+          case _ => false
+        }
         // the IN-subquery's standalone analysis must see the outer WITH's
         // CTE definitions (gate SQL defines its fixture tables as CTEs)
         val cteDefs = plan.collect {
@@ -944,8 +1257,30 @@ object SqlApi {
             : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
           p.transformAllExpressions {
             case c: BinaryComparison
-                if attrish(c.left) || attrish(c.right) =>
+                if attrish(c.left) || attrish(c.right) ||
+                  mvFnCall(c.left) || mvFnCall(c.right) =>
               graft.functions.CompatCompare(c.left, c.right, tag(c))
+            // scalar STRING functions over an MV operand map per element
+            // in the reference's expression layer (CONCAT(dim3,'foo'),
+            // COALESCE(dim2, dim1)); the node dispatches on resolved
+            // types and rebuilds the plain call when no MV is involved
+            case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                if elementwiseNames(f.nameParts.last.toLowerCase) &&
+                  f.arguments.nonEmpty && f.filter.isEmpty && !f.isDistinct =>
+              graft.functions.MvElementwise(
+                f.nameParts.last.toLowerCase, f.arguments)
+            // MVD LIKE matches ANY element (the MVD selector); scalar or
+            // untagged input keeps the plain LIKE
+            case l: Like if attrish(l.left) =>
+              graft.functions.MvLikeAny(l.left, l.right, l.escapeChar)
+            // IN over an MV-producing call = MVD filter (any element in
+            // the list) — mirror of the dialectCore mv_filter_* rule
+            case In(f, list)
+                if mvFnCall(f) && list.nonEmpty &&
+                  list.forall(_.isInstanceOf[Literal]) =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("mv_overlap"), Seq(f, CreateArray(list)),
+                isDistinct = false)
             // Druid's MVD IN: any element in the value list — OR of the
             // per-element-compatible equalities (CalciteJoinQueryTest
             // `dim2 IN ('a','b')` over the MV dim2)
@@ -1113,6 +1448,12 @@ object SqlApi {
   private[graft] def rewriteConcatAggDistinct(sqlText: String): String =
     sqlText.replaceAll("(?is)\\bARRAY_CONCAT_AGG\\s*\\(\\s*DISTINCT\\b",
       "ARRAY_CONCAT_AGG_DISTINCT(")
+      // STRING_AGG(DISTINCT …) emits the SORTED distinct set in the
+      // reference (the distinct fold is a TreeSet — CalciteQueryTest
+      // testStringAgg: ',1,10.1,2,abc,def'); the dedicated aggregate
+      // dedups + sorts internally, so the keyword drops
+      .replaceAll("(?is)\\b(?:STRING_AGG|LISTAGG)\\s*\\(\\s*DISTINCT\\b",
+        "STRING_AGG_SORTED(")
 
   /** Calcite's niladic `PI` — usable without parens (`SELECT pi AS col`,
     * qaArray scalar batteries) — becomes Spark's pi() call. Word-bounded

@@ -326,3 +326,83 @@ case class GraftInCollected(value: Expression, collected: Expression)
       l: Expression, r: Expression): GraftInCollected =
     copy(value = l, collected = r)
 }
+
+/** STRING_AGG(DISTINCT x, sep) — the reference's distinct fold is a
+  * TreeSet, so the output is the SORTED distinct set joined by the
+  * separator (CalciteQueryTest testStringAgg: ',1,10.1,2,abc,def').
+  * A dedicated aggregate (dedup + sort inside) because Spark's ListAgg
+  * loses its SortOrder children through the distinct-aggregate rewrite;
+  * the facade rewrites the DISTINCT spelling to this function, dropping
+  * the keyword. NULL inputs are skipped; an all-NULL group is SQL NULL.
+  */
+case class GraftStringAggSorted(
+    child: Expression,
+    delimiter: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[String]]
+  with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = delimiter
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "string_agg_sorted"
+
+  @transient private lazy val sep: String = {
+    val v = delimiter.eval(null)
+    if (v == null) "" else v.toString
+  }
+
+  override def createAggregationBuffer(): mutable.TreeSet[String] =
+    mutable.TreeSet.empty[String]
+
+  override def update(buf: mutable.TreeSet[String],
+                      input: InternalRow): mutable.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) buf += v.toString
+    buf
+  }
+
+  override def merge(a: mutable.TreeSet[String],
+                     b: mutable.TreeSet[String]): mutable.TreeSet[String] =
+    a ++= b
+
+  override def eval(buf: mutable.TreeSet[String]): Any =
+    if (buf.isEmpty) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      buf.mkString(sep))
+
+  override def serialize(buf: mutable.TreeSet[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+    }
+    out.close(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[String] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.TreeSet.empty[String]
+    var i = 0
+    while (i < n) {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf += new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): GraftStringAggSorted =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): GraftStringAggSorted =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftStringAggSorted =
+    copy(child = l, delimiter = r)
+}

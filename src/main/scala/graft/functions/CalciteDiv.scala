@@ -15,16 +15,26 @@ import org.apache.spark.sql.types._
 /** Druid's CAST(timestamp AS BIGINT) yields epoch MILLIS — timestamps ARE
   * millis longs in the reference's value space (CalciteJoinQueryTest
   * testJoinOnTimeseriesWithFloorOnTime expects 946684800000) — where
-  * Spark's cast yields epoch seconds. The facade swaps parsed
-  * long-casts for this node; non-timestamp inputs keep the original cast.
+  * Spark's cast yields epoch seconds. And a STRING casts to an integral
+  * type LENIENTLY through the double space (ExprEval: Longs.tryParse,
+  * then Doubles.tryParse truncated — CAST('10.1' AS INTEGER) is 10,
+  * CalciteQueryTest testSumOfString; non-numeric text stays NULL). The
+  * facade swaps parsed integral casts for this node; other inputs keep
+  * the original cast.
   */
-case class DruidLongCast(child: Expression, evalMode: EvalMode.Value)
+case class DruidLongCast(child: Expression, evalMode: EvalMode.Value,
+    target: DataType = LongType)
     extends Expression with RuntimeReplaceable {
 
   override lazy val replacement: Expression = child.dataType match {
-    case TimestampType =>
+    case TimestampType if target == LongType =>
       org.apache.spark.sql.catalyst.expressions.UnixMillis(child)
-    case _ => Cast(child, LongType, None, evalMode)
+    case StringType =>
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        Cast(child, target, None, EvalMode.TRY),
+        Cast(Cast(child, DoubleType, None, EvalMode.TRY),
+          target, None, EvalMode.TRY)))
+    case _ => Cast(child, target, None, evalMode)
   }
 
   override def children: Seq[Expression] = Seq(child)

@@ -63,6 +63,18 @@ case class CompatCompare(left: Expression, right: Expression, op: String)
       case (lt, _: ArrayType) if !lt.isInstanceOf[ArrayType] &&
           CompatCompare.mvTagged(right) =>
         mvAnyMatch(right, left, flip = true)
+      // a fractional LITERAL coerces toward a narrower fractional COLUMN
+      // (Druid casts the literal to the column type: f1 = 0.1 matches the
+      // FLOAT 0.1f — CalciteQueryTest testFilterFloatDimension — where a
+      // double-space compare would see 0.10000000149011612 ≠ 0.1)
+      case (FloatType, rt)
+          if (rt == DoubleType || rt.isInstanceOf[DecimalType]) &&
+            right.isInstanceOf[Literal] =>
+        mk(left, Cast(right, FloatType, None, EvalMode.TRY))
+      case (lt, FloatType)
+          if (lt == DoubleType || lt.isInstanceOf[DecimalType]) &&
+            left.isInstanceOf[Literal] =>
+        mk(Cast(left, FloatType, None, EvalMode.TRY), right)
       // Calcite coerces a STRING against a temporal column toward the
       // TEMPORAL side (`__time >= '2000-01-01'` compares as timestamps —
       // a string-space widening would compare formatted text); the
@@ -102,6 +114,8 @@ object CompatCompare {
     case at: AttributeReference => at.metadata.contains("druid.mv")
     case al: Alias => mvTagged(al.child)
     case c: Cast => mvTagged(c.child)
+    // an elementwise map over an MV operand produces an MV
+    case m: MvElementwise => m.producesMv
     case _ => false
   }
 }

@@ -1845,6 +1845,27 @@ object DruidFunctions {
         If(EqualTo(Size(res), Literal(0)),
           Literal.create(null, ArrayType(StringType)), res)
       }),
+      // FilteredPrefix / FilteredRegex ride the SAME
+      // ListFilteredVirtualColumn value space — an EMPTY filter result is
+      // the null row value, never [] (CalciteMultiValueStringQueryTest
+      // testMultiValueRegexFilter groups merge the no-match rows with the
+      // null rows)
+      "mv_filter_prefix" -> ((a: Seq[Expression]) => {
+        val res = fn("filter",
+          Cast(graft.functions.MvInput(a.head), ArrayType(StringType)),
+          lam(x => fn("coalesce",
+            fn("startswith", x, Cast(a(1), StringType)), Literal(false))))
+        If(EqualTo(Size(res), Literal(0)),
+          Literal.create(null, ArrayType(StringType)), res)
+      }),
+      "mv_filter_regex" -> ((a: Seq[Expression]) => {
+        val res = fn("filter",
+          Cast(graft.functions.MvInput(a.head), ArrayType(StringType)),
+          lam(x => fn("coalesce",
+            fn("rlike", x, Cast(a(1), StringType)), Literal(false))))
+        If(EqualTo(Size(res), Literal(0)),
+          Literal.create(null, ArrayType(StringType)), res)
+      }),
       // [start, end) 0-based (Function.java ArraySliceFunction:4646-4656):
       // end defaults to the array length (2-arg form); Arrays.copyOfRange
       // semantics — `start < 0 || start > length || start > end` → NULL
@@ -1970,6 +1991,17 @@ object DruidFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
           Cast(graft.functions.TimeAsMillis(a.head), StringType),
           a(1), Nil, 0, 0)
+      }),
+      // STRING_AGG(DISTINCT …) — the reference's distinct fold is a
+      // TreeSet, so the output is the SORTED distinct set (CalciteQueryTest
+      // testStringAgg); the facade routes the DISTINCT spelling here and
+      // the aggregate dedups + sorts internally
+      "string_agg_sorted" -> ((a: Seq[Expression]) => {
+        require(a.size == 2 || a.size == 3,
+          s"string_agg takes 2 or 3 arguments, got ${a.size}")
+        a.lift(2).foreach(requirePositiveSizeLiteral("string_agg", _))
+        graft.functions.GraftStringAggSorted(
+          Cast(graft.functions.TimeAsMillis(a.head), StringType), a(1))
       }),
       // concat-agg: skip NULL input arrays (stock collect_list), keep inner
       // nulls, flatten partition-wise
@@ -2129,12 +2161,8 @@ object DruidFunctions {
       // reference SQL TEXTCAT (DruidOperatorTable) — two-string concat,
       // NULL-propagating like ||
       "TEXTCAT(a STRING, b STRING) RETURNS STRING RETURN concat(a, b)",
-      // reference MultiValueStringOperatorConversions.FilteredPrefix /
-      // FilteredRegex: keep only MVD cells matching a prefix / regex
-      "MV_FILTER_PREFIX(a ARRAY<STRING>, p STRING) RETURNS ARRAY<STRING> " +
-        "RETURN filter(a, x -> startswith(x, p))",
-      "MV_FILTER_REGEX(a ARRAY<STRING>, r STRING) RETURNS ARRAY<STRING> " +
-        "RETURN filter(a, x -> x RLIKE r)",
+      // (MV_FILTER_PREFIX / MV_FILTER_REGEX live in catalystBuilders with
+      // the ListFilteredVirtualColumn empty-result-is-NULL convention)
       // (JSON_VALUE / JSON_QUERY / JSON_KEYS live in catalystBuilders: the
       // JsonWalk transcription of NestedPathFinder — primitive-array
       // pass-through, negative-index and '$.'-root rules, loud slice/union

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Cast, CreateArray, EvalMode, Expression, If, IsNull, Literal}
+  Cast, Coalesce, CreateArray, EvalMode, Expression, If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
 import org.apache.spark.sql.types._
 
@@ -29,6 +29,13 @@ case class MvInput(child: Expression, nullAsSingleNull: Boolean = false)
   override def children: Seq[Expression] = Seq(child)
 
   override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(et, _) if nullAsSingleNull && CompatCompare.mvTagged(child) =>
+      // an MVD column's null row IS the single-null MV in the reference
+      // (a null MVD selector matches it): MV_CONTAINS(dim3, ARRAY[NULL])
+      // keeps the null-dim3 rows (CalciteMultiValueStringQueryTest
+      // testMultiValueStringContainsFilterNull) — TRUE arrays keep the
+      // null-in/null-out convention below
+      Coalesce(Seq(child, CreateArray(Seq(Literal.create(null, et)))))
     case _: ArrayType => child
     case StringType =>
       if (nullAsSingleNull) CreateArray(Seq(child))

@@ -224,6 +224,49 @@ def object_rows(body):
     return rows
 
 
+def match_paren(s, open_idx):
+    """Index just past the ')' matching s[open_idx] == '('."""
+    depth, i, in_str = 0, open_idx, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 1
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return len(s)
+
+
+def expected_block(body):
+    """The span holding the expected-result Object[] rows: an explicit
+    `List<Object[]> expected = ImmutableList.of(...)` variable, the
+    expectedResults(...) call, else the LAST ImmutableList.of(...) whose
+    content starts directly with `new Object[` (native-query builders'
+    nested inline datasources also start that way, but the final results
+    argument comes after them)."""
+    mvar = re.search(r"List<Object\[\]>\s+expected\s*=\s*ImmutableList\.of\(",
+                     body)
+    if mvar:
+        return body[mvar.end() - 1:match_paren(body, mvar.end() - 1)]
+    if "expectedResults" in body:
+        return body[body.index("expectedResults"):]
+    best = None
+    for m in re.finditer(r"ImmutableList\.of\(", body):
+        span = body[m.end() - 1:match_paren(body, m.end() - 1)]
+        if span[1:].lstrip().startswith("new Object["):
+            best = span
+    return best if best is not None else body
+
+
 def find_sql(body):
     """First string-concat whose text starts like SQL."""
     for m in STRCAT.finditer(body):
@@ -263,6 +306,14 @@ def main():
                     or "TIMESERIES_CONTEXT" in body:
                 skipped["result_context"] += 1
                 continue
+            # a method driving several queries would blend their expected
+            # grids into one case — skip
+            if len(re.findall(r"testQuery\(|testBuilder\(\)", body)) > 1:
+                skipped["multi_query"] += 1
+                continue
+            if "%s" in body.split("ImmutableList")[0]:
+                skipped["format_sql"] += 1
+                continue
             sql = find_sql(body)
             if sql is None:
                 skipped["no_sql"] += 1
@@ -276,11 +327,7 @@ def main():
                     {k.lower() for k in KNOWN_TABLES}):
                 skipped["unknown_table"] += 1
                 continue
-            if "expectedResults" in body:
-                tail = body[body.index("expectedResults"):]
-            else:
-                tail = body
-            raw_rows = object_rows(tail)
+            raw_rows = object_rows(expected_block(body))
             if not raw_rows:
                 skipped["no_rows"] += 1
                 continue
