@@ -7563,7 +7563,7 @@ object SparkEntry {
     DrillAggregates.queries ++ DrillLeadLag.queries ++
     DrillMultiPartitions.queries ++ DrillNestedAggs.queries ++
     DrillWindowMisc.queries ++ QaSqlBatteries.queries ++
-    CalciteJoinShapes.queries ++ SqlQuidemShapes.queries
+    CalciteJoinShapes.queries ++ SqlQuidemShapes.queries ++ MvdGates.queries
 
   // =========================================================================
   // DuckDB oracles (ANSI SQL over the same parquet tables)
@@ -11237,5 +11237,5 @@ object SparkEntry {
     DrillAggregates.oracleSql ++ DrillLeadLag.oracleSql ++
     DrillMultiPartitions.oracleSql ++ DrillNestedAggs.oracleSql ++
     DrillWindowMisc.oracleSql ++ QaSqlBatteries.oracleSql ++
-    CalciteJoinShapes.oracleSql ++ SqlQuidemShapes.oracleSql
+    CalciteJoinShapes.oracleSql ++ SqlQuidemShapes.oracleSql ++ MvdGates.oracleSql
 }

@@ -1221,6 +1221,7 @@ object SqlApi {
           if Option(e.getMessage).exists(m =>
             m.contains("BINARY_OP_DIFF_TYPES") ||
               m.contains("DATA_DIFF_TYPES") ||
+              m.contains("UNEXPECTED_INPUT_TYPE") ||
               m.contains("IN_SUBQUERY_DATA_TYPE_MISMATCH")) =>
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         import org.apache.spark.sql.catalyst.expressions._
@@ -1234,7 +1235,8 @@ object SqlApi {
         }
         def attrish(x: Expression): Boolean = x.isInstanceOf[UnresolvedAttribute]
         val elementwiseNames =
-          Set("coalesce", "nvl", "concat", "textcat", "upper", "lower")
+          Set("coalesce", "nvl", "concat", "textcat", "upper", "lower",
+            "nullif")
         def mvFnCall(x: Expression): Boolean = x match {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
             val n = f.nameParts.last.toLowerCase
@@ -1273,6 +1275,10 @@ object SqlApi {
             // untagged input keeps the plain LIKE
             case l: Like if attrish(l.left) =>
               graft.functions.MvLikeAny(l.left, l.right, l.escapeChar)
+            // the parser builds NULLIF directly (no UnresolvedFunction
+            // stage) — route it through the elementwise MV map too
+            case n: NullIf =>
+              graft.functions.MvElementwise("nullif", Seq(n.left, n.right))
             // IN over an MV-producing call = MVD filter (any element in
             // the list) — mirror of the dialectCore mv_filter_* rule
             case In(f, list)
@@ -2177,8 +2183,11 @@ object SqlApi {
     // AS u(c) INNER JOIN t2 ON u.c = …` (a shape all over the reference
     // corpus) could not be expressed — a JOIN LATERAL derived table
     // composes with subsequent joins and keeps the alias addressable
+    // mv_unnest_input: a null MVD row unnests to a null-element row
+    // (resolved lazily on the druid.mv tag; TRUE arrays pass through)
     val replaced = sqlText.substring(0, start) +
-      s" JOIN LATERAL (SELECT explode($expr) AS $colName) $alias" + restAfter
+      s" JOIN LATERAL (SELECT explode(mv_unnest_input($expr)) AS $colName)" +
+      s" $alias" + restAfter
     rewriteUnnest(replaced) // handle multiple UNNESTs
   }
 

@@ -53,15 +53,18 @@ case class CompatCompare(left: Expression, right: Expression, op: String)
             val s = ArrayType(StringType, containsNull = true)
             mk(Cast(left, s), Cast(right, s))
         }
-      // only MV-tagged string columns take the any-element-match dialect;
-      // a TRUE ARRAY column vs a scalar keeps the original comparison so
-      // analysis rejects it exactly like the reference's validator
-      // (qaArray !error grids)
+      // only MVD-derived arrays take the any-element-match dialect — a
+      // tagged column or any expression over one (MV_FILTER_ONLY(dim3,…)
+      // = 'b' filters per element); a TRUE ARRAY column vs a scalar keeps
+      // the original comparison so analysis rejects it exactly like the
+      // reference's validator (qaArray !error grids)
       case (_: ArrayType, rt) if !rt.isInstanceOf[ArrayType] &&
-          CompatCompare.mvTagged(left) =>
+          (CompatCompare.mvTagged(left) ||
+            CompatCompare.treeHasMvTag(left)) =>
         mvAnyMatch(left, right, flip = false)
       case (lt, _: ArrayType) if !lt.isInstanceOf[ArrayType] &&
-          CompatCompare.mvTagged(right) =>
+          (CompatCompare.mvTagged(right) ||
+            CompatCompare.treeHasMvTag(right)) =>
         mvAnyMatch(right, left, flip = true)
       // a fractional LITERAL coerces toward a narrower fractional COLUMN
       // (Druid casts the literal to the column type: f1 = 0.1 matches the
@@ -87,12 +90,15 @@ case class CompatCompare(left: Expression, right: Expression, op: String)
         TypeCoercion.findWiderTypeForTwo(lt, rt) match {
           case Some(w) => mk(Cast(left, w, Some("UTC"), EvalMode.LEGACY),
             Cast(right, w, Some("UTC"), EvalMode.LEGACY))
-          // otherwise the STRING side casts toward the typed side;
+          // otherwise the STRING side casts toward the typed side (only
+          // when that cast exists — an uncastable target would make the
+          // REPLACEMENT itself unresolvable, an internal error instead of
+          // the reference's clean validation failure);
           // incomparable non-string pairs keep the original comparison
           // so analysis reports them
-          case None if rt == StringType =>
+          case None if rt == StringType && Cast.canCast(rt, lt) =>
             mk(left, Cast(right, lt, Some("UTC"), EvalMode.TRY))
-          case None if lt == StringType =>
+          case None if lt == StringType && Cast.canCast(lt, rt) =>
             mk(Cast(left, rt, Some("UTC"), EvalMode.TRY), right)
           case None => mk(left, right)
         }
@@ -116,6 +122,20 @@ object CompatCompare {
     case c: Cast => mvTagged(c.child)
     // an elementwise map over an MV operand produces an MV
     case m: MvElementwise => m.producesMv
+    case _ => false
+  }
+
+  /** True when ANYWHERE in the tree a druid.mv-tagged attribute appears.
+    * OuterReference is a LEAF expression (correlated lateral subqueries
+    * wrap the outer attribute in one), so a plain exists() cannot see
+    * through it — unwrap explicitly.
+    */
+  def treeHasMvTag(e: Expression): Boolean = e.exists {
+    case a: AttributeReference => a.metadata.contains("druid.mv")
+    case o: OuterReference => o.e match {
+      case a: AttributeReference => a.metadata.contains("druid.mv")
+      case _ => false
+    }
     case _ => false
   }
 }

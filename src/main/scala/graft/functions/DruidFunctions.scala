@@ -357,6 +357,12 @@ object DruidFunctions {
       e: org.apache.spark.sql.catalyst.expressions.Expression): Unit = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
       if v.longValue >= 10 && v.longValue <= Int.MaxValue => ()
+    // the SQL dialect wraps integral casts (CAST(128 AS INTEGER)) in
+    // DruidLongCast — unwrap for the literal check
+    case graft.functions.DruidLongCast(inner, _, _) =>
+      requirePositiveSizeLiteral(fn, inner)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      requirePositiveSizeLiteral(fn, c.child)
     case other => throw new IllegalArgumentException(
       s"$fn maxBytes must be a numeric literal in [10, ${Int.MaxValue}], " +
         s"got $other")
@@ -1818,6 +1824,11 @@ object DruidFunctions {
       "mv_to_array" -> ((a: Seq[Expression]) =>
         graft.functions.MvInput(a.head)),
       "array_to_mv" -> ((a: Seq[Expression]) => a.head),
+      // UNNEST input: a null MVD row unnests to a null-element row (the
+      // MVD selector convention); TRUE arrays pass through — the facade's
+      // unnest rewrite wraps every operand with this
+      "mv_unnest_input" -> ((a: Seq[Expression]) =>
+        graft.functions.MvUnnestInput(a.head)),
       // MV_FILTER_ONLY/NONE ride the scalar-MV coercion too (the qaUnnest
       // corpus filters the unnested scalar c); the VARCHAR-MV space is the
       // reference's (MultiValueStringOperatorConversions — string MVs

@@ -22,10 +22,7 @@ case class MvElementwise(name: String, children: Seq[Expression])
     extends RuntimeReplaceable {
 
   private def isMv(e: Expression): Boolean =
-    e.dataType.isInstanceOf[ArrayType] && e.exists {
-      case a: AttributeReference => a.metadata.contains("druid.mv")
-      case _ => false
-    }
+    e.dataType.isInstanceOf[ArrayType] && CompatCompare.treeHasMvTag(e)
 
   /** True when some operand is an MV — the result is then an MV too
     * (CompatCompare's filter dialect keys on this). */
@@ -41,6 +38,9 @@ case class MvElementwise(name: String, children: Seq[Expression])
     case "concat" | "textcat" => Concat(args.map(str))
     case "upper" => Upper(args.head)
     case "lower" => Lower(args.head)
+    case "nullif" =>
+      If(EqualNullSafe(str(args.head), str(args(1))),
+        Literal.create(null, StringType), str(args.head))
     case _ => Coalesce(args) // unreachable by construction
   }
 
@@ -53,11 +53,19 @@ case class MvElementwise(name: String, children: Seq[Expression])
         case "concat" | "textcat" => Concat(children)
         case "upper" => Upper(children.head)
         case "lower" => Lower(children.head)
+        case "nullif" =>
+          If(EqualNullSafe(children.head, children(1)),
+            Literal.create(null, children.head.dataType), children.head)
         case _ => Coalesce(children)
       }
     } else {
-      val arr = Cast(children(mvIdx), ArrayType(StringType, containsNull = true))
-      def applied(x: Expression) = rebuild(children.updated(mvIdx, x))
+      val mv = children(mvIdx)
+      val arr = Cast(mv, ArrayType(StringType, containsNull = true))
+      // every occurrence of the SAME MV expression maps together —
+      // CONCAT(dim3, dim3) applies per element as concat(x, x)
+      // (the reference's single-MV-per-expression mapping rule)
+      def applied(x: Expression) =
+        rebuild(children.map(c => if (c == mv) x else c))
       val v = NamedLambdaVariable("graft_mv_e", StringType, nullable = true)
       val mapped = ArrayTransform(arr, LambdaFunction(applied(v), Seq(v)))
       // a NULL MV row evaluates the expression once with the null scalar;
@@ -98,4 +106,26 @@ case class MvLikeAny(left: Expression, right: Expression, escapeChar: Char)
 
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): MvLikeAny = copy(left = c(0), right = c(1))
+}
+
+/** UNNEST input adapter: unnesting a multi-value DIMENSION emits a row
+  * with a NULL element for each null-MVD row — the reference's unnest
+  * cursor reads the MVD selector where the null row IS the single-null
+  * value (CalciteArraysQueryTest testUnnest: 8 rows over numfoo.dim3,
+  * two of them null) — while TRUE arrays skip null rows like a plain
+  * explode. Dispatch is on the druid.mv tag in the resolved tree, so
+  * untagged array unnests pass through untouched.
+  */
+case class MvUnnestInput(child: Expression) extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(et, _) if CompatCompare.treeHasMvTag(child) =>
+      Coalesce(Seq(child, CreateArray(Seq(Literal.create(null, et)))))
+    case _ => child
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MvUnnestInput = copy(child = c.head)
 }

@@ -67,14 +67,15 @@ class SqlApiSpec extends AnyFunSuite {
   test("UNNEST rewrite: CROSS JOIN form") {
     val s = SqlApi.rewriteUnnest(
       "SELECT w FROM nation CROSS JOIN UNNEST(split(n_comment, ' ')) AS t (w)")
-    assert(s.contains("JOIN LATERAL (SELECT explode(split(n_comment, ' ')) AS w) t"))
-    assert(!s.toUpperCase.contains("UNNEST"))
+    assert(s.contains("JOIN LATERAL (SELECT explode(mv_unnest_input(split(n_comment, ' '))) AS w) t"))
+    // the UNNEST keyword is gone (mv_unnest_input is the null-row adapter)
+    assert(!s.toUpperCase.contains("UNNEST("))
   }
 
   test("UNNEST rewrite: comma form and nested parens") {
     val s = SqlApi.rewriteUnnest(
       "SELECT x FROM t, UNNEST(filter(a, v -> v > (1+2))) AS u(x) WHERE x > 0")
-    assert(s.contains("JOIN LATERAL (SELECT explode(filter(a, v -> v > (1+2))) AS x) u"))
+    assert(s.contains("JOIN LATERAL (SELECT explode(mv_unnest_input(filter(a, v -> v > (1+2)))) AS x) u"))
   }
 
   test("UNNEST inside a string literal is untouched") {
@@ -252,7 +253,7 @@ class SqlApiSpec extends AnyFunSuite {
   test("CROSS JOIN with extra whitespace before UNNEST rewrites cleanly") {
     val s = SqlApi.rewriteUnnest(
       "SELECT w FROM nation CROSS  JOIN\nUNNEST(split(c, ' ')) AS t (w)")
-    assert(s.contains("JOIN LATERAL (SELECT explode(split(c, ' ')) AS w) t"))
+    assert(s.contains("JOIN LATERAL (SELECT explode(mv_unnest_input(split(c, ' '))) AS w) t"))
     assert(!s.toUpperCase.contains("CROSS"))
   }
 

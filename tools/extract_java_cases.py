@@ -318,6 +318,9 @@ def main():
             if sql is None:
                 skipped["no_sql"] += 1
                 continue
+            if "?" in sql:  # dynamic-parameter tests bind values we lack
+                skipped["dynamic_param"] += 1
+                continue
             tables = set(t.strip('"').lower() for t in TABLE.findall(sql))
             # strip alias-only names resolved within the query (CTEs)
             ctes = set(m.group(1).lower() for m in
