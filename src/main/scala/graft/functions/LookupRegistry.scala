@@ -3,8 +3,10 @@ package graft.functions
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Coalesce, ElementAt, Expression, Literal}
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{
+  ArrayTransform, Cast, Coalesce, ElementAt, EvalMode, Expression,
+  LambdaFunction, Literal, NamedLambdaVariable, RuntimeReplaceable}
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Named lookup tables (reference: the lookup framework —
@@ -132,8 +134,40 @@ object LookupRegistry {
     // raw Catalyst nodes (a Column-node wrapper would not survive codegen
     // when spliced into a parsed SQL tree)
     val mapLit = Literal.create(mapping, MapType(StringType, StringType))
-    val hit = ElementAt(mapLit, args.head)
-    if (args.size > 2) Coalesce(Seq(hit, args(2))) else hit
+    LookupApply(args.head, mapLit, args.lift(2))
+  }
+
+  /** LOOKUP over a MULTI-VALUE key maps per element — the reference's
+    * lookup extractionFn applies to each value of an MVD expression
+    * (CalciteLookupFunctionQueryTest testFilterLookupOfConcat:
+    * LOOKUP(CONCAT(dim1, 'b', dim2), …) over the MV dim2). Scalar keys
+    * keep the plain map probe. Dispatch needs the resolved key type,
+    * hence RuntimeReplaceable.
+    */
+  case class LookupApply(key: Expression, map: Expression,
+      replace: Option[Expression]) extends RuntimeReplaceable {
+
+    override def children: Seq[Expression] = Seq(key, map) ++ replace
+
+    private def probe(k: Expression): Expression = {
+      val hit = ElementAt(map, k)
+      replace.map(r => Coalesce(Seq(hit, r))).getOrElse(hit)
+    }
+
+    override lazy val replacement: Expression = key.dataType match {
+      case _: ArrayType =>
+        val v = NamedLambdaVariable("graft_lk", StringType, nullable = true)
+        ArrayTransform(
+          Cast(key, ArrayType(StringType, containsNull = true)),
+          LambdaFunction(probe(v), Seq(v)))
+      case StringType => probe(key)
+      case _ => probe(Cast(key, StringType, Some("UTC"), EvalMode.TRY))
+    }
+
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): LookupApply =
+      copy(key = c(0), map = c(1),
+        replace = if (c.size > 2) Some(c(2)) else None)
   }
 
   /** Register the SQL function on a session. */

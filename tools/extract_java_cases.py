@@ -268,7 +268,18 @@ def expected_block(body):
 
 
 def find_sql(body):
-    """First string-concat whose text starts like SQL."""
+    """First string-concat whose text starts like SQL. The
+    CalciteLookupFunctionQueryTest template builder is expanded inline
+    (83 cases share it)."""
+    m = re.search(r"buildFilterTestSql\(\s*(%s(?:\s*\+\s*%s)*)\s*\)"
+                  % (STR, STR), body)
+    if m:
+        cond = eval_strcat(m.group(1))
+        if cond is not None:
+            return ("SELECT LOOKUP(dim1, 'lookyloo'), COUNT(*) FROM foo\n"
+                    "WHERE (" + cond + ") AND "
+                    "TIME_IN_INTERVAL(__time, '2000/3000')\n"
+                    "GROUP BY LOOKUP(dim1, 'lookyloo')")
     for m in STRCAT.finditer(body):
         txt = eval_strcat(m.group(0))
         if txt is None:
@@ -332,8 +343,15 @@ def main():
                 continue
             raw_rows = object_rows(expected_block(body))
             if not raw_rows:
-                skipped["no_rows"] += 1
-                continue
+                # an explicitly EMPTY final ImmutableList.of() is a real
+                # expectation: the filter matches nothing
+                empties = [m for m in
+                           re.finditer(r"ImmutableList\.of\(\s*\)", body)]
+                if empties and body[empties[-1].end():].strip()[:2] in (");", ")\n"):
+                    pass  # falls through with rows = []
+                else:
+                    skipped["no_rows"] += 1
+                    continue
             rows = []
             bad = False
             for rr in raw_rows:
@@ -351,14 +369,15 @@ def main():
                 skipped["complex_cell"] += 1
                 continue
             ncols = {len(r) for r in rows}
-            if len(ncols) != 1:
+            if rows and len(ncols) != 1:
                 skipped["ragged"] += 1
                 continue
             cases.append({
                 "file": fname.replace(".java", "") + ".java",
                 "tid": tid,
                 "query": sql,
-                "cols": ["c%d" % i for i in range(next(iter(ncols)))],
+                "cols": ["c%d" % i
+                         for i in range(next(iter(ncols)) if ncols else 0)],
                 "rows": rows,
                 "dataset": "calcite",
             })
