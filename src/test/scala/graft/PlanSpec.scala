@@ -107,6 +107,21 @@ class PlanSpec extends AnyFunSuite {
       "MV projection must whole-stage codegen: " + p.take(1200))
   }
 
+  test("MVD groupBy explode plans one Generate below the aggregate") {
+    // the MVD grouping dialect must EXPLODE (a narrow Generate feeding
+    // the hash aggregate), never expand to a join or re-scan: one scan,
+    // one generate, no cartesian — the shape that scales to wide MVDs
+    val df = SparkEntry.queries("q_mvd_groupby_explode")(spark, dir)
+    df.collect()
+    // AQE prints Final and Initial plans — inspect the final one only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("Generate explode"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "no cartesian: " + p.take(800))
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      "exactly one explode: " + p.take(800))
+  }
+
   test("approximate topN plans through the custom exec and matches exact") {
     val events = Tables.load(spark, dir, "events")
     val approx = graft.plans.ApproxTopN
