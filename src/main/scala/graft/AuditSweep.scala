@@ -347,6 +347,205 @@ object AuditSweep {
       "druid.broadcast").foreach(graft.functions.MvdTables.register)
   }
 
+  /** CalciteNestedDataQueryTest's six datasources (reference:
+    * sql/src/test/java/.../CalciteNestedDataQueryTest.java:104-161 and
+    * processing test resources). Nested columns follow the engine's
+    * nested-as-STRING convention: compact JSON text, so a raw SELECT
+    * renders exactly the reference's COMPLEX<json> output (scalar strings
+    * keep their JSON quotes — `"hello"`), JSON_VALUE/JSON_QUERY walk the
+    * text, and text ordering matches the reference's grouping order.
+    *
+    *  - `nested` = RAW_ROWS (7 docs, auto-typed scalars + nest/nester).
+    *  - `nested_mix`/`nested_mix_2` = the same rows ingested as TWO
+    *    segments (scalar-typed vs auto-typed scalar columns — the cell
+    *    values are identical, so both tables are the 7 rows duplicated).
+    *  - `arrays` = nested-array-test-data.json (14 docs): single-type
+    *    arrays ingest as typed ARRAY columns; the variant array ingests
+    *    as per-row stringified elements; nested arrays/objects as JSON.
+    *  - `all_auto`/`all_auto_realtime` = nested-all-types-test-data.json
+    *    (7 docs): booleans land LONG 1/0, mixed scalar+object columns
+    *    land COMPLEX<json> (string values render quoted), mixed
+    *    scalar+array variants render scalars bare and arrays as JSON.
+    */
+  private def registerNestedFixtures(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, lit, to_timestamp}
+    // every column of these AUTO-typed tables carries the druid.autojson
+    // tag: JSON functions read the specialized-field semantics
+    // (single-element arrays unwrap, scalars wrap under array RETURNING,
+    // negative indexes resolve — JsonWalk.valueTyped)
+    val autoMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("druid.autojson", true).build()
+    def tagAll(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.select(df.columns.map(c =>
+        col("`" + c + "`").as(c, autoMeta)): _*)
+    // nested columns read from the raw file keep the file's whitespace;
+    // the reference renders COMPLEX<json> COMPACT — re-serialize
+    def compact(c: String): String = s"json_query(`$c`, '$$') AS `$c`"
+    val nestedRows =
+      """(TIMESTAMP'2000-01-01 00:00:00', 'aaa', 'zzz',
+          '{"mixed":1,"mixed2":"1","x":100,"y":2.02,"z":"300"}',
+          '{"array":["a","b"],"n":{"x":"hello"}}', 5L),
+         (TIMESTAMP'2000-01-01 00:00:00', 'bbb', CAST(NULL AS STRING),
+          CAST(NULL AS STRING), '"hello"', 4L),
+         (TIMESTAMP'2000-01-01 00:00:00', 'ccc', '10',
+          '{"mixed":1.1,"mixed2":1,"x":200,"y":3.03,"z":"abcdef"}',
+          CAST(NULL AS STRING), 3L),
+         (TIMESTAMP'2000-01-01 00:00:00', 'ddd', 'yyy',
+          CAST(NULL AS STRING), CAST(NULL AS STRING), 2L),
+         (TIMESTAMP'2000-01-01 00:00:00', 'eee', CAST(NULL AS STRING),
+          CAST(NULL AS STRING), CAST(NULL AS STRING), 1L),
+         (TIMESTAMP'2000-01-02 00:00:00', 'aaa', CAST(NULL AS STRING),
+          '{"mixed2":1.1,"x":100,"y":2.02,"z":"400"}',
+          '{"array":["a","b"],"n":{"x":1}}', 5L),
+         (TIMESTAMP'2000-01-02 00:00:00', 'ddd', CAST(NULL AS STRING),
+          CAST(NULL AS STRING), '2', 2L)"""
+    tagAll(spark.sql(
+      s"""SELECT __time, string, nest, nester, long, string_sparse, 1L AS cnt
+          FROM VALUES $nestedRows
+            AS t(__time, string, string_sparse, nest, nester, long)""")
+      .orderBy("__time").coalesce(1))
+      .createOrReplaceTempView("nested")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW nested_mix AS
+      SELECT * FROM nested UNION ALL SELECT * FROM nested""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW nested_mix_2 AS
+      SELECT * FROM nested_mix""")
+    val res = "/root/reference/processing/src/test/resources"
+    // quote a scalar cell of a COMPLEX<json> column back to JSON text
+    // (objects/arrays/numbers pass through; bare strings gain quotes)
+    def jsonify(c: String): String =
+      s"""CASE WHEN $c IS NULL THEN NULL
+               WHEN $c RLIKE '^(-?[0-9][0-9.]*|\\\\{.*|\\\\[.*)$$' THEN $c
+               ELSE concat('"', $c, '"') END AS $c"""
+    if (new java.io.File(s"$res/nested-array-test-data.json").exists()) {
+      spark.read.schema(
+        "timestamp STRING, arrayString ARRAY<STRING>, " +
+        "arrayStringNulls ARRAY<STRING>, arrayLong ARRAY<BIGINT>, " +
+        "arrayLongNulls ARRAY<BIGINT>, arrayDouble ARRAY<DOUBLE>, " +
+        "arrayDoubleNulls ARRAY<DOUBLE>, arrayVariant ARRAY<STRING>, " +
+        "arrayNoType ARRAY<STRING>, arrayNestedLong STRING, " +
+        "arrayObject STRING")
+        .json(s"$res/nested-array-test-data.json")
+        .withColumn("__time", to_timestamp(col("timestamp")))
+        .drop("timestamp").withColumn("cnt", lit(1L))
+        .withColumn("arrayNestedLong", expr("json_query(arrayNestedLong, '$')"))
+        .withColumn("arrayObject", expr("json_query(arrayObject, '$')"))
+        .select("__time", "arrayString", "arrayStringNulls", "arrayLong",
+          "arrayLongNulls", "arrayDouble", "arrayDoubleNulls",
+          "arrayVariant", "arrayNoType", "arrayNestedLong", "arrayObject",
+          "cnt")
+        .orderBy("__time").coalesce(1)
+        .transform(tagAll)
+        .createOrReplaceTempView("arrays")
+    } else println(s"WARN no $res/nested-array-test-data.json")
+    if (new java.io.File(s"$res/nested-all-types-test-data.json").exists()) {
+      spark.read.schema(
+        "timestamp STRING, str STRING, long BIGINT, double DOUBLE, " +
+        "bool BOOLEAN, variant STRING, variantNumeric DOUBLE, " +
+        "variantEmptyObj STRING, variantEmtpyArray STRING, " +
+        "variantWithArrays STRING, obj STRING, complexObj STRING, " +
+        "arrayString ARRAY<STRING>, arrayStringNulls ARRAY<STRING>, " +
+        "arrayLong ARRAY<BIGINT>, arrayLongNulls ARRAY<BIGINT>, " +
+        "arrayDouble ARRAY<DOUBLE>, arrayDoubleNulls ARRAY<DOUBLE>, " +
+        "arrayVariant ARRAY<STRING>, arrayBool ARRAY<BOOLEAN>, " +
+        "arrayNestedLong STRING, arrayObject STRING, `null` STRING, " +
+        "cstr STRING, clong BIGINT, cdouble DOUBLE, cObj STRING, " +
+        "cstringArray ARRAY<STRING>, cLongArray ARRAY<BIGINT>, " +
+        "cDoubleArray ARRAY<DOUBLE>, cEmptyArray STRING, " +
+        "cEmptyObj STRING, cNullArray STRING, cEmptyObjectArray STRING, " +
+        "cObjectArray STRING")
+        .json(s"$res/nested-all-types-test-data.json")
+        .withColumn("__time", to_timestamp(col("timestamp")))
+        .drop("timestamp")
+        .withColumn("bool", expr("CAST(bool AS BIGINT)"))
+        .withColumn("arrayBool",
+          expr("transform(arrayBool, b -> CAST(b AS BIGINT))"))
+        .withColumn("variantEmptyObj", expr(jsonify("variantEmptyObj")))
+        .withColumn("obj", expr("json_query(obj, '$')"))
+        .withColumn("complexObj", expr("json_query(complexObj, '$')"))
+        .withColumn("arrayNestedLong", expr("json_query(arrayNestedLong, '$')"))
+        .withColumn("arrayObject", expr("json_query(arrayObject, '$')"))
+        .withColumn("cObj", expr("json_query(cObj, '$')"))
+        .withColumn("cEmptyObjectArray",
+          expr("json_query(cEmptyObjectArray, '$')"))
+        .withColumn("cObjectArray", expr("json_query(cObjectArray, '$')"))
+        .withColumn("cNullArray", expr("json_query(cNullArray, '$')"))
+        .withColumn("cEmptyArray", expr("json_query(cEmptyArray, '$')"))
+        // variant scalar-or-array columns: scalars stay BARE text, only
+        // the array rows re-serialize compact
+        .withColumn("variantWithArrays", expr(
+          "CASE WHEN variantWithArrays RLIKE '^\\\\[' " +
+          "THEN json_query(variantWithArrays, '$') ELSE variantWithArrays END"))
+        .withColumn("variantEmtpyArray", expr(
+          "CASE WHEN variantEmtpyArray RLIKE '^\\\\[' " +
+          "THEN json_query(variantEmtpyArray, '$') ELSE variantEmtpyArray END"))
+        .withColumn("cnt", lit(1L))
+        .select("__time", "str", "long", "double", "bool", "variant",
+          "variantNumeric", "variantEmptyObj", "variantEmtpyArray",
+          "variantWithArrays", "obj", "complexObj", "arrayString",
+          "arrayStringNulls", "arrayLong", "arrayLongNulls", "arrayDouble",
+          "arrayDoubleNulls", "arrayVariant", "arrayBool",
+          "arrayNestedLong", "arrayObject", "null", "cstr", "clong",
+          "cdouble", "cObj", "cstringArray", "cLongArray", "cDoubleArray",
+          "cEmptyArray", "cEmptyObj", "cNullArray", "cEmptyObjectArray",
+          "cObjectArray", "cnt")
+        .orderBy("__time").coalesce(1)
+        .transform(tagAll)
+        .createOrReplaceTempView("all_auto")
+      spark.sql("""CREATE OR REPLACE TEMPORARY VIEW all_auto_realtime AS
+        SELECT * FROM all_auto""")
+    } else println(s"WARN no $res/nested-all-types-test-data.json")
+    Seq("nested", "nested_mix", "nested_mix_2", "arrays", "all_auto",
+        "all_auto_realtime").foreach { t =>
+      spark.table(t).write.mode("overwrite").saveAsTable(s"druid.$t")
+      // ARRAY_TO_MV(col) groupings over these tables explode per element
+      // (the MVD groupBy dialect keys on the relation being registered)
+      graft.functions.MvdTables.register(t)
+      graft.functions.MvdTables.register(s"druid.$t")
+    }
+  }
+
+  /** The wikipedia sampled-day fixture (TestIndex
+    * .makeWikipediaIncrementalIndex: wikiticker-2015-09-12-sampled
+    * .json.gz, rollup=false, 16 string dims — booleans ingest as
+    * 'true'/'false' strings, metroCode as number text — plus long
+    * delta/added/deleted; no count metric). `wikipedia_first_last`
+    * re-ingests with rollup=true and first/last metrics over `added`/
+    * `comment` keyed by __time (TestDataBuilder
+    * .makeWikipediaIndexWithAggregation); with millisecond timestamps the
+    * rollup groups are singletons, so first=last=the row value.
+    */
+  private def registerWikipediaFixtures(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val gz = "/root/reference/processing/src/test/resources/wikipedia/" +
+      "wikiticker-2015-09-12-sampled.json.gz"
+    if (!new java.io.File(gz).exists()) { println(s"WARN no $gz"); return }
+    val dims = Seq("channel", "cityName", "comment", "countryIsoCode",
+      "countryName", "isAnonymous", "isMinor", "isNew", "isRobot",
+      "isUnpatrolled", "metroCode", "namespace", "page", "regionIsoCode",
+      "regionName", "user")
+    val df = spark.read.schema(
+      "time STRING, " + dims.map(_ + " STRING").mkString(", ") +
+      ", delta BIGINT, added BIGINT, deleted BIGINT")
+      .json(gz)
+      .withColumn("__time", to_timestamp(col("time"))).drop("time")
+      .select(("__time" +: dims) ++ Seq("delta", "added", "deleted") map col: _*)
+    df.createOrReplaceTempView("wikipedia")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW wikipedia_first_last AS
+      SELECT __time, ${dims.mkString(", ")},
+             first(added) AS long_last_added, first(added) AS long_first_added,
+             CAST(first(added) AS FLOAT) AS float_last_added,
+             CAST(first(added) AS FLOAT) AS float_first_added,
+             CAST(first(added) AS DOUBLE) AS double_last_added,
+             CAST(first(added) AS DOUBLE) AS double_first_added,
+             first(comment) AS string_first_added,
+             first(comment) AS string_last_added
+      FROM wikipedia GROUP BY __time, ${dims.mkString(", ")}""")
+    Seq("wikipedia", "wikipedia_first_last").foreach { t =>
+      spark.table(t).write.mode("overwrite").saveAsTable(s"druid.$t")
+    }
+  }
+
   /** Result order is only guaranteed by an ORDER BY at paren depth 0 — an
     * ORDER BY inside an OVER clause or subquery doesn't order the result
     * (the old whole-text regex made every windowed query "ordered" and
@@ -436,7 +635,8 @@ object AuditSweep {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     case class Case(file: String, tid: String, query: String,
-                    rows: Seq[Seq[String]], phase: String)
+                    rows: Seq[Seq[String]], phase: String,
+                    expectError: Boolean = false, errClass: String = "")
     // phase = which fixture registration a case replays against. The same
     // query text carries DIFFERENT expected grids across ingest variants
     // (rollup=true dedupes the 4-row fixture to 2 rows with cnt=2), so
@@ -480,12 +680,19 @@ object AuditSweep {
             }
             case _ => Nil
           }
-          Some(Case(str("file"), str("tid"), q, rows, phase))
+          val expectErr = (j \ "expect_error") match {
+            case JBool(b) => b; case _ => false }
+          Some(Case(str("file"), str("tid"), q, rows,
+            if (expectErr) "calcite_err" else phase,
+            expectError = expectErr, errClass = str("err_class")))
         }
     }.toVector
 
     val nOk = new AtomicInteger; val nBad = new AtomicInteger
     val nLenient = new AtomicInteger
+    // rejection-parity: expected-error cases the engine instead RUNS —
+    // deliberate capability extensions count separately from failures
+    val nExtension = new AtomicInteger
     val errs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val errExample = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val mism = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -497,6 +704,7 @@ object AuditSweep {
     // re-registered fixture view
     val mvCases = cases.filter(_.phase == "mv")
     val calciteCases = cases.filter(_.phase == "calcite")
+    val errCases = cases.filter(_.phase == "calcite_err")
     val rollupCases = cases.filter(_.phase == "rollup")
     val jcCases = cases.filter(_.phase.startsWith("jc_"))
       .groupBy(_.phase)
@@ -513,6 +721,19 @@ object AuditSweep {
           val df = api.SqlApi.runSql(spark,
             api.SqlApi.calciteLiteralEscape(c.query))
           val got = df.collect().map(_.toSeq.map(normCell)).toSeq
+          if (c.expectError) {
+            // the reference rejects this query; the engine ran it
+            if (c.errClass == "capability") {
+              nExtension.incrementAndGet()
+              lenient.add(s"EXTENSION\t${c.file}\t${c.tid}" +
+                s"\t${c.query.take(160)}\trows=${got.size}")
+            } else {
+              nBad.incrementAndGet()
+              mism.add(s"MISSED-REJECT\t${c.file}\t${c.tid}" +
+                s"\t${c.query.take(200)}\trows=${got.size}")
+            }
+            return
+          }
           val ordered = hasTopLevelOrderBy(c.query)
           // grid match level: min over cells (0 = mismatch, 1 = lenient
           // match somewhere, 2 = every cell exact)
@@ -564,6 +785,14 @@ object AuditSweep {
               s"\texp=${ed.slice(math.max(0, firstDiff), firstDiff + 3).map(_.mkString("|")).mkString(";")}")
           }
         } catch {
+          case ex: Throwable if c.expectError =>
+            // rejection parity: the engine throws where the reference
+            // throws — record the reason class for the register
+            nOk.incrementAndGet()
+            lenient.add(s"REJECTED\t${c.file}\t${c.tid}" +
+              s"\t${ex.getClass.getSimpleName}: " +
+              Option(ex.getMessage).getOrElse("").linesIterator
+                .nextOption().getOrElse("").take(120))
           case ex: Throwable =>
             val key = ex.getClass.getSimpleName + ": " +
               Option(ex.getMessage).getOrElse("null")
@@ -579,9 +808,12 @@ object AuditSweep {
     pool.awaitTermination(120, java.util.concurrent.TimeUnit.MINUTES)
     }
     runPhase(arrCases)
-    if (calciteCases.nonEmpty) {
+    if (calciteCases.nonEmpty || errCases.nonEmpty) {
       registerCalciteFixtures(spark)
+      registerNestedFixtures(spark)
+      registerWikipediaFixtures(spark)
       runPhase(calciteCases)
+      runPhase(errCases)
     }
     // rollup=true ingest variants (qaArray ingest_hashed/range_rollup_true,
     // schmdisc_dynamic_rollup_true): same dims + transforms, but ingestion
@@ -725,7 +957,8 @@ object AuditSweep {
     lenient.stream().limit(50).forEach(m => println(m))
     println(s"AUDIT total=${cases.size} exact=${nOk.get} " +
       s"lenient=${nLenient.get} mismatch=${nBad.get} " +
-      s"errored=${errs.values().stream().mapToInt(_.intValue).sum}")
+      s"errored=${errs.values().stream().mapToInt(_.intValue).sum} " +
+      s"extensions=${nExtension.get}")
     println("full diff list: /tmp/sweep_mismatches.tsv")
     import scala.jdk.CollectionConverters._
     errs.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, v) =>

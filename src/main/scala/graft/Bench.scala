@@ -86,7 +86,11 @@ object Bench {
     // the driver's stdout capture keeps only a tail of the (11 KB+) line;
     // persist the full per-query map to a repo file as well so every
     // measurement survives the round
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // a subset run (SPARK_GRAFT_ONLY set) must never overwrite the
+    // full-board record: only a full run may produce BENCH_FULL.json
+    val defaultOut =
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }

@@ -560,6 +560,11 @@ object SqlApi {
           a.dataType.isInstanceOf[ArrayType])
       def exprIsMvd(e: Expression): Boolean = e match {
         case u: UnresolvedAttribute => taggedAttr(u.nameParts.last)
+        // ARRAY_TO_MV makes ANY array an MVD — grouping on it explodes
+        // per element even over untagged TRUE-array columns
+        // (CalciteNestedDataQueryTest testGroupByRootSingleTypeArray*AsMvd)
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("array_to_mv") => true
         case f: UnresolvedFunction
             if mvProducing(f.nameParts.last.toLowerCase) =>
           f.arguments.exists(exprIsMvd)
@@ -593,11 +598,16 @@ object SqlApi {
           changed = true
           val gname = s"__mvg_$idx"; idx += 1
           // concrete Coalesce (not an UnresolvedFunction) so the retry
-          // path's elementwise rewrite can never touch this wrapper
+          // path's elementwise rewrite can never touch this wrapper; an
+          // EMPTY multi-value row groups into the null group like a NULL
+          // one (Druid's groupBy engine), so both map to array(NULL) —
+          // explode would otherwise DROP the empty-array row
+          val asArr = Coalesce(Seq(
+            Cast(t, ArrayType(StringType, containsNull = true)),
+            CreateArray(Seq(Literal.create(null, StringType)))))
           val gen = UnresolvedGenerator(FunctionIdentifier("explode"), Seq(
-            Coalesce(Seq(
-              Cast(t, ArrayType(StringType, containsNull = true)),
-              CreateArray(Seq(Literal.create(null, StringType)))))))
+            If(EqualTo(Size(asArr), Literal(0)),
+              CreateArray(Seq(Literal.create(null, StringType))), asArr)))
           child = Generate(gen, unrequiredChildIndex = Nil, outer = false,
             qualifier = None,
             generatorOutput = Seq(UnresolvedAttribute(gname)), child)
@@ -607,14 +617,33 @@ object SqlApi {
             case f: UnresolvedFunction => f.nameParts.last.toLowerCase
             case _ => gname
           }
+          // aggregate ARGUMENTS keep the FULL multi-value row — Druid's
+          // groupBy explodes only the dimension; SUM(MV_LENGTH(mv)) sums
+          // the original array length per exploded row
+          // (testGroupByRootSingleTypeArrayLongNullsAsMvdFiltered: 13,
+          // not the group count) — so the substitution stops at any
+          // aggregate call boundary
+          val aggNames = Set("sum", "count", "min", "max", "avg", "any",
+            "any_value", "first", "last", "earliest", "latest",
+            "earliest_by", "latest_by", "array_agg", "string_agg",
+            "listagg", "array_concat_agg", "bit_and", "bit_or", "bit_xor",
+            "approx_count_distinct", "count_if", "grouping", "grouping_id",
+            "var_pop", "var_samp", "stddev_pop", "stddev_samp", "variance",
+            "stddev", "avg_if", "collect_list", "collect_set")
+          def subst(e: Expression): Expression = e match {
+            case x if x == t => rep
+            case f: UnresolvedFunction
+                if aggNames(f.nameParts.last.toLowerCase) => f
+            case ae0: org.apache.spark.sql.catalyst.expressions.aggregate
+                .AggregateExpression => ae0
+            case other => other.mapChildren(subst)
+          }
           ae = ae.map {
             case al @ Alias(c, n) if c == t => Alias(rep, n)()
             case UnresolvedAlias(c, _) if c == t => Alias(rep, nameOf(t))()
             case ua: UnresolvedAttribute if (ua: Expression) == t =>
               Alias(rep, ua.nameParts.last)()
-            case other => other.transformDown {
-              case x if x == t => rep
-            }.asInstanceOf[NamedExpression]
+            case other => subst(other).asInstanceOf[NamedExpression]
           }
           if (ordinalOf(g).isDefined) g // ordinal still points there
           else rep
@@ -780,11 +809,18 @@ object SqlApi {
               case other => isNumericAggCall(other)
             }
           case u: UnresolvedAttribute =>
-            ae.exists {
-              case Alias(c, n) =>
-                n.equalsIgnoreCase(u.nameParts.last) && isNumericAggCall(c)
-              case _ => false
-            } || numericCol(u.nameParts.last)
+            // the select-list alias is authoritative: a sort key naming an
+            // alias of a NON-numeric aggregate (EARLIEST(dim1) AS l1) must
+            // keep nulls-low even when a numeric child column shares the
+            // name; only an alias-free key falls back to the child type
+            val aliased = ae.collect {
+              case Alias(c, n) if n.equalsIgnoreCase(u.nameParts.last) => c
+            }
+            if (aliased.nonEmpty) aliased.exists {
+              case a: UnresolvedAttribute => numericCol(a.nameParts.last)
+              case c => isNumericAggCall(c)
+            }
+            else numericCol(u.nameParts.last)
           case e => isNumericAggCall(e)
         }
         s.copy(order = order.map {
@@ -1280,13 +1316,14 @@ object SqlApi {
             case n: NullIf =>
               graft.functions.MvElementwise("nullif", Seq(n.left, n.right))
             // IN over an MV-producing call = MVD filter (any element in
-            // the list) — mirror of the dialectCore mv_filter_* rule
+            // the list) — mirror of the dialectCore mv_filter_* rule.
+            // The MV-vs-scalar decision is deferred to resolution
+            // (MvInDispatch): a purely scalar probe like UPPER(x) IN
+            // ('A','B') keeps three-valued IN semantics
             case In(f, list)
                 if mvFnCall(f) && list.nonEmpty &&
                   list.forall(_.isInstanceOf[Literal]) =>
-              org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-                Seq("mv_overlap"), Seq(f, CreateArray(list)),
-                isDistinct = false)
+              graft.functions.MvInDispatch(f, list)
             // Druid's MVD IN: any element in the value list — OR of the
             // per-element-compatible equalities (CalciteJoinQueryTest
             // `dim2 IN ('a','b')` over the MV dim2)
@@ -1452,13 +1489,17 @@ object SqlApi {
     * ops_funcs_agg_funcs A1_B30_C1_D1: [null, 0, 1]).
     */
   private[graft] def rewriteConcatAggDistinct(sqlText: String): String =
-    sqlText.replaceAll("(?is)\\bARRAY_CONCAT_AGG\\s*\\(\\s*DISTINCT\\b",
+    // runs on MASKED text (rewritePipeline input has string literals
+    // swapped for <idx> placeholders), so a literal containing
+    // 'ARRAY_CONCAT_AGG(DISTINCT' can never match; the lookbehind keeps
+    // backtick-quoted identifiers ending in the function name out too
+    sqlText.replaceAll("(?is)(?<![`\\w])ARRAY_CONCAT_AGG\\s*\\(\\s*DISTINCT\\b",
       "ARRAY_CONCAT_AGG_DISTINCT(")
       // STRING_AGG(DISTINCT …) emits the SORTED distinct set in the
       // reference (the distinct fold is a TreeSet — CalciteQueryTest
       // testStringAgg: ',1,10.1,2,abc,def'); the dedicated aggregate
       // dedups + sorts internally, so the keyword drops
-      .replaceAll("(?is)\\b(?:STRING_AGG|LISTAGG)\\s*\\(\\s*DISTINCT\\b",
+      .replaceAll("(?is)(?<![`\\w])(?:STRING_AGG|LISTAGG)\\s*\\(\\s*DISTINCT\\b",
         "STRING_AGG_SORTED(")
 
   /** Calcite's niladic `PI` — usable without parens (`SELECT pi AS col`,
@@ -1957,12 +1998,23 @@ object SqlApi {
     val sqlText = sqlText0.replaceAll(
       "(?is)\\s+NULL\\s+ON\\s+(EMPTY|ERROR)\\b", "")
     // first arg: any expression without top-level commas — bare refs,
-    // string literals, and one level of nested call parens (enough for
-    // json_query(c1, '$.x') / CAST(x AS VARCHAR); the reference accepts
-    // arbitrary expressions, NestedDataOperatorConversions.java)
+    // string literals, and nested call parens to a fixed depth (enough
+    // for JSON_VALUE(JSON_OBJECT(KEY 'x' VALUE JSON_VALUE(…)), …) —
+    // testCompositionTyping; the reference accepts arbitrary expressions,
+    // NestedDataOperatorConversions.java). Applied to FIXPOINT so
+    // RETURNING clauses nested inside the first argument rewrite too
+    // (innermost matches once the outer pattern fails on them).
+    val parenDepth4: String = {
+      val atom = "[^()']|'[^']*'"
+      (1 to 4).foldLeft(atom) { (inner, _) =>
+        s"$atom|\\((?:$inner)*\\)"
+      }
+    }
     val Re =
-      """(?is)\bJSON_VALUE\s*\(\s*((?:[A-Za-z0-9_.\s+*/%-]|\|\||'[^']*'|\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\))+?)\s*,\s*('[^']*')\s+RETURNING\s+(BIGINT|INTEGER|INT|DECIMAL|DOUBLE|FLOAT|VARCHAR|CHAR|BOOLEAN)(\s+ARRAY)?\s*\)""".r
-    Re.replaceAllIn(sqlText, m => {
+      ("""(?is)\bJSON_VALUE\s*\(\s*((?:[A-Za-z0-9_.\s+*/%-]|\|\||'[^']*'|\((?:""" +
+        parenDepth4 +
+        """)*\))+?)\s*,\s*('[^']*')\s+RETURNING\s+(BIGINT|INTEGER|INT|DECIMAL|DOUBLE|FLOAT|VARCHAR|CHAR|BOOLEAN)(\s+ARRAY)?\s*\)""").r
+    def pass(s: String): String = Re.replaceAllIn(s, m => {
       val base = m.group(3).toUpperCase match {
         case "BIGINT" | "INTEGER" | "INT"    => "BIGINT"
         case "DECIMAL" | "DOUBLE" | "FLOAT"  => "DOUBLE"
@@ -1979,6 +2031,13 @@ object SqlApi {
       scala.util.matching.Regex.quoteReplacement(
         s"$name(${m.group(1)}, ${m.group(2)})")
     })
+    var cur = sqlText
+    var i = 0
+    while (i < 8) { // nesting depth bound; each pass strips one layer
+      val next = pass(cur)
+      if (next == cur) i = 8 else { cur = next; i += 1 }
+    }
+    cur
   }
 
   /** Leading `SET key = value;` statements (reference `DruidSqlSet` — SQL

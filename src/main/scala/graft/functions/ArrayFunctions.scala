@@ -338,6 +338,7 @@ case class GraftInCollected(value: Expression, collected: Expression)
 case class GraftStringAggSorted(
     child: Expression,
     delimiter: Expression,
+    maxBytes: Option[Int] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.TreeSet[String]]
@@ -348,6 +349,16 @@ case class GraftStringAggSorted(
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "string_agg_sorted"
+
+  // a column-valued separator would NPE at executor time (eval(null));
+  // the reference requires a literal and fails validation the same way
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (delimiter.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "string_agg separator must be a literal")
 
   @transient private lazy val sep: String = {
     val v = delimiter.eval(null)
@@ -370,8 +381,16 @@ case class GraftStringAggSorted(
 
   override def eval(buf: mutable.TreeSet[String]): Any =
     if (buf.isEmpty) null
-    else org.apache.spark.unsafe.types.UTF8String.fromString(
-      buf.mkString(sep))
+    else {
+      val joined = buf.mkString(sep)
+      maxBytes.foreach { mb =>
+        val n = joined.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        if (n > mb) throw new IllegalStateException(
+          s"string_agg aggregation result ($n bytes) exceeds maxSizeBytes " +
+            s"($mb) — raise the limit or reduce the group")
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(joined)
+    }
 
   override def serialize(buf: mutable.TreeSet[String]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -130,10 +130,16 @@ object CompatCompare {
     * wrap the outer attribute in one), so a plain exists() cannot see
     * through it — unwrap explicitly.
     */
-  def treeHasMvTag(e: Expression): Boolean = e.exists {
-    case a: AttributeReference => a.metadata.contains("druid.mv")
+  def treeHasMvTag(e: Expression): Boolean = treeHasTag(e, "druid.mv")
+
+  /** Generic metadata-tag scan — also used for `druid.autojson` (nested
+    * columns of auto-typed tables, whose JSON_VALUE semantics differ from
+    * the v4-format walk — see JsonWalk.valueTyped).
+    */
+  def treeHasTag(e: Expression, key: String): Boolean = e.exists {
+    case a: AttributeReference => a.metadata.contains(key)
     case o: OuterReference => o.e match {
-      case a: AttributeReference => a.metadata.contains("druid.mv")
+      case a: AttributeReference => a.metadata.contains(key)
       case _ => false
     }
     case _ => false

@@ -747,10 +747,17 @@ object DruidFunctions {
       (args: Seq[Expression]) => {
         require(args.size == 2 || args.size == 3,
           s"json_value takes 2 or 3 arguments, got ${args.size}")
-        val walked = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-          JsonWalk.getClass, StringType, method,
-          Seq(JsonInputText(args(0)), Cast(args(1), StringType)),
-          Seq(StringType, StringType), propagateNull = false)
+        // auto-typed tables (druid.autojson tag) read specialized field
+        // columns — single-element arrays unwrap, negative indexes work
+        // (CalciteNestedDataQueryTest) — dispatched at resolution
+        val walked: Expression =
+          if (method == "value")
+            JsonWalkDispatch(args(0), args(1), "valueTyped", "value",
+              StringType)
+          else org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            JsonWalk.getClass, StringType, method,
+            Seq(JsonInputText(args(0)), Cast(args(1), StringType)),
+            Seq(StringType, StringType), propagateNull = false)
         if (args.size == 2) walked
         else {
           val tpe = args(2) match {
@@ -804,8 +811,14 @@ object DruidFunctions {
         import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, CreateNamedStruct, StructsToJson}
         import org.apache.spark.sql.types.{NullType, StringType}
-        require(args.nonEmpty && args.size % 2 == 0,
+        require(args.size % 2 == 0,
           s"JSON_OBJECT takes key/value pairs, got ${args.size} arguments")
+        // JSON_OBJECT() with no pairs is the empty object (the reference's
+        // JsonObjectExprMacro builds an empty map)
+        if (args.isEmpty)
+          Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString("{}"), StringType)
+        else {
         // (COMPLEX<json>-valued pairs — json_query / nested json_object
         // values — are handled upstream by SqlApi.rewriteJsonObject, which
         // splices their serialized text order-preserved; by the time this
@@ -851,6 +864,7 @@ object DruidFunctions {
         // ({"k":null}), matching the DuckDB oracle — Spark's generator
         // default drops them
         StructsToJson(Map("ignoreNullFields" -> "false"), child)
+        }
       }),
       // Function.java ParseLong:715 — Long.parseLong semantics: signed,
       // radix-16 strips an 0x/0X prefix (:748), any invalid digit → NULL.
@@ -2011,8 +2025,13 @@ object DruidFunctions {
         require(a.size == 2 || a.size == 3,
           s"string_agg takes 2 or 3 arguments, got ${a.size}")
         a.lift(2).foreach(requirePositiveSizeLiteral("string_agg", _))
+        // the validated third argument is the reference's maxSizeBytes —
+        // enforce it at fold time instead of silently dropping it
+        val maxBytes = a.lift(2).flatMap(e =>
+          Option(e.eval(null)).map(v => v.toString.toDouble.toInt))
         graft.functions.GraftStringAggSorted(
-          Cast(graft.functions.TimeAsMillis(a.head), StringType), a(1))
+          Cast(graft.functions.TimeAsMillis(a.head), StringType), a(1),
+          maxBytes)
       }),
       // concat-agg: skip NULL input arrays (stock collect_list), keep inner
       // nulls, flatten partition-wise
@@ -2118,25 +2137,38 @@ object DruidFunctions {
       "json_value_double" -> ((a: Seq[Expression]) =>
         Cast(fn("json_value", a.head, a(1)),
           org.apache.spark.sql.types.DoubleType, None, EvalMode.TRY)),
-      "json_value_boolean" -> ((a: Seq[Expression]) =>
-        Cast(fn("json_value", a.head, a(1)), BooleanType, None,
-          EvalMode.TRY)),
+      // RETURNING BOOLEAN plans as LONG + Calcite's truthiness cast in the
+      // reference (NestedDataOperatorConversions BOOLEAN_TYPES → LONG;
+      // Evals.asBoolean is `> 0`), so a numeric target coerces — '2' is
+      // TRUE, not a failed boolean parse
+      // (testGroupByRootSingleTypeArrayLongElementFilteredBoolean)
+      "json_value_boolean" -> ((a: Seq[Expression]) => {
+        val v = fn("json_value", a.head, a(1))
+        Coalesce(Seq(
+          Cast(v, BooleanType, None, EvalMode.TRY),
+          GreaterThan(
+            Cast(v, org.apache.spark.sql.types.DoubleType, None,
+              EvalMode.TRY),
+            Literal(0.0d))))
+      }),
       // VARCHAR ARRAY target: dedicated walker — element coercion is
       // String.valueOf (booleans keep true/false), not the untyped
       // facade's bestEffort 1/0 (qaArray ingest_dynamic_rollup_false.02
       // E00 pins `a_mixed = json_value(… '$[6]' RETURNING varchar array)`
       // matching every row)
       "json_value_varchar_array" -> ((a: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-          JsonWalk.getClass,
-          org.apache.spark.sql.types.ArrayType(StringType), "valueStrArray",
-          Seq(JsonInputText(a.head), Cast(a(1), StringType)),
-          Seq(StringType, StringType), propagateNull = false)),
+        graft.functions.JsonWalkDispatch(a.head, a(1),
+          "valueStrArrayTyped", "valueStrArray",
+          org.apache.spark.sql.types.ArrayType(StringType))),
       "json_value_bigint_array" -> ((a: Seq[Expression]) =>
-        fn("from_json", fn("json_value", a.head, a(1)),
+        fn("from_json",
+          graft.functions.JsonWalkDispatch(a.head, a(1),
+            "valueArrayJson", "value", StringType),
           Literal("array<bigint>"))),
       "json_value_double_array" -> ((a: Seq[Expression]) =>
-        fn("from_json", fn("json_value", a.head, a(1)),
+        fn("from_json",
+          graft.functions.JsonWalkDispatch(a.head, a(1),
+            "valueArrayJson", "value", StringType),
           Literal("array<double>"))),
       // RETURNING BOOLEAN ARRAY: the reference plans it as the BIGINT array
       // conversion (NestedDataOperatorConversions.java:316-317 routes
@@ -2199,6 +2231,10 @@ object DruidFunctions {
       //  a split()/array_join() macro)
       // RETURNING VARCHAR target: same walker as the untyped JSON_VALUE
       "JSON_VALUE_STR(j STRING, p STRING) RETURNS STRING RETURN json_value(j, p)",
+      // JSON_VALUE_ANY = the untyped best-effort variant (the reference
+      // plans it as JSON_VALUE with no RETURNING —
+      // NestedDataOperatorConversions JsonValueAnyOperatorConversion)
+      "JSON_VALUE_ANY(j STRING, p STRING) RETURNS STRING RETURN json_value(j, p)",
       // reference BuiltInExprMacros.StringDecodeBase64UTFExprMacro:149 —
       // base64 → UTF-8 text, null-propagating
       "DECODE_BASE64_UTF8(s STRING) RETURNS STRING RETURN " +

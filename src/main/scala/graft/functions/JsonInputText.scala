@@ -35,6 +35,38 @@ case class JsonInputText(child: Expression) extends RuntimeReplaceable {
       c: IndexedSeq[Expression]): JsonInputText = copy(child = c.head)
 }
 
+/** JSON walker method dispatch on the input's storage-format tag: columns
+  * of AUTO-typed tables (druid.autojson metadata, set by the nested
+  * fixture loaders) read their SPECIALIZED field columns in the reference
+  * — single-element arrays unwrap, scalars wrap under array RETURNING,
+  * negative indexes resolve — while v4-format nested columns keep the
+  * raw-walk semantics the qaJsonCols corpus pins (primitive arrays pass
+  * through as text, negative indexes NULL). Both are the reference's own
+  * behaviors; the divergence is real and storage-dependent
+  * (CalciteNestedDataQueryTest vs qaJsonCols func_json_value.02).
+  */
+case class JsonWalkDispatch(input: Expression, path: Expression,
+    typedMethod: String, rawMethod: String, resultType: DataType)
+    extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(input, path)
+
+  override lazy val replacement: Expression = {
+    val m =
+      if (CompatCompare.treeHasTag(input, "druid.autojson")) typedMethod
+      else rawMethod
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      JsonWalk.getClass, resultType, m,
+      Seq(JsonInputText(input),
+        org.apache.spark.sql.catalyst.expressions.Cast(path, StringType)),
+      Seq(StringType, StringType), propagateNull = false)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): JsonWalkDispatch =
+    copy(input = c(0), path = c(1))
+}
+
 /** The non-string arm of [[JsonInputText]]: serializes ARRAY input to
   * compact JSON text and casts scalar input with the reference's
   * datetime-as-epoch-millis convention. Interpreted (CodegenFallback) —

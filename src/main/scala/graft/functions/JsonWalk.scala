@@ -245,6 +245,79 @@ object JsonWalk {
     new GenericArrayData(out)
   }
 
+  /** JSON_VALUE over an AUTO-TYPED nested column (CalciteNestedDataQueryTest
+    * `all_auto`/`arrays` semantics): the SQL layer reads the SPECIALIZED
+    * field column, so a SINGLE-element primitive array unwraps to its
+    * scalar (SUM(JSON_VALUE(obj,'$.c')) counts the [100] row as 100 —
+    * testSumPathWithArrays), a multi-element array is NULL (no scalar
+    * cast), and negative indexes resolve from the end
+    * (testJsonPathNegativeIndex) — unlike the v4-format [[value]] walk,
+    * which passes primitive arrays through as text and nulls negative
+    * indexes. The facade dispatches on the table's druid.autojson tag.
+    */
+  def valueTyped(json: UTF8String, path: UTF8String): UTF8String = {
+    if (json == null || path == null) return null
+    val parts = parse(path.toString)
+    val root = parseDoc(json)
+    if (root == null || root.isNull) {
+      return if (parts.isEmpty && !(root != null && root.isNull)) json
+      else null
+    }
+    val at = find(root, parts)
+    if (at == null) null
+    else if (at.isContainerNode) {
+      if (at.isArray && at.size() == 1 && !at.get(0).isContainerNode &&
+          !at.get(0).isNull)
+        UTF8String.fromString(scalarText(at.get(0)))
+      else null
+    } else UTF8String.fromString(scalarText(at))
+  }
+
+  /** RETURNING <type> ARRAY over an auto-typed nested column: a scalar
+    * target WRAPS into its single-element array (the field column is
+    * ARRAY-typed, scalar rows are 1-element arrays —
+    * testCountPathWithArraysReturning counts 'hello' and 12.3), primitive
+    * arrays pass through, objects/nested arrays NULL.
+    */
+  def valueStrArrayTyped(json: UTF8String, path: UTF8String): ArrayData = {
+    if (json == null || path == null) return null
+    val parts = parse(path.toString)
+    val root = parseDoc(json)
+    if (root == null || root.isNull) return null
+    val at = find(root, parts)
+    if (at == null) return null
+    if (at.isArray && isPrimitiveArray(at)) {
+      val out = new Array[Any](at.size())
+      var i = 0
+      while (i < at.size()) {
+        val e = at.get(i)
+        out(i) = if (e.isNull) null else UTF8String.fromString(e.asText())
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else if (!at.isContainerNode)
+      new GenericArrayData(Array[Any](UTF8String.fromString(at.asText())))
+    else null
+  }
+
+  /** The auto-typed walk rendered as JSON array TEXT (the numeric
+    * RETURNING … ARRAY variants from_json this): primitive arrays keep
+    * their compact text, scalars wrap as `[scalar]`, containers NULL.
+    */
+  def valueArrayJson(json: UTF8String, path: UTF8String): UTF8String = {
+    if (json == null || path == null) return null
+    val parts = parse(path.toString)
+    val root = parseDoc(json)
+    if (root == null || root.isNull) return null
+    val at = find(root, parts)
+    if (at == null) null
+    else if (at.isArray && isPrimitiveArray(at))
+      UTF8String.fromString(at.toString)
+    else if (!at.isContainerNode)
+      UTF8String.fromString("[" + at.toString + "]")
+    else null
+  }
+
   def query(json: UTF8String, path: UTF8String): UTF8String = {
     if (json == null || path == null) return null
     val parts = parse(path.toString)

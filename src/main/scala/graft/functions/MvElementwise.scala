@@ -108,6 +108,39 @@ case class MvLikeAny(left: Expression, right: Expression, escapeChar: Char)
       c: IndexedSeq[Expression]): MvLikeAny = copy(left = c(0), right = c(1))
 }
 
+/** `probe IN (literals)` in the facade's retry path: an MV-producing
+  * probe filters per element (mv_overlap semantics), while a SCALAR
+  * probe keeps Spark's three-valued IN — `UPPER(x) IN ('A','B')` must
+  * yield NULL for a NULL x in projection contexts, not FALSE. The
+  * dispatch reads the RESOLVED probe type, so the rewrite itself can
+  * fire on any coalesce/upper/lower/concat/nullif spelling safely.
+  */
+case class MvInDispatch(value: Expression, list: Seq[Expression])
+    extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = value +: list
+
+  // any ARRAY-typed probe keeps the MV-overlap path (mv_*/string_to_mv
+  // calls produce untagged arrays); only a probe that RESOLVES scalar —
+  // an elementwise spelling over scalar operands — takes the scalar IN
+  private def probeIsMv: Boolean = value match {
+    case m: MvElementwise => m.producesMv
+    case e => e.dataType.isInstanceOf[ArrayType]
+  }
+
+  override lazy val replacement: Expression =
+    if (probeIsMv)
+      GraftArrayOverlap(
+        MvInput(value, nullAsSingleNull = true),
+        MvInput(CreateArray(list), nullAsSingleNull = true),
+        threeValued = true)
+    else In(value, list)
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MvInDispatch =
+    copy(value = c.head, list = c.tail)
+}
+
 /** UNNEST input adapter: unnesting a multi-value DIMENSION emits a row
   * with a NULL element for each null-MVD row — the reference's unnest
   * cursor reads the MVD selector where the null row IS the single-null

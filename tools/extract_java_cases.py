@@ -37,12 +37,21 @@ FILES = [
     "CalciteLookupFunctionQueryTest.java",
     "CalciteSubqueryTest.java",
     "CalciteTimeBoundaryQueryTest.java",
+    "CalciteNestedDataQueryTest.java",
 ]
 
 # tables the sweep's registerCalciteFixtures provides
 KNOWN_TABLES = {
     "foo", "numfoo", "broadcast", "lookyloo",
     "druid.foo", "druid.numfoo", "druid.broadcast", "lookup.lookyloo",
+    # registerNestedFixtures (CalciteNestedDataQueryTest datasources)
+    "nested", "nested_mix", "nested_mix_2", "arrays", "all_auto",
+    "all_auto_realtime", "druid.nested", "druid.nested_mix",
+    "druid.nested_mix_2", "druid.arrays", "druid.all_auto",
+    "druid.all_auto_realtime",
+    # registerWikipediaFixtures (TestIndex.makeWikipediaIncrementalIndex)
+    "wikipedia", "wikipedia_first_last", "druid.wikipedia",
+    "druid.wikipedia_first_last",
 }
 
 STR = r'"(?:[^"\\]|\\.)*"'
@@ -285,11 +294,103 @@ def find_sql(body):
         if txt is None:
             continue
         if re.match(r"\s*(SELECT|WITH|INSERT|REPLACE|\()", txt, re.I):
-            return txt
+            # some sources concatenate fragments without a separating
+            # space ("... = 2" + "GROUP BY 1") — Calcite's lexer splits
+            # `2GROUP` at the digit boundary, ANSI lexers don't
+            return re.sub(
+                r"(?i)([0-9'\")])((?:GROUP|ORDER)\s+BY|HAVING|LIMIT|WHERE|FROM)\b",
+                r"\1 \2", txt)
     return None
 
 
+def extract_error_cases(out_path):
+    """Rejection-parity mode: emit the corpus's error-expectation cases as
+    {file, tid, query, expect_error: true, err_substr, err_class}.
+
+    err_class partitions the adjudication:
+      - "validation": bad input the engine must ALSO reject (invalid
+        regex/pattern/literal/type) — the sweep asserts a throw.
+      - "capability": the REFERENCE's engine limitation (unplannable scan
+        orderings, INSERT-on-native-engine, exact-distinct on sketches) —
+        this engine intentionally SUPPORTS these, so a successful run is
+        recorded as a capability extension, not a failure.
+    """
+    # message fragments that mark a reference-limitation (not bad input)
+    CAPABILITY_HINTS = [
+        "not supported", "cannot be vectorize", "unsupported",
+        "requires a group-by on a column with type",
+        "consider using msq", "cannot build plan", "unplannable",
+        "requires ordering", "cannot be converted", "unable to plan",
+        "in join is not supported", "currently unsupported",
+        # Druid's table-UNION name-mapping requirement: positional UNION
+        # over differently-named columns is a deliberate engine extension
+        "names queried for each table are different",
+        "requires union between two tables",
+        # per-query numeric-IN fanout cap (maxNumericInFilters context)
+        "maxnumericinfilters",
+        # reference window engine's frame restrictions — this engine
+        # supports RANGE offset frames (SURVEY §2.6)
+        "currently supports only",
+    ]
+    cases = []
+    for fname in FILES:
+        path = os.path.join(SRC, fname)
+        if not os.path.exists(path):
+            continue
+        text = open(path, encoding="utf-8").read()
+        for body in re.split(r"@Test\b", text)[1:]:
+            if not ("assertQueryIsUnplannable" in body
+                    or "DruidException" in body
+                    or "expectedException" in body
+                    or "ExpectedException" in body):
+                continue
+            nm = re.search(r"public void (\w+)\s*\(", body)
+            tid = nm.group(1) if nm else "anon"
+            if "LOS_ANGELES" in body:
+                continue
+            sql = find_sql(body)
+            if sql is None or "?" in sql:
+                continue
+            tables = set(t.strip('"').lower() for t in TABLE.findall(sql))
+            not_tables = {"__time", "timestamp", "date", "dim1", "dim2",
+                          "dim3", "floor", "null", "unnest", "table",
+                          "lateral", "m1", "m2", "cnt", "string", "long",
+                          "dst"}
+            ext = {t for t in tables if t not in not_tables}
+            if ext and not ext.issubset({k.lower() for k in KNOWN_TABLES}):
+                continue
+            # expected message: the longest string literal after the sql
+            # inside an error-matcher call
+            tail = body[body.find("Unplannable") if "Unplannable" in body
+                        else 0:]
+            msgs = [unescape_java(s[1:-1]) for s in re.findall(STR, tail)]
+            # drop literals that are the query (or fragments of it), keep
+            # human error messages — even ones that START with a SQL verb
+            # ("INSERT operations are not supported …")
+            msgs = [m for m in msgs if len(m) > 25 and m != sql
+                    and m not in sql
+                    and not (re.match(r"\s*(SELECT|WITH)\b", m, re.I)
+                             and re.search(r"\bFROM\b", m, re.I))]
+            err = max(msgs, key=len) if msgs else ""
+            lc = err.lower()
+            cls = ("capability" if any(h in lc for h in CAPABILITY_HINTS)
+                   else "validation")
+            cases.append({"file": fname.replace(".java", "") + ".java",
+                          "tid": tid, "query": sql, "expect_error": True,
+                          "err_substr": err[:200], "err_class": cls,
+                          "dataset": "calcite_err"})
+    with open(out_path, "w") as f:
+        for c in cases:
+            f.write(json.dumps(c) + "\n")
+    ncap = sum(1 for c in cases if c["err_class"] == "capability")
+    print("emitted %d error cases (%d capability, %d validation) -> %s"
+          % (len(cases), ncap, len(cases) - ncap, out_path), file=sys.stderr)
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--errors":
+        extract_error_cases(sys.argv[2])
+        return
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/java_cases.jsonl"
     skipped = Counter()
     cases = []
@@ -336,7 +437,13 @@ def main():
             # strip alias-only names resolved within the query (CTEs)
             ctes = set(m.group(1).lower() for m in
                        re.finditer(r"(\w+)\s+AS\s*\(", sql, re.I))
-            ext = {t for t in tables if t not in ctes}
+            # the FROM|JOIN regex also matches EXTRACT(unit FROM col),
+            # TRIM(x FROM y), FROM UNNEST(...) and FROM TABLE(...) — none
+            # of which name a datasource
+            not_tables = {"__time", "timestamp", "date", "dim1", "dim2",
+                          "dim3", "floor", "null", "unnest", "table",
+                          "lateral", "m1", "m2", "cnt", "string", "long"}
+            ext = {t for t in tables if t not in ctes and t not in not_tables}
             if not ext or not ext.issubset(
                     {k.lower() for k in KNOWN_TABLES}):
                 skipped["unknown_table"] += 1
