@@ -6113,8 +6113,9 @@ object SparkEntry {
       // scoring — without it the whole scan+dedup subtree re-executes per
       // consumer (12 corpus scans in the unpersisted plan, 2 with these;
       // on a cluster this would be a checkpoint to object storage)
-      val exactKept = Dedup.exact(urlKept, md5(col("text")), col("doc_id"))
-        .select(col("doc_id"), col("text")).persist()
+      val exactKept = graft.pipeline.CacheScope.autoRelease(
+        Dedup.exact(urlKept, md5(col("text")), col("doc_id"))
+          .select(col("doc_id"), col("text")))
       val found = Dedup.minHashLsh(exactKept, "doc_id", "text",
         shingleSize = 3, numHashes = 64, numBands = 16, threshold = 0.4)
       val sh = exactKept.select(col("doc_id"),
@@ -6125,8 +6126,8 @@ object SparkEntry {
         .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
         .select(col("id_a"), col("id_b"))
-      val famKept = Dedup.dropDuplicateFamilies(exactKept, verified, "doc_id")
-        .persist()
+      val famKept = graft.pipeline.CacheScope.autoRelease(
+        Dedup.dropDuplicateFamilies(exactKept, verified, "doc_id"))
       val probe = docs.filter(pmod(id, lit(97)) === 0)
         .select(col("doc_id"), col("text"))
       val scores = Dedup.contaminationScore(probe, famKept,

@@ -560,11 +560,18 @@ object SqlApi {
           a.dataType.isInstanceOf[ArrayType])
       def exprIsMvd(e: Expression): Boolean = e match {
         case u: UnresolvedAttribute => taggedAttr(u.nameParts.last)
-        // ARRAY_TO_MV makes ANY array an MVD — grouping on it explodes
-        // per element even over untagged TRUE-array columns
-        // (CalciteNestedDataQueryTest testGroupByRootSingleTypeArray*AsMvd)
+        // ARRAY_TO_MV / STRING_TO_MV make their result an MVD regardless
+        // of the input's tag — grouping on them explodes per element
+        // (CalciteNestedDataQueryTest testGroupByRootSingleTypeArray*AsMvd;
+        // CalciteMultiValueStringQueryTest
+        // testMultiValueStringToStringToMultiValueString). A CONSTANT
+        // call stays whole: the reference plans it as an array literal,
+        // not an MVD dimension (testStringToMVOfConstantGroupedBy)
         case f: UnresolvedFunction
-            if f.nameParts.last.equalsIgnoreCase("array_to_mv") => true
+            if (f.nameParts.last.equalsIgnoreCase("array_to_mv") ||
+              f.nameParts.last.equalsIgnoreCase("string_to_mv")) &&
+              f.arguments.exists(_.exists(
+                _.isInstanceOf[UnresolvedAttribute])) => true
         case f: UnresolvedFunction
             if mvProducing(f.nameParts.last.toLowerCase) =>
           f.arguments.exists(exprIsMvd)
@@ -653,15 +660,50 @@ object SqlApi {
       else agg.copy(groupingExpressions = newGe,
         aggregateExpressions = ae, child = child)
     }
+    // ARRAY_AGG over an MVD argument folds FLATTENED (elements; null row
+    // → null element — CalciteArraysQueryTest testArrayAggMultiValue).
+    // The flatten changes the aggregate's RESULT TYPE, so it must be
+    // decided HERE, before parents resolve against it — a post-analysis
+    // flip would leave consumers (ARRAY_TO_STRING's element lambda) typed
+    // against the nested form. The renamed builder carries the flag as a
+    // constructor parameter, which survives the distinct rewrite's child
+    // re-attribution.
+    def foldMvAggs(agg: Aggregate): Aggregate = {
+      val childOut =
+        try {
+          val p = if (cteDefs.isEmpty) agg.child
+            else UnresolvedWith(agg.child, cteDefs)
+          spark.sessionState.analyzer.execute(p).output
+        } catch { case _: Exception => return agg }
+      def tagged(name: String): Boolean = childOut.exists(a =>
+        a.name.equalsIgnoreCase(name) && a.metadata.contains("druid.mv") &&
+          a.dataType.isInstanceOf[ArrayType])
+      def mvArg(e: Expression): Boolean = e match {
+        case u: UnresolvedAttribute => tagged(u.nameParts.last)
+        case f: UnresolvedFunction
+            if mvProducing(f.nameParts.last.toLowerCase) =>
+          f.arguments.exists(mvArg)
+        case c: Concat => c.children.exists(mvArg)
+        case _ => false
+      }
+      agg.copy(aggregateExpressions = agg.aggregateExpressions.map(
+        _.transformDown {
+          case f: UnresolvedFunction
+              if f.nameParts.last.equalsIgnoreCase("array_agg") &&
+                f.arguments.nonEmpty && mvArg(f.arguments.head) =>
+            f.copy(nameParts = Seq("array_agg_mv"))
+        }.asInstanceOf[NamedExpression]))
+    }
     def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
       p.transformUp {
-        case agg: Aggregate
-            if agg.groupingExpressions.nonEmpty &&
-              !agg.groupingExpressions.exists(
-                _.exists(_.isInstanceOf[BaseGroupingSets])) &&
-              refsMvd(agg) =>
-          rewriteAgg(agg)
+        case agg: Aggregate if refsMvd(agg) =>
+          val folded = foldMvAggs(agg)
+          if (folded.groupingExpressions.nonEmpty &&
+              !folded.groupingExpressions.exists(
+                _.exists(_.isInstanceOf[BaseGroupingSets])))
+            rewriteAgg(folded)
+          else folded
       }
     walk(plan.transformUp {
       case w: UnresolvedWith =>
@@ -740,6 +782,15 @@ object SqlApi {
         gl.copy(child = ll.copy(child = Sort(
           ge.map(g => SortOrder(g, Ascending, NullsFirst, Seq.empty)),
           global = true, child)))
+      // LIMIT … OFFSET … parses with an Offset node between the limits —
+      // the dim-sorted head applies the same way
+      // (CalciteQueryTest testTimeseriesWithLimitAndOffset)
+      case off @ org.apache.spark.sql.catalyst.plans.logical.Offset(
+            _, child) if groupingOf(child).isDefined =>
+        val ge = groupingOf(child).get
+        off.copy(child = Sort(
+          ge.map(g => SortOrder(g, Ascending, NullsFirst, Seq.empty)),
+          global = true, child))
     }
   }
 
@@ -1143,13 +1194,91 @@ object SqlApi {
             Seq("mv_overlap"), Seq(f,
               org.apache.spark.sql.catalyst.expressions.CreateArray(list)),
             isDistinct = false)
-        // Calcite's GROUPING takes any number of arguments and returns
-        // the bitmask — Spark's one-arg grouping() rejects it, but
-        // grouping_id() IS the multi-arg bitmask form
+        // ARRAY[…] member dialect (both the raw CreateArray node and the
+        // array(…) spelling the bracket rewrite emits):
+        //  - boolean LITERALS are LONG 1/0 in the reference's expression
+        //    layer (ARRAY[true,false,null] → [1,0,null] —
+        //    testBooleanConstExprArray)
+        //  - a column member reads as its MVD SCALAR when the column is a
+        //    tagged multi-value dim (ARRAY[dim2] is the 1-element array of
+        //    dim2's scalar read — testArrayOverlapFilterNonLiteral);
+        //    MvScalarRead passes scalars and untagged arrays through
+        case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+            if ca.children.exists(arrayMemberDialect) =>
+          ca.copy(children = ca.children.map(arrayMemberRewrite))
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("array") &&
+              f.filter.isEmpty && !f.isDistinct &&
+              f.arguments.exists(arrayMemberDialect) =>
+          f.copy(arguments = f.arguments.map(arrayMemberRewrite))
+        // LIKE … ESCAPE 'x': Calcite accepts the escape char before ANY
+        // character (escape + ordinary char = that char), Spark rejects
+        // non-wildcard escapes (ESC_IN_THE_MIDDLE for '%xb%' ESCAPE 'x').
+        // Normalize the literal pattern to the standard backslash escape.
+        case l: org.apache.spark.sql.catalyst.expressions.Like
+            if l.escapeChar != '\\' && (l.right match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                s, StringType) => s != null
+              case _ => false
+            }) =>
+          val pat = l.right.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Literal]
+            .value.toString
+          val esc = l.escapeChar
+          val out = new StringBuilder
+          var k = 0
+          while (k < pat.length) {
+            val c = pat.charAt(k)
+            if (c == esc && k + 1 < pat.length) {
+              val nx = pat.charAt(k + 1)
+              if (nx == '%' || nx == '_' || nx == '\\') out.append('\\')
+              out.append(nx); k += 2
+            } else if (c == '\\') { out.append("\\\\"); k += 1 }
+            else { out.append(c); k += 1 }
+          }
+          org.apache.spark.sql.catalyst.expressions.Like(l.left,
+            org.apache.spark.sql.catalyst.expressions.Literal(out.toString),
+            '\\')
+        // FILTER (WHERE cond) over a facade-BUILT aggregate: the builders
+        // return wrapped expressions (AggregateExpression / TRY-cast / If
+        // shells) that Spark's FILTER resolution rejects. These aggregates
+        // all skip NULL inputs, so the filter folds into a CASE-wrapped
+        // value argument — rows failing the condition contribute nothing
+        // and an all-filtered group is NULL, exactly the FILTER contract.
+        // (Edge: a matching row whose value IS NULL is indistinguishable
+        // from a filtered one — the reference's first/last would keep its
+        // timestamp; accepted, same class as the null-skip conventions.)
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.filter.isDefined && f.arguments.nonEmpty && Set(
+              "any_value", "earliest", "latest", "earliest_by", "latest_by",
+              "bit_and", "bit_or", "bit_xor", "string_agg_sorted",
+              "array_concat_agg", "array_concat_agg_distinct")(
+              f.nameParts.last.toLowerCase) =>
+          f.copy(
+            arguments = f.arguments.updated(0,
+              org.apache.spark.sql.catalyst.expressions.CaseWhen(
+                Seq((f.filter.get, f.arguments.head)), None)),
+            filter = None)
+        // Calcite's GROUPING takes any number of arguments IN ANY ORDER
+        // and returns the bitmask — Spark's grouping_id() demands the
+        // exact GROUP BY column order (GROUPING_ID_COLUMN_MISMATCH for
+        // GROUPING(gran, dim2) over GROUP BY dim2, gran), so build the
+        // bitmask from single-column grouping() calls
         case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
             if f.nameParts.last.equalsIgnoreCase("grouping") &&
-              f.arguments.size > 1 =>
-          f.copy(nameParts = Seq("grouping_id"))
+              f.arguments.size > 1 => {
+          import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Literal, Multiply}
+          val n = f.arguments.size
+          f.arguments.zipWithIndex.map { case (a, i) =>
+            val g: org.apache.spark.sql.catalyst.expressions.Expression =
+              Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+                Seq("grouping"), Seq(a), isDistinct = false),
+                org.apache.spark.sql.types.LongType)
+            if (i == n - 1) g
+            else Multiply(g, Literal(1L << (n - 1 - i)))
+          }.reduceLeft[org.apache.spark.sql.catalyst.expressions.Expression](
+            Add(_, _))
+        }
         // expression dialect must reach subquery plans too — an IN
         // subquery spelling CAST(… AS BIGINT) on both sides would
         // otherwise get millis outside and seconds inside
@@ -1238,11 +1367,71 @@ object SqlApi {
     * [[graft.functions.CompatCompare]]. Queries that analyze cleanly never
     * take the retry, so standard Spark coercion is untouched for them.
     */
+  /** ARRAY[…] member dialect helpers — see the dialectCore cases. */
+  private def arrayMemberDialect(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        _, org.apache.spark.sql.types.BooleanType) => true
+      case x => x.exists {
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          true
+        case _: org.apache.spark.sql.catalyst.expressions.OuterReference =>
+          true
+        case _ => false
+      }
+    }
+
+  private def arrayMemberRewrite(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.catalyst.expressions.Expression = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        b: Boolean, org.apache.spark.sql.types.BooleanType) =>
+      org.apache.spark.sql.catalyst.expressions.Literal(if (b) 1L else 0L)
+    case x if arrayMemberDialect(x) => graft.functions.MvScalarRead(x)
+    case other => other
+  }
+
   private def ofRowsCompat(
       spark: SparkSession,
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+      plan0: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
+    // the distinct-sorted ARRAY_AGG/STRING_AGG flip must see the
+    // AggregateExpression BEFORE RewriteDistinctAggregates decomposes
+    // multi-distinct queries into Expand (extraOptimizations run after
+    // it, so the optimizer-rule injection alone misses the multi-distinct
+    // shape — CalciteQueryTest testArrayAgg); flip on the analyzed plan
+    // here, where isDistinct is still intact
+    // executeAndCheck, NOT execute: a failing plan must stay UNRESOLVED so
+    // the retry branches below can rewrite its Unresolved* nodes — execute
+    // alone would hand them a half-resolved tree they can't match. Runs
+    // under withActive so analysis reads THIS session's SQLConf (the
+    // cloned session's scoped sqlTimeZone would otherwise be lost).
+    val plan =
+      try org.apache.spark.sql.graftbridge.Bridge.withActive(spark) {
+        graft.plans.SortDistinctArrayAgg(
+          spark.sessionState.analyzer.executeAndCheck(plan0,
+            new org.apache.spark.sql.catalyst.QueryPlanningTracker()))
+      }
+      catch { case _: Exception => plan0 }
     try org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
     catch {
+      // the reference accepts rank/lag/ntile over an UNORDERED window
+      // (the partition's scan order is the order — CalciteWindowQueryTest
+      // lead_lag.sqlTest / windowInsideSubquery.sqlTest); Spark demands an
+      // ORDER BY, so inject the input order as a monotonic id
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(
+            _.contains("requires window to be ordered")) =>
+        import org.apache.spark.sql.catalyst.expressions.{
+          Ascending, MonotonicallyIncreasingID, SortOrder,
+          WindowSpecDefinition}
+        val retried = plan.transformAllExpressions {
+          case w: WindowSpecDefinition if w.orderSpec.isEmpty =>
+            w.copy(orderSpec = Seq(SortOrder(
+              MonotonicallyIncreasingID(), Ascending)))
+        }
+        if (retried eq plan) throw e
+        else org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, retried)
       // Calcite's star-expansion uniquify only matters when a duplicate
       // name is actually referenced — running the schema probe on every
       // star-over-join cost ~0.3s/query, so it lives on the failure path
@@ -1253,11 +1442,21 @@ object SqlApi {
         val retried = dedupStarOverJoin(spark, plan)
         if (retried eq plan) throw e
         else org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, retried)
-      case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getMessage).exists(m =>
+      case e: Exception
+          if (e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+            // TypeCoercion throws COMPLEX_EXPRESSION_UNSUPPORTED_INPUT as
+            // a SparkIllegalArgumentException (COALESCE over an MVD +
+            // scalar); a RuntimeReplaceable whose replacement can't
+            // resolve (ARRAY_PREPEND over ARRAY[mvd]) surfaces as an
+            // INTERNAL_ERROR SparkException — same MV-dialect retry
+            e.getClass.getSimpleName == "SparkIllegalArgumentException" ||
+            e.isInstanceOf[org.apache.spark.SparkException]) &&
+            Option(e.getMessage).exists(m =>
             m.contains("BINARY_OP_DIFF_TYPES") ||
               m.contains("DATA_DIFF_TYPES") ||
               m.contains("UNEXPECTED_INPUT_TYPE") ||
+              m.contains("COMPLEX_EXPRESSION_UNSUPPORTED_INPUT") ||
+              m.contains("The replacement is unresolved") ||
               m.contains("IN_SUBQUERY_DATA_TYPE_MISMATCH")) =>
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         import org.apache.spark.sql.catalyst.expressions._
@@ -1276,7 +1475,21 @@ object SqlApi {
         def mvFnCall(x: Expression): Boolean = x match {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
             val n = f.nameParts.last.toLowerCase
-            elementwiseNames(n) || n.startsWith("mv_") || n == "string_to_mv"
+            elementwiseNames(n) || n.startsWith("mv_") ||
+              n == "string_to_mv" ||
+              // LOOKUP over an MV key maps per element (LookupApply) —
+              // a comparison/IN against its result needs the MV dialect
+              // (CalciteLookupFunctionQueryTest testFilterLookupOfConcat)
+              n == "lookup"
+          // `||` parses to a raw Concat node (no UnresolvedFunction stage)
+          case c: Concat => c.children.exists(mvFnCall) ||
+            c.children.exists(attrish)
+          // CASE WHEN … THEN dim2 END = 'abc' — an MVD-valued branch makes
+          // the whole CASE an MV expression (testDecomposeCaseWhenTwoArg)
+          case cw: CaseWhen =>
+            cw.branches.exists(b => attrish(b._2) || mvFnCall(b._2)) ||
+              cw.elseValue.exists(e => attrish(e) || mvFnCall(e))
+          case m: graft.functions.MvElementwise => true
           case _ => false
         }
         // the IN-subquery's standalone analysis must see the outer WITH's
@@ -1307,14 +1520,64 @@ object SqlApi {
                   f.arguments.nonEmpty && f.filter.isEmpty && !f.isDistinct =>
               graft.functions.MvElementwise(
                 f.nameParts.last.toLowerCase, f.arguments)
-            // MVD LIKE matches ANY element (the MVD selector); scalar or
-            // untagged input keeps the plain LIKE
-            case l: Like if attrish(l.left) =>
+            // `a || b || c` parses to raw Concat nodes — route them
+            // through the same elementwise MV map as the CONCAT() spelling
+            // (CalciteQueryTest testConcatDoubleBarsDecompose)
+            case c: Concat
+                if c.children.exists(x => attrish(x) || mvFnCall(x)) =>
+              graft.functions.MvElementwise("concat", c.children)
+            // MVD LIKE matches ANY element (the MVD selector); the wrap
+            // dispatches on the RESOLVED type, so any left operand is
+            // safe — scalar or untagged input keeps the plain LIKE
+            // (MV_FILTER_PREFIX(dim3,'b') LIKE 'b%' —
+            // CalciteMultiValueStringQueryTest testMultiValuePrefixFilterLike)
+            case l: Like if !l.left.isInstanceOf[Literal] =>
               graft.functions.MvLikeAny(l.left, l.right, l.escapeChar)
             // the parser builds NULLIF directly (no UnresolvedFunction
             // stage) — route it through the elementwise MV map too
             case n: NullIf =>
               graft.functions.MvElementwise("nullif", Seq(n.left, n.right))
+            // IS [NOT] NULL over an MV expression matches when the row is
+            // null or ANY element is (Druid's null selector —
+            // testNullEmptyStringEquality); scalar inputs keep plain IsNull
+            case IsNull(e) if mvFnCall(e) || e.isInstanceOf[NullIf] =>
+              graft.functions.MvIsNull(e)
+            case IsNotNull(e) if mvFnCall(e) || e.isInstanceOf[NullIf] =>
+              Not(graft.functions.MvIsNull(e))
+            // ARRAY[dim2, dim4] with an MVD member: the scalar slot reads
+            // the MV's scalar value (1-element unwrap, else NULL) —
+            // MvScalarRead passes untagged members through. Matches the
+            // raw CreateArray node AND the array(…) function spelling the
+            // bracket rewrite produces; correlated members sit behind
+            // OuterReference leaves, hence the tree scan.
+            case ca: CreateArray
+                if ca.children.exists(x => mvFnCall(x) || x.exists {
+                  case _: UnresolvedAttribute => true
+                  case _: OuterReference => true
+                  case _ => false
+                }) =>
+              ca.copy(children =
+                ca.children.map(graft.functions.MvScalarRead(_)))
+            case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                if f.nameParts.last.equalsIgnoreCase("array") &&
+                  f.filter.isEmpty && !f.isDistinct &&
+                  f.arguments.exists(x => mvFnCall(x) || x.exists {
+                    case _: UnresolvedAttribute => true
+                    case _: OuterReference => true
+                    case _ => false
+                  }) =>
+              f.copy(arguments =
+                f.arguments.map(graft.functions.MvScalarRead(_)))
+            // a CASE mixing scalar and MVD branch VALUES reads as
+            // MV-valued (the scalar branch is the 1-element MV) —
+            // MvCaseAlign dispatches on the resolved branch types
+            // (testGroupingAggregatorWithPostAggregator: THEN 'ALL' ELSE
+            // dim2)
+            case cw: CaseWhen
+                if (cw.branches.map(_._2) ++ cw.elseValue).exists(v =>
+                  attrish(v) || mvFnCall(v)) =>
+              graft.functions.MvCaseAlign(cw.branches.map(_._1),
+                cw.branches.map(_._2), cw.elseValue)
             // IN over an MV-producing call = MVD filter (any element in
             // the list) — mirror of the dialectCore mv_filter_* rule.
             // The MV-vs-scalar decision is deferred to resolution
@@ -1380,6 +1643,7 @@ object SqlApi {
         })
         org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, retried)
     }
+  }
 
   /** The battery/gate SQL runner: full rewrite pipeline + Calcite
     * division dialect + window-in-ORDER-BY splicing. One entry point so
@@ -1847,7 +2111,13 @@ object SqlApi {
     * followed by IS [NOT] TRUE/FALSE, on masked text.
     */
   private[graft] def rewriteInBooleanTest(sqlText: String): String = {
-    val Re = ("""(?is)(?<![A-Za-z0-9_.)])([A-Za-z_][A-Za-z0-9_.]*\s+(?:NOT\s+)?IN\s*\([^()]*\))""" +
+    // the tested expression may be a bare column OR a function call —
+    // LOOKUP(dim1, 'lookyloo') IN ('x6','nope') IS NOT TRUE
+    // (CalciteLookupFunctionQueryTest testFilterInIsNotTrue)
+    val callOrIdent =
+      """[A-Za-z_][A-Za-z0-9_.]*\s*(?:\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\))?"""
+    val Re = ("""(?is)(?<![A-Za-z0-9_.)])(""" + callOrIdent +
+      """\s+(?:NOT\s+)?IN\s*\([^()]*\))""" +
       """(\s+IS\s+(?:NOT\s+)?(?:TRUE|FALSE)\b)""").r
     Re.replaceAllIn(sqlText, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -1905,7 +2175,29 @@ object SqlApi {
     * with `'\u0001<idx>\u0001'`; [[unmaskLiterals]] restores them. \u0001
     * cannot appear in legal SQL text, so placeholders never collide.
     */
-  private[graft] def maskLiterals(sqlText: String): (String, Vector[String]) = {
+  private[graft] def maskLiterals(sqlText0: String): (String, Vector[String]) = {
+    // SQL-standard Unicode literals — U&'\005C.' (Calcite accepts them;
+    // CalciteArraysQueryTest testUnnestTwice spells a regex dot that way)
+    // — decode to a plain literal before masking: \XXXX = the code point,
+    // \\ = a backslash. The decoded backslash re-escapes as '' does not
+    // apply; downstream calciteLiteralEscape doubles it for Spark.
+    val sqlText = """(?is)U&'((?:[^']|'')*)'""".r.replaceAllIn(sqlText0, m => {
+      val body = m.group(1)
+      val dec = new StringBuilder
+      var k = 0
+      while (k < body.length) {
+        val c = body.charAt(k)
+        if (c == '\\' && k + 1 < body.length && body.charAt(k + 1) == '\\') {
+          dec.append('\\'); k += 2
+        } else if (c == '\\' && k + 4 < body.length &&
+            body.substring(k + 1, k + 5).forall(h =>
+              h.isDigit || ('a' to 'f').contains(h.toLower))) {
+          dec.append(Integer.parseInt(body.substring(k + 1, k + 5), 16).toChar)
+          k += 5
+        } else { dec.append(c); k += 1 }
+      }
+      scala.util.matching.Regex.quoteReplacement("'" + dec.toString + "'")
+    })
     val sb = new StringBuilder
     val lits = Vector.newBuilder[String]
     var i = 0

@@ -29,6 +29,7 @@ import org.apache.spark.sql.types._
 case class DruidArrayAgg(
     child: Expression,
     sorted: Boolean = false,
+    mvFlatten: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]]
@@ -37,10 +38,33 @@ case class DruidArrayAgg(
   override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
     mutable.ArrayBuffer.empty[Any]
 
+  // a MULTI-VALUE dimension input folds its ELEMENTS (flattened), with a
+  // NULL row contributing a null element — Druid's MVD scalar-read fold
+  // (CalciteArraysQueryTest testArrayAggMultiValue:
+  // ["a","b","b","c","d","",null,null]); TRUE-array inputs keep nesting.
+  // The flag is an EXPLICIT constructor parameter set at plan time
+  // (SortDistinctArrayAgg reads the druid.mv tag on the ANALYZED tree) —
+  // deriving it from child metadata here would diverge between driver and
+  // executor once the distinct rewrite re-attributes the child.
+  @transient private lazy val mvFold: Boolean =
+    mvFlatten && child.dataType.isInstanceOf[ArrayType]
+  @transient private lazy val elemType: DataType =
+    if (mvFold) child.dataType.asInstanceOf[ArrayType].elementType
+    else child.dataType
+
   override def update(
       buf: mutable.ArrayBuffer[Any], input: InternalRow): mutable.ArrayBuffer[Any] = {
     // copy: unsafe-backed values (strings, nested arrays) are reused buffers
-    buf += InternalRow.copyValue(child.eval(input))
+    child.eval(input) match {
+      case arr: ArrayData if mvFold =>
+        var i = 0
+        while (i < arr.numElements()) {
+          buf += (if (arr.isNullAt(i)) null
+                  else InternalRow.copyValue(arr.get(i, elemType)))
+          i += 1
+        }
+      case v => buf += InternalRow.copyValue(v)
+    }
     buf
   }
 
@@ -54,7 +78,7 @@ case class DruidArrayAgg(
   // distinct call sites
   @transient private lazy val elemOrdering: Ordering[Any] = {
     val base = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(child.dataType)
+      .getInterpretedOrdering(elemType)
     new Ordering[Any] {
       override def compare(a: Any, b: Any): Int =
         if (a == null && b == null) 0
@@ -66,10 +90,14 @@ case class DruidArrayAgg(
 
   override def eval(buf: mutable.ArrayBuffer[Any]): Any =
     if (buf.isEmpty) null
+    // the DISTINCT rewrite dedups the INPUT values — for a flattened MV
+    // fold the element-level dedup happens here (distinct arrays can
+    // share elements: ['a','b'] and ['b','c'] agg to a,b,c)
     else new GenericArrayData(
-      if (sorted) buf.toArray.sorted(elemOrdering) else buf.toArray)
+      if (sorted) buf.toArray.distinct.sorted(elemOrdering)
+      else buf.toArray)
 
-  @transient private lazy val bufType = ArrayType(child.dataType, containsNull = true)
+  @transient private lazy val bufType = ArrayType(elemType, containsNull = true)
   @transient private lazy val serProjection =
     UnsafeProjection.create(Array[DataType](bufType))
 
@@ -84,13 +112,13 @@ case class DruidArrayAgg(
     var i = 0
     while (i < arr.numElements()) {
       out += (if (arr.isNullAt(i)) null
-              else InternalRow.copyValue(arr.get(i, child.dataType)))
+              else InternalRow.copyValue(arr.get(i, elemType)))
       i += 1
     }
     out
   }
 
-  override def dataType: DataType = ArrayType(child.dataType, containsNull = true)
+  override def dataType: DataType = ArrayType(elemType, containsNull = true)
   override def nullable: Boolean = true
   override def defaultResult: Option[Literal] = None
   override def prettyName: String = "array_agg"
@@ -327,6 +355,130 @@ case class GraftInCollected(value: Expression, collected: Expression)
     copy(value = l, collected = r)
 }
 
+/** STRING_AGG value adapter — the reference folds through its expression
+  * layer where FLOAT widens to DOUBLE before stringifying (f1 renders
+  * 0.10000000149011612, not 0.1 — CalciteQueryTest testStringAggNumeric)
+  * and a MULTI-VALUE input folds PER ELEMENT (testStringAggMultiValue:
+  * 'a,b,b,c,d,'). Scalars keep the epoch-millis timestamp render.
+  */
+case class StringAggInput(child: Expression) extends RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(child)
+  override lazy val replacement: Expression = child.dataType match {
+    case FloatType => Cast(Cast(child, DoubleType), StringType)
+    case _: ArrayType =>
+      Cast(child, ArrayType(StringType, containsNull = true))
+    case _ => Cast(TimeAsMillis(child), StringType)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): StringAggInput = copy(child = c.head)
+}
+
+/** Plain STRING_AGG: encounter-order fold joined by the separator. NULL
+  * scalars skip; an ARRAY input (a multi-value dimension) contributes its
+  * non-null ELEMENTS; an all-skipped group is SQL NULL; the optional
+  * maxBytes cap fails the fold on overflow like the reference's
+  * ExpressionLambdaAggregatorFactory buffer.
+  */
+case class GraftStringAgg(
+    child: Expression,
+    delimiter: Expression,
+    maxBytes: Option[Int] = None,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[String]]
+  with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = delimiter
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "string_agg"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    // literal-like = no column references and deterministic (a plain
+    // .foldable misses RuntimeReplaceable wrappers over constant args —
+    // CONCAT('|','|') routed through the MV dialect)
+    if (delimiter.references.isEmpty && delimiter.deterministic)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "string_agg separator must be a literal")
+
+  @transient private lazy val sep: String = {
+    val v = delimiter.eval(null)
+    if (v == null) "" else v.toString
+  }
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[String] =
+    mutable.ArrayBuffer.empty[String]
+
+  override def update(buf: mutable.ArrayBuffer[String],
+                      input: InternalRow): mutable.ArrayBuffer[String] = {
+    child.eval(input) match {
+      case null =>
+      case arr: ArrayData =>
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) buf += arr.getUTF8String(i).toString
+          i += 1
+        }
+      case v => buf += v.toString
+    }
+    buf
+  }
+
+  override def merge(a: mutable.ArrayBuffer[String],
+                     b: mutable.ArrayBuffer[String]): mutable.ArrayBuffer[String] =
+    a ++= b
+
+  override def eval(buf: mutable.ArrayBuffer[String]): Any =
+    if (buf.isEmpty) null
+    else {
+      val joined = buf.mkString(sep)
+      maxBytes.foreach { mb =>
+        val n = joined.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        if (n > mb) throw new IllegalStateException(
+          s"string_agg aggregation result ($n bytes) exceeds maxSizeBytes " +
+            s"($mb) — raise the limit or reduce the group")
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(joined)
+    }
+
+  override def serialize(buf: mutable.ArrayBuffer[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+    }
+    out.close(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[String] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf += new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): GraftStringAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): GraftStringAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftStringAgg =
+    copy(child = l, delimiter = r)
+}
+
 /** STRING_AGG(DISTINCT x, sep) — the reference's distinct fold is a
   * TreeSet, so the output is the SORTED distinct set joined by the
   * separator (CalciteQueryTest testStringAgg: ',1,10.1,2,abc,def').
@@ -354,7 +506,10 @@ case class GraftStringAggSorted(
   // the reference requires a literal and fails validation the same way
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (delimiter.foldable)
+    // literal-like = no column references and deterministic (a plain
+    // .foldable misses RuntimeReplaceable wrappers over constant args —
+    // CONCAT('|','|') routed through the MV dialect)
+    if (delimiter.references.isEmpty && delimiter.deterministic)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -370,8 +525,19 @@ case class GraftStringAggSorted(
 
   override def update(buf: mutable.TreeSet[String],
                       input: InternalRow): mutable.TreeSet[String] = {
-    val v = child.eval(input)
-    if (v != null) buf += v.toString
+    child.eval(input) match {
+      case null =>
+      // a multi-value input folds per element (StringAggInput casts MV
+      // inputs to ARRAY<STRING>; CalciteQueryTest testStringAggMultiValue
+      // DISTINCT = ',a,b,c,d')
+      case arr: ArrayData =>
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) buf += arr.getUTF8String(i).toString
+          i += 1
+        }
+      case v => buf += v.toString
+    }
     buf
   }
 

@@ -450,7 +450,11 @@ object DruidFunctions {
         Literal(1000.0))), org.apache.spark.sql.types.DoubleType)
       case longUnit =>
         val ext: Expression = longUnit match {
-          case "EPOCH"  => UnixSeconds(args.head)
+          // a DATE input widens to its midnight timestamp first (Calcite
+          // accepts EXTRACT(EPOCH FROM DATE '1970-01-01'); UnixSeconds
+          // takes only TIMESTAMP)
+          case "EPOCH"  => UnixSeconds(
+            Cast(args.head, org.apache.spark.sql.types.TimestampType))
           // MILLIS (epoch millis) is a documented extension beyond the
           // reference unit set; MILLISECOND is the reference's
           // millisOfSecond (Pmod keeps it in 0..999 pre-epoch too).
@@ -561,6 +565,11 @@ object DruidFunctions {
     e match {
       case Literal(null, _) => None
       case Literal(s: UTF8String, StringType) => Some(s.toString)
+      // a FOLDABLE expression is a literal to the reference's planner —
+      // CAST('2000-01-01/P1Y' AS VARCHAR) plans as the constant
+      // (testCountStarWithTimeInCastedIntervalFilter)
+      case _ if e.foldable && e.dataType == StringType =>
+        Option(e.eval(null)).map(_.toString)
       case _ => throw new IllegalArgumentException(s"$what must be a string literal")
     }
   }
@@ -2007,15 +2016,27 @@ object DruidFunctions {
         a.lift(1).foreach(requirePositiveSizeLiteral("array_agg", _))
         graft.functions.DruidArrayAgg(a.head)
       }),
+      // ARRAY_AGG over an MVD argument (renamed by the facade's dialect —
+      // the flatten changes the result type, so the decision is made
+      // before analysis): elements fold flattened, null rows → null
+      "array_agg_mv" -> ((a: Seq[Expression]) => {
+        require(a.size == 1 || a.size == 2,
+          s"array_agg takes 1 or 2 arguments, got ${a.size}")
+        a.lift(1).foreach(requirePositiveSizeLiteral("array_agg", _))
+        graft.functions.DruidArrayAgg(a.head, mvFlatten = true)
+      }),
       "string_agg" -> ((a: Seq[Expression]) => {
         require(a.size == 2 || a.size == 3,
           s"string_agg takes 2 or 3 arguments, got ${a.size}")
         a.lift(2).foreach(requirePositiveSizeLiteral("string_agg", _))
         // timestamps stringify as EPOCH MILLIS (Druid's expr layer carries
-        // them as LONG — string_agg_timestamp_test001-004)
-        new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
-          Cast(graft.functions.TimeAsMillis(a.head), StringType),
-          a(1), Nil, 0, 0)
+        // them as LONG — string_agg_timestamp_test001-004); floats widen
+        // to DOUBLE and multi-value inputs fold per element
+        // (StringAggInput); maxBytes overflow fails the fold
+        val maxBytes = a.lift(2).flatMap(e =>
+          Option(e.eval(null)).map(v => v.toString.toDouble.toInt))
+        graft.functions.GraftStringAgg(
+          graft.functions.StringAggInput(a.head), a(1), maxBytes)
       }),
       // STRING_AGG(DISTINCT …) — the reference's distinct fold is a
       // TreeSet, so the output is the SORTED distinct set (CalciteQueryTest
@@ -2030,8 +2051,7 @@ object DruidFunctions {
         val maxBytes = a.lift(2).flatMap(e =>
           Option(e.eval(null)).map(v => v.toString.toDouble.toInt))
         graft.functions.GraftStringAggSorted(
-          Cast(graft.functions.TimeAsMillis(a.head), StringType), a(1),
-          maxBytes)
+          graft.functions.StringAggInput(a.head), a(1), maxBytes)
       }),
       // concat-agg: skip NULL input arrays (stock collect_list), keep inner
       // nulls, flatten partition-wise

@@ -151,7 +151,12 @@ object LookupRegistry {
 
     private def probe(k: Expression): Expression = {
       val hit = ElementAt(map, k)
-      replace.map(r => Coalesce(Seq(hit, r))).getOrElse(hit)
+      // the replaceMissing value casts to STRING — a bare NULL literal is
+      // NullType and Coalesce(STRING, NULL-typed) fails the complex-type
+      // check (LOOKUP(dim1, 'lookyloo', null) —
+      // CalciteLookupFunctionQueryTest testLookupReplaceMissingValueWith)
+      replace.map(r => Coalesce(Seq(hit,
+        Cast(r, StringType, None, EvalMode.TRY)))).getOrElse(hit)
     }
 
     override lazy val replacement: Expression = key.dataType match {

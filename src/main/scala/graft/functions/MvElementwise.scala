@@ -30,7 +30,14 @@ case class MvElementwise(name: String, children: Seq[Expression])
 
   private def str(e: Expression): Expression =
     if (e.dataType == StringType) e
-    else if (e.dataType.isInstanceOf[ArrayType]) e // keep invalid — fails
+    // a SECOND MV operand in the same expression: the reference's
+    // one-MV-per-expression rule has no elementwise pairing for it, so it
+    // reads as the MVD scalar (1-element unwrap, multi → NULL) — keeps
+    // COALESCE(dim2, dim3, dim1) resolvable instead of crashing
+    // (CalciteQueryTest testCoalesceMoreColumns; full multi-MV algebra is
+    // the frozen divergence class)
+    else if (e.dataType.isInstanceOf[ArrayType])
+      Cast(MvScalarRead(e), StringType, Some("UTC"), EvalMode.TRY)
     else Cast(e, StringType, Some("UTC"), EvalMode.TRY)
 
   private def rebuild(args: Seq[Expression]): Expression = name match {
@@ -95,7 +102,11 @@ case class MvLikeAny(left: Expression, right: Expression, escapeChar: Char)
   override def children: Seq[Expression] = Seq(left, right)
 
   override lazy val replacement: Expression = left.dataType match {
-    case _: ArrayType if CompatCompare.mvTagged(left) =>
+    // treeHasMvTag, not just a top-level tagged attr: an MV-derived
+    // expression (MV_FILTER_PREFIX(dim3,'b') LIKE 'b%') filters per
+    // element too
+    case _: ArrayType
+        if CompatCompare.mvTagged(left) || CompatCompare.treeHasMvTag(left) =>
       ArrayExists(
         Cast(left, ArrayType(StringType, containsNull = true)), {
           val v = NamedLambdaVariable("graft_mv_l", StringType, nullable = true)
@@ -139,6 +150,100 @@ case class MvInDispatch(value: Expression, list: Seq[Expression])
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): MvInDispatch =
     copy(value = c.head, list = c.tail)
+}
+
+/** CASE with a multi-value branch: `CASE WHEN grouping(dim2)=1 THEN 'ALL'
+  * ELSE dim2 END` mixes a scalar branch with an MVD one — the reference's
+  * expression layer reads the CASE as MV-valued (the scalar branch is the
+  * 1-element MV). When a resolved branch is an MV-tagged array, every
+  * scalar branch wraps to its single-element array; an all-scalar CASE
+  * stays untouched.
+  */
+case class MvCaseAlign(conds: Seq[Expression], values: Seq[Expression],
+    elseValue: Option[Expression]) extends RuntimeReplaceable {
+
+  // holds the PIECES, not a CaseWhen — a mixed-type CaseWhen child would
+  // fail its own checkInputDataTypes before this node could replace it
+
+  override def children: Seq[Expression] = conds ++ values ++ elseValue
+
+  override lazy val replacement: Expression = {
+    val all = values ++ elseValue
+    val mv = all.exists(v => v.dataType.isInstanceOf[ArrayType] &&
+      CompatCompare.treeHasMvTag(v))
+    def arr(v: Expression): Expression = v.dataType match {
+      case _: ArrayType =>
+        Cast(v, ArrayType(StringType, containsNull = true))
+      case _ => CreateArray(Seq(Cast(v, StringType, Some("UTC"),
+        EvalMode.TRY)))
+    }
+    if (mv)
+      CaseWhen(conds.zip(values.map(arr)), elseValue.map(arr))
+    else {
+      // the replacement is built post-analysis, so the analyzer's CASE
+      // branch coercion never sees it — widen the branches here (THEN
+      // NULL ELSE cnt is VOID vs BIGINT)
+      val widened = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderCommonType(all.map(_.dataType))
+      def co(v: Expression): Expression = widened match {
+        case Some(w) if v.dataType != w => Cast(v, w, Some("UTC"))
+        case _ => v
+      }
+      CaseWhen(conds.zip(values.map(co)), elseValue.map(co))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MvCaseAlign = {
+    val n = conds.size
+    copy(conds = c.take(n), values = c.slice(n, 2 * n),
+      elseValue = if (c.size > 2 * n) Some(c.last) else None)
+  }
+}
+
+/** IS [NOT] NULL over an MV-producing expression: Druid's null selector
+  * matches an MVD row when the row is NULL or ANY element is null —
+  * `NULLIF(dim2, 'a') IS NULL` counts the ['a']→[null] rows
+  * (CalciteQueryTest testNullEmptyStringEquality). Scalar-resolving
+  * inputs keep the plain IsNull.
+  */
+case class MvIsNull(child: Expression) extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(et, _) =>
+      Or(IsNull(child), ArrayExists(child, {
+        val v = NamedLambdaVariable("graft_mv_n", et, nullable = true)
+        LambdaFunction(IsNull(v), Seq(v))
+      }))
+    case _ => IsNull(child)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MvIsNull = copy(child = c.head)
+}
+
+/** Druid's MVD-to-scalar read: in a scalar slot (an ARRAY[] constructor
+  * member — `ARRAY[dim2, dim4]` over the MVD dim2 reads dim2's scalar
+  * value per row), a single-element MV unwraps to its element, a NULL MV
+  * is NULL, and a multi-element MV has no scalar form (NULL). Untagged
+  * inputs pass through untouched, so the wrap is safe to apply broadly
+  * in the retry path.
+  */
+case class MvScalarRead(child: Expression) extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(et, _) if CompatCompare.treeHasMvTag(child) =>
+      If(And(IsNotNull(child), EqualTo(Size(child), Literal(1))),
+        GetArrayItem(child, Literal(0)), Literal.create(null, et))
+    case _ => child
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MvScalarRead = copy(child = c.head)
 }
 
 /** UNNEST input adapter: unnesting a multi-value DIMENSION emits a row

@@ -104,8 +104,8 @@ object Dedup {
   def contaminationScore(corpus: DataFrame, probe: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 8): DataFrame = {
-    val pg = distinctNgramRows(probe, idCol, textCol, n, withId = true)
-      .persist()
+    val pg = CacheScope.autoRelease(
+      distinctNgramRows(probe, idCol, textCol, n, withId = true))
     val totals = pg.groupBy(col("__pid")).agg(count(lit(1)).as("total"))
     val matches = pg
       .join(distinctNgramRows(corpus, idCol, textCol, n, withId = false),
@@ -184,7 +184,7 @@ object Dedup {
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      .persist()
+      .transform(CacheScope.autoRelease(_))
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -269,8 +269,9 @@ object Dedup {
                    blockKey: Column, maxHamming: Int = 12,
                    minJaccard: Double = 0.3, shingleSize: Int = 3,
                    mode: String = "auto"): DataFrame = {
-    val d = simHashTable(df.withColumn("__block", blockKey), idCol, textCol,
-      carry = Seq("__block")).persist()
+    val d = CacheScope.autoRelease(
+      simHashTable(df.withColumn("__block", blockKey), idCol, textCol,
+        carry = Seq("__block")))
     // Candidate generation dispatches on the hamming radius.
     //
     // Small radii (the 3-6 of web dedup practice, Manku et al. WWW'07) use
@@ -319,7 +320,7 @@ object Dedup {
           .filter(col("hamming") <= maxHamming)
       }
     // persist: the candidate set feeds the id prefilter AND the verify join
-    val cand = cand0.persist()
+    val cand = CacheScope.autoRelease(cand0)
     // stage 2: exact verify. Grams are computed ONLY for docs that appear
     // in some candidate pair (left-semi prefilter) — at corpus scale the
     // survivors are a vanishing fraction, and rescanning/shingling the
@@ -408,7 +409,7 @@ object Dedup {
       shingleSize, carry = Seq("__block"))
       .groupBy(col("id"), col("__block").as("block"))
       .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams"))
-      .persist()
+      .transform(CacheScope.autoRelease(_))
     val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
     val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
     val inter = graft.functions.VectorMath
@@ -453,6 +454,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    // labels is fully materialized (eager localCheckpoint each round), so
+    // the edge cache is provably consumed — release before returning
+    // rather than leaking it into the caller's session
+    edges.unpersist()
     labels
   }
 

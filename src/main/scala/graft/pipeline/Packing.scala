@@ -33,11 +33,17 @@ object Packing {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
     // persist: the ranged table feeds the totals pass AND the final cumsum
+    // localCheckpoint, NOT persist: the partition ids are NONDETERMINISTIC
+    // on recompute (repartitionByRange re-samples boundaries), so the
+    // offsets collected below must pin THIS materialization — a released
+    // or lost cache block recomputing through lineage would silently
+    // misalign the cumsum. Checkpoint blocks are ContextCleaner-scoped
+    // (freed when the caller drops the result), so no session-level leak.
     val ranged = df
       .repartitionByRange(parts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", valueCol.cast("long"))
-      .persist()
+      .localCheckpoint()
     // phase 1: per-partition totals — numPartitions rows to the driver
     val totals = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

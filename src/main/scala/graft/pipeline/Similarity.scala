@@ -220,8 +220,9 @@ object Similarity {
     // persist: the trained centroid table (nlist rows) is probed by both
     // the corpus and the query side — without the cache the whole Lloyd
     // training re-runs per consumer
-    lloyd(vecs, nlist, iters,
-      score = (v, c) => dot(v, c), renormalizeMean = true).persist()
+    CacheScope.autoRelease(lloyd(vecs, nlist, iters,
+      score = (v, c) => dot(v, c), renormalizeMean = true),
+      consumingActions = 2)
   }
 
   /** Shared relational Lloyd loop: seed with the lowest-id vectors
@@ -386,10 +387,10 @@ object Similarity {
       .withColumn("__grp", explode(sequence(lit(0), lit(m - 1))))
       .select(col("__grp"), col("__vid"),
         expr(s"slice(__u, __grp * $sub + 1, $sub)").as("__v"))
-    lloydGrouped(sliced, k, iters,
+    CacheScope.autoRelease(lloydGrouped(sliced, k, iters,
       score = (v, c) => dot(v, c) - dot(c, c) / 2, renormalizeMean = false)
-      .select(col("__grp").as("subspace"), col("centroid_id"), col("centroid"))
-      .persist()
+      .select(col("__grp").as("subspace"), col("centroid_id"), col("centroid")),
+      consumingActions = 2)
   }
 
   /** Encode the corpus against trained codebooks: per subspace, the id of

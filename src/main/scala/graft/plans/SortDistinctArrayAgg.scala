@@ -16,6 +16,10 @@ import graft.functions.DruidArrayAgg
 object SortDistinctArrayAgg extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // (the MVD-flatten decision is NOT made here: flattening changes the
+      // aggregate's result type, so it must precede parent resolution —
+      // SqlApi.mvdGroupByExplode renames the call to the array_agg_mv
+      // builder, whose constructor flag survives the distinct rewrite)
       case ae: AggregateExpression if ae.isDistinct =>
         ae.aggregateFunction match {
           case d: DruidArrayAgg if !d.sorted =>
@@ -30,6 +34,14 @@ object SortDistinctArrayAgg extends Rule[LogicalPlan] {
                 org.apache.spark.sql.catalyst.expressions.Ascending)))
               .asInstanceOf[org.apache.spark.sql.catalyst.expressions
                 .aggregate.AggregateFunction])
+          // a DISTINCT spelling that reached the plain fold (the textual
+          // STRING_AGG(DISTINCT…) rewrite can be bypassed by plan-level
+          // construction) reroutes to the sorted TreeSet fold
+          case s: graft.functions.GraftStringAgg =>
+            ae.copy(aggregateFunction = graft.functions.GraftStringAggSorted(
+              s.child, s.delimiter, s.maxBytes,
+              s.mutableAggBufferOffset, s.inputAggBufferOffset),
+              isDistinct = false)
           case _ => ae
         }
     }

@@ -23,4 +23,14 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Run `body` with `spark` as the ACTIVE session (`SparkSession
+    * .withActive` is private[sql]) — a direct `analyzer.executeAndCheck`
+    * outside it would read SQLConf from whatever session happens to be
+    * active on the thread, losing per-query scoped confs like the cloned
+    * session's sqlTimeZone.
+    */
+  def withActive[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .withActive(body)
 }
