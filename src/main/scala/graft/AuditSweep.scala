@@ -659,6 +659,7 @@ object AuditSweep {
            "jsoncols_schmdisc_and_transform_spec" => "jc_false"
       case d if d.startsWith("jsoncols_") => "jc_true"
       case "calcite" => "calcite"
+      case "calcite_la" => "calcite_la"
       case _ if q.contains("c_mv") => "mv"
       case _ => "main"
     }
@@ -705,6 +706,7 @@ object AuditSweep {
     val mvCases = cases.filter(_.phase == "mv")
     val calciteCases = cases.filter(_.phase == "calcite")
     val errCases = cases.filter(_.phase == "calcite_err")
+    val laCases = cases.filter(_.phase == "calcite_la")
     val rollupCases = cases.filter(_.phase == "rollup")
     val jcCases = cases.filter(_.phase.startsWith("jc_"))
       .groupBy(_.phase)
@@ -808,12 +810,22 @@ object AuditSweep {
     pool.awaitTermination(120, java.util.concurrent.TimeUnit.MINUTES)
     }
     runPhase(arrCases)
-    if (calciteCases.nonEmpty || errCases.nonEmpty) {
+    if (calciteCases.nonEmpty || errCases.nonEmpty || laCases.nonEmpty) {
       registerCalciteFixtures(spark)
       registerNestedFixtures(spark)
       registerWikipediaFixtures(spark)
       runPhase(calciteCases)
       runPhase(errCases)
+      // LOS_ANGELES session-context cases: the fixtures hold absolute
+      // instants, the session zone only changes query-time rendering and
+      // calendar grouping — exactly the reference's sqlTimeZone contract
+      if (laCases.nonEmpty) {
+        val TzKey = "spark.sql.session.timeZone"
+        val prevTz = spark.conf.get(TzKey)
+        spark.conf.set(TzKey, "America/Los_Angeles")
+        try runPhase(laCases)
+        finally spark.conf.set(TzKey, prevTz)
+      }
     }
     // rollup=true ingest variants (qaArray ingest_hashed/range_rollup_true,
     // schmdisc_dynamic_rollup_true): same dims + transforms, but ingestion

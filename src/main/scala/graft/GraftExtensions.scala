@@ -326,6 +326,18 @@ object GraftExtensions {
         // all-NULL group (CollectList skips nulls → empty buffer) is SQL
         // NULL like the reference, not [] (ops_funcs_agg_funcs A1_B29)
         import org.apache.spark.sql.catalyst.expressions.{EqualTo, Flatten, If, Literal, Size}
+        // the optional second arg is the reference's maxSizeBytes — a
+        // NUMERIC literal or a validation error
+        // (testArrayConcatAggWithStringMaxBytes)
+        require(args.size == 1 || args.size == 2,
+          s"array_concat_agg takes 1 or 2 arguments, got ${args.size}")
+        args.lift(1).foreach {
+          case Literal(v: Number, _)
+            if v.longValue >= 10 && v.longValue <= Int.MaxValue => ()
+          case other => throw new IllegalArgumentException(
+            "array_concat_agg maxBytes must be a numeric literal, " +
+              s"got $other")
+        }
         val cl = new org.apache.spark.sql.catalyst.expressions.aggregate
           .CollectList(args.head).toAggregateExpression()
         If(EqualTo(Size(cl), Literal(0)),

@@ -668,13 +668,17 @@ object SqlApi {
     // against the nested form. The renamed builder carries the flag as a
     // constructor parameter, which survives the distinct rewrite's child
     // re-attribution.
-    def foldMvAggs(agg: Aggregate): Aggregate = {
+    def foldMvExprs[P <: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan](node: P, child: org.apache.spark.sql.catalyst.plans
+        .logical.LogicalPlan,
+        rebuild: Seq[NamedExpression] => P,
+        exprs: Seq[NamedExpression]): P = {
       val childOut =
         try {
-          val p = if (cteDefs.isEmpty) agg.child
-            else UnresolvedWith(agg.child, cteDefs)
+          val p = if (cteDefs.isEmpty) child
+            else UnresolvedWith(child, cteDefs)
           spark.sessionState.analyzer.execute(p).output
-        } catch { case _: Exception => return agg }
+        } catch { case _: Exception => return node }
       def tagged(name: String): Boolean = childOut.exists(a =>
         a.name.equalsIgnoreCase(name) && a.metadata.contains("druid.mv") &&
           a.dataType.isInstanceOf[ArrayType])
@@ -686,14 +690,21 @@ object SqlApi {
         case c: Concat => c.children.exists(mvArg)
         case _ => false
       }
-      agg.copy(aggregateExpressions = agg.aggregateExpressions.map(
-        _.transformDown {
-          case f: UnresolvedFunction
-              if f.nameParts.last.equalsIgnoreCase("array_agg") &&
-                f.arguments.nonEmpty && mvArg(f.arguments.head) =>
-            f.copy(nameParts = Seq("array_agg_mv"))
-        }.asInstanceOf[NamedExpression]))
+      rebuild(exprs.map(_.transformDown {
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("array_agg") &&
+              f.arguments.nonEmpty && mvArg(f.arguments.head) =>
+          f.copy(nameParts = Seq("array_agg_mv"))
+      }.asInstanceOf[NamedExpression]))
     }
+    def foldMvAggs(agg: Aggregate): Aggregate =
+      foldMvExprs[Aggregate](agg, agg.child,
+        es => agg.copy(aggregateExpressions = es), agg.aggregateExpressions)
+    def hasArrayAgg(exprs: Seq[Expression]): Boolean = exprs.exists(_.exists {
+      case f: UnresolvedFunction =>
+        f.nameParts.last.equalsIgnoreCase("array_agg")
+      case _ => false
+    })
     def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
       p.transformUp {
@@ -704,6 +715,14 @@ object SqlApi {
                 _.exists(_.isInstanceOf[BaseGroupingSets])))
             rewriteAgg(folded)
           else folded
+        // a GLOBAL aggregate (no GROUP BY) parses as a Project — the
+        // analyzer extracts the aggregate later — so the MV-fold rename
+        // must reach Project nodes too (testArrayAggMultiValue)
+        case proj: org.apache.spark.sql.catalyst.plans.logical.Project
+            if hasArrayAgg(proj.projectList) && refsMvd(proj) =>
+          foldMvExprs[org.apache.spark.sql.catalyst.plans.logical.Project](
+            proj, proj.child, es => proj.copy(projectList = es),
+            proj.projectList)
       }
     walk(plan.transformUp {
       case w: UnresolvedWith =>
@@ -1457,6 +1476,7 @@ object SqlApi {
               m.contains("UNEXPECTED_INPUT_TYPE") ||
               m.contains("COMPLEX_EXPRESSION_UNSUPPORTED_INPUT") ||
               m.contains("The replacement is unresolved") ||
+              m.contains("UNSUPPORTED_EXPR_FOR_WINDOW") ||
               m.contains("IN_SUBQUERY_DATA_TYPE_MISMATCH")) =>
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         import org.apache.spark.sql.catalyst.expressions._
@@ -1533,6 +1553,27 @@ object SqlApi {
             // CalciteMultiValueStringQueryTest testMultiValuePrefixFilterLike)
             case l: Like if !l.left.isInstanceOf[Literal] =>
               graft.functions.MvLikeAny(l.left, l.right, l.escapeChar)
+            // REGEXP_LIKE over an MVD: any-element match
+            // (testStringOperationsNullableInference)
+            case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                if f.nameParts.last.equalsIgnoreCase("regexp_like") &&
+                  f.arguments.size == 2 =>
+              graft.functions.MvRLikeAny(f.arguments(0), f.arguments(1))
+            // ARRAY_CONCAT_AGG as a WINDOW function: the batch builder's
+            // null-for-empty-group If shell isn't window-able — use the
+            // bare collect with the flatten OUTSIDE the window
+            // (CalciteWindowQueryTest arrayConcatAgg.sqlTest)
+            case we: WindowExpression =>
+              we.windowFunction match {
+                case f: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedFunction
+                    if f.nameParts.last.equalsIgnoreCase("array_concat_agg") =>
+                  // drop the optional maxBytes arg — collect_list is unary
+                  Flatten(we.copy(windowFunction =
+                    f.copy(nameParts = Seq("collect_list"),
+                      arguments = f.arguments.take(1))))
+                case _ => we
+              }
             // the parser builds NULLIF directly (no UnresolvedFunction
             // stage) — route it through the elementwise MV map too
             case n: NullIf =>

@@ -1965,6 +1965,15 @@ object DruidFunctions {
         require(a.size >= 1 && a.size <= 3,
           s"any_value takes 1 to 3 arguments, got ${a.size}")
         a.lift(1).foreach(requirePositiveSizeLiteral("any_value", _))
+        // the aggregateMultipleValues toggle must be a BOOLEAN literal —
+        // the reference's operator table rejects other types
+        // (CalciteQueryTest testStringAnyAggArgValidation)
+        a.lift(2).foreach {
+          case Literal(_: Boolean, _) => ()
+          case other => throw new IllegalArgumentException(
+            "any_value aggregateMultipleValues must be a boolean literal, " +
+              s"got $other")
+        }
         val av = new org.apache.spark.sql.catalyst.expressions.aggregate
           .AnyValue(a.head)
         // aggregateMultipleValues=false over an MV column picks a single
@@ -2014,7 +2023,7 @@ object DruidFunctions {
         require(a.size == 1 || a.size == 2,
           s"array_agg takes 1 or 2 arguments, got ${a.size}")
         a.lift(1).foreach(requirePositiveSizeLiteral("array_agg", _))
-        graft.functions.DruidArrayAgg(a.head)
+        graft.functions.DruidArrayAgg(graft.functions.FloatWiden(a.head))
       }),
       // ARRAY_AGG over an MVD argument (renamed by the facade's dialect —
       // the flatten changes the result type, so the decision is made
@@ -2023,7 +2032,8 @@ object DruidFunctions {
         require(a.size == 1 || a.size == 2,
           s"array_agg takes 1 or 2 arguments, got ${a.size}")
         a.lift(1).foreach(requirePositiveSizeLiteral("array_agg", _))
-        graft.functions.DruidArrayAgg(a.head, mvFlatten = true)
+        graft.functions.DruidArrayAgg(graft.functions.FloatWiden(a.head),
+          mvFlatten = true)
       }),
       "string_agg" -> ((a: Seq[Expression]) => {
         require(a.size == 2 || a.size == 3,
@@ -2076,6 +2086,9 @@ object DruidFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BitXorAgg(
           Cast(a.head, LongType, None, EvalMode.TRY))),
       "array_concat_agg" -> ((a: Seq[Expression]) => {
+        require(a.size == 1 || a.size == 2,
+          s"array_concat_agg takes 1 or 2 arguments, got ${a.size}")
+        a.lift(1).foreach(requirePositiveSizeLiteral("array_concat_agg", _))
         val cl = new org.apache.spark.sql.catalyst.expressions.aggregate
           .CollectList(a.head).toAggregateExpression()
         If(EqualTo(Size(cl), Literal(0)),

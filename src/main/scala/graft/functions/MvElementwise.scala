@@ -201,6 +201,47 @@ case class MvCaseAlign(conds: Seq[Expression], values: Seq[Expression],
   }
 }
 
+/** The reference's expression layer has no FLOAT — aggregate folds read
+  * floats widened to DOUBLE (ARRAY_AGG(f1) holds 0.10000000149011612,
+  * not 0.1 — CalciteArraysQueryTest testArrayAggNumeric; qaAggFuncs
+  * array_agg_float grids pin the same). Everything else passes through.
+  */
+case class FloatWiden(child: Expression) extends RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(child)
+  override lazy val replacement: Expression = child.dataType match {
+    case FloatType => Cast(child, DoubleType)
+    case ArrayType(FloatType, n) =>
+      Cast(child, ArrayType(DoubleType, n))
+    case _ => child
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FloatWiden = copy(child = c.head)
+}
+
+/** REGEXP_LIKE over an MVD matches when ANY element matches — same
+  * selector convention as MvLikeAny (CalciteQueryTest
+  * testStringOperationsNullableInference). Scalar input keeps RLike.
+  */
+case class MvRLikeAny(left: Expression, right: Expression)
+    extends RuntimeReplaceable {
+
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override lazy val replacement: Expression = left.dataType match {
+    case _: ArrayType
+        if CompatCompare.mvTagged(left) || CompatCompare.treeHasMvTag(left) =>
+      ArrayExists(
+        Cast(left, ArrayType(StringType, containsNull = true)), {
+          val v = NamedLambdaVariable("graft_mv_r", StringType, nullable = true)
+          LambdaFunction(RLike(v, right), Seq(v))
+        })
+    case _ => RLike(left, right)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MvRLikeAny = copy(left = c(0), right = c(1))
+}
+
 /** IS [NOT] NULL over an MV-producing expression: Druid's null selector
   * matches an MVD row when the row is NULL or ANY element is null —
   * `NULLIF(dim2, 'a') IS NULL` counts the ['a']→[null] rows

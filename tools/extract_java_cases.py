@@ -156,6 +156,31 @@ def eval_cell(tok):
     m = re.fullmatch(r"(?:timestamp|day)\(\s*(%s)\s*\)" % STR, tok)
     if m:
         return parse_ts(unescape_java(m.group(1)[1:-1]))
+    # timestamp("X", LOS_ANGELES): the session renders in LA, so the
+    # expected text IS the LA wall clock
+    m = re.fullmatch(r"timestamp\(\s*(%s)\s*,\s*LOS_ANGELES\s*\)" % STR, tok)
+    if m:
+        return parse_ts(unescape_java(m.group(1)[1:-1]))
+    # Calcites.jodaToCalciteTimestamp(new DateTime("X", LA), UTC): a UTC
+    # render of the LA-local instant (UTC-session tests with explicit tz
+    # args — testGroupAndFilterOnTimeFloorWithTimeZone)
+    m = re.fullmatch(
+        r"Calcites\.jodaToCalciteTimestamp\(\s*new DateTime\(\s*(%s)\s*,\s*"
+        r"DateTimes\.inferTzFromString\(LOS_ANGELES\)\s*\)\s*,\s*"
+        r"DateTimeZone\.UTC\s*\)" % STR, tok, re.S)
+    if m:
+        try:
+            from zoneinfo import ZoneInfo
+            base = parse_ts(unescape_java(m.group(1)[1:-1]))
+            if base is None:
+                return None
+            la = datetime.strptime(base, "%Y-%m-%d %H:%M:%S.%f").replace(
+                tzinfo=ZoneInfo("America/Los_Angeles"))
+            utc = la.astimezone(ZoneInfo("UTC"))
+            return utc.strftime("%Y-%m-%d %H:%M:%S.") + "%03d" % (
+                utc.microsecond // 1000)
+        except Exception:
+            return None
     m = re.fullmatch(
         r"(?:ImmutableList|Arrays\.asList|List)\.of\(\s*(.*)\s*\)", tok, re.S)
     if m or re.fullmatch(r"(?:Arrays\.asList|useDefault\b.*)", tok):
@@ -332,13 +357,40 @@ def extract_error_cases(out_path):
         # supports RANGE offset frames (SURVEY §2.6)
         "currently supports only",
     ]
+    # per-test adjudications where the message heuristic misfires:
+    #  - fixture_limit: the engine's fixture REPRESENTS the reference's
+    #    complex type as STRING (hyperUnique blobs, nested-as-STRING), so
+    #    the type-based rejection is unobservable — treated like
+    #    capability (the query runs, with well-defined string semantics)
+    #  - capability: deliberate engine extensions (lenient TRY-casts make
+    #    an invalid timestamp literal NULL instead of a planning error;
+    #    positional UNION coercion; JSON-text join keys; no per-query
+    #    lookup-unapply budget)
+    TID_CLASS = {
+        "testStringAggQueryOnComplexDatatypes": "fixture_limit",
+        "testApproxCountDistinctOnUnsupportedComplexColumn": "fixture_limit",
+        "testApproxCountDistinctFunctionOnUnsupportedComplexColumn":
+            "fixture_limit",
+        "testJoinOnNestedColumnThrows": "capability",
+        "testCountStarWithTimeFilterUsingStringLiteralsInvalid_isUnplannable":
+            "capability",
+        "testFilterMaxUnapplyCount": "capability",
+        "testUnionAllTablesWhenCastAndMappingIsRequired": "capability",
+    }
     cases = []
     for fname in FILES:
         path = os.path.join(SRC, fname)
         if not os.path.exists(path):
             continue
         text = open(path, encoding="utf-8").read()
-        for body in re.split(r"@Test\b", text)[1:]:
+        for body0 in re.split(r"@Test\b", text)[1:]:
+            # an @Test split can span SEVERAL methods (@MethodSource
+            # parameterized tests have no @Test marker) — cut at the next
+            # method so a later method's error matcher can't mis-tag this
+            # one (testJoinOnGroupByInsteadOfTimeseries…)
+            parts = re.split(r"\n  public void ", body0)
+            body = parts[0] + ("\n  public void " + parts[1].split(
+                "\n  public void ")[0] if len(parts) > 1 else "")
             if not ("assertQueryIsUnplannable" in body
                     or "DruidException" in body
                     or "expectedException" in body
@@ -373,8 +425,11 @@ def extract_error_cases(out_path):
                              and re.search(r"\bFROM\b", m, re.I))]
             err = max(msgs, key=len) if msgs else ""
             lc = err.lower()
-            cls = ("capability" if any(h in lc for h in CAPABILITY_HINTS)
-                   else "validation")
+            cls = TID_CLASS.get(tid) or (
+                "capability" if any(h in lc for h in CAPABILITY_HINTS)
+                else "validation")
+            if cls == "fixture_limit":
+                cls = "capability"  # same sweep handling, reason documented
             cases.append({"file": fname.replace(".java", "") + ".java",
                           "tid": tid, "query": sql, "expect_error": True,
                           "err_substr": err[:200], "err_class": cls,
@@ -408,9 +463,12 @@ def main():
                     or "ExpectedException" in body or "DruidException" in body:
                 skipped["error_case"] += 1
                 continue
-            if "LOS_ANGELES" in body:
-                skipped["tz_context"] += 1
-                continue
+            # LOS_ANGELES session contexts replay in a dedicated phase
+            # (session timeZone America/Los_Angeles); tests that only pass
+            # LA as an explicit function argument run in the UTC phase.
+            # Mock-clock LA tests stay skipped below.
+            la_session = ("QUERY_CONTEXT_LOS_ANGELES" in body
+                          or "PLANNER_CONFIG_LOS_ANGELES" in body)
             # planner-config / context variants the engine doesn't model:
             # requireTimeCondition rejections and the numeric-IN fanout cap
             if "PLANNER_CONFIG_REQUIRE_TIME_CONDITION" in body \
@@ -504,7 +562,7 @@ def main():
                 "cols": ["c%d" % i
                          for i in range(next(iter(ncols)) if ncols else 0)],
                 "rows": rows,
-                "dataset": "calcite",
+                "dataset": "calcite_la" if la_session else "calcite",
             })
     with open(out_path, "w") as f:
         for c in cases:
