@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // harness cache lifecycle: retain pipeline persists and release with
+    // clearCache after each gate — the auto-release listener unpersists
+    // by plan equivalence and would race the next (equivalent) run
+    graft.pipeline.CacheScope.retainAll = true
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

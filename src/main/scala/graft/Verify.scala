@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // harness cache lifecycle: retain pipeline persists and release with
+    // clearCache after each gate — the auto-release listener unpersists
+    // by plan equivalence and would race the next (equivalent) run
+    graft.pipeline.CacheScope.retainAll = true
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

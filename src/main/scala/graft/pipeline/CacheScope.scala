@@ -34,12 +34,55 @@ object CacheScope {
 
   def pendingCount: Int = pending.size()
 
+  /** Harness mode: Spark's CacheManager unpersists by PLAN EQUIVALENCE,
+    * so an async release from run A can kill run B's freshly-registered
+    * equivalent cache mid-flight — exactly the 3.7 s → 40 s
+    * clear-during-run trap SCALING.md documents. Bench/Verify therefore
+    * RETAIN (plain persist) and release with their own clearCache after
+    * each gate; long-lived library sessions keep the auto-release.
+    */
+  @volatile var retainAll: Boolean = false
+
+  /** Release an OLDER resource when `trigger`'s plan is first consumed —
+    * for operators whose cached input is provably dead once their
+    * (checkpointed) output is read, but where an EAGER unpersist at
+    * build time would invalidate sibling cache registrations mid-build
+    * (CacheManager's uncache re-registers dependents, and plans already
+    * analyzed against the old InMemoryRelation lose their reuse — the
+    * q_pipeline_e2e 3.8 s → 35 s bisect). Harness mode skips: clearCache
+    * after each gate owns the lifecycle there.
+    */
+  def releaseOnConsumption(trigger: DataFrame, release: () => Unit): Unit = {
+    if (retainAll) return
+    val spark = trigger.sparkSession
+    val key = trigger.queryExecution.analyzed
+    val token = new Object
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def consumed(qe: QueryExecution): Boolean =
+        try qe.analyzed.exists(_.sameResult(key))
+        catch { case _: Throwable => false }
+      private def fire(qe: QueryExecution): Unit =
+        if (consumed(qe) && pending.remove(token) != null) {
+          try release()
+          catch { case _: Throwable => () }
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = fire(qe)
+    }
+    pending.put(token, listener)
+    spark.listenerManager.register(listener)
+  }
+
   /** @param consumingActions how many completed actions must touch the
     *   cached subtree before release — operators that run an internal
     *   action (a totals collect) before the caller's final consumption
     *   pass 2 so the reuse window stays open across both.
     */
   def autoRelease(df: DataFrame, consumingActions: Int = 1): DataFrame = {
+    if (retainAll) return df.persist()
     val p = df.persist()
     val spark = p.sparkSession
     val key = p.queryExecution.analyzed

