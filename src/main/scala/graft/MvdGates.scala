@@ -32,6 +32,22 @@ object MvdGates {
       .orderBy("k").coalesce(1)
       .createOrReplaceTempView("mvd_gate")
     graft.functions.MvdTables.register("mvd_gate")
+    // an AUTO-format nested table: the druid.autojson tag routes JSON
+    // functions to the specialized-field semantics (single-element arrays
+    // unwrap, scalars wrap under array RETURNING, negative indexes
+    // resolve — CalciteNestedDataQueryTest; round 19)
+    val ajMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("druid.autojson", true).build()
+    s.sql(
+      """SELECT * FROM VALUES
+           ('r1', '{"c":[100]}'),
+           ('r2', '{"c":["a","b"]}'),
+           ('r3', '{"c":12.3}'),
+           ('r4', '{"arr":["p","q"]}')
+         AS t(k, j)""")
+      .withColumn("j", col("j").as("j", ajMeta))
+      .orderBy("k").coalesce(1)
+      .createOrReplaceTempView("autojson_gate")
     graft.functions.DruidFunctions.register(s)
     GraftExtensions.register(s)
   }
@@ -69,7 +85,57 @@ object MvdGates {
                 CAST('zap' AS BIGINT) AS c,
                 SUM(CAST(k AS INTEGER)) AS d,
                 STRING_AGG(DISTINCT k, ',') AS e
-         FROM mvd_gate""")))
+         FROM mvd_gate""")),
+    // round 19: ARRAY_AGG over an MVD folds FLATTENED elements (null
+    // rows → null elements); DISTINCT = sorted distinct element set
+    "q_mvd_array_agg_flatten" -> ((s, _) => run(s,
+      """SELECT ARRAY_AGG(mv) AS f, ARRAY_AGG(DISTINCT mv) AS d
+         FROM mvd_gate""")),
+    // round 19: CASE mixing a scalar branch with an MVD aligns to the MV
+    // form; an MVD member of ARRAY[] reads as its scalar (1-element
+    // unwrap, multi → NULL); NULLIF(mv,…) IS NULL matches null rows or
+    // any null element
+    "q_mvd_case_scalar_read" -> ((s, _) => run(s,
+      """SELECT k,
+                ARRAY_TO_STRING(CASE WHEN v IS NULL THEN 'none'
+                                     ELSE mv END, ',') AS c,
+                ARRAY_TO_STRING(ARRAY[mv, k], ',') AS sr,
+                (NULLIF(mv, 'x') IS NULL) AS nn
+         FROM mvd_gate ORDER BY k""")),
+    // round 19: GROUPING(a,b,…) builds its bitmask from single-column
+    // grouping() calls — argument order free of the GROUP BY order
+    "q_grouping_multiarg" -> ((s, _) => run(s,
+      """SELECT k, coalesce(v, 0) AS v2,
+                CAST(GROUPING(coalesce(v, 0), k) AS BIGINT) AS g,
+                CAST(count(*) AS BIGINT) AS n
+         FROM mvd_gate
+         GROUP BY GROUPING SETS ((k, coalesce(v, 0)), (k), ())
+         ORDER BY g, k NULLS FIRST, v2 NULLS FIRST""")),
+    // round 19: FILTER over facade-built aggregates folds into the
+    // CASE-wrapped argument (BIT_OR's TRY-cast shadow, ANY_VALUE)
+    "q_agg_filter_wrapped" -> ((s, _) => run(s,
+      """SELECT BIT_OR(v) FILTER (WHERE k <> 'a') AS bo,
+                ANY_VALUE(k) FILTER (WHERE v IS NOT NULL) AS av
+         FROM mvd_gate""")),
+    // round 19: rank/lag over an UNORDERED window ride the input order
+    // (the reference's scan-order convention)
+    "q_window_unordered" -> ((s, _) => run(s,
+      """SELECT k, CAST(ROW_NUMBER() OVER () AS BIGINT) AS rn,
+                LAG(k) OVER () AS lg
+         FROM mvd_gate ORDER BY k""")),
+    // round 19: typed JSON walk over an AUTO-format nested column —
+    // single-element arrays unwrap, multi-element are NULL, negative
+    // path indexes resolve from the end
+    "q_json_typed_walk" -> ((s, _) => run(s,
+      """SELECT k, JSON_VALUE(j, '$.c') AS v1,
+                JSON_VALUE(j, '$.c' RETURNING DOUBLE) AS v2,
+                JSON_VALUE(j, '$.arr[-1]') AS v3
+         FROM autojson_gate ORDER BY k""")),
+    // round 19: LIKE … ESCAPE with the escape char before an ordinary
+    // character (Calcite reads it as that character)
+    "q_like_escape_ordinary" -> ((s, _) => run(s,
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM mvd_gate
+         WHERE k LIKE '%xb%' ESCAPE 'x'""")))
 
   val oracleSql: Map[String, String] = Map(
     "q_mvd_groupby_explode" ->
@@ -100,5 +166,45 @@ object MvdGates {
          ORDER BY av ASC NULLS LAST, k LIMIT 10""",
     "q_mvd_lenient_cast_stragg" ->
       """SELECT 10::BIGINT AS a, 7::BIGINT AS b, NULL::BIGINT AS c,
-                NULL::BIGINT AS d, 'a,b,c,d' AS e""")
+                NULL::BIGINT AS d, 'a,b,c,d' AS e""",
+    "q_mvd_array_agg_flatten" ->
+      """SELECT ['x','y','y',NULL,NULL]::VARCHAR[] AS f,
+                [NULL,'x','y']::VARCHAR[] AS d""",
+    "q_mvd_case_scalar_read" ->
+      """SELECT * FROM (VALUES
+           ('a', 'x,y',  'null,a', true),
+           ('b', 'none', 'y,b',    false),
+           ('c', NULL,   'null,c', true),
+           ('d', 'none', 'null,d', true))
+         AS t(k, c, sr, nn) ORDER BY k""",
+    "q_grouping_multiarg" ->
+      """WITH t(k, v) AS (VALUES ('a', 1), ('b', NULL),
+                                 ('c', 2), ('d', NULL))
+         SELECT k, coalesce(v, 0) AS v2,
+                CAST(GROUPING(coalesce(v, 0)) * 2 + GROUPING(k) AS BIGINT)
+                  AS g,
+                CAST(count(*) AS BIGINT) AS n
+         FROM t
+         GROUP BY GROUPING SETS ((k, coalesce(v, 0)), (k), ())
+         ORDER BY g, k NULLS FIRST, v2 NULLS FIRST""",
+    "q_agg_filter_wrapped" ->
+      """WITH t(k, v) AS (VALUES ('a', 1), ('b', NULL),
+                                 ('c', 2), ('d', NULL))
+         SELECT CAST(bit_or(v) FILTER (WHERE k <> 'a') AS BIGINT) AS bo,
+                min(k) FILTER (WHERE v IS NOT NULL) AS av
+         FROM t""",
+    "q_window_unordered" ->
+      """WITH t(k) AS (VALUES ('a'), ('b'), ('c'), ('d'))
+         SELECT k, CAST(ROW_NUMBER() OVER (ORDER BY k) AS BIGINT) AS rn,
+                LAG(k) OVER (ORDER BY k) AS lg
+         FROM t ORDER BY k""",
+    "q_json_typed_walk" ->
+      """SELECT * FROM (VALUES
+           ('r1', '100',  100.0,          NULL),
+           ('r2', NULL,   NULL::DOUBLE,   NULL),
+           ('r3', '12.3', 12.3,           NULL),
+           ('r4', NULL,   NULL::DOUBLE,   'q'))
+         AS t(k, v1, v2, v3) ORDER BY k""",
+    "q_like_escape_ordinary" ->
+      """SELECT 1::BIGINT AS n""")
 }
