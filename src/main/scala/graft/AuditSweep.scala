@@ -764,10 +764,12 @@ object AuditSweep {
           val lvl =
             if (ordered) rowsEq(got, c.rows)
             else rowsEq(got.sortBy(normKey), c.rows.sortBy(normKey))
+          def oneLine(t: String): String =
+            t.replace('\n', ' ').replace('\t', ' ')
           if (lvl == 2) nOk.incrementAndGet()
           else if (lvl == 1) {
             nLenient.incrementAndGet()
-            lenient.add(s"LENIENT\t${c.file}\t${c.tid}\t${c.query.take(160)}" +
+            lenient.add(s"LENIENT\t${c.file}\t${c.tid}\t${oneLine(c.query.take(160))}" +
               s"\tgot=${got.take(2).map(_.mkString("|")).mkString(";")}" +
               s"\texp=${c.rows.take(2).map(_.mkString("|")).mkString(";")}")
           }
@@ -781,7 +783,7 @@ object AuditSweep {
             val firstDiff = gd.zip(ed).indexWhere { case (gr, er) =>
               gr.size != er.size || gr.zip(er).exists(p => cellMatch(p._1, p._2) == 0)
             }
-            mism.add(s"MISMATCH\t${c.file}\t${c.tid}\t${c.query.take(200)}" +
+            mism.add(s"MISMATCH\t${c.file}\t${c.tid}\t${oneLine(c.query.take(200))}" +
               s"\tnGot=${gd.size}\tnExp=${ed.size}\tdiffRow=$firstDiff" +
               s"\tgot=${gd.slice(math.max(0, firstDiff), firstDiff + 3).map(_.mkString("|")).mkString(";")}" +
               s"\texp=${ed.slice(math.max(0, firstDiff), firstDiff + 3).map(_.mkString("|")).mkString(";")}")

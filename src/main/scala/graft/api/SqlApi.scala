@@ -545,7 +545,10 @@ object SqlApi {
     val mvProducing = Set("mv_append", "mv_prepend", "mv_concat", "mv_slice",
       "mv_filter_only", "mv_filter_none", "mv_filter_prefix",
       "mv_filter_regex", "string_to_mv", "coalesce", "nvl", "concat",
-      "textcat", "upper", "lower", "nullif")
+      "textcat", "upper", "lower", "nullif",
+      // LOOKUP over an MVD key maps per element → MV result
+      // (testMultiValuedFilterOnlyWhenLookupPullsInDuplicates)
+      "lookup")
     var idx = 0
     def rewriteAgg(agg: Aggregate): org.apache.spark.sql.catalyst.plans
         .logical.LogicalPlan = {
@@ -758,6 +761,33 @@ object SqlApi {
           r.multipartIdentifier.mkString("."))
       case _ => false
     }
+
+  /** Druid drops an ORDER BY that sits in a subquery WITHOUT ITS OWN
+    * LIMIT — only the outermost sort (or a sort feeding a limit) orders
+    * anything, so `SELECT * FROM (SELECT dim1 … ORDER BY __time DESC)
+    * LIMIT 2` takes the SEGMENT-order head, not the sorted head
+    * (CalciteSelectQueryTest
+    * testSelectStarFromSelectSingleColumnWithLimitDescending). Applied
+    * only to registered Druid tables: for arbitrary tables the engine
+    * keeps the user's inner sort.
+    */
+  private def dropUnlimitedSubquerySorts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, LogicalPlan, Offset, Sort}
+    if (!refsDruidTable(plan)) return plan
+    def walk(p: LogicalPlan, keep: Boolean): LogicalPlan = p match {
+      case s: Sort if !keep => walk(s.child, keep = false)
+      case s: Sort =>
+        s.withNewChildren(Seq(walk(s.child, keep = false)))
+      case l @ (_: GlobalLimit | _: LocalLimit | _: Offset) =>
+        l.withNewChildren(l.children.map(walk(_, keep = true)))
+      case other =>
+        other.withNewChildren(other.children.map(walk(_, keep = false)))
+    }
+    walk(plan, keep = true)
+  }
 
   private def appendGroupTieBreakers(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
@@ -1167,6 +1197,7 @@ object SqlApi {
     // once types resolve; DataFrame-API plans keep Spark's operator.
     def dialectCore(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      dropUnlimitedSubquerySorts(
       decoupleGroupingSetWindows(appendGroupTieBreakers(druidNullCollation(spark,
         maybeVariantKeyDialect(rewriteWindowDialect(p.transformAllExpressions {
         case org.apache.spark.sql.catalyst.expressions.Divide(l, r, _) =>
@@ -1303,7 +1334,7 @@ object SqlApi {
         // otherwise get millis outside and seconds inside
         case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
           s.withNewPlan(dialectCore(s.plan))
-      })))))
+      }))))))
     // the variant-key walk touches every Aggregate — skip it unless the
     // text can possibly produce a VARIANT (measured at ~10ms/query on the
     // bench board otherwise)

@@ -1955,8 +1955,17 @@ object DruidFunctions {
           threeValued = false)),
       "array_contains" -> ((a: Seq[Expression]) =>
         graft.functions.GraftArrayContains(a.head, a(1))),
-      "scalar_in_array" -> ((a: Seq[Expression]) =>
-        graft.functions.GraftArrayContains(a(1), a.head)),
+      // SCALAR_IN_ARRAY(x, arr): an MVD first argument reads as its
+      // SCALAR (1-element unwrap, multi → NULL — the reference's scalar
+      // slot convention), and membership is three-valued: a NULL probe
+      // is NULL, so NOT SCALAR_IN_ARRAY drops null-MVD rows
+      // (CalciteArraysQueryTest testNotScalarInArrayFilter)
+      "scalar_in_array" -> ((a: Seq[Expression]) => {
+        val probe = graft.functions.MvScalarRead(a.head)
+        If(IsNull(probe),
+          Literal.create(null, org.apache.spark.sql.types.BooleanType),
+          graft.functions.GraftArrayContains(a(1), probe))
+      }),
       // ANY_VALUE(expr[, maxBytes[, aggregateMultipleValues]]) — the
       // reference's extra args are a buffer cap (validated, unenforced —
       // same contract as ARRAY_AGG's) and an MV-aggregation toggle;
