@@ -87,9 +87,12 @@ object MvdGates {
                 STRING_AGG(DISTINCT k, ',') AS e
          FROM mvd_gate""")),
     // round 19: ARRAY_AGG over an MVD folds FLATTENED elements (null
-    // rows → null elements); DISTINCT = sorted distinct element set
+    // rows → null elements); DISTINCT = sorted distinct element set.
+    // Joined to strings so the driver's oracle compare gets hashable
+    // scalars (raw ARRAY columns crash its pandas sort — r19 err).
     "q_mvd_array_agg_flatten" -> ((s, _) => run(s,
-      """SELECT ARRAY_AGG(mv) AS f, ARRAY_AGG(DISTINCT mv) AS d
+      """SELECT ARRAY_TO_STRING(ARRAY_AGG(mv), ',') AS f,
+                ARRAY_TO_STRING(ARRAY_AGG(DISTINCT mv), ',') AS d
          FROM mvd_gate""")),
     // round 19: CASE mixing a scalar branch with an MVD aligns to the MV
     // form; an MVD member of ARRAY[] reads as its scalar (1-element
@@ -168,8 +171,7 @@ object MvdGates {
       """SELECT 10::BIGINT AS a, 7::BIGINT AS b, NULL::BIGINT AS c,
                 NULL::BIGINT AS d, 'a,b,c,d' AS e""",
     "q_mvd_array_agg_flatten" ->
-      """SELECT ['x','y','y',NULL,NULL]::VARCHAR[] AS f,
-                [NULL,'x','y']::VARCHAR[] AS d""",
+      """SELECT 'x,y,y,null,null' AS f, 'null,x,y' AS d""",
     "q_mvd_case_scalar_read" ->
       """SELECT * FROM (VALUES
            ('a', 'x,y',  'null,a', true),

@@ -775,7 +775,7 @@ object SqlApi {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.{
-      GlobalLimit, LocalLimit, LogicalPlan, Offset, Sort}
+      GlobalLimit, LocalLimit, LogicalPlan, Offset, Sort, UnresolvedWith}
     if (!refsDruidTable(plan)) return plan
     def walk(p: LogicalPlan, keep: Boolean): LogicalPlan = p match {
       case s: Sort if !keep => walk(s.child, keep = false)
@@ -783,6 +783,18 @@ object SqlApi {
         s.withNewChildren(Seq(walk(s.child, keep = false)))
       case l @ (_: GlobalLimit | _: LocalLimit | _: Offset) =>
         l.withNewChildren(l.children.map(walk(_, keep = true)))
+      // a WITH wrapper roots the plan ABOVE the main query's Sort: the
+      // outermost ORDER BY of `WITH t AS (…) SELECT … ORDER BY k` must
+      // survive (Calcite honors it); only the CTE definitions are
+      // subqueries
+      case w: UnresolvedWith =>
+        w.copy(
+          child = walk(w.child, keep),
+          cteRelations = w.cteRelations.map { case (n, r, o) =>
+            (n, walk(r, keep = false)
+              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+                .SubqueryAlias], o)
+          })
       case other =>
         other.withNewChildren(other.children.map(walk(_, keep = false)))
     }
@@ -2243,40 +2255,51 @@ object SqlApi {
         java.util.regex.Matcher.quoteReplacement(
           s"${m.group(1)} BETWEEN CURRENT ROW AND ${m.group(2)}"))
 
-  /** Replace every single-quoted literal's content ('' escapes included)
-    * with `'\u0001<idx>\u0001'`; [[unmaskLiterals]] restores them. \u0001
-    * cannot appear in legal SQL text, so placeholders never collide.
+  /** SQL-standard Unicode literal body — U&'\\005C.' (Calcite accepts
+    * them; CalciteArraysQueryTest testUnnestTwice spells a regex dot
+    * that way): \\XXXX = the code point, \\\\ = a backslash; a decoded
+    * quote re-escapes as '' so the masked content stays well-formed.
     */
-  private[graft] def maskLiterals(sqlText0: String): (String, Vector[String]) = {
-    // SQL-standard Unicode literals — U&'\005C.' (Calcite accepts them;
-    // CalciteArraysQueryTest testUnnestTwice spells a regex dot that way)
-    // — decode to a plain literal before masking: \XXXX = the code point,
-    // \\ = a backslash. The decoded backslash re-escapes as '' does not
-    // apply; downstream calciteLiteralEscape doubles it for Spark.
-    val sqlText = """(?is)U&'((?:[^']|'')*)'""".r.replaceAllIn(sqlText0, m => {
-      val body = m.group(1)
-      val dec = new StringBuilder
-      var k = 0
-      while (k < body.length) {
-        val c = body.charAt(k)
-        if (c == '\\' && k + 1 < body.length && body.charAt(k + 1) == '\\') {
-          dec.append('\\'); k += 2
-        } else if (c == '\\' && k + 4 < body.length &&
-            body.substring(k + 1, k + 5).forall(h =>
-              h.isDigit || ('a' to 'f').contains(h.toLower))) {
-          dec.append(Integer.parseInt(body.substring(k + 1, k + 5), 16).toChar)
-          k += 5
-        } else { dec.append(c); k += 1 }
-      }
-      scala.util.matching.Regex.quoteReplacement("'" + dec.toString + "'")
-    })
+  private def decodeUnicodeBody(body: String): String = {
+    val dec = new StringBuilder
+    var k = 0
+    while (k < body.length) {
+      val c = body.charAt(k)
+      if (c == '\\' && k + 1 < body.length && body.charAt(k + 1) == '\\') {
+        dec.append('\\'); k += 2
+      } else if (c == '\\' && k + 4 < body.length &&
+          body.substring(k + 1, k + 5).forall(h =>
+            h.isDigit || ('a' to 'f').contains(h.toLower))) {
+        val cp = Integer.parseInt(body.substring(k + 1, k + 5), 16).toChar
+        if (cp == '\'') dec.append("''") else dec.append(cp)
+        k += 5
+      } else { dec.append(c); k += 1 }
+    }
+    dec.toString
+  }
+
+  /** Replace every single-quoted literal's content ('' escapes included)
+    * with a numbered placeholder; [[unmaskLiterals]] restores them.
+    * U&'…' Unicode literals are recognized HERE, inside the scanner
+    * where in/out-of-literal state is known (a whole-text pre-pass regex
+    * could match a "U&' … '" span CROSSING the boundaries of ordinary
+    * literals that merely contain "U&", silently corrupting them), and
+    * decode to plain content.
+    */
+  private[graft] def maskLiterals(sqlText: String): (String, Vector[String]) = {
     val sb = new StringBuilder
     val lits = Vector.newBuilder[String]
     var i = 0
     var n = 0
+    def identChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == '$' || c == '"'
     while (i < sqlText.length) {
-      if (sqlText.charAt(i) == '\'') {
-        var j = i + 1
+      val c = sqlText.charAt(i)
+      val uniOpen = (c == 'U' || c == 'u') && i + 2 < sqlText.length &&
+        sqlText.charAt(i + 1) == '&' && sqlText.charAt(i + 2) == '\'' &&
+        (i == 0 || !identChar(sqlText.charAt(i - 1)))
+      if (c == '\'' || uniOpen) {
+        var j = if (uniOpen) i + 3 else i + 1
         val lit = new StringBuilder
         var done = false
         while (!done && j < sqlText.length) {
@@ -2286,11 +2309,12 @@ object SqlApi {
             } else { done = true; j += 1 }
           } else { lit.append(sqlText.charAt(j)); j += 1 }
         }
-        lits += lit.toString
+        lits += (if (uniOpen) decodeUnicodeBody(lit.toString)
+                 else lit.toString)
         sb.append('\'').append('\u0001').append(n).append('\u0001').append('\'')
         n += 1
         i = j
-      } else { sb.append(sqlText.charAt(i)); i += 1 }
+      } else { sb.append(c); i += 1 }
     }
     (sb.toString, lits.result())
   }

@@ -452,9 +452,12 @@ object DruidFunctions {
         val ext: Expression = longUnit match {
           // a DATE input widens to its midnight timestamp first (Calcite
           // accepts EXTRACT(EPOCH FROM DATE '1970-01-01'); UnixSeconds
-          // takes only TIMESTAMP)
+          // takes only TIMESTAMP). The cast is pinned to UTC: a DATE's
+          // epoch is timezone-independent in the reference (UTC
+          // midnight), so a LOS_ANGELES session must not shift it
           case "EPOCH"  => UnixSeconds(
-            Cast(args.head, org.apache.spark.sql.types.TimestampType))
+            Cast(args.head, org.apache.spark.sql.types.TimestampType,
+              Some("UTC")))
           // MILLIS (epoch millis) is a documented extension beyond the
           // reference unit set; MILLISECOND is the reference's
           // millisOfSecond (Pmod keeps it in 0..999 pre-epoch too).

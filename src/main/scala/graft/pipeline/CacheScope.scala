@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -17,29 +18,50 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * [[autoRelease]] keeps the persist (laziness and lineage-based fault
   * tolerance intact — unlike a localCheckpoint, a lost block recomputes)
-  * and registers a ONE-SHOT QueryExecutionListener: the first completed
-  * action whose plan contains the cached subtree unpersists it and
-  * deregisters itself. The diamond closes inside a single returned plan,
-  * so the first consuming action is provably past the reuse window; a
-  * second action on the same result simply recomputes through lineage.
+  * and arms a QueryExecutionListener: a completed action whose plan
+  * contains the cached subtree counts as a consumption, and when the
+  * expected consumptions are spent the cache unpersists and the listener
+  * deregisters. The diamond closes inside a single returned plan, so the
+  * consuming action is provably past the reuse window; a later action on
+  * the same result simply recomputes through lineage.
+  *
+  * Spark's CacheManager caches and uncaches by PLAN EQUIVALENCE, so two
+  * back-to-back calls to the same operator over the same input share ONE
+  * cache entry — and their consuming actions are indistinguishable by
+  * plan. Scopes over equivalent plans therefore MERGE: one listener per
+  * canonical plan, expected consumptions summed, release fired only when
+  * every registered scope's consumer has acted. An earlier scope's
+  * release can no longer kill a sibling run's identical cache mid-flight.
   *
   * An unconsumed result never materializes blocks (persist is lazy), so
   * the worst case for an abandoned DataFrame is a CacheManager metadata
-  * entry, not storage.
+  * entry plus its armed listener; [[maxPending]] bounds those — past the
+  * cap the OLDEST armed entry is force-released (by then it has survived
+  * `maxPending` younger registrations unconsumed: abandoned).
   */
 object CacheScope {
 
-  // live listeners per session, for tests/diagnostics
-  private val pending = new ConcurrentHashMap[AnyRef, QueryExecutionListener]()
+  private val maxPending = 512
 
-  def pendingCount: Int = pending.size()
+  private class Entry(
+      val spark: org.apache.spark.sql.SparkSession,
+      val key: LogicalPlan) {
+    var listener: QueryExecutionListener = _
+    var remaining: Int = 0
+    val fires: mutable.Buffer[() => Unit] = mutable.Buffer.empty
+  }
 
-  /** Harness mode: Spark's CacheManager unpersists by PLAN EQUIVALENCE,
-    * so an async release from run A can kill run B's freshly-registered
-    * equivalent cache mid-flight — exactly the 3.7 s → 40 s
-    * clear-during-run trap SCALING.md documents. Bench/Verify therefore
-    * RETAIN (plain persist) and release with their own clearCache after
-    * each gate; long-lived library sessions keep the auto-release.
+  // armed entries, insertion-ordered (eldest first, for cap eviction),
+  // keyed by canonical plan
+  private val entries =
+    new java.util.LinkedHashMap[LogicalPlan, Entry]()
+  private val lock = new Object
+
+  def pendingCount: Int = lock.synchronized(entries.size())
+
+  /** Harness mode: Bench/Verify RETAIN (plain persist) and release with
+    * their own clearCache after each gate; long-lived library sessions
+    * keep the auto-release.
     */
   @volatile var retainAll: Boolean = false
 
@@ -54,26 +76,8 @@ object CacheScope {
     */
   def releaseOnConsumption(trigger: DataFrame, release: () => Unit): Unit = {
     if (retainAll) return
-    val spark = trigger.sparkSession
-    val key = trigger.queryExecution.analyzed
-    val token = new Object
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def consumed(qe: QueryExecution): Boolean =
-        try qe.analyzed.exists(_.sameResult(key))
-        catch { case _: Throwable => false }
-      private def fire(qe: QueryExecution): Unit =
-        if (consumed(qe) && pending.remove(token) != null) {
-          try release()
-          catch { case _: Throwable => () }
-          spark.listenerManager.unregister(this)
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = fire(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = fire(qe)
-    }
-    pending.put(token, listener)
-    spark.listenerManager.register(listener)
+    registerScope(trigger.sparkSession, trigger.queryExecution.analyzed,
+      consumingActions = 1, fire = release)
   }
 
   /** @param consumingActions how many completed actions must touch the
@@ -84,29 +88,62 @@ object CacheScope {
   def autoRelease(df: DataFrame, consumingActions: Int = 1): DataFrame = {
     if (retainAll) return df.persist()
     val p = df.persist()
-    val spark = p.sparkSession
-    val key = p.queryExecution.analyzed
-    val token = new Object
-    val remaining = new java.util.concurrent.atomic.AtomicInteger(
-      math.max(1, consumingActions))
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def consumed(qe: QueryExecution): Boolean =
-        try qe.analyzed.exists(_.sameResult(key))
-        catch { case _: Throwable => false }
-      private def release(qe: QueryExecution): Unit =
-        if (consumed(qe) && remaining.decrementAndGet() <= 0 &&
-            pending.remove(token) != null) {
-          try p.unpersist()
-          catch { case _: Throwable => () }
-          spark.listenerManager.unregister(this)
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = release(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = release(qe)
-    }
-    pending.put(token, listener)
-    spark.listenerManager.register(listener)
+    registerScope(p.sparkSession, p.queryExecution.analyzed,
+      consumingActions, fire = () => p.unpersist())
     p
+  }
+
+  /** Remove the entry (already absent is a no-op) and run its releases. */
+  private def expire(canonical: LogicalPlan): Unit = {
+    val fires: Seq[() => Unit] = lock.synchronized {
+      Option(entries.remove(canonical)).map { e =>
+        e.spark.listenerManager.unregister(e.listener)
+        e.fires.toSeq
+      }.getOrElse(Nil)
+    }
+    fires.foreach(f => try f() catch { case _: Throwable => () })
+  }
+
+  private def registerScope(
+      spark: org.apache.spark.sql.SparkSession,
+      key: LogicalPlan,
+      consumingActions: Int,
+      fire: () => Unit): Unit = {
+    val canonical = key.canonicalized
+    val evict: Option[LogicalPlan] = lock.synchronized {
+      val existing = entries.get(canonical)
+      if (existing != null) {
+        existing.remaining += math.max(1, consumingActions)
+        existing.fires += fire
+        None
+      } else {
+        val e = new Entry(spark, key)
+        e.remaining = math.max(1, consumingActions)
+        e.fires += fire
+        e.listener = new QueryExecutionListener {
+          private def consumed(qe: QueryExecution): Boolean =
+            try qe.analyzed.exists(_.sameResult(key))
+            catch { case _: Throwable => false }
+          private def onAction(qe: QueryExecution): Unit = {
+            val done = consumed(qe) && lock.synchronized {
+              val cur = entries.get(canonical)
+              if (cur eq e) { cur.remaining -= 1; cur.remaining <= 0 }
+              else false
+            }
+            if (done) expire(canonical)
+          }
+          override def onSuccess(funcName: String, qe: QueryExecution,
+                                 durationNs: Long): Unit = onAction(qe)
+          override def onFailure(funcName: String, qe: QueryExecution,
+                                 exception: Exception): Unit = onAction(qe)
+        }
+        entries.put(canonical, e)
+        spark.listenerManager.register(e.listener)
+        if (entries.size() > maxPending)
+          Some(entries.keySet().iterator().next())
+        else None
+      }
+    }
+    evict.foreach(expire)
   }
 }

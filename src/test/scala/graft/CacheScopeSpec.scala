@@ -120,4 +120,19 @@ class CacheScopeSpec extends AnyFunSuite {
     scores.count()
     assert(awaitRelease(), "late consumption did not release")
   }
+
+  test("sibling scopes over an equivalent plan merge: release waits for both") {
+    resetCaches()
+    // two back-to-back registrations of the SAME plan (CacheManager holds
+    // one entry for both) — the first consumer's release must NOT uncache
+    // the sibling's reuse window (the r19 advice-board hazard)
+    val base = docs.select("doc_id")
+    val a = CacheScope.autoRelease(base)
+    val b = CacheScope.autoRelease(docs.select("doc_id"))
+    a.count() // first scope's consumer
+    Thread.sleep(1500) // let the (async) listener bus drain
+    assert(!cacheEmpty, "first consumer released the sibling's cache")
+    b.count() // second scope's consumer
+    assert(awaitRelease(), "cache still registered after both consumers")
+  }
 }
