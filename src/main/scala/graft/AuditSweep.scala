@@ -515,6 +515,213 @@ object AuditSweep {
     * .makeWikipediaIndexWithAggregation); with millisecond timestamps the
     * rollup groups are singletons, so first=last=the row value.
     */
+  /** The LAST TestDataBuilder datasources (round 20): foo2 / foo4 /
+    * lotsocolumns / larry / visits / forbiddenDatasource plus the `view`
+    * schema's SQL views and the INFORMATION_SCHEMA tables — reference:
+    * `sql/src/test/java/org/apache/druid/sql/calcite/util/
+    * TestDataBuilder.java:433-560,737-935` (row sets + index schemas),
+    * `SqlTestFramework.java:685-731` (view bodies),
+    * `server/.../util/datasets/Larry.java` (larry rows).
+    *
+    * Modeling notes, all from the reference's ingest conventions:
+    * multi-value cells SORT with duplicates retained and nulls first
+    * (DimensionSchema default MultiValueHandling.SORTED_ARRAY); an empty
+    * MV list ingests as the null row; default-schema dims are STRINGs
+    * (lotsocolumns' met* columns are string dimensions); metrics missing
+    * from a row aggregate to NULL under SQL-compatible nulls; view
+    * bodies are hand-translated to Spark SQL with Druid's semantics
+    * (dim2 = 'a' on an MVD → any-element match; SUBSTRING of '' → NULL;
+    * bview's mock-clock CURRENT_TIMESTAMP — the test framework pins
+    * 2000-01-01T00Z — folds to its constant).
+    */
+  private def registerRound20Fixtures(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val mvMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("druid.mv", true).build()
+    // foo2 (DATASOURCE2, INDEX_SCHEMA_DIFFERENT_DIM3_M1_TYPES): dim3 is a
+    // LONG dim, m1 a LONG sum; m2 has no input field -> NULL
+    spark.sql(
+      """SELECT TIMESTAMP'2000-01-01 00:00:00' AS __time, dim1, dim2,
+                dim3, 1L AS cnt, m1, CAST(NULL AS DOUBLE) AS m2
+         FROM VALUES
+           ('דרואיד', 'he', 10L, 1L), ('druid', 'en', 11L, 1L),
+           ('друид', 'ru', 12L, 1L) AS t(dim1, dim2, dim3, m1)""")
+      .orderBy("dim3").coalesce(1).createOrReplaceTempView("foo2")
+    // foo4 (ROWS1_WITH_FULL_TIMESTAMP under INDEX_SCHEMA)
+    spark.sql(
+      """SELECT * FROM VALUES
+           (TIMESTAMP'2000-01-01 10:51:45.695', '', array('a'),
+            array('a','b'), 1L, CAST(1.0 AS FLOAT), 1.0D),
+           (TIMESTAMP'2000-01-18 10:51:45.695', '10.1',
+            CAST(NULL AS ARRAY<STRING>), array('b','c'), 1L,
+            CAST(2.0 AS FLOAT), 2.0D)
+         AS t(__time, dim1, dim2, dim3, cnt, m1, m2)""")
+      .withColumn("dim2", col("dim2").as("dim2", mvMeta))
+      .withColumn("dim3", col("dim3").as("dim3", mvMeta))
+      .orderBy("__time").coalesce(1).createOrReplaceTempView("foo4")
+    // lotsocolumns (DATASOURCE5): every dim a default-schema STRING, MVs
+    // sorted-with-duplicates, the count metric named `count`;
+    // __time = millis 1576306800000
+    spark.sql(
+      """SELECT timestamp_millis(1576306800000) AS __time, *, 1L AS `count`
+         FROM VALUES
+           ('0', array('Baz','Baz','Hello','World'),
+            array(CAST(NULL AS STRING),'Apple','Orange'),
+            array('1','2','3','4','5','6','7','8'),
+            '0', '0', '74416', '27', '5000.0', '147.0', '0', '372'),
+           ('8', array('Baz','World','ㅑ ㅓ ㅕ ㅗ ㅛ ㅜ ㅠ ㅡ ㅣ'),
+            array(CAST(NULL AS STRING),'Corundum','Xylophone'),
+            CAST(NULL AS ARRAY<STRING>),
+            '8', CAST(NULL AS STRING), '50515', '9', '4999.0', '25.0',
+            '8', '252')
+         AS t(dimHyperUnique, dimMultivalEnumerated, dimMultivalEnumerated2,
+              dimMultivalSequentialWithNulls, dimSequential,
+              dimSequentialHalfNull, dimUniform, dimZipf, metFloatNormal,
+              metFloatZipf, metLongSequential, metLongUniform)""")
+      .withColumn("dimMultivalEnumerated",
+        col("dimMultivalEnumerated").as("dimMultivalEnumerated", mvMeta))
+      .withColumn("dimMultivalEnumerated2",
+        col("dimMultivalEnumerated2").as("dimMultivalEnumerated2", mvMeta))
+      .withColumn("dimMultivalSequentialWithNulls",
+        col("dimMultivalSequentialWithNulls")
+          .as("dimMultivalSequentialWithNulls", mvMeta))
+      .orderBy("dimHyperUnique").coalesce(1)
+      .createOrReplaceTempView("lotsocolumns")
+    // larry (Larry.java): an MVD and an auto-typed LONG array over the
+    // same per-row object — [] and [null] are both the NULL MV (an MV of
+    // only nulls ingests as the null row: testMvToArrayResults expects
+    // mv_to_array(mv) = null for BOTH) but the REAL []/[null] arrays
+    spark.sql(
+      """SELECT TIMESTAMP'2000-01-01 00:00:00' AS __time, label, mv,
+                11L AS l1, l_arr, 1L AS cnt
+         FROM VALUES
+           ('[]', CAST(NULL AS ARRAY<STRING>), array()),
+           ('[null]', CAST(NULL AS ARRAY<STRING>),
+            array(CAST(NULL AS BIGINT))),
+           ('[1]', array('1'), array(1L)),
+           ('[2,3]', array('2','3'), array(2L, 3L)),
+           ('null', CAST(NULL AS ARRAY<STRING>), CAST(NULL AS ARRAY<BIGINT>))
+         AS t(label, mv, l_arr)""")
+      .withColumn("mv", col("mv").cast("array<string>").as("mv", mvMeta))
+      .withColumn("l_arr", col("l_arr").cast("array<bigint>"))
+      .coalesce(1).createOrReplaceTempView("larry")
+    // visits (USERVISITDATASOURCE under INDEX_SCHEMA: m1/m2 have no
+    // input fields -> NULL)
+    spark.sql(
+      """SELECT to_timestamp(t) AS __time, user, country, city, 1L AS cnt,
+                CAST(NULL AS FLOAT) AS m1, CAST(NULL AS DOUBLE) AS m2
+         FROM VALUES
+           ('2021-01-01 01:00:00', 'alice', 'canada', 'A'),
+           ('2021-01-01 02:00:00', 'alice', 'canada', 'B'),
+           ('2021-01-01 03:00:00', 'bob', 'canada', 'A'),
+           ('2021-01-01 04:00:00', 'alice', 'India', 'Y'),
+           ('2021-01-02 01:00:00', 'alice', 'canada', 'A'),
+           ('2021-01-02 02:00:00', 'bob', 'canada', 'A'),
+           ('2021-01-02 03:00:00', 'foo', 'canada', 'B'),
+           ('2021-01-02 04:00:00', 'bar', 'canada', 'B'),
+           ('2021-01-02 05:00:00', 'alice', 'India', 'X'),
+           ('2021-01-02 06:00:00', 'bob', 'India', 'X'),
+           ('2021-01-02 07:00:00', 'foo', 'India', 'X'),
+           ('2021-01-03 01:00:00', 'foo', 'USA', 'M')
+         AS t(t, user, country, city)""")
+      .orderBy("__time").coalesce(1).createOrReplaceTempView("visits")
+    // forbiddenDatasource (FORBIDDEN_ROWS; the sweep replays the
+    // SUPER_USER grids — authorization itself is the facade's concern)
+    spark.sql(
+      """SELECT * FROM VALUES
+           (TIMESTAMP'2000-01-01 00:00:00', 'forbidden', 'abcd', 1L,
+            CAST(9999.0 AS FLOAT), CAST(NULL AS DOUBLE),
+            '"AQAAAQAAAALFBA=="'),
+           (TIMESTAMP'2000-01-02 00:00:00', 'forbidden', 'a', 1L,
+            CAST(1234.0 AS FLOAT), CAST(NULL AS DOUBLE),
+            '"AQAAAQAAAALFBA=="')
+         AS t(__time, dim1, dim2, cnt, m1, m2, unique_dim1)""")
+      .orderBy("__time").coalesce(1)
+      .createOrReplaceTempView("forbiddenDatasource")
+    Seq("foo2", "foo4", "lotsocolumns", "larry", "visits",
+      "forbiddenDatasource").foreach { t =>
+      spark.table(t).write.mode("overwrite").saveAsTable(s"druid.$t")
+      graft.functions.MvdTables.register(t)
+      graft.functions.MvdTables.register(s"druid.$t")
+    }
+    // the `view` schema (SqlTestFramework.populateViews) — bodies
+    // translated to Spark SQL with the Druid semantics noted above;
+    // persistent views must reference catalog tables, not temp views
+    spark.sql("CREATE DATABASE IF NOT EXISTS view")
+    spark.sql("""CREATE OR REPLACE VIEW view.aview AS
+      SELECT NULLIF(SUBSTRING(dim1, 1, 1), '') AS dim1_firstchar
+      FROM druid.foo WHERE array_contains(dim2, 'a')""")
+    spark.sql("""CREATE OR REPLACE VIEW view.bview AS
+      SELECT COUNT(*) AS cnt FROM druid.foo
+      WHERE __time >= TIMESTAMP'2000-01-02 00:00:00'
+        AND __time < TIMESTAMP'2002-01-01 00:00:00'""")
+    spark.sql("""CREATE OR REPLACE VIEW view.cview AS
+      SELECT NULLIF(SUBSTRING(bar.dim1, 1, 1), '') AS dim1_firstchar,
+             bar.dim2 AS dim2, dnf.l2 AS l2
+      FROM (SELECT * FROM druid.foo WHERE array_contains(dim2, 'a')) bar
+      INNER JOIN druid.numfoo dnf ON bar.dim2 = dnf.dim2""")
+    spark.sql("""CREATE OR REPLACE VIEW view.dview AS
+      SELECT NULLIF(SUBSTRING(dim1, 1, 1), '') AS numfoo
+      FROM druid.foo WHERE array_contains(dim2, 'a')""")
+    spark.sql("""CREATE OR REPLACE VIEW view.forbiddenView AS
+      SELECT __time, NULLIF(SUBSTRING(dim1, 1, 1), '') AS dim1_firstchar,
+             dim2
+      FROM druid.foo WHERE array_contains(dim2, 'a')""")
+    graft.functions.MvdTables.register("view.forbiddenView")
+    graft.functions.MvdTables.register("view.cview")
+    // INFORMATION_SCHEMA over the sweep session's own catalog state —
+    // schema set and type names per the reference's InformationSchema
+    // (MVDs report VARCHAR, __time is non-null, hll columns report their
+    // ingest-time COMPLEX type)
+    registerSweepInformationSchema(spark)
+  }
+
+  private def registerSweepInformationSchema(spark: SparkSession): Unit = {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+    Seq("lookup", "view", "druid", "sys", "INFORMATION_SCHEMA")
+      .map(s => ("druid", s, ""))
+      .toDF("CATALOG_NAME", "SCHEMA_NAME", "SCHEMA_OWNER")
+      .write.mode("overwrite").saveAsTable("information_schema.schemata")
+    def druidType(f: org.apache.spark.sql.types.StructField): String =
+      f.dataType match {
+        case _ if f.name.startsWith("unique_dim1") => "COMPLEX<hyperUnique>"
+        case org.apache.spark.sql.types.StringType => "VARCHAR"
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => "VARCHAR"
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => "BIGINT ARRAY"
+        case org.apache.spark.sql.types.LongType => "BIGINT"
+        case org.apache.spark.sql.types.FloatType => "FLOAT"
+        case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+        case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+        case other => other.sql
+      }
+    val cols = Seq("druid", "view").flatMap { db =>
+      spark.catalog.listTables(db).collect().toSeq
+        .filterNot(_.isTemporary).flatMap { t =>
+        spark.table(s"$db.${t.name}").schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            (db, t.name, f.name, i + 1L,
+              if (f.name == "__time") "NO" else "YES", druidType(f))
+        }
+      }
+    }
+    cols.toDF("TABLE_SCHEMA", "TABLE_NAME", "COLUMN_NAME",
+      "ORDINAL_POSITION", "IS_NULLABLE", "DATA_TYPE")
+      .write.mode("overwrite").saveAsTable("information_schema.columns")
+    // ROUTINES from the session function registry (the engine's own
+    // Metadata builder), names uppercased like the reference's
+    graft.operators.Metadata.informationSchemaRoutines(spark)
+      .selectExpr("routine_catalog AS ROUTINE_CATALOG",
+        "'INFORMATION_SCHEMA' AS ROUTINE_SCHEMA",
+        "upper(routine_name) AS ROUTINE_NAME",
+        "routine_type AS ROUTINE_TYPE",
+        "is_aggregator AS IS_AGGREGATOR",
+        "signatures AS SIGNATURES")
+      .write.mode("overwrite").saveAsTable("information_schema.routines")
+  }
+
   private def registerWikipediaFixtures(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     val gz = "/root/reference/processing/src/test/resources/wikipedia/" +
@@ -636,7 +843,8 @@ object AuditSweep {
     import org.json4s.jackson.JsonMethods
     case class Case(file: String, tid: String, query: String,
                     rows: Seq[Seq[String]], phase: String,
-                    expectError: Boolean = false, errClass: String = "")
+                    expectError: Boolean = false, errClass: String = "",
+                    outerLimit: Int = 0)
     // phase = which fixture registration a case replays against. The same
     // query text carries DIFFERENT expected grids across ingest variants
     // (rollup=true dedupes the 4-row fixture to 2 rows with cnt=2), so
@@ -683,9 +891,14 @@ object AuditSweep {
           }
           val expectErr = (j \ "expect_error") match {
             case JBool(b) => b; case _ => false }
+          // sqlOuterLimit context (OUTER_LIMIT_CONTEXT pins 2): a hard
+          // head on the FINAL result, applied after the outer sort
+          val outerLimit = (j \ "outer_limit") match {
+            case JInt(n) => n.toInt; case _ => 0 }
           Some(Case(str("file"), str("tid"), q, rows,
             if (expectErr) "calcite_err" else phase,
-            expectError = expectErr, errClass = str("err_class")))
+            expectError = expectErr, errClass = str("err_class"),
+            outerLimit = outerLimit))
         }
     }.toVector
 
@@ -720,8 +933,9 @@ object AuditSweep {
           // backslash escapes ('110\|' is a 4-char regex), where Spark's
           // parser would eat the backslash — double them like the facade
           // does (string_agg_long_test001 A22 pins the difference)
-          val df = api.SqlApi.runSql(spark,
+          val df0 = api.SqlApi.runSql(spark,
             api.SqlApi.calciteLiteralEscape(c.query))
+          val df = if (c.outerLimit > 0) df0.limit(c.outerLimit) else df0
           val got = df.collect().map(_.toSeq.map(normCell)).toSeq
           if (c.expectError) {
             // the reference rejects this query; the engine ran it
@@ -816,6 +1030,7 @@ object AuditSweep {
       registerCalciteFixtures(spark)
       registerNestedFixtures(spark)
       registerWikipediaFixtures(spark)
+      registerRound20Fixtures(spark)
       runPhase(calciteCases)
       runPhase(errCases)
       // LOS_ANGELES session-context cases: the fixtures hold absolute

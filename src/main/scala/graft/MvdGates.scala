@@ -23,12 +23,14 @@ object MvdGates {
       .putBoolean("druid.mv", true).build()
     s.sql(
       """SELECT * FROM VALUES
-           ('a', array('x', 'y'), 1L),
-           ('b', array('y'), CAST(NULL AS BIGINT)),
-           ('c', CAST(NULL AS ARRAY<STRING>), 2L),
-           ('d', CAST(NULL AS ARRAY<STRING>), CAST(NULL AS BIGINT))
-         AS t(k, mv, v)""")
+           ('a', array('x', 'y'), array('p'), 1L),
+           ('b', array('y'), array('p', 'q'), CAST(NULL AS BIGINT)),
+           ('c', CAST(NULL AS ARRAY<STRING>), array('q', 'r'), 2L),
+           ('d', CAST(NULL AS ARRAY<STRING>), CAST(NULL AS ARRAY<STRING>),
+            CAST(NULL AS BIGINT))
+         AS t(k, mv, mv2, v)""")
       .withColumn("mv", col("mv").as("mv", mvMeta))
+      .withColumn("mv2", col("mv2").as("mv2", mvMeta))
       .orderBy("k").coalesce(1)
       .createOrReplaceTempView("mvd_gate")
     graft.functions.MvdTables.register("mvd_gate")
@@ -94,6 +96,14 @@ object MvdGates {
       """SELECT ARRAY_TO_STRING(ARRAY_AGG(mv), ',') AS f,
                 ARRAY_TO_STRING(ARRAY_AGG(DISTINCT mv), ',') AS d
          FROM mvd_gate""")),
+    // round 20: a function over TWO MVDs applies to the CARTESIAN
+    // PRODUCT of the element sets (CalciteQueryTest
+    // testCoalesceMoreColumns: coalesce(dim2,dim3,dim1) over dim2=['a'],
+    // dim3=['a','b'] yields TWO cells in the 'a' group); null rows are
+    // the single-null set, so both-null rows land in the null group
+    "q_mvd_coalesce_two" -> ((s, _) => run(s,
+      """SELECT COALESCE(mv, mv2) AS e, CAST(count(*) AS BIGINT) AS n
+         FROM mvd_gate GROUP BY 1 ORDER BY e NULLS FIRST""")),
     // round 19: CASE mixing a scalar branch with an MVD aligns to the MV
     // form; an MVD member of ARRAY[] reads as its scalar (1-element
     // unwrap, multi → NULL); NULLIF(mv,…) IS NULL matches null rows or
@@ -172,6 +182,18 @@ object MvdGates {
                 NULL::BIGINT AS d, 'a,b,c,d' AS e""",
     "q_mvd_array_agg_flatten" ->
       """SELECT 'x,y,y,null,null' AS f, 'null,x,y' AS d""",
+    "q_mvd_coalesce_two" ->
+      """WITH t(k, mv, mv2) AS (VALUES
+           ('a', ['x','y'], ['p']), ('b', ['y'], ['p','q']),
+           ('c', NULL, ['q','r']), ('d', NULL, NULL))
+         SELECT e, count(*) AS n FROM (
+           SELECT coalesce(e1, e2) AS e FROM (
+             SELECT unnest(CASE WHEN mv IS NULL THEN [NULL] ELSE mv END)
+                      AS e1,
+                    mv2 FROM t) s,
+             UNNEST(CASE WHEN s.mv2 IS NULL THEN [NULL]
+                    ELSE s.mv2 END) AS u(e2))
+         GROUP BY e ORDER BY e NULLS FIRST""",
     "q_mvd_case_scalar_read" ->
       """SELECT * FROM (VALUES
            ('a', 'x,y',  'null,a', true),

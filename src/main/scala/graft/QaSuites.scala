@@ -2736,15 +2736,19 @@ object QaSuites {
          FROM test_agg_funcs"""),
     // qaWin orderby_rows_current_first_last W21/W22: FIRST_VALUE/LAST_VALUE
     // over an UNORDERED window ignore the frame and take the whole
-    // partition (reference WindowFirstProcessor); the engine's
-    // deterministic tie order is every remaining column ascending (nulls
-    // first), so first = the null-long row, last = the max tuple
+    // partition (reference WindowFirstProcessor) in SEGMENT ROW ORDER —
+    // round 20 aligned the scan-fed tie order to the input order
+    // (DeterministicWindowOrder rides a monotonic row id, matching the
+    // corpus grids and wikipediaScanWindow), so first/last are the
+    // partition's first/last INGESTED rows: tab0l0 cycles
+    // 1111111111 → 2222222222 → NULL per timestamp, every partition
+    // starts at 1111111111 and ends at the null row
     gf("q_qa_win_orderless_firstlast",
       """SELECT DISTINCT tab0s0,
                 first_value(tab0l0) OVER (PARTITION BY tab0s0 ROWS CURRENT ROW) AS fv,
                 last_value(tab0l0) OVER (PARTITION BY tab0s0 ROWS CURRENT ROW) AS lv
          FROM test_agg_funcs""",
-      """SELECT DISTINCT tab0s0, NULL::BIGINT AS fv, 2222222222::BIGINT AS lv
+      """SELECT DISTINCT tab0s0, 1111111111::BIGINT AS fv, NULL::BIGINT AS lv
          FROM test_agg_funcs"""),
     // qaWin orderby_range_current W21: a RANGE frame with NO ORDER BY makes
     // every row a peer — the frame is the whole partition

@@ -24,8 +24,27 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // harness guard: the driver's pandas oracle compare sorts and
+        // hashes every cell — ARRAY/STRUCT/MAP output columns crash it
+        // (r19's one red gate). Fail LOUDLY at dump time instead: gates
+        // must project hashable scalars (ARRAY_TO_STRING the arrays).
+        val nonScalar = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.MapType => true
+          case _ => false
+        })
+        require(nonScalar.isEmpty,
+          s"gate $name outputs non-scalar columns " +
+            nonScalar.map(f => s"${f.name}:${f.dataType.simpleString}")
+              .mkString("[", ", ", "]") +
+            " — the driver oracle compare cannot hash these; wrap in" +
+            " ARRAY_TO_STRING/TO_JSON in BOTH the gate and the oracle SQL")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -518,6 +518,123 @@ object SqlApi {
     * does, the aggregate's child is analyzed once to learn which columns
     * carry the druid.mv tag.
     */
+  /** Pre-analysis wrap of the elementwise-function family for queries
+    * touching a registered MVD table. The analysis-RETRY swap alone
+    * misses calls that type-check natively — COALESCE(mv, mv2) over two
+    * ARRAY columns resolves to Spark's whole-value Coalesce, where the
+    * reference applies the function over the CARTESIAN PRODUCT of the
+    * element sets (CalciteQueryTest testCoalesceMoreColumns). The wrap
+    * is semantics-free for non-MV operands: [[graft.functions
+    * .MvElementwise]] dispatches on RESOLVED types and rebuilds the
+    * plain call when no MV is involved.
+    */
+  private def mvdElementwiseWrap(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedFunction, UnresolvedRelation}
+    if (!graft.functions.MvdTables.any) return plan
+    val refsMvd = plan.exists {
+      case r: UnresolvedRelation =>
+        graft.functions.MvdTables.isMvdTable(
+          r.multipartIdentifier.mkString("."))
+      case _ => false
+    }
+    if (!refsMvd) return plan
+    // COALESCE/NVL/NULLIF resolve natively over two ARRAY operands
+    // (whole-value — wrong for MVDs); CONCAT matters for composition with
+    // builder-resolved per-element functions — concat(SUBSTRING(mv,…),
+    // 'x') resolves substring to an ARRAY-valued transform during
+    // analysis and the retry swap can no longer see the call shape
+    // (testApproxCountDistinct). MvElementwise rebuilds the plain call
+    // when no MV operand is involved, so the wrap is semantics-free
+    // elsewhere; the ARRAY_AGG/STRING_AGG flatten detections see through
+    // the node (mvArg).
+    val names = Set("coalesce", "nvl", "nullif", "concat", "textcat")
+    plan.transformAllExpressions {
+      case f: UnresolvedFunction
+          if names(f.nameParts.last.toLowerCase) && f.arguments.size >= 2 &&
+            f.filter.isEmpty && !f.isDistinct =>
+        graft.functions.MvElementwise(f.nameParts.last.toLowerCase,
+          f.arguments)
+      // `a || b` parses to a raw Concat node (no UnresolvedFunction stage)
+      case c: org.apache.spark.sql.catalyst.expressions.Concat
+          if c.children.size >= 2 =>
+        graft.functions.MvElementwise("concat", c.children)
+    }
+  }
+
+  /** Align UNION branches where one side's column is a multi-value
+    * STRING dimension (ARRAY<STRING>) and another's is a scalar STRING —
+    * both are VARCHAR to the reference, so `SELECT dim2 FROM foo UNION
+    * ALL SELECT dim2 FROM foo2` must not fail INCOMPATIBLE_COLUMN_TYPE
+    * (CalciteUnionQueryTest testUnionAllTablesColumnTypeMismatchFloatLong).
+    * The scalar side wraps to its 1-element MV (null scalar = null row)
+    * and keeps the druid.mv tag so downstream MVD dialect still applies.
+    */
+  private def mvdUnionAlign(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, CreateArray, If, IsNull, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Project, Union, UnresolvedWith}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    if (!graft.functions.MvdTables.any) return plan
+    val refsMvd = plan.exists {
+      case r: UnresolvedRelation =>
+        graft.functions.MvdTables.isMvdTable(
+          r.multipartIdentifier.mkString("."))
+      case _ => false
+    }
+    if (!refsMvd || !plan.exists(_.isInstanceOf[Union])) return plan
+    val cteDefs = plan.collect { case w: UnresolvedWith => w.cteRelations }
+      .flatten
+    def outputOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      try Some(spark.sessionState.analyzer.execute(
+        if (cteDefs.isEmpty) p else UnresolvedWith(p, cteDefs)).output)
+      catch { case _: Exception => None }
+    val mvMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("druid.mv", true).build()
+    plan.transformUp {
+      case u: Union if u.children.size >= 2 =>
+        val outs = u.children.map(outputOf)
+        if (outs.exists(_.isEmpty)) u
+        else {
+          val outputs = outs.map(_.get)
+          val ncols = outputs.map(_.size).min
+          // only positions where every branch exposes the SAME column
+          // name — the reference maps its union datasource by position
+          // AND name, and REJECTS reordered columns
+          // (testUnionDifferentColumnOrder); aligning those here would
+          // legalize a query the reference forbids
+          val needs = (0 until ncols).filter { i =>
+            outputs.map(_(i).name.toLowerCase).distinct.size == 1 &&
+              outputs.exists(o =>
+                o(i).dataType == ArrayType(StringType, true) ||
+                  o(i).dataType == ArrayType(StringType, false)) &&
+              outputs.exists(o => o(i).dataType == StringType)
+          }.toSet
+          if (needs.isEmpty) u
+          else u.withNewChildren(u.children.zip(outputs).map { case (c, o) =>
+            if (!needs.exists(i => o(i).dataType == StringType)) c
+            else Project(o.zipWithIndex.map { case (a, i) =>
+              val ref = UnresolvedAttribute.quoted(a.name)
+              if (needs.contains(i) && a.dataType == StringType)
+                Alias(If(IsNull(ref),
+                  Literal.create(null, ArrayType(StringType, true)),
+                  CreateArray(Seq(ref))), a.name)(
+                  explicitMetadata = Some(mvMeta)): NamedExpression
+              else (ref: NamedExpression)
+            }, c)
+          })
+        }
+    }
+  }
+
   private def mvdGroupByExplode(
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
@@ -691,6 +808,10 @@ object SqlApi {
             if mvProducing(f.nameParts.last.toLowerCase) =>
           f.arguments.exists(mvArg)
         case c: Concat => c.children.exists(mvArg)
+        // the pre-analysis elementwise wrap (mvdElementwiseWrap) replaces
+        // coalesce/concat calls with this node — see through it so
+        // ARRAY_AGG(CONCAT(dim1, dim2)) still folds flattened
+        case m: graft.functions.MvElementwise => m.children.exists(mvArg)
         case _ => false
       }
       rebuild(exprs.map(_.transformDown {
@@ -1314,7 +1435,8 @@ object SqlApi {
             if f.filter.isDefined && f.arguments.nonEmpty && Set(
               "any_value", "earliest", "latest", "earliest_by", "latest_by",
               "bit_and", "bit_or", "bit_xor", "string_agg_sorted",
-              "array_concat_agg", "array_concat_agg_distinct")(
+              "array_concat_agg", "array_concat_agg_distinct",
+              "approx_count_distinct")(
               f.nameParts.last.toLowerCase) =>
           f.copy(
             arguments = f.arguments.updated(0,
@@ -1359,13 +1481,15 @@ object SqlApi {
     // never descends into them, so apply the dialect pipeline to each
     // body explicitly (WITH t1 AS (… WHERE a_int=a_str) … was reaching
     // analysis untransformed)
-    val parsed = mvdGroupByExplode(spark, dialectCore(parsed0.transformUp {
+    val parsed = mvdGroupByExplode(spark, mvdUnionAlign(spark,
+      mvdElementwiseWrap(
+      dialectCore(parsed0.transformUp {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
         w.copy(cteRelations = w.cteRelations.map { t =>
           t.copy(_2 = dialectCore(t._2).asInstanceOf[
             org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias])
         })
-    }))
+    }))))
     def sortHasWindow(s: Sort): Boolean =
       s.order.exists(_.exists(_.isInstanceOf[WindowExpression]))
     if (!parsed.exists { case s: Sort => sortHasWindow(s); case _ => false })
@@ -1485,12 +1609,28 @@ object SqlApi {
           if Option(e.getMessage).exists(
             _.contains("requires window to be ordered")) =>
         import org.apache.spark.sql.catalyst.expressions.{
-          Ascending, MonotonicallyIncreasingID, SortOrder,
-          WindowSpecDefinition}
+          Ascending, Attribute, MonotonicallyIncreasingID, NullsFirst,
+          SortOrder, WindowSpecDefinition}
+        import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        // the reference's unordered window rides its INPUT order; a
+        // groupBy-fed window's input arrives SORTED BY THE GROUPING
+        // DIMENSIONS (lead_lag.sqlTest: LAG(dim1) OVER () with GROUP BY
+        // dim1 laps the groups in dim order, not hash order) — use the
+        // group keys when the plan is a single grouped aggregate, the
+        // scan order id otherwise
+        val groupOrder: Seq[SortOrder] = plan.collect {
+          case a: Aggregate if a.groupingExpressions.nonEmpty => a
+        } match {
+          case Seq(a) if a.groupingExpressions.forall(
+              _.isInstanceOf[Attribute]) =>
+            a.groupingExpressions.map(g =>
+              SortOrder(g, Ascending, NullsFirst, Seq.empty))
+          case _ => Seq(SortOrder(
+            MonotonicallyIncreasingID(), Ascending))
+        }
         val retried = plan.transformAllExpressions {
           case w: WindowSpecDefinition if w.orderSpec.isEmpty =>
-            w.copy(orderSpec = Seq(SortOrder(
-              MonotonicallyIncreasingID(), Ascending)))
+            w.copy(orderSpec = groupOrder)
         }
         if (retried eq plan) throw e
         else org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, retried)
@@ -1734,7 +1874,12 @@ object SqlApi {
     * the QA batteries, the audit sweep, and the facade share semantics.
     */
   def runSql(spark: SparkSession, sqlText: String): DataFrame =
-    sqlWithSortWindows(spark, rewriteSql(sqlText))
+    // withActive: the MVD/lookup registries' session-scoped overlays and
+    // the dialect passes' SQLConf reads must see THIS session, not
+    // whichever one the calling thread touched last
+    org.apache.spark.sql.graftbridge.Bridge.withActive(spark) {
+      sqlWithSortWindows(spark, rewriteSql(sqlText))
+    }
 
   /** DELETE /druid/v2/sql/{sqlQueryId} analog. */
   def cancel(spark: SparkSession, sqlQueryId: String): Unit =
@@ -2238,8 +2383,19 @@ object SqlApi {
   }
 
   private[graft] def rewriteCastTypes(sqlText: String): String =
-    """(?is)\bAS\s+(?:VARCHAR|CHAR)\s*\)""".r
-      .replaceAllIn(sqlText, _ => "AS STRING)")
+    // SQL-standard collection type syntax `CAST(x AS BIGINT ARRAY)`
+    // (Calcite; CalciteArraysQueryTest testArrayToMvPostaggInline) →
+    // Spark's ARRAY<T>; the element type normalizes first so
+    // `VARCHAR ARRAY` lands as ARRAY<STRING>
+    """(?is)\bAS\s+(VARCHAR|CHAR|BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|FLOAT|REAL|BOOLEAN|TIMESTAMP|DATE)\s+ARRAY\s*\)""".r
+      .replaceAllIn(sqlText, m => {
+        val et = m.group(1).toUpperCase match {
+          case "VARCHAR" | "CHAR" => "STRING"
+          case t => t
+        }
+        s"AS ARRAY<$et>)"
+      })
+      .replaceAll("(?is)\\bAS\\s+(?:VARCHAR|CHAR)\\s*\\)", "AS STRING)")
 
   /** Calcite/Druid single-bound FOLLOWING frame shorthand: `ROWS <b>
     * FOLLOWING` (and RANGE, incl. `UNBOUNDED FOLLOWING`) means
@@ -2599,18 +2755,23 @@ object SqlApi {
     val upper = sqlText.toUpperCase
     val idx = findUnnest(sqlText, upper)
     if (idx < 0) return sqlText
-    val (start, exprStart) = {
+    val (start, exprStart, standalone) = {
       // start of the region to replace (either the CROSS of CROSS JOIN
-      // UNNEST, the comma of ", UNNEST", or UNNEST itself)
+      // UNNEST, the comma of ", UNNEST", or UNNEST itself). UNNEST as
+      // the SOLE table factor (`SELECT * FROM UNNEST(ARRAY[1,2,3])` —
+      // CalciteArraysQueryTest testUnnestInline) becomes a bare derived
+      // table, not a lateral join
       val u = idx
       val before = sqlText.substring(0, u)
       val trimmed = before.reverse.dropWhile(_.isWhitespace).reverse
       // whitespace-tolerant: CROSS \s+ JOIN (any amount/kind of whitespace)
       val CrossJoin = """(?is)^(.*?)\bCROSS\s+JOIN\s*$""".r
+      val FromEnd = """(?is)^.*\bFROM$""".r
       trimmed match {
-        case CrossJoin(prefix) => (prefix.length, u)
-        case _ if trimmed.endsWith(",") => (trimmed.length - 1, u)
-        case _ => (u, u)
+        case CrossJoin(prefix) => (prefix.length, u, false)
+        case _ if trimmed.endsWith(",") => (trimmed.length - 1, u, false)
+        case _ if FromEnd.findFirstIn(trimmed).isDefined => (u, u, true)
+        case _ => (u, u, false)
       }
     }
     val open = sqlText.indexOf('(', exprStart)
@@ -2632,8 +2793,9 @@ object SqlApi {
     // composes with subsequent joins and keeps the alias addressable
     // mv_unnest_input: a null MVD row unnests to a null-element row
     // (resolved lazily on the druid.mv tag; TRUE arrays pass through)
+    val joinKw = if (standalone) "" else " JOIN LATERAL"
     val replaced = sqlText.substring(0, start) +
-      s" JOIN LATERAL (SELECT explode(mv_unnest_input($expr)) AS $colName)" +
+      s"$joinKw (SELECT explode(mv_unnest_input($expr)) AS $colName)" +
       s" $alias" + restAfter
     rewriteUnnest(replaced) // handle multiple UNNESTs
   }

@@ -209,15 +209,35 @@ case class GraftArrayAppend(arr: Expression, elem: Expression, prepend: Boolean)
     // element (ExprEval casts never error), not a widened string array.
     // NullType elements keep the array type; a NullType ARRAY adopts the
     // element's type (nothing to preserve on that side).
+    def nullify(dt: DataType): DataType = dt match {
+      case ArrayType(et, _) => ArrayType(nullify(et), containsNull = true)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        org.apache.spark.sql.types.MapType(nullify(k), nullify(v),
+          valueContainsNull = true)
+      case other => other
+    }
     val target =
-      if (arrElem == org.apache.spark.sql.types.NullType &&
+      nullify(if (arrElem == org.apache.spark.sql.types.NullType &&
           elem.dataType != org.apache.spark.sql.types.NullType) elem.dataType
-      else arrElem
+      else arrElem)
+    // Concat demands EXACTLY equal child types (containsNull included) —
+    // normalize both sides to the fully-nullable array form
+    val outType = ArrayType(target, containsNull = true)
     def castArr(e: Expression) =
-      if (arrElem == target) e else Cast(e, ArrayType(target, containsNull = true))
-    val single = CreateArray(Seq(
+      if (e.dataType == outType) e else Cast(e, outType)
+    val single = castArr(CreateArray(Seq(
       if (elem.dataType == target) elem
-      else Cast(elem, target, None, EvalMode.TRY)))
+      else (target, elem.dataType) match {
+        // nested-array element type: a SCALAR addend wraps to its
+        // 1-element array before the cast — ExprEval.castTo(ARRAY<LONG>)
+        // on '1' yields [1] (CalciteArraysQueryTest
+        // testGroupByNestedArrayInline: ARRAY_PREPEND('1', agg) = [[1],…])
+        case (at: ArrayType, _: ArrayType) =>
+          Cast(elem, at, None, EvalMode.TRY)
+        case (at: ArrayType, _) =>
+          Cast(CreateArray(Seq(elem)), at, None, EvalMode.TRY)
+        case _ => Cast(elem, target, None, EvalMode.TRY)
+      })))
     val combined =
       if (prepend) Concat(Seq(single, castArr(arrArr)))
       else Concat(Seq(castArr(arrArr), single))

@@ -115,6 +115,43 @@ object DruidFunctions {
     inst.getEpochSecond * 1_000_000L + inst.getNano / 1000L
   }
 
+  /** Calendar MONTH-multiple floor anchored at an explicit origin:
+    * buckets are origin + k·n months (Joda plusMonths day-clamping via
+    * AddMonths), the reference's PeriodGranularity.truncate with origin
+    * (CalciteQueryTest testTimeseriesUsingTimeFloorWithOrigin: P1M at
+    * 1970-01-01T01:02:03 floors 2000-01-01T00:00 into the
+    * 1999-12-01T01:02:03 bucket). Runs in the frame of `t` — callers
+    * pass zone-local t and a zone-local origin for timezone floors.
+    */
+  private def monthOriginFloor(
+      t: org.apache.spark.sql.catalyst.expressions.Expression,
+      n: Int, originUs: Long)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+    val odt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(originUs, 1000000L),
+      (Math.floorMod(originUs, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val months0 = (odt.getYear - 1970) * 12 + odt.getMonthValue - 1
+    val originDate = Literal(odt.toLocalDate.toEpochDay.toInt, DateType)
+    val subDayUs = odt.toLocalTime.toNanoOfDay / 1000L
+    // floor((monthsOf(t) - months0) / n) in exact integer arithmetic
+    val mT = Add(Multiply(Subtract(Year(t), Literal(1970)), Literal(12)),
+      Subtract(Month(t), Literal(1)))
+    val diff = Subtract(mT, Literal(months0))
+    val kMonths = Subtract(diff, Pmod(diff, Literal(n))) // k·n, exact
+    def bucketUs(km: Expression): Expression =
+      Add(Multiply(Cast(UnixDate(AddMonths(originDate,
+        Cast(km, IntegerType))), LongType), Literal(86400000000L, LongType)),
+        Literal(subDayUs, LongType))
+    val cand = bucketUs(kMonths)
+    // the candidate can sit above t within the same month (origin's
+    // day/time offset) — step back one period
+    MicrosToTimestamp(If(GreaterThan(cand, UnixMicros(t)),
+      bucketUs(Subtract(kMonths, Literal(n))), cand))
+  }
+
   /** SQL TIME_FLOOR(ts, period[, origin[, timezone]]) as a Catalyst builder
     * (reference `TimeFloorOperatorConversion` — the 3/4-arg forms the 2-arg
     * SQL macro could not express). period/origin/timezone must be literals
@@ -141,14 +178,28 @@ object DruidFunctions {
       case e => literalString(e, "TIME_FLOOR origin").map(parseIsoMicros)
     }
     val tz = timezoneArg(args.drop(3).headOption, "TIME_FLOOR")
+    // month-based period size in months — the single-unit calendar
+    // periods P1Y/P3M/P1M plus the PnY/PnM multiples
+    def monthsFull(p: String): Option[Int] = p match {
+      case "P1Y" => Some(12); case "P3M" => Some(3); case "P1M" => Some(1)
+      case _ => monthsOf(p)
+    }
     def floorFrame(t: Expression, origin: Option[Long]): Expression =
       CalendarPeriods.get(period) match {
         case Some(unit) if origin.isEmpty =>
           TruncTimestamp(Literal(UTF8String.fromString(unit), StringType), t)
+        case Some(_) if monthsFull(period).isEmpty =>
+          // P1W/P1D/PT… with an origin: fixed-length buckets anchored at
+          // the origin (Joda's week/day periods lose their Monday/midnight
+          // anchor once an origin is given — PeriodGranularity.truncate)
+          val p = periodMicros(period)
+          val o = Literal(origin.get, LongType)
+          val rel = Subtract(UnixMicros(t), o)
+          MicrosToTimestamp(Add(Subtract(rel, Pmod(rel, Literal(p, LongType))), o))
         case Some(_) =>
-          throw new IllegalArgumentException(
-            s"TIME_FLOOR: calendar period $period with an explicit origin " +
-              "is not supported")
+          monthOriginFloor(t, monthsFull(period).get, origin.get)
+        case None if origin.isDefined && monthsFull(period).isDefined =>
+          monthOriginFloor(t, monthsFull(period).get, origin.get)
         case None if origin.isEmpty && monthsOf(period).isDefined =>
           // calendar multiple (P2Y/P6M…): floor months-since-epoch
           import org.apache.spark.sql.types.IntegerType
@@ -1947,6 +1998,22 @@ object DruidFunctions {
         arrayToString(graft.functions.MvInput(a.head) +: a.tail)),
       "mv_to_string" -> ((a: Seq[Expression]) =>
         arrayToString(graft.functions.MvInput(a.head) +: a.tail)),
+      // APPROX_COUNT_DISTINCT over a MULTI-VALUE dimension counts
+      // distinct ELEMENTS with nulls skipped (the reference's cardinality
+      // aggregator — CalciteQueryTest testApproxCountDistinct:
+      // ACD(SUBSTRING(dim2,1,1)) = 1); scalar/true-array args keep
+      // Spark's native HyperLogLogPlusPlus
+      "approx_count_distinct" -> ((a: Seq[Expression]) => {
+        val mv = a.head.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType] &&
+          graft.functions.CompatCompare.treeHasMvTag(a.head)
+        if (mv)
+          graft.functions.sketches.HllSketchAgg(a.head,
+            mvPerElement = true).toAggregateExpression()
+        else
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus(a.head).toAggregateExpression()
+      }),
       // Java String.split limit-0 (drops trailing empties) — a SQL macro on
       // Spark's split keeps them; see StringSplitUtil
       "string_to_array" -> ((a: Seq[Expression]) => javaSplitExpr(a)),

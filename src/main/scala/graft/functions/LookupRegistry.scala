@@ -34,9 +34,33 @@ object LookupRegistry {
   // re-runnable sources for refresh() — the analog of the reference's
   // polling extraction namespaces (JdbcExtractionNamespace.pollPeriod)
   private val loaders = TrieMap[String, () => Map[String, String]]()
+  // session-scoped overlay, keyed (session identity, name): a
+  // multi-tenant host registers tenant lookups against the tenant's own
+  // SparkSession and they stay invisible to every other session
+  // (reference analog: lookup tiers scope visibility; the process
+  // singleton here is only the single-session driver-harness contract)
+  private val scopedLookups = TrieMap[(String, String), LookupSnapshot]()
+
+  private def sid(s: SparkSession): String =
+    System.identityHashCode(s).toHexString
 
   def register(name: String, mapping: Map[String, String]): Unit =
     swap(name, mapping)
+
+  /** Register a lookup visible ONLY to `spark` (plus readers of the
+    * global scope under other names). newSession()/cloneSession()
+    * produce distinct scopes.
+    */
+  def registerScoped(spark: SparkSession, name: String,
+                     mapping: Map[String, String]): Unit =
+    scopedLookups.put((sid(spark), name),
+      LookupSnapshot(name, 1L, System.currentTimeMillis(), mapping))
+
+  /** Drop every lookup owned by this session (tenant teardown). */
+  def clearScope(spark: SparkSession): Unit = {
+    val id = sid(spark)
+    scopedLookups.keys.filter(_._1 == id).foreach(scopedLookups.remove)
+  }
 
   /** Atomically publish a new generation: the snapshot is fully built before
     * the single TrieMap put, so concurrent readers observe either the
@@ -87,10 +111,22 @@ object LookupRegistry {
     lookups.remove(name)
   }
 
+  /** The caller's session scope wins over the global scope. */
+  private def resolve(name: String): Option[LookupSnapshot] =
+    SparkSession.getActiveSession
+      .flatMap(s => scopedLookups.get((sid(s), name)))
+      .orElse(lookups.get(name))
+
   def get(name: String): Option[Map[String, String]] =
-    lookups.get(name).map(_.mapping)
-  def snapshot(name: String): Option[LookupSnapshot] = lookups.get(name)
-  def names: Seq[String] = lookups.keys.toSeq.sorted
+    resolve(name).map(_.mapping)
+  def snapshot(name: String): Option[LookupSnapshot] = resolve(name)
+  def names: Seq[String] = {
+    val scopedNames = SparkSession.getActiveSession.toSeq.flatMap { s =>
+      val id = sid(s)
+      scopedLookups.keysIterator.collect { case (`id`, n) => n }
+    }
+    (lookups.keys ++ scopedNames).toSeq.distinct.sorted
+  }
 
   /** Default cap on loaded-lookup cardinality. The reference's cached
     * global lookups (`lookups-cached-global`, JDBC/URI loaders) are

@@ -21,8 +21,20 @@ import org.apache.spark.sql.types._
 case class MvElementwise(name: String, children: Seq[Expression])
     extends RuntimeReplaceable {
 
+  // MV_TO_ARRAY(dim) is a TRUE array — whole-value under COALESCE etc.
+  // (testMultiValueStringOverlapFilterCoalesceNvl: coalesce(
+  // mv_to_array(dim3), ARRAY['other']) returns the first non-null ARRAY)
+  // — even though its tree still holds the tagged attribute
+  private def isTrueArray(e: Expression): Boolean = e match {
+    case _: MvInput => true
+    case a: Alias => isTrueArray(a.child)
+    case c: Cast => isTrueArray(c.child)
+    case _ => false
+  }
+
   private def isMv(e: Expression): Boolean =
-    e.dataType.isInstanceOf[ArrayType] && CompatCompare.treeHasMvTag(e)
+    e.dataType.isInstanceOf[ArrayType] && CompatCompare.treeHasMvTag(e) &&
+      !isTrueArray(e)
 
   /** True when some operand is an MV — the result is then an MV too
     * (CompatCompare's filter dialect keys on this). */
@@ -30,12 +42,9 @@ case class MvElementwise(name: String, children: Seq[Expression])
 
   private def str(e: Expression): Expression =
     if (e.dataType == StringType) e
-    // a SECOND MV operand in the same expression: the reference's
-    // one-MV-per-expression rule has no elementwise pairing for it, so it
-    // reads as the MVD scalar (1-element unwrap, multi → NULL) — keeps
-    // COALESCE(dim2, dim3, dim1) resolvable instead of crashing
-    // (CalciteQueryTest testCoalesceMoreColumns; full multi-MV algebra is
-    // the frozen divergence class)
+    // an ARRAY operand that is NOT a cartesian-bound MVD (an MvInput /
+    // true-array member riding the single-MV path) reads as its MVD
+    // scalar (1-element unwrap, multi → NULL) so the call resolves
     else if (e.dataType.isInstanceOf[ArrayType])
       Cast(MvScalarRead(e), StringType, Some("UTC"), EvalMode.TRY)
     else Cast(e, StringType, Some("UTC"), EvalMode.TRY)
@@ -53,17 +62,77 @@ case class MvElementwise(name: String, children: Seq[Expression])
 
   override lazy val replacement: Expression = {
     val mvIdx = children.indexWhere(isMv)
-    if (mvIdx < 0) {
-      // no MV operand: plain function, original (possibly failing) types
+    // TWO OR MORE multi-value operands: the reference applies the
+    // function over the CARTESIAN PRODUCT of the element sets (Druid
+    // docs "Multi-value dimensions", expression behavior;
+    // CalciteQueryTest testCoalesceMoreColumns — coalesce(dim2, dim3,
+    // dim1) over dim2=['a'], dim3=['a','b'] yields ['a','a'], TWO cells
+    // in the 'a' group), with a null MV row as the single-null element
+    // set. The first MV is the outer loop, matching the reference's
+    // cartesian fold order.
+    if (children.filter(isMv).distinct.size >= 2) {
+      // DISTINCT MV operands — repeated references to the SAME MV
+      // expression (CONCAT(dim3, '-lol-', dim3)) map together on the
+      // single-MV path below, not as a cartesian square
+      val at = ArrayType(StringType, containsNull = true)
+      val mvs = children.filter(isMv).distinct
+      def sets(e: Expression): Expression =
+        Coalesce(Seq(Cast(e, at),
+          CreateArray(Seq(Literal.create(null, StringType)))))
+      def build(remaining: Seq[Expression],
+                bound: Map[Expression, Expression]): Expression =
+        remaining match {
+          case Seq() => rebuild(children.map(c => bound.getOrElse(c, c)))
+          case head +: tail =>
+            val v = NamedLambdaVariable(s"graft_mv_c${bound.size}",
+              StringType, nullable = true)
+            val inner = build(tail, bound + (head -> v))
+            val t = ArrayTransform(sets(head), LambdaFunction(inner, Seq(v)))
+            if (tail.isEmpty) t else Flatten(t)
+        }
+      val built = build(mvs, Map.empty)
+      // ALL MV inputs null: the expression evaluates once with the null
+      // scalars and a null result is the SQL NULL, not [null] — same
+      // convention as the single-MV path's null-row collapse
+      val allNull = mvs.map(m => IsNull(Cast(m, at)))
+        .reduce[Expression](And(_, _))
+      val onNull = rebuild(children.map(c =>
+        if (isMv(c)) Literal.create(null, StringType) else c))
+      If(allNull,
+        If(IsNull(onNull), Literal.create(null, at),
+          CreateArray(Seq(onNull))),
+        built)
+    } else if (mvIdx < 0) {
+      // no MV operand: plain function. The replacement resolves
+      // POST-analysis, so the analyzer's implicit type coercion never
+      // sees it — widen mixed operand types here (NVL(JSON_VALUE(…
+      // RETURNING DOUBLE), long) — CalciteNestedDataQueryTest
+      // testNvlJsonValueDoubleMissingColumn)
+      lazy val widened = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderCommonType(children.map(_.dataType))
+      def co(v: Expression): Expression = widened match {
+        case Some(w) if v.dataType != w => Cast(v, w, Some("UTC"))
+        case _ => v
+      }
       name match {
-        case "coalesce" | "nvl" => Coalesce(children)
-        case "concat" | "textcat" => Concat(children)
+        case "coalesce" | "nvl" => Coalesce(children.map(co))
+        case "concat" | "textcat" =>
+          // Concat accepts only same-type STRING/BINARY/ARRAY operands —
+          // replicate the analyzer's coercion (1 || 2 → '12', a || cnt)
+          val types = children.map(_.dataType).distinct
+          val ok = types.size == 1 && (types.head == StringType ||
+            types.head == org.apache.spark.sql.types.BinaryType ||
+            types.head.isInstanceOf[ArrayType])
+          if (ok) Concat(children)
+          else Concat(children.map(c =>
+            if (c.dataType == StringType) c
+            else Cast(c, StringType, Some("UTC"), EvalMode.TRY)))
         case "upper" => Upper(children.head)
         case "lower" => Lower(children.head)
         case "nullif" =>
-          If(EqualNullSafe(children.head, children(1)),
+          If(EqualNullSafe(co(children.head), co(children(1))),
             Literal.create(null, children.head.dataType), children.head)
-        case _ => Coalesce(children)
+        case _ => Coalesce(children.map(co))
       }
     } else {
       val mv = children(mvIdx)

@@ -69,17 +69,37 @@ case class HllSketchAgg(
     child: Expression,
     emitSketch: Boolean = false,
     mergeSketches: Boolean = false,
+    mvPerElement: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
   override def createAggregationBuffer(): Array[Byte] = Hll.emptyRegisters()
 
+  // mvPerElement: a MULTI-VALUE dimension folds per ELEMENT with nulls
+  // skipped (the reference's cardinality aggregator over an MVD —
+  // CalciteQueryTest testApproxCountDistinct: ACD(SUBSTRING(dim2,1,1))
+  // = 1, the ''-mapped null elements and null rows uncounted); TRUE
+  // arrays stay whole values. The flag is DECIDED AT BUILD TIME from the
+  // resolved argument's druid.mv tag — the planner rebinds the child to
+  // a metadata-less reference before execution, so a tag check here
+  // would always miss.
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
       if (mergeSketches) Hll.merge(buf, v.asInstanceOf[Array[Byte]])
-      else Hll.add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+      else child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) if mvPerElement =>
+          val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          var i = 0
+          while (i < arr.numElements()) {
+            if (!arr.isNullAt(i))
+              Hll.add(buf, XxHash64Function.hash(arr.get(i, et), et, 42L))
+            i += 1
+          }
+        case _ =>
+          Hll.add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+      }
     }
     buf
   }

@@ -52,15 +52,36 @@ object DeterministicWindowOrder extends Rule[LogicalPlan] {
     // the full-output tie-break IS the order
     case w @ Window(exprs, part, order, child, hint)
         if exprs.forall(e => e.collect { case we: WindowExpression => we }
-          .forall(peerInsensitive)) =>
-      val covered = ExpressionSet(part ++ order.map(_.child))
-      val extra = child.output
-        .filter(a => RowOrdering.isOrderable(a.dataType))
-        .filterNot(covered.contains)
-        .map(a => SortOrder(a, Ascending))
-      val already = order.size >= extra.size && extra.nonEmpty &&
-        order.takeRight(extra.size).map(_.child) == extra.map(_.child)
-      if (extra.isEmpty || already) w
-      else Window(exprs, part, order ++ extra, child, hint)
+          .forall(peerInsensitive)) &&
+          !child.output.exists(_.name == RowOrderCol) =>
+      if (child.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate])) {
+        // groupBy-fed window: the reference's input arrives sorted by
+        // the grouping dimensions — the output columns approximate that
+        val covered = ExpressionSet(part ++ order.map(_.child))
+        val extra = child.output
+          .filter(a => RowOrdering.isOrderable(a.dataType))
+          .filterNot(covered.contains)
+          .map(a => SortOrder(a, Ascending))
+        val already = order.size >= extra.size && extra.nonEmpty &&
+          order.takeRight(extra.size).map(_.child) == extra.map(_.child)
+        if (extra.isEmpty || already) w
+        else Window(exprs, part, order ++ extra, child, hint)
+      } else {
+        // scan-fed window: the reference breaks ORDER ties by SEGMENT ROW
+        // ORDER (wikipediaScanWindow.sqlTest: LAG over ORDER BY __time
+        // with tied timestamps takes the ingest-order neighbor), not by
+        // sorting the remaining columns — ride the input order. The id is
+        // (partition << 33 | offset), so it reproduces the scan order
+        // within each partition and ranks partitions in read order.
+        val mid = Alias(MonotonicallyIncreasingID(), RowOrderCol)()
+        val proj = org.apache.spark.sql.catalyst.plans.logical.Project(
+          child.output :+ mid, child)
+        org.apache.spark.sql.catalyst.plans.logical.Project(w.output,
+          Window(exprs, part,
+            order :+ SortOrder(mid.toAttribute, Ascending), proj, hint))
+      }
   }
+
+  private val RowOrderCol = "__graft_roworder"
 }

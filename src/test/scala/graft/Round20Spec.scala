@@ -89,6 +89,49 @@ class Round20Spec extends AnyFunSuite {
     assert(got == Seq(("<null>", 2L), ("x", 1L), ("y", 1L)))
   }
 
+  test("functions over two MVDs apply to the cartesian element product") {
+    val mvMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("druid.mv", true).build()
+    spark.sql(
+      """SELECT * FROM VALUES
+           ('r1', array('a'), array('a', 'b'), 'z1'),
+           ('r2', CAST(NULL AS ARRAY<STRING>), array('b', 'c'), 'z2'),
+           ('r3', CAST(NULL AS ARRAY<STRING>), CAST(NULL AS ARRAY<STRING>),
+            'z3')
+         AS t(k, mva, mvb, s)""")
+      .withColumn("mva", col("mva").as("mva", mvMeta))
+      .withColumn("mvb", col("mvb").as("mvb", mvMeta))
+      .createOrReplaceTempView("r20_cart_gate")
+    graft.functions.MvdTables.register("r20_cart_gate")
+    // COALESCE(mva, mvb, s): r1 maps over mva×mvb (coalesce short-
+    // circuits per pair → ['a','a']); r2's null mva fills from mvb; r3
+    // falls through to the scalar (CalciteQueryTest
+    // testCoalesceMoreColumns: the 'a' group counts BOTH r1 cells)
+    val got = SqlApi.runSql(spark,
+      """SELECT COALESCE(mva, mvb, s) AS e, CAST(count(*) AS BIGINT) AS n
+         FROM r20_cart_gate GROUP BY 1 ORDER BY e""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L), ("c", 1L), ("z3", 1L)))
+  }
+
+  test("TIME_FLOOR calendar period with explicit origin") {
+    val got = SqlApi.runSql(spark,
+      """SELECT CAST(TIME_FLOOR(TIMESTAMP'2000-01-01 00:00:00', 'P1M',
+                       TIMESTAMP '1970-01-01 01:02:03') AS STRING) AS a,
+                CAST(TIME_FLOOR(TIMESTAMP'2000-01-02 10:00:00', 'P1M',
+                       TIMESTAMP '1970-01-01 01:02:03') AS STRING) AS b""")
+      .collect().head
+    assert(got.getString(0) == "1999-12-01 01:02:03")
+    assert(got.getString(1) == "2000-01-01 01:02:03")
+  }
+
+  test("inline UNNEST as the sole table factor") {
+    val got = SqlApi.runSql(spark,
+      "SELECT COUNT(*) AS n FROM (select c from UNNEST(ARRAY[1,2,3]) as u(c))")
+      .collect().head.getLong(0)
+    assert(got == 3L)
+  }
+
   test("EXTRACT(EPOCH FROM DATE) is timezone-independent") {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
