@@ -31,14 +31,31 @@ object AuditSweep {
     s"CREATE OR REPLACE TEMPORARY VIEW $name AS $inner"
   }
 
+  // non-null only during the LOS_ANGELES session phase (sequential)
+  @volatile private var renderZone: java.time.ZoneId = null
+
   private def normCell(v: Any): String = v match {
     case null => ""
     case b: Boolean => if (b) "true" else "false"
     case s: scala.collection.Seq[_] =>
       s.map(e => if (e == null) "null" else normCell(e)).mkString("[", ", ", "]")
     case ts: java.sql.Timestamp =>
-      val s = ts.toString // 2022-01-01 00:00:00.0
-      if (s.matches(".*\\.\\d$")) s + "00" else s
+      // fixed 3-digit millis render — Timestamp.toString trims zeros
+      // ('02:02:20.48'), which defeats both exact matches against the
+      // corpus's always-3-digit cells and the epoch-millis lenient rule
+      // (wikipediaScanWindow). The zone is the session's render zone
+      // during the LOS_ANGELES phase (sqlTimeZone wall-clock —
+      // testTimeseriesLosAngelesViaQueryContext pins LA midnight), UTC
+      // otherwise.
+      val zone = if (renderZone ne null) renderZone
+        else java.time.ZoneOffset.UTC
+      java.time.LocalDateTime.ofInstant(ts.toInstant, zone).format(
+        java.time.format.DateTimeFormatter.ofPattern(
+          "yyyy-MM-dd HH:mm:ss.SSS"))
+    // Druid has no DATE output type — CAST(x AS DATE) renders as the
+    // midnight timestamp (testTimeseriesUsingCastAsDate pins
+    // '2000-01-01 00:00:00.000' cells)
+    case d: java.sql.Date => s"$d 00:00:00.000"
     case d: Double => fmtDouble(d)
     // FLOAT prints at float precision (Druid renders FLOAT columns as
     // their Float.toString — 0.1, not 0.10000000149011612)
@@ -1040,8 +1057,9 @@ object AuditSweep {
         val TzKey = "spark.sql.session.timeZone"
         val prevTz = spark.conf.get(TzKey)
         spark.conf.set(TzKey, "America/Los_Angeles")
+        renderZone = java.time.ZoneId.of("America/Los_Angeles")
         try runPhase(laCases)
-        finally spark.conf.set(TzKey, prevTz)
+        finally { spark.conf.set(TzKey, prevTz); renderZone = null }
       }
     }
     // rollup=true ingest variants (qaArray ingest_hashed/range_rollup_true,

@@ -551,7 +551,7 @@ object SqlApi {
     // elsewhere; the ARRAY_AGG/STRING_AGG flatten detections see through
     // the node (mvArg).
     val names = Set("coalesce", "nvl", "nullif", "concat", "textcat")
-    plan.transformAllExpressions {
+    val wrapped = plan.transformAllExpressions {
       case f: UnresolvedFunction
           if names(f.nameParts.last.toLowerCase) && f.arguments.size >= 2 &&
             f.filter.isEmpty && !f.isDistinct =>
@@ -561,6 +561,19 @@ object SqlApi {
       case c: org.apache.spark.sql.catalyst.expressions.Concat
           if c.children.size >= 2 =>
         graft.functions.MvElementwise("concat", c.children)
+    }
+    // IS [NOT] NULL over the wrapped calls: the wrap makes the query
+    // analyze CLEANLY, so the retry path that would install MvIsNull (the
+    // reference's null selector — NULL row or ANY null element) never
+    // fires; NULLIF(dim2,'a') IS NULL must count the ['a']→[null] rows
+    // (testNullEmptyStringEquality = 4, not 2)
+    wrapped.transformAllExpressions {
+      case org.apache.spark.sql.catalyst.expressions.IsNull(
+          m: graft.functions.MvElementwise) => graft.functions.MvIsNull(m)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          m: graft.functions.MvElementwise) =>
+        org.apache.spark.sql.catalyst.expressions.Not(
+          graft.functions.MvIsNull(m))
     }
   }
 
@@ -1442,7 +1455,17 @@ object SqlApi {
             arguments = f.arguments.updated(0,
               org.apache.spark.sql.catalyst.expressions.CaseWhen(
                 Seq((f.filter.get, f.arguments.head)), None)),
-            filter = None)
+            filter = None,
+            // DISTINCT is a no-op on a distinct-counting aggregate, and
+            // Spark rejects it on the facade's temp function
+            // (APPROX_COUNT_DISTINCT(DISTINCT dim1) —
+            // testGroupByAggregatorDefaultValues)
+            isDistinct = f.isDistinct &&
+              !f.nameParts.last.equalsIgnoreCase("approx_count_distinct"))
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.isDistinct &&
+              f.nameParts.last.equalsIgnoreCase("approx_count_distinct") =>
+          f.copy(isDistinct = false)
         // Calcite's GROUPING takes any number of arguments IN ANY ORDER
         // and returns the bitmask — Spark's grouping_id() demands the
         // exact GROUP BY column order (GROUPING_ID_COLUMN_MISMATCH for

@@ -525,8 +525,16 @@ def main():
             la_session = la_session or "TIMESERIES_CONTEXT_LOS_ANGELES" in body
             # OUTER_LIMIT_CONTEXT pins sqlOuterLimit=2
             # (BaseCalciteQueryTest.java:277) — a hard head on the final
-            # result; threaded to the sweep as outer_limit
-            outer_limit = 2 if "OUTER_LIMIT_CONTEXT" in body else 0
+            # result; threaded to the sweep as outer_limit. An occurrence
+            # that only appears as `.context(OUTER_LIMIT_CONTEXT)` inside
+            # the EXPECTED NATIVE query is not a SQL context
+            # (testWindowingWithOrderBy embeds it in the inner timeseries)
+            ol_hits = [m.start() for m in
+                       re.finditer(r"OUTER_LIMIT_CONTEXT", body)]
+            outer_limit = 2 if any(
+                not body[max(0, p - 16):p].rstrip().lower()
+                .endswith("context(")
+                for p in ol_hits) else 0
             # skipEmptyBuckets=false fills empty native-timeseries buckets
             # into the grid — not reachable from a SQL replay
             if "DONT_SKIP_EMPTY_BUCKETS" in body \
