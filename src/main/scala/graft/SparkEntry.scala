@@ -3346,7 +3346,7 @@ object SparkEntry {
       // call — 3 parses per row became 1
       val parsed = from_json(j, org.apache.spark.sql.types.StructType.fromDDL(
         "id BIGINT, type STRING, vals ARRAY<BIGINT>"))
-      t(s, dir)("events")
+      TextAnalysis.spreadInput(t(s, dir)("events"))
         .select(col("event_id"),
           DruidFunctions.jsonValue(col("props"), "$.k").cast("long").as("k"),
           parsed.getField("type").as("jtype"),
@@ -5547,9 +5547,14 @@ object SparkEntry {
       // (reference msq/sql ExternalOperatorConversion)
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_extern_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // parallel staging write (r20 opt, guide §6): the single-task
+      // coalesce(1) serialized the 150k-row CSV dump; EXTERN's reader
+      // fans one task per file, so a multi-file dir is both written and
+      // read in parallel. The aggregate downstream is file-count
+      // independent (driver float tolerance absorbs sum-order deltas the
+      // same way it already did for the csv-vs-parquet engine split).
       t(s, dir)("orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(out)
       graft.api.SqlApi.run(s, dir, s"""{
         "query": "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS rev FROM TABLE(EXTERN('{\\"type\\":\\"local\\",\\"baseDir\\":\\"$out\\",\\"filter\\":\\"*.csv\\"}', '{\\"type\\":\\"csv\\",\\"findColumnsFromHeader\\":true}', '[{\\"name\\":\\"o_orderkey\\",\\"type\\":\\"LONG\\"},{\\"name\\":\\"o_orderpriority\\",\\"type\\":\\"STRING\\"},{\\"name\\":\\"o_totalprice\\",\\"type\\":\\"DOUBLE\\"}]')) GROUP BY o_orderpriority ORDER BY o_orderpriority"
@@ -5892,23 +5897,30 @@ object SparkEntry {
       val docs = t(s, dir)("documents")
       val found = Dedup.simHashPairs(docs, "doc_id", "text",
         blockKey = col("source"), maxHamming = 12, minJaccard = 0.3)
-      val grams = Dedup.shingleRows(docs, "doc_id", "text", 3,
-        carry = Seq("source"))
-      val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      val inter = grams.select(col("id").as("id_a"), col("source").as("src_a"),
-          col("sh"))
-        // source is part of the JOIN KEY (truth pairs are same-source by
-        // definition), so the gram self-join never materializes the
-        // cross-source matches it would immediately filter away
-        .join(grams.select(col("id").as("id_b"), col("source").as("src_a"),
-          col("sh")), Seq("sh", "src_a"))
+      // Truth-side exact jaccard (r20 opt, guide §2.3/§3): per-doc SORTED
+      // gram-hash arrays + same-source pair join with the codegen'd
+      // two-pointer intersection — replaces the gram-row self-join on
+      // (sh-string, src) whose string shuffle + per-gram fan-out measured
+      // 2.2 s; this form measures 1.2 s with bit-identical output (the
+      // intersection/size counts are the same integers, so i/(sz_a+sz_b-i)
+      // is the same IEEE division; hash collisions would need two distinct
+      // grams of one doc pair to collide in xxhash64 — ~n²/2⁶⁴).
+      val g = Dedup.shingleRows(docs, "doc_id", "text", 3,
+          carry = Seq("source"), distinctRows = false)
+        .groupBy(col("id"), col("source"))
+        .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams"))
+      val gl = g.select(col("source").as("src"), col("id").as("id_a"),
+        col("grams").as("g_a"))
+      val gr = g.select(col("source").as("src"), col("id").as("id_b"),
+        col("grams").as("g_b"))
+      val interCnt = graft.functions.VectorMath
+        .sortedIntersectCount(col("g_a"), col("g_b")).cast("double")
+      val unionCnt = size(col("g_a")) + size(col("g_b")) - interCnt
+      // source is the JOIN KEY (truth pairs are same-source by definition),
+      // size-gated like every other block self-join
+      val jac = Joins.boundedBlockJoin(gl, gr, Seq("src"), saltBy = col("id_a"))
         .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-      val jac = inter
-        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-        .select(col("id_a"), col("id_b"), (col("i").cast("double") /
-          (col("sz_a") + col("sz_b") - col("i"))).as("j"))
+        .select(col("id_a"), col("id_b"), (interCnt / unionCnt).as("j"))
       val truth = jac.filter(col("j") >= 0.5)
       val fpOk = found.join(jac, Seq("id_a", "id_b"), "left")
         .agg((count(when(coalesce(col("j"), lit(0.0)) < 0.3, 1)) === 0)
@@ -5953,7 +5965,7 @@ object SparkEntry {
       // attributes-stage quality filter: verdict + violated-rule list per
       // doc (Gopher thresholds over the shared metric definitions); the
       // oracle recomputes every rule from the same formulas
-      t(s, dir)("documents")
+      TextAnalysis.spreadInput(t(s, dir)("documents"))
         .select(col("doc_id"),
           TextAnalysis.qualityFilter(col("text")).as("reasons"))
         .select(col("doc_id"),
@@ -5968,7 +5980,7 @@ object SparkEntry {
       val masked = regexp_replace(
         regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
         "[0-9]{3,}", "<NUM>")
-      t(s, dir)("documents")
+      TextAnalysis.spreadInput(t(s, dir)("documents"))
         .select(col("doc_id"),
           length(col("text")).cast("long").as("len_raw"),
           length(masked).cast("long").as("len_masked"),
@@ -6192,7 +6204,7 @@ object SparkEntry {
     }),
 
     "q_text_tokens" -> ((s, dir) => {
-      t(s, dir)("documents")
+      TextAnalysis.spreadInput(t(s, dir)("documents"))
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
           size(TextAnalysis.roughTokens(col("text"))).cast("long").as("n_rough"),
@@ -6248,7 +6260,7 @@ object SparkEntry {
     }),
 
     "q_text_fingerprint" -> ((s, dir) => {
-      t(s, dir)("documents")
+      TextAnalysis.spreadInput(t(s, dir)("documents"))
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"),
           TextAnalysis.fingerprintPrefix(col("text"), 8).as("fp8"))

@@ -119,7 +119,12 @@ object Dedup {
   }
 
   /** Distinct whitespace n-gram rows (__pid?, __g) — shared by the
-    * contamination operators.
+    * contamination operators. `__g` is the xxhash64 of the n-token slice
+    * (hashing the ARRAY directly — the operators only ever compare grams
+    * for equality and count distincts, so an 8-byte key replaces the
+    * ~50-byte gram string in the distinct + join shuffles and the string
+    * never even materializes; collisions need two distinct grams of one
+    * document pair to collide in 64 bits, ~n²/2⁶⁴).
     */
   private def distinctNgramRows(df: DataFrame, idCol: String,
                                 textCol: String, n: Int,
@@ -133,7 +138,7 @@ object Dedup {
         explode(sequence(lit(0), size(col("__toks")) - n)).as("__i") :+
         col("__toks"): _*)
       .select(keepId :+
-        concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(n))).as("__g"): _*)
+        xxhash64(slice(col("__toks"), col("__i") + 1, lit(n))).as("__g"): _*)
       .distinct()
   }
 
@@ -330,11 +335,15 @@ object Dedup {
     // exact-verify, so its candidate pairs drop.
     val candIds = cand.select(col("id_a").as("__cid"))
       .union(cand.select(col("id_b").as("__cid"))).distinct()
-    val g = shingleRows(
+    // persist: g feeds BOTH pair-side joins below — without the cache the
+    // semi-join + shingle + collect_set pipeline runs once per side (both
+    // joins broadcast-build g independently; measured ~1.3 s each at sf0.1).
+    // One sorted hash array per candidate doc: bytes/doc, safe at any scale.
+    val g = CacheScope.autoRelease(shingleRows(
       df.join(candIds, col(idCol) === col("__cid"), "left_semi"),
       idCol, textCol, shingleSize)
       .groupBy(col("id"))
-      .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams"))
+      .agg(array_sort(collect_set(xxhash64(col("sh")))).as("grams")))
     val inter = graft.functions.VectorMath
       .sortedIntersectCount(col("g_a"), col("g_b")).cast("double")
     val union = size(col("g_a")) + size(col("g_b")) - inter

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Spread an unsplittable input across the cluster before expensive
+    * per-row text work (guide §2.5: "one huge unsplittable file →
+    * repartition immediately after the read"). The local testdata ships
+    * single-row-group parquet, so without this every regex/HOF-heavy scan
+    * projection runs in ONE task; one narrow round-robin shuffle of the
+    * raw rows buys full-cluster parallelism for the tokenize/gram work
+    * that follows. On a well-laid-out table the extra exchange is the
+    * cost — which is why it is applied per heavy OPERATOR, not baked into
+    * the table layer.
+    */
+  def spreadInput(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Whitespace tokenization (regex-based, handles runs of whitespace). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
@@ -239,7 +252,7 @@ object TextAnalysis {
     // inside the transform lambda, an inline split() would re-tokenize the
     // document once per gram (measured 4.7x slower at sf0.1); the multiple
     // non-cheap references keep CollapseProject from inlining this
-    val pre = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val pre = spreadInput(df).select(col(idCol), tokens(col(textCol)).as("__toks"))
     val toks = col("__toks")
     val gramCount = size(toks) - n + 1
     val grams = when(gramCount >= 1,
@@ -275,7 +288,7 @@ object TextAnalysis {
                        n: Int = 5, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1,
       s"need n >= 1 and minDocs >= 1, got ($n, $minDocs)")
-    val pre = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val pre = spreadInput(df).select(col(idCol), tokens(col(textCol)).as("__toks"))
     val toks = col("__toks")
     val gramCount = size(toks) - n + 1
     val grams = when(gramCount >= 1,
