@@ -5849,6 +5849,9 @@ object SparkEntry {
       // the oracle emits the same rows with TRUE booleans → full hash
       // verification of recall AND precision bounds.
       val docs = t(s, dir)("documents")
+      // (r20: a hashed-gram variant of this truth join was tried and
+      // REVERTED — min-of-2 bench read 5.3-7.9 s vs 3.6 s for the string
+      // form on this box; the string self-join's exchange reuse wins here)
       val grams = Dedup.shingleRows(docs, "doc_id", "text", 3)
       val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       val inter = grams.select(col("id").as("id_a"), col("sh"))

@@ -2887,14 +2887,46 @@ object SqlApi {
   /** Register every warehouse datasource as a temp view so SQL can read
     * back what INSERT/REPLACE wrote.
     */
+  /** Registered-warehouse-view memo: every facade call re-registered every
+    * warehouse table, and each `spark.read.parquet` is ~75 ms of driver-side
+    * footer work — with a handful of ingested tables that dominated the
+    * facade's per-query cost (measured ~0.7 s/call). A view re-registers
+    * only when its directory changed (mtime + entry count — ingest writes
+    * both add files and touch the dir); content and results are untouched.
+    * (Weak session keys so sessions stay collectable.)
+    */
+  private val warehouseViewStamp =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, (Long, Long, Int)]]())
+
   private def registerWarehouse(spark: SparkSession): Unit = {
+    val stamps = warehouseViewStamp.synchronized {
+      var m = warehouseViewStamp.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Int)]
+        warehouseViewStamp.put(spark, m)
+      }
+      m
+    }
     val root = new java.io.File(warehouseDir(spark))
     val dirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
     dirs.foreach { d =>
-      try spark.read.parquet(d.getAbsolutePath)
-        .createOrReplaceTempView(d.getName)
-      catch { case _: Exception => () } // mid-write/empty dir: skip
+      val key = d.getAbsolutePath
+      // stamp = (root mtime, max direct-child mtime, entry count): the
+      // child mtimes catch in-place rewrites inside partition subdirs
+      // (__day=X replaced → that child's mtime moves, the root's doesn't)
+      val children = Option(d.listFiles()).getOrElse(Array.empty)
+      val stamp = (d.lastModified,
+        if (children.isEmpty) 0L else children.map(_.lastModified).max,
+        children.length)
+      if (!stamps.get(key).contains(stamp)) {
+        try {
+          spark.read.parquet(key).createOrReplaceTempView(d.getName)
+          stamps.put(key, stamp)
+        } catch { case _: Exception => () } // mid-write/empty dir: skip
+      }
     }
   }
 

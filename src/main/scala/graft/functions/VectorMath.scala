@@ -144,6 +144,58 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Count of positions where two equal-length LONG arrays agree — the
+  * MinHash signature-match counter (estimated jaccard = eq/numHashes).
+  * Same integer as `aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)), 0,
+  * acc+v)`, but that higher-order form runs INTERPRETED per candidate
+  * pair (two lambda evaluations over 64-element arrays), which dominated
+  * the LSH candidate filter; this is a generated tight loop.
+  */
+case class PositionalEqCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_eq_count needs ARRAY<BIGINT>, got $l / $r")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value}++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : PositionalEqCount = copy(left = l, right = r)
+
+  override def prettyName: String = "positional_eq_count"
+}
+
 /** Process-wide cache of random-hyperplane weight matrices for [[LshBucket]]
   * — planes depend only on (numBits, planeOffset, dim), so each executor
   * materializes them once and every row after that is pure multiply-adds
@@ -264,6 +316,8 @@ object VectorMath {
     toCol(DotProduct(toExpr(a), toExpr(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def positionalEqCount(a: Column, b: Column): Column =
+    toCol(PositionalEqCount(toExpr(a), toExpr(b)))
   def lshBucket(vec: Column, numBits: Int, planeOffset: Int = 0): Column =
     toCol(LshBucket(toExpr(vec), numBits, planeOffset))
 }

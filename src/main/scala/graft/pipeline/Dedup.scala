@@ -201,9 +201,11 @@ object Dedup {
       col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // est_jaccard through the codegen'd positional-eq loop: the
+      // higher-order zip_with+aggregate form ran interpreted per candidate
+      // pair and dominated the filter (same integer count, same division)
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        (graft.functions.VectorMath.positionalEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)

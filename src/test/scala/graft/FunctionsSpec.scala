@@ -197,6 +197,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("positional_eq_count matches the HOF zip_with form and is codegen'd") {
+    import graft.functions.VectorMath.positionalEqCount
+    // every (a, b) pair of signature-shaped long arrays: the native count
+    // must equal the interpreted aggregate(zip_with(...)) it replaced in
+    // minHashLsh's candidate filter
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 8L)),
+      (Array(1L, 2L), Array(1L, 2L)),
+      (Array(7L), Array(8L)),
+      (Array.empty[Long], Array.empty[Long]))
+      .toDF("a", "b")
+      .select(positionalEqCount(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 2, 0, 0))
+    // null array propagates null
+    val n = Seq((Array(1L), Option.empty[Array[Long]])).toDF("a", "b")
+      .select(positionalEqCount(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // and it runs inside a whole-stage-codegen span (range source so the
+    // projection can't constant-fold into a LocalTableScan)
+    val plan = spark.range(4)
+      .select(array(col("id"), col("id") + 1).as("a"),
+        array(col("id"), col("id") + 2).as("b"))
+      .select(positionalEqCount(col("a"), col("b")).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("positional_eq_count"))
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
       .toDF("a", "b")
