@@ -50,14 +50,19 @@ object Bpe {
   def train(df: DataFrame, textCol: String, numMerges: Int)
       : Seq[(String, String)] = {
     // Each round's argmax is the round's ONLY job: it materializes the
-    // current vocab's cache as a side effect (persist caches on first
-    // computation), so the previous round's cache can be dropped right
-    // after — the eager `count()` materialization this replaces doubled
-    // the per-round job count for no extra information (measured ~40% of
-    // train time at 10 merges).
+    // current vocab's checkpoint as a side effect (lazy localCheckpoint
+    // caches on first computation), so the previous round's blocks can be
+    // dropped right after — the eager `count()` materialization this
+    // replaces doubled the per-round job count for no extra information
+    // (measured ~40% of train time at 10 merges). localCheckpoint rather
+    // than persist: it TRUNCATES lineage, so round i's plan is one replace
+    // over round i-1's stored blocks instead of an i-deep replace chain
+    // re-optimized every round. Blocks are reclaimed by the ContextCleaner
+    // once the round's Dataset goes out of scope; the unpersist calls
+    // below are belt-and-braces for the cache-manager path.
     var vocab = vocabulary(df, textCol)
       .select(col("word"), col("freq"), symbolize(col("word")).as("s"))
-      .persist()
+      .localCheckpoint(false)
     var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     for (_ <- 0 until numMerges) {
@@ -82,7 +87,7 @@ object Bpe {
         val next = vocab
           .select(col("word"), col("freq"),
             applyMerge(col("s"), a, b).as("s"))
-          .persist()
+          .localCheckpoint(false)
         prev = Some(vocab)
         vocab = next
       }
