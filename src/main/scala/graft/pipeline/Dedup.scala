@@ -450,8 +450,13 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
+    // LAZY localCheckpoints: each round's convergence probe is then the
+    // round's ONLY job — it materializes `next`'s blocks as a side effect
+    // while computing the changed-label count (the eager checkpoint +
+    // separate isEmpty probe was two jobs per round). Lineage is still
+    // truncated once materialized, so the plan never grows per iteration.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).localCheckpoint(false)
     var i = 0
     var done = false
     while (i < maxIters && !done) {
@@ -459,13 +464,14 @@ object Dedup {
         .select(col("dst").as("id"), col("comp"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       done = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).isEmpty
       labels = next
       i += 1
     }
-    // labels is fully materialized (eager localCheckpoint each round), so
+    // labels is fully materialized (every round's convergence probe
+    // computes it, populating the lazy checkpoint), so
     // the edge cache is dead once the OUTPUT is read — but an eager
     // unpersist HERE invalidates sibling cache registrations mid-build
     // (CacheManager re-registers dependents; plans analyzed against the
