@@ -56,7 +56,7 @@ object Bench {
     // box can double a single measurement, and two consecutive rounds of
     // bench-drift adjudication showed single runs can't tell load from
     // regression. The min of two back-to-back runs is stable within ~10%.
-    val results = bench.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = bench.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -81,6 +81,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> best
     }
+    // optional: interleave extra FULL passes (SPARK_GRAFT_PASSES=2) and take
+    // the per-query min ACROSS passes. A multi-second load spike on a shared
+    // box hits an alphabetically contiguous block of one pass; a second pass
+    // minutes later hits a different block, so the min filters drift windows
+    // that back-to-back min-of-2 can't. Default 1 pass = behavior unchanged.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    val results = (1 to math.max(1, passes)).map(_ => timedPass())
+      .reduce { (a, b) =>
+        a.zip(b).map { case ((n, x), (_, y)) =>
+          n -> (if (x < 0) y else if (y < 0) x else math.min(x, y))
+        }
+      }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -98,6 +110,13 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // the driver's stdout capture keeps only a ~2 KB TAIL, which truncates
+    // the front-loaded summary off the full line above. Print a compact
+    // summary (no per-query map) as the LAST stdout line so any tail
+    // capture always contains a parseable total. Additions only: the full
+    // line, BENCH_FULL.json and the methodology are unchanged.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RejectInvertedFrames)
     e.injectOptimizerRule(_ => graft.plans.SortDistinctArrayAgg)
     e.injectOptimizerRule(_ => graft.plans.DeterministicWindowOrder)
+    // pre-CBO (runs ONCE, after operator optimization): inside the
+    // operator-optimization fixed point PushPredicateThroughNonJoin would
+    // push the filter back through the inserted Repartition and the two
+    // rules would ping-pong
+    e.injectPreCBORule(_ => graft.plans.SpreadExpensiveFilter)
+    e.injectPreCBORule(_ => graft.plans.HybridDecimalSumRule)
     e.injectPlannerStrategy(_ => graft.plans.ApproxTopNStrategy)
   }
 }
@@ -390,6 +396,10 @@ object GraftExtensions {
     addOnce(graft.plans.RejectInvertedFrames)
     addOnce(graft.plans.SortDistinctArrayAgg)
     addOnce(graft.plans.DeterministicWindowOrder)
+    // safe in the extraOptimizations fixed point: no pushdown rules run
+    // there, and the rule is idempotent (fires only on a bare scan child)
+    addOnce(graft.plans.SpreadExpensiveFilter)
+    addOnce(graft.plans.HybridDecimalSumRule)
     graft.plans.ApproxTopN.ensureStrategy(spark)
   }
 }

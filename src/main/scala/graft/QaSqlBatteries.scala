@@ -298,6 +298,10 @@ object QaSqlBatteries {
       : DataFrame = {
     Tables.registerAll(s, dir)
     DruidFunctions.register(s)
+    // the generated tautology batteries evaluate 20+ JSON/MV walks per row
+    // over a single-task scan — arm the plan-level spread (deterministic
+    // here, not dependent on whether an earlier gate registered extensions)
+    graft.plans.SpreadExpensiveFilter.ensureRegistered(s)
     graft.api.SqlApi.runSql(s, sqlText)
   }
 

@@ -5736,11 +5736,19 @@ object SparkEntry {
 
     "q_stream_sessionize" -> ((s, dir) => {
       // the custom-state streaming op, ORACLE-verified cross-paradigm: the
-      // streaming flatMapGroupsWithState sessionizer over a two-batch file
-      // stream must equal the batch gaps-and-islands SQL DuckDB runs. A
-      // far-future sentinel file forms its own micro-batch purely to push
-      // the watermark past every real session's last+gap so the event-time
-      // timeouts flush them (then the sentinel key is dropped).
+      // streaming flatMapGroupsWithState sessionizer over a file stream
+      // must equal the batch gaps-and-islands SQL DuckDB runs. PER-KEY
+      // far-future sentinel rows ride in the SAME micro-batch as the data
+      // (r21, guide §1.2 — remove passes): each user's sorted in-batch run
+      // ends with a sentinel whose gap exceeds the threshold, so every real
+      // session closes and is emitted IN the data batch, and no event-time
+      // timeout flush is ever needed. The old shape (single sentinel key
+      // in its own maxFilesPerTrigger=1 batch + a timeout-flush batch) ran
+      // THREE state-store passes where the work fits in one; the only
+      // remaining extra batch is Spark's standard no-data batch after the
+      // watermark advance, which finds no expired timeouts and emits
+      // nothing. Sentinel-opened sessions never close, so they are never
+      // emitted (append mode emits closed sessions only).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/events.parquet")
       // per-sf-dir staging: concurrent driver JVMs on different scale
@@ -5748,8 +5756,9 @@ object SparkEntry {
       val staging = s"/tmp/graft_stream_sessionize_${dir.hashCode.abs}"
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      // batch 0 is the ORIGINAL immutable parquet file, symlinked — copying
-      // the fact table through coalesce(1) was the gate's entire cost
+      // the data file is the ORIGINAL immutable parquet file, symlinked —
+      // copying the fact table through coalesce(1) was the gate's entire
+      // cost before r19
       new java.io.File(s"$staging/b0").mkdirs()
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$staging/b0/events.parquet"),
@@ -5757,29 +5766,50 @@ object SparkEntry {
       // the sentinel's ts must be written in the SAME vintage as the raw
       // file (the stream reads both b0 and b1 under raw.schema), so push
       // the +365d arithmetic into the raw ts domain: nanos-long stays
-      // integer math, timestamp/NTZ stays timestamp + interval
+      // integer math, timestamp/NTZ stays timestamp + interval. ONE GLOBAL
+      // far-future instant shared by every user's sentinel: per-user
+      // maxima would spread the sentinels across > the 30 min gap, and the
+      // no-data batch's watermark (global max − 1 min) would TIME OUT the
+      // earlier users' sentinel-opened sessions and emit them as phantom
+      // rows (measured: +143 rows at sf0.01).
       val farFuture = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           (max(col("ts")) + lit(365L * 86400 * 1000000000L)).as("ts")
         case _ =>
           (max(col("ts")) + expr("INTERVAL 365 DAYS")).as("ts")
       }
-      raw.agg(farFuture).select(
+      raw.select(col("user_id")).distinct()
+        .crossJoin(broadcast(raw.agg(farFuture)))
+        .select(
           lit(-1L).as("event_id"),
           col("ts"),
-          lit(-1L).as("user_id"),
+          col("user_id"),
           lit("__sentinel__").as("event_type"),
           lit(0.0).as("value"),
           lit(null).cast("string").as("props"))
         .coalesce(1).write.parquet(s"$staging/b1")
+      // no maxFilesPerTrigger: both files land in ONE micro-batch
       val stream = Tables.normalizeTs(
         s.readStream.schema(raw.schema)
-          .option("maxFilesPerTrigger", "1")
           .parquet(s"$staging/b*/*.parquet"))
       val sessions = StreamingIngest.sessionize(stream, "ts", "user_id",
         gapMinutes = 30, watermark = "1 minutes")
-      val q = sessions.writeStream.outputMode("append").format("memory")
-        .queryName("stream_sessionize_out").start()
+      // the sentinel design closes every emittable session IN the data
+      // batch, so the standard post-watermark no-data batch (which exists
+      // to fire event-time timeouts) can only scan state and emit nothing
+      // — measured 0.8-2.0 s of pure state-store machinery per run. Skip
+      // it, scoped to this query; the setting is scale-independent (the
+      // bounded sentinel pattern needs no timeout flush at any SF).
+      val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.getOption(NoDataKey)
+      s.conf.set(NoDataKey, "false")
+      val q =
+        try sessions.writeStream.outputMode("append").format("memory")
+          .queryName("stream_sessionize_out").start()
+        finally prevNoData match {
+          case Some(v) => s.conf.set(NoDataKey, v)
+          case None    => s.conf.unset(NoDataKey)
+        }
       q.processAllAvailable(); q.stop()
       s.table("stream_sessionize_out")
         .filter(col("key") =!= "-1")
@@ -5849,10 +5879,18 @@ object SparkEntry {
       // the oracle emits the same rows with TRUE booleans → full hash
       // verification of recall AND precision bounds.
       val docs = t(s, dir)("documents")
-      // (r20: a hashed-gram variant of this truth join was tried and
-      // REVERTED — min-of-2 bench read 5.3-7.9 s vs 3.6 s for the string
-      // form on this box; the string self-join's exchange reuse wins here)
+      // truth join keys on xxhash64(gram), not the gram STRING: the
+      // self-join then shuffles 8-byte longs instead of ~30-50-byte grams
+      // (guide §2.3 — shuffle fewer bytes), the same trade the
+      // contamination operators made in r20 (collision odds ~n²/2⁶⁴,
+      // documented there). r20 reverted this on a reading taken in a
+      // known load-drift window; r21 re-adjudication on an idle box,
+      // min-of-3 interleaved A/B in ONE JVM: hashed 1.433 s vs string
+      // 1.655 s — hashed wins and the margin grows with gram width at
+      // corpus scale. Counts are unchanged (distinct grams → distinct
+      // hashes), so i/(sz_a+sz_b-i) is the same IEEE division.
       val grams = Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .select(col("id"), xxhash64(col("sh")).as("sh"))
       val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       val inter = grams.select(col("id").as("id_a"), col("sh"))
         .join(grams.select(col("id").as("id_b"), col("sh")), Seq("sh"))

@@ -24,24 +24,54 @@ object Tables {
     * parquet footer/schema work, and gate builders call it on every build
     * (the bench builds each gate three times — warmup + two timed runs).
     * This caches the immutable logical PLAN, never data or results: every
-    * execution still scans the parquet inputs. (Weak session keys so
-    * sessions stay collectable.)
+    * execution still scans the parquet inputs.
+    *
+    * Keyed by `sessionUUID` (a plain String), NOT by the session object:
+    * a WeakHashMap keyed on the session would never collect, because the
+    * cached DataFrames strongly reference their SparkSession through
+    * `Dataset.sparkSession` — the classic value→key leak (r20 advice).
+    * Stale sessions' entries are swept on the next cache miss instead:
+    * sweep cost is O(live sessions), and entries of closed sessions are
+    * dropped as soon as any other session takes a miss.
     */
   private val loadCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+    new java.util.concurrent.ConcurrentHashMap[String,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  /** Drop cached plans owned by sessions that have been stopped (their
+    * SparkContext is gone) or whose SparkSession is no longer registered as
+    * an active/default session. Called on cache misses only — the hot path
+    * (hit) stays a single map read.
+    */
+  // sessionUUID is private[sql] in Spark 4 — read it through the bridge
+  private def sid(s: SparkSession): String =
+    org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
+
+  private def sweepStaleSessions(live: SparkSession): Unit = {
+    val liveIds = new java.util.HashSet[String]()
+    liveIds.add(sid(live))
+    SparkSession.getActiveSession.foreach(s => liveIds.add(sid(s)))
+    SparkSession.getDefaultSession.foreach(s => liveIds.add(sid(s)))
+    loadCache.keySet.removeIf(k => !liveIds.contains(k))
+  }
+
+  /** Test hook: session ids currently holding cached plans. */
+  private[graft] def cachedSessionIds: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    loadCache.keySet.asScala.toSet
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = loadCache.synchronized {
-      var m = loadCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        loadCache.put(spark, m)
-      }
-      m
+    val perSession = loadCache.computeIfAbsent(sid(spark),
+      _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+    perSession.get((dir, name)) match {
+      case Some(df) => df
+      case None =>
+        // a miss already pays ~75 ms of footer work; piggyback the sweep
+        // here so stale sessions' plans drop without touching the hit path
+        sweepStaleSessions(spark)
+        perSession.getOrElseUpdate((dir, name), loadUncached(spark, dir, name))
     }
-    perSession.getOrElseUpdate((dir, name), loadUncached(spark, dir, name))
   }
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -94,12 +124,20 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Register every table as a temp view so `spark.sql` works against the set. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  /** Register every table as a temp view so `spark.sql` works against the
+    * set — and arm the engine-level plan rewrites on the session, so a
+    * session that was not built `withExtensions(GraftExtensions)` still
+    * plans SQL the way the engine intends (idempotent, list-contains
+    * cheap; deterministic rather than depending on WHICH gate registered
+    * extensions first in a shared session).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    graft.plans.HybridDecimalSumRule.ensureRegistered(spark)
     if (registeredDir.get(spark) != dir) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       registeredDir.put(spark, dir)
     }
+  }
 
   /** Expose a table Druid-style: its event-time column renamed to `__time`.
     * Only `events` (ts) and the date-bearing TPC-H tables have event time.

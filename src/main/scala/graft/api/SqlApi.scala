@@ -2898,13 +2898,24 @@ object SqlApi {
   private val warehouseViewStamp =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, (Long, Long, Int)]]())
+        scala.collection.concurrent.TrieMap[String, (Long, Long, Int, Long)]]())
+
+  /** Explicit per-table ingest epoch, bumped by [[runIngest]] (which owns
+    * every in-process warehouse write). Folded into the registration stamp
+    * so two ingests landing within one `File.lastModified` tick with an
+    * unchanged entry count still force re-registration — the filesystem
+    * mtime heuristic alone can miss that (r20 advice). EXTERNAL writers
+    * (another JVM mutating the warehouse dir) remain on the mtime
+    * heuristic; the facade contract is single-process.
+    */
+  private val ingestEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def registerWarehouse(spark: SparkSession): Unit = {
     val stamps = warehouseViewStamp.synchronized {
       var m = warehouseViewStamp.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Int)]
+        m = scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Int, Long)]
         warehouseViewStamp.put(spark, m)
       }
       m
@@ -2914,13 +2925,15 @@ object SqlApi {
       .filter(_.isDirectory)
     dirs.foreach { d =>
       val key = d.getAbsolutePath
-      // stamp = (root mtime, max direct-child mtime, entry count): the
-      // child mtimes catch in-place rewrites inside partition subdirs
-      // (__day=X replaced → that child's mtime moves, the root's doesn't)
+      // stamp = (root mtime, max direct-child mtime, entry count, ingest
+      // epoch): the child mtimes catch in-place rewrites inside partition
+      // subdirs (__day=X replaced → that child's mtime moves, the root's
+      // doesn't); the epoch catches same-tick facade ingests
       val children = Option(d.listFiles()).getOrElse(Array.empty)
       val stamp = (d.lastModified,
         if (children.isEmpty) 0L else children.map(_.lastModified).max,
-        children.length)
+        children.length,
+        Option(ingestEpochs.get(key)).map(_.longValue).getOrElse(0L))
       if (!stamps.get(key).contains(stamp)) {
         try {
           spark.read.parquet(key).createOrReplaceTempView(d.getName)
@@ -3048,6 +3061,11 @@ object SqlApi {
           .write.mode("append").partitionBy(partCol).parquet(path)
     }
     spark.read.parquet(path).createOrReplaceTempView(ing.table)
+    // bump the table's ingest epoch so OTHER sessions' registerWarehouse
+    // stamps invalidate even when this write lands in the same mtime tick
+    // as the previous one (this session's view was just replaced above)
+    ingestEpochs.merge(new java.io.File(path).getAbsolutePath,
+      java.lang.Long.valueOf(1L), (a, b) => java.lang.Long.valueOf(a + b))
     // the reference invalidates result-level cache entries when segments
     // change; an ingest is exactly that event, so stale cached bodies for
     // the mutated warehouse must not survive it (entries only — hit/miss

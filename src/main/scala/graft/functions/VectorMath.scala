@@ -107,12 +107,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
           s"sorted_intersect_count needs ARRAY<BIGINT>, got $l / $r")
     }
 
+  // a null SLOT never matches anything; array_sort places nulls LAST, so
+  // hitting one means the remaining slots of that side are all null and the
+  // merge can stop. The guard is only emitted when the static element type
+  // admits nulls — the simhash gram arrays (collect_set of xxhash64) are
+  // containsNull=false and keep the branch-free loop.
+  private def mayHaveNullSlots: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val checkNulls = mayHaveNullSlots
     var i = 0; var j = 0; var c = 0
     val na = a.numElements(); val nb = b.numElements()
-    while (i < na && j < nb) {
+    while (i < na && j < nb &&
+        !(checkNulls && (a.isNullAt(i) || b.isNullAt(j)))) {
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -126,11 +137,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullBreak =
+        if (mayHaveNullSlots)
+          s"if ($a.isNullAt($i) || $b.isNullAt($j)) break;"
+        else ""
       s"""
          |int $i = 0; int $j = 0;
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |${ev.value} = 0;
          |while ($i < $na && $j < $nb) {
+         |  $nullBreak
          |  long $x = $a.getLong($i); long $y = $b.getLong($j);
          |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
          |  else if ($x < $y) { $i++; } else { $j++; }
@@ -166,13 +182,24 @@ case class PositionalEqCount(left: Expression, right: Expression)
           s"positional_eq_count needs ARRAY<BIGINT>, got $l / $r")
     }
 
+  // a null SLOT never counts as a match — same as the interpreted
+  // `if(x = y, 1, 0)` zip_with form this replaces, where a null operand
+  // makes the predicate null and contributes 0. The null checks are only
+  // emitted when the static element type admits nulls, so the non-null
+  // minhash-signature hot path keeps the branch-free loop.
+  private def mayHaveNullSlots: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
+    val checkNulls = mayHaveNullSlots
     var i = 0; var c = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1
+      if ((!checkNulls || (!a.isNullAt(i) && !b.isNullAt(i))) &&
+          a.getLong(i) == b.getLong(i)) c += 1
       i += 1
     }
     c
@@ -181,11 +208,13 @@ case class PositionalEqCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val nullGuard =
+        if (mayHaveNullSlots) s"!$a.isNullAt($i) && !$b.isNullAt($i) && " else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value}++; }
+         |  if ($nullGuard$a.getLong($i) == $b.getLong($i)) { ${ev.value}++; }
          |}
        """.stripMargin
     })

@@ -51,15 +51,18 @@ object Bpe {
       : Seq[(String, String)] = {
     // Each round's argmax is the round's ONLY job: it materializes the
     // current vocab's checkpoint as a side effect (lazy localCheckpoint
-    // caches on first computation), so the previous round's blocks can be
-    // dropped right after — the eager `count()` materialization this
+    // caches on first computation; the job-end doCheckpoint pass fills any
+    // partitions the LIMIT short-circuited), so the previous round's blocks
+    // can be dropped right after — the eager `count()` materialization this
     // replaces doubled the per-round job count for no extra information
     // (measured ~40% of train time at 10 merges). localCheckpoint rather
     // than persist: it TRUNCATES lineage, so round i's plan is one replace
     // over round i-1's stored blocks instead of an i-deep replace chain
-    // re-optimized every round. Blocks are reclaimed by the ContextCleaner
-    // once the round's Dataset goes out of scope; the unpersist calls
-    // below are belt-and-braces for the cache-manager path.
+    // re-optimized every round. Releases go through
+    // Bridge.unpersistCheckpointBlocks: Dataset.unpersist() only talks to
+    // the CacheManager and is a NO-OP for checkpoint blocks (RDD-level
+    // persists), which otherwise wait for driver GC + ContextCleaner and
+    // accumulate across a long session (r20 advice).
     var vocab = vocabulary(df, textCol)
       .select(col("word"), col("freq"), symbolize(col("word")).as("s"))
       .localCheckpoint(false)
@@ -77,9 +80,10 @@ object Bpe {
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
-      // vocab's cache is now populated: the parent cache it was computed
-      // from (one literal replace behind) is dead weight — release it
-      prev.foreach(_.unpersist())
+      // vocab's checkpoint is now fully materialized and lineage-truncated:
+      // the parent checkpoint it was computed from (one literal replace
+      // behind) is dead weight and never read again — release its blocks
+      prev.foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpointBlocks)
       prev = None
       if (top.nonEmpty) {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
@@ -92,10 +96,11 @@ object Bpe {
         vocab = next
       }
     }
-    // the last round's `next` was never materialized: callers who apply the
-    // merge table (encode/tokenCounts) don't read it — drop both cleanly
-    prev.foreach(_.unpersist())
-    vocab.unpersist()
+    // neither the final vocab nor its parent is ever read again: callers
+    // only consume the merge TABLE (encode/tokenCounts re-derive symbol
+    // strings from it) — drop both rounds' checkpoint blocks deterministically
+    prev.foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpointBlocks)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpointBlocks(vocab)
     merges.toList
   }
 

@@ -467,6 +467,12 @@ object Dedup {
         .localCheckpoint(false)
       done = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).isEmpty
+      // the probe materialized `next`'s checkpoint (job-end doCheckpoint
+      // fills partitions isEmpty short-circuited past); the previous
+      // round's blocks are dead — release them NOW rather than waiting for
+      // driver GC + ContextCleaner (Dataset.unpersist can't: checkpoint
+      // blocks are RDD-level persists the CacheManager never sees)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpointBlocks(labels)
       labels = next
       i += 1
     }

@@ -33,4 +33,27 @@ object Bridge {
   def withActive[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .withActive(body)
+
+  /** Stable per-session identifier (`sessionUUID` is private[sql]) — a
+    * cache key that does NOT reference the session object, so caches keyed
+    * by it cannot pin the session against collection.
+    */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Deterministically release the storage blocks behind a (local)
+    * checkpoint'd Dataset. `Dataset.unpersist()` only talks to the
+    * CacheManager; a checkpoint's blocks are an RDD-LEVEL persist the
+    * CacheManager never sees, so without this they linger until the
+    * ContextCleaner notices the RDD is unreachable (driver-GC-timed).
+    * Walks the analyzed plan for the LogicalRDD node the checkpoint
+    * produced and unpersists its RDD directly. No-op on non-checkpointed
+    * plans.
+    */
+  def unpersistCheckpointBlocks(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
