@@ -44,7 +44,12 @@ object SpreadExpensiveFilter extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.spreadFilter.enabled", "true").toBoolean
 
-  /** Count per-row expensive calls in an expression tree. */
+  /** Count per-row expensive calls in an expression tree. Deliberately
+    * NOT counted: plain comparisons, arithmetic, CASE, CONCAT, LIKE —
+    * force-firing on the numeric/string tautology batteries measured a
+    * LOSS (0.339 → 0.420 / 0.286 → 0.336), so only call classes whose
+    * per-row cost was measured to beat the exchange qualify.
+    */
   private def heavyCalls(e: Expression): Int = {
     var n = 0
     e.foreach {
@@ -53,6 +58,14 @@ object SpreadExpensiveFilter extends Rule[LogicalPlan] with PredicateHelper {
       case x if x.getClass.getName.startsWith("graft.") => n += 1
       case _: RegExpExtractBase | _: RegExpReplace | _: RLike => n += 1
       case _: StringSplit => n += 1
+      // calendar-interval arithmetic on timestamps (proleptic calendar
+      // math per row) and timestamp→string casts (a formatter per row):
+      // the datetime tautology battery is ~16 of the former + 2 of the
+      // latter and measured 0.840 → 0.572 when spread
+      case _: TimestampAddYMInterval | _: TimestampAddInterval => n += 1
+      case c: Cast
+          if c.child.dataType == org.apache.spark.sql.types.TimestampType &&
+            c.dataType == org.apache.spark.sql.types.StringType => n += 1
       case _ => ()
     }
     n
