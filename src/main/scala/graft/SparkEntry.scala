@@ -7055,10 +7055,19 @@ object SparkEntry {
     // The reference's primary programmatic API: JSON query objects. These
     // run through graft.api.NativeJsonQuery → the same operator builders.
     "q_json_timeseries" -> ((s, dir) => {
+      // skipEmptyBuckets: the ORACLE twin is sparse SQL (GROUP BY emits
+      // only non-empty hours), so the gate must request the reference's
+      // sparse mode too — at sf0.01+ every hour of the interval has rows
+      // and the output is bit-identical either way, but at sf0.001 the
+      // default zero-fill emitted 48 rows against the oracle's 20 (latent
+      // cross-SF mismatch found in r21's sf0.001 full sweep; zero-fill
+      // semantics stay covered by q_timeseries_zerofill, whose oracle
+      // zero-fills).
       graft.api.NativeJsonQuery.run(s, dir, """
         {"queryType": "timeseries", "dataSource": "events",
          "granularity": "hour",
          "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+         "context": {"skipEmptyBuckets": true},
          "filter": {"type": "in", "dimension": "event_type",
                     "values": ["purchase", "click"]},
          "aggregations": [
